@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "total_query_time", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced with a noop-format write so the full plan executes
+(scan → shuffle → sink) without driver-collect overhead skewing the
+numbers. One shared SparkSession amortizes JVM startup (BASELINE.md notes
+startup latency dominates at this scale, so never pay it per query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+from metadata_etl_framework_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — scan+agg, joins, windows,
+# set-ops, DQ single-pass, anomaly, sessionization, text, dedup, ANN.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner",
+    "join_multi",
+    "agg_orders_by_priority",
+    "window_rank",
+    "window_running_total",
+    "dedup_distinct",
+    "dq_referential",
+    "profile_quantity",
+    "anomaly_zscore",
+    "events_sessions",
+    "events_tumbling",
+    "text_token_stats",
+    "text_fingerprint",
+    "dedup_exact_groups",
+    "minhash_near_dups",
+    "embed_knn_join",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+    queries = entry_mod.queries()
+
+    # warm the JVM + file-listing caches on a trivial plan so the first
+    # measured query doesn't absorb one-time session costs
+    _force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Aggregation operators.
+
+Parity targets (reference):
+- groupby_aggregate      src/transform/transformation_library.py:496-536
+- aggregate (step type)  src/transform/transform_engine.py:199-215
+- pivot_table            src/transform/transformation_library.py:538-576
+- deduplicate_data       src/utils/incremental_load_manager.py:521-544
+- duplicate detection    src/quality/dq_rule_examples.py:603-686
+- value_counts top-k     src/quality/dq_rule_examples.py:710-716
+- profiling stats        src/quality/dq_engine.py:42-67
+- correlation            src/quality/dq_rule_examples.py:1034-1070
+
+Output-naming convention: aggregated columns are named ``{col}_{fn}``
+(SURVEY §7 hard-part 4 — the polars arm's convention, adopted as spec).
+
+Scale notes: groupBy compiles to partial (map-side) + final aggregation
+automatically; profiling computes ALL per-column stats in one pass over
+the data instead of the reference's loop-per-column.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,  # pandas default ddof=1 == stddev_samp
+    "stddev": F.stddev_samp,
+    "first": F.first,
+    "countdistinct": F.count_distinct,
+    "median": lambda c: F.percentile(c, F.lit(0.5)),  # exact, like pandas
+}
+
+
+def agg_expr(column: str, fn: str, alias: str | None = None) -> Column:
+    """Resolve an aggregation-function name to a named Column expression."""
+    key = fn.lower()
+    if key in _AGG_FNS:
+        expr = _AGG_FNS[key](column)
+    else:
+        # generic fallback mirrors the reference's getattr dispatch
+        expr = F.expr(f"{fn}({column})")
+    return expr.alias(alias or f"{column}_{key}")
+
+
+def groupby_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggregations: dict[str, str | list[str]],
+) -> DataFrame:
+    """``groupBy(group_cols).agg({col: fn | [fns]})`` → ``{col}_{fn}`` columns."""
+    exprs: list[Column] = []
+    for col, fns in aggregations.items():
+        for fn in [fns] if isinstance(fns, str) else fns:
+            exprs.append(agg_expr(col, fn))
+    if not exprs:
+        raise ValueError("no aggregations given")
+    return df.groupBy(*group_cols).agg(*exprs)
+
+
+def pivot_table(
+    df: DataFrame,
+    index: str | Sequence[str],
+    columns: str,
+    values: str,
+    aggfunc: str = "mean",
+    pivot_values: Sequence[str] | None = None,
+) -> DataFrame:
+    """groupBy(index).pivot(columns).agg(fn(values)).
+
+    Pass ``pivot_values`` when known: it skips the extra distinct-values
+    job Spark otherwise runs (matters when the pivot source is huge).
+    """
+    index = [index] if isinstance(index, str) else list(index)
+    fn = _AGG_FNS.get(aggfunc.lower())
+    if fn is None:
+        raise ValueError(f"unsupported pivot aggfunc {aggfunc!r}")
+    grouped = df.groupBy(*index)
+    pivoted = grouped.pivot(columns, list(pivot_values)) if pivot_values else grouped.pivot(columns)
+    return pivoted.agg(fn(values))
+
+
+def deduplicate_data(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Drop duplicates by key subset (or whole row when keys is None).
+
+    NOTE: with a key subset the surviving row per group is arbitrary (same
+    as the reference's drop_duplicates 'first' only under its single-node
+    ordering, which Spark does not promise). Deterministic pipelines should
+    use `incremental.merge.keep_latest` with an explicit order column.
+    """
+    return df.dropDuplicates(list(keys)) if keys else df.dropDuplicates()
+
+
+def duplicate_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """All-occurrence duplicate marking: every member of a key-group with
+    count > 1 (pandas ``duplicated(keep=False)`` semantics)."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("_dup_count") > 1)
+        .drop("_dup_count")
+    )
+
+
+def value_counts_topk(df: DataFrame, column: str, k: int = 5) -> DataFrame:
+    """Most frequent values, descending, value as tiebreak (deterministic)."""
+    return (
+        df.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col(column))
+        .limit(k)
+    )
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile in ONE aggregation pass.
+
+    For every column: count, null_count, null_pct, distinct; numeric
+    columns add min/max/mean/std/median (exact percentile — reference
+    parity, SURVEY §7.5). Returns one row per column (unpivoted driver-side
+    from the single agg row — column count is small, data pass is one).
+    """
+    from pyspark.sql import types as T
+
+    cols = list(columns or df.columns)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    numeric = {
+        c for c in cols if isinstance(schema[c], (T.NumericType,))
+    }
+    exprs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        exprs.append(F.count(c).alias(f"{c}__nonnull"))
+        exprs.append(F.count_distinct(c).alias(f"{c}__distinct"))
+        if c in numeric:
+            exprs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            exprs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            exprs.append(F.avg(c).alias(f"{c}__mean"))
+            exprs.append(F.stddev_samp(c).alias(f"{c}__std"))
+            exprs.append(F.percentile(c, F.lit(0.5)).alias(f"{c}__median"))
+    row = df.agg(*exprs).collect()[0].asDict()
+    total = row["_rows"]
+    out = []
+    for c in cols:
+        nonnull = row[f"{c}__nonnull"]
+        rec = {
+            "column": c,
+            "count": total,
+            "null_count": total - nonnull,
+            "null_pct": (100.0 * (total - nonnull) / total) if total else 0.0,
+            "distinct": row[f"{c}__distinct"],
+            "dtype": schema[c].simpleString(),
+            "min": row.get(f"{c}__min"),
+            "max": row.get(f"{c}__max"),
+            "mean": row.get(f"{c}__mean"),
+            "std": row.get(f"{c}__std"),
+            "median": row.get(f"{c}__median"),
+        }
+        out.append(rec)
+    spark = df.sparkSession
+    out_schema = (
+        "column string, count long, null_count long, null_pct double, "
+        "distinct long, dtype string, min double, max double, mean double, "
+        "std double, median double"
+    )
+    return spark.createDataFrame(out, schema=out_schema)
+
+
+def correlation(df: DataFrame, col1: str, col2: str) -> DataFrame:
+    """Pearson correlation as a 1-row DataFrame (column ``corr``)."""
+    return df.agg(F.corr(col1, col2).alias("corr"))

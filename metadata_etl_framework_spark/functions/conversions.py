@@ -1,0 +1,72 @@
+"""Type-conversion operators.
+
+Parity targets (reference):
+- typeconversion (step)  src/transform/transform_engine.py:155-176
+- convert_to_numeric     src/transform/transformation_library.py:299-331
+- convert_to_datetime    src/transform/transformation_library.py:333-366
+- convert_to_string      src/transform/transformation_library.py:368-400
+
+Reference semantics: lossy casts null-out unparseable values
+(``errors='coerce'``). Spark's ANSI-off cast already does exactly that,
+and ``to_timestamp`` returns null on parse failure — no UDF needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# dtype-string aliases accepted in step configs (pandas/polars spellings
+# included so reference configs run unchanged).
+_TYPE_ALIASES = {
+    "int": "int", "int32": "int", "int64": "bigint", "bigint": "bigint",
+    "long": "bigint", "float": "float", "float32": "float",
+    "float64": "double", "double": "double", "str": "string",
+    "string": "string", "utf8": "string", "bool": "boolean",
+    "boolean": "boolean", "date": "date", "datetime": "timestamp",
+    "datetime64[ns]": "timestamp", "timestamp": "timestamp",
+    "decimal": "decimal(18,2)",
+}
+
+
+def normalize_dtype(dtype: str) -> str:
+    return _TYPE_ALIASES.get(dtype.lower(), dtype.lower())
+
+
+def convert_types(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Cast ``{column: dtype}``; dtype accepts pandas/polars/Spark spellings."""
+    cols = {c: F.col(c).cast(normalize_dtype(t)) for c, t in mapping.items()}
+    return df.withColumns(cols)
+
+
+def convert_to_numeric(df: DataFrame, column: str, dtype: str = "double") -> DataFrame:
+    """Lossy numeric cast; unparseable values become null (coerce)."""
+    return df.withColumn(column, F.col(column).cast(normalize_dtype(dtype)))
+
+
+def convert_to_datetime(df: DataFrame, column: str, fmt: str | None = None) -> DataFrame:
+    """Parse to timestamp with optional format; failures become null.
+
+    ``fmt`` uses Spark datetime patterns (e.g. ``yyyy-MM-dd``); the step
+    compiler translates common strptime patterns before calling this.
+    """
+    parsed = F.to_timestamp(F.col(column), fmt) if fmt else F.to_timestamp(F.col(column))
+    return df.withColumn(column, parsed)
+
+
+def convert_to_string(df: DataFrame, column: str) -> DataFrame:
+    return df.withColumn(column, F.col(column).cast("string"))
+
+
+# strptime → Spark datetime pattern translation (config compatibility).
+_STRPTIME = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%y": "yy", "%f": "SSSSSS",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    out = fmt
+    for k, v in _STRPTIME.items():
+        out = out.replace(k, v)
+    return out

@@ -1,0 +1,271 @@
+"""Config-dict → DataFrame-plan compiler (the transform engine).
+
+Parity target: ``TransformEngine`` (reference:
+src/transform/transform_engine.py:49-303) — the step-type dispatcher that
+defines the framework's canonical vocabulary:
+
+    filter, map, typeconversion, join, aggregate, pivot, window,
+    customudf, sqltransform  (+ union, added per SURVEY §2.7 for SCD2)
+
+Architectural difference from the reference (deliberate): the reference
+executes each step EAGERLY on a materialized single-node frame. Here every
+step returns a LAZY DataFrame, so an entire step list compiles into one
+Catalyst plan — filters merge and push into the scan, projections prune
+the read schema, joins get planned with runtime statistics (AQE). Row
+accounting, which the reference got for free from eager frames, is done
+with ``df.observe()`` metrics so it costs nothing extra at the terminal
+action (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, ClassVar
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.functions import (
+    aggregations as agg_lib,
+    conversions as conv_lib,
+    filters as filt_lib,
+    joins as join_lib,
+    projections as proj_lib,
+    windows as win_lib,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class StepMetrics:
+    """Per-step accounting recorded into the run log (TRANSFORM_LOG parity)."""
+
+    step_name: str
+    step_type: str
+    duration_sec: float = 0.0
+    observation: Observation | None = None
+
+    def rows_out(self) -> int | None:
+        """Rows produced by this step; available after a terminal action."""
+        if self.observation is None:
+            return None
+        try:
+            return self.observation.get.get("rows_out")
+        except Exception:
+            return None
+
+
+@dataclass
+class TransformEngine:
+    """Executes a transformation config (list of steps) over named sources.
+
+    ``sources`` is the reference's ``{source_id: DataFrame}`` multi-source
+    binding (transform_engine.py:57-58). ``observe_rows=True`` attaches an
+    ``Observation`` per step for rows_out accounting without extra jobs.
+    ``allow_custom_udf`` gates the (dangerous) exec-based customudf step,
+    mirroring the reference's own "unsafe" warning (transform_engine.py:266).
+    """
+
+    spark: SparkSession
+    observe_rows: bool = False
+    allow_custom_udf: bool = False
+    metrics: list[StepMetrics] = field(default_factory=list)
+
+    # ------------------------------------------------------------------ api
+
+    def execute_transformations(
+        self,
+        sources: dict[str, DataFrame],
+        transform_config: dict[str, Any],
+        primary: str | None = None,
+    ) -> DataFrame:
+        """Run the step list; returns the final (lazy) DataFrame.
+
+        ``primary`` names the source the chain starts from (defaults to the
+        config's ``primary_source`` or the first source).
+        """
+        sources = dict(sources)
+        primary = primary or transform_config.get("primary_source") or next(iter(sources))
+        data = sources[primary]
+        for i, step in enumerate(transform_config.get("steps", [])):
+            t0 = time.monotonic()
+            data = self.apply_transform_step(data, step, sources)
+            m = StepMetrics(
+                step_name=step.get("name", f"step_{i}"),
+                step_type=step.get("type", "?"),
+                duration_sec=time.monotonic() - t0,
+            )
+            if self.observe_rows:
+                obs = Observation(f"{m.step_name}_{i}")
+                data = data.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+                m.observation = obs
+            self.metrics.append(m)
+            # keep the evolving frame addressable by later join/sql steps
+            sources[primary] = data
+        return data
+
+    # ------------------------------------------------------------ dispatch
+
+    def apply_transform_step(
+        self, data: DataFrame, step: dict[str, Any], sources: dict[str, DataFrame]
+    ) -> DataFrame:
+        step_type = str(step.get("type", "")).lower()
+        handler = self._HANDLERS.get(step_type)
+        if handler is None:
+            raise NotImplementedError(f"unsupported step type: {step_type!r}")
+        return handler(self, data, step, sources)
+
+    # ------------------------------------------------------------- steps
+
+    def _filter(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        if "condition" in cfg:  # string SQL condition (transform_engine.py:121-136)
+            return filt_lib.filter_expr(data, cfg["condition"])
+        if "conditions" in cfg:
+            return filt_lib.filter_by_multiple_conditions(data, cfg["conditions"])
+        return filt_lib.filter_by_condition(
+            data, cfg["column"], cfg.get("operator", "=="), cfg["value"]
+        )
+
+    def _map(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        out = data
+        # derived columns first: {"derive": {"new_col": "sql expression"}}
+        for name, expr in (cfg.get("derive") or {}).items():
+            out = out.withColumn(name, F.expr(expr))
+        if cfg.get("rename"):
+            out = proj_lib.rename_columns(out, cfg["rename"])
+        if cfg.get("drop"):
+            out = proj_lib.drop_columns(out, cfg["drop"])
+        if cfg.get("reorder"):
+            out = proj_lib.reorder_columns(out, cfg["reorder"])
+        return out
+
+    def _typeconversion(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        mapping = cfg.get("conversions") or cfg.get("types") or {}
+        return conv_lib.convert_types(data, mapping)
+
+    def _join(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        right_name = cfg.get("right_source") or cfg.get("right")
+        if right_name not in sources:
+            raise KeyError(f"join right source {right_name!r} not in sources")
+        return join_lib.join_data(
+            data,
+            sources[right_name],
+            how=cfg.get("how", "inner"),
+            left_on=cfg.get("left_on"),
+            right_on=cfg.get("right_on"),
+            on=cfg.get("on"),
+            broadcast=bool(cfg.get("broadcast", False)),
+        )
+
+    def _aggregate(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        return agg_lib.groupby_aggregate(
+            data, cfg.get("group_by", []), cfg.get("aggregations", {})
+        )
+
+    def _pivot(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        return agg_lib.pivot_table(
+            data,
+            cfg["index"],
+            cfg["columns"],
+            cfg["values"],
+            aggfunc=cfg.get("aggfunc", "first"),
+            pivot_values=cfg.get("pivot_values"),
+        )
+
+    def _window(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        fn = str(cfg.get("function", "rank")).lower()
+        if fn in ("rank", "dense_rank", "row_number"):
+            return win_lib.rank_within_group(
+                data,
+                cfg.get("partition_by", []),
+                cfg["order_by"],
+                output_col=cfg.get("output_col", "rank"),
+                method=fn,
+                ascending=bool(cfg.get("ascending", True)),
+            )
+        if fn in ("lag", "lead"):
+            offset = int(cfg.get("offset", 1))
+            return win_lib.lag_lead(
+                data,
+                cfg["column"],
+                offset if fn == "lag" else -offset,
+                cfg.get("partition_by", []),
+                cfg["order_by"],
+                output_col=cfg.get("output_col"),
+            )
+        if fn in ("running_total", "cumsum"):
+            return win_lib.running_total(
+                data,
+                cfg["column"],
+                cfg.get("partition_by", []),
+                cfg["order_by"],
+                output_col=cfg.get("output_col"),
+            )
+        if fn in ("rolling_mean", "rolling_sum", "rolling_std", "rolling"):
+            return win_lib.rolling_aggregate(
+                data,
+                cfg["column"],
+                int(cfg["window_size"]),
+                fn=cfg.get("agg", fn.replace("rolling_", "") if "_" in fn else "mean"),
+                partition_by=cfg.get("partition_by"),
+                order_by=cfg["order_by"],
+                output_col=cfg.get("output_col"),
+            )
+        raise NotImplementedError(f"unsupported window function {fn!r}")
+
+    def _customudf(self, data, step, sources) -> DataFrame:
+        # Reference runs arbitrary code via exec (transform_engine.py:262-278)
+        # and documents it as unsafe; reproduced behind an explicit opt-in.
+        if not self.allow_custom_udf:
+            raise PermissionError(
+                "customudf steps are disabled; construct TransformEngine with "
+                "allow_custom_udf=True to opt in"
+            )
+        cfg = step.get("config", step)
+        scope: dict[str, Any] = {"df": data, "F": F, "spark": self.spark, "result": None}
+        exec(cfg["udf_code"], scope)  # noqa: S102 — explicit opt-in, parity feature
+        result = scope.get("result")
+        if not isinstance(result, DataFrame):
+            raise ValueError("customudf code must assign a DataFrame to `result`")
+        return result
+
+    def _sqltransform(self, data, step, sources) -> DataFrame:
+        # Reference registers every source in DuckDB and runs SQL
+        # (transform_engine.py:280-303); here temp views + spark.sql give
+        # the same capability with Catalyst planning the whole query.
+        cfg = step.get("config", step)
+        for name, df in sources.items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(cfg["query"])
+
+    def _union(self, data, step, sources) -> DataFrame:
+        cfg = step.get("config", step)
+        out = data
+        for name in cfg.get("with", []):
+            out = out.unionByName(sources[name], allowMissingColumns=bool(cfg.get("allow_missing_columns", False)))
+        if cfg.get("distinct"):
+            out = out.dropDuplicates()
+        return out
+
+    _HANDLERS: ClassVar[dict[str, Callable]] = {
+        "filter": _filter,
+        "map": _map,
+        "typeconversion": _typeconversion,
+        "join": _join,
+        "aggregate": _aggregate,
+        "pivot": _pivot,
+        "window": _window,
+        "customudf": _customudf,
+        "sqltransform": _sqltransform,
+        "union": _union,
+    }

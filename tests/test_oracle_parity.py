@@ -1,0 +1,74 @@
+"""Differential test: every oracle-backed queries() entry must match DuckDB.
+
+This mirrors the driver's correctness gate (row count + column names +
+order-insensitive values) at sf0.001 so regressions surface locally
+before a round ends.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].astype(str)
+        if "datetime" in str(df[c].dtype):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+    con = _duck()
+    duck_df = con.execute(ORACLES[name]).df()
+    con.close()
+
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count {len(spark_df)} != oracle {len(duck_df)}"
+    )
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{name}: columns {sorted(spark_df.columns)} != {sorted(duck_df.columns)}"
+    )
+    s = _normalize(spark_df)
+    d = _normalize(duck_df)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True, obj=name)
+
+
+def test_rows_only_entries_run(spark):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+        assert df.schema is not None
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
