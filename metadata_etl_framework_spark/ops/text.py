@@ -99,16 +99,16 @@ def lang_id_heuristic(df: DataFrame, text_col: str = "text", out: str = "lang_pr
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     scores = [
         F.struct(
-            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+            (-F.size(F.filter(toks, lambda t: t.isin(*markers)))).alias("neg_hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, markers in sorted(_LANG_MARKERS.items())
     ]
-    # array_max on (hits, lang) structs picks highest hits, then highest
-    # lang on ties; to make ties pick the FIRST lang, negate via sort.
-    best = F.sort_array(F.array(*scores), asc=False)[0]
+    # ascending sort on (-hits, lang): highest hit count first, ties going
+    # to the lexicographically first language
+    best = F.sort_array(F.array(*scores))[0]
     return df.withColumn(
-        out, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+        out, F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("unknown"))
     )
 
 
