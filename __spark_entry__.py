@@ -38,9 +38,14 @@ from metadata_etl_framework_spark.functions import (
     value_counts_topk,
 )
 from metadata_etl_framework_spark.incremental.merge import (
+    apply_cdc_events,
+    keep_latest,
     merge_upsert,
+    scd2_apply,
     scd2_identify_changes,
+    split_late_data,
 )
+from metadata_etl_framework_spark.quality.rules import compile_rule
 from metadata_etl_framework_spark.operators import TransformEngine
 from metadata_etl_framework_spark.ops import dedup as dedup_ops
 from metadata_etl_framework_spark.ops import similarity as sim_ops
@@ -574,6 +579,154 @@ def _incr_scd2_changes(spark, sf_dir):
     return changes.select("c_custkey", "c_acctbal", "change_type")
 
 
+def _step_sqltransform(spark, sf_dir):
+    """sqltransform step: temp views + spark.sql (transform_engine.py:280-303)."""
+    engine = TransformEngine(spark)
+    config = {
+        "primary_source": "lineitem",
+        "steps": [
+            {
+                "type": "sqltransform",
+                "config": {
+                    "query": """
+                        SELECT o_orderpriority,
+                               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                             AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+                               COUNT(*) AS n_items
+                        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                        WHERE o_orderstatus = 'F'
+                        GROUP BY o_orderpriority
+                    """
+                },
+            }
+        ],
+    }
+    return engine.execute_transformations(
+        {
+            "lineitem": _t(spark, sf_dir, "lineitem"),
+            "orders": _t(spark, sf_dir, "orders"),
+        },
+        config,
+    )
+
+
+def _step_customudf(spark, sf_dir):
+    """customudf step: sandboxed exec with {df, F, spark} scope, opt-in
+    (transform_engine.py:262-278)."""
+    engine = TransformEngine(spark, allow_custom_udf=True)
+    code = (
+        "result = df.withColumn("
+        "    'disc_price', F.col('l_extendedprice') * (1 - F.col('l_discount'))"
+        ").select('l_orderkey', 'l_linenumber', 'disc_price')"
+    )
+    return engine.execute_transformations(
+        {"lineitem": _t(spark, sf_dir, "lineitem")},
+        {"steps": [{"type": "customudf", "config": {"udf_code": code}}]},
+    )
+
+
+def _step_union(spark, sf_dir):
+    """union step (added per SURVEY §2.7 for SCD2/multi-source concat)."""
+    orders = _t(spark, sf_dir, "orders")
+    engine = TransformEngine(spark)
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = orders.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return engine.execute_transformations(
+        {"a": a, "b": b},
+        {
+            "primary_source": "a",
+            "steps": [{"type": "union", "config": {"with": ["b"], "distinct": True}}],
+        },
+    )
+
+
+def _dq_rules_onepass(spark, sf_dir):
+    """Multi-rule single-pass evaluation: every rule compiles to a failure
+    mask and ALL counts come from ONE aggregation over orders (SURVEY
+    §2.10 design note — 1 scan, not N scans)."""
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"type": "not_null", "column": "o_custkey"},
+        {"type": "value_range", "column": "o_totalprice", "min": 2000.0, "max": 450000.0},
+        {"type": "allowed_values", "column": "o_orderstatus", "allowed_values": ["F", "O", "P"]},
+        {"type": "future_dates", "column": "o_orderdate", "as_of": "1998-08-02 00:00:00"},
+        {"type": "cross_field", "operator": "<=", "field1": "o_orderkey", "field2": "o_orderkey"},
+    ]
+    aggs = [F.count(F.lit(1)).alias("total_rows")] + [
+        F.sum(compile_rule(r).cast("long")).alias(f"fail_{r['type']}") for r in rules
+    ]
+    return orders.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# incremental (merge/CDC/SCD2/late)
+# --------------------------------------------------------------------------
+
+def _incr_keep_latest(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = keep_latest(li, ["l_orderkey"], "l_linenumber", descending=True)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def _incr_cdc_apply(spark, sf_dir):
+    """CDC batch apply: DELETE (key%7==0), UPDATE acctbal+1000 (key%11==0,
+    not deleted), INSERT new keys (+1000000 for key%13==0)."""
+    cust = _t(spark, sf_dir, "customer")
+    deletes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("op", F.lit("DELETE"))
+    )
+    updates = (
+        cust.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("op", F.lit("UPDATE"))
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("op", F.lit("INSERT"))
+    )
+    events = deletes.unionByName(updates).unionByName(inserts)
+    return apply_cdc_events(cust, events, ["c_custkey"])
+
+
+def _incr_scd2_apply(spark, sf_dir):
+    """Full SCD2 rewrite: BUILDING-segment balances change; their current
+    rows close at the effective timestamp and new versions open."""
+    cust = _t(spark, sf_dir, "customer")
+    dim = (
+        cust.withColumn("start_date", F.lit("2020-01-01 00:00:00").cast("timestamp"))
+        .withColumn("end_date", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    incoming = cust.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    out = scd2_apply(
+        dim, incoming, ["c_custkey"], ["c_acctbal"], "2024-06-01 00:00:00"
+    )
+    # end_date is NULL-able; stringify both sides so NaT never enters the
+    # cross-engine value hash (units of null timestamps differ by engine)
+    return out.select(
+        "c_custkey",
+        "c_acctbal",
+        F.date_format("start_date", "yyyy-MM-dd HH:mm:ss").alias("start_date"),
+        F.date_format("end_date", "yyyy-MM-dd HH:mm:ss").alias("end_date"),
+        "is_current",
+    )
+
+
+def _incr_late_split(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    on_time, late = split_late_data(ev, "ts", "2024-01-15 00:00:00")
+    a = on_time.agg(F.count(F.lit(1)).alias("on_time_rows"))
+    b = late.agg(F.count(F.lit(1)).alias("late_rows"))
+    return a.crossJoin(b)
+
+
 # --------------------------------------------------------------------------
 # streaming-shaped (batch event-time windows)
 # --------------------------------------------------------------------------
@@ -661,7 +814,45 @@ def _embed_knn_join(spark, sf_dir):
     )
 
 
+def _dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ 0.9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        sim_ops.cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("_sim"),
+    )
+    return scored.filter(F.col("_sim") >= 0.9).select(
+        "id_a", "id_b", F.round("_sim", 6).alias("cosine")
+    )
+
+
 # ---- rows-only entries (no SQL-expressible oracle) ----
+
+
+_LSH_HYPERPLANES = [
+    [((i * 37 + j * 17) % 19 - 9) / 9.0 for j in range(64)] for i in range(8)
+]
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    """ANN path: hyperplane-LSH bucket filter then exact cosine top-k.
+    Deterministic fixed hyperplanes so results are reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return sim_ops.lsh_topk(emb, qvec, _LSH_HYPERPLANES, k=10)
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification over MinHash-LSH candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes=32)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
+    return dedup_ops.jaccard_similarity(docs, pairs).filter(
+        F.col("jaccard") >= 0.2
+    )
 
 def _minhash_near_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -735,9 +926,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _anomaly_zscore,
         "anomaly_iqr": _anomaly_iqr,
         "anomaly_moving_avg": _anomaly_moving_avg,
+        "step_sqltransform": _step_sqltransform,
+        "step_customudf": _step_customudf,
+        "step_union": _step_union,
+        "dq_rules_onepass": _dq_rules_onepass,
         "incr_detect_deletes": _incr_detect_deletes,
         "incr_merge_upsert": _incr_merge_upsert,
         "incr_scd2_changes": _incr_scd2_changes,
+        "incr_keep_latest": _incr_keep_latest,
+        "incr_cdc_apply": _incr_cdc_apply,
+        "incr_scd2_apply": _incr_scd2_apply,
+        "incr_late_split": _incr_late_split,
         "events_tumbling": _events_tumbling,
         "events_sessions": _events_sessions,
         "text_token_stats": _text_token_stats,
@@ -747,11 +946,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_distribution": _text_lang_distribution,
         "embed_knn_topk": _embed_knn_topk,
         "embed_knn_join": _embed_knn_join,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
         # rows-only (no SQL oracle): custom hashing / pandas-UDF plumbing
         "minhash_near_dups": _minhash_near_dups,
         "simhash_signatures": _simhash_signatures,
         "text_lang_id": _text_lang_id,
         "multimodal_image_meta": _multimodal_image_meta,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     }
 
 
@@ -1026,6 +1228,84 @@ def oracle_sql() -> dict[str, str]:
               AND SQRT(GREATEST((ss - s * s / n) / (n - 1), 0)) > 0
               AND ABS((value - s / n) / SQRT(GREATEST((ss - s * s / n) / (n - 1), 0))) > 2.5
         """,
+        "step_sqltransform": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+        """,
+        "step_customudf": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price
+            FROM lineitem
+        """,
+        "step_union": """
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+            UNION
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "dq_rules_onepass": """
+            SELECT COUNT(*) AS total_rows,
+                   COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                     AS fail_not_null,
+                   COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                      AND (o_totalprice < 2000.0 OR o_totalprice > 450000.0)
+                                     THEN 1 ELSE 0 END), 0) AS fail_value_range,
+                   COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                      AND o_orderstatus NOT IN ('F','O','P')
+                                     THEN 1 ELSE 0 END), 0) AS fail_allowed_values,
+                   COALESCE(SUM(CASE WHEN o_orderdate IS NOT NULL
+                                      AND o_orderdate > TIMESTAMP '1998-08-02 00:00:00'
+                                     THEN 1 ELSE 0 END), 0) AS fail_future_dates,
+                   COALESCE(SUM(CASE WHEN o_orderkey IS NOT NULL
+                                      AND NOT (o_orderkey <= o_orderkey)
+                                     THEN 1 ELSE 0 END), 0) AS fail_cross_field
+            FROM orders
+        """,
+        "incr_keep_latest": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_orderkey ORDER BY l_linenumber DESC
+                       ) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "incr_cdc_apply": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   CASE WHEN c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+                        THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 13 = 0
+        """,
+        "incr_scd2_apply": """
+            SELECT c_custkey, c_acctbal,
+                   '2020-01-01 00:00:00' AS start_date,
+                   CAST(NULL AS VARCHAR) AS end_date, TRUE AS is_current
+            FROM customer WHERE c_mktsegment <> 'BUILDING'
+            UNION ALL
+            SELECT c_custkey, c_acctbal,
+                   '2020-01-01 00:00:00' AS start_date,
+                   '2024-06-01 00:00:00' AS end_date, FALSE AS is_current
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_custkey, c_acctbal + 100.0,
+                   '2024-06-01 00:00:00' AS start_date,
+                   CAST(NULL AS VARCHAR) AS end_date, TRUE AS is_current
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "incr_late_split": """
+            SELECT (SELECT COUNT(*) FROM events
+                    WHERE ts > TIMESTAMP '2024-01-15 00:00:00') AS on_time_rows,
+                   (SELECT COUNT(*) FROM events
+                    WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') AS late_rows
+        """,
         "incr_detect_deletes": """
             SELECT * FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
@@ -1136,6 +1416,32 @@ def oracle_sql() -> dict[str, str]:
             FROM dots
             ORDER BY dot / (SQRT(nn) * SQRT(qq)) DESC, vec_id
             LIMIT 10
+        """,
+        "dedup_embedding_cosine": """
+            WITH prod AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+            ),
+            dots AS (
+              SELECT id_a, id_b,
+                     CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                   AS DECIMAL(30,15))) AS DOUBLE) AS dot
+              FROM prod GROUP BY id_a, id_b
+            ),
+            norms AS (
+              SELECT vec_id,
+                     SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+              FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+              GROUP BY vec_id
+            )
+            SELECT d.id_a, d.id_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.id_a
+            JOIN norms nb ON nb.vec_id = d.id_b
+            WHERE d.dot / (na.nrm * nb.nrm) >= 0.9
         """,
         "embed_knn_join": """
             WITH prod AS (

@@ -1,0 +1,114 @@
+"""CLI entry points.
+
+Parity target: src/api/cli.py:493-541 — commands:
+    setup-db, pipelines list|show|execute|template,
+    executions list|status|cancel, health
+
+Usage:
+    python -m metadata_etl_framework_spark.api.cli --db etl.db pipelines list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+from metadata_etl_framework_spark.catalog.store import ConfigLoader, MetadataStore
+
+PIPELINE_TEMPLATE: dict[str, Any] = {
+    "pipeline": {"pipeline_name": "example", "schedule": "0 2 * * *"},
+    "sources": [
+        {"source_name": "lineitem", "source_type": "parquet",
+         "parameters": {"path": "/data/lineitem.parquet"}}
+    ],
+    "transformations": [
+        {"primary_source": "lineitem", "steps": [
+            {"type": "filter", "config": {"condition": "l_quantity > 0"}},
+            {"type": "aggregate", "config": {
+                "group_by": ["l_returnflag"],
+                "aggregations": {"l_quantity": ["sum"]}}},
+        ]}
+    ],
+    "targets": [
+        {"target_name": "out", "target_type": "parquet",
+         "parameters": {"path": "/data/out"}}
+    ],
+    "dq_rules": [{"type": "not_null", "column": "l_returnflag"}],
+    "slas": [{"sla_type": "execution_time", "threshold": 600}],
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="metadata-etl-spark")
+    p.add_argument("--db", default="metadata.db", help="metadata store path")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("setup-db", help="create metadata tables")
+    sub.add_parser("health", help="engine + catalog health check")
+
+    pp = sub.add_parser("pipelines").add_subparsers(dest="sub", required=True)
+    pp.add_parser("list")
+    show = pp.add_parser("show")
+    show.add_argument("pipeline_id", type=int)
+    ex = pp.add_parser("execute")
+    ex.add_argument("pipeline_id", type=int)
+    pp.add_parser("template")
+
+    ee = sub.add_parser("executions").add_subparsers(dest="sub", required=True)
+    ee.add_parser("list")
+    st = ee.add_parser("status")
+    st.add_argument("run_id", type=int)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    store = MetadataStore(args.db)
+
+    if args.command == "setup-db":
+        print(f"metadata store initialized at {args.db}")
+        return 0
+    if args.command == "health":
+        n = store.query("SELECT COUNT(*) AS n FROM PIPELINES")[0]["n"]
+        print(json.dumps({"status": "ok", "pipelines": n}))
+        return 0
+    if args.command == "pipelines":
+        if args.sub == "list":
+            for row in store.query("SELECT * FROM PIPELINES"):
+                print(json.dumps(row))
+        elif args.sub == "show":
+            config = ConfigLoader(store).load_pipeline_metadata(args.pipeline_id)
+            print(json.dumps(config, indent=2, default=str))
+        elif args.sub == "template":
+            print(json.dumps(PIPELINE_TEMPLATE, indent=2))
+        elif args.sub == "execute":
+            from metadata_etl_framework_spark.orchestrator.manager import (
+                OrchestratorManager,
+            )
+            from metadata_etl_framework_spark.session import get_spark
+
+            spark = spark or get_spark(app_name="cli")
+            result = OrchestratorManager(spark, store).execute_pipeline(
+                args.pipeline_id, trigger_type="manual", triggered_by="cli"
+            )
+            print(json.dumps(result, default=str))
+        return 0
+    if args.command == "executions":
+        if args.sub == "list":
+            for row in store.query(
+                "SELECT * FROM PIPELINE_RUNS ORDER BY run_id DESC LIMIT 50"
+            ):
+                print(json.dumps(row))
+        elif args.sub == "status":
+            rows = store.query(
+                "SELECT * FROM PIPELINE_RUNS WHERE run_id = ?", (args.run_id,)
+            )
+            print(json.dumps(rows[0] if rows else {"error": "not found"}))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

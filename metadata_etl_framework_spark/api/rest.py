@@ -1,0 +1,80 @@
+"""REST API over the engine (Flask).
+
+Parity target: src/api/rest_api.py:538-673 — /health, /pipelines CRUD,
+/executions create/list/get, /metrics. The reference ships both Flask
+and FastAPI duals; one implementation suffices here (FastAPI is not in
+this environment).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from metadata_etl_framework_spark.catalog.store import ConfigLoader, MetadataStore
+
+
+def create_app(store: MetadataStore, orchestrator=None):
+    from flask import Flask, jsonify, request
+
+    app = Flask("metadata-etl-spark")
+
+    @app.get("/health")
+    def health():
+        n = store.query("SELECT COUNT(*) AS n FROM PIPELINES")[0]["n"]
+        return jsonify({"status": "ok", "pipelines": n})
+
+    @app.get("/pipelines")
+    def list_pipelines():
+        return jsonify(store.query("SELECT * FROM PIPELINES"))
+
+    @app.post("/pipelines")
+    def create_pipeline():
+        body: dict[str, Any] = request.get_json(force=True)
+        pid = store.register_pipeline(
+            body["pipeline_name"], body.get("description", ""), body.get("schedule")
+        )
+        return jsonify({"pipeline_id": pid}), 201
+
+    @app.get("/pipelines/<int:pipeline_id>")
+    def show_pipeline(pipeline_id: int):
+        try:
+            config = ConfigLoader(store).load_pipeline_metadata(pipeline_id)
+        except KeyError:
+            return jsonify({"error": "not found"}), 404
+        return app.response_class(
+            json.dumps(config, default=str), mimetype="application/json"
+        )
+
+    @app.post("/executions")
+    def create_execution():
+        body = request.get_json(force=True)
+        if orchestrator is None:
+            return jsonify({"error": "no orchestrator attached"}), 503
+        result = orchestrator.execute_pipeline(
+            int(body["pipeline_id"]), trigger_type="api", triggered_by="rest"
+        )
+        return jsonify(json.loads(json.dumps(result, default=str))), 201
+
+    @app.get("/executions")
+    def list_executions():
+        return jsonify(
+            store.query("SELECT * FROM PIPELINE_RUNS ORDER BY run_id DESC LIMIT 50")
+        )
+
+    @app.get("/executions/<int:run_id>")
+    def get_execution(run_id: int):
+        rows = store.query("SELECT * FROM PIPELINE_RUNS WHERE run_id = ?", (run_id,))
+        if not rows:
+            return jsonify({"error": "not found"}), 404
+        return jsonify(rows[0])
+
+    @app.get("/metrics")
+    def metrics():
+        runs = store.query(
+            "SELECT status, COUNT(*) AS n, AVG(duration_sec) AS avg_duration "
+            "FROM PIPELINE_RUNS GROUP BY status"
+        )
+        return jsonify({"runs": runs})
+
+    return app

@@ -1,0 +1,81 @@
+"""SLA monitoring: per-run checks + compliance rate.
+
+Parity target: src/monitoring/sla_monitor.py:21-298 — sla types
+execution_time (seconds ceiling), quality_score (floor), row_count
+(floor), data_freshness (hours ceiling, vs a supplied timestamp).
+Deviation = (actual - threshold) / threshold, signed so callers can rank
+violations.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+
+class SLAMonitor:
+    def __init__(self, store):
+        self.store = store
+
+    def record_run(
+        self,
+        run_id: int,
+        pipeline_id: int,
+        slas: Sequence[dict[str, Any]],
+        duration_sec: float | None = None,
+        quality_score: float | None = None,
+        row_count: int | None = None,
+        freshness_ts: float | None = None,
+    ) -> list[dict[str, Any]]:
+        results = []
+        for sla in slas:
+            stype, threshold = sla["sla_type"], float(sla["threshold"])
+            actual: float | None
+            if stype == "execution_time":
+                actual, met = duration_sec, (duration_sec or 0) <= threshold
+            elif stype == "quality_score":
+                actual = quality_score
+                met = quality_score is None or quality_score >= threshold
+            elif stype == "row_count":
+                actual = float(row_count) if row_count is not None else None
+                met = row_count is None or row_count >= threshold
+            elif stype == "data_freshness":
+                age_h = (time.time() - freshness_ts) / 3600 if freshness_ts else None
+                actual, met = age_h, age_h is None or age_h <= threshold
+            else:
+                raise ValueError(f"unknown sla type {stype!r}")
+            deviation = (
+                (actual - threshold) / threshold if actual is not None and threshold else None
+            )
+            self.store.insert(
+                "SLA_RESULTS",
+                {
+                    "run_id": run_id,
+                    "sla_type": stype,
+                    "threshold": threshold,
+                    "actual": actual,
+                    "met": int(bool(met)),
+                },
+            )
+            results.append(
+                {
+                    "sla_type": stype,
+                    "threshold": threshold,
+                    "actual": actual,
+                    "met": bool(met),
+                    "deviation": deviation,
+                }
+            )
+        return results
+
+    def compliance_rate(self, pipeline_id: int | None = None) -> float:
+        """Fraction of SLA checks met across recorded runs (×100)."""
+        rows = self.store.query(
+            "SELECT r.met FROM SLA_RESULTS r JOIN PIPELINE_RUNS p "
+            "ON p.run_id = r.run_id"
+            + (" WHERE p.pipeline_id = ?" if pipeline_id else ""),
+            (pipeline_id,) if pipeline_id else (),
+        )
+        if not rows:
+            return 100.0
+        return 100.0 * sum(r["met"] for r in rows) / len(rows)

@@ -1,0 +1,96 @@
+"""Security manager: credential encryption, rotation, RBAC, API tokens.
+
+Parity target: src/utils/security_manager.py:120-900 (Fernet encryption,
+credential store/rotation, users/roles, API tokens). Uses the public
+``cryptography`` package; if absent, credential encryption degrades to
+an explicit error rather than a silent plaintext fallback.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import secrets
+import time
+from typing import Any
+
+try:
+    from cryptography.fernet import Fernet
+except ImportError:  # pragma: no cover
+    Fernet = None
+
+
+class SecurityManager:
+    ROLES = {"admin": {"read", "write", "execute", "manage"},
+             "operator": {"read", "execute"},
+             "viewer": {"read"}}
+
+    def __init__(self, key: bytes | None = None):
+        if Fernet is None:
+            raise RuntimeError("cryptography package required for SecurityManager")
+        self._fernet = Fernet(key or Fernet.generate_key())
+        self._credentials: dict[str, tuple[bytes, float]] = {}
+        self._users: dict[str, str] = {}  # user → role
+        self._tokens: dict[str, tuple[str, float]] = {}  # token → (user, expiry)
+
+    # ------------------------------------------------------------ credentials
+
+    def store_credential(self, name: str, secret: dict[str, Any] | str) -> None:
+        payload = json.dumps(secret) if isinstance(secret, dict) else secret
+        self._credentials[name] = (self._fernet.encrypt(payload.encode()), time.time())
+
+    def get_credential(self, name: str) -> Any:
+        token, _ = self._credentials[name]
+        raw = self._fernet.decrypt(token).decode()
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return raw
+
+    def rotate_credential(self, name: str, new_secret: dict[str, Any] | str) -> None:
+        if name not in self._credentials:
+            raise KeyError(name)
+        self.store_credential(name, new_secret)
+
+    def credential_age_sec(self, name: str) -> float:
+        return time.time() - self._credentials[name][1]
+
+    # ------------------------------------------------------------------ rbac
+
+    def add_user(self, user: str, role: str) -> None:
+        if role not in self.ROLES:
+            raise ValueError(f"unknown role {role!r}")
+        self._users[user] = role
+
+    def authorize(self, user: str, action: str) -> bool:
+        role = self._users.get(user)
+        return bool(role and action in self.ROLES[role])
+
+    # ---------------------------------------------------------------- tokens
+
+    def issue_token(self, user: str, ttl_sec: float = 3600.0) -> str:
+        if user not in self._users:
+            raise KeyError(user)
+        token = secrets.token_urlsafe(32)
+        self._tokens[token] = (user, time.time() + ttl_sec)
+        return token
+
+    def validate_token(self, token: str) -> str | None:
+        entry = self._tokens.get(token)
+        if not entry or entry[1] < time.time():
+            return None
+        return entry[0]
+
+
+def hash_password(password: str, salt: bytes | None = None) -> str:
+    salt = salt or secrets.token_bytes(16)
+    digest = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, 100_000)
+    return salt.hex() + ":" + digest.hex()
+
+
+def verify_password(password: str, stored: str) -> bool:
+    salt_hex, digest_hex = stored.split(":")
+    salt = bytes.fromhex(salt_hex)
+    candidate = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, 100_000)
+    return hmac.compare_digest(candidate.hex(), digest_hex)

@@ -35,7 +35,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype) == "object":
             df[c] = df[c].astype(str)
         if "datetime" in str(df[c].dtype):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # unify resolution: Spark→pandas yields ns, DuckDB yields us;
+            # raw-value compare would differ 1000× (esp. with NaT present)
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     return df
 
