@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the plans the engine produces must
+keep their scale-critical properties — pushdown, pruning, broadcast,
+no accidental cross joins, top-k without a global sort. These guard the
+properties a 1000-executor run depends on, independent of small-SF
+timing."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = entry_mod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_flagship_filter_pushed_and_pruned(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # only the 6 needed columns reach the scan (16-column table)
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert read_schema.count(":") <= 7
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_sum" in p or "partial" in p.lower()
+
+
+def test_small_dim_joins_broadcast(spark):
+    p = _plan(spark, "join_multi", mode="simple")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_filter_full_pushdown_no_shuffle(spark):
+    p = _plan(spark, "filter_condition")
+    assert "GreaterThan(o_totalprice,450000.0)" in p
+    assert "Exchange" not in p
+
+
+def test_topk_no_global_sort(spark):
+    p = _plan(spark, "topk_event_types")
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalSort" not in p and "Sort [" not in p.replace(
+        "TakeOrderedAndProject", ""
+    ).split("Exchange")[0]
+
+
+def test_anti_join_for_delete_detection(spark):
+    p = _plan(spark, "incr_detect_deletes")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_pairs_join_is_equi_not_cross(spark):
+    """MinHash-LSH candidate generation must be a hash join on band keys,
+    never a cross join of the corpus."""
+    from metadata_etl_framework_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dd.minhash_signatures(docs, num_hashes=32)
+    pairs = dd.lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pairs.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_events_ns_conversion_keeps_pruning(spark):
+    """The ns→µs timestamp rebuild must not defeat column pruning."""
+    p = _plan(spark, "events_tumbling")
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    # needs ts, event_type, value — not all 6 event columns
+    assert read_schema.count(":") <= 4
