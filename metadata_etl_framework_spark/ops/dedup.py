@@ -137,11 +137,31 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard filter ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes // num_bands)
-    return jaccard_similarity(df, pairs, id_col, text_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
+    # persist the two frames each referenced by both sides of a self-join:
+    # without this the whole shingle+hash lineage recomputes per side
+    # (signatures are id + K longs — tiny relative to the text they derive
+    # from, so this holds at corpus scale with MEMORY_AND_DISK spill)
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes // num_bands)
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.round(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -60,15 +60,17 @@ def brute_force_topk(
     break by id for determinism.
     """
     q = F.array(*[F.lit(float(v)).cast("float") for v in query_vec])
+    # compute the cosine ONCE; the rounded display value derives from it
+    # in a later projection (multiply-referenced non-cheap exprs inline
+    # into each use otherwise)
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
         cosine_similarity_col(F.col(vec_col), q).alias("_exact"),
     )
     return (
         scored.orderBy(F.desc("_exact"), F.col(id_col))
         .limit(k)
-        .select(id_col, "cosine")
+        .select(id_col, F.round("_exact", 6).alias("cosine"))
     )
 
 
@@ -89,13 +91,25 @@ def knn_join_topk(
     """
     from pyspark.sql import Window
 
+    # precompute both norm columns BEFORE the join: a corpus norm would
+    # otherwise recompute once per query row (and vice versa)
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qvec")
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).alias("_qvec"),
+        _norm(F.col(query_vec_col)).alias("_qnrm"),
     )
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cnrm"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
         "_qid",
         F.col(id_col),
-        cosine_similarity_col(F.col(vec_col), F.col("_qvec")).alias("_sim"),
+        (
+            _decimal_dot(F.col("_cvec"), F.col("_qvec"))
+            / (F.col("_cnrm") * F.col("_qnrm"))
+        ).alias("_sim"),
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.col(id_col))
     return (
