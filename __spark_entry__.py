@@ -55,6 +55,7 @@ from metadata_etl_framework_spark.quality.anomaly import (
     detect_iqr,
     detect_moving_average,
     detect_zscore,
+    ensemble_vote,
 )
 from metadata_etl_framework_spark.streaming import sessionize_batch
 
@@ -536,6 +537,15 @@ def _anomaly_iqr(spark, sf_dir):
     return detect_iqr(_t(spark, sf_dir, "events"), "value", "event_id", 1.5)
 
 
+def _anomaly_ensemble(spark, sf_dir):
+    """Majority vote across z-score (|z|>2.5) and IQR (1.5×) detectors:
+    keys flagged by BOTH survive (min_votes=2 of 2)."""
+    ev = _t(spark, sf_dir, "events")
+    z = detect_zscore(ev, "value", "event_id", 2.5)
+    iqr = detect_iqr(ev, "value", "event_id", 1.5)
+    return ensemble_vote([z, iqr], "event_id", min_votes=2).select("event_id", "votes")
+
+
 def _anomaly_moving_avg(spark, sf_dir):
     return detect_moving_average(
         _t(spark, sf_dir, "events"),
@@ -926,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _anomaly_zscore,
         "anomaly_iqr": _anomaly_iqr,
         "anomaly_moving_avg": _anomaly_moving_avg,
+        "anomaly_ensemble": _anomaly_ensemble,
         "step_sqltransform": _step_sqltransform,
         "step_customudf": _step_customudf,
         "step_union": _step_union,
@@ -1209,6 +1220,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, value FROM events, q
             WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+        """,
+        "anomaly_ensemble": """
+            WITH s AS (
+              SELECT CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS m,
+                     COUNT(value) AS n
+              FROM events
+            ), v AS (
+              SELECT CAST(SUM(CAST((value - m) * (value - m) AS DECIMAL(30,12))) AS DOUBLE)
+                       AS ss,
+                     ANY_VALUE(m) AS m, ANY_VALUE(n) AS n
+              FROM events, s
+            ), st AS (
+              SELECT m, SQRT(ss / (n - 1)) AS sd FROM v
+            ), zkeys AS (
+              SELECT DISTINCT event_id FROM events, st
+              WHERE ABS((value - m) / sd) > 2.5
+            ), q AS (
+              SELECT QUANTILE_CONT(value, 0.25) AS q1, QUANTILE_CONT(value, 0.75) AS q3
+              FROM events
+            ), ikeys AS (
+              SELECT DISTINCT event_id FROM events, q
+              WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+            )
+            SELECT z.event_id, CAST(2 AS BIGINT) AS votes
+            FROM zkeys z JOIN ikeys i ON z.event_id = i.event_id
         """,
         "anomaly_moving_avg": """
             WITH w AS (

@@ -1,0 +1,171 @@
+"""Unit layer mirroring the reference test strategy (SURVEY §5):
+operator correctness on small in-memory fixtures with hand-computed
+expectations — dirty-data DQ rule counts (FIXTURES.md §6), watermark
+state, anomaly ensemble voting, API connector pagination/auth, file
+connector round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.incremental.watermark import Watermark, WatermarkStore
+from metadata_etl_framework_spark.quality.anomaly import ensemble_vote
+from metadata_etl_framework_spark.quality.rules import (
+    compile_rule,
+    evaluate_rules,
+    quality_score,
+)
+from metadata_etl_framework_spark.sources.api_connector import (
+    APIConnector,
+    extract_data_path,
+)
+from metadata_etl_framework_spark.sources.file_connector import FileConnector
+
+
+@pytest.fixture(scope="module")
+def dirty_employees(spark):
+    """FIXTURES.md §1 employees with §6-style injected errors."""
+    rows = [
+        # id, first, email,                 age,  salary,   dept
+        (1, "Ann",  "ann@example.com",      30,   50000.0,  "IT"),
+        (2, "Bob",  "bob@example.com",      17,   50000.0,  "HR"),        # age < 18
+        (3, "Cid",  "not-an-email",         40,   50000.0,  "IT"),        # bad email
+        (4, "Dee",  None,                   35,   500000.0, "Finance"),   # null email, salary high
+        (5, "Eve",  "eve@example.com",      None, 60000.0,  "Ops"),       # null age, bad dept
+        (5, "Eve",  "eve@example.com",      28,   60000.0,  "IT"),        # dup employee_id
+    ]
+    return spark.createDataFrame(
+        rows, "employee_id long, first_name string, email string, age long, "
+              "salary double, department string"
+    )
+
+
+def test_dq_rules_exact_counts(spark, dirty_employees):
+    rules = [
+        {"name": "email_not_null", "type": "not_null", "column": "email"},
+        {"name": "email_fmt", "type": "email_format", "column": "email"},
+        {"name": "age_range", "type": "value_range", "column": "age",
+         "min": 18, "max": 65},
+        {"name": "salary_range", "type": "value_range", "column": "salary",
+         "min": 30000, "max": 200000},
+        {"name": "dept_allowed", "type": "allowed_values", "column": "department",
+         "allowed_values": ["HR", "IT", "Finance", "Marketing"]},
+        {"name": "pk", "type": "primary_key_unique", "column": "employee_id"},
+    ]
+    results = {r.rule_name: r for r in evaluate_rules(dirty_employees, rules)}
+    assert results["email_not_null"].failed_rows == 1
+    assert results["email_fmt"].failed_rows == 1          # null email not counted
+    assert results["age_range"].failed_rows == 1          # null age not counted
+    assert results["salary_range"].failed_rows == 1
+    assert results["dept_allowed"].failed_rows == 1
+    assert results["pk"].failed_rows == 2                 # both dup-group members
+    assert all(not r.passed for r in results.values())
+    score = quality_score(list(results.values()))
+    assert score == 0.0
+    # thresholds: 80% pass rate lets single-failure rules pass (5/6 rows ok)
+    relaxed = [dict(r, threshold=80.0) for r in rules]
+    relaxed_results = evaluate_rules(dirty_employees, relaxed)
+    assert sum(1 for r in relaxed_results if r.passed) == 5
+
+
+def test_dq_rule_samples(spark, dirty_employees):
+    rules = [{"name": "email_fmt", "type": "email_format", "column": "email"}]
+    res = evaluate_rules(dirty_employees, rules, sample_failures=5)[0]
+    assert len(res.samples) == 1 and res.samples[0]["email"] == "not-an-email"
+
+
+def test_compile_rule_expression(spark, dirty_employees):
+    mask = compile_rule({"type": "expression", "expression": "salary < 100000"})
+    failed = dirty_employees.filter(mask).count()
+    assert failed == 1  # only the 500k salary violates salary<100000
+
+
+def test_watermark_store_and_incremental_filter(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm"))
+    assert store.get("p1", "orders") is None
+    store.update(Watermark("p1", "orders", "ts", "2024-01-10"))
+    store.update(Watermark("p1", "orders", "ts", "2024-01-15"))
+    assert store.get("p1", "orders").value == "2024-01-15"
+    assert len(store.history("p1", "orders")) == 2
+
+    df = spark.createDataFrame(
+        [("2024-01-10",), ("2024-01-14",), ("2024-01-16",), ("2024-01-20",)],
+        "ts string",
+    )
+    out = store.incremental_filter(df, "p1", "orders", "ts")
+    assert {r.ts for r in out.collect()} == {"2024-01-16", "2024-01-20"}
+    store.reset("p1", "orders")
+    assert store.get("p1", "orders") is None
+    # no watermark → full scan
+    assert store.incremental_filter(df, "p1", "orders", "ts").count() == 4
+
+
+def test_ensemble_vote_majority(spark):
+    d1 = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    d2 = spark.createDataFrame([(2,), (3,)], "k long")
+    d3 = spark.createDataFrame([(3,), (4,)], "k long")
+    out = ensemble_vote([d1, d2, d3], "k")  # majority = 2 votes
+    got = {r.k: r.votes for r in out.collect()}
+    assert got == {2: 2, 3: 3}
+
+
+def test_api_connector_offset_pagination_and_auth(spark):
+    pages = {
+        0: {"data": {"items": [{"id": 1}, {"id": 2}]}},
+        2: {"data": {"items": [{"id": 3}]}},  # short page → stop
+    }
+    calls = []
+
+    def transport(method, url, params=None, headers=None, **kw):
+        calls.append((method, dict(params), dict(headers)))
+        return pages.get(params.get("offset", 0), {"data": {"items": []}})
+
+    conn = APIConnector(
+        spark,
+        {"auth": {"type": "bearer", "token": "tok"}},
+        transport=transport,
+    )
+    df = conn.read(
+        "http://api/items",
+        data_path="data.items",
+        pagination={"type": "offset", "page_size": 2},
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    assert all(h["Authorization"] == "Bearer tok" for _, _, h in calls)
+    assert calls[0][1]["limit"] == 2
+
+
+def test_api_connector_cursor_pagination(spark):
+    payloads = [
+        {"items": [{"id": 1}], "next_cursor": "c2"},
+        {"items": [{"id": 2}], "next_cursor": None},
+    ]
+    it = iter(payloads)
+
+    def transport(method, url, **kw):
+        return next(it)
+
+    conn = APIConnector(spark, {}, transport=transport)
+    df = conn.read("http://api", data_path="items", pagination={"type": "cursor"})
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+
+
+def test_extract_data_path():
+    assert extract_data_path({"a": {"b": [{"x": 1}]}}, "a.b") == [{"x": 1}]
+    assert extract_data_path({"a": 1}, "a.b") == []
+    assert extract_data_path([{"x": 1}], None) == [{"x": 1}]
+    assert extract_data_path({"x": 1}, None) == [{"x": 1}]
+
+
+def test_file_connector_roundtrip(spark, tmp_path):
+    fc = FileConnector(spark)
+    df = spark.range(100).withColumn("val", F.col("id") * 2)
+    for fmt in ["parquet", "csv", "json"]:
+        path = str(tmp_path / fmt)
+        fc.write(df, path, fmt=fmt)
+        back = fc.read(path, fmt=fmt)
+        assert back.count() == 100
+        assert {r.val for r in back.collect()} == {i * 2 for i in range(100)}
+    schema = fc.get_schema(str(tmp_path / "parquet"))
+    assert set(schema["columns"]) == {"id", "val"}
