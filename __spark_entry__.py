@@ -650,6 +650,73 @@ def _step_union(spark, sf_dir):
     )
 
 
+_SQL_Q3 = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+_SQL_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+_SQL_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           c_mktsegment
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def _sql_query(sql: str, *tables: str):
+    """TPC-H-shaped SQL through the sqltransform step (full-SQL surface)."""
+
+    def run(spark, sf_dir):
+        engine = TransformEngine(spark)
+        sources = {t: _t(spark, sf_dir, t) for t in tables}
+        return engine.execute_transformations(
+            sources,
+            {"primary_source": tables[0],
+             "steps": [{"type": "sqltransform", "config": {"query": sql}}]},
+        )
+
+    return run
+
+
+_sql_q3_shipping_priority = _sql_query(_SQL_Q3, "customer", "orders", "lineitem")
+_sql_q5_local_volume = _sql_query(
+    _SQL_Q5, "customer", "orders", "lineitem", "supplier", "nation", "region"
+)
+_sql_q10_returned_items = _sql_query(_SQL_Q10, "customer", "orders", "lineitem")
+
+
 def _dq_rules_onepass(spark, sf_dir):
     """Multi-rule single-pass evaluation: every rule compiles to a failure
     mask and ALL counts come from ONE aggregation over orders (SURVEY
@@ -938,6 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_moving_avg": _anomaly_moving_avg,
         "anomaly_ensemble": _anomaly_ensemble,
         "step_sqltransform": _step_sqltransform,
+        "sql_q3_shipping_priority": _sql_q3_shipping_priority,
+        "sql_q5_local_volume": _sql_q5_local_volume,
+        "sql_q10_returned_items": _sql_q10_returned_items,
         "step_customudf": _step_customudf,
         "step_union": _step_union,
         "dq_rules_onepass": _dq_rules_onepass,
@@ -1273,6 +1343,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderstatus = 'F'
             GROUP BY o_orderpriority
         """,
+        "sql_q3_shipping_priority": _SQL_Q3,
+        "sql_q5_local_volume": _SQL_Q5,
+        "sql_q10_returned_items": _SQL_Q10,
         "step_customudf": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS disc_price

@@ -31,6 +31,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # set-ops, DQ single-pass, anomaly, sessionization, text, dedup, ANN.
 HEADLINE = [
     "q1_pricing_summary",
+    "sql_q3_shipping_priority",
+    "sql_q5_local_volume",
+    "sql_q10_returned_items",
     "join_inner",
     "join_multi",
     "agg_orders_by_priority",
