@@ -411,6 +411,19 @@ def _profile_quantity(spark, sf_dir):
     )
 
 
+def _profile_all_columns(spark, sf_dir):
+    """Single-pass multi-column profile (profile_columns) — exact fields
+    only (count/null/distinct/min/max); mean/std are order-dependent
+    double sums and stay out of the cross-engine hash."""
+    from metadata_etl_framework_spark.functions import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+    return prof.select("column", "count", "null_count", "distinct", "min", "max")
+
+
 def _corr_qty_price(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr"))
@@ -989,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs": _date_funcs,
         "case_bucketing": _case_bucketing,
         "profile_quantity": _profile_quantity,
+        "profile_all_columns": _profile_all_columns,
         "corr_qty_price": _corr_qty_price,
         "dq_not_null": _dq_not_null,
         "dq_value_range": _dq_value_range,
@@ -1194,6 +1208,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(STDDEV_SAMP(l_quantity), 6) AS std_q,
                    ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_q
             FROM lineitem
+        """,
+        "profile_all_columns": """
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS count,
+                   COUNT(*) - COUNT(o_orderkey) AS null_count,
+                   COUNT(DISTINCT o_orderkey) AS "distinct",
+                   CAST(MIN(o_orderkey) AS DOUBLE) AS min,
+                   CAST(MAX(o_orderkey) AS DOUBLE) AS max
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+                   COUNT(DISTINCT o_totalprice),
+                   MIN(o_totalprice), MAX(o_totalprice)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+                   COUNT(DISTINCT o_orderstatus),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
         """,
         "corr_qty_price": """
             SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem

@@ -41,6 +41,7 @@ from metadata_etl_framework_spark.functions.aggregations import (  # noqa: F401
     profile_columns,
     value_counts_topk,
 )
+from metadata_etl_framework_spark.functions.skew import salted_join  # noqa: F401
 from metadata_etl_framework_spark.functions.windows import (  # noqa: F401
     lag_lead,
     rank_within_group,

@@ -169,3 +169,38 @@ def test_file_connector_roundtrip(spark, tmp_path):
         assert {r.val for r in back.collect()} == {i * 2 for i in range(100)}
     schema = fc.get_schema(str(tmp_path / "parquet"))
     assert set(schema["columns"]) == {"id", "val"}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be row-identical to the plain join — inner and
+    left, including unmatched left rows, under a skewed key distribution."""
+    from metadata_etl_framework_spark.functions import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(500)]      # hot key 1
+        + [(2, "x"), (3, "y"), (9, "orphan")],  # 9 has no match
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "k long, name string")
+
+    for how in ("inner", "left"):
+        plain = skewed.join(dim, ["k"], how).orderBy("k", "payload")
+        salted = salted_join(skewed, dim, ["k"], how, buckets=4).orderBy("k", "payload")
+        assert [tuple(r) for r in plain.collect()] == [tuple(r) for r in salted.collect()]
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, ["k"], "full_outer")
+
+
+def test_quarantine_rows(spark, tmp_path):
+    from metadata_etl_framework_spark.utils.error_recovery import quarantine_rows
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 7.0), (4, -1.0)], "id long, amount double"
+    )
+    qpath = str(tmp_path / "quarantine")
+    clean, n_bad = quarantine_rows(df, F.col("amount") < 0, qpath, run_id=7)
+    assert n_bad == 2
+    assert {r.id for r in clean.collect()} == {1, 3}
+    q = spark.read.parquet(qpath)
+    assert {r.id for r in q.collect()} == {2, 4}
+    assert q.columns[-1] == "_quarantine_run_id"
