@@ -153,6 +153,71 @@ def ensemble_vote(
     )
 
 
+def detect_timeseries(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_col: str,
+    method: str = "arima_residual",
+    max_points: int = 100_000,
+    **params,
+) -> DataFrame:
+    """Time-series detectors: arima_residual / stl_decomposition /
+    changepoint (reference: anomaly_manager.py:241-324).
+
+    Time series are driver-sized by nature (the reference collects them
+    outright); the ordered series is bounded by ``max_points`` and pulled
+    to the driver, the statistical model runs there, and flagged keys
+    return as a DataFrame. Import-gated: statsmodels / ruptures are not
+    in this container.
+    """
+    spark = df.sparkSession
+    pdf = (
+        df.select(key_col, value_col)
+        .orderBy(order_col)
+        .limit(max_points)
+        .toPandas()
+    )
+    series = pdf[value_col].to_numpy()
+    if method == "arima_residual":
+        try:
+            from statsmodels.tsa.arima.model import ARIMA
+        except ImportError as e:
+            raise NotImplementedError(
+                "statsmodels not installed; arima_residual needs it"
+            ) from e
+        order = params.get("order", (1, 0, 0))
+        resid = ARIMA(series, order=order).fit().resid
+        thr = params.get("threshold", 3.0)
+        mask = abs((resid - resid.mean()) / (resid.std() or 1.0)) > thr
+    elif method == "stl_decomposition":
+        try:
+            from statsmodels.tsa.seasonal import STL
+        except ImportError as e:
+            raise NotImplementedError(
+                "statsmodels not installed; stl_decomposition needs it"
+            ) from e
+        resid = STL(series, period=params.get("period", 12)).fit().resid
+        thr = params.get("threshold", 3.0)
+        mask = abs((resid - resid.mean()) / (resid.std() or 1.0)) > thr
+    elif method == "changepoint":
+        try:
+            import ruptures
+        except ImportError as e:
+            raise NotImplementedError(
+                "ruptures not installed; changepoint needs it"
+            ) from e
+        algo = ruptures.Pelt(model=params.get("model", "rbf")).fit(series)
+        points = set(algo.predict(pen=params.get("penalty", 10)))
+        mask = [i in points for i in range(len(series))]
+    else:
+        raise ValueError(f"unknown time-series method {method!r}")
+    flagged = pdf.loc[list(mask), [key_col]]
+    return spark.createDataFrame(flagged) if len(flagged) else spark.createDataFrame(
+        [], schema=f"{key_col} long"
+    )
+
+
 def detect_sklearn(
     df: DataFrame,
     value_cols: Sequence[str],

@@ -287,3 +287,33 @@ def test_cli_and_rest(spark, store, tmp_path, capsys):
     listed = client.get("/executions").get_json()
     assert listed and listed[0]["status"] == "SUCCESS"
     assert client.get("/metrics").get_json()["runs"]
+
+
+def test_performance_monitor(spark):
+    from metadata_etl_framework_spark.monitoring.performance import PerformanceMonitor
+
+    pm = PerformanceMonitor(spark)
+    for _ in range(3):
+        pm.start("count_job")
+        spark.range(100000).selectExpr("sum(id)").collect()
+        m = pm.stop("count_job", rows=100000)
+    assert m.duration_sec > 0 and m.peak_rss_mb > 0
+    cmp = pm.baseline_compare("count_job")
+    assert cmp is not None and cmp["baseline_sec"] > 0
+    assert isinstance(pm.bottleneck_hints(m), list)
+
+
+def test_timeseries_detectors_gated(spark):
+    """statsmodels/ruptures absent in this container: the API must raise
+    the documented NotImplementedError, not a random ImportError."""
+    import pytest as _pytest
+
+    from metadata_etl_framework_spark.quality.anomaly import detect_timeseries
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for method in ("arima_residual", "stl_decomposition", "changepoint"):
+        with _pytest.raises(NotImplementedError):
+            detect_timeseries(ev, "value", "event_id", "event_id", method=method)
+    with _pytest.raises(ValueError):
+        detect_timeseries(ev, "value", "event_id", "event_id", method="nope")
