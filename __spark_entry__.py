@@ -837,6 +837,17 @@ def _events_tumbling(spark, sf_dir):
     )
 
 
+def _events_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h window / 30m slide): each event lands
+    in two windows; same expression runs under Structured Streaming."""
+    from metadata_etl_framework_spark.streaming import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    agg = sliding_window_agg(ev, "ts", "1 hour", "30 minutes",
+                             group_by=("event_type",))
+    return agg.select("window_start", "event_type", F.col("count").alias("cnt"))
+
+
 def _events_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     sess = sessionize_batch(ev, "ts", ["user_id"], gap="30 minutes",
@@ -1033,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_scd2_apply": _incr_scd2_apply,
         "incr_late_split": _incr_late_split,
         "events_tumbling": _events_tumbling,
+        "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
@@ -1477,6 +1489,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT ws AS window_start, event_type, COUNT(*) AS cnt
+            FROM (
+              SELECT event_type,
+                     UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS ws
+              FROM events
+            ) GROUP BY ws, event_type
         """,
         "events_sessions": """
             WITH o AS (
