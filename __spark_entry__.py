@@ -209,6 +209,21 @@ def _typeconversion(spark, sf_dir):
     )
 
 
+def _convert_lossy(spark, sf_dir):
+    """Coercing conversions (errors → null): numeric tail of c_name parses,
+    the mktsegment copy cannot and nulls out — ANSI-safe try_cast path."""
+    from metadata_etl_framework_spark.functions import convert_to_numeric
+
+    cust = _t(spark, sf_dir, "customer")
+    df = cust.select(
+        "c_custkey",
+        F.substring_index("c_name", "#", -1).alias("name_tail"),
+        F.col("c_mktsegment").alias("seg_copy"),
+    )
+    df = convert_to_numeric(df, "name_tail")
+    return convert_to_numeric(df, "seg_copy")
+
+
 # --------------------------------------------------------------------------
 # joins
 # --------------------------------------------------------------------------
@@ -994,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_date_range": _filter_date_range,
         "project_rename": _project_rename,
         "typeconversion": _typeconversion,
+        "convert_lossy": _convert_lossy,
         "join_inner": _join_inner,
         "join_left": _join_left,
         "join_multi": _join_multi,
@@ -1089,6 +1105,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
                    CAST(l_suppkey AS DOUBLE) AS suppkey_dbl
             FROM lineitem
+        """,
+        "convert_lossy": """
+            SELECT c_custkey,
+                   TRY_CAST(SPLIT_PART(c_name, '#', 2) AS DOUBLE) AS name_tail,
+                   TRY_CAST(c_mktsegment AS DOUBLE) AS seg_copy
+            FROM customer
         """,
         "join_inner": """
             SELECT o.o_orderkey, c.c_name, o.o_totalprice

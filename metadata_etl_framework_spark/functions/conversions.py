@@ -7,8 +7,12 @@ Parity targets (reference):
 - convert_to_string      src/transform/transformation_library.py:368-400
 
 Reference semantics: lossy casts null-out unparseable values
-(``errors='coerce'``). Spark's ANSI-off cast already does exactly that,
-and ``to_timestamp`` returns null on parse failure — no UDF needed.
+(``errors='coerce'``). Spark 4 runs ANSI mode by default, where a plain
+``cast``/``to_timestamp`` RAISES on malformed input — the coercing
+converters therefore use ``try_cast`` / ``try_to_timestamp``, which
+return null regardless of ANSI setting. ``convert_types`` (the
+typeconversion step) keeps the strict cast: the reference's ``astype``
+raises on failure too, so strict-raise is the parity behavior there.
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ def convert_types(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
 
 def convert_to_numeric(df: DataFrame, column: str, dtype: str = "double") -> DataFrame:
     """Lossy numeric cast; unparseable values become null (coerce)."""
-    return df.withColumn(column, F.col(column).cast(normalize_dtype(dtype)))
+    return df.withColumn(column, F.col(column).try_cast(normalize_dtype(dtype)))
 
 
 def convert_to_datetime(df: DataFrame, column: str, fmt: str | None = None) -> DataFrame:
@@ -50,7 +54,11 @@ def convert_to_datetime(df: DataFrame, column: str, fmt: str | None = None) -> D
     ``fmt`` uses Spark datetime patterns (e.g. ``yyyy-MM-dd``); the step
     compiler translates common strptime patterns before calling this.
     """
-    parsed = F.to_timestamp(F.col(column), fmt) if fmt else F.to_timestamp(F.col(column))
+    parsed = (
+        F.try_to_timestamp(F.col(column), F.lit(fmt))
+        if fmt
+        else F.try_to_timestamp(F.col(column))
+    )
     return df.withColumn(column, parsed)
 
 

@@ -204,3 +204,21 @@ def test_quarantine_rows(spark, tmp_path):
     q = spark.read.parquet(qpath)
     assert {r.id for r in q.collect()} == {2, 4}
     assert q.columns[-1] == "_quarantine_run_id"
+
+
+def test_lossy_conversions_coerce_under_ansi(spark):
+    """ANSI mode is on in Spark 4: the coercing converters must null-out
+    malformed values instead of raising (reference errors='coerce')."""
+    from metadata_etl_framework_spark.functions import (
+        convert_to_datetime,
+        convert_to_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [("1.5", "2024-01-01"), ("abc", "not-a-date"), ("2", "2024-06-15")],
+        "v string, d string",
+    )
+    out = convert_to_datetime(convert_to_numeric(df, "v"), "d", "yyyy-MM-dd")
+    rows = {r.v: r.d for r in out.collect()}
+    assert rows[1.5] is not None and rows[2.0] is not None
+    assert None in rows and rows[None] is None
