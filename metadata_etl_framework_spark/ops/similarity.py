@@ -44,7 +44,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
-    return _decimal_dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; null when either vector has zero norm (a plain
+    division would raise DIVIDE_BY_ZERO under ANSI mode)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _decimal_dot(a, b) / den)
 
 
 def brute_force_topk(
@@ -103,13 +106,13 @@ def knn_join_topk(
         F.col(vec_col).alias("_cvec"),
         _norm(F.col(vec_col)).alias("_cnrm"),
     )
+    den = F.col("_cnrm") * F.col("_qnrm")
     scored = corpus.crossJoin(F.broadcast(q)).select(
         "_qid",
         F.col(id_col),
-        (
-            _decimal_dot(F.col("_cvec"), F.col("_qvec"))
-            / (F.col("_cnrm") * F.col("_qnrm"))
-        ).alias("_sim"),
+        F.when(den != 0, _decimal_dot(F.col("_cvec"), F.col("_qvec")) / den).alias(
+            "_sim"
+        ),
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.col(id_col))
     return (

@@ -68,8 +68,10 @@ def compile_rule(rule: dict[str, Any]) -> Column:
         parsed = F.try_to_timestamp(col, F.lit(fmt)) if fmt else F.try_to_timestamp(col)
         return col.isNotNull() & parsed.isNull()
     if rtype == "data_type":
+        # try_cast: a plain cast RAISES on malformed input under ANSI
+        # (Spark 4 default) — the rule's job is to count those rows
         target = rule.get("expected_type", "double")
-        return col.isNotNull() & col.cast(target).isNull()
+        return col.isNotNull() & col.try_cast(target).isNull()
     if rtype == "cross_field":
         op = _OPS[rule.get("operator", ">")]
         f1, f2 = rule["field1"], rule["field2"]
