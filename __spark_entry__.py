@@ -262,6 +262,47 @@ def _join_anti(spark, sf_dir):
     return unused.select("p_partkey", "p_name", "p_brand")
 
 
+def _join_merge_multiple(spark, sf_dir):
+    """merge_multiple: left-fold N frames on a shared key column
+    (transformation_library.py:463-493)."""
+    from metadata_etl_framework_spark.functions import merge_multiple
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    totals = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(_dsum("o_totalprice").alias("total_spend"))
+    )
+    return merge_multiple([cust, counts, totals], on="custkey", how="left")
+
+
+def _window_rolling_sum(spark, sf_dir):
+    """rolling_aggregate(sum) over a 5-row trailing frame. The input is
+    pre-cast to DECIMAL (standard parity convention): engines disagree on
+    windowed double-sum order (DuckDB uses a segment tree)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the corpus; ordering
+    # ties by the value column keeps frame contents engine-independent
+    out = rolling_aggregate(
+        li, "qty_dec", 5, fn="sum",
+        partition_by=["l_orderkey"], order_by=("l_linenumber", "qty_dec"),
+        output_col="qty_rolling_sum",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("qty_rolling_sum").cast("double").alias("qty_rolling_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # aggregation / pivot
 # --------------------------------------------------------------------------
@@ -309,7 +350,8 @@ def _window_lag(spark, sf_dir):
 
 def _window_running_total(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    out = running_total(li, "l_quantity", ["l_orderkey"], "l_linenumber",
+    out = running_total(li, "l_quantity", ["l_orderkey"],
+                        ("l_linenumber", "l_quantity"),
                         output_col="qty_running")
     return out.select("l_orderkey", "l_linenumber", "qty_running")
 
@@ -769,7 +811,8 @@ def _dq_rules_onepass(spark, sf_dir):
 
 def _incr_keep_latest(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    out = keep_latest(li, ["l_orderkey"], "l_linenumber", descending=True)
+    out = keep_latest(li, ["l_orderkey"], ("l_linenumber", "l_quantity"),
+                      descending=True)
     return out.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
@@ -1014,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left": _join_left,
         "join_multi": _join_multi,
         "join_anti": _join_anti,
+        "join_merge_multiple": _join_merge_multiple,
+        "window_rolling_sum": _window_rolling_sum,
         "agg_orders_by_priority": _agg_orders_by_priority,
         "pivot_status": _pivot_status,
         "window_rank": _window_rank,
@@ -1130,6 +1175,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name, p_brand FROM part
             WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
         """,
+        "join_merge_multiple": """
+            SELECT c.custkey, c.c_name, n.order_cnt, t.total_spend
+            FROM (SELECT c_custkey AS custkey, c_name FROM customer) c
+            LEFT JOIN (SELECT o_custkey AS custkey, COUNT(*) AS order_cnt
+                       FROM orders GROUP BY o_custkey) n ON c.custkey = n.custkey
+            LEFT JOIN (SELECT o_custkey AS custkey,
+                              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                AS total_spend
+                       FROM orders GROUP BY o_custkey) t ON c.custkey = t.custkey
+        """,
+        "window_rolling_sum": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, CAST(l_quantity AS DECIMAL(18,2))
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS qty_rolling_sum
+            FROM lineitem
+        """,
         "agg_orders_by_priority": """
             SELECT o_orderpriority,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -1166,7 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "window_running_total": """
             SELECT l_orderkey, l_linenumber,
                    SUM(l_quantity) OVER (
-                       PARTITION BY l_orderkey ORDER BY l_linenumber
+                       PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS qty_running
             FROM lineitem
@@ -1449,7 +1513,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity FROM (
                 SELECT l_orderkey, l_linenumber, l_quantity,
                        ROW_NUMBER() OVER (
-                           PARTITION BY l_orderkey ORDER BY l_linenumber DESC
+                           PARTITION BY l_orderkey
+                           ORDER BY l_linenumber DESC, l_quantity DESC
                        ) AS rn
                 FROM lineitem
             ) WHERE rn = 1

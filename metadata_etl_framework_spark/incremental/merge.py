@@ -44,16 +44,24 @@ def merge_upsert(
 
 
 def keep_latest(
-    df: DataFrame, keys: Sequence[str], order_col: str, descending: bool = True
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Sequence[str],
+    descending: bool = True,
 ) -> DataFrame:
-    """Deterministic dedup: one row per key, latest by order_col.
+    """Deterministic dedup: one row per key, latest by order column(s).
 
     Replaces the reference's order-dependent ``drop_duplicates`` with an
     explicit ordering (SURVEY §7.2). row_number (not rank) guarantees
-    exactly one survivor even on order ties.
+    exactly one survivor even on order ties — but WHICH survivor is only
+    deterministic if the ordering is total, so pass tie-breaking columns
+    when the primary order column can repeat within a key.
     """
-    ordering = F.col(order_col).desc() if descending else F.col(order_col)
-    w = Window.partitionBy(*keys).orderBy(ordering)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ordering = [
+        F.col(c).desc() if descending else F.col(c) for c in order_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

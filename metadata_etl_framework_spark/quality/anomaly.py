@@ -29,7 +29,8 @@ def _exact_mean_std(df: DataFrame, value_col: str) -> DataFrame:
         F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("_sum"),
         F.count(value_col).alias("_n"),
     ).select(
-        (F.col("_sum") / F.col("_n")).alias("_mean"), F.col("_n")
+        F.when(F.col("_n") > 0, F.col("_sum") / F.col("_n")).alias("_mean"),
+        F.col("_n"),
     )
     with_mean = df.crossJoin(F.broadcast(stats))
     var = with_mean.agg(
@@ -41,7 +42,10 @@ def _exact_mean_std(df: DataFrame, value_col: str) -> DataFrame:
         F.first("_n").alias("_n"),
     )
     return var.select(
-        "_mean", F.sqrt(F.col("_ss") / (F.col("_n") - 1)).alias("_std")
+        "_mean",
+        F.when(
+            F.col("_n") > 1, F.sqrt(F.col("_ss") / (F.col("_n") - 1))
+        ).alias("_std"),
     )
 
 
