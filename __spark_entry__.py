@@ -670,8 +670,8 @@ def _step_sqltransform(spark, sf_dir):
                 "config": {
                     "query": """
                         SELECT o_orderpriority,
-                               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                             AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+                               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                             AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
                                COUNT(*) AS n_items
                         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                         WHERE o_orderstatus = 'F'
@@ -1471,8 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "step_sqltransform": """
             SELECT o_orderpriority,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_orderstatus = 'F'
