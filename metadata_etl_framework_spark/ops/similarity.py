@@ -146,6 +146,57 @@ def hyperplane_lsh_buckets(
     return embeddings.select(id_col, vec_col, F.concat(*bits).alias("bucket"))
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF index: KMeans centroids (Spark ML) + cluster-assigned corpus.
+
+    Returns (assigned_df, centroids) where assigned_df carries a
+    ``_cluster`` column. At 100 TB the assigned corpus is written
+    partitioned by cluster so a query's probe reads only its clusters'
+    partitions (partition pruning on `_cluster`).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(vec)
+    assigned = model.transform(vec).withColumnRenamed("prediction", "_cluster").drop(
+        "_features"
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search: score only vectors in the ``nprobe`` nearest clusters.
+
+    Recall < 1 by construction (like LSH nprobe=1); raise nprobe for
+    recall, keep it low for speed — the probe filter prunes the scan
+    before any per-vector math runs.
+    """
+    import math
+
+    def _dist(c: Sequence[float]) -> float:
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+
+    probe = sorted(range(len(centroids)), key=lambda i: _dist(centroids[i]))[:nprobe]
+    candidates = assigned.filter(F.col("_cluster").isin(probe))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

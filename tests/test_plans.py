@@ -83,3 +83,35 @@ def test_events_ns_conversion_keeps_pruning(spark):
     read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
     # needs ts, event_type, value — not all 6 event columns
     assert read_schema.count(":") <= 4
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key with equal bucket counts must
+    produce a join with NO Exchange — the co-located join strategy that
+    amortizes one shuffle across every downstream join at scale."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_orders_{suffix}", f"bkt_cust_{suffix}"
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    try:
+        (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .option("path", str(tmp_path / ta)).saveAsTable(ta))
+        (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .option("path", str(tmp_path / tb)).saveAsTable(tb))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(
+            spark.table(tb),
+            spark.table(ta).o_custkey == spark.table(tb).c_custkey,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("simple")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

@@ -222,3 +222,29 @@ def test_lossy_conversions_coerce_under_ansi(spark):
     rows = {r.v: r.d for r in out.collect()}
     assert rows[1.5] is not None and rows[2.0] is not None
     assert None in rows and rows[None] is None
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF (KMeans-partitioned ANN) must run distributed and reach
+    reasonable recall vs exact top-k; full probe = exact result."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_topk,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    assigned, centroids = ivf_build(emb, n_clusters=8)
+    assert assigned.select("_cluster").distinct().count() <= 8
+
+    exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(assigned, centroids, qvec, k=10, nprobe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall} too low for nprobe=3"
+    # probing every cluster is exhaustive → identical to exact search
+    full = [r.vec_id for r in
+            ivf_topk(assigned, centroids, qvec, k=10, nprobe=8).collect()]
+    assert full == exact
