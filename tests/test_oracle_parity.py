@@ -7,13 +7,18 @@ before a round ends.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for fast iteration; the driver's correctness gate runs
+# at sf0.01 — preflight it with:
+#   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
