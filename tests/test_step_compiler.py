@@ -1,0 +1,152 @@
+"""TransformEngine step-dispatch tests: every step type through the
+config-dict interface (the reference's own entry surface,
+transform_engine.py:87-119), on a small fixture with hand-computed
+expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.operators import TransformEngine
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        (1, "Ann", 30, 50000.0, "IT"),
+        (2, "Bob", 45, 65000.0, "IT"),
+        (3, "Cid", 28, 48000.0, "HR"),
+        (4, "Dee", 39, 70000.0, "HR"),
+        (5, "Eve", 51, 90000.0, "Finance"),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, age long, salary double, dept string"
+    )
+
+
+def _run(spark, sources, steps, primary=None):
+    return TransformEngine(spark).execute_transformations(
+        sources, {"steps": steps, "primary_source": primary}
+    )
+
+
+def test_filter_step_variants(spark, people):
+    out = _run(spark, {"p": people}, [
+        {"type": "filter", "config": {"condition": "age > 30 AND dept = 'HR'"}}
+    ])
+    assert [r.id for r in out.collect()] == [4]
+    out2 = _run(spark, {"p": people}, [
+        {"type": "filter", "config": {"conditions": [
+            {"column": "age", "operator": ">=", "value": 30},
+            {"column": "salary", "operator": "<", "value": 80000.0},
+        ]}}
+    ])
+    assert sorted(r.id for r in out2.collect()) == [1, 2, 4]
+
+
+def test_map_step_derive_rename_drop_reorder(spark, people):
+    out = _run(spark, {"p": people}, [
+        {"type": "map", "config": {
+            "derive": {"bonus": "salary * 0.1"},
+            "rename": {"dept": "department"},
+            "drop": ["name"],
+            "reorder": ["id", "department", "salary", "bonus", "age"],
+        }}
+    ])
+    assert out.columns == ["id", "department", "salary", "bonus", "age"]
+    assert out.filter("id = 1").collect()[0].bonus == pytest.approx(5000.0)
+
+
+def test_window_step_rank_lag_cumsum_rolling(spark, people):
+    ranked = _run(spark, {"p": people}, [
+        {"type": "window", "config": {
+            "function": "dense_rank", "partition_by": ["dept"],
+            "order_by": "salary", "ascending": False, "output_col": "rnk"}}
+    ])
+    top = {r.dept: r.id for r in ranked.filter("rnk = 1").collect()}
+    assert top == {"IT": 2, "HR": 4, "Finance": 5}
+
+    lagged = _run(spark, {"p": people}, [
+        {"type": "window", "config": {
+            "function": "lag", "column": "salary", "offset": 1,
+            "partition_by": ["dept"], "order_by": "id", "output_col": "prev"}}
+    ])
+    assert lagged.filter("id = 2").collect()[0].prev == 50000.0
+
+    cum = _run(spark, {"p": people}, [
+        {"type": "window", "config": {
+            "function": "running_total", "column": "salary",
+            "partition_by": ["dept"], "order_by": "id", "output_col": "cum"}}
+    ])
+    assert cum.filter("id = 4").collect()[0].cum == pytest.approx(118000.0)
+
+    roll = _run(spark, {"p": people}, [
+        {"type": "window", "config": {
+            "function": "rolling_mean", "column": "salary", "window_size": 2,
+            "partition_by": [], "order_by": "id", "output_col": "ma"}}
+    ])
+    assert roll.filter("id = 2").collect()[0].ma == pytest.approx(57500.0)
+
+
+def test_join_step_resolves_right_source(spark, people):
+    depts = spark.createDataFrame(
+        [("IT", "Tech"), ("HR", "People"), ("Finance", "Money")],
+        "dept string, label string",
+    )
+    out = _run(spark, {"p": people, "d": depts}, [
+        {"type": "join", "config": {
+            "right_source": "d", "on": ["dept"], "how": "left", "broadcast": True}}
+    ], primary="p")
+    assert out.filter("id = 5").collect()[0].label == "Money"
+    with pytest.raises(KeyError):
+        _run(spark, {"p": people}, [
+            {"type": "join", "config": {"right_source": "ghost"}}
+        ])
+
+
+def test_pivot_step(spark, people):
+    out = _run(spark, {"p": people}, [
+        {"type": "pivot", "config": {
+            "index": "dept", "columns": "age", "values": "salary",
+            "aggfunc": "count", "pivot_values": [28, 30, 39, 45, 51]}}
+    ])
+    assert set(out.columns) == {"dept", "28", "30", "39", "45", "51"}
+
+
+def test_typeconversion_step_aliases(spark, people):
+    out = _run(spark, {"p": people}, [
+        {"type": "typeconversion", "config": {
+            "conversions": {"age": "float64", "id": "str", "salary": "int64"}}}
+    ])
+    types = dict(out.dtypes)
+    assert types["age"] == "double" and types["id"] == "string"
+    assert types["salary"] == "bigint"
+
+
+def test_union_step_and_unknown_step(spark, people):
+    a = people.filter("dept = 'IT'").select("id", "dept")
+    b = people.filter("dept = 'HR'").select("id", "dept")
+    out = _run(spark, {"a": a, "b": b}, [
+        {"type": "union", "config": {"with": ["b"]}}
+    ], primary="a")
+    assert out.count() == 4
+    with pytest.raises(NotImplementedError):
+        _run(spark, {"p": people}, [{"type": "teleport"}])
+
+
+def test_customudf_gated_by_default(spark, people):
+    with pytest.raises(PermissionError):
+        _run(spark, {"p": people}, [
+            {"type": "customudf", "config": {"udf_code": "result = df"}}
+        ])
+
+
+def test_observe_rows_metrics(spark, people):
+    engine = TransformEngine(spark, observe_rows=True)
+    out = engine.execute_transformations(
+        {"p": people},
+        {"steps": [{"type": "filter", "config": {"condition": "age > 30"}}]},
+    )
+    assert out.count() == 3  # terminal action materializes observations
+    assert engine.metrics[0].rows_out() == 3
