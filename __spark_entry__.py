@@ -532,15 +532,19 @@ def _dq_duplicate_rows(spark, sf_dir):
 
 
 def _dq_referential(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    orphans = referential_integrity_violations(li, part, "l_partkey", "p_partkey")
-    unused = detect_deletes(
-        part, li.select(F.col("l_partkey").alias("p_partkey")), ["p_partkey"]
+    """Both referential directions in ONE full-outer join + ONE aggregation
+    (instead of two independent anti-join/agg branches): orphan lineitem
+    rows have no part match, unused parts have no lineitem match. Valid
+    because p_partkey is unique — the join never duplicates lineitem rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    j = li.join(part, li.l_partkey == part.p_partkey, "full_outer")
+    return j.agg(
+        F.count(
+            F.when(F.col("p_partkey").isNull() & F.col("l_partkey").isNotNull(), 1)
+        ).alias("orphan_lineitems"),
+        F.count(F.when(F.col("l_partkey").isNull(), 1)).alias("unused_parts"),
     )
-    a = orphans.agg(F.count(F.lit(1)).alias("orphan_lineitems"))
-    b = unused.agg(F.count(F.lit(1)).alias("unused_parts"))
-    return a.crossJoin(b)
 
 
 def _dq_cross_field(spark, sf_dir):
