@@ -42,6 +42,10 @@ from metadata_etl_framework_spark.functions.aggregations import (  # noqa: F401
     value_counts_topk,
 )
 from metadata_etl_framework_spark.functions.skew import salted_join  # noqa: F401
+from metadata_etl_framework_spark.functions.udfs import (  # noqa: F401
+    apply_custom_function,
+    apply_row_wise_function,
+)
 from metadata_etl_framework_spark.functions.windows import (  # noqa: F401
     lag_lead,
     rank_within_group,

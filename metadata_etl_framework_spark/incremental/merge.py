@@ -152,6 +152,27 @@ def split_late_data(
     return on_time, late
 
 
+def validate_completeness(
+    df: DataFrame, expected_count: int, tolerance_pct: float = 0.0
+) -> dict:
+    """Expected-vs-actual row-count check ± tolerance% (reference:
+    incremental_load_manager.py:327-350)."""
+    actual = df.count()
+    allowed = expected_count * tolerance_pct / 100.0
+    ok = abs(actual - expected_count) <= allowed
+    return {
+        "expected": expected_count,
+        "actual": actual,
+        "tolerance_pct": tolerance_pct,
+        "passed": ok,
+        "deviation_pct": (
+            100.0 * (actual - expected_count) / expected_count
+            if expected_count
+            else None
+        ),
+    }
+
+
 def apply_cdc_events(
     target: DataFrame, events: DataFrame, keys: Sequence[str], op_col: str = "op"
 ) -> DataFrame:

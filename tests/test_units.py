@@ -248,3 +248,31 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     full = [r.vec_id for r in
             ivf_topk(assigned, centroids, qvec, k=10, nprobe=8).collect()]
     assert full == exact
+
+
+def test_apply_custom_and_row_wise_functions(spark):
+    from metadata_etl_framework_spark.functions import (
+        apply_custom_function,
+        apply_row_wise_function,
+    )
+
+    df = spark.createDataFrame([(1, 10.0, 2.0), (2, 20.0, 4.0)], "id long, a double, b double")
+    out = apply_custom_function(df, "a", lambda v: v * 2, "double")
+    assert {r.a_transformed for r in out.collect()} == {20.0, 40.0}
+    # vectorized path: fn gets the whole Series
+    out_v = apply_custom_function(df, "a", lambda s: s + 1, "double", vectorized=True)
+    assert {r.a_transformed for r in out_v.collect()} == {11.0, 21.0}
+    rw = apply_row_wise_function(
+        df, lambda r: r["a"] / r["b"], "double", output_col="ratio",
+        columns=["a", "b"],
+    )
+    assert {r.ratio for r in rw.collect()} == {5.0}
+
+
+def test_validate_completeness(spark):
+    from metadata_etl_framework_spark.incremental.merge import validate_completeness
+
+    df = spark.range(95)
+    assert not validate_completeness(df, 100)["passed"]
+    ok = validate_completeness(df, 100, tolerance_pct=10.0)
+    assert ok["passed"] and ok["deviation_pct"] == pytest.approx(-5.0)
