@@ -131,7 +131,14 @@ def scd2_apply(
         .withColumn(end_col, F.lit(effective_ts).cast("timestamp"))
         .withColumn(current_col, F.lit(False))
     )
+    # Rows for UNchanged keys pass through untouched; historical
+    # (non-current) versions of CHANGED keys must also survive the rewrite
+    # — only the current slice of a changed key closes.
     untouched = current_dim.join(changed_keys, keys, "left_anti")
+    history_of_changed = current_dim.filter(
+        F.col(current_col) == F.lit(False)
+    ).join(changed_keys, keys, "left_semi")
+    untouched = untouched.unionByName(history_of_changed)
     new_versions = (
         changes.drop("change_type")
         .withColumn(start_col, F.lit(effective_ts).cast("timestamp"))
@@ -146,9 +153,15 @@ def split_late_data(
 ) -> tuple[DataFrame, DataFrame]:
     """(on_time, late) split against the current watermark (reference:
     incremental_load_manager.py:191-229). Late rows get routed to the
-    LATE_ARRIVING side table by the caller."""
+    LATE_ARRIVING side table by the caller.
+
+    Rows with a NULL timestamp route to the LATE side (they cannot prove
+    they are newer than the watermark) so the two outputs always partition
+    the input exactly."""
     on_time = df.filter(F.col(ts_col) > F.lit(watermark_value))
-    late = df.filter(F.col(ts_col) <= F.lit(watermark_value))
+    late = df.filter(
+        F.col(ts_col).isNull() | (F.col(ts_col) <= F.lit(watermark_value))
+    )
     return on_time, late
 
 

@@ -37,10 +37,16 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct, sorted for determinism)."""
+    """Word n-gram shingle set (distinct, sorted for determinism).
+
+    Documents shorter than ``n`` tokens (including empty/null text) yield
+    an EMPTY shingle array rather than a negative-length sequence, which
+    would abort the whole job (INVALID_PARAMETER_VALUE.START)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(F.lower(c)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )

@@ -70,19 +70,33 @@ class Schedule:
 
 
 class PipelineScheduler:
-    def __init__(self, executor: Callable[[int, str], Any], store=None):
+    def __init__(
+        self,
+        executor: Callable[[int, str], Any],
+        store=None,
+        async_executor: bool = False,
+    ):
         """``executor(pipeline_id, trigger_type)`` runs a pipeline (the
-        orchestrator's execute_pipeline)."""
+        orchestrator's execute_pipeline).
+
+        ``async_executor=True`` runs each fire on a worker thread, so a
+        pipeline stays in ``self.running`` across ticks and the
+        skip/queue/fail concurrency policies can actually engage. The
+        synchronous default (deterministic, test-friendly) never overlaps
+        runs, so those policies are vacuous there by construction."""
         self.executor = executor
         self.store = store
+        self.async_executor = async_executor
         self.schedules: dict[int, Schedule] = {}
         self.running: set[int] = set()
         self.queue: list[int] = []
         self.retry_queue: list[tuple[float, int, int]] = []  # (due, pid, attempt)
         self.history: list[dict[str, Any]] = []
         self._last_success: dict[int, float] = {}
+        self._last_fired_minute: dict[int, datetime] = {}
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._workers: list[threading.Thread] = []
 
     def add_schedule(self, schedule: Schedule) -> None:
         self.schedules[schedule.pipeline_id] = schedule
@@ -108,10 +122,15 @@ class PipelineScheduler:
         self.retry_queue = [r for r in self.retry_queue if r[0] > now.timestamp()]
         for _, pid, attempt in due:
             actions.append(self._fire(pid, "retry", attempt))
-        # cron-due schedules
+        # cron-due schedules; a schedule fires at most once per matched
+        # minute — without this, any poll interval < 60s double-fires
+        minute = now.replace(second=0, microsecond=0)
         for pid, s in self.schedules.items():
             if not cron_matches(s.cron, now):
                 continue
+            if self._last_fired_minute.get(pid) == minute:
+                continue
+            self._last_fired_minute[pid] = minute
             if not self._in_window(s, now) or not self._deps_met(s):
                 actions.append({"pipeline_id": pid, "action": "skipped_window_or_deps"})
                 continue
@@ -144,7 +163,25 @@ class PipelineScheduler:
         return self._fire(pipeline_id, f"event:{event_name}", 0)
 
     def _fire(self, pid: int, trigger_type: str, attempt: int) -> dict[str, Any]:
+        if self.async_executor:
+            self.running.add(pid)
+            record = {"pipeline_id": pid, "action": "started",
+                      "trigger": trigger_type}
+            worker = threading.Thread(
+                target=self._run_sync, args=(pid, trigger_type, attempt),
+                daemon=True,
+            )
+            self._workers.append(worker)
+            worker.start()
+            self.history.append(record)
+            return record
         self.running.add(pid)
+        try:
+            return self._run_sync(pid, trigger_type, attempt)
+        finally:
+            self.running.discard(pid)
+
+    def _run_sync(self, pid: int, trigger_type: str, attempt: int) -> dict[str, Any]:
         try:
             result = self.executor(pid, trigger_type)
             self._last_success[pid] = time.time()
@@ -160,9 +197,16 @@ class PipelineScheduler:
                 )
                 record["action"] = "failed_will_retry"
         finally:
-            self.running.discard(pid)
+            if self.async_executor:
+                self.running.discard(pid)
         self.history.append(record)
         return record
+
+    def wait_idle(self, timeout: float = 30.0) -> None:
+        """Join outstanding async workers (test/shutdown helper)."""
+        for w in self._workers:
+            w.join(timeout=timeout)
+        self._workers = [w for w in self._workers if w.is_alive()]
 
     # ------------------------------------------------------------- daemon
 

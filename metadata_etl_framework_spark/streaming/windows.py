@@ -117,6 +117,8 @@ def foreach_batch_upsert(stream_df, target_path: str, keys: Sequence[str], check
     """writeStream.foreachBatch → merge each micro-batch into a parquet
     target (Delta MERGE on clusters with Delta; join+union rewrite here).
     Reference CDC-apply parity: incremental_load_manager.py:397-466."""
+    from pyspark.errors import AnalysisException
+
     from metadata_etl_framework_spark.incremental.merge import merge_upsert
 
     def _apply(batch_df, batch_id: int):
@@ -124,10 +126,18 @@ def foreach_batch_upsert(stream_df, target_path: str, keys: Sequence[str], check
         try:
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, batch_df, keys)
-        except Exception:
+        except AnalysisException:
+            # first batch: target doesn't exist yet. Any OTHER failure
+            # (schema mismatch, merge error) must surface, not silently
+            # replace the target with the bare batch.
             merged = batch_df
-        merged.write.mode("overwrite").parquet(target_path + "_next")
-        # atomic swap is storage-specific; kept simple for the local path
+        # Can't overwrite a path that the merged plan is still reading
+        # from, so stage to _next, then re-read and advance the target.
+        # (On object stores/Delta this staging step becomes an atomic
+        # commit; two sequential writes is the plain-parquet equivalent.)
+        next_path = target_path + "_next"
+        merged.write.mode("overwrite").parquet(next_path)
+        spark.read.parquet(next_path).write.mode("overwrite").parquet(target_path)
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
