@@ -37,18 +37,18 @@ HEADLINE = [
     "join_inner",
     "join_multi",
     "agg_orders_by_priority",
-    "window_rank",
-    "window_running_total",
+    "window_rank_lag",
+    "window_frames",
     "dedup_distinct",
-    "dq_referential",
-    "profile_quantity",
-    "anomaly_zscore",
+    "dq_suite",
+    "profile_all_columns",
+    "anomaly_suite",
     "events_sessions",
-    "events_tumbling",
-    "text_token_stats",
-    "text_fingerprint",
+    "events_windows",
+    "text_features",
     "dedup_exact_groups",
     "minhash_near_dups",
+    "dedup_embedding_cosine",
     "embed_knn_join",
 ]
 

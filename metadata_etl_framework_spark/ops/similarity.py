@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -195,6 +196,113 @@ def ivf_topk(
     probe = sorted(range(len(centroids)), key=lambda i: _dist(centroids[i]))[:nprobe]
     candidates = assigned.filter(F.col("_cluster").isin(probe))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def det_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1] from a fixed
+    integer recurrence — no RNG state, so every run/cluster produces the
+    same buckets (reproducible plans, resumable jobs)."""
+    return [
+        [
+            (((i * 2654435761 + j * 40503 + 12345) % 65521) / 65521.0) * 2 - 1
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_tables: int = 32,
+    planes_per_table: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) via multi-table
+    hyperplane-LSH bucketing + exact cosine verification.
+
+    Scale design: candidates come from a self EQUI-join on
+    ``(table, bucket_key)`` — a hash shuffle on small keys, never a
+    cartesian/broadcast-nested-loop (plan-asserted in tests/test_plans.py).
+    Bucket signatures are one Arrow-batched numpy GEMM per partition
+    (``n_tables × planes_per_table`` dot products per row, vectorized).
+    The exact verify stage (decimal-accumulated dot, order-independent)
+    touches candidate pairs only.
+
+    Recall is governed by the OR-construction: P(miss) =
+    (1 - p^r)^T for pair similarity cos θ with p = 1 - θ/π. Defaults
+    (T=32, r=4) give empirical recall 1.0 on the test corpora at
+    threshold 0.5. Honest caveat: 0.5 is a WEAK similarity — near the
+    random-pair baseline — so candidate density at recall≈1 is
+    intrinsically high; at production near-dup thresholds (≥0.8) the same
+    operator prunes aggressively. Reference parity:
+    src/utils/data_deduplicator.py (embedding near-dup arm).
+    """
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = det_hyperplanes(n_tables * planes_per_table, dim)
+
+    @F.pandas_udf("array<long>")
+    def _bucket_keys(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        P = np.asarray(planes, dtype=np.float64)  # (T*r, dim)
+        zero = [0.0] * dim
+        V = np.asarray(
+            [list(v) if v is not None and len(v) == dim else zero for v in vs],
+            dtype=np.float64,
+        )
+        B = (V @ P.T) > 0  # (n, T*r)
+        W = 1 << np.arange(planes_per_table, dtype=np.int64)
+        K = (
+            B.reshape(len(V), n_tables, planes_per_table) * W[None, None, :]
+        ).sum(axis=2)
+        return pd.Series(list(K.astype(np.int64)))
+
+    banded = embeddings.select(
+        F.col(id_col), F.posexplode(_bucket_keys(vec_col)).alias("_tbl", "_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    den = F.col("_na") * F.col("_nb")
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.when(den != 0, _decimal_dot(F.col("_va"), F.col("_vb")) / den).alias(
+                "_sim"
+            ),
+        )
+    )
+    return scored.filter(F.col("_sim") >= threshold).select(
+        "id_a", "id_b", F.round("_sim", 6).alias("cosine")
+    )
 
 
 def lsh_topk(

@@ -222,45 +222,81 @@ def detect_timeseries(
     )
 
 
+_SKLEARN_METHODS = ("isolation_forest", "lof", "dbscan", "ocsvm")
+
+
 def detect_sklearn(
     df: DataFrame,
     value_cols: Sequence[str],
     key_col: str,
     method: str = "isolation_forest",
     group_col: str | None = None,
+    n_buckets: int = 64,
+    model_factory=None,
     **params,
 ) -> DataFrame:
     """sklearn-family detectors via applyInPandas (import-gated).
 
-    Reference: anomaly_manager.py:162-238 (dbscan/iforest/lof/ocsvm).
-    Groups by ``group_col`` (or a salt bucket) so each pandas batch is
-    bounded; results are (key, confidence).
+    Reference: anomaly_manager.py:162-238 (dbscan :162-180, iforest, lof,
+    ocsvm :221-238). Every model exposes ``fit_predict`` with -1 = outlier.
+
+    Batch bounding: groups by ``group_col`` when given; otherwise by a
+    SALT bucket ``pmod(xxhash64(key), n_buckets)`` — never a single
+    all-rows group, which would funnel the dataset into one pandas batch
+    on one executor (OOM at scale). Per-bucket model fits are an
+    approximation of the global fit, in the same way the reference's
+    sampling is; size n_buckets so a bucket fits executor memory.
+
+    ``model_factory(method, params) -> estimator`` is injectable so the
+    dispatch/bucketing logic stays unit-testable where sklearn is absent.
     """
-    try:
-        import sklearn  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "sklearn not installed in this environment; detect_sklearn is the "
-            "pandas-bridge path for isolation_forest/lof/ocsvm/dbscan"
-        ) from e
+    if method not in _SKLEARN_METHODS:
+        raise ValueError(
+            f"unknown sklearn method {method!r}; expected one of {_SKLEARN_METHODS}"
+        )
+    if model_factory is None:
+        try:
+            import sklearn  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "sklearn not installed in this environment; detect_sklearn is "
+                "the pandas-bridge path for isolation_forest/lof/dbscan/ocsvm"
+            ) from e
+
     import pandas as pd  # noqa: PLC0415
 
-    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _make_model():
+        if model_factory is not None:
+            return model_factory(method, params)
+        from sklearn.cluster import DBSCAN
         from sklearn.ensemble import IsolationForest
         from sklearn.neighbors import LocalOutlierFactor
+        from sklearn.svm import OneClassSVM
 
-        X = pdf[list(value_cols)].to_numpy()
         if method == "isolation_forest":
-            model = IsolationForest(
+            return IsolationForest(
                 contamination=params.get("contamination", 0.05), random_state=42
             )
-            flags = model.fit_predict(X) == -1
-        elif method == "lof":
-            model = LocalOutlierFactor(n_neighbors=params.get("n_neighbors", 20))
-            flags = model.fit_predict(X) == -1
-        else:
-            raise ValueError(method)
+        if method == "lof":
+            return LocalOutlierFactor(n_neighbors=params.get("n_neighbors", 20))
+        if method == "dbscan":
+            return DBSCAN(
+                eps=params.get("eps", 0.5),
+                min_samples=params.get("min_samples", 5),
+            )
+        return OneClassSVM(nu=params.get("nu", 0.05))
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(pdf):
+            return pdf[[key_col]]
+        X = pdf[list(value_cols)].to_numpy()
+        flags = _make_model().fit_predict(X) == -1
         return pdf.loc[flags, [key_col]]
 
-    grouped = df.groupBy(group_col) if group_col else df.groupBy(F.lit(1))
+    if group_col:
+        grouped = df.groupBy(group_col)
+    else:
+        grouped = df.groupBy(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("_salt")
+        )
     return grouped.applyInPandas(_run, schema=f"{key_col} long")

@@ -15,10 +15,10 @@ Rule dict shape (metadata-plane compatible):
 Supported types: not_null, value_range, regex_pattern, allowed_values,
 date_format, email_format, phone_format, cross_field, sum_equals,
 date_sequence, calculated_field, freshness, future_dates, data_type,
-expression (raw SQL boolean — failure when NOT satisfied).
+required_fields, expression (raw SQL boolean — failure when NOT satisfied).
 Dataset-level types handled by evaluate_rules separately:
 primary_key_unique, duplicate_rows, unique_count, referential_integrity,
-completeness_score, correlation.
+completeness_score, correlation, statistical_distribution.
 """
 
 from __future__ import annotations
@@ -99,6 +99,13 @@ def compile_rule(rule: dict[str, Any]) -> Column:
         return col.isNotNull() & (col > now)
     if rtype == "expression":
         return ~F.expr(rule["expression"])
+    if rtype == "required_fields":
+        # Row fails when ANY required column is null (the reference's
+        # sample-failure mask, dq_rule_examples.py:199-273; its
+        # failed_records counts null CELLS — cell counts come out of
+        # completeness_score, row counts out of this mask).
+        cols = [F.col(x).isNull() for x in rule["columns"]]
+        return reduce(lambda a, b: a | b, cols)
     raise ValueError(f"unknown rule type {rtype!r}")
 
 
@@ -120,6 +127,7 @@ _DATASET_TYPES = {
     "referential_integrity",
     "completeness_score",
     "correlation",
+    "statistical_distribution",
 }
 
 
@@ -205,6 +213,40 @@ def _evaluate_dataset_rule(
         score = 100.0 * (1 - null_cells / (n * len(cols))) if n else 100.0
         return RuleResult(name, rtype, n, null_cells,
                           score >= float(rule.get("threshold", 100.0)), score)
+    elif rtype == "statistical_distribution":
+        # Shapiro-Wilk normality test on a bounded driver-side sample
+        # (reference: dq_rule_examples.py:980-1032 — values[:5000]).
+        # The sample is CAPPED, never the full column, so the driver pull
+        # stays O(5000) regardless of table size. scipy is import-gated;
+        # tests may inject ``test_fn(values) -> p_value``.
+        max_sample = int(rule.get("max_sample", 5000))
+        values = [
+            r[0]
+            for r in df.select(rule["column"])
+            .filter(F.col(rule["column"]).isNotNull())
+            .limit(max_sample)
+            .collect()
+        ]
+        if len(values) < 10:
+            return RuleResult(name, rtype, total, total, False, 0.0)
+        expected = rule.get("expected_distribution", "normal")
+        if expected == "normal":
+            test_fn = rule.get("test_fn")
+            if test_fn is None:
+                try:
+                    from scipy import stats
+                except ImportError as exc:  # pragma: no cover
+                    raise ImportError(
+                        "statistical_distribution needs scipy (pip install "
+                        "scipy) or an injected test_fn"
+                    ) from exc
+                test_fn = lambda vals: stats.shapiro(vals).pvalue  # noqa: E731
+            p_value = float(test_fn(values))
+            ok = p_value > float(rule.get("alpha", 0.05))
+        else:
+            ok = True  # reference placeholder semantics for non-normal
+        failed = 0 if ok else total // 2
+        return RuleResult(name, rtype, total, failed, ok, 100.0 if ok else 50.0)
     elif rtype == "correlation":
         corr = df.agg(F.corr(rule["column1"], rule["column2"])).collect()[0][0] or 0.0
         ok = abs(corr) >= float(rule.get("min_abs_corr", 0.0))

@@ -47,8 +47,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-ORACLES = entry_mod.oracle_sql()
-QUERIES = entry_mod.queries()
+# the driver runs queries()/oracle_sql() (capped at 50 entries); the local
+# gate additionally verifies every granular extra_* entry
+ORACLES = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
+QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

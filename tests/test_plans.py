@@ -16,8 +16,11 @@ import __spark_entry__ as entry_mod
 SF = "/root/testdata/sf0.001"
 
 
+_QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
+
+
 def _plan(spark, name: str, mode: str = "formatted") -> str:
-    df = entry_mod.queries()[name](spark, SF)
+    df = _QUERIES[name](spark, SF)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain(mode)
@@ -74,6 +77,16 @@ def test_lsh_pairs_join_is_equi_not_cross(spark):
         pairs.explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    """The embedding near-dup entry must generate candidates via a bucket
+    equi-join (hyperplane LSH), never an all-pairs cross/broadcast-nested
+    loop (round-1 VERDICT item #2)."""
+    p = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
 
 
