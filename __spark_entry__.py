@@ -1037,12 +1037,25 @@ def _text_lang_id(spark, sf_dir):
 
 
 def _multimodal_image_meta(spark, sf_dir):
+    """REAL PNG header decode through the Arrow mapInPandas path: each doc
+    synthesizes a minimal PNG whose IHDR encodes deterministic dimensions
+    (width = 100 + doc_id % 400, height = 50 + doc_id % 300) JVM-side
+    (unhex/lpad 4-byte big-endian), and the pure-Python parser must
+    recover them exactly — verified in tests/test_multimodal.py."""
     from metadata_etl_framework_spark.ops.multimodal import extract_image_metadata
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 400).alias("_w"),
+        (F.lit(50) + F.col("doc_id") % 300).alias("_h"),
     )
-    meta = extract_image_metadata(docs)
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # sig + IHDR hdr
+        F.unhex(F.lpad(F.hex("_w"), 8, "0")),                # width  (BE u32)
+        F.unhex(F.lpad(F.hex("_h"), 8, "0")),                # height (BE u32)
+        F.unhex(F.lit("0806000000")),                        # depth/color/...
+    )
+    meta = extract_image_metadata(docs.select("doc_id", png.alias("media")))
     return meta.select("doc_id", "width", "height", "format")
 
 
@@ -2174,6 +2187,13 @@ _ALL_SQL.update(
             UNION ALL
             SELECT 'sliding', window_start, event_type, cnt, CAST(NULL AS DOUBLE)
             FROM ({_ALL_SQL["events_sliding"]})
+        """,
+        "multimodal_image_meta": """
+            SELECT doc_id,
+                   CAST(100 + doc_id % 400 AS INTEGER) AS width,
+                   CAST(50 + doc_id % 300 AS INTEGER) AS height,
+                   'PNG' AS format
+            FROM documents
         """,
         "text_features": r"""
             WITH t AS (

@@ -2,10 +2,13 @@
 
 Treats media as opaque ``binary`` columns + typed metadata structs. The
 Spark-side contracts — schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing — are real and tested; the actual codec
-work is STUBBED (Pillow/ffmpeg/torchaudio are not in this container) with
-deterministic fakes, clearly marked below. Swap `_decode_*_stub` for real
-decoders on a cluster with media libraries installed.
+signatures, partition sizing — are real and tested. Image METADATA
+decode is REAL: a pure-Python container-header parser handles
+PNG/GIF/BMP/JPEG without any imaging library (``decode_image_header``),
+with Pillow import-gated for full decodes of other formats. Pixel-level
+feature extraction and video frame decode remain STUBBED with
+deterministic fakes (ffmpeg/torch are not in this container), clearly
+marked below.
 """
 
 from __future__ import annotations
@@ -27,13 +30,80 @@ FRAME_SAMPLE_SCHEMA = "doc_id long, frame_index int, frame binary"
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
-    """STUB decode: deterministic fake dimensions from the payload hash.
-
-    Real implementation: PIL.Image.open(io.BytesIO(payload)) →
-    (img.width, img.height, img.format). NotImplemented libs in container.
-    """
+    """LAST-RESORT fake: deterministic dimensions from the payload hash,
+    used only when the payload is not a recognizable image container and
+    Pillow is unavailable (keeps pipelines total on dirty corpora)."""
     h = hashlib.sha256(payload or b"").digest()
     return 64 + h[0] % 192, 64 + h[1] % 192, ["JPEG", "PNG", "WEBP"][h[2] % 3]
+
+
+def decode_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL container-header parse (pure Python, no Pillow needed):
+    PNG / GIF / BMP / JPEG → (width, height, format), None if the bytes
+    are not a recognized image container.
+
+    - PNG: IHDR width/height, big-endian u32 at offsets 16/20.
+    - GIF (87a/89a): logical screen size, little-endian u16 at 6/8.
+    - BMP: BITMAPINFOHEADER i32 at 18/22 (height may be negative =
+      top-down; reported as abs).
+    - JPEG: walk the marker segments to the first SOFn frame header.
+    """
+    b = bytes(payload or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "PNG",
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            "GIF",
+        )
+    if b[:2] == b"BM" and len(b) >= 26:
+        return (
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+            "BMP",
+        )
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            # padding / standalone markers carry no length field
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    "JPEG",
+                )
+            i += 2 + seg_len
+    return None
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, str]:
+    """Decode order: pure-Python header parse → Pillow (import-gated full
+    decode, covers WEBP/TIFF/...) → deterministic fake."""
+    parsed = decode_image_header(payload)
+    if parsed is not None:
+        return parsed
+    try:  # pragma: no cover - Pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, img.format or "UNKNOWN"
+    except Exception:
+        return _decode_image_stub(payload)
 
 
 def extract_image_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
@@ -46,7 +116,7 @@ def extract_image_metadata(df: DataFrame, media_col: str = "media") -> DataFrame
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf[media_col].map(lambda b: _decode_image_stub(bytes(b or b"")))
+            meta = pdf[media_col].map(lambda b: _decode_image(bytes(b or b"")))
             pdf = pdf.copy()
             pdf["width"] = meta.map(lambda t: t[0]).astype("int32")
             pdf["height"] = meta.map(lambda t: t[1]).astype("int32")

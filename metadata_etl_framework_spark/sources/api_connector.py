@@ -2,8 +2,9 @@
 
 Parity target: ``APIConnector`` (reference:
 src/connectors/api_connector.py:93-308) — pagination (offset/page/cursor),
-auth (basic/bearer/api_key), retry on 429/5xx, dot-notation data_path
-extraction, 100-page cap, per-record POST sink, GraphQL queries.
+auth (basic/bearer/api_key/oauth2 client-credentials), retry on 429/5xx,
+dot-notation data_path extraction, 100-page cap, per-record POST sink,
+GraphQL queries.
 
 API I/O is inherently driver-side (as in the reference); results land in
 a DataFrame immediately so everything downstream is distributed. The
@@ -49,13 +50,50 @@ class APIConnector:
     # ------------------------------------------------------------ plumbing
 
     def _headers(self) -> dict[str, str]:
+        """Auth headers: basic / bearer / api_key / oauth2
+        (reference: api_connector.py:104-134)."""
         auth = self.cfg.get("auth", {}) or {}
         kind = auth.get("type")
+        if kind == "basic":
+            import base64
+
+            creds = f"{auth.get('username', '')}:{auth.get('password', '')}"
+            token = base64.b64encode(creds.encode()).decode()
+            return {"Authorization": f"Basic {token}"}
         if kind == "bearer":
             return {"Authorization": f"Bearer {auth['token']}"}
         if kind == "api_key":
             return {auth.get("header", "X-API-Key"): auth["key"]}
+        if kind == "oauth2":
+            return {"Authorization": f"Bearer {self._oauth2_token()}"}
         return {}
+
+    def _oauth2_token(self) -> str:
+        """OAuth2 access token: a pre-issued ``access_token`` wins
+        (reference parity); otherwise the client-credentials grant runs
+        against ``token_url`` and the token is cached until ~expiry."""
+        auth = self.cfg.get("auth", {}) or {}
+        if auth.get("access_token"):
+            return auth["access_token"]
+        now = time.monotonic()
+        cached = getattr(self, "_oauth_cache", None)
+        if cached and now < cached[1]:
+            return cached[0]
+        payload = self._request(
+            "POST",
+            auth["token_url"],
+            data={
+                "grant_type": "client_credentials",
+                "client_id": auth.get("client_id"),
+                "client_secret": auth.get("client_secret"),
+                **({"scope": auth["scope"]} if auth.get("scope") else {}),
+            },
+        )
+        token = payload["access_token"]
+        # refresh 60s before expiry; default 1h when the server omits it
+        ttl = float(payload.get("expires_in", 3600)) - 60.0
+        self._oauth_cache = (token, now + max(ttl, 0.0))
+        return token
 
     def _request(self, method: str, url: str, **kw) -> Any:
         if self._transport is not None:

@@ -73,7 +73,8 @@ class FileConnector:
         """
         fmt = _infer_format(path, fmt)
         if fmt == "excel":
-            raise NotImplementedError("excel sink is driver-side; use .toPandas().to_excel")
+            self._write_excel(df, path, **options)
+            return
         writer = df.write.mode(mode).options(**{**self.options, **options})
         if fmt == "csv":
             writer = writer.option("header", "true")
@@ -99,3 +100,29 @@ class FileConnector:
             raise RuntimeError("pandas required for excel reads") from e
         pdf = pd.read_excel(path, sheet_name=opts.get("sheet_name", 0))
         return self.spark.createDataFrame(pdf)
+
+    # default guard: xlsx is a driver-side single-file format; a silent
+    # multi-GB toPandas() is an OOM, so the cap is explicit and overridable
+    EXCEL_MAX_ROWS = 1_000_000
+
+    def _write_excel(self, df: DataFrame, path: str, **opts: Any) -> None:
+        """Driver-side xlsx sink (reference: file_connector.py:203-333).
+
+        Size-guarded: counts first and refuses beyond ``max_rows`` (also
+        Excel's own sheet limit is ~1,048,576 rows). Requires openpyxl —
+        import-gated with a clear error."""
+        max_rows = int(opts.pop("max_rows", self.EXCEL_MAX_ROWS))
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"excel sink refuses {n} rows (> {max_rows}); xlsx is a "
+                "driver-side format — write parquet/csv for data this size"
+            )
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "openpyxl required for excel writes (pip install openpyxl)"
+            ) from e
+        sheet = opts.pop("sheet_name", "Sheet1")
+        df.toPandas().to_excel(path, sheet_name=sheet, index=False, **opts)

@@ -6,7 +6,8 @@ field:
   oracle/postgresql/mysql/sqlserver/mssql → JDBC
   csv/excel/parquet/json/file            → FileConnector
   s3/azure_blob/gcs/azure                → FileConnector (URI scheme)
-  mongodb/cassandra                      → Spark connector packages (gated)
+  mongodb/cassandra                      → Spark connector formats
+  redis/dynamodb                         → driver-side KV connectors
   rest/soap/api                          → driver-side API connector
 
 JDBC replaces the reference's hand-rolled cursor batching with Spark's
@@ -102,12 +103,30 @@ def create_connector(spark: SparkSession, conn_config: dict[str, Any]):
         return JDBCConnector(spark, conn_config)
     if ctype in _FILE_TYPES:
         return FileConnector(spark, conn_config.get("options"))
-    if ctype in {"mongodb", "cassandra"}:
-        raise NotImplementedError(
-            f"{ctype} requires the Spark {ctype} connector package on the "
-            "cluster classpath; configure spark.jars.packages and use "
-            "spark.read.format accordingly"
+    if ctype == "mongodb":
+        from metadata_etl_framework_spark.sources.nosql_connector import (
+            MongoConnector,
         )
+
+        return MongoConnector(spark, conn_config)
+    if ctype == "cassandra":
+        from metadata_etl_framework_spark.sources.nosql_connector import (
+            CassandraConnector,
+        )
+
+        return CassandraConnector(spark, conn_config)
+    if ctype == "redis":
+        from metadata_etl_framework_spark.sources.nosql_connector import (
+            RedisConnector,
+        )
+
+        return RedisConnector(spark, conn_config)
+    if ctype in {"dynamodb", "dynamo"}:
+        from metadata_etl_framework_spark.sources.nosql_connector import (
+            DynamoConnector,
+        )
+
+        return DynamoConnector(spark, conn_config)
     if ctype in {"rest", "soap", "api", "graphql"}:
         from metadata_etl_framework_spark.sources.api_connector import APIConnector
 
