@@ -81,17 +81,41 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    out = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Per-query regression flags vs the previous round's bench (same SF
+    # only). >1.5× after min-of-N is outside this box's ambient-noise
+    # band and worth a look; informational — does not change exit code.
+    baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if baseline_path is None:
+        candidates = sorted(
+            f for f in os.listdir(".") if re.fullmatch(r"BENCH_r\d+\.json", f)
         )
-    )
+        baseline_path = candidates[-1] if candidates else None
+    if baseline_path and os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                base = json.load(f)
+            if base.get("sf") == sf:
+                regressions = {
+                    q: round(timings[q] / base["queries"][q], 2)
+                    for q in timings
+                    if q in base.get("queries", {})
+                    and base["queries"][q] > 0
+                    and timings[q] / base["queries"][q] > 1.5
+                }
+                if regressions:
+                    out["regressions_vs_" + baseline_path] = regressions
+        except (OSError, ValueError, KeyError):
+            pass
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

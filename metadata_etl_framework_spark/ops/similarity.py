@@ -278,6 +278,45 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates()
     )
+    # At recall-1 settings the candidate set is dense, and the exact
+    # decimal verify (interpreted HOF, ~100× a numpy op) dominates. When
+    # the corpus fits a broadcastable matrix (≤ prefilter_max_rows), a
+    # numpy-GEMM float prefilter runs over the (id_a, id_b) pairs FIRST —
+    # only two longs per pair cross Arrow, the vectors ride along as one
+    # small broadcast matrix — and the decimal-exact score (the one that
+    # must match the oracle bitwise) runs only on survivors within an
+    # epsilon margin. Above the gate, pairs verify through the join path
+    # directly (fully distributed; at production thresholds ≥0.8 the
+    # candidate set is sparse and the exact verify is cheap).
+    prefilter_max_rows = 200_000
+    n_corpus = embeddings.count()
+    if n_corpus <= prefilter_max_rows:
+        import numpy as np
+
+        rows = embeddings.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.asarray(
+            [list(r[1]) if r[1] is not None and len(r[1]) == dim else [0.0] * dim
+             for r in rows],
+            dtype=np.float64,
+        )
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = np.inf  # zero-norm vectors can never pass
+        Mn = M / nrm[:, None]
+        index = {int(i): k for k, i in enumerate(ids)}
+        bc = embeddings.sparkSession.sparkContext.broadcast((index, Mn))
+
+        @F.pandas_udf("double")
+        def _cos_pre(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            idx, mat = bc.value
+            ra = ia.map(idx).to_numpy(dtype=np.int64)
+            rb = ib.map(idx).to_numpy(dtype=np.int64)
+            return pd.Series((mat[ra] * mat[rb]).sum(axis=1))
+
+        cands = cands.filter(
+            _cos_pre(F.col("id_a"), F.col("id_b")) >= threshold - 1e-6
+        )
+
     base = embeddings.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )

@@ -227,6 +227,38 @@ class PipelineScheduler:
 
     # ------------------------------------------------------------- export
 
+    def export_adf_trigger(self, pipeline_id: int,
+                           trigger_config: dict[str, Any] | None = None) -> dict[str, Any]:
+        """Azure Data Factory ScheduleTrigger resource for a schedule
+        (reference: pipeline_scheduler.py:450-483)."""
+        if pipeline_id not in self.schedules:
+            raise ValueError(f"no schedule for pipeline {pipeline_id}")
+        cfg = trigger_config or {}
+        return {
+            "name": f"pipeline_{pipeline_id}_trigger",
+            "type": "Microsoft.DataFactory/factories/triggers",
+            "apiVersion": "2018-06-01",
+            "properties": {
+                "type": "ScheduleTrigger",
+                "typeProperties": {
+                    "recurrence": {
+                        "frequency": cfg.get("frequency", "Day"),
+                        "interval": cfg.get("interval", 1),
+                        "startTime": cfg.get("start_time", "1970-01-01T00:00:00Z"),
+                        "timeZone": cfg.get("timezone", "UTC"),
+                    }
+                },
+                "pipelines": [
+                    {
+                        "pipelineReference": {
+                            "referenceName": f"pipeline_{pipeline_id}",
+                            "type": "PipelineReference",
+                        }
+                    }
+                ],
+            },
+        }
+
     def export_airflow_dag(self, dag_id: str = "metadata_etl") -> str:
         """Textual Airflow DAG equivalent (reference exports the same)."""
         lines = [

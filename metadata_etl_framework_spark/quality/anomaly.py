@@ -157,6 +157,80 @@ def ensemble_vote(
     )
 
 
+def with_severity(
+    df: DataFrame,
+    score_col: str,
+    scale: float = 5.0,
+    high: float = 0.8,
+    medium: float = 0.5,
+) -> DataFrame:
+    """Adds ``confidence`` (|score|/scale clamped to [0,1]) and
+    ``severity`` (low/medium/high) columns.
+
+    Reference parity: classify_severity (anomaly_manager.py:335-343) —
+    confidence > high ⇒ 'high', > medium ⇒ 'medium', else 'low'. The
+    reference classified driver-side dicts one at a time; here it is a
+    plain column expression, so classification stays distributed."""
+    conf = F.least(F.abs(F.col(score_col)) / F.lit(float(scale)), F.lit(1.0))
+    return df.withColumn("confidence", conf).withColumn(
+        "severity",
+        F.when(F.col("confidence") > high, "high")
+        .when(F.col("confidence") > medium, "medium")
+        .otherwise("low"),
+    )
+
+
+def store_anomaly_results(
+    store,
+    dq_run_id: str,
+    method: str,
+    flagged: DataFrame,
+    key_col: str,
+    score_col: str | None = None,
+    max_rows: int = 10_000,
+) -> int:
+    """Persist flagged keys (+scores) to the metadata store's
+    ANOMALY_DETECTION table (reference: anomaly_manager.py:375-400,
+    database/data_quality_schema.sql).
+
+    Driver-side by design — anomaly result sets are small relative to the
+    input; ``max_rows`` bounds the pull regardless. Returns rows stored."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    store.execute(
+        """
+        CREATE TABLE IF NOT EXISTS ANOMALY_DETECTION (
+            detection_id TEXT PRIMARY KEY,
+            dq_run_id TEXT,
+            method TEXT,
+            detected_keys TEXT,
+            confidence_scores TEXT,
+            count INTEGER,
+            created_at REAL
+        )
+        """
+    )
+    cols = [key_col] + ([score_col] if score_col else [])
+    rows = flagged.select(*cols).limit(max_rows).collect()
+    keys = [r[key_col] for r in rows]
+    scores = [float(r[score_col]) for r in rows] if score_col else []
+    store.insert(
+        "ANOMALY_DETECTION",
+        {
+            "detection_id": str(_uuid.uuid4()),
+            "dq_run_id": dq_run_id,
+            "method": method,
+            "detected_keys": _json.dumps(keys),
+            "confidence_scores": _json.dumps(scores),
+            "count": len(keys),
+            "created_at": _time.time(),
+        },
+    )
+    return len(keys)
+
+
 def detect_timeseries(
     df: DataFrame,
     value_col: str,
