@@ -879,6 +879,45 @@ def _incr_late_split(spark, sf_dir):
     return a.crossJoin(b)
 
 
+def _incr_snapshot_diff(spark, sf_dir):
+    """Full-snapshot strategy: classify INSERT/UPDATE/DELETE between two
+    snapshot states (incremental/merge.py::snapshot_diff; reference
+    snapshot load arm of incremental_load_manager.py)."""
+    from metadata_etl_framework_spark.incremental.merge import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    new = cust.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 1000.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    out = snapshot_diff(cust, new.unionByName(inserts), ["c_custkey"])
+    return out.select("c_custkey", "c_acctbal", "change_type")
+
+
+def _text_redact_pii(spark, sf_dir):
+    """PII scrubbing pass (ops/text.py::redact_pii): emails/SSNs/phones/
+    IPs/credit cards → typed placeholders, plus the redaction count."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.redact_pii(docs)
+    return out.select("doc_id", "text_redacted", "n_redactions")
+
+
+def _text_chunks(spark, sf_dir):
+    """Token-window chunking (ops/text.py::chunk_documents): 64-token
+    chunks, 16-token overlap; chunk text compared via md5."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.chunk_documents(docs, max_tokens=64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_index",
+        F.md5("chunk_text").alias("chunk_md5"), "n_chunk_tokens",
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming-shaped (batch event-time windows)
 # --------------------------------------------------------------------------
@@ -1363,6 +1402,9 @@ _EXTRA_KEYS = [
     "text_fingerprint",
     "embed_knn_topk",
     "dedup_ngram_jaccard",
+    "incr_snapshot_diff",
+    "text_redact_pii",
+    "text_chunks",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1449,6 +1491,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_meta": _multimodal_image_meta,
     "ann_lsh_topk": _ann_lsh_topk,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+    "incr_snapshot_diff": _incr_snapshot_diff,
+    "text_redact_pii": _text_redact_pii,
+    "text_chunks": _text_chunks,
 }
 
 
@@ -2187,6 +2232,63 @@ _ALL_SQL.update(
             UNION ALL
             SELECT 'sliding', window_start, event_type, cnt, CAST(NULL AS DOUBLE)
             FROM ({_ALL_SQL["events_sliding"]})
+        """,
+        "incr_snapshot_diff": """
+            SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+                   'UPDATE' AS change_type
+            FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey, c_acctbal, 'DELETE'
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_acctbal, 'INSERT'
+            FROM customer WHERE c_custkey % 13 = 0
+        """,
+        "text_redact_pii": r"""
+            WITH r AS (
+              SELECT doc_id,
+                     REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                         REGEXP_REPLACE(
+                           REGEXP_REPLACE(
+                             REGEXP_REPLACE(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                           '(\+?1[-.\s]?)?(\(\d{3}\)|\b\d{3})[-.\s]\d{3}[-.\s]\d{4}\b',
+                           '<PHONE>', 'g'),
+                         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d(?:[ -]?\d){12,15}\b', '<CC>', 'g') AS text_redacted
+              FROM documents
+            )
+            SELECT doc_id, text_redacted,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text_redacted,
+                        '<EMAIL>|<SSN>|<PHONE>|<IP>|<CC>')) AS INTEGER)
+                     AS n_redactions
+            FROM r
+        """,
+        "text_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN []
+                          ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                     END AS toks
+              FROM documents
+            ), n AS (
+              SELECT doc_id, toks,
+                     GREATEST(CAST(CEIL((LEN(toks) - 16) / 48.0) AS INT), 1) AS nc
+              FROM t
+            ), s AS (
+              SELECT doc_id, toks,
+                     UNNEST(generate_series(0, (nc - 1) * 48, 48)) AS st
+              FROM n
+            )
+            SELECT doc_id, CAST(st / 48 AS INT) AS chunk_index,
+                   MD5(ARRAY_TO_STRING(list_slice(toks, st + 1, st + 64), ' '))
+                     AS chunk_md5,
+                   CAST(LEN(list_slice(toks, st + 1, st + 64)) AS INT)
+                     AS n_chunk_tokens
+            FROM s
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -165,6 +165,85 @@ def split_late_data(
     return on_time, late
 
 
+def snapshot_diff(
+    old_snapshot: DataFrame,
+    new_snapshot: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Full-snapshot incremental strategy: classify every key as
+    INSERT / UPDATE / DELETE / UNCHANGED between two snapshots.
+
+    Reference parity: the 'snapshot' load strategy
+    (incremental_load_manager.py — snapshot compare arm). One full-outer
+    join on the keys + a null-safe fingerprint compare; at scale both
+    snapshots shuffle once on the key hash (co-partition or bucket the
+    snapshot tables by key to amortize).
+
+    Returns the NEW snapshot's rows (old rows for DELETEs) plus a
+    ``change_type`` column; UNCHANGED rows are filtered out.
+    """
+    keys = list(keys)
+    compare = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new_snapshot.columns if c not in keys]
+    )
+
+    def fingerprint(df: DataFrame, alias: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare]
+        fp = F.md5(F.concat_ws("\x01", *parts)) if parts else F.lit("")
+        return df.withColumn(alias, fp)
+
+    old_fp = fingerprint(old_snapshot, "_fp_old").select(
+        *keys, "_fp_old", *[F.col(c).alias(f"_old_{c}") for c in compare]
+    )
+    new_fp = fingerprint(new_snapshot, "_fp_new")
+    j = new_fp.join(old_fp, keys, "full_outer")
+    classified = j.withColumn(
+        "change_type",
+        F.when(F.col("_fp_old").isNull(), F.lit("INSERT"))
+        .when(F.col("_fp_new").isNull(), F.lit("DELETE"))
+        .when(F.col("_fp_new") != F.col("_fp_old"), F.lit("UPDATE"))
+        .otherwise(F.lit("UNCHANGED")),
+    ).filter(F.col("change_type") != "UNCHANGED")
+    # DELETE rows only exist on the old side; surface their old values
+    out_cols = [
+        F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c) if c in compare else F.col(c)
+        for c in new_snapshot.columns
+    ]
+    return classified.select(*out_cols, "change_type")
+
+
+def backdated_correction(
+    target: DataFrame,
+    corrections: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    partition_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply late-arriving corrections to an already-loaded target and
+    report which (time-)partitions they touched.
+
+    Reference parity: backdated/late-correction handling
+    (incremental_load_manager.py late-arriving path). Returns
+    ``(corrected_target, affected_partitions)``: the merge is a key
+    upsert; affected_partitions is the distinct set of
+    ``partition_col`` (default: date_trunc day of ts_col) values in the
+    corrections — at 100 TB the physical rewrite touches ONLY those
+    partitions (dynamic partition overwrite), which is what makes
+    backdating affordable.
+    """
+    part = (
+        F.col(partition_col)
+        if partition_col
+        else F.to_date(F.col(ts_col)).alias("partition_value")
+    )
+    affected = corrections.select(part).distinct()
+    corrected = merge_upsert(target, corrections, keys, "upsert")
+    return corrected, affected
+
+
 def validate_completeness(
     df: DataFrame, expected_count: int, tolerance_pct: float = 0.0
 ) -> dict:

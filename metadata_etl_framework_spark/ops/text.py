@@ -117,3 +117,83 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     whitespace-normalized text. Identical across engines (md5 is md5)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.md5(normalized))
+
+
+# PII redaction patterns — JVM regex, applied in one chained projection.
+# Order matters: emails before phone (an email's digits must not be
+# half-eaten by the phone pattern).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(\+?1[-.\s]?)?(\(\d{3}\)|\b\d{3})[-.\s]\d{3}[-.\s]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("credit_card", r"\b\d(?:[ -]?\d){12,15}\b", "<CC>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "text_redacted",
+    kinds: tuple[str, ...] | None = None,
+    count_out: str | None = "n_redactions",
+) -> DataFrame:
+    """Replace common PII (email/SSN/phone/IPv4/credit-card) with typed
+    placeholder tokens — a standard training-data scrubbing pass.
+
+    Pure JVM regexp_replace chain: per-row projection, no shuffle, scales
+    linearly with the corpus. ``count_out`` adds the number of
+    redactions made (token-count delta), useful as a DQ signal.
+    """
+    selected = [
+        p for p in PII_PATTERNS if kinds is None or p[0] in kinds
+    ]
+    col = F.col(text_col)
+    for _, pattern, repl in selected:
+        col = F.regexp_replace(col, pattern, repl)
+    result = df.withColumn(out, col)
+    if count_out:
+        placeholders = F.lit("|".join(p[2] for p in selected))
+        n = F.size(F.regexp_extract_all(F.col(out), placeholders, 0))
+        result = result.withColumn(count_out, n)
+    return result
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization step of an LLM training pipeline.
+
+    One row fans out to ceil(n/(max_tokens-overlap)) chunk rows via
+    posexplode of a JVM-side slice expression — the fan-out happens
+    executor-side, never on the driver, and needs no shuffle. Output:
+    (id, chunk_index, chunk_text, n_chunk_tokens).
+
+    Chunk starts advance by ``max_tokens - overlap``; every token appears
+    in ≥1 chunk; short/empty documents produce exactly one chunk (their
+    full text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # chunk start offsets: 0, stride, 2*stride, ... < max(n - overlap, 1)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, max_tokens))
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_index", "chunk_text")
+    )
+    return exploded.withColumn(
+        "n_chunk_tokens", F.size(tokens(F.col("chunk_text")))
+    )

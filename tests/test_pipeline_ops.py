@@ -1,0 +1,96 @@
+"""snapshot_diff / backdated_correction incremental strategies and the
+redact_pii / chunk_documents training-data ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.incremental.merge import (
+    backdated_correction,
+    snapshot_diff,
+)
+from metadata_etl_framework_spark.ops.text import chunk_documents, redact_pii
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+        "k int, name string, bal double",
+    )
+    out = snapshot_diff(old, new, ["k"])
+    got = {r.k: (r.change_type, r.bal) for r in out.collect()}
+    assert got == {
+        2: ("UPDATE", 25.0),
+        3: ("DELETE", 30.0),   # old values surface for deletes
+        4: ("INSERT", 40.0),
+    }  # key 1 UNCHANGED → filtered out
+
+
+def test_backdated_correction_merges_and_reports_partitions(spark):
+    target = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0),
+         (3, "2024-01-03 10:00:00", 3.0)],
+        "k int, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    late = spark.createDataFrame(
+        [(2, "2024-01-02 10:00:00", 99.0), (4, "2024-01-02 11:00:00", 4.0)],
+        "k int, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    corrected, affected = backdated_correction(target, late, ["k"], "ts")
+    got = {r.k: r.v for r in corrected.collect()}
+    assert got == {1: 1.0, 2: 99.0, 3: 3.0, 4: 4.0}
+    parts = {str(r[0]) for r in affected.collect()}
+    assert parts == {"2024-01-02"}  # only one physical partition to rewrite
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk today"),
+            (2, "ssn 123-45-6789 and phone (415) 555-1234"),
+            (3, "server 10.0.0.255 card 4111 1111 1111 1111 ok"),
+            (4, "nothing sensitive here"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = redact_pii(df)
+    got = {r.doc_id: (r.text_redacted, r.n_redactions) for r in out.collect()}
+    assert got[1] == ("mail me at <EMAIL> today", 1)
+    assert got[2] == ("ssn <SSN> and phone <PHONE>", 2)
+    assert got[3] == ("server <IP> card <CC> ok", 2)
+    assert got[4] == ("nothing sensitive here", 0)
+    assert got[5][0] is None
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "")], "doc_id int, text string"
+    )
+    out = chunk_documents(df, max_tokens=4, overlap=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_index, r.chunk_text, r.n_chunk_tokens)
+         for r in out.collect())
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    # stride 3: starts 0,3,6 cover w0..w9 (ceil((10-1)/3)=3 chunks)
+    assert [r[2] for r in doc1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r[3] for r in doc1] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    assert doc1[0][2].split()[-1] == doc1[1][2].split()[0]
+    # short and empty docs produce exactly one chunk
+    doc2 = [r for r in rows if r[0] == 2]
+    assert len(doc2) == 1 and doc2[0][2] == "short doc" and doc2[0][3] == 2
+    doc3 = [r for r in rows if r[0] == 3]
+    assert len(doc3) == 1 and doc3[0][3] == 0
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
