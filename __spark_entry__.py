@@ -1195,45 +1195,85 @@ def _metric_row(df, rule: str, metric_col: str, total_col: str | None = "total_r
 def _dq_suite(spark, sf_dir):
     """Every DQ rule family as (rule, metric, total_rows) rows — one driver
     entry covering SURVEY §2.10 (the granular single-rule entries live in
-    extra_queries()). Adds required_fields (dq_rule_examples.py:199-273)."""
+    extra_queries()). Adds required_fields (dq_rule_examples.py:199-273).
+
+    ONE aggregation per table: all six events-rules come from a single
+    events scan, both orders row-rules from a single orders scan (the
+    SURVEY §2.10 one-pass design applied across the whole suite) — at
+    corpus scale the big table is scanned once, not once per rule. Only
+    the structurally different rules (groupBy-dup, joins) add passes."""
     from functools import reduce as _reduce
 
-    nn = _dq_not_null(spark, sf_dir)
-    fresh = _dq_freshness(spark, sf_dir)
-    ref = _dq_referential(spark, sf_dir)
-    orders = _t(spark, sf_dir, "orders")
-    rf = orders.agg(
+    ev = _t(spark, sf_dir, "events")
+    allowed = ["click", "view", "purchase", "signup", "error"]
+    as_of = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    ev_agg = ev.agg(
+        (F.count(F.lit(1)) - F.count("user_id")).alias("user_id_nulls"),
+        (F.count(F.lit(1)) - F.count("props")).alias("props_nulls"),
+        (F.count(F.lit(1)) - F.count("value")).alias("value_nulls"),
+        F.count(
+            F.when(F.col("event_type").isNotNull()
+                   & ~F.col("event_type").isin(allowed), 1)
+        ).alias("allowed_violations"),
+        F.count(F.when(F.col("ts") > as_of, 1)).alias("future_rows"),
+        F.count(
+            F.when(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"), 1)
+        ).alias("stale_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+    range_viol = (F.col("o_totalprice") < 2000.0) | (F.col("o_totalprice") > 450000.0)
+    orders_agg = _t(spark, sf_dir, "orders").agg(
+        F.count(F.when(F.col("o_totalprice").isNotNull() & range_viol, 1)).alias(
+            "range_violations"
+        ),
         F.sum(
             compile_rule(
                 {"type": "required_fields",
                  "columns": ["o_orderkey", "o_custkey", "o_orderdate"]}
             ).cast("long")
-        ).alias("violations"),
+        ).alias("rf_violations"),
         F.count(F.lit(1)).alias("total_rows"),
     )
+    ref = _dq_referential(spark, sf_dir)
+    # stack() reshapes each 1-row agg into its rule rows INSIDE one plan
+    # branch — a union of N selects over the same agg frame would replay
+    # the scan N times (no cross-branch common-subplan reuse guarantee)
+    ev_rows = ev_agg.selectExpr(
+        """stack(6,
+            'not_null:user_id',         CAST(user_id_nulls AS DOUBLE),      total_rows,
+            'not_null:props',           CAST(props_nulls AS DOUBLE),        total_rows,
+            'not_null:value',           CAST(value_nulls AS DOUBLE),        total_rows,
+            'allowed_values:event_type',CAST(allowed_violations AS DOUBLE), total_rows,
+            'freshness:future_rows',    CAST(future_rows AS DOUBLE),        total_rows,
+            'freshness:stale_rows',     CAST(stale_rows AS DOUBLE),         total_rows
+        ) AS (rule, metric, total_rows)"""
+    )
+    orders_rows = orders_agg.selectExpr(
+        """stack(2,
+            'value_range:o_totalprice', CAST(range_violations AS DOUBLE), total_rows,
+            'required_fields:orders',   CAST(rf_violations AS DOUBLE),    total_rows
+        ) AS (rule, metric, total_rows)"""
+    )
+    ref_rows = ref.selectExpr(
+        """stack(2,
+            'referential:orphan_lineitems', CAST(orphan_lineitems AS DOUBLE), CAST(NULL AS BIGINT),
+            'referential:unused_parts',     CAST(unused_parts AS DOUBLE),     CAST(NULL AS BIGINT)
+        ) AS (rule, metric, total_rows)"""
+    )
     parts = [
-        _metric_row(nn, "not_null:user_id", "user_id_nulls"),
-        _metric_row(nn, "not_null:props", "props_nulls"),
-        _metric_row(nn, "not_null:value", "value_nulls"),
-        _metric_row(_dq_value_range(spark, sf_dir),
-                    "value_range:o_totalprice", "range_violations"),
-        _metric_row(_dq_allowed_values(spark, sf_dir),
-                    "allowed_values:event_type", "violations"),
+        ev_rows,
+        orders_rows,
         _metric_row(_dq_pk_unique(spark, sf_dir),
                     "pk_unique:o_orderkey", "dup_key_count", None),
         _metric_row(_dq_duplicate_rows(spark, sf_dir),
                     "duplicate_rows:l_orderkey", "dup_rows", None),
-        _metric_row(ref, "referential:orphan_lineitems", "orphan_lineitems", None),
-        _metric_row(ref, "referential:unused_parts", "unused_parts", None),
+        ref_rows,
         _metric_row(_dq_cross_field(spark, sf_dir),
                     "cross_field:l_discount_gt_tax", "violations"),
         _metric_row(_dq_date_sequence(spark, sf_dir),
                     "date_sequence:ship_before_order", "ship_before_order"),
-        _metric_row(fresh, "freshness:future_rows", "future_rows"),
-        _metric_row(fresh, "freshness:stale_rows", "stale_rows"),
         _metric_row(_dq_completeness(spark, sf_dir),
                     "completeness:documents_null_ratio", "null_cell_ratio"),
-        _metric_row(rf, "required_fields:orders", "violations"),
     ]
     return _reduce(lambda a, b: a.unionByName(b), parts)
 

@@ -1,0 +1,142 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+Extends the reference's batch-incremental vocabulary (SURVEY §2.12) with
+true arbitrary-state streaming: per-key state lives in the state store,
+survives across micro-batches and restarts (checkpointed), and expires by
+processing-time timeout. Each function also works on a static DataFrame
+through a batch-equivalent fallback so results stay oracle-checkable.
+
+Two operators:
+- ``stateful_running_counts``: per-key running count + sum across
+  micro-batches (the canonical GroupState example, and the streaming form
+  of the reference's incremental aggregation).
+- ``stateful_stream_dedup``: drop rows whose key was already seen in any
+  earlier micro-batch — streaming exact dedup with a state TTL, the
+  streaming arm of ops/dedup.py::exact_duplicates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNTS_SCHEMA = "key string, count long, value_sum double"
+_COUNT_STATE_SCHEMA = "count long, value_sum double"
+
+
+def stateful_running_counts(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Running (count, sum) per key, maintained in the state store.
+
+    Streaming: emits the UPDATED totals for every key seen in each
+    micro-batch (update output mode). Batch fallback: plain groupBy —
+    identical totals, which is exactly the oracle for the streaming path.
+    ``timeout_ms`` expires idle keys' state (processing-time timeout) so
+    state size tracks the ACTIVE key set, not the all-time key set —
+    the knob that keeps this viable at 100 TB key cardinality.
+    """
+    if not df.isStreaming:
+        return (
+            df.groupBy(F.col(key_col).cast("string").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.sum(F.col(value_col).cast("double")).alias("value_sum"),
+            )
+        )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count, value_sum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            value_sum += float(pdf[value_col].fillna(0.0).sum())
+        state.update((count, value_sum))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "count": [count], "value_sum": [value_sum]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=COUNTS_SCHEMA,
+        stateStructType=_COUNT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def stateful_stream_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """First-occurrence-only pass-through: a key emits rows only the first
+    micro-batch it appears in; later occurrences drop.
+
+    This is streaming exact dedup with explicit, bounded state (vs
+    ``dropDuplicates`` on a stream, whose state without a watermark grows
+    forever): ``timeout_ms`` bounds how long a key stays remembered.
+    Batch fallback: keep one arbitrary-deterministic first row per key
+    (row_number over key ordering) — the oracle shape.
+    """
+    keys = list(key_cols)
+    if not df.isStreaming:
+        from metadata_etl_framework_spark.incremental.merge import keep_latest
+
+        return keep_latest(df, keys, keys, descending=False)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def dedup(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            for _ in pdfs:  # drain; key already emitted
+                pass
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.head(1)
+        state.update((True,))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        if first is not None:
+            yield first
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

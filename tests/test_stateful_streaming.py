@@ -1,0 +1,110 @@
+"""applyInPandasWithState operators under the REAL streaming engine:
+per-key running aggregates and first-occurrence dedup, each checked
+against its batch-equivalent oracle on identical input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.sources.tables import load_table
+from metadata_etl_framework_spark.streaming.stateful import (
+    stateful_running_counts,
+    stateful_stream_dedup,
+)
+from metadata_etl_framework_spark.streaming.windows import streaming_file_source
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark_mod():
+    from metadata_etl_framework_spark.session import get_spark
+
+    return get_spark(app_name="stateful-tests", shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark_mod, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stateful") / "events")
+    ev = load_table(spark_mod, SF, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stateful_running_counts_matches_batch(spark_mod, stream_src, tmp_path):
+    spark = spark_mod
+    batch = spark.read.parquet(stream_src)
+    schema = batch.schema
+
+    stream = streaming_file_source(spark, stream_src, schema, max_files_per_trigger=1)
+    counts = stateful_running_counts(stream, "event_type", "value")
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_counts")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode emits one row per key per micro-batch; the LAST emission
+    # per key must equal the batch totals
+    got = spark.sql(
+        """
+        SELECT key, count, value_sum FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY count DESC) rn
+            FROM running_counts
+        ) WHERE rn = 1
+        """
+    )
+    expected = stateful_running_counts(batch, "event_type", "value")
+    g = {r.key: (r["count"], round(r.value_sum, 6)) for r in got.collect()}
+    e = {r.key: (r["count"], round(r.value_sum, 6)) for r in expected.collect()}
+    assert set(g) == set(e)
+    for k in e:
+        assert g[k][0] == e[k][0], k
+        # float accumulation order differs between state updates and one
+        # batch agg; totals agree to float tolerance
+        assert abs(g[k][1] - e[k][1]) < 1e-6 * max(1.0, abs(e[k][1])), k
+    # state carried ACROSS micro-batches: some key must have been emitted
+    # more than once with growing counts
+    multi = spark.sql(
+        "SELECT key, COUNT(*) n FROM running_counts GROUP BY key HAVING n > 1"
+    )
+    assert multi.count() > 0
+
+
+def test_stateful_stream_dedup_first_occurrence_only(spark_mod, stream_src, tmp_path):
+    spark = spark_mod
+    schema = spark.read.parquet(stream_src).schema
+    stream = streaming_file_source(spark, stream_src, schema, max_files_per_trigger=1)
+    deduped = stateful_stream_dedup(stream, ["event_type"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT event_type FROM stream_dedup")
+    n_types = (
+        spark.read.parquet(stream_src).select("event_type").distinct().count()
+    )
+    # exactly one row per distinct key across ALL micro-batches — state
+    # suppressed re-emission in later batches
+    assert got.count() == n_types
+    assert got.distinct().count() == n_types
+
+
+def test_batch_fallbacks(spark_mod):
+    ev = load_table(spark_mod, SF, "events")
+    counts = stateful_running_counts(ev, "event_type", "value")
+    assert not counts.isStreaming
+    assert counts.count() == ev.select("event_type").distinct().count()
+    dedup = stateful_stream_dedup(ev, ["event_type"])
+    assert dedup.count() == ev.select("event_type").distinct().count()
