@@ -241,7 +241,7 @@ def detect_timeseries(
     **params,
 ) -> DataFrame:
     """Time-series detectors: arima_residual / stl_decomposition /
-    changepoint (reference: anomaly_manager.py:241-324).
+    changepoint / prophet (reference: anomaly_manager.py:241-324).
 
     Time series are driver-sized by nature (the reference collects them
     outright); the ordered series is bounded by ``max_points`` and pulled
@@ -288,6 +288,28 @@ def detect_timeseries(
         algo = ruptures.Pelt(model=params.get("model", "rbf")).fit(series)
         points = set(algo.predict(pen=params.get("penalty", 10)))
         mask = [i in points for i in range(len(series))]
+    elif method == "prophet":
+        # forecast-residual detector (reference: anomaly_manager.py:282-302)
+        try:
+            from prophet import Prophet
+        except ImportError as e:
+            raise NotImplementedError(
+                "prophet not installed; the prophet method needs it"
+            ) from e
+        import pandas as _pd
+
+        ds = params.get("timestamps")
+        fit_df = _pd.DataFrame(
+            {"ds": _pd.to_datetime(ds) if ds is not None
+             else _pd.date_range("2000-01-01", periods=len(series), freq="D"),
+             "y": series}
+        )
+        model = Prophet(**params.get("prophet_kwargs", {}))
+        model.fit(fit_df)
+        forecast = model.predict(fit_df[["ds"]])
+        resid = series - forecast["yhat"].to_numpy()
+        thr = params.get("threshold", 3.0)
+        mask = abs((resid - resid.mean()) / (resid.std() or 1.0)) > thr
     else:
         raise ValueError(f"unknown time-series method {method!r}")
     flagged = pdf.loc[list(mask), [key_col]]

@@ -312,7 +312,8 @@ def test_timeseries_detectors_gated(spark):
     from metadata_etl_framework_spark.sources.tables import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
-    for method in ("arima_residual", "stl_decomposition", "changepoint"):
+    for method in ("arima_residual", "stl_decomposition", "changepoint",
+                   "prophet"):
         with _pytest.raises(NotImplementedError):
             detect_timeseries(ev, "value", "event_id", "event_id", method=method)
     with _pytest.raises(ValueError):
