@@ -35,14 +35,20 @@ def _match_field(spec: str, value: int) -> bool:
 
 
 def cron_matches(expr: str, dt: datetime) -> bool:
-    """5-field cron (min hour dom month dow); dow 0=Sunday as in cron."""
+    """5-field cron (min hour dom month dow); dow 0=Sunday as in cron.
+
+    Standard (Vixie) cron day semantics: when BOTH day-of-month and
+    day-of-week are restricted (neither is ``*``), the entry fires when
+    EITHER matches; otherwise the restricted one must match."""
     minute, hour, dom, month, dow = expr.split()
+    dom_ok = _match_field(dom, dt.day)
+    dow_ok = _match_field(dow, (dt.weekday() + 1) % 7)
+    day_ok = (dom_ok or dow_ok) if (dom != "*" and dow != "*") else (dom_ok and dow_ok)
     return (
         _match_field(minute, dt.minute)
         and _match_field(hour, dt.hour)
-        and _match_field(dom, dt.day)
         and _match_field(month, dt.month)
-        and _match_field(dow, (dt.weekday() + 1) % 7)
+        and day_ok
     )
 
 

