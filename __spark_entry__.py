@@ -1280,25 +1280,88 @@ def _dq_suite(spark, sf_dir):
 
 def _anomaly_suite(spark, sf_dir):
     """zscore / IQR / moving-average / ensemble detectors as one tagged
-    suite (method, event_id, value, score)."""
-    z = _anomaly_zscore(spark, sf_dir).select(
-        F.lit("zscore").alias("method"), "event_id", "value",
-        F.col("zscore").alias("score"),
+    suite (method, event_id, value, score).
+
+    Shared-stats design: mean/std (decimal-exact) and the IQR bounds are
+    computed ONCE, broadcast, and all three global detectors (zscore@3.0,
+    iqr, ensemble = zscore@2.5 ∧ iqr) evaluate per-row in a single
+    projection whose matches explode into tagged rows — 4 events scans
+    total (stats ×2, scored ×1, windowed moving-average ×1) instead of
+    one pipeline per detector (~9 scans). Values are bit-identical to the
+    standalone detectors in quality/anomaly.py (same decimal accumulation,
+    same rounding), which the extra_queries() entries keep verifying."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = ev.agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("_sum"),
+        F.count("value").alias("_n"),
+        F.percentile("value", F.lit(0.25)).alias("_q1"),
+        F.percentile("value", F.lit(0.75)).alias("_q3"),
+    ).select(
+        F.when(F.col("_n") > 0, F.col("_sum") / F.col("_n")).alias("_mean"),
+        "_n", "_q1", "_q3",
     )
-    i = _anomaly_iqr(spark, sf_dir).select(
-        F.lit("iqr").alias("method"), "event_id", "value",
-        F.lit(None).cast("double").alias("score"),
+    s2 = (
+        ev.crossJoin(F.broadcast(s1))
+        .agg(
+            F.sum(
+                ((F.col("value") - F.col("_mean")) * (F.col("value") - F.col("_mean")))
+                .cast("decimal(30,12)")
+            ).cast("double").alias("_ss"),
+            F.first("_mean").alias("_mean"),
+            F.first("_n").alias("_n"),
+            F.first("_q1").alias("_q1"),
+            F.first("_q3").alias("_q3"),
+        )
+        .select(
+            "_mean",
+            F.when(
+                F.col("_n") > 1, F.sqrt(F.col("_ss") / (F.col("_n") - 1))
+            ).alias("_std"),
+            (F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+            (F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+        )
     )
+    z = F.when(
+        F.col("_std") > 0, (F.col("value") - F.col("_mean")) / F.col("_std")
+    )
+    iqr_flag = (F.col("value") < F.col("_lo")) | (F.col("value") > F.col("_hi"))
+    scored = (
+        ev.crossJoin(F.broadcast(s2))
+        .withColumn("_z", z)
+        .withColumn("_iqr", iqr_flag)
+    )
+    branches = F.array(
+        F.when(
+            F.abs(F.col("_z")) > 3.0,
+            F.struct(
+                F.lit("zscore").alias("method"), F.col("event_id"),
+                F.col("value"), F.round("_z", 6).alias("score"),
+            ),
+        ),
+        F.when(
+            F.col("_iqr"),
+            F.struct(
+                F.lit("iqr").alias("method"), F.col("event_id"),
+                F.col("value"), F.lit(None).cast("double").alias("score"),
+            ),
+        ),
+        F.when(
+            (F.abs(F.col("_z")) > 2.5) & F.col("_iqr"),
+            F.struct(
+                F.lit("ensemble").alias("method"), F.col("event_id"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(2.0).alias("score"),
+            ),
+        ),
+    )
+    global_rows = scored.select(
+        F.explode(F.filter(branches, lambda x: x.isNotNull())).alias("r")
+    ).select("r.*")
     m = _anomaly_moving_avg(spark, sf_dir).select(
         F.lit("moving_avg").alias("method"), "event_id", "value",
         F.col("ma_zscore").alias("score"),
     )
-    e = _anomaly_ensemble(spark, sf_dir).select(
-        F.lit("ensemble").alias("method"), "event_id",
-        F.lit(None).cast("double").alias("value"),
-        F.col("votes").cast("double").alias("score"),
-    )
-    return z.unionByName(i).unionByName(m).unionByName(e)
+    return global_rows.unionByName(m)
 
 
 def _events_windows(spark, sf_dir):
