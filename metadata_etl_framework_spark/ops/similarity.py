@@ -173,6 +173,45 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_save(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist an IVF index: the assigned corpus written PARTITIONED BY
+    ``_cluster`` (hive-style directories) plus the centroid matrix as a
+    JSON sidecar.
+
+    The partition layout is the point: a probe of ``nprobe`` clusters
+    becomes a partition-pruned scan that reads ONLY those clusters'
+    files — at 100 TB the query touches nprobe/n_clusters of the corpus
+    bytes, verified via PartitionFilters in the plan
+    (tests/test_plans.py)."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("_cluster").parquet(
+        os.path.join(path, "corpus")
+    )
+    meta = {"centroids": centroids, "n_clusters": len(centroids)}
+    with open(os.path.join(path, "centroids.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index → (assigned corpus, centroids).
+
+    The probe-selection metadata (centroids) travels WITH the index, so
+    any session can serve queries without refitting KMeans."""
+    import json
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "corpus"))
+    with open(os.path.join(path, "centroids.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    return assigned, meta["centroids"]
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -10,6 +10,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -116,6 +117,43 @@ def test_events_ns_conversion_keeps_pruning(spark):
     read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
     # needs ts, event_type, value — not all 6 event columns
     assert read_schema.count(":") <= 4
+
+
+def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
+    """A persisted IVF index must serve probes via PARTITION PRUNING: the
+    scan of a 2-cluster probe reads only those clusters' partitions."""
+    from metadata_etl_framework_spark.ops import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, centroids = sim.ivf_build(emb, n_clusters=4)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(assigned, centroids, path)
+
+    loaded, loaded_centroids = sim.ivf_load(spark, path)
+    assert loaded_centroids == centroids
+    assert set(loaded.columns) >= {"vec_id", "embedding", "_cluster"}
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    probe = sim.ivf_topk(loaded, loaded_centroids, qvec, k=5, nprobe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    p = buf.getvalue()
+    # the _cluster IN (...) predicate must reach the scan as a partition
+    # filter, not a post-scan filter
+    assert "PartitionFilters" in p
+    pf_line = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "_cluster" in pf_line, pf_line
+    # and the probe returns results (identity vector is its own neighbor)
+    rows = probe.collect()
+    assert rows and rows[0]["vec_id"] == 0
+
+    # nprobe = all clusters ≡ brute force over the full corpus
+    full = sim.ivf_topk(loaded, loaded_centroids, qvec, k=5, nprobe=4)
+    brute = sim.brute_force_topk(emb, qvec, k=5)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
