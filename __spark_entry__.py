@@ -1016,21 +1016,6 @@ def _embed_knn_join(spark, sf_dir):
     )
 
 
-def _dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ 0.5)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b",
-        sim_ops.cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("_sim"),
-    )
-    return scored.filter(F.col("_sim") >= 0.5).select(
-        "id_a", "id_b", F.round("_sim", 6).alias("cosine")
-    )
-
-
 # ---- rows-only entries (no SQL-expressible oracle) ----
 
 

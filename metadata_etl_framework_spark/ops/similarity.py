@@ -301,9 +301,15 @@ def embedding_near_dup_pairs(
         ).sum(axis=2)
         return pd.Series(list(K.astype(np.int64)))
 
+    # persist: the banded frame feeds BOTH sides of the self-join; without
+    # it the signature UDF (and its Arrow exchange) runs twice. Rows are
+    # (id, table, key) longs — tiny relative to the vectors they derive
+    # from, spillable at corpus scale.
+    from pyspark.storagelevel import StorageLevel
+
     banded = embeddings.select(
         F.col(id_col), F.posexplode(_bucket_keys(vec_col)).alias("_tbl", "_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
