@@ -879,6 +879,24 @@ def _incr_late_split(spark, sf_dir):
     return a.crossJoin(b)
 
 
+def _project_melt(spark, sf_dir):
+    """unpivot/melt (inverse of pivot) through the step compiler's
+    ``unpivot`` step (functions/projections.py::melt)."""
+    engine = TransformEngine(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+        F.col("o_totalprice").alias("totalprice_d"),
+    )
+    return engine.execute_transformations(
+        {"orders": orders},
+        {"primary_source": "orders",
+         "steps": [{"type": "unpivot",
+                    "config": {"ids": ["o_orderkey"],
+                               "values": ["custkey_d", "totalprice_d"]}}]},
+    )
+
+
 def _incr_snapshot_diff(spark, sf_dir):
     """Full-snapshot strategy: classify INSERT/UPDATE/DELETE between two
     snapshot states (incremental/merge.py::snapshot_diff; reference
@@ -1493,6 +1511,7 @@ _EXTRA_KEYS = [
     "incr_snapshot_diff",
     "text_redact_pii",
     "text_chunks",
+    "project_melt",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1582,6 +1601,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
+    "project_melt": _project_melt,
 }
 
 
@@ -2320,6 +2340,13 @@ _ALL_SQL.update(
             UNION ALL
             SELECT 'sliding', window_start, event_type, cnt, CAST(NULL AS DOUBLE)
             FROM ({_ALL_SQL["events_sliding"]})
+        """,
+        "project_melt": """
+            SELECT o_orderkey, 'custkey_d' AS variable,
+                   CAST(o_custkey AS DOUBLE) AS value
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'totalprice_d', o_totalprice FROM orders
         """,
         "incr_snapshot_diff": """
             SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,

@@ -15,6 +15,7 @@ from metadata_etl_framework_spark.functions.filters import (  # noqa: F401
 )
 from metadata_etl_framework_spark.functions.projections import (  # noqa: F401
     drop_columns,
+    melt,
     rename_columns,
     reorder_columns,
 )

@@ -177,3 +177,77 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> Data
 def correlation(df: DataFrame, col1: str, col2: str) -> DataFrame:
     """Pearson correlation as a 1-row DataFrame (column ``corr``)."""
     return df.agg(F.corr(col1, col2).alias("corr"))
+
+
+def approx_profile(
+    df: DataFrame, columns: Sequence[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """Sketch-based profile: HyperLogLog distinct counts + t-digest-style
+    approximate quantiles, ONE aggregation pass.
+
+    The 100-TB variant of profile_columns: exact COUNT(DISTINCT) forces an
+    EXPAND (input replays once per distinct column) and exact percentiles
+    sort per group; the sketches are single-pass, fixed-memory, and
+    mergeable across partitions. ``rsd`` is the HLL relative standard
+    deviation (Spark default 0.05).
+    """
+    from pyspark.sql import types as T
+
+    cols = list(columns or df.columns)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    numeric = {c for c in cols if isinstance(schema[c], T.NumericType)}
+    exprs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        exprs.append(F.count(c).alias(f"{c}__nonnull"))
+        exprs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"))
+        if c in numeric:
+            exprs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            exprs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            exprs.append(
+                F.percentile_approx(c, [0.25, 0.5, 0.75], 10_000).alias(f"{c}__q")
+            )
+    row = df.agg(*exprs).collect()[0].asDict()
+    total = row["_rows"]
+    out = []
+    for c in cols:
+        q = row.get(f"{c}__q") or [None, None, None]
+        out.append(
+            {
+                "column": c,
+                "count": total,
+                "null_count": total - row[f"{c}__nonnull"],
+                "approx_distinct": row[f"{c}__distinct"],
+                "dtype": schema[c].simpleString(),
+                "min": row.get(f"{c}__min"),
+                "max": row.get(f"{c}__max"),
+                "q25": float(q[0]) if q[0] is not None else None,
+                "median": float(q[1]) if q[1] is not None else None,
+                "q75": float(q[2]) if q[2] is not None else None,
+            }
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        schema=(
+            "column string, count long, null_count long, approx_distinct long, "
+            "dtype string, min double, max double, q25 double, median double, "
+            "q75 double"
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict | float,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): the standard way to
+    downsample a training corpus while controlling per-class rates.
+
+    ``fractions`` is {stratum: fraction} or a single fraction applied to
+    every observed stratum (one distinct-scan to enumerate strata — at
+    scale pass the explicit dict instead). Deterministic per seed."""
+    if not isinstance(fractions, dict):
+        strata = [r[0] for r in df.select(strata_col).distinct().collect()]
+        fractions = {s: float(fractions) for s in strata}
+    return df.sampleBy(strata_col, fractions, seed=seed)

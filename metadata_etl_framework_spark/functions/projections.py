@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Iterable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
@@ -36,3 +37,24 @@ def reorder_columns(df: DataFrame, order: list[str]) -> DataFrame:
     if missing:
         raise ValueError(f"columns not present: {missing}")
     return df.select(*order)
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long unpivot (inverse of pivot_table; pandas.melt parity).
+
+    Uses Spark's native ``unpivot`` — an executor-side row fan-out
+    (one output row per (input row, value column)), no shuffle. Value
+    columns must share a common type; cast upstream when they don't.
+    """
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

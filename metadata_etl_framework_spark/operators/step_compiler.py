@@ -257,6 +257,17 @@ class TransformEngine:
             out = out.dropDuplicates()
         return out
 
+    def _unpivot(self, data, step, sources) -> DataFrame:
+        """unpivot/melt step — the inverse of pivot (wide → long)."""
+        cfg = step.get("config", step)
+        return proj_lib.melt(
+            data,
+            cfg["ids"],
+            cfg["values"],
+            var_name=cfg.get("var_name", "variable"),
+            value_name=cfg.get("value_name", "value"),
+        )
+
     _HANDLERS: ClassVar[dict[str, Callable]] = {
         "filter": _filter,
         "map": _map,
@@ -264,6 +275,7 @@ class TransformEngine:
         "join": _join,
         "aggregate": _aggregate,
         "pivot": _pivot,
+        "unpivot": _unpivot,
         "window": _window,
         "customudf": _customudf,
         "sqltransform": _sqltransform,

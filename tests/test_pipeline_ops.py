@@ -94,3 +94,68 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert len(doc3) == 1 and doc3[0][3] == 0
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_melt_unpivot_step(spark):
+    from metadata_etl_framework_spark.operators import TransformEngine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 20.0, 200.0)], "k int, a double, b double"
+    )
+    engine = TransformEngine(spark)
+    out = engine.execute_transformations(
+        {"t": df},
+        {"primary_source": "t",
+         "steps": [{"type": "unpivot",
+                    "config": {"ids": ["k"], "values": ["a", "b"]}}]},
+    )
+    got = {(r.k, r.variable, r.value) for r in out.collect()}
+    assert got == {(1, "a", 10.0), (1, "b", 100.0),
+                   (2, "a", 20.0), (2, "b", 200.0)}
+
+
+def test_approx_profile_bounded_error(spark):
+    from metadata_etl_framework_spark.functions.aggregations import (
+        approx_profile,
+        profile_columns,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    approx = {r.column: r for r in approx_profile(orders, cols).collect()}
+    exact = {r.column: r for r in profile_columns(orders, cols).collect()}
+    for c in cols:
+        a, e = approx[c], exact[c]
+        assert a["count"] == e["count"] and a.null_count == e.null_count
+        # HLL: within 5*rsd of exact (rsd=0.05 → 25%; generous, no flake)
+        assert abs(a.approx_distinct - e.distinct) <= max(5, 0.25 * e.distinct)
+        if e.median is not None:
+            assert a.min == e.min and a.max == e.max
+            spread = (e.max - e.min) or 1.0
+            assert abs(a.median - e.median) <= 0.1 * spread
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from metadata_etl_framework_spark.functions.aggregations import (
+        stratified_sample,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    frac = {"click": 0.5, "view": 0.1}
+    s = stratified_sample(ev.filter(F.col("event_type").isin(list(frac))),
+                          "event_type", frac, seed=7)
+    base = {r.event_type: r.n for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.event_type: r.n for r in
+           s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, f in frac.items():
+        assert abs(got.get(k, 0) / base[k] - f) < 0.1, (k, got.get(k), base[k])
+    # deterministic per seed
+    s2 = stratified_sample(ev.filter(F.col("event_type").isin(list(frac))),
+                           "event_type", frac, seed=7)
+    assert {r.event_id for r in s.collect()} == {r.event_id for r in s2.collect()}
+    # scalar fraction path
+    s3 = stratified_sample(ev, "event_type", 0.2, seed=7)
+    assert 0 < s3.count() < ev.count()
