@@ -197,3 +197,43 @@ def chunk_documents(
     return exploded.withColumn(
         "n_chunk_tokens", F.size(tokens(F.col("chunk_text")))
     )
+
+
+def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style document-cleaning signals (published C4/Gopher filters):
+    boilerplate markers (lorem ipsum / javascript / curly braces), line
+    stats, and the ratio of lines ending in terminal punctuation. Adds a
+    ``c4_keep`` verdict column; callers filter on it or on individual
+    flags.
+
+    Pure JVM expressions over the line array — per-row projection, no
+    shuffle, linear in corpus size.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    term_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"""[.!?"']\s*$"""))
+    )
+    lower = F.lower(t)
+    return (
+        df.withColumn("has_lorem_ipsum", lower.contains("lorem ipsum"))
+        .withColumn("has_javascript", lower.contains("javascript"))
+        .withColumn("has_curly_brace", t.contains("{"))
+        .withColumn("n_lines", n_lines)
+        .withColumn(
+            "terminal_punct_ratio",
+            F.round(
+                F.when(
+                    n_lines > 0, term_lines.cast("double") / n_lines
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "c4_keep",
+            ~F.col("has_lorem_ipsum")
+            & ~F.col("has_javascript")
+            & ~F.col("has_curly_brace"),
+        )
+    )

@@ -159,3 +159,25 @@ def test_stratified_sample_proportions_and_determinism(spark):
     # scalar fraction path
     s3 = stratified_sample(ev, "event_type", 0.2, seed=7)
     assert 0 < s3.count() < ev.count()
+
+
+def test_c4_quality_flags(spark):
+    from metadata_etl_framework_spark.ops.text import c4_quality_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "A clean doc.\nWith good lines!\nAll terminated."),
+            (2, "Buy now lorem ipsum dolor"),
+            (3, "enable JavaScript to view this page"),
+            (4, "function f() { return 1; }"),
+            (5, "no terminal punctuation here\nnor here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in c4_quality_flags(df).collect()}
+    assert got[1].c4_keep and got[1].terminal_punct_ratio == 1.0
+    assert got[1].n_lines == 3
+    assert got[2].has_lorem_ipsum and not got[2].c4_keep
+    assert got[3].has_javascript and not got[3].c4_keep
+    assert got[4].has_curly_brace and not got[4].c4_keep
+    assert got[5].c4_keep and got[5].terminal_punct_ratio == 0.0
