@@ -769,6 +769,45 @@ _SQL_Q10 = """
 """
 
 
+_SQL_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+"""
+
+_SQL_Q14 = """
+    SELECT ROUND(
+             100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                 ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+             / NULLIF(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(28,10))) AS DOUBLE), 0),
+           4) AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+_SQL_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 20
+"""
+
+
 def _sql_query(sql: str, *tables: str):
     """TPC-H-shaped SQL through the sqltransform step (full-SQL surface)."""
 
@@ -789,6 +828,9 @@ _sql_q5_local_volume = _sql_query(
     _SQL_Q5, "customer", "orders", "lineitem", "supplier", "nation", "region"
 )
 _sql_q10_returned_items = _sql_query(_SQL_Q10, "customer", "orders", "lineitem")
+_sql_q6_forecast_revenue = _sql_query(_SQL_Q6, "lineitem")
+_sql_q14_promo_effect = _sql_query(_SQL_Q14, "lineitem", "part")
+_sql_q18_large_orders = _sql_query(_SQL_Q18, "customer", "orders", "lineitem")
 
 
 def _dq_rules_onepass(spark, sf_dir):
@@ -1512,6 +1554,9 @@ _EXTRA_KEYS = [
     "text_redact_pii",
     "text_chunks",
     "project_melt",
+    "sql_q6_forecast_revenue",
+    "sql_q14_promo_effect",
+    "sql_q18_large_orders",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1602,6 +1647,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
+    "sql_q6_forecast_revenue": _sql_q6_forecast_revenue,
+    "sql_q14_promo_effect": _sql_q14_promo_effect,
+    "sql_q18_large_orders": _sql_q18_large_orders,
 }
 
 
@@ -1969,6 +2017,9 @@ _ALL_SQL: dict[str, str] = {
         "sql_q3_shipping_priority": _SQL_Q3,
         "sql_q5_local_volume": _SQL_Q5,
         "sql_q10_returned_items": _SQL_Q10,
+        "sql_q6_forecast_revenue": _SQL_Q6,
+        "sql_q14_promo_effect": _SQL_Q14,
+        "sql_q18_large_orders": _SQL_Q18,
         "step_customudf": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS disc_price
