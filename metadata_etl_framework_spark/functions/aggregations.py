@@ -121,13 +121,21 @@ def value_counts_topk(df: DataFrame, column: str, k: int = 5) -> DataFrame:
     )
 
 
-def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    include_moments: bool = True,
+) -> DataFrame:
     """Per-column profile in ONE aggregation pass.
 
     For every column: count, null_count, null_pct, distinct; numeric
-    columns add min/max/mean/std/median (exact percentile — reference
-    parity, SURVEY §7.5). Returns one row per column (unpivoted driver-side
-    from the single agg row — column count is small, data pass is one).
+    columns add min/max and — when ``include_moments`` — mean/std/median
+    (exact percentile — reference parity, SURVEY §7.5). Set
+    ``include_moments=False`` when only the exact structural fields are
+    needed: the exact median forces a per-column value buffer in the
+    final aggregation task, by far the most expensive piece. Returns one
+    row per column (unpivoted driver-side from the single agg row —
+    column count is small, data pass is one).
     """
     from pyspark.sql import types as T
 
@@ -143,9 +151,10 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> Data
         if c in numeric:
             exprs.append(F.min(c).cast("double").alias(f"{c}__min"))
             exprs.append(F.max(c).cast("double").alias(f"{c}__max"))
-            exprs.append(F.avg(c).alias(f"{c}__mean"))
-            exprs.append(F.stddev_samp(c).alias(f"{c}__std"))
-            exprs.append(F.percentile(c, F.lit(0.5)).alias(f"{c}__median"))
+            if include_moments:
+                exprs.append(F.avg(c).alias(f"{c}__mean"))
+                exprs.append(F.stddev_samp(c).alias(f"{c}__std"))
+                exprs.append(F.percentile(c, F.lit(0.5)).alias(f"{c}__median"))
     row = df.agg(*exprs).collect()[0].asDict()
     total = row["_rows"]
     out = []
