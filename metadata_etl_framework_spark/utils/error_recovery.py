@@ -135,3 +135,57 @@ def quarantine_rows(
     n_bad = bad.sparkSession.read.parquet(quarantine_path).count()
     clean = df.filter(~failure_mask)
     return clean, n_bad
+
+
+def tolerant_write(
+    df: DataFrame,
+    write_batch: Callable[[list[dict]], None],
+    on_reject: Callable[[list[dict]], None] | None = None,
+    batch_size: int = 500,
+) -> dict[str, int]:
+    """Row-tolerant load: batch inserts with per-row fallback on failure.
+
+    Reference parity: the relational connector's tolerant insert path
+    (src/connectors/relational_connector.py — skip bad rows, keep going).
+    Semantics: rows stream off the cluster one partition at a time
+    (``toLocalIterator``), ``write_batch(rows)`` loads each batch; when a
+    batch raises, every row retries INDIVIDUALLY and the rows that still
+    fail go to ``on_reject`` (e.g. a quarantine writer) instead of
+    aborting the load.
+
+    This is deliberately the driver-side fallback path — the fast path is
+    ``df.write.jdbc`` (whole-partition parallel inserts); use this one
+    when the sink rejects individual rows and the pipeline must finish.
+    Returns {"written": n, "rejected": n}.
+    """
+    written = rejected = 0
+    batch: list[dict] = []
+
+    def flush(rows: list[dict]) -> None:
+        nonlocal written, rejected
+        if not rows:
+            return
+        try:
+            write_batch(rows)
+            written += len(rows)
+            return
+        except Exception:
+            pass
+        bad: list[dict] = []
+        for row in rows:
+            try:
+                write_batch([row])
+                written += 1
+            except Exception:
+                bad.append(row)
+        rejected += len(bad)
+        if bad and on_reject is not None:
+            on_reject(bad)
+
+    for r in df.toLocalIterator():
+        batch.append(r.asDict(recursive=True))
+        if len(batch) >= batch_size:
+            flush(batch)
+            batch = []
+    flush(batch)
+    return {"written": written, "rejected": rejected}

@@ -81,3 +81,27 @@ def test_incremental_upsert_flow(spark, tmp_path):
     assert rows[1] == ("Alice", "2023-01-01")      # untouched
     assert rows[2] == ("Bob Updated", "2023-01-02")  # source wins
     assert rows[3] == ("Charlie", "2023-01-02")    # new key appended
+
+
+def test_tolerant_write_quarantines_bad_rows(spark):
+    """Batch insert fails → per-row retry → persistent failures quarantine
+    (the reference's skip-bad-rows relational insert semantics)."""
+    from metadata_etl_framework_spark.utils.error_recovery import tolerant_write
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id int, v string"
+    )
+    sink: list[dict] = []
+    rejects: list[dict] = []
+
+    def write_batch(rows):
+        if any(r["id"] % 4 == 0 for r in rows):
+            raise IOError("constraint violation")
+        sink.extend(rows)
+
+    stats = tolerant_write(
+        df, write_batch, on_reject=rejects.extend, batch_size=3
+    )
+    assert stats == {"written": 7, "rejected": 3}  # ids 0,4,8 rejected
+    assert {r["id"] for r in sink} == {1, 2, 3, 5, 6, 7, 9}
+    assert {r["id"] for r in rejects} == {0, 4, 8}
