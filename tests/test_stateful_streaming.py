@@ -108,3 +108,41 @@ def test_batch_fallbacks(spark_mod):
     assert counts.count() == ev.select("event_type").distinct().count()
     dedup = stateful_stream_dedup(ev, ["event_type"])
     assert dedup.count() == ev.select("event_type").distinct().count()
+
+
+def test_stream_static_enrichment_join(spark_mod, stream_src, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension — the standard streaming lookup pattern; results must match
+    the batch join over identical input."""
+    spark = spark_mod
+    schema = spark.read.parquet(stream_src).schema
+    stream = streaming_file_source(spark, stream_src, schema,
+                                   max_files_per_trigger=2)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type", "left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_events")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT category, COUNT(*) AS n FROM enriched_events GROUP BY category"
+    )
+    expected = (
+        spark.read.parquet(stream_src)
+        .join(dim, "event_type", "left")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {r.category: r.n for r in got.collect()}
+    e = {r.category: r.n for r in expected.collect()}
+    assert g == e and sum(g.values()) == spark.read.parquet(stream_src).count()
