@@ -1,7 +1,8 @@
 """REST API over the engine (Flask).
 
-Parity target: src/api/rest_api.py:538-673 — /health, /pipelines CRUD,
-/executions create/list/get, /metrics. The reference ships both Flask
+Parity target: src/api/rest_api.py:538-673 — /health, /pipelines full
+CRUD (create/list/show/update/soft-delete), /executions
+create/list/get/status/cancel, /metrics. The reference ships both Flask
 and FastAPI duals; one implementation suffices here (FastAPI is not in
 this environment).
 """
@@ -45,6 +46,64 @@ def create_app(store: MetadataStore, orchestrator=None):
         return app.response_class(
             json.dumps(config, default=str), mimetype="application/json"
         )
+
+    @app.put("/pipelines/<int:pipeline_id>")
+    def update_pipeline(pipeline_id: int):
+        body: dict[str, Any] = request.get_json(force=True)
+        rows = store.query(
+            "SELECT * FROM PIPELINES WHERE pipeline_id = ?", (pipeline_id,)
+        )
+        if not rows:
+            return jsonify({"error": "not found"}), 404
+        allowed = {"pipeline_name", "description", "schedule", "is_active"}
+        updates = {k: v for k, v in body.items() if k in allowed}
+        if updates:
+            sets = ", ".join(f"{k} = ?" for k in updates)
+            store.execute(
+                f"UPDATE PIPELINES SET {sets} WHERE pipeline_id = ?",
+                (*updates.values(), pipeline_id),
+            )
+        return jsonify({"pipeline_id": pipeline_id, "updated": sorted(updates)})
+
+    @app.delete("/pipelines/<int:pipeline_id>")
+    def delete_pipeline(pipeline_id: int):
+        rows = store.query(
+            "SELECT * FROM PIPELINES WHERE pipeline_id = ?", (pipeline_id,)
+        )
+        if not rows:
+            return jsonify({"error": "not found"}), 404
+        # soft delete (reference semantics: deactivate, keep run history)
+        store.execute(
+            "UPDATE PIPELINES SET is_active = 0 WHERE pipeline_id = ?",
+            (pipeline_id,),
+        )
+        return jsonify({"pipeline_id": pipeline_id, "deleted": True})
+
+    @app.get("/executions/<int:run_id>/status")
+    def execution_status(run_id: int):
+        rows = store.query(
+            "SELECT run_id, pipeline_id, status, started_at, finished_at, "
+            "duration_sec FROM PIPELINE_RUNS WHERE run_id = ?",
+            (run_id,),
+        )
+        if not rows:
+            return jsonify({"error": "not found"}), 404
+        return jsonify(rows[0])
+
+    @app.post("/executions/<int:run_id>/cancel")
+    def cancel_execution(run_id: int):
+        rows = store.query(
+            "SELECT status FROM PIPELINE_RUNS WHERE run_id = ?", (run_id,)
+        )
+        if not rows:
+            return jsonify({"error": "not found"}), 404
+        if rows[0]["status"] not in ("RUNNING", "PENDING"):
+            return jsonify({"error": f"not cancellable: {rows[0]['status']}"}), 409
+        store.execute(
+            "UPDATE PIPELINE_RUNS SET status = 'CANCELLED' WHERE run_id = ?",
+            (run_id,),
+        )
+        return jsonify({"run_id": run_id, "status": "CANCELLED"})
 
     @app.post("/executions")
     def create_execution():

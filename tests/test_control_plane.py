@@ -288,6 +288,28 @@ def test_cli_and_rest(spark, store, tmp_path, capsys):
     assert listed and listed[0]["status"] == "SUCCESS"
     assert client.get("/metrics").get_json()["runs"]
 
+    # update / soft-delete pipeline (reference rest_api.py:261-307)
+    upd = client.put(f"/pipelines/{pid}", json={"description": "new desc",
+                                                "bogus_field": 1})
+    assert upd.status_code == 200 and upd.get_json()["updated"] == ["description"]
+    assert client.put("/pipelines/99999", json={}).status_code == 404
+    dele = client.delete(f"/pipelines/{pid}")
+    assert dele.status_code == 200 and dele.get_json()["deleted"]
+    row = disk.query("SELECT is_active FROM PIPELINES WHERE pipeline_id = ?",
+                     (pid,))[0]
+    assert row["is_active"] == 0  # soft delete keeps the record
+
+    # execution status / cancel (reference rest_api.py:383-462)
+    run_id = listed[0]["run_id"]
+    st = client.get(f"/executions/{run_id}/status")
+    assert st.status_code == 200 and st.get_json()["status"] == "SUCCESS"
+    # finished runs are not cancellable
+    assert client.post(f"/executions/{run_id}/cancel").status_code == 409
+    disk.execute("UPDATE PIPELINE_RUNS SET status = 'RUNNING' WHERE run_id = ?",
+                 (run_id,))
+    ok = client.post(f"/executions/{run_id}/cancel")
+    assert ok.status_code == 200 and ok.get_json()["status"] == "CANCELLED"
+
 
 def test_performance_monitor(spark):
     from metadata_etl_framework_spark.monitoring.performance import PerformanceMonitor
