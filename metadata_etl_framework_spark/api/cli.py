@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     ee.add_parser("list")
     st = ee.add_parser("status")
     st.add_argument("run_id", type=int)
+    ca = ee.add_parser("cancel")
+    ca.add_argument("run_id", type=int)
+
+    sc = sub.add_parser("schema").add_subparsers(dest="sub", required=True)
+    sc.add_parser("version")
+    sc.add_parser("history")
     return p
 
 
@@ -106,6 +112,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "SELECT * FROM PIPELINE_RUNS WHERE run_id = ?", (args.run_id,)
             )
             print(json.dumps(rows[0] if rows else {"error": "not found"}))
+        elif args.sub == "cancel":
+            rows = store.query(
+                "SELECT status FROM PIPELINE_RUNS WHERE run_id = ?", (args.run_id,)
+            )
+            if not rows:
+                print(json.dumps({"error": "not found"}))
+                return 1
+            if rows[0]["status"] not in ("RUNNING", "PENDING"):
+                print(json.dumps(
+                    {"error": f"not cancellable: {rows[0]['status']}"}
+                ))
+                return 1
+            store.execute(
+                "UPDATE PIPELINE_RUNS SET status = 'CANCELLED' WHERE run_id = ?",
+                (args.run_id,),
+            )
+            print(json.dumps({"run_id": args.run_id, "status": "CANCELLED"}))
+        return 0
+    if args.command == "schema":
+        from metadata_etl_framework_spark.catalog.schema_manager import (
+            SchemaManager,
+        )
+
+        mgr = SchemaManager(store)
+        if args.sub == "version":
+            print(json.dumps({"version": mgr.get_current_schema_version()}))
+        elif args.sub == "history":
+            for row in mgr.history():
+                print(json.dumps(row, default=str))
         return 0
     return 1
 

@@ -340,3 +340,29 @@ def test_timeseries_detectors_gated(spark):
             detect_timeseries(ev, "value", "event_id", "event_id", method=method)
     with _pytest.raises(ValueError):
         detect_timeseries(ev, "value", "event_id", "event_id", method="nope")
+
+
+def test_cli_cancel_and_schema_commands(tmp_path, capsys):
+    from metadata_etl_framework_spark.api.cli import main
+    from metadata_etl_framework_spark.catalog.schema_manager import SchemaManager
+
+    db = str(tmp_path / "meta2.db")
+    assert main(["--db", db, "setup-db"]) == 0
+    capsys.readouterr()
+    disk = MetadataStore(db)
+    pid = disk.register_pipeline("p")
+    run_id = disk.insert(
+        "PIPELINE_RUNS",
+        {"pipeline_id": pid, "status": "RUNNING", "started_at": 0},
+    )
+    assert main(["--db", db, "executions", "cancel", str(run_id)]) == 0
+    assert json.loads(capsys.readouterr().out)["status"] == "CANCELLED"
+    # already cancelled → refuses
+    assert main(["--db", db, "executions", "cancel", str(run_id)]) == 1
+    capsys.readouterr()
+
+    SchemaManager(disk).apply_schema_sql("CREATE TABLE xx (id INT);", "1.0", "t")
+    assert main(["--db", db, "schema", "version"]) == 0
+    assert json.loads(capsys.readouterr().out)["version"] == "1.0"
+    assert main(["--db", db, "schema", "history"]) == 0
+    assert "1.0" in capsys.readouterr().out
