@@ -366,3 +366,37 @@ def test_cli_cancel_and_schema_commands(tmp_path, capsys):
     assert json.loads(capsys.readouterr().out)["version"] == "1.0"
     assert main(["--db", db, "schema", "history"]) == 0
     assert "1.0" in capsys.readouterr().out
+
+
+def test_security_revoke_audit_and_masking(store):
+    from metadata_etl_framework_spark.utils.security import (
+        SecurityManager,
+        mask_connection_string,
+    )
+
+    sm = SecurityManager()
+    sm.add_user("ops", "operator")
+    tok = sm.issue_token("ops")
+    assert sm.validate_token(tok) == "ops"
+    assert sm.revoke_token(tok)
+    assert sm.validate_token(tok) is None
+    assert not sm.revoke_token(tok)  # second revoke is a no-op
+
+    sm.log_security_event(store, "login_failed", "ops", "bad password")
+    rows = store.query("SELECT * FROM AUDIT_LOG")
+    assert rows and rows[-1]["event_type"] == "security:login_failed"
+
+    masked = mask_connection_string("postgresql://admin:hunter2@db:5432/prod")
+    assert masked == "postgresql://admin:***@db:5432/prod"
+    assert "hunter2" not in masked
+    # no credentials → unchanged
+    assert mask_connection_string("s3a://bucket/path") == "s3a://bucket/path"
+
+    # external secret via injected fetcher; unknown provider raises
+    got = sm.fetch_external_secret(
+        "aws_secrets_manager", "db/creds",
+        fetcher=lambda p, r: {"user": "u", "provider": p, "ref": r},
+    )
+    assert got == {"user": "u", "provider": "aws_secrets_manager", "ref": "db/creds"}
+    with pytest.raises(ValueError):
+        sm.fetch_external_secret("nope", "x", fetcher=None)
