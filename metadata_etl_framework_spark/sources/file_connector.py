@@ -93,6 +93,40 @@ class FileConnector:
             ],
         }
 
+    # ---------------------------------------------- object management
+    # (reference cloud_connector.py:334-389 — list/delete per cloud SDK;
+    # here ONE Hadoop FileSystem code path serves file://, s3a://,
+    # abfss://, gs://, hdfs:// identically)
+
+    def _fs_and_path(self, path: str):
+        sc = self.spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def list_objects(self, path: str, recursive: bool = False) -> list[str]:
+        """Object/file listing under a URI prefix (any Hadoop-visible FS)."""
+        fs, hpath = self._fs_and_path(path)
+        if not fs.exists(hpath):
+            return []
+        out: list[str] = []
+        it = fs.listFiles(hpath, recursive)
+        while it.hasNext():
+            out.append(it.next().getPath().toString())
+        return sorted(out)
+
+    def object_exists(self, path: str) -> bool:
+        fs, hpath = self._fs_and_path(path)
+        return bool(fs.exists(hpath))
+
+    def delete_object(self, path: str, recursive: bool = False) -> bool:
+        """Delete a file or (with recursive) a directory tree; False when
+        the path didn't exist."""
+        fs, hpath = self._fs_and_path(path)
+        if not fs.exists(hpath):
+            return False
+        return bool(fs.delete(hpath, recursive))
+
     def _read_excel(self, path: str, **opts: Any) -> DataFrame:
         try:
             import pandas as pd

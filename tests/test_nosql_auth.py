@@ -228,3 +228,24 @@ def test_excel_sink_guards(spark, tmp_path):
     except ImportError:
         with pytest.raises(RuntimeError, match="openpyxl"):
             fc.write(df, str(tmp_path / "out.xlsx"))
+
+
+def test_object_management_over_hadoop_fs(spark, tmp_path):
+    """list/exists/delete through the Hadoop FS layer — the same calls
+    serve s3a/abfss/gs URIs on a configured cluster."""
+    fc = FileConnector(spark)
+    base = str(tmp_path / "objstore")
+    df = spark.range(10)
+    df.coalesce(1).write.parquet(base + "/a")
+    df.coalesce(1).write.parquet(base + "/b")
+
+    objs = fc.list_objects(base, recursive=True)
+    assert any("/a/" in o and o.endswith(".parquet") for o in objs)
+    assert any("/b/" in o for o in objs)
+    assert fc.object_exists(base + "/a")
+    assert not fc.object_exists(base + "/nope")
+    assert fc.list_objects(base + "/nope") == []
+
+    assert fc.delete_object(base + "/a", recursive=True)
+    assert not fc.object_exists(base + "/a")
+    assert not fc.delete_object(base + "/a", recursive=True)  # already gone
