@@ -60,3 +60,44 @@ class LineageTracker:
             {"src": e["src"], "dst": e["dst"], "transform": e["transform"]}
             for e in edges
         ]}
+
+    # -------------------------------------------------------- column level
+    # Reference: record_column_derivation / get_column_lineage
+    # (data_lineage_tracker.py:158-176, 397-428). Column nodes reuse the
+    # same edge table with "table.column" node ids, so table- and
+    # column-level graphs traverse with ONE mechanism.
+
+    @staticmethod
+    def _col_node(table: str, column: str) -> str:
+        return f"{table}.{column}"
+
+    def add_column_derivation(
+        self,
+        run_id: int | None,
+        target_table: str,
+        target_column: str,
+        sources: list[tuple[str, str]],
+        expression: str | None = None,
+    ) -> None:
+        """Record that target_table.target_column derives from the given
+        (table, column) sources via ``expression``."""
+        dst = self._col_node(target_table, target_column)
+        for src_table, src_col in sources:
+            self.add_edge(
+                run_id, self._col_node(src_table, src_col), dst, expression
+            )
+
+    def column_lineage(self, table: str, column: str) -> dict[str, Any]:
+        """Full upstream derivation chain of one column (transitive)."""
+        node = self._col_node(table, column)
+        ups = self.upstream(node)
+        exprs = {
+            e["dst"]: e["transform"]
+            for e in self._edges()
+            if e["transform"] is not None
+        }
+        return {
+            "column": node,
+            "upstream_columns": ups,
+            "expression": exprs.get(node),
+        }

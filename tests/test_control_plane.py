@@ -400,3 +400,24 @@ def test_security_revoke_audit_and_masking(store):
     assert got == {"user": "u", "provider": "aws_secrets_manager", "ref": "db/creds"}
     with pytest.raises(ValueError):
         sm.fetch_external_secret("nope", "x", fetcher=None)
+
+
+def test_column_level_lineage(store):
+    lt = LineageTracker(store)
+    lt.add_column_derivation(
+        None, "summary", "revenue",
+        [("lineitem", "l_extendedprice"), ("lineitem", "l_discount")],
+        "sum(l_extendedprice * (1 - l_discount))",
+    )
+    lt.add_column_derivation(
+        None, "report", "rounded_revenue", [("summary", "revenue")],
+        "round(revenue, 2)",
+    )
+    lin = lt.column_lineage("report", "rounded_revenue")
+    assert lin["expression"] == "round(revenue, 2)"
+    assert set(lin["upstream_columns"]) == {
+        "summary.revenue", "lineitem.l_extendedprice", "lineitem.l_discount"
+    }
+    # impact: changing the source column affects both downstream columns
+    impact = lt.impact_analysis("lineitem.l_extendedprice")
+    assert set(impact["affected"]) == {"summary.revenue", "report.rounded_revenue"}
