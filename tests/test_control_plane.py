@@ -421,3 +421,20 @@ def test_column_level_lineage(store):
     # impact: changing the source column affects both downstream columns
     impact = lt.impact_analysis("lineitem.l_extendedprice")
     assert set(impact["affected"]) == {"summary.revenue", "report.rounded_revenue"}
+
+
+def test_audit_summary_and_user_activity(store):
+    from metadata_etl_framework_spark.monitoring.audit import AuditLogger
+
+    al = AuditLogger(store)
+    al.log("pipeline_start", "p1", actor="alice")
+    al.log("pipeline_start", "p2", actor="alice")
+    al.log("config_change", "p1", actor="bob", details="schedule")
+    rep = al.summary_report()
+    assert rep["total_events"] == 3
+    assert {r["event_type"]: r["n"] for r in rep["by_type"]} == {
+        "pipeline_start": 2, "config_change": 1
+    }
+    assert rep["top_actors"][0]["actor"] == "alice"
+    acts = al.user_activity("bob")
+    assert len(acts) == 1 and acts[0]["event_type"] == "config_change"
