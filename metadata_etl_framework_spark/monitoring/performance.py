@@ -69,6 +69,52 @@ class PerformanceMonitor:
         except Exception:
             return 0
 
+    # --------------------------------------------------- continuous sampler
+    # (reference: _monitoring_worker + start/stop_monitoring,
+    # performance_monitor.py:286-341 — a daemon thread samples resource
+    # state on an interval while a run executes)
+
+    def start_monitoring(self, run_id: str, interval_sec: float = 1.0) -> None:
+        import threading
+
+        samples: list[dict[str, float]] = []
+        stop = threading.Event()
+
+        def _worker() -> None:
+            while not stop.is_set():
+                ru = resource.getrusage(resource.RUSAGE_SELF)
+                samples.append(
+                    {
+                        "ts": time.time(),
+                        "cpu_sec": ru.ru_utime + ru.ru_stime,
+                        "rss_mb": _rss_mb(),
+                    }
+                )
+                stop.wait(interval_sec)
+
+        t = threading.Thread(target=_worker, daemon=True)
+        t.start()
+        self._samplers = getattr(self, "_samplers", {})
+        self._samplers[run_id] = (stop, t, samples)
+
+    def stop_monitoring(self, run_id: str) -> dict[str, Any]:
+        """Stop the sampler; returns utilization summary over the samples
+        (reference: calculate_resource_utilization, :343-412)."""
+        stop, t, samples = self._samplers.pop(run_id)
+        stop.set()
+        t.join(timeout=5)
+        if not samples:
+            return {"run_id": run_id, "samples": 0}
+        cpu_delta = samples[-1]["cpu_sec"] - samples[0]["cpu_sec"]
+        wall = max(samples[-1]["ts"] - samples[0]["ts"], 1e-9)
+        return {
+            "run_id": run_id,
+            "samples": len(samples),
+            "wall_sec": wall,
+            "avg_cpu_util": cpu_delta / wall,
+            "peak_rss_mb": max(s["rss_mb"] for s in samples),
+        }
+
     # ------------------------------------------------------------- analysis
 
     def baseline_compare(self, name: str, window: int = 5) -> dict[str, Any] | None:

@@ -438,3 +438,19 @@ def test_audit_summary_and_user_activity(store):
     assert rep["top_actors"][0]["actor"] == "alice"
     acts = al.user_activity("bob")
     assert len(acts) == 1 and acts[0]["event_type"] == "config_change"
+
+
+def test_performance_continuous_sampler(spark):
+    from metadata_etl_framework_spark.monitoring.performance import (
+        PerformanceMonitor,
+    )
+
+    pm = PerformanceMonitor(spark)
+    pm.start_monitoring("r1", interval_sec=0.05)
+    spark.range(2_000_000).selectExpr("sum(id * id)").collect()
+    import time as _t
+    _t.sleep(0.2)
+    summary = pm.stop_monitoring("r1")
+    assert summary["samples"] >= 2
+    assert summary["wall_sec"] > 0 and summary["peak_rss_mb"] > 0
+    assert summary["avg_cpu_util"] >= 0.0
