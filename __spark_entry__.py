@@ -940,6 +940,26 @@ def _project_melt(spark, sf_dir):
     )
 
 
+def _asof_join_purchases(spark, sf_dir):
+    """As-of join (functions/joins.py::asof_join): each event picks the
+    latest 'purchase' event value at-or-before its timestamp per user —
+    one shuffle on user_id, no UDF. Oracle: DuckDB's native ASOF JOIN."""
+    from metadata_etl_framework_spark.functions import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(ev, purchases, "ts", by=["user_id"], value_cols=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("value_right").alias("last_purchase_value"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "matched_ts"
+        ),
+    )
+
+
 def _incr_snapshot_diff(spark, sf_dir):
     """Full-snapshot strategy: classify INSERT/UPDATE/DELETE between two
     snapshot states (incremental/merge.py::snapshot_diff; reference
@@ -1558,6 +1578,7 @@ _EXTRA_KEYS = [
     "sql_q6_forecast_revenue",
     "sql_q14_promo_effect",
     "sql_q18_large_orders",
+    "asof_join_purchases",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1651,6 +1672,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q6_forecast_revenue": _sql_q6_forecast_revenue,
     "sql_q14_promo_effect": _sql_q14_promo_effect,
     "sql_q18_large_orders": _sql_q18_large_orders,
+    "asof_join_purchases": _asof_join_purchases,
 }
 
 
@@ -2392,6 +2414,16 @@ _ALL_SQL.update(
             UNION ALL
             SELECT 'sliding', window_start, event_type, cnt, CAST(NULL AS DOUBLE)
             FROM ({_ALL_SQL["events_sliding"]})
+        """,
+        "asof_join_purchases": """
+            SELECT e.event_id, e.user_id,
+                   p.value AS last_purchase_value,
+                   STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ) p ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "project_melt": """
             SELECT o_orderkey, 'custkey_d' AS variable,

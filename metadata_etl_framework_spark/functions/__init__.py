@@ -25,7 +25,8 @@ from metadata_etl_framework_spark.functions.conversions import (  # noqa: F401
     convert_to_string,
     convert_types,
 )
-from metadata_etl_framework_spark.functions.joins import (  # noqa: F401
+from metadata_etl_framework_spark.functions.joins import (
+    asof_join,  # noqa: F401
     detect_deletes,
     inner_join,
     join_data,

@@ -107,3 +107,85 @@ def detect_deletes(
     """Rows present in target but absent from source (delete candidates)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     return target.join(source.select(*keys).dropDuplicates(), keys, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: Sequence[str] = (),
+    right_ts_col: str | None = None,
+    value_cols: Sequence[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (backward) join: each left row picks the LATEST right row with
+    ``right_ts <= left_ts`` within the same ``by`` keys — the time-series
+    join Spark lacks natively (pandas ``merge_asof`` / DuckDB ``ASOF
+    JOIN`` semantics).
+
+    Scale design: expressed as a COMPOSITION of built-in operators — tag
+    both sides, union, one window sorted by (by, ts, side) carrying the
+    last non-null right values forward — so the whole join is ONE shuffle
+    on the ``by`` keys + a sort, no UDF, no range-explosion. This is the
+    standard distributed as-of formulation; a per-key range join would
+    explode, and a broadcast would cap the right side.
+
+    ``tolerance`` (e.g. ``"30 minutes"``) nulls the match when the right
+    row is older than ``left_ts - tolerance``. Right timestamp arrives as
+    ``{right_ts_col}{suffix}``.
+    """
+    from pyspark.sql import Window
+
+    right_ts_col = right_ts_col or ts_col
+    by = list(by)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in by and c != right_ts_col
+        ]
+    value_cols = list(value_cols)
+    matched_ts = f"{right_ts_col}{suffix}"
+
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(
+            "struct<" + ", ".join(
+                [f"{matched_ts}:timestamp"]
+                + [
+                    f"{c}{suffix}:{right.schema[c].dataType.simpleString()}"
+                    for c in value_cols
+                ]
+            ) + ">"
+        )
+    )
+    # the right row travels as ONE atomic struct: per-column last() would
+    # mix values from different right rows when a value column is null
+    r_struct = F.struct(
+        F.col(right_ts_col).cast("timestamp").alias(matched_ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(right_ts_col).alias(ts_col),
+        r_struct.alias("_r"),
+    ).withColumn("_side", F.lit(0))
+
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    # same-timestamp right row is visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        stale = F.col(f"_r.{matched_ts}") < (
+            F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.withColumn("_r", F.when(~stale, F.col("_r")))
+    return out.select(
+        *[c for c in out.columns if c != "_r"],
+        *[F.col(f"_r.{matched_ts}").alias(matched_ts)]
+        + [F.col(f"_r.{c}{suffix}").alias(f"{c}{suffix}") for c in value_cols],
+    )

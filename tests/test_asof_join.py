@@ -1,0 +1,79 @@
+"""as-of join tests: pandas merge_asof / DuckDB ASOF JOIN semantics via a
+pure DataFrame composition (one shuffle, no UDF)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.functions import asof_join
+
+
+def _ts(df, *cols):
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def test_asof_backward_semantics(spark):
+    left = _ts(spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"),
+         (2, "u1", "2024-01-01 11:00:00"),
+         (3, "u1", "2024-01-01 09:00:00"),   # before any right row
+         (4, "u2", "2024-01-01 10:30:00")],
+        "id int, user string, ts string"), "ts")
+    right = _ts(spark.createDataFrame(
+        [("u1", "2024-01-01 09:30:00", 10.0),
+         ("u1", "2024-01-01 10:00:00", 20.0),   # equal ts → matches (<=)
+         ("u1", "2024-01-01 10:45:00", 30.0),
+         ("u2", "2024-01-01 10:00:00", 99.0)],
+        "user string, ts string, rate double"), "ts")
+
+    out = asof_join(left, right, "ts", by=["user"])
+    got = {r.id: (r.rate_right, str(r.ts_right)) for r in out.collect()}
+    assert got[1] == (20.0, "2024-01-01 10:00:00")   # equal-ts right row wins
+    assert got[2] == (30.0, "2024-01-01 10:45:00")   # latest ≤ 11:00
+    assert got[3] == (None, "None")                  # nothing before 09:00
+    assert got[4] == (99.0, "2024-01-01 10:00:00")   # per-key isolation
+
+
+def test_asof_tolerance_and_null_values(spark):
+    left = _ts(spark.createDataFrame(
+        [(1, "u1", "2024-01-01 12:00:00")], "id int, user string, ts string"), "ts")
+    right = _ts(spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", 10.0),
+         ("u1", "2024-01-01 11:30:00", None)],   # newest row has NULL value
+        "user string, ts string, rate double"), "ts")
+
+    # the newest right ROW wins atomically — its null value must NOT be
+    # backfilled from the older row
+    out = asof_join(left, right, "ts", by=["user"]).collect()[0]
+    assert out.rate_right is None
+    assert str(out.ts_right) == "2024-01-01 11:30:00"
+
+    # tolerance: a match older than the window nulls out entirely
+    out2 = asof_join(left, right.filter(F.col("rate").isNotNull()),
+                     "ts", by=["user"], tolerance="30 minutes").collect()[0]
+    assert out2.rate_right is None and out2.ts_right is None
+
+
+def test_asof_plan_single_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    left = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 300).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    out = asof_join(left, right, "ts", by=["k"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # union + one window ⇒ exactly one hash-partitioning exchange on k
+    assert p.count("Exchange hashpartitioning") == 1, p
