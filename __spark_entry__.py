@@ -960,6 +960,24 @@ def _asof_join_purchases(spark, sf_dir):
     )
 
 
+def _range_join_price_bands(spark, sf_dir):
+    """Binned range join (functions/joins.py::range_join): lineitem unit
+    prices matched to part retail-price ±2% bands — equi-join on price
+    bins, never a cartesian. Output: matches per part."""
+    from metadata_etl_framework_spark.functions import range_join
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0).select(
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    bands = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 0.98).alias("lo"),
+        (F.col("p_retailprice") * 1.02).alias("hi"),
+    )
+    j = range_join(li, bands, "unit_price", "lo", "hi", bin_size=64.0)
+    return j.groupBy("p_partkey").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
 def _incr_snapshot_diff(spark, sf_dir):
     """Full-snapshot strategy: classify INSERT/UPDATE/DELETE between two
     snapshot states (incremental/merge.py::snapshot_diff; reference
@@ -1579,6 +1597,7 @@ _EXTRA_KEYS = [
     "sql_q14_promo_effect",
     "sql_q18_large_orders",
     "asof_join_purchases",
+    "range_join_price_bands",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1673,6 +1692,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q14_promo_effect": _sql_q14_promo_effect,
     "sql_q18_large_orders": _sql_q18_large_orders,
     "asof_join_purchases": _asof_join_purchases,
+    "range_join_price_bands": _range_join_price_bands,
 }
 
 
@@ -2414,6 +2434,15 @@ _ALL_SQL.update(
             UNION ALL
             SELECT 'sliding', window_start, event_type, cnt, CAST(NULL AS DOUBLE)
             FROM ({_ALL_SQL["events_sliding"]})
+        """,
+        "range_join_price_bands": """
+            SELECT p_partkey, COUNT(*) AS n_matches
+            FROM part,
+                 (SELECT l_extendedprice / l_quantity AS unit_price
+                  FROM lineitem WHERE l_quantity > 0)
+            WHERE unit_price >= p_retailprice * 0.98
+              AND unit_price <= p_retailprice * 1.02
+            GROUP BY p_partkey
         """,
         "asof_join_purchases": """
             SELECT e.event_id, e.user_id,

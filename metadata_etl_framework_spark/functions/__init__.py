@@ -26,7 +26,8 @@ from metadata_etl_framework_spark.functions.conversions import (  # noqa: F401
     convert_types,
 )
 from metadata_etl_framework_spark.functions.joins import (
-    asof_join,  # noqa: F401
+    asof_join,
+    range_join,  # noqa: F401
     detect_deletes,
     inner_join,
     join_data,

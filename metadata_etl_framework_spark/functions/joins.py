@@ -189,3 +189,47 @@ def asof_join(
         *[F.col(f"_r.{matched_ts}").alias(matched_ts)]
         + [F.col(f"_r.{c}{suffix}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_size: float,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval join without a cartesian product: the binned
+    range-join strategy (each interval explodes into the fixed-width bins
+    it covers; points hash to their bin; an EQUI-join on bin + optional
+    keys narrows candidates, then the exact BETWEEN filter applies).
+
+    Spark's optimizer turns a bare ``point BETWEEN lo AND hi`` join into
+    a broadcast-nested-loop/cartesian — dead at scale. Binning makes it a
+    hash shuffle whose fan-out is ``interval_width / bin_size`` rows per
+    interval: pick ``bin_size`` near the typical interval width so each
+    interval lands in O(1) bins.
+    """
+    b = float(bin_size)
+    binned_intervals = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b).cast("long"),
+                F.floor(F.col(hi_col) / b).cast("long"),
+            )
+        ),
+    )
+    binned_points = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / b).cast("long")
+    )
+    on = ["_bin", *extra_on]
+    return (
+        binned_points.join(binned_intervals, on)
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -77,3 +77,36 @@ def test_asof_plan_single_shuffle(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # union + one window ⇒ exactly one hash-partitioning exchange on k
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_range_join_matches_naive_and_no_cartesian(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from metadata_etl_framework_spark.functions import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "pid int, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 3.0, 7.0), (2, 6.5, 10.0), (3, 40.0, 45.5), (4, 100.0, 110.0)],
+        "iid int, lo double, hi double",
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", bin_size=5.0)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    naive = {
+        (p, i)
+        for p in range(50)
+        for i, lo, hi in [(1, 3.0, 7.0), (2, 6.5, 10.0), (3, 40.0, 45.5),
+                          (4, 100.0, 110.0)]
+        if lo <= float(p) <= hi
+    }
+    assert got == naive
+    # boundary inclusivity: x == lo and x == hi both match
+    assert (3, 1) in got and (7, 1) in got
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
