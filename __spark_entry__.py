@@ -940,6 +940,13 @@ def _project_melt(spark, sf_dir):
     )
 
 
+def _text_vocabulary(spark, sf_dir):
+    """Corpus vocabulary (ops/text.py::vocabulary): top-100 tokens with
+    count ≥ 2 — explode + one shuffled count, TakeOrderedAndProject head."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.vocabulary(docs, min_count=2, top_k=100)
+
+
 def _asof_join_purchases(spark, sf_dir):
     """As-of join (functions/joins.py::asof_join): each event picks the
     latest 'purchase' event value at-or-before its timestamp per user —
@@ -1598,6 +1605,7 @@ _EXTRA_KEYS = [
     "sql_q18_large_orders",
     "asof_join_purchases",
     "range_join_price_bands",
+    "text_vocabulary",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1693,6 +1701,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q18_large_orders": _sql_q18_large_orders,
     "asof_join_purchases": _asof_join_purchases,
     "range_join_price_bands": _range_join_price_bands,
+    "text_vocabulary": _text_vocabulary,
 }
 
 
@@ -2434,6 +2443,16 @@ _ALL_SQL.update(
             UNION ALL
             SELECT 'sliding', window_start, event_type, cnt, CAST(NULL AS DOUBLE)
             FROM ({_ALL_SQL["events_sliding"]})
+        """,
+        "text_vocabulary": r"""
+            SELECT token, COUNT(*) AS count FROM (
+                SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')))
+                       AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token HAVING COUNT(*) >= 2
+            ORDER BY count DESC, token LIMIT 100
         """,
         "range_join_price_bands": """
             SELECT p_partkey, COUNT(*) AS n_matches

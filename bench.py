@@ -50,6 +50,8 @@ HEADLINE = [
     "minhash_near_dups",
     "dedup_embedding_cosine",
     "embed_knn_join",
+    "asof_join_purchases",
+    "range_join_price_bands",
 ]
 
 
@@ -61,7 +63,7 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="bench")
-    queries = entry_mod.queries()
+    queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
     # warm the JVM + file-listing caches on a trivial plan so the first
     # measured query doesn't absorb one-time session costs

@@ -237,3 +237,33 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             & ~F.col("has_curly_brace"),
         )
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: token → document-wide count (the classic
+    word-count over the documents table; the input to min-frequency
+    vocabulary pruning in a tokenizer-training pipeline).
+
+    explode(tokens) → groupBy(token) is one shuffle with map-side partial
+    counts; ``top_k`` returns the head as a TakeOrderedAndProject (no
+    global sort). Ties in top_k break lexicographically (deterministic).
+    """
+    toks = tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("count"), F.col("token")).limit(top_k)
+    return counts

@@ -181,3 +181,17 @@ def test_c4_quality_flags(spark):
     assert got[3].has_javascript and not got[3].c4_keep
     assert got[4].has_curly_brace and not got[4].c4_keep
     assert got[5].c4_keep and got[5].terminal_punct_ratio == 0.0
+
+
+def test_vocabulary_counts_and_topk(spark):
+    from metadata_etl_framework_spark.ops.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "The cat ran"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    vocab = {r.token: r["count"] for r in vocabulary(df).collect()}
+    assert vocab == {"the": 2, "cat": 2, "sat": 1, "ran": 1}
+    top = vocabulary(df, top_k=2).collect()
+    assert [(r.token, r["count"]) for r in top] == [("cat", 2), ("the", 2)]
+    assert {r.token for r in vocabulary(df, min_count=2).collect()} == {"the", "cat"}
