@@ -113,6 +113,31 @@ def streaming_file_source(
     )
 
 
+def idempotent_foreach_batch(apply_fn, processed_log: str):
+    """Exactly-once wrapper for ``foreachBatch`` sinks to non-transactional
+    targets: micro-batch ids already recorded in ``processed_log`` are
+    SKIPPED, so a post-failure replay (Structured Streaming re-delivers
+    the last uncommitted batch) cannot double-apply side effects.
+
+    The checkpoint guarantees at-least-once delivery to foreachBatch; the
+    (batch_id → done) log upgrades that to effectively-once for sinks
+    without their own transactional dedup (JDBC upserts are naturally
+    idempotent; appends and per-record POSTs are not — wrap those).
+    """
+    import os
+
+    def _wrapped(batch_df, batch_id: int) -> None:
+        os.makedirs(processed_log, exist_ok=True)
+        marker = os.path.join(processed_log, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch: side effect already committed
+        apply_fn(batch_df, batch_id)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("done")
+
+    return _wrapped
+
+
 def foreach_batch_upsert(stream_df, target_path: str, keys: Sequence[str], checkpoint: str):
     """writeStream.foreachBatch → merge each micro-batch into a parquet
     target (Delta MERGE on clusters with Delta; join+union rewrite here).

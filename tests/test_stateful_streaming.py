@@ -146,3 +146,23 @@ def test_stream_static_enrichment_join(spark_mod, stream_src, tmp_path):
     g = {r.category: r.n for r in got.collect()}
     e = {r.category: r.n for r in expected.collect()}
     assert g == e and sum(g.values()) == spark.read.parquet(stream_src).count()
+
+
+def test_idempotent_foreach_batch_skips_replays(spark_mod, tmp_path):
+    """A replayed micro-batch (same batch_id after simulated failure) must
+    not double-apply the side effect."""
+    from metadata_etl_framework_spark.streaming.windows import (
+        idempotent_foreach_batch,
+    )
+
+    applied = []
+    wrapped = idempotent_foreach_batch(
+        lambda df, bid: applied.append((bid, df.count())),
+        processed_log=str(tmp_path / "batchlog"),
+    )
+    df = spark_mod.range(5)
+    wrapped(df, 0)
+    wrapped(df, 1)
+    wrapped(df, 1)   # replay of batch 1 → skipped
+    wrapped(df, 2)
+    assert [b for b, _ in applied] == [0, 1, 2]
