@@ -166,3 +166,55 @@ def test_idempotent_foreach_batch_skips_replays(spark_mod, tmp_path):
     wrapped(df, 1)   # replay of batch 1 → skipped
     wrapped(df, 2)
     assert [b for b, _ in applied] == [0, 1, 2]
+
+
+def test_native_session_window_stream_matches_batch(spark_mod, stream_src, tmp_path):
+    """Spark's native session_window under the streaming engine: per-user
+    session counts must match the same expression over the batch input
+    (and corroborate sessionize_batch's gaps-and-islands count)."""
+    from metadata_etl_framework_spark.streaming.windows import sessionize_batch
+
+    spark = spark_mod
+    batch = spark.read.parquet(stream_src)
+    schema = batch.schema
+    stream = streaming_file_source(spark, stream_src, schema,
+                                   max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("native_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT user_id, COUNT(*) AS n FROM native_sessions GROUP BY user_id"
+    )
+    expected = (
+        batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {r.user_id: r.n for r in got.collect()}
+    e = {r.user_id: r.n for r in expected.collect()}
+    # append-mode watermark may withhold the final open session per user;
+    # everything else matches exactly
+    for u, n in e.items():
+        assert g.get(u, 0) in (n, n - 1), (u, g.get(u), n)
+    # and the batch gaps-and-islands operator agrees with the native form
+    isl = (
+        sessionize_batch(batch, "ts", ["user_id"], gap="30 minutes",
+                         order_tiebreak="event_id")
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n"))
+    )
+    i = {r.user_id: r.n for r in isl.collect()}
+    assert i == e
