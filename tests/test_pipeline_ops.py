@@ -195,3 +195,40 @@ def test_vocabulary_counts_and_topk(spark):
     top = vocabulary(df, top_k=2).collect()
     assert [(r.token, r["count"]) for r in top] == [("cat", 2), ("the", 2)]
     assert {r.token for r in vocabulary(df, min_count=2).collect()} == {"the", "cat"}
+
+
+def test_continuous_rollup_equals_direct_aggregation(spark, tmp_path):
+    """rollup_with_tail (materialized closed buckets + raw tail) must be
+    row-identical to aggregating the raw table directly — the continuous
+    aggregate contract."""
+    from metadata_etl_framework_spark.ops.rollup import (
+        bucket_aggregate,
+        materialize_rollup,
+        rollup_with_tail,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    cutoff = "2024-01-15 00:00:00"  # aligned to the 1-hour bucket grid
+    path = str(tmp_path / "rollup")
+    materialize_rollup(ev, "ts", "1 hour", cutoff, path,
+                       group_by=["event_type"])
+    merged = rollup_with_tail(spark, path, ev, "ts", "1 hour", cutoff,
+                              group_by=["event_type"])
+
+    direct = bucket_aggregate(ev, "ts", "1 hour", ["event_type"]).select(
+        "bucket_start", "event_type", "n",
+        F.col("value_sum_dec").cast("double").alias("value_sum"),
+        F.when(F.col("n") > 0,
+               F.col("value_sum_dec").cast("double") / F.col("n")
+               ).alias("value_avg"),
+        "value_min", "value_max",
+    )
+    m = {tuple(r) for r in merged.collect()}
+    d = {tuple(r) for r in direct.collect()}
+    assert m == d and len(m) > 0
+    # both sides contribute: buckets exist before AND after the cutoff
+    starts = {r[0] for r in m}
+    import datetime as dt
+    c = dt.datetime(2024, 1, 15)
+    assert any(s < c for s in starts) and any(s >= c for s in starts)
