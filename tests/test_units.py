@@ -161,7 +161,7 @@ def test_extract_data_path():
 def test_file_connector_roundtrip(spark, tmp_path):
     fc = FileConnector(spark)
     df = spark.range(100).withColumn("val", F.col("id") * 2)
-    for fmt in ["parquet", "csv", "json"]:
+    for fmt in ["parquet", "csv", "json", "orc"]:
         path = str(tmp_path / fmt)
         fc.write(df, path, fmt=fmt)
         back = fc.read(path, fmt=fmt)
