@@ -212,7 +212,14 @@ def range_join(
     interval lands in O(1) bins.
     """
     b = float(bin_size)
-    binned_intervals = intervals.withColumn(
+    # drop malformed/null intervals: sequence(lo_bin, hi_bin) would emit a
+    # DESCENDING bin range for lo > hi instead of an empty one
+    valid = intervals.filter(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    )
+    binned_intervals = valid.withColumn(
         "_bin",
         F.explode(
             F.sequence(

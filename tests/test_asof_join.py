@@ -110,3 +110,18 @@ def test_range_join_matches_naive_and_no_cartesian(spark):
         out.explain("simple")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_ignores_malformed_intervals(spark):
+    from metadata_etl_framework_spark.functions import range_join
+
+    points = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    intervals = spark.createDataFrame(
+        [(1, 4.0, 6.0),      # valid, matches
+         (2, 8.0, 2.0),      # inverted → must not match anything
+         (3, None, 6.0)],    # null bound → dropped
+        "iid int, lo double, hi double",
+    )
+    got = {(r.pid, r.iid) for r in
+           range_join(points, intervals, "x", "lo", "hi", bin_size=5.0).collect()}
+    assert got == {(1, 1)}
