@@ -5,6 +5,11 @@ suite to keep the gate fast.
 
 Measured on local[32] (2026-08-13): q1-agg 1.7s, one-pass DQ 0.8s,
 running-total window 4.5s, fingerprint groupBy 2.3s, keep_latest 3.6s.
+LLM ops at 10× documents (50k docs): text features 4.1s, exact dedup
+1.2s, SimHash 3.8s, chunking 0.4s, MinHash near-dup 12.4s — the last is
+an adversarial input by construction (10× replication makes every doc a
+10-way exact duplicate, so every band bucket collides); real corpora
+have far sparser collision structure.
 """
 
 from __future__ import annotations
@@ -70,3 +75,23 @@ def test_windows_and_dedup_at_6m(big):
     )
     _force(w)
     _force(keep_latest(big, ["l_orderkey"], ("l_linenumber", "l_quantity")))
+
+
+def test_llm_ops_at_10x_docs(spark):
+    from functools import reduce as _reduce
+
+    from metadata_etl_framework_spark.ops import dedup as dd, text as tx
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    big = _reduce(
+        lambda a, b: a.unionByName(b),
+        [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+         for i in range(10)],
+    )
+    _force(tx.fingerprint(tx.quality_features(tx.token_count(big))))
+    _force(dd.exact_duplicates(big))
+    _force(dd.simhash(big))
+    _force(tx.chunk_documents(big, 64, 16))
+    _force(dd.minhash_near_duplicates(big, threshold=0.2, num_hashes=32,
+                                      num_bands=8))
