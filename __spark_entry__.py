@@ -809,6 +809,50 @@ _SQL_Q18 = """
 """
 
 
+_SQL_Q4 = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_SQL_Q17 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#13'
+      AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+_SQL_Q22 = """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
 def _sql_query(sql: str, *tables: str):
     """TPC-H-shaped SQL through the sqltransform step (full-SQL surface)."""
 
@@ -832,6 +876,9 @@ _sql_q10_returned_items = _sql_query(_SQL_Q10, "customer", "orders", "lineitem")
 _sql_q6_forecast_revenue = _sql_query(_SQL_Q6, "lineitem")
 _sql_q14_promo_effect = _sql_query(_SQL_Q14, "lineitem", "part")
 _sql_q18_large_orders = _sql_query(_SQL_Q18, "customer", "orders", "lineitem")
+_sql_q4_priority_check = _sql_query(_SQL_Q4, "orders", "lineitem")
+_sql_q17_small_qty = _sql_query(_SQL_Q17, "lineitem", "part")
+_sql_q22_idle_balances = _sql_query(_SQL_Q22, "customer", "orders")
 
 
 def _dq_rules_onepass(spark, sf_dir):
@@ -1609,6 +1656,9 @@ _EXTRA_KEYS = [
     "asof_join_purchases",
     "range_join_price_bands",
     "text_vocabulary",
+    "sql_q4_priority_check",
+    "sql_q17_small_qty",
+    "sql_q22_idle_balances",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1705,6 +1755,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_purchases": _asof_join_purchases,
     "range_join_price_bands": _range_join_price_bands,
     "text_vocabulary": _text_vocabulary,
+    "sql_q4_priority_check": _sql_q4_priority_check,
+    "sql_q17_small_qty": _sql_q17_small_qty,
+    "sql_q22_idle_balances": _sql_q22_idle_balances,
 }
 
 
@@ -2075,6 +2128,9 @@ _ALL_SQL: dict[str, str] = {
         "sql_q6_forecast_revenue": _SQL_Q6,
         "sql_q14_promo_effect": _SQL_Q14,
         "sql_q18_large_orders": _SQL_Q18,
+        "sql_q4_priority_check": _SQL_Q4,
+        "sql_q17_small_qty": _SQL_Q17,
+        "sql_q22_idle_balances": _SQL_Q22,
         "step_customudf": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS disc_price
