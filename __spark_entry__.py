@@ -809,6 +809,16 @@ _SQL_Q18 = """
 """
 
 
+_SQL_ROLLUP = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+"""
+
 _SQL_Q4 = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
@@ -879,6 +889,7 @@ _sql_q18_large_orders = _sql_query(_SQL_Q18, "customer", "orders", "lineitem")
 _sql_q4_priority_check = _sql_query(_SQL_Q4, "orders", "lineitem")
 _sql_q17_small_qty = _sql_query(_SQL_Q17, "lineitem", "part")
 _sql_q22_idle_balances = _sql_query(_SQL_Q22, "customer", "orders")
+_sql_rollup_totals = _sql_query(_SQL_ROLLUP, "lineitem")
 
 
 def _dq_rules_onepass(spark, sf_dir):
@@ -1659,6 +1670,7 @@ _EXTRA_KEYS = [
     "sql_q4_priority_check",
     "sql_q17_small_qty",
     "sql_q22_idle_balances",
+    "sql_rollup_totals",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1758,6 +1770,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q4_priority_check": _sql_q4_priority_check,
     "sql_q17_small_qty": _sql_q17_small_qty,
     "sql_q22_idle_balances": _sql_q22_idle_balances,
+    "sql_rollup_totals": _sql_rollup_totals,
 }
 
 
@@ -2131,6 +2144,7 @@ _ALL_SQL: dict[str, str] = {
         "sql_q4_priority_check": _SQL_Q4,
         "sql_q17_small_qty": _SQL_Q17,
         "sql_q22_idle_balances": _SQL_Q22,
+        "sql_rollup_totals": _SQL_ROLLUP,
         "step_customudf": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS disc_price
