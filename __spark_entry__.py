@@ -1613,10 +1613,13 @@ _DRIVER_KEYS = [
     "dedup_exact_groups",
     "dedup_embedding_cosine",
     "embed_knn_join",
-    # rows-only (no SQL-expressible oracle): custom hashing / UDF plumbing
+    "text_lang_id",
+    # rows-only (no SQL-expressible oracle): minhash/simhash are seeded
+    # xxhash64/bit-mix pipelines and ann_lsh_topk is hyperplane-LSH bucket
+    # selection — none expressible in ANSI SQL; multimodal_image_meta IS
+    # oracle-backed (dims derived arithmetically on both sides).
     "minhash_near_dups",
     "simhash_signatures",
-    "text_lang_id",
     "ann_lsh_topk",
     "multimodal_image_meta",
 ]
@@ -2156,21 +2159,23 @@ _ALL_SQL: dict[str, str] = {
             SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
         """,
         "dq_rules_onepass": """
-            SELECT COUNT(*) AS total_rows,
-                   COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
-                     AS fail_not_null,
-                   COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+            -- CASTs to BIGINT: DuckDB SUM(int) returns HUGEINT which surfaces as
+            -- float64 in the hash path; Spark emits int64. Values are identical.
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS fail_not_null,
+                   CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
                                       AND (o_totalprice < 2000.0 OR o_totalprice > 450000.0)
-                                     THEN 1 ELSE 0 END), 0) AS fail_value_range,
-                   COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS fail_value_range,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
                                       AND o_orderstatus NOT IN ('F','O','P')
-                                     THEN 1 ELSE 0 END), 0) AS fail_allowed_values,
-                   COALESCE(SUM(CASE WHEN o_orderdate IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS fail_allowed_values,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NOT NULL
                                       AND o_orderdate > TIMESTAMP '1998-08-02 00:00:00'
-                                     THEN 1 ELSE 0 END), 0) AS fail_future_dates,
-                   COALESCE(SUM(CASE WHEN o_orderkey IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS fail_future_dates,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NOT NULL
                                       AND NOT (o_orderkey <= o_orderkey)
-                                     THEN 1 ELSE 0 END), 0) AS fail_cross_field
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS fail_cross_field
             FROM orders
         """,
         "incr_keep_latest": """
@@ -2312,6 +2317,31 @@ _ALL_SQL: dict[str, str] = {
                    CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
                      AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        # Mirrors ops/text.py lang_id_heuristic: whitespace-tokenize lowered
+        # text, count marker hits per language (_LANG_MARKERS, sync manually),
+        # argmax with ties to the alphabetically-first language (hence the
+        # de→en→es→fr CASE order), zero hits → 'unknown'.
+        "text_lang_id": r"""
+            WITH scored AS (
+              SELECT
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('der','die','und','ist','das'))) AS h_de,
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('the','and','of','to','is'))) AS h_en,
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('el','la','de','que','es'))) AS h_es,
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('le','la','et','est','les'))) AS h_fr
+              FROM documents
+            )
+            SELECT CASE WHEN GREATEST(h_de,h_en,h_es,h_fr) <= 0 THEN 'unknown'
+                        WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 'de'
+                        WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 'en'
+                        WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   COUNT(*) AS n_docs
+            FROM scored GROUP BY 1
         """,
         "embed_knn_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
