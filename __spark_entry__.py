@@ -341,6 +341,17 @@ def _window_rank(spark, sf_dir):
     )
 
 
+def _window_avg_rank(spark, sf_dir):
+    """pandas rank(method='average') semantics (reference window-step arm,
+    src/transform/transform_engine.py:244) over the heavy-tie l_quantity
+    column — ties share the mean of the positions they occupy."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = rank_within_group(
+        li, ["l_returnflag"], "l_quantity", output_col="avg_rnk", method="average"
+    )
+    return out.select("l_returnflag", "l_quantity", "avg_rnk")
+
+
 def _window_lag(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     out = lag_lead(orders, "o_totalprice", 1, ["o_custkey"], "o_orderkey",
@@ -1630,6 +1641,7 @@ _EXTRA_KEYS = [
     "convert_lossy",
     "string_funcs",
     "window_rank",
+    "window_avg_rank",
     "window_lag",
     "window_running_total",
     "window_rolling_sum",
@@ -1694,6 +1706,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_orders_by_priority": _agg_orders_by_priority,
     "pivot_status": _pivot_status,
     "window_rank": _window_rank,
+    "window_avg_rank": _window_avg_rank,
     "window_lag": _window_lag,
     "window_rank_lag": _window_rank_lag,
     "window_running_total": _window_running_total,
@@ -1879,6 +1892,15 @@ _ALL_SQL: dict[str, str] = {
                        ) AS INTEGER) AS rnk
                 FROM orders
             ) WHERE rnk <= 3
+        """,
+        "window_avg_rank": """
+            SELECT l_returnflag, l_quantity,
+                   CAST(RANK() OVER (
+                            PARTITION BY l_returnflag ORDER BY l_quantity)
+                        + (COUNT(*) OVER (
+                            PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+                        AS DOUBLE) AS avg_rnk
+            FROM lineitem
         """,
         "window_lag": """
             SELECT o_custkey, o_orderkey, o_totalprice,

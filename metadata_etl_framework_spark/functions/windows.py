@@ -50,12 +50,21 @@ def rank_within_group(
 
     Reference default is dense rank (transformation_library.py:632).
     """
-    fn = _RANK_FNS.get(method)
-    if fn is None:
-        raise ValueError(f"unsupported rank method {method!r}")
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     ordering = [F.col(c) if ascending else F.col(c).desc() for c in order_cols]
     w = Window.partitionBy(*partition_by).orderBy(*ordering)
+    if method in ("average", "avg_rank"):
+        # pandas rank(method='average') semantics (reference window-step arm,
+        # transform_engine.py:244): a tie group of size n starting at SQL rank
+        # r gets (r + (r+n-1)) / 2 = r + (n-1)/2. One extra unordered window
+        # over (partition, order value) — same shuffle key, no second exchange.
+        tie_w = Window.partitionBy(*partition_by, *order_cols)
+        n_ties = F.count(F.lit(1)).over(tie_w)
+        avg = (F.rank().over(w) + (n_ties - F.lit(1)) / F.lit(2.0)).cast("double")
+        return df.withColumn(output_col, avg)
+    fn = _RANK_FNS.get(method)
+    if fn is None:
+        raise ValueError(f"unsupported rank method {method!r}")
     return df.withColumn(output_col, fn().over(w))
 
 

@@ -184,7 +184,7 @@ class TransformEngine:
     def _window(self, data, step, sources) -> DataFrame:
         cfg = step.get("config", step)
         fn = str(cfg.get("function", "rank")).lower()
-        if fn in ("rank", "dense_rank", "row_number"):
+        if fn in ("rank", "dense_rank", "row_number", "average", "avg_rank"):
             return win_lib.rank_within_group(
                 data,
                 cfg.get("partition_by", []),

@@ -89,6 +89,21 @@ def test_window_step_rank_lag_cumsum_rolling(spark, people):
     assert roll.filter("id = 2").collect()[0].ma == pytest.approx(57500.0)
 
 
+def test_window_step_average_rank(spark):
+    # pandas rank(method='average'): [10, 20, 20, 30] -> [1.0, 2.5, 2.5, 4.0]
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 20), ("a", 30), ("b", 7)], "grp string, v int"
+    )
+    out = _run(spark, {"p": df}, [
+        {"type": "window", "config": {
+            "function": "average", "partition_by": ["grp"],
+            "order_by": "v", "output_col": "avg_rnk"}}
+    ])
+    got = sorted((r.grp, r.v, r.avg_rnk) for r in out.collect())
+    assert got == [("a", 10, 1.0), ("a", 20, 2.5), ("a", 20, 2.5),
+                   ("a", 30, 4.0), ("b", 7, 1.0)]
+
+
 def test_join_step_resolves_right_source(spark, people):
     depts = spark.createDataFrame(
         [("IT", "Tech"), ("HR", "People"), ("Finance", "Money")],
