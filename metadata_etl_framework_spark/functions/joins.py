@@ -197,7 +197,7 @@ def range_join(
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bin_size: float,
+    bin_size: float | None = None,
     extra_on: Sequence[str] = (),
 ) -> DataFrame:
     """Point-in-interval join without a cartesian product: the binned
@@ -210,8 +210,24 @@ def range_join(
     hash shuffle whose fan-out is ``interval_width / bin_size`` rows per
     interval: pick ``bin_size`` near the typical interval width so each
     interval lands in O(1) bins.
+
+    ``bin_size=None`` (default) derives it from the MEDIAN interval width
+    in one cheap aggregate, so a few pathologically wide intervals can't
+    explode the fan-out the way a too-small caller-chosen bin would: a
+    single interval 1000× the median still lands in ~1000 bins (bounded by
+    its own width), while the typical interval stays in 1-2 bins.
     """
+    if bin_size is None:
+        med = intervals.select(
+            F.percentile_approx(
+                F.col(hi_col) - F.col(lo_col), F.lit(0.5)
+            ).alias("m")
+        ).collect()[0]["m"]
+        # median width 0 (point intervals) or all-null → fall back to 1.0
+        bin_size = float(med) if med else 1.0
     b = float(bin_size)
+    if b <= 0:
+        raise ValueError(f"bin_size must be positive, got {bin_size!r}")
     # drop malformed/null intervals: sequence(lo_bin, hi_bin) would emit a
     # DESCENDING bin range for lo > hi instead of an empty one
     valid = intervals.filter(

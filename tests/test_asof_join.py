@@ -125,3 +125,38 @@ def test_range_join_ignores_malformed_intervals(spark):
     got = {(r.pid, r.iid) for r in
            range_join(points, intervals, "x", "lo", "hi", bin_size=5.0).collect()}
     assert got == {(1, 1)}
+
+
+def test_range_join_auto_bin_size_bounds_skewed_fanout(spark):
+    """bin_size=None derives the bin from the MEDIAN interval width, so one
+    pathologically wide interval can't blow up the explode fan-out: with 99
+    width-1 intervals and one width-10000 outlier, a width-quantile bin (~1)
+    keeps typical intervals in <=2 bins; the outlier alone pays its width."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.functions import range_join
+
+    intervals = spark.createDataFrame(
+        [(i, float(i * 100), float(i * 100) + 1.0) for i in range(1, 100)]
+        + [(0, 0.0, 10_000.0)],
+        "iid int, lo double, hi double",
+    )
+    points = spark.createDataFrame(
+        [(i, float(i * 100) + 0.5) for i in range(100)], "pid int, x double"
+    )
+    out = range_join(points, intervals, "x", "lo", "hi")  # bin_size=None
+    got = {(r.pid, r.iid) for r in out.collect()}
+    expected = {(i, i) for i in range(1, 100)} | {(i, 0) for i in range(101)
+                if i * 100 + 0.5 <= 10_000.0 and i < 100}
+    assert got == expected
+
+    # fan-out bound: total exploded interval-bin rows ~= sum(width_i/bin)+n.
+    # With bin≈median width (1.0): 99*2 + 10001 bins max; a naive bin sized
+    # to the OUTLIER (e.g. width/100) would be fine too, but a tiny
+    # caller-chosen bin like 0.01 would emit 1M rows for the outlier alone.
+    b = 1.0  # the derived bin (median of 99 widths of 1.0 and one 10000.0)
+    binned = intervals.withColumn(
+        "_n", F.floor(F.col("hi") / b) - F.floor(F.col("lo") / b) + 1
+    )
+    total = binned.agg(F.sum("_n")).collect()[0][0]
+    assert total <= 99 * 2 + 10_002
