@@ -96,8 +96,10 @@ def main() -> None:
     # band and worth a look; informational — does not change exit code.
     baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     if baseline_path is None:
+        # numeric round sort: lexicographic would put r10 before r2
         candidates = sorted(
-            f for f in os.listdir(".") if re.fullmatch(r"BENCH_r\d+\.json", f)
+            (f for f in os.listdir(".") if re.fullmatch(r"BENCH_r\d+\.json", f)),
+            key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
         )
         baseline_path = candidates[-1] if candidates else None
     if baseline_path and os.path.exists(baseline_path):

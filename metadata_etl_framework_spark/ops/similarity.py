@@ -186,16 +186,24 @@ def ivf_save(
     becomes a partition-pruned scan that reads ONLY those clusters'
     files — at 100 TB the query touches nprobe/n_clusters of the corpus
     bytes, verified via PartitionFilters in the plan
-    (tests/test_plans.py)."""
-    import json
+    (tests/test_plans.py).
+
+    The centroid sidecar is written THROUGH Spark (tiny parquet dataset,
+    one row per cluster) rather than builtin open(), so the whole index —
+    corpus and metadata — lands on whatever filesystem ``path`` names
+    (s3a/hdfs/abfss/local alike)."""
     import os
 
+    spark = assigned.sparkSession
     assigned.write.mode("overwrite").partitionBy("_cluster").parquet(
         os.path.join(path, "corpus")
     )
-    meta = {"centroids": centroids, "n_clusters": len(centroids)}
-    with open(os.path.join(path, "centroids.json"), "w", encoding="utf-8") as f:
-        json.dump(meta, f)
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, "cluster_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
 
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
@@ -203,13 +211,15 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
 
     The probe-selection metadata (centroids) travels WITH the index, so
     any session can serve queries without refitting KMeans."""
-    import json
     import os
 
     assigned = spark.read.parquet(os.path.join(path, "corpus"))
-    with open(os.path.join(path, "centroids.json"), encoding="utf-8") as f:
-        meta = json.load(f)
-    return assigned, meta["centroids"]
+    cent = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster_id")
+        .collect()
+    )
+    return assigned, [list(r.centroid) for r in cent]
 
 
 def ivf_topk(

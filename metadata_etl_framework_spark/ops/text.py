@@ -181,7 +181,9 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
-    toks = tokens(text_col)
+    # NULL text → empty token array, so null-text docs still yield their
+    # one (empty) chunk instead of vanishing in posexplode
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     n = F.size(toks)
     # chunk start offsets: 0, stride, 2*stride, ... < max(n - overlap, 1)
     n_chunks = F.greatest(

@@ -43,7 +43,14 @@ def cron_matches(expr: str, dt: datetime) -> bool:
     minute, hour, dom, month, dow = expr.split()
     dom_ok = _match_field(dom, dt.day)
     dow_ok = _match_field(dow, (dt.weekday() + 1) % 7)
-    day_ok = (dom_ok or dow_ok) if (dom != "*" and dow != "*") else (dom_ok and dow_ok)
+    # Vixie treats any field STARTING with '*' (e.g. '*/2') as unrestricted
+    # for the dom/dow OR rule, not just the bare '*'
+    dom_restricted = not dom.startswith("*")
+    dow_restricted = not dow.startswith("*")
+    day_ok = (
+        (dom_ok or dow_ok) if (dom_restricted and dow_restricted)
+        else (dom_ok and dow_ok)
+    )
     return (
         _match_field(minute, dt.minute)
         and _match_field(hour, dt.hour)

@@ -128,6 +128,15 @@ def test_cron_matching_and_next_run():
     assert nxt == datetime(2026, 1, 6, 2, 0)
     # monday-only (dow 1)
     assert cron_matches("0 0 * * 1", datetime(2026, 1, 5, 0, 0))  # a Monday
+    # Vixie day OR-rule applies only when BOTH dom and dow are restricted;
+    # a field starting with '*' (e.g. '*/2') counts as UNrestricted, so
+    # '*/2' dom + monday dow requires BOTH to match (AND), not either
+    assert not cron_matches("0 0 */2 * 1", datetime(2026, 1, 6, 0, 0))  # Tue 6th: dom ok, dow no
+    assert not cron_matches("0 0 */2 * 1", datetime(2026, 1, 5, 0, 0))  # Mon 5th: dow ok, dom no (OR-bug fired here)
+    assert cron_matches("0 0 */2 * 1", datetime(2026, 1, 12, 0, 0))     # Mon 12th: both match
+    # both restricted → OR (classic Vixie): the 13th OR any Monday fires
+    assert cron_matches("0 0 13 * 1", datetime(2026, 1, 13, 0, 0))  # the 13th (a Tuesday)
+    assert cron_matches("0 0 13 * 1", datetime(2026, 1, 5, 0, 0))   # a Monday
 
 
 def test_scheduler_policies_and_retry():

@@ -96,6 +96,16 @@ def test_chunk_documents_overlap_and_coverage(spark):
         chunk_documents(df, max_tokens=4, overlap=4)
 
 
+def test_chunk_documents_null_text_yields_one_empty_chunk(spark):
+    # null text must not vanish in posexplode (parity with the DuckDB
+    # oracle, which emits one row per null-text doc)
+    df = spark.createDataFrame([(1, None), (2, "two words")],
+                               "doc_id int, text string")
+    rows = sorted((r.doc_id, r.chunk_text, r.n_chunk_tokens)
+                  for r in chunk_documents(df, max_tokens=4, overlap=1).collect())
+    assert rows == [(1, "", 0), (2, "two words", 2)]
+
+
 def test_melt_unpivot_step(spark):
     from metadata_etl_framework_spark.operators import TransformEngine
 
