@@ -27,6 +27,7 @@ from metadata_etl_framework_spark.functions.conversions import (  # noqa: F401
 )
 from metadata_etl_framework_spark.functions.joins import (
     asof_join,
+    range_count,
     range_join,  # noqa: F401
     detect_deletes,
     inner_join,

@@ -256,3 +256,150 @@ def range_join(
         )
         .drop("_bin")
     )
+
+
+def range_count(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    target_bins: int = 16384,
+) -> DataFrame:
+    """Aggregate pushdown through a range join: per-interval COUNT of
+    points falling in ``[lo, hi]``, computed as a CDF difference —
+    ``count = rank_le(hi) - rank_lt(lo)`` — over a binned histogram of
+    the points. The point×interval match set is NEVER materialized.
+
+    Each rank resolves as (cumulative count of whole bins strictly below
+    the bound's bin, from a broadcast dense cumulative histogram) plus
+    (points on the correct side of the bound *within its single bin*,
+    via an equi-join on that one bin with map-side partial aggregation).
+    Shuffle volume is O(points + distinct bounds), independent of the
+    match count — ``range_join(...).groupBy().count()`` shuffles
+    O(matches) instead, which for a selective band query at 100 TB can
+    be 10^11 rows that exist only to be counted. Returns the interval
+    rows with an appended ``n_matches``; intervals with zero matching
+    points are kept with ``n_matches = 0`` (callers wanting inner-join
+    semantics filter ``n_matches > 0``).
+
+    Reference parity: counting/validation arm of the range-condition
+    join (src/transform/transformation_library.py join family); the
+    rewrite itself is the classic band-join count optimization.
+    """
+    valid = intervals.filter(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    )
+    pts = points.select(F.col(point_col).cast("double").alias("_pt")).filter(
+        F.col("_pt").isNotNull()
+    )
+    # bounded driver-side aggregate (3 scalars) to size the bins
+    stats = pts.agg(
+        F.min("_pt").alias("mn"), F.max("_pt").alias("mx")
+    ).collect()[0]
+    if stats["mn"] is None:
+        return valid.withColumn("n_matches", F.lit(0).cast("long"))
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    span = mx - mn
+    b = span / target_bins if span > 0 else 1.0
+    min_bin = int(mn // b)
+    max_bin = int(mx // b)
+
+    spark = points.sparkSession
+    hist = pts.groupBy(
+        F.floor(F.col("_pt") / b).cast("long").alias("_bin")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    # dense bin spine so every bound's (clamped) bin has a cumulative row
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(min_bin), F.lit(max_bin))).alias("_b0")
+        )
+        .select(F.col("_b0").cast("long").alias("_bin"))
+    )
+    # cumulative over <= target_bins rows: the single-partition window is
+    # deliberate and tiny (the histogram, not the data)
+    from pyspark.sql.window import Window
+
+    dense = (
+        spine.join(hist, "_bin", "left")
+        .select("_bin", F.coalesce("_cnt", F.lit(0)).alias("_cnt"))
+    )
+    cum = dense.select(
+        "_bin",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_bin").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_cum"),
+    )
+
+    # distinct bound values; rank is a function of (side, value) alone,
+    # so duplicate bounds across intervals collapse before any join
+    bnds = (
+        valid.select(F.col(lo_col).cast("double").alias("_v"),
+                     F.lit("lo").alias("_side"))
+        .unionByName(
+            valid.select(F.col(hi_col).cast("double").alias("_v"),
+                         F.lit("hi").alias("_side"))
+        )
+        .distinct()
+        .withColumn(
+            "_bin",
+            F.least(
+                F.greatest(
+                    F.floor(F.col("_v") / b).cast("long"), F.lit(min_bin)
+                ),
+                F.lit(max_bin),
+            ),
+        )
+        .join(F.broadcast(cum), "_bin")
+    )
+
+    # points join ONLY the bounds sharing their single bin; the aggregate
+    # is partial (map-side combine) before the 2×|intervals|-group shuffle
+    pb = pts.withColumn("_bin", F.floor(F.col("_pt") / b).cast("long"))
+    inbin = (
+        pb.join(F.broadcast(bnds.select("_side", "_v", "_bin")), "_bin")
+        .groupBy("_side", "_v")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("_side") == "hi") & (F.col("_pt") <= F.col("_v")))
+                    | ((F.col("_side") == "lo") & (F.col("_pt") < F.col("_v"))),
+                    1,
+                ).otherwise(0)
+            ).alias("_inb")
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    # referenced twice below (lo side, hi side): persist so the histogram
+    # + in-bin join lineage runs once; 2×|distinct bounds| rows of scalars
+    ranks = (
+        bnds.join(inbin, ["_side", "_v"], "left")
+        .select(
+            "_side", "_v",
+            (F.col("_cum") + F.coalesce(F.col("_inb"), F.lit(0))).alias("_rank"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rank_hi = ranks.filter(F.col("_side") == "hi").select(
+        F.col("_v").alias("_hv"), F.col("_rank").alias("_rank_hi")
+    )
+    rank_lo = ranks.filter(F.col("_side") == "lo").select(
+        F.col("_v").alias("_lv"), F.col("_rank").alias("_rank_lo")
+    )
+    return (
+        valid.join(F.broadcast(rank_hi), F.col(hi_col) == F.col("_hv"))
+        .join(F.broadcast(rank_lo), F.col(lo_col) == F.col("_lv"))
+        .withColumn(
+            "n_matches", (F.col("_rank_hi") - F.col("_rank_lo")).cast("long")
+        )
+        .drop("_hv", "_lv", "_rank_hi", "_rank_lo")
+    )

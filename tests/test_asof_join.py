@@ -160,3 +160,59 @@ def test_range_join_auto_bin_size_bounds_skewed_fanout(spark):
     )
     total = binned.agg(F.sum("_n")).collect()[0][0]
     assert total <= 99 * 2 + 10_002
+
+
+def test_range_count_matches_range_join_groupby(spark):
+    """range_count (CDF-difference rewrite) must agree exactly with the
+    materializing range_join + groupBy count, including boundary
+    inclusivity, duplicate bound values, empty-bin bounds, and intervals
+    with zero matches (kept, n_matches=0)."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.functions import range_count, range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i % 97) + (i % 3) * 0.25) for i in range(500)],
+        "pid int, x double",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 3.0, 7.0), (2, 6.5, 10.0), (3, 40.0, 45.5),
+         (4, 3.0, 7.0),          # duplicate bounds of iid 1
+         (5, 200.0, 210.0),      # beyond max point → zero matches
+         (6, -50.0, -10.0),      # below min point → zero matches
+         (7, 0.0, 96.75)],       # whole span
+        "iid int, lo double, hi double",
+    )
+    naive = {
+        r["iid"]: r["n"]
+        for r in range_join(points, intervals, "x", "lo", "hi", bin_size=5.0)
+        .groupBy("iid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["iid"]: r["n_matches"]
+        for r in range_count(points, intervals, "x", "lo", "hi",
+                             target_bins=64).collect()
+    }
+    # zero-match intervals present with 0; equal counts elsewhere
+    assert got[5] == 0 and got[6] == 0
+    assert {k: v for k, v in got.items() if v > 0} == naive
+    # duplicate-bound intervals counted independently
+    assert got[1] == got[4]
+
+
+def test_range_count_drops_malformed_keeps_empty_points(spark):
+    from metadata_etl_framework_spark.functions import range_count
+
+    points = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    intervals = spark.createDataFrame(
+        [(1, 4.0, 6.0), (2, 8.0, 2.0), (3, None, 6.0)],
+        "iid int, lo double, hi double",
+    )
+    got = {r["iid"]: r["n_matches"]
+           for r in range_count(points, intervals, "x", "lo", "hi").collect()}
+    assert got == {1: 1}  # inverted + null-bound intervals dropped
+
+    empty = points.filter("x > 100")
+    got2 = {r["iid"]: r["n_matches"]
+            for r in range_count(empty, intervals, "x", "lo", "hi").collect()}
+    assert got2 == {1: 0}  # no points → valid intervals kept at zero
