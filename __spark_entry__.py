@@ -1225,8 +1225,11 @@ def _dedup_ngram_jaccard(spark, sf_dir):
     )
 
 def _minhash_near_dups(spark, sf_dir):
-    """Full MinHash→LSH-band→exact-Jaccard pipeline (merged with the former
-    dedup_ngram_jaccard entry — same pipeline, one threshold)."""
+    """Near-dup pairs by n-gram Jaccard ≥ 0.2. Below the row gate this is
+    the EXACT shingle-inverted-index regime (ops/dedup.py::
+    exact_jaccard_pairs — complete for any threshold > 0, hash-checked
+    against an all-pairs DuckDB oracle); above it, MinHash→LSH banding→
+    exact verify takes over for web-scale corpora."""
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.minhash_near_duplicates(docs, threshold=0.2, num_hashes=32,
                                              num_bands=8)
@@ -1667,10 +1670,11 @@ _DRIVER_KEYS = [
     "dedup_embedding_cosine",
     "embed_knn_join",
     "text_lang_id",
-    # rows-only (no SQL-expressible oracle): minhash/simhash are seeded
-    # xxhash64/bit-mix pipelines and ann_lsh_topk is hyperplane-LSH bucket
-    # selection — none expressible in ANSI SQL; multimodal_image_meta IS
-    # oracle-backed (dims derived arithmetically on both sides).
+    # rows-only (no SQL-expressible oracle): simhash is a seeded
+    # xxhash64/bit-mix pipeline and ann_lsh_topk is hyperplane-LSH bucket
+    # selection — neither expressible in ANSI SQL. minhash_near_dups and
+    # multimodal_image_meta ARE oracle-backed (exact inverted-index
+    # Jaccard below the row gate / dims derived arithmetically).
     "minhash_near_dups",
     "simhash_signatures",
     "ann_lsh_topk",
@@ -2385,6 +2389,33 @@ _ALL_SQL: dict[str, str] = {
         # Mirrors ops/text.py lang_id_heuristic: whitespace-tokenize lowered
         # text, count marker hits per language (_LANG_MARKERS, sync manually),
         # argmax with ties to the alphabetically-first language (hence the
+        # Exact inverted-index Jaccard: the Spark side's below-gate regime
+        # is provably complete for threshold > 0 (every J>0 pair shares a
+        # shingle), so all-pairs n-gram Jaccard in SQL is the same set.
+        "minhash_near_dups": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+                WHERE LEN(t) >= 3
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.2
+        """,
         # de→en→es→fr CASE order), zero hits → 'unknown'.
         "text_lang_id": r"""
             WITH scored AS (

@@ -136,13 +136,89 @@ def jaccard_similarity(
     )
 
 
+def exact_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs via a shingle inverted index:
+    explode distinct shingles → self equi-join on the shingle → the group
+    count per (id_a, id_b) IS the intersection size, so
+    ``J = c / (n_a + n_b - c)`` needs no second pass over the text.
+
+    Every pair with J > 0 shares ≥ 1 shingle, so for any threshold > 0
+    this is provably complete — no recall parameter. The cost is
+    Σ_shingle df² over candidate pairs, which is what MinHash-LSH exists
+    to avoid on web-scale corpora with high-frequency shingles; callers
+    at that scale use the LSH regime of ``minhash_near_duplicates``.
+    """
+    if threshold <= 0:
+        raise ValueError("exact_jaccard_pairs requires threshold > 0 "
+                         "(J=0 pairs share no shingle and are unindexable)")
+    from pyspark.storagelevel import StorageLevel
+
+    # a small-file corpus arrives as 1-2 scan partitions; the n-gram
+    # transform is CPU-bound per row, so spread it across the cluster
+    # before paying it (no-op when the scan already has enough splits)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    # shingle arrays materialize ONCE (the tokenize+n-gram transform is the
+    # expensive projection); sizes come from F.size — no groupBy shuffle —
+    # and both self-join sides re-explode the persisted arrays
+    base = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # each exploded row carries its doc's shingle count, and the counts
+    # ride into the groupBy keys (functionally dependent on the ids) —
+    # no join back to a sizes table after the aggregation
+    sh = base.select(
+        F.col(id_col), F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    jac = F.round(
+        F.col("_c").cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("_c")),
+        6,
+    )
+    return common.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.8, num_hashes: int = 64,
     num_bands: int = 16, shingle_n: int = 3,
+    exact_max_rows: int = 100_000,
 ) -> DataFrame:
-    """Full MinHash-LSH pipeline: signatures → banded candidates → exact
-    Jaccard filter ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    """Near-duplicate pairs (n-gram Jaccard ≥ threshold), two regimes:
+
+    * Corpus ≤ ``exact_max_rows``: ``exact_jaccard_pairs`` — the shingle
+      inverted index yields EVERY qualifying pair (no recall parameter),
+      so the result is deterministic and oracle-checkable exactly.
+    * Above the gate: MinHash signatures → LSH banded candidates → exact
+      Jaccard verify. Recall follows the banding S-curve
+      ``1 - (1 - J^r)^b``; at web scale the inverted index's Σdf² blowup
+      on high-frequency shingles makes this the only tractable path.
+
+    Returns (id_a, id_b, jaccard). Mirrors the exact-below-gate /
+    probabilistic-above design of similarity.embedding_near_dup_pairs."""
+    if 0 < df.count() <= exact_max_rows and threshold > 0:
+        return exact_jaccard_pairs(df, id_col, text_col, threshold, shingle_n)
     # persist the two frames each referenced by both sides of a self-join:
     # without this the whole shingle+hash lineage recomputes per side
     # (signatures are id + K longs — tiny relative to the text they derive
