@@ -1,0 +1,208 @@
+"""Delta Lake arm for incremental merges (import-gated).
+
+The batch operators in merge.py express upsert / CDC / SCD2 as
+anti-join + union — correct on any storage, but a full rewrite of the
+target. On a transactional table format the same semantics become a
+``MERGE INTO`` that rewrites only the touched files. This module routes
+to Delta when the delta-spark bindings are importable and raises a
+clear, actionable error otherwise; the pure-DataFrame operators remain
+the fallback everywhere else.
+
+Reference parity: the delta_lake strategy of
+src/utils/incremental_load_manager.py:786-798 — which the reference
+itself leaves as a logged stub ("Delta Lake extraction not yet
+implemented"), so this arm EXCEEDS reference behavior rather than
+porting it.
+
+Design for testability without the dependency: every merge function
+takes a ``delta_table_factory`` — ``(spark, target) -> DeltaTable-like``
+— defaulting to the real ``DeltaTable.forPath``/``forName`` resolution.
+Tests inject a fake that records the builder-chain calls, so the clause
+composition (the part we own) is verified even though the Delta JARs
+are absent in this environment.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DeltaUnavailableError(RuntimeError):
+    """delta-spark is not importable in this environment."""
+
+    def __init__(self) -> None:
+        super().__init__(
+            "Delta Lake support requires the delta-spark package and its "
+            "JARs (pip install delta-spark, plus "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension). "
+            "Use the pure-DataFrame operators in incremental.merge as the "
+            "storage-agnostic fallback."
+        )
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _default_factory(spark: SparkSession, target: str) -> Any:
+    if not delta_available():
+        raise DeltaUnavailableError()
+    from delta.tables import DeltaTable
+
+    # paths contain a separator; bare names resolve through the catalog
+    if "/" in target or target.startswith("dbfs:"):
+        return DeltaTable.forPath(spark, target)
+    return DeltaTable.forName(spark, target)
+
+
+def merge_condition(
+    keys: Sequence[str], target_alias: str = "t", source_alias: str = "s"
+) -> str:
+    """Equi-join merge predicate over the business keys, null-safe so a
+    null key matches its null counterpart instead of silently inserting
+    a duplicate row (MERGE ON uses SQL equality otherwise)."""
+    return " AND ".join(
+        f"{target_alias}.{k} <=> {source_alias}.{k}" for k in keys
+    )
+
+
+def merge_upsert_delta(
+    spark: SparkSession,
+    target: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    mode: str = "upsert",
+    delta_table_factory: Callable[[SparkSession, str], Any] | None = None,
+) -> None:
+    """``merge.merge_upsert`` semantics as a Delta MERGE INTO.
+
+    upsert      → whenMatchedUpdateAll + whenNotMatchedInsertAll
+    insert_only → whenNotMatchedInsertAll only
+    update_only → whenMatchedUpdateAll only
+
+    Only files containing matched keys rewrite; the anti-join + union
+    fallback rewrites the whole target.
+    """
+    if mode not in ("upsert", "insert_only", "update_only"):
+        raise ValueError(f"unknown merge mode {mode!r}")
+    factory = delta_table_factory or _default_factory
+    dt = factory(spark, target)
+    m = dt.alias("t").merge(source.alias("s"), merge_condition(list(keys)))
+    if mode in ("upsert", "update_only"):
+        m = m.whenMatchedUpdateAll()
+    if mode in ("upsert", "insert_only"):
+        m = m.whenNotMatchedInsertAll()
+    m.execute()
+
+
+def apply_cdc_delta(
+    spark: SparkSession,
+    target: str,
+    events: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    delta_table_factory: Callable[[SparkSession, str], Any] | None = None,
+) -> None:
+    """``merge.apply_cdc_events`` semantics as ONE Delta MERGE: DELETE
+    ops delete, everything else upserts. Feed ``keep_latest`` output so
+    at most one event per key survives (MERGE requires it — multiple
+    source matches per target row abort the transaction)."""
+    factory = delta_table_factory or _default_factory
+    dt = factory(spark, target)
+    (
+        dt.alias("t")
+        .merge(events.alias("s"), merge_condition(list(keys)))
+        .whenMatchedDelete(condition=f"s.{op_col} = 'DELETE'")
+        .whenMatchedUpdateAll(condition=f"s.{op_col} <> 'DELETE'")
+        .whenNotMatchedInsert(
+            condition=f"s.{op_col} <> 'DELETE'",
+            values={
+                c: f"s.{c}" for c in events.columns if c != op_col
+            },
+        )
+        .execute()
+    )
+
+
+def scd2_merge_delta(
+    spark: SparkSession,
+    target: str,
+    changes: DataFrame,
+    business_keys: Sequence[str],
+    effective_ts: str,
+    end_col: str = "end_date",
+    current_col: str = "is_current",
+    delta_table_factory: Callable[[SparkSession, str], Any] | None = None,
+    append_writer: Callable[[DataFrame], None] | None = None,
+) -> None:
+    """SCD2 close-then-insert as a Delta MERGE + append.
+
+    ``changes`` is ``scd2_identify_changes`` output (UPDATE/INSERT rows).
+    Step 1 MERGEs on (business keys ∧ is_current) to close the current
+    slice of changed keys; step 2 appends the new current versions. Two
+    transactions — the brief window between them is the documented
+    trade; a single-transaction variant needs the staged null-mergeKey
+    union, which doubles the source scan for no correctness gain here.
+    """
+    from pyspark.sql import functions as F
+
+    factory = delta_table_factory or _default_factory
+    keys = list(business_keys)
+    changed = changes.filter(F.col("change_type") == "UPDATE").select(*keys)
+    dt = factory(spark, target)
+    cond = (
+        merge_condition(keys) + f" AND t.{current_col} = true"
+    )
+    (
+        dt.alias("t")
+        .merge(changed.alias("s"), cond)
+        .whenMatchedUpdate(
+            set={
+                end_col: f"CAST('{effective_ts}' AS TIMESTAMP)",
+                current_col: "false",
+            }
+        )
+        .execute()
+    )
+    new_versions = (
+        changes.drop("change_type")
+        .withColumn("start_date", F.lit(effective_ts).cast("timestamp"))
+        .withColumn(end_col, F.lit(None).cast("timestamp"))
+        .withColumn(current_col, F.lit(True))
+    )
+    if append_writer is not None:
+        append_writer(new_versions)
+        return
+    writer = new_versions.write.format("delta").mode("append")
+    if "/" in target or target.startswith("dbfs:"):
+        writer.save(target)
+    else:
+        writer.saveAsTable(target)
+
+
+def read_change_feed(
+    spark: SparkSession,
+    target: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Delta Change Data Feed scan: row-level changes (_change_type ∈
+    insert/update_preimage/update_postimage/delete) between versions —
+    the native replacement for snapshot_diff when the table IS Delta."""
+    if not delta_available():
+        raise DeltaUnavailableError()
+    r = (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", starting_version)
+    )
+    if ending_version is not None:
+        r = r.option("endingVersion", ending_version)
+    return r.load(target) if "/" in target else r.table(target)
