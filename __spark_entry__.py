@@ -1209,7 +1209,10 @@ _LSH_HYPERPLANES = [
 
 def _ann_lsh_topk(spark, sf_dir):
     """ANN path: hyperplane-LSH bucket filter then exact cosine top-k.
-    Deterministic fixed hyperplanes so results are reproducible."""
+    The hyperplanes are a closed arithmetic formula (no RNG), so the
+    DuckDB oracle regenerates them and replays the identical bucket
+    selection + scoring — this probabilistic-looking op is fully
+    hash-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return sim_ops.lsh_topk(emb, qvec, _LSH_HYPERPLANES, k=10)
@@ -1670,11 +1673,12 @@ _DRIVER_KEYS = [
     "dedup_embedding_cosine",
     "embed_knn_join",
     "text_lang_id",
-    # rows-only (no SQL-expressible oracle): simhash is a seeded
-    # xxhash64/bit-mix pipeline and ann_lsh_topk is hyperplane-LSH bucket
-    # selection — neither expressible in ANSI SQL. minhash_near_dups and
-    # multimodal_image_meta ARE oracle-backed (exact inverted-index
-    # Jaccard below the row gate / dims derived arithmetically).
+    # rows-only (no SQL-expressible oracle): ONLY simhash remains — a
+    # seeded xxhash64/bit-mix pipeline no SQL engine can replicate.
+    # minhash_near_dups (exact inverted-index Jaccard below the row
+    # gate), ann_lsh_topk (closed-form hyperplanes recomputed in SQL),
+    # and multimodal_image_meta (dims derived arithmetically) are all
+    # oracle-backed.
     "minhash_near_dups",
     "simhash_signatures",
     "ann_lsh_topk",
@@ -2389,6 +2393,48 @@ _ALL_SQL: dict[str, str] = {
         # Mirrors ops/text.py lang_id_heuristic: whitespace-tokenize lowered
         # text, count marker hits per language (_LANG_MARKERS, sync manually),
         # argmax with ties to the alphabetically-first language (hence the
+        # The LSH bucket filter IS SQL-expressible here because the
+        # hyperplanes are a closed arithmetic formula, not an RNG: DuckDB
+        # regenerates plane(i,j) = ((i*37+j*17)%19-9)/9, re-derives every
+        # vector's sign-bit bucket, and brute-forces cosine top-10 inside
+        # the query's bucket — the exact same candidate set + scoring.
+        "ann_lsh_topk": r"""
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                WHERE vec_id = 0
+            ), planes AS (
+                SELECT i, LIST(p ORDER BY j) AS plane
+                FROM (
+                    SELECT i, j, (((i*37 + j*17) % 19) - 9) / 9.0 AS p
+                    FROM generate_series(0,7) AS gi(i),
+                         generate_series(0,63) AS gj(j)
+                ) GROUP BY i
+            ), bucketed AS (
+                SELECT e.vec_id,
+                       STRING_AGG(
+                           CASE WHEN list_dot_product(
+                                    e.embedding::DOUBLE[], pl.plane) >= 0
+                                THEN '1' ELSE '0' END, ''
+                           ORDER BY pl.i) AS bucket
+                FROM embeddings e, planes pl
+                GROUP BY e.vec_id
+            ), qb AS (
+                SELECT STRING_AGG(
+                           CASE WHEN list_dot_product(q.qv, pl.plane) >= 0
+                                THEN '1' ELSE '0' END, ''
+                           ORDER BY pl.i) AS bucket
+                FROM q, planes pl
+            )
+            SELECT b.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+                         6) AS cosine
+            FROM bucketed b
+            JOIN embeddings e ON e.vec_id = b.vec_id, q, qb
+            WHERE b.bucket = qb.bucket
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                     DESC, b.vec_id
+            LIMIT 10
+        """,
         # Exact inverted-index Jaccard: the Spark side's below-gate regime
         # is provably complete for threshold > 0 (every J>0 pair shares a
         # shingle), so all-pairs n-gram Jaccard in SQL is the same set.
