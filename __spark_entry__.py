@@ -1238,6 +1238,22 @@ def _minhash_near_dups(spark, sf_dir):
                                              num_bands=8)
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the pair output of minhash_near_dups closed
+    into connected components (ops/dedup.py::connected_components,
+    iterative hash-min label propagation) — similarity pairs are not
+    transitive, so actual dedup needs the component's min id as cluster
+    id and a canonical-keeper flag. Oracle: DuckDB recursive CTE over
+    the same exact-Jaccard pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_near_duplicates(
+        docs, threshold=0.2, num_hashes=32, num_bands=8
+    )
+    return dedup_ops.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id", "is_canonical"
+    )
+
+
 def _simhash_signatures(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.simhash(docs)
@@ -1736,6 +1752,7 @@ _EXTRA_KEYS = [
     "sql_q17_small_qty",
     "sql_q22_idle_balances",
     "sql_rollup_totals",
+    "dedup_clusters",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1823,6 +1840,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_meta": _multimodal_image_meta,
     "ann_lsh_topk": _ann_lsh_topk,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+    "dedup_clusters": _dedup_clusters,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
@@ -2393,6 +2411,43 @@ _ALL_SQL: dict[str, str] = {
         # Mirrors ops/text.py lang_id_heuristic: whitespace-tokenize lowered
         # text, count marker hits per language (_LANG_MARKERS, sync manually),
         # argmax with ties to the alphabetically-first language (hence the
+        # Connected components over the exact-Jaccard pair set: DuckDB's
+        # recursive CTE computes min-reachable-id per node — the same
+        # fixpoint the Spark side reaches by iterative hash-min rounds.
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+                FROM documents
+            ), shg AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+                WHERE LEN(t) >= 3
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes na ON na.doc_id = id_a
+                JOIN sizes nb ON nb.doc_id = id_b
+                WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.2
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+            )
+            SELECT node AS doc_id, MIN(r) AS cluster_id,
+                   (node = MIN(r)) AS is_canonical
+            FROM reach GROUP BY node
+        """,
         # The LSH bucket filter IS SQL-expressible here because the
         # hyperplanes are a closed arithmetic formula, not an RNG: DuckDB
         # regenerates plane(i,j) = ((i*37+j*17)%19-9)/9, re-derives every

@@ -290,3 +290,73 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         return pd.Series(out)
 
     return hashed.select(id_col, _sig("_h").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from pair output: connected components by
+    iterative min-label propagation — each node's label converges to the
+    smallest id reachable from it, which becomes the cluster id.
+
+    Pair emitters (minhash/embedding near-dup) answer "which documents
+    are similar"; an actual dedup pass needs "which single document do I
+    KEEP per group", and similarity is not transitive-closed in the pair
+    list (A~B, B~C without an A~C pair must still collapse to one
+    cluster). Per iteration: join each node's current label against its
+    neighbors', take the min — a self-equi-join + groupBy (two shuffles
+    on node id), converging in O(component diameter) rounds, ≤ a few for
+    the short chains near-dup graphs produce. ``localCheckpoint`` after
+    each round truncates the exponentially-growing lineage — standard
+    for iterative Spark algorithms. Convergence is detected by counting
+    changed labels (one action per round, unavoidable in any iterative
+    fixpoint).
+
+    Returns (node, cluster_id, is_canonical): every node that appears in
+    a pair, its component's min id, and whether it IS that min (the
+    conventional keeper). Reference parity: the duplicate-group
+    resolution arm of src/utils/data_deduplicator.py; algorithm is the
+    textbook hash-min / "small-star" iteration (CC-MR, Vassilvitskii et
+    al.), not a port.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    labels = edges.select("u").dropDuplicates().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    for _ in range(max_iterations):
+        # candidate label per node = min over (own label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(edges["u"].alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

@@ -242,3 +242,37 @@ def test_continuous_rollup_equals_direct_aggregation(spark, tmp_path):
     import datetime as dt
     c = dt.datetime(2024, 1, 15)
     assert any(s < c for s in starts) and any(s >= c for s in starts)
+
+
+def test_connected_components_chain_star_and_convergence(spark):
+    """Transitive chains collapse to one cluster (A~B, B~C, C~D with no
+    direct A~D pair), stars keep their hub's min id, and disjoint
+    components stay separate."""
+    from metadata_etl_framework_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1),        # reversed chain → min id 1 wins
+         (10, 11),                      # isolated pair
+         (20, 21), (20, 22), (20, 23)], # star
+        "id_a long, id_b long",
+    )
+    got = {(r.node, r.cluster_id, r.is_canonical)
+           for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1, True), (2, 1, False), (3, 1, False), (4, 1, False),
+        (10, 10, True), (11, 10, False),
+        (20, 20, True), (21, 20, False), (22, 20, False), (23, 20, False),
+    }
+
+
+def test_connected_components_long_chain_needs_iterations(spark):
+    """A 12-node path exercises multiple propagation rounds (hash-min
+    moves labels one hop per round along a path)."""
+    from metadata_etl_framework_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert {r.cluster_id for r in out} == {100}
+    assert sum(r.is_canonical for r in out) == 1
