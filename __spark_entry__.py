@@ -1238,6 +1238,25 @@ def _minhash_near_dups(spark, sf_dir):
                                              num_bands=8)
 
 
+def _text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/text.py::decontaminate): docs with
+    doc_id % 37 == 0 play the held-out eval set; every other doc sharing
+    a 5-gram with it is flagged with overlap counts. Broadcast equi-join
+    — the corpus side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return text_ops.decontaminate(train, bench, n=5)
+
+
+def _text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (ops/text.py::repetition_metrics):
+    duplicate-line ratio and duplicate 2/3-gram occurrence ratios per
+    document — pure JVM array expressions, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.repetition_metrics(docs)
+
+
 def _dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: the pair output of minhash_near_dups closed
     into connected components (ops/dedup.py::connected_components,
@@ -1753,6 +1772,8 @@ _EXTRA_KEYS = [
     "sql_q22_idle_balances",
     "sql_rollup_totals",
     "dedup_clusters",
+    "text_decontaminate",
+    "text_repetition",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1841,6 +1862,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _ann_lsh_topk,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_clusters": _dedup_clusters,
+    "text_decontaminate": _text_decontaminate,
+    "text_repetition": _text_repetition,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
@@ -2411,6 +2434,64 @@ _ALL_SQL: dict[str, str] = {
         # Mirrors ops/text.py lang_id_heuristic: whitespace-tokenize lowered
         # text, count marker hits per language (_LANG_MARKERS, sync manually),
         # argmax with ties to the alphabetically-first language (hence the
+        # List-comprehension n-grams; dup ratio = (occurrences - distinct)
+        # / occurrences, matching the Spark array_distinct formulation.
+        "text_repetition": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(str_split(text, chr(10)),
+                                   l -> trim(l) <> '') AS lines,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+                FROM documents
+            ), g AS (
+                SELECT doc_id, lines,
+                       CASE WHEN len(tk) >= 2 THEN
+                            [tk[i] || ' ' || tk[i+1]
+                             for i in generate_series(1, len(tk)-1)]
+                            ELSE []::VARCHAR[] END AS g2,
+                       CASE WHEN len(tk) >= 3 THEN
+                            [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in generate_series(1, len(tk)-2)]
+                            ELSE []::VARCHAR[] END AS g3
+                FROM base
+            )
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   ROUND(CASE WHEN len(lines) > 0 THEN
+                         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines) ELSE 0.0 END, 6) AS dup_line_ratio,
+                   ROUND(CASE WHEN len(g2) > 0 THEN
+                         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                         / len(g2) ELSE 0.0 END, 6) AS dup_2gram_ratio,
+                   ROUND(CASE WHEN len(g3) > 0 THEN
+                         CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                         / len(g3) ELSE 0.0 END, 6) AS dup_3gram_ratio
+            FROM g
+        """,
+        # Same tokenizer/shingle construction as the Spark side; the
+        # benchmark is the doc_id % 37 == 0 slice of the same corpus.
+        "text_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4] AS s
+                FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS u(i)
+                WHERE LEN(t) >= 5
+            ), bench AS (
+                SELECT doc_id AS bid, s FROM g WHERE doc_id % 37 = 0
+            ), train AS (
+                SELECT doc_id, s FROM g WHERE doc_id % 37 <> 0
+            )
+            SELECT t.doc_id,
+                   COUNT(DISTINCT t.s) AS n_contaminated_ngrams,
+                   COUNT(DISTINCT b.bid) AS n_benchmark_docs_hit
+            FROM train t JOIN bench b ON t.s = b.s
+            GROUP BY t.doc_id
+        """,
         # Connected components over the exact-Jaccard pair set: DuckDB's
         # recursive CTE computes min-reachable-id per node — the same
         # fixpoint the Spark side reaches by iterative hash-min rounds.

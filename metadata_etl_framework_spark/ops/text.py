@@ -8,6 +8,8 @@ pipelines with the scan.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -269,3 +271,92 @@ def vocabulary(
     if top_k is not None:
         counts = counts.orderBy(F.desc("count"), F.col("token")).limit(top_k)
     return counts
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out evaluation set (the standard
+    n-gram-overlap contamination check from the GPT-3/PaLM appendices;
+    13-grams are the published convention — the default 8 suits the
+    short synthetic docs).
+
+    Scale shape: the BENCHMARK side is small by construction (eval sets,
+    not corpora), so its distinct n-grams build a broadcast hash set and
+    the training corpus streams through a broadcast equi-join — the
+    100 TB side never shuffles. Returns one row per contaminated doc:
+    (id, n_contaminated_ngrams, n_benchmark_docs_hit).
+    """
+    from metadata_etl_framework_spark.ops.dedup import shingles
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_g")
+    )
+    bench_grams = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.explode(shingles(bench_text_col, n)).alias("_g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_g").alias("n_contaminated_ngrams"),
+            F.countDistinct("_bid").alias("n_benchmark_docs_hit"),
+        )
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    ngram_sizes: Sequence[int] = (2, 3),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 repetition filters): fraction of duplicate non-empty lines and,
+    per n in ``ngram_sizes``, the fraction of n-gram OCCURRENCES that are
+    repeats of an earlier occurrence — high values mark boilerplate /
+    degenerate generations that training pipelines drop.
+
+    dup ratio = (occurrences − distinct) / occurrences, 0 for empty.
+    Pure JVM array expressions (split/transform/array_distinct) — a
+    per-row projection with no shuffle, linear at corpus scale.
+    """
+    t = F.col(text_col)
+    toks = F.lower(t)
+    toks = F.when(F.trim(toks) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(toks), r"\s+")
+    )
+
+    def dup_ratio(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.round(
+            F.when(
+                n > 0,
+                (n - F.size(F.array_distinct(arr))).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    lines = F.filter(F.split(t, r"\n"), lambda ln: F.trim(ln) != "")
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        dup_ratio(lines).alias("dup_line_ratio"),
+        toks.alias("_toks"),
+    )
+    for n in ngram_sizes:
+        grams = F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = out.withColumn(f"dup_{n}gram_ratio", dup_ratio(grams))
+    return out.drop("_toks")
