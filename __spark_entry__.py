@@ -874,6 +874,76 @@ _SQL_Q22 = """
 """
 
 
+_SQL_Q12 = """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+_SQL_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_SQL_Q16 = """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#13'
+      AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+_SQL_Q19 = """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30))
+"""
+
+_SQL_Q7 = """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 4) AS volume
+    FROM customer, orders, lineitem, supplier, nation n1, nation n2
+    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = n1.n_nationkey AND s_nationkey = n2.n_nationkey
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY n1.n_name, n2.n_name
+    ORDER BY cust_nation, supp_nation
+"""
+
+
 def _sql_query(sql: str, *tables: str):
     """TPC-H-shaped SQL through the sqltransform step (full-SQL surface)."""
 
@@ -901,6 +971,13 @@ _sql_q4_priority_check = _sql_query(_SQL_Q4, "orders", "lineitem")
 _sql_q17_small_qty = _sql_query(_SQL_Q17, "lineitem", "part")
 _sql_q22_idle_balances = _sql_query(_SQL_Q22, "customer", "orders")
 _sql_rollup_totals = _sql_query(_SQL_ROLLUP, "lineitem")
+_sql_q12_priority_lateness = _sql_query(_SQL_Q12, "orders", "lineitem")
+_sql_q13_custdist = _sql_query(_SQL_Q13, "customer", "orders")
+_sql_q16_supplier_cnt = _sql_query(_SQL_Q16, "lineitem", "part", "supplier")
+_sql_q19_disjunctive = _sql_query(_SQL_Q19, "lineitem", "part")
+_sql_q7_nation_volume = _sql_query(
+    _SQL_Q7, "customer", "orders", "lineitem", "supplier", "nation"
+)
 
 
 def _dq_rules_onepass(spark, sf_dir):
@@ -1774,6 +1851,11 @@ _EXTRA_KEYS = [
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
+    "sql_q12_priority_lateness",
+    "sql_q13_custdist",
+    "sql_q16_supplier_cnt",
+    "sql_q19_disjunctive",
+    "sql_q7_nation_volume",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1864,6 +1946,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _dedup_clusters,
     "text_decontaminate": _text_decontaminate,
     "text_repetition": _text_repetition,
+    "sql_q12_priority_lateness": _sql_q12_priority_lateness,
+    "sql_q13_custdist": _sql_q13_custdist,
+    "sql_q16_supplier_cnt": _sql_q16_supplier_cnt,
+    "sql_q19_disjunctive": _sql_q19_disjunctive,
+    "sql_q7_nation_volume": _sql_q7_nation_volume,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
@@ -2260,6 +2347,11 @@ _ALL_SQL: dict[str, str] = {
         "sql_q4_priority_check": _SQL_Q4,
         "sql_q17_small_qty": _SQL_Q17,
         "sql_q22_idle_balances": _SQL_Q22,
+        "sql_q12_priority_lateness": _SQL_Q12,
+        "sql_q13_custdist": _SQL_Q13,
+        "sql_q16_supplier_cnt": _SQL_Q16,
+        "sql_q19_disjunctive": _SQL_Q19,
+        "sql_q7_nation_volume": _SQL_Q7,
         "sql_rollup_totals": _SQL_ROLLUP,
         "step_customudf": """
             SELECT l_orderkey, l_linenumber,
