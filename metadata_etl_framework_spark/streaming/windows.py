@@ -169,3 +169,25 @@ def foreach_batch_upsert(stream_df, target_path: str, keys: Sequence[str], check
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def watermark_stream_dedup(
+    df: DataFrame, key_cols: Sequence[str], ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Native streaming dedup with event-time-bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it, so state is bounded by stream skew
+    rather than key cardinality — the complement to
+    ``stateful.stateful_stream_dedup`` (explicit processing-time
+    timeout). Use this one when duplicates arrive close together in
+    event time (retries, at-least-once sources); use the stateful one
+    when duplicate keys can reappear arbitrarily late.
+
+    Batch fallback: plain ``dropDuplicates`` over the keys — the oracle
+    shape for the streaming result on identical input.
+    """
+    keys = list(key_cols)
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

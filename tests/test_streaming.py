@@ -120,3 +120,45 @@ def test_sessionize_batch_equals_sql_islands(spark_mod):
         (F.col("n_sessions") < 1) | (F.col("n_sessions") > F.col("n_events"))
     )
     assert bad.count() == 0
+
+
+def test_watermark_stream_dedup_matches_batch(spark_mod, stream_src, tmp_path):
+    """Duplicate event_ids injected across micro-batch files must collapse
+    to one row each under dropDuplicatesWithinWatermark, agreeing with the
+    batch dropDuplicates key set."""
+    from metadata_etl_framework_spark.streaming.windows import (
+        watermark_stream_dedup,
+    )
+
+    spark = spark_mod
+    dup_path = str(tmp_path / "dup_events")
+    base = spark.read.parquet(stream_src).select("event_id", "ts", "value")
+    # every row twice, spread over 4 files → duplicates land in
+    # different micro-batches (max_files_per_trigger=1)
+    base.unionByName(base).repartition(4).write.mode("overwrite").parquet(dup_path)
+    schema = spark.read.parquet(dup_path).schema
+
+    stream = streaming_file_source(spark, dup_path, schema, max_files_per_trigger=1)
+    # the corpus spans days and files replay out of event-time order, so
+    # the watermark must exceed the span — otherwise "late" rows are
+    # dropped outright (watermark semantics), not deduplicated
+    dedup = watermark_stream_dedup(stream, ["event_id"], "ts", "90 days")
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM wm_dedup_test")
+    batch_ids = spark.read.parquet(dup_path).dropDuplicates(["event_id"])
+    assert got.count() == batch_ids.count()
+    assert got.dropDuplicates(["event_id"]).count() == got.count()
+
+    # batch fallback routes to plain dropDuplicates
+    batch_out = watermark_stream_dedup(
+        spark.read.parquet(dup_path), ["event_id"], "ts"
+    )
+    assert batch_out.count() == batch_ids.count()
