@@ -1384,6 +1384,56 @@ def _multimodal_image_meta(spark, sf_dir):
     return meta.select("doc_id", "width", "height", "format")
 
 
+def _le_hex(col, n_bytes: int):
+    """Little-endian hex string of an int column (WAV fields are LE;
+    PNG's were BE where a plain lpad(hex) sufficed)."""
+    parts = [
+        F.lpad(F.hex((col / F.lit(256 ** i)).cast("long") % 256), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def _multimodal_audio_meta(spark, sf_dir):
+    """REAL RIFF/WAVE header decode through Arrow mapInPandas: each doc
+    synthesizes a 44-byte PCM WAV header with little-endian fields
+    derived from doc_id (channels/rate/frames), and the pure-Python
+    parser (ops/multimodal.py::decode_wav_header) must recover them
+    exactly — audio twin of multimodal_image_meta."""
+    from metadata_etl_framework_spark.ops.multimodal import (
+        extract_audio_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 2).alias("_ch"),
+        (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 5)).alias("_rate"),
+        (F.lit(100) + F.col("doc_id") % 900).alias("_frames"),
+    )
+    data_size = F.col("_frames") * F.col("_ch") * 2
+    wav_hex = F.concat(
+        F.lit("52494646"),                       # 'RIFF'
+        _le_hex(F.lit(36) + data_size, 4),       # riff size
+        F.lit("57415645666D7420"),               # 'WAVE' + 'fmt '
+        _le_hex(F.lit(16), 4),                   # fmt chunk size
+        _le_hex(F.lit(1), 2),                    # PCM
+        _le_hex(F.col("_ch"), 2),
+        _le_hex(F.col("_rate"), 4),
+        _le_hex(F.col("_rate") * F.col("_ch") * 2, 4),  # byte rate
+        _le_hex(F.col("_ch") * 2, 2),            # block align
+        _le_hex(F.lit(16), 2),                   # bits
+        F.lit("64617461"),                       # 'data'
+        _le_hex(data_size, 4),
+    )
+    meta = extract_audio_metadata(
+        docs.select("doc_id", F.unhex(wav_hex).alias("media"))
+    )
+    return meta.select(
+        "doc_id", "n_channels", "sample_rate", "bits_per_sample",
+        "n_frames", F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
 # --------------------------------------------------------------------------
 # merged driver entries
 #
@@ -1856,6 +1906,7 @@ _EXTRA_KEYS = [
     "sql_q16_supplier_cnt",
     "sql_q19_disjunctive",
     "sql_q7_nation_volume",
+    "multimodal_audio_meta",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1951,6 +2002,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q16_supplier_cnt": _sql_q16_supplier_cnt,
     "sql_q19_disjunctive": _sql_q19_disjunctive,
     "sql_q7_nation_volume": _sql_q7_nation_volume,
+    "multimodal_audio_meta": _multimodal_audio_meta,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
@@ -3008,6 +3060,16 @@ _ALL_SQL.update(
                    CAST(LEN(list_slice(toks, st + 1, st + 64)) AS INT)
                      AS n_chunk_tokens
             FROM s
+        """,
+        "multimodal_audio_meta": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+                   CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+                   CAST(16 AS INTEGER) AS bits_per_sample,
+                   CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+                   ROUND(CAST(100 + doc_id % 900 AS DOUBLE)
+                         / (8000 * (1 + doc_id % 5)), 6) AS duration_sec
+            FROM documents
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -177,3 +177,71 @@ def sample_frames(df: DataFrame, media_col: str = "media", every_n: int = 10) ->
             yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame"])
 
     return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def decode_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """REAL RIFF/WAVE header parse (pure Python, no audio library):
+    returns (n_channels, sample_rate, bits_per_sample, n_frames) or None
+    when the payload is not a WAV container. n_frames derives from the
+    data-chunk size field, so a metadata-only payload (header without
+    sample bytes) still reports its declared length — the normal case
+    for catalog scans that never fetch full media."""
+    b = payload or b""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= len(b):
+            n_channels = int.from_bytes(b[pos + 10 : pos + 12], "little")
+            sample_rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
+            bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+            fmt = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+        if fmt is not None and data_size is not None:
+            break
+    if fmt is None or data_size is None:
+        return None
+    n_channels, sample_rate, bits = fmt
+    frame_bytes = max(1, n_channels * (bits // 8))
+    return n_channels, sample_rate, bits, data_size // frame_bytes
+
+
+def extract_audio_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """binary column → (n_channels, sample_rate, bits_per_sample,
+    n_frames, duration_sec) via Arrow-batched mapInPandas; non-WAV
+    payloads yield nulls (dirty corpora stay total). Same streaming
+    batch shape as extract_image_metadata."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[media_col].map(
+                lambda b: decode_wav_header(bytes(b or b""))
+            )
+            pdf = pdf.copy()
+            pdf["n_channels"] = meta.map(lambda t: t and t[0]).astype("Int32")
+            pdf["sample_rate"] = meta.map(lambda t: t and t[1]).astype("Int32")
+            pdf["bits_per_sample"] = meta.map(lambda t: t and t[2]).astype(
+                "Int32"
+            )
+            pdf["n_frames"] = meta.map(lambda t: t and t[3]).astype("Int64")
+            # full precision; report layers round JVM-side (Python's
+            # round() is banker's — mismatches SQL HALF_UP at .5 digits)
+            pdf["duration_sec"] = [
+                t[3] / t[1] if t and t[1] else None for t in meta
+            ]
+            yield pdf
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [
+            "n_channels int", "sample_rate int", "bits_per_sample int",
+            "n_frames long", "duration_sec double",
+        ]
+    )
+    return df.mapInPandas(decode, schema=out_schema)

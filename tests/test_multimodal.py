@@ -86,3 +86,38 @@ def test_entry_synthesized_png_roundtrip(spark):
     )
     assert bad.count() == 0
     assert out.count() > 0
+
+
+def test_wav_header_parse_roundtrip_against_stdlib(spark):
+    """Parser must recover exactly what the stdlib wave writer encodes,
+    including a header-only payload (data size declared, bytes absent),
+    and return None-rows (nulls) for non-WAV garbage."""
+    import io
+    import wave
+
+    from metadata_etl_framework_spark.ops.multimodal import (
+        decode_wav_header,
+        extract_audio_metadata,
+    )
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.writeframes(b"\x00\x00" * 2 * 1234)
+    w.close()
+    full = buf.getvalue()
+    assert decode_wav_header(full) == (2, 44100, 16, 1234)
+    # header-only payload: declared data size still yields the frame count
+    assert decode_wav_header(full[:44]) == (2, 44100, 16, 1234)
+    assert decode_wav_header(b"\x89PNG not audio") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(b"garbage"))],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_metadata(df).collect()}
+    assert (rows[1]["n_channels"], rows[1]["sample_rate"],
+            rows[1]["n_frames"]) == (2, 44100, 1234)
+    assert rows[2]["n_channels"] is None and rows[2]["duration_sec"] is None
