@@ -5,11 +5,12 @@ suite to keep the gate fast.
 
 Measured on local[32] (2026-08-13): q1-agg 1.7s, one-pass DQ 0.8s,
 running-total window 4.5s, fingerprint groupBy 2.3s, keep_latest 3.6s.
-LLM ops at 10× documents (50k docs): text features 4.1s, exact dedup
-1.2s, SimHash 3.8s, chunking 0.4s, MinHash near-dup 12.4s — the last is
-an adversarial input by construction (10× replication makes every doc a
-10-way exact duplicate, so every band bucket collides); real corpora
-have far sparser collision structure.
+LLM ops at 10× documents (50k docs, LSH regime forced): text features
+4.1s, exact dedup 1.2s, SimHash 3.8s, chunking 0.4s, MinHash near-dup
+12.4s, near-dup clusters + decontaminate + repetition (r3) ~27s
+combined, range_count at 6M points 2.9s — the replicated corpus is
+adversarial by construction (every doc a 10-way exact duplicate, every
+band bucket collides); real corpora have far sparser structure.
 """
 
 from __future__ import annotations
@@ -93,5 +94,47 @@ def test_llm_ops_at_10x_docs(spark):
     _force(dd.exact_duplicates(big))
     _force(dd.simhash(big))
     _force(tx.chunk_documents(big, 64, 16))
+    # exact_max_rows=0 forces the LSH regime — the path a 100 TB corpus
+    # takes (the exact inverted index is below-gate-only by design, and
+    # this 10x-replicated corpus is its adversarial worst case: every
+    # shingle's df is inflated 10x, so candidate pairs grow ~100x)
     _force(dd.minhash_near_duplicates(big, threshold=0.2, num_hashes=32,
-                                      num_bands=8))
+                                      num_bands=8, exact_max_rows=0))
+
+
+def test_range_count_at_6m_points(big, spark):
+    """CDF-difference band counting: 6M points against 20k bands; the
+    match set (~1.1B pairs at this selectivity) never materializes."""
+    from metadata_etl_framework_spark.functions import range_count
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    pts = big.filter(F.col("l_quantity") > 0).select(
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    bands = load_table(spark, SF, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 0.98).alias("lo"),
+        (F.col("p_retailprice") * 1.02).alias("hi"),
+    )
+    _force(range_count(pts, bands, "unit_price", "lo", "hi"))
+
+
+def test_cluster_and_decontaminate_at_10x_docs(spark):
+    from functools import reduce as _reduce
+
+    from metadata_etl_framework_spark.ops import dedup as dd, text as tx
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    big = _reduce(
+        lambda a, b: a.unionByName(b),
+        [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+         for i in range(10)],
+    )
+    pairs = dd.minhash_near_duplicates(big, threshold=0.2, num_hashes=32,
+                                       num_bands=8, exact_max_rows=0)
+    _force(dd.connected_components(pairs))
+    bench = big.filter(F.col("doc_id") % 37 == 0)
+    train = big.filter(F.col("doc_id") % 37 != 0)
+    _force(tx.decontaminate(train, bench, n=5))
+    _force(tx.repetition_metrics(big))
