@@ -1326,6 +1326,15 @@ def _text_decontaminate(spark, sf_dir):
     return text_ops.decontaminate(train, bench, n=5)
 
 
+def _simhash_near_dups_pairs(spark, sf_dir):
+    """SimHash banded candidates → exact Hamming verify ≤ 3 (ops/dedup.py
+    ::simhash_near_duplicates). Rows-only: the xxhash64 signature is not
+    SQL-expressible; band-generator completeness (pigeonhole over 4
+    bands) is unit-tested instead."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_duplicates(docs, max_hamming=3)
+
+
 def _text_repetition(spark, sf_dir):
     """Gopher-style repetition filters (ops/text.py::repetition_metrics):
     duplicate-line ratio and duplicate 2/3-gram occurrence ratios per
@@ -1907,6 +1916,7 @@ _EXTRA_KEYS = [
     "sql_q19_disjunctive",
     "sql_q7_nation_volume",
     "multimodal_audio_meta",
+    "simhash_near_dups_pairs",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2003,6 +2013,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q19_disjunctive": _sql_q19_disjunctive,
     "sql_q7_nation_volume": _sql_q7_nation_volume,
     "multimodal_audio_meta": _multimodal_audio_meta,
+    "simhash_near_dups_pairs": _simhash_near_dups_pairs,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,

@@ -276,3 +276,39 @@ def test_connected_components_long_chain_needs_iterations(spark):
     out = connected_components(pairs).collect()
     assert {r.cluster_id for r in out} == {100}
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_simhash_banding_is_complete_for_small_hamming(spark):
+    """Pigeonhole completeness: banded candidate generation must find
+    EVERY pair within Hamming distance n_bands-1 — verified against
+    brute-force Hamming over all signature pairs."""
+    from itertools import combinations
+
+    from metadata_etl_framework_spark.ops.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "alpha beta gamma delta epsilon zeta eta theta mu kappa",
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine eleven",
+        "totally unrelated content about distributed shuffle behavior",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert all(h <= 3 for h in got.values())
