@@ -1326,6 +1326,29 @@ def _text_decontaminate(spark, sf_dir):
     return text_ops.decontaminate(train, bench, n=5)
 
 
+def _corpus_mixing_plan(spark, sf_dir):
+    """Data-mixing plan (ops/text.py::mixing_plan): target shares derived
+    formulaically from the source index (1 + idx%3, normalized) so the
+    oracle can regenerate them; output is the per-source sampling
+    fraction that realizes the token mix, capped by the scarcest
+    source."""
+    from pyspark.sql import Window as _W
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct()
+    raw = (
+        F.lit(1)
+        + F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3
+    )
+    weights = srcs.select(
+        "source",
+        (raw.cast("double") / F.sum(raw).over(
+            _W.partitionBy()
+        )).alias("share"),
+    )
+    return text_ops.mixing_plan(docs, weights)
+
+
 def _simhash_near_dups_pairs(spark, sf_dir):
     """SimHash banded candidates → exact Hamming verify ≤ 3 (ops/dedup.py
     ::simhash_near_duplicates). Rows-only: the xxhash64 signature is not
@@ -1917,6 +1940,7 @@ _EXTRA_KEYS = [
     "sql_q7_nation_volume",
     "multimodal_audio_meta",
     "simhash_near_dups_pairs",
+    "corpus_mixing_plan",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2014,6 +2038,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q7_nation_volume": _sql_q7_nation_volume,
     "multimodal_audio_meta": _multimodal_audio_meta,
     "simhash_near_dups_pairs": _simhash_near_dups_pairs,
+    "corpus_mixing_plan": _corpus_mixing_plan,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
@@ -3071,6 +3096,38 @@ _ALL_SQL.update(
                    CAST(LEN(list_slice(toks, st + 1, st + 64)) AS INT)
                      AS n_chunk_tokens
             FROM s
+        """,
+        "corpus_mixing_plan": r"""
+            WITH w0 AS (
+                SELECT source,
+                       1 + CAST(REGEXP_EXTRACT(source, '(\d+)', 1) AS INT) % 3
+                         AS raw
+                FROM (SELECT DISTINCT source FROM documents)
+            ), wn AS (
+                SELECT source,
+                       CAST(raw AS DOUBLE) / SUM(raw) OVER () AS share
+                FROM w0
+            ), t AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')))
+                         AS n_tokens
+                FROM documents GROUP BY source
+            ), j AS (
+                SELECT t.source, n_docs, n_tokens, share
+                FROM t JOIN wn ON t.source = wn.source
+            ), budget AS (
+                SELECT MIN(n_tokens / share) AS T FROM j WHERE share > 0
+            )
+            SELECT source, n_docs, n_tokens,
+                   ROUND(share, 6) AS target_share,
+                   ROUND(CASE WHEN n_tokens > 0
+                         THEN LEAST(1.0, share * T / n_tokens)
+                         ELSE 0.0 END, 6) AS sample_fraction,
+                   CAST(FLOOR((CASE WHEN n_tokens > 0
+                         THEN LEAST(1.0, share * T / n_tokens)
+                         ELSE 0.0 END) * n_tokens) AS BIGINT)
+                     AS expected_tokens
+            FROM j, budget
         """,
         "multimodal_audio_meta": """
             SELECT doc_id,

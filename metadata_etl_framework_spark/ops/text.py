@@ -360,3 +360,52 @@ def repetition_metrics(
         ).otherwise(F.array().cast("array<string>"))
         out = out.withColumn(f"dup_{n}gram_ratio", dup_ratio(grams))
     return out.drop("_toks")
+
+
+def mixing_plan(
+    docs: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    share_col: str = "share",
+) -> DataFrame:
+    """Corpus-mixing plan: per-source sampling fractions that hit a
+    target token-share mix (the data-mixing step of training-data
+    pipelines — DoReMi/Pile-style source weighting).
+
+    ``weights`` carries (source, share) target shares. The achievable
+    mixed-corpus size is capped by the scarcest source:
+    ``T = min_s(tokens_s / share_s)``; each source then samples
+    ``fraction_s = min(1, share_s·T / tokens_s)`` so realized token
+    counts land on the target ratio exactly. One groupBy over the corpus
+    + broadcast scalar — the plan is a tiny frame regardless of corpus
+    size. Returns (source, n_docs, n_tokens, target_share,
+    sample_fraction, expected_tokens); feed fractions to
+    ``DataFrame.sampleBy(source_col, fractions, seed)`` to materialize
+    the mix (sampling itself is RNG-dependent, hence split out).
+    """
+    tok = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+    )
+    j = tok.join(
+        weights.select(F.col(source_col), F.col(share_col).alias("_share")),
+        source_col,
+    )
+    budget = j.filter(F.col("_share") > 0).agg(
+        F.min(F.col("n_tokens") / F.col("_share")).alias("_T")
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.least(
+            F.lit(1.0), F.col("_share") * F.col("_T") / F.col("n_tokens")
+        ),
+    ).otherwise(F.lit(0.0))
+    return j.crossJoin(F.broadcast(budget)).select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        F.round("_share", 6).alias("target_share"),
+        F.round(frac, 6).alias("sample_fraction"),
+        F.floor(frac * F.col("n_tokens")).cast("long").alias("expected_tokens"),
+    )

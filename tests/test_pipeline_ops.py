@@ -312,3 +312,26 @@ def test_simhash_banding_is_complete_for_small_hamming(spark):
     }
     assert got == brute
     assert all(h <= 3 for h in got.values())
+
+
+def test_mixing_plan_hits_target_ratio_and_caps_scarce_source(spark):
+    """Realized token counts (fraction × tokens) must land on the target
+    share ratio exactly, with the scarcest source pinned at fraction 1
+    (it defines the achievable budget)."""
+    from metadata_etl_framework_spark.ops.text import mixing_plan
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 100, "big") for i in range(100)]        # 10_000 tokens
+        + [(1000 + i, "w " * 50, "small") for i in range(10)],  # 500 tokens
+        "doc_id long, text string, source string",
+    )
+    weights = spark.createDataFrame(
+        [("big", 0.5), ("small", 0.5)], "source string, share double"
+    )
+    plan = {r["source"]: r for r in mixing_plan(docs, weights).collect()}
+    # small source is scarcest: 500/0.5 = 1000 token budget → takes all
+    assert plan["small"]["sample_fraction"] == 1.0
+    assert plan["small"]["expected_tokens"] == 500
+    # big source downsamples to match: 0.5 * 1000 / 10000 = 0.05
+    assert plan["big"]["sample_fraction"] == 0.05
+    assert plan["big"]["expected_tokens"] == 500
