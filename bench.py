@@ -52,6 +52,8 @@ HEADLINE = [
     "embed_knn_join",
     "asof_join_purchases",
     "range_join_price_bands",
+    "dedup_clusters",
+    "text_decontaminate",
 ]
 
 

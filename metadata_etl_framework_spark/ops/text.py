@@ -296,6 +296,12 @@ def decontaminate(
     """
     from metadata_etl_framework_spark.ops.dedup import shingles
 
+    # small-file corpora scan as 1-2 partitions; the n-gram transform is
+    # CPU-bound per row, so spread it before paying it (no-op when the
+    # scan already has enough splits)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     doc_grams = docs.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("_g")
     )
