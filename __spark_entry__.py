@@ -1326,6 +1326,27 @@ def _text_decontaminate(spark, sf_dir):
     return text_ops.decontaminate(train, bench, n=5)
 
 
+def _window_ntile_cume(spark, sf_dir):
+    """ntile bucketing + cumulative distribution within order-priority
+    groups (functions/windows.py::rank_within_group methods ntile /
+    cume_dist), ordered by a total order so ties can't flip buckets."""
+    from metadata_etl_framework_spark.functions import rank_within_group
+
+    orders = _t(spark, sf_dir, "orders")
+    df = rank_within_group(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"],
+        output_col="bucket", method="ntile", ntile_n=4,
+    )
+    df = rank_within_group(
+        df, ["o_orderpriority"], ["o_totalprice", "o_orderkey"],
+        output_col="cume", method="cume_dist",
+    )
+    return df.select(
+        "o_orderkey", "o_orderpriority", "bucket",
+        F.round("cume", 6).alias("cume"),
+    )
+
+
 def _corpus_mixing_plan(spark, sf_dir):
     """Data-mixing plan (ops/text.py::mixing_plan): target shares derived
     formulaically from the source index (1 + idx%3, normalized) so the
@@ -1941,6 +1962,7 @@ _EXTRA_KEYS = [
     "multimodal_audio_meta",
     "simhash_near_dups_pairs",
     "corpus_mixing_plan",
+    "window_ntile_cume",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2039,6 +2061,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_meta": _multimodal_audio_meta,
     "simhash_near_dups_pairs": _simhash_near_dups_pairs,
     "corpus_mixing_plan": _corpus_mixing_plan,
+    "window_ntile_cume": _window_ntile_cume,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
@@ -3096,6 +3119,15 @@ _ALL_SQL.update(
                    CAST(LEN(list_slice(toks, st + 1, st + 64)) AS INT)
                      AS n_chunk_tokens
             FROM s
+        """,
+        "window_ntile_cume": """
+            SELECT o_orderkey, o_orderpriority,
+                   NTILE(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS bucket,
+                   ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey), 6)
+                     AS cume
+            FROM orders
         """,
         "corpus_mixing_plan": r"""
             WITH w0 AS (

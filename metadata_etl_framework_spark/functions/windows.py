@@ -26,7 +26,7 @@ _RANK_FNS = {
     "dense_rank": F.dense_rank,
     "row_number": F.row_number,
     "percent_rank": F.percent_rank,
-    "ntile": None,  # needs an argument; handled in step compiler if needed
+    "cume_dist": F.cume_dist,
 }
 
 _ROLLING_FNS = {"mean": F.avg, "avg": F.avg, "sum": F.sum, "std": F.stddev_samp}
@@ -45,8 +45,10 @@ def rank_within_group(
     output_col: str = "rank",
     method: str = "dense_rank",
     ascending: bool = True,
+    ntile_n: int = 4,
 ) -> DataFrame:
-    """Rank rows within groups. ``method`` ∈ rank/dense_rank/row_number.
+    """Rank rows within groups. ``method`` ∈ rank/dense_rank/row_number/
+    percent_rank/cume_dist/ntile (bucket count via ``ntile_n``)/average.
 
     Reference default is dense rank (transformation_library.py:632).
     """
@@ -62,6 +64,8 @@ def rank_within_group(
         n_ties = F.count(F.lit(1)).over(tie_w)
         avg = (F.rank().over(w) + (n_ties - F.lit(1)) / F.lit(2.0)).cast("double")
         return df.withColumn(output_col, avg)
+    if method == "ntile":
+        return df.withColumn(output_col, F.ntile(ntile_n).over(w))
     fn = _RANK_FNS.get(method)
     if fn is None:
         raise ValueError(f"unsupported rank method {method!r}")

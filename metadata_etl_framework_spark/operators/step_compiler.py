@@ -184,7 +184,8 @@ class TransformEngine:
     def _window(self, data, step, sources) -> DataFrame:
         cfg = step.get("config", step)
         fn = str(cfg.get("function", "rank")).lower()
-        if fn in ("rank", "dense_rank", "row_number", "average", "avg_rank"):
+        if fn in ("rank", "dense_rank", "row_number", "percent_rank",
+                  "cume_dist", "ntile", "average", "avg_rank"):
             return win_lib.rank_within_group(
                 data,
                 cfg.get("partition_by", []),
@@ -192,6 +193,7 @@ class TransformEngine:
                 output_col=cfg.get("output_col", "rank"),
                 method=fn,
                 ascending=bool(cfg.get("ascending", True)),
+                ntile_n=int(cfg.get("ntile_n", 4)),
             )
         if fn in ("lag", "lead"):
             offset = int(cfg.get("offset", 1))
