@@ -1326,6 +1326,29 @@ def _text_decontaminate(spark, sf_dir):
     return text_ops.decontaminate(train, bench, n=5)
 
 
+def _zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout op (ops/layout.py): lineitem clustered on
+    (l_partkey, l_suppkey) with 8-bit grids; output aggregates per
+    256-wide z-bucket to expose the locality the layout creates (tight
+    min/max in BOTH dimensions per bucket — what parquet row-group stats
+    prune on at 100 TB). The bucket aggregate is partitioning-invariant,
+    so the oracle replays the identical integer arithmetic."""
+    from metadata_etl_framework_spark.ops.layout import zorder_repartition
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_repartition(li, ["l_partkey", "l_suppkey"], bits=8,
+                           num_partitions=16)
+    return z.groupBy(
+        F.floor(F.col("zvalue") / F.lit(256)).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_partkey"),
+        F.max("l_partkey").alias("max_partkey"),
+        F.min("l_suppkey").alias("min_suppkey"),
+        F.max("l_suppkey").alias("max_suppkey"),
+    )
+
+
 def _window_ntile_cume(spark, sf_dir):
     """ntile bucketing + cumulative distribution within order-priority
     groups (functions/windows.py::rank_within_group methods ntile /
@@ -1963,6 +1986,7 @@ _EXTRA_KEYS = [
     "simhash_near_dups_pairs",
     "corpus_mixing_plan",
     "window_ntile_cume",
+    "zorder_layout",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2062,6 +2086,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups_pairs": _simhash_near_dups_pairs,
     "corpus_mixing_plan": _corpus_mixing_plan,
     "window_ntile_cume": _window_ntile_cume,
+    "zorder_layout": _zorder_layout,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
@@ -3119,6 +3144,50 @@ _ALL_SQL.update(
                    CAST(LEN(list_slice(toks, st + 1, st + 64)) AS INT)
                      AS n_chunk_tokens
             FROM s
+        """,
+        "zorder_layout": """
+            WITH st AS (
+                SELECT CAST(MIN(l_partkey) AS DOUBLE) AS mnp,
+                       CAST(MAX(l_partkey) AS DOUBLE) AS mxp,
+                       CAST(MIN(l_suppkey) AS DOUBLE) AS mns,
+                       CAST(MAX(l_suppkey) AS DOUBLE) AS mxs
+                FROM lineitem
+            ), s AS (
+                SELECT l_partkey, l_suppkey,
+                       LEAST(255, CAST(FLOOR((CASE WHEN mxp > mnp
+                           THEN (l_partkey - mnp) / (mxp - mnp)
+                           ELSE 0.0 END) * 256) AS BIGINT)) AS sx,
+                       LEAST(255, CAST(FLOOR((CASE WHEN mxs > mns
+                           THEN (l_suppkey - mns) / (mxs - mns)
+                           ELSE 0.0 END) * 256) AS BIGINT)) AS sy
+                FROM lineitem, st
+            ), z AS (
+                SELECT l_partkey, l_suppkey,
+                       (sx // 1 % 2) * 1
+                       + (sy // 1 % 2) * 2
+                       + (sx // 2 % 2) * 4
+                       + (sy // 2 % 2) * 8
+                       + (sx // 4 % 2) * 16
+                       + (sy // 4 % 2) * 32
+                       + (sx // 8 % 2) * 64
+                       + (sy // 8 % 2) * 128
+                       + (sx // 16 % 2) * 256
+                       + (sy // 16 % 2) * 512
+                       + (sx // 32 % 2) * 1024
+                       + (sy // 32 % 2) * 2048
+                       + (sx // 64 % 2) * 4096
+                       + (sy // 64 % 2) * 8192
+                       + (sx // 128 % 2) * 16384
+                       + (sy // 128 % 2) * 32768 AS zvalue
+                FROM s
+            )
+            SELECT CAST(FLOOR(zvalue / 256.0) AS BIGINT) AS zbucket,
+                   COUNT(*) AS n_rows,
+                   MIN(l_partkey) AS min_partkey,
+                   MAX(l_partkey) AS max_partkey,
+                   MIN(l_suppkey) AS min_suppkey,
+                   MAX(l_suppkey) AS max_suppkey
+            FROM z GROUP BY 1
         """,
         "window_ntile_cume": """
             SELECT o_orderkey, o_orderpriority,

@@ -1,0 +1,86 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-column
+data skipping.
+
+A table range-partitioned and sorted by ONE column prunes scans on that
+column only; interleaving the bits of several columns into one Morton
+code and range-partitioning by it co-locates rows that are close in ALL
+of those dimensions, so min/max file statistics prune selective scans
+on any participating column (the technique behind Delta/Iceberg
+``OPTIMIZE ZORDER BY``; public literature: Morton 1966, the lakehouse
+z-ordering write-ups). At 100 TB this is the difference between a
+2-column predicate reading ~1/N of the files and reading all of them.
+
+Everything here is pure JVM integer arithmetic (shifts as multiplies,
+masks as mod) — no UDF, fully codegen-able, and independently
+recomputable by any SQL engine for oracle verification.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Min-max scale a numeric column onto the integer grid [0, 2^bits):
+    rank-preserving, constant columns land on 0."""
+    span = hi - lo
+    frac = F.when(span > 0, (col - lo) / span).otherwise(F.lit(0.0))
+    top = F.lit((1 << bits) - 1)
+    return F.least(
+        top, F.floor(frac * (1 << bits)).cast("long")
+    )
+
+
+def zorder_value(scaled: Sequence[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of the pre-scaled integer columns
+    into one Morton code (column 0 owns bit positions 0, n, 2n, ...)."""
+    n = len(scaled)
+    terms = []
+    for j, c in enumerate(scaled):
+        for i in range(bits):
+            # ((c >> i) & 1) << (i*n + j), written with */% so the same
+            # expression runs verbatim on any SQL engine
+            bit = (c / F.lit(1 << i)).cast("long") % 2
+            terms.append(bit * F.lit(1 << (i * n + j)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 12,
+    num_partitions: int | None = None,
+    out_col: str = "zvalue",
+) -> DataFrame:
+    """Append a Morton code over ``cols`` and range-partition + sort by
+    it, producing write-ready partitions whose per-file min/max stats are
+    tight in every participating dimension.
+
+    One bounded stats aggregate (min/max per column) sizes the grid; the
+    code itself is a pure projection. ``df.write`` after this yields the
+    z-ordered layout; readers need nothing special — pruning falls out
+    of ordinary parquet row-group statistics.
+    """
+    cols = list(cols)
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    scaled = [
+        _scale_to_bits(
+            F.col(c).cast("double"),
+            F.lit(float(stats[f"_lo_{c}"] if stats[f"_lo_{c}"] is not None else 0.0)),
+            F.lit(float(stats[f"_hi_{c}"] if stats[f"_hi_{c}"] is not None else 0.0)),
+            bits,
+        )
+        for c in cols
+    ]
+    with_z = df.withColumn(out_col, zorder_value(scaled, bits))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return with_z.repartitionByRange(n, out_col).sortWithinPartitions(out_col)

@@ -335,3 +335,44 @@ def test_mixing_plan_hits_target_ratio_and_caps_scarce_source(spark):
     # big source downsamples to match: 0.5 * 1000 / 10000 = 0.05
     assert plan["big"]["sample_fraction"] == 0.05
     assert plan["big"]["expected_tokens"] == 500
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """A layout range-partitioned on l_partkey alone can NEVER prune a
+    predicate on l_suppkey — every partition spans the full suppkey
+    range. The z-ordered layout must: for a suppkey-band predicate, a
+    strict subset of its partition envelopes overlap. (This is the
+    file-skipping win parquet row-group stats deliver at scale.)"""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.layout import zorder_repartition
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    n_parts = 32
+
+    def envelopes(df):
+        return df.groupBy(F.spark_partition_id().alias("pid")).agg(
+            F.min("l_suppkey").alias("mns"), F.max("l_suppkey").alias("mxs"),
+        ).collect()
+
+    z_env = envelopes(
+        zorder_repartition(li, ["l_partkey", "l_suppkey"], bits=8,
+                           num_partitions=n_parts)
+    )
+    lin_env = envelopes(li.repartitionByRange(n_parts, "l_partkey"))
+
+    s_lo, s_hi = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    band = (s_lo + (s_hi - s_lo) * 0.45, s_lo + (s_hi - s_lo) * 0.55)
+
+    def overlapping(env):
+        return sum(
+            1 for r in env if not (r["mxs"] < band[0] or r["mns"] > band[1])
+        )
+
+    z_hit, lin_hit = overlapping(z_env), overlapping(lin_env)
+    # linear layout: every partition spans ~the full suppkey range
+    assert lin_hit == len(lin_env)
+    assert z_hit < lin_hit, (z_hit, lin_hit)
