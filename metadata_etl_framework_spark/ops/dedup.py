@@ -308,8 +308,9 @@ def connected_components(
     list (A~B, B~C without an A~C pair must still collapse to one
     cluster). Per iteration: join each node's current label against its
     neighbors', take the min — a self-equi-join + groupBy (two shuffles
-    on node id), converging in O(component diameter) rounds, ≤ a few for
-    the short chains near-dup graphs produce. ``localCheckpoint`` after
+    on node id) — then one pointer-jumping join (label ← label's label)
+    that halves remaining path lengths, so convergence is O(log
+    diameter) rounds rather than O(diameter). ``localCheckpoint`` after
     each round truncates the exponentially-growing lineage — standard
     for iterative Spark algorithms. Convergence is detected by counting
     changed labels (one action per round, unavoidable in any iterative
@@ -339,10 +340,27 @@ def connected_components(
             edges.join(labels, edges["v"] == labels["node"])
             .select(edges["u"].alias("node"), "label")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping (path halving): label ← label's label. One small
+        # self-join on the label frame halves remaining path lengths, so
+        # a chain of diameter d converges in O(log d) rounds instead of
+        # O(d) — each round is the expensive edges-join, so this is the
+        # dominant cost lever on chain-shaped duplicate graphs.
+        new_labels = (
+            propagated.alias("l")
+            .join(
+                propagated.alias("m"),
+                F.col("l.label") == F.col("m.node"),
+                "left",
+            )
+            .select(
+                F.col("l.node").alias("node"),
+                F.coalesce(F.col("m.label"), F.col("l.label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
