@@ -415,3 +415,23 @@ def mixing_plan(
         F.round(frac, 6).alias("sample_fraction"),
         F.floor(frac * F.col("n_tokens")).cast("long").alias("expected_tokens"),
     )
+
+
+def apply_mixing_plan(
+    docs: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a ``mixing_plan``: stratified Bernoulli sampling with
+    the plan's per-source fractions (``sampleBy`` — one pass, no
+    shuffle; each row flips a seeded coin for its own stratum).
+    Sampling is RNG-dependent, so correctness is statistical: realized
+    token counts concentrate on the plan's ``expected_tokens`` (tested
+    with tolerance); the deterministic arithmetic lives in
+    ``mixing_plan`` where the oracle checks it exactly."""
+    fractions = {
+        r[source_col]: float(r["sample_fraction"])
+        for r in plan.select(source_col, "sample_fraction").collect()
+    }
+    return docs.sampleBy(source_col, fractions, seed)

@@ -376,3 +376,36 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     # linear layout: every partition spans ~the full suppkey range
     assert lin_hit == len(lin_env)
     assert z_hit < lin_hit, (z_hit, lin_hit)
+
+
+def test_apply_mixing_plan_realizes_expected_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.text import (
+        apply_mixing_plan,
+        mixing_plan,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 20, "big") for i in range(2000)]       # 40_000 tokens
+        + [(10_000 + i, "w " * 20, "small") for i in range(100)],  # 2_000
+        "doc_id long, text string, source string",
+    )
+    weights = spark.createDataFrame(
+        [("big", 0.5), ("small", 0.5)], "source string, share double"
+    )
+    plan = mixing_plan(docs, weights)
+    expected = {
+        r["source"]: r["expected_tokens"] for r in plan.collect()
+    }
+    mixed = apply_mixing_plan(docs, plan, seed=7)
+    got = {
+        r["source"]: r["t"]
+        for r in mixed.groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).alias("t"))
+        .collect()
+    }
+    assert got["small"] == expected["small"] == 2000  # fraction 1.0: exact
+    # Bernoulli stratum: within 20% of the expected token budget
+    assert abs(got["big"] - expected["big"]) / expected["big"] < 0.2
