@@ -1178,6 +1178,49 @@ def _text_chunks(spark, sf_dir):
     )
 
 
+def _pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (ops/packing.py::pack_sequences):
+    global token stream in doc_id order cut into 1024-token training
+    sequences via a two-phase distributed prefix sum (no single-task
+    global window)."""
+    from metadata_etl_framework_spark.ops.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, seq_len=1024)
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "seq_id", "end_seq_id", "straddles"
+    )
+
+
+def _topk_per_order(spark, sf_dir):
+    """Per-group top-k (functions/aggregations.py::topk_per_group): 3
+    priciest lineitems per order; ordering extended to a total order so
+    boundary ties are partitioning-independent."""
+    from metadata_etl_framework_spark.functions import topk_per_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = topk_per_group(
+        li,
+        ["l_orderkey"],
+        "l_extendedprice",
+        k=3,
+        tiebreak=["l_linenumber", "l_quantity", "l_partkey", "l_suppkey"],
+    )
+    return out.select(
+        "l_orderkey", "rk", "l_extendedprice", "l_linenumber",
+        "l_quantity", "l_partkey", "l_suppkey",
+    )
+
+
+def _histogram_price(spark, sf_dir):
+    """Fixed-width histogram (functions/aggregations.py::histogram): 20
+    bins over l_extendedprice, bounds from one broadcast 1-row agg."""
+    from metadata_etl_framework_spark.functions import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", nbins=20)
+
+
 # --------------------------------------------------------------------------
 # streaming-shaped (batch event-time windows)
 # --------------------------------------------------------------------------
@@ -1987,6 +2030,9 @@ _EXTRA_KEYS = [
     "corpus_mixing_plan",
     "window_ntile_cume",
     "zorder_layout",
+    "pack_sequences",
+    "topk_per_order",
+    "histogram_price",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2101,6 +2147,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q17_small_qty": _sql_q17_small_qty,
     "sql_q22_idle_balances": _sql_q22_idle_balances,
     "sql_rollup_totals": _sql_rollup_totals,
+    "pack_sequences": _pack_sequences,
+    "topk_per_order": _topk_per_order,
+    "histogram_price": _histogram_price,
 }
 
 
@@ -3273,6 +3322,77 @@ _ALL_SQL.update(
                               ELSE 0.0 END, 6) AS stopword_ratio,
                    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM t
+        """,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        # two-phase prefix sum ≡ a plain global running total
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                          ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                   CAST(FLOOR((cum - n_tokens) / 1024.0) AS BIGINT) AS seq_id,
+                   CAST(CASE WHEN n_tokens > 0 THEN FLOOR((cum - 1) / 1024.0)
+                             ELSE FLOOR((cum - n_tokens) / 1024.0)
+                        END AS BIGINT) AS end_seq_id,
+                   CAST(CASE WHEN n_tokens > 0 THEN FLOOR((cum - 1) / 1024.0)
+                             ELSE FLOOR((cum - n_tokens) / 1024.0)
+                        END AS BIGINT)
+                     > CAST(FLOOR((cum - n_tokens) / 1024.0) AS BIGINT)
+                     AS straddles
+            FROM c
+        """,
+        "topk_per_order": """
+            SELECT l_orderkey, rk, l_extendedprice, l_linenumber,
+                   l_quantity, l_partkey, l_suppkey
+            FROM (
+              SELECT l_orderkey, l_extendedprice, l_linenumber,
+                     l_quantity, l_partkey, l_suppkey,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber,
+                                l_quantity, l_partkey, l_suppkey) AS INT) AS rk
+              FROM lineitem
+            )
+            WHERE rk <= 3
+        """,
+        "histogram_price": """
+            WITH b AS (
+              SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+                     CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), d AS (
+              SELECT CAST(l_extendedprice AS DOUBLE) AS x, lo, hi,
+                     (hi - lo) / 20 AS w
+              FROM lineitem, b
+              WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT CAST(CASE WHEN w > 0
+                             THEN LEAST(19, FLOOR((x - lo) / w))
+                             ELSE 0 END AS INT) AS bin,
+                   ROUND(MIN(lo) + CAST(CASE WHEN w > 0
+                             THEN LEAST(19, FLOOR((x - lo) / w))
+                             ELSE 0 END AS INT) * MIN(w), 6) AS bin_lo,
+                   ROUND(MIN(lo) + (CAST(CASE WHEN w > 0
+                             THEN LEAST(19, FLOOR((x - lo) / w))
+                             ELSE 0 END AS INT) + 1) * MIN(w), 6) AS bin_hi,
+                   COUNT(*) AS cnt
+            FROM d
+            GROUP BY 1
         """,
     }
 )

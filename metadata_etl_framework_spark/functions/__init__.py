@@ -41,8 +41,10 @@ from metadata_etl_framework_spark.functions.aggregations import (  # noqa: F401
     deduplicate_data,
     duplicate_rows,
     groupby_aggregate,
+    histogram,
     pivot_table,
     profile_columns,
+    topk_per_group,
     value_counts_topk,
 )
 from metadata_etl_framework_spark.functions.skew import salted_join  # noqa: F401

@@ -121,6 +121,87 @@ def value_counts_topk(df: DataFrame, column: str, k: int = 5) -> DataFrame:
     )
 
 
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: Sequence[str] | None = None,
+    rank_out: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (row_number window → filter).
+
+    ``tiebreak`` columns extend the ordering to a total order so the
+    selected rows are deterministic across partitionings — without it,
+    ties at the k-th position are engine-dependent.
+
+    Scale: one shuffle on ``group_cols``; the rank filter is applied
+    before any downstream join/agg so only k rows per group survive the
+    exchange boundary.
+    """
+    ordering = [F.desc(order_col) if descending else F.asc(order_col)]
+    ordering += [F.asc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (
+        df.withColumn(rank_out, F.row_number().over(w))
+        .filter(F.col(rank_out) <= k)
+    )
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    nbins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bin, bin_lo, bin_hi, cnt).
+
+    Bounds default to the observed min/max (one tiny agg whose 1-row
+    result is broadcast — same pattern as the anomaly suite's shared
+    stats). Values at the upper bound land in the last bin; nulls are
+    dropped; only non-empty bins are emitted.
+
+    Scale: two linear scans (bounds + counts) — or one when bounds are
+    supplied — and a shuffle of at most ``nbins`` rows.
+    """
+    if nbins <= 0:
+        raise ValueError("nbins must be positive")
+    c = F.col(column).cast("double")
+    data = df.filter(c.isNotNull()).select(c.alias("__x"))
+    if lo is None or hi is None:
+        bounds = data.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        )
+        data = data.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+        data = data.withColumn("__lo", lo_c).withColumn("__hi", hi_c)
+    width = (hi_c - lo_c) / nbins
+    bin_id = F.when(width > 0, F.least(
+        F.lit(nbins - 1),
+        F.floor((F.col("__x") - lo_c) / width),
+    )).otherwise(F.lit(0)).cast("int")
+    return (
+        data.withColumn("bin", bin_id)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("__lo").alias("__flo"),
+            F.first("__hi").alias("__fhi"),
+        )
+        .withColumn("__w", (F.col("__fhi") - F.col("__flo")) / nbins)
+        .select(
+            "bin",
+            F.round(F.col("__flo") + F.col("bin") * F.col("__w"), 6).alias("bin_lo"),
+            F.round(F.col("__flo") + (F.col("bin") + 1) * F.col("__w"), 6).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
 def profile_columns(
     df: DataFrame,
     columns: Sequence[str] | None = None,

@@ -1,0 +1,146 @@
+"""Sequence packing for LLM training pipelines.
+
+Concat-and-chunk packing: documents are laid out on one global token
+stream (deterministic ``order_col`` order) and cut into fixed-length
+training sequences of ``seq_len`` tokens. The core primitive is a
+scalable global prefix sum — the naive formulation
+(``SUM() OVER (ORDER BY id)`` with no partition) collapses to a single
+task in Spark, so we do the classic two-phase scan instead:
+
+1. range-repartition on the order column (each partition owns a
+   contiguous key range),
+2. one tiny aggregation of per-partition subtotals → cumulative
+   offsets on the driver (``numPartitions`` rows, bytes of data),
+3. a within-partition cumulative window + broadcast offset join.
+
+Wall-clock is one shuffle (the range partitioning) plus a linear scan —
+no single-task bottleneck, so it holds at 100 TB / 1000 executors.
+
+Beyond-reference operator (LLM-pipeline family); no reference
+counterpart — the reference has no corpus-packing surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` over the global ``order_col`` order.
+
+    ``order_col`` must be a total order (unique values) — ties straddling
+    a range-partition boundary would otherwise make the result
+    partitioning-dependent. The prefix sum is inclusive: the row's own
+    value is counted.
+
+    Two-phase scan (see module docstring): per-partition subtotals are
+    collected to the driver — that is ``numPartitions`` rows, not data —
+    then re-joined as broadcast offsets.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, F.col(order_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+
+    subtotals = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("__sub"))
+        .collect()
+    )
+    # partition ids are ordered by key range (repartitionByRange), so the
+    # exclusive running total over pid order is each partition's offset
+    offsets, acc = [], 0
+    for row in sorted(subtotals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__sub"] or 0
+    if not offsets:
+        return df.withColumn(out, F.lit(0).cast("long"))
+    offsets_df = df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
+
+    local_w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        with_pid.withColumn("__local", F.sum(F.col(value_col).cast("long")).over(local_w))
+        .join(F.broadcast(offsets_df), "__pid")
+        .withColumn(out, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document its position in the packed token stream.
+
+    Documents are concatenated in ``id_col`` order and the stream is cut
+    every ``seq_len`` tokens (concat-and-chunk, the standard pretraining
+    layout — no padding, documents may straddle sequence boundaries).
+
+    Output columns per document: ``n_tokens``, ``start_offset`` (0-based
+    position of the first token in the global stream), ``seq_id`` (the
+    training sequence holding that first token), ``end_seq_id`` (sequence
+    of the last token) and ``straddles`` (true when the document must be
+    split across sequences). Zero-token documents occupy no stream space:
+    they report the sequence they would start in and never straddle.
+
+    Pass ``token_count_col`` to pack by a precomputed token count
+    (e.g. a real tokenizer's); by default whitespace tokens are counted
+    JVM-side.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if token_count_col is None:
+        counted = df.withColumn(
+            "n_tokens",
+            F.size(F.coalesce(tokens(text_col), F.array().cast("array<string>"))),
+        )
+    else:
+        counted = df.withColumn(
+            "n_tokens", F.coalesce(F.col(token_count_col), F.lit(0)).cast("int")
+        )
+    summed = global_prefix_sum(
+        counted, id_col, "n_tokens", out="__cum", num_partitions=num_partitions
+    )
+    start = (F.col("__cum") - F.col("n_tokens")).cast("long")
+    seq_id = F.floor(start / seq_len).cast("long")
+    # last-token sequence; for empty docs fall back to the start sequence
+    end_seq = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("__cum") - 1) / seq_len)
+    ).otherwise(seq_id).cast("long")
+    return (
+        summed.withColumn("start_offset", start)
+        .withColumn("seq_id", seq_id)
+        .withColumn("end_seq_id", end_seq)
+        .withColumn("straddles", F.col("end_seq_id") > F.col("seq_id"))
+        .drop("__cum")
+    )
+
+
+def packing_summary(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Per-sequence occupancy of a ``pack_sequences`` result: documents
+    starting in the sequence and tokens contributed by them — a cheap
+    audit of packing efficiency (one shuffle on ``seq_id``)."""
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.col("straddles").cast("int")).cast("long").alias("n_straddling"),
+        )
+        .withColumn("seq_len", F.lit(seq_len))
+    )

@@ -409,3 +409,99 @@ def test_apply_mixing_plan_realizes_expected_tokens(spark):
     assert got["small"] == expected["small"] == 2000  # fraction 1.0: exact
     # Bernoulli stratum: within 20% of the expected token budget
     assert abs(got["big"] - expected["big"]) / expected["big"] < 0.2
+
+
+def test_global_prefix_sum_matches_naive_window(spark):
+    from metadata_etl_framework_spark.ops.packing import global_prefix_sum
+
+    rows = [(i, (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    # force several range partitions so the two-phase path is exercised
+    out = global_prefix_sum(df, "id", "v", out="ps", num_partitions=7)
+    got = {r.id: r.ps for r in out.collect()}
+    acc, want = 0, {}
+    for i, v in rows:
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+def test_pack_sequences_offsets_and_straddles(spark):
+    from metadata_etl_framework_spark.ops.packing import (
+        pack_sequences,
+        packing_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "w " * 6),   # 6 tokens  → seq 0, offsets 0-5
+            ("b", "w " * 3),   # 3 tokens  → starts seq 0, ends seq 0 (6..8)
+            ("c", "w " * 4),   # 4 tokens  → starts seq 0 at 9, ends 12 → straddles
+            ("d", ""),         # 0 tokens  → zero-width at offset 13, seq 1
+            ("e", "w"),        # 1 token   → seq 1
+        ],
+        "doc_id string, text string",
+    )
+    out = pack_sequences(docs, seq_len=10, num_partitions=3)
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.seq_id, r.end_seq_id, r.straddles)
+        for r in out.collect()
+    }
+    assert got == {
+        "a": (6, 0, 0, 0, False),
+        "b": (3, 6, 0, 0, False),
+        "c": (4, 9, 0, 1, True),
+        "d": (0, 13, 1, 1, False),
+        "e": (1, 13, 1, 1, False),
+    }
+    summary = {r.seq_id: (r.n_docs, r.n_tokens, r.n_straddling)
+               for r in packing_summary(out, seq_len=10).collect()}
+    assert summary == {0: (3, 13, 1), 1: (2, 1, 0)}
+
+
+def test_pack_sequences_null_text_counts_zero(spark):
+    from metadata_etl_framework_spark.ops.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("a", None), ("b", "x y z")], "doc_id string, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.start_offset)
+           for r in pack_sequences(docs, seq_len=4).collect()}
+    assert got == {"a": (0, 0), "b": (3, 0)}
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    from metadata_etl_framework_spark.functions import topk_per_group
+
+    df = spark.createDataFrame(
+        [("g", 5.0, 1), ("g", 5.0, 2), ("g", 4.0, 3), ("g", 3.0, 4),
+         ("h", 1.0, 1)],
+        "grp string, score double, seq int",
+    )
+    out = topk_per_group(df, ["grp"], "score", k=2, tiebreak=["seq"])
+    got = sorted((r.grp, r.rk, r.score, r.seq) for r in out.collect())
+    assert got == [("g", 1, 5.0, 1), ("g", 2, 5.0, 2), ("h", 1, 1.0, 1)]
+
+
+def test_histogram_bins_and_upper_bound(spark):
+    from metadata_etl_framework_spark.functions import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (7.5,), (10.0,), (None,)], "x double"
+    )
+    out = {r.bin: (r.bin_lo, r.bin_hi, r.cnt) for r in histogram(df, "x", nbins=4).collect()}
+    # max value lands in the LAST bin, nulls dropped
+    assert out == {
+        0: (0.0, 2.5, 1),
+        1: (2.5, 5.0, 1),
+        2: (5.0, 7.5, 1),
+        3: (7.5, 10.0, 2),
+    }
+
+
+def test_histogram_constant_column_single_bin(spark):
+    from metadata_etl_framework_spark.functions import histogram
+
+    df = spark.createDataFrame([(3.0,), (3.0,), (3.0,)], "x double")
+    out = histogram(df, "x", nbins=5).collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].cnt == 3
