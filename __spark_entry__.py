@@ -979,6 +979,153 @@ _sql_q7_nation_volume = _sql_query(
     _SQL_Q7, "customer", "orders", "lineitem", "supplier", "nation"
 )
 
+# Q2-shaped: correlated scalar MIN subquery picking the best-price supplier
+# per part within a region (partsupp absent in the testdata → lineitem
+# extendedprice stands in for ps_supplycost).
+_SQL_Q2 = """
+    SELECT p_partkey, p_name, s_name, n_name,
+           ROUND(CAST(l_extendedprice AS DOUBLE), 4) AS best_price
+    FROM part, lineitem, supplier, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND p_size <= 10
+      AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    ORDER BY p_partkey, s_name
+"""
+
+# Q8-shaped: a nation's market share of a part type within a region by year.
+_SQL_Q8 = """
+    SELECT o_year,
+           ROUND(CASE WHEN CAST(SUM(vol) AS DOUBLE) > 0
+                      THEN CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                         THEN vol
+                                         ELSE CAST(0 AS DECIMAL(28,10)) END)
+                            AS DOUBLE) / CAST(SUM(vol) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               n2.n_name AS supp_nation,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) AS vol
+        FROM part, lineitem, orders, customer, supplier,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+# Q9-shaped: profit by supplier nation and year; cost side proxied by
+# p_retailprice * quantity (no partsupp.ps_supplycost in the testdata).
+_SQL_Q9 = """
+    SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                 - CAST(p_retailprice * l_quantity * 0.6 AS DECIMAL(28,10))
+                 AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+# Q11-shaped: parts whose turnover value exceeds a global-fraction
+# threshold (correlated-free scalar subquery over the whole table;
+# lineitem turnover stands in for partsupp stock value).
+_SQL_Q11 = """
+    SELECT l_partkey AS ps_partkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity
+                              AS DECIMAL(28,10))) AS DOUBLE), 4) AS value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity
+                        AS DECIMAL(28,10))) AS DOUBLE)
+           > (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity
+                                  AS DECIMAL(28,10))) AS DOUBLE) * 0.002
+              FROM lineitem, supplier, nation
+              WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND n_name = 'NATION_7')
+    ORDER BY value DESC, ps_partkey
+"""
+
+# Q15-shaped: top-revenue supplier(s) for a quarter via a MAX-equality
+# subquery over the shared revenue CTE.
+_SQL_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,10))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+# Q21-shaped: suppliers whose shipment was the only late one on a
+# multi-supplier order (EXISTS + NOT EXISTS pair; "late" reshaped to
+# shipdate > orderdate + 75 days — no commit/receipt dates in testdata).
+_SQL_Q21 = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 75 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3, orders o2
+          WHERE o2.o_orderkey = l3.l_orderkey
+            AND l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o2.o_orderdate + INTERVAL 75 DAY)
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+"""
+
+_sql_q2_min_cost_supplier = _sql_query(
+    _SQL_Q2, "part", "lineitem", "supplier", "nation", "region"
+)
+_sql_q8_market_share = _sql_query(
+    _SQL_Q8, "part", "lineitem", "orders", "customer", "supplier", "nation",
+    "region",
+)
+_sql_q9_product_profit = _sql_query(
+    _SQL_Q9, "part", "supplier", "lineitem", "orders", "nation"
+)
+_sql_q11_important_stock = _sql_query(_SQL_Q11, "lineitem", "supplier", "nation")
+_sql_q15_top_supplier = _sql_query(_SQL_Q15, "lineitem", "supplier")
+_sql_q21_waiting_supplier = _sql_query(
+    _SQL_Q21, "supplier", "lineitem", "orders", "nation"
+)
+
 
 def _dq_rules_onepass(spark, sf_dir):
     """Multi-rule single-pass evaluation: every rule compiles to a failure
@@ -2033,6 +2180,12 @@ _EXTRA_KEYS = [
     "pack_sequences",
     "topk_per_order",
     "histogram_price",
+    "sql_q2_min_cost_supplier",
+    "sql_q8_market_share",
+    "sql_q9_product_profit",
+    "sql_q11_important_stock",
+    "sql_q15_top_supplier",
+    "sql_q21_waiting_supplier",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2147,6 +2300,12 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q17_small_qty": _sql_q17_small_qty,
     "sql_q22_idle_balances": _sql_q22_idle_balances,
     "sql_rollup_totals": _sql_rollup_totals,
+    "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
+    "sql_q8_market_share": _sql_q8_market_share,
+    "sql_q9_product_profit": _sql_q9_product_profit,
+    "sql_q11_important_stock": _sql_q11_important_stock,
+    "sql_q15_top_supplier": _sql_q15_top_supplier,
+    "sql_q21_waiting_supplier": _sql_q21_waiting_supplier,
     "pack_sequences": _pack_sequences,
     "topk_per_order": _topk_per_order,
     "histogram_price": _histogram_price,
@@ -2535,6 +2694,12 @@ _ALL_SQL: dict[str, str] = {
         "sql_q12_priority_lateness": _SQL_Q12,
         "sql_q13_custdist": _SQL_Q13,
         "sql_q16_supplier_cnt": _SQL_Q16,
+        "sql_q2_min_cost_supplier": _SQL_Q2,
+        "sql_q8_market_share": _SQL_Q8,
+        "sql_q9_product_profit": _SQL_Q9,
+        "sql_q11_important_stock": _SQL_Q11,
+        "sql_q15_top_supplier": _SQL_Q15,
+        "sql_q21_waiting_supplier": _SQL_Q21,
         "sql_q19_disjunctive": _SQL_Q19,
         "sql_q7_nation_volume": _SQL_Q7,
         "sql_rollup_totals": _SQL_ROLLUP,
