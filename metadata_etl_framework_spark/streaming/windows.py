@@ -171,6 +171,64 @@ def foreach_batch_upsert(stream_df, target_path: str, keys: Sequence[str], check
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    within: str = "15 minutes",
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Event-time-bounded stream-stream equi-join (click-through /
+    enrichment pattern): both sides carry a watermark and the join is
+    constrained to ``|left_ts - right_ts| <= within`` so the engine can
+    expire buffered state — without the time bound a stream-stream join
+    buffers both sides forever.
+
+    Same expressions run in batch (no watermark applied) so the batch
+    plan over identical input is the oracle for the streaming result.
+    Right-side non-key columns are suffixed to keep the output schema
+    collision-free. Outer joins emit the null-padded rows only once the
+    watermark closes the window (streaming semantics; identical row set
+    to the batch plan, later arrival).
+
+    Scale: state per executor is bounded by (watermark + within) of
+    event-time per key — independent of stream length.
+    """
+    keys = list(keys)
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    renames = {
+        c: c + suffix for c in right.columns if c not in keys and c in left.columns
+    }
+    right = right.withColumnsRenamed(renames)
+    r_ts = renames.get(right_ts, right_ts)
+    l, r = left.alias("__l"), right.alias("__r")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__l.{k}") == F.col(f"__r.{k}")
+        cond = eq if cond is None else (cond & eq)
+    bound = (
+        F.col(f"__r.{r_ts}")
+        >= F.col(f"__l.{left_ts}") - F.expr(f"INTERVAL {within}")
+    ) & (
+        F.col(f"__r.{r_ts}")
+        <= F.col(f"__l.{left_ts}") + F.expr(f"INTERVAL {within}")
+    )
+    joined = l.join(r, cond & bound, how)
+    # single copy of the key columns
+    return joined.select(
+        *[F.col(f"__l.{k}").alias(k) for k in keys],
+        *[F.col(f"__l.{c}") for c in left.columns if c not in keys],
+        *[F.col(f"__r.{c}") for c in right.columns if c not in keys],
+    )
+
+
 def watermark_stream_dedup(
     df: DataFrame, key_cols: Sequence[str], ts_col: str,
     watermark: str = "10 minutes",

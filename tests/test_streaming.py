@@ -162,3 +162,47 @@ def test_watermark_stream_dedup_matches_batch(spark_mod, stream_src, tmp_path):
         spark.read.parquet(dup_path), ["event_id"], "ts"
     )
     assert batch_out.count() == batch_ids.count()
+
+
+def test_stream_stream_join_matches_batch(spark_mod, tmp_path):
+    """Click-through join: 'view' events joined to 'purchase' events of
+    the same user within 30 minutes — streamed result (two file streams,
+    availableNow) must equal the batch join over identical input."""
+    from metadata_etl_framework_spark.streaming.windows import stream_stream_join
+
+    spark = spark_mod
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "user_id", "event_type")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    vp, pp = str(tmp_path / "views"), str(tmp_path / "purch")
+    views.repartition(3).write.parquet(vp)
+    purchases.repartition(3).write.parquet(pp)
+
+    b_l, b_r = spark.read.parquet(vp), spark.read.parquet(pp)
+    expected = stream_stream_join(
+        b_l, b_r, ["user_id"], "ts", "ts", within="30 minutes"
+    )
+    exp_rows = {tuple(r) for r in expected.collect()}
+    assert exp_rows, "fixture should produce at least one joined pair"
+
+    s_l = streaming_file_source(spark, vp, b_l.schema, max_files_per_trigger=1)
+    s_r = streaming_file_source(spark, pp, b_r.schema, max_files_per_trigger=1)
+    # watermark must exceed the feed's event-time disorder (unordered
+    # parquet splits) for exact batch parity — nothing may be "late"
+    joined = stream_stream_join(
+        s_l, s_r, ["user_id"], "ts", "ts", watermark="90 days", within="30 minutes"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_rows = {tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    assert got_rows == exp_rows
+    assert sorted(expected.columns) == sorted(
+        spark.table("ssj_test").columns
+    )
