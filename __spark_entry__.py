@@ -1368,6 +1368,29 @@ def _histogram_price(spark, sf_dir):
     return histogram(li, "l_extendedprice", nbins=20)
 
 
+def _sample_per_priority(spark, sf_dir):
+    """Deterministic per-group sampling (functions/aggregations.py::
+    sample_n_per_group): 2 orders per priority ranked by md5(key)."""
+    from metadata_etl_framework_spark.functions import sample_n_per_group
+
+    orders = _t(spark, sf_dir, "orders")
+    out = sample_n_per_group(
+        orders, ["o_orderpriority"], 2, ["o_orderkey"], salt="r3"
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+def _groupwise_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (functions/aggregations.py::
+    groupwise_quantiles): p25/p50/p90 of extendedprice per returnflag."""
+    from metadata_etl_framework_spark.functions import groupwise_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return groupwise_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", quantiles=(0.25, 0.5, 0.9)
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming-shaped (batch event-time windows)
 # --------------------------------------------------------------------------
@@ -2186,6 +2209,8 @@ _EXTRA_KEYS = [
     "sql_q11_important_stock",
     "sql_q15_top_supplier",
     "sql_q21_waiting_supplier",
+    "sample_per_priority",
+    "groupwise_quantiles",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2309,6 +2334,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": _pack_sequences,
     "topk_per_order": _topk_per_order,
     "histogram_price": _histogram_price,
+    "sample_per_priority": _sample_per_priority,
+    "groupwise_quantiles": _groupwise_quantiles,
 }
 
 
@@ -3534,6 +3561,27 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "sample_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY MD5(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
+                                              'r3')) ASC,
+                                o_orderkey) AS rk
+              FROM orders
+            )
+            WHERE rk <= 2
+        """,
+        "groupwise_quantiles": """
+            SELECT l_returnflag,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "histogram_price": """
             WITH b AS (

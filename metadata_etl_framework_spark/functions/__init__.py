@@ -41,9 +41,11 @@ from metadata_etl_framework_spark.functions.aggregations import (  # noqa: F401
     deduplicate_data,
     duplicate_rows,
     groupby_aggregate,
+    groupwise_quantiles,
     histogram,
     pivot_table,
     profile_columns,
+    sample_n_per_group,
     topk_per_group,
     value_counts_topk,
 )

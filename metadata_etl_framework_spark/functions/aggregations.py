@@ -149,6 +149,57 @@ def topk_per_group(
     )
 
 
+def sample_n_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    hash_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic pseudo-random sample of exactly min(n, group size)
+    rows per group: rows are ranked by md5 of their ``hash_cols`` (plus
+    ``salt`` — vary it to draw a different sample) and the first n kept.
+
+    Unlike ``df.sample`` this is reproducible across runs/partitionings
+    and gives an exact per-group count — the right tool for building
+    eval/holdout slices of a corpus. ``hash_cols`` should identify a row
+    (e.g. the PK); full-duplicate rows hash equal and tie benignly.
+
+    Scale: one shuffle on ``group_cols``; the md5 ranking is JVM-side.
+    """
+    hk = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols],
+                           F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy(hk.asc(), *[F.col(c) for c in hash_cols])
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def groupwise_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact (interpolated) per-group quantiles — pandas ``quantile``
+    parity, not ``percentile_approx`` (SURVEY §7 hard-part 5: the
+    reference's profiling/IQR semantics are exact).
+
+    One shuffle on ``group_cols``; all quantiles come from a single sort
+    of each group's values (one ``F.percentile`` call per quantile over
+    the same window-free aggregation).
+    """
+    aggs = [
+        F.round(F.percentile(value_col, F.lit(float(q))), 6).alias(
+            f"p{int(q * 100):02d}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def histogram(
     df: DataFrame,
     column: str,

@@ -505,3 +505,31 @@ def test_histogram_constant_column_single_bin(spark):
     df = spark.createDataFrame([(3.0,), (3.0,), (3.0,)], "x double")
     out = histogram(df, "x", nbins=5).collect()
     assert len(out) == 1 and out[0].bin == 0 and out[0].cnt == 3
+
+
+def test_sample_n_per_group_exact_and_deterministic(spark):
+    from metadata_etl_framework_spark.functions import sample_n_per_group
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(10)] + [("tiny", 0)],
+        "grp string, k int",
+    )
+    out1 = sample_n_per_group(df, ["grp"], 3, ["k"]).collect()
+    out2 = sample_n_per_group(df.repartition(7), ["grp"], 3, ["k"]).collect()
+    # exact per-group counts (min(n, group size)) and partitioning-independent
+    from collections import Counter
+    assert Counter(r.grp for r in out1) == {"a": 3, "b": 3, "tiny": 1}
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # a different salt draws a different sample
+    out3 = sample_n_per_group(df, ["grp"], 3, ["k"], salt="other").collect()
+    assert sorted(map(tuple, out1)) != sorted(map(tuple, out3))
+
+
+def test_groupwise_quantiles_exact_interpolation(spark):
+    from metadata_etl_framework_spark.functions import groupwise_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4)], "grp string, x double"
+    )
+    row = groupwise_quantiles(df, ["grp"], "x", quantiles=(0.5,)).collect()[0]
+    assert row.p50 == 2.5  # exact interpolated median, not a nearest-rank approx
