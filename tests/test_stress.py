@@ -138,3 +138,24 @@ def test_cluster_and_decontaminate_at_10x_docs(spark):
     train = big.filter(F.col("doc_id") % 37 != 0)
     _force(tx.decontaminate(train, bench, n=5))
     _force(tx.repetition_metrics(big))
+
+
+def test_prefix_sum_and_packing_at_6m(big, spark):
+    """Two-phase prefix sum over ~6M rows with a synthetic unique order
+    key — the single-task global-window formulation would bottleneck
+    here; the two-phase one is a partition-local window plus a
+    numPartitions-row driver exchange."""
+    import time
+
+    from metadata_etl_framework_spark.ops.packing import global_prefix_sum
+
+    rows = big.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("int").alias("v"),
+    ).dropDuplicates(["rid"])
+    t = time.time()
+    out = global_prefix_sum(rows, "rid", "v", out="ps", num_partitions=64)
+    total = out.agg(F.max("ps").alias("m"), F.sum("v").alias("s")).collect()[0]
+    dt = time.time() - t
+    assert total.m == total.s  # max prefix == grand total
+    print(f"prefix-sum 6M rows: {dt:.1f}s")
