@@ -1368,6 +1368,15 @@ def _histogram_price(spark, sf_dir):
     return histogram(li, "l_extendedprice", nbins=20)
 
 
+def _funnel_conversion(spark, sf_dir):
+    """Ordered funnel (ops/funnel.py::funnel_counts): view → click →
+    purchase over events; one shuffle, k sequential window projections."""
+    from metadata_etl_framework_spark.ops.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def _sample_per_priority(spark, sf_dir):
     """Deterministic per-group sampling (functions/aggregations.py::
     sample_n_per_group): 2 orders per priority ranked by md5(key)."""
@@ -2211,6 +2220,7 @@ _EXTRA_KEYS = [
     "sql_q21_waiting_supplier",
     "sample_per_priority",
     "groupwise_quantiles",
+    "funnel_conversion",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2336,6 +2346,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_price": _histogram_price,
     "sample_per_priority": _sample_per_priority,
     "groupwise_quantiles": _groupwise_quantiles,
+    "funnel_conversion": _funnel_conversion,
 }
 
 
@@ -3561,6 +3572,44 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "funnel_conversion": """
+            WITH a AS (
+              SELECT user_id, ts, event_type,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS s0
+              FROM events
+            ), b AS (
+              SELECT *, MIN(CASE WHEN event_type = 'click'
+                                  AND s0 IS NOT NULL AND ts >= s0
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS s1
+              FROM a
+            ), c AS (
+              SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                                  AND s1 IS NOT NULL AND ts >= s1
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS s2
+              FROM b
+            ), u AS (
+              SELECT user_id, MIN(s0) AS s0, MIN(s1) AS s1, MIN(s2) AS s2
+              FROM c GROUP BY user_id
+            ), n AS (
+              SELECT COUNT(s0) AS n0, COUNT(s1) AS n1, COUNT(s2) AS n2 FROM u
+            )
+            SELECT CAST(0 AS INT) AS step_index, 'view' AS step_name,
+                   n0 AS users_reached, CAST(1.0 AS DOUBLE) AS conversion_from_prev
+            FROM n
+            UNION ALL
+            SELECT CAST(1 AS INT), 'click', n1,
+                   ROUND(CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0
+                              ELSE 0.0 END, 6)
+            FROM n
+            UNION ALL
+            SELECT CAST(2 AS INT), 'purchase', n2,
+                   ROUND(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1
+                              ELSE 0.0 END, 6)
+            FROM n
         """,
         "sample_per_priority": """
             SELECT o_orderpriority, o_orderkey, o_totalprice

@@ -533,3 +533,31 @@ def test_groupwise_quantiles_exact_interpolation(spark):
     )
     row = groupwise_quantiles(df, ["grp"], "x", quantiles=(0.5,)).collect()[0]
     assert row.p50 == 2.5  # exact interpolated median, not a nearest-rank approx
+
+
+def test_funnel_requires_in_order_progression(spark):
+    from metadata_etl_framework_spark.ops.funnel import funnel_counts
+
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2 purchases BEFORE clicking → reaches click only
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 09:10:00", "purchase"),
+        (2, "2024-01-01 09:20:00", "click"),
+        # u3 never views → counts nowhere despite click+purchase
+        (3, "2024-01-01 08:00:00", "click"),
+        (3, "2024-01-01 08:05:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {r.step_name: (r.users_reached, r.conversion_from_prev)
+           for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {
+        "view": (2, 1.0),        # u1, u2
+        "click": (2, 1.0),       # both clicked after viewing
+        "purchase": (1, 0.5),    # only u1 purchased after clicking
+    }
