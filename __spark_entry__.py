@@ -1368,6 +1368,16 @@ def _histogram_price(spark, sf_dir):
     return histogram(li, "l_extendedprice", nbins=20)
 
 
+def _heavy_hitters_qty(spark, sf_dir):
+    """Exact heavy hitters (functions/aggregations.py::heavy_hitters):
+    freqItems sketch prunes candidates, exact count confirms — never a
+    full-cardinality groupBy."""
+    from metadata_etl_framework_spark.functions import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_quantity", min_fraction=0.02)
+
+
 def _funnel_conversion(spark, sf_dir):
     """Ordered funnel (ops/funnel.py::funnel_counts): view → click →
     purchase over events; one shuffle, k sequential window projections."""
@@ -2221,6 +2231,7 @@ _EXTRA_KEYS = [
     "sample_per_priority",
     "groupwise_quantiles",
     "funnel_conversion",
+    "heavy_hitters_qty",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2347,6 +2358,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_per_priority": _sample_per_priority,
     "groupwise_quantiles": _groupwise_quantiles,
     "funnel_conversion": _funnel_conversion,
+    "heavy_hitters_qty": _heavy_hitters_qty,
 }
 
 
@@ -3572,6 +3584,15 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "heavy_hitters_qty": """
+            WITH t AS (SELECT COUNT(*) AS total FROM lineitem)
+            SELECT l_quantity AS value, COUNT(*) AS cnt,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(total), 6) AS fraction
+            FROM lineitem, t
+            GROUP BY l_quantity
+            HAVING COUNT(*) >= CAST(0.02 AS DOUBLE) * MIN(total)
+            ORDER BY cnt DESC, value
         """,
         "funnel_conversion": """
             WITH a AS (

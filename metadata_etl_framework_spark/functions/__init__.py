@@ -42,6 +42,7 @@ from metadata_etl_framework_spark.functions.aggregations import (  # noqa: F401
     duplicate_rows,
     groupby_aggregate,
     groupwise_quantiles,
+    heavy_hitters,
     histogram,
     pivot_table,
     profile_columns,

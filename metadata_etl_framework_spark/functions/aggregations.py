@@ -149,6 +149,50 @@ def topk_per_group(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    column: str,
+    min_fraction: float = 0.01,
+) -> DataFrame:
+    """Exact heavy hitters: values occurring in ≥ ``min_fraction`` of
+    rows. Two-phase at scale: a one-pass frequent-items sketch
+    (``df.stat.freqItems``, guaranteed superset of the true heavy
+    hitters) prunes the candidate set to ~1/min_fraction values, then an
+    exact count over the candidate-filtered rows confirms — so the full
+    groupBy over every distinct value (the 100-TB killer for
+    high-cardinality columns) never happens, yet the answer is exact.
+
+    Output: (value, cnt, fraction), descending count, value tiebreak.
+    """
+    if not (0.0 < min_fraction <= 1.0):
+        raise ValueError("min_fraction must be in (0, 1]")
+    # sketch pass: freqItems guarantees only freq > support, so run it at
+    # half the threshold — a value with freq exactly == min_fraction is
+    # then safely inside the candidate superset (bound: 2/min_fraction)
+    support = max(min_fraction / 2, 1e-4)
+    cands = df.stat.freqItems([column], support=support).collect()[0][0]
+    if not cands:
+        cands = [None]
+    total = df.count()
+    if total == 0:
+        return (
+            df.select(F.col(column).alias("value"))
+            .limit(0)
+            .withColumn("cnt", F.lit(0).cast("long"))
+            .withColumn("fraction", F.lit(0.0))
+        )
+    return (
+        df.filter(F.col(column).isin([c for c in cands if c is not None]))
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= float(min_fraction) * total)
+        .withColumn(
+            "fraction", F.round(F.col("cnt").cast("double") / total, 6)
+        )
+        .orderBy(F.desc("cnt"), F.col("value"))
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

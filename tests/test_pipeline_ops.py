@@ -561,3 +561,15 @@ def test_funnel_requires_in_order_progression(spark):
         "click": (2, 1.0),       # both clicked after viewing
         "purchase": (1, 0.5),    # only u1 purchased after clicking
     }
+
+
+def test_heavy_hitters_exact_at_threshold(spark):
+    from metadata_etl_framework_spark.functions import heavy_hitters
+
+    # 10 rows: 'a'x5, 'b'x3, 'c'x2 → at 0.3 only a and b qualify ('b' sits
+    # exactly ON the threshold and must be included — sketch runs at s/2)
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "v string"
+    )
+    out = [(r.value, r.cnt, r.fraction) for r in heavy_hitters(df, "v", 0.3).collect()]
+    assert out == [("a", 5, 0.5), ("b", 3, 0.3)]
