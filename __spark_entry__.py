@@ -1368,6 +1368,20 @@ def _histogram_price(spark, sf_dir):
     return histogram(li, "l_extendedprice", nbins=20)
 
 
+def _winsorize_prices(spark, sf_dir):
+    """Outlier capping (quality/anomaly.py::winsorize): clip extendedprice
+    to exact [p05, p95]; output rounded to absorb cross-engine quantile
+    interpolation ulps at the clip boundary."""
+    from metadata_etl_framework_spark.quality.anomaly import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(li, ["l_extendedprice"], lower_q=0.05, upper_q=0.95)
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.round("l_extendedprice_capped", 6).alias("price_capped"),
+    )
+
+
 def _heavy_hitters_qty(spark, sf_dir):
     """Exact heavy hitters (functions/aggregations.py::heavy_hitters):
     freqItems sketch prunes candidates, exact count confirms — never a
@@ -2232,6 +2246,7 @@ _EXTRA_KEYS = [
     "groupwise_quantiles",
     "funnel_conversion",
     "heavy_hitters_qty",
+    "winsorize_prices",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2359,6 +2374,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupwise_quantiles": _groupwise_quantiles,
     "funnel_conversion": _funnel_conversion,
     "heavy_hitters_qty": _heavy_hitters_qty,
+    "winsorize_prices": _winsorize_prices,
 }
 
 
@@ -3584,6 +3600,17 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "winsorize_prices": """
+            WITH b AS (
+              SELECT QUANTILE_CONT(l_extendedprice, 0.05) AS lo,
+                     QUANTILE_CONT(l_extendedprice, 0.95) AS hi
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6)
+                     AS price_capped
+            FROM lineitem, b
         """,
         "heavy_hitters_qty": """
             WITH t AS (SELECT COUNT(*) AS total FROM lineitem)

@@ -84,3 +84,53 @@ def zorder_repartition(
     with_z = df.withColumn(out_col, zorder_value(scaled, bits))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return with_z.repartitionByRange(n, out_col).sortWithinPartitions(out_col)
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = 2000) -> float:
+    """In-memory bytes per row, estimated from a bounded driver sample
+    (``sample_rows`` rows — never the dataset). Used to size output
+    files; the sample cost is constant regardless of table size."""
+    pdf = df.limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        return 1.0
+    return float(pdf.memory_usage(index=False, deep=True).sum()) / len(pdf)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: Sequence[str] = (),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    compression_ratio: float = 0.35,
+    sample_rows: int = 2000,
+) -> int:
+    """Write with a target on-disk file size — the small-files problem is
+    the classic 100-TB sink failure (a 1000-task job writing 1000 tiny
+    files per partition kills the next scan).
+
+    Spark-first sizing: compute rows-per-file from a bounded row-size
+    sample and let ``maxRecordsPerFile`` split — no repartition guess,
+    no extra shuffle. With ``partition_cols`` the frame is first
+    hash-partitioned on them so each Hive partition is written by few
+    tasks (instead of every task writing to every partition).
+
+    Returns the rows-per-file used (also handy for tests/telemetry).
+    ``compression_ratio`` converts in-memory sample bytes to expected
+    parquet bytes (documented heuristic default).
+    """
+    row_bytes = estimate_row_bytes(df, sample_rows) * compression_ratio
+    rows_per_file = max(int(target_file_mb * 1024 * 1024 / max(row_bytes, 1.0)), 1)
+    out = df
+    if partition_cols:
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+    writer = (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+        .format(fmt)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+    return rows_per_file

@@ -49,6 +49,41 @@ def _exact_mean_std(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def winsorize(
+    df: DataFrame,
+    columns: "Sequence[str]",
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    suffix: str = "_capped",
+) -> DataFrame:
+    """Outlier capping: clip each column to its exact [lower_q, upper_q]
+    quantiles (pandas ``clip(lower=quantile, upper=quantile)`` parity —
+    exact percentile, not approx, per SURVEY §7 hard-part 5).
+
+    All bounds come from ONE aggregation whose 1-row result is broadcast
+    (shared-stats pattern) — one extra linear scan regardless of how many
+    columns are capped; the clip itself is a per-row JVM projection.
+    """
+    if not (0.0 <= lower_q < upper_q <= 1.0):
+        raise ValueError("need 0 <= lower_q < upper_q <= 1")
+    bounds = df.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"__{c}_{tag}")
+            for c in columns
+            for tag, q in (("lo", lower_q), ("hi", upper_q))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in columns:
+        out = out.withColumn(
+            c + suffix,
+            F.least(
+                F.greatest(F.col(c), F.col(f"__{c}_lo")), F.col(f"__{c}_hi")
+            ),
+        )
+    return out.drop(*[f"__{c}_{t}" for c in columns for t in ("lo", "hi")])
+
+
 def detect_zscore(
     df: DataFrame, value_col: str, key_col: str, threshold: float = 3.0
 ) -> DataFrame:

@@ -573,3 +573,35 @@ def test_heavy_hitters_exact_at_threshold(spark):
     )
     out = [(r.value, r.cnt, r.fraction) for r in heavy_hitters(df, "v", 0.3).collect()]
     assert out == [("a", 5, 0.5), ("b", 3, 0.3)]
+
+
+def test_winsorize_clips_to_exact_quantiles(spark):
+    from metadata_etl_framework_spark.quality.anomaly import winsorize
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+    out = winsorize(df, ["x"], lower_q=0.1, upper_q=0.9)
+    vals = sorted(r.x_capped for r in out.collect())
+    # exact interpolated p10=1.9, p90=9.1 (pandas parity)
+    assert vals[0] == 1.9 and vals[-1] == 9.1
+    assert vals[3] == 4.0  # interior values untouched
+
+
+def test_write_sized_splits_files_by_target(spark, tmp_path):
+    import glob
+
+    from metadata_etl_framework_spark.ops.layout import write_sized
+
+    df = spark.range(50_000).withColumn("payload", F.lit("x" * 200)).coalesce(1)
+    small = str(tmp_path / "small")
+    rpf = write_sized(df, small, target_file_mb=1)
+    files = glob.glob(small + "/*.parquet")
+    assert rpf < 50_000 and len(files) > 1  # target forced a split
+    big = str(tmp_path / "big")
+    write_sized(df, big, target_file_mb=1024)
+    assert len(glob.glob(big + "/*.parquet")) == 1
+    # partitioned write: one directory per key, readable back
+    part = str(tmp_path / "part")
+    df2 = spark.range(1000).withColumn("k", (F.col("id") % 3).cast("int"))
+    write_sized(df2, part, target_file_mb=64, partition_cols=["k"])
+    assert spark.read.parquet(part).count() == 1000
+    assert len(glob.glob(part + "/k=*")) == 3
