@@ -54,6 +54,10 @@ HEADLINE = [
     "range_join_price_bands",
     "dedup_clusters",
     "text_decontaminate",
+    "funnel_conversion",
+    "pack_sequences",
+    "topk_per_order",
+    "heavy_hitters_qty",
 ]
 
 
