@@ -47,7 +47,10 @@ def global_prefix_sum(
     then re-joined as broadcast offsets.
     """
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+        # scale the range partitioning with the input, not the cluster: a
+        # small table pays one partition's overhead, a 100-TB scan keeps
+        # its parallelism (input splits ≈ data size / maxPartitionBytes)
+        num_partitions = max(1, df.rdd.getNumPartitions())
     ranged = df.repartitionByRange(num_partitions, F.col(order_col))
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
 
