@@ -1368,6 +1368,17 @@ def _histogram_price(spark, sf_dir):
     return histogram(li, "l_extendedprice", nbins=20)
 
 
+def _json_flatten_props(spark, sf_dir):
+    """JSON column parse+flatten (functions/conversions.py::
+    parse_json_column): schema inferred from one sampled value, typed
+    top-level fields projected out JVM-side."""
+    from metadata_etl_framework_spark.functions import parse_json_column
+
+    ev = _t(spark, sf_dir, "events")
+    out = parse_json_column(ev, "props", prefix="p_")
+    return out.select("event_id", "p_k")
+
+
 def _winsorize_prices(spark, sf_dir):
     """Outlier capping (quality/anomaly.py::winsorize): clip extendedprice
     to exact [p05, p95]; output rounded to absorb cross-engine quantile
@@ -2247,6 +2258,7 @@ _EXTRA_KEYS = [
     "funnel_conversion",
     "heavy_hitters_qty",
     "winsorize_prices",
+    "json_flatten_props",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2375,6 +2387,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": _funnel_conversion,
     "heavy_hitters_qty": _heavy_hitters_qty,
     "winsorize_prices": _winsorize_prices,
+    "json_flatten_props": _json_flatten_props,
 }
 
 
@@ -3600,6 +3613,11 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "json_flatten_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_k
+            FROM events
         """,
         "winsorize_prices": """
             WITH b AS (

@@ -24,6 +24,7 @@ from metadata_etl_framework_spark.functions.conversions import (  # noqa: F401
     convert_to_numeric,
     convert_to_string,
     convert_types,
+    parse_json_column,
 )
 from metadata_etl_framework_spark.functions.joins import (
     asof_join,

@@ -78,3 +78,47 @@ def strptime_to_spark(fmt: str) -> str:
     for k, v in _STRPTIME.items():
         out = out.replace(k, v)
     return out
+
+
+def parse_json_column(
+    df: DataFrame,
+    column: str,
+    schema: str | None = None,
+    flatten: bool = True,
+    prefix: str | None = None,
+    drop_source: bool = False,
+) -> DataFrame:
+    """Parse a JSON string column into typed fields.
+
+    Schema is inferred from ONE sampled non-null value when not given
+    (``schema_of_json`` — a bounded driver probe, never a full scan;
+    pass an explicit DDL schema for corpora with heterogeneous keys).
+    Malformed rows parse to null fields (PERMISSIVE semantics). With
+    ``flatten`` each top-level field becomes ``{prefix}{field}``; the
+    parse itself is a JVM-side projection — linear, shuffle-free.
+    """
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        sample = (
+            df.select(column).filter(F.col(column).isNotNull()).limit(1).collect()
+        )
+        if not sample:
+            return df  # all-null column: nothing to infer or parse
+        probe = df.sparkSession.range(1).select(
+            F.schema_of_json(F.lit(sample[0][0])).alias("s")
+        )
+        schema = probe.head()["s"]
+    struct_col = f"{column}_parsed"
+    out = df.withColumn(struct_col, F.from_json(F.col(column), schema))
+    if flatten:
+        pre = prefix if prefix is not None else ""
+        fields = out.schema[struct_col].dataType.fieldNames()
+        for f_name in fields:
+            out = out.withColumn(
+                f"{pre}{f_name}", F.col(f"{struct_col}.{f_name}")
+            )
+        out = out.drop(struct_col)
+    if drop_source:
+        out = out.drop(column)
+    return out

@@ -605,3 +605,22 @@ def test_write_sized_splits_files_by_target(spark, tmp_path):
     write_sized(df2, part, target_file_mb=64, partition_cols=["k"])
     assert spark.read.parquet(part).count() == 1000
     assert len(glob.glob(part + "/k=*")) == 3
+
+
+def test_parse_json_column_inferred_and_malformed(spark):
+    from metadata_etl_framework_spark.functions import parse_json_column
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "b": "x"}'), (2, '{"a": 7, "b": "y"}'),
+         (3, "not json"), (4, None)],
+        "id int, payload string",
+    )
+    out = parse_json_column(df, "payload", drop_source=True)
+    got = {r.id: (r.a, r.b) for r in out.collect()}
+    assert got == {1: (5, "x"), 2: (7, "y"), 3: (None, None), 4: (None, None)}
+    # explicit schema overrides inference
+    out2 = parse_json_column(df, "payload", schema="a INT", prefix="j_")
+    assert "j_a" in out2.columns
+    # all-null column: passthrough, no crash
+    null_df = spark.createDataFrame([(1, None)], "id int, payload string")
+    assert parse_json_column(null_df, "payload").columns == ["id", "payload"]
