@@ -1368,6 +1368,15 @@ def _histogram_price(spark, sf_dir):
     return histogram(li, "l_extendedprice", nbins=20)
 
 
+def _skew_report_partkey(spark, sf_dir):
+    """Skew diagnosis (functions/skew.py::diagnose_skew): 10 heaviest
+    l_partkey values with share and skew factor vs mean rows/key."""
+    from metadata_etl_framework_spark.functions import diagnose_skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    return diagnose_skew(li, ["l_partkey"], top_n=10)
+
+
 def _json_flatten_props(spark, sf_dir):
     """JSON column parse+flatten (functions/conversions.py::
     parse_json_column): schema inferred from one sampled value, typed
@@ -2259,6 +2268,7 @@ _EXTRA_KEYS = [
     "heavy_hitters_qty",
     "winsorize_prices",
     "json_flatten_props",
+    "skew_report_partkey",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2388,6 +2398,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_qty": _heavy_hitters_qty,
     "winsorize_prices": _winsorize_prices,
     "json_flatten_props": _json_flatten_props,
+    "skew_report_partkey": _skew_report_partkey,
 }
 
 
@@ -3613,6 +3624,20 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "skew_report_partkey": """
+            WITH c AS (
+              SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+            ), s AS (
+              SELECT SUM(cnt) AS total, COUNT(*) AS groups FROM c
+            )
+            SELECT l_partkey, cnt,
+                   ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+                   ROUND(CAST(cnt AS DOUBLE)
+                         / (CAST(total AS DOUBLE) / groups), 6) AS skew_factor
+            FROM c, s
+            ORDER BY cnt DESC, l_partkey
+            LIMIT 10
         """,
         "json_flatten_props": """
             SELECT event_id,

@@ -51,7 +51,7 @@ from metadata_etl_framework_spark.functions.aggregations import (  # noqa: F401
     topk_per_group,
     value_counts_topk,
 )
-from metadata_etl_framework_spark.functions.skew import salted_join  # noqa: F401
+from metadata_etl_framework_spark.functions.skew import diagnose_skew, salted_join  # noqa: F401
 from metadata_etl_framework_spark.functions.udfs import (  # noqa: F401
     apply_custom_function,
     apply_row_wise_function,

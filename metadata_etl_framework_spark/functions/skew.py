@@ -44,3 +44,42 @@ def salted_join(
     )
     out = left_s.join(right_s, on + [SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def diagnose_skew(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution report for shuffle planning: the ``top_n``
+    heaviest keys with their row count, share of all rows, and skew
+    factor (count / mean-rows-per-key). A skew factor ≫ 1 on a join or
+    aggregation key says AQE skew-splitting or ``salted_join`` is worth
+    it; ~1 means the key hashes evenly.
+
+    Cost: the same one shuffle the diagnosed groupBy/join would do, then
+    a 1-row stats broadcast over the (already small) per-key counts.
+    Deterministic output: count desc, keys as tiebreak.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__groups")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *keys,
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("__total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cnt").cast("double")
+                / (F.col("__total").cast("double") / F.col("__groups")),
+                6,
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+        .limit(top_n)
+    )

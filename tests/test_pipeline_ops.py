@@ -624,3 +624,18 @@ def test_parse_json_column_inferred_and_malformed(spark):
     # all-null column: passthrough, no crash
     null_df = spark.createDataFrame([(1, None)], "id int, payload string")
     assert parse_json_column(null_df, "payload").columns == ["id", "payload"]
+
+
+def test_diagnose_skew_flags_hot_key(spark):
+    from metadata_etl_framework_spark.functions import diagnose_skew
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(90)] + [(f"k{i}", i) for i in range(10)],
+        "k string, v int",
+    )
+    out = diagnose_skew(df, ["k"], top_n=3).collect()
+    top = out[0]
+    # 11 groups, 100 rows → mean ≈ 9.09; hot has 90 rows
+    assert top.k == "hot" and top.cnt == 90 and top.share == 0.9
+    assert abs(top.skew_factor - 90 / (100 / 11)) < 1e-6
+    assert all(r.cnt == 1 for r in out[1:])
