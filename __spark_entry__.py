@@ -1368,6 +1368,14 @@ def _histogram_price(spark, sf_dir):
     return histogram(li, "l_extendedprice", nbins=20)
 
 
+def _text_oov_rate(spark, sf_dir):
+    """Vocabulary coverage (ops/text.py::oov_rate): per-doc OOV rate
+    against the corpus top-200 vocabulary, broadcast-probed."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text_ops.vocabulary(docs, top_k=200)
+    return text_ops.oov_rate(docs, vocab)
+
+
 def _skew_report_partkey(spark, sf_dir):
     """Skew diagnosis (functions/skew.py::diagnose_skew): 10 heaviest
     l_partkey values with share and skew factor vs mean rows/key."""
@@ -2269,6 +2277,7 @@ _EXTRA_KEYS = [
     "winsorize_prices",
     "json_flatten_props",
     "skew_report_partkey",
+    "text_oov_rate",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2399,6 +2408,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_prices": _winsorize_prices,
     "json_flatten_props": _json_flatten_props,
     "skew_report_partkey": _skew_report_partkey,
+    "text_oov_rate": _text_oov_rate,
 }
 
 
@@ -3624,6 +3634,33 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "text_oov_rate": r"""
+            WITH tok AS (
+              SELECT doc_id, LOWER(t.tkn) AS tok
+              FROM documents,
+                   UNNEST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                               ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                          END) AS t(tkn)
+              WHERE t.tkn <> ''
+            ), vocab AS (
+              SELECT tok FROM (
+                SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+              ) ORDER BY c DESC, tok LIMIT 200
+            ), per AS (
+              SELECT tok.doc_id, COUNT(*) AS n_tokens,
+                     CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM tok LEFT JOIN vocab v USING (tok)
+              GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_tokens, 0) AS n_tokens,
+                   COALESCE(n_oov, 0) AS n_oov,
+                   ROUND(CASE WHEN COALESCE(n_tokens, 0) > 0
+                              THEN CAST(COALESCE(n_oov, 0) AS DOUBLE) / n_tokens
+                              ELSE 0.0 END, 6) AS oov_rate
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         """,
         "skew_report_partkey": """
             WITH c AS (

@@ -435,3 +435,60 @@ def apply_mixing_plan(
         for r in plan.select(source_col, "sample_fraction").collect()
     }
     return docs.sampleBy(source_col, fractions, seed)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary frame
+    (e.g. the ``vocabulary(top_k=...)`` head) — the standard coverage
+    check before committing to a tokenizer vocab.
+
+    Tokens explode executor-side and probe the vocabulary via a
+    broadcast left join (a tokenizer vocab is small by construction), so
+    the corpus never shuffles on token. Zero-token documents keep a row
+    with rate 0.0. Output: (id, n_tokens, n_oov, oov_rate).
+    """
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).filter(
+        F.col("__tok") != ""
+    )
+    probed = exploded.join(
+        F.broadcast(
+            vocab.select(F.col(token_col).alias("__tok")).distinct().withColumn(
+                "__in_vocab", F.lit(1)
+            )
+        ),
+        "__tok",
+        "left",
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.coalesce("n_oov", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

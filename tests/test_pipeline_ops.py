@@ -639,3 +639,18 @@ def test_diagnose_skew_flags_hot_key(spark):
     assert top.k == "hot" and top.cnt == 90 and top.share == 0.9
     assert abs(top.skew_factor - 90 / (100 / 11)) < 1e-6
     assert all(r.cnt == 1 for r in out[1:])
+
+
+def test_oov_rate_counts_and_empty_docs(spark):
+    from metadata_etl_framework_spark.ops.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "UNKNOWN words here"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("words",)], "token string")
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in oov_rate(docs, vocab).collect()}
+    assert got[1] == (3, 1, round(1 / 3, 6))   # 'sat' OOV
+    assert got[2] == (3, 2, round(2 / 3, 6))   # lowercased 'unknown','here' OOV
+    assert got[3] == (0, 0, 0.0) and got[4] == (0, 0, 0.0)
