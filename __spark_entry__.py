@@ -1376,6 +1376,21 @@ def _text_oov_rate(spark, sf_dir):
     return text_ops.oov_rate(docs, vocab)
 
 
+def _text_unigram_logprob(spark, sf_dir):
+    """LM-score proxy (ops/text.py::unigram_logprob): mean add-one
+    unigram log-prob per doc under the corpus top-200 vocab model."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text_ops.vocabulary(docs, top_k=200)
+    return text_ops.unigram_logprob(docs, vocab)
+
+
+def _corpus_summary(spark, sf_dir):
+    """Dataset-card summary (ops/text.py::corpus_summary): per
+    source × lang doc counts, token totals, shares."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.corpus_summary(docs)
+
+
 def _skew_report_partkey(spark, sf_dir):
     """Skew diagnosis (functions/skew.py::diagnose_skew): 10 heaviest
     l_partkey values with share and skew factor vs mean rows/key."""
@@ -2278,6 +2293,8 @@ _EXTRA_KEYS = [
     "json_flatten_props",
     "skew_report_partkey",
     "text_oov_rate",
+    "text_unigram_logprob",
+    "corpus_summary",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2409,6 +2426,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_flatten_props": _json_flatten_props,
     "skew_report_partkey": _skew_report_partkey,
     "text_oov_rate": _text_oov_rate,
+    "text_unigram_logprob": _text_unigram_logprob,
+    "corpus_summary": _corpus_summary,
 }
 
 
@@ -3634,6 +3653,52 @@ _ALL_SQL.update(
               FROM lineitem
             )
             WHERE rk <= 3
+        """,
+        "text_unigram_logprob": r"""
+            WITH tok AS (
+              SELECT doc_id, LOWER(t.tkn) AS tok
+              FROM documents,
+                   UNNEST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                               ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                          END) AS t(tkn)
+              WHERE t.tkn <> ''
+            ), vocab AS (
+              SELECT tok, c FROM (
+                SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+              ) ORDER BY c DESC, tok LIMIT 200
+            ), tot AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vocab
+            ), lp AS (
+              SELECT tok.doc_id,
+                     CAST(LN(CAST(COALESCE(vb.c, 0) + 1 AS DOUBLE)
+                             / CAST(tot.n + tot.v AS DOUBLE))
+                          AS DECIMAL(28,10)) AS l
+              FROM tok LEFT JOIN vocab vb USING (tok), tot
+            ), per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens, SUM(l) AS s
+              FROM lp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_tokens, 0) AS n_tokens,
+                   ROUND(CASE WHEN COALESCE(n_tokens, 0) > 0
+                              THEN CAST(s AS DOUBLE) / n_tokens
+                         END, 6) AS mean_logprob
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "corpus_summary": r"""
+            WITH per AS (
+              SELECT source, lang, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                                   ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text),
+                                                                  '\s+'))
+                              END) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY source, lang
+            ), tot AS (SELECT SUM(n_docs) AS all_docs FROM per)
+            SELECT source, lang, n_docs, total_tokens,
+                   ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6)
+                     AS avg_tokens_per_doc,
+                   ROUND(CAST(n_docs AS DOUBLE) / all_docs, 6) AS doc_share
+            FROM per, tot
         """,
         "text_oov_rate": r"""
             WITH tok AS (

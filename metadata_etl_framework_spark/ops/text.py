@@ -492,3 +492,107 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    vocab_counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    count_col: str = "count",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under a corpus unigram
+    model (``vocabulary()`` counts) — the CCNet-style LM-score proxy used
+    to rank pretraining documents by "naturalness". OOV tokens score at
+    the add-one floor (log(1/(N+V))); higher (less negative) = more
+    typical text.
+
+    Broadcast join against the vocab (small by construction), decimal
+    accumulation of the per-token log-probs for partition-independent
+    means. Zero-token documents emit a null score.
+    """
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).filter(
+        F.col("__tok") != ""
+    )
+    totals = vocab_counts.agg(
+        F.sum(F.col(count_col).cast("long")).alias("__n"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    probed = (
+        exploded.join(
+            F.broadcast(
+                vocab_counts.select(
+                    F.col(token_col).alias("__tok"),
+                    F.col(count_col).cast("long").alias("__c"),
+                )
+            ),
+            "__tok",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        # add-one smoothing: p = (c+1)/(N+V); OOV → 1/(N+V)
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + 1).cast("double")
+                / (F.col("__n") + F.col("__v")).cast("double")
+            ),
+        )
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("__lp").cast("decimal(28,10)")).alias("__sum_lp"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    # decimal sum (order-independent) → ONE double division;
+                    # decimal/long division scale rules differ per engine
+                    F.col("__sum_lp").cast("double") / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def corpus_summary(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card summary: per group (source × lang by default) the
+    document count, token total, mean document length, and share of all
+    documents — the first table of any corpus report. One aggregation
+    pass + a 1-row total broadcast."""
+    toks = F.size(F.coalesce(tokens(text_col), F.array().cast("array<string>")))
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+    )
+    totals = per.agg(F.sum("n_docs").alias("__all_docs"))
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            *group_cols,
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens_per_doc"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__all_docs"), 6
+            ).alias("doc_share"),
+        )
+    )

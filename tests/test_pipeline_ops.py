@@ -654,3 +654,35 @@ def test_oov_rate_counts_and_empty_docs(spark):
     assert got[1] == (3, 1, round(1 / 3, 6))   # 'sat' OOV
     assert got[2] == (3, 2, round(2 / 3, 6))   # lowercased 'unknown','here' OOV
     assert got[3] == (0, 0, 0.0) and got[4] == (0, 0, 0.0)
+
+
+def test_unigram_logprob_add_one_smoothing(spark):
+    import math
+
+    from metadata_etl_framework_spark.ops.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "zzz"), (3, "")], "doc_id int, text string"
+    )
+    vocab = spark.createDataFrame([("a", 2), ("b", 1)], "token string, count int")
+    got = {r.doc_id: (r.n_tokens, r.mean_logprob)
+           for r in unigram_logprob(docs, vocab).collect()}
+    n_plus_v = 3 + 2  # N=3 counts, V=2 types
+    lp_a, lp_b = math.log(3 / n_plus_v), math.log(2 / n_plus_v)
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round((2 * lp_a + lp_b) / 3, 6)) < 2e-6
+    assert abs(got[2][1] - round(math.log(1 / n_plus_v), 6)) < 2e-6  # OOV floor
+    assert got[3] == (0, None)  # empty doc → null score
+
+
+def test_corpus_summary_shares(spark):
+    from metadata_etl_framework_spark.ops.text import corpus_summary
+
+    docs = spark.createDataFrame(
+        [("web", "en", "one two"), ("web", "en", "three"), ("book", "de", "vier")],
+        "source string, lang string, text string",
+    )
+    got = {(r.source, r.lang): (r.n_docs, r.total_tokens, r.doc_share)
+           for r in corpus_summary(docs).collect()}
+    assert got[("web", "en")] == (2, 3, round(2 / 3, 6))
+    assert got[("book", "de")] == (1, 1, round(1 / 3, 6))
