@@ -233,3 +233,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_funnel_single_data_exchange(spark):
+    """The k step windows share ONE user_id exchange; only the k-row
+    reshaped summary crosses a second (single-partition) exchange."""
+    p = _plan(spark, "funnel_conversion")
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_heavy_hitters_candidate_filter_pushed(spark):
+    """The exact confirm pass scans with the candidate In-filter pushed
+    to parquet — the full-cardinality groupBy never materializes."""
+    p = _plan(spark, "heavy_hitters_qty")
+    assert "PushedFilters: [In(l_quantity" in p
+
+
+def test_topk_per_group_single_shuffle(spark):
+    p = _plan(spark, "topk_per_order")
+    assert p.count("Exchange hashpartitioning(l_orderkey") == 1
+    # rank filter applied right after the window, before anything else
+    assert "rk" in p and "Filter" in p
+
+
+def test_prefix_sum_no_single_partition_window(spark):
+    """pack_sequences must never fall back to a global
+    Window.orderBy (single-task scan): its window partitions by the
+    range-partition id."""
+    p = _plan(spark, "pack_sequences")
+    assert "Window [" not in p or "__pid" in p
+    assert "rangepartitioning" in p.lower()
