@@ -171,8 +171,7 @@ def heavy_hitters(
     # then safely inside the candidate superset (bound: 2/min_fraction)
     support = max(min_fraction / 2, 1e-4)
     cands = df.stat.freqItems([column], support=support).collect()[0][0]
-    if not cands:
-        cands = [None]
+    cands = [c for c in cands if c is not None]
     total = df.count()
     if total == 0:
         return (
@@ -181,8 +180,14 @@ def heavy_hitters(
             .withColumn("cnt", F.lit(0).cast("long"))
             .withColumn("fraction", F.lit(0.0))
         )
+    # NULL is a reportable value: the sketch never tracks it, so admit
+    # null rows unconditionally — the groupBy counts the null group
+    # exactly and the threshold filter below decides, same as any value.
+    keep = F.col(column).isNull()
+    if cands:
+        keep = keep | F.col(column).isin(cands)
     return (
-        df.filter(F.col(column).isin([c for c in cands if c is not None]))
+        df.filter(keep)
         .groupBy(F.col(column).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= float(min_fraction) * total)

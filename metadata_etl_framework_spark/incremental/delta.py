@@ -120,7 +120,13 @@ def apply_cdc_delta(
         dt.alias("t")
         .merge(events.alias("s"), merge_condition(list(keys)))
         .whenMatchedDelete(condition=f"s.{op_col} = 'DELETE'")
-        .whenMatchedUpdateAll(condition=f"s.{op_col} <> 'DELETE'")
+        # explicit set (not UpdateAll): with schema autoMerge on, UPDATE
+        # SET * would evolve the CDC op column into the target while the
+        # insert arm below deliberately excludes it.
+        .whenMatchedUpdate(
+            condition=f"s.{op_col} <> 'DELETE'",
+            set={c: f"s.{c}" for c in events.columns if c != op_col},
+        )
         .whenNotMatchedInsert(
             condition=f"s.{op_col} <> 'DELETE'",
             values={

@@ -204,13 +204,21 @@ def minhash_near_duplicates(
     threshold: float = 0.8, num_hashes: int = 64,
     num_bands: int = 16, shingle_n: int = 3,
     exact_max_rows: int = 100_000,
+    exact_max_fanout: int = 50_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (n-gram Jaccard ≥ threshold), two regimes:
 
-    * Corpus ≤ ``exact_max_rows``: ``exact_jaccard_pairs`` — the shingle
-      inverted index yields EVERY qualifying pair (no recall parameter),
-      so the result is deterministic and oracle-checkable exactly.
-    * Above the gate: MinHash signatures → LSH banded candidates → exact
+    * Corpus ≤ ``exact_max_rows`` AND estimated inverted-index join
+      fan-out Σ df(shingle)² ≤ ``exact_max_fanout``:
+      ``exact_jaccard_pairs`` — the shingle inverted index yields EVERY
+      qualifying pair (no recall parameter), so the result is
+      deterministic and oracle-checkable exactly. ``num_hashes`` /
+      ``num_bands`` are IGNORED in this regime (no signatures exist).
+      The fan-out probe is one cheap aggregation over the exploded
+      shingles; it routes a small-but-boilerplate corpus (one shingle in
+      nearly every doc → Σdf² ~ n²) to LSH instead of letting the
+      self-join blow up — row count alone does not bound the join.
+    * Otherwise: MinHash signatures → LSH banded candidates → exact
       Jaccard verify. Recall follows the banding S-curve
       ``1 - (1 - J^r)^b``; at web scale the inverted index's Σdf² blowup
       on high-frequency shingles makes this the only tractable path.
@@ -218,7 +226,15 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard). Mirrors the exact-below-gate /
     probabilistic-above design of similarity.embedding_near_dup_pairs."""
     if 0 < df.count() <= exact_max_rows and threshold > 0:
-        return exact_jaccard_pairs(df, id_col, text_col, threshold, shingle_n)
+        fanout = (
+            df.select(F.explode(shingles(text_col, shingle_n)).alias("_s"))
+            .groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c") * F.col("_c")).alias("_f"))
+            .first()["_f"]
+        )
+        if fanout is None or fanout <= exact_max_fanout:
+            return exact_jaccard_pairs(df, id_col, text_col, threshold, shingle_n)
     # persist the two frames each referenced by both sides of a self-join:
     # without this the whole shingle+hash lineage recomputes per side
     # (signatures are id + K longs — tiny relative to the text they derive

@@ -16,6 +16,7 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _decimal_dot(a: Column, b: Column) -> Column:
@@ -302,7 +303,10 @@ def embedding_near_dup_pairs(
         import numpy as np
 
         rows = embeddings.select(id_col, vec_col).collect()
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        # ids stay as the collected Python values (object dtype) so string/
+        # decimal/any id types survive and both regimes emit one schema.
+        ids = np.empty(len(rows), dtype=object)
+        ids[:] = [r[0] for r in rows]
         M = np.asarray(
             [list(r[1]) if r[1] is not None and len(r[1]) == dim else [0.0] * dim
              for r in rows],
@@ -313,20 +317,19 @@ def embedding_near_dup_pairs(
         Mn = M / nrm[:, None]
         # blocked GEMM: ≤ ~1e8 scratch elements (800 MB) per block
         blk = max(64, int(1e8 // max(1, n_corpus)))
-        hits = []
+        pairs: list[tuple] = []
         for s in range(0, len(ids), blk):
             S = Mn[s : s + blk] @ Mn.T
             ii, jj = np.nonzero(S >= threshold - 1e-6)
-            ia, ib = ids[ii + s], ids[jj]
-            keep = ia < ib  # each pair once, ordered by id value
-            if keep.any():
-                hits.append(np.stack([ia[keep], ib[keep]], axis=1))
-        pairs = (
-            np.concatenate(hits) if hits else np.empty((0, 2), dtype=np.int64)
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                ia, ib = ids[i + s], ids[j]
+                if ia < ib:  # each pair once, ordered by id value
+                    pairs.append((ia, ib))
+        id_type = embeddings.schema[id_col].dataType
+        cand_schema = T.StructType(
+            [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
         )
-        cands = embeddings.sparkSession.createDataFrame(
-            [(int(a), int(b)) for a, b in pairs], "id_a long, id_b long"
-        )
+        cands = embeddings.sparkSession.createDataFrame(pairs, cand_schema)
     else:
         planes = det_hyperplanes(n_tables * planes_per_table, dim)
 
