@@ -338,6 +338,10 @@ def repetition_metrics(
     toks = F.when(F.trim(toks) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.trim(toks), r"\s+")
     )
+    # NULL text falls through when()'s otherwise branch as split(NULL) =
+    # NULL array; coalesce so null-text docs report 0 tokens / 0 lines
+    # instead of NULL (or -1 under legacy sizeOfNull).
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
 
     def dup_ratio(arr: Column) -> Column:
         n = F.size(arr)
@@ -349,7 +353,10 @@ def repetition_metrics(
             6,
         )
 
-    lines = F.filter(F.split(t, r"\n"), lambda ln: F.trim(ln) != "")
+    lines = F.coalesce(
+        F.filter(F.split(t, r"\n"), lambda ln: F.trim(ln) != ""),
+        F.array().cast("array<string>"),
+    )
     out = df.select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),

@@ -108,11 +108,14 @@ def test_apply_cdc_delta_routes_ops(spark):
         delta_table_factory=lambda s, t: FakeDeltaTable(log),
     )
     assert _ops(log) == [
-        "alias", "merge", "whenMatchedDelete", "whenMatchedUpdateAll",
+        "alias", "merge", "whenMatchedDelete", "whenMatchedUpdate",
         "whenNotMatchedInsert", "execute",
     ]
     assert ("whenMatchedDelete", "s.op = 'DELETE'") in log
-    # inserts exclude the op column and never fire for DELETE events
+    # BOTH arms exclude the op column: with Delta schema autoMerge on,
+    # UPDATE SET * would evolve the CDC op column into the target
+    upd = [e for e in log if e[0] == "whenMatchedUpdate"][0]
+    assert upd[1] == {"k": "s.k", "v": "s.v"} and upd[2] == "s.op <> 'DELETE'"
     ins = [e for e in log if e[0] == "whenNotMatchedInsert"][0]
     assert ins[1] == {"k": "s.k", "v": "s.v"} and ins[2] == "s.op <> 'DELETE'"
 
