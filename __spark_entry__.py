@@ -3001,8 +3001,13 @@ _ALL_SQL: dict[str, str] = {
             WITH base AS (
                 SELECT doc_id,
                        list_filter(str_split(text, chr(10)),
-                                   l -> trim(l) <> '') AS lines,
-                       regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+                                   l -> regexp_matches(l, '\S')) AS lines,
+                       CASE WHEN NOT regexp_matches(coalesce(text, ''), '\S')
+                            THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(
+                                regexp_replace(lower(text),
+                                               '^\s+|\s+$', '', 'g'),
+                                '\s+') END AS tk
                 FROM documents
             ), g AS (
                 SELECT doc_id, lines,

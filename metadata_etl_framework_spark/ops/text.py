@@ -334,9 +334,11 @@ def repetition_metrics(
     per-row projection with no shuffle, linear at corpus scale.
     """
     t = F.col(text_col)
-    toks = F.lower(t)
-    toks = F.when(F.trim(toks) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(toks), r"\s+")
+    # Spark's trim() strips only ' ' — use regex trimming so tab/newline-only
+    # docs and leading-tab docs don't yield phantom empty tokens.
+    toks = F.regexp_replace(F.lower(t), r"^\s+|\s+$", "")
+    toks = F.when(toks == "", F.array().cast("array<string>")).otherwise(
+        F.split(toks, r"\s+")
     )
     # NULL text falls through when()'s otherwise branch as split(NULL) =
     # NULL array; coalesce so null-text docs report 0 tokens / 0 lines
@@ -354,7 +356,7 @@ def repetition_metrics(
         )
 
     lines = F.coalesce(
-        F.filter(F.split(t, r"\n"), lambda ln: F.trim(ln) != ""),
+        F.filter(F.split(t, r"\n"), lambda ln: ln.rlike(r"\S")),
         F.array().cast("array<string>"),
     )
     out = df.select(

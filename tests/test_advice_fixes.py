@@ -185,3 +185,37 @@ def test_foreach_batch_upsert_advances_target(spark, tmp_path):
     got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     # source rows won, unmatched target row kept — at the REAL target path
     assert got == {(1, "old"), (2, "new"), (3, "new")}
+
+
+# ------------------------------------------------- repetition_metrics null text
+
+
+def test_repetition_metrics_null_empty_whitespace_rows(spark):
+    """NULL / empty / whitespace-only documents must report n_lines=0 and
+    0.0 duplicate ratios — not NULL (or -1 under legacy sizeOfNull)
+    (round-4 ADVICE low #1)."""
+    from metadata_etl_framework_spark.ops.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   \n\t  \n "),
+            (4, "a a a a"),          # control: real repetition
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+
+    for doc_id in (1, 2, 3):
+        r = rows[doc_id]
+        assert r.n_lines == 0, (doc_id, r)
+        assert r.dup_line_ratio == 0.0, (doc_id, r)
+        assert r.dup_2gram_ratio == 0.0, (doc_id, r)
+        assert r.dup_3gram_ratio == 0.0, (doc_id, r)
+
+    # control row: 4 unigram tokens -> 3 bigrams all "a a" => 2/3 repeats
+    ctl = rows[4]
+    assert ctl.n_lines == 1
+    assert abs(ctl.dup_2gram_ratio - 2 / 3) < 1e-6
+    assert abs(ctl.dup_3gram_ratio - 1 / 2) < 1e-6

@@ -247,7 +247,12 @@ def test_heavy_hitters_candidate_filter_pushed(spark):
     """The exact confirm pass scans with the candidate In-filter pushed
     to parquet — the full-cardinality groupBy never materializes."""
     p = _plan(spark, "heavy_hitters_qty")
-    assert "PushedFilters: [In(l_quantity" in p
+    # null-admission rewrites the candidate filter to IsNull OR In; both
+    # forms reach the parquet scan as a pushed filter
+    assert (
+        "PushedFilters: [In(l_quantity" in p
+        or "PushedFilters: [Or(IsNull(l_quantity),In(l_quantity" in p
+    ), p
 
 
 def test_topk_per_group_single_shuffle(spark):
