@@ -18,6 +18,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from metadata_etl_framework_spark.ops.text import fingerprint
 
@@ -313,6 +314,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    driver_gate_edges: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from pair output: connected components by
     iterative min-label propagation — each node's label converges to the
@@ -328,9 +330,12 @@ def connected_components(
     that halves remaining path lengths, so convergence is O(log
     diameter) rounds rather than O(diameter). ``localCheckpoint`` after
     each round truncates the exponentially-growing lineage — standard
-    for iterative Spark algorithms. Convergence is detected by counting
-    changed labels (one action per round, unavoidable in any iterative
-    fixpoint).
+    for iterative Spark algorithms. Convergence detection exploits
+    monotonicity: every step (min over neighbors, pointer jump to an
+    ancestor) can only DECREASE a node's label, so the global
+    sum(label) is strictly decreasing until the fixpoint — comparing it
+    across rounds needs one cheap aggregate per round (which also
+    materializes the lazy checkpoint), not a self-join + count.
 
     Returns (node, cluster_id, is_canonical): every node that appears in
     a pair, its component's min id, and whether it IS that min (the
@@ -338,18 +343,61 @@ def connected_components(
     resolution arm of src/utils/data_deduplicator.py; algorithm is the
     textbook hash-min / "small-star" iteration (CC-MR, Vassilvitskii et
     al.), not a port.
+
+    Small-graph fast path: pair sets up to ``driver_gate_edges`` are
+    collected and closed with driver-side union-find (path compression +
+    union by min, O(E α(E)) — ~32 B/edge, so the default 2M gate is
+    ~64 MB of driver heap). Near-dup pair lists are edge-sparse even for
+    huge corpora (they're post-verification similarity hits, not raw
+    candidates), so this path covers most real runs and skips the
+    multi-round shuffle loop entirely; anything over the gate takes the
+    fully-distributed iteration, same results. The gate's count() is an
+    action either path needs to materialize the pair computation once.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    half = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    n_edges = half.count()
+    out_type = half.schema["u"].dataType
+    if n_edges <= driver_gate_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for u, v in half.collect():
+            nodes.add(u)
+            nodes.add(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # root := min of merged roots, so by induction every
+                # tree's root IS its component minimum (= cluster id)
+                parent[max(ru, rv)] = min(ru, rv)
+        half.unpersist()
+        data = [(n, find(n), n == find(n)) for n in nodes]
+        schema = T.StructType(
+            [
+                T.StructField("node", out_type),
+                T.StructField("cluster_id", out_type),
+                T.StructField("is_canonical", T.BooleanType()),
+            ]
         )
+        return pairs.sparkSession.createDataFrame(data, schema)
+    edges = (
+        half.select("u", "v")
+        .unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .dropDuplicates()
         .persist()
     )
     labels = edges.select("u").dropDuplicates().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
+    numeric_ids = isinstance(out_type, T.NumericType)
+    prev_sum = None  # sum(label) of the previous round; None = first round
     for _ in range(max_iterations):
         # candidate label per node = min over (own label, neighbors' labels)
         neighbor_labels = (
@@ -377,18 +425,31 @@ def connected_components(
                 F.col("l.node").alias("node"),
                 F.coalesce(F.col("m.label"), F.col("l.label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # one aggregate materializes the lazy checkpoint AND tests the
+        # fixpoint: labels are per-node monotone non-increasing, so an
+        # unchanged global sum <=> no label changed. Decimal accumulation
+        # so arbitrary 64-bit ids can't overflow the sum. Non-numeric
+        # (string) ids can't sum — fall back to the changed-label join.
+        if numeric_ids:
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            changed = None if prev_sum is None else int(cur_sum != prev_sum)
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    half.unpersist()
     return labels.select(
         F.col("node"),
         F.col("label").alias("cluster_id"),

@@ -244,10 +244,16 @@ def test_continuous_rollup_equals_direct_aggregation(spark, tmp_path):
     assert any(s < c for s in starts) and any(s >= c for s in starts)
 
 
-def test_connected_components_chain_star_and_convergence(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_connected_components_chain_star_and_convergence(spark, gate):
     """Transitive chains collapse to one cluster (A~B, B~C, C~D with no
     direct A~D pair), stars keep their hub's min id, and disjoint
-    components stay separate."""
+    components stay separate — identical through BOTH the driver
+    union-find fast path (gate above edge count) and the distributed
+    hash-min loop (gate=0)."""
     from metadata_etl_framework_spark.ops.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -257,7 +263,8 @@ def test_connected_components_chain_star_and_convergence(spark):
         "id_a long, id_b long",
     )
     got = {(r.node, r.cluster_id, r.is_canonical)
-           for r in connected_components(pairs).collect()}
+           for r in connected_components(
+               pairs, driver_gate_edges=gate).collect()}
     assert got == {
         (1, 1, True), (2, 1, False), (3, 1, False), (4, 1, False),
         (10, 10, True), (11, 10, False),
@@ -265,7 +272,8 @@ def test_connected_components_chain_star_and_convergence(spark):
     }
 
 
-def test_connected_components_long_chain_needs_iterations(spark):
+@_pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_connected_components_long_chain_needs_iterations(spark, gate):
     """A 12-node path exercises multiple propagation rounds (hash-min
     moves labels one hop per round along a path)."""
     from metadata_etl_framework_spark.ops.dedup import connected_components
@@ -273,9 +281,29 @@ def test_connected_components_long_chain_needs_iterations(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
     )
-    out = connected_components(pairs).collect()
+    out = connected_components(pairs, driver_gate_edges=gate).collect()
     assert {r.cluster_id for r in out} == {100}
     assert sum(r.is_canonical for r in out) == 1
+
+
+@_pytest.mark.parametrize("gate", [2_000_000, 0])
+def test_connected_components_string_ids(spark, gate):
+    """String document ids work on both paths (the distributed loop must
+    not attempt the numeric sum-convergence shortcut on strings)."""
+    from metadata_etl_framework_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("docC", "docB"), ("docB", "docA"), ("docX", "docY")],
+        "id_a string, id_b string",
+    )
+    got = {(r.node, r.cluster_id, r.is_canonical)
+           for r in connected_components(
+               pairs, driver_gate_edges=gate).collect()}
+    assert got == {
+        ("docA", "docA", True), ("docB", "docA", False),
+        ("docC", "docA", False),
+        ("docX", "docX", True), ("docY", "docX", False),
+    }
 
 
 def test_simhash_banding_is_complete_for_small_hamming(spark):
