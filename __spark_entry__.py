@@ -2147,6 +2147,86 @@ def _dedup_embedding_cosine_lsh(spark, sf_dir):
     )
 
 
+def _text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (ops/text.py::tfidf_top_terms):
+    smoothed sklearn-style idf, rank on the ROUNDED score with term
+    tiebreak so selection is engine-deterministic. Reference parity:
+    keyword extraction inside src/transform/transform_engine.py's text
+    feature arm, re-expressed as two shuffles + one window."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.tfidf_top_terms(docs, top_n=3)
+    return out.select(
+        "doc_id", "term", "tf", "score", F.col("rk").cast("long").alias("rk")
+    )
+
+
+def _corpus_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test assignment
+    (ops/corpus.py::leakage_safe_split): split unit = exact-duplicate
+    group (min doc_id per md5 fingerprint), so byte-identical documents
+    can never land on opposite sides of the train/eval boundary; md5
+    bucketing keeps assignment reproducible and incremental."""
+    from metadata_etl_framework_spark.ops import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = text_ops.fingerprint(docs)
+    clusters = (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("cluster_id"))
+        .join(fp.select("doc_id", "fingerprint"), "fingerprint")
+        .select(F.col("doc_id").alias("node"), "cluster_id")
+    )
+    split = corpus_ops.leakage_safe_split(
+        docs.select("doc_id"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        clusters=clusters,
+        salt="r5",
+    )
+    return split.select("doc_id", "split_unit", "split")
+
+
+def _corpus_weighted_sample(spark, sf_dir):
+    """Deterministic PPS sampling without replacement (Efraimidis-
+    Spirakis A-ES over an md5 uniform, ops/corpus.py::weighted_sample):
+    50 documents weighted by length — global top-k by priority compiles
+    to TakeOrderedAndProject, no full sort."""
+    from metadata_etl_framework_spark.ops import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return corpus_ops.weighted_sample(
+        docs, k=50, weight_col="n_chars", hash_cols=["doc_id"], salt="ws5"
+    )
+
+
+def _embed_group_centroids(spark, sf_dir):
+    """Per-label centroid embeddings as scalar (label, dim, value) cells
+    (ops/similarity.py::group_centroids): posexplode → groupBy with
+    map-side partial aggregation, decimal-exact means."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.group_centroids(emb, group_col="label")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("dim").cast("long").alias("dim"),
+        "centroid_val",
+    )
+
+
+def _embed_normalize(spark, sf_dir):
+    """L2-normalized embedding components
+    (ops/similarity.py::normalize_embeddings), exploded to scalar rows
+    for cross-engine value comparison; zero-norm vectors drop (NULL
+    unit vector) instead of dividing by zero."""
+    emb = _t(spark, sf_dir, "embeddings")
+    unit = sim_ops.normalize_embeddings(emb)
+    return unit.select(
+        "vec_id", F.posexplode("unit_vec").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2295,6 +2375,11 @@ _EXTRA_KEYS = [
     "text_oov_rate",
     "text_unigram_logprob",
     "corpus_summary",
+    "text_tfidf_top_terms",
+    "corpus_split_leakage_safe",
+    "corpus_weighted_sample",
+    "embed_group_centroids",
+    "embed_normalize",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2428,6 +2513,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_oov_rate": _text_oov_rate,
     "text_unigram_logprob": _text_unigram_logprob,
     "corpus_summary": _corpus_summary,
+    "text_tfidf_top_terms": _text_tfidf_top_terms,
+    "corpus_split_leakage_safe": _corpus_split_leakage_safe,
+    "corpus_weighted_sample": _corpus_weighted_sample,
+    "embed_group_centroids": _embed_group_centroids,
+    "embed_normalize": _embed_normalize,
 }
 
 
@@ -3853,6 +3943,103 @@ _ALL_SQL.update(
                    COUNT(*) AS cnt
             FROM d
             GROUP BY 1
+        """,
+    }
+)
+
+
+_ALL_SQL.update(
+    {
+        "text_tfidf_top_terms": r"""
+            WITH tok AS (
+              SELECT doc_id, LOWER(t.tkn) AS term
+              FROM documents,
+                   UNNEST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                               ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                          END) AS t(tkn)
+              WHERE t.tkn <> ''
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+              FROM tf GROUP BY term
+            ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     ROUND(tf.tf * (LN(CAST(n.n_docs + 1 AS DOUBLE)
+                                       / (dft.df_t + 1)) + 1.0), 6) AS score
+              FROM tf JOIN dft USING (term), n
+            )
+            SELECT doc_id, term, tf, score, rk FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+              FROM scored
+            ) WHERE rk <= 3
+        """,
+        "corpus_split_leakage_safe": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+                       AS f
+              FROM documents
+            ), cl AS (
+              SELECT f, CAST(MIN(doc_id) AS VARCHAR) AS unit FROM fp GROUP BY f
+            ), u AS (
+              SELECT fp.doc_id, cl.unit,
+                     CAST(CONCAT('0x', SUBSTRING(
+                       MD5(CONCAT_WS('|', 'r5', cl.unit)), 1, 8)) AS BIGINT)
+                     / 4294967296.0 AS h
+              FROM fp JOIN cl USING (f)
+            )
+            SELECT doc_id, unit AS split_unit,
+                   CASE WHEN h < 0.9 THEN 'train'
+                        WHEN h < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "corpus_weighted_sample": r"""
+            SELECT doc_id, n_chars, priority FROM (
+              SELECT doc_id, n_chars,
+                     ROUND(POW(
+                       (CAST(CONCAT('0x', SUBSTRING(
+                          MD5(CONCAT_WS('|', 'ws5', CAST(doc_id AS VARCHAR))),
+                          1, 8)) AS BIGINT) + 1) / 4294967296.0,
+                       1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority,
+                     MD5(CONCAT_WS('|', 'ws5', CAST(doc_id AS VARCHAR))) AS tie
+              FROM documents
+              WHERE CAST(n_chars AS DOUBLE) > 0
+            ) ORDER BY priority DESC, tie ASC LIMIT 50
+        """,
+        "embed_group_centroids": r"""
+            SELECT label,
+                   CAST(i.i - 1 AS BIGINT) AS dim,
+                   ROUND(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                                       AS DECIMAL(30,15))) AS DOUBLE)
+                         / COUNT(*), 6) AS centroid_val
+            FROM embeddings,
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+                          AS i) i
+            GROUP BY label, dim
+        """,
+        "embed_normalize": r"""
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     SQRT(CAST(LIST_AGGREGATE(
+                       LIST_TRANSFORM(embedding,
+                         x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              AS DECIMAL(30,15))),
+                       'sum') AS DOUBLE)) AS nrm
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(i.i - 1 AS BIGINT) AS dim,
+                   ROUND(CAST(embedding[i.i] AS DOUBLE) / nrm, 6) AS val
+            FROM n,
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+                          AS i) i
+            WHERE nrm > 0
         """,
     }
 )

@@ -1,0 +1,143 @@
+"""Corpus-curation operators: leakage-safe dataset splits and
+deterministic weighted sampling.
+
+These extend the reference's sampling/segmentation surface
+(src/utils/data_deduplicator.py keeps one doc per duplicate group;
+src/transform/transform_engine.py's sample step draws unweighted rows)
+with the two operations an LLM-pretraining pipeline actually needs when
+carving a corpus: train/val/test assignment that never puts two
+near-duplicates on opposite sides of the split boundary, and
+probability-proportional-to-size sampling that is reproducible across
+runs and partitionings.
+
+Both are pure JVM column expressions (md5 → hex → integer → uniform),
+no UDFs, no shuffle beyond what the caller's joins require — so they
+hold at 100-TB corpus scale and every result is replayable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["md5_uniform", "leakage_safe_split", "weighted_sample"]
+
+_HASH_SPACE = float(1 << 32)
+
+
+def md5_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1): the first 8 hex chars of
+    md5(salt|key) as an integer, scaled by 2^32. Same construction is
+    expressible in any SQL engine (for oracles) and stable across Spark
+    versions, partitionings, and cluster sizes — unlike ``F.rand``.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
+    cluster_id_col: str = "cluster_id",
+    cluster_node_col: str = "node",
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by hashing
+    its SPLIT UNIT — the near-duplicate cluster id when ``clusters``
+    (the output of ``dedup.connected_components``) is given, else the
+    row id. All members of a cluster hash identically, so near-dup pairs
+    can never straddle the train/eval boundary (the classic contamination
+    leak a doc-level random split produces).
+
+    ``fractions`` maps split name → probability mass; must sum to 1
+    (±1e-9). Boundaries are cumulative over the mapping's iteration
+    order. The md5-uniform assignment means the split is reproducible
+    run-to-run and INCREMENTAL: re-running over a grown corpus never
+    reassigns an existing unit (property of hashing vs. sorting/ntile).
+
+    One left join against the cluster frame (shuffle on id; broadcast if
+    small) and one projection — no other data movement.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+
+    if clusters is not None:
+        unit = F.coalesce(F.col("__cluster"), F.col(id_col).cast("string"))
+        joined = df.join(
+            clusters.select(
+                F.col(cluster_node_col).alias(id_col),
+                F.col(cluster_id_col).cast("string").alias("__cluster"),
+            ),
+            id_col,
+            "left",
+        )
+    else:
+        unit = F.col(id_col).cast("string")
+        joined = df
+
+    u = md5_uniform(unit, salt=salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    out_df = joined.withColumn("split_unit", unit).withColumn(out, expr)
+    if clusters is not None:
+        out_df = out_df.drop("__cluster")
+    return out_df
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    hash_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k`` rows:
+    inclusion probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis A-ES: each row draws priority u^(1/w) from a uniform u and
+    the k largest priorities win — the textbook one-pass distributed
+    PPS-without-replacement scheme).
+
+    The uniform comes from ``md5_uniform`` over ``hash_cols`` (+salt), so
+    the sample is replayable and oracle-checkable; vary the salt to draw
+    an independent sample. Rows with NULL or non-positive weight are
+    excluded (they have zero inclusion probability in A-ES).
+
+    Global top-k by priority compiles to TakeOrderedAndProject — a
+    per-partition heap + single k-row merge, no full sort, no shuffle of
+    the loser rows — the 100-TB-safe way to take k of N. Priority is
+    rounded to 9 decimals with the row hash as tiebreak so engines
+    ranking at different float precision agree on the cut.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols])
+    # u in (0,1]: shift the 32-bit integer by +1 so ln/pow never see 0
+    h = F.md5(F.concat_ws("|", F.lit(salt), key))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1.0) / F.lit(
+        _HASH_SPACE
+    )
+    w = F.col(weight_col).cast("double")
+    priority = F.round(F.pow(u, 1.0 / w), 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", priority)
+        .withColumn("__tie", h)
+        .orderBy(F.desc("priority"), F.asc("__tie"))
+        .limit(k)
+        .drop("__tie")
+    )

@@ -422,3 +422,64 @@ def lsh_topk(
     )
     candidates = bucketed.filter(F.col("bucket") == qbits)
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "unit_vec",
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine a plain
+    dot product — the usual pre-step before ANN indexing or centroid
+    math). Zero-norm vectors map to NULL rather than dividing by zero
+    (ANSI-safe). Pure JVM array expressions, per-row projection, no
+    shuffle.
+    """
+    n = _norm(F.col(vec_col))
+    unit = F.when(
+        n > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    )
+    return df.withColumn(out, unit)
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean embedding per group, emitted as SCALAR rows
+    (group, dim, centroid_val) — the building block for per-domain /
+    per-cluster prototype vectors (IVF coarse centroids, per-source
+    drift monitoring, cluster labeling).
+
+    posexplode → groupBy(group, dim) keeps the whole computation in
+    whole-stage codegen with map-side partial aggregation: the shuffle
+    carries one (group, dim) cell per map partition, not per row —
+    ~|groups|·dim cells regardless of corpus size. Decimal accumulation
+    makes the mean independent of partition merge order, then one
+    double division. Scalar output is deliberately chosen over
+    array-valued output: every engine (and the differential oracle) can
+    hash-compare scalars; arrays reassemble with array_agg sorted by dim
+    when needed.
+    """
+    cells = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    return (
+        cells.groupBy("grp", "dim")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(30,15)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "dim",
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias(
+                "centroid_val"
+            ),
+        )
+    )

@@ -273,6 +273,53 @@ def vocabulary(
     return counts
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by smoothed
+    TF-IDF (scikit-learn's convention: idf = ln((N+1)/(df+1)) + 1, raw
+    term frequency) — the standard keyword/topic fingerprint used for
+    corpus clustering, search indexing, and domain-mix reporting.
+
+    Dataflow: one explode → groupBy(doc, token) for TF (shuffle 1, with
+    map-side combine), a token-level groupBy for document frequency
+    (shuffle 2 over the already-aggregated TF table, not raw tokens),
+    a shuffle join TF⋈DF on token (skew-tolerant under AQE; the DF side
+    is |vocab| rows, not corpus-sized), and a per-document window for
+    the top-n cut. Scores are rounded to 6 decimals BEFORE ranking and
+    tie-broken lexicographically, so the selected set is deterministic
+    and engine-independent (double ulp differences in ln can't flip the
+    rank). Output: (id, term, tf, score, rk).
+    """
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1).cast("double")) + 1.0
+    scored = tf.join(df_t, "term").withColumn(
+        "score", F.round(F.col("tf") * idf, 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(id_col, "term", "tf", "score", "rk")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

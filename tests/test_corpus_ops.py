@@ -1,0 +1,126 @@
+"""Unit tests for corpus-curation ops (ops/corpus.py) and the embedding
+centroid/normalize ops (ops/similarity.py additions)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.ops.corpus import (
+    leakage_safe_split,
+    weighted_sample,
+)
+from metadata_etl_framework_spark.ops.similarity import (
+    group_centroids,
+    normalize_embeddings,
+)
+
+
+# ------------------------------------------------------------- leakage split
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster gets the SAME split — the whole
+    point of splitting on the cluster id, not the doc id."""
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # clusters: docs 0-9 all in cluster 0, 10-19 in cluster 10, rest solo
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(i, 10) for i in range(10, 20)],
+        "node long, cluster_id long",
+    )
+    out = leakage_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters=clusters
+    ).collect()
+    by_doc = {r.doc_id: r.split for r in out}
+    assert len({by_doc[i] for i in range(10)}) == 1
+    assert len({by_doc[i] for i in range(10, 20)}) == 1
+    # all three splits materialize over 182 units (sanity, deterministic)
+    assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_deterministic_and_incremental(spark):
+    """Same salt → identical assignment; a grown corpus never reassigns
+    an existing unit (hash property, unlike ntile/sort splits)."""
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    f = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r.doc_id: r.split for r in leakage_safe_split(small, f).collect()}
+    b = {r.doc_id: r.split for r in leakage_safe_split(big, f).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_leakage_safe_split_validates_fractions(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, {"train": 0.5, "test": 0.4})
+
+
+# --------------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(500)], "id long, w double"
+    )
+    a = weighted_sample(df, k=25, weight_col="w", hash_cols=["id"]).collect()
+    b = weighted_sample(df, k=25, weight_col="w", hash_cols=["id"]).collect()
+    assert len(a) == 25
+    assert {r.id for r in a} == {r.id for r in b}
+    # a different salt draws a different sample
+    c = weighted_sample(
+        df, k=25, weight_col="w", hash_cols=["id"], salt="other"
+    ).collect()
+    assert {r.id for r in a} != {r.id for r in c}
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """PPS property: rows with 100× weight should dominate the sample."""
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, k=40, weight_col="w", hash_cols=["id"]).collect()
+    heavy = sum(1 for r in got if r.id < 50)
+    # E[heavy] ≈ 33 of 40 under A-ES; anything ≥ 25 rules out uniformity
+    # (uniform draw would give ~2)
+    assert heavy >= 25, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)], "id long, w double"
+    )
+    got = weighted_sample(df, k=10, weight_col="w", hash_cols=["id"]).collect()
+    assert {r.id for r in got} == {4}
+
+
+# ------------------------------------------------------------ embedding ops
+
+
+def test_group_centroids_matches_plain_mean(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], "a"),
+            (2, [3.0, 4.0], "a"),
+            (3, [10.0, 20.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    got = {
+        (r.label, r.dim): r.centroid_val
+        for r in group_centroids(df, group_col="label").collect()
+    }
+    assert got == {
+        ("a", 0): 2.0, ("a", 1): 3.0, ("b", 0): 10.0, ("b", 1): 20.0,
+    }
+
+
+def test_normalize_embeddings_unit_norm_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.unit_vec for r in normalize_embeddings(df).collect()}
+    assert rows[2] is None  # zero norm → NULL, not divide-by-zero
+    assert abs(rows[1][0] - 0.6) < 1e-9 and abs(rows[1][1] - 0.8) < 1e-9
+    assert abs(math.hypot(*rows[1]) - 1.0) < 1e-9
