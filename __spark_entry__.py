@@ -2147,6 +2147,55 @@ def _dedup_embedding_cosine_lsh(spark, sf_dir):
     )
 
 
+def _multimodal_video_meta(spark, sf_dir):
+    """REAL RIFF/AVI main-header decode through Arrow mapInPandas: each
+    doc synthesizes an AVI container (RIFF → LIST hdrl → avih) with
+    little-endian geometry/timing fields derived from doc_id, and the
+    pure-Python parser (ops/multimodal.py::decode_avi_header) must
+    recover them exactly — video completion of the image/audio triad."""
+    from metadata_etl_framework_spark.ops.multimodal import (
+        extract_video_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(160) * (F.lit(1) + F.col("doc_id") % 8)).alias("_w"),
+        (F.lit(120) * (F.lit(1) + F.col("doc_id") % 6)).alias("_h"),
+        (F.lit(100) + F.col("doc_id") % 500).alias("_frames"),
+        (F.lit(10000) * (F.lit(1) + F.col("doc_id") % 4)).alias("_usec"),
+        (F.lit(1) + F.col("doc_id") % 3).alias("_streams"),
+    )
+    zero4 = _le_hex(F.lit(0), 4)
+    avi_hex = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le_hex(F.lit(80), 4),        # riff size: 'AVI ' + LIST(8+68)
+        F.lit("41564920"),            # 'AVI '
+        F.lit("4C495354"),            # 'LIST'
+        _le_hex(F.lit(68), 4),        # list size: 'hdrl' + avih chunk
+        F.lit("6864726C"),            # 'hdrl'
+        F.lit("61766968"),            # 'avih'
+        _le_hex(F.lit(56), 4),        # MainAVIHeader size
+        _le_hex(F.col("_usec"), 4),   # dwMicroSecPerFrame
+        zero4, zero4, zero4,          # maxbytes / padding / flags
+        _le_hex(F.col("_frames"), 4),  # dwTotalFrames
+        zero4,                        # dwInitialFrames
+        _le_hex(F.col("_streams"), 4),  # dwStreams
+        zero4,                        # dwSuggestedBufferSize
+        _le_hex(F.col("_w"), 4),
+        _le_hex(F.col("_h"), 4),
+        zero4, zero4, zero4, zero4,   # dwReserved[4]
+    )
+    meta = extract_video_metadata(
+        docs.select("doc_id", F.unhex(avi_hex).alias("media"))
+    )
+    return meta.select(
+        "doc_id", "width", "height", "n_frames",
+        F.round("fps", 6).alias("fps"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+        "n_streams",
+    )
+
+
 def _text_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (ops/text.py::tfidf_top_terms):
     smoothed sklearn-style idf, rank on the ROUNDED score with term
@@ -2380,6 +2429,7 @@ _EXTRA_KEYS = [
     "corpus_weighted_sample",
     "embed_group_centroids",
     "embed_normalize",
+    "multimodal_video_meta",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2518,6 +2568,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_weighted_sample": _corpus_weighted_sample,
     "embed_group_centroids": _embed_group_centroids,
     "embed_normalize": _embed_normalize,
+    "multimodal_video_meta": _multimodal_video_meta,
 }
 
 
@@ -4022,6 +4073,21 @@ _ALL_SQL.update(
                  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
                           AS i) i
             GROUP BY label, dim
+        """,
+        "multimodal_video_meta": r"""
+            SELECT doc_id,
+                   CAST(160 * (1 + doc_id % 8) AS INTEGER) AS width,
+                   CAST(120 * (1 + doc_id % 6) AS INTEGER) AS height,
+                   CAST(100 + doc_id % 500 AS BIGINT) AS n_frames,
+                   ROUND(1000000.0
+                         / CAST(10000 * (1 + doc_id % 4) AS DOUBLE), 6)
+                     AS fps,
+                   ROUND(CAST(100 + doc_id % 500 AS DOUBLE)
+                         / (1000000.0
+                            / CAST(10000 * (1 + doc_id % 4) AS DOUBLE)), 6)
+                     AS duration_sec,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS n_streams
+            FROM documents
         """,
         "embed_normalize": r"""
             WITH n AS (

@@ -58,6 +58,9 @@ HEADLINE = [
     "pack_sequences",
     "topk_per_order",
     "heavy_hitters_qty",
+    "text_tfidf_top_terms",
+    "corpus_weighted_sample",
+    "embed_group_centroids",
 ]
 
 

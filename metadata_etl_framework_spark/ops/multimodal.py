@@ -245,3 +245,69 @@ def extract_audio_metadata(df: DataFrame, media_col: str = "media") -> DataFrame
         ]
     )
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_avi_header(payload: bytes) -> tuple[int, int, int, float, int] | None:
+    """REAL RIFF/AVI main-header parse (pure Python, no video library):
+    returns (width, height, n_frames, fps, n_streams) or None when the
+    payload is not an AVI container. Walks RIFF chunks to the 'avih'
+    (MainAVIHeader) chunk — LIST containers are entered, leaf chunks
+    skipped — so the parse is linear in header size and never touches
+    frame data; a metadata-only payload (header without movi data) still
+    reports its declared geometry, the normal case for catalog scans.
+    Completes the image (PNG/GIF/BMP/JPEG) + audio (WAV) + video triad;
+    reference parity: the media-metadata arm of
+    src/transform/transform_engine.py's multimodal step."""
+    b = payload or b""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"LIST":
+            pos += 12  # descend into the list (skip its 4-byte type tag)
+            continue
+        if cid == b"avih" and pos + 8 + 40 <= len(b):
+            h = b[pos + 8 :]
+            usec_per_frame = int.from_bytes(h[0:4], "little")
+            n_frames = int.from_bytes(h[16:20], "little")
+            n_streams = int.from_bytes(h[24:28], "little")
+            width = int.from_bytes(h[32:36], "little")
+            height = int.from_bytes(h[36:40], "little")
+            fps = 1_000_000 / usec_per_frame if usec_per_frame else 0.0
+            return width, height, n_frames, fps, n_streams
+        pos += 8 + csize + (csize % 2)  # leaf chunks are word-aligned
+    return None
+
+
+def extract_video_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """binary column → (width, height, n_frames, fps, duration_sec,
+    n_streams) via Arrow-batched mapInPandas; non-AVI payloads yield
+    nulls (dirty corpora stay total). Same streaming batch shape as the
+    image/audio extractors — rows never leave the executor."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[media_col].map(
+                lambda b: decode_avi_header(bytes(b or b""))
+            )
+            pdf = pdf.copy()
+            pdf["width"] = meta.map(lambda t: t and t[0]).astype("Int32")
+            pdf["height"] = meta.map(lambda t: t and t[1]).astype("Int32")
+            pdf["n_frames"] = meta.map(lambda t: t and t[2]).astype("Int64")
+            pdf["fps"] = [t[3] if t else None for t in meta]
+            pdf["duration_sec"] = [
+                t[2] / t[3] if t and t[3] else None for t in meta
+            ]
+            pdf["n_streams"] = meta.map(lambda t: t and t[4]).astype("Int32")
+            yield pdf
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [
+            "width int", "height int", "n_frames long", "fps double",
+            "duration_sec double", "n_streams int",
+        ]
+    )
+    return df.mapInPandas(decode, schema=out_schema)

@@ -121,3 +121,56 @@ def test_wav_header_parse_roundtrip_against_stdlib(spark):
     assert (rows[1]["n_channels"], rows[1]["sample_rate"],
             rows[1]["n_frames"]) == (2, 44100, 1234)
     assert rows[2]["n_channels"] is None and rows[2]["duration_sec"] is None
+
+
+# ----------------------------------------------------------------- AVI video
+
+
+def _mk_avi(w, h, frames, usec, streams=1):
+    import struct
+
+    avih = struct.pack(
+        "<10I", usec, 0, 0, 0, frames, 0, streams, 0, w, h
+    ) + b"\0" * 16
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def test_decode_avi_header_roundtrip_and_rejects():
+    from metadata_etl_framework_spark.ops.multimodal import decode_avi_header
+
+    assert decode_avi_header(_mk_avi(640, 480, 300, 33333, 2)) == (
+        640, 480, 300, 1_000_000 / 33333, 2,
+    )
+    # zero usec-per-frame → fps 0.0, no division error
+    assert decode_avi_header(_mk_avi(8, 8, 10, 0))[3] == 0.0
+    assert decode_avi_header(b"") is None
+    assert decode_avi_header(b"RIFF\x24\x00\x00\x00WAVE") is None  # WAV, not AVI
+    assert decode_avi_header(_mk_avi(1, 1, 1, 1)[:20]) is None  # truncated
+    assert decode_avi_header(None) is None
+
+
+def test_extract_video_metadata_mixed_payloads(spark):
+    from metadata_etl_framework_spark.ops.multimodal import (
+        extract_video_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_mk_avi(320, 240, 100, 40000, 1))),
+            (2, bytearray(b"not a video")),
+            (3, None),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in extract_video_metadata(df).collect()}
+    good = rows[1]
+    assert (good.width, good.height, good.n_frames, good.n_streams) == (
+        320, 240, 100, 1,
+    )
+    assert abs(good.fps - 25.0) < 1e-9
+    assert abs(good.duration_sec - 4.0) < 1e-9
+    for bad_id in (2, 3):
+        r = rows[bad_id]
+        assert r.width is None and r.fps is None and r.n_frames is None
