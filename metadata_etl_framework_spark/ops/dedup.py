@@ -67,7 +67,10 @@ def minhash_signatures(
     # into all K hash expressions multiplies the codegen tree K-fold
     # (measured ~10s compile for K=32). CollapseProject keeps the split
     # because the producing expression is non-cheap and multiply-referenced.
-    sh_df = df.select(id_col, shingles(text_col, shingle_n).alias("_sh"))
+    sh_df = (
+        df if "_sh" in df.columns
+        else df.select(id_col, shingles(text_col, shingle_n).alias("_sh"))
+    )
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(k))))
@@ -137,9 +140,28 @@ def jaccard_similarity(
     )
 
 
+def _shingle_base(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle-array) projection, repartitioned to cluster
+    parallelism BEFORE the CPU-bound n-gram transform (a small-file
+    corpus arrives as 1-2 scan partitions) and persisted so every
+    consumer — fan-out probe, inverted-index join sides, signature
+    computation — pays the projection once."""
+    from pyspark.storagelevel import StorageLevel
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def exact_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.8, shingle_n: int = 3,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs via a shingle inverted index:
     explode distinct shingles → self equi-join on the shingle → the group
@@ -155,20 +177,13 @@ def exact_jaccard_pairs(
     if threshold <= 0:
         raise ValueError("exact_jaccard_pairs requires threshold > 0 "
                          "(J=0 pairs share no shingle and are unindexable)")
-    from pyspark.storagelevel import StorageLevel
-
-    # a small-file corpus arrives as 1-2 scan partitions; the n-gram
-    # transform is CPU-bound per row, so spread it across the cluster
-    # before paying it (no-op when the scan already has enough splits)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
     # shingle arrays materialize ONCE (the tokenize+n-gram transform is the
     # expensive projection); sizes come from F.size — no groupBy shuffle —
-    # and both self-join sides re-explode the persisted arrays
-    base = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # and both self-join sides re-explode the persisted arrays. Callers
+    # that already paid the projection (minhash_near_duplicates' fan-out
+    # probe) pass it in via _shingled to avoid a second corpus pass.
+    base = _shingle_base(df, id_col, text_col, shingle_n) \
+        if _shingled is None else _shingled
     # each exploded row carries its doc's shingle count, and the counts
     # ride into the groupBy keys (functionally dependent on the ids) —
     # no join back to a sizes table after the aggregation
@@ -226,29 +241,40 @@ def minhash_near_duplicates(
 
     Returns (id_a, id_b, jaccard). Mirrors the exact-below-gate /
     probabilistic-above design of similarity.embedding_near_dup_pairs."""
-    if 0 < df.count() <= exact_max_rows and threshold > 0:
+    from pyspark.storagelevel import StorageLevel
+
+    base: DataFrame | None = None
+    if threshold > 0 and 0 < df.count() <= exact_max_rows:
+        # the shingle projection is the dominant per-row cost; build it
+        # ONCE (repartitioned + persisted) and let the probe, the exact
+        # join, and — on gate overflow — the LSH arms all read the cache
+        base = _shingle_base(df, id_col, text_col, shingle_n)
         fanout = (
-            df.select(F.explode(shingles(text_col, shingle_n)).alias("_s"))
+            base.select(F.explode("_sh").alias("_s"))
             .groupBy("_s")
             .agg(F.count(F.lit(1)).alias("_c"))
             .agg(F.sum(F.col("_c") * F.col("_c")).alias("_f"))
             .first()["_f"]
         )
         if fanout is None or fanout <= exact_max_fanout:
-            return exact_jaccard_pairs(df, id_col, text_col, threshold, shingle_n)
+            return exact_jaccard_pairs(
+                df, id_col, text_col, threshold, shingle_n, _shingled=base
+            )
     # persist the two frames each referenced by both sides of a self-join:
     # without this the whole shingle+hash lineage recomputes per side
     # (signatures are id + K longs — tiny relative to the text they derive
     # from, so this holds at corpus scale with MEMORY_AND_DISK spill)
-    from pyspark.storagelevel import StorageLevel
-
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = minhash_signatures(
+        base if base is not None else df,
+        id_col, text_col, num_hashes, shingle_n,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes // num_bands)
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if base is not None:
+        sh = base.withColumnRenamed("_sh", "sh")
+    else:
+        sh = df.select(
+            F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     j = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")

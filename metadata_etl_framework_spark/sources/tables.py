@@ -48,6 +48,16 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet surfaces as
+    # TIMESTAMP_NTZ, which event-time streaming (watermarks,
+    # dropDuplicatesWithinWatermark) rejects. Sessions here pin UTC, so
+    # the NTZ→LTZ cast preserves wall-clock values while restoring the
+    # TimestampType every downstream operator expects.
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
