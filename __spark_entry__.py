@@ -2147,6 +2147,18 @@ def _dedup_embedding_cosine_lsh(spark, sf_dir):
     )
 
 
+def _dedup_incremental(spark, sf_dir):
+    """Incremental-crawl dedup (ops/dedup.py::incremental_dedup): docs
+    with doc_id % 5 == 0 play the NEW batch, the rest the already-seen
+    corpus; each new doc gets exact-fingerprint and cross-corpus
+    n-gram-Jaccard near-dup flags via equi-join probes (the historical
+    corpus is probed through its index, never re-deduped)."""
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    seen_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_ops.incremental_dedup(new_docs, seen_docs, threshold=0.5)
+
+
 def _multimodal_video_meta(spark, sf_dir):
     """REAL RIFF/AVI main-header decode through Arrow mapInPandas: each
     doc synthesizes an AVI container (RIFF → LIST hdrl → avih) with
@@ -2430,6 +2442,7 @@ _EXTRA_KEYS = [
     "embed_group_centroids",
     "embed_normalize",
     "multimodal_video_meta",
+    "dedup_incremental",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2569,6 +2582,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_group_centroids": _embed_group_centroids,
     "embed_normalize": _embed_normalize,
     "multimodal_video_meta": _multimodal_video_meta,
+    "dedup_incremental": _dedup_incremental,
 }
 
 
@@ -4073,6 +4087,56 @@ _ALL_SQL.update(
                  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
                           AS i) i
             GROUP BY label, dim
+        """,
+        "dedup_incremental": r"""
+            WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            seen AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            fp_seen AS (
+              SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)),
+                                                 '\s+', ' ', 'g')) AS f
+              FROM seen
+            ), tok_n AS (
+              SELECT doc_id,
+                     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+              FROM newd
+            ), tok_s AS (
+              SELECT doc_id,
+                     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+              FROM seen
+            ), sh_n AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM tok_n, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+              WHERE LEN(t) >= 3
+            ), sh_s AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM tok_s, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+              WHERE LEN(t) >= 3
+            ), size_n AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh_n GROUP BY doc_id
+            ), size_s AS (
+              SELECT doc_id, COUNT(*) AS m FROM sh_s GROUP BY doc_id
+            ), near AS (
+              SELECT DISTINCT a.doc_id
+              FROM (
+                SELECT a.doc_id, b.doc_id AS sid, COUNT(*) AS c
+                FROM sh_n a JOIN sh_s b ON a.s = b.s
+                GROUP BY 1, 2
+              ) a
+              JOIN size_n na ON na.doc_id = a.doc_id
+              JOIN size_s nb ON nb.doc_id = a.sid
+              WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.m - c), 6) >= 0.5
+            )
+            SELECT d.doc_id,
+                   (MD5(REGEXP_REPLACE(LOWER(TRIM(d.text)), '\s+', ' ', 'g'))
+                    IN (SELECT f FROM fp_seen)) AS is_exact_dup,
+                   (d.doc_id IN (SELECT doc_id FROM near)) AS is_near_dup,
+                   NOT (MD5(REGEXP_REPLACE(LOWER(TRIM(d.text)),
+                                           '\s+', ' ', 'g'))
+                        IN (SELECT f FROM fp_seen)
+                        OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
+            FROM newd d
         """,
         "multimodal_video_meta": r"""
             SELECT doc_id,

@@ -543,3 +543,87 @@ def simhash_near_duplicates(
         cands.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedupe a NEW batch against an already-ingested corpus — the daily
+    incremental-crawl shape: yesterday's corpus is never re-deduped, only
+    probed. Two signals per new document:
+
+    * ``is_exact_dup`` — its md5 text fingerprint already exists in the
+      seen corpus (left-semi-join-shaped probe; at production scale the
+      seen side is the *stored fingerprint column*, not the text, so the
+      historical corpus is never re-read, only its index).
+    * ``is_near_dup`` — shares ≥ ``threshold`` n-gram Jaccard with some
+      seen document, via the shingle inverted index JOINED ACROSS the
+      two corpora (new explodes × seen explodes on the shingle) — the
+      incremental analog of ``exact_jaccard_pairs``' self-join, complete
+      for any threshold > 0. ``keep`` = neither flag.
+
+    Both probes are equi-joins (fingerprint / shingle) with map-side
+    pre-aggregation; nothing is quadratic in either corpus. Reference
+    parity: the duplicate-detection arm of src/utils/data_deduplicator.py,
+    extended to the two-corpus incremental case the reference handles by
+    full recompute.
+    """
+    if threshold <= 0:
+        raise ValueError("incremental_dedup requires threshold > 0")
+    fp_new = fingerprint(new_docs, text_col).select(
+        F.col(id_col), F.col(text_col), F.col("fingerprint")
+    )
+    fp_seen = fingerprint(seen_docs, text_col).select(
+        F.col("fingerprint").alias("_seen_fp")
+    ).dropDuplicates()
+    exact = fp_new.join(
+        fp_seen, fp_new["fingerprint"] == fp_seen["_seen_fp"], "left"
+    ).select(
+        id_col, text_col,
+        F.col("_seen_fp").isNotNull().alias("is_exact_dup"),
+    )
+
+    sh_new = new_docs.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    ).select(
+        F.col(id_col), F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+    )
+    sh_seen = seen_docs.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
+    ).select(
+        F.col("_sid"), F.size("_sh").alias("_m"), F.explode("_sh").alias("_s")
+    )
+    near = (
+        sh_new.join(sh_seen, "_s")
+        .groupBy(id_col, "_sid", "_n", "_m")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_j",
+            # rounded BEFORE the threshold compare so an ulp of double
+            # division can't flip a boundary pair between engines
+            F.round(
+                F.col("_c").cast("double")
+                / (F.col("_n") + F.col("_m") - F.col("_c")),
+                6,
+            ),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select(F.col(id_col).alias("_nid"))
+        .dropDuplicates()
+    )
+    return (
+        exact.join(near, exact[id_col] == near["_nid"], "left")
+        .select(
+            id_col,
+            "is_exact_dup",
+            F.col("_nid").isNotNull().alias("is_near_dup"),
+            (~(F.col("is_exact_dup") | F.col("_nid").isNotNull())).alias(
+                "keep"
+            ),
+        )
+    )

@@ -714,3 +714,33 @@ def test_corpus_summary_shares(spark):
            for r in corpus_summary(docs).collect()}
     assert got[("web", "en")] == (2, 3, round(2 / 3, 6))
     assert got[("book", "de")] == (1, 1, round(1 / 3, 6))
+
+
+def test_incremental_dedup_flags(spark):
+    """New-batch probes against a seen corpus: exact fingerprint hit,
+    cross-corpus near-dup (Jaccard >= t), and keep = neither; empty and
+    novel docs always keep."""
+    from metadata_etl_framework_spark.ops.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content here entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),   # exact
+         (11, "the quick brown fox jumps over the lazy cat"),   # near
+         (12, "utterly novel words never seen before anywhere"),
+         (13, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.is_exact_dup, r.is_near_dup, r.keep)
+           for r in incremental_dedup(new, seen, threshold=0.5).collect()}
+    assert got == {
+        10: (True, True, False),
+        11: (False, True, False),
+        12: (False, False, True),
+        13: (False, False, True),
+    }
+    with __import__("pytest").raises(ValueError):
+        incremental_dedup(new, seen, threshold=0).collect()
