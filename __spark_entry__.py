@@ -2147,6 +2147,34 @@ def _dedup_embedding_cosine_lsh(spark, sf_dir):
     )
 
 
+def _text_quality_score(spark, sf_dir):
+    """Composite [0,1] quality score (ops/text.py::quality_score):
+    weighted blend of capped length, stopword, punctuation-density, and
+    Gopher line-repetition components — the single sortable number a
+    corpus filter thresholds on. One JVM projection + one id join."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs)
+
+
+def _pack_length_buckets(spark, sf_dir):
+    """Padding-efficient batch assignment
+    (ops/packing.py::length_bucketed_batches): exact-quantile length
+    buckets via one broadcast aggregate — no global-sort ntile — then
+    fixed-size batches filled in (length, id) order inside each bucket;
+    batch_max_tokens is the pad target."""
+    from metadata_etl_framework_spark.ops.packing import (
+        length_bucketed_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.size(text_ops.tokens("text")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
+
+
 def _dedup_incremental(spark, sf_dir):
     """Incremental-crawl dedup (ops/dedup.py::incremental_dedup): docs
     with doc_id % 5 == 0 play the NEW batch, the rest the already-seen
@@ -2443,6 +2471,8 @@ _EXTRA_KEYS = [
     "embed_normalize",
     "multimodal_video_meta",
     "dedup_incremental",
+    "text_quality_score",
+    "pack_length_buckets",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2583,6 +2613,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_normalize": _embed_normalize,
     "multimodal_video_meta": _multimodal_video_meta,
     "dedup_incremental": _dedup_incremental,
+    "text_quality_score": _text_quality_score,
+    "pack_length_buckets": _pack_length_buckets,
 }
 
 
@@ -4087,6 +4119,90 @@ _ALL_SQL.update(
                  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
                           AS i) i
             GROUP BY label, dim
+        """,
+        "text_quality_score": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN text IS NULL OR TRIM(text) = '' THEN []::VARCHAR[]
+                          ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                     END AS tk,
+                     COALESCE(LENGTH(text), 0) AS nc,
+                     LIST_FILTER(STR_SPLIT(text, CHR(10)),
+                                 l -> REGEXP_MATCHES(l, '\S')) AS lines
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     LEN(tk) AS ntok,
+                     CASE WHEN LEN(tk) > 0 THEN
+                          ROUND(CAST(LEN(LIST_FILTER(tk,
+                            t -> LOWER(t) IN ('the','a','an','of','to','in',
+                                              'and','is','it','for','on',
+                                              'with'))) AS DOUBLE)
+                                / LEN(tk), 6)
+                          ELSE 0.0 END AS stop_r,
+                     CASE WHEN nc > 0 THEN
+                          ROUND(CAST(LENGTH(REGEXP_REPLACE(text,
+                            '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+                                / nc, 6)
+                          ELSE 0.0 END AS punct_r,
+                     CASE WHEN COALESCE(LEN(lines), 0) > 0 THEN
+                          ROUND(CAST(LEN(lines) - LEN(LIST_DISTINCT(lines))
+                                     AS DOUBLE) / LEN(lines), 6)
+                          ELSE 0.0 END AS dup_r
+              FROM base
+            )
+            SELECT doc_id,
+                   CAST(ntok AS BIGINT) AS n_tokens,
+                   CAST(ROUND(
+                     CAST(0.35 AS DECIMAL(16,6))
+                       * CAST(LEAST(CAST(ntok AS DOUBLE) / 200.0, 1.0)
+                              AS DECIMAL(16,6))
+                     + CAST(0.25 AS DECIMAL(16,6))
+                       * CAST(LEAST(stop_r * 3.0, 1.0) AS DECIMAL(16,6))
+                     + CAST(0.2 AS DECIMAL(16,6))
+                       * CAST(1.0 - LEAST(punct_r * 3.0, 1.0)
+                              AS DECIMAL(16,6))
+                     + CAST(0.2 AS DECIMAL(16,6))
+                       * CAST(1.0 - dup_r AS DECIMAL(16,6)), 6)
+                   AS DOUBLE) AS quality_score
+            FROM f
+        """,
+        "pack_length_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                               ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text),
+                                                              '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT
+                ROUND(QUANTILE_CONT(CAST(n_tokens AS DOUBLE), 0.25), 6) AS q1,
+                ROUND(QUANTILE_CONT(CAST(n_tokens AS DOUBLE), 0.50), 6) AS q2,
+                ROUND(QUANTILE_CONT(CAST(n_tokens AS DOUBLE), 0.75), 6) AS q3
+              FROM toks
+            ), assigned AS (
+              SELECT doc_id, n_tokens,
+                     CAST(CASE WHEN CAST(n_tokens AS DOUBLE) > q1
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN CAST(n_tokens AS DOUBLE) > q2
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN CAST(n_tokens AS DOUBLE) > q3
+                               THEN 1 ELSE 0 END AS INTEGER) AS bucket
+              FROM toks, b
+            ), rn AS (
+              SELECT doc_id, n_tokens, bucket,
+                     CAST((ROW_NUMBER() OVER (
+                             PARTITION BY bucket
+                             ORDER BY n_tokens, doc_id) - 1) // 32
+                          AS BIGINT) AS batch_index
+              FROM assigned
+            )
+            SELECT doc_id, n_tokens, bucket, batch_index,
+                   CAST(MAX(n_tokens) OVER (
+                          PARTITION BY bucket, batch_index) AS BIGINT)
+                     AS batch_max_tokens
+            FROM rn
         """,
         "dedup_incremental": r"""
             WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

@@ -47,10 +47,14 @@ def global_prefix_sum(
     then re-joined as broadcast offsets.
     """
     if num_partitions is None:
-        # scale the range partitioning with the input, not the cluster: a
-        # small table pays one partition's overhead, a 100-TB scan keeps
-        # its parallelism (input splits ≈ data size / maxPartitionBytes)
-        num_partitions = max(1, df.rdd.getNumPartitions())
+        # scale the range partitioning with the input (splits ≈ data
+        # size / maxPartitionBytes) but floor at cluster parallelism: a
+        # single-split small file must not serialize the CPU-bound
+        # upstream projection — or the local window — onto one task
+        num_partitions = max(
+            df.rdd.getNumPartitions(),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
     ranged = df.repartitionByRange(num_partitions, F.col(order_col))
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
 
@@ -146,4 +150,60 @@ def packing_summary(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
             F.sum(F.col("straddles").cast("int")).cast("long").alias("n_straddling"),
         )
         .withColumn("seq_len", F.lit(seq_len))
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 4,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Padding-efficient batch assignment: bucket documents by exact
+    token-length quantiles, then fill fixed-size batches inside each
+    bucket in length order — the standard inference/tokenization batching
+    layout where a batch's cost is ``batch_size × max(len)``, so grouping
+    similar lengths minimizes padding waste.
+
+    Scale design: NO global-sort ntile (a single-partition window at
+    corpus scale). Bucket boundaries come from one exact-percentile
+    aggregate (broadcast as literals into a pure projection); the
+    row_number / max windows partition BY BUCKET, so the only data
+    movement is one shuffle across ``n_buckets`` keys. Assignment is
+    deterministic: ties order by (length, id).
+
+    Output: (id, tokens, bucket, batch_index, batch_max_tokens) —
+    ``batch_max_tokens`` is what every row in the batch pads to.
+    """
+    if n_buckets < 1 or batch_size < 1:
+        raise ValueError("n_buckets and batch_size must be >= 1")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    t = F.col(tokens_col).cast("double")
+    if qs:
+        bounds = df.agg(
+            F.percentile(t, F.lit(qs)).alias("b")
+        ).first()["b"] or []
+        # 6-decimal boundaries: interpolated quantiles must compare
+        # identically across engines (differential-oracle convention)
+        bounds = [round(float(b), 6) for b in bounds]
+    else:
+        bounds = []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (t > F.lit(float(b))).cast("int")
+    out = df.select(
+        F.col(id_col), F.col(tokens_col), bucket.alias("bucket")
+    )
+    w_fill = Window.partitionBy("bucket").orderBy(
+        F.col(tokens_col), F.col(id_col)
+    )
+    out = out.withColumn(
+        "batch_index",
+        ((F.row_number().over(w_fill) - 1) / batch_size).cast("long"),
+    )
+    w_batch = Window.partitionBy("bucket", "batch_index")
+    return out.withColumn(
+        "batch_max_tokens",
+        F.max(F.col(tokens_col)).over(w_batch).cast("long"),
     )

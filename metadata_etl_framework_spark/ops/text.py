@@ -652,3 +652,66 @@ def corpus_summary(
             ).alias("doc_share"),
         )
     )
+
+
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 200,
+    weights: tuple[float, float, float, float] = (0.35, 0.25, 0.2, 0.2),
+) -> DataFrame:
+    """Composite document quality score in [0, 1] — the single sortable
+    number corpus-filtering pipelines threshold or curriculum-order on,
+    combining the published heuristic families (C4 / Gopher) that the
+    individual feature ops expose separately:
+
+    * length   — ``min(n_tokens / target_tokens, 1)``: rewards documents
+      long enough to carry content, capped so length can't dominate.
+    * stopword — stopword ratio scaled by 3 and capped at 1 (natural
+      prose sits near ~1/3 stopwords; near-zero marks keyword spam).
+    * punct    — ``1 - min(3 · punct_ratio, 1)``: punctuation-dense
+      boilerplate (code, markup) scores low.
+    * dedup    — ``1 - dup_line_ratio``: within-document line repetition
+      (Gopher §A1.1) scores low.
+
+    One pure-JVM projection per document (the feature ops compose; no
+    shuffle, no UDF), so the score is free at corpus scale. Weights are
+    caller-tunable and normalized to sum 1.
+    """
+    w = [float(x) for x in weights]
+    total = sum(w)
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    w = [x / total for x in w]
+    feats = quality_features(df, text_col)
+    rep = repetition_metrics(df, id_col, text_col, ngram_sizes=())
+    joined = feats.select(
+        F.col(id_col), "n_tokens", "punct_ratio", "stopword_ratio"
+    ).join(rep.select(id_col, "dup_line_ratio"), id_col)
+    # size(NULL array) is NULL and least() SKIPS nulls (a null-text doc
+    # would score a perfect length component) — coalesce to 0 first
+    nt = F.coalesce(F.col("n_tokens").cast("double"), F.lit(0.0))
+    length_s = F.least(nt / F.lit(float(target_tokens)), F.lit(1.0))
+    stop_s = F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0))
+    punct_s = 1.0 - F.least(F.col("punct_ratio") * 3.0, F.lit(1.0))
+    dedup_s = 1.0 - F.col("dup_line_ratio")
+
+    # decimal-exact blend (parity convention): every component is a
+    # ~6-decimal quantity, so decimal(16,6) represents it exactly and
+    # the weighted sum can't land a final-round boundary on a double ulp
+    def _d(c: Column) -> Column:
+        return c.cast("decimal(16,6)")
+
+    score = sum(
+        (F.lit(round(wi, 6)).cast("decimal(16,6)") * _d(c)
+         for wi, c in zip(w, (length_s, stop_s, punct_s, dedup_s))),
+        start=F.lit(0).cast("decimal(16,6)"),
+    )
+    return joined.select(
+        id_col,
+        F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+        F.round(score, 6).cast("double").alias("quality_score"),
+    )

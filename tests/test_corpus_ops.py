@@ -124,3 +124,70 @@ def test_normalize_embeddings_unit_norm_and_zero_vector(spark):
     assert rows[2] is None  # zero norm → NULL, not divide-by-zero
     assert abs(rows[1][0] - 0.6) < 1e-9 and abs(rows[1][1] - 0.8) < 1e-9
     assert abs(math.hypot(*rows[1]) - 1.0) < 1e-9
+
+
+# ------------------------------------------------------- composite quality
+
+
+def test_quality_score_ordering_and_bounds(spark):
+    from metadata_etl_framework_spark.ops.text import quality_score
+
+    prose = " ".join(
+        ["the cat sat on the mat and it is a fine day for all of us"] * 20
+    )
+    df = spark.createDataFrame(
+        [
+            (1, prose),                               # long natural prose
+            (2, "{}[]()!!;;::##@@%%^^&&**"),          # punctuation soup
+            (3, "line\nline\nline\nline"),            # pure repetition
+            (4, ""),                                  # empty
+            (5, None),                                # null
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in quality_score(df).collect()}
+    for r in rows.values():
+        assert 0.0 <= r.quality_score <= 1.0
+    assert rows[1].quality_score > rows[2].quality_score
+    assert rows[1].quality_score > rows[3].quality_score
+    # null and empty text must agree (both score only the dedup+punct
+    # complements) and sit well below real prose
+    assert rows[4].n_tokens == 0 and rows[5].n_tokens == 0
+    assert rows[4].quality_score == rows[5].quality_score
+    assert rows[5].quality_score < rows[1].quality_score
+    with pytest.raises(ValueError):
+        quality_score(df, weights=(0, 0, 0, 0)).collect()
+
+
+# ------------------------------------------------- length-bucketed batches
+
+
+def test_length_bucketed_batches_assignment(spark):
+    from metadata_etl_framework_spark.ops.packing import (
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 10) * 10 + 5) for i in range(100)],
+        "doc_id long, n_tokens long",
+    )
+    out = length_bucketed_batches(df, n_buckets=4, batch_size=8).collect()
+    assert len(out) == 100
+    by_doc = {r.doc_id: r for r in out}
+    # monotone: longer docs land in >= bucket
+    assert by_doc[1].bucket <= by_doc[9].bucket  # 15 tokens vs 95 tokens
+    for r in out:
+        assert r.batch_max_tokens >= r.n_tokens
+    # batches are filled within a bucket: every (bucket, batch) group has
+    # <= batch_size members and its max is the group max
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.bucket, r.batch_index)].append(r)
+    for rows_ in groups.values():
+        assert len(rows_) <= 8
+        mx = max(r.n_tokens for r in rows_)
+        assert all(r.batch_max_tokens == mx for r in rows_)
+    with pytest.raises(ValueError):
+        length_bucketed_batches(df, n_buckets=0)

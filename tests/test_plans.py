@@ -256,8 +256,10 @@ def test_heavy_hitters_candidate_filter_pushed(spark):
 
 
 def test_topk_per_group_single_shuffle(spark):
-    p = _plan(spark, "topk_per_order")
-    assert p.count("Exchange hashpartitioning(l_orderkey") == 1
+    # simple mode prints exchanges inline (formatted splits the node
+    # name from its hashpartitioning arguments)
+    p = _plan(spark, "topk_per_order", "simple")
+    assert p.count("Exchange hashpartitioning(l_orderkey") == 1, p
     # rank filter applied right after the window, before anything else
     assert "rk" in p and "Filter" in p
 
