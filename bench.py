@@ -61,6 +61,9 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "corpus_weighted_sample",
     "embed_group_centroids",
+    "text_quality_score",
+    "dedup_incremental",
+    "pack_length_buckets",
 ]
 
 

@@ -588,15 +588,16 @@ def incremental_dedup(
         F.col("_seen_fp").isNotNull().alias("is_exact_dup"),
     )
 
-    sh_new = new_docs.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
-    ).select(
+    # repartitioned+persisted shingle projections: the CPU-bound n-gram
+    # transform must not serialize onto a small file's single scan split
+    base_new = _shingle_base(new_docs, id_col, text_col, shingle_n)
+    base_seen = _shingle_base(seen_docs, id_col, text_col, shingle_n)
+    sh_new = base_new.select(
         F.col(id_col), F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
-    sh_seen = seen_docs.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
-    ).select(
-        F.col("_sid"), F.size("_sh").alias("_m"), F.explode("_sh").alias("_s")
+    sh_seen = base_seen.select(
+        F.col(id_col).alias("_sid"), F.size("_sh").alias("_m"),
+        F.explode("_sh").alias("_s"),
     )
     near = (
         sh_new.join(sh_seen, "_s")

@@ -159,3 +159,40 @@ def test_prefix_sum_and_packing_at_6m(big, spark):
     dt = time.time() - t
     assert total.m == total.s  # max prefix == grand total
     print(f"prefix-sum 6M rows: {dt:.1f}s")
+
+
+def test_round5_ops_at_10x_docs(spark):
+    """tfidf / quality score / incremental dedup / batching at 10×
+    (50k docs): completes and stays shuffle-bounded."""
+    from functools import reduce as _reduce
+
+    from metadata_etl_framework_spark.ops import text as tx
+    from metadata_etl_framework_spark.ops.dedup import incremental_dedup
+    from metadata_etl_framework_spark.ops.packing import (
+        length_bucketed_batches,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    big = _reduce(
+        lambda a, b: a.unionByName(b),
+        [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+         for i in range(10)],
+    )
+    _force(tx.tfidf_top_terms(big, top_n=3))
+    _force(tx.quality_score(big))
+    _force(
+        length_bucketed_batches(
+            big.select(
+                "doc_id",
+                F.coalesce(F.size(tx.tokens("text")), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+        )
+    )
+    # new batch = one replica, seen corpus = the other nine (worst case:
+    # every new doc IS an exact dup of nine seen docs)
+    new_b = big.filter(F.col("doc_id") < 10_000_000)
+    seen = big.filter(F.col("doc_id") >= 10_000_000)
+    _force(incremental_dedup(new_b, seen, threshold=0.5))
