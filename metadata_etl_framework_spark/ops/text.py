@@ -675,20 +675,37 @@ def quality_score(
     * dedup    — ``1 - dup_line_ratio``: within-document line repetition
       (Gopher §A1.1) scores low.
 
-    One pure-JVM projection per document (the feature ops compose; no
-    shuffle, no UDF), so the score is free at corpus scale. Weights are
-    caller-tunable and normalized to sum 1.
+    ONE pure-JVM projection per document — the line-repetition component
+    inlines the same expression ``repetition_metrics`` uses rather than
+    joining two derivations of the same input (a join here would shuffle
+    the whole corpus on id for values computable in place). No shuffle,
+    no UDF, so the score pipelines with the scan at corpus scale.
+    Weights are caller-tunable and normalized to sum 1.
     """
     w = [float(x) for x in weights]
     total = sum(w)
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
     w = [x / total for x in w]
-    feats = quality_features(df, text_col)
-    rep = repetition_metrics(df, id_col, text_col, ngram_sizes=())
-    joined = feats.select(
-        F.col(id_col), "n_tokens", "punct_ratio", "stopword_ratio"
-    ).join(rep.select(id_col, "dup_line_ratio"), id_col)
+    # same expression as repetition_metrics' dup_line_ratio (its unit
+    # tests + oracle pin the semantics; keep in lockstep)
+    lines = F.coalesce(
+        F.filter(F.split(F.col(text_col), r"\n"), lambda ln: ln.rlike(r"\S")),
+        F.array().cast("array<string>"),
+    )
+    n_lines = F.size(lines)
+    dup_line_ratio = F.round(
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    joined = quality_features(df, text_col).select(
+        F.col(id_col), "n_tokens", "punct_ratio", "stopword_ratio",
+        dup_line_ratio.alias("dup_line_ratio"),
+    )
     # size(NULL array) is NULL and least() SKIPS nulls (a null-text doc
     # would score a perfect length component) — coalesce to 0 first
     nt = F.coalesce(F.col("n_tokens").cast("double"), F.lit(0.0))
