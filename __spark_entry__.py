@@ -2321,7 +2321,12 @@ def _embed_normalize(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 # Driver contract: EXACTLY 50 entries (the driver executes the first 50 in
-# dict order — observed round 1). 45 oracle-backed + 5 rows-only.
+# dict order — observed round 1). 49 oracle-backed + 1 rows-only
+# (simhash). Round 5 swapped four granular entries (case_bucketing,
+# window_rolling_avg, topk_event_types, date_funcs — all still verified
+# by the local parity suite as extras) for the new flagship LLM-pipeline
+# ops: incremental corpus dedup, composite quality score, TF-IDF top
+# terms, leakage-safe split.
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2337,14 +2342,14 @@ _DRIVER_KEYS = [
     "join_merge_multiple",
     "agg_orders_by_priority",
     "pivot_status",
-    "case_bucketing",
+    "dedup_incremental",
     "window_rank_lag",
     "window_frames",
-    "window_rolling_avg",
-    "topk_event_types",
+    "text_quality_score",
+    "text_tfidf_top_terms",
     "set_ops",
     "dedup_distinct",
-    "date_funcs",
+    "corpus_split_leakage_safe",
     "profile_all_columns",
     "corr_qty_price",
     "dq_suite",
@@ -2384,6 +2389,10 @@ _DRIVER_KEYS = [
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
+    "case_bucketing",
+    "window_rolling_avg",
+    "topk_event_types",
+    "date_funcs",
     "convert_lossy",
     "string_funcs",
     "window_rank",
@@ -2464,14 +2473,10 @@ _EXTRA_KEYS = [
     "text_oov_rate",
     "text_unigram_logprob",
     "corpus_summary",
-    "text_tfidf_top_terms",
-    "corpus_split_leakage_safe",
     "corpus_weighted_sample",
     "embed_group_centroids",
     "embed_normalize",
     "multimodal_video_meta",
-    "dedup_incremental",
-    "text_quality_score",
     "pack_length_buckets",
 ]
 
