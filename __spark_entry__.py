@@ -830,6 +830,17 @@ _SQL_ROLLUP = """
     ORDER BY returnflag, linestatus
 """
 
+_SQL_CUBE = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+"""
+
 _SQL_Q4 = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
@@ -971,6 +982,7 @@ _sql_q4_priority_check = _sql_query(_SQL_Q4, "orders", "lineitem")
 _sql_q17_small_qty = _sql_query(_SQL_Q17, "lineitem", "part")
 _sql_q22_idle_balances = _sql_query(_SQL_Q22, "customer", "orders")
 _sql_rollup_totals = _sql_query(_SQL_ROLLUP, "lineitem")
+_sql_cube_volumes = _sql_query(_SQL_CUBE, "lineitem")
 _sql_q12_priority_lateness = _sql_query(_SQL_Q12, "orders", "lineitem")
 _sql_q13_custdist = _sql_query(_SQL_Q13, "customer", "orders")
 _sql_q16_supplier_cnt = _sql_query(_SQL_Q16, "lineitem", "part", "supplier")
@@ -2441,6 +2453,7 @@ _EXTRA_KEYS = [
     "sql_q17_small_qty",
     "sql_q22_idle_balances",
     "sql_rollup_totals",
+    "sql_cube_volumes",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2592,6 +2605,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q17_small_qty": _sql_q17_small_qty,
     "sql_q22_idle_balances": _sql_q22_idle_balances,
     "sql_rollup_totals": _sql_rollup_totals,
+    "sql_cube_volumes": _sql_cube_volumes,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -3014,6 +3028,7 @@ _ALL_SQL: dict[str, str] = {
         "sql_q19_disjunctive": _SQL_Q19,
         "sql_q7_nation_volume": _SQL_Q7,
         "sql_rollup_totals": _SQL_ROLLUP,
+        "sql_cube_volumes": _SQL_CUBE,
         "step_customudf": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS disc_price

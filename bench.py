@@ -84,7 +84,7 @@ def main() -> None:
     # min of N runs per query: the box shows ambient CPU spikes that can
     # inflate a single run 10×+; the min is the reproducible cost of the
     # plan itself (set SPARK_GRAFT_BENCH_RUNS=1 for single-shot timing)
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

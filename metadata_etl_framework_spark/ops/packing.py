@@ -55,8 +55,18 @@ def global_prefix_sum(
             df.rdd.getNumPartitions(),
             df.sparkSession.sparkContext.defaultParallelism,
         )
+    from pyspark.storagelevel import StorageLevel
+
     ranged = df.repartitionByRange(num_partitions, F.col(order_col))
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # PERSIST before the subtotal collect: repartitionByRange draws its
+    # boundaries from a SAMPLE, so re-evaluating the lineage in the
+    # final query could partition differently than the job that computed
+    # the offsets — per-partition offsets applied to the wrong partitions
+    # silently corrupt the prefix sums (caught by the 6M-row stress
+    # test: max(prefix) != grand total). One materialization, two reads.
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     subtotals = (
         with_pid.groupBy("__pid")
