@@ -830,6 +830,24 @@ _SQL_ROLLUP = """
     ORDER BY returnflag, linestatus
 """
 
+_SQL_Q20 = """
+    SELECT s_name, s_suppkey FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name IN ('NATION_3','NATION_7')
+      AND s_suppkey IN (
+        SELECT l1.l_suppkey FROM lineitem l1, part
+        WHERE l1.l_partkey = p_partkey AND p_name LIKE 'red%'
+          AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING SUM(l1.l_quantity) > 0.3 * (
+          SELECT SUM(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l2.l_shipdate < TIMESTAMP '1997-01-01')
+      )
+    ORDER BY s_name
+"""
+
 _SQL_CUBE = """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -983,6 +1001,12 @@ _sql_q17_small_qty = _sql_query(_SQL_Q17, "lineitem", "part")
 _sql_q22_idle_balances = _sql_query(_SQL_Q22, "customer", "orders")
 _sql_rollup_totals = _sql_query(_SQL_ROLLUP, "lineitem")
 _sql_cube_volumes = _sql_query(_SQL_CUBE, "lineitem")
+# Q20-shaped: IN-subquery whose HAVING holds a correlated scalar-agg
+# subquery (share-of-part-volume supplier; partsupp absent in testdata
+# so lineitem volume stands in for ps_availqty, as in the Q2 reshape).
+_sql_q20_part_share = _sql_query(
+    _SQL_Q20, "supplier", "nation", "lineitem", "part"
+)
 _sql_q12_priority_lateness = _sql_query(_SQL_Q12, "orders", "lineitem")
 _sql_q13_custdist = _sql_query(_SQL_Q13, "customer", "orders")
 _sql_q16_supplier_cnt = _sql_query(_SQL_Q16, "lineitem", "part", "supplier")
@@ -2454,6 +2478,7 @@ _EXTRA_KEYS = [
     "sql_q22_idle_balances",
     "sql_rollup_totals",
     "sql_cube_volumes",
+    "sql_q20_part_share_supplier",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2606,6 +2631,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q22_idle_balances": _sql_q22_idle_balances,
     "sql_rollup_totals": _sql_rollup_totals,
     "sql_cube_volumes": _sql_cube_volumes,
+    "sql_q20_part_share_supplier": _sql_q20_part_share,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -3029,6 +3055,7 @@ _ALL_SQL: dict[str, str] = {
         "sql_q7_nation_volume": _SQL_Q7,
         "sql_rollup_totals": _SQL_ROLLUP,
         "sql_cube_volumes": _SQL_CUBE,
+        "sql_q20_part_share_supplier": _SQL_Q20,
         "step_customudf": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS disc_price
