@@ -2211,6 +2211,30 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _embed_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization
+    (ops/similarity.py::quantize_embeddings) exploded to scalar cells
+    with the dequantized value — the 4x embedding-storage reduction
+    step, verified arithmetically against the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_ops.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.posexplode("qvec").alias("dim", "qval"),
+    ).select(
+        "vec_id", "scale",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("qval").cast("int").alias("qval"),
+        # decimal-exact dequant: both engines' round(scale,9) doubles sit
+        # within half-ulp of the same 9-decimal value, so the decimal cast
+        # recovers it exactly and the product can't land a round boundary
+        F.round(
+            F.col("qval") * F.col("scale").cast("decimal(20,9)"), 6
+        ).cast("double").alias("deq"),
+    )
+
+
 def _dedup_incremental(spark, sf_dir):
     """Incremental-crawl dedup (ops/dedup.py::incremental_dedup): docs
     with doc_id % 5 == 0 play the NEW batch, the rest the already-seen
@@ -2479,6 +2503,7 @@ _EXTRA_KEYS = [
     "sql_rollup_totals",
     "sql_cube_volumes",
     "sql_q20_part_share_supplier",
+    "embed_quantize_int8",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2632,6 +2657,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_rollup_totals": _sql_rollup_totals,
     "sql_cube_volumes": _sql_cube_volumes,
     "sql_q20_part_share_supplier": _sql_q20_part_share,
+    "embed_quantize_int8": _embed_quantize_int8,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4250,6 +4276,33 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "embed_quantize_int8": r"""
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     LIST_MAX(LIST_TRANSFORM(embedding,
+                       x -> ABS(CAST(x AS DOUBLE)))) AS amax
+              FROM embeddings
+            ), sc AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN amax > 0 THEN amax / 127.0 END AS scale
+              FROM s
+            )
+            SELECT vec_id,
+                   ROUND(scale, 9) AS scale,
+                   CAST(i.i - 1 AS BIGINT) AS dim,
+                   CAST(GREATEST(-127, LEAST(127,
+                     ROUND(CAST(embedding[i.i] AS DOUBLE) / scale)))
+                     AS INTEGER) AS qval,
+                   CAST(ROUND(CAST(GREATEST(-127, LEAST(127,
+                     ROUND(CAST(embedding[i.i] AS DOUBLE) / scale)))
+                     AS INTEGER)
+                     * CAST(ROUND(scale, 9) AS DECIMAL(20,9)), 6)
+                     AS DOUBLE) AS deq
+            FROM sc,
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+                          AS i) i
+            WHERE scale IS NOT NULL
         """,
         "dedup_incremental": r"""
             WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

@@ -483,3 +483,37 @@ def group_centroids(
             ),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_vec: str = "qvec",
+    out_scale: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    storage/bandwidth reduction before ANN indexing or embedding
+    shipping: ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` ∈
+    [-127, 127], dequantize as ``q_i · scale``.
+
+    Pure JVM array expressions (no UDF, no shuffle): one pass computes
+    the per-vector max-abs and maps the components. Zero vectors (and
+    NULL) keep a NULL scale and NULL qvec — dequantization stays total.
+    Reconstruction error is bounded by scale/2 per component; callers
+    needing tighter error use product quantization on top of the IVF
+    index (ivf_build), not a wider scalar type.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x.cast("double") / scale).cast("int")),
+        ),
+    )
+    return df.withColumn(out_scale, scale).withColumn(
+        out_vec, F.when(scale.isNotNull(), q)
+    )

@@ -191,3 +191,32 @@ def test_length_bucketed_batches_assignment(spark):
         assert all(r.batch_max_tokens == mx for r in rows_)
     with pytest.raises(ValueError):
         length_bucketed_batches(df, n_buckets=0)
+
+
+# --------------------------------------------------------- int8 quantization
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    from metadata_etl_framework_spark.ops.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0]),          # zero vector
+            (3, None),                # null vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    r1 = rows[1]
+    # scale = 1.0/127; components quantize to 127, -64 (round(-63.5) away
+    # from zero), 32, 0
+    assert abs(r1.scale - 1.0 / 127) < 1e-12
+    assert r1.qvec == [127, -64, 32, 0]
+    # reconstruction error bounded by scale/2 per component
+    for q, x in zip(r1.qvec, [1.0, -0.5, 0.25, 0.0]):
+        assert abs(q * r1.scale - x) <= r1.scale / 2 + 1e-12
+    assert rows[2].scale is None and rows[2].qvec is None
+    assert rows[3].scale is None and rows[3].qvec is None
