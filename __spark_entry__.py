@@ -2211,6 +2211,15 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _corpus_kl_by_source(spark, sf_dir):
+    """Per-source unigram KL vs the whole corpus
+    (ops/text.py::source_kl_divergence): add-one smoothed,
+    observed-support sum, decimal-exact accumulation — the domain-shift
+    diagnostic behind corpus-mixing decisions."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.source_kl_divergence(docs)
+
+
 def _embed_quantize_int8(spark, sf_dir):
     """Symmetric int8 scalar quantization
     (ops/similarity.py::quantize_embeddings) exploded to scalar cells
@@ -2504,6 +2513,7 @@ _EXTRA_KEYS = [
     "sql_cube_volumes",
     "sql_q20_part_share_supplier",
     "embed_quantize_int8",
+    "corpus_kl_by_source",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2658,6 +2668,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_cube_volumes": _sql_cube_volumes,
     "sql_q20_part_share_supplier": _sql_q20_part_share,
     "embed_quantize_int8": _embed_quantize_int8,
+    "corpus_kl_by_source": _corpus_kl_by_source,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4276,6 +4287,41 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "corpus_kl_by_source": r"""
+            WITH tok AS (
+              SELECT source AS grp, LOWER(t.tkn) AS tok
+              FROM documents,
+                   UNNEST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                               ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                          END) AS t(tkn)
+              WHERE t.tkn <> ''
+            ), cells AS (
+              SELECT grp, tok, CAST(COUNT(*) AS BIGINT) AS c_gt
+              FROM tok GROUP BY 1, 2
+            ), tt AS (
+              SELECT tok, SUM(c_gt) AS c_t FROM cells GROUP BY 1
+            ), gt AS (
+              SELECT grp, SUM(c_gt) AS n_g FROM cells GROUP BY 1
+            ), corpus AS (
+              SELECT SUM(c_gt) AS n_all, COUNT(DISTINCT tok) AS v_all
+              FROM cells
+            ), terms AS (
+              SELECT cells.grp, gt.n_g,
+                     CAST(c_gt + 1 AS DOUBLE)
+                       / (gt.n_g + corpus.v_all) AS p,
+                     CAST(c_t + 1 AS DOUBLE)
+                       / (corpus.n_all + corpus.v_all) AS q
+              FROM cells
+              JOIN tt USING (tok)
+              JOIN gt USING (grp), corpus
+            )
+            SELECT grp AS source,
+                   CAST(n_g AS BIGINT) AS n_tokens,
+                   ROUND(CAST(SUM(CAST(p * LN(p / q) AS DECIMAL(28,12)))
+                              AS DOUBLE), 6) AS kl_vs_corpus
+            FROM terms
+            GROUP BY grp, n_g
         """,
         "embed_quantize_int8": r"""
             WITH s AS (

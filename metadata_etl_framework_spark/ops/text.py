@@ -732,3 +732,61 @@ def quality_score(
         ),
         F.round(score, 6).cast("double").alias("quality_score"),
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-group unigram KL divergence against the whole-corpus unigram
+    distribution — the standard domain-shift diagnostic behind corpus
+    mixing decisions (a source with high KL is lexically unlike the
+    blend; tracked over snapshots it flags drift).
+
+    Distributions are add-one smoothed over the corpus vocabulary V:
+    ``p_g(t) = (c_g(t)+1)/(N_g+V)``, ``q(t) = (c(t)+1)/(N+V)``, and the
+    sum runs over the group's OBSERVED tokens (the conventional
+    observed-support estimate — unobserved tokens contribute nothing to
+    Σ p·ln(p/q) beyond smoothing mass, and restricting the sum keeps
+    the computation one join over (group, token) cells instead of a
+    |V|×|groups| grid).
+
+    Dataflow: explode → one groupBy for (group, token) counts; token
+    totals and group totals derive from THAT aggregate, not the raw
+    corpus; a broadcast of the (1-row) corpus totals and a shuffle join
+    on token close the computation. Decimal accumulation of the
+    per-token terms keeps the sum partition-order-independent.
+    Output: (group, n_tokens, kl_vs_corpus).
+    """
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    cells = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gt"))
+    )
+    tok_tot = cells.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
+    grp_tot = cells.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
+    corpus = cells.agg(
+        F.sum("c_gt").alias("n_all"),
+        F.count_distinct("tok").alias("v_all"),
+    )
+    p = (F.col("c_gt") + 1).cast("double") / (F.col("n_g") + F.col("v_all"))
+    q = (F.col("c_t") + 1).cast("double") / (F.col("n_all") + F.col("v_all"))
+    term = (p * F.log(p / q)).cast("decimal(28,12)")
+    return (
+        cells.join(tok_tot, "tok")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("grp", "n_g")
+        .agg(F.sum(term).alias("_kl"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").cast("long").alias("n_tokens"),
+            F.round(F.col("_kl").cast("double"), 6).alias("kl_vs_corpus"),
+        )
+    )

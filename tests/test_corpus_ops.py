@@ -220,3 +220,24 @@ def test_quantize_embeddings_roundtrip_and_edges(spark):
         assert abs(q * r1.scale - x) <= r1.scale / 2 + 1e-12
     assert rows[2].scale is None and rows[2].qvec is None
     assert rows[3].scale is None and rows[3].qvec is None
+
+
+# ----------------------------------------------------------- KL divergence
+
+
+def test_source_kl_divergence_properties(spark):
+    """A source matching the blend has near-zero KL; a lexically alien
+    source has large KL; KL is always >= 0 up to smoothing noise."""
+    from metadata_etl_framework_spark.ops.text import source_kl_divergence
+
+    common = "the cat sat on the mat and the dog ran off"
+    rows = [(f"typical_{i}", "blend", common) for i in range(20)]
+    rows += [("alien", "alien", "zyx wvu tsr qpo nml kji hgf edc ba")] * 5
+    df = spark.createDataFrame(
+        [(i, src, txt) for i, (_, src, txt) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in source_kl_divergence(df).collect()}
+    assert got["alien"].kl_vs_corpus > got["blend"].kl_vs_corpus
+    assert got["alien"].kl_vs_corpus > 0.5
+    assert got["blend"].kl_vs_corpus > -0.01  # smoothing can dip ~0
