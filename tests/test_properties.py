@@ -108,3 +108,54 @@ def test_extract_data_path_navigates_any_depth(path, items):
     assert extract_data_path(payload, ".".join(path)) == items
     # a wrong path never raises — returns []
     assert extract_data_path(payload, ".".join(path) + ".nope") == []
+
+
+# ---------------------------------------------------- connected components
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_paths_agree(edges):
+    """The driver union-find fast path and the distributed hash-min loop
+    must produce identical clusters for ANY random graph (self-loops and
+    duplicate edges included), and cluster ids must be the component
+    minima (cross-checked against a reference BFS closure)."""
+    from metadata_etl_framework_spark.ops.dedup import connected_components
+    from metadata_etl_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.node, r.cluster_id, r.is_canonical)
+            for r in connected_components(pairs).collect()}
+    dist = {(r.node, r.cluster_id, r.is_canonical)
+            for r in connected_components(
+                pairs, driver_gate_edges=0).collect()}
+    assert fast == dist
+
+    # reference closure: BFS over the undirected graph
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: set[int] = set()
+    expect = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        lo = min(comp)
+        expect |= {(n, lo, n == lo) for n in comp}
+    assert fast == expect
