@@ -2211,6 +2211,22 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _layout_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan (ops/layout.py::compaction_plan):
+    deterministic greedy grouping to ~50 KB targets over a synthetic
+    file listing (path from doc_id, size from n_chars); cumulative size
+    via the two-phase distributed prefix sum."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("part-"), F.lpad(F.col("doc_id").cast("string"),
+                                        10, "0")).alias("path"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")
+        .alias("size_bytes"),
+    )
+    from metadata_etl_framework_spark.ops.layout import compaction_plan
+
+    return compaction_plan(docs, target_bytes=50_000)
+
+
 def _corpus_kl_by_source(spark, sf_dir):
     """Per-source unigram KL vs the whole corpus
     (ops/text.py::source_kl_divergence): add-one smoothed,
@@ -2514,6 +2530,7 @@ _EXTRA_KEYS = [
     "sql_q20_part_share_supplier",
     "embed_quantize_int8",
     "corpus_kl_by_source",
+    "layout_compaction_plan",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2669,6 +2686,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_q20_part_share_supplier": _sql_q20_part_share,
     "embed_quantize_int8": _embed_quantize_int8,
     "corpus_kl_by_source": _corpus_kl_by_source,
+    "layout_compaction_plan": _layout_compaction_plan,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4287,6 +4305,30 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "layout_compaction_plan": r"""
+            WITH listing AS (
+              SELECT CONCAT('part-', LPAD(CAST(doc_id AS VARCHAR), 10, '0'))
+                       AS path,
+                     CAST(COALESCE(n_chars, 0) AS BIGINT) AS size_bytes
+              FROM documents
+            ), cum AS (
+              SELECT path, size_bytes,
+                     SUM(size_bytes) OVER (
+                       ORDER BY path
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c
+              FROM listing
+            ), grp AS (
+              SELECT path, size_bytes,
+                     CAST(FLOOR(CAST(c - size_bytes AS DOUBLE) / 50000.0)
+                          AS BIGINT) AS group_id
+              FROM cum
+            )
+            SELECT path, size_bytes, group_id,
+                   CAST(SUM(size_bytes) OVER (PARTITION BY group_id)
+                        AS BIGINT) AS group_total_bytes
+            FROM grp
         """,
         "corpus_kl_by_source": r"""
             WITH tok AS (

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,3 +134,52 @@ def write_sized(
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
     return rows_per_file
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction plan: assign files to merge groups of
+    ~``target_bytes`` each (the lakehouse maintenance pass that turns
+    thousands of streaming-committed small files into scan-friendly
+    ones).
+
+    Greedy by cumulative size in (size, path) order: group id =
+    ``floor((cumsum - size) / target)`` — every group's input is below
+    target + one file, and the assignment is a pure function of the file
+    listing (idempotent across reruns; a re-listed unchanged directory
+    yields the identical plan). The cumulative sum is the two-phase
+    distributed prefix sum (packing.global_prefix_sum) — file listings
+    of a 100 TB table are millions of rows, not driver material.
+
+    Output: (path, size_bytes, group_id, group_total_bytes). Reference
+    parity: the file-maintenance arm of the reference's load manager
+    (src/utils/incremental_load_manager.py's write path) which rewrites
+    per-partition; the plan here is engine-agnostic metadata.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    from metadata_etl_framework_spark.ops.packing import global_prefix_sum
+
+    # (size, path) gives a deterministic total order even with duplicate
+    # sizes; the prefix sum requires a unique order key, so order by the
+    # path string (unique by construction of a file listing)
+    ordered = files.select(
+        F.col(path_col).alias("path"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    )
+    summed = global_prefix_sum(ordered, "path", "size_bytes", out="__cum")
+    grouped = summed.withColumn(
+        "group_id",
+        F.floor(
+            (F.col("__cum") - F.col("size_bytes")).cast("double")
+            / float(target_bytes)
+        ).cast("long"),
+    )
+    w = Window.partitionBy("group_id")
+    return grouped.withColumn(
+        "group_total_bytes", F.sum("size_bytes").over(w).cast("long")
+    ).select("path", "size_bytes", "group_id", "group_total_bytes")

@@ -241,3 +241,31 @@ def test_source_kl_divergence_properties(spark):
     assert got["alien"].kl_vs_corpus > got["blend"].kl_vs_corpus
     assert got["alien"].kl_vs_corpus > 0.5
     assert got["blend"].kl_vs_corpus > -0.01  # smoothing can dip ~0
+
+
+# ----------------------------------------------------------- compaction plan
+
+
+def test_compaction_plan_groups_and_idempotence(spark):
+    from metadata_etl_framework_spark.ops.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"f{i:03d}", 30) for i in range(10)] + [("big", 250)],
+        "path string, size_bytes long",
+    )
+    out = compaction_plan(files, target_bytes=100).collect()
+    assert len(out) == 11
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, rows in by_group.items():
+        tot = sum(r.size_bytes for r in rows)
+        assert all(r.group_total_bytes == tot for r in rows)
+        # greedy bound: a group exceeds target only via its last file
+        assert tot - max(r.size_bytes for r in rows) < 100
+    # deterministic / idempotent on re-listing
+    again = {(r.path, r.group_id)
+             for r in compaction_plan(files, target_bytes=100).collect()}
+    assert again == {(r.path, r.group_id) for r in out}
+    with pytest.raises(ValueError):
+        compaction_plan(files, target_bytes=0)
