@@ -22,6 +22,18 @@ DEFAULT_STOPWORDS = (
 TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Conditionally repartition to cluster parallelism BEFORE a
+    CPU-bound explode/tokenize: a small single-split file would
+    otherwise serialize the work onto one task. No-op whenever the scan
+    already provides enough splits (always true at corpus scale), so
+    this never adds a shuffle to a big job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of trimmed text (empty string → empty array)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -262,7 +274,7 @@ def vocabulary(
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
     counts = (
-        df.select(F.explode(toks).alias("token"))
+        _spread(df).select(F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -298,11 +310,18 @@ def tfidf_top_terms(
     toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: TF feeds BOTH the document-frequency aggregate and the
+    # join's left side — without it the corpus-wide explode runs twice.
+    # The TF table is distinct (doc, term) pairs — far smaller than the
+    # exploded token stream it derives from.
     tf = (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        _spread(df).select(F.col(id_col), F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_docs = df.select(id_col).distinct().count()
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
@@ -513,7 +532,7 @@ def oov_rate(
     toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).filter(
+    exploded = _spread(df).select(F.col(id_col), F.explode(toks).alias("__tok")).filter(
         F.col("__tok") != ""
     )
     probed = exploded.join(
@@ -572,7 +591,7 @@ def unigram_logprob(
     toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).filter(
+    exploded = _spread(df).select(F.col(id_col), F.explode(toks).alias("__tok")).filter(
         F.col("__tok") != ""
     )
     totals = vocab_counts.agg(
@@ -764,7 +783,7 @@ def source_kl_divergence(
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
     cells = (
-        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("tok"))
+        _spread(df).select(F.col(group_col).alias("grp"), F.explode(toks).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("grp", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c_gt"))
