@@ -24,7 +24,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, ClassVar
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metadata_etl_framework_spark.functions import (
@@ -270,6 +270,60 @@ class TransformEngine:
             value_name=cfg.get("value_name", "value"),
         )
 
+    def _dedup(self, data, step, sources) -> DataFrame:
+        """Corpus dedup as a config step. methods: exact (keep the
+        canonical doc per md5 fingerprint) or near (drop every
+        non-canonical member of a near-dup cluster — minhash pairs
+        closed into connected components)."""
+        from metadata_etl_framework_spark.ops import dedup as dedup_lib
+        from metadata_etl_framework_spark.ops.text import fingerprint
+
+        cfg = step.get("config", step)
+        method = cfg.get("method", "exact")
+        id_col = cfg.get("id_column", "doc_id")
+        text_col = cfg.get("text_column", "text")
+        if method == "exact":
+            fp = fingerprint(data, text_col)
+            w = Window.partitionBy("fingerprint").orderBy(id_col)
+            return (
+                fp.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "fingerprint")
+            )
+        if method == "near":
+            pairs = dedup_lib.minhash_near_duplicates(
+                data, id_col, text_col,
+                threshold=float(cfg.get("threshold", 0.8)),
+                num_hashes=int(cfg.get("num_hashes", 64)),
+                num_bands=int(cfg.get("num_bands", 16)),
+            )
+            losers = dedup_lib.connected_components(pairs).filter(
+                ~F.col("is_canonical")
+            ).select(F.col("node").alias(id_col))
+            return data.join(losers, id_col, "left_anti")
+        raise ValueError(f"unknown dedup method: {method!r}")
+
+    def _quality_filter(self, data, step, sources) -> DataFrame:
+        """Composite-quality threshold filter as a config step: drop
+        documents scoring below min_score (ops/text.py::quality_score);
+        keep_score retains the score column for downstream ordering."""
+        from metadata_etl_framework_spark.ops.text import quality_score
+
+        cfg = step.get("config", step)
+        id_col = cfg.get("id_column", "doc_id")
+        scored = quality_score(
+            data,
+            id_col=id_col,
+            text_col=cfg.get("text_column", "text"),
+            target_tokens=int(cfg.get("target_tokens", 200)),
+        ).filter(F.col("quality_score") >= float(cfg.get("min_score", 0.5)))
+        out = data.join(
+            scored.select(id_col, "quality_score"), id_col, "inner"
+        )
+        if not cfg.get("keep_score", False):
+            out = out.drop("quality_score")
+        return out
+
     _HANDLERS: ClassVar[dict[str, Callable]] = {
         "filter": _filter,
         "map": _map,
@@ -282,4 +336,6 @@ class TransformEngine:
         "customudf": _customudf,
         "sqltransform": _sqltransform,
         "union": _union,
+        "dedup": _dedup,
+        "quality_filter": _quality_filter,
     }

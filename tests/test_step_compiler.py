@@ -165,3 +165,64 @@ def test_observe_rows_metrics(spark, people):
     )
     assert out.count() == 3  # terminal action materializes observations
     assert engine.metrics[0].rows_out() == 3
+
+
+def test_dedup_step_exact_and_near(spark):
+    from metadata_etl_framework_spark.operators import TransformEngine
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+            (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+            (4, "completely different content lives here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    engine = TransformEngine(spark)
+    exact = engine.execute_transformations(
+        {"docs": df},
+        {"primary_source": "docs",
+         "steps": [{"type": "dedup", "config": {"method": "exact"}}]},
+    )
+    assert {r.doc_id for r in exact.collect()} == {1, 3, 4}
+
+    near = engine.execute_transformations(
+        {"docs": df},
+        {"primary_source": "docs",
+         "steps": [{"type": "dedup",
+                    "config": {"method": "near", "threshold": 0.5,
+                               "num_hashes": 32, "num_bands": 8}}]},
+    )
+    # 1,2,3 collapse to canonical doc 1; 4 untouched
+    assert {r.doc_id for r in near.collect()} == {1, 4}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        engine.execute_transformations(
+            {"docs": df},
+            {"primary_source": "docs",
+             "steps": [{"type": "dedup", "config": {"method": "bogus"}}]},
+        )
+
+
+def test_quality_filter_step(spark):
+    from metadata_etl_framework_spark.operators import TransformEngine
+
+    prose = " ".join(
+        ["the cat sat on the mat and it is a fine day for all of us"] * 20
+    )
+    df = spark.createDataFrame(
+        [(1, prose), (2, "{}[]()!!;;::##"), (3, None)],
+        "doc_id long, text string",
+    )
+    engine = TransformEngine(spark)
+    out = engine.execute_transformations(
+        {"docs": df},
+        {"primary_source": "docs",
+         "steps": [{"type": "quality_filter",
+                    "config": {"min_score": 0.5, "keep_score": True}}]},
+    )
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].quality_score >= 0.5 and "text" in out.columns
