@@ -324,6 +324,53 @@ class TransformEngine:
             out = out.drop("quality_score")
         return out
 
+    def _sample(self, data, step, sources) -> DataFrame:
+        """Deterministic sampling as a config step. modes: fraction
+        (md5-uniform keep, reproducible & incremental) or weighted_k
+        (Efraimidis-Spirakis PPS without replacement, k rows)."""
+        from metadata_etl_framework_spark.ops.corpus import (
+            md5_uniform,
+            weighted_sample,
+        )
+
+        cfg = step.get("config", step)
+        mode = cfg.get("mode", "fraction")
+        id_col = cfg.get("id_column", "doc_id")
+        salt = str(cfg.get("salt", ""))
+        if mode == "fraction":
+            frac = float(cfg["fraction"])
+            if not (0.0 < frac <= 1.0):
+                raise ValueError("fraction must be in (0, 1]")
+            u = md5_uniform(F.col(id_col), salt=salt)
+            return data.filter(u < F.lit(frac))
+        if mode == "weighted_k":
+            return weighted_sample(
+                data,
+                k=int(cfg["k"]),
+                weight_col=cfg["weight_column"],
+                hash_cols=cfg.get("hash_columns", [id_col]),
+                salt=salt,
+            ).drop("priority")
+        raise ValueError(f"unknown sample mode: {mode!r}")
+
+    def _split(self, data, step, sources) -> DataFrame:
+        """Leakage-safe train/val/test assignment as a config step
+        (ops/corpus.py::leakage_safe_split); optional dedup_clusters
+        source keeps near-duplicates on one side of the boundary."""
+        from metadata_etl_framework_spark.ops.corpus import leakage_safe_split
+
+        cfg = step.get("config", step)
+        clusters = None
+        if cfg.get("clusters_source"):
+            clusters = sources[cfg["clusters_source"]]
+        return leakage_safe_split(
+            data,
+            cfg["fractions"],
+            id_col=cfg.get("id_column", "doc_id"),
+            clusters=clusters,
+            salt=str(cfg.get("salt", "")),
+        )
+
     _HANDLERS: ClassVar[dict[str, Callable]] = {
         "filter": _filter,
         "map": _map,
@@ -338,4 +385,6 @@ class TransformEngine:
         "union": _union,
         "dedup": _dedup,
         "quality_filter": _quality_filter,
+        "sample": _sample,
+        "split": _split,
     }
