@@ -159,3 +159,36 @@ def test_connected_components_paths_agree(edges):
         lo = min(comp)
         expect |= {(n, lo, n == lo) for n in comp}
     assert fast == expect
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=5, max_size=25),
+    k=st.integers(1, 8),
+)
+@settings(max_examples=6, deadline=None)
+def test_weighted_sample_matches_reference_priorities(weights, k):
+    """The distributed top-k must equal a brute-force recomputation of
+    the A-ES priorities (md5-uniform, round-9, md5 tiebreak) in Python —
+    pinning both the determinism and the exact selection rule."""
+    import hashlib
+
+    from metadata_etl_framework_spark.ops.corpus import weighted_sample
+    from metadata_etl_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r.id for r in
+           weighted_sample(df, k=k, weight_col="w", hash_cols=["id"],
+                           salt="px").collect()}
+
+    def priority(i, w):
+        h = hashlib.md5(f"px|{i}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1.0) / 4294967296.0
+        return (round(u ** (1.0 / w), 9), [-ord(c) for c in h])
+
+    expect = sorted(rows, key=lambda t: priority(*t), reverse=True)[:k]
+    assert got == {i for i, _ in expect}
