@@ -2211,6 +2211,16 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _corpus_sample_fraction(spark, sf_dir):
+    """Deterministic md5-uniform fraction sample (the 'sample' config
+    step's fraction mode): keep ~30% of documents, reproducible across
+    runs and incremental over a grown corpus."""
+    from metadata_etl_framework_spark.ops.corpus import md5_uniform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.filter(md5_uniform(F.col("doc_id"), salt="s1") < 0.3)
+
+
 def _layout_compaction_plan(spark, sf_dir):
     """Small-file compaction plan (ops/layout.py::compaction_plan):
     deterministic greedy grouping to ~50 KB targets over a synthetic
@@ -2531,6 +2541,7 @@ _EXTRA_KEYS = [
     "embed_quantize_int8",
     "corpus_kl_by_source",
     "layout_compaction_plan",
+    "corpus_sample_fraction",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2687,6 +2698,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_quantize_int8": _embed_quantize_int8,
     "corpus_kl_by_source": _corpus_kl_by_source,
     "layout_compaction_plan": _layout_compaction_plan,
+    "corpus_sample_fraction": _corpus_sample_fraction,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4305,6 +4317,12 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "corpus_sample_fraction": r"""
+            SELECT doc_id, source FROM documents
+            WHERE CAST(CONCAT('0x', SUBSTRING(
+                    MD5(CONCAT_WS('|', 's1', CAST(doc_id AS VARCHAR))),
+                    1, 8)) AS BIGINT) / 4294967296.0 < 0.3
         """,
         "layout_compaction_plan": r"""
             WITH listing AS (
