@@ -1621,7 +1621,10 @@ def _ann_lsh_topk(spark, sf_dir):
 
 
 def _dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard verification over MinHash-LSH candidate pairs."""
+    """Exact n-gram Jaccard verification over MinHash-LSH candidate
+    pairs. Rows-only: the candidate SET depends on seeded-xxhash64
+    banding no SQL engine can replicate; the verify arithmetic itself is
+    oracle-covered by minhash_near_dups (exact inverted-index regime)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup_ops.minhash_signatures(docs, num_hashes=32)
     pairs = dedup_ops.lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
@@ -2211,6 +2214,20 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _embed_group_diversity(spark, sf_dir):
+    """Exact mean pairwise cosine per label WITHOUT the O(n^2) join
+    (ops/similarity.py::group_diversity): for unit vectors
+    sum_{i!=j} cos = ||sum x||^2 - n, one aggregation of decimal
+    component sums — O(n*d) for an O(n^2) quantity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.group_diversity(emb, group_col="label")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vectors",
+        "mean_pairwise_cosine",
+    )
+
+
 def _corpus_sample_fraction(spark, sf_dir):
     """Deterministic md5-uniform fraction sample (the 'sample' config
     step's fraction mode): keep ~30% of documents, reproducible across
@@ -2542,6 +2559,7 @@ _EXTRA_KEYS = [
     "corpus_kl_by_source",
     "layout_compaction_plan",
     "corpus_sample_fraction",
+    "embed_group_diversity",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2699,6 +2717,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_kl_by_source": _corpus_kl_by_source,
     "layout_compaction_plan": _layout_compaction_plan,
     "corpus_sample_fraction": _corpus_sample_fraction,
+    "embed_group_diversity": _embed_group_diversity,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4317,6 +4336,42 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "embed_group_diversity": r"""
+            WITH unit AS (
+              SELECT vec_id, label, embedding,
+                     SQRT(CAST(LIST_AGGREGATE(
+                       LIST_TRANSFORM(embedding,
+                         x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              AS DECIMAL(30,15))),
+                       'sum') AS DOUBLE)) AS nrm
+              FROM embeddings
+            ), cells AS (
+              SELECT label, i.i AS dim,
+                     CAST(embedding[i.i] AS DOUBLE) / nrm AS v
+              FROM unit,
+                   LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+                            AS i) i
+              WHERE nrm > 0
+            ), comp AS (
+              SELECT label, dim, SUM(CAST(v AS DECIMAL(30,15))) AS s
+              FROM cells GROUP BY 1, 2
+            ), norms AS (
+              SELECT label,
+                     CAST(SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS ss
+              FROM comp GROUP BY 1
+            ), counts AS (
+              SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+              FROM unit WHERE nrm > 0 GROUP BY 1
+            )
+            SELECT CAST(counts.label AS BIGINT) AS label, n_vectors,
+                   ROUND(CASE WHEN n_vectors > 1
+                              THEN (ss - n_vectors)
+                                   / CAST(n_vectors * (n_vectors - 1)
+                                          AS DOUBLE) END, 6)
+                     AS mean_pairwise_cosine
+            FROM counts JOIN norms USING (label)
         """,
         "corpus_sample_fraction": r"""
             SELECT doc_id, source FROM documents

@@ -517,3 +517,59 @@ def quantize_embeddings(
     return df.withColumn(out_scale, scale).withColumn(
         out_vec, F.when(scale.isNotNull(), q)
     )
+
+
+def group_diversity(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT mean pairwise cosine similarity inside each group — the
+    corpus-diversity metric (low mean similarity = diverse cluster;
+    near 1 = redundant) — computed WITHOUT the O(n²) pairwise join:
+    for unit vectors, Σ_{i≠j} cos(x_i,x_j) = ‖Σx‖² − n, so one
+    aggregation of per-dimension component sums yields the exact mean
+    over n(n−1) ordered pairs. O(n·d) for an O(n²) quantity — the
+    difference between feasible and impossible at corpus scale.
+
+    Vectors are L2-normalized first (zero/NULL vectors drop, reported
+    via n_vectors). Decimal accumulation of component sums keeps the
+    result partition-order-independent. Groups with fewer than 2
+    usable vectors emit NULL diversity. Output:
+    (group, n_vectors, mean_pairwise_cosine).
+    """
+    unit = normalize_embeddings(df, id_col, vec_col, out="_u").filter(
+        F.col("_u").isNotNull()
+    )
+    cells = unit.select(
+        F.col(group_col).alias("grp"), F.posexplode("_u").alias("dim", "v")
+    )
+    # per (group, dim): exact component sum; then ‖Σx‖² = Σ_dim s²
+    comp = cells.groupBy("grp", "dim").agg(
+        F.sum(F.col("v").cast("decimal(30,15)")).alias("s")
+    )
+    norms = comp.groupBy("grp").agg(
+        F.sum(
+            (F.col("s").cast("double") * F.col("s").cast("double"))
+            .cast("decimal(38,12)")
+        ).cast("double").alias("_ss")
+    )
+    counts = unit.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        counts.join(norms, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vectors",
+            F.round(
+                F.when(
+                    F.col("n_vectors") > 1,
+                    (F.col("_ss") - F.col("n_vectors"))
+                    / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1).cast("long"))).cast("double"),
+                ),
+                6,
+            ).alias("mean_pairwise_cosine"),
+        )
+    )

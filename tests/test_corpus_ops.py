@@ -269,3 +269,36 @@ def test_compaction_plan_groups_and_idempotence(spark):
     assert again == {(r.path, r.group_id) for r in out}
     with pytest.raises(ValueError):
         compaction_plan(files, target_bytes=0)
+
+
+# -------------------------------------------------------- group diversity
+
+
+def test_group_diversity_matches_bruteforce(spark):
+    """O(n·d) identity vs the O(n²) definition: for unit vectors,
+    Σ_{i≠j} cos = ‖Σx‖² − n."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.similarity import group_diversity
+
+    vecs = [
+        (1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "a"), (3, [1.0, 1.0], "a"),
+        (4, [2.0, 0.0], "b"), (5, [4.0, 0.0], "b"),   # parallel → cos 1
+        (6, [1.0, 2.0], "c"),                         # singleton → NULL
+        (7, [0.0, 0.0], "c"),                         # zero vector drops
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    )
+    got = {r.label: (r.n_vectors, r.mean_pairwise_cosine)
+           for r in group_diversity(df).collect()}
+    for lbl in ("a", "b"):
+        vs = [np.array(v) / np.linalg.norm(v)
+              for _, v, l in vecs if l == lbl and np.linalg.norm(v) > 0]
+        n = len(vs)
+        expect = float(np.mean(
+            [vs[i] @ vs[j] for i in range(n) for j in range(n) if i != j]
+        ))
+        assert got[lbl][0] == n
+        assert abs(got[lbl][1] - expect) < 1e-6, (lbl, got[lbl], expect)
+    assert got["c"] == (1, None)  # zero vector dropped, singleton → NULL
