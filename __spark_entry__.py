@@ -4340,11 +4340,10 @@ _ALL_SQL.update(
         "embed_group_diversity": r"""
             WITH unit AS (
               SELECT vec_id, label, embedding,
-                     SQRT(CAST(LIST_AGGREGATE(
+                     SQRT(LIST_AGGREGATE(
                        LIST_TRANSFORM(embedding,
-                         x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                              AS DECIMAL(30,15))),
-                       'sum') AS DOUBLE)) AS nrm
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       'sum')) AS nrm
               FROM embeddings
             ), cells AS (
               SELECT label, i.i AS dim,
@@ -4533,11 +4532,10 @@ _ALL_SQL.update(
         "embed_normalize": r"""
             WITH n AS (
               SELECT vec_id, embedding,
-                     SQRT(CAST(LIST_AGGREGATE(
+                     SQRT(LIST_AGGREGATE(
                        LIST_TRANSFORM(embedding,
-                         x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                              AS DECIMAL(30,15))),
-                       'sum') AS DOUBLE)) AS nrm
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       'sum')) AS nrm
               FROM embeddings
             )
             SELECT vec_id,

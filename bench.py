@@ -64,6 +64,8 @@ HEADLINE = [
     "text_quality_score",
     "dedup_incremental",
     "pack_length_buckets",
+    "embed_group_diversity",
+    "layout_compaction_plan",
 ]
 
 
