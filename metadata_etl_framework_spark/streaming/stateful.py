@@ -140,3 +140,87 @@ def stateful_stream_dedup(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def tws_running_counts(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Running (count, sum) per key on Spark 4's ``transformWithState``
+    processor API — the successor to applyInPandasWithState: named state
+    variables (ValueState/ListState/MapState), explicit timers, and
+    schema-evolvable state instead of one opaque tuple. Functionally the
+    twin of ``stateful_running_counts``; both are kept because the
+    GroupState API remains the compatibility surface and this one the
+    forward path.
+
+    Streaming: update-mode totals for each key seen in the micro-batch,
+    state checkpoint-durable across restarts. Batch fallback: plain
+    groupBy (the oracle shape for the streaming result).
+
+    Environment gate: the transformWithState Python worker speaks
+    protobuf to the JVM state server; without the ``protobuf`` package
+    the streaming arm raises ImportError with an install hint (the
+    GroupState twin ``stateful_running_counts`` has no such dependency).
+    """
+    if not df.isStreaming:
+        return (
+            df.groupBy(F.col(key_col).cast("string").alias("key"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("count"),
+                F.sum(F.col(value_col).cast("double")).alias("value_sum"),
+            )
+        )
+
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithState requires the 'protobuf' package "
+            "(pip install protobuf); use stateful_running_counts "
+            "(applyInPandasWithState) where it is unavailable"
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    # transformWithState requires the RocksDB state store (the default
+    # HDFS-backed provider does not implement its column-family API);
+    # runtime-settable, affects only subsequently started queries
+    df.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    value_name = value_col  # capture for the processor closure
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", _COUNT_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                cnt, total = self._totals.get()
+            else:
+                cnt, total = 0, 0.0
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf[value_name].astype("float64").sum())
+            self._totals.update((cnt, total))
+            yield pd.DataFrame(
+                {"key": [str(key[0])], "count": [cnt], "value_sum": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = df.withColumn("__k", F.col(key_col).cast("string"))
+    return keyed.groupBy("__k").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -218,3 +218,58 @@ def test_native_session_window_stream_matches_batch(spark_mod, stream_src, tmp_p
     )
     i = {r.user_id: r.n for r in isl.collect()}
     assert i == e
+
+
+def test_tws_running_counts_matches_batch(spark_mod, stream_src, tmp_path):
+    """Spark 4 transformWithState processor: last update-mode emission per
+    key equals the batch groupBy totals, with state carried across
+    micro-batches. Skips where the protobuf package (required by the
+    TWS Python worker) is absent; the batch fallback is always tested."""
+    from metadata_etl_framework_spark.streaming.stateful import (
+        tws_running_counts,
+    )
+
+    spark = spark_mod
+    # batch fallback works regardless of the streaming gate
+    batch_tot = {r.key: r["count"] for r in tws_running_counts(
+        spark.read.parquet(stream_src), "event_type", "value").collect()}
+    assert sum(batch_tot.values()) == spark.read.parquet(stream_src).count()
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState worker needs protobuf"
+    )
+    batch = spark.read.parquet(stream_src)
+    schema = batch.schema
+
+    stream = streaming_file_source(spark, stream_src, schema,
+                                   max_files_per_trigger=1)
+    counts = tws_running_counts(stream, "event_type", "value")
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_counts")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        """
+        SELECT key, count, value_sum FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY count DESC) rn
+            FROM tws_counts
+        ) WHERE rn = 1
+        """
+    )
+    expected = tws_running_counts(batch, "event_type", "value")
+    g = {r.key: (r["count"], r.value_sum) for r in got.collect()}
+    e = {r.key: (r["count"], r.value_sum) for r in expected.collect()}
+    assert set(g) == set(e)
+    for k in e:
+        assert g[k][0] == e[k][0], k
+        assert abs(g[k][1] - e[k][1]) < 1e-6 * max(1.0, abs(e[k][1])), k
+    multi = spark.sql(
+        "SELECT key, COUNT(*) n FROM tws_counts GROUP BY key HAVING n > 1"
+    )
+    assert multi.count() > 0
