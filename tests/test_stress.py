@@ -3,12 +3,11 @@ over a ~6M-row lineitem built by key-shifted unions of sf0.1. Verifies
 the operators complete and scale linearly-ish; excluded from the default
 suite to keep the gate fast.
 
-Measured on local[32] (2026-08-13): q1-agg 1.7s, one-pass DQ 0.8s,
-running-total window 4.5s, fingerprint groupBy 2.3s, keep_latest 3.6s.
-LLM ops at 10× documents (50k docs, LSH regime forced): text features
-4.1s, exact dedup 1.2s, SimHash 3.8s, chunking 0.4s, MinHash near-dup
-12.4s, near-dup clusters + decontaminate + repetition (r3) ~27s
-combined, range_count at 6M points 2.9s — the replicated corpus is
+Measured on local[32] (2026-08-13, round 5, full suite 135s / 7 tests):
+prefix-sum over 6M rows 6.2s (post partition-offset-race fix —
+persisted range partitioning); round-5 ops (tfidf, quality score,
+length-bucketed batching, incremental dedup with one replica vs nine)
+complete inside the suite envelope. The replicated corpus is
 adversarial by construction (every doc a 10-way exact duplicate, every
 band bucket collides); real corpora have far sparser structure.
 """
