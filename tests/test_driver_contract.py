@@ -1,0 +1,44 @@
+"""Invariants of the driver contract surface (__spark_entry__).
+
+The grading driver executes the FIRST 50 queries() entries and joins
+them with oracle_sql(); these tests pin the shape so a refactor can't
+silently shrink the gate or orphan an oracle."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_driver_gate_is_exactly_fifty_resolvable_entries():
+    q = entry_mod.queries()
+    assert len(q) == 50
+    assert all(callable(f) for f in q.values())
+
+
+def test_oracles_reference_only_existing_queries():
+    q = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    o = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
+    orphans = set(o) - set(q)
+    assert not orphans, orphans
+
+
+def test_rows_only_entries_are_the_documented_three():
+    q = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    o = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
+    assert set(q) - set(o) == {
+        "dedup_ngram_jaccard",
+        "simhash_near_dups_pairs",
+        "simhash_signatures",
+    }
+
+
+def test_no_duplicate_keys_between_driver_and_extras():
+    dk = list(entry_mod.queries())
+    ek = list(entry_mod.extra_queries())
+    assert len(dk) == len(set(dk))
+    assert len(ek) == len(set(ek))
+    assert not set(dk) & set(ek)
+
+
+def test_driver_oracle_coverage_is_forty_nine():
+    assert len(entry_mod.oracle_sql()) == 49  # all but simhash_signatures
