@@ -31,6 +31,17 @@ PIPELINE_TEMPLATE: dict[str, Any] = {
                 "aggregations": {"l_quantity": ["sum"]}}},
         ]}
     ],
+    # corpus-curation steps (documents tables): dedup -> quality_filter
+    # -> sample -> split, all deterministic; see operators/step_compiler
+    "curation_steps_example": [
+        {"type": "dedup", "config": {"method": "near", "threshold": 0.8}},
+        {"type": "quality_filter", "config": {"min_score": 0.5}},
+        {"type": "sample", "config": {"mode": "weighted_k", "k": 10000,
+                                      "weight_column": "n_chars"}},
+        {"type": "split", "config": {"fractions": {"train": 0.98,
+                                                   "val": 0.01,
+                                                   "test": 0.01}}},
+    ],
     "targets": [
         {"target_name": "out", "target_type": "parquet",
          "parameters": {"path": "/data/out"}}
