@@ -2214,6 +2214,20 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _corpus_epoch_plan(spark, sf_dir):
+    """Oversampling epoch plan (ops/text.py::epoch_plan): per-source
+    epochs to realize equal shares of a 10M-token budget — the
+    complement of corpus_mixing_plan when the budget exceeds what
+    subsampling can supply."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct()
+    weights = srcs.withColumn(
+        "share",
+        F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy()),
+    )
+    return text_ops.epoch_plan(docs, weights, budget_tokens=10_000_000)
+
+
 def _embed_group_diversity(spark, sf_dir):
     """Exact mean pairwise cosine per label WITHOUT the O(n^2) join
     (ops/similarity.py::group_diversity): for unit vectors
@@ -2560,6 +2574,7 @@ _EXTRA_KEYS = [
     "layout_compaction_plan",
     "corpus_sample_fraction",
     "embed_group_diversity",
+    "corpus_epoch_plan",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2718,6 +2733,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_compaction_plan": _layout_compaction_plan,
     "corpus_sample_fraction": _corpus_sample_fraction,
     "embed_group_diversity": _embed_group_diversity,
+    "corpus_epoch_plan": _corpus_epoch_plan,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4336,6 +4352,35 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "corpus_epoch_plan": r"""
+            WITH tok AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN text IS NULL OR TRIM(text) = ''
+                                   THEN 0
+                                   ELSE LEN(REGEXP_SPLIT_TO_ARRAY(
+                                            TRIM(text), '\s+'))
+                              END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ), w AS (
+              -- double division (not DuckDB decimal) to match Spark's
+              -- 1.0/count double arithmetic for non-terminating shares
+              SELECT source,
+                     CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM tok)
+                       AS share
+              FROM tok
+            )
+            SELECT tok.source, n_docs, n_tokens,
+                   ROUND(share, 6) AS target_share,
+                   CAST(FLOOR(share * 10000000.0) AS BIGINT)
+                     AS target_tokens,
+                   ROUND(CASE WHEN n_tokens > 0
+                              THEN share * 10000000.0 / n_tokens END, 6)
+                     AS epochs,
+                   COALESCE(share * 10000000.0 / n_tokens > 1.0, FALSE)
+                     AS is_oversampled
+            FROM tok JOIN w USING (source)
         """,
         "embed_group_diversity": r"""
             WITH unit AS (

@@ -809,3 +809,47 @@ def source_kl_divergence(
             F.round(F.col("_kl").cast("double"), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    weights: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    share_col: str = "share",
+) -> DataFrame:
+    """Epoch plan: the OVERSAMPLING complement of ``mixing_plan``. Given
+    an absolute training token budget and target source shares, compute
+    how many epochs (passes, fractional, possibly > 1) of each source
+    realize the mix: ``epochs_s = budget·share_s / tokens_s``. This is
+    the practical pretraining calculation when the budget exceeds what
+    subsampling can supply and scarce high-quality sources repeat
+    (is_oversampled flags epochs > 1 — the signal to check a source's
+    repetition tolerance before committing the mix).
+
+    Same shape as mixing_plan: one corpus groupBy, broadcast-sized
+    output. Output: (source, n_docs, n_tokens, target_share,
+    target_tokens, epochs, is_oversampled).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    tok = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    j = tok.join(
+        weights.select(F.col(source_col), F.col(share_col).alias("_share")),
+        source_col,
+    )
+    target = F.col("_share") * F.lit(float(budget_tokens))
+    epochs = F.when(F.col("n_tokens") > 0, target / F.col("n_tokens"))
+    return j.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        F.round("_share", 6).alias("target_share"),
+        F.floor(target).cast("long").alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.coalesce(epochs > 1.0, F.lit(False)).alias("is_oversampled"),
+    )

@@ -302,3 +302,32 @@ def test_group_diversity_matches_bruteforce(spark):
         assert got[lbl][0] == n
         assert abs(got[lbl][1] - expect) < 1e-6, (lbl, got[lbl], expect)
     assert got["c"] == (1, None)  # zero vector dropped, singleton → NULL
+
+
+# --------------------------------------------------------------- epoch plan
+
+
+def test_epoch_plan_realizes_budget_and_flags_oversampling(spark):
+    from metadata_etl_framework_spark.ops.text import epoch_plan
+
+    docs = spark.createDataFrame(
+        [(i, "scarce", "a b c") for i in range(2)]            # 6 tokens
+        + [(i + 10, "plenty", "w x y z q r s t") for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    weights = spark.createDataFrame(
+        [("scarce", 0.5), ("plenty", 0.5)], "source string, share double"
+    )
+    got = {r.source: r for r in
+           epoch_plan(docs, weights, budget_tokens=1000).collect()}
+    s, p = got["scarce"], got["plenty"]
+    assert s.target_tokens == 500 and p.target_tokens == 500
+    # scarce: 6 tokens must repeat ~83x; plenty: 800 tokens subsample
+    assert s.is_oversampled and s.epochs > 80
+    assert not p.is_oversampled and p.epochs < 1
+    # realized tokens hit the mix: epochs * n_tokens ≈ target
+    assert abs(s.epochs * s.n_tokens - 500) < 1
+    assert abs(p.epochs * p.n_tokens - 500) < 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        epoch_plan(docs, weights, budget_tokens=0)
