@@ -206,3 +206,37 @@ def test_stream_stream_join_matches_batch(spark_mod, tmp_path):
     assert sorted(expected.columns) == sorted(
         spark.table("ssj_test").columns
     )
+
+
+def test_quality_score_runs_on_streams(spark_mod, tmp_path):
+    """The curation projections are stream-safe as-is: quality_score over
+    a file stream equals the batch computation on identical input (a
+    pure projection needs no watermark or output-mode ceremony)."""
+    from metadata_etl_framework_spark.ops.text import quality_score
+
+    spark = spark_mod
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a fine day for all"),
+         (2, "{}[]()!!;;::##"),
+         (3, None)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        quality_score(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_quality")
+        .option("checkpointLocation", str(tmp_path / "ckq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.quality_score
+           for r in spark.sql("SELECT * FROM stream_quality").collect()}
+    expect = {r.doc_id: r.quality_score
+              for r in quality_score(spark.read.parquet(src)).collect()}
+    assert got == expect and len(got) == 3
