@@ -2214,6 +2214,32 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _window_first_last_nth(spark, sf_dir):
+    """Positional window family (functions/windows.py::positional_value):
+    first/full-frame last/nth order value per customer — completes the
+    rank/offset/positional window-step vocabulary."""
+    from metadata_etl_framework_spark.functions.windows import (
+        positional_value,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = positional_value(
+        orders, "o_totalprice", ["o_custkey"], ["o_orderkey"],
+        method="first", output_col="first_price",
+    )
+    out = positional_value(
+        out, "o_totalprice", ["o_custkey"], ["o_orderkey"],
+        method="last", output_col="last_price",
+    )
+    out = positional_value(
+        out, "o_totalprice", ["o_custkey"], ["o_orderkey"],
+        method="nth", n=2, output_col="second_price",
+    )
+    return out
+
+
 def _corpus_epoch_plan(spark, sf_dir):
     """Oversampling epoch plan (ops/text.py::epoch_plan): per-source
     epochs to realize equal shares of a 10M-token budget — the
@@ -2575,6 +2601,7 @@ _EXTRA_KEYS = [
     "corpus_sample_fraction",
     "embed_group_diversity",
     "corpus_epoch_plan",
+    "window_first_last_nth",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2734,6 +2761,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_fraction": _corpus_sample_fraction,
     "embed_group_diversity": _embed_group_diversity,
     "corpus_epoch_plan": _corpus_epoch_plan,
+    "window_first_last_nth": _window_first_last_nth,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4352,6 +4380,19 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "window_first_last_nth": r"""
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   FIRST_VALUE(o_totalprice) OVER w_cur AS first_price,
+                   LAST_VALUE(o_totalprice) OVER w_full AS last_price,
+                   NTH_VALUE(o_totalprice, 2) OVER w_full AS second_price
+            FROM orders
+            WINDOW w_cur AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW),
+                   w_full AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
         """,
         "corpus_epoch_plan": r"""
             WITH tok AS (

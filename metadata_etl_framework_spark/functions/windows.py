@@ -127,3 +127,37 @@ def rolling_aggregate(
         cnt = F.count(column).over(w)
         result = F.when(cnt >= min_periods, result)
     return df.withColumn(out, result)
+
+
+def positional_value(
+    df: DataFrame,
+    column: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str] | str,
+    method: str = "first",
+    n: int = 1,
+    output_col: str | None = None,
+) -> DataFrame:
+    """first/last/nth value within an ordered partition — the remaining
+    positional window family (pandas ``groupby().first()/last()/nth()``
+    in the reference's window-step vocabulary).
+
+    ``first``/``nth`` use the default frame (unbounded preceding →
+    current row suffices); ``last`` widens to the FULL partition frame —
+    with the default frame last_value degenerates to the current row,
+    the classic SQL-window footgun this wrapper exists to hide.
+    """
+    w = _window(partition_by, order_by)
+    if method == "first":
+        expr = F.first(column).over(w)
+    elif method == "last":
+        expr = F.last(column).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+    elif method == "nth":
+        expr = F.nth_value(column, n).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+    else:
+        raise ValueError(f"unknown positional method: {method!r}")
+    return df.withColumn(output_col or f"{column}_{method}", expr)

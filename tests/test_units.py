@@ -276,3 +276,28 @@ def test_validate_completeness(spark):
     assert not validate_completeness(df, 100)["passed"]
     ok = validate_completeness(df, 100, tolerance_pct=10.0)
     assert ok["passed"] and ok["deviation_pct"] == pytest.approx(-5.0)
+
+
+def test_positional_value_first_last_nth(spark):
+    from metadata_etl_framework_spark.functions.windows import (
+        positional_value,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+        "k string, seq int, v double",
+    )
+    out = positional_value(df, "v", ["k"], ["seq"], method="first",
+                           output_col="f")
+    out = positional_value(out, "v", ["k"], ["seq"], method="last",
+                           output_col="l")
+    out = positional_value(out, "v", ["k"], ["seq"], method="nth", n=2,
+                           output_col="n2")
+    rows = {(r.k, r.seq): (r.f, r.l, r.n2) for r in out.collect()}
+    # last is the FULL-frame last (30.0 for every 'a' row), not current row
+    assert rows[("a", 1)] == (10.0, 30.0, 20.0)
+    assert rows[("a", 3)] == (10.0, 30.0, 20.0)
+    assert rows[("b", 1)] == (5.0, 5.0, None)  # nth beyond partition → NULL
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        positional_value(df, "v", ["k"], ["seq"], method="median")
