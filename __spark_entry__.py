@@ -2214,6 +2214,18 @@ def _pack_length_buckets(spark, sf_dir):
     return length_bucketed_batches(docs, n_buckets=4, batch_size=32)
 
 
+def _agg_group_concat(spark, sf_dir):
+    """Ordered string aggregation (functions/aggregations.py::
+    group_concat, SQL LISTAGG shape): sorted part keys per order —
+    sorted so the result is partition-order-independent."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        group_concat,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return group_concat(li, ["l_orderkey"], "l_partkey", out="part_keys")
+
+
 def _window_first_last_nth(spark, sf_dir):
     """Positional window family (functions/windows.py::positional_value):
     first/full-frame last/nth order value per customer — completes the
@@ -2602,6 +2614,7 @@ _EXTRA_KEYS = [
     "embed_group_diversity",
     "corpus_epoch_plan",
     "window_first_last_nth",
+    "agg_group_concat",
     "dedup_clusters",
     "text_decontaminate",
     "text_repetition",
@@ -2762,6 +2775,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_group_diversity": _embed_group_diversity,
     "corpus_epoch_plan": _corpus_epoch_plan,
     "window_first_last_nth": _window_first_last_nth,
+    "agg_group_concat": _agg_group_concat,
     "sql_q2_min_cost_supplier": _sql_q2_min_cost_supplier,
     "sql_q8_market_share": _sql_q8_market_share,
     "sql_q9_product_profit": _sql_q9_product_profit,
@@ -4380,6 +4394,14 @@ _ALL_SQL.update(
                           PARTITION BY bucket, batch_index) AS BIGINT)
                      AS batch_max_tokens
             FROM rn
+        """,
+        "agg_group_concat": r"""
+            SELECT l_orderkey,
+                   STRING_AGG(CAST(l_partkey AS VARCHAR), ','
+                              ORDER BY CAST(l_partkey AS VARCHAR))
+                     AS part_keys
+            FROM lineitem WHERE l_orderkey <= 2000
+            GROUP BY l_orderkey
         """,
         "window_first_last_nth": r"""
             SELECT o_orderkey, o_custkey, o_totalprice,

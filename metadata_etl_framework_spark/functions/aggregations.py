@@ -441,3 +441,24 @@ def stratified_sample(
         strata = [r[0] for r in df.select(strata_col).distinct().collect()]
         fractions = {s: float(fractions) for s in strata}
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def group_concat(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    sep: str = ",",
+    out: str = "concat_values",
+    distinct: bool = False,
+) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg): values per
+    group joined by ``sep`` in SORTED order — collect_list alone is
+    partition-order-dependent, so the sort is what makes the result
+    deterministic and engine-comparable. ``distinct`` dedups before
+    joining. One shuffle with map-side partial collect.
+    """
+    vals = F.collect_set(F.col(value_col).cast("string")) if distinct \
+        else F.collect_list(F.col(value_col).cast("string"))
+    return df.groupBy(*group_cols).agg(
+        F.array_join(F.array_sort(vals), sep).alias(out)
+    )

@@ -301,3 +301,19 @@ def test_positional_value_first_last_nth(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         positional_value(df, "v", ["k"], ["seq"], method="median")
+
+
+def test_group_concat_sorted_and_distinct(spark):
+    from metadata_etl_framework_spark.functions.aggregations import (
+        group_concat,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 3), ("b", 2)], "k string, v int"
+    )
+    out = {r.k: r.concat_values
+           for r in group_concat(df, ["k"], "v").collect()}
+    assert out == {"a": "1,3,3", "b": "2"}
+    out_d = {r.k: r.concat_values
+             for r in group_concat(df, ["k"], "v", distinct=True).collect()}
+    assert out_d == {"a": "1,3", "b": "2"}
