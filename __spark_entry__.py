@@ -1622,11 +1622,15 @@ def _ann_lsh_topk(spark, sf_dir):
 
 def _dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard verification over MinHash-LSH candidate
-    pairs. Rows-only: the candidate SET depends on seeded-xxhash64
-    banding no SQL engine can replicate; the verify arithmetic itself is
-    oracle-covered by minhash_near_dups (exact inverted-index regime)."""
+    pairs, on the md5 hash arm (ops/dedup.py::_seeded_hash): minhash_k =
+    min over shingles of int(md5(shingle + \\x01 + k)[:15], 16), so the
+    DuckDB oracle regenerates the identical signatures, replays the LSH
+    banding (joining on the band's value tuple — equality of the tuple
+    is what Spark's xxhash64 band-bucket key encodes), and verifies the
+    same candidate set. The full pipeline — probabilistic-looking
+    banding included — is hash-checked exactly."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup_ops.minhash_signatures(docs, num_hashes=32)
+    sigs = dedup_ops.minhash_signatures(docs, num_hashes=32, hash_fn="md5")
     pairs = dedup_ops.lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=4)
     return dedup_ops.jaccard_similarity(docs, pairs).filter(
         F.col("jaccard") >= 0.2
@@ -1723,11 +1727,13 @@ def _corpus_mixing_plan(spark, sf_dir):
 
 def _simhash_near_dups_pairs(spark, sf_dir):
     """SimHash banded candidates → exact Hamming verify ≤ 3 (ops/dedup.py
-    ::simhash_near_duplicates). Rows-only: the xxhash64 signature is not
-    SQL-expressible; band-generator completeness (pigeonhole over 4
-    bands) is unit-tested instead."""
+    ::simhash_near_duplicates), md5 hash arm. The band generator is
+    COMPLETE for max_hamming < n_bands (pigeonhole), so the output
+    equals the all-pairs Hamming-≤-3 filter — which the DuckDB oracle
+    computes directly from the same md5-derived signatures. Hash-checked
+    exactly; the banding is a pure candidate-pruning optimization."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_duplicates(docs, max_hamming=3)
+    return dedup_ops.simhash_near_duplicates(docs, max_hamming=3, hash_fn="md5")
 
 
 def _text_repetition(spark, sf_dir):
@@ -1755,8 +1761,13 @@ def _dedup_clusters(spark, sf_dir):
 
 
 def _simhash_signatures(spark, sf_dir):
+    """64-bit SimHash signatures (ops/dedup.py::simhash) on the
+    SQL-replayable md5 hash arm: token hash = int(md5(token)[:15], 16),
+    so DuckDB regenerates the identical per-bit votes and the signature
+    is hash-checked exactly. Production default stays xxhash64 (faster,
+    same algorithm) — the arm switch changes only the hash family."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash(docs)
+    return dedup_ops.simhash(docs, hash_fn="md5")
 
 
 def _text_lang_id(spark, sf_dir):
@@ -2538,12 +2549,11 @@ _DRIVER_KEYS = [
     "dedup_embedding_cosine",
     "embed_knn_join",
     "text_lang_id",
-    # rows-only (no SQL-expressible oracle): ONLY simhash remains — a
-    # seeded xxhash64/bit-mix pipeline no SQL engine can replicate.
-    # minhash_near_dups (exact inverted-index Jaccard below the row
-    # gate), ann_lsh_topk (closed-form hyperplanes recomputed in SQL),
-    # and multimodal_image_meta (dims derived arithmetically) are all
-    # oracle-backed.
+    # Every driver entry is oracle-backed: simhash_signatures runs the
+    # md5 hash arm (DuckDB replays the identical bit votes),
+    # minhash_near_dups is the exact inverted-index Jaccard below the
+    # row gate, ann_lsh_topk recomputes its closed-form hyperplanes in
+    # SQL, multimodal_image_meta derives dims arithmetically.
     "minhash_near_dups",
     "simhash_signatures",
     "ann_lsh_topk",
@@ -3352,14 +3362,14 @@ _ALL_SQL: dict[str, str] = {
         """,
         "text_fingerprint": r"""
             SELECT doc_id,
-                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
         "dedup_exact_groups": r"""
             SELECT COUNT(*) AS dup_groups,
                    COUNT(CASE WHEN dup_count > 0 THEN 1 END) AS nonempty_groups
             FROM (
-                SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+                SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))), '\s+', ' ', 'g')) AS fp,
                        COUNT(*) AS dup_count
                 FROM documents GROUP BY 1 HAVING COUNT(*) > 1
             )
@@ -3987,7 +3997,7 @@ _ALL_SQL.update(
                                    ['the','a','an','of','to','in','and','is','it','for','on','with'],
                                    LOWER(t)))) AS DOUBLE) / LEN(toks)
                               ELSE 0.0 END, 6) AS stopword_ratio,
-                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))), '\s+', ' ', 'g')) AS fingerprint
             FROM t
         """,
     }
@@ -4269,7 +4279,7 @@ _ALL_SQL.update(
         "corpus_split_leakage_safe": r"""
             WITH fp AS (
               SELECT doc_id,
-                     MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+                     MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))), '\s+', ' ', 'g'))
                        AS f
               FROM documents
             ), cl AS (
@@ -4576,7 +4586,7 @@ _ALL_SQL.update(
             WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
             seen AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
             fp_seen AS (
-              SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)),
+              SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))),
                                                  '\s+', ' ', 'g')) AS f
               FROM seen
             ), tok_n AS (
@@ -4613,10 +4623,11 @@ _ALL_SQL.update(
               WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.m - c), 6) >= 0.5
             )
             SELECT d.doc_id,
-                   (MD5(REGEXP_REPLACE(LOWER(TRIM(d.text)), '\s+', ' ', 'g'))
+                   (MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(d.text, ''))),
+                                   '\s+', ' ', 'g'))
                     IN (SELECT f FROM fp_seen)) AS is_exact_dup,
                    (d.doc_id IN (SELECT doc_id FROM near)) AS is_near_dup,
-                   NOT (MD5(REGEXP_REPLACE(LOWER(TRIM(d.text)),
+                   NOT (MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(d.text, ''))),
                                            '\s+', ' ', 'g'))
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
@@ -4653,6 +4664,105 @@ _ALL_SQL.update(
                  LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
                           AS i) i
             WHERE nrm > 0
+        """,
+    }
+)
+
+
+# SimHash / MinHash md5-arm oracles: the Spark entries run hash_fn="md5"
+# (ops/dedup.py::_seeded_hash — token/shingle hash = first 15 hex chars of
+# md5, < 2^60 so signed/unsigned min and shifts agree), which DuckDB
+# recomputes bit-for-bit. _SIMHASH_SIGS is the shared signature CTE body.
+_SIMHASH_SIGS = r"""
+    toks AS (
+      SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, t[i] AS tok
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t))) AS u(i)
+    ), hashed AS (
+      SELECT doc_id, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS UBIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT UNNEST(GENERATE_SERIES(0, 62)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), allsig AS (
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sigs s USING (doc_id)
+    )
+"""
+
+_ALL_SQL.update(
+    {
+        # Per-document signature: same bit votes, bits 0..62 assembled.
+        # NULL/empty-token docs get signature 0 on both engines.
+        "simhash_signatures": f"""
+            WITH {_SIMHASH_SIGS}
+            SELECT doc_id, simhash FROM allsig
+        """,
+        # Spark emits banded candidates → Hamming verify; the 4-band
+        # generator is complete for hamming ≤ 3 (pigeonhole), so the
+        # all-pairs filter below is the same set.
+        "simhash_near_dups_pairs": f"""
+            WITH {_SIMHASH_SIGS}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+            FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+            WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+        """,
+        # MinHash-LSH on the md5 arm: regenerate the 32 seeded-min
+        # signatures, band them 8×4 joining on the band VALUE TUPLE
+        # (Spark's band_hash key encodes exactly this equality), then
+        # exact-Jaccard-verify the candidate pairs at ≥ 0.2.
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+              WHERE LEN(t) >= 3
+            ), mh AS (
+              SELECT doc_id, k.k AS k,
+                     MIN(CAST('0x' || SUBSTR(
+                           MD5(s || CHR(1) || CAST(k.k AS VARCHAR)), 1, 15)
+                         AS UBIGINT)) AS v
+              FROM sh, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS k) k
+              GROUP BY doc_id, k.k
+            ), bands AS (
+              SELECT doc_id, CAST(k // 4 AS INT) AS band,
+                     STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY k) AS bkey
+              FROM mh GROUP BY doc_id, CAST(k // 4 AS INT)
+            ), cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey
+               AND a.doc_id < b.doc_id
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT cd.id_a, cd.id_b,
+                   ROUND(CAST(COALESCE(cm.c, 0) AS DOUBLE)
+                         / (na.n + nb.n - COALESCE(cm.c, 0)), 6) AS jaccard
+            FROM cands cd
+            LEFT JOIN common cm ON cm.id_a = cd.id_a AND cm.id_b = cd.id_b
+            JOIN sizes na ON na.doc_id = cd.id_a
+            JOIN sizes nb ON nb.doc_id = cd.id_b
+            WHERE ROUND(CAST(COALESCE(cm.c, 0) AS DOUBLE)
+                        / (na.n + nb.n - COALESCE(cm.c, 0)), 6) >= 0.2
         """,
     }
 )

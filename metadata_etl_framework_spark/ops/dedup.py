@@ -54,26 +54,56 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
+def _seeded_hash(s: Column, seed: int, hash_fn: str) -> Column:
+    """Deterministic 64-bit-ish hash of a string with an integer seed.
+
+    ``xxhash64`` (default): JVM-native, fastest — the production arm.
+    ``md5``: 60-bit value from the first 15 hex chars of md5(s + \\x01 +
+    seed) — strictly slower, but computable bit-for-bit by any SQL
+    engine (DuckDB: ``CAST('0x' || SUBSTR(MD5(..), 1, 15) AS UBIGINT)``),
+    which makes every signature built on it cross-engine oracle-checkable.
+    15 hex chars < 2^60 so the value is always a non-negative long and
+    min/ordering semantics agree between signed and unsigned engines.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s, F.lit(seed))
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("\x01", s, F.lit(str(seed)))), 1, 15),
+            16, 10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """K minhash values per doc: min over shingles of xxhash64(shingle, seed_k).
+    """K minhash values per doc: min over shingles of hash(shingle, seed_k).
 
-    Seeded xxhash64 gives K independent hash families without UDFs; the
-    whole signature computes in one projection (no shuffle).
+    Seeded hashing gives K independent hash families without UDFs; the
+    whole signature computes in one projection (no shuffle). Callers that
+    already materialized the shingle projection pass it via ``_shingled``
+    (an explicit parameter, not duck-typing on a ``_sh`` column — a
+    caller whose frame coincidentally carries ``_sh`` must not silently
+    bypass text_col/shingle_n). ``hash_fn="md5"`` selects the
+    SQL-replayable hash family (see _seeded_hash) for oracle-backed runs.
     """
     # Materialize the shingle array in its own projection: inlining it
     # into all K hash expressions multiplies the codegen tree K-fold
     # (measured ~10s compile for K=32). CollapseProject keeps the split
     # because the producing expression is non-cheap and multiply-referenced.
     sh_df = (
-        df if "_sh" in df.columns
+        _shingled if _shingled is not None
         else df.select(id_col, shingles(text_col, shingle_n).alias("_sh"))
     )
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(k))))
+            F.array_min(
+                F.transform(F.col("_sh"), lambda s: _seeded_hash(s, k, hash_fn))
+            )
             for k in range(num_hashes)
         ]
     )
@@ -265,8 +295,7 @@ def minhash_near_duplicates(
     # (signatures are id + K longs — tiny relative to the text they derive
     # from, so this holds at corpus scale with MEMORY_AND_DISK spill)
     sigs = minhash_signatures(
-        base if base is not None else df,
-        id_col, text_col, num_hashes, shingle_n,
+        df, id_col, text_col, num_hashes, shingle_n, _shingled=base,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes // num_bands)
     if base is not None:
@@ -289,20 +318,39 @@ def minhash_near_duplicates(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over word tokens: bit b of the signature is the sign
     of the sum over tokens of ±1 per hash-bit.
 
-    Tokens are hashed JVM-side (xxhash64, deterministic); the 64-way
-    bit-vote tally runs in one Arrow-vectorized pandas UDF (numpy bit
-    matrix + reduceat) — measured ~100× faster than the equivalent
+    Tokens are hashed JVM-side (deterministic); the 64-way bit-vote
+    tally runs in one Arrow-vectorized pandas UDF (numpy bit matrix +
+    reduceat) — measured ~100× faster than the equivalent
     higher-order-function expression, whose lambdas evaluate interpreted
     per element. The signature assembles bits 0..62 (sign bit left 0 so
     the value stays in long range).
+
+    ``hash_fn="xxhash64"`` (default) is the fast production arm.
+    ``hash_fn="md5"`` hashes each token to the 60-bit value
+    ``int(md5(token)[:15 hex], 16)`` — any SQL engine can recompute it,
+    so the whole signature is cross-engine oracle-checkable (DuckDB
+    replays the identical bit votes); bits 60..62 then never receive a
+    positive vote and stay 0, an effectively-60-bit signature with the
+    same banding/Hamming semantics.
     """
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    if hash_fn == "xxhash64":
+        def tok_hash(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5":
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
     hashed = df.select(
-        id_col, F.transform(toks, lambda t: F.xxhash64(t)).alias("_h")
+        id_col, F.transform(toks, tok_hash).alias("_h")
     )
 
     @F.pandas_udf("long")
@@ -340,7 +388,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
-    driver_gate_edges: int = 2_000_000,
+    driver_gate_edges: int = 500_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from pair output: connected components by
     iterative min-label propagation — each node's label converges to the
@@ -371,9 +419,13 @@ def connected_components(
     al.), not a port.
 
     Small-graph fast path: pair sets up to ``driver_gate_edges`` are
-    collected and closed with driver-side union-find (path compression +
-    union by min, O(E α(E)) — ~32 B/edge, so the default 2M gate is
-    ~64 MB of driver heap). Near-dup pair lists are edge-sparse even for
+    fetched via Arrow (``toPandas`` — columnar transfer, no per-row
+    Row-object overhead) and closed with driver-side union-find (path
+    compression + union by min, O(E α(E))). Real driver cost is the
+    pandas frame (~16 B/edge for numeric ids) plus the Python dict the
+    union-find builds over touched NODES (~100 B/entry with boxed ints)
+    — the default 500k-edge gate stays well under ~100 MB of driver heap
+    even for string ids. Near-dup pair lists are edge-sparse even for
     huge corpora (they're post-verification similarity hits, not raw
     candidates), so this path covers most real runs and skips the
     multi-round shuffle loop entirely; anything over the gate takes the
@@ -395,7 +447,8 @@ def connected_components(
             return r
 
         nodes = set()
-        for u, v in half.collect():
+        pdf = half.toPandas()  # Arrow columnar fetch, no Row-object blowup
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             nodes.add(u)
             nodes.add(v)
             ru, rv = find(u), find(v)
@@ -489,6 +542,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pipeline: 63-bit signatures → band buckets →
     candidate pairs → exact Hamming verify ≤ ``max_hamming``.
@@ -501,13 +555,16 @@ def simhash_near_duplicates(
     ``bit_count(xor)`` — no UDF. Same bucketed-self-join shape as
     MinHash-LSH banding: a shuffle on small keys, never a cross join.
 
-    Returns (id_a, id_b, hamming). Rows-only correctness (the xxhash64
-    seed pipeline is not SQL-expressible); completeness of the band
-    generator is unit-tested by construction instead.
+    Returns (id_a, id_b, hamming). With ``hash_fn="md5"`` the signature
+    is SQL-replayable and — because the band generator is COMPLETE for
+    max_hamming < n_bands — the output equals the all-pairs Hamming
+    filter, so a DuckDB oracle can hash-check it exactly. The xxhash64
+    arm stays rows-only (completeness of the band generator is
+    unit-tested by construction instead).
     """
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(df, id_col, text_col, hash_fn=hash_fn)
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -128,8 +128,17 @@ def lang_id_heuristic(df: DataFrame, text_col: str = "text", out: str = "lang_pr
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 of casefolded,
-    whitespace-normalized text. Identical across engines (md5 is md5)."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    whitespace-normalized text. Identical across engines (md5 is md5).
+
+    NULL text is coalesced to '' BEFORE hashing so the fingerprint is
+    never NULL: a NULL fingerprint silently breaks every downstream
+    equality — dedup groupBys lump all NULL-text docs into one bogus
+    group, membership probes (``fp IN (...)``) go three-valued — so
+    NULL-text and empty-text documents are deliberately identical dups.
+    """
+    normalized = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
     return df.withColumn(out, F.md5(normalized))
 
 

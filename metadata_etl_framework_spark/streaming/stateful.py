@@ -146,6 +146,7 @@ def tws_running_counts(
     df: DataFrame,
     key_col: str,
     value_col: str,
+    configure_state_store: bool = True,
 ) -> DataFrame:
     """Running (count, sum) per key on Spark 4's ``transformWithState``
     processor API — the successor to applyInPandasWithState: named state
@@ -163,6 +164,17 @@ def tws_running_counts(
     protobuf to the JVM state server; without the ``protobuf`` package
     the streaming arm raises ImportError with an install hint (the
     GroupState twin ``stateful_running_counts`` has no such dependency).
+
+    State-store provider: transformWithState requires RocksDB, and the
+    provider conf is read at QUERY START — a library function that only
+    builds the DataFrame cannot scope it per-query. With
+    ``configure_state_store=True`` (default) this function sets
+    ``spark.sql.streaming.stateStore.providerClass`` to RocksDB on the
+    session — a SESSION-WIDE effect: every streaming query started
+    afterwards in this session uses RocksDB too (a strict upgrade for
+    most workloads, but an observable change). Callers managing the
+    provider themselves pass ``configure_state_store=False``; the query
+    then fails at start unless the session is already RocksDB-configured.
     """
     if not df.isStreaming:
         return (
@@ -184,14 +196,16 @@ def tws_running_counts(
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    # transformWithState requires the RocksDB state store (the default
-    # HDFS-backed provider does not implement its column-family API);
-    # runtime-settable, affects only subsequently started queries
-    df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+    rocksdb = (
         "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+        "RocksDBStateStoreProvider"
     )
+    if configure_state_store:
+        # session-wide by necessity (read at query start, not DF build);
+        # documented in the docstring, no-op when already configured
+        conf = df.sparkSession.conf
+        if conf.get("spark.sql.streaming.stateStore.providerClass", None) != rocksdb:
+            conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
 
     value_name = value_col  # capture for the processor closure
 

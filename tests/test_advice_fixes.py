@@ -219,3 +219,101 @@ def test_repetition_metrics_null_empty_whitespace_rows(spark):
     assert ctl.n_lines == 1
     assert abs(ctl.dup_2gram_ratio - 2 / 3) < 1e-6
     assert abs(ctl.dup_3gram_ratio - 1 / 2) < 1e-6
+
+
+# ------------------------------------------------- round-5 ADVICE regressions
+
+
+def test_fingerprint_null_text_is_not_null(spark):
+    """fingerprint() must coalesce NULL text to '' before hashing: a NULL
+    fingerprint breaks every downstream equality — dedup groupBys lump
+    NULL-text docs into one accidental group and membership probes go
+    three-valued (round-5 ADVICE low #2/#3)."""
+    from metadata_etl_framework_spark.ops.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "real text")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert all(v is not None for v in rows.values()), rows
+    # NULL-text and empty-text docs are DELIBERATELY identical dups
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[4] != rows[1]
+
+
+def test_step_dedup_exact_null_text_keeps_canonical(spark):
+    """step-compiler exact dedup on a corpus with NULL-text docs: the
+    NULL/empty family collapses to its min-id doc by the documented
+    empty-equivalence semantics — not by accident of a NULL partition —
+    and real texts are untouched (round-5 ADVICE low #3)."""
+    from metadata_etl_framework_spark.operators import TransformEngine
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "keep me"), (5, "keep me too")],
+        "doc_id int, text string",
+    )
+    out = TransformEngine(spark).execute_transformations(
+        {"docs": docs},
+        {"primary_source": "docs",
+         "steps": [{"type": "dedup", "config": {"method": "exact"}}]},
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 4, 5], kept
+
+
+def test_incremental_dedup_null_text_probe_consistent(spark):
+    """incremental_dedup: a NULL-text doc in the new batch must flag
+    is_exact_dup=True when the seen corpus also has a NULL/empty-text doc
+    (NULL fingerprints previously never matched the equality probe)."""
+    new = spark.createDataFrame(
+        [(10, None), (11, "fresh unseen content wholly new")],
+        "doc_id int, text string",
+    )
+    seen = spark.createDataFrame(
+        [(1, ""), (2, "some earlier document body here")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_ops.incremental_dedup(new, seen, threshold=0.8).collect()
+    }
+    assert rows[10].is_exact_dup is True, rows[10]
+    assert rows[11].is_exact_dup is False, rows[11]
+
+
+def test_minhash_signatures_ignores_coincidental_sh_column(spark):
+    """minhash_signatures must shingle from text_col even when the input
+    coincidentally carries a `_sh` column — precomputed shingles are an
+    explicit `_shingled` parameter now, not duck-typing (round-5 ADVICE
+    low #4)."""
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    decoy = base.withColumn(
+        "_sh", F.array(F.lit("bogus shingle one"), F.lit("bogus shingle two"))
+    )
+    clean = {
+        r.doc_id: r.minhash
+        for r in dedup_ops.minhash_signatures(base, num_hashes=8).collect()
+    }
+    with_decoy = {
+        r.doc_id: r.minhash
+        for r in dedup_ops.minhash_signatures(decoy, num_hashes=8).collect()
+    }
+    assert clean == with_decoy
+
+
+def test_tws_batch_path_does_not_touch_state_store_conf(spark):
+    """tws_running_counts on a BATCH frame takes the groupBy fallback and
+    must not mutate session conf (round-5 ADVICE low #5: the provider
+    override is opt-in and documented session-wide for streaming)."""
+    from metadata_etl_framework_spark.streaming.stateful import tws_running_counts
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    out = tws_running_counts(df, "k", "v").collect()
+    assert spark.conf.get(key, None) == before
+    assert out[0]["count"] == 2
