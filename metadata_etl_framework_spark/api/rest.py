@@ -3,8 +3,10 @@
 Parity target: src/api/rest_api.py:538-673 — /health, /pipelines full
 CRUD (create/list/show/update/soft-delete), /executions
 create/list/get/status/cancel, /metrics. The reference ships both Flask
-and FastAPI duals; one implementation suffices here (FastAPI is not in
-this environment).
+and FastAPI duals; so does this repo — the FastAPI twin is
+``api/fastapi_app.py::create_fastapi_app`` (identical routes and status
+codes, pydantic-validated bodies, import-gated because FastAPI is
+optional). This Flask app is the always-available arm.
 """
 
 from __future__ import annotations

@@ -30,6 +30,10 @@ _JDBC_SUBPROTOCOL = {
     "sqlserver": "sqlserver",
     "mssql": "sqlserver",
     "sqlite": "sqlite",
+    # embedded, file-backed (jdbc:derby:/path;create=true — pass url=);
+    # Derby ships in Spark's own jars, so this arm is integration-testable
+    # with no external server (tests/test_relational_jdbc.py)
+    "derby": "derby",
 }
 
 _FILE_TYPES = {"csv", "excel", "parquet", "json", "file", "orc",
