@@ -1591,6 +1591,25 @@ def _embed_knn_topk(spark, sf_dir):
     return sim_ops.brute_force_topk(emb, qvec, k=10)
 
 
+def _embed_knn_join_lsh(spark, sf_dir):
+    """The SCALE regime of knn_join_topk, forced via max_broadcast_queries=0
+    (ops/similarity.py::lsh_knn_join): both sides bucket on 8 closed-form
+    det_hyperplanes, candidates come from the bucket equi-join (never a
+    nested loop), exact cosine + ranked window pick top-3 per query. The
+    hyperplane recurrence is pure integer arithmetic, so the DuckDB
+    oracle regenerates the planes, replays the identical bucket
+    assignment, and hash-checks the full probabilistic-looking pipeline
+    — recall loss and all — exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.knn_join_topk(
+        emb, queries, k=3, query_id_col="query_id",
+        query_vec_col="embedding", max_broadcast_queries=0, lsh_planes=8,
+    )
+
+
 def _embed_knn_join(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -2662,6 +2681,7 @@ _EXTRA_KEYS = [
     "embed_normalize",
     "multimodal_video_meta",
     "pack_length_buckets",
+    "embed_knn_join_lsh",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2741,6 +2761,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": _dedup_exact_groups,
     "text_lang_distribution": _text_lang_distribution,
     "embed_knn_topk": _embed_knn_topk,
+    "embed_knn_join_lsh": _embed_knn_join_lsh,
     "embed_knn_join": _embed_knn_join,
     "dedup_embedding_cosine": _dedup_embedding_cosine_lsh,
     "minhash_near_dups": _minhash_near_dups,
@@ -4763,6 +4784,57 @@ _ALL_SQL.update(
             JOIN sizes nb ON nb.doc_id = cd.id_b
             WHERE ROUND(CAST(COALESCE(cm.c, 0) AS DOUBLE)
                         / (na.n + nb.n - COALESCE(cm.c, 0)), 6) >= 0.2
+        """,
+        # lsh_knn_join replay: regenerate the 8 det_hyperplanes from the
+        # integer recurrence, bucket every vector by dot-product signs,
+        # candidates = bucket equi-join (queries: vec_id % 50 = 0), exact
+        # decimal-accumulated cosine, top-3 per query by raw similarity.
+        "embed_knn_join_lsh": """
+            WITH planes AS (
+                SELECT i.i AS pi,
+                       LIST_TRANSFORM(RANGE(0, 64), j ->
+                           (((i.i * 2654435761 + j * 40503 + 12345) % 65521)
+                            / 65521.0) * 2 - 1) AS plane
+                FROM (SELECT UNNEST(RANGE(0, 8)) AS i) i
+            ), bucketed AS (
+                SELECT e.vec_id,
+                       STRING_AGG(
+                           CASE WHEN list_dot_product(
+                                    e.embedding::DOUBLE[], p.plane) >= 0
+                                THEN '1' ELSE '0' END, ''
+                           ORDER BY p.pi) AS bucket
+                FROM embeddings e, planes p
+                GROUP BY e.vec_id
+            ), cand AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS nid
+                FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+                WHERE q.vec_id % 50 = 0
+            ), prod AS (
+                SELECT cd.query_id, cd.nid,
+                       UNNEST(ce.embedding) AS a, UNNEST(qe.embedding) AS b
+                FROM cand cd
+                JOIN embeddings ce ON ce.vec_id = cd.nid
+                JOIN embeddings qe ON qe.vec_id = cd.query_id
+            ), dots AS (
+                SELECT query_id, nid,
+                       CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                                     AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+                       CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                                     AS DECIMAL(30,15))) AS DOUBLE) AS nn,
+                       CAST(SUM(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+                                     AS DECIMAL(30,15))) AS DOUBLE) AS qq
+                FROM prod GROUP BY query_id, nid
+            ), ranked AS (
+                SELECT query_id, nid AS neighbor_id,
+                       ROUND(dot / (SQRT(nn) * SQRT(qq)), 6) AS cosine,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY dot / (SQRT(nn) * SQRT(qq)) DESC, nid)
+                         AS INT) AS rank
+                FROM dots
+            )
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM ranked WHERE rank <= 3
         """,
     }
 )

@@ -22,14 +22,14 @@ def test_oracles_reference_only_existing_queries():
     assert not orphans, orphans
 
 
-def test_rows_only_entries_are_the_documented_three():
+def test_every_entry_is_oracle_backed():
+    """No rows-only entries remain anywhere: the former xxhash64-seeded
+    trio (simhash_signatures, simhash_near_dups_pairs,
+    dedup_ngram_jaccard) now runs the md5 hash arm, which DuckDB
+    recomputes bit-for-bit."""
     q = {**entry_mod.queries(), **entry_mod.extra_queries()}
     o = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
-    assert set(q) - set(o) == {
-        "dedup_ngram_jaccard",
-        "simhash_near_dups_pairs",
-        "simhash_signatures",
-    }
+    assert set(q) - set(o) == set()
 
 
 def test_no_duplicate_keys_between_driver_and_extras():
@@ -40,5 +40,5 @@ def test_no_duplicate_keys_between_driver_and_extras():
     assert not set(dk) & set(ek)
 
 
-def test_driver_oracle_coverage_is_forty_nine():
-    assert len(entry_mod.oracle_sql()) == 49  # all but simhash_signatures
+def test_driver_oracle_coverage_is_fifty_of_fifty():
+    assert len(entry_mod.oracle_sql()) == 50  # every driver entry
