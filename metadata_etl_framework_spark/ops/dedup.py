@@ -685,3 +685,179 @@ def incremental_dedup(
             ),
         )
     )
+
+
+# --------------------------------------------------------------- bloom filter
+#
+# At 100 TB the seen-corpus fingerprint index is billions of rows; probing a
+# new crawl batch against it with a plain join shuffles the ENTIRE batch on
+# the fingerprint key even though only ~1% of new documents are duplicates.
+# A Bloom filter of the seen fingerprints (1.2 GB for 1e9 entries at 1% FP —
+# broadcastable) lets every executor discard the ~99% definite-non-members
+# map-side; only Bloom hits (true dups + the FP rate) enter the confirm
+# join, cutting the probe shuffle by roughly the non-dup rate. The confirm
+# join keeps the final answer EXACT: a Bloom filter has no false negatives,
+# so prefilter + confirm ≡ plain join (property-tested).
+#
+# Hashing is Kirsch-Mitzenmacher double hashing — position_i = h1 + i*h2
+# (mod m) — over two JVM-computed xxhash64 values, so signatures are
+# deterministic across runs, partitionings, and cluster sizes, and the
+# probe side recomputes the identical positions in vectorized numpy
+# (uint64 wraparound arithmetic on both sides).
+
+
+def _bloom_hash_cols(fp_col: Column) -> tuple[Column, Column]:
+    """Two independent 64-bit hashes of a fingerprint, JVM-side."""
+    safe = F.coalesce(fp_col, F.lit(""))
+    return (
+        F.xxhash64(safe),
+        F.xxhash64(F.concat(safe, F.lit("#bloom2"))),
+    )
+
+
+def _bloom_positions(h1, h2, k: int, m_bits: int):
+    """k bit positions via double hashing, vectorized uint64 numpy —
+    wraparound arithmetic matches on build and probe because both run
+    this exact function on the same JVM-produced hash pair."""
+    import numpy as np
+
+    u1 = h1.to_numpy(dtype="int64").view(np.uint64)
+    u2 = h2.to_numpy(dtype="int64").view(np.uint64)
+    m = np.uint64(m_bits)
+    return [(u1 + np.uint64(i) * u2) % m for i in range(k)]
+
+
+def build_bloom_filter(
+    df: DataFrame,
+    fp_col: str = "fingerprint",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    reduce_partitions: int = 16,
+) -> bytes:
+    """Distributed, SHUFFLE-FREE Bloom filter build: each input partition
+    sets its members' bits in a local bitmap inside one ``mapInPandas``
+    pass (map-side complete — duplicate fingerprints are idempotent bit
+    sets, so no distinct shuffle is needed), then the per-partition
+    bitmaps are OR-combined. Wide inputs (> ``reduce_partitions`` tasks)
+    get one intermediate OR level so the driver collects at most
+    ``reduce_partitions`` bitmaps (m/8 bytes each), not one per task —
+    at 1000 executors that is 16×1 MiB to the driver, not 1000×.
+
+    Returns the bitmap as ``bytes`` (m_bits/8 long, packbits big-endian).
+    """
+    import numpy as np
+
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    h1, h2 = _bloom_hash_cols(F.col(fp_col))
+    hashed = df.select(h1.alias("_h1"), h2.alias("_h2"))
+
+    def _emit(batches):
+        bits = np.zeros(m_bits, dtype=bool)
+        for pdf in batches:
+            if len(pdf):
+                for idx in _bloom_positions(pdf["_h1"], pdf["_h2"], k, m_bits):
+                    bits[idx] = True
+        yield pd.DataFrame({"bits": [np.packbits(bits).tobytes()]})
+
+    parts = hashed.mapInPandas(_emit, "bits binary")
+
+    def _combine(batches):
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            for b in pdf["bits"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+        yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    if hashed.rdd.getNumPartitions() > reduce_partitions:
+        parts = parts.repartition(reduce_partitions).mapInPandas(
+            _combine, "bits binary"
+        )
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in parts.toPandas()["bits"]:
+        out |= np.frombuffer(b, dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bf: bytes,
+    fp_col: str = "fingerprint",
+    k: int = 5,
+    out: str = "bf_hit",
+) -> DataFrame:
+    """Adds a boolean ``out`` column: True iff all k Bloom bits for the
+    row's fingerprint are set (possible member — no false negatives).
+    The bitmap ships once per executor via a Spark broadcast; the probe
+    is an Arrow-batched pandas_udf doing pure numpy indexing (the
+    unpacked bool array is cached per python worker, not per batch)."""
+    import numpy as np
+
+    m_bits = len(bf) * 8
+    bc = df.sparkSession.sparkContext.broadcast(bf)
+    cache: dict = {}
+
+    @F.pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = cache.get("bits")
+        if bits is None:
+            bits = np.unpackbits(
+                np.frombuffer(bc.value, dtype=np.uint8)
+            ).astype(bool)
+            cache["bits"] = bits
+        hit = np.ones(len(h1), dtype=bool)
+        for idx in _bloom_positions(h1, h2, k, m_bits):
+            hit &= bits[idx]
+        return pd.Series(hit)
+
+    c1, c2 = _bloom_hash_cols(F.col(fp_col))
+    return df.withColumn(out, _probe(c1, c2))
+
+
+def bloom_incremental_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    confirm: bool = True,
+) -> DataFrame:
+    """EXACT incremental exact-dup probe of a new batch against the seen
+    corpus, Bloom-prefiltered: build the filter over the seen
+    fingerprints (shuffle-free), flag each new document map-side, and
+    shuffle ONLY the Bloom hits into a left-semi confirm join that
+    removes the false positives. Because Bloom filters have no false
+    negatives, the output equals ``incremental_dedup``'s exact arm /
+    a plain membership join (property-tested in tests/test_bloom.py).
+
+    ``confirm=False`` skips the confirm join and returns the raw Bloom
+    verdict (approximate, one-sided error) — the triage mode for
+    pipelines that tolerate the FP rate in exchange for zero shuffle.
+
+    Returns (id_col, is_exact_dup, keep). Reference parity: the
+    incremental arm of src/utils/data_deduplicator.py, re-expressed with
+    the standard big-data membership-sketch pattern.
+    """
+    fp_new = fingerprint(new_docs, text_col).select(id_col, "fingerprint")
+    fp_seen = fingerprint(seen_docs, text_col).select("fingerprint")
+    bf = build_bloom_filter(fp_seen, "fingerprint", m_bits, k)
+    probed = bloom_might_contain(fp_new, bf, "fingerprint", k).persist()
+    if not confirm:
+        return probed.select(
+            id_col,
+            F.col("bf_hit").alias("is_exact_dup"),
+            (~F.col("bf_hit")).alias("keep"),
+        )
+    hits = probed.filter(F.col("bf_hit"))
+    confirmed = hits.join(fp_seen, "fingerprint", "left_semi").select(
+        F.col(id_col).alias("_cid")
+    )
+    return (
+        probed.join(confirmed, probed[id_col] == confirmed["_cid"], "left")
+        .select(
+            id_col,
+            F.col("_cid").isNotNull().alias("is_exact_dup"),
+            F.col("_cid").isNull().alias("keep"),
+        )
+    )
