@@ -2381,6 +2381,24 @@ def _dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(new_docs, seen_docs, threshold=0.5)
 
 
+def _dedup_bloom_probe(spark, sf_dir):
+    """Bloom-prefiltered EXACT membership probe (ops/dedup.py::
+    bloom_incremental_dedup): docs with doc_id % 5 == 0 are the new
+    batch, the rest the seen corpus. The filter is built shuffle-free
+    over the seen fingerprints (per-partition numpy bitmaps OR-combined);
+    only Bloom hits enter the confirm join, so at 100 TB the probe
+    shuffle carries ~the dup rate instead of the whole batch. Bloom
+    filters have no false negatives and the confirm join removes false
+    positives, so the result is exact and the oracle is the plain
+    membership SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    seen_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_ops.bloom_incremental_dedup(
+        new_docs, seen_docs, m_bits=1 << 18, k=5
+    )
+
+
 def _multimodal_video_meta(spark, sf_dir):
     """REAL RIFF/AVI main-header decode through Arrow mapInPandas: each
     doc synthesizes an AVI container (RIFF → LIST hdrl → avih) with
@@ -2682,6 +2700,7 @@ _EXTRA_KEYS = [
     "multimodal_video_meta",
     "pack_length_buckets",
     "embed_knn_join_lsh",
+    "dedup_bloom_probe",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2833,6 +2852,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_normalize": _embed_normalize,
     "multimodal_video_meta": _multimodal_video_meta,
     "dedup_incremental": _dedup_incremental,
+    "dedup_bloom_probe": _dedup_bloom_probe,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
 }
@@ -4653,6 +4673,23 @@ _ALL_SQL.update(
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
             FROM newd d
+        """,
+        "dedup_bloom_probe": r"""
+            WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            seen AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            fp_seen AS (
+              SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))),
+                                                 '\s+', ' ', 'g')) AS f
+              FROM seen
+            )
+            SELECT doc_id,
+                   COALESCE(MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))),
+                                               '\s+', ' ', 'g'))
+                            IN (SELECT f FROM fp_seen), FALSE) AS is_exact_dup,
+                   NOT COALESCE(MD5(REGEXP_REPLACE(LOWER(TRIM(COALESCE(text, ''))),
+                                                   '\s+', ' ', 'g'))
+                                IN (SELECT f FROM fp_seen), FALSE) AS keep
+            FROM newd
         """,
         "multimodal_video_meta": r"""
             SELECT doc_id,
