@@ -2381,6 +2381,22 @@ def _dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(new_docs, seen_docs, threshold=0.5)
 
 
+def _corpus_domain_cap(spark, sf_dir):
+    """Per-source quota sampling (ops/corpus.py::domain_cap): at most 40
+    documents per source, chosen by deterministic md5 priority. The
+    skew-proof two-level selection first ranks within (source,
+    xxhash-bucket) so a mega-domain splits across 32 window tasks, then
+    re-ranks only the per-bucket survivors — exact same answer as the
+    single window, without the one-task-per-domain bottleneck."""
+    from metadata_etl_framework_spark.ops import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = corpus_ops.domain_cap(
+        docs, group_col="source", cap=40, hash_cols=["doc_id"], salt="dc6"
+    )
+    return out.select("doc_id", "source", F.col("__rank").alias("rank"))
+
+
 def _dedup_bloom_probe(spark, sf_dir):
     """Bloom-prefiltered EXACT membership probe (ops/dedup.py::
     bloom_incremental_dedup): docs with doc_id % 5 == 0 are the new
@@ -2701,6 +2717,7 @@ _EXTRA_KEYS = [
     "pack_length_buckets",
     "embed_knn_join_lsh",
     "dedup_bloom_probe",
+    "corpus_domain_cap",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2853,6 +2870,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_video_meta": _multimodal_video_meta,
     "dedup_incremental": _dedup_incremental,
     "dedup_bloom_probe": _dedup_bloom_probe,
+    "corpus_domain_cap": _corpus_domain_cap,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
 }
@@ -4673,6 +4691,21 @@ _ALL_SQL.update(
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
             FROM newd d
+        """,
+        "corpus_domain_cap": r"""
+            SELECT doc_id, source, rank FROM (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ROUND(CAST(CONCAT('0x', SUBSTRING(
+                                  MD5(CONCAT_WS('|', 'dc6',
+                                      CAST(doc_id AS VARCHAR))), 1, 8))
+                                  AS BIGINT) / 4294967296.0, 9) ASC,
+                                MD5(CONCAT_WS('|', 'dc6',
+                                    CAST(doc_id AS VARCHAR))) ASC
+                     ) AS INTEGER) AS rank
+              FROM documents
+            ) WHERE rank <= 40
         """,
         "dedup_bloom_probe": r"""
             WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

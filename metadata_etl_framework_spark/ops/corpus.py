@@ -19,10 +19,10 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["md5_uniform", "leakage_safe_split", "weighted_sample"]
+__all__ = ["md5_uniform", "leakage_safe_split", "weighted_sample", "domain_cap"]
 
 _HASH_SPACE = float(1 << 32)
 
@@ -140,4 +140,59 @@ def weighted_sample(
         .orderBy(F.desc("priority"), F.asc("__tie"))
         .limit(k)
         .drop("__tie")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    hash_cols: Sequence[str] = ("doc_id",),
+    salt: str = "",
+    skew_buckets: int = 32,
+) -> DataFrame:
+    """Per-source document quota (the Common-Crawl-style per-domain cap):
+    keep at most ``cap`` documents per ``group_col`` value, selected by a
+    deterministic md5 priority (lowest hash wins) so the retained subset
+    is uniform within each source, stable across runs/partitionings, and
+    replayable by an oracle.
+
+    Skew is the whole problem at corpus scale — a handful of mega-domains
+    hold most of the rows, and a plain ``row_number`` window puts each
+    domain in ONE task. This runs the textbook two-level selection
+    instead: rows are first ranked within ``(source, bucket)`` where
+    bucket = xxhash64(key) mod ``skew_buckets`` — splitting every
+    mega-domain across ``skew_buckets`` parallel window tasks — and only
+    the per-bucket top-``cap`` survivors (≤ cap·buckets rows per source,
+    independent of domain size) enter the final per-source ranking.
+    Any row in a source's true top-``cap`` is by definition in its own
+    bucket's top-``cap``, so the two-level result is EXACTLY the
+    single-window result (asserted in tests). ``skew_buckets <= 1``
+    selects the plain single-window path for tiny inputs.
+
+    Returns the kept rows with their final per-source ``__rank``
+    (1..cap). Reference parity: extends src/transform/transform_engine.py
+    sample step to the per-group quota shape.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols])
+    h = F.md5(F.concat_ws("|", F.lit(salt), key))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)
+    ranked = df.withColumn("__u", F.round(u, 9)).withColumn("__tie", h)
+    order = [F.asc("__u"), F.asc("__tie")]
+    if skew_buckets > 1:
+        wb = Window.partitionBy(
+            F.col(group_col), F.pmod(F.xxhash64(F.col("__tie")), F.lit(skew_buckets))
+        ).orderBy(*order)
+        ranked = (
+            ranked.withColumn("__brk", F.row_number().over(wb))
+            .filter(F.col("__brk") <= cap)
+            .drop("__brk")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        ranked.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= cap)
+        .drop("__u", "__tie")
     )

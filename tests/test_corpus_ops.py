@@ -371,3 +371,37 @@ def test_group_diversity_matches_bruteforce_pairwise(spark):
         ]
         expect = 2 * sum(sims) / (len(vecs) * (len(vecs) - 1))
         assert abs(mean_cos - expect) < 1e-6, (label, mean_cos, expect)
+
+
+# ------------------------------------------------------------------ domain cap
+
+
+def test_domain_cap_two_level_equals_single_window(spark):
+    """The skew-proof (source, bucket) pre-selection must return EXACTLY
+    the single-window answer — bucketing only parallelizes, never changes
+    the selected set."""
+    from metadata_etl_framework_spark.ops.corpus import domain_cap
+
+    rows = [(i, f"dom{i % 3}") for i in range(500)] + [(900, None), (901, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = domain_cap(df, cap=25, salt="t", skew_buckets=1)
+    two = domain_cap(df, cap=25, salt="t", skew_buckets=8)
+    a = {(r.doc_id, r.source, r["__rank"]) for r in plain.collect()}
+    b = {(r.doc_id, r.source, r["__rank"]) for r in two.collect()}
+    assert a == b
+    # every source capped, NULL source is its own group
+    per = {
+        r.source: r.n
+        for r in two.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert all(n <= 25 for n in per.values()) and per[None] == 2
+
+
+def test_domain_cap_under_cap_sources_pass_through(spark):
+    from metadata_etl_framework_spark.ops.corpus import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, "small") for i in range(10)], "doc_id long, source string"
+    )
+    out = domain_cap(df, cap=100, salt="t")
+    assert out.count() == 10
