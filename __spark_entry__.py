@@ -2381,6 +2381,30 @@ def _dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(new_docs, seen_docs, threshold=0.5)
 
 
+def _corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (ops/text.py::dsir_importance_weights,
+    Xie et al. 2023): docs from src0 play the curated TARGET corpus, the
+    rest the RAW pool; every raw doc scores Σ_f [log p_target(f) −
+    log p_raw(f)] over md5-hashed-bigram feature buckets. Both bucket
+    tables are ≤ n_buckets rows → broadcast; the raw corpus is touched
+    by exactly one explode + groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    out = text_ops.dsir_importance_weights(raw, target, n_buckets=4096)
+    return out.join(
+        text_ops.dsir_resample(out, k=100, salt="ds6").select(
+            "doc_id", F.lit(True).alias("resampled"), "priority"
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "n_features", "log_weight",
+        F.coalesce("resampled", F.lit(False)).alias("resampled"),
+        "priority",
+    )
+
+
 def _corpus_domain_cap(spark, sf_dir):
     """Per-source quota sampling (ops/corpus.py::domain_cap): at most 40
     documents per source, chosen by deterministic md5 priority. The
@@ -2718,6 +2742,7 @@ _EXTRA_KEYS = [
     "embed_knn_join_lsh",
     "dedup_bloom_probe",
     "corpus_domain_cap",
+    "corpus_dsir_weights",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2871,6 +2896,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": _dedup_incremental,
     "dedup_bloom_probe": _dedup_bloom_probe,
     "corpus_domain_cap": _corpus_domain_cap,
+    "corpus_dsir_weights": _corpus_dsir_weights,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
 }
@@ -4691,6 +4717,68 @@ _ALL_SQL.update(
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
             FROM newd d
+        """,
+        "corpus_dsir_weights": r"""
+            WITH grams AS (
+              SELECT doc_id, source,
+                     LOWER(t[i]) || ' ' || LOWER(t[i+1]) AS g
+              FROM (
+                SELECT doc_id, source,
+                       CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                            ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                       END AS t
+                FROM documents
+              ), UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)
+            ), feat AS (
+              SELECT doc_id, source,
+                     CAST(CONCAT('0x', SUBSTRING(MD5(g), 1, 8)) AS BIGINT)
+                       % 4096 AS b
+              FROM grams
+            ), tc AS (
+              SELECT b, COUNT(*) AS c FROM feat WHERE source = 'src0' GROUP BY b
+            ), rc AS (
+              SELECT b, COUNT(*) AS c FROM feat WHERE source <> 'src0' GROUP BY b
+            ), tn AS (SELECT COALESCE(SUM(c), 0) AS n FROM tc),
+            rn AS (SELECT COALESCE(SUM(c), 0) AS n FROM rc),
+            lw AS (
+              SELECT f.doc_id,
+                     CAST(LN(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
+                             / CAST(tn.n + 4096 AS DOUBLE))
+                          - LN(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE)
+                               / CAST(rn.n + 4096 AS DOUBLE))
+                          AS DECIMAL(28,10)) AS l
+              FROM feat f
+              LEFT JOIN tc ON f.b = tc.b
+              LEFT JOIN rc ON f.b = rc.b, tn, rn
+              WHERE f.source <> 'src0'
+            ), per AS (
+              SELECT doc_id, COUNT(*) AS n_features, SUM(l) AS s
+              FROM lw GROUP BY doc_id
+            ), scored AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(per.n_features, 0) AS BIGINT) AS n_features,
+                     ROUND(CASE WHEN COALESCE(per.n_features, 0) > 0
+                                THEN CAST(per.s AS DOUBLE) END, 6) AS log_weight
+              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+              WHERE d.source <> 'src0'
+            ), pri AS (
+              SELECT doc_id,
+                     ROUND(log_weight
+                           - LN(-LN((CAST(CONCAT('0x', SUBSTRING(
+                                 MD5(CONCAT_WS('|', 'ds6',
+                                     CAST(doc_id AS VARCHAR))), 1, 8))
+                                 AS BIGINT) + 0.5) / 4294967296.0)), 9)
+                       AS priority,
+                     MD5(CONCAT_WS('|', 'ds6', CAST(doc_id AS VARCHAR))) AS tie
+              FROM scored WHERE log_weight IS NOT NULL
+            ), top AS (
+              SELECT doc_id, priority FROM pri
+              ORDER BY priority DESC, tie ASC LIMIT 100
+            )
+            SELECT s.doc_id, s.n_features, s.log_weight,
+                   (top.doc_id IS NOT NULL) AS resampled,
+                   top.priority
+            FROM scored s LEFT JOIN top ON s.doc_id = top.doc_id
         """,
         "corpus_domain_cap": r"""
             SELECT doc_id, source, rank FROM (

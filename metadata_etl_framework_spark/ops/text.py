@@ -862,3 +862,139 @@ def epoch_plan(
         F.round(epochs, 6).alias("epochs"),
         F.coalesce(epochs > 1.0, F.lit(False)).alias("is_oversampled"),
     )
+
+
+def _hashed_bigram_buckets(text_col: str, n_buckets: int) -> Column:
+    """Array of hashed-bigram feature buckets for a document: adjacent
+    lowercased whitespace tokens, md5-hashed into ``n_buckets`` (first 8
+    hex chars as an integer — the same engine-portable construction as
+    ``corpus.md5_uniform``, so any SQL oracle can replay it)."""
+    toks = F.transform(
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")),
+        lambda t: F.lower(t),
+    )
+    n = F.size(toks)
+    grams = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("long") % n_buckets,
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every RAW document by how target-like its
+    hashed-bigram distribution is. Each corpus is reduced to bucket
+    counts over md5-hashed bigram features; with add-one smoothing,
+
+        log w(x) = Σ_f [ log p_target(bucket_f) − log p_raw(bucket_f) ]
+
+    summed over the document's features. High log-weight documents look
+    like the target corpus (e.g. curated wiki/books) and are what the
+    resampling step keeps.
+
+    Scale: the feature tables are ``n_buckets`` rows regardless of corpus
+    size — both sides broadcast; the per-doc score is one explode +
+    broadcast join + decimal-sum groupBy on the raw corpus, no shuffle of
+    anything corpus-sized but the doc ids. Zero-feature documents (0/1
+    tokens) get log_weight NULL.
+
+    Returns (id_col, n_features, log_weight). Deterministic across
+    engines: md5 bucketing + decimal accumulation + one final round(6).
+    """
+    feats = _hashed_bigram_buckets(text_col, n_buckets)
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _spread(df)
+            .select(F.explode(feats).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    tc = bucket_counts(target, "__tc")
+    rc = bucket_counts(raw, "__rc")
+    t_tot = tc.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__tn"))
+    r_tot = rc.agg(F.coalesce(F.sum("__rc"), F.lit(0)).alias("__rn"))
+
+    exploded = _spread(raw).select(F.col(id_col), F.explode(feats).alias("__b"))
+    scored = (
+        exploded.join(F.broadcast(tc), "__b", "left")
+        .join(F.broadcast(rc), "__b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .withColumn(
+            "__lw",
+            F.log(
+                (F.coalesce("__tc", F.lit(0)) + 1).cast("double")
+                / (F.col("__tn") + F.lit(n_buckets)).cast("double")
+            )
+            - F.log(
+                (F.coalesce("__rc", F.lit(0)) + 1).cast("double")
+                / (F.col("__rn") + F.lit(n_buckets)).cast("double")
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.sum(F.col("__lw").cast("decimal(28,10)")).alias("__s"),
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+            F.round(
+                F.when(F.col("n_features") > 0, F.col("__s").cast("double")),
+                6,
+            ).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    salt: str = "",
+) -> DataFrame:
+    """The resampling half of DSIR: draw ``k`` documents with probability
+    ∝ exp(log_weight) WITHOUT replacement via the Gumbel-top-k trick —
+    priority = log_weight + Gumbel(0,1), the k largest win. Working in
+    log space never exponentiates the weights (no overflow for extreme
+    scores). The Gumbel noise comes from a deterministic md5 uniform, so
+    the draw is replayable and oracle-checkable; vary ``salt`` for an
+    independent draw. Global top-k compiles to TakeOrderedAndProject —
+    no full sort at corpus scale. NULL-weight (zero-feature) docs are
+    excluded (zero mass)."""
+    from metadata_etl_framework_spark.ops.corpus import md5_uniform
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    # u in (0,1) strictly — the +0.5 offset keeps both ln() calls finite
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5) / F.lit(
+        float(1 << 32)
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.filter(F.col(weight_col).isNotNull())
+        .withColumn("priority", F.round(F.col(weight_col) + gumbel, 9))
+        .withColumn("__tie", h)
+        .orderBy(F.desc("priority"), F.asc("__tie"))
+        .limit(k)
+        .drop("__tie")
+    )

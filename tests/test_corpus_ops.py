@@ -405,3 +405,38 @@ def test_domain_cap_under_cap_sources_pass_through(spark):
     )
     out = domain_cap(df, cap=100, salt="t")
     assert out.count() == 10
+
+
+# ------------------------------------------------------------------------ DSIR
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """A raw doc sharing the target's bigrams must out-score one that
+    shares none, and zero-feature (≤1 token) docs get NULL weight."""
+    from metadata_etl_framework_spark.ops.text import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),          # target-like
+            (101, "zzz qqq vvv kkk www uuu"),            # alien
+            (102, "single"),                             # no bigrams
+            (103, None),                                 # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_importance_weights(raw, target).collect()}
+    assert out[100].log_weight > out[101].log_weight
+    assert out[102].log_weight is None and out[102].n_features == 0
+    assert out[103].log_weight is None
+    picked = dsir_resample(
+        dsir_importance_weights(raw, target), k=2, salt="t"
+    ).collect()
+    assert len(picked) == 2
+    assert all(r.log_weight is not None for r in picked)
