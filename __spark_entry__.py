@@ -2381,6 +2381,17 @@ def _dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(new_docs, seen_docs, threshold=0.5)
 
 
+def _embed_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (ops/similarity.py::semantic_dedup):
+    cosine ≥ 0.6 components collapse to their min-id representative;
+    every input row reports (cluster_id, is_kept). Pairs come from the
+    exact blocked-GEMM regime at this scale (LSH bucket equi-joins above
+    the row gate), components from the gated union-find / hash-min
+    iteration."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(emb, threshold=0.6, dim=64)
+
+
 def _corpus_dsir_weights(spark, sf_dir):
     """DSIR importance weights (ops/text.py::dsir_importance_weights,
     Xie et al. 2023): docs from src0 play the curated TARGET corpus, the
@@ -2743,6 +2754,7 @@ _EXTRA_KEYS = [
     "dedup_bloom_probe",
     "corpus_domain_cap",
     "corpus_dsir_weights",
+    "embed_semantic_dedup",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2897,6 +2909,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bloom_probe": _dedup_bloom_probe,
     "corpus_domain_cap": _corpus_domain_cap,
     "corpus_dsir_weights": _corpus_dsir_weights,
+    "embed_semantic_dedup": _embed_semantic_dedup,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
 }
@@ -4717,6 +4730,44 @@ _ALL_SQL.update(
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
             FROM newd d
+        """,
+        "embed_semantic_dedup": r"""
+            WITH RECURSIVE prod AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+            ), dots AS (
+              SELECT id_a, id_b,
+                     CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                   AS DECIMAL(30,15))) AS DOUBLE) AS dot
+              FROM prod GROUP BY id_a, id_b
+            ), norms AS (
+              SELECT vec_id,
+                     SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+              FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+              GROUP BY vec_id
+            ), pairs AS (
+              SELECT d.id_a, d.id_b FROM dots d
+              JOIN norms na ON na.vec_id = d.id_a
+              JOIN norms nb ON nb.vec_id = d.id_b
+              WHERE d.dot / (na.nrm * nb.nrm) >= 0.6
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+            ), cc AS (
+              SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT e.vec_id,
+                   COALESCE(cc.cluster_id, e.vec_id) AS cluster_id,
+                   COALESCE(cc.cluster_id = e.vec_id, TRUE) AS is_kept
+            FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
         """,
         "corpus_dsir_weights": r"""
             WITH grams AS (

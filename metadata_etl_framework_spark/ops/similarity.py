@@ -686,3 +686,47 @@ def group_diversity(
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pair_kwargs,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): collapse groups of
+    SEMANTICALLY redundant items — cosine ≥ ``threshold`` in embedding
+    space — to one representative each. Pipeline: near-dup pair
+    generation (``embedding_near_dup_pairs`` — exact blocked-GEMM below
+    its row gate, multi-table hyperplane-LSH bucket equi-joins above,
+    never a cartesian) → connected components (similarity is not
+    transitive; A~B, B~C must still collapse together) → keep the
+    canonical (min-id) member per component plus every singleton.
+
+    The paper picks per-cluster representatives inside k-means cells;
+    min-id inside a cosine-threshold component is the same
+    keep-one-per-group contract with a deterministic, engine-portable
+    tiebreak (k-means cell assignment is not reproducible across
+    engines, which would make the result un-oracle-able).
+
+    Returns (id_col, cluster_id, is_kept) for EVERY input row —
+    filter ``is_kept`` for the deduplicated corpus. Scale: the pair
+    graph is post-verification sparse, components run the gated
+    union-find/hash-min path of ``dedup.connected_components``.
+    """
+    from metadata_etl_framework_spark.ops.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold, id_col=id_col, vec_col=vec_col, **pair_kwargs
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", "__node")
+    return (
+        embeddings.select(id_col)
+        .join(cc, F.col(id_col) == F.col("__node"), "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("is_canonical", F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -440,3 +440,26 @@ def test_dsir_target_like_docs_score_higher(spark):
     ).collect()
     assert len(picked) == 2
     assert all(r.log_weight is not None for r in picked)
+
+
+# --------------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_transitive_closure_and_singletons(spark):
+    """A~B and B~C (but A!~C) must land in ONE cluster keeping only the
+    min id; orthogonal vectors stay kept as singletons."""
+    from metadata_etl_framework_spark.ops.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.4359, 0.0]),   # cos(1,2) ≈ 0.9, cos(2,3) ≈ 0.9
+        (3, [0.62, 0.785, 0.0]),   # cos(1,3) ≈ 0.62 < 0.8 — chain only
+        (4, [0.0, 0.0, 1.0]),      # orthogonal singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cluster_id, r.is_kept)
+           for r in semantic_dedup(df, threshold=0.8, dim=3).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
