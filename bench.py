@@ -66,6 +66,10 @@ HEADLINE = [
     "pack_length_buckets",
     "embed_group_diversity",
     "layout_compaction_plan",
+    "dedup_bloom_probe",
+    "corpus_dsir_weights",
+    "corpus_domain_cap",
+    "embed_semantic_dedup",
 ]
 
 

@@ -913,22 +913,28 @@ def dsir_importance_weights(
     Returns (id_col, n_features, log_weight). Deterministic across
     engines: md5 bucketing + decimal accumulation + one final round(6).
     """
+    from pyspark.storagelevel import StorageLevel
+
     feats = _hashed_bigram_buckets(text_col, n_buckets)
 
-    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            _spread(df)
-            .select(F.explode(feats).alias("__b"))
-            .groupBy("__b")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    tc = bucket_counts(target, "__tc")
-    rc = bucket_counts(raw, "__rc")
+    # the tokenize+hash projection is the dominant per-row cost; the raw
+    # corpus pays it ONCE (persisted) and both its bucket-count fit and
+    # the per-doc scoring read the cache
+    exploded = (
+        _spread(raw)
+        .select(F.col(id_col), F.explode(feats).alias("__b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tc = (
+        _spread(target)
+        .select(F.explode(feats).alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    rc = exploded.groupBy("__b").agg(F.count(F.lit(1)).alias("__rc"))
     t_tot = tc.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__tn"))
     r_tot = rc.agg(F.coalesce(F.sum("__rc"), F.lit(0)).alias("__rn"))
 
-    exploded = _spread(raw).select(F.col(id_col), F.explode(feats).alias("__b"))
     scored = (
         exploded.join(F.broadcast(tc), "__b", "left")
         .join(F.broadcast(rc), "__b", "left")
