@@ -2381,6 +2381,20 @@ def _dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(new_docs, seen_docs, threshold=0.5)
 
 
+def _text_dedup_lines(spark, sf_dir):
+    """C4-style corpus-global line dedup (ops/text.py::
+    dedup_lines_global): every occurrence of the token ' value ' becomes
+    a line break (deterministic literal replace, same in both engines),
+    then any line whose trimmed form appears in more than 2 distinct
+    documents is dropped corpus-wide and each document is reassembled
+    from its surviving lines in order."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("replace(text, ' value ', '\n')").alias("text"),
+    )
+    return text_ops.dedup_lines_global(docs, max_docs=2)
+
+
 def _embed_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (ops/similarity.py::semantic_dedup):
     cosine ≥ 0.6 components collapse to their min-id representative;
@@ -2755,6 +2769,7 @@ _EXTRA_KEYS = [
     "corpus_domain_cap",
     "corpus_dsir_weights",
     "embed_semantic_dedup",
+    "text_dedup_lines",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2910,6 +2925,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_cap": _corpus_domain_cap,
     "corpus_dsir_weights": _corpus_dsir_weights,
     "embed_semantic_dedup": _embed_semantic_dedup,
+    "text_dedup_lines": _text_dedup_lines,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
 }
@@ -4730,6 +4746,41 @@ _ALL_SQL.update(
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
             FROM newd d
+        """,
+        "text_dedup_lines": r"""
+            WITH src AS (
+              SELECT doc_id, REPLACE(text, ' value ', CHR(10)) AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, i AS pos, l[i] AS line
+              FROM (SELECT doc_id, STR_SPLIT(text, CHR(10)) AS l FROM src),
+                   UNNEST(GENERATE_SERIES(1, LEN(l))) AS u(i)
+            ), dup AS (
+              SELECT h FROM (
+                SELECT DISTINCT doc_id, MD5(TRIM(line)) AS h
+                FROM lines WHERE TRIM(line) <> ''
+              ) GROUP BY h HAVING COUNT(*) > 2
+            ), kept AS (
+              SELECT doc_id, pos, line FROM lines
+              WHERE TRIM(line) = ''
+                 OR MD5(TRIM(line)) NOT IN (SELECT h FROM dup)
+            ), reasm AS (
+              SELECT doc_id,
+                     STRING_AGG(line, CHR(10) ORDER BY pos) AS ct,
+                     COUNT(*) AS nk
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, COUNT(*) AS nt FROM lines GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CASE WHEN s.text IS NOT NULL
+                        THEN COALESCE(r.ct, '') END AS clean_text,
+                   CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(COALESCE(t.nt, 0) - COALESCE(r.nk, 0) AS BIGINT)
+                     AS n_lines_dropped
+            FROM src s
+            LEFT JOIN reasm r ON s.doc_id = r.doc_id
+            LEFT JOIN tot t ON s.doc_id = t.doc_id
         """,
         "embed_semantic_dedup": r"""
             WITH RECURSIVE prod AS (

@@ -1004,3 +1004,78 @@ def dsir_resample(
         .limit(k)
         .drop("__tie")
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-global LINE deduplication — the C4/RefinedWeb boilerplate
+    pass: a line whose trimmed form occurs in more than ``max_docs``
+    DISTINCT documents (nav menus, cookie banners, footers) is dropped
+    from every document, and each document's text is reassembled from
+    its surviving lines in original order. Blank lines are structural,
+    not content — they are never counted or dropped.
+
+    Scale: lines explode once; the duplicate-line table is built by one
+    (line-hash, doc) distinct + count — an equi-join-shaped shuffle on a
+    16-byte hash, the same shape as exact doc dedup, never anything
+    pairwise. Reassembly is a per-document sort_array over (pos, line)
+    structs + array_join — no window, one groupBy shuffle on the doc id.
+
+    Returns (id_col, clean_text, n_lines_kept, n_lines_dropped); NULL
+    text stays NULL with zero counts. Reference parity: extends the
+    duplicate-detection arm of src/utils/data_deduplicator.py from
+    whole-document to line granularity (C4, Raffel et al. 2020,
+    arXiv:1910.10683 §2.2).
+    """
+    lines = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__norm", F.trim(F.col("__line")))
+    content = lines.filter(F.col("__norm") != "")
+    # distinct (hash, doc) then count per hash == COUNT(DISTINCT doc) with
+    # map-side combine on both steps — no count-distinct state explosion
+    dup_lines = (
+        content.select(F.md5(F.col("__norm")).alias("__h"), F.col(id_col))
+        .dropDuplicates()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") > max_docs)
+        .select("__h")
+    )
+    kept = lines.join(
+        dup_lines,
+        (F.md5(F.col("__norm")) == F.col("__h")) & (F.col("__norm") != ""),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    n_lines = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_total")
+    )
+    return (
+        df.select(id_col, F.col(text_col).alias("__orig"))
+        .join(reassembled, id_col, "left")
+        .join(n_lines, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__orig").isNotNull(), F.coalesce("clean_text", F.lit(""))).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.coalesce("__n_total", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

@@ -744,3 +744,46 @@ def test_incremental_dedup_flags(spark):
     }
     with __import__("pytest").raises(ValueError):
         incremental_dedup(new, seen, threshold=0).collect()
+
+
+# ------------------------------------------------------------ global line dedup
+
+
+def test_dedup_lines_global_boilerplate_removal(spark):
+    """A footer appearing in 3 docs (> max_docs=2) is dropped everywhere;
+    unique lines and blank lines survive, text reassembles in order, and
+    NULL text stays NULL."""
+    from metadata_etl_framework_spark.ops.text import dedup_lines_global
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{footer}\nbeta two"),
+        (2, f"{footer}\ngamma three"),
+        (3, f"delta four\n\n{footer}"),
+        (4, "unique only"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines_global(df, max_docs=2).collect()}
+    assert out[1].clean_text == "alpha one\nbeta two"
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_dropped == 1
+    assert out[2].clean_text == "gamma three"
+    # blank line is structural: kept, never counted as boilerplate
+    assert out[3].clean_text == "delta four\n"
+    assert out[4].clean_text == "unique only" and out[4].n_lines_dropped == 0
+    assert out[5].clean_text is None and out[5].n_lines_kept == 0
+    assert out[6].clean_text == "" and out[6].n_lines_kept == 1
+
+
+def test_dedup_lines_global_respects_max_docs(spark):
+    """A line in exactly max_docs documents is NOT boilerplate."""
+    from metadata_etl_framework_spark.ops.text import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [(1, "shared line\na"), (2, "shared line\nb")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.clean_text
+           for r in dedup_lines_global(df, max_docs=2).collect()}
+    assert out == {1: "shared line\na", 2: "shared line\nb"}
