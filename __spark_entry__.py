@@ -2381,6 +2381,18 @@ def _dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(new_docs, seen_docs, threshold=0.5)
 
 
+def _text_repeated_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-substring spans (ops/text.py::
+    repeated_ngram_spans, Lee et al. 2021): maximal token ranges covered
+    by 5-token windows that occur verbatim in ≥ 2 distinct documents.
+    Window fingerprints collapse through one (hash, doc) distinct+count
+    — the suffix-array semantics re-expressed as equi-join shapes —
+    and overlapping hits fuse via the gaps-and-islands running-max
+    window per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.repeated_ngram_spans(docs, n=5, min_docs=2)
+
+
 def _text_dedup_lines(spark, sf_dir):
     """C4-style corpus-global line dedup (ops/text.py::
     dedup_lines_global): every occurrence of the token ' value ' becomes
@@ -2770,6 +2782,7 @@ _EXTRA_KEYS = [
     "corpus_dsir_weights",
     "embed_semantic_dedup",
     "text_dedup_lines",
+    "text_repeated_spans",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2926,6 +2939,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir_weights": _corpus_dsir_weights,
     "embed_semantic_dedup": _embed_semantic_dedup,
     "text_dedup_lines": _text_dedup_lines,
+    "text_repeated_spans": _text_repeated_spans,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
 }
@@ -4746,6 +4760,48 @@ _ALL_SQL.update(
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
             FROM newd d
+        """,
+        "text_repeated_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                          ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                     END AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i - 1 AS s,
+                     MD5(ARRAY_TO_STRING(t[i:i+4], ' ')) AS h
+              FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS u(i)
+              WHERE LEN(t) >= 5
+            ), rep AS (
+              SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+              GROUP BY h HAVING COUNT(*) >= 2
+            ), hits AS (
+              SELECT doc_id, s, s + 4 AS e
+              FROM wins WHERE h IN (SELECT h FROM rep)
+            ), marked AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN MAX(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) IS NULL
+                          OR s > MAX(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) + 1
+                          THEN 1 ELSE 0 END AS nw
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS island
+              FROM marked
+            )
+            SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+                   CAST(MAX(e) AS BIGINT) AS span_end,
+                   CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, island
         """,
         "text_dedup_lines": r"""
             WITH src AS (

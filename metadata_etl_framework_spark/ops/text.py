@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_STOPWORDS = (
@@ -1077,5 +1077,95 @@ def dedup_lines_global(
             (F.coalesce("__n_total", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0)))
             .cast("long")
             .alias("n_lines_dropped"),
+        )
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication spans (the distributed analog of
+    ExactSubstr dedup — Lee et al. 2021, arXiv:2107.06499): find every
+    maximal token range of a document that is covered by ``n``-token
+    windows occurring verbatim in ≥ ``min_docs`` distinct documents.
+    Downstream either drops the spans (the paper's remedy) or drops
+    documents whose covered fraction is too high.
+
+    The paper builds a corpus suffix array — inherently sequential and
+    memory-bound at 100 TB. The distributed re-expression: every n-token
+    window hashes to 16 bytes (md5 of the space-joined window — an
+    n-gram fingerprint, not the text); repeated windows fall out of one
+    (hash, doc) distinct + count ≥ min_docs — the same equi-join shape
+    as exact document dedup, nothing pairwise, nothing sequential.
+    Matching windows join back to their (doc, start) positions and
+    overlapping/adjacent windows fuse into maximal spans with the
+    gaps-and-islands pattern: a running MAX(end) window per document
+    marks island starts, a running SUM of the marks numbers them, one
+    groupBy emits (span_start, span_end). Both windows partition on the
+    document id — bounded by document length, never corpus-wide.
+
+    Returns (id_col, span_start, span_end, span_tokens) with 0-based
+    inclusive token indices. Documents with no repeated window emit no
+    rows. Windows are case-sensitive exact, matching the paper.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(text_col)
+    # every n-token window: (start, md5(window)) — built in one JVM
+    # projection, exploded once
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.struct(
+            i.alias("s"),
+            F.md5(F.array_join(F.slice(toks, i + 1, n), " ")).alias("h"),
+        ),
+    )
+    exploded = (
+        _spread(df)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(wins).alias("w"))
+        .select(F.col(id_col), F.col("w.s").alias("__s"), F.col("w.h").alias("__h"))
+    )
+    repeated = (
+        exploded.select("__h", id_col)
+        .dropDuplicates()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__h")
+    )
+    hits = exploded.join(repeated, "__h").select(
+        F.col(id_col), F.col("__s"), (F.col("__s") + n - 1).alias("__e")
+    )
+    w_order = Window.partitionBy(id_col).orderBy("__s")
+    prev_max_end = F.max("__e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col("__s") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        marked.groupBy(id_col, "__island")
+        .agg(
+            F.min("__s").cast("long").alias("span_start"),
+            F.max("__e").cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )

@@ -787,3 +787,47 @@ def test_dedup_lines_global_respects_max_docs(spark):
     out = {r.doc_id: r.clean_text
            for r in dedup_lines_global(df, max_docs=2).collect()}
     assert out == {1: "shared line\na", 2: "shared line\nb"}
+
+
+# ------------------------------------------------------------- repeated spans
+
+
+def test_repeated_ngram_spans_merge_overlaps(spark):
+    """Two docs sharing a 6-token run with n=3 windows: the four
+    overlapping window hits must fuse into ONE maximal span per doc,
+    and a doc with no repeats emits nothing."""
+    from metadata_etl_framework_spark.ops.text import repeated_ngram_spans
+
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail"),
+            (2, f"{shared} something else entirely"),
+            (3, "completely unrelated text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+           for r in repeated_ngram_spans(df, n=3, min_docs=2).collect()}
+    # doc1: shared run starts at token 2 (0-based), 6 tokens -> [2, 7]
+    assert out[1] == (2, 7, 6)
+    # doc2: starts at 0 -> [0, 5]
+    assert out[2] == (0, 5, 6)
+    assert 3 not in out
+
+
+def test_repeated_ngram_spans_disjoint_spans_stay_separate(spark):
+    from metadata_etl_framework_spark.ops.text import repeated_ngram_spans
+
+    a, b = "aa bb cc", "xx yy zz"
+    df = spark.createDataFrame(
+        [(1, f"{a} filler words here {b}"), (2, f"{a} mid {b}")],
+        "doc_id long, text string",
+    )
+    spans = (
+        repeated_ngram_spans(df, n=3, min_docs=2)
+        .filter("doc_id = 1")
+        .orderBy("span_start")
+        .collect()
+    )
+    assert [(r.span_start, r.span_end) for r in spans] == [(0, 2), (6, 8)]
