@@ -2393,6 +2393,16 @@ def _text_repeated_spans(spark, sf_dir):
     return text_ops.repeated_ngram_spans(docs, n=5, min_docs=2)
 
 
+def _text_remove_spans(spark, sf_dir):
+    """The ExactSubstr remedy end-to-end (ops/text.py::remove_spans over
+    repeated_ngram_spans): flagged token ranges are cut from every
+    document via one (doc, pos) anti-join drop-list and the survivors
+    reassemble in order."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = text_ops.repeated_ngram_spans(docs, n=5, min_docs=2)
+    return text_ops.remove_spans(docs, spans)
+
+
 def _text_dedup_lines(spark, sf_dir):
     """C4-style corpus-global line dedup (ops/text.py::
     dedup_lines_global): every occurrence of the token ' value ' becomes
@@ -2783,6 +2793,7 @@ _EXTRA_KEYS = [
     "embed_semantic_dedup",
     "text_dedup_lines",
     "text_repeated_spans",
+    "text_remove_spans",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2940,6 +2951,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_semantic_dedup": _embed_semantic_dedup,
     "text_dedup_lines": _text_dedup_lines,
     "text_repeated_spans": _text_repeated_spans,
+    "text_remove_spans": _text_remove_spans,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
 }
@@ -4760,6 +4772,51 @@ _ALL_SQL.update(
                         IN (SELECT f FROM fp_seen)
                         OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
             FROM newd d
+        """,
+        "text_remove_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                          ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')
+                     END AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i - 1 AS s,
+                     MD5(ARRAY_TO_STRING(t[i:i+4], ' ')) AS h
+              FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS u(i)
+              WHERE LEN(t) >= 5
+            ), rep AS (
+              SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+              GROUP BY h HAVING COUNT(*) >= 2
+            ), covered AS (
+              SELECT DISTINCT doc_id, s + j AS pos
+              FROM wins, UNNEST(GENERATE_SERIES(0, 4)) AS g(j)
+              WHERE h IN (SELECT h FROM rep)
+            ), allpos AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t))) AS u(i)
+            ), kept AS (
+              SELECT a.doc_id, a.pos, a.tok
+              FROM allpos a LEFT JOIN covered c
+                ON a.doc_id = c.doc_id AND a.pos = c.pos
+              WHERE c.doc_id IS NULL
+            ), reasm AS (
+              SELECT doc_id,
+                     STRING_AGG(tok, ' ' ORDER BY pos) AS ct,
+                     COUNT(*) AS nk
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, COUNT(*) AS nt FROM allpos GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NOT NULL
+                        THEN COALESCE(r.ct, '') END AS clean_text,
+                   CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_tokens_kept,
+                   CAST(COALESCE(t.nt, 0) - COALESCE(r.nk, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM toks d
+            LEFT JOIN reasm r ON d.doc_id = r.doc_id
+            LEFT JOIN tot t ON d.doc_id = t.doc_id
         """,
         "text_repeated_spans": r"""
             WITH toks AS (

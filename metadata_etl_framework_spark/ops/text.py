@@ -1169,3 +1169,61 @@ def repeated_ngram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ``repeated_ngram_spans`` output as the ExactSubstr remedy:
+    delete the flagged token ranges from each document and reassemble
+    the surviving tokens in order. Span rows explode to (doc, token
+    position) drop-lists — Σ span_tokens rows, bounded by corpus token
+    count — and removal is one left-anti equi-join on (doc, pos); no
+    per-row Python, no substring arithmetic.
+
+    Returns every input row as (id_col, clean_text, n_tokens_kept,
+    n_tokens_removed); NULL text stays NULL, documents with no flagged
+    span pass through verbatim (token-normalized whitespace).
+    """
+    toks = tokens(text_col)
+    exploded = _spread(df).select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "__tok")
+    )
+    drop = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("__pos"),
+    ).dropDuplicates()
+    kept = exploded.join(drop, [id_col, "__pos"], "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+    totals = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nt")
+    )
+    return (
+        df.select(id_col, F.col(text_col).alias("__orig"))
+        .join(reasm, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("__orig").isNotNull(), F.coalesce("clean_text", F.lit(""))
+            ).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            (F.coalesce("__nt", F.lit(0)) - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -831,3 +831,31 @@ def test_repeated_ngram_spans_disjoint_spans_stay_separate(spark):
         .collect()
     )
     assert [(r.span_start, r.span_end) for r in spans] == [(0, 2), (6, 8)]
+
+
+def test_remove_spans_roundtrip(spark):
+    """Spans found by repeated_ngram_spans are cut from the text; docs
+    without spans pass through token-normalized; NULL stays NULL."""
+    from metadata_etl_framework_spark.ops.text import (
+        remove_spans,
+        repeated_ngram_spans,
+    )
+
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail"),
+            (2, f"{shared} something else entirely"),
+            (3, "untouched   text here now"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_ngram_spans(df, n=3, min_docs=2)
+    out = {r.doc_id: r for r in remove_spans(df, spans).collect()}
+    assert out[1].clean_text == "intro words tail"
+    assert out[1].n_tokens_removed == 6 and out[1].n_tokens_kept == 3
+    assert out[2].clean_text == "something else entirely"
+    assert out[3].clean_text == "untouched text here now"
+    assert out[3].n_tokens_removed == 0
+    assert out[4].clean_text is None
