@@ -2626,6 +2626,59 @@ def _embed_normalize(spark, sf_dir):
 # by the local parity suite as extras) for the new flagship LLM-pipeline
 # ops: incremental corpus dedup, composite quality score, TF-IDF top
 # terms, leakage-safe split.
+_DRIFT_SPLIT = "1997-01-01"  # ref = shipped before, cur = shipped after
+
+
+def _drift_frames(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < _DRIFT_SPLIT)
+    cur = li.filter(F.col("l_shipdate") >= _DRIFT_SPLIT)
+    return ref, cur
+
+
+def _drift_psi_price(spark, sf_dir):
+    """PSI of l_extendedprice between pre/post-1997 shipments: fixed-width
+    bins from the reference half's exact min/max, per-bin terms + total
+    (quality/drift.py::psi_numeric — 3 aggs + a tiny join, no sort)."""
+    from metadata_etl_framework_spark.quality.drift import psi_numeric
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return psi_numeric(ref, cur, "l_extendedprice", n_bins=10)
+
+
+def _drift_ks_quantity(spark, sf_dir):
+    """Exact two-sample KS statistic on l_quantity via per-value counts +
+    the dual distributed prefix scan (no single-task global window)."""
+    from metadata_etl_framework_spark.quality.drift import ks_statistic
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return ks_statistic(ref, cur, "l_quantity")
+
+
+def _drift_chi2_returnflag(spark, sf_dir):
+    """Chi-square drift statistic for the l_returnflag categorical."""
+    from metadata_etl_framework_spark.quality.drift import (
+        chi_square_categorical,
+    )
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return chi_square_categorical(ref, cur, "l_returnflag")
+
+
+def _drift_suite(spark, sf_dir):
+    """Tall drift dashboard: PSI + KS for two numerics, chi-square for two
+    categoricals, one row per (column, metric)."""
+    from metadata_etl_framework_spark.quality.drift import drift_suite
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return drift_suite(
+        ref,
+        cur,
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        categorical_cols=["l_returnflag", "l_linestatus"],
+    )
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2794,6 +2847,10 @@ _EXTRA_KEYS = [
     "text_dedup_lines",
     "text_repeated_spans",
     "text_remove_spans",
+    "drift_psi_price",
+    "drift_ks_quantity",
+    "drift_chi2_returnflag",
+    "drift_suite",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2954,6 +3011,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_remove_spans": _text_remove_spans,
     "text_quality_score": _text_quality_score,
     "pack_length_buckets": _pack_length_buckets,
+    "drift_psi_price": _drift_psi_price,
+    "drift_ks_quantity": _drift_ks_quantity,
+    "drift_chi2_returnflag": _drift_chi2_returnflag,
+    "drift_suite": _drift_suite,
 }
 
 
@@ -5208,6 +5269,140 @@ _ALL_SQL.update(
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 3
+        """,
+    }
+)
+
+
+# ---- drift oracles ---------------------------------------------------------
+# Built by helpers because the suite entry composes the same statistic over
+# four columns; each helper mirrors quality/drift.py arithmetic exactly.
+
+_DRIFT_REF = "l_shipdate < TIMESTAMP '1997-01-01'"
+_DRIFT_CUR = "l_shipdate >= TIMESTAMP '1997-01-01'"
+
+
+def _psi_ctes(col: str) -> str:
+    return f"""
+        ref AS (SELECT CAST({col} AS DOUBLE) AS x FROM lineitem WHERE {_DRIFT_REF}),
+        cur AS (SELECT CAST({col} AS DOUBLE) AS x FROM lineitem WHERE {_DRIFT_CUR}),
+        edges AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM ref),
+        rb AS (
+          SELECT CASE WHEN x < mn THEN -1
+                      WHEN x > mx THEN 10
+                      WHEN mx = mn THEN 0
+                      ELSE LEAST(CAST(FLOOR((x - mn) / ((mx - mn) / 10.0)) AS INT), 9)
+                 END AS bin, COUNT(*) AS ref_cnt
+          FROM ref, edges WHERE x IS NOT NULL GROUP BY 1),
+        cb AS (
+          SELECT CASE WHEN x < mn THEN -1
+                      WHEN x > mx THEN 10
+                      WHEN mx = mn THEN 0
+                      ELSE LEAST(CAST(FLOOR((x - mn) / ((mx - mn) / 10.0)) AS INT), 9)
+                 END AS bin, COUNT(*) AS cur_cnt
+          FROM cur, edges WHERE x IS NOT NULL GROUP BY 1),
+        j AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                     COALESCE(ref_cnt, 0) AS ref_cnt,
+                     COALESCE(cur_cnt, 0) AS cur_cnt
+              FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+        t AS (SELECT SUM(ref_cnt) AS n_ref, SUM(cur_cnt) AS n_cur FROM j),
+        terms AS (SELECT bin,
+                         ROUND(ref_cnt / n_ref, 6) AS ref_frac,
+                         ROUND(cur_cnt / n_cur, 6) AS cur_frac,
+                         ROUND((cur_cnt / n_cur - ref_cnt / n_ref)
+                               * LN(GREATEST(cur_cnt / n_cur, 0.000001)
+                                    / GREATEST(ref_cnt / n_ref, 0.000001)),
+                               6) AS psi_term
+                  FROM j, t)
+    """
+
+
+def _ks_ctes(col: str) -> str:
+    return f"""
+        ref AS (SELECT CAST({col} AS DOUBLE) AS x FROM lineitem WHERE {_DRIFT_REF}),
+        cur AS (SELECT CAST({col} AS DOUBLE) AS x FROM lineitem WHERE {_DRIFT_CUR}),
+        r AS (SELECT x AS v, COUNT(*) AS rc FROM ref WHERE x IS NOT NULL GROUP BY 1),
+        c AS (SELECT x AS v, COUNT(*) AS cc FROM cur WHERE x IS NOT NULL GROUP BY 1),
+        m AS (SELECT COALESCE(r.v, c.v) AS v,
+                     COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+              FROM r FULL OUTER JOIN c ON r.v = c.v),
+        t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM m),
+        s AS (SELECT SUM(rc) OVER (ORDER BY v) AS ca,
+                     SUM(cc) OVER (ORDER BY v) AS cb FROM m)
+    """
+
+
+def _chi2_ctes(col: str) -> str:
+    return f"""
+        tagged AS (
+          SELECT CAST({col} AS VARCHAR) AS cat, 1 AS is_ref
+          FROM lineitem WHERE {_DRIFT_REF}
+          UNION ALL
+          SELECT CAST({col} AS VARCHAR) AS cat, 0 AS is_ref
+          FROM lineitem WHERE {_DRIFT_CUR}),
+        counts AS (SELECT cat, SUM(is_ref) AS rc, SUM(1 - is_ref) AS cc
+                   FROM tagged GROUP BY cat),
+        t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM counts),
+        terms AS (SELECT ROUND(
+            POWER(rc - (rc + cc) * n_ref / (n_ref + n_cur), 2)
+              / ((rc + cc) * n_ref / (n_ref + n_cur))
+          + POWER(cc - (rc + cc) * n_cur / (n_ref + n_cur), 2)
+              / ((rc + cc) * n_cur / (n_ref + n_cur)), 6) AS term
+          FROM counts, t)
+    """
+
+
+_KS_SELECT = """
+        SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6) AS ks_stat,
+               CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+        FROM s, t GROUP BY n_ref, n_cur
+"""
+
+_ALL_SQL.update(
+    {
+        "drift_psi_price": f"""
+            WITH {_psi_ctes('l_extendedprice')}
+            SELECT bin, ref_frac, cur_frac, psi_term,
+                   (SELECT ROUND(SUM(psi_term), 6) FROM terms) AS psi_total
+            FROM terms
+        """,
+        "drift_ks_quantity": f"""
+            WITH {_ks_ctes('l_quantity')}
+            {_KS_SELECT}
+        """,
+        "drift_chi2_returnflag": f"""
+            WITH {_chi2_ctes('l_returnflag')}
+            SELECT ROUND(SUM(term), 6) AS chi2,
+                   CAST(COUNT(*) - 1 AS INT) AS dof,
+                   CAST(COUNT(*) AS INT) AS n_categories
+            FROM terms
+        """,
+        "drift_suite": f"""
+            SELECT 'l_quantity' AS "column", 'psi' AS metric,
+                   (WITH {_psi_ctes('l_quantity')}
+                    SELECT ROUND(SUM(psi_term), 6) FROM terms) AS value
+            UNION ALL
+            SELECT 'l_quantity', 'ks',
+                   (WITH {_ks_ctes('l_quantity')}
+                    SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6)
+                    FROM s, t)
+            UNION ALL
+            SELECT 'l_extendedprice', 'psi',
+                   (WITH {_psi_ctes('l_extendedprice')}
+                    SELECT ROUND(SUM(psi_term), 6) FROM terms)
+            UNION ALL
+            SELECT 'l_extendedprice', 'ks',
+                   (WITH {_ks_ctes('l_extendedprice')}
+                    SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6)
+                    FROM s, t)
+            UNION ALL
+            SELECT 'l_returnflag', 'chi2',
+                   (WITH {_chi2_ctes('l_returnflag')}
+                    SELECT ROUND(SUM(term), 6) FROM terms)
+            UNION ALL
+            SELECT 'l_linestatus', 'chi2',
+                   (WITH {_chi2_ctes('l_linestatus')}
+                    SELECT ROUND(SUM(term), 6) FROM terms)
         """,
     }
 )

@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "corpus_domain_cap",
     "embed_semantic_dedup",
+    "drift_suite",
 ]
 
 

@@ -1,0 +1,314 @@
+"""Data-drift detection between two dataset snapshots.
+
+Batch-over-batch distribution shift is the monitoring question a 100-TB
+ingestion pipeline actually asks ("did yesterday's crawl change shape?").
+The reference's quality plane stops at single-snapshot rules
+(`/root/reference/src/quality/dq_engine.py:285-322` profiles one frame);
+drift is the natural two-snapshot extension, built here from the same
+one-pass-aggregation design style as the rule engine (SURVEY §2.10 note).
+
+Three classical statistics, each engine-exact (DuckDB replays the same
+arithmetic) and each scale-safe:
+
+- **PSI** (population stability index) over fixed-width bins derived
+  from the reference snapshot's exact min/max: two aggregations plus a
+  join over ≤ n_bins+2 rows. No sort, no sample.
+- **Two-sample KS statistic**, exact: per-value counts (one shuffle)
+  followed by the two-phase distributed prefix scan (the
+  `ops/packing.py::global_prefix_sum` pattern, generalized to carry both
+  sides' counts in one pass) — never a single-task global window, so the
+  CDF merge holds at full cardinality.
+- **Chi-square** for categoricals: one groupBy, pooled-expected terms.
+
+All outputs round to 6 decimals so cross-engine double comparison is
+hash-stable (SURVEY §7 hard part 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPS = 1e-6
+
+
+def psi_numeric(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin PSI terms between ``ref`` and ``cur`` for a numeric column.
+
+    Bin edges are fixed-width over the reference snapshot's [min, max]
+    (exact 1-row aggregate, broadcast into both binning projections —
+    no quantile sort). Current-snapshot values outside the reference
+    range land in explicit underflow (-1) / overflow (``n_bins``) bins,
+    so novel tails are visible instead of clamped away. Zero proportions
+    are floored at 1e-6 before the log (standard PSI smoothing).
+
+    Output: one row per occupied bin — ``bin``, ``ref_frac``,
+    ``cur_frac``, ``psi_term`` — plus the scalar Σ as ``psi_total`` on
+    every row (tall-plus-total keeps it one frame for the oracle).
+    Plan shape: 3 aggregations + one tiny join; nothing scales with rows
+    beyond the two scans.
+    """
+    edges = ref.agg(
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    )
+
+    def binned(df: DataFrame, cnt_name: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        w = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+        in_range_bin = F.least(
+            F.floor((x - F.col("mn")) / w).cast("int"), F.lit(n_bins - 1)
+        )
+        b = (
+            F.when(x < F.col("mn"), F.lit(-1))
+            .when(x > F.col("mx"), F.lit(n_bins))
+            .when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(in_range_bin)
+        )
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .where(x.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    r = binned(ref, "ref_cnt")
+    c = binned(cur, "cur_cnt")
+    joined = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+        F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+    )
+    totals = joined.agg(
+        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+    )
+    terms = joined.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        F.round(F.col("ref_cnt") / F.col("n_ref"), 6).alias("ref_frac"),
+        F.round(F.col("cur_cnt") / F.col("n_cur"), 6).alias("cur_frac"),
+        F.round(
+            (F.col("cur_cnt") / F.col("n_cur") - F.col("ref_cnt") / F.col("n_ref"))
+            * F.log(
+                F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(_EPS))
+                / F.greatest(F.col("ref_cnt") / F.col("n_ref"), F.lit(_EPS))
+            ),
+            6,
+        ).alias("psi_term"),
+    )
+    total = terms.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    return terms.crossJoin(F.broadcast(total))
+
+
+def _dual_prefix_scan(
+    df: DataFrame, order_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """Inclusive running totals of two count columns over ``order_col``.
+
+    The `global_prefix_sum` two-phase pattern (range partition →
+    per-partition subtotal collect → broadcast offsets + local window),
+    carrying both columns through ONE repartition instead of two
+    independent scans. ``order_col`` values must be unique (they are:
+    callers pass grouped-by-value frames).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n_parts = max(
+        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    ranged = df.repartitionByRange(n_parts, F.col(order_col))
+    # persist before the subtotal collect: range boundaries come from a
+    # sample, so re-evaluating lineage could re-partition differently
+    # than the job the offsets were computed from (see packing.py)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    subtotals = (
+        with_pid.groupBy("__pid")
+        .agg(
+            F.sum(F.col(a_col)).alias("__sa"),
+            F.sum(F.col(b_col)).alias("__sb"),
+        )
+        .collect()
+    )
+    offsets, acc_a, acc_b = [], 0, 0
+    for row in sorted(subtotals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc_a, acc_b))
+        acc_a += row["__sa"] or 0
+        acc_b += row["__sb"] or 0
+    if not offsets:
+        return df.withColumn("__ca", F.lit(0).cast("long")).withColumn(
+            "__cb", F.lit(0).cast("long")
+        )
+    off = spark.createDataFrame(offsets, "__pid int, __oa long, __ob long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn("__la", F.sum(F.col(a_col)).over(w))
+        .withColumn("__lb", F.sum(F.col(b_col)).over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn("__ca", (F.col("__la") + F.col("__oa")).cast("long"))
+        .withColumn("__cb", (F.col("__lb") + F.col("__ob")).cast("long"))
+        .drop("__pid", "__la", "__lb", "__oa", "__ob")
+    )
+
+
+def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic.
+
+    D = max over the pooled support of |F_ref(x) − F_cur(x)|. Both
+    empirical CDFs are step functions constant between pooled sample
+    points, so evaluating at each distinct value (post-jump) covers the
+    supremum exactly.
+
+    Plan: per-value counts for each side (one shuffle each), full-outer
+    merge on value, then the dual prefix scan — cumulative counts without
+    a single-task global window, so the statistic stays exact at any
+    cardinality. Output: 1 row — ``ks_stat`` (6 dp), ``n_ref``, ``n_cur``.
+    """
+    x = F.col(col).cast("double")
+    r = ref.where(x.isNotNull()).groupBy(x.alias("v")).agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    c = cur.where(x.isNotNull()).groupBy(x.alias("v")).agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    merged = r.join(c, "v", "full_outer").select(
+        "v",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    scanned = _dual_prefix_scan(merged, "v", "rc", "cc")
+    totals = merged.agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    return (
+        scanned.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("__ca") / F.col("n_ref") - F.col("__cb") / F.col("n_cur")
+            ).alias("d"),
+            "n_ref",
+            "n_cur",
+        )
+        .groupBy("n_ref", "n_cur")
+        .agg(F.round(F.max("d"), 6).alias("ks_stat"))
+        .select("ks_stat", "n_ref", "n_cur")
+    )
+
+
+def chi_square_categorical(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Chi-square test statistic for categorical drift.
+
+    2×k contingency table (side × category), expected counts under the
+    pooled distribution, χ² = Σ (O−E)²/E over both rows. NULL categories
+    count as their own level (drift TO null is drift). One groupBy over
+    the tagged union; totals broadcast from a 1-row aggregate.
+
+    Output: 1 row — ``chi2`` (6 dp), ``dof`` (k−1), ``n_categories``.
+    """
+    tagged = ref.select(
+        F.col(col).cast("string").alias("cat"), F.lit(1).alias("is_ref")
+    ).unionByName(
+        cur.select(
+            F.col(col).cast("string").alias("cat"), F.lit(0).alias("is_ref")
+        )
+    )
+    counts = tagged.groupBy("cat").agg(
+        F.sum("is_ref").alias("rc"),
+        F.sum(1 - F.col("is_ref")).alias("cc"),
+    )
+    totals = counts.agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    terms = counts.crossJoin(F.broadcast(totals)).select(
+        F.round(
+            F.pow(
+                F.col("rc")
+                - (F.col("rc") + F.col("cc"))
+                * F.col("n_ref")
+                / (F.col("n_ref") + F.col("n_cur")),
+                2,
+            )
+            / (
+                (F.col("rc") + F.col("cc"))
+                * F.col("n_ref")
+                / (F.col("n_ref") + F.col("n_cur"))
+            )
+            + F.pow(
+                F.col("cc")
+                - (F.col("rc") + F.col("cc"))
+                * F.col("n_cur")
+                / (F.col("n_ref") + F.col("n_cur")),
+                2,
+            )
+            / (
+                (F.col("rc") + F.col("cc"))
+                * F.col("n_cur")
+                / (F.col("n_ref") + F.col("n_cur"))
+            ),
+            # round per-term BEFORE the final sum: the sum's float
+            # addition order is partitioning-dependent, rounded terms
+            # keep the statistic hash-stable across engines
+            6,
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.round(F.sum("term"), 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+        F.count(F.lit(1)).cast("int").alias("n_categories"),
+    )
+
+
+def drift_suite(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """All drift statistics for a snapshot pair as one tall frame.
+
+    One row per (column, metric): PSI total + KS per numeric column,
+    chi-square per categorical. Each metric is its own bounded-size
+    subplan; the union is over ≤ 2·|numeric| + |categorical| rows.
+    """
+    frames = []
+    for c in numeric_cols:
+        frames.append(
+            psi_numeric(ref, cur, c, n_bins)
+            .select("psi_total")
+            .distinct()
+            .select(
+                F.lit(c).alias("column"),
+                F.lit("psi").alias("metric"),
+                F.col("psi_total").cast("double").alias("value"),
+            )
+        )
+        frames.append(
+            ks_statistic(ref, cur, c).select(
+                F.lit(c).alias("column"),
+                F.lit("ks").alias("metric"),
+                F.col("ks_stat").cast("double").alias("value"),
+            )
+        )
+    for c in categorical_cols:
+        frames.append(
+            chi_square_categorical(ref, cur, c).select(
+                F.lit(c).alias("column"),
+                F.lit("chi2").alias("metric"),
+                F.col("chi2").cast("double").alias("value"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1,0 +1,102 @@
+"""Edge-case pins for the drift statistics (quality/drift.py).
+
+The differential suite proves lineitem-shaped parity vs DuckDB; these
+pin the degenerate shapes the testdata never produces: identical
+snapshots, disjoint supports, a constant reference column, NULLs, and
+the KS prefix scan's exactness against a closed-form value.
+"""
+
+from __future__ import annotations
+
+import math
+
+from metadata_etl_framework_spark.quality.drift import (
+    chi_square_categorical,
+    drift_suite,
+    ks_statistic,
+    psi_numeric,
+)
+
+
+def _df(spark, values, col="x"):
+    return spark.createDataFrame([(float(v),) for v in values], f"{col} double")
+
+
+def test_psi_identical_snapshots_is_zero(spark):
+    a = _df(spark, range(100))
+    out = psi_numeric(a, _df(spark, range(100)), "x", n_bins=5).collect()
+    assert all(r.psi_total == 0.0 for r in out)
+    assert all(r.psi_term == 0.0 for r in out)
+    # 5 in-range bins, no under/overflow rows
+    assert sorted(r.bin for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_psi_disjoint_ranges_all_overflow(spark):
+    ref = _df(spark, [0, 1, 2, 3])
+    cur = _df(spark, [100, 200])
+    rows = {r.bin: r for r in psi_numeric(ref, cur, "x", n_bins=4).collect()}
+    # every current row lands in the explicit overflow bin (n_bins)
+    assert rows[4].cur_frac == 1.0 and rows[4].ref_frac == 0.0
+    # overflow term: (1 - 0) * ln(1 / eps) = ln(1e6)
+    assert abs(rows[4].psi_term - round(math.log(1.0 / 1e-6), 6)) < 1e-9
+
+
+def test_psi_constant_reference_column(spark):
+    ref = _df(spark, [5, 5, 5])
+    cur = _df(spark, [5, 5])
+    rows = psi_numeric(ref, cur, "x", n_bins=10).collect()
+    assert [r.bin for r in rows] == [0]
+    assert rows[0].psi_total == 0.0
+
+
+def test_ks_identical_is_zero_and_disjoint_is_one(spark):
+    a = _df(spark, range(50))
+    assert ks_statistic(a, _df(spark, range(50)), "x").collect()[0].ks_stat == 0.0
+    d = ks_statistic(_df(spark, range(10)), _df(spark, range(100, 110)), "x")
+    row = d.collect()[0]
+    assert row.ks_stat == 1.0 and row.n_ref == 10 and row.n_cur == 10
+
+
+def test_ks_closed_form(spark):
+    # ref = {1,2,3,4}, cur = {3,4,5,6}: D = |F_ref - F_cur| peaks at x=2
+    # (ref CDF 0.5, cur CDF 0) and x=4 (1.0 vs 0.5) -> 0.5
+    ref = _df(spark, [1, 2, 3, 4])
+    cur = _df(spark, [3, 4, 5, 6])
+    assert ks_statistic(ref, cur, "x").collect()[0].ks_stat == 0.5
+
+
+def test_ks_ignores_nulls(spark):
+    ref = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    cur = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    row = ks_statistic(ref, cur, "x").collect()[0]
+    assert row.ks_stat == 0.0 and row.n_ref == 2 and row.n_cur == 2
+
+
+def test_chi2_identical_is_zero_null_is_a_level(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "c string")
+    a = mk([("a",), ("b",), (None,)])
+    out = chi_square_categorical(a, mk([("a",), ("b",), (None,)]), "c").collect()[0]
+    assert out.chi2 == 0.0
+    assert out.n_categories == 3  # NULL counts as its own category
+    assert out.dof == 2
+
+
+def test_chi2_total_shift(spark):
+    mk = lambda rows: spark.createDataFrame([(r,) for r in rows], "c string")
+    # complete separation, equal sizes: chi2 = N (both terms saturate)
+    out = chi_square_categorical(mk(["a"] * 10), mk(["b"] * 10), "c").collect()[0]
+    assert out.chi2 == 20.0 and out.n_categories == 2
+
+
+def test_drift_suite_shape(spark):
+    ref = spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b") for i in range(20)], "x double, c string"
+    )
+    cur = spark.createDataFrame(
+        [(float(i + 5), "a") for i in range(20)], "x double, c string"
+    )
+    rows = drift_suite(ref, cur, ["x"], ["c"]).collect()
+    got = {(r.column, r.metric) for r in rows}
+    assert got == {("x", "psi"), ("x", "ks"), ("c", "chi2")}
+    vals = {(r.column, r.metric): r.value for r in rows}
+    assert vals[("x", "ks")] > 0.0 and vals[("c", "chi2")] > 0.0
