@@ -2679,6 +2679,33 @@ def _drift_suite(spark, sf_dir):
     )
 
 
+def _curation_funnel(spark, sf_dir):
+    """Single-pass curation funnel over documents: five C4/Gopher-style
+    stages, per-stage survivors/drops/retention from ONE projection +
+    ONE aggregate (ops/curation.py::funnel_stats)."""
+    from metadata_etl_framework_spark.ops.curation import (
+        default_document_stages,
+        funnel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return funnel_stats(docs, default_document_stages())
+
+
+def _curation_funnel_docs(spark, sf_dir):
+    """Documents surviving the full default curation chain — one
+    conjunctive pushdown-eligible filter (ops/curation.py::apply_funnel)."""
+    from metadata_etl_framework_spark.ops.curation import (
+        apply_funnel,
+        default_document_stages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return apply_funnel(docs, default_document_stages()).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2851,6 +2878,8 @@ _EXTRA_KEYS = [
     "drift_ks_quantity",
     "drift_chi2_returnflag",
     "drift_suite",
+    "curation_funnel",
+    "curation_funnel_docs",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3015,6 +3044,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_ks_quantity": _drift_ks_quantity,
     "drift_chi2_returnflag": _drift_chi2_returnflag,
     "drift_suite": _drift_suite,
+    "curation_funnel": _curation_funnel,
+    "curation_funnel_docs": _curation_funnel_docs,
 }
 
 
@@ -5403,6 +5434,62 @@ _ALL_SQL.update(
             SELECT 'l_linestatus', 'chi2',
                    (WITH {_chi2_ctes('l_linestatus')}
                     SELECT ROUND(SUM(term), 6) FROM terms)
+        """,
+    }
+)
+
+
+# ---- curation-funnel oracles ----------------------------------------------
+# Masks mirror ops/curation.py::default_document_stages exactly.
+
+_FUNNEL_MASKS = """
+    d AS (SELECT doc_id, lang, source, n_chars,
+                 COALESCE(text, '') AS t FROM documents),
+    m AS (SELECT doc_id, lang, source, n_chars,
+      (LENGTH(t) >= 100) AS m1,
+      (LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(t), '\\s+')) <= 80) AS m2,
+      ((CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(t), '\\s+')) > 0
+             THEN LENGTH(REGEXP_REPLACE(TRIM(t), '\\s+', '', 'g'))
+                  / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(t), '\\s+'))
+             ELSE 0.0 END) <= 6.0) AS m3,
+      (NOT CONTAINS(t, 'dup')) AS m4,
+      (COALESCE(lang = 'en', FALSE)) AS m5
+     FROM d)
+"""
+
+_ALL_SQL.update(
+    {
+        "curation_funnel": f"""
+            WITH {_FUNNEL_MASKS},
+            a AS (SELECT COUNT(*) AS n,
+              SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS s1,
+              SUM(CASE WHEN m1 AND m2 THEN 1 ELSE 0 END) AS s2,
+              SUM(CASE WHEN m1 AND m2 AND m3 THEN 1 ELSE 0 END) AS s3,
+              SUM(CASE WHEN m1 AND m2 AND m3 AND m4 THEN 1 ELSE 0 END) AS s4,
+              SUM(CASE WHEN m1 AND m2 AND m3 AND m4 AND m5 THEN 1 ELSE 0 END) AS s5
+             FROM m),
+            stages(stage, stage_name, entering, surviving) AS (
+              SELECT 1, 'min_chars', n, s1 FROM a
+              UNION ALL SELECT 2, 'max_words', s1, s2 FROM a
+              UNION ALL SELECT 3, 'mean_word_len', s2, s3 FROM a
+              UNION ALL SELECT 4, 'no_dup_marker', s3, s4 FROM a
+              UNION ALL SELECT 5, 'lang', s4, s5 FROM a)
+            SELECT stage, stage_name,
+                   CAST(entering AS BIGINT) AS entering,
+                   CAST(surviving AS BIGINT) AS surviving,
+                   CAST(entering - surviving AS BIGINT) AS dropped,
+                   ROUND(CASE WHEN entering > 0
+                              THEN surviving / entering ELSE 0.0 END, 6)
+                     AS retention,
+                   ROUND(CASE WHEN (SELECT n FROM a) > 0
+                              THEN surviving / (SELECT n FROM a)
+                              ELSE 0.0 END, 6) AS cumulative_retention
+            FROM stages
+        """,
+        "curation_funnel_docs": f"""
+            WITH {_FUNNEL_MASKS}
+            SELECT doc_id, lang, source, n_chars
+            FROM m WHERE m1 AND m2 AND m3 AND m4 AND m5
         """,
     }
 )

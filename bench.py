@@ -71,6 +71,7 @@ HEADLINE = [
     "corpus_domain_cap",
     "embed_semantic_dedup",
     "drift_suite",
+    "curation_funnel",
 ]
 
 
