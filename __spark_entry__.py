@@ -2706,6 +2706,24 @@ def _curation_funnel_docs(spark, sf_dir):
     )
 
 
+def _text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams with document frequency: one explode +
+    one groupBy + TakeOrderedAndProject (ops/text.py::top_ngrams)."""
+    from metadata_etl_framework_spark.ops.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20, id_col="doc_id")
+
+
+def _text_top_bigrams_by_source(spark, sf_dir):
+    """Top-5 bigrams per source: the per-group arm (row_number window
+    partitioned by source, deterministic lexicographic tie-break)."""
+    from metadata_etl_framework_spark.ops.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=5, group_col="source")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2880,6 +2898,8 @@ _EXTRA_KEYS = [
     "drift_suite",
     "curation_funnel",
     "curation_funnel_docs",
+    "text_top_bigrams",
+    "text_top_bigrams_by_source",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3046,6 +3066,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_suite": _drift_suite,
     "curation_funnel": _curation_funnel,
     "curation_funnel_docs": _curation_funnel_docs,
+    "text_top_bigrams": _text_top_bigrams,
+    "text_top_bigrams_by_source": _text_top_bigrams_by_source,
 }
 
 
@@ -5490,6 +5512,40 @@ _ALL_SQL.update(
             WITH {_FUNNEL_MASKS}
             SELECT doc_id, lang, source, n_chars
             FROM m WHERE m1 AND m2 AND m3 AND m4 AND m5
+        """,
+    }
+)
+
+
+_BIGRAM_CTES = r"""
+    tok AS (SELECT doc_id, source,
+                   LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                                  x -> LOWER(x)) AS t
+            FROM documents WHERE TRIM(COALESCE(text, '')) <> ''),
+    g AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS ngram
+          FROM tok, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)
+          WHERE LEN(t) >= 2)
+"""
+
+_ALL_SQL.update(
+    {
+        "text_top_bigrams": f"""
+            WITH {_BIGRAM_CTES}
+            SELECT ngram, COUNT(*) AS count,
+                   COUNT(DISTINCT doc_id) AS doc_freq
+            FROM g GROUP BY ngram
+            ORDER BY count DESC, ngram LIMIT 20
+        """,
+        "text_top_bigrams_by_source": f"""
+            WITH {_BIGRAM_CTES},
+            counts AS (SELECT source, ngram, COUNT(*) AS count
+                       FROM g GROUP BY source, ngram),
+            ranked AS (SELECT source, ngram, count,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                                 ORDER BY count DESC, ngram)
+                                AS rn
+                       FROM counts)
+            SELECT source, ngram, count FROM ranked WHERE rn <= 5
         """,
     }
 )

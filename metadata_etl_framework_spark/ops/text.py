@@ -294,6 +294,62 @@ def vocabulary(
     return counts
 
 
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+    lowercase: bool = True,
+    id_col: str | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Most frequent word n-grams — corpus-wide or per ``group_col``.
+
+    The n-gram extension of :func:`vocabulary`: ALL occurrences count
+    (unlike :func:`metadata_etl_framework_spark.ops.dedup.shingles`,
+    which is a distinct set), so the output is the corpus n-gram
+    frequency table a tokenizer-merges / phrase-mining / contamination
+    triage pass starts from. With ``id_col`` the result adds
+    ``doc_freq`` (distinct documents containing the n-gram).
+
+    Plan: one explode → one groupBy (map-side partial counts).
+    Corpus-wide top-k is a TakeOrderedAndProject (no global sort);
+    per-group top-k is a row_number window partitioned by the group.
+    Ties break lexicographically (deterministic).
+    """
+    toks = tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+    cols = []
+    if group_col:
+        cols.append(F.col(group_col))
+    if id_col:
+        cols.append(F.col(id_col))
+    ex = _spread(df).select(*cols, F.explode(grams).alias("ngram"))
+
+    keys = ([group_col] if group_col else []) + ["ngram"]
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if id_col:
+        aggs.append(F.countDistinct(F.col(id_col)).alias("doc_freq"))
+    counts = ex.groupBy(*keys).agg(*aggs)
+
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("count"), F.col("ngram")
+        )
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank")
+        )
+    return counts.orderBy(F.desc("count"), F.col("ngram")).limit(k)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

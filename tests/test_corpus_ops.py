@@ -463,3 +463,31 @@ def test_semantic_dedup_transitive_closure_and_singletons(spark):
     assert out[2] == (1, False)
     assert out[3] == (1, False)
     assert out[4] == (4, True)
+
+
+def test_top_ngrams_counts_all_occurrences(spark):
+    from metadata_etl_framework_spark.ops.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "s1"), (2, "a b c", "s2"), (3, "", "s1"), (4, None, "s2")],
+        "doc_id int, text string, source string",
+    )
+    rows = {r.ngram: r for r in top_ngrams(docs, k=10, id_col="doc_id").collect()}
+    # "a b" occurs twice in doc 1 (occurrences, not a distinct shingle set)
+    assert rows["a b"]["count"] == 3 and rows["a b"].doc_freq == 2
+    assert rows["b a"]["count"] == 1
+    assert rows["b c"]["count"] == 1
+    # empty / NULL text contribute nothing
+    assert len(rows) == 3
+
+
+def test_top_ngrams_per_group_k(spark):
+    from metadata_etl_framework_spark.ops.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y", "s1"), (2, "p q", "s2")],
+        "doc_id int, text string, source string",
+    )
+    out = top_ngrams(docs, k=1, group_col="source").collect()
+    got = {(r.source, r.ngram) for r in out}
+    assert got == {("s1", "x y"), ("s2", "p q")}
