@@ -2724,6 +2724,34 @@ def _text_top_bigrams_by_source(spark, sf_dir):
     return top_ngrams(docs, n=2, k=5, group_col="source")
 
 
+def _corpus_curriculum_order(spark, sf_dir):
+    """Quality-curriculum ordering: composite quality score, then the
+    EXACT global rank via the two-phase range scan
+    (ops/packing.py::global_row_number) — never a partitionless
+    single-task window. doc_id breaks ties deterministically."""
+    from metadata_etl_framework_spark.ops.corpus import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(docs).select(
+        "doc_id", "quality_score", "curriculum_pos"
+    )
+
+
+def _orders_global_rank(spark, sf_dir):
+    """global_row_number on a non-document table: orders ranked by
+    (o_totalprice desc, o_orderkey) — the generic scale-safe ROW_NUMBER
+    primitive vs the oracle's plain window."""
+    from metadata_etl_framework_spark.ops.packing import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return global_row_number(
+        orders, [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        out="price_rank",
+    )
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2900,6 +2928,8 @@ _EXTRA_KEYS = [
     "curation_funnel_docs",
     "text_top_bigrams",
     "text_top_bigrams_by_source",
+    "corpus_curriculum_order",
+    "orders_global_rank",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3068,6 +3098,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel_docs": _curation_funnel_docs,
     "text_top_bigrams": _text_top_bigrams,
     "text_top_bigrams_by_source": _text_top_bigrams_by_source,
+    "corpus_curriculum_order": _corpus_curriculum_order,
+    "orders_global_rank": _orders_global_rank,
 }
 
 
@@ -5546,6 +5578,27 @@ _ALL_SQL.update(
                                 AS rn
                        FROM counts)
             SELECT source, ngram, count FROM ranked WHERE rn <= 5
+        """,
+    }
+)
+
+
+_ALL_SQL.update(
+    {
+        # the scored CTE reuses the quality-score oracle verbatim, so the
+        # curriculum oracle can never drift from the score definition
+        "corpus_curriculum_order": f"""
+            WITH scored AS ({_ALL_SQL['text_quality_score']})
+            SELECT doc_id, quality_score,
+                   ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id)
+                     AS curriculum_pos
+            FROM scored
+        """,
+        "orders_global_rank": """
+            SELECT o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                     AS price_rank
+            FROM orders
         """,
     }
 )

@@ -196,3 +196,39 @@ def domain_cap(
         .filter(F.col("__rank") <= cap)
         .drop("__u", "__tie")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+    out: str = "curriculum_pos",
+    descending: bool = True,
+) -> DataFrame:
+    """Curriculum position for every document: 1-based global rank by
+    quality (best first by default) — the ordering a quality-curriculum
+    training run feeds documents in.
+
+    Scores come from ``score_col`` if given, else from
+    :func:`metadata_etl_framework_spark.ops.text.quality_score`. The
+    global ordinal uses
+    :func:`metadata_etl_framework_spark.ops.packing.global_row_number`
+    (two-phase range scan), NOT a partitionless window — exact ranks
+    with no single-task bottleneck at corpus scale. ``id_col`` is the
+    unique tie-break, so the ordering is deterministic.
+    """
+    from .packing import global_row_number
+
+    if score_col is None:
+        from .text import quality_score
+
+        scored = quality_score(df, id_col=id_col, text_col=text_col)
+        score_col = "quality_score"
+    else:
+        scored = df
+    return global_row_number(
+        scored,
+        [(score_col, "desc" if descending else "asc"), (id_col, "asc")],
+        out=out,
+    )

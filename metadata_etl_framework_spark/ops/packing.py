@@ -94,6 +94,62 @@ def global_prefix_sum(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_by: "list[str | tuple[str, str]]",
+    out: str = "row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over an arbitrary multi-column order —
+    the scale-safe replacement for ``Window.orderBy(...)`` with no
+    partition key, which Spark executes as ONE task holding the whole
+    dataset. Same two-phase scan as :func:`global_prefix_sum`: range
+    partition on the sort order, per-partition row counts to the driver
+    (``numPartitions`` rows), broadcast offsets + a within-partition
+    row_number window.
+
+    ``order_by`` entries are column names (ascending) or
+    ``(name, "asc"|"desc")`` pairs. Equal keys land in the same range
+    partition, so the numbering is a valid row_number under ties — but
+    only DETERMINISTIC if the caller ends the order with a unique
+    tie-break column (same contract as SQL ROW_NUMBER).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    specs = [(c, "asc") if isinstance(c, str) else c for c in order_by]
+    sort_cols = [
+        F.col(c).asc() if d.lower() == "asc" else F.col(c).desc()
+        for c, d in specs
+    ]
+    if num_partitions is None:
+        num_partitions = max(
+            df.rdd.getNumPartitions(),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
+    ranged = df.repartitionByRange(num_partitions, *sort_cols)
+    # persist before the count collect — sampled range boundaries must
+    # not be recomputed differently in the final query (see
+    # global_prefix_sum)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__c"]
+    if not offsets:
+        return df.withColumn(out, F.lit(0).cast("long"))
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return (
+        with_pid.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(out, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,

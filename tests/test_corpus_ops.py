@@ -491,3 +491,40 @@ def test_top_ngrams_per_group_k(spark):
     out = top_ngrams(docs, k=1, group_col="source").collect()
     got = {(r.source, r.ngram) for r in out}
     assert got == {("s1", "x y"), ("s2", "p q")}
+
+
+def test_global_row_number_matches_window(spark):
+    from pyspark.sql import Window
+    from metadata_etl_framework_spark.ops.packing import global_row_number
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("key")
+    )
+    got = global_row_number(
+        df, [("key", "desc"), ("id", "asc")], out="rn", num_partitions=7
+    )
+    w = Window.orderBy(F.desc("key"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_global_row_number_empty(spark):
+    from metadata_etl_framework_spark.ops.packing import global_row_number
+
+    df = spark.range(0, 10).filter(F.lit(False))
+    assert global_row_number(df, ["id"]).count() == 0
+
+
+def test_curriculum_order_is_dense_and_quality_sorted(spark):
+    from metadata_etl_framework_spark.ops.corpus import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1), ) for i in range(40)],
+        "doc_id int, text string",
+    )
+    out = curriculum_order(docs).collect()
+    ranks = sorted(r.curriculum_pos for r in out)
+    assert ranks == list(range(1, 41))  # dense 1..n, no gaps or dups
+    by_rank = sorted(out, key=lambda r: r.curriculum_pos)
+    scores = [r.quality_score for r in by_rank]
+    assert scores == sorted(scores, reverse=True)  # best-first
