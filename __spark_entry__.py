@@ -2752,6 +2752,33 @@ def _orders_global_rank(spark, sf_dir):
     )
 
 
+def _multimodal_pair_filter(spark, sf_dir):
+    """LAION-style image↔caption alignment filter through the REAL
+    Arrow mapInPandas plumbing: synthetic PNG media (same IHDR
+    construction as multimodal_image_meta) paired with the document
+    text, scored by the deterministic md5 stand-in for CLIP
+    (ops/multimodal.py::filter_aligned_pairs), thresholded at 0.3."""
+    from metadata_etl_framework_spark.ops.multimodal import (
+        filter_aligned_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("caption"),
+        (F.lit(100) + F.col("doc_id") % 400).alias("_w"),
+        (F.lit(50) + F.col("doc_id") % 300).alias("_h"),
+    )
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        F.unhex(F.lpad(F.hex("_w"), 8, "0")),
+        F.unhex(F.lpad(F.hex("_h"), 8, "0")),
+        F.unhex(F.lit("0806000000")),
+    )
+    pairs = docs.select("doc_id", "caption", png.alias("media"))
+    kept = filter_aligned_pairs(pairs, threshold=0.3)
+    return kept.select("doc_id", "alignment_score")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2930,6 +2957,7 @@ _EXTRA_KEYS = [
     "text_top_bigrams_by_source",
     "corpus_curriculum_order",
     "orders_global_rank",
+    "multimodal_pair_filter",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3100,6 +3128,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_top_bigrams_by_source": _text_top_bigrams_by_source,
     "corpus_curriculum_order": _corpus_curriculum_order,
     "orders_global_rank": _orders_global_rank,
+    "multimodal_pair_filter": _multimodal_pair_filter,
 }
 
 
@@ -5599,6 +5628,25 @@ _ALL_SQL.update(
                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                      AS price_rank
             FROM orders
+        """,
+        # replays the mapInPandas md5 stand-in arithmetically: the PNG's
+        # uppercase hex is reconstructed from the same IHDR recipe
+        "multimodal_pair_filter": """
+            WITH pairs AS (
+              SELECT doc_id, COALESCE(text, '') AS caption,
+                     '89504E470D0A1A0A0000000D49484452'
+                       || LPAD(HEX(100 + doc_id % 400), 8, '0')
+                       || LPAD(HEX(50 + doc_id % 300), 8, '0')
+                       || '0806000000' AS mh
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     ROUND(CAST(CONCAT('0x', SUBSTRING(
+                               MD5(mh || '|' || caption), 1, 8)) AS BIGINT)
+                           / 4294967296.0, 9) AS alignment_score
+              FROM pairs)
+            SELECT doc_id, alignment_score
+            FROM scored WHERE alignment_score >= 0.3
         """,
     }
 )

@@ -311,3 +311,71 @@ def extract_video_metadata(df: DataFrame, media_col: str = "media") -> DataFrame
         ]
     )
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def pair_alignment_scores(
+    df: DataFrame,
+    media_col: str = "media",
+    caption_col: str = "caption",
+    out: str = "alignment_score",
+    model: "str | None" = None,
+) -> DataFrame:
+    """CLIP-style image↔caption alignment score per pair in [0, 1).
+
+    The Spark-side contract is real — Arrow-batched mapInPandas, schema
+    passthrough + one double column, partition-bounded memory — exactly
+    the shape a torch/ONNX CLIP runner drops into. With ``model=None``
+    (this container has no vision libs) the score is a DETERMINISTIC
+    fake both engines can replay: the first 8 hex digits of
+    ``md5(upper_hex(media) || '|' || caption)`` scaled to [0, 1),
+    rounded to 9 decimals — the same md5-uniform idiom as
+    ops/corpus.py::md5_uniform, applied to the (bytes, text) pair.
+
+    Passing a model name raises NotImplementedError with the batch
+    contract, mirroring the stub convention of :func:`image_features`.
+    """
+    if model is not None:
+        raise NotImplementedError(
+            "real CLIP scoring needs a vision runtime (torch/onnxruntime); "
+            "plug the model's forward pass into the mapInPandas body — "
+            "batches arrive as pandas DataFrames with raw bytes in "
+            f"'{media_col}' and text in '{caption_col}'"
+        )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def s(b: bytes, c: "str | None") -> float:
+                hexs = bytes(b or b"").hex().upper()
+                h = hashlib.md5(
+                    (hexs + "|" + (c or "")).encode("utf-8")
+                ).hexdigest()
+                return round(int(h[:8], 16) / 16 ** 8, 9)
+
+            pdf = pdf.copy()
+            pdf[out] = [
+                s(b, c) for b, c in zip(pdf[media_col], pdf[caption_col])
+            ]
+            yield pdf
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out} double"]
+    )
+    return df.mapInPandas(score, schema=out_schema)
+
+
+def filter_aligned_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    caption_col: str = "caption",
+    threshold: float = 0.3,
+    model: "str | None" = None,
+) -> DataFrame:
+    """Keep image-text pairs whose alignment score clears ``threshold``
+    (the LAION-style cosine-threshold curation step). Scoring + filter
+    stay one lazy plan; the filter runs on the mapInPandas output
+    stream, so dropped pairs never leave the executor."""
+    scored = pair_alignment_scores(
+        df, media_col=media_col, caption_col=caption_col, model=model
+    )
+    return scored.filter(F.col("alignment_score") >= F.lit(float(threshold)))

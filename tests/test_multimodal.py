@@ -174,3 +174,46 @@ def test_extract_video_metadata_mixed_payloads(spark):
     for bad_id in (2, 3):
         r = rows[bad_id]
         assert r.width is None and r.fps is None and r.n_frames is None
+
+
+def test_pair_alignment_scores_deterministic_and_bounded(spark):
+    import hashlib
+
+    from metadata_etl_framework_spark.ops.multimodal import (
+        pair_alignment_scores,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, b"\x89PNG", "a cat"), (2, b"", None), (3, b"\x00\x01", "dog")],
+        "doc_id int, media binary, caption string",
+    )
+    rows = {r.doc_id: r.alignment_score for r in pair_alignment_scores(pairs).collect()}
+    assert all(0.0 <= v < 1.0 for v in rows.values())
+
+    # row 1 must equal the closed-form md5 recipe
+    h = hashlib.md5((b"\x89PNG".hex().upper() + "|a cat").encode()).hexdigest()
+    assert rows[1] == round(int(h[:8], 16) / 16 ** 8, 9)
+    # NULL caption and empty media are well-defined, not errors
+    h2 = hashlib.md5(("" + "|").encode()).hexdigest()
+    assert rows[2] == round(int(h2[:8], 16) / 16 ** 8, 9)
+
+
+def test_filter_aligned_pairs_threshold_and_model_stub(spark):
+    import pytest
+
+    from metadata_etl_framework_spark.ops.multimodal import (
+        filter_aligned_pairs,
+        pair_alignment_scores,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, bytes([i]), f"cap{i}") for i in range(50)],
+        "doc_id int, media binary, caption string",
+    )
+    kept = filter_aligned_pairs(pairs, threshold=0.5)
+    assert all(r.alignment_score >= 0.5 for r in kept.collect())
+    n_all = pair_alignment_scores(pairs).count()
+    assert 0 < kept.count() < n_all  # threshold actually separates
+
+    with pytest.raises(NotImplementedError):
+        pair_alignment_scores(pairs, model="clip-vit-b32")
