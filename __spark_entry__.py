@@ -2779,6 +2779,21 @@ def _multimodal_pair_filter(spark, sf_dir):
     return kept.select("doc_id", "alignment_score")
 
 
+def _corpus_temperature_mix(spark, sf_dir):
+    """α=0.3 temperature-scaled source shares (XLM-R sampling rule)
+    composed with the mixing plan: scarce sources upweighted, fractions
+    sized so realized token counts hit the tempered shares exactly
+    (ops/text.py::temperature_weights → mixing_plan)."""
+    from metadata_etl_framework_spark.ops.text import (
+        mixing_plan,
+        temperature_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tw = temperature_weights(docs, alpha=0.3)
+    return mixing_plan(docs, tw.select("source", "share"))
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2958,6 +2973,7 @@ _EXTRA_KEYS = [
     "corpus_curriculum_order",
     "orders_global_rank",
     "multimodal_pair_filter",
+    "corpus_temperature_mix",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3129,6 +3145,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curriculum_order": _corpus_curriculum_order,
     "orders_global_rank": _orders_global_rank,
     "multimodal_pair_filter": _multimodal_pair_filter,
+    "corpus_temperature_mix": _corpus_temperature_mix,
 }
 
 
@@ -5628,6 +5645,37 @@ _ALL_SQL.update(
                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                      AS price_rank
             FROM orders
+        """,
+        "corpus_temperature_mix": r"""
+            WITH t AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')))
+                            AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), tot AS (SELECT SUM(n_tokens) AS N FROM t),
+            p AS (SELECT source,
+                         CAST(POWER(n_tokens / N, 0.3) AS DECIMAL(28,15))
+                           AS pd
+                  FROM t, tot),
+            z AS (SELECT SUM(pd) AS Z FROM p),
+            wn AS (SELECT source,
+                          ROUND(CAST(pd AS DOUBLE) / CAST(Z AS DOUBLE), 6)
+                            AS share
+                   FROM p, z),
+            j AS (SELECT t.source, t.n_docs, t.n_tokens, wn.share
+                  FROM t JOIN wn ON t.source = wn.source),
+            budget AS (SELECT MIN(n_tokens / share) AS T FROM j
+                       WHERE share > 0)
+            SELECT source, n_docs, n_tokens,
+                   ROUND(share, 6) AS target_share,
+                   ROUND(CASE WHEN n_tokens > 0
+                         THEN LEAST(1.0, share * T / n_tokens)
+                         ELSE 0.0 END, 6) AS sample_fraction,
+                   CAST(FLOOR((CASE WHEN n_tokens > 0
+                         THEN LEAST(1.0, share * T / n_tokens)
+                         ELSE 0.0 END) * n_tokens) AS BIGINT)
+                     AS expected_tokens
+            FROM j, budget
         """,
         # replays the mapInPandas md5 stand-in arithmetically: the PNG's
         # uppercase hex is reconstructed from the same IHDR recipe

@@ -557,6 +557,50 @@ def mixing_plan(
     )
 
 
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source shares: ``p_s ∝ (tokens_s / N)^α`` —
+    the XLM-R / mT5 multilingual sampling rule (α < 1 upweights scarce
+    sources, α = 1 reproduces natural proportions, α = 0 is uniform).
+
+    Output (source, n_tokens, natural_share, share) plugs straight into
+    :func:`mixing_plan` as its ``weights`` frame, so
+    ``mixing_plan(docs, temperature_weights(docs, 0.3))`` is the whole
+    tempered-mixture pipeline. One groupBy + two 1-row broadcasts; the
+    result is |sources| rows regardless of corpus size.
+
+    Shares round to 6 decimals; the per-term pow/normalize arithmetic is
+    plain double math replayable in SQL (differential-oracle convention).
+    """
+    tok = docs.groupBy(source_col).agg(
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens")
+    )
+    total = tok.agg(F.sum("n_tokens").alias("_N"))
+    # decimal-truncated pow terms: the normalizer SUM is then exact and
+    # order-independent (decimal accumulation parity convention)
+    powed = tok.crossJoin(F.broadcast(total)).select(
+        source_col,
+        "n_tokens",
+        (F.col("n_tokens") / F.col("_N")).alias("_nat"),
+        F.pow(F.col("n_tokens") / F.col("_N"), F.lit(float(alpha)))
+        .cast("decimal(28,15)")
+        .alias("_p"),
+    )
+    z = powed.agg(F.sum("_p").alias("_Z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_tokens",
+        F.round("_nat", 6).alias("natural_share"),
+        F.round(
+            F.col("_p").cast("double") / F.col("_Z").cast("double"), 6
+        ).alias("share"),
+    )
+
+
 def apply_mixing_plan(
     docs: DataFrame,
     plan: DataFrame,

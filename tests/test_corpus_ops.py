@@ -528,3 +528,25 @@ def test_curriculum_order_is_dense_and_quality_sorted(spark):
     by_rank = sorted(out, key=lambda r: r.curriculum_pos)
     scores = [r.quality_score for r in by_rank]
     assert scores == sorted(scores, reverse=True)  # best-first
+
+
+def test_temperature_weights_limits(spark):
+    from metadata_etl_framework_spark.ops.text import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 if i % 10 else 1000), "big" if i % 10 == 0 else "small")
+         for i in range(100)],
+        "doc_id int, text string, source string",
+    )
+    # alpha=1 reproduces natural shares
+    nat = {r.source: r for r in temperature_weights(docs, alpha=1.0).collect()}
+    assert all(abs(r.share - r.natural_share) <= 1e-6 for r in nat.values())
+    # alpha=0 is uniform
+    uni = {r.source: r.share for r in temperature_weights(docs, alpha=0.0).collect()}
+    assert all(abs(v - 0.5) <= 1e-6 for v in uni.values())
+    # alpha<1 upweights the scarce source relative to natural
+    t = {r.source: r for r in temperature_weights(docs, alpha=0.3).collect()}
+    assert t["small"].share > t["small"].natural_share
+    assert t["big"].share < t["big"].natural_share
+    # shares always normalize
+    assert abs(sum(r.share for r in t.values()) - 1.0) <= 2e-6
