@@ -278,23 +278,112 @@ def drift_suite(
     """All drift statistics for a snapshot pair as one tall frame.
 
     One row per (column, metric): PSI total + KS per numeric column,
-    chi-square per categorical. Each metric is its own bounded-size
-    subplan; the union is over ≤ 2·|numeric| + |categorical| rows.
+    chi-square per categorical. Values are bit-identical to the
+    standalone :func:`psi_numeric` / :func:`ks_statistic` /
+    :func:`chi_square_categorical` calls, but the plan is cheaper:
+    the snapshots are projected to the tested columns and persisted
+    once (two materialized scans total), and each numeric column makes
+    ONE data-pass — a tagged-union per-value count frame — from which
+    both its PSI (re-aggregated by bin: sums of exact integer counts)
+    and its KS (dual prefix scan) derive. Everything downstream of the
+    per-value frames touches only distinct values, never rows.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    cols = list(dict.fromkeys([*numeric_cols, *categorical_cols]))
+    ref = ref.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = cur.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     frames = []
     for c in numeric_cols:
-        frames.append(
-            psi_numeric(ref, cur, c, n_bins)
-            .select("psi_total")
-            .distinct()
+        x = F.col(c).cast("double")
+        tagged = ref.select(x.alias("v"), F.lit(1).alias("is_ref")).unionByName(
+            cur.select(x.alias("v"), F.lit(0).alias("is_ref"))
+        )
+        counts = (
+            tagged.where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(
+                F.sum("is_ref").alias("rc"),
+                F.sum(1 - F.col("is_ref")).alias("cc"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        # PSI re-derived from the count frame: bin sums of exact integer
+        # counts equal psi_numeric's per-row counts exactly
+        edges = counts.agg(
+            F.min(F.when(F.col("rc") > 0, F.col("v"))).alias("mn"),
+            F.max(F.when(F.col("rc") > 0, F.col("v"))).alias("mx"),
+        )
+        v = F.col("v")
+        w = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+        b = (
+            F.when(v < F.col("mn"), F.lit(-1))
+            .when(v > F.col("mx"), F.lit(n_bins))
+            .when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((v - F.col("mn")) / w).cast("int"),
+                    F.lit(n_bins - 1),
+                )
+            )
+        )
+        binned = (
+            counts.crossJoin(F.broadcast(edges))
+            .groupBy(b.alias("bin"))
+            .agg(
+                F.sum("rc").alias("ref_cnt"), F.sum("cc").alias("cur_cnt")
+            )
+        )
+        totals = binned.agg(
+            F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+        )
+        psi = (
+            binned.crossJoin(F.broadcast(totals))
             .select(
+                F.round(
+                    (
+                        F.col("cur_cnt") / F.col("n_cur")
+                        - F.col("ref_cnt") / F.col("n_ref")
+                    )
+                    * F.log(
+                        F.greatest(
+                            F.col("cur_cnt") / F.col("n_cur"), F.lit(_EPS)
+                        )
+                        / F.greatest(
+                            F.col("ref_cnt") / F.col("n_ref"), F.lit(_EPS)
+                        )
+                    ),
+                    6,
+                ).alias("psi_term")
+            )
+            .agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+        )
+        frames.append(
+            psi.select(
                 F.lit(c).alias("column"),
                 F.lit("psi").alias("metric"),
                 F.col("psi_total").cast("double").alias("value"),
             )
         )
+
+        # KS from the same count frame (ks_statistic's exact internals)
+        scanned = _dual_prefix_scan(counts, "v", "rc", "cc")
+        ktot = counts.agg(
+            F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+        )
+        ks = (
+            scanned.crossJoin(F.broadcast(ktot))
+            .select(
+                F.abs(
+                    F.col("__ca") / F.col("n_ref")
+                    - F.col("__cb") / F.col("n_cur")
+                ).alias("d")
+            )
+            .agg(F.round(F.max("d"), 6).alias("ks_stat"))
+        )
         frames.append(
-            ks_statistic(ref, cur, c).select(
+            ks.select(
                 F.lit(c).alias("column"),
                 F.lit("ks").alias("metric"),
                 F.col("ks_stat").cast("double").alias("value"),

@@ -195,3 +195,34 @@ def test_round5_ops_at_10x_docs(spark):
     new_b = big.filter(F.col("doc_id") < 10_000_000)
     seen = big.filter(F.col("doc_id") >= 10_000_000)
     _force(incremental_dedup(new_b, seen, threshold=0.5))
+
+
+def test_global_row_number_6m(spark, big):
+    """Exact dense global numbering over ~6M rows through the two-phase
+    range scan — max(rank) must equal the row count (no offset drift
+    across the sampled range partitioning)."""
+    from metadata_etl_framework_spark.ops.packing import global_row_number
+
+    keyed = big.select(
+        F.monotonically_increasing_id().alias("uid"), "l_extendedprice"
+    )
+    ranked = global_row_number(
+        keyed, [("l_extendedprice", "desc"), ("uid", "asc")], out="rn"
+    )
+    n = keyed.count()
+    agg = ranked.agg(
+        F.max("rn").alias("mx"),
+        F.countDistinct("rn").alias("dn"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).collect()[0]
+    assert agg.mx == n and agg.dn == n and agg.cnt == n
+
+
+def test_ks_statistic_6m(spark, big):
+    """KS over a ~6M-row split: identical halves must give D=0 — the
+    dual prefix scan's offsets stay consistent at scale."""
+    from metadata_etl_framework_spark.quality.drift import ks_statistic
+
+    row = ks_statistic(big, big, "l_extendedprice").collect()[0]
+    assert row.ks_stat == 0.0
+    assert row.n_ref == row.n_cur > 5_000_000
