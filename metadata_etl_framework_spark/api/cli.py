@@ -31,9 +31,14 @@ PIPELINE_TEMPLATE: dict[str, Any] = {
                 "aggregations": {"l_quantity": ["sum"]}}},
         ]}
     ],
-    # corpus-curation steps (documents tables): dedup -> quality_filter
-    # -> sample -> split, all deterministic; see operators/step_compiler
+    # corpus-curation steps (documents tables): filter_funnel -> dedup
+    # -> quality_filter -> sample -> split, all deterministic; a drift
+    # step compares the batch against a named reference source; see
+    # operators/step_compiler
     "curation_steps_example": [
+        {"type": "filter_funnel", "config": {"stages": [
+            {"name": "min_chars", "condition": "length(text) >= 100"},
+            {"name": "lang", "condition": "lang = 'en'"}]}},
         {"type": "dedup", "config": {"method": "near", "threshold": 0.8}},
         {"type": "quality_filter", "config": {"min_score": 0.5}},
         {"type": "sample", "config": {"mode": "weighted_k", "k": 10000,

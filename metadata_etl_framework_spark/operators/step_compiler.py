@@ -371,6 +371,47 @@ class TransformEngine:
             salt=str(cfg.get("salt", "")),
         )
 
+    def _filter_funnel(self, data, step, sources) -> DataFrame:
+        """Ordered curation filter chain as a config step
+        (ops/curation.py). Stages are [{name, condition}] with SQL-string
+        conditions (the metadata-driven form). mode: 'apply' (default)
+        returns survivors of the whole chain; 'stats' returns the
+        one-pass per-stage retention funnel instead."""
+        from metadata_etl_framework_spark.ops.curation import (
+            apply_funnel,
+            funnel_stats,
+        )
+
+        cfg = step.get("config", step)
+        raw = cfg.get("stages") or []
+        if not raw:
+            raise ValueError("filter_funnel step needs a non-empty 'stages' list")
+        stages = [(s["name"], s["condition"]) for s in raw]
+        if cfg.get("mode", "apply") == "stats":
+            return funnel_stats(data, stages)
+        return apply_funnel(data, stages)
+
+    def _drift(self, data, step, sources) -> DataFrame:
+        """Snapshot drift as a config step (quality/drift.py): the
+        reference frame comes from the source dict (``reference``
+        key), numeric/categorical column lists select the statistics;
+        returns the tall (column, metric, value) dashboard."""
+        from metadata_etl_framework_spark.quality.drift import drift_suite
+
+        cfg = step.get("config", step)
+        ref_name = cfg.get("reference")
+        if not ref_name or ref_name not in (sources or {}):
+            raise ValueError(
+                "drift step needs config.reference naming a source frame"
+            )
+        return drift_suite(
+            sources[ref_name],
+            data,
+            numeric_cols=list(cfg.get("numeric_columns", [])),
+            categorical_cols=list(cfg.get("categorical_columns", [])),
+            n_bins=int(cfg.get("n_bins", 10)),
+        )
+
     _HANDLERS: ClassVar[dict[str, Callable]] = {
         "filter": _filter,
         "map": _map,
@@ -387,4 +428,6 @@ class TransformEngine:
         "quality_filter": _quality_filter,
         "sample": _sample,
         "split": _split,
+        "filter_funnel": _filter_funnel,
+        "drift": _drift,
     }

@@ -278,3 +278,54 @@ def test_sample_and_split_steps(spark):
     by_doc = {r.doc_id: r.split for r in split.collect()}
     assert len({by_doc[i] for i in range(50)}) == 1  # cluster stays together
     assert set(by_doc.values()) <= {"train", "val", "test"}
+
+
+def test_filter_funnel_step_apply_and_stats(spark, people):
+    steps_apply = [{
+        "type": "filter_funnel",
+        "config": {"stages": [
+            {"name": "adults", "condition": "age >= 30"},
+            {"name": "well_paid", "condition": "salary > 60000"},
+        ]},
+    }]
+    out = _run(spark, {"people": people}, steps_apply, primary="people")
+    assert sorted(r.id for r in out.collect()) == [2, 4, 5]
+
+    steps_stats = [{
+        "type": "filter_funnel",
+        "config": {"mode": "stats", "stages": [
+            {"name": "adults", "condition": "age >= 30"},
+            {"name": "well_paid", "condition": "salary > 60000"},
+        ]},
+    }]
+    stats = {r.stage_name: r for r in
+             _run(spark, {"people": people}, steps_stats, primary="people").collect()}
+    assert (stats["adults"].entering, stats["adults"].surviving) == (5, 4)
+    assert (stats["well_paid"].entering, stats["well_paid"].surviving) == (4, 3)
+
+    with pytest.raises(ValueError, match="stages"):
+        _run(spark, {"people": people},
+             [{"type": "filter_funnel", "config": {}}], primary="people")
+
+
+def test_drift_step_against_reference_source(spark, people):
+    current = people.withColumn("salary", F.col("salary") * 2)
+    steps = [{
+        "type": "drift",
+        "config": {
+            "reference": "people",
+            "numeric_columns": ["salary"],
+            "categorical_columns": ["dept"],
+        },
+    }]
+    rows = {(r.column, r.metric): r.value for r in _run(
+        spark, {"people": people, "current": current}, steps, primary="current"
+    ).collect()}
+    assert rows[("salary", "ks")] > 0.5   # doubled salaries shift the CDF
+    assert rows[("dept", "chi2")] == 0.0  # categorical unchanged
+    assert ("salary", "psi") in rows
+
+    with pytest.raises(ValueError, match="reference"):
+        _run(spark, {"people": people},
+             [{"type": "drift", "config": {"numeric_columns": ["salary"]}}],
+             primary="people")
