@@ -2794,6 +2794,17 @@ def _corpus_temperature_mix(spark, sf_dir):
     return mixing_plan(docs, tw.select("source", "share"))
 
 
+def _drift_psi_by_week(spark, sf_dir):
+    """Temporal drift monitor: weekly PSI of the events value stream vs
+    the previous week on a global bin grid
+    (quality/drift.py::psi_by_period) — one groupBy(period, bin) is the
+    only row-scale shuffle."""
+    from metadata_etl_framework_spark.quality.drift import psi_by_period
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_by_period(ev, "ts", "value", period="week")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2974,6 +2985,7 @@ _EXTRA_KEYS = [
     "orders_global_rank",
     "multimodal_pair_filter",
     "corpus_temperature_mix",
+    "drift_psi_by_week",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3146,6 +3158,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_global_rank": _orders_global_rank,
     "multimodal_pair_filter": _multimodal_pair_filter,
     "corpus_temperature_mix": _corpus_temperature_mix,
+    "drift_psi_by_week": _drift_psi_by_week,
 }
 
 
@@ -5676,6 +5689,42 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "drift_psi_by_week": r"""
+            WITH d AS (
+              SELECT DATE_TRUNC('week', ts) AS period,
+                     CAST(value AS DOUBLE) AS x
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            edges AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d),
+            counts AS (
+              SELECT period,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE LEAST(CAST(FLOOR((x - mn) / ((mx - mn) / 10.0))
+                                          AS INT), 9)
+                     END AS bin,
+                     COUNT(*) AS c
+              FROM d, edges GROUP BY 1, 2),
+            periods AS (
+              SELECT period, CAST(SUM(c) AS BIGINT) AS n,
+                     ROW_NUMBER() OVER (ORDER BY period) AS idx
+              FROM counts GROUP BY period),
+            bins AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bin),
+            grid AS (SELECT p.period, p.idx, p.n, b.bin
+                     FROM periods p CROSS JOIN bins b),
+            fr AS (SELECT g.period, g.idx, g.n, g.bin,
+                          COALESCE(c.c, 0) / g.n AS f
+                   FROM grid g LEFT JOIN counts c
+                     ON c.period = g.period AND c.bin = g.bin),
+            pairs AS (
+              SELECT cur.period AS period, cur.n AS n,
+                     ROUND((cur.f - prev.f)
+                           * LN(GREATEST(cur.f, 0.000001)
+                                / GREATEST(prev.f, 0.000001)), 6) AS term
+              FROM fr cur JOIN fr prev
+                ON cur.idx = prev.idx + 1 AND cur.bin = prev.bin)
+            SELECT period, ROUND(SUM(term), 6) AS psi_vs_prev,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM pairs GROUP BY period, n
         """,
         # replays the mapInPandas md5 stand-in arithmetically: the PNG's
         # uppercase hex is reconstructed from the same IHDR recipe

@@ -268,6 +268,95 @@ def chi_square_categorical(ref: DataFrame, cur: DataFrame, col: str) -> DataFram
     )
 
 
+def psi_by_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "week",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Temporal drift: PSI of each time period against the PREVIOUS
+    observed period — the rolling stability monitor for an event/ingest
+    stream ("did this week's value distribution move?").
+
+    Bins are fixed-width over the GLOBAL min/max (one 1-row aggregate),
+    so every period is measured on the same grid and consecutive-period
+    comparisons are apples-to-apples. The only row-scale shuffle is one
+    groupBy(period, bin); everything after runs on the (periods × bins)
+    grid, which is completed (absent bins → frac 0) so the
+    consecutive-period join never loses mass. "Previous" means the
+    previous period with data — empty periods don't appear (documented;
+    a gap-detection op covers silence).
+
+    Output: one row per period except the first —
+    (period, psi_vs_prev, n_rows), 6-dp PSI with the standard 1e-6
+    smoothing. The dense period indexing runs a partitionless window
+    over the DISTINCT-period frame only (bounded by the calendar, not
+    the data).
+    """
+    x = F.col(value_col).cast("double")
+    p = F.date_trunc(period, F.col(ts_col))
+    d = df.where(x.isNotNull() & F.col(ts_col).isNotNull()).select(
+        p.alias("period"), x.alias("x")
+    )
+    edges = d.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    b = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / F.lit(float(n_bins)))
+            ).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    counts = (
+        d.crossJoin(F.broadcast(edges))
+        .groupBy(F.col("period"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    periods = (
+        counts.groupBy("period")
+        .agg(F.sum("c").alias("n"))
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("period")),
+        )
+    )
+    bins = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = periods.crossJoin(F.broadcast(bins))
+    fr = grid.join(counts, ["period", "bin"], "left").select(
+        "period",
+        "idx",
+        "n",
+        "bin",
+        (F.coalesce(F.col("c"), F.lit(0)) / F.col("n")).alias("f"),
+    )
+    cur, prev = fr.alias("cur"), fr.alias("prev")
+    pairs = cur.join(
+        prev,
+        (F.col("cur.idx") == F.col("prev.idx") + 1)
+        & (F.col("cur.bin") == F.col("prev.bin")),
+    ).select(
+        F.col("cur.period").alias("period"),
+        F.col("cur.n").alias("n"),
+        F.round(
+            (F.col("cur.f") - F.col("prev.f"))
+            * F.log(
+                F.greatest(F.col("cur.f"), F.lit(_EPS))
+                / F.greatest(F.col("prev.f"), F.lit(_EPS))
+            ),
+            6,
+        ).alias("term"),
+    )
+    return (
+        pairs.groupBy("period", "n")
+        .agg(F.round(F.sum("term"), 6).alias("psi_vs_prev"))
+        .select("period", "psi_vs_prev", F.col("n").cast("long").alias("n_rows"))
+    )
+
+
 def drift_suite(
     ref: DataFrame,
     cur: DataFrame,

@@ -100,3 +100,34 @@ def test_drift_suite_shape(spark):
     assert got == {("x", "psi"), ("x", "ks"), ("c", "chi2")}
     vals = {(r.column, r.metric): r.value for r in rows}
     assert vals[("x", "ks")] > 0.0 and vals[("c", "chi2")] > 0.0
+
+
+def test_psi_by_period_detects_shift(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.quality.drift import psi_by_period
+
+    rows = []
+    # three days: day1/day2 uniform over [0,100), day3 shifted to [200,300)
+    for day, lo in ((1, 0), (2, 0), (3, 200)):
+        rows += [
+            (datetime(2024, 3, day, 10, 0, 0), float(lo + i)) for i in range(100)
+        ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.period.day: r for r in psi_by_period(df, "ts", "value", "day").collect()}
+    assert set(out) == {2, 3}  # first observed period has no predecessor
+    assert out[2].psi_vs_prev == 0.0        # identical distributions
+    assert out[3].psi_vs_prev > 5.0         # total shift on the global grid
+    assert out[3].n_rows == 100
+
+
+def test_psi_by_period_skips_empty_periods(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.quality.drift import psi_by_period
+
+    rows = [(datetime(2024, 3, 1), 1.0), (datetime(2024, 3, 9), 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = psi_by_period(df, "ts", "value", "day").collect()
+    # gap days don't exist; the two observed days compare directly
+    assert len(out) == 1 and out[0].psi_vs_prev == 0.0
