@@ -490,3 +490,46 @@ def drift_suite(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def schema_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Structural drift between two snapshots: columns added, removed,
+    type-changed, or nullability-changed. Pure metadata comparison
+    (StructType vs StructType — no job runs); the result is a tiny
+    frame so it unions into the same monitoring sink as the value-drift
+    statistics.
+
+    Output: (column, change, ref_type, cur_type) with change ∈
+    {added, removed, type_changed, nullability_changed}; empty when the
+    schemas agree. Extends the reference's single-snapshot
+    validate_schema (`src/transform/transform_engine.py:305-313`) to
+    the two-snapshot monitoring question.
+    """
+    rf = {f.name: f for f in ref.schema.fields}
+    cf = {f.name: f for f in cur.schema.fields}
+    rows: list[tuple[str, str, "str | None", "str | None"]] = []
+    for name in cf:
+        if name not in rf:
+            rows.append((name, "added", None, cf[name].dataType.simpleString()))
+    for name in rf:
+        if name not in cf:
+            rows.append((name, "removed", rf[name].dataType.simpleString(), None))
+    for name in rf:
+        if name in cf:
+            rt, ct = rf[name].dataType, cf[name].dataType
+            if rt != ct:
+                rows.append(
+                    (name, "type_changed", rt.simpleString(), ct.simpleString())
+                )
+            elif rf[name].nullable != cf[name].nullable:
+                rows.append(
+                    (
+                        name,
+                        "nullability_changed",
+                        f"nullable={rf[name].nullable}",
+                        f"nullable={cf[name].nullable}",
+                    )
+                )
+    return ref.sparkSession.createDataFrame(
+        rows, "column string, change string, ref_type string, cur_type string"
+    )

@@ -131,3 +131,23 @@ def test_psi_by_period_skips_empty_periods(spark):
     out = psi_by_period(df, "ts", "value", "day").collect()
     # gap days don't exist; the two observed days compare directly
     assert len(out) == 1 and out[0].psi_vs_prev == 0.0
+
+
+def test_schema_drift_all_change_kinds(spark):
+    from metadata_etl_framework_spark.quality.drift import schema_drift
+
+    ref = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, bal double")
+    cur = spark.createDataFrame([(1, 2, "x")], "id int, bal bigint, extra string")
+    got = {(r.column, r.change): (r.ref_type, r.cur_type)
+           for r in schema_drift(ref, cur).collect()}
+    assert got[("extra", "added")] == (None, "string")
+    assert got[("name", "removed")] == ("string", None)
+    assert got[("bal", "type_changed")] == ("double", "bigint")
+    assert ("id", "type_changed") not in got
+
+
+def test_schema_drift_identical_is_empty(spark):
+    from metadata_etl_framework_spark.quality.drift import schema_drift
+
+    df = spark.createDataFrame([(1,)], "id int")
+    assert schema_drift(df, df).count() == 0
