@@ -2805,6 +2805,16 @@ def _drift_psi_by_week(spark, sf_dir):
     return psi_by_period(ev, "ts", "value", period="week")
 
 
+def _events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over events
+    (ops/retention.py::cohort_retention): first-event cohorts, exact
+    day-arithmetic offsets, counts on the calendar² grid."""
+    from metadata_etl_framework_spark.ops.retention import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -2986,6 +2996,7 @@ _EXTRA_KEYS = [
     "multimodal_pair_filter",
     "corpus_temperature_mix",
     "drift_psi_by_week",
+    "events_cohort_retention",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3159,6 +3170,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_pair_filter": _multimodal_pair_filter,
     "corpus_temperature_mix": _corpus_temperature_mix,
     "drift_psi_by_week": _drift_psi_by_week,
+    "events_cohort_retention": _events_cohort_retention,
 }
 
 
@@ -5689,6 +5701,27 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "events_cohort_retention": r"""
+            WITH p AS (
+              SELECT user_id AS "user", DATE_TRUNC('week', ts) AS ap
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            firsts AS (SELECT "user", MIN(ap) AS cohort
+                       FROM p GROUP BY "user"),
+            act AS (SELECT DISTINCT "user", ap FROM p),
+            j AS (SELECT a."user", f.cohort,
+                         CAST(FLOOR(DATEDIFF('day', f.cohort, a.ap) / 7.0)
+                              AS INT) AS period_offset
+                  FROM act a JOIN firsts f ON a."user" = f."user"),
+            sizes AS (SELECT cohort, COUNT(*) AS cohort_size
+                      FROM firsts GROUP BY cohort)
+            SELECT j.cohort, j.period_offset,
+                   COUNT(DISTINCT j."user") AS active_users,
+                   s.cohort_size,
+                   ROUND(COUNT(DISTINCT j."user") / s.cohort_size, 6)
+                     AS retention_rate
+            FROM j JOIN sizes s ON j.cohort = s.cohort
+            GROUP BY j.cohort, j.period_offset, s.cohort_size
         """,
         "drift_psi_by_week": r"""
             WITH d AS (

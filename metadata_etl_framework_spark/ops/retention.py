@@ -1,0 +1,75 @@
+"""Cohort retention analysis over event streams.
+
+The standard activity-retention matrix: users are cohorted by the
+period of their first event; each later period they are active counts
+toward that cohort's retention. Completes the event-analytics family
+(funnel `ops/funnel.py`, sessionization `streaming/windows.py`) —
+beyond the reference's surface, but the query an analytics engine over
+an events table is inevitably asked.
+
+Plan shape at scale: one shuffle keyed on the user (first-period
+aggregate), one distinct over (user, period) riding the same key, a
+user-keyed join, then a groupBy on the (cohort, offset) grid — bounded
+by calendar², not data. No windows, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PERIOD_DAYS = {"day": 1, "week": 7}
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Retention matrix: (cohort, period_offset, active_users,
+    cohort_size, retention_rate).
+
+    ``cohort`` is the ``period``-truncated timestamp of the user's first
+    event; ``period_offset`` counts periods since the cohort period
+    (0 = the cohort period itself, so offset 0 retention is 1.0 by
+    construction). ``period`` ∈ {day, week, month}: day/week offsets are
+    exact day arithmetic (floor(days/len)); month uses calendar
+    months_between on truncated months (integral by construction).
+    Rates round to 6 decimals (cross-engine hash convention).
+    """
+    if period not in (*_PERIOD_DAYS, "month"):
+        raise ValueError("period must be one of day, week, month")
+    p = F.date_trunc(period, F.col(ts_col))
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(F.col(user_col).alias("user"), p.alias("ap"))
+    firsts = base.groupBy("user").agg(F.min("ap").alias("cohort"))
+    act = base.distinct()
+    j = act.join(firsts, "user")
+    if period == "month":
+        off = F.round(F.months_between(F.col("ap"), F.col("cohort"))).cast(
+            "int"
+        )
+    else:
+        days = _PERIOD_DAYS[period]
+        off = F.floor(
+            F.datediff(F.col("ap"), F.col("cohort")) / F.lit(days)
+        ).cast("int")
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        j.groupBy("cohort", off.alias("period_offset"))
+        .agg(F.countDistinct("user").alias("active_users"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
+    )

@@ -550,3 +550,37 @@ def test_temperature_weights_limits(spark):
     assert t["big"].share < t["big"].natural_share
     # shares always normalize
     assert abs(sum(r.share for r in t.values()) - 1.0) <= 2e-6
+
+
+def test_cohort_retention_closed_form(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.retention import cohort_retention
+
+    # cohort A (week of Mar 4 2024): users 1,2 — user 1 returns next week
+    # cohort B (week of Mar 11): user 3 only
+    rows = [
+        (1, datetime(2024, 3, 4)), (2, datetime(2024, 3, 5)),
+        (1, datetime(2024, 3, 12)),                      # retained
+        (1, datetime(2024, 3, 12, 9)),                   # dup activity, 1 user
+        (3, datetime(2024, 3, 13)),
+        (None, datetime(2024, 3, 4)), (4, None),         # dropped rows
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort.day, r.period_offset): (r.active_users, r.cohort_size,
+                                             r.retention_rate)
+           for r in cohort_retention(df, period="week").collect()}
+    assert got[(4, 0)] == (2, 2, 1.0)    # cohort A, week 0: both active
+    assert got[(4, 1)] == (1, 2, 0.5)    # cohort A, week 1: user 1 only
+    assert got[(11, 0)] == (1, 1, 1.0)   # cohort B
+    assert len(got) == 3
+
+
+def test_cohort_retention_rejects_bad_period(spark):
+    import pytest as _pytest
+
+    from metadata_etl_framework_spark.ops.retention import cohort_retention
+
+    df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
+    with _pytest.raises(ValueError):
+        cohort_retention(df, period="hour")
