@@ -240,3 +240,47 @@ def test_quality_score_runs_on_streams(spark_mod, tmp_path):
     expect = {r.doc_id: r.quality_score
               for r in quality_score(spark.read.parquet(src)).collect()}
     assert got == expect and len(got) == 3
+
+
+def test_drift_suite_in_foreach_batch(spark_mod, tmp_path):
+    """Drift monitoring on a stream: drift_suite is multi-aggregation
+    (not directly stream-expressible), so the streaming arm runs it per
+    micro-batch under foreachBatch against a static reference — the
+    canonical pattern for monitoring statistics. Each batch's numbers
+    must equal the batch-mode computation on the same rows."""
+    from metadata_etl_framework_spark.quality.drift import drift_suite
+
+    spark = spark_mod
+    src = str(tmp_path / "ev")
+    ref = spark.createDataFrame(
+        [(float(i % 50), "a" if i % 2 else "b") for i in range(200)],
+        "value double, kind string",
+    )
+    cur_rows = [(float(i % 50 + 10), "a") for i in range(100)]
+    spark.createDataFrame(cur_rows, "value double, kind string") \
+        .coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    results = []
+
+    def per_batch(batch_df, batch_id):
+        rows = drift_suite(ref, batch_df, ["value"], ["kind"]).collect()
+        results.extend((r.column, r.metric, r.value) for r in rows)
+
+    stream = streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expect = {
+        (r.column, r.metric): r.value
+        for r in drift_suite(
+            ref, spark.read.parquet(src), ["value"], ["kind"]
+        ).collect()
+    }
+    assert {(c, m): v for c, m, v in results} == expect
+    assert expect[("value", "ks")] > 0.0
