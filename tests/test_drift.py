@@ -151,3 +151,45 @@ def test_schema_drift_identical_is_empty(spark):
 
     df = spark.createDataFrame([(1,)], "id int")
     assert schema_drift(df, df).count() == 0
+
+
+def _py_ks(a, b):
+    """Pure-Python two-sample KS (independent reference implementation)."""
+    import bisect
+
+    sa, sb = sorted(a), sorted(b)
+    best = 0.0
+    for x in set(a) | set(b):
+        fa = bisect.bisect_right(sa, x) / len(sa)
+        fb = bisect.bisect_right(sb, x) / len(sb)
+        best = max(best, abs(fa - fb))
+    return round(best, 6)
+
+
+def test_ks_matches_python_reference_randomized(spark):
+    import random
+
+    from metadata_etl_framework_spark.quality.drift import ks_statistic
+
+    rng = random.Random(42)
+    for trial in range(5):
+        a = [round(rng.gauss(0, 1), 3) for _ in range(rng.randint(5, 300))]
+        b = [round(rng.gauss(rng.uniform(-1, 1), 1.5), 3)
+             for _ in range(rng.randint(5, 300))]
+        got = ks_statistic(_df(spark, a), _df(spark, b), "x").collect()[0]
+        assert got.ks_stat == _py_ks(a, b), f"trial {trial}"
+        assert 0.0 <= got.ks_stat <= 1.0
+
+
+def test_psi_total_is_nonnegative_randomized(spark):
+    import random
+
+    from metadata_etl_framework_spark.quality.drift import psi_numeric
+
+    rng = random.Random(7)
+    for _ in range(3):
+        a = [round(rng.uniform(0, 100), 2) for _ in range(200)]
+        b = [round(rng.uniform(20, 140), 2) for _ in range(200)]
+        rows = psi_numeric(_df(spark, a), _df(spark, b), "x").collect()
+        # PSI is a sum of KL-style terms: nonnegative up to 6dp rounding
+        assert rows[0].psi_total >= -1e-5 * len(rows)
