@@ -2655,6 +2655,17 @@ def _drift_ks_quantity(spark, sf_dir):
     return ks_statistic(ref, cur, "l_quantity")
 
 
+def _drift_emd_quantity(spark, sf_dir):
+    """Exact 1-D Wasserstein distance on l_quantity: per-value counts +
+    dual prefix scan + distributed LEAD (next-partition first value
+    piggybacked on the offset collect) — magnitude-aware drift in value
+    units (quality/drift.py::emd_1d)."""
+    from metadata_etl_framework_spark.quality.drift import emd_1d
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return emd_1d(ref, cur, "l_quantity")
+
+
 def _drift_chi2_returnflag(spark, sf_dir):
     """Chi-square drift statistic for the l_returnflag categorical."""
     from metadata_etl_framework_spark.quality.drift import (
@@ -2997,6 +3008,7 @@ _EXTRA_KEYS = [
     "corpus_temperature_mix",
     "drift_psi_by_week",
     "events_cohort_retention",
+    "drift_emd_quantity",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3171,6 +3183,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_temperature_mix": _corpus_temperature_mix,
     "drift_psi_by_week": _drift_psi_by_week,
     "events_cohort_retention": _events_cohort_retention,
+    "drift_emd_quantity": _drift_emd_quantity,
 }
 
 
@@ -5525,6 +5538,20 @@ _ALL_SQL.update(
         "drift_ks_quantity": f"""
             WITH {_ks_ctes('l_quantity')}
             {_KS_SELECT}
+        """,
+        "drift_emd_quantity": f"""
+            WITH {_ks_ctes('l_quantity')},
+            s2 AS (SELECT v,
+                          SUM(rc) OVER (ORDER BY v) AS ca,
+                          SUM(cc) OVER (ORDER BY v) AS cb,
+                          LEAD(v) OVER (ORDER BY v) AS nv
+                   FROM m)
+            SELECT ROUND(CAST(SUM(CAST(ABS(ca / n_ref - cb / n_cur)
+                                        * (nv - v) AS DECIMAL(28,12)))
+                              AS DOUBLE), 6) AS emd,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur
+            FROM s2, t WHERE nv IS NOT NULL GROUP BY n_ref, n_cur
         """,
         "drift_chi2_returnflag": f"""
             WITH {_chi2_ctes('l_returnflag')}

@@ -105,7 +105,11 @@ def psi_numeric(
 
 
 def _dual_prefix_scan(
-    df: DataFrame, order_col: str, a_col: str, b_col: str
+    df: DataFrame,
+    order_col: str,
+    a_col: str,
+    b_col: str,
+    with_next_start: bool = False,
 ) -> DataFrame:
     """Inclusive running totals of two count columns over ``order_col``.
 
@@ -114,6 +118,13 @@ def _dual_prefix_scan(
     carrying both columns through ONE repartition instead of two
     independent scans. ``order_col`` values must be unique (they are:
     callers pass grouped-by-value frames).
+
+    With ``with_next_start`` the output keeps ``__pid`` and adds
+    ``__next_start`` — the NEXT partition's first ``order_col`` value
+    (NULL for the globally last partition), piggybacked on the same
+    subtotal collect. Combined with a within-partition ``lead`` this
+    gives a scale-safe distributed LEAD over the global order (EMD
+    needs the gap to the next distinct value).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -133,31 +144,63 @@ def _dual_prefix_scan(
         .agg(
             F.sum(F.col(a_col)).alias("__sa"),
             F.sum(F.col(b_col)).alias("__sb"),
+            F.min(F.col(order_col)).alias("__mn"),
         )
         .collect()
     )
+    ordered = sorted(subtotals, key=lambda r: r["__pid"])
     offsets, acc_a, acc_b = [], 0, 0
-    for row in sorted(subtotals, key=lambda r: r["__pid"]):
-        offsets.append((row["__pid"], acc_a, acc_b))
+    for i, row in enumerate(ordered):
+        nxt = ordered[i + 1]["__mn"] if i + 1 < len(ordered) else None
+        offsets.append((row["__pid"], acc_a, acc_b, nxt))
         acc_a += row["__sa"] or 0
         acc_b += row["__sb"] or 0
     if not offsets:
-        return df.withColumn("__ca", F.lit(0).cast("long")).withColumn(
+        out = df.withColumn("__ca", F.lit(0).cast("long")).withColumn(
             "__cb", F.lit(0).cast("long")
         )
-    off = spark.createDataFrame(offsets, "__pid int, __oa long, __ob long")
+        if with_next_start:
+            out = out.withColumn("__pid", F.lit(0)).withColumn(
+                "__next_start", F.lit(None).cast("double")
+            )
+        return out
+    off = spark.createDataFrame(
+        offsets, "__pid int, __oa long, __ob long, __ns double"
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         with_pid.withColumn("__la", F.sum(F.col(a_col)).over(w))
         .withColumn("__lb", F.sum(F.col(b_col)).over(w))
         .join(F.broadcast(off), "__pid")
         .withColumn("__ca", (F.col("__la") + F.col("__oa")).cast("long"))
         .withColumn("__cb", (F.col("__lb") + F.col("__ob")).cast("long"))
-        .drop("__pid", "__la", "__lb", "__oa", "__ob")
+    )
+    if with_next_start:
+        return out.withColumnRenamed("__ns", "__next_start").drop(
+            "__la", "__lb", "__oa", "__ob"
+        )
+    return out.drop("__pid", "__la", "__lb", "__oa", "__ob", "__ns")
+
+
+def _merged_value_counts(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Per-distinct-value counts for both sides, full-outer merged:
+    (v, rc, cc). The shared first stage of every exact CDF-comparison
+    statistic (KS, EMD)."""
+    x = F.col(col).cast("double")
+    r = ref.where(x.isNotNull()).groupBy(x.alias("v")).agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    c = cur.where(x.isNotNull()).groupBy(x.alias("v")).agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    return r.join(c, "v", "full_outer").select(
+        "v",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
     )
 
 
@@ -174,18 +217,7 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     a single-task global window, so the statistic stays exact at any
     cardinality. Output: 1 row — ``ks_stat`` (6 dp), ``n_ref``, ``n_cur``.
     """
-    x = F.col(col).cast("double")
-    r = ref.where(x.isNotNull()).groupBy(x.alias("v")).agg(
-        F.count(F.lit(1)).alias("rc")
-    )
-    c = cur.where(x.isNotNull()).groupBy(x.alias("v")).agg(
-        F.count(F.lit(1)).alias("cc")
-    )
-    merged = r.join(c, "v", "full_outer").select(
-        "v",
-        F.coalesce("rc", F.lit(0)).alias("rc"),
-        F.coalesce("cc", F.lit(0)).alias("cc"),
-    )
+    merged = _merged_value_counts(ref, cur, col)
     scanned = _dual_prefix_scan(merged, "v", "rc", "cc")
     totals = merged.agg(
         F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
@@ -202,6 +234,42 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         .groupBy("n_ref", "n_cur")
         .agg(F.round(F.max("d"), 6).alias("ks_stat"))
         .select("ks_stat", "n_ref", "n_cur")
+    )
+
+
+def emd_1d(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the two
+    empirical distributions — the magnitude-aware complement to
+    :func:`ks_statistic` (KS says the CDFs differ; EMD says by how much
+    in value units): W₁ = ∫ |F_ref − F_cur| dx, integrated exactly over
+    the gaps between consecutive distinct values.
+
+    Plan: the shared per-value count merge, the dual prefix scan with
+    ``with_next_start`` (a scale-safe distributed LEAD: within-partition
+    lead + the next partition's first value piggybacked on the offsets
+    collect — never a partitionless window), then one decimal-exact sum
+    of |cumdiff|·gap terms. Output: 1 row — ``emd`` (6 dp), ``n_ref``,
+    ``n_cur``.
+    """
+    merged = _merged_value_counts(ref, cur, col)
+    scanned = _dual_prefix_scan(merged, "v", "rc", "cc", with_next_start=True)
+    totals = merged.agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    w = Window.partitionBy("__pid").orderBy("v")
+    next_v = F.coalesce(F.lead("v").over(w), F.col("__next_start"))
+    term = (
+        F.abs(F.col("__ca") / F.col("n_ref") - F.col("__cb") / F.col("n_cur"))
+        * (F.col("__nv") - F.col("v"))
+    )
+    return (
+        scanned.withColumn("__nv", next_v)  # window before WHERE (ANSI rule)
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("__nv").isNotNull())
+        .select(term.cast("decimal(28,12)").alias("t"), "n_ref", "n_cur")
+        .groupBy("n_ref", "n_cur")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("emd"))
+        .select("emd", "n_ref", "n_cur")
     )
 
 

@@ -193,3 +193,45 @@ def test_psi_total_is_nonnegative_randomized(spark):
         rows = psi_numeric(_df(spark, a), _df(spark, b), "x").collect()
         # PSI is a sum of KL-style terms: nonnegative up to 6dp rounding
         assert rows[0].psi_total >= -1e-5 * len(rows)
+
+
+def test_emd_closed_form_and_identity(spark):
+    from metadata_etl_framework_spark.quality.drift import emd_1d
+
+    # ref = {0,1}, cur = {1,2}: |F_ref-F_cur| is 0.5 on [0,1) and [1,2)
+    ref = _df(spark, [0, 1])
+    cur = _df(spark, [1, 2])
+    row = emd_1d(ref, cur, "x").collect()[0]
+    assert row.emd == 1.0 and row.n_ref == 2 and row.n_cur == 2
+
+    same = _df(spark, range(100))
+    assert emd_1d(same, _df(spark, range(100)), "x").collect()[0].emd == 0.0
+
+    # pure translation by +10: W1 equals the shift
+    assert emd_1d(_df(spark, range(50)),
+                  _df(spark, [v + 10 for v in range(50)]), "x"
+                  ).collect()[0].emd == 10.0
+
+
+def test_emd_matches_python_reference_randomized(spark):
+    import random
+
+    from metadata_etl_framework_spark.quality.drift import emd_1d
+
+    def py_emd(a, b):
+        vals = sorted(set(a) | set(b))
+        sa, sb = sorted(a), sorted(b)
+        import bisect
+        tot = 0.0
+        for v, nv in zip(vals, vals[1:]):
+            fa = bisect.bisect_right(sa, v) / len(sa)
+            fb = bisect.bisect_right(sb, v) / len(sb)
+            tot += abs(fa - fb) * (nv - v)
+        return round(tot, 6)
+
+    rng = random.Random(11)
+    for trial in range(4):
+        a = [round(rng.uniform(0, 50), 2) for _ in range(rng.randint(5, 200))]
+        b = [round(rng.uniform(10, 80), 2) for _ in range(rng.randint(5, 200))]
+        got = emd_1d(_df(spark, a), _df(spark, b), "x").collect()[0].emd
+        assert abs(got - py_emd(a, b)) <= 2e-6, f"trial {trial}"
