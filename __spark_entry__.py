@@ -2826,6 +2826,63 @@ def _events_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, period="week")
 
 
+def _events_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's latest
+    click/view at-or-before it within a 3-day lookback, via the
+    distributed as-of join (ops/attribution.py::attribute_conversions)."""
+    from metadata_etl_framework_spark.ops.attribution import (
+        attribute_conversions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = attribute_conversions(ev, lookback="3 days")
+    return out.select(
+        "conversion_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        "gap_seconds",
+    )
+
+
+def _events_attribution_first_touch(spark, sf_dir):
+    """First-touch (acquisition-credit) attribution: min_by per-user
+    earliest touch with a deterministic (ts, id) tie-break."""
+    from metadata_etl_framework_spark.ops.attribution import (
+        attribute_conversions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = attribute_conversions(ev, model="first_touch")
+    return out.select(
+        "conversion_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        "gap_seconds",
+    )
+
+
+def _events_rolling_active_users(spark, sf_dir):
+    """Exact 7-day rolling distinct active users per day: each (user,
+    day) activity contributes to the following window_days report days
+    (explode of a 7-element sequence), then countDistinct per day —
+    standard DAU/WAU machinery, no window-over-distinct."""
+    from metadata_etl_framework_spark.ops.retention import (
+        rolling_active_users,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_active_users(ev, window_days=7)
+    # DATE → TIMESTAMP for the cross-engine compare (pandas normalizes
+    # datetime64; python date objects stringify differently)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "active_users",
+        "window_days",
+    )
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3009,6 +3066,9 @@ _EXTRA_KEYS = [
     "drift_psi_by_week",
     "events_cohort_retention",
     "drift_emd_quantity",
+    "events_attribution_last_touch",
+    "events_attribution_first_touch",
+    "events_rolling_active_users",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3184,6 +3244,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi_by_week": _drift_psi_by_week,
     "events_cohort_retention": _events_cohort_retention,
     "drift_emd_quantity": _drift_emd_quantity,
+    "events_attribution_last_touch": _events_attribution_last_touch,
+    "events_attribution_first_touch": _events_attribution_first_touch,
+    "events_rolling_active_users": _events_rolling_active_users,
 }
 
 
@@ -5728,6 +5791,53 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "events_attribution_last_touch": r"""
+            WITH conv AS (SELECT user_id, event_id AS conversion_id, ts
+                          FROM events WHERE event_type = 'purchase'),
+            touch AS (SELECT user_id, ts, event_id AS touch_id,
+                             event_type AS touch_type
+                      FROM events WHERE event_type IN ('click', 'view'))
+            SELECT c.conversion_id, c.user_id,
+                   CASE WHEN t.ts >= c.ts - INTERVAL 3 DAY
+                        THEN t.touch_id END AS touch_id,
+                   CASE WHEN t.ts >= c.ts - INTERVAL 3 DAY
+                        THEN t.touch_type END AS touch_type,
+                   CASE WHEN t.ts >= c.ts - INTERVAL 3 DAY
+                        THEN CAST(FLOOR(EPOCH(c.ts)) - FLOOR(EPOCH(t.ts))
+                                  AS BIGINT) END AS gap_seconds
+            FROM conv c ASOF LEFT JOIN touch t
+              ON c.user_id = t.user_id AND c.ts >= t.ts
+        """,
+        "events_attribution_first_touch": r"""
+            WITH conv AS (SELECT user_id, event_id AS conversion_id, ts
+                          FROM events WHERE event_type = 'purchase'),
+            touch AS (SELECT user_id, ts, event_id AS touch_id,
+                             event_type AS touch_type
+                      FROM events WHERE event_type IN ('click', 'view')),
+            firsts AS (
+              SELECT user_id, ts AS first_ts, touch_id, touch_type FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, touch_id) AS rn
+                FROM touch) WHERE rn = 1)
+            SELECT c.conversion_id, c.user_id, f.touch_id, f.touch_type,
+                   CAST(FLOOR(EPOCH(c.ts)) - FLOOR(EPOCH(f.first_ts))
+                        AS BIGINT) AS gap_seconds
+            FROM conv c LEFT JOIN firsts f ON c.user_id = f.user_id
+        """,
+        "events_rolling_active_users": r"""
+            WITH pairs AS (
+              SELECT DISTINCT user_id,
+                     CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            mx AS (SELECT MAX(d) AS mxd FROM pairs),
+            ex AS (SELECT user_id, d + CAST(i AS INTEGER) AS day
+                   FROM pairs, UNNEST(GENERATE_SERIES(0, 6)) AS u(i))
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   COUNT(DISTINCT user_id) AS active_users,
+                   7 AS window_days
+            FROM ex, mx WHERE day <= mxd GROUP BY day
         """,
         "events_cohort_retention": r"""
             WITH p AS (

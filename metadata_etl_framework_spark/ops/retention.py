@@ -73,3 +73,48 @@ def cohort_retention(
             ).alias("retention_rate"),
         )
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact rolling N-day distinct active users per day (DAU when
+    ``window_days=1``, WAU at 7, MAU at 30).
+
+    A distinct-count over a sliding window can't ride an ordinary window
+    frame (COUNT DISTINCT OVER a range frame isn't supported and a
+    naive self-join explodes); instead each distinct (user, day)
+    activity CONTRIBUTES to the ``window_days`` report days it keeps the
+    user active for (an explode of a ``window_days``-element sequence —
+    bounded amplification), then one countDistinct per report day.
+    Report days past the last observed day are clipped so the tail
+    doesn't report phantom windows.
+
+    Output: (day, active_users, window_days).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    d = F.date_trunc("day", F.col(ts_col)).cast("date")
+    pairs = (
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("user"), d.alias("d"))
+        .distinct()
+    )
+    mx = pairs.agg(F.max("d").alias("mxd"))
+    contrib = pairs.select(
+        "user",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("i"),
+        "d",
+    ).select("user", F.date_add(F.col("d"), F.col("i")).alias("day"))
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .where(F.col("day") <= F.col("mxd"))
+        .groupBy("day")
+        .agg(F.countDistinct("user").alias("active_users"))
+        .withColumn("window_days", F.lit(window_days))
+    )

@@ -584,3 +584,63 @@ def test_cohort_retention_rejects_bad_period(spark):
     df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
     with _pytest.raises(ValueError):
         cohort_retention(df, period="hour")
+
+
+def test_attribution_last_and_first_touch(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.attribution import (
+        attribute_conversions,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 3, 1, 9), "click"),
+            (2, 10, datetime(2024, 3, 1, 10), "view"),
+            (3, 10, datetime(2024, 3, 1, 11), "purchase"),   # last=2, first=1
+            (4, 20, datetime(2024, 3, 1, 12), "purchase"),   # no touch at all
+            (5, 30, datetime(2024, 3, 1, 8), "click"),
+            (6, 30, datetime(2024, 3, 9, 8), "purchase"),    # touch older than lookback
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    last = {r.conversion_id: r for r in attribute_conversions(
+        ev, lookback="3 days").collect()}
+    assert last[3].touch_id == 2 and last[3].touch_type == "view"
+    assert last[3].gap_seconds == 3600
+    assert last[4].touch_id is None and last[4].gap_seconds is None
+    assert last[6].touch_id is None      # outside the 3-day lookback
+
+    first = {r.conversion_id: r for r in attribute_conversions(
+        ev, model="first_touch").collect()}
+    assert first[3].touch_id == 1 and first[3].touch_type == "click"
+    assert first[6].touch_id == 5        # first touch ignores lookback
+    assert first[4].touch_id is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        attribute_conversions(ev, model="linear")
+
+
+def test_rolling_active_users_window_math(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.retention import (
+        rolling_active_users,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 3, 1)), (2, datetime(2024, 3, 1)),
+            (1, datetime(2024, 3, 3)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {r.day.day: r.active_users
+           for r in rolling_active_users(ev, window_days=2).collect()}
+    # day1: users {1,2}; day2: carry of day1 = {1,2}; day3: {1} + carry {1}
+    assert out == {1: 2, 2: 2, 3: 1}
+
+    dau = {r.day.day: r.active_users
+           for r in rolling_active_users(ev, window_days=1).collect()}
+    assert dau == {1: 2, 3: 1}
