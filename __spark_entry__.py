@@ -2883,6 +2883,17 @@ def _events_rolling_active_users(spark, sf_dir):
     )
 
 
+def _text_normalize(spark, sf_dir):
+    """Pre-dedup text normalization (ops/text.py::normalize_text):
+    casefold + control strip + punctuation strip + whitespace collapse
+    in one chained JVM projection; engine-identical regex classes."""
+    from metadata_etl_framework_spark.ops.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = normalize_text(docs, strip_punct=True)
+    return out.select("doc_id", "text_normalized", "was_changed")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3069,6 +3080,7 @@ _EXTRA_KEYS = [
     "events_attribution_last_touch",
     "events_attribution_first_touch",
     "events_rolling_active_users",
+    "text_normalize",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3247,6 +3259,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution_last_touch": _events_attribution_last_touch,
     "events_attribution_first_touch": _events_attribution_first_touch,
     "events_rolling_active_users": _events_rolling_active_users,
+    "text_normalize": _text_normalize,
 }
 
 
@@ -5791,6 +5804,21 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "text_normalize": r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     TRIM(REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                         LOWER(REGEXP_REPLACE(text,
+                           '[\x00-\x08\x0B-\x1F\x7F]', ' ', 'g')),
+                         '[!-/:-@\[-`{-~]', '', 'g'),
+                       '\s+', ' ', 'g')) AS text_normalized
+              FROM documents)
+            SELECT doc_id, text_normalized,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE text_normalized <> text END AS was_changed
+            FROM n
         """,
         "events_attribution_last_touch": r"""
             WITH conv AS (SELECT user_id, event_id AS conversion_id, ts

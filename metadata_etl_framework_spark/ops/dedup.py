@@ -861,3 +861,107 @@ def bloom_incremental_dedup(
             F.col("_cid").isNull().alias("keep"),
         )
     )
+
+
+def lsh_tuning(
+    threshold: float,
+    num_hashes: int = 64,
+    fn_weight: float = 5.0,
+    fp_weight: float = 1.0,
+) -> dict:
+    """Recommend an LSH banding (bands × rows = num_hashes) for a target
+    Jaccard ``threshold`` — the standard S-curve analysis: a pair with
+    similarity s becomes a candidate with probability
+    ``P(s) = 1 − (1 − s^r)^b``.
+
+    Pure driver-side math (no data touched): every divisor pair (b, r)
+    is scored by the weighted error ∫₀ᵗ P(s)ds (false-positive mass
+    below the threshold) + ∫ₜ¹ (1−P(s))ds (false-negative mass above),
+    numerically on a 1000-point grid. The default ``fn_weight=5``
+    is recall-biased — for dedup, a missed duplicate is worse than an
+    extra candidate (candidates are verified exactly downstream anyway);
+    set the weights to 1/1 for a symmetric operating point.
+
+    Returns {bands, rows, p_at_threshold, s50, fp_area, fn_area} where
+    ``s50`` is the similarity at which P crosses 0.5 — the banding's
+    effective threshold, ≈ (1/b)^(1/r).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        n = 1000
+        fp = fn = 0.0
+        for i in range(n):
+            s = (i + 0.5) / n
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / n
+            else:
+                fn += (1.0 - p) / n
+        cost = fp_weight * fp + fn_weight * fn
+        if best is None or cost < best[0]:
+            p_t = 1.0 - (1.0 - threshold ** r) ** b
+            best = (cost, {
+                "bands": b,
+                "rows": r,
+                "p_at_threshold": round(p_t, 6),
+                "s50": round((1.0 / b) ** (1.0 / r), 6) if b > 1 or r > 1
+                else 0.5,
+                "fp_area": round(fp, 6),
+                "fn_area": round(fn, 6),
+            })
+    return best[1]
+
+
+def lsh_quality_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Self-audit of the MinHash-LSH candidate generator against EXACT
+    n-gram Jaccard ground truth, on corpora small enough for the
+    inverted-index exact join (≤ ``max_rows`` — this is an evaluation
+    harness, not a production path; it raises above the gate rather
+    than silently sampling).
+
+    Output: 1 row — (n_true_pairs, n_candidate_pairs, n_verified_pairs,
+    precision, recall). ``precision`` is post-verification (the
+    pipeline's emitted pairs vs truth); ``recall`` is what the banding
+    lost. Use :func:`lsh_tuning` to pick a banding when recall is low.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"lsh_quality_report is an evaluation harness; corpus has "
+            f"{n} rows > max_rows={max_rows}"
+        )
+    base = _shingle_base(df, id_col, text_col, shingle_n)
+    truth = exact_jaccard_pairs(
+        df, id_col, text_col, threshold, shingle_n, _shingled=base
+    ).select(F.col("id_a"), F.col("id_b"))
+    lsh = minhash_near_duplicates(
+        df, id_col, text_col, threshold, num_hashes, num_bands,
+        shingle_n, exact_max_rows=0, exact_max_fanout=0,
+    ).select(F.col("id_a"), F.col("id_b"))
+    t = truth.count()
+    v = lsh.count()
+    hit = truth.join(lsh, ["id_a", "id_b"], "inner").count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            t, v, hit,
+            round(hit / v, 6) if v else 1.0,
+            round(hit / t, 6) if t else 1.0,
+        )],
+        "n_true_pairs long, n_emitted_pairs long, n_agreeing_pairs long, "
+        "precision double, recall double",
+    )

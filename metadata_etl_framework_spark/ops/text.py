@@ -154,6 +154,58 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# ASCII punctuation spelled as explicit ranges: identical semantics in
+# Java regex (Spark) and RE2 (DuckDB) — \p{Punct}/[[:punct:]] differ
+# subtly between engines
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+# control chars except \t (0x09) and \n (0x0A), which are whitespace and
+# belong to the collapse step, not the strip step
+_CONTROL_CLASS = r"[\x00-\x08\x0B-\x1F\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    lowercase: bool = True,
+    strip_control: bool = True,
+    strip_punct: bool = False,
+    collapse_whitespace: bool = True,
+    trim: bool = True,
+) -> DataFrame:
+    """Configurable text normalization — the standard pre-dedup /
+    pre-fingerprint cleanup (casefold, control-char strip, optional
+    punctuation strip, whitespace collapse) as ONE chained JVM
+    projection; no UDF, no shuffle, linear scan.
+
+    Applied in a fixed order (control → case → punctuation →
+    whitespace → trim) so compositions are reproducible; every regex
+    class is spelled to behave identically in Java regex and RE2
+    (differential-oracle convention). NULL text stays NULL (callers
+    that want ''-coalescing compose with :func:`fingerprint`'s
+    convention explicitly). Adds ``{out}`` (default
+    ``{text_col}_normalized``) plus a ``was_changed`` flag.
+    """
+    out = out or f"{text_col}_normalized"
+    c: Column = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, _CONTROL_CLASS, " ")
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, _PUNCT_CLASS, "")
+    if collapse_whitespace:
+        c = F.regexp_replace(c, r"\s+", " ")
+    if trim:
+        c = F.trim(c)
+    return df.withColumn(out, c).withColumn(
+        "was_changed",
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("boolean")
+        ).otherwise(F.col(out) != F.col(text_col)),
+    )
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

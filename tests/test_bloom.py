@@ -91,3 +91,38 @@ def test_build_deterministic_and_triage_mode_superset(spark):
     t = {r.doc_id for r in triage.filter("is_exact_dup").collect()}
     e = {r.doc_id for r in exact.filter("is_exact_dup").collect()}
     assert e <= t and len(e) == 100
+
+
+def test_lsh_tuning_recommends_sane_banding():
+    from metadata_etl_framework_spark.ops.dedup import lsh_tuning
+
+    rec = lsh_tuning(0.8, num_hashes=64)
+    assert rec["bands"] * rec["rows"] == 64
+    # the S-curve's 50% point should land near the target threshold
+    assert abs(rec["s50"] - 0.8) < 0.15
+    assert rec["p_at_threshold"] > 0.4
+    # a low threshold wants more bands (steeper early curve)
+    low = lsh_tuning(0.3, num_hashes=64)
+    assert low["bands"] > rec["bands"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_tuning(1.5)
+
+
+def test_lsh_quality_report_on_known_corpus(spark):
+    from metadata_etl_framework_spark.ops.dedup import lsh_quality_report
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [(1, base), (2, base + " extra"), (3, "completely different words "
+            "nothing shared here at all with anything else whatsoever")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = lsh_quality_report(df, threshold=0.5, num_hashes=64,
+                             num_bands=16).collect()[0]
+    assert row.n_true_pairs == 1          # docs 1-2 only
+    assert row.n_agreeing_pairs == row.n_emitted_pairs == 1
+    assert row.precision == 1.0 and row.recall == 1.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_quality_report(df, max_rows=1)

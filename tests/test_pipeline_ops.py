@@ -859,3 +859,30 @@ def test_remove_spans_roundtrip(spark):
     assert out[3].clean_text == "untouched text here now"
     assert out[3].n_tokens_removed == 0
     assert out[4].clean_text is None
+
+
+def test_normalize_text_steps_and_nulls(spark):
+    from metadata_etl_framework_spark.ops.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  Hello,\x07  WORLD!!  "),
+            (2, "already clean"),
+            (3, None),
+            (4, "tabs\tand\nnewlines"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in
+           normalize_text(docs, strip_punct=True).collect()}
+    assert out[1].text_normalized == "hello world"
+    assert out[1].was_changed is True
+    assert out[2].was_changed is False
+    assert out[3].text_normalized is None and out[3].was_changed is None
+    # \t and \n are whitespace (collapsed), not control (stripped)
+    assert out[4].text_normalized == "tabs and newlines"
+
+    # selective steps: keep case and punctuation
+    kept = {r.doc_id: r.text_normalized for r in normalize_text(
+        docs, lowercase=False, strip_punct=False).collect()}
+    assert kept[1] == "Hello, WORLD!!"
