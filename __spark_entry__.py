@@ -2666,6 +2666,16 @@ def _drift_emd_quantity(spark, sf_dir):
     return emd_1d(ref, cur, "l_quantity")
 
 
+def _drift_psi_by_flag(spark, sf_dir):
+    """Per-group PSI: price-distribution stability per l_returnflag
+    between the pre/post-1997 halves, all groups in one pass on a shared
+    global bin grid (quality/drift.py::psi_by_group)."""
+    from metadata_etl_framework_spark.quality.drift import psi_by_group
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return psi_by_group(ref, cur, "l_extendedprice", "l_returnflag")
+
+
 def _drift_chi2_returnflag(spark, sf_dir):
     """Chi-square drift statistic for the l_returnflag categorical."""
     from metadata_etl_framework_spark.quality.drift import (
@@ -3081,6 +3091,7 @@ _EXTRA_KEYS = [
     "events_attribution_first_touch",
     "events_rolling_active_users",
     "text_normalize",
+    "drift_psi_by_flag",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3260,6 +3271,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution_first_touch": _events_attribution_first_touch,
     "events_rolling_active_users": _events_rolling_active_users,
     "text_normalize": _text_normalize,
+    "drift_psi_by_flag": _drift_psi_by_flag,
 }
 
 
@@ -5614,6 +5626,51 @@ _ALL_SQL.update(
         "drift_ks_quantity": f"""
             WITH {_ks_ctes('l_quantity')}
             {_KS_SELECT}
+        """,
+        "drift_psi_by_flag": f"""
+            WITH ref AS (SELECT l_returnflag AS g,
+                                CAST(l_extendedprice AS DOUBLE) AS x
+                         FROM lineitem WHERE {_DRIFT_REF}),
+            cur AS (SELECT l_returnflag AS g,
+                           CAST(l_extendedprice AS DOUBLE) AS x
+                    FROM lineitem WHERE {_DRIFT_CUR}),
+            edges AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM ref),
+            rb AS (SELECT g,
+                          CASE WHEN x < mn THEN -1
+                               WHEN x > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE LEAST(CAST(FLOOR((x - mn)
+                                    / ((mx - mn) / 10.0)) AS INT), 9)
+                          END AS bin, COUNT(*) AS rc
+                   FROM ref, edges WHERE x IS NOT NULL GROUP BY 1, 2),
+            cb AS (SELECT g,
+                          CASE WHEN x < mn THEN -1
+                               WHEN x > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE LEAST(CAST(FLOOR((x - mn)
+                                    / ((mx - mn) / 10.0)) AS INT), 9)
+                          END AS bin, COUNT(*) AS cc
+                   FROM cur, edges WHERE x IS NOT NULL GROUP BY 1, 2),
+            j AS (SELECT COALESCE(rb.g, cb.g) AS g,
+                         COALESCE(rb.bin, cb.bin) AS bin,
+                         COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+                  FROM rb FULL OUTER JOIN cb
+                    ON rb.g = cb.g AND rb.bin = cb.bin),
+            t AS (SELECT g, SUM(rc) AS n_ref, SUM(cc) AS n_cur
+                  FROM j GROUP BY g),
+            terms AS (SELECT j.g, t.n_ref, t.n_cur,
+                ROUND((CASE WHEN n_cur > 0 THEN cc / n_cur ELSE 0.0 END
+                       - CASE WHEN n_ref > 0 THEN rc / n_ref ELSE 0.0 END)
+                      * LN(GREATEST(CASE WHEN n_cur > 0 THEN cc / n_cur
+                                         ELSE 0.0 END, 0.000001)
+                           / GREATEST(CASE WHEN n_ref > 0 THEN rc / n_ref
+                                           ELSE 0.0 END, 0.000001)),
+                      6) AS term
+                FROM j JOIN t ON j.g = t.g)
+            SELECT g AS l_returnflag, ROUND(SUM(term), 6) AS psi,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur
+            FROM terms GROUP BY g, n_ref, n_cur
         """,
         "drift_emd_quantity": f"""
             WITH {_ks_ctes('l_quantity')},

@@ -237,6 +237,101 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     )
 
 
+def psi_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI per group (e.g. per source/tenant/partition) in ONE pass per
+    snapshot: bin edges are global from the reference (so groups share a
+    scale and are comparable), counts aggregate by (group, bin), and all
+    per-group arithmetic runs on the |groups| × (n_bins+2) grid. The
+    per-source stability dashboard costs the same two scans as a single
+    global PSI.
+
+    Groups present in only one snapshot still appear (their missing
+    side's mass is zero everywhere, PSI saturates at the smoothing
+    bound). Output: (group, psi, n_ref, n_cur) — one row per group.
+    """
+    edges = ref.agg(
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    )
+
+    def binned(df: DataFrame, cnt: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        w = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+        b = (
+            F.when(x < F.col("mn"), F.lit(-1))
+            .when(x > F.col("mx"), F.lit(n_bins))
+            .when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((x - F.col("mn")) / w).cast("int"),
+                    F.lit(n_bins - 1),
+                )
+            )
+        )
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .where(x.isNotNull())
+            .groupBy(F.col(group_col).alias("g"), b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    joined = (
+        binned(ref, "rc")
+        .join(binned(cur, "cc"), ["g", "bin"], "full_outer")
+        .select(
+            "g",
+            "bin",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    totals = joined.groupBy("g").agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    terms = joined.join(totals, "g").select(
+        "g",
+        "n_ref",
+        "n_cur",
+        F.round(
+            (
+                F.when(F.col("n_cur") > 0, F.col("cc") / F.col("n_cur"))
+                .otherwise(F.lit(0.0))
+                - F.when(F.col("n_ref") > 0, F.col("rc") / F.col("n_ref"))
+                .otherwise(F.lit(0.0))
+            )
+            * F.log(
+                F.greatest(
+                    F.when(F.col("n_cur") > 0, F.col("cc") / F.col("n_cur"))
+                    .otherwise(F.lit(0.0)),
+                    F.lit(_EPS),
+                )
+                / F.greatest(
+                    F.when(F.col("n_ref") > 0, F.col("rc") / F.col("n_ref"))
+                    .otherwise(F.lit(0.0)),
+                    F.lit(_EPS),
+                )
+            ),
+            6,
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("g", "n_ref", "n_cur")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            F.col("g").alias(group_col),
+            "psi",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+        )
+    )
+
+
 def emd_1d(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     """Exact 1-D Wasserstein-1 (earth mover's) distance between the two
     empirical distributions — the magnitude-aware complement to

@@ -235,3 +235,43 @@ def test_emd_matches_python_reference_randomized(spark):
         b = [round(rng.uniform(10, 80), 2) for _ in range(rng.randint(5, 200))]
         got = emd_1d(_df(spark, a), _df(spark, b), "x").collect()[0].emd
         assert abs(got - py_emd(a, b)) <= 2e-6, f"trial {trial}"
+
+
+def test_psi_by_group_matches_per_group_psi(spark):
+    from metadata_etl_framework_spark.quality.drift import (
+        psi_by_group,
+        psi_numeric,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "x double, g string")
+
+    ref = mk([(float(i % 40), "a") for i in range(200)]
+             + [(float(i % 40), "b") for i in range(100)])
+    cur = mk([(float(i % 40 + 20), "a") for i in range(150)]
+             + [(float(i % 40), "b") for i in range(100)])
+    grouped = {r.g: r for r in psi_by_group(ref, cur, "x", "g").collect()}
+    assert grouped["b"].psi == 0.0  # unchanged group
+    assert grouped["a"].psi > 0.1   # shifted group
+    assert grouped["a"].n_ref == 200 and grouped["a"].n_cur == 150
+    # per-group psi on the GLOBAL grid != standalone psi (its edges are
+    # per-call), so compare against psi_numeric run on the same full
+    # frames (same global edges) restricted to group b
+    # -> only sanity: psi_by_group over a single-group frame equals
+    #    psi_numeric's total on that frame
+    only_b_ref = ref.where(ref.g == "b")
+    only_b_cur = cur.where(cur.g == "b")
+    solo = psi_numeric(only_b_ref, only_b_cur, "x").collect()[0].psi_total
+    assert grouped["b"].psi == solo == 0.0
+
+
+def test_psi_by_group_one_sided_group(spark):
+    from metadata_etl_framework_spark.quality.drift import psi_by_group
+
+    ref = spark.createDataFrame([(1.0, "a")], "x double, g string")
+    cur = spark.createDataFrame([(1.0, "a"), (2.0, "new")],
+                                "x double, g string")
+    rows = {r.g: r for r in psi_by_group(ref, cur, "x", "g").collect()}
+    assert set(rows) == {"a", "new"}
+    assert rows["new"].n_ref == 0 and rows["new"].n_cur == 1
+    assert rows["new"].psi > 10.0  # saturates at the smoothing bound
