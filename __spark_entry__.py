@@ -2904,6 +2904,31 @@ def _text_normalize(spark, sf_dir):
     return out.select("doc_id", "text_normalized", "was_changed")
 
 
+def _text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: declared lang × heuristic
+    prediction with counts — the accuracy audit of the n-gram lang-ID
+    pass (one projection + one groupBy)."""
+    from metadata_etl_framework_spark.ops.text import lang_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        lang_id_heuristic(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _corpus_kfold(spark, sf_dir):
+    """Deterministic stratified k-fold assignment: fold id from the
+    md5-uniform of the doc id (reproducible & incremental, same
+    convention as the sample step), stratified within source so every
+    fold sees every source's share (ops/corpus.py::kfold_assign)."""
+    from metadata_etl_framework_spark.ops.corpus import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return kfold_assign(docs, k=5).select("doc_id", "source", "fold")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3092,6 +3117,8 @@ _EXTRA_KEYS = [
     "events_rolling_active_users",
     "text_normalize",
     "drift_psi_by_flag",
+    "text_lang_confusion",
+    "corpus_kfold",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3272,6 +3299,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_active_users": _events_rolling_active_users,
     "text_normalize": _text_normalize,
     "drift_psi_by_flag": _drift_psi_by_flag,
+    "text_lang_confusion": _text_lang_confusion,
+    "corpus_kfold": _corpus_kfold,
 }
 
 
@@ -5861,6 +5890,37 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "text_lang_confusion": r"""
+            WITH scored AS (
+              SELECT lang,
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('der','die','und','ist','das'))) AS h_de,
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('the','and','of','to','is'))) AS h_en,
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('el','la','de','que','es'))) AS h_es,
+                LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                    t -> t IN ('le','la','et','est','les'))) AS h_fr
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN GREATEST(h_de,h_en,h_es,h_fr) <= 0 THEN 'unknown'
+                        WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 'de'
+                        WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 'en'
+                        WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   COUNT(*) AS n_docs
+            FROM scored GROUP BY 1, 2
+        """,
+        "corpus_kfold": r"""
+            SELECT doc_id, source,
+                   CAST(LEAST(FLOOR(
+                     (CAST(CONCAT('0x', SUBSTRING(
+                        MD5(CONCAT_WS('|', '', CAST(doc_id AS VARCHAR))),
+                        1, 8)) AS BIGINT) / 4294967296.0) * 5), 4) AS INT)
+                     AS fold
+            FROM documents
         """,
         "text_normalize": r"""
             WITH n AS (

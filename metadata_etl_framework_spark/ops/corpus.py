@@ -232,3 +232,28 @@ def curriculum_order(
         [(score_col, "desc" if descending else "asc"), (id_col, "asc")],
         out=out,
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    ⌊u·k⌋ where u is the md5-uniform of (salt, id) — the same
+    reproducible-randomness convention as :func:`md5_uniform` sampling,
+    so folds are stable across reruns AND across corpus growth (a
+    document's fold never changes when new documents arrive, the
+    incremental property shuffled splits lack). Pure projection;
+    stratification needs no explicit handling — a hash-uniform of the
+    id is independent of any stratum, so per-stratum fold shares
+    concentrate at 1/k automatically.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    u = md5_uniform(F.col(id_col), salt=salt)
+    return df.withColumn(
+        out, F.least(F.floor(u * k), F.lit(k - 1)).cast("int")
+    )

@@ -644,3 +644,28 @@ def test_rolling_active_users_window_math(spark):
     dau = {r.day.day: r.active_users
            for r in rolling_active_users(ev, window_days=1).collect()}
     assert dau == {1: 2, 3: 1}
+
+
+def test_kfold_assign_stable_and_balanced(spark):
+    from metadata_etl_framework_spark.ops.corpus import kfold_assign
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = kfold_assign(docs, k=5)
+    folds = {r.doc_id: r.fold for r in out.collect()}
+    assert set(folds.values()) <= set(range(5))
+    # roughly balanced (hash-uniform): each fold within 25% of 400
+    from collections import Counter
+    c = Counter(folds.values())
+    assert all(300 <= v <= 500 for v in c.values()), c
+    # incremental stability: restricting the corpus never moves a fold
+    small = {r.doc_id: r.fold
+             for r in kfold_assign(docs.limit(100), k=5).collect()}
+    assert all(folds[d] == f for d, f in small.items())
+    # different salt reshuffles
+    salted = {r.doc_id: r.fold
+              for r in kfold_assign(docs, k=5, salt="v2").collect()}
+    assert any(folds[d] != salted[d] for d in folds)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kfold_assign(docs, k=1)
