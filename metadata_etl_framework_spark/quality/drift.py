@@ -696,3 +696,110 @@ def schema_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
     return ref.sparkSession.createDataFrame(
         rows, "column string, change string, ref_type string, cur_type string"
     )
+
+
+def save_drift_baseline(
+    ref: DataFrame, col: str, path: str, n_bins: int = 10
+) -> None:
+    """Persist a reference snapshot's binned profile — edges + per-bin
+    counts, ≤ n_bins rows — as parquet, so every later batch compares
+    against the baseline WITHOUT rescanning reference history
+    (the watermark-style incremental pattern applied to monitoring:
+    state is tiny, the big scan happens once).
+    """
+    x = F.col(col).cast("double")
+    edges = ref.agg(F.min(x).alias("mn"), F.max(x).alias("mx"))
+    w = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+    b = (
+        F.when(x < F.col("mn"), F.lit(-1))
+        .when(x > F.col("mx"), F.lit(n_bins))
+        .when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((x - F.col("mn")) / w).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+    )
+    # store exact integer COUNTS, not fractions: no precision loss, so a
+    # later psi_vs_baseline reproduces psi_numeric bit-for-bit
+    counts = (
+        ref.crossJoin(F.broadcast(edges))
+        .where(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("ref_cnt"))
+    )
+    totals = counts.agg(F.coalesce(F.sum("ref_cnt"), F.lit(0)).alias("n_ref"))
+    (
+        counts.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("n_bins", F.lit(n_bins))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def psi_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
+    """PSI of a new batch against a stored :func:`save_drift_baseline`
+    profile. The baseline contributes its saved bin fractions and edges
+    (a few rows read back); only the NEW batch is scanned. Output shape
+    matches :func:`psi_numeric`: per-bin rows + ``psi_total``.
+    """
+    spark = cur.sparkSession
+    base = spark.read.parquet(path)
+    meta = base.select("mn", "mx", "n_bins", "n_ref").first()
+    mn, mx, n_bins = meta["mn"], meta["mx"], int(meta["n_bins"])
+    n_ref = meta["n_ref"]
+
+    x = F.col(col).cast("double")
+    if mn is None or mx is None:
+        raise ValueError("baseline has no numeric support (empty reference)")
+    w = (mx - mn) / float(n_bins)
+    b = (
+        F.when(x < F.lit(mn), F.lit(-1))
+        .when(x > F.lit(mx), F.lit(n_bins))
+        .when(F.lit(mx == mn), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((x - F.lit(mn)) / F.lit(w)).cast("int")
+                if w > 0
+                else F.lit(0),
+                F.lit(n_bins - 1),
+            )
+        )
+    )
+    cur_counts = (
+        cur.where(x.isNotNull()).groupBy(b.alias("bin")).agg(
+            F.count(F.lit(1)).alias("cur_cnt")
+        )
+    )
+    totals = cur_counts.agg(
+        F.coalesce(F.sum("cur_cnt"), F.lit(0)).alias("n_cur")
+    )
+    joined = (
+        base.select("bin", "ref_cnt")
+        .join(cur_counts, "bin", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            (F.coalesce("ref_cnt", F.lit(0)) / F.lit(n_ref)).alias("_rf"),
+            (F.coalesce("cur_cnt", F.lit(0)) / F.col("n_cur")).alias("_cf"),
+        )
+    )
+    # identical arithmetic to psi_numeric: raw count ratios into the log,
+    # rounding only at the output — bit-for-bit the direct statistic
+    terms = joined.select(
+        "bin",
+        F.round("_rf", 6).alias("ref_frac"),
+        F.round("_cf", 6).alias("cur_frac"),
+        F.round(
+            (F.col("_cf") - F.col("_rf"))
+            * F.log(
+                F.greatest(F.col("_cf"), F.lit(_EPS))
+                / F.greatest(F.col("_rf"), F.lit(_EPS))
+            ),
+            6,
+        ).alias("psi_term"),
+    )
+    total = terms.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    return terms.crossJoin(F.broadcast(total))

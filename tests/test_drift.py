@@ -275,3 +275,38 @@ def test_psi_by_group_one_sided_group(spark):
     assert set(rows) == {"a", "new"}
     assert rows["new"].n_ref == 0 and rows["new"].n_cur == 1
     assert rows["new"].psi > 10.0  # saturates at the smoothing bound
+
+
+def test_psi_vs_baseline_matches_direct(spark, tmp_path):
+    from metadata_etl_framework_spark.quality.drift import (
+        psi_numeric,
+        psi_vs_baseline,
+        save_drift_baseline,
+    )
+
+    ref = _df(spark, [float(i % 40) for i in range(300)])
+    cur = _df(spark, [float(i % 40 + 15) for i in range(200)])
+    path = str(tmp_path / "baseline")
+    save_drift_baseline(ref, "x", path)
+
+    direct = {r.bin: r for r in psi_numeric(ref, cur, "x").collect()}
+    via = {r.bin: r for r in psi_vs_baseline(cur, "x", path).collect()}
+    # identical bins, fractions, terms, and total — without rescanning ref
+    assert set(via) == set(direct)
+    for b in direct:
+        assert via[b].ref_frac == direct[b].ref_frac
+        assert via[b].cur_frac == direct[b].cur_frac
+        assert via[b].psi_term == direct[b].psi_term
+        assert via[b].psi_total == direct[b].psi_total
+
+
+def test_psi_vs_baseline_constant_reference(spark, tmp_path):
+    from metadata_etl_framework_spark.quality.drift import (
+        psi_vs_baseline,
+        save_drift_baseline,
+    )
+
+    path = str(tmp_path / "b2")
+    save_drift_baseline(_df(spark, [5.0] * 10), "x", path)
+    rows = psi_vs_baseline(_df(spark, [5.0, 5.0]), "x", path).collect()
+    assert all(r.psi_total == 0.0 for r in rows)
