@@ -1639,6 +1639,18 @@ def _ann_lsh_topk(spark, sf_dir):
     return sim_ops.lsh_topk(emb, qvec, _LSH_HYPERPLANES, k=10)
 
 
+def _ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe ANN: query bucket + the 2 nearest-boundary flips
+    (ops/similarity.py::lsh_topk_multiprobe). Probe selection is pure
+    query-side arithmetic on the closed-form planes, so the oracle
+    replays bucket AND probe-ring membership exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return sim_ops.lsh_topk_multiprobe(
+        emb, qvec, _LSH_HYPERPLANES, k=10, n_probe=3
+    )
+
+
 def _dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard verification over MinHash-LSH candidate
     pairs, on the md5 hash arm (ops/dedup.py::_seeded_hash): minhash_k =
@@ -3119,6 +3131,7 @@ _EXTRA_KEYS = [
     "drift_psi_by_flag",
     "text_lang_confusion",
     "corpus_kfold",
+    "ann_lsh_multiprobe",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3301,6 +3314,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi_by_flag": _drift_psi_by_flag,
     "text_lang_confusion": _text_lang_confusion,
     "corpus_kfold": _corpus_kfold,
+    "ann_lsh_multiprobe": _ann_lsh_multiprobe,
 }
 
 
@@ -5890,6 +5904,58 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "ann_lsh_multiprobe": r"""
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                WHERE vec_id = 0
+            ), planes AS (
+                SELECT i, LIST(p ORDER BY j) AS plane
+                FROM (
+                    SELECT i, j, (((i*37 + j*17) % 19) - 9) / 9.0 AS p
+                    FROM generate_series(0,7) AS gi(i),
+                         generate_series(0,63) AS gj(j)
+                ) GROUP BY i
+            ), bucketed AS (
+                SELECT e.vec_id,
+                       STRING_AGG(
+                           CASE WHEN list_dot_product(
+                                    e.embedding::DOUBLE[], pl.plane) >= 0
+                                THEN '1' ELSE '0' END, ''
+                           ORDER BY pl.i) AS bucket
+                FROM embeddings e, planes pl
+                GROUP BY e.vec_id
+            ), qb AS (
+                SELECT STRING_AGG(
+                           CASE WHEN list_dot_product(q.qv, pl.plane) >= 0
+                                THEN '1' ELSE '0' END, ''
+                           ORDER BY pl.i) AS bucket
+                FROM q, planes pl
+            ), margins AS (
+                SELECT pl.i, list_dot_product(q.qv, pl.plane) AS m
+                FROM q, planes pl
+            ), flips AS (
+                SELECT i FROM (
+                    SELECT i, ROW_NUMBER() OVER (ORDER BY ABS(m), i) AS rn
+                    FROM margins) WHERE rn <= 2
+            ), probes AS (
+                SELECT bucket FROM qb
+                UNION ALL
+                SELECT SUBSTRING(qb.bucket, 1, f.i)
+                       || (CASE WHEN SUBSTRING(qb.bucket, f.i + 1, 1) = '1'
+                                THEN '0' ELSE '1' END)
+                       || SUBSTRING(qb.bucket, f.i + 2)
+                FROM qb, flips f
+            )
+            SELECT b.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+                         6) AS cosine
+            FROM bucketed b
+            JOIN embeddings e ON e.vec_id = b.vec_id, q
+            WHERE b.bucket IN (SELECT bucket FROM probes)
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                     DESC, b.vec_id
+            LIMIT 10
         """,
         "text_lang_confusion": r"""
             WITH scored AS (

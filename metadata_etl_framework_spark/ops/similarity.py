@@ -503,6 +503,49 @@ def lsh_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    hyperplanes: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN: score the query's own bucket PLUS
+    the ``n_probe − 1`` neighbor buckets reached by flipping the planes
+    the query sits CLOSEST to (smallest |margin| = the boundaries most
+    likely to have split off true neighbors — the classic multi-probe
+    ordering). Recovers most of the recall that extra hash tables would
+    buy without any additional index, at the cost of scanning a few
+    buckets instead of one.
+
+    Probe selection is driver-side arithmetic on the query alone (no
+    data touched); candidate scanning is one IN-filter over the bucket
+    column, then exact cosine top-k. ``n_probe=1`` degenerates to
+    :func:`lsh_topk`; capped at ``len(hyperplanes) + 1`` single-bit
+    probes (the standard first-ring neighborhood).
+    """
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    n_probe = min(n_probe, len(hyperplanes) + 1)
+    margins = [
+        sum(float(a) * float(b) for a, b in zip(h, query_vec))
+        for h in hyperplanes
+    ]
+    qbits = "".join("1" if m >= 0 else "0" for m in margins)
+    # flip order: closest boundaries first, plane index as tie-break —
+    # must match the oracle's ORDER BY ABS(margin), i exactly
+    flip_order = sorted(range(len(margins)), key=lambda i: (abs(margins[i]), i))
+    probes = [qbits]
+    for i in flip_order[: n_probe - 1]:
+        flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
+        probes.append(flipped)
+    bucketed = hyperplane_lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def normalize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -301,3 +301,29 @@ def test_knn_join_auto_routes_large_query_sets_off_bnl(spark):
     }
     assert all(q == n for q, n in self_hits.items())
     assert len(self_hits) == emb.count()
+
+
+def test_multiprobe_supersets_single_probe(spark):
+    """Multi-probe candidates contain the single-probe bucket, and the
+    probe ring grows recall monotonically (n_probe=1 degenerates to
+    lsh_topk exactly)."""
+    from metadata_etl_framework_spark.ops import similarity as sim
+
+    rows = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[(((i * 37 + j * 17) % 19) - 9) / 9.0 for j in range(8)]
+              for i in range(4)]
+    q = rows[5][1]
+
+    single = {r.vec_id for r in sim.lsh_topk(emb, q, planes, k=300).collect()}
+    one = {r.vec_id for r in sim.lsh_topk_multiprobe(
+        emb, q, planes, k=300, n_probe=1).collect()}
+    multi = {r.vec_id for r in sim.lsh_topk_multiprobe(
+        emb, q, planes, k=300, n_probe=3).collect()}
+    assert one == single
+    assert single <= multi and len(multi) >= len(single)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sim.lsh_topk_multiprobe(emb, q, planes, n_probe=0)
