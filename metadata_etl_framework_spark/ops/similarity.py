@@ -773,3 +773,49 @@ def semantic_dedup(
             F.coalesce("is_canonical", F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_vecs: "Sequence[Sequence[float]]",
+    hyperplanes: "Sequence[Sequence[float]]",
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100,
+) -> DataFrame:
+    """Recall@k audit of the hyperplane-LSH ANN against exact brute
+    force, over a small query panel (an evaluation harness like
+    ``ops/dedup.py::lsh_quality_report`` — it drives one exact and one
+    ANN top-k per query, so it caps the panel at ``max_queries`` and
+    raises beyond rather than silently sampling).
+
+    Output: one row per query — (query_idx, n_probe, recall_at_k) —
+    plus use the mean downstream; raising ``n_probe`` should push
+    recall toward 1.0 (see :func:`lsh_topk_multiprobe`).
+    """
+    if len(query_vecs) > max_queries:
+        raise ValueError(
+            f"ann_recall_report is an evaluation harness; panel has "
+            f"{len(query_vecs)} queries > max_queries={max_queries}"
+        )
+    rows = []
+    for qi, q in enumerate(query_vecs):
+        truth = {
+            r[id_col]
+            for r in brute_force_topk(
+                embeddings, q, k, id_col, vec_col
+            ).collect()
+        }
+        got = {
+            r[id_col]
+            for r in lsh_topk_multiprobe(
+                embeddings, q, hyperplanes, k, n_probe, id_col, vec_col
+            ).collect()
+        }
+        denom = len(truth) or 1
+        rows.append((qi, n_probe, round(len(truth & got) / denom, 6)))
+    return embeddings.sparkSession.createDataFrame(
+        rows, "query_idx int, n_probe int, recall_at_k double"
+    )

@@ -327,3 +327,24 @@ def test_multiprobe_supersets_single_probe(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sim.lsh_topk_multiprobe(emb, q, planes, n_probe=0)
+
+
+def test_ann_recall_report_monotone_in_probes(spark):
+    from metadata_etl_framework_spark.ops import similarity as sim
+
+    rows = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[(((i * 37 + j * 17) % 19) - 9) / 9.0 for j in range(8)]
+              for i in range(4)]
+    queries = [rows[3][1], rows[77][1]]
+
+    r1 = sim.ann_recall_report(emb, queries, planes, k=5, n_probe=1)
+    r4 = sim.ann_recall_report(emb, queries, planes, k=5, n_probe=4)
+    m1 = sum(r.recall_at_k for r in r1.collect()) / 2
+    m4 = sum(r.recall_at_k for r in r4.collect()) / 2
+    assert 0.0 <= m1 <= m4 <= 1.0  # widening the ring never hurts recall
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sim.ann_recall_report(emb, queries, planes, max_queries=1)
