@@ -2941,6 +2941,25 @@ def _corpus_kfold(spark, sf_dir):
     return kfold_assign(docs, k=5).select("doc_id", "source", "fold")
 
 
+def _events_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive events
+    per user, with per-origin probabilities
+    (ops/retention.py::event_transitions) — the path-analysis table."""
+    from metadata_etl_framework_spark.ops.retention import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+def _text_bpe_pairs(spark, sf_dir):
+    """Top adjacent character pairs across the corpus — one BPE merge
+    iteration's counting step (ops/text.py::bpe_pair_counts)."""
+    from metadata_etl_framework_spark.ops.text import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=50)
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3132,6 +3151,8 @@ _EXTRA_KEYS = [
     "text_lang_confusion",
     "corpus_kfold",
     "ann_lsh_multiprobe",
+    "events_transitions",
+    "text_bpe_pairs",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3315,6 +3336,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_confusion": _text_lang_confusion,
     "corpus_kfold": _corpus_kfold,
     "ann_lsh_multiprobe": _ann_lsh_multiprobe,
+    "events_transitions": _events_transitions,
+    "text_bpe_pairs": _text_bpe_pairs,
 }
 
 
@@ -5904,6 +5927,37 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "events_transitions": r"""
+            WITH steps AS (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_type
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            counts AS (SELECT from_type, to_type,
+                              COUNT(*) AS n_transitions
+                       FROM steps WHERE to_type IS NOT NULL
+                       GROUP BY 1, 2),
+            origins AS (SELECT from_type, SUM(n_transitions) AS tot
+                        FROM counts GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n_transitions,
+                   ROUND(c.n_transitions / o.tot, 6) AS p_transition
+            FROM counts c JOIN origins o ON c.from_type = o.from_type
+        """,
+        "text_bpe_pairs": r"""
+            WITH tok AS (
+              SELECT LOWER(u.t) AS t
+              FROM documents,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS u(t)
+              WHERE text IS NOT NULL AND TRIM(text) <> ''),
+            p AS (
+              SELECT SUBSTRING(t, CAST(i AS INT), 2) AS pair
+              FROM tok, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+              WHERE LEN(t) >= 2)
+            SELECT pair, COUNT(*) AS count
+            FROM p WHERE LEN(pair) = 2
+            GROUP BY pair ORDER BY count DESC, pair LIMIT 50
         """,
         "ann_lsh_multiprobe": r"""
             WITH q AS (

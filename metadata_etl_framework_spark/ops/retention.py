@@ -118,3 +118,47 @@ def rolling_active_users(
         .agg(F.countDistinct("user").alias("active_users"))
         .withColumn("window_days", F.lit(window_days))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user — the path-analysis table behind "what do users do next?".
+
+    One window (partitioned BY USER — never global) takes each event's
+    successor; one groupBy counts (from_type, to_type) pairs and adds
+    the per-origin transition probability. A user's last event has no
+    successor and contributes nothing. ``id_col`` breaks timestamp ties
+    deterministically.
+
+    Output: (from_type, to_type, n_transitions, p_transition 6dp).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = (
+        df.where(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .withColumn("_next", F.lead(type_col).over(w))
+        .where(F.col("_next").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col(type_col).alias("from_type"), F.col("_next").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    origins = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return counts.join(origins, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("_tot"), 6).alias(
+            "p_transition"
+        ),
+    )

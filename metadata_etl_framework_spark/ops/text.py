@@ -1379,3 +1379,48 @@ def remove_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Most frequent ADJACENT symbol pairs across the corpus — the
+    counting step of one BPE merge iteration (the pair with the top
+    count is the merge a BPE trainer would learn next). Symbols here
+    are characters within whitespace tokens (the standard word-internal
+    BPE setting: merges never cross word boundaries).
+
+    Plan: tokens → per-token character-pair explode (flatten of a
+    nested transform, pure JVM) → one counting groupBy →
+    TakeOrderedAndProject top-k with lexicographic tie-break. The full
+    iterative trainer is a driver loop re-running this count after each
+    merge; the corpus-scale cost lives in this one operator.
+    """
+    toks = tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    pairs_per_token = F.transform(
+        toks,
+        lambda t: F.when(
+            F.length(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: t.substr(i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    ex = (
+        _spread(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.explode(F.flatten(pairs_per_token)).alias("pair"))
+        .where(F.length("pair") == 2)
+    )
+    return (
+        ex.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col("pair"))
+        .limit(k)
+    )

@@ -669,3 +669,39 @@ def test_kfold_assign_stable_and_balanced(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kfold_assign(docs, k=1)
+
+
+def test_event_transitions_closed_form(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.retention import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 1, 1), "view"),
+            (2, 1, datetime(2024, 1, 1, 2), "click"),
+            (3, 1, datetime(2024, 1, 1, 3), "view"),
+            (4, 2, datetime(2024, 1, 1, 1), "view"),
+            (5, 2, datetime(2024, 1, 1, 2), "buy"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+           for r in event_transitions(ev).collect()}
+    # view -> click (u1), view -> buy (u2): p = 0.5 each; click -> view: 1.0
+    assert got[("view", "click")] == (1, 0.5)
+    assert got[("view", "buy")] == (1, 0.5)
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 3  # last events contribute no transition
+
+
+def test_bpe_pair_counts_closed_form(spark):
+    from metadata_etl_framework_spark.ops.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "AB x"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.pair: r["count"] for r in bpe_pair_counts(docs, k=10).collect()}
+    # "aaa" -> aa,aa ; "ab" -> ab ; "AB"(lowered) -> ab ; "x" too short
+    assert got == {"aa": 2, "ab": 2}
