@@ -2688,6 +2688,17 @@ def _drift_psi_by_flag(spark, sf_dir):
     return psi_by_group(ref, cur, "l_extendedprice", "l_returnflag")
 
 
+def _drift_psi_categorical(spark, sf_dir):
+    """Categorical PSI on l_linestatus between the pre/post-1997 halves
+    (strongly shipdate-correlated, so the drift signal is real):
+    per-level terms + total, NULL as its own level
+    (quality/drift.py::psi_categorical)."""
+    from metadata_etl_framework_spark.quality.drift import psi_categorical
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return psi_categorical(ref, cur, "l_linestatus")
+
+
 def _drift_chi2_returnflag(spark, sf_dir):
     """Chi-square drift statistic for the l_returnflag categorical."""
     from metadata_etl_framework_spark.quality.drift import (
@@ -3153,6 +3164,7 @@ _EXTRA_KEYS = [
     "ann_lsh_multiprobe",
     "events_transitions",
     "text_bpe_pairs",
+    "drift_psi_categorical",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3338,6 +3350,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_multiprobe": _ann_lsh_multiprobe,
     "events_transitions": _events_transitions,
     "text_bpe_pairs": _text_bpe_pairs,
+    "drift_psi_categorical": _drift_psi_categorical,
 }
 
 
@@ -5927,6 +5940,28 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "drift_psi_categorical": f"""
+            WITH tagged AS (
+              SELECT CAST(l_linestatus AS VARCHAR) AS category, 1 AS is_ref
+              FROM lineitem WHERE {_DRIFT_REF}
+              UNION ALL
+              SELECT CAST(l_linestatus AS VARCHAR) AS category, 0 AS is_ref
+              FROM lineitem WHERE {_DRIFT_CUR}),
+            counts AS (SELECT category, SUM(is_ref) AS rc,
+                              SUM(1 - is_ref) AS cc
+                       FROM tagged GROUP BY category),
+            t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM counts),
+            terms AS (SELECT category,
+                ROUND(rc / n_ref, 6) AS ref_frac,
+                ROUND(cc / n_cur, 6) AS cur_frac,
+                ROUND((cc / n_cur - rc / n_ref)
+                      * LN(GREATEST(cc / n_cur, 0.000001)
+                           / GREATEST(rc / n_ref, 0.000001)), 6) AS psi_term
+              FROM counts, t)
+            SELECT category, ref_frac, cur_frac, psi_term,
+                   (SELECT ROUND(SUM(psi_term), 6) FROM terms) AS psi_total
+            FROM terms
         """,
         "events_transitions": r"""
             WITH steps AS (

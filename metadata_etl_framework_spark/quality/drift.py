@@ -332,6 +332,46 @@ def psi_by_group(
     )
 
 
+def psi_categorical(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """PSI over category levels — the categorical twin of
+    :func:`psi_numeric` (no binning: each level is its own cell; NULL is
+    a level). One groupBy over the tagged union; per-level terms with
+    the standard 1e-6 smoothing, plus ``psi_total`` on every row.
+
+    Output: (category, ref_frac, cur_frac, psi_term, psi_total).
+    """
+    tagged = ref.select(
+        F.col(col).cast("string").alias("category"), F.lit(1).alias("is_ref")
+    ).unionByName(
+        cur.select(
+            F.col(col).cast("string").alias("category"),
+            F.lit(0).alias("is_ref"),
+        )
+    )
+    counts = tagged.groupBy("category").agg(
+        F.sum("is_ref").alias("rc"),
+        F.sum(1 - F.col("is_ref")).alias("cc"),
+    )
+    totals = counts.agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    terms = counts.crossJoin(F.broadcast(totals)).select(
+        "category",
+        F.round(F.col("rc") / F.col("n_ref"), 6).alias("ref_frac"),
+        F.round(F.col("cc") / F.col("n_cur"), 6).alias("cur_frac"),
+        F.round(
+            (F.col("cc") / F.col("n_cur") - F.col("rc") / F.col("n_ref"))
+            * F.log(
+                F.greatest(F.col("cc") / F.col("n_cur"), F.lit(_EPS))
+                / F.greatest(F.col("rc") / F.col("n_ref"), F.lit(_EPS))
+            ),
+            6,
+        ).alias("psi_term"),
+    )
+    total = terms.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    return terms.crossJoin(F.broadcast(total))
+
+
 def emd_1d(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     """Exact 1-D Wasserstein-1 (earth mover's) distance between the two
     empirical distributions — the magnitude-aware complement to

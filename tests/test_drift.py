@@ -310,3 +310,25 @@ def test_psi_vs_baseline_constant_reference(spark, tmp_path):
     save_drift_baseline(_df(spark, [5.0] * 10), "x", path)
     rows = psi_vs_baseline(_df(spark, [5.0, 5.0]), "x", path).collect()
     assert all(r.psi_total == 0.0 for r in rows)
+
+
+def test_psi_categorical_identity_and_shift(spark):
+    from metadata_etl_framework_spark.quality.drift import psi_categorical
+
+    mk = lambda rows: spark.createDataFrame([(r,) for r in rows], "c string")
+    same = psi_categorical(mk(["a", "b", "a"]), mk(["a", "a", "b"]), "c")
+    rows = {r.category: r for r in same.collect()}
+    # proportions differ: 2/3 vs 2/3 for a... actually ref a=2/3, cur a=2/3
+    assert all(r.psi_term == 0.0 for r in rows.values())
+
+    shifted = psi_categorical(mk(["a"] * 10), mk(["b"] * 10), "c").collect()
+    assert all(r.psi_total > 10.0 for r in shifted)  # total separation
+    cats = {r.category for r in shifted}
+    assert cats == {"a", "b"}
+
+    with_null = psi_categorical(
+        spark.createDataFrame([("a",), (None,)], "c string"),
+        spark.createDataFrame([("a",), (None,)], "c string"), "c"
+    ).collect()
+    assert {r.category for r in with_null} == {"a", None}
+    assert all(r.psi_term == 0.0 for r in with_null)
