@@ -72,6 +72,9 @@ HEADLINE = [
     "embed_semantic_dedup",
     "drift_suite",
     "curation_funnel",
+    "events_cohort_retention",
+    "events_rolling_active_users",
+    "events_attribution_last_touch",
 ]
 
 
