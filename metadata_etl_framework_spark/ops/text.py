@@ -1381,6 +1381,107 @@ def remove_spans(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus — the iterative
+    tokenizer-training loop, distributed the way real BPE trainers work:
+    the corpus first collapses to the DISTINCT word-frequency table
+    (:func:`vocabulary` — one shuffle; at web scale millions of words,
+    not billions of tokens), and every merge iteration then runs on
+    that table only:
+
+    1. weighted adjacent-pair counts (explode + groupBy, counts
+       weighted by word frequency),
+    2. the arg-max pair — count desc, then lexicographic, so the merge
+       sequence is deterministic (TakeOrdered 1),
+    3. greedy left-to-right merge application as a pure JVM ``aggregate``
+       lambda over each word's symbol array (no UDF): append the symbol,
+       or fuse it into the accumulator's tail when (tail, symbol)
+       matches the learned pair.
+
+    Stops early when no pair reaches ``min_pair_count``. Driver work is
+    one 1-row collect per merge (the learned pair); everything heavy is
+    the per-iteration pair count over the word table. Output: one row
+    per learned merge — (merge_idx, left, right, merged, pair_count) —
+    the merges list a BPE tokenizer replays at encode time.
+
+    Property-tested against an independent pure-Python BPE reference
+    (tests/test_corpus_ops.py).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    from pyspark.storagelevel import StorageLevel
+
+    words = vocabulary(df, text_col=text_col, lowercase=lowercase)
+    cur = words.select(
+        F.col("count"),
+        # split keeps a trailing '' (Spark split limit=-1); drop empties
+        F.filter(
+            F.split(F.col("token"), r"(?!^)"), lambda s: s != ""
+        ).alias("syms"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(n_merges):
+        pair_idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "count",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda j: F.struct(
+                        F.element_at("syms", j).alias("left"),
+                        F.element_at("syms", j + 1).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("count").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        a, b, c = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((it, a, b, a + b, c))
+
+        # greedy left-to-right fuse: matches the canonical scan-and-skip
+        merged_syms = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        nxt = cur.select("count", merged_syms.alias("syms")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        nxt.count()  # materialize before releasing the parent iteration
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_idx int, left string, right string, merged string, "
+        "pair_count long",
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -705,3 +705,64 @@ def test_bpe_pair_counts_closed_form(spark):
     got = {r.pair: r["count"] for r in bpe_pair_counts(docs, k=10).collect()}
     # "aaa" -> aa,aa ; "ab" -> ab ; "AB"(lowered) -> ab ; "x" too short
     assert got == {"aa": 2, "ab": 2}
+
+
+def _py_bpe(word_counts, n_merges, min_pair_count=2):
+    """Independent pure-Python BPE reference (greedy left-to-right)."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for it in range(n_merges):
+        counts = {}
+        for w, c in words.items():
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((it, a, b, a + b, c))
+        new_words = {}
+        for w, cnt in words.items():
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + cnt
+        words = new_words
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from collections import Counter
+
+    from metadata_etl_framework_spark.ops.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low new",
+        "aaa aaab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.lower().split())
+    want = _py_bpe(dict(wc), n_merges=6)
+    got = [
+        (r.merge_idx, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_idx").collect()
+    ]
+    assert got == want and len(got) == 6
+
+
+def test_bpe_train_early_stop(spark):
+    from metadata_etl_framework_spark.ops.text import bpe_train
+
+    docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once; min_pair_count=2 stops immediately
+    assert bpe_train(docs, n_merges=5).count() == 0
