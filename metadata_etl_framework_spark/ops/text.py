@@ -1482,6 +1482,61 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: "Sequence[tuple[str, str]]",
+    text_col: str = "text",
+    lowercase: bool = True,
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize text with a learned BPE merge list (the encode side of
+    :func:`bpe_train`): each word starts as characters and replays the
+    merges IN TRAINING ORDER, each one the same greedy left-to-right JVM
+    ``aggregate`` fuse used during training — so
+    ``bpe_encode(df, bpe_train(df)...)`` reproduces the trainer's final
+    segmentation exactly (property-tested). One chained per-row
+    projection, linear in corpus size; expression depth grows with the
+    merge count, so replay long merge lists in chunks if Catalyst
+    nesting becomes a concern (hundreds of merges are fine).
+
+    Adds ``{out}`` (array of subword strings per document, words
+    flattened in order) and ``n_bpe_real`` (its length).
+    """
+    toks = tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    word_syms = F.transform(
+        toks,
+        lambda t: F.filter(F.split(t, r"(?!^)"), lambda s: s != ""),
+    )
+    def _merge_applier(a: str, b: str, fused: str):
+        # factory keeps the higher-order lambda single-arg (Spark
+        # inspects arity) while binding this iteration's pair
+        def apply_merge(syms):
+            return F.aggregate(
+                syms,
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(fused)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+
+        return apply_merge
+
+    for a, b in merges:
+        word_syms = F.transform(word_syms, _merge_applier(a, b, a + b))
+    flat = F.flatten(word_syms)
+    return df.withColumn(out, flat).withColumn(
+        "n_bpe_real", F.size(F.col(out))
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -766,3 +766,34 @@ def test_bpe_train_early_stop(spark):
     docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once; min_pair_count=2 stops immediately
     assert bpe_train(docs, n_merges=5).count() == 0
+
+
+def test_bpe_encode_replays_training_segmentation(spark):
+    from metadata_etl_framework_spark.ops.text import bpe_encode, bpe_train
+
+    texts = ["low lower lowest low low", "new newer newest new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [(r.left, r.right) for r in
+              bpe_train(docs, n_merges=4).orderBy("merge_idx").collect()]
+    assert len(merges) == 4
+    enc = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+
+    # python replay of the same merges
+    def encode_word(w, merges):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    for i, t in enumerate(texts):
+        want = [s for w in t.lower().split() for s in encode_word(w, merges)]
+        assert list(enc[i].bpe_tokens) == want
+        assert enc[i].n_bpe_real == len(want)
