@@ -2971,6 +2971,14 @@ def _text_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(docs, k=50)
 
 
+def _embed_outliers(spark, sf_dir):
+    """Embedding-quality audit: cosine to own-label centroid, z-scored
+    within the label, decimal-exact group stats
+    (ops/similarity.py::embedding_outliers)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_outliers(emb, z_threshold=2.0)
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3165,6 +3173,7 @@ _EXTRA_KEYS = [
     "events_transitions",
     "text_bpe_pairs",
     "drift_psi_categorical",
+    "embed_outliers",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3351,6 +3360,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transitions": _events_transitions,
     "text_bpe_pairs": _text_bpe_pairs,
     "drift_psi_categorical": _drift_psi_categorical,
+    "embed_outliers": _embed_outliers,
 }
 
 
@@ -5940,6 +5950,47 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "embed_outliers": r"""
+            WITH cent AS (
+              SELECT label, CAST(i.i - 1 AS BIGINT) AS dim,
+                     ROUND(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                                         AS DECIMAL(30,15))) AS DOUBLE)
+                           / COUNT(*), 6) AS centroid_val
+              FROM embeddings,
+                   LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+                            AS i) i
+              GROUP BY label, dim),
+            ca AS (SELECT label, LIST(centroid_val ORDER BY dim) AS cent
+                   FROM cent GROUP BY label),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  ca.cent), 6) AS cos
+              FROM embeddings e JOIN ca ON e.label = ca.label
+              WHERE list_cosine_similarity(e.embedding::DOUBLE[], ca.cent)
+                    IS NOT NULL),
+            stats AS (SELECT label, COUNT(*) AS n,
+                             SUM(CAST(cos AS DECIMAL(28,6))) AS sx,
+                             SUM(CAST(cos * cos AS DECIMAL(28,12))) AS sxx
+                      FROM scored GROUP BY label),
+            zed AS (
+              SELECT s.vec_id, s.label, s.cos,
+                     SQRT(GREATEST(
+                       CASE WHEN st.n > 1
+                            THEN (CAST(st.sxx AS DOUBLE)
+                                  - CAST(st.sx AS DOUBLE)
+                                    * (CAST(st.sx AS DOUBLE) / st.n))
+                                 / (st.n - 1)
+                            ELSE 0.0 END, 0.0)) AS std,
+                     CAST(st.sx AS DOUBLE) / st.n AS mean
+              FROM scored s JOIN stats st ON s.label = st.label)
+            SELECT vec_id, label, cos AS cosine_to_centroid,
+                   ROUND(CASE WHEN std > 0 THEN (cos - mean) / std
+                              ELSE 0.0 END, 6) AS z,
+                   (ABS(ROUND(CASE WHEN std > 0 THEN (cos - mean) / std
+                                   ELSE 0.0 END, 6)) > 2.0) AS is_outlier
+            FROM zed
         """,
         "drift_psi_categorical": f"""
             WITH tagged AS (

@@ -819,3 +819,72 @@ def ann_recall_report(
     return embeddings.sparkSession.createDataFrame(
         rows, "query_idx int, n_probe int, recall_at_k double"
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flag embeddings far from their own group's centroid — the
+    embedding-quality audit behind mislabeled-cluster / corrupted-vector
+    triage: cosine to the group centroid, z-scored WITHIN the group.
+
+    Plan: :func:`group_centroids` (one (group, dim) cell shuffle),
+    centroid arrays reassembled on the |groups|-row frame and broadcast
+    back, cosine per row (projection), then one per-group stats
+    aggregate — decimal-exact Σx/Σx² so mean and std are independent of
+    partition order (oracle convention) — broadcast-joined for the
+    z-score. Never a pairwise join.
+
+    Output: (id, group, cosine_to_centroid, z 6dp, is_outlier).
+    Groups with fewer than 2 members or zero variance yield z = 0.0
+    (no basis to call an outlier).
+    """
+    cents = group_centroids(df, group_col, id_col, vec_col)
+    cent_arrays = cents.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("centroid_val")))
+            ),
+            lambda s: s["centroid_val"],
+        ).alias("_cent")
+    )
+    joined = df.join(F.broadcast(cent_arrays), group_col)
+    cos = F.round(
+        cosine_similarity_col(F.col(vec_col), F.col("_cent")), 6
+    )
+    scored = joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        cos.alias("cosine_to_centroid"),
+    ).where(F.col("cosine_to_centroid").isNotNull())
+    stats = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("cosine_to_centroid").cast("decimal(28,6)")).alias("_sx"),
+        F.sum(
+            (
+                F.col("cosine_to_centroid") * F.col("cosine_to_centroid")
+            ).cast("decimal(28,12)")
+        ).alias("_sxx"),
+    )
+    out = scored.join(F.broadcast(stats), group_col)
+    mean = F.col("_sx").cast("double") / F.col("_n")
+    var = F.when(
+        F.col("_n") > 1,
+        (F.col("_sxx").cast("double") - F.col("_sx").cast("double") * mean)
+        / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (F.col("cosine_to_centroid") - mean) / std).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        id_col,
+        group_col,
+        "cosine_to_centroid",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > F.lit(float(z_threshold))).alias("is_outlier"),
+    )

@@ -348,3 +348,36 @@ def test_ann_recall_report_monotone_in_probes(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sim.ann_recall_report(emb, queries, planes, max_queries=1)
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    from metadata_etl_framework_spark.ops import similarity as sim
+
+    # tight cluster around [1,0,...] plus one inverted vector
+    rows = [(i, 0, [1.0 + 0.01 * (i % 3), 0.02 * (i % 5)] + [0.0] * 6)
+            for i in range(40)]
+    rows.append((99, 0, [-1.0, 0.0] + [0.0] * 6))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in sim.embedding_outliers(emb, z_threshold=3.0).collect()}
+    assert out[99].is_outlier and out[99].z < -3.0
+    assert sum(1 for r in out.values() if r.is_outlier) == 1
+
+
+def test_embedding_outliers_degenerate_groups(spark):
+    from metadata_etl_framework_spark.ops import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),          # singleton group: z = 0
+            (2, 1, [1.0, 1.0]),          # identical pair: zero variance
+            (3, 1, [1.0, 1.0]),
+            (4, 2, [0.0, 0.0]),          # zero-norm: cosine NULL, dropped
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in sim.embedding_outliers(emb).collect()}
+    assert out[1].z == 0.0 and not out[1].is_outlier
+    assert out[2].z == 0.0 and out[3].z == 0.0
+    assert 4 not in out
