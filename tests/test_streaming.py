@@ -284,3 +284,80 @@ def test_drift_suite_in_foreach_batch(spark_mod, tmp_path):
     }
     assert {(c, m): v for c, m, v in results} == expect
     assert expect[("value", "ks")] > 0.0
+
+
+def test_streaming_curation_pipeline_e2e(spark_mod, tmp_path):
+    """End-to-end streaming curation: file stream → normalize →
+    funnel filter → exact fingerprint dedup (watermark-bounded state) →
+    foreachBatch upsert into a curated parquet table. The final table
+    must equal the batch-mode pipeline on the same input — curation is
+    engine-mode-agnostic end to end."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.incremental.merge import merge_upsert
+    from metadata_etl_framework_spark.ops.curation import apply_funnel
+    from metadata_etl_framework_spark.ops.text import fingerprint, normalize_text
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_upsert,
+        streaming_file_source,
+        watermark_stream_dedup,
+    )
+
+    spark = spark_mod
+    src = str(tmp_path / "incoming")
+    rows = [
+        (1, "Hello   WORLD this is fine", "en", datetime(2024, 1, 1, 0, 0)),
+        (2, "hello world this is fine", "en", datetime(2024, 1, 1, 0, 1)),  # dup of 1 post-normalize
+        (3, "too short", "en", datetime(2024, 1, 1, 0, 2)),
+        (4, "ceci n'est pas anglais mais assez long quand même", "fr",
+         datetime(2024, 1, 1, 0, 3)),
+        (5, "a genuinely novel document with enough words to pass", "en",
+         datetime(2024, 1, 1, 0, 4)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stages = [
+        ("min_words", "size(split(trim(text_normalized), ' ')) >= 4"),
+        ("lang", "lang = 'en'"),
+    ]
+
+    def curate(df):
+        normalized = normalize_text(df)
+        kept = apply_funnel(normalized, stages)
+        return fingerprint(kept, "text_normalized").select(
+            "doc_id", "fingerprint", "text_normalized", "ts"
+        )
+
+    target = str(tmp_path / "curated")
+    stream = curate(
+        streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    )
+    deduped = watermark_stream_dedup(
+        stream, ["fingerprint"], "ts", watermark="1 hour"
+    )
+    writer = foreach_batch_upsert(
+        deduped, target, keys=["fingerprint"],
+        checkpoint=str(tmp_path / "ck"),
+    )
+    writer.start().awaitTermination(180)
+
+    got = spark.read.parquet(target)
+    # batch equivalent: curate, then keep first doc per fingerprint
+    batch = curate(spark.read.parquet(src))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("ts", "doc_id")
+    want = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got_set = {(r.doc_id, r.fingerprint) for r in got.collect()}
+    want_set = {(r.doc_id, r.fingerprint) for r in want.collect()}
+    assert got_set == want_set
+    assert {d for d, _ in got_set} == {1, 5}  # dup, short, non-en dropped
