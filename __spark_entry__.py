@@ -2979,6 +2979,20 @@ def _embed_outliers(spark, sf_dir):
     return sim_ops.embedding_outliers(emb, z_threshold=2.0)
 
 
+def _layout_partition_plan(spark, sf_dir):
+    """Partition-column advisor over orders: all candidates profiled in
+    one melted pass with EXACT cardinality/skew stats
+    (ops/layout.py::partition_plan)."""
+    from metadata_etl_framework_spark.ops.layout import partition_plan
+
+    orders = _t(spark, sf_dir, "orders")
+    return partition_plan(
+        orders,
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"],
+        max_partitions=1000,
+    )
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3174,6 +3188,7 @@ _EXTRA_KEYS = [
     "text_bpe_pairs",
     "drift_psi_categorical",
     "embed_outliers",
+    "layout_partition_plan",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3361,6 +3376,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_pairs": _text_bpe_pairs,
     "drift_psi_categorical": _drift_psi_categorical,
     "embed_outliers": _embed_outliers,
+    "layout_partition_plan": _layout_partition_plan,
 }
 
 
@@ -5950,6 +5966,41 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "layout_partition_plan": r"""
+            WITH melted AS (
+              SELECT 'o_orderstatus' AS "column",
+                     CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders),
+            per_value AS (SELECT "column", value, COUNT(*) AS cnt
+                          FROM melted GROUP BY 1, 2),
+            per_col AS (
+              SELECT "column",
+                     COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
+                       AS n_distinct,
+                     COALESCE(SUM(CASE WHEN value IS NULL THEN cnt END), 0)
+                       AS nulls,
+                     COALESCE(MAX(CASE WHEN value IS NOT NULL THEN cnt END),
+                              0) AS top1,
+                     SUM(cnt) AS total
+              FROM per_value GROUP BY 1)
+            SELECT "column",
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   ROUND(nulls / total, 6) AS null_frac,
+                   ROUND(CASE WHEN total > nulls
+                              THEN top1 / (total - nulls)
+                              ELSE 0.0 END, 6) AS top1_share,
+                   (n_distinct >= 2 AND n_distinct <= 1000
+                    AND (CASE WHEN total > nulls
+                              THEN top1 / (total - nulls)
+                              ELSE 0.0 END) <= 0.5) AS recommended
+            FROM per_col
         """,
         "embed_outliers": r"""
             WITH cent AS (

@@ -183,3 +183,65 @@ def compaction_plan(
     return grouped.withColumn(
         "group_total_bytes", F.sum("size_bytes").over(w).cast("long")
     ).select("path", "size_bytes", "group_id", "group_total_bytes")
+
+
+def partition_plan(
+    df: DataFrame,
+    candidate_cols: Sequence[str],
+    min_partitions: int = 2,
+    max_partitions: int = 10_000,
+    max_top_share: float = 0.5,
+) -> DataFrame:
+    """Advise which columns are sane ``partitionBy`` keys for a write —
+    the three failure modes it screens for are the classic ones:
+    cardinality too high (millions of tiny directories), cardinality
+    too low (no pruning), and a dominant value (one partition holds the
+    table, small-files everywhere else).
+
+    ALL candidates are profiled in ONE pass: the frame melts to
+    (column, value) cells (a ×|candidates| projection, no extra scan),
+    one groupBy counts per-value occupancy, and the per-column verdict
+    aggregates the ≤ Σcardinality count rows. Exact statistics —
+    cardinality screening with approximate distinct counts flips
+    verdicts right at the boundary.
+
+    Output: (column, n_distinct, null_frac, top1_share, recommended),
+    6-dp fractions.
+    """
+    if not candidate_cols:
+        raise ValueError("candidate_cols must be non-empty")
+    k = len(candidate_cols)
+    stack_args: list[Column] = []
+    for c in candidate_cols:
+        stack_args += [F.lit(c), F.col(c).cast("string")]
+    melted = df.select(
+        F.stack(F.lit(k), *stack_args).alias("column", "value")
+    )
+    per_value = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_col = per_value.groupBy("column").agg(
+        F.count(F.when(F.col("value").isNotNull(), 1)).alias("n_distinct"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("_nulls"),
+        F.coalesce(
+            F.max(F.when(F.col("value").isNotNull(), F.col("cnt"))), F.lit(0)
+        ).alias("_top1"),
+        F.sum("cnt").alias("_total"),
+    )
+    top_share = F.when(
+        F.col("_total") > F.col("_nulls"),
+        F.col("_top1") / (F.col("_total") - F.col("_nulls")),
+    ).otherwise(F.lit(0.0))
+    return per_col.select(
+        "column",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.col("_nulls") / F.col("_total"), 6).alias("null_frac"),
+        F.round(top_share, 6).alias("top1_share"),
+        (
+            (F.col("n_distinct") >= min_partitions)
+            & (F.col("n_distinct") <= max_partitions)
+            & (top_share <= F.lit(float(max_top_share)))
+        ).alias("recommended"),
+    )

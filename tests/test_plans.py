@@ -381,3 +381,26 @@ def test_embedding_outliers_degenerate_groups(spark):
     assert out[1].z == 0.0 and not out[1].is_outlier
     assert out[2].z == 0.0 and out[3].z == 0.0
     assert 4 not in out
+
+
+def test_partition_plan_verdicts(spark):
+    from metadata_etl_framework_spark.ops.layout import partition_plan
+
+    rows = [(i, "A" if i < 95 else "B", f"g{i % 10}", i, None)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "id long, skewed string, good string, unique long, empty string"
+    )
+    got = {r["column"]: r for r in partition_plan(
+        df, ["skewed", "good", "unique", "empty"], max_partitions=50
+    ).collect()}
+    assert got["good"].recommended            # 10 even groups
+    assert not got["skewed"].recommended      # top1_share = 0.95
+    assert got["skewed"].top1_share == 0.95
+    assert not got["unique"].recommended      # cardinality 100 > 50
+    assert not got["empty"].recommended       # 0 distinct non-null
+    assert got["empty"].null_frac == 1.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        partition_plan(df, [])
