@@ -75,6 +75,8 @@ HEADLINE = [
     "events_cohort_retention",
     "events_rolling_active_users",
     "events_attribution_last_touch",
+    "drift_emd_quantity",
+    "orders_global_rank",
 ]
 
 
