@@ -2993,6 +2993,16 @@ def _layout_partition_plan(spark, sf_dir):
     )
 
 
+def _text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM naturalness score per document (perplexity proxy one
+    order above unigram, ops/text.py::bigram_logprob): shuffle join
+    against the corpus bigram table, add-one-smoothed conditionals."""
+    from metadata_etl_framework_spark.ops.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3189,6 +3199,7 @@ _EXTRA_KEYS = [
     "drift_psi_categorical",
     "embed_outliers",
     "layout_partition_plan",
+    "text_bigram_logprob",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3377,6 +3388,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi_categorical": _drift_psi_categorical,
     "embed_outliers": _embed_outliers,
     "layout_partition_plan": _layout_partition_plan,
+    "text_bigram_logprob": _text_bigram_logprob,
 }
 
 
@@ -5966,6 +5978,39 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "text_bigram_logprob": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                                    x -> LOWER(x)) AS t
+              FROM documents WHERE TRIM(COALESCE(text, '')) <> ''),
+            doc_bg AS (
+              SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+              FROM tok, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)
+              WHERE LEN(t) >= 2),
+            uni AS (SELECT u.w AS w1, COUNT(*) AS uc
+                    FROM tok, UNNEST(t) AS u(w)
+                    WHERE u.w <> '' GROUP BY 1),
+            big AS (SELECT bg, COUNT(*) AS bc FROM doc_bg GROUP BY 1),
+            vs AS (SELECT COUNT(*) AS v FROM uni),
+            probed AS (
+              SELECT d.doc_id,
+                     LN((COALESCE(b.bc, 0) + 1)
+                        / CAST(COALESCE(u.uc, 0) + vs.v AS DOUBLE)) AS lp
+              FROM doc_bg d
+              LEFT JOIN big b ON d.bg = b.bg
+              LEFT JOIN uni u ON d.w1 = u.w1, vs),
+            per_doc AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     SUM(CAST(lp AS DECIMAL(28,10))) AS s
+              FROM probed GROUP BY doc_id)
+            SELECT doc.doc_id,
+                   CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(CASE WHEN p.n_bigrams > 0
+                              THEN CAST(p.s AS DOUBLE) / p.n_bigrams END, 6)
+                     AS mean_logprob
+            FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
         """,
         "layout_partition_plan": r"""
             WITH melted AS (

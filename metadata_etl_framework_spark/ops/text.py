@@ -803,6 +803,92 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram model — the KenLM-style perplexity-proxy one order above
+    :func:`unigram_logprob`: ``p(w₂|w₁) = (B(w₁w₂)+1)/(U(w₁)+V)``
+    (add-one smoothing over the conditional), scored as the mean ln p
+    over the document's bigrams. Word-salad text that passes unigram
+    typicality still scores low here when its SEQUENCES are atypical.
+
+    Scale design: the bigram count table is NOT broadcast (it grows
+    with the corpus) — document bigrams meet it in a shuffle equi-join
+    on the bigram key, then the unigram conditionals join on w₁; the
+    1-row vocab-size frame is the only broadcast. Decimal accumulation
+    keeps the mean partition-order-independent. Documents with < 2
+    tokens emit NULL.
+
+    Output: (id, n_bigrams, mean_logprob 6dp).
+    """
+    toks = tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda j: F.struct(
+            F.element_at(toks, j).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(toks, j), F.element_at(toks, j + 1)
+            ).alias("bg"),
+        ),
+    )
+    doc_bg = _spread(df).select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, F.col("g.w1").alias("__w1"), F.col("g.bg").alias("__bg"))
+
+    uni = (
+        _spread(df)
+        .select(F.explode(toks).alias("__w1"))
+        .filter(F.col("__w1") != "")
+        .groupBy("__w1")
+        .agg(F.count(F.lit(1)).alias("__u"))
+    )
+    big = doc_bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__b"))
+    vsize = uni.agg(F.count(F.lit(1)).alias("__v"))
+
+    probed = (
+        doc_bg.join(big, "__bg", "left")
+        .join(uni, "__w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("__b"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("__u"), F.lit(0)) + F.col("__v")).cast(
+                    "double"
+                )
+            ),
+        )
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.col("__lp").cast("decimal(28,10)")).alias("__s"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    F.col("__s").cast("double") / F.col("n_bigrams"),
+                ),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def corpus_summary(
     df: DataFrame,
     group_cols: Sequence[str] = ("source", "lang"),

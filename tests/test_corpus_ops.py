@@ -797,3 +797,27 @@ def test_bpe_encode_replays_training_segmentation(spark):
         want = [s for w in t.lower().split() for s in encode_word(w, merges)]
         assert list(enc[i].bpe_tokens) == want
         assert enc[i].n_bpe_real == len(want)
+
+
+def test_bigram_logprob_closed_form(spark):
+    import math
+
+    from metadata_etl_framework_spark.ops.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    # unigrams: a:3 b:3 x:1 -> V=3; bigrams: "a b":3, "b a":1
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    p_ab = (3 + 1) / (3 + 3)   # B(ab)+1 / U(a)+V
+    p_ba = (1 + 1) / (3 + 3)
+    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    assert out[1].n_bigrams == 3 and abs(out[1].mean_logprob - want1) < 2e-6
+    assert out[2].n_bigrams == 1
+    assert abs(out[2].mean_logprob - round(math.log(p_ab), 6)) < 2e-6
+    # <2 tokens or NULL: no bigrams, NULL score
+    assert out[3].n_bigrams == 0 and out[3].mean_logprob is None
+    assert out[4].n_bigrams == 0 and out[4].mean_logprob is None
+    # repeated sequences score higher than rare ones
+    assert out[2].mean_logprob > math.log(p_ba)
