@@ -404,3 +404,45 @@ def test_partition_plan_verdicts(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         partition_plan(df, [])
+
+
+def test_audit_plan_counters_and_hazards(spark):
+    from pyspark.sql import Window
+
+    from metadata_etl_framework_spark.utils.plan_audit import (
+        assert_scale_safe,
+        audit_plan,
+    )
+
+    a = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    b = spark.range(5).select(F.col("id").alias("k2"))
+
+    clean = a.join(b, a.k == b.k2).groupBy("k").count()
+    rep = assert_scale_safe(clean)
+    assert rep["cartesian"] == 0 and rep["exchanges"] >= 1
+
+    cart = a.crossJoin(b)
+    assert audit_plan(cart)["cartesian"] == 1
+    import pytest as _pt
+    with _pt.raises(AssertionError, match="cartesian"):
+        assert_scale_safe(cart)
+
+    # partitionless global window = the single-task hazard
+    bad_w = a.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert audit_plan(bad_w)["has_partitionless_window"]
+    with _pt.raises(AssertionError, match="partitionless"):
+        assert_scale_safe(bad_w)
+    good_w = a.withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert not audit_plan(good_w)["has_partitionless_window"]
+
+
+def test_audit_plan_pushed_filters_on_parquet(spark, tmp_path):
+    from metadata_etl_framework_spark.utils.plan_audit import assert_scale_safe
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").write.parquet(p)
+    df = spark.read.parquet(p).filter("k = 3").select("id")
+    rep = assert_scale_safe(df, require_pushed_filters=True)
+    assert rep["pushed_filters"] >= 1
