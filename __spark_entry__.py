@@ -3003,6 +3003,18 @@ def _text_bigram_logprob(spark, sf_dir):
     return bigram_logprob(docs)
 
 
+def _events_debounce(spark, sf_dir):
+    """Cooldown filter: drop events repeating within 10 minutes of the
+    previous raw event on the same (user, type) key — lag-gap
+    semantics, first per key survives
+    (ops/retention.py::debounce_events)."""
+    from metadata_etl_framework_spark.ops.retention import debounce_events
+
+    ev = _t(spark, sf_dir, "events")
+    out = debounce_events(ev, cooldown_seconds=600)
+    return out.select("event_id", "user_id", "event_type")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3200,6 +3212,7 @@ _EXTRA_KEYS = [
     "embed_outliers",
     "layout_partition_plan",
     "text_bigram_logprob",
+    "events_debounce",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3389,6 +3402,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_outliers": _embed_outliers,
     "layout_partition_plan": _layout_partition_plan,
     "text_bigram_logprob": _text_bigram_logprob,
+    "events_debounce": _events_debounce,
 }
 
 
@@ -5978,6 +5992,19 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "events_debounce": r"""
+            WITH lagged AS (
+              SELECT event_id, user_id, event_type,
+                     FLOOR(EPOCH(ts))
+                       - FLOOR(EPOCH(LAG(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id))) AS gap,
+                     LAG(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT event_id, user_id, event_type
+            FROM lagged WHERE prev IS NULL OR gap >= 600
         """,
         "text_bigram_logprob": r"""
             WITH tok AS (

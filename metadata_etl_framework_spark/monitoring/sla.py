@@ -2,7 +2,8 @@
 
 Parity target: src/monitoring/sla_monitor.py:21-298 — sla types
 execution_time (seconds ceiling), quality_score (floor), row_count
-(floor), data_freshness (hours ceiling, vs a supplied timestamp).
+(floor), data_freshness (hours ceiling, vs a supplied timestamp);
+beyond parity: drift_psi (ceiling on the batch's PSI vs baseline).
 Deviation = (actual - threshold) / threshold, signed so callers can rank
 violations.
 """
@@ -26,6 +27,7 @@ class SLAMonitor:
         quality_score: float | None = None,
         row_count: int | None = None,
         freshness_ts: float | None = None,
+        drift_psi: float | None = None,
     ) -> list[dict[str, Any]]:
         results = []
         for sla in slas:
@@ -42,6 +44,12 @@ class SLAMonitor:
             elif stype == "data_freshness":
                 age_h = (time.time() - freshness_ts) / 3600 if freshness_ts else None
                 actual, met = age_h, age_h is None or age_h <= threshold
+            elif stype == "drift_psi":
+                # ceiling on the batch's PSI vs baseline (industry rule
+                # of thumb: <0.1 stable, 0.1–0.25 watch, >0.25 shifted);
+                # feed from quality/drift.py::psi_vs_baseline
+                actual = drift_psi
+                met = drift_psi is None or drift_psi <= threshold
             else:
                 raise ValueError(f"unknown sla type {stype!r}")
             deviation = (

@@ -162,3 +162,39 @@ def event_transitions(
             "p_transition"
         ),
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: "str | None" = "event_type",
+    cooldown_seconds: int = 600,
+) -> DataFrame:
+    """Drop rapid-fire repeats: keep an event only when at least
+    ``cooldown_seconds`` (whole-second granularity) passed since the
+    PREVIOUS raw event on the same key (user, and type when
+    ``type_col`` is set); the first event per key always survives.
+
+    These are lag-gap semantics — each event measures against its raw
+    predecessor, NOT the timer-reset chain variant (where a dropped
+    event still postpones the next); lag-gap is one window per key,
+    deterministic under ties via ``id_col``, and what dedup-adjacent
+    cleaning usually wants. One shuffle on the key.
+    """
+    from pyspark.sql import Window
+
+    keys = [user_col] + ([type_col] if type_col else [])
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    return (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_prev", prev)  # window BEFORE the filter (ANSI rule)
+        .withColumn(
+            "_gap",
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_prev")),
+        )
+        .where(F.col("_prev").isNull() | (F.col("_gap") >= cooldown_seconds))
+        .drop("_prev", "_gap")
+    )

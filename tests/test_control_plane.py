@@ -463,3 +463,24 @@ def test_performance_continuous_sampler(spark):
     assert summary["samples"] >= 2
     assert summary["wall_sec"] > 0 and summary["peak_rss_mb"] > 0
     assert summary["avg_cpu_util"] >= 0.0
+
+
+def test_sla_drift_psi_check(store):
+    pid = store.register_pipeline("pd")
+    run_id = store.insert(
+        "PIPELINE_RUNS", {"pipeline_id": pid, "status": "SUCCESS", "started_at": 0}
+    )
+    mon = SLAMonitor(store)
+    ok, bad = mon.record_run(
+        run_id, pid,
+        [{"sla_type": "drift_psi", "threshold": 0.25},
+         {"sla_type": "drift_psi", "threshold": 0.1}],
+        drift_psi=0.18,
+    )
+    assert ok["met"] and not bad["met"]
+    assert bad["deviation"] == pytest.approx(0.8)
+    # absent measurement -> check passes (no basis to fail the run)
+    (none_res,) = mon.record_run(
+        run_id, pid, [{"sla_type": "drift_psi", "threshold": 0.1}]
+    )
+    assert none_res["met"] and none_res["actual"] is None

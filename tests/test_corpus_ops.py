@@ -821,3 +821,29 @@ def test_bigram_logprob_closed_form(spark):
     assert out[4].n_bigrams == 0 and out[4].mean_logprob is None
     # repeated sequences score higher than rare ones
     assert out[2].mean_logprob > math.log(p_ba)
+
+
+def test_debounce_events_lag_gap_semantics(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.retention import debounce_events
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 1, 0, 0, 0), "click"),
+            (2, 1, datetime(2024, 1, 1, 0, 0, 30), "click"),   # 30s -> drop
+            (3, 1, datetime(2024, 1, 1, 0, 1, 30), "click"),   # 60s from #2 -> keep
+            (4, 1, datetime(2024, 1, 1, 0, 0, 10), "view"),    # other type: first
+            (5, 2, datetime(2024, 1, 1, 0, 0, 20), "click"),   # other user: first
+            (6, None, datetime(2024, 1, 1), "click"),          # null user dropped
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    kept = {r.event_id for r in debounce_events(ev, cooldown_seconds=60).collect()}
+    # lag-gap: #3 measures against RAW predecessor #2 (60s) and survives
+    assert kept == {1, 3, 4, 5}
+
+    # keying without type: #4 is 10s after #1 across types -> dropped
+    kept2 = {r.event_id for r in debounce_events(
+        ev, cooldown_seconds=60, type_col=None).collect()}
+    assert 4 not in kept2 and 1 in kept2
