@@ -3015,6 +3015,29 @@ def _events_debounce(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
+def _window_range_frame(spark, sf_dir):
+    """RANGE-frame window (value-based, not row-count): per orderkey,
+    count of lines whose quantity falls within [qty-5, qty] of each
+    line's quantity — the frame type the reference lacks entirely
+    (SURVEY §2.5: only row frames appear there)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(F.col("l_quantity").cast("double"))
+        .rangeBetween(-5, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_within_5"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_within_5"),
+    )
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3213,6 +3236,7 @@ _EXTRA_KEYS = [
     "layout_partition_plan",
     "text_bigram_logprob",
     "events_debounce",
+    "window_range_frame",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3403,6 +3427,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_partition_plan": _layout_partition_plan,
     "text_bigram_logprob": _text_bigram_logprob,
     "events_debounce": _events_debounce,
+    "window_range_frame": _window_range_frame,
 }
 
 
@@ -5992,6 +6017,17 @@ _ALL_SQL.update(
                          ELSE 0.0 END) * n_tokens) AS BIGINT)
                      AS expected_tokens
             FROM j, budget
+        """,
+        "window_range_frame": r"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS qty,
+                   COUNT(*) OVER w AS n_within_5,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS qty_within_5
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY CAST(l_quantity AS DOUBLE)
+                         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
         """,
         "events_debounce": r"""
             WITH lagged AS (

@@ -888,3 +888,56 @@ def embedding_outliers(
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) > F.lit(float(z_threshold))).alias("is_outlier"),
     )
+
+
+def ivf_recall_report(
+    embeddings: DataFrame,
+    query_vecs: "Sequence[Sequence[float]]",
+    n_clusters: int = 16,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_queries: int = 100,
+) -> DataFrame:
+    """Recall@k audit of the IVF index against exact brute force — the
+    IVF twin of :func:`ann_recall_report` (builds the index once, then
+    one exact + one probed top-k per panel query; hard panel cap, an
+    evaluation harness). Raising ``nprobe`` should push recall toward
+    1.0; at ``nprobe = n_clusters`` the probe is exhaustive and recall
+    is exactly 1.0 (a useful sanity anchor).
+
+    Output: one row per query — (query_idx, nprobe, recall_at_k).
+    """
+    if len(query_vecs) > max_queries:
+        raise ValueError(
+            f"ivf_recall_report is an evaluation harness; panel has "
+            f"{len(query_vecs)} queries > max_queries={max_queries}"
+        )
+    assigned, centroids = ivf_build(
+        embeddings, n_clusters, id_col, vec_col, seed
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    rows = []
+    for qi, q in enumerate(query_vecs):
+        truth = {
+            r[id_col]
+            for r in brute_force_topk(
+                embeddings, q, k, id_col, vec_col
+            ).collect()
+        }
+        got = {
+            r[id_col]
+            for r in ivf_topk(
+                assigned, centroids, q, k, nprobe, id_col, vec_col
+            ).collect()
+        }
+        denom = len(truth) or 1
+        rows.append((qi, nprobe, round(len(truth & got) / denom, 6)))
+    assigned.unpersist()
+    return embeddings.sparkSession.createDataFrame(
+        rows, "query_idx int, nprobe int, recall_at_k double"
+    )

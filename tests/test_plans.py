@@ -446,3 +446,25 @@ def test_audit_plan_pushed_filters_on_parquet(spark, tmp_path):
     df = spark.read.parquet(p).filter("k = 3").select("id")
     rep = assert_scale_safe(df, require_pushed_filters=True)
     assert rep["pushed_filters"] >= 1
+
+
+def test_ivf_recall_exhaustive_probe_is_exact(spark):
+    from metadata_etl_framework_spark.ops import similarity as sim
+
+    rows = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [rows[3][1], rows[42][1]]
+
+    full = sim.ivf_recall_report(
+        emb, queries, n_clusters=4, k=5, nprobe=4)
+    assert all(r.recall_at_k == 1.0 for r in full.collect())
+
+    partial = sim.ivf_recall_report(
+        emb, queries, n_clusters=4, k=5, nprobe=1)
+    m = [r.recall_at_k for r in partial.collect()]
+    assert all(0.0 <= v <= 1.0 for v in m)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sim.ivf_recall_report(emb, queries, max_queries=1)
