@@ -1001,6 +1001,22 @@ _sql_q17_small_qty = _sql_query(_SQL_Q17, "lineitem", "part")
 _sql_q22_idle_balances = _sql_query(_SQL_Q22, "customer", "orders")
 _sql_rollup_totals = _sql_query(_SQL_ROLLUP, "lineitem")
 _sql_cube_volumes = _sql_query(_SQL_CUBE, "lineitem")
+
+# explicit GROUPING SETS with GROUPING() disambiguation — the third
+# grouping-analytics shape alongside ROLLUP and CUBE; identical SQL text
+# runs on both engines
+_SQL_GROUPING_SETS = """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+"""
+_sql_grouping_sets = _sql_query(_SQL_GROUPING_SETS, "lineitem")
 # Q20-shaped: IN-subquery whose HAVING holds a correlated scalar-agg
 # subquery (share-of-part-volume supplier; partsupp absent in testdata
 # so lineitem volume stands in for ps_availqty, as in the Q2 reshape).
@@ -3237,6 +3253,7 @@ _EXTRA_KEYS = [
     "text_bigram_logprob",
     "events_debounce",
     "window_range_frame",
+    "sql_grouping_sets",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3428,6 +3445,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": _text_bigram_logprob,
     "events_debounce": _events_debounce,
     "window_range_frame": _window_range_frame,
+    "sql_grouping_sets": _sql_grouping_sets,
 }
 
 
@@ -6018,6 +6036,7 @@ _ALL_SQL.update(
                      AS expected_tokens
             FROM j, budget
         """,
+        "sql_grouping_sets": _SQL_GROUPING_SETS,
         "window_range_frame": r"""
             SELECT l_orderkey, l_linenumber,
                    CAST(l_quantity AS DOUBLE) AS qty,
