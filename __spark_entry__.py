@@ -3054,6 +3054,35 @@ def _window_range_frame(spark, sf_dir):
     )
 
 
+def _set_ops_all(spark, sf_dir):
+    """Bag-semantics set operations (UNION ALL / INTERSECT ALL /
+    EXCEPT ALL) — duplicates preserved per multiset algebra, the
+    ALL-variant complement of the distinct set_ops entry."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.filter(F.col("l_linenumber") <= 3)
+    b = li.filter(F.col("l_linenumber") >= 2)
+    inter = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    exc = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return inter.unionAll(exc)
+
+
+def _string_edit_distance(spark, sf_dir):
+    """Edit-distance scalar functions for fuzzy matching: levenshtein
+    between each nation's name and its region's name, plus a
+    length-normalized similarity ratio."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    lev = F.levenshtein(F.lower("n_name"), F.lower("r_name"))
+    mx = F.greatest(F.length("n_name"), F.length("r_name"))
+    return j.select(
+        "n_name",
+        "r_name",
+        lev.cast("int").alias("edit_distance"),
+        F.round(1.0 - lev / mx, 6).alias("similarity"),
+    )
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3254,6 +3283,8 @@ _EXTRA_KEYS = [
     "events_debounce",
     "window_range_frame",
     "sql_grouping_sets",
+    "set_ops_all",
+    "string_edit_distance",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3446,6 +3477,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_debounce": _events_debounce,
     "window_range_frame": _window_range_frame,
     "sql_grouping_sets": _sql_grouping_sets,
+    "set_ops_all": _set_ops_all,
+    "string_edit_distance": _string_edit_distance,
 }
 
 
@@ -6037,6 +6070,26 @@ _ALL_SQL.update(
             FROM j, budget
         """,
         "sql_grouping_sets": _SQL_GROUPING_SETS,
+        "set_ops_all": """
+            WITH a AS (SELECT l_orderkey, l_linenumber FROM lineitem
+                       WHERE l_linenumber <= 3),
+                 b AS (SELECT l_orderkey, l_linenumber FROM lineitem
+                       WHERE l_linenumber >= 2)
+            SELECT l_orderkey, l_linenumber, 'intersect_all' AS op
+            FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'except_all' AS op
+            FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        """,
+        "string_edit_distance": """
+            SELECT n_name, r_name,
+                   CAST(LEVENSHTEIN(LOWER(n_name), LOWER(r_name)) AS INT)
+                     AS edit_distance,
+                   ROUND(1.0 - LEVENSHTEIN(LOWER(n_name), LOWER(r_name))
+                               / GREATEST(LENGTH(n_name), LENGTH(r_name)),
+                         6) AS similarity
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
         "window_range_frame": r"""
             SELECT l_orderkey, l_linenumber,
                    CAST(l_quantity AS DOUBLE) AS qty,
