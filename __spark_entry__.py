@@ -3083,6 +3083,17 @@ def _string_edit_distance(spark, sf_dir):
     )
 
 
+def _dq_benford_totalprice(spark, sf_dir):
+    """Benford first-digit conformance of o_totalprice: observed vs
+    log10(1+1/d) shares + chi-square (quality/benford.py)."""
+    from metadata_etl_framework_spark.quality.benford import (
+        benford_first_digit,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_first_digit(orders, "o_totalprice")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3285,6 +3296,7 @@ _EXTRA_KEYS = [
     "sql_grouping_sets",
     "set_ops_all",
     "string_edit_distance",
+    "dq_benford_totalprice",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3479,6 +3491,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_grouping_sets": _sql_grouping_sets,
     "set_ops_all": _set_ops_all,
     "string_edit_distance": _string_edit_distance,
+    "dq_benford_totalprice": _dq_benford_totalprice,
 }
 
 
@@ -6070,6 +6083,33 @@ _ALL_SQL.update(
             FROM j, budget
         """,
         "sql_grouping_sets": _SQL_GROUPING_SETS,
+        "dq_benford_totalprice": r"""
+            WITH counts AS (
+              SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS INT)
+                       AS digit,
+                     COUNT(*) AS n
+              FROM (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders)
+              WHERE x IS NOT NULL AND x > 0 GROUP BY 1),
+            grid AS (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit),
+            full_g AS (SELECT g.digit, COALESCE(c.n, 0) AS n
+                       FROM grid g LEFT JOIN counts c ON g.digit = c.digit),
+            t AS (SELECT SUM(n) AS tt FROM full_g)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   ROUND(n / tt, 6) AS observed,
+                   ROUND(LOG10(1.0 + 1.0 / digit), 6) AS expected,
+                   ROUND(CASE WHEN tt > 0
+                         THEN POWER(n / tt - LOG10(1.0 + 1.0 / digit), 2)
+                              / LOG10(1.0 + 1.0 / digit) * tt
+                         ELSE 0.0 END, 6) AS chi2_term,
+                   (SELECT ROUND(SUM(
+                       ROUND(CASE WHEN t2.tt > 0
+                             THEN POWER(f.n / t2.tt
+                                        - LOG10(1.0 + 1.0 / f.digit), 2)
+                                  / LOG10(1.0 + 1.0 / f.digit) * t2.tt
+                             ELSE 0.0 END, 6)), 6)
+                    FROM full_g f, t t2) AS chi2_total
+            FROM full_g, t
+        """,
         "set_ops_all": """
             WITH a AS (SELECT l_orderkey, l_linenumber FROM lineitem
                        WHERE l_linenumber <= 3),

@@ -332,3 +332,34 @@ def test_psi_categorical_identity_and_shift(spark):
     ).collect()
     assert {r.category for r in with_null} == {"a", None}
     assert all(r.psi_term == 0.0 for r in with_null)
+
+
+def test_benford_digit_extraction_and_conformance(spark):
+    import math
+    import random
+
+    from metadata_etl_framework_spark.quality.benford import (
+        benford_expected,
+        benford_first_digit,
+    )
+
+    # sub-1, exact powers of 10, negatives/zero/NULL edge cases
+    df = spark.createDataFrame(
+        [(0.5,), (100.0,), (999.0,), (-3.0,), (0.0,), (None,)], "x double"
+    )
+    rows = {r.digit: r for r in benford_first_digit(df, "x").collect()}
+    assert len(rows) == 9                      # completed 1..9 grid
+    assert rows[5].n == 1 and rows[1].n == 1 and rows[9].n == 1
+    assert sum(r.n for r in rows.values()) == 3  # neg/zero/NULL excluded
+    assert rows[1].expected == round(math.log10(2), 6)
+
+    # Benford-distributed sample conforms: chi2 stays small
+    rng = random.Random(5)
+    vals = [(10 ** rng.uniform(0, 4),) for _ in range(5000)]
+    bdf = spark.createDataFrame(vals, "x double")
+    out = benford_first_digit(bdf, "x").collect()
+    assert out[0].chi2_total < 21.7  # chi2_{0.995, dof=8}
+
+    # uniform-magnitude data violates the law loudly
+    u = spark.createDataFrame([(float(v),) for v in range(1000, 9999)], "x double")
+    assert benford_first_digit(u, "x").collect()[0].chi2_total > 100.0
