@@ -3094,6 +3094,18 @@ def _dq_benford_totalprice(spark, sf_dir):
     return benford_first_digit(orders, "o_totalprice")
 
 
+def _events_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival over user lifetimes with censoring
+    (ops/retention.py::kaplan_meier): churn = last event more than 7
+    days before the corpus end, survivors censored at their current
+    lifetime; the curve runs on the calendar-bounded distinct-lifetime
+    frame."""
+    from metadata_etl_framework_spark.ops.retention import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    return kaplan_meier(ev, horizon_days=7)
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3297,6 +3309,7 @@ _EXTRA_KEYS = [
     "set_ops_all",
     "string_edit_distance",
     "dq_benford_totalprice",
+    "events_kaplan_meier",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3492,6 +3505,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_all": _set_ops_all,
     "string_edit_distance": _string_edit_distance,
     "dq_benford_totalprice": _dq_benford_totalprice,
+    "events_kaplan_meier": _events_kaplan_meier,
 }
 
 
@@ -6083,6 +6097,42 @@ _ALL_SQL.update(
             FROM j, budget
         """,
         "sql_grouping_sets": _SQL_GROUPING_SETS,
+        "events_kaplan_meier": r"""
+            WITH per_user AS (
+              SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY user_id),
+            oe AS (SELECT MAX(l) AS endd FROM per_user),
+            lifed AS (
+              SELECT DATEDIFF('day', CAST(f AS DATE), CAST(l AS DATE)) AS t,
+                     CASE WHEN DATEDIFF('day', CAST(l AS DATE),
+                                        CAST(endd AS DATE)) > 7
+                          THEN 1 ELSE 0 END AS event
+              FROM per_user, oe),
+            counts AS (SELECT t, COUNT(*) AS a, SUM(event) AS d
+                       FROM lifed GROUP BY t),
+            tot AS (SELECT SUM(a) AS N FROM counts),
+            cum AS (SELECT t, a, d, N, SUM(a) OVER (ORDER BY t) AS cum_a
+                    FROM counts, tot),
+            st AS (SELECT t, a, d, (N - cum_a + a) AS n_at_risk,
+                          CASE WHEN d = (N - cum_a + a) THEN 1 ELSE 0 END
+                            AS zero,
+                          CASE WHEN d > 0 AND d < (N - cum_a + a)
+                               THEN LN(1.0 - d / (N - cum_a + a))
+                               ELSE 0.0 END AS lnf
+                   FROM cum),
+            fin AS (SELECT t, a, d, n_at_risk,
+                           SUM(lnf) OVER (ORDER BY t) AS cum_ln,
+                           MAX(zero) OVER (ORDER BY t) AS any_zero
+                    FROM st)
+            SELECT t AS duration_days,
+                   CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   CAST(a - d AS BIGINT) AS n_censored_here,
+                   ROUND(CASE WHEN any_zero = 1 THEN 0.0
+                              ELSE EXP(cum_ln) END, 6) AS survival
+            FROM fin
+        """,
         "dq_benford_totalprice": r"""
             WITH counts AS (
               SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS INT)

@@ -198,3 +198,87 @@ def debounce_events(
         .where(F.col("_prev").isNull() | (F.col("_gap") >= cooldown_seconds))
         .drop("_prev", "_gap")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over user lifetimes — churn analysis
+    with CENSORING done right (the naive "retention at day t" over all
+    users understates survival because recently-arrived users haven't
+    had time to churn).
+
+    Per user: lifetime = days between first and last event. A user
+    whose last event is more than ``horizon_days`` before the corpus's
+    last observed day has churned (event); anyone still active within
+    the horizon is censored at their current lifetime. The estimator:
+    ``S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`` over distinct event lifetimes,
+    with nᵢ the at-risk count (lifetime ≥ tᵢ).
+
+    Plan: one user-keyed aggregate, then everything runs on the
+    DISTINCT-lifetime frame, whose size is bounded by the observation
+    window in days (calendar-bounded, like psi_by_period — the
+    partitionless windows there are documented small-frame operations,
+    not data-scale ones). The cumulative product is exp(Σ ln) with an
+    explicit zero flag once any factor hits 0 (dᵢ = nᵢ), so no ln(0).
+
+    Output: one row per distinct event lifetime — (duration_days,
+    n_at_risk, n_events, n_censored_here, survival 6dp).
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last"))
+    )
+    obs_end = per_user.agg(F.max("_last").alias("_end"))
+    lifed = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t"),
+        (
+            F.datediff(F.col("_end"), F.col("_last"))
+            > F.lit(int(horizon_days))
+        )
+        .cast("int")
+        .alias("event"),
+    )
+    counts = lifed.groupBy("t").agg(
+        F.count(F.lit(1)).alias("a"),          # users with this lifetime
+        F.sum("event").alias("d"),             # churn events at t
+    )
+    total = counts.agg(F.sum("a").alias("_N"))
+    # calendar-bounded frame: windows below run over distinct lifetimes
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_cum_a", F.sum("a").over(w_cum))
+        .withColumn("n_at_risk", (F.col("_N") - F.col("_cum_a") + F.col("a")))
+    )
+    factor = 1.0 - F.col("d") / F.col("n_at_risk")
+    stepped = (
+        cum.withColumn("_zero", (F.col("d") == F.col("n_at_risk")).cast("int"))
+        .withColumn(
+            "_lnf",
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+                F.log(factor),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("_cum_ln", F.sum("_lnf").over(w_cum))
+        .withColumn("_any_zero", F.max("_zero").over(w_cum))
+    )
+    return stepped.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        (F.col("a") - F.col("d")).cast("long").alias("n_censored_here"),
+        F.round(
+            F.when(F.col("_any_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("_cum_ln"))
+            ),
+            6,
+        ).alias("survival"),
+    )

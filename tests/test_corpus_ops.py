@@ -847,3 +847,53 @@ def test_debounce_events_lag_gap_semantics(spark):
     kept2 = {r.event_id for r in debounce_events(
         ev, cooldown_seconds=60, type_col=None).collect()}
     assert 4 not in kept2 and 1 in kept2
+
+
+def test_kaplan_meier_closed_form(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.retention import kaplan_meier
+
+    # observation ends 2024-03-20 (user D's last event).
+    # A: lifetime 2, last seen day 1  -> churned  (gap 19 > 7)
+    # B: lifetime 2, last seen day 10 -> churned  (gap 10 > 7)
+    # C: lifetime 5, last seen day 15 -> censored (gap 5 <= 7)
+    # D: lifetime 10, last seen day 20 -> censored (gap 0)
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 2, 28)), (1, datetime(2024, 3, 1)),
+            (2, datetime(2024, 3, 8)), (2, datetime(2024, 3, 10)),
+            (3, datetime(2024, 3, 10)), (3, datetime(2024, 3, 15)),
+            (4, datetime(2024, 3, 10)), (4, datetime(2024, 3, 20)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {r.duration_days: r for r in kaplan_meier(ev).collect()}
+    # t=2: n=4 at risk, d=2 -> S = 1 - 2/4 = 0.5
+    assert (rows[2].n_at_risk, rows[2].n_events) == (4, 2)
+    assert rows[2].survival == 0.5
+    # t=5: censored only -> survival unchanged
+    assert rows[5].n_events == 0 and rows[5].survival == 0.5
+    assert rows[5].n_censored_here == 1
+    # t=10: last at-risk user censored -> survival still 0.5
+    assert rows[10].n_at_risk == 1 and rows[10].survival == 0.5
+
+
+def test_kaplan_meier_all_churned_hits_zero(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.retention import kaplan_meier
+
+    # both users long gone relative to the observation end
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2)),
+            (2, datetime(2024, 1, 1)), (2, datetime(2024, 1, 3)),
+            (3, datetime(2024, 3, 1)),  # anchor extends observation end
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {r.duration_days: r for r in kaplan_meier(ev).collect()}
+    # t=0 is user 3 (lifetime 0, censored); t=1 and t=2 churn everyone
+    # remaining at their step -> survival falls to 0 by the last event
+    assert rows[max(rows)].survival == 0.0
