@@ -3106,6 +3106,24 @@ def _events_kaplan_meier(spark, sf_dir):
     return kaplan_meier(ev, horizon_days=7)
 
 
+def _events_ab_test(spark, sf_dir):
+    """A/B readout over events: users split by id parity, conversion =
+    any purchase; per-variant rates + pooled two-proportion z
+    (ops/retention.py::ab_test_proportions)."""
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_test_proportions,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return ab_test_proportions(ev, "variant", "converted")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3310,6 +3328,7 @@ _EXTRA_KEYS = [
     "string_edit_distance",
     "dq_benford_totalprice",
     "events_kaplan_meier",
+    "events_ab_test",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3506,6 +3525,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_edit_distance": _string_edit_distance,
     "dq_benford_totalprice": _dq_benford_totalprice,
     "events_kaplan_meier": _events_kaplan_meier,
+    "events_ab_test": _events_ab_test,
 }
 
 
@@ -6097,6 +6117,42 @@ _ALL_SQL.update(
             FROM j, budget
         """,
         "sql_grouping_sets": _SQL_GROUPING_SETS,
+        "events_ab_test": r"""
+            WITH per_unit AS (
+              SELECT user_id,
+                     MAX(CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END)
+                       AS variant,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) AS conv
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+            pv AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+                   FROM per_unit GROUP BY variant),
+            two AS (
+              SELECT a.variant AS variant_a, a.n AS n_a, a.c AS c_a,
+                     b.variant AS variant_b, b.n AS n_b, b.c AS c_b
+              FROM pv a, pv b WHERE a.variant = 'A' AND b.variant = 'B')
+            SELECT variant_a, CAST(n_a AS BIGINT) AS n_a,
+                   ROUND(c_a / n_a, 6) AS rate_a,
+                   variant_b, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(c_b / n_b, 6) AS rate_b,
+                   ROUND(CASE WHEN SQRT(((c_a + c_b) / (n_a + n_b))
+                                 * (1 - (c_a + c_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b)) > 0
+                         THEN (c_a / n_a - c_b / n_b)
+                              / SQRT(((c_a + c_b) / (n_a + n_b))
+                                 * (1 - (c_a + c_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b))
+                         ELSE 0.0 END, 6) AS z_score,
+                   (ABS(ROUND(CASE WHEN SQRT(((c_a + c_b) / (n_a + n_b))
+                                 * (1 - (c_a + c_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b)) > 0
+                         THEN (c_a / n_a - c_b / n_b)
+                              / SQRT(((c_a + c_b) / (n_a + n_b))
+                                 * (1 - (c_a + c_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b))
+                         ELSE 0.0 END, 6)) > 1.959964) AS significant_95
+            FROM two
+        """,
         "events_kaplan_meier": r"""
             WITH per_user AS (
               SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events

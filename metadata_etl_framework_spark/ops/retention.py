@@ -282,3 +282,69 @@ def kaplan_meier(
             6,
         ).alias("survival"),
     )
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion z-test between experiment variants — the classic
+    A/B readout: per-unit conversion flags, variant rates, and the
+    pooled-variance z statistic (|z| > 1.96 ≈ 95% two-sided).
+
+    Exactly two variants must be present (raises otherwise — a silent
+    pick would misattribute). A unit converts if ANY of its rows has
+    ``converted_col`` true; one groupBy on the unit, one on the
+    variant, then scalar arithmetic on a 2-row frame. Rounds to 6dp.
+
+    Output: 1 row — (variant_a, n_a, rate_a, variant_b, n_b, rate_b,
+    z_score, significant_95).
+    """
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.max(F.col(variant_col).cast("string")).alias("variant"),
+            F.max(F.col(converted_col).cast("int")).alias("conv"),
+        )
+    )
+    per_variant = (
+        per_unit.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("conv").alias("c"),
+        )
+        .orderBy("variant")
+    )
+    rows = per_variant.collect()
+    if len(rows) != 2:
+        raise ValueError(
+            f"ab_test_proportions needs exactly 2 variants, got "
+            f"{[r['variant'] for r in rows]}"
+        )
+    (va, na, ca), (vb, nb, cb) = [(r["variant"], r["n"], r["c"]) for r in rows]
+    spark = df.sparkSession
+    two = spark.createDataFrame(
+        [(va, na, ca, vb, nb, cb)],
+        "variant_a string, n_a long, c_a long, "
+        "variant_b string, n_b long, c_b long",
+    )
+    ra = F.col("c_a") / F.col("n_a")
+    rb = F.col("c_b") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z = F.when(se > 0, (ra - rb) / se).otherwise(F.lit(0.0))
+    return two.select(
+        "variant_a",
+        "n_a",
+        F.round(ra, 6).alias("rate_a"),
+        "variant_b",
+        "n_b",
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(F.round(z, 6)) > 1.959964).alias("significant_95"),
+    )

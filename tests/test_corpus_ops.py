@@ -897,3 +897,35 @@ def test_kaplan_meier_all_churned_hits_zero(spark):
     # t=0 is user 3 (lifetime 0, censored); t=1 and t=2 churn everyone
     # remaining at their step -> survival falls to 0 by the last event
     assert rows[max(rows)].survival == 0.0
+
+
+def test_ab_test_proportions_closed_form(spark):
+    import math
+
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_test_proportions,
+    )
+
+    # A: 100 users, 60 convert; B: 100 users, 40 convert
+    rows = [(u, "A", u < 60) for u in range(100)] + [
+        (u + 100, "B", u < 40) for u in range(100)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, variant string, converted boolean")
+    r = ab_test_proportions(df, "variant", "converted").collect()[0]
+    assert (r.n_a, r.rate_a, r.n_b, r.rate_b) == (100, 0.6, 100, 0.4)
+    p = 0.5
+    want_z = round((0.6 - 0.4) / math.sqrt(p * (1 - p) * (2 / 100)), 6)
+    assert r.z_score == want_z and r.significant_95
+
+    # multiple rows per unit: ANY conversion counts once
+    dup = df.unionByName(
+        spark.createDataFrame([(0, "A", False)], df.schema)
+    )
+    r2 = ab_test_proportions(dup, "variant", "converted").collect()[0]
+    assert r2.rate_a == 0.6
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exactly 2"):
+        ab_test_proportions(
+            df.withColumn("variant", F.lit("only")), "variant", "converted"
+        )
