@@ -3124,6 +3124,20 @@ def _events_ab_test(spark, sf_dir):
     return ab_test_proportions(ev, "variant", "converted")
 
 
+def _agg_group_mode(spark, sf_dir):
+    """Exact per-group mode with deterministic smallest-value tie-break
+    (functions/aggregations.py::group_mode): most frequent quantity per
+    returnflag."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        group_mode,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
+    )
+    return group_mode(li, ["l_returnflag"], "qty")
+
+
 _DRIVER_KEYS = [
     "q1_pricing_summary",
     "filter_condition",
@@ -3329,6 +3343,7 @@ _EXTRA_KEYS = [
     "dq_benford_totalprice",
     "events_kaplan_meier",
     "events_ab_test",
+    "agg_group_mode",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3526,6 +3541,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_benford_totalprice": _dq_benford_totalprice,
     "events_kaplan_meier": _events_kaplan_meier,
     "events_ab_test": _events_ab_test,
+    "agg_group_mode": _agg_group_mode,
 }
 
 
@@ -6117,6 +6133,20 @@ _ALL_SQL.update(
             FROM j, budget
         """,
         "sql_grouping_sets": _SQL_GROUPING_SETS,
+        "agg_group_mode": r"""
+            WITH counts AS (
+              SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+                     COUNT(*) AS c
+              FROM lineitem GROUP BY 1, 2),
+            ranked AS (
+              SELECT l_returnflag, qty, c,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                        ORDER BY c DESC, qty ASC NULLS LAST)
+                       AS rn
+              FROM counts)
+            SELECT l_returnflag, qty AS mode, CAST(c AS BIGINT) AS mode_count
+            FROM ranked WHERE rn = 1
+        """,
         "events_ab_test": r"""
             WITH per_unit AS (
               SELECT user_id,

@@ -462,3 +462,38 @@ def group_concat(
     return df.groupBy(*group_cols).agg(
         F.array_join(F.array_sort(vals), sep).alias(out)
     )
+
+
+def group_mode(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    value_col: str,
+    out: str = "mode",
+) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tie-break (smallest
+    value wins) — Spark's built-in ``F.mode`` picks an arbitrary value
+    among equal counts, which breaks reproducible pipelines and
+    differential oracles. Two grouped aggregations (value counts →
+    per-group argmax via max_by on a (count, negated-orderable value)
+    struct is not portable across types, so a ranked window over the
+    COUNT FRAME does the argmax: the window partitions by group and the
+    count frame is |distinct values|, not rows). NULL values count as a
+    level.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__c"), F.col(value_col).asc_nulls_last()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias(out),
+            F.col("__c").cast("long").alias("mode_count"),
+        )
+    )

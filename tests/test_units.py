@@ -317,3 +317,19 @@ def test_group_concat_sorted_and_distinct(spark):
     out_d = {r.k: r.concat_values
              for r in group_concat(df, ["k"], "v", distinct=True).collect()}
     assert out_d == {"a": "1,3", "b": "2"}
+
+
+def test_group_mode_deterministic_ties(spark):
+    from metadata_etl_framework_spark.functions.aggregations import group_mode
+
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0), ("g", 2.0), ("g", 2.0), ("g", 9.0),
+         ("h", None), ("h", None), ("h", 1.0)],
+        "k string, v double",
+    )
+    out = {r.k: (r.mode, r.mode_count) for r in
+           group_mode(df, ["k"], "v").collect()}
+    assert out["g"] == (2.0, 2)     # tie at count 2 -> smallest value
+    # NULL is a level: the NULL pair (count 2) beats the non-null
+    # singleton; within equal counts NULLs would sort last
+    assert out["h"][1] == 2 and out["h"][0] is None
