@@ -6553,9 +6553,10 @@ _ALL_SQL.update(
         "events_attribution_last_touch": r"""
             WITH conv AS (SELECT user_id, event_id AS conversion_id, ts
                           FROM events WHERE event_type = 'purchase'),
-            touch AS (SELECT user_id, ts, event_id AS touch_id,
-                             event_type AS touch_type
-                      FROM events WHERE event_type IN ('click', 'view'))
+            touch AS (SELECT user_id, ts, MAX(event_id) AS touch_id,
+                             ARG_MAX(event_type, event_id) AS touch_type
+                      FROM events WHERE event_type IN ('click', 'view')
+                      GROUP BY user_id, ts)
             SELECT c.conversion_id, c.user_id,
                    CASE WHEN t.ts >= c.ts - INTERVAL 3 DAY
                         THEN t.touch_id END AS touch_id,
@@ -6578,9 +6579,14 @@ _ALL_SQL.update(
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                              ORDER BY ts, touch_id) AS rn
                 FROM touch) WHERE rn = 1)
-            SELECT c.conversion_id, c.user_id, f.touch_id, f.touch_type,
-                   CAST(FLOOR(EPOCH(c.ts)) - FLOOR(EPOCH(f.first_ts))
-                        AS BIGINT) AS gap_seconds
+            SELECT c.conversion_id, c.user_id,
+                   CASE WHEN f.first_ts <= c.ts THEN f.touch_id
+                        END AS touch_id,
+                   CASE WHEN f.first_ts <= c.ts THEN f.touch_type
+                        END AS touch_type,
+                   CASE WHEN f.first_ts <= c.ts
+                        THEN CAST(FLOOR(EPOCH(c.ts)) - FLOOR(EPOCH(f.first_ts))
+                                  AS BIGINT) END AS gap_seconds
             FROM conv c LEFT JOIN firsts f ON c.user_id = f.user_id
         """,
         "events_rolling_active_users": r"""

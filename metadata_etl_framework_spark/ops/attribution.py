@@ -32,10 +32,15 @@ def attribute_conversions(
     ``model='last_touch'``: the latest touch at-or-before the conversion
     (as-of backward join; ``lookback`` like ``"3 days"`` nulls matches
     older than the window — the closest touch IS the latest, so an
-    out-of-window latest means no in-window match exists).
-    ``model='first_touch'``: the user's earliest touch ever (min_by
-    aggregate), the classic acquisition-credit definition; ``lookback``
-    does not apply.
+    out-of-window latest means no in-window match exists). Touches are
+    pre-reduced to one row per (user, ts) with a deterministic
+    max-touch_id tie-break, so simultaneous touches can't make the
+    winner depend on partition order.
+    ``model='first_touch'``: the user's earliest touch AT-OR-BEFORE the
+    conversion (min_by aggregate + a post-filter), the classic
+    acquisition-credit definition — credit never flows backward in
+    time, so a purchase is never attributed to a later click.
+    ``lookback`` does not apply.
 
     Output: (conversion_id, user, conversion ts, touch_id, touch_type,
     gap_seconds — whole seconds, NULL when unattributed). Unattributed
@@ -56,6 +61,13 @@ def attribute_conversions(
     if model == "last_touch":
         from metadata_etl_framework_spark.functions.joins import asof_join
 
+        # one row per (user, ts): the as-of join orders by (ts, side)
+        # only, so same-instant touches would otherwise win by partition
+        # order. max_by(touch_id) is the documented deterministic rule.
+        touch = touch.groupBy("user", "ts").agg(
+            F.max("touch_id").alias("touch_id"),
+            F.max_by("touch_type", "touch_id").alias("touch_type"),
+        )
         out = asof_join(
             conv,
             touch,
@@ -77,9 +89,13 @@ def attribute_conversions(
             ).alias("first_type"),
         )
         out = conv.join(firsts, "user", "left")
-        matched_ts = F.col("first_ts")
-        touch_id = F.col("_m.touch_id")
-        touch_type = F.col("first_type")
+        # earliest touch <= conv ts == global earliest IF that one is
+        # <= conv ts, else no touch qualifies — so a post-filter on the
+        # per-user min is exact, and gap_seconds is never negative.
+        ok = F.col("first_ts") <= F.col("ts")
+        matched_ts = F.when(ok, F.col("first_ts"))
+        touch_id = F.when(ok, F.col("_m.touch_id"))
+        touch_type = F.when(ok, F.col("first_type"))
     else:
         raise ValueError("model must be last_touch or first_touch")
     return out.select(

@@ -933,7 +933,7 @@ def lsh_quality_report(
     harness, not a production path; it raises above the gate rather
     than silently sampling).
 
-    Output: 1 row — (n_true_pairs, n_candidate_pairs, n_verified_pairs,
+    Output: 1 row — (n_true_pairs, n_emitted_pairs, n_agreeing_pairs,
     precision, recall). ``precision`` is post-verification (the
     pipeline's emitted pairs vs truth); ``recall`` is what the banding
     lost. Use :func:`lsh_tuning` to pick a banding when recall is low.

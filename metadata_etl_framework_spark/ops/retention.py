@@ -295,9 +295,12 @@ def ab_test_proportions(
     pooled-variance z statistic (|z| > 1.96 ≈ 95% two-sided).
 
     Exactly two variants must be present (raises otherwise — a silent
-    pick would misattribute). A unit converts if ANY of its rows has
-    ``converted_col`` true; one groupBy on the unit, one on the
-    variant, then scalar arithmetic on a 2-row frame. Rounds to 6dp.
+    pick would misattribute). Units that appear under BOTH variants are
+    contaminated and are excluded from the readout entirely (the same
+    no-silent-pick rationale: assigning them to either arm would bias
+    it). A unit converts if ANY of its rows has ``converted_col`` true;
+    one groupBy on the unit, one on the variant, then scalar arithmetic
+    on a 2-row frame. Rounds to 6dp.
 
     Output: 1 row — (variant_a, n_a, rate_a, variant_b, n_b, rate_b,
     z_score, significant_95).
@@ -307,8 +310,14 @@ def ab_test_proportions(
         .groupBy(F.col(unit_col).alias("unit"))
         .agg(
             F.max(F.col(variant_col).cast("string")).alias("variant"),
+            F.countDistinct(F.col(variant_col).cast("string")).alias(
+                "_n_variants"
+            ),
             F.max(F.col(converted_col).cast("int")).alias("conv"),
         )
+        # cross-variant (contaminated) units are excluded, not silently
+        # assigned to max(variant)
+        .where(F.col("_n_variants") == 1)
     )
     per_variant = (
         per_unit.groupBy("variant")

@@ -788,12 +788,14 @@ def psi_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
     spark = cur.sparkSession
     base = spark.read.parquet(path)
     meta = base.select("mn", "mx", "n_bins", "n_ref").first()
+    # an empty baseline parquet (reference had no non-null values) makes
+    # .first() return None — same diagnosis as a null mn/mx
+    if meta is None or meta["mn"] is None or meta["mx"] is None:
+        raise ValueError("baseline has no numeric support (empty reference)")
     mn, mx, n_bins = meta["mn"], meta["mx"], int(meta["n_bins"])
     n_ref = meta["n_ref"]
 
     x = F.col(col).cast("double")
-    if mn is None or mx is None:
-        raise ValueError("baseline has no numeric support (empty reference)")
     w = (mx - mn) / float(n_bins)
     b = (
         F.when(x < F.lit(mn), F.lit(-1))

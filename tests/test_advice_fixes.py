@@ -317,3 +317,89 @@ def test_tws_batch_path_does_not_touch_state_store_conf(spark):
     out = tws_running_counts(df, "k", "v").collect()
     assert spark.conf.get(key, None) == before
     assert out[0]["count"] == 2
+
+
+def test_last_touch_tie_break_deterministic(spark):
+    """Round-6 ADVICE low #1: two touches at the IDENTICAL timestamp must
+    resolve by max(touch_id), not partition order."""
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.attribution import (
+        attribute_conversions,
+    )
+
+    rows = [
+        (1, 10, datetime(2024, 3, 1, 9), "click"),
+        (2, 10, datetime(2024, 3, 1, 9), "view"),   # same instant as 1
+        (3, 10, datetime(2024, 3, 1, 10), "purchase"),
+    ]
+    for rep in range(3):  # repartition shuffles row placement across runs
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        ).repartition(4 + rep)
+        out = {r.conversion_id: r for r in attribute_conversions(ev).collect()}
+        assert out[3].touch_id == 2 and out[3].touch_type == "view"
+
+
+def test_first_touch_never_credits_post_conversion(spark):
+    """Round-6 ADVICE low #2: a touch AFTER the conversion must not win
+    first-touch credit (no negative gap_seconds)."""
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.attribution import (
+        attribute_conversions,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 3, 2, 9), "purchase"),
+            (2, 10, datetime(2024, 3, 3, 9), "click"),   # post-conversion only
+            (3, 20, datetime(2024, 3, 1, 9), "click"),
+            (4, 20, datetime(2024, 3, 2, 9), "purchase"),
+            (5, 20, datetime(2024, 3, 2, 10), "view"),   # later, must not steal
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {r.conversion_id: r for r in attribute_conversions(
+        ev, model="first_touch").collect()}
+    assert out[1].touch_id is None and out[1].gap_seconds is None
+    assert out[4].touch_id == 3 and out[4].gap_seconds == 86400
+
+
+def test_ab_test_excludes_cross_variant_units(spark):
+    """Round-6 ADVICE low #3: a unit seen under BOTH variants is
+    contaminated and must be dropped from both arms."""
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_test_proportions,
+    )
+
+    rows = (
+        [(u, "A", u < 2) for u in range(10)]
+        + [(u + 100, "B", u < 5) for u in range(10)]
+        + [(999, "A", True), (999, "B", True)]   # contaminated unit
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, variant string, converted boolean"
+    )
+    r = ab_test_proportions(df, "variant", "converted").collect()[0]
+    assert (r.n_a, r.n_b) == (10, 10)            # 999 counted in neither
+    assert (r.rate_a, r.rate_b) == (0.2, 0.5)
+
+
+def test_psi_vs_baseline_empty_reference_raises_value_error(spark, tmp_path):
+    """Round-6 ADVICE low #5: an all-null reference writes an empty
+    baseline; psi_vs_baseline must raise the documented ValueError, not
+    TypeError on None."""
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.quality.drift import (
+        psi_vs_baseline,
+        save_drift_baseline,
+    )
+
+    ref = spark.createDataFrame([(None,), (None,)], "x double")
+    path = str(tmp_path / "empty_baseline")
+    save_drift_baseline(ref, "x", path)
+    cur = spark.createDataFrame([(1.0,)], "x double")
+    with _pt.raises(ValueError, match="no numeric support"):
+        psi_vs_baseline(cur, "x", path)
