@@ -2683,6 +2683,17 @@ def _drift_ks_quantity(spark, sf_dir):
     return ks_statistic(ref, cur, "l_quantity")
 
 
+def _drift_ks_binned(spark, sf_dir):
+    """Binned KS on l_extendedprice (the 100-TB arm): per-side bucket
+    counts over the pooled exact [min, max] — post-scan size O(n_bins)
+    at any cardinality — with the provable bracket ks_stat <= D_exact <=
+    ks_stat + err_bound (quality/drift.py::ks_statistic n_bins=64)."""
+    from metadata_etl_framework_spark.quality.drift import ks_statistic
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return ks_statistic(ref, cur, "l_extendedprice", n_bins=64)
+
+
 def _drift_emd_quantity(spark, sf_dir):
     """Exact 1-D Wasserstein distance on l_quantity: per-value counts +
     dual prefix scan + distributed LEAD (next-partition first value
@@ -3139,26 +3150,30 @@ def _agg_group_mode(spark, sf_dir):
 
 
 _DRIVER_KEYS = [
+    # Rotated each round so the hard CORRECTNESS gate tracks the
+    # capability frontier (round-7: flagship dedup/drift/curation/event
+    # analytics in; granular filter/convert/join variants now verified
+    # by the local parity suite as extras).
     "q1_pricing_summary",
     "filter_condition",
     "filter_multi",
-    "filter_date_range",
-    "project_rename",
+    "dedup_bloom_probe",
+    "embed_semantic_dedup",
     "typeconversion",
-    "convert_string_funcs",
+    "corpus_dsir_weights",
     "join_inner",
-    "join_left",
+    "drift_suite",
     "join_multi",
     "join_anti",
-    "join_merge_multiple",
+    "curation_funnel",
     "agg_orders_by_priority",
-    "pivot_status",
+    "events_cohort_retention",
     "dedup_incremental",
     "window_rank_lag",
     "window_frames",
     "text_quality_score",
     "text_tfidf_top_terms",
-    "set_ops",
+    "orders_global_rank",
     "dedup_distinct",
     "corpus_split_leakage_safe",
     "profile_all_columns",
@@ -3180,7 +3195,7 @@ _DRIVER_KEYS = [
     "events_windows",
     "events_sessions",
     "text_features",
-    "text_lang_distribution",
+    "events_kaplan_meier",
     "dedup_exact_groups",
     "dedup_embedding_cosine",
     "embed_knn_join",
@@ -3299,27 +3314,21 @@ _EXTRA_KEYS = [
     "multimodal_video_meta",
     "pack_length_buckets",
     "embed_knn_join_lsh",
-    "dedup_bloom_probe",
     "corpus_domain_cap",
-    "corpus_dsir_weights",
-    "embed_semantic_dedup",
     "text_dedup_lines",
     "text_repeated_spans",
     "text_remove_spans",
     "drift_psi_price",
     "drift_ks_quantity",
+    "drift_ks_binned",
     "drift_chi2_returnflag",
-    "drift_suite",
-    "curation_funnel",
     "curation_funnel_docs",
     "text_top_bigrams",
     "text_top_bigrams_by_source",
     "corpus_curriculum_order",
-    "orders_global_rank",
     "multimodal_pair_filter",
     "corpus_temperature_mix",
     "drift_psi_by_week",
-    "events_cohort_retention",
     "drift_emd_quantity",
     "events_attribution_last_touch",
     "events_attribution_first_touch",
@@ -3341,9 +3350,16 @@ _EXTRA_KEYS = [
     "set_ops_all",
     "string_edit_distance",
     "dq_benford_totalprice",
-    "events_kaplan_meier",
     "events_ab_test",
     "agg_group_mode",
+    "filter_date_range",
+    "project_rename",
+    "convert_string_funcs",
+    "join_left",
+    "join_merge_multiple",
+    "pivot_status",
+    "set_ops",
+    "text_lang_distribution",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3506,6 +3522,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_length_buckets": _pack_length_buckets,
     "drift_psi_price": _drift_psi_price,
     "drift_ks_quantity": _drift_ks_quantity,
+    "drift_ks_binned": _drift_ks_binned,
     "drift_chi2_returnflag": _drift_chi2_returnflag,
     "drift_suite": _drift_suite,
     "curation_funnel": _curation_funnel,
@@ -5896,6 +5913,33 @@ _ALL_SQL.update(
         "drift_ks_quantity": f"""
             WITH {_ks_ctes('l_quantity')}
             {_KS_SELECT}
+        """,
+        "drift_ks_binned": f"""
+            WITH ref AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                         FROM lineitem WHERE {_DRIFT_REF}),
+            cur AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                    FROM lineitem WHERE {_DRIFT_CUR}),
+            tagged AS (SELECT x AS v, 1 AS is_ref FROM ref
+                       WHERE x IS NOT NULL
+                       UNION ALL
+                       SELECT x AS v, 0 AS is_ref FROM cur
+                       WHERE x IS NOT NULL),
+            pe AS (SELECT MIN(v) AS pmn, MAX(v) AS pmx FROM tagged),
+            b AS (SELECT CASE WHEN pmx = pmn THEN 0
+                         ELSE LEAST(CAST(FLOOR((v - pmn)
+                              / ((pmx - pmn) / 64.0)) AS INT), 63)
+                         END AS bin,
+                         SUM(is_ref) AS rc, SUM(1 - is_ref) AS cc
+                  FROM tagged, pe GROUP BY 1),
+            t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM b),
+            s AS (SELECT rc, cc, SUM(rc) OVER (ORDER BY bin) AS ca,
+                         SUM(cc) OVER (ORDER BY bin) AS cb FROM b)
+            SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6) AS ks_stat,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   ROUND(MAX(GREATEST(rc / n_ref, cc / n_cur)), 6)
+                     AS err_bound
+            FROM s, t GROUP BY n_ref, n_cur
         """,
         "drift_psi_by_flag": f"""
             WITH ref AS (SELECT l_returnflag AS g,

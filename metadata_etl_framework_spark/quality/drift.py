@@ -152,7 +152,11 @@ def _dual_prefix_scan(
     offsets, acc_a, acc_b = [], 0, 0
     for i, row in enumerate(ordered):
         nxt = ordered[i + 1]["__mn"] if i + 1 < len(ordered) else None
-        offsets.append((row["__pid"], acc_a, acc_b, nxt))
+        # order_col may be an int (binned KS) — the offsets schema says
+        # double, so coerce; with_next_start callers are double-ordered
+        offsets.append(
+            (row["__pid"], acc_a, acc_b, float(nxt) if nxt is not None else None)
+        )
         acc_a += row["__sa"] or 0
         acc_b += row["__sb"] or 0
     if not offsets:
@@ -204,19 +208,90 @@ def _merged_value_counts(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     )
 
 
-def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov statistic.
+def _ks_binned(
+    ref: DataFrame, cur: DataFrame, col: str, n_bins: int
+) -> DataFrame:
+    """Binned KS (see :func:`ks_statistic` ``n_bins``): per-side bin
+    counts over pooled exact [min, max], cumulative fractions via the
+    dual prefix scan (bins are already unique keys, so the same
+    scale-safe machinery applies — no partitionless window even when a
+    caller asks for 10⁶ bins)."""
+    x = F.col(col).cast("double")
+    r = ref.select(x.alias("v")).where(F.col("v").isNotNull())
+    c = cur.select(x.alias("v")).where(F.col("v").isNotNull())
+    pooled = r.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).unionByName(
+        c.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    ).agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+    w = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+    b = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) / w).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    binned = (
+        r.select(F.lit(1).alias("is_ref"), "v")
+        .unionByName(c.select(F.lit(0).alias("is_ref"), "v"))
+        .crossJoin(F.broadcast(pooled))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.sum("is_ref").alias("rc"),
+            F.sum(1 - F.col("is_ref")).alias("cc"),
+        )
+    )
+    scanned = _dual_prefix_scan(binned, "bin", "rc", "cc")
+    totals = binned.agg(F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur"))
+    return (
+        scanned.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("__ca") / F.col("n_ref") - F.col("__cb") / F.col("n_cur")
+            ).alias("d"),
+            F.greatest(
+                F.col("rc") / F.col("n_ref"), F.col("cc") / F.col("n_cur")
+            ).alias("bin_mass"),
+            "n_ref",
+            "n_cur",
+        )
+        .groupBy("n_ref", "n_cur")
+        .agg(
+            F.round(F.max("d"), 6).alias("ks_stat"),
+            F.round(F.max("bin_mass"), 6).alias("err_bound"),
+        )
+        .select("ks_stat", "n_ref", "n_cur", "err_bound")
+    )
 
-    D = max over the pooled support of |F_ref(x) − F_cur(x)|. Both
-    empirical CDFs are step functions constant between pooled sample
-    points, so evaluating at each distinct value (post-jump) covers the
-    supremum exactly.
 
+def ks_statistic(
+    ref: DataFrame, cur: DataFrame, col: str, n_bins: int | None = None
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — exact, or binned with a
+    provable error bound.
+
+    **Exact (default, ``n_bins=None``):** D = max over the pooled
+    support of |F_ref(x) − F_cur(x)|. Both empirical CDFs are step
+    functions constant between pooled sample points, so evaluating at
+    each distinct value (post-jump) covers the supremum exactly.
     Plan: per-value counts for each side (one shuffle each), full-outer
     merge on value, then the dual prefix scan — cumulative counts without
     a single-task global window, so the statistic stays exact at any
     cardinality. Output: 1 row — ``ks_stat`` (6 dp), ``n_ref``, ``n_cur``.
+
+    **Binned (``n_bins`` set):** the 100-TB path. On a continuous double
+    column "per-value counts" ≈ per-row counts, so the exact CDF merge
+    shuffles data proportional to the full column. Instead both sides
+    are bucketed into ``n_bins`` fixed-width bins over the POOLED exact
+    [min, max] (one 1-row aggregate per side), and D is taken over the
+    binned CDFs — a plan whose post-scan size is O(n_bins) regardless of
+    cardinality. Because the CDF-difference function moves by at most a
+    bin's mass inside that bin, the exact statistic is bracketed:
+    ``ks_stat ≤ D_exact ≤ ks_stat + err_bound`` where ``err_bound`` =
+    max over bins of max(ref_frac, cur_frac). Output adds the
+    ``err_bound`` column (6 dp). ``n_bins=1000`` bounds the error near
+    0.001 for roughly-uniform mass at any data size.
     """
+    if n_bins is not None:
+        return _ks_binned(ref, cur, col, n_bins)
     merged = _merged_value_counts(ref, cur, col)
     scanned = _dual_prefix_scan(merged, "v", "rc", "cc")
     totals = merged.agg(
@@ -560,12 +635,133 @@ def psi_by_period(
     )
 
 
+def _drift_numeric_binned(
+    tagged: DataFrame,
+    ref: DataFrame,
+    c: str,
+    n_bins: int,
+    ks_bins: int,
+) -> list[DataFrame]:
+    """High-cardinality arm of :func:`drift_suite` for one numeric
+    column: PSI (exact — PSI is bin-defined, counts are exact integers)
+    and binned KS + its error bound, all from ONE joint groupBy on
+    (psi_bin, ks_bin). Post-scan size O(n_bins · ks_bins); nothing
+    downstream scales with rows or distinct values."""
+    redges = ref.agg(
+        F.min(F.col(c).cast("double")).alias("rmn"),
+        F.max(F.col(c).cast("double")).alias("rmx"),
+    )
+    pedges = tagged.where(F.col("v").isNotNull()).agg(
+        F.min("v").alias("pmn"), F.max("v").alias("pmx")
+    )
+    v = F.col("v")
+    wp = (F.col("rmx") - F.col("rmn")) / F.lit(float(n_bins))
+    pb = (
+        F.when(v < F.col("rmn"), F.lit(-1))
+        .when(v > F.col("rmx"), F.lit(n_bins))
+        .when(F.col("rmx") == F.col("rmn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v - F.col("rmn")) / wp).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+    )
+    wk = (F.col("pmx") - F.col("pmn")) / F.lit(float(ks_bins))
+    kb = F.when(F.col("pmx") == F.col("pmn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("pmn")) / wk).cast("int"),
+            F.lit(ks_bins - 1),
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    joint = (
+        tagged.where(v.isNotNull())
+        .crossJoin(F.broadcast(redges))
+        .crossJoin(F.broadcast(pedges))
+        .groupBy(pb.alias("pb"), kb.alias("kb"))
+        .agg(
+            F.sum("is_ref").alias("rc"),
+            F.sum(1 - F.col("is_ref")).alias("cc"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    binned = joint.groupBy(F.col("pb").alias("bin")).agg(
+        F.sum("rc").alias("ref_cnt"), F.sum("cc").alias("cur_cnt")
+    )
+    totals = binned.agg(
+        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+    )
+    psi = (
+        binned.crossJoin(F.broadcast(totals))
+        .select(
+            F.round(
+                (
+                    F.col("cur_cnt") / F.col("n_cur")
+                    - F.col("ref_cnt") / F.col("n_ref")
+                )
+                * F.log(
+                    F.greatest(
+                        F.col("cur_cnt") / F.col("n_cur"), F.lit(_EPS)
+                    )
+                    / F.greatest(
+                        F.col("ref_cnt") / F.col("n_ref"), F.lit(_EPS)
+                    )
+                ),
+                6,
+            ).alias("psi_term")
+        )
+        .agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    )
+    frames = [
+        psi.select(
+            F.lit(c).alias("column"),
+            F.lit("psi").alias("metric"),
+            F.col("psi_total").cast("double").alias("value"),
+        )
+    ]
+
+    kbinned = joint.groupBy(F.col("kb").alias("bin")).agg(
+        F.sum("rc").alias("rc"), F.sum("cc").alias("cc")
+    )
+    scanned = _dual_prefix_scan(kbinned, "bin", "rc", "cc")
+    ktot = kbinned.agg(F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur"))
+    ks2 = (
+        scanned.crossJoin(F.broadcast(ktot))
+        .select(
+            F.abs(
+                F.col("__ca") / F.col("n_ref") - F.col("__cb") / F.col("n_cur")
+            ).alias("d"),
+            F.greatest(
+                F.col("rc") / F.col("n_ref"), F.col("cc") / F.col("n_cur")
+            ).alias("bin_mass"),
+        )
+        .agg(
+            F.round(F.max("d"), 6).alias("ks_stat"),
+            F.round(F.max("bin_mass"), 6).alias("err_bound"),
+        )
+    )
+    for metric, colname in (("ks", "ks_stat"), ("ks_err_bound", "err_bound")):
+        frames.append(
+            ks2.select(
+                F.lit(c).alias("column"),
+                F.lit(metric).alias("metric"),
+                F.col(colname).cast("double").alias("value"),
+            )
+        )
+    return frames
+
+
 def drift_suite(
     ref: DataFrame,
     cur: DataFrame,
     numeric_cols: list[str],
     categorical_cols: list[str],
     n_bins: int = 10,
+    ks_exact_max_distinct: int = 2_000_000,
+    ks_bins: int = 1000,
 ) -> DataFrame:
     """All drift statistics for a snapshot pair as one tall frame.
 
@@ -579,6 +775,19 @@ def drift_suite(
     both its PSI (re-aggregated by bin: sums of exact integer counts)
     and its KS (dual prefix scan) derive. Everything downstream of the
     per-value frames touches only distinct values, never rows.
+
+    **The 100-TB guard:** on a continuous double column the per-value
+    frame is per-ROW sized, so exact KS would shuffle the whole column.
+    Each numeric column's distinct count is first estimated with one
+    `approx_count_distinct` pass; columns above ``ks_exact_max_distinct``
+    switch to the binned path — ONE joint groupBy on (psi_bin, ks_bin)
+    whose post-scan size is O(n_bins · ks_bins) at any cardinality. PSI
+    is bin-defined, so its value is IDENTICAL on both paths (same bins,
+    same exact integer counts); only KS becomes approximate, bracketed
+    by an extra ``(column, 'ks_err_bound', value)`` row = max bin mass
+    (see :func:`ks_statistic` ``n_bins``). Set
+    ``ks_exact_max_distinct=0`` to force binned, a huge value to force
+    exact.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -591,6 +800,16 @@ def drift_suite(
         tagged = ref.select(x.alias("v"), F.lit(1).alias("is_ref")).unionByName(
             cur.select(x.alias("v"), F.lit(0).alias("is_ref"))
         )
+        nd = (
+            tagged.where(F.col("v").isNotNull())
+            .agg(F.approx_count_distinct("v").alias("nd"))
+            .first()["nd"]
+        )
+        if nd > ks_exact_max_distinct:
+            frames.extend(
+                _drift_numeric_binned(tagged, ref, c, n_bins, ks_bins)
+            )
+            continue
         counts = (
             tagged.where(F.col("v").isNotNull())
             .groupBy("v")

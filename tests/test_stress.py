@@ -254,3 +254,22 @@ def test_bpe_train_sf01_documents(spark):
     # replay determinism: identical call → identical merge sequence
     again = bpe_train(docs, n_merges=5).orderBy("merge_idx").collect()
     assert [tuple(r) for r in merges] == [tuple(r) for r in again]
+
+
+def test_ks_binned_vs_exact_6m(spark, big):
+    """Round-7: the binned KS (100-TB arm) must bracket the exact
+    statistic on a ~6M-row genuinely-shifted split — D_binned <= D_exact
+    <= D_binned + err_bound — and the err_bound must be small enough to
+    be useful (< 0.05 at 1000 bins on lineitem prices)."""
+    from metadata_etl_framework_spark.quality.drift import ks_statistic
+
+    ref = big.filter(F.col("l_shipdate") < "1997-01-01")
+    cur = big.filter(F.col("l_shipdate") >= "1997-01-01").withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 1.07
+    )
+    exact = ks_statistic(ref, cur, "l_extendedprice").collect()[0]
+    binned = ks_statistic(ref, cur, "l_extendedprice", n_bins=1000).collect()[0]
+    assert (binned.n_ref, binned.n_cur) == (exact.n_ref, exact.n_cur)
+    assert binned.ks_stat <= exact.ks_stat + 1e-9
+    assert exact.ks_stat <= binned.ks_stat + binned.err_bound + 1e-9
+    assert binned.err_bound < 0.05
