@@ -1467,12 +1467,49 @@ def remove_spans(
     )
 
 
+def _bpe_train_local(
+    word_counts: "list[tuple[list[str], int]]",
+    n_merges: int,
+    min_pair_count: int,
+) -> "list[tuple[int, str, str, str, int]]":
+    """Driver-side BPE trainer over a collected word-frequency table —
+    merge-for-merge identical to the distributed loop: same weighted
+    pair counts, same (count desc, lexicographic) arg-max (Python str
+    ordering == Spark's binary UTF-8 ordering, both code-point order),
+    same greedy left-to-right scan-and-skip fuse, same early stop."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    words = [(list(syms), cnt) for syms, cnt in word_counts]
+    for it in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((it, a, b, a + b, c))
+        fused = a + b
+        for idx, (syms, cnt) in enumerate(words):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = fused
+                else:
+                    out.append(s)
+            words[idx] = (out, cnt)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
     lowercase: bool = True,
     min_pair_count: int = 2,
+    driver_gate_words: int = 500_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus — the iterative
     tokenizer-training loop, distributed the way real BPE trainers work:
@@ -1496,6 +1533,17 @@ def bpe_train(
     per learned merge — (merge_idx, left, right, merged, pair_count) —
     the merges list a BPE tokenizer replays at encode time.
 
+    **Driver-local finish gate** (the `connected_components` union-find
+    precedent): a real 32k-merge vocabulary would otherwise be 32k
+    sequential Spark jobs, while the word-frequency table is
+    vocab-sized (millions of rows at web scale, not corpus-sized) and
+    CONSTANT in row count across iterations. When it has at most
+    ``driver_gate_words`` distinct words, the table is collected once
+    and all merges run in pure Python — merge-for-merge identical
+    output (same weighted counts, same ordering, same greedy fuse;
+    pinned by a both-paths test). Above the gate, or with the gate
+    forced to 0, the fully distributed per-iteration loop runs.
+
     Property-tested against an independent pure-Python BPE reference
     (tests/test_corpus_ops.py).
     """
@@ -1511,6 +1559,20 @@ def bpe_train(
             F.split(F.col("token"), r"(?!^)"), lambda s: s != ""
         ).alias("syms"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    schema = (
+        "merge_idx int, left string, right string, merged string, "
+        "pair_count long"
+    )
+    if driver_gate_words > 0 and cur.count() <= driver_gate_words:
+        rows = cur.collect()
+        cur.unpersist()
+        local = _bpe_train_local(
+            [(list(r["syms"]), int(r["count"])) for r in rows],
+            n_merges,
+            min_pair_count,
+        )
+        return df.sparkSession.createDataFrame(local, schema)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for it in range(n_merges):
@@ -1561,11 +1623,7 @@ def bpe_train(
         cur.unpersist()
         cur = nxt
     cur.unpersist()
-    return df.sparkSession.createDataFrame(
-        merges,
-        "merge_idx int, left string, right string, merged string, "
-        "pair_count long",
-    )
+    return df.sparkSession.createDataFrame(merges, schema)
 
 
 def bpe_encode(
@@ -1580,10 +1638,17 @@ def bpe_encode(
     merges IN TRAINING ORDER, each one the same greedy left-to-right JVM
     ``aggregate`` fuse used during training — so
     ``bpe_encode(df, bpe_train(df)...)`` reproduces the trainer's final
-    segmentation exactly (property-tested). One chained per-row
-    projection, linear in corpus size; expression depth grows with the
-    merge count, so replay long merge lists in chunks if Catalyst
-    nesting becomes a concern (hundreds of merges are fine).
+    segmentation exactly (property-tested). Linear in corpus size.
+
+    Long merge lists are replayed in chunks of ``chunk_size`` Projects
+    so the per-operator Catalyst expression tree stays bounded (a 32k
+    vocabulary would otherwise nest 32k ``transform`` calls in one
+    expression). Each chunk boundary multiply-references the produced
+    column through a non-cheap identity guard, which is exactly the
+    condition under which CollapseProject keeps adjacent Projects
+    separate (same mechanism as the minhash signature split,
+    ops/dedup.py) — no materialization, no shuffle, just a bounded
+    plan.
 
     Adds ``{out}`` (array of subword strings per document, words
     flattened in order) and ``n_bpe_real`` (its length).
@@ -1615,11 +1680,27 @@ def bpe_encode(
 
         return apply_merge
 
-    for a, b in merges:
-        word_syms = F.transform(word_syms, _merge_applier(a, b, a + b))
+    # analyzer Resolution iterates once per nested-lambda level (cap
+    # 100), so the chunk must stay well below that; 40 leaves headroom
+    # for the surrounding tokens/filter lambdas
+    chunk_size = 40
+    merges = list(merges)
+    work = df
+    for ci in range(0, max(len(merges), 1), chunk_size):
+        for a, b in merges[ci : ci + chunk_size]:
+            word_syms = F.transform(word_syms, _merge_applier(a, b, a + b))
+        if ci + chunk_size < len(merges):
+            work = work.withColumn("_bpe_syms", word_syms)
+            # identity guard referencing the column 3× (non-cheap,
+            # multi-ref) — CollapseProject keeps the Project boundary,
+            # bounding per-operator expression depth at ~chunk_size
+            c = F.col("_bpe_syms")
+            word_syms = F.when(F.size(c) < 0, c).otherwise(c)
     flat = F.flatten(word_syms)
-    return df.withColumn(out, flat).withColumn(
-        "n_bpe_real", F.size(F.col(out))
+    return (
+        work.withColumn(out, flat)
+        .withColumn("n_bpe_real", F.size(F.col(out)))
+        .drop("_bpe_syms")
     )
 
 

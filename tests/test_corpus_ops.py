@@ -929,3 +929,62 @@ def test_ab_test_proportions_closed_form(spark):
         ab_test_proportions(
             df.withColumn("variant", F.lit("only")), "variant", "converted"
         )
+
+
+def test_bpe_train_gate_paths_identical(spark):
+    """Round-7: the driver-local finish gate must yield merge-for-merge
+    the same output as the fully distributed loop (gate forced to 0),
+    including the early stop and tie-breaks."""
+    from metadata_etl_framework_spark.ops.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low new",
+        "aaa aaab banana bandana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    local = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=8).orderBy("merge_idx").collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=8, driver_gate_words=0)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert local == dist and len(local) == 8
+    # early stop agrees too (huge min_pair_count -> 0 merges both paths)
+    assert bpe_train(docs, n_merges=3, min_pair_count=10**6).count() == 0
+    assert (
+        bpe_train(
+            docs, n_merges=3, min_pair_count=10**6, driver_gate_words=0
+        ).count()
+        == 0
+    )
+
+
+def test_bpe_encode_long_merge_list_chunked(spark):
+    """Round-7: 500+ merges must encode without unbounded Catalyst
+    nesting — the chunked replay keeps >1 Project boundary in the
+    optimized plan and still reproduces the trainer's segmentation."""
+    from metadata_etl_framework_spark.ops.text import bpe_encode
+
+    # 500 synthetic merges fusing a0..a499 progressively: only the first
+    # few can ever fire on the data, the rest exercise plan depth only
+    merges = [("x", "y")] + [(f"a{i}", "b") for i in range(499)]
+    docs = spark.createDataFrame(
+        [(0, "xy xyz axy"), (1, "plain words here")],
+        "doc_id long, text string",
+    )
+    enc = bpe_encode(docs, merges)
+    n_projects = enc._jdf.queryExecution().optimizedPlan().toString().count(
+        "Project ["
+    )
+    assert n_projects >= 2, f"chunk boundaries collapsed: {n_projects} Projects"
+    rows = {r.doc_id: r for r in enc.collect()}
+    assert list(rows[0].bpe_tokens) == ["xy", "xy", "z", "a", "xy"]
+    assert rows[1].n_bpe_real == len("plainwordshere")

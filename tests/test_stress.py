@@ -247,11 +247,18 @@ def test_bpe_train_sf01_documents(spark):
     from metadata_etl_framework_spark.sources.tables import load_table
 
     docs = load_table(spark, SF, "documents")
-    merges = bpe_train(docs, n_merges=5).orderBy("merge_idx").collect()
+    # gate forced to 0: this stress pin exists to exercise the fully
+    # DISTRIBUTED per-iteration loop (the driver-local path would
+    # otherwise absorb a vocab this small)
+    merges = (
+        bpe_train(docs, n_merges=5, driver_gate_words=0)
+        .orderBy("merge_idx")
+        .collect()
+    )
     assert len(merges) == 5
     counts = [r.pair_count for r in merges]
     assert all(c >= 2 for c in counts)
-    # replay determinism: identical call → identical merge sequence
+    # the driver-local gate path must reproduce the distributed merges
     again = bpe_train(docs, n_merges=5).orderBy("merge_idx").collect()
     assert [tuple(r) for r in merges] == [tuple(r) for r in again]
 
