@@ -479,14 +479,25 @@ def connected_components(
     prev_sum = None  # sum(label) of the previous round; None = first round
     for _ in range(max_iterations):
         # candidate label per node = min over (own label, neighbors' labels)
-        neighbor_labels = (
+        # (join + least, not union + groupBy: Spark's
+        # UnionBase.rewriteConstraints crashes with "key not found:
+        # node#N" when the union children carry join-derived constraints
+        # over re-aliased attributes — hit with minhash-derived pair
+        # frames; the join formulation propagates the same min)
+        neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .select(edges["u"].alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nl"))
         )
         propagated = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
         )
         # pointer jumping (path halving): label ← label's label. One small
         # self-join on the label frame halves remaining path lengths, so

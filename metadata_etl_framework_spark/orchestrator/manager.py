@@ -13,6 +13,7 @@ it costs nothing extra at the terminal action (SURVEY §7.3).
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Any
 
@@ -30,6 +31,8 @@ from metadata_etl_framework_spark.utils.error_recovery import (
     retry_with_backoff,
 )
 from metadata_etl_framework_spark.utils.lineage import LineageTracker
+
+logger = logging.getLogger(__name__)
 
 
 class OrchestratorManager:
@@ -190,6 +193,19 @@ class OrchestratorManager:
             for sc in config["sources"]:
                 self.lineage.add_edge(
                     run_id, sc["source_name"], tc["target_name"], transform="pipeline"
+                )
+            # column-level edges derived from the result's analyzed
+            # Catalyst plan (the reference hand-records these per step;
+            # Spark's resolved plan already knows them exactly)
+            try:
+                self.lineage.record_plan_column_lineage(
+                    run_id, result, tc["target_name"]
+                )
+            except Exception:  # noqa: BLE001 - lineage is best-effort
+                logger.warning(
+                    "plan-derived column lineage failed for %s",
+                    tc["target_name"],
+                    exc_info=True,
                 )
 
     def _validate_dq(self, run_id: int, config: dict, result: DataFrame) -> dict:

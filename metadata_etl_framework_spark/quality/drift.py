@@ -795,17 +795,33 @@ def drift_suite(
     ref = ref.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     cur = cur.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     frames = []
+    # distinct-count gate estimates for ALL numeric columns in TWO jobs
+    # (one agg per side, reused by every column) — the sum is an upper
+    # bound on pooled distincts, so routing is conservative: a column
+    # can only be pushed toward the scale-safe binned arm, never the
+    # exact arm
+    est: dict[str, int] = {}
+    if numeric_cols:
+        # short-circuit: distincts are bounded by rows, so two cheap
+        # count()s of the persisted projections settle the gate without
+        # any per-column sketch when the snapshots are small
+        n_rows = ref.count() + cur.count()
+        if n_rows <= ks_exact_max_distinct:
+            est = {c: n_rows for c in numeric_cols}
+        else:
+            ra = ref.agg(
+                *[F.approx_count_distinct(c).alias(c) for c in numeric_cols]
+            ).first()
+            ca = cur.agg(
+                *[F.approx_count_distinct(c).alias(c) for c in numeric_cols]
+            ).first()
+            est = {c: int(ra[c]) + int(ca[c]) for c in numeric_cols}
     for c in numeric_cols:
         x = F.col(c).cast("double")
         tagged = ref.select(x.alias("v"), F.lit(1).alias("is_ref")).unionByName(
             cur.select(x.alias("v"), F.lit(0).alias("is_ref"))
         )
-        nd = (
-            tagged.where(F.col("v").isNotNull())
-            .agg(F.approx_count_distinct("v").alias("nd"))
-            .first()["nd"]
-        )
-        if nd > ks_exact_max_distinct:
+        if est[c] > ks_exact_max_distinct:
             frames.extend(
                 _drift_numeric_binned(tagged, ref, c, n_bins, ks_bins)
             )

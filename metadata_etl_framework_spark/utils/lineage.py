@@ -2,13 +2,128 @@
 
 Parity target: src/utils/data_lineage_tracker.py:92-580 (edges stored in
 DB; upstream/downstream traversal; impact analysis = transitive
-downstream closure).
+downstream closure). Column derivations can additionally be DERIVED
+from a DataFrame's analyzed Catalyst plan (:func:`plan_column_edges`) —
+the reference records them by hand per step
+(data_lineage_tracker.py:295-397); Spark's resolved plan already knows
+them exactly, including through joins, aggregates and renames.
 """
 
 from __future__ import annotations
 
 from collections import deque
 from typing import Any
+
+
+def _jseq(jobj) -> list:
+    """Materialize a scala Seq / AttributeSet-backed iterator via py4j."""
+    out = []
+    it = jobj.iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def _leaf_name(plan, cls: str, hint: str | None) -> str:
+    if hint:
+        return hint
+    if cls == "LogicalRelation":
+        try:
+            p = plan.relation().location().rootPaths().apply(0).getName()
+            return p.rsplit(".", 1)[0] if "." in p else p
+        except Exception:  # non-file relation (JDBC, ...)
+            return "relation"
+    if cls == "DataSourceV2Relation":
+        try:
+            return plan.table().name()
+        except Exception:
+            return "relation"
+    return cls.lower()
+
+
+def _attr_sources(plan, hint: str | None) -> dict[int, set[tuple[str, str]]]:
+    """Map every output attribute exprId of ``plan`` to its set of
+    source (relation, column) pairs, bottom-up over the ANALYZED logical
+    plan. Project/Aggregate rewire through their named expressions;
+    SubqueryAlias renames the relation; Union merges positionally; every
+    other node passes attributes through, with attributes it introduces
+    (Generate, Window, ...) falling back to the union of the node's
+    expression references."""
+    cls = plan.getClass().getSimpleName()
+    if cls == "SubqueryAlias":
+        return _attr_sources(
+            plan.children().apply(0), plan.identifier().name()
+        )
+    children = _jseq(plan.children())
+    if not children:
+        name = _leaf_name(plan, cls, hint)
+        return {
+            a.exprId().id(): {(name, a.name())}
+            for a in _jseq(plan.output())
+        }
+    child_maps = [_attr_sources(ch, hint) for ch in children]
+    merged: dict[int, set[tuple[str, str]]] = {}
+    for m in child_maps:
+        for k, v in m.items():
+            merged.setdefault(k, set()).update(v)
+
+    if cls == "Union":
+        # output reuses the first child's exprIds; fold every child's
+        # positional column into it
+        out: dict[int, set[tuple[str, str]]] = {}
+        outs_per_child = [_jseq(ch.output()) for ch in children]
+        for pos, a in enumerate(_jseq(plan.output())):
+            srcs: set[tuple[str, str]] = set()
+            for ci, couts in enumerate(outs_per_child):
+                if pos < len(couts):
+                    srcs |= child_maps[ci].get(
+                        couts[pos].exprId().id(), set()
+                    )
+            out[a.exprId().id()] = srcs
+        return out
+
+    named = None
+    if cls == "Project":
+        named = plan.projectList()
+    elif cls == "Aggregate":
+        named = plan.aggregateExpressions()
+    if named is not None:
+        out = {}
+        for ne in _jseq(named):
+            srcs = set()
+            for r in _jseq(ne.references().toSeq()):
+                srcs |= merged.get(r.exprId().id(), set())
+            out[ne.toAttribute().exprId().id()] = srcs
+        return out
+
+    # pass-through node; attributes it introduces inherit the union of
+    # everything its expressions reference
+    out = dict(merged)
+    introduced = [
+        a for a in _jseq(plan.output()) if a.exprId().id() not in out
+    ]
+    if introduced:
+        extra: set[tuple[str, str]] = set()
+        for e in _jseq(plan.expressions()):
+            for r in _jseq(e.references().toSeq()):
+                extra |= merged.get(r.exprId().id(), set())
+        for a in introduced:
+            out[a.exprId().id()] = set(extra)
+    return out
+
+
+def plan_column_edges(df) -> dict[str, list[tuple[str, str]]]:
+    """Column-level provenance of a DataFrame, derived from its analyzed
+    Catalyst plan: ``{output_column: [(source_relation, source_column),
+    ...]}``. Source relations are named by SubqueryAlias (temp views)
+    when present, else by the scanned file's basename (``orders.parquet``
+    → ``orders``). Driver-side plan walk only — no job runs."""
+    plan = df._jdf.queryExecution().analyzed()
+    mapping = _attr_sources(plan, None)
+    return {
+        a.name(): sorted(mapping.get(a.exprId().id(), set()))
+        for a in _jseq(plan.output())
+    }
 
 
 class LineageTracker:
@@ -86,6 +201,22 @@ class LineageTracker:
             self.add_edge(
                 run_id, self._col_node(src_table, src_col), dst, expression
             )
+
+    def record_plan_column_lineage(
+        self, run_id: int | None, df, target_table: str
+    ) -> dict[str, list[tuple[str, str]]]:
+        """Derive column edges from ``df``'s analyzed Catalyst plan
+        (:func:`plan_column_edges`) and record one derivation per output
+        column — the automatic version of the reference's per-step
+        hand-recording (data_lineage_tracker.py:295-397). Returns the
+        derived mapping."""
+        edges = plan_column_edges(df)
+        for col, sources in edges.items():
+            if sources:
+                self.add_column_derivation(
+                    run_id, target_table, col, sources, expression=None
+                )
+        return edges
 
     def column_lineage(self, table: str, column: str) -> dict[str, Any]:
         """Full upstream derivation chain of one column (transitive)."""

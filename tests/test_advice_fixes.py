@@ -403,3 +403,34 @@ def test_psi_vs_baseline_empty_reference_raises_value_error(spark, tmp_path):
     cur = spark.createDataFrame([(1.0,)], "x double")
     with _pt.raises(ValueError, match="no numeric support"):
         psi_vs_baseline(cur, "x", path)
+
+
+def test_connected_components_distributed_on_minhash_pairs(spark):
+    """Round-7 regression: the distributed hash-min path crashed with
+    Spark's UnionBase.rewriteConstraints "key not found: node#N" when
+    the pair frame came from minhash_near_duplicates (join-derived
+    constraints over re-aliased attributes flowing into the old
+    union+groupBy propagation). The join+least formulation must close
+    the same clusters."""
+    i = F.col("id")
+    g = F.when((i % 100 >= 1) & (i % 100 <= 2), i - (i % 100) + 1).otherwise(i)
+    x = g * 7
+    text = F.concat_ws(
+        " ", *[F.concat(F.lit("w"), (x + j).cast("string")) for j in range(6)]
+    )
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    pairs = dedup_ops.minhash_near_duplicates(
+        docs, threshold=0.8, num_hashes=16, num_bands=8,
+        exact_max_rows=0, exact_max_fanout=0,
+    ).persist()
+    assert pairs.count() == 5  # one (100k+1, 100k+2)-style pair per 100
+    out = dedup_ops.connected_components(pairs, driver_gate_edges=0)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert sum(1 for r in rows if r.is_canonical) == 5
+    # every cluster id is the min of its pair
+    for r in rows:
+        assert r.cluster_id == r.node - (r.node % 100) + 1
+    pairs.unpersist()

