@@ -2694,6 +2694,16 @@ def _drift_ks_binned(spark, sf_dir):
     return ks_statistic(ref, cur, "l_extendedprice", n_bins=64)
 
 
+def _drift_emd_binned(spark, sf_dir):
+    """Binned Wasserstein-1 on l_extendedprice (the 100-TB arm): O(64)
+    post-scan rows at any cardinality, |W1_exact - emd| <= err_bound =
+    2*bin_width (quality/drift.py::emd_1d n_bins=64)."""
+    from metadata_etl_framework_spark.quality.drift import emd_1d
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return emd_1d(ref, cur, "l_extendedprice", n_bins=64)
+
+
 def _drift_emd_quantity(spark, sf_dir):
     """Exact 1-D Wasserstein distance on l_quantity: per-value counts +
     dual prefix scan + distributed LEAD (next-partition first value
@@ -3330,6 +3340,7 @@ _EXTRA_KEYS = [
     "corpus_temperature_mix",
     "drift_psi_by_week",
     "drift_emd_quantity",
+    "drift_emd_binned",
     "events_attribution_last_touch",
     "events_attribution_first_touch",
     "events_rolling_active_users",
@@ -3536,6 +3547,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi_by_week": _drift_psi_by_week,
     "events_cohort_retention": _events_cohort_retention,
     "drift_emd_quantity": _drift_emd_quantity,
+    "drift_emd_binned": _drift_emd_binned,
     "events_attribution_last_touch": _events_attribution_last_touch,
     "events_attribution_first_touch": _events_attribution_first_touch,
     "events_rolling_active_users": _events_rolling_active_users,
@@ -5913,6 +5925,37 @@ _ALL_SQL.update(
         "drift_ks_quantity": f"""
             WITH {_ks_ctes('l_quantity')}
             {_KS_SELECT}
+        """,
+        "drift_emd_binned": f"""
+            WITH ref AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                         FROM lineitem WHERE {_DRIFT_REF}),
+            cur AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                    FROM lineitem WHERE {_DRIFT_CUR}),
+            tagged AS (SELECT x AS v, 1 AS is_ref FROM ref
+                       WHERE x IS NOT NULL
+                       UNION ALL
+                       SELECT x AS v, 0 AS is_ref FROM cur
+                       WHERE x IS NOT NULL),
+            pe AS (SELECT MIN(v) AS pmn, MAX(v) AS pmx FROM tagged),
+            b AS (SELECT CASE WHEN pmx = pmn THEN 0
+                         ELSE LEAST(CAST(FLOOR((v - pmn)
+                              / ((pmx - pmn) / 64.0)) AS INT), 63)
+                         END AS bin,
+                         SUM(is_ref) AS rc, SUM(1 - is_ref) AS cc,
+                         FIRST((pmx - pmn) / 64.0) AS w
+                  FROM tagged, pe GROUP BY 1),
+            t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM b),
+            s AS (SELECT bin, rc, cc, w,
+                         SUM(rc) OVER (ORDER BY bin) AS ca,
+                         SUM(cc) OVER (ORDER BY bin) AS cb,
+                         LEAD(bin) OVER (ORDER BY bin) AS nb FROM b)
+            SELECT ROUND(CAST(SUM(CAST(ABS(ca / n_ref - cb / n_cur) * w
+                              * (nb - bin) AS DECIMAL(28,12)))
+                         AS DOUBLE), 6) AS emd,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   ROUND(MAX(w) * 2, 6) AS err_bound
+            FROM s, t WHERE nb IS NOT NULL GROUP BY n_ref, n_cur
         """,
         "drift_ks_binned": f"""
             WITH ref AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x

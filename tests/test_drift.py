@@ -431,3 +431,33 @@ def test_drift_suite_binned_psi_identical_ks_bracketed(spark):
     eb = got[("x", "ks_err_bound")]
     assert got[("x", "ks")] <= exact[("x", "ks")] + 1e-9
     assert exact[("x", "ks")] <= got[("x", "ks")] + eb + 1e-9
+
+
+def test_emd_binned_brackets_exact(spark):
+    """Binned EMD must be within err_bound = 2*bin_width of the exact
+    Wasserstein-1 (snapping argument), converging as bins grow."""
+    import random
+
+    from metadata_etl_framework_spark.quality.drift import emd_1d
+
+    rng = random.Random(13)
+    a = _df(spark, [rng.uniform(0, 10) for _ in range(300)])
+    b = _df(spark, [rng.uniform(2, 12) for _ in range(250)])
+    exact = emd_1d(a, b, "x").collect()[0]
+    prev_err = None
+    for bins in (10, 100, 1000):
+        r = emd_1d(a, b, "x", n_bins=bins).collect()[0]
+        assert (r.n_ref, r.n_cur) == (exact.n_ref, exact.n_cur)
+        assert abs(r.emd - exact.emd) <= r.err_bound + 1e-9, (bins, r, exact)
+        if prev_err is not None:
+            assert r.err_bound < prev_err  # bound tightens with bins
+        prev_err = r.err_bound
+    # identical snapshots -> 0 under any binning; constant column -> 0
+    z = emd_1d(a, a, "x", n_bins=16).collect()[0]
+    assert z.emd == 0.0
+    # constant column: single support point -> no gaps to integrate;
+    # empty result on BOTH paths (long-standing exact-path semantics)
+    assert emd_1d(
+        _df(spark, [4.0] * 9), _df(spark, [4.0] * 5), "x", n_bins=16
+    ).count() == 0
+    assert emd_1d(_df(spark, [4.0] * 9), _df(spark, [4.0] * 5), "x").count() == 0

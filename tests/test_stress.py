@@ -360,3 +360,18 @@ def test_dedup_chain_10m_end_to_end(spark):
     assert elapsed < 900, f"chain took {elapsed:.0f}s (budget 900s)"
     for d in (kept, pairs, clusters):
         d.unpersist()
+
+
+def test_emd_binned_vs_exact_6m(spark, big):
+    """Binned W1 must land within err_bound = 2*bin_width of the exact
+    statistic on a ~6M-row genuinely-shifted split."""
+    from metadata_etl_framework_spark.quality.drift import emd_1d
+
+    ref = big.filter(F.col("l_shipdate") < "1997-01-01")
+    cur = big.filter(F.col("l_shipdate") >= "1997-01-01").withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 1.07
+    )
+    exact = emd_1d(ref, cur, "l_extendedprice").collect()[0]
+    binned = emd_1d(ref, cur, "l_extendedprice", n_bins=1000).collect()[0]
+    assert (binned.n_ref, binned.n_cur) == (exact.n_ref, exact.n_cur)
+    assert abs(binned.emd - exact.emd) <= binned.err_bound + 1e-6
