@@ -479,6 +479,21 @@ def _profile_quantity(spark, sf_dir):
     )
 
 
+def _profile_global_quantiles(spark, sf_dir):
+    """Scale-safe EXACT whole-table quantiles with linear interpolation
+    (functions/aggregations.py::global_quantiles): per-value counts +
+    two-phase prefix scan for ranks — never one task's heap, unlike a
+    global F.percentile. DuckDB's quantile_cont replays it exactly."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        global_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return global_quantiles(
+        li, "l_extendedprice", (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
 def _profile_all_columns(spark, sf_dir):
     """Single-pass multi-column profile (profile_columns) — exact fields
     only (count/null/distinct/min/max); mean/std are order-dependent
@@ -3239,6 +3254,7 @@ _EXTRA_KEYS = [
     "set_intersect",
     "set_except",
     "profile_quantity",
+    "profile_global_quantiles",
     "dq_not_null",
     "dq_value_range",
     "dq_allowed_values",
@@ -3407,6 +3423,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_funcs": _date_funcs,
     "case_bucketing": _case_bucketing,
     "profile_quantity": _profile_quantity,
+    "profile_global_quantiles": _profile_global_quantiles,
     "profile_all_columns": _profile_all_columns,
     "corr_qty_price": _corr_qty_price,
     "dq_not_null": _dq_not_null,
@@ -3772,6 +3789,17 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(STDDEV_SAMP(l_quantity), 6) AS std_q,
                    ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_q
             FROM lineitem
+        """,
+        "profile_global_quantiles": """
+            WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            SELECT 0.10 AS p, ROUND(QUANTILE_CONT(x, 0.10), 6) AS value FROM v
+            UNION ALL SELECT 0.25, ROUND(QUANTILE_CONT(x, 0.25), 6) FROM v
+            UNION ALL SELECT 0.50, ROUND(QUANTILE_CONT(x, 0.50), 6) FROM v
+            UNION ALL SELECT 0.75, ROUND(QUANTILE_CONT(x, 0.75), 6) FROM v
+            UNION ALL SELECT 0.90, ROUND(QUANTILE_CONT(x, 0.90), 6) FROM v
+            UNION ALL SELECT 0.99, ROUND(QUANTILE_CONT(x, 0.99), 6) FROM v
+            ORDER BY p
         """,
         "profile_all_columns": """
             SELECT 'o_orderkey' AS "column", COUNT(*) AS count,

@@ -249,6 +249,74 @@ def groupwise_quantiles(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT whole-table quantiles with linear interpolation (pandas /
+    ``quantile_cont`` semantics) that hold at any scale.
+
+    :func:`groupwise_quantiles`' ``F.percentile`` buffers each group's
+    values in one aggregation state — fine per group, but as a GLOBAL
+    percentile it would buffer the entire column in a single task. This
+    formulation never does: per-value counts (one shuffle, map-side
+    combined), the two-phase distributed prefix scan for cumulative
+    ranks (quality/drift.py::_dual_prefix_scan — no partitionless
+    window), then each requested quantile's bracketing ranks are
+    broadcast and resolved with one tiny aggregate. Post-scan state is
+    O(distinct values) spread across partitions, never one task's heap.
+
+    Output: one row per requested quantile — (p, value), value = vlo +
+    (vhi − vlo)·frac at rank h = (n−1)·p, rounded to 6 dp (DuckDB's
+    ``quantile_cont`` replays it exactly).
+    """
+    from metadata_etl_framework_spark.quality.drift import _dual_prefix_scan
+
+    spark = df.sparkSession
+    x = F.col(value_col).cast("double")
+    counts = (
+        df.where(x.isNotNull())
+        .groupBy(x.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_row = counts.agg(F.sum("c").alias("n")).first()
+    n = int(n_row["n"] or 0)
+    if n == 0:
+        return spark.createDataFrame([], "p double, value double")
+    import math
+
+    targets = []
+    for p in quantiles:
+        h = (n - 1) * float(p)
+        lo_rank = int(math.floor(h)) + 1
+        targets.append(
+            (float(p), lo_rank, min(lo_rank + 1, n), h - math.floor(h))
+        )
+    tdf = spark.createDataFrame(
+        targets, "p double, lo long, hi long, frac double"
+    )
+    scanned = _dual_prefix_scan(counts, "v", "c", "c")
+    resolved = (
+        scanned.crossJoin(F.broadcast(tdf))
+        .groupBy("p", "frac")
+        .agg(
+            F.min(F.when(F.col("__ca") >= F.col("lo"), F.col("v"))).alias(
+                "vlo"
+            ),
+            F.min(F.when(F.col("__ca") >= F.col("hi"), F.col("v"))).alias(
+                "vhi"
+            ),
+        )
+    )
+    return resolved.select(
+        "p",
+        F.round(
+            F.col("vlo") + (F.col("vhi") - F.col("vlo")) * F.col("frac"), 6
+        ).alias("value"),
+    ).orderBy("p")
+
+
 def histogram(
     df: DataFrame,
     column: str,

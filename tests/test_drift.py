@@ -461,3 +461,25 @@ def test_emd_binned_brackets_exact(spark):
         _df(spark, [4.0] * 9), _df(spark, [4.0] * 5), "x", n_bins=16
     ).count() == 0
     assert emd_1d(_df(spark, [4.0] * 9), _df(spark, [4.0] * 5), "x").count() == 0
+
+
+def test_global_quantiles_edges(spark):
+    """global_quantiles: pandas-interpolation parity on closed forms,
+    null handling, empty input, p=0/1 endpoints."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        global_quantiles,
+    )
+
+    df = _df(spark, [1, 2, 3, 4])  # h=(n-1)p over [1..4]
+    got = {r.p: r.value for r in global_quantiles(
+        df, "x", (0.0, 0.25, 0.5, 0.75, 1.0)).collect()}
+    assert got == {0.0: 1.0, 0.25: 1.75, 0.5: 2.5, 0.75: 3.25, 1.0: 4.0}
+
+    withnull = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,)], "x double"
+    )
+    got2 = {r.p: r.value for r in global_quantiles(withnull, "x", (0.5,)).collect()}
+    assert got2 == {0.5: 2.0}  # nulls excluded, pandas semantics
+
+    empty = spark.createDataFrame([], "x double")
+    assert global_quantiles(empty, "x", (0.5,)).count() == 0
