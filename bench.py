@@ -77,6 +77,11 @@ HEADLINE = [
     "events_attribution_last_touch",
     "drift_emd_quantity",
     "orders_global_rank",
+    # round-7 flagships: binned (100-TB arm) drift stats + scale-safe
+    # exact global quantiles
+    "drift_ks_binned",
+    "drift_emd_binned",
+    "profile_global_quantiles",
 ]
 
 
