@@ -638,6 +638,20 @@ def _anomaly_iqr(spark, sf_dir):
     return detect_iqr(_t(spark, sf_dir, "events"), "value", "event_id", 1.5)
 
 
+def _anomaly_robust_zscore(spark, sf_dir):
+    """Median/MAD modified z-score (Iglewicz-Hoaglin 0.6745 scaling) —
+    the outlier-resistant arm the mean/std z can't be; exact quantiles
+    through the gated single-task/prefix-scan machinery
+    (quality/anomaly.py::detect_robust_zscore)."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        detect_robust_zscore,
+    )
+
+    return detect_robust_zscore(
+        _t(spark, sf_dir, "events"), "value", "event_id", 3.5
+    )
+
+
 def _anomaly_ensemble(spark, sf_dir):
     """Majority vote across z-score (|z|>2.5) and IQR (1.5×) detectors:
     keys flagged by BOTH survive (min_votes=2 of 2)."""
@@ -3267,6 +3281,7 @@ _EXTRA_KEYS = [
     "dq_completeness",
     "anomaly_zscore",
     "anomaly_iqr",
+    "anomaly_robust_zscore",
     "anomaly_moving_avg",
     "anomaly_ensemble",
     "incr_detect_deletes",
@@ -3439,6 +3454,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_suite": _dq_suite,
     "anomaly_zscore": _anomaly_zscore,
     "anomaly_iqr": _anomaly_iqr,
+    "anomaly_robust_zscore": _anomaly_robust_zscore,
     "anomaly_moving_avg": _anomaly_moving_avg,
     "anomaly_ensemble": _anomaly_ensemble,
     "anomaly_suite": _anomaly_suite,
@@ -3919,6 +3935,16 @@ _ALL_SQL: dict[str, str] = {
             )
             SELECT event_id, value FROM events, q
             WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+        """,
+        "anomaly_robust_zscore": """
+            WITH m AS (SELECT QUANTILE_CONT(value, 0.5) AS med FROM events),
+            d AS (SELECT QUANTILE_CONT(ABS(value - med), 0.5) AS mad
+                  FROM events, m WHERE value IS NOT NULL)
+            SELECT event_id, value,
+                   ROUND(0.6745 * (value - med) / mad, 6) AS robust_z
+            FROM events, m, d
+            WHERE mad > 0
+              AND ABS(0.6745 * (value - med) / mad) > 3.5
         """,
         "anomaly_ensemble": """
             WITH s AS (

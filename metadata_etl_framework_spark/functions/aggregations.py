@@ -253,6 +253,7 @@ def global_quantiles(
     df: DataFrame,
     value_col: str,
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    round_to: int | None = 6,
 ) -> DataFrame:
     """EXACT whole-table quantiles with linear interpolation (pandas /
     ``quantile_cont`` semantics) that hold at any scale.
@@ -309,12 +310,10 @@ def global_quantiles(
             ),
         )
     )
-    return resolved.select(
-        "p",
-        F.round(
-            F.col("vlo") + (F.col("vhi") - F.col("vlo")) * F.col("frac"), 6
-        ).alias("value"),
-    ).orderBy("p")
+    interp = F.col("vlo") + (F.col("vhi") - F.col("vlo")) * F.col("frac")
+    if round_to is not None:
+        interp = F.round(interp, round_to)
+    return resolved.select("p", interp.alias("value")).orderBy("p")
 
 
 def histogram(

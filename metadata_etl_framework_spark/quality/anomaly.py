@@ -105,17 +105,60 @@ def detect_zscore(
     )
 
 
+def _exact_global_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: "tuple[float, ...]",
+    aliases: "tuple[str, ...]",
+    single_task_max_rows: int,
+) -> DataFrame:
+    """Exact interpolated percentiles as a 1-row frame, two regimes:
+    one `F.percentile` aggregate below ``single_task_max_rows`` (fastest
+    at tested scale, but it buffers every value in ONE aggregation
+    state), else the distributed prefix-scan formulation
+    (`functions/aggregations.py::global_quantiles`) whose per-task state
+    is bounded at any cardinality. Both are value-identical (both match
+    DuckDB ``quantile_cont`` bit-for-bit)."""
+    if df.count() <= single_task_max_rows:
+        return df.agg(
+            *[
+                F.percentile(value_col, F.lit(p)).alias(a)
+                for p, a in zip(probs, aliases)
+            ]
+        )
+    from metadata_etl_framework_spark.functions.aggregations import (
+        global_quantiles,
+    )
+
+    rows = {
+        r["p"]: r["value"]
+        for r in global_quantiles(
+            df, value_col, probs, round_to=None
+        ).collect()
+    }
+    return df.sparkSession.createDataFrame(
+        [tuple(rows[float(p)] for p in probs)],
+        ", ".join(f"{a} double" for a in aliases),
+    )
+
+
 def detect_iqr(
-    df: DataFrame, value_col: str, key_col: str, multiplier: float = 1.5
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    multiplier: float = 1.5,
+    single_task_max_rows: int = 50_000_000,
 ) -> DataFrame:
     """Rows outside [Q1 - m·IQR, Q3 + m·IQR] with exact percentiles.
 
     Reference: anomaly_manager.py:125-144. Exact (not approx) percentiles
-    to match the pandas/DuckDB oracle (SURVEY §7.5).
+    to match the pandas/DuckDB oracle (SURVEY §7.5). Above
+    ``single_task_max_rows`` the quantiles come from the distributed
+    prefix-scan path instead of a single-task ``F.percentile`` buffer
+    (identical values — see :func:`_exact_global_percentiles`).
     """
-    q = df.agg(
-        F.percentile(value_col, F.lit(0.25)).alias("_q1"),
-        F.percentile(value_col, F.lit(0.75)).alias("_q3"),
+    q = _exact_global_percentiles(
+        df, value_col, (0.25, 0.75), ("_q1", "_q3"), single_task_max_rows
     ).select(
         "_q1",
         "_q3",
@@ -126,6 +169,52 @@ def detect_iqr(
         df.crossJoin(F.broadcast(q))
         .filter((F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi")))
         .select(key_col, value_col)
+    )
+
+
+def detect_robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    threshold: float = 3.5,
+    single_task_max_rows: int = 50_000_000,
+) -> DataFrame:
+    """Rows with |modified z| > threshold, where modified z =
+    0.6745·(x − median)/MAD (Iglewicz–Hoaglin). Unlike
+    :func:`detect_zscore`, median and MAD don't move when the outliers
+    themselves get more extreme — the estimator the mean/std pair can't
+    be: one wild value inflates std enough to mask its neighbors.
+
+    Two exact quantile passes (median, then median of |x − median|),
+    each through the same gated single-task/prefix-scan machinery as
+    :func:`detect_iqr`, then one broadcast-stats projection. Degenerate
+    MAD = 0 (over half the values identical) yields no finite score —
+    those rows are excluded rather than divided by zero, the standard
+    treatment. Output: (key, value, robust_z) rounded to 6 dp.
+    """
+    med = _exact_global_percentiles(
+        df, value_col, (0.5,), ("_med",), single_task_max_rows
+    )
+    dev = df.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col(value_col) - F.col("_med")).alias("_adev")
+    )
+    mad = _exact_global_percentiles(
+        dev, "_adev", (0.5,), ("_mad",), single_task_max_rows
+    )
+    return (
+        df.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .withColumn(
+            "robust_z",
+            F.when(
+                F.col("_mad") > 0,
+                F.lit(0.6745)
+                * (F.col(value_col) - F.col("_med"))
+                / F.col("_mad"),
+            ),
+        )
+        .filter(F.abs(F.col("robust_z")) > threshold)
+        .select(key_col, value_col, F.round("robust_z", 6).alias("robust_z"))
     )
 
 

@@ -483,3 +483,53 @@ def test_global_quantiles_edges(spark):
 
     empty = spark.createDataFrame([], "x double")
     assert global_quantiles(empty, "x", (0.5,)).count() == 0
+
+
+def test_detect_iqr_gate_paths_identical(spark):
+    """detect_iqr must return the same rows whether the quantiles come
+    from the single-task F.percentile aggregate or the distributed
+    prefix-scan path (gate forced to 0)."""
+    from metadata_etl_framework_spark.quality.anomaly import detect_iqr
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 500, -500])],
+        "k long, v double",
+    )
+    a = sorted((r.k, r.v) for r in detect_iqr(df, "v", "k").collect())
+    b = sorted(
+        (r.k, r.v)
+        for r in detect_iqr(df, "v", "k", single_task_max_rows=0).collect()
+    )
+    assert a == b == [(10, 500.0), (11, -500.0)]
+
+
+def test_detect_robust_zscore_resists_masking(spark):
+    """The scenario mean/std z-score fails: one extreme value inflates
+    std enough to mask a second outlier; median/MAD flags both. Also
+    pins the MAD=0 degenerate exclusion and both gate paths."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        detect_robust_zscore,
+        detect_zscore,
+    )
+
+    vals = [10.0] * 20 + [11.0] * 20 + [9.0] * 20 + [1000.0, 120.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v double"
+    )
+    classic = {r.k for r in detect_zscore(df, "v", "k", 3.0).collect()}
+    robust = {r.k for r in detect_robust_zscore(df, "v", "k", 3.5).collect()}
+    assert 61 not in classic          # 120 masked by the 1000's std
+    assert {60, 61} <= robust         # both flagged by median/MAD
+    gate0 = {
+        r.k
+        for r in detect_robust_zscore(
+            df, "v", "k", 3.5, single_task_max_rows=0
+        ).collect()
+    }
+    assert gate0 == robust
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)] + [(99, 50.0)], "k long, v double"
+    )
+    # MAD = 0 (>=half identical): no finite score, no rows, no crash
+    assert detect_robust_zscore(const, "v", "k").count() == 0
