@@ -17,8 +17,16 @@ arithmetic) and each scale-safe:
   followed by the two-phase distributed prefix scan (the
   `ops/packing.py::global_prefix_sum` pattern, generalized to carry both
   sides' counts in one pass) — never a single-task global window, so the
-  CDF merge holds at full cardinality.
+  CDF merge holds at full cardinality. For CONTINUOUS columns at 100-TB
+  scale, per-value counts are per-row-sized, so KS and EMD both carry a
+  binned arm (``n_bins=``) with a provable error bracket (max bin mass
+  for KS, 2·bin_width for W₁); ``drift_suite`` auto-routes on an
+  approx-distinct gate, PSI staying bit-identical either way.
 - **Chi-square** for categoricals: one groupBy, pooled-expected terms.
+- **Baseline monitoring**: ``save_drift_baseline`` persists a tiny
+  binned profile once; ``psi_vs_baseline`` / ``ks_vs_baseline`` compare
+  every later batch against it without rescanning reference history
+  (the watermark-style incremental pattern applied to monitoring).
 
 All outputs round to 6 decimals so cross-engine double comparison is
 hash-stable (SURVEY §7 hard part 8).
@@ -1160,3 +1168,79 @@ def psi_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
     )
     total = terms.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
     return terms.crossJoin(F.broadcast(total))
+
+
+def ks_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
+    """Binned KS of a new batch against a stored
+    :func:`save_drift_baseline` profile — the KS member of the
+    baseline-monitoring family (:func:`psi_vs_baseline`): the reference
+    history is never rescanned, only the new batch is.
+
+    The baseline's fixed bin grid (reference [min, max] plus explicit
+    underflow/overflow bins) is a valid common binning for a two-sample
+    CDF comparison, so the statistic carries the same bracket as
+    :func:`ks_statistic` ``n_bins``: ``ks_stat ≤ D_exact ≤ ks_stat +
+    err_bound`` with ``err_bound`` = max bin mass. Out-of-range drift
+    mass lands in the under/overflow bins and is fully visible to the
+    statistic. Output: 1 row — (ks_stat, n_ref, n_cur, err_bound).
+    """
+    spark = cur.sparkSession
+    base = spark.read.parquet(path)
+    meta = base.select("mn", "mx", "n_bins", "n_ref").first()
+    if meta is None or meta["mn"] is None or meta["mx"] is None:
+        raise ValueError("baseline has no numeric support (empty reference)")
+    mn, mx, n_bins = meta["mn"], meta["mx"], int(meta["n_bins"])
+    n_ref = int(meta["n_ref"])
+
+    x = F.col(col).cast("double")
+    w = (mx - mn) / float(n_bins)
+    b = (
+        F.when(x < F.lit(mn), F.lit(-1))
+        .when(x > F.lit(mx), F.lit(n_bins))
+        .when(F.lit(mx == mn), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((x - F.lit(mn)) / F.lit(w)).cast("int")
+                if w > 0
+                else F.lit(0),
+                F.lit(n_bins - 1),
+            )
+        )
+    )
+    cur_counts = cur.where(x.isNotNull()).groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    merged = (
+        base.select("bin", F.col("ref_cnt").alias("rc"))
+        .join(cur_counts, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    scanned = _dual_prefix_scan(merged, "bin", "rc", "cc")
+    totals = merged.agg(F.sum("cc").alias("n_cur"))
+    return (
+        scanned.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("__ca") / F.lit(n_ref) - F.col("__cb") / F.col("n_cur")
+            ).alias("d"),
+            F.greatest(
+                F.col("rc") / F.lit(n_ref), F.col("cc") / F.col("n_cur")
+            ).alias("bin_mass"),
+            "n_cur",
+        )
+        .groupBy("n_cur")
+        .agg(
+            F.round(F.max("d"), 6).alias("ks_stat"),
+            F.round(F.max("bin_mass"), 6).alias("err_bound"),
+        )
+        .select(
+            "ks_stat",
+            F.lit(n_ref).cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            "err_bound",
+        )
+    )

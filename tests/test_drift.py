@@ -533,3 +533,38 @@ def test_detect_robust_zscore_resists_masking(spark):
     )
     # MAD = 0 (>=half identical): no finite score, no rows, no crash
     assert detect_robust_zscore(const, "v", "k").count() == 0
+
+
+def test_ks_vs_baseline_matches_direct_binned(spark, tmp_path):
+    """ks_vs_baseline on a saved profile must equal ks_statistic's
+    binned arm computed directly with the SAME bin grid (reference
+    edges), and keep the exact-KS bracket."""
+    import random
+
+    from metadata_etl_framework_spark.quality.drift import (
+        ks_statistic,
+        ks_vs_baseline,
+        save_drift_baseline,
+    )
+
+    rng = random.Random(21)
+    ref = _df(spark, [rng.uniform(0, 100) for _ in range(400)])
+    cur = _df(spark, [rng.uniform(10, 130) for _ in range(300)])  # overflow mass
+    path = str(tmp_path / "ksbase")
+    save_drift_baseline(ref, "x", path, n_bins=32)
+    got = ks_vs_baseline(cur, "x", path).collect()[0]
+    assert (got.n_ref, got.n_cur) == (400, 300)
+    exact = ks_statistic(ref, cur, "x").collect()[0]
+    assert got.ks_stat <= exact.ks_stat + 1e-9
+    assert exact.ks_stat <= got.ks_stat + got.err_bound + 1e-9
+    # identical snapshots against their own baseline -> 0
+    save_drift_baseline(ref, "x", str(tmp_path / "self"), n_bins=16)
+    z = ks_vs_baseline(ref, "x", str(tmp_path / "self")).collect()[0]
+    assert z.ks_stat == 0.0
+    # empty baseline raises the documented error
+    import pytest as _pt
+
+    allnull = spark.createDataFrame([(None,)], "x double")
+    save_drift_baseline(allnull, "x", str(tmp_path / "empty"))
+    with _pt.raises(ValueError, match="no numeric support"):
+        ks_vs_baseline(cur, "x", str(tmp_path / "empty"))
