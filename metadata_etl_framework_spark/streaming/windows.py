@@ -249,3 +249,65 @@ def watermark_stream_dedup(
     if not df.isStreaming:
         return df.dropDuplicates(keys)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def foreach_batch_drift_monitor(
+    stream_df,
+    col: str,
+    baseline_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    psi_alert: float = 0.2,
+):
+    """Per-micro-batch drift monitoring against a persisted
+    :func:`~metadata_etl_framework_spark.quality.drift.save_drift_baseline`
+    profile — the streaming form of the batch monitoring family: every
+    batch is compared (PSI + binned KS, never rescanning reference
+    history) and one metrics row per batch is appended to
+    ``metrics_path``:
+
+    ``(batch_id, n_rows, psi_total, ks_stat, ks_err_bound,
+    psi_alerting)``
+
+    ``psi_alerting`` applies the classic 0.2 "significant shift"
+    threshold (override with ``psi_alert``). Empty batches are skipped
+    (no distribution to test). The metrics sink is append-only parquet —
+    idempotent replays can duplicate a batch row; wrap with
+    :func:`idempotent_foreach_batch` when effectively-once matters.
+    """
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.quality.drift import (
+        ks_vs_baseline,
+        psi_vs_baseline,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        psi = (
+            psi_vs_baseline(batch_df, col, baseline_path)
+            .select("psi_total")
+            .first()["psi_total"]
+        )
+        ks = ks_vs_baseline(batch_df, col, baseline_path).first()
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [(
+                int(batch_id),
+                int(n),
+                float(psi),
+                float(ks["ks_stat"]),
+                float(ks["err_bound"]),
+                bool(psi > psi_alert),
+            )],
+            "batch_id long, n_rows long, psi_total double, ks_stat double, "
+            "ks_err_bound double, psi_alerting boolean",
+        ).coalesce(1).write.mode("append").parquet(metrics_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -361,3 +361,58 @@ def test_streaming_curation_pipeline_e2e(spark_mod, tmp_path):
     want_set = {(r.doc_id, r.fingerprint) for r in want.collect()}
     assert got_set == want_set
     assert {d for d, _ in got_set} == {1, 5}  # dup, short, non-en dropped
+
+
+def test_foreach_batch_drift_monitor_against_baseline(spark_mod, tmp_path):
+    """Round-7: streaming drift monitor — every micro-batch compared to
+    a persisted baseline (PSI + binned KS, reference never rescanned),
+    one metrics row per batch; values equal the batch-mode comparators
+    on the same rows."""
+    from metadata_etl_framework_spark.quality.drift import (
+        ks_vs_baseline,
+        psi_vs_baseline,
+        save_drift_baseline,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_drift_monitor,
+    )
+
+    spark = spark_mod
+    ref = spark.createDataFrame(
+        [(float(i % 40),) for i in range(400)], "value double"
+    )
+    base = str(tmp_path / "baseline")
+    save_drift_baseline(ref, "value", base, n_bins=16)
+
+    src = str(tmp_path / "stream")
+    # two micro-batches: in-distribution, then shifted
+    spark.createDataFrame([(float(i % 40),) for i in range(100)],
+                          "value double").coalesce(1).write.parquet(src)
+    spark.createDataFrame([(float(i % 40 + 100),) for i in range(100)],
+                          "value double").coalesce(1).write.mode(
+        "append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    metrics = str(tmp_path / "metrics")
+    q = foreach_batch_drift_monitor(
+        stream, "value", base, metrics, str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(120)
+
+    rows = sorted(
+        spark.read.parquet(metrics).collect(), key=lambda r: r.psi_total
+    )
+    assert len(rows) == 2 and all(r.n_rows == 100 for r in rows)
+    low, high = rows
+    assert not low.psi_alerting and high.psi_alerting  # shift flagged
+    # streaming numbers == batch comparators on one batch's rows
+    shifted = spark.createDataFrame(
+        [(float(i % 40 + 100),) for i in range(100)], "value double"
+    )
+    want_psi = psi_vs_baseline(shifted, "value", base).first()["psi_total"]
+    want_ks = ks_vs_baseline(shifted, "value", base).first()
+    assert high.psi_total == want_psi
+    assert (high.ks_stat, high.ks_err_bound) == (
+        want_ks["ks_stat"], want_ks["err_bound"]
+    )
