@@ -1672,6 +1672,80 @@ _LSH_HYPERPLANES = [
     [((i * 37 + j * 17) % 19 - 9) / 9.0 for j in range(64)] for i in range(8)
 ]
 
+# Product-quantization fixture: closed-form codebooks + query (no RNG,
+# no KMeans), so the DuckDB oracle regenerates the identical argmin
+# codes and ADC lookup arithmetic. m=4 subspaces of 16 dims, 8 codes.
+_PQ_M, _PQ_CODES, _PQ_SUB = 4, 8, 16
+
+
+def _pq_det_codebooks() -> list[list[list[float]]]:
+    return [
+        [
+            [
+                ((s * 37 + c * 17 + j * 7 + 3) % 19 - 9) / 9.0
+                for j in range(_PQ_SUB)
+            ]
+            for c in range(_PQ_CODES)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+_PQ_QUERY = [((j * 11 + 5) % 23 - 11) / 11.0 for j in range(64)]
+
+
+def _pq_adc_sql() -> str:
+    """DuckDB replay of pq_encode + pq_adc_topk with the closed-form
+    fixture: per-subspace argmin over literal centroid distances (same
+    left-associative fold as the Spark zip_with/aggregate), then the
+    Python-computed ADC lookup table inlined as literals (both engines
+    consume the SAME driver-side floats)."""
+    books = _pq_det_codebooks()
+    luts = []
+    for s in range(_PQ_M):
+        qs = _PQ_QUERY[s * _PQ_SUB : (s + 1) * _PQ_SUB]
+        luts.append(
+            [
+                sum((a - b) ** 2 for a, b in zip(qs, cent))
+                for cent in books[s]
+            ]
+        )
+    adc_terms = []
+    for s in range(_PQ_M):
+        dists = []
+        for c in range(_PQ_CODES):
+            terms = " + ".join(
+                f"(CAST(embedding[{s * _PQ_SUB + j + 1}] AS DOUBLE) - "
+                f"({books[s][c][j]!r})) * "
+                f"(CAST(embedding[{s * _PQ_SUB + j + 1}] AS DOUBLE) - "
+                f"({books[s][c][j]!r}))"
+                for j in range(_PQ_SUB)
+            )
+            dists.append(f"({terms})")
+        dl = f"list_value({', '.join(dists)})"
+        lut = f"list_value({', '.join(repr(v) for v in luts[s])})"
+        adc_terms.append(f"{lut}[list_indexof({dl}, list_min({dl}))]")
+    adc = " + ".join(adc_terms)
+    return f"""
+        SELECT vec_id, ROUND({adc}, 6) AS adc_dist
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+        ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+
+def _ann_pq_adc(spark, sf_dir):
+    """Product quantization ANN (encode + asymmetric-distance top-10):
+    closed-form codebooks, pure-JVM argmin encode, literal-LUT ADC
+    scoring, TakeOrdered top-k (ops/similarity.py::pq_encode/
+    pq_adc_topk). Fully hash-checked despite being a compression op."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    books = _pq_det_codebooks()
+    enc = sim_ops.pq_encode(emb, books)
+    return sim_ops.pq_adc_topk(enc, books, _PQ_QUERY, k=10)
+
 
 def _ann_lsh_topk(spark, sf_dir):
     """ANN path: hyperplane-LSH bucket filter then exact cosine top-k.
@@ -3380,6 +3454,7 @@ _EXTRA_KEYS = [
     "text_lang_confusion",
     "corpus_kfold",
     "ann_lsh_multiprobe",
+    "ann_pq_adc",
     "events_transitions",
     "text_bpe_pairs",
     "drift_psi_categorical",
@@ -3491,6 +3566,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": _text_lang_id,
     "multimodal_image_meta": _multimodal_image_meta,
     "ann_lsh_topk": _ann_lsh_topk,
+    "ann_pq_adc": _ann_pq_adc,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_clusters": _dedup_clusters,
     "text_decontaminate": _text_decontaminate,
@@ -5980,6 +6056,7 @@ _ALL_SQL.update(
             WITH {_ks_ctes('l_quantity')}
             {_KS_SELECT}
         """,
+        "ann_pq_adc": _pq_adc_sql(),
         "drift_emd_binned": f"""
             WITH ref AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
                          FROM lineitem WHERE {_DRIFT_REF}),

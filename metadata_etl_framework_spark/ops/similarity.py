@@ -941,3 +941,146 @@ def ivf_recall_report(
     return embeddings.sparkSession.createDataFrame(
         rows, "query_idx int, nprobe int, recall_at_k double"
     )
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization: the memory-compression half of a production ANN
+# stack (IVF narrows the SEARCH, PQ shrinks the VECTORS — a 64-dim
+# float32 embedding becomes m code bytes, a 32-256x reduction, so a
+# 100-TB embedding corpus's index fits a fraction of the footprint).
+# Codebooks are per-subspace KMeans (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+# method); encode and ADC scoring are pure JVM projections.
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and fit seeded KMeans (Spark ML, distributed)
+    with ``n_codes`` centroids in each. Returns
+    ``codebooks[m][n_codes][d/m]`` — a few KB of driver-side floats that
+    broadcast into every later encode/score projection.
+
+    The corpus is scanned once per subspace by the fits; at scale run
+    them over a sample — codebook quality needs distribution coverage,
+    not every row (standard PQ practice).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train needs a non-empty corpus")
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sl = embeddings.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), s * sub + 1, sub).cast(
+                    "array<double>"
+                )
+            ).alias("_features")
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + s, featuresCol="_features"
+        ).fit(sl)
+        books.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` small integer codes — per subspace,
+    the index of the nearest codebook centroid (squared L2). One pure
+    JVM projection: centroid coordinates are literals, each subspace's
+    argmin is array_position(dists, array_min(dists)). No UDF, no
+    shuffle; output is (all input columns, ``{out}`` array<int>).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def _sq_dist(s: int, cent: list[float]):
+        x = F.slice(F.col(vec_col), s * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(
+                x,
+                F.array(*[F.lit(c) for c in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    codes = F.array(
+        *[
+            (
+                F.array_position(
+                    F.array(*[_sq_dist(s, c) for c in codebooks[s]]),
+                    F.array_min(
+                        F.array(*[_sq_dist(s, c) for c in codebooks[s]])
+                    ),
+                )
+                - 1
+            ).cast("int")
+            for s in range(m)
+        ]
+    )
+    return embeddings.withColumn(out, codes)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, each
+    corpus vector is its codes. The per-subspace query→centroid squared
+    distances form an m×n_codes lookup table computed ONCE driver-side
+    and inlined as literal arrays, so scoring is one projection —
+    ``Σ_s LUT[s][code_s]`` via element_at — and the top-k is
+    TakeOrderedAndProject (no full sort, no window). Ties break on id
+    for determinism.
+
+    Output: (id, adc_dist) ascending by approximate distance.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    luts = []
+    for s in range(m):
+        qs = [float(v) for v in query_vec[s * sub : (s + 1) * sub]]
+        luts.append(
+            [
+                sum((a - b) ** 2 for a, b in zip(qs, cent))
+                for cent in codebooks[s]
+            ]
+        )
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in luts[s]]),
+            F.element_at(F.col(codes_col), s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(k)
+    )

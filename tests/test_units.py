@@ -333,3 +333,88 @@ def test_group_mode_deterministic_ties(spark):
     # NULL is a level: the NULL pair (count 2) beats the non-null
     # singleton; within equal counts NULLs would sort last
     assert out["h"][1] == 2 and out["h"][0] is None
+
+
+def test_pq_encode_and_adc_exact_on_centroid_lattice(spark):
+    """Round-7 PQ: with hand-built codebooks and a corpus whose vectors
+    ARE centroid concatenations, encode must recover the exact code per
+    subspace and ADC distance equals the true squared L2 — the
+    closed-form correctness pin for the compression path."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    # 2 subspaces x 2 codes, sub-dim 2
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 5.0], [5.0, 0.0]],
+    ]
+    rows = []
+    vid = 0
+    for c0 in (0, 1):
+        for c1 in (0, 1):
+            rows.append((vid, books[0][c0] + books[1][c1], c0, c1))
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _, _ in rows], "vec_id long, embedding array<float>"
+    )
+    enc = {r.vec_id: list(r.pq_codes) for r in pq_encode(df, books).collect()}
+    for i, _, c0, c1 in rows:
+        assert enc[i] == [c0, c1], (i, enc[i])
+
+    # query = vector 3's exact position: ADC dist 0 to it, exact L2 to rest
+    q = books[0][1] + books[1][1]
+    top = pq_adc_topk(pq_encode(df, books), books, q, k=4).collect()
+    assert top[0].vec_id == 3 and top[0].adc_dist == 0.0
+    want = {
+        0: 200.0 + 50.0,  # both subspaces wrong
+        1: 200.0,         # first wrong
+        2: 50.0,          # second wrong
+    }
+    got = {r.vec_id: r.adc_dist for r in top}
+    for k_, v in want.items():
+        assert got[k_] == v
+
+
+def test_pq_train_shapes_and_recall_on_clustered_corpus(spark):
+    """Trained PQ on cluster-structured vectors: codebook shapes are
+    (m, n_codes, d/m), and ADC top-10 recovers most of the exact
+    squared-L2 top-10."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    # 240 vectors in 12 deterministic clusters, d=8 (no RNG: arithmetic)
+    rows = []
+    for i in range(240):
+        c = i % 12
+        base = [float((c * 7 + j * 3) % 11) for j in range(8)]
+        jitter = [((i * 13 + j) % 5) * 0.01 for j in range(8)]
+        rows.append((i, [b + e for b, e in zip(base, jitter)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(df, m=4, n_codes=12)
+    assert len(books) == 4 and all(len(b) == 12 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+
+    q = rows[5][1]
+    adc = {r.vec_id for r in pq_adc_topk(pq_encode(df, books), books, q, k=10).collect()}
+    # exact squared-L2 top-10
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    d2 = F.aggregate(
+        F.zip_with("embedding", qcol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = {
+        r.vec_id
+        for r in df.select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id").limit(10).collect()
+    }
+    assert len(adc & exact) >= 6, (adc, exact)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not divisible"):
+        pq_train(df, m=3)
