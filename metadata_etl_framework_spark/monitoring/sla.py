@@ -3,7 +3,8 @@
 Parity target: src/monitoring/sla_monitor.py:21-298 — sla types
 execution_time (seconds ceiling), quality_score (floor), row_count
 (floor), data_freshness (hours ceiling, vs a supplied timestamp);
-beyond parity: drift_psi (ceiling on the batch's PSI vs baseline).
+beyond parity: drift_psi / drift_ks (ceilings on the batch's PSI /
+binned-KS statistic vs a persisted baseline).
 Deviation = (actual - threshold) / threshold, signed so callers can rank
 violations.
 """
@@ -28,6 +29,7 @@ class SLAMonitor:
         row_count: int | None = None,
         freshness_ts: float | None = None,
         drift_psi: float | None = None,
+        drift_ks: float | None = None,
     ) -> list[dict[str, Any]]:
         results = []
         for sla in slas:
@@ -50,6 +52,11 @@ class SLAMonitor:
                 # feed from quality/drift.py::psi_vs_baseline
                 actual = drift_psi
                 met = drift_psi is None or drift_psi <= threshold
+            elif stype == "drift_ks":
+                # ceiling on the batch's (binned) KS statistic vs
+                # baseline; feed from quality/drift.py::ks_vs_baseline
+                actual = drift_ks
+                met = drift_ks is None or drift_ks <= threshold
             else:
                 raise ValueError(f"unknown sla type {stype!r}")
             deviation = (

@@ -1084,3 +1084,36 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """IVF-PQ search — the full production ANN shape: the IVF probe
+    prunes the SCAN to ``nprobe`` clusters' partitions
+    (:func:`ivf_topk`'s partition-pruning story), and within them the
+    PQ codes are ADC-scored (:func:`pq_adc_topk`'s literal-LUT
+    projection) — so a query touches nprobe/n_clusters of the corpus
+    bytes AND reads m code bytes per vector instead of the full float
+    embedding. ``assigned`` must carry ``_cluster`` (from
+    :func:`ivf_build`) and ``{codes_col}`` (from :func:`pq_encode`).
+    """
+    import math
+
+    def _dist(c: Sequence[float]) -> float:
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+
+    probe = sorted(range(len(centroids)), key=lambda i: _dist(centroids[i]))[
+        :nprobe
+    ]
+    candidates = assigned.filter(F.col("_cluster").isin(probe))
+    return pq_adc_topk(
+        candidates, codebooks, query_vec, k, id_col, codes_col
+    )

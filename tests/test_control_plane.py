@@ -488,6 +488,14 @@ def test_sla_drift_psi_check(store):
         run_id, pid, [{"sla_type": "drift_psi", "threshold": 0.1}]
     )
     assert none_res["met"] and none_res["actual"] is None
+    # drift_ks ceiling (round-7): same shape, fed by ks_vs_baseline
+    ks_ok, ks_bad = mon.record_run(
+        run_id, pid,
+        [{"sla_type": "drift_ks", "threshold": 0.3},
+         {"sla_type": "drift_ks", "threshold": 0.05}],
+        drift_ks=0.12,
+    )
+    assert ks_ok["met"] and not ks_bad["met"]
 
 
 def test_plan_derived_column_lineage_three_step_pipeline(store, spark):

@@ -418,3 +418,49 @@ def test_pq_train_shapes_and_recall_on_clustered_corpus(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="not divisible"):
         pq_train(df, m=3)
+
+
+def test_ivf_pq_topk_combines_probe_and_adc(spark, tmp_path):
+    """IVF-PQ: results equal ADC scoring restricted to the probed
+    clusters, and the persisted-index path (partitioned parquet) serves
+    the same answer."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_pq_topk,
+        ivf_save,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, cents = ivf_build(emb, n_clusters=8)
+    books = pq_train(emb, m=4, n_codes=8)
+    enc = pq_encode(assigned, books)
+    q = [float(v) for v in emb.first().embedding]
+
+    got = ivf_pq_topk(enc, cents, books, q, k=5, nprobe=3).collect()
+    # reference: ADC over exactly the probed clusters
+    import math
+    probe = sorted(
+        range(len(cents)),
+        key=lambda i: math.sqrt(sum((a - b) ** 2 for a, b in zip(cents[i], q))),
+    )[:3]
+    want = pq_adc_topk(
+        enc.filter(F.col("_cluster").isin(probe)), books, q, k=5
+    ).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got] == [
+        (r.vec_id, r.adc_dist) for r in want
+    ]
+    assert len(got) == 5
+
+    # persisted index round-trip serves the same result
+    path = str(tmp_path / "ivfpq")
+    ivf_save(enc, cents, path)
+    loaded, cents2 = ivf_load(spark, path)
+    again = ivf_pq_topk(loaded, cents2, books, q, k=5, nprobe=3).collect()
+    assert [(r.vec_id, r.adc_dist) for r in again] == [
+        (r.vec_id, r.adc_dist) for r in got
+    ]
