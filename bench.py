@@ -82,6 +82,7 @@ HEADLINE = [
     "drift_ks_binned",
     "drift_emd_binned",
     "profile_global_quantiles",
+    "ann_pq_adc",
 ]
 
 
