@@ -562,3 +562,33 @@ def test_plan_column_edges_union_and_file_relations(spark):
     edges = plan_column_edges(a.unionByName(b))
     assert set(edges["k"]) == {("orders", "o_orderkey"), ("customer", "c_custkey")}
     assert set(edges["v"]) == {("orders", "o_totalprice"), ("customer", "c_acctbal")}
+
+
+def test_plan_column_edges_generate_and_window_fallback(spark):
+    """Nodes without named-expression rewiring (Generate from explode,
+    Window) take the pass-through+references fallback: introduced
+    attributes inherit the union of the node's expression references."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.utils.lineage import plan_column_edges
+
+    df = spark.createDataFrame(
+        [(1, [10, 20], 5.0)], "id long, xs array<int>, w double"
+    )
+    df.createOrReplaceTempView("src")
+    exploded = spark.table("src").select(
+        "id", F.explode("xs").alias("x")
+    )
+    e = plan_column_edges(exploded)
+    assert e["id"] == [("src", "id")]
+    assert ("src", "xs") in e["x"]
+
+    from pyspark.sql import Window
+
+    ranked = spark.table("src").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("id").orderBy("w"))
+    )
+    r = plan_column_edges(ranked)
+    assert r["id"] == [("src", "id")]
+    # the window output depends on its partition/order references
+    assert set(r["rn"]) >= {("src", "id"), ("src", "w")}
