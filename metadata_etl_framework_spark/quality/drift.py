@@ -216,6 +216,25 @@ def _merged_value_counts(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _require_two_samples(ref: DataFrame, cur: DataFrame, col: str) -> None:
+    """Both snapshots must have at least one non-null value — otherwise
+    the two-sample statistic is undefined and the division by a zero
+    total would surface as a cryptic ANSI DIVIDE_BY_ZERO mid-job.
+    Two limit(1) probes (early-exit scans, isNotNull pushed) keep the
+    check near-free at any scale."""
+    x = F.col(col).cast("double")
+    if ref.where(x.isNotNull()).limit(1).count() == 0:
+        raise ValueError(
+            f"two-sample statistic undefined: reference snapshot has no "
+            f"non-null {col!r} values"
+        )
+    if cur.where(x.isNotNull()).limit(1).count() == 0:
+        raise ValueError(
+            f"two-sample statistic undefined: current snapshot has no "
+            f"non-null {col!r} values"
+        )
+
+
 def _ks_binned(
     ref: DataFrame, cur: DataFrame, col: str, n_bins: int
 ) -> DataFrame:
@@ -298,6 +317,7 @@ def ks_statistic(
     ``err_bound`` column (6 dp). ``n_bins=1000`` bounds the error near
     0.001 for roughly-uniform mass at any data size.
     """
+    _require_two_samples(ref, cur, col)
     if n_bins is not None:
         return _ks_binned(ref, cur, col, n_bins)
     merged = _merged_value_counts(ref, cur, col)
@@ -547,6 +567,7 @@ def emd_1d(
     |W₁_exact − emd| ≤ ``err_bound`` = 2·bin_width (snapping moves each
     point at most one bin width and W₁ is 1-Lipschitz per argument).
     """
+    _require_two_samples(ref, cur, col)
     if n_bins is not None:
         return _emd_binned(ref, cur, col, n_bins)
     merged = _merged_value_counts(ref, cur, col)

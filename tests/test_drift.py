@@ -568,3 +568,27 @@ def test_ks_vs_baseline_matches_direct_binned(spark, tmp_path):
     save_drift_baseline(allnull, "x", str(tmp_path / "empty"))
     with _pt.raises(ValueError, match="no numeric support"):
         ks_vs_baseline(cur, "x", str(tmp_path / "empty"))
+
+
+def test_ks_and_emd_empty_side_clear_error(spark):
+    """An empty (or all-null) side must raise the documented ValueError,
+    not a cryptic ANSI DIVIDE_BY_ZERO mid-job — both arms."""
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.quality.drift import emd_1d
+
+    empty = spark.createDataFrame([], "x double")
+    allnull = spark.createDataFrame([(None,)], "x double")
+    full = _df(spark, [1, 2, 3])
+    for bad, good, side in (
+        (empty, full, "reference"),
+        (allnull, full, "reference"),
+    ):
+        with _pt.raises(ValueError, match=side):
+            ks_statistic(bad, good, "x").collect()
+        with _pt.raises(ValueError, match=side):
+            ks_statistic(bad, good, "x", n_bins=8).collect()
+        with _pt.raises(ValueError, match=side):
+            emd_1d(bad, good, "x").collect()
+    with _pt.raises(ValueError, match="current"):
+        ks_statistic(full, empty, "x")
