@@ -1015,6 +1015,9 @@ def pq_encode(
     sub = len(codebooks[0][0])
 
     def _sq_dist(s: int, cent: list[float]):
+        # zip_with/aggregate fold: measured FASTER than the flat
+        # 512-term arithmetic expansion (which overflows whole-stage
+        # codegen method limits and falls back to interpreted eval)
         x = F.slice(F.col(vec_col), s * sub + 1, sub)
         return F.aggregate(
             F.zip_with(
@@ -1026,21 +1029,30 @@ def pq_encode(
             lambda acc, v: acc + v,
         )
 
+    # materialize each subspace's distance array in its own projection:
+    # argmin references it twice (array_position + array_min), and a
+    # multiply-referenced non-cheap expression is exactly what keeps
+    # CollapseProject from re-inlining — so the n_codes×sub distance
+    # math evaluates ONCE per row instead of twice
+    work = embeddings
+    for s in range(m):
+        work = work.withColumn(
+            f"_pqd{s}", F.array(*[_sq_dist(s, c) for c in codebooks[s]])
+        )
     codes = F.array(
         *[
             (
                 F.array_position(
-                    F.array(*[_sq_dist(s, c) for c in codebooks[s]]),
-                    F.array_min(
-                        F.array(*[_sq_dist(s, c) for c in codebooks[s]])
-                    ),
+                    F.col(f"_pqd{s}"), F.array_min(F.col(f"_pqd{s}"))
                 )
                 - 1
             ).cast("int")
             for s in range(m)
         ]
     )
-    return embeddings.withColumn(out, codes)
+    return work.withColumn(out, codes).drop(
+        *[f"_pqd{s}" for s in range(m)]
+    )
 
 
 def pq_adc_topk(
