@@ -192,3 +192,32 @@ def test_weighted_sample_matches_reference_priorities(weights, k):
 
     expect = sorted(rows, key=lambda t: priority(*t), reverse=True)[:k]
     assert got == {i for i, _ in expect}
+
+
+@given(
+    a=st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=60),
+    b=st.lists(st.floats(-120, 120, allow_nan=False), min_size=2, max_size=60),
+    bins=st.integers(2, 40),
+)
+@settings(max_examples=4, deadline=None)
+def test_binned_ks_and_emd_bracket_property(a, b, bins):
+    """For ANY two samples and ANY binning: D_binned <= D_exact <=
+    D_binned + err_bound, and |W1_binned - W1_exact| <= its err_bound —
+    the round-7 guarantees, property-swept."""
+    from metadata_etl_framework_spark.quality.drift import emd_1d, ks_statistic
+    from metadata_etl_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    da = spark.createDataFrame([(float(v),) for v in a], "x double")
+    db = spark.createDataFrame([(float(v),) for v in b], "x double")
+    ek = ks_statistic(da, db, "x").collect()[0]
+    bk = ks_statistic(da, db, "x", n_bins=bins).collect()[0]
+    assert bk.ks_stat <= ek.ks_stat + 1e-9
+    assert ek.ks_stat <= bk.ks_stat + bk.err_bound + 1e-9
+
+    ee = emd_1d(da, db, "x").collect()
+    be = emd_1d(da, db, "x", n_bins=bins).collect()
+    if ee and be:  # single-support-point inputs return empty on both
+        assert abs(be[0].emd - ee[0].emd) <= be[0].err_bound + 1e-6
+    else:
+        assert bool(ee) == bool(be)
