@@ -494,6 +494,29 @@ def _profile_global_quantiles(spark, sf_dir):
     )
 
 
+def _corpus_source_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of the documents' source mix — the corpus
+    diversity number a mixing plan is judged by
+    (functions/aggregations.py::shannon_entropy; decimal-accumulated
+    terms, order-independent)."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        shannon_entropy,
+    )
+
+    return shannon_entropy(_t(spark, sf_dir, "documents"), "source")
+
+
+def _dist_gini_totalprice(spark, sf_dir):
+    """Exact Gini concentration of order value: per-value counts + the
+    distributed prefix scan for cumulative ranks — no full sort, no
+    single-task window (functions/aggregations.py::gini_coefficient)."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        gini_coefficient,
+    )
+
+    return gini_coefficient(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def _profile_all_columns(spark, sf_dir):
     """Single-pass multi-column profile (profile_columns) — exact fields
     only (count/null/distinct/min/max); mean/std are order-dependent
@@ -3343,6 +3366,8 @@ _EXTRA_KEYS = [
     "set_except",
     "profile_quantity",
     "profile_global_quantiles",
+    "corpus_source_entropy",
+    "dist_gini_totalprice",
     "dq_not_null",
     "dq_value_range",
     "dq_allowed_values",
@@ -3514,6 +3539,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "case_bucketing": _case_bucketing,
     "profile_quantity": _profile_quantity,
     "profile_global_quantiles": _profile_global_quantiles,
+    "corpus_source_entropy": _corpus_source_entropy,
+    "dist_gini_totalprice": _dist_gini_totalprice,
     "profile_all_columns": _profile_all_columns,
     "corr_qty_price": _corr_qty_price,
     "dq_not_null": _dq_not_null,
@@ -3881,6 +3908,34 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(STDDEV_SAMP(l_quantity), 6) AS std_q,
                    ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_q
             FROM lineitem
+        """,
+        "corpus_source_entropy": """
+            WITH c AS (SELECT source, COUNT(*) AS c FROM documents
+                       WHERE source IS NOT NULL GROUP BY source),
+            t AS (SELECT SUM(c) AS n, COUNT(*) AS k FROM c)
+            SELECT ROUND(CAST(SUM(CAST(-(c / n) * LN(c / n) / LN(2.0)
+                                       AS DECIMAL(30,12))) AS DOUBLE), 6)
+                     AS entropy,
+                   CAST(k AS BIGINT) AS n_levels,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM c, t GROUP BY n, k
+        """,
+        "dist_gini_totalprice": """
+            WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                              COUNT(*) AS c
+                       FROM orders WHERE o_totalprice IS NOT NULL
+                       GROUP BY 1),
+            t AS (SELECT SUM(c) AS n,
+                         SUM(CAST(v * c AS DECIMAL(30,10))) AS t FROM c),
+            s AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS ca FROM c)
+            SELECT ROUND(CASE WHEN t > 0 THEN
+                     2.0 * CAST(SUM(CAST(v * (c * (ca - c)
+                                  + c * (c + 1) / 2)
+                                  AS DECIMAL(38,10))) AS DOUBLE)
+                         / (n * CAST(t AS DOUBLE))
+                     - (n + 1.0) / n ELSE 0.0 END, 6) AS gini,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM s, t GROUP BY n, t
         """,
         "profile_global_quantiles": """
             WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x

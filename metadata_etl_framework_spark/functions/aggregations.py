@@ -564,3 +564,97 @@ def group_mode(
             F.col("__c").cast("long").alias("mode_count"),
         )
     )
+
+
+def shannon_entropy(
+    df: DataFrame, column: str, base: float = 2.0
+) -> DataFrame:
+    """Shannon entropy of a column's value distribution — the
+    concentration measure corpus curation asks of source/language mixes
+    ("how diverse is this corpus really?"). NULLs are excluded (they are
+    absence, not a level — use ``fillna`` first to count them).
+
+    One groupBy over the column + a broadcast 1-row total; entropy terms
+    accumulate as DECIMAL so the sum is order-independent and
+    cross-engine hash-stable. Output: 1 row — (entropy, n_levels,
+    n_rows), entropy in ``base``-log units (default bits), 6 dp.
+    """
+    import math
+
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("c") / F.col("n")
+    term = (-p * F.log(p) / F.lit(math.log(base))).cast("decimal(30,12)")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(term.alias("t"), "n", "k")
+        .groupBy("n", "k")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("entropy"))
+        .select(
+            "entropy",
+            F.col("k").cast("long").alias("n_levels"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
+    """Exact Gini coefficient of a non-negative numeric column — "how
+    concentrated is the mass?" (token counts per source, spend per
+    customer). 0 = perfectly equal, →1 = one row holds everything.
+
+    Scale shape: per-value counts + the distributed dual prefix scan
+    for cumulative ranks (never a full sort or single-task window),
+    then the closed form G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n where a
+    value appearing c times at cumulative count ca contributes
+    x·(c·(ca−c) + c·(c+1)/2) to Σ(rank·x). Terms accumulate as DECIMAL.
+    Raises on negative values (Gini is undefined there). Output: 1 row
+    — (gini, n_rows), 6 dp.
+    """
+    from metadata_etl_framework_spark.quality.drift import _dual_prefix_scan
+
+    x = F.col(value_col).cast("double")
+    counts = df.where(x.isNotNull()).groupBy(x.alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    neg = counts.where(F.col("v") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"gini_coefficient requires non-negative {value_col!r} values"
+        )
+    scanned = _dual_prefix_scan(counts, "v", "c", "c")
+    totals = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            (F.col("v") * F.col("c")).cast("decimal(30,10)")
+        ).alias("t"),
+    )
+    rank_sum = (
+        F.col("c") * (F.col("__ca") - F.col("c"))
+        + F.col("c") * (F.col("c") + 1) / 2
+    )
+    term = (F.col("v") * rank_sum).cast("decimal(38,10)")
+    return (
+        scanned.crossJoin(F.broadcast(totals))
+        .select(term.alias("s"), "n", "t")
+        .groupBy("n", "t")
+        .agg(F.sum("s").alias("ss"))
+        .select(
+            F.round(
+                F.when(
+                    F.col("t") > 0,
+                    2.0 * F.col("ss").cast("double")
+                    / (F.col("n") * F.col("t").cast("double"))
+                    - (F.col("n") + 1.0) / F.col("n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("gini"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )

@@ -592,3 +592,28 @@ def test_ks_and_emd_empty_side_clear_error(spark):
             emd_1d(bad, good, "x").collect()
     with _pt.raises(ValueError, match="current"):
         ks_statistic(full, empty, "x")
+
+
+def test_entropy_and_gini_closed_forms(spark):
+    from metadata_etl_framework_spark.functions.aggregations import (
+        gini_coefficient,
+        shannon_entropy,
+    )
+
+    # uniform 4 levels -> 2 bits; degenerate 1 level -> 0; nulls excluded
+    u = spark.createDataFrame([(v,) for v in "abcd"], "s string")
+    r = shannon_entropy(u, "s").collect()[0]
+    assert (r.entropy, r.n_levels, r.n_rows) == (2.0, 4, 4)
+    one = spark.createDataFrame([("x",), ("x",), (None,)], "s string")
+    r1 = shannon_entropy(one, "s").collect()[0]
+    assert (r1.entropy, r1.n_levels, r1.n_rows) == (0.0, 1, 2)
+
+    # all-equal -> 0; one-holder among n=4 -> 0.75; negative raises
+    eq = spark.createDataFrame([(2.5,)] * 6, "x double")
+    assert gini_coefficient(eq, "x").collect()[0].gini == 0.0
+    sk = spark.createDataFrame([(0.0,)] * 3 + [(100.0,)], "x double")
+    assert gini_coefficient(sk, "x").collect()[0].gini == 0.75
+    import pytest as _pt
+    neg = spark.createDataFrame([(-1.0,), (2.0,)], "x double")
+    with _pt.raises(ValueError, match="non-negative"):
+        gini_coefficient(neg, "x")
