@@ -489,8 +489,12 @@ def _profile_global_quantiles(spark, sf_dir):
     )
 
     li = _t(spark, sf_dir, "lineitem")
+    # release=False: keep the LAZY plan so the driver/bench/plan-audit
+    # see the real prefix-scan shape (library default eagerly frees the
+    # scan cache for long-lived monitoring sessions)
     return global_quantiles(
-        li, "l_extendedprice", (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        li, "l_extendedprice", (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+        release=False,
     )
 
 
@@ -2878,11 +2882,14 @@ def _drift_suite(spark, sf_dir):
     from metadata_etl_framework_spark.quality.drift import drift_suite
 
     ref, cur = _drift_frames(spark, sf_dir)
+    # release=False: keep the LAZY plan so the driver/bench/plan-audit
+    # see the real suite shape (library default eagerly frees caches)
     return drift_suite(
         ref,
         cur,
         numeric_cols=["l_quantity", "l_extendedprice"],
         categorical_cols=["l_returnflag", "l_linestatus"],
+        release=False,
     )
 
 

@@ -254,6 +254,7 @@ def global_quantiles(
     value_col: str,
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
     round_to: int | None = 6,
+    release: bool = True,
 ) -> DataFrame:
     """EXACT whole-table quantiles with linear interpolation (pandas /
     ``quantile_cont`` semantics) that hold at any scale.
@@ -271,19 +272,31 @@ def global_quantiles(
     Output: one row per requested quantile — (p, value), value = vlo +
     (vhi − vlo)·frac at rank h = (n−1)·p, rounded to 6 dp (DuckDB's
     ``quantile_cont`` replays it exactly).
+
+    ``release=True`` (default) materializes the ≤len(quantiles)-row
+    result and frees every frame the computation cached; ``release=
+    False`` keeps the lazy plan (plan audits) at the cost of leaving
+    the prefix-scan cache resident.
     """
     from metadata_etl_framework_spark.quality.drift import _dual_prefix_scan
 
     spark = df.sparkSession
     x = F.col(value_col).cast("double")
+    # the count frame feeds two jobs — the eager total (needed
+    # driver-side to turn quantiles into integer rank targets) and the
+    # prefix scan — so persist it across both instead of re-scanning
+    # the input; released before returning (the result is ≤len(quantiles)
+    # rows, materialized here)
     counts = (
         df.where(x.isNotNull())
         .groupBy(x.alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     n_row = counts.agg(F.sum("c").alias("n")).first()
     n = int(n_row["n"] or 0)
     if n == 0:
+        counts.unpersist()
         return spark.createDataFrame([], "p double, value double")
     import math
 
@@ -297,7 +310,8 @@ def global_quantiles(
     tdf = spark.createDataFrame(
         targets, "p double, lo long, hi long, frac double"
     )
-    scanned = _dual_prefix_scan(counts, "v", "c", "c")
+    persisted: "list[DataFrame]" = [counts]
+    scanned = _dual_prefix_scan(counts, "v", "c", "c", persisted=persisted)
     resolved = (
         scanned.crossJoin(F.broadcast(tdf))
         .groupBy("p", "frac")
@@ -313,7 +327,18 @@ def global_quantiles(
     interp = F.col("vlo") + (F.col("vhi") - F.col("vlo")) * F.col("frac")
     if round_to is not None:
         interp = F.round(interp, round_to)
-    return resolved.select("p", interp.alias("value")).orderBy("p")
+    out = resolved.select("p", interp.alias("value")).orderBy("p")
+    if not release:
+        # lazy plan keeps the scan cache resident; the counts cache has
+        # already served both its jobs (total + subtotal collect) and
+        # can go now — the final job reads the CACHED with_pid above it
+        counts.unpersist()
+        return out
+    rows = out.collect()
+    schema = out.schema
+    for f in persisted:
+        f.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def histogram(

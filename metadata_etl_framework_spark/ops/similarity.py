@@ -253,6 +253,53 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "_cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, ties to
+    the lowest cluster id) as ONE pure-JVM projection — the
+    :func:`pq_encode` argmin fold over the full vector, with the
+    centroid matrix inlined as literals. No UDF, no shuffle, no ML
+    pipeline.
+
+    This is the batch-assignment half :func:`ivf_build` doesn't cover:
+    a 100-TB index is built once, but NEW corpus batches arrive forever
+    and must be routed against the FROZEN centroids — refitting KMeans
+    (or dragging a fitted model around) per batch is wrong. It also
+    makes IVF fully closed-form when the centroids are chosen
+    arithmetically, which is what lets the combined IVF-PQ search be
+    replayed exactly by an external SQL oracle.
+    """
+    dist_arr = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    # distance array materialized in its own projection: the argmin
+    # references it twice, and a multiply-referenced non-cheap
+    # expression keeps CollapseProject from re-inlining the
+    # n_clusters×d fold (same measured rationale as pq_encode)
+    work = embeddings.withColumn("_ivfd", dist_arr)
+    return work.withColumn(
+        out,
+        (
+            F.array_position(F.col("_ivfd"), F.array_min(F.col("_ivfd"))) - 1
+        ).cast("int"),
+    ).drop("_ivfd")
+
+
 def ivf_save(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -959,6 +1006,7 @@ def pq_train(
     n_codes: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_rows: "int | None" = 262_144,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split the vector into ``m``
     contiguous subspaces and fit seeded KMeans (Spark ML, distributed)
@@ -966,12 +1014,23 @@ def pq_train(
     ``codebooks[m][n_codes][d/m]`` — a few KB of driver-side floats that
     broadcast into every later encode/score projection.
 
-    The corpus is scanned once per subspace by the fits; at scale run
-    them over a sample — codebook quality needs distribution coverage,
-    not every row (standard PQ practice).
+    ``sample_rows`` is the scale gate (the repo convention: scale advice
+    is a parameter, not a docstring): a corpus larger than it is first
+    cut to an expected ``sample_rows`` rows by a DETERMINISTIC
+    md5-uniform filter over the vector bytes (seeded — reruns pick the
+    identical sample, so codebooks are reproducible), persisted, and the
+    ``m`` KMeans fits scan the cached sample instead of re-reading the
+    full corpus per subspace. Codebook quality needs distribution
+    coverage, not every row — standard PQ practice (Jegou et al. 2011
+    train on learning sets orders of magnitude below corpus size).
+    Corpora at or under the gate train on every row (bit-identical to
+    the ungated path); ``sample_rows=0``/``None`` forces full-corpus
+    training at any size.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    from metadata_etl_framework_spark.ops.corpus import md5_uniform
 
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     if first is None:
@@ -980,9 +1039,22 @@ def pq_train(
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible by m={m}")
     sub = d // m
+    fit_input = embeddings
+    sampled = None
+    if sample_rows:
+        n = embeddings.count()
+        if n > sample_rows:
+            u = md5_uniform(
+                F.concat_ws(",", F.col(vec_col).cast("array<string>")),
+                salt=f"pq_train:{seed}",
+            )
+            sampled = embeddings.select(vec_col).where(
+                u < F.lit(sample_rows / n)
+            ).persist()
+            fit_input = sampled
     books: list[list[list[float]]] = []
     for s in range(m):
-        sl = embeddings.select(
+        sl = fit_input.select(
             array_to_vector(
                 F.slice(F.col(vec_col), s * sub + 1, sub).cast(
                     "array<double>"
@@ -995,6 +1067,8 @@ def pq_train(
         books.append(
             [[float(x) for x in c] for c in model.clusterCenters()]
         )
+    if sampled is not None:
+        sampled.unpersist()
     return books
 
 

@@ -111,6 +111,7 @@ def _exact_global_percentiles(
     probs: "tuple[float, ...]",
     aliases: "tuple[str, ...]",
     single_task_max_rows: int,
+    known_count: "int | None" = None,
 ) -> DataFrame:
     """Exact interpolated percentiles as a 1-row frame, two regimes:
     one `F.percentile` aggregate below ``single_task_max_rows`` (fastest
@@ -118,8 +119,14 @@ def _exact_global_percentiles(
     state), else the distributed prefix-scan formulation
     (`functions/aggregations.py::global_quantiles`) whose per-task state
     is bounded at any cardinality. Both are value-identical (both match
-    DuckDB ``quantile_cont`` bit-for-bit)."""
-    if df.count() <= single_task_max_rows:
+    DuckDB ``quantile_cont`` bit-for-bit).
+
+    ``known_count`` skips the regime-gate ``df.count()`` when the caller
+    already knows the row count — detectors that take quantiles of both
+    the input and a same-length derived frame (robust z's deviation
+    frame) count ONCE instead of re-scanning per call."""
+    n = df.count() if known_count is None else known_count
+    if n <= single_task_max_rows:
         return df.agg(
             *[
                 F.percentile(value_col, F.lit(p)).alias(a)
@@ -192,14 +199,21 @@ def detect_robust_zscore(
     those rows are excluded rather than divided by zero, the standard
     treatment. Output: (key, value, robust_z) rounded to 6 dp.
     """
+    # one regime-gate count serves both quantile calls: the deviation
+    # frame is row-for-row the input (crossJoin with a 1-row stats
+    # frame), so its count is the input's — without this, the detector
+    # would run three whole-table scans before any quantile work
+    n_rows = df.count()
     med = _exact_global_percentiles(
-        df, value_col, (0.5,), ("_med",), single_task_max_rows
+        df, value_col, (0.5,), ("_med",), single_task_max_rows,
+        known_count=n_rows,
     )
     dev = df.crossJoin(F.broadcast(med)).select(
         F.abs(F.col(value_col) - F.col("_med")).alias("_adev")
     )
     mad = _exact_global_percentiles(
-        dev, "_adev", (0.5,), ("_mad",), single_task_max_rows
+        dev, "_adev", (0.5,), ("_mad",), single_task_max_rows,
+        known_count=n_rows,
     )
     return (
         df.crossJoin(F.broadcast(med))

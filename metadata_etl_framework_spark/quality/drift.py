@@ -118,6 +118,7 @@ def _dual_prefix_scan(
     a_col: str,
     b_col: str,
     with_next_start: bool = False,
+    persisted: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Inclusive running totals of two count columns over ``order_col``.
 
@@ -147,6 +148,12 @@ def _dual_prefix_scan(
     with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # the cache is NOT optional here (recompute could repartition
+    # differently than the job the offsets came from), so it must live
+    # until the caller materializes the scan's consumers — callers that
+    # do so eagerly pass `persisted` to take ownership of the release
+    if persisted is not None:
+        persisted.append(with_pid)
     subtotals = (
         with_pid.groupBy("__pid")
         .agg(
@@ -231,6 +238,20 @@ def _require_two_samples(ref: DataFrame, cur: DataFrame, col: str) -> None:
     if cur.where(x.isNotNull()).limit(1).count() == 0:
         raise ValueError(
             f"two-sample statistic undefined: current snapshot has no "
+            f"non-null {col!r} values"
+        )
+
+
+def _require_current_sample(cur: DataFrame, col: str) -> None:
+    """Baseline-comparator arm of :func:`_require_two_samples`: the
+    reference side is a persisted profile (validated when loaded), so
+    only the CURRENT batch needs the cheap limit(1) non-null probe —
+    an all-null batch would otherwise surface as 0/0 NaN terms (or an
+    ANSI DIVIDE_BY_ZERO) deep inside the comparison job."""
+    x = F.col(col).cast("double")
+    if cur.where(x.isNotNull()).limit(1).count() == 0:
+        raise ValueError(
+            f"baseline comparison undefined: current batch has no "
             f"non-null {col!r} values"
         )
 
@@ -750,12 +771,19 @@ def _drift_numeric_binned(
     c: str,
     n_bins: int,
     ks_bins: int,
+    persisted: "list[DataFrame] | None" = None,
 ) -> list[DataFrame]:
     """High-cardinality arm of :func:`drift_suite` for one numeric
     column: PSI (exact — PSI is bin-defined, counts are exact integers)
     and binned KS + its error bound, all from ONE joint groupBy on
     (psi_bin, ks_bin). Post-scan size O(n_bins · ks_bins); nothing
-    downstream scales with rows or distinct values."""
+    downstream scales with rows or distinct values.
+
+    The joint count frame is persisted (it feeds both the PSI and KS
+    derivations); the caller passes ``persisted`` to take ownership of
+    unpersisting it once the returned frames are materialized — without
+    that, repeated suite calls on high-cardinality columns would
+    accumulate cached partitions for the life of the session."""
     redges = ref.agg(
         F.min(F.col(c).cast("double")).alias("rmn"),
         F.max(F.col(c).cast("double")).alias("rmx"),
@@ -796,6 +824,8 @@ def _drift_numeric_binned(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persisted is not None:
+        persisted.append(joint)
 
     binned = joint.groupBy(F.col("pb").alias("bin")).agg(
         F.sum("rc").alias("ref_cnt"), F.sum("cc").alias("cur_cnt")
@@ -835,7 +865,7 @@ def _drift_numeric_binned(
     kbinned = joint.groupBy(F.col("kb").alias("bin")).agg(
         F.sum("rc").alias("rc"), F.sum("cc").alias("cc")
     )
-    scanned = _dual_prefix_scan(kbinned, "bin", "rc", "cc")
+    scanned = _dual_prefix_scan(kbinned, "bin", "rc", "cc", persisted=persisted)
     ktot = kbinned.agg(F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur"))
     ks2 = (
         scanned.crossJoin(F.broadcast(ktot))
@@ -871,6 +901,7 @@ def drift_suite(
     n_bins: int = 10,
     ks_exact_max_distinct: int = 2_000_000,
     ks_bins: int = 1000,
+    release: bool = True,
 ) -> DataFrame:
     """All drift statistics for a snapshot pair as one tall frame.
 
@@ -897,12 +928,25 @@ def drift_suite(
     (see :func:`ks_statistic` ``n_bins``). Set
     ``ks_exact_max_distinct=0`` to force binned, a huge value to force
     exact.
+
+    ``release=True`` (default) materializes the tall result — it is
+    O(cols·metrics) rows, trivially driver-sized — and unpersists every
+    intermediate the suite cached, so repeated monitoring calls never
+    accumulate cached partitions. ``release=False`` returns the LAZY
+    plan (useful for plan audits) at the cost of leaving the suite's
+    caches resident until the session ends or the caller clears them.
     """
     from pyspark.storagelevel import StorageLevel
 
     cols = list(dict.fromkeys([*numeric_cols, *categorical_cols]))
     ref = ref.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     cur = cur.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    # every frame persisted below is unpersisted before returning: the
+    # suite's result is O(cols·metrics) rows, so it is materialized
+    # driver-side at the end and handed back as a local frame — repeated
+    # suite calls must not accumulate cached partitions for the life of
+    # the session
+    persisted: list[DataFrame] = [ref, cur]
     frames = []
     # distinct-count gate estimates for ALL numeric columns in TWO jobs
     # (one agg per side, reused by every column) — the sum is an upper
@@ -932,7 +976,9 @@ def drift_suite(
         )
         if est[c] > ks_exact_max_distinct:
             frames.extend(
-                _drift_numeric_binned(tagged, ref, c, n_bins, ks_bins)
+                _drift_numeric_binned(
+                    tagged, ref, c, n_bins, ks_bins, persisted=persisted
+                )
             )
             continue
         counts = (
@@ -944,6 +990,7 @@ def drift_suite(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        persisted.append(counts)
 
         # PSI re-derived from the count frame: bin sums of exact integer
         # counts equal psi_numeric's per-row counts exactly
@@ -1004,7 +1051,7 @@ def drift_suite(
         )
 
         # KS from the same count frame (ks_statistic's exact internals)
-        scanned = _dual_prefix_scan(counts, "v", "rc", "cc")
+        scanned = _dual_prefix_scan(counts, "v", "rc", "cc", persisted=persisted)
         ktot = counts.agg(
             F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
         )
@@ -1036,7 +1083,17 @@ def drift_suite(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    if not release:
+        return out
+    # materialize the tall result (O(cols·metrics) rows — trivially
+    # driver-sized) so every persisted intermediate can be released NOW
+    # instead of leaking cached partitions for the session's lifetime;
+    # the caller gets a local frame with the identical schema and values
+    rows = out.collect()
+    schema = out.schema
+    for f in persisted:
+        f.unpersist()
+    return ref.sparkSession.createDataFrame(rows, schema)
 
 
 def schema_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
@@ -1128,7 +1185,11 @@ def psi_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
     profile. The baseline contributes its saved bin fractions and edges
     (a few rows read back); only the NEW batch is scanned. Output shape
     matches :func:`psi_numeric`: per-bin rows + ``psi_total``.
+
+    Raises ``ValueError`` when the current batch has no non-null values
+    (the statistic is undefined — see :func:`_require_current_sample`).
     """
+    _require_current_sample(cur, col)
     spark = cur.sparkSession
     base = spark.read.parquet(path)
     meta = base.select("mn", "mx", "n_bins", "n_ref").first()
@@ -1191,7 +1252,9 @@ def psi_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
     return terms.crossJoin(F.broadcast(total))
 
 
-def ks_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
+def ks_vs_baseline(
+    cur: DataFrame, col: str, path: str, release: bool = True
+) -> DataFrame:
     """Binned KS of a new batch against a stored
     :func:`save_drift_baseline` profile — the KS member of the
     baseline-monitoring family (:func:`psi_vs_baseline`): the reference
@@ -1204,7 +1267,16 @@ def ks_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
     err_bound`` with ``err_bound`` = max bin mass. Out-of-range drift
     mass lands in the under/overflow bins and is fully visible to the
     statistic. Output: 1 row — (ks_stat, n_ref, n_cur, err_bound).
+
+    Raises ``ValueError`` when the current batch has no non-null values
+    (the statistic is undefined — see :func:`_require_current_sample`).
+
+    ``release=True`` (default) materializes the 1-row result and frees
+    the prefix-scan cache — this comparator runs once per MICRO-BATCH in
+    the streaming monitor, where a per-call cached partition would
+    accumulate forever. ``release=False`` keeps the lazy plan.
     """
+    _require_current_sample(cur, col)
     spark = cur.sparkSession
     base = spark.read.parquet(path)
     meta = base.select("mn", "mx", "n_bins", "n_ref").first()
@@ -1240,9 +1312,12 @@ def ks_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
             F.coalesce("cc", F.lit(0)).alias("cc"),
         )
     )
-    scanned = _dual_prefix_scan(merged, "bin", "rc", "cc")
+    persisted: list[DataFrame] = []
+    scanned = _dual_prefix_scan(
+        merged, "bin", "rc", "cc", persisted=persisted
+    )
     totals = merged.agg(F.sum("cc").alias("n_cur"))
-    return (
+    out = (
         scanned.crossJoin(F.broadcast(totals))
         .select(
             F.abs(
@@ -1265,3 +1340,10 @@ def ks_vs_baseline(cur: DataFrame, col: str, path: str) -> DataFrame:
             "err_bound",
         )
     )
+    if not release:
+        return out
+    rows = out.collect()
+    schema = out.schema
+    for f in persisted:
+        f.unpersist()
+    return spark.createDataFrame(rows, schema)

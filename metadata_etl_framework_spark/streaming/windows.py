@@ -270,8 +270,11 @@ def foreach_batch_drift_monitor(
     psi_alerting)``
 
     ``psi_alerting`` applies the classic 0.2 "significant shift"
-    threshold (override with ``psi_alert``). Empty batches are skipped
-    (no distribution to test). The metrics sink is append-only parquet —
+    threshold (override with ``psi_alert``). Batches with no non-null
+    ``col`` values are skipped entirely (no distribution to test) — an
+    all-null batch must not kill the query, and the comparators raise
+    ``ValueError`` on a zero-value sample rather than emit NaN rows.
+    The metrics sink is append-only parquet —
     idempotent replays can duplicate a batch row; wrap with
     :func:`idempotent_foreach_batch` when effectively-once matters.
     """
@@ -283,9 +286,15 @@ def foreach_batch_drift_monitor(
     )
 
     def _apply(batch_df, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
+        # guard on VALUES, not rows: a batch with rows but zero
+        # non-null `col` values has no distribution to test, and the
+        # 0/0 PSI terms would come back null → float(None) would
+        # terminate the whole streaming query on a plausible data
+        # condition. limit(1) probe = early-exit scan, near-free.
+        x = F.col(col).cast("double")
+        if batch_df.where(x.isNotNull()).limit(1).count() == 0:
             return
+        n = batch_df.count()
         psi = (
             psi_vs_baseline(batch_df, col, baseline_path)
             .select("psi_total")

@@ -48,20 +48,49 @@ def _attr_sources(plan, hint: str | None) -> dict[int, set[tuple[str, str]]]:
     SubqueryAlias renames the relation; Union merges positionally; every
     other node passes attributes through, with attributes it introduces
     (Generate, Window, ...) falling back to the union of the node's
-    expression references."""
-    cls = plan.getClass().getSimpleName()
-    if cls == "SubqueryAlias":
-        return _attr_sources(
-            plan.children().apply(0), plan.identifier().name()
-        )
-    children = _jseq(plan.children())
-    if not children:
-        name = _leaf_name(plan, cls, hint)
-        return {
-            a.exprId().id(): {(name, a.name())}
-            for a in _jseq(plan.output())
-        }
-    child_maps = [_attr_sources(ch, hint) for ch in children]
+    expression references.
+
+    The walk is an explicit-stack post-order traversal, NOT recursion:
+    very deep linear plans are routine here (chunked ``bpe_encode``
+    stacks hundreds-to-thousands of Projects) and would blow Python's
+    default recursion limit."""
+    # each work item is (plan, hint, ready): first visit pushes the
+    # children (reversed, so results pop back in child order), second
+    # visit combines the child maps waiting on the value stack
+    values: list[dict[int, set[tuple[str, str]]]] = []
+    work: list[tuple] = [(plan, hint, False)]
+    while work:
+        node, h, ready = work.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "SubqueryAlias":
+            # pure rename: the child's map IS this node's map, computed
+            # under the alias as the relation hint — nothing to combine
+            work.append((node.children().apply(0), node.identifier().name(), False))
+            continue
+        children = _jseq(node.children())
+        if not children:
+            name = _leaf_name(node, cls, h)
+            values.append({
+                a.exprId().id(): {(name, a.name())}
+                for a in _jseq(node.output())
+            })
+            continue
+        if not ready:
+            work.append((node, h, True))
+            for ch in reversed(children):
+                work.append((ch, h, False))
+            continue
+        child_maps = values[-len(children):]
+        del values[-len(children):]
+        values.append(_combine_node(node, cls, children, child_maps))
+    return values[0]
+
+
+def _combine_node(
+    plan, cls: str, children: list, child_maps: list
+) -> dict[int, set[tuple[str, str]]]:
+    """Fold one interior plan node's child attribute-source maps into
+    its own (the per-node body of :func:`_attr_sources`)."""
     merged: dict[int, set[tuple[str, str]]] = {}
     for m in child_maps:
         for k, v in m.items():

@@ -434,3 +434,150 @@ def test_connected_components_distributed_on_minhash_pairs(spark):
     for r in rows:
         assert r.cluster_id == r.node - (r.node % 100) + 1
     pairs.unpersist()
+
+
+# ------------------------------------------------- round-8 ADVICE fixes
+
+
+def test_drift_monitor_survives_all_null_batch(spark, tmp_path):
+    """Round-8 ADVICE medium: a micro-batch with rows but zero non-null
+    values used to make psi_vs_baseline return a null psi_total, so
+    float(None) raised TypeError and TERMINATED the streaming query.
+    The monitor must skip such batches and keep consuming."""
+    from metadata_etl_framework_spark.quality.drift import save_drift_baseline
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_drift_monitor,
+        streaming_file_source,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 20),) for i in range(200)], "value double"
+    )
+    base = str(tmp_path / "baseline")
+    save_drift_baseline(ref, "value", base, n_bins=8)
+
+    src = str(tmp_path / "stream")
+    # batch 1: all-null values (rows > 0!); batch 2: healthy
+    spark.createDataFrame(
+        [(None,) for _ in range(50)], "value double"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(float(i % 20),) for i in range(50)], "value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    metrics = str(tmp_path / "metrics")
+    q = foreach_batch_drift_monitor(
+        stream, "value", base, metrics, str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(120)
+    assert q.exception() is None  # the all-null batch must not kill it
+    rows = spark.read.parquet(metrics).collect()
+    # exactly one metrics row: the healthy batch; the null batch skipped
+    assert len(rows) == 1 and rows[0].n_rows == 50
+    assert rows[0].psi_total is not None
+
+
+def test_vs_baseline_comparators_reject_all_null_current(spark, tmp_path):
+    """Round-8 ADVICE low: ks_vs_baseline / psi_vs_baseline on an
+    all-null current batch must raise the documented ValueError instead
+    of emitting NaN (or ANSI DIVIDE_BY_ZERO) from 0/0 totals."""
+    import pytest as _pytest
+
+    from metadata_etl_framework_spark.quality.drift import (
+        ks_vs_baseline,
+        psi_vs_baseline,
+        save_drift_baseline,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "value double"
+    )
+    base = str(tmp_path / "b")
+    save_drift_baseline(ref, "value", base)
+    all_null = spark.createDataFrame([(None,)] * 5, "value double")
+    for fn in (psi_vs_baseline, ks_vs_baseline):
+        with _pytest.raises(ValueError, match="no\\s+non-null"):
+            fn(all_null, "value", base)
+
+
+def test_drift_suite_releases_cached_frames(spark):
+    """Round-8 ADVICE low: drift_suite (both the exact and the forced-
+    binned arm) persisted ref/cur/counts/joint frames and never
+    unpersisted them — repeated calls leaked cached partitions for the
+    session's lifetime. After the call returns, no persistent RDDs may
+    remain."""
+    from metadata_etl_framework_spark.quality.drift import drift_suite
+
+    ref = spark.createDataFrame(
+        [(float(i % 50), "a" if i % 3 else "b") for i in range(300)],
+        "x double, c string",
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 50) + 1.0, "a" if i % 4 else "b") for i in range(300)],
+        "x double, c string",
+    )
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    for gate in (2_000_000, 0):  # exact arm, then forced-binned arm
+        out = drift_suite(
+            ref, cur, ["x"], ["c"], ks_exact_max_distinct=gate
+        )
+        assert out.count() >= 2
+        leaked = {
+            k: v
+            for k, v in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).items()
+            if k not in before
+        }
+        assert not leaked, f"gate={gate} leaked cached RDDs: {leaked}"
+
+
+def test_robust_zscore_known_count_single_gate_scan(spark):
+    """Round-8 ADVICE low: _exact_global_percentiles ran a full count()
+    per call just to pick the regime — robust z triggered three extra
+    whole-table scans. The detector now counts once and passes the known
+    count through; both regimes must still agree exactly."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        detect_robust_zscore,
+    )
+
+    vals = [float(v) for v in range(100)] + [1e6, -1e6]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v double"
+    )
+    fast = detect_robust_zscore(df, "v", "k")  # single-task regime
+    dist = detect_robust_zscore(
+        df, "v", "k", single_task_max_rows=0
+    )  # prefix-scan regime, gate forced
+    a = sorted((r.k, r.robust_z) for r in fast.collect())
+    b = sorted((r.k, r.robust_z) for r in dist.collect())
+    assert a == b and {k for k, _ in a} == {100, 101}
+
+
+def test_plan_column_edges_deep_linear_plan_no_recursion_error(spark):
+    """Round-8 ADVICE low: _attr_sources recursed once per plan node, so
+    the hundreds-to-thousands of stacked Projects a chunked bpe_encode
+    emits exceeded Python's recursion limit. The iterative walk must
+    handle a plan far deeper than the default limit."""
+    import sys
+
+    from metadata_etl_framework_spark.utils.lineage import plan_column_edges
+
+    # depth kept JVM-safe (Catalyst's own tree walks are recursive on
+    # the JVM stack); the PYTHON limit is dropped instead so a
+    # one-frame-per-node walk would still blow up while the iterative
+    # walk's constant frame depth passes
+    df = spark.range(3).select(F.col("id").alias("v"))
+    for _ in range(500):
+        df = df.select((F.col("v") + 1).alias("v"))
+    plan = df._jdf.queryExecution().analyzed()  # analyze OUTSIDE the cap
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(300)
+    try:
+        edges = plan_column_edges(df)
+    finally:
+        sys.setrecursionlimit(old)
+    assert edges == {"v": [("range", "id")]}
+    assert plan is not None
