@@ -1721,10 +1721,10 @@ def _pq_det_codebooks() -> list[list[list[float]]]:
 _PQ_QUERY = [((j * 11 + 5) % 23 - 11) / 11.0 for j in range(64)]
 
 
-def _pq_adc_sql() -> str:
-    """DuckDB replay of pq_encode + pq_adc_topk with the closed-form
-    fixture: per-subspace argmin over literal centroid distances (same
-    left-associative fold as the Spark zip_with/aggregate), then the
+def _pq_adc_expr_sql() -> str:
+    """The DuckDB ADC-scoring expression shared by the PQ and IVF-PQ
+    oracles: per-subspace argmin over literal centroid distances (same
+    left-associative fold as the Spark zip_with/aggregate), indexing the
     Python-computed ADC lookup table inlined as literals (both engines
     consume the SAME driver-side floats)."""
     books = _pq_det_codebooks()
@@ -1752,11 +1752,71 @@ def _pq_adc_sql() -> str:
         dl = f"list_value({', '.join(dists)})"
         lut = f"list_value({', '.join(repr(v) for v in luts[s])})"
         adc_terms.append(f"{lut}[list_indexof({dl}, list_min({dl}))]")
-    adc = " + ".join(adc_terms)
+    return " + ".join(adc_terms)
+
+
+def _pq_adc_sql() -> str:
+    """DuckDB replay of pq_encode + pq_adc_topk with the closed-form
+    fixture (see :func:`_pq_adc_expr_sql`)."""
     return f"""
-        SELECT vec_id, ROUND({adc}, 6) AS adc_dist
+        SELECT vec_id, ROUND({_pq_adc_expr_sql()}, 6) AS adc_dist
         FROM embeddings
         WHERE embedding IS NOT NULL
+        ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+
+# Closed-form IVF fixture for the combined IVF-PQ oracle: 8 centroids
+# over the full 64-dim space from a fixed integer recurrence (same trick
+# as the PQ codebooks), so probe selection AND per-row cluster
+# assignment are replayable arithmetic in any engine.
+_IVF_N_CLUSTERS, _IVF_NPROBE = 8, 3
+
+
+def _ivf_det_centroids() -> list[list[float]]:
+    return [
+        [((k * 29 + j * 13 + 7) % 21 - 10) / 10.0 for j in range(64)]
+        for k in range(_IVF_N_CLUSTERS)
+    ]
+
+
+def _ivf_cluster_expr_sql() -> str:
+    """DuckDB replay of ivf_assign with the closed-form centroids:
+    squared-L2 distance list (left-associative fold, matching the Spark
+    zip_with/aggregate order) → first-occurrence argmin, ties to the
+    lowest cluster id in both engines."""
+    cents = _ivf_det_centroids()
+    dists = []
+    for c in cents:
+        terms = " + ".join(
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - ({c[j]!r})) * "
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) - ({c[j]!r}))"
+            for j in range(64)
+        )
+        dists.append(f"({terms})")
+    dl = f"list_value({', '.join(dists)})"
+    return f"(list_indexof({dl}, list_min({dl})) - 1)"
+
+
+def _ivf_pq_sql() -> str:
+    """DuckDB replay of the combined IVF-PQ search (ivf_assign +
+    pq_encode + ivf_pq_topk): the probe set is computed driver-side from
+    the closed-form centroids (plain arithmetic — identical to
+    ivf_pq_topk's Python probe selection) and inlined as a literal IN
+    list; cluster membership and ADC scoring replay in SQL."""
+    cents = _ivf_det_centroids()
+    probe = sorted(
+        range(_IVF_N_CLUSTERS),
+        key=lambda i: sum(
+            (a - b) ** 2 for a, b in zip(cents[i], _PQ_QUERY)
+        ),
+    )[:_IVF_NPROBE]
+    in_list = ", ".join(str(p) for p in probe)
+    return f"""
+        SELECT vec_id, ROUND({_pq_adc_expr_sql()}, 6) AS adc_dist
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND {_ivf_cluster_expr_sql()} IN ({in_list})
         ORDER BY adc_dist, vec_id LIMIT 10
     """
 
@@ -1772,6 +1832,26 @@ def _ann_pq_adc(spark, sf_dir):
     books = _pq_det_codebooks()
     enc = sim_ops.pq_encode(emb, books)
     return sim_ops.pq_adc_topk(enc, books, _PQ_QUERY, k=10)
+
+
+def _ann_ivf_pq(spark, sf_dir):
+    """Combined IVF-PQ ANN search — the full production shape: nearest-
+    centroid assignment (ops/similarity.py::ivf_assign, pure-JVM argmin),
+    PQ encode, then ivf_pq_topk (probe-pruned scan × literal-LUT ADC).
+    Closed-form centroids AND codebooks make every stage — probe
+    selection, cluster membership, code assignment, ADC score —
+    replayable arithmetic, so the combined path is fully hash-checked
+    (round-8: the r7 verdict asked for exactly this oracle)."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cents = _ivf_det_centroids()
+    books = _pq_det_codebooks()
+    assigned = sim_ops.ivf_assign(emb, cents)
+    enc = sim_ops.pq_encode(assigned, books)
+    return sim_ops.ivf_pq_topk(
+        enc, cents, books, _PQ_QUERY, k=10, nprobe=_IVF_NPROBE
+    )
 
 
 def _ann_lsh_topk(spark, sf_dir):
@@ -2893,6 +2973,26 @@ def _drift_suite(spark, sf_dir):
     )
 
 
+def _drift_suite_forced_binned(spark, sf_dir):
+    """drift_suite with the approx-distinct gate forced to 0 — the arm
+    every numeric column takes at 100-TB cardinalities (ONE joint
+    groupBy on (psi_bin, ks_bin), post-scan size O(n_bins·ks_bins)).
+    PSI is bit-identical to the exact arm (bin-defined); KS carries the
+    provable err_bound bracket. Benched per round so the scale path's
+    cost is tracked, not just its correctness (r7 verdict item 6)."""
+    from metadata_etl_framework_spark.quality.drift import drift_suite
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return drift_suite(
+        ref,
+        cur,
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        categorical_cols=["l_returnflag", "l_linestatus"],
+        ks_exact_max_distinct=0,
+        release=False,
+    )
+
+
 def _curation_funnel(spark, sf_dir):
     """Single-pass curation funnel over documents: five C4/Gopher-style
     stages, per-stage survivors/drops/retention from ONE projection +
@@ -3294,33 +3394,30 @@ def _agg_group_mode(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier (round-7: flagship dedup/drift/curation/event
-    # analytics in; granular filter/convert/join variants now verified
-    # by the local parity suite as extras).
+    # capability frontier (round-8: PQ/IVF-PQ ANN, binned KS/EMD drift,
+    # exact global quantiles, robust z, source entropy and exact Gini
+    # in; granular variants with multi-round green history —
+    # filter_multi, join_multi, text_lang_id, typeconversion,
+    # window_frames, dedup_distinct, corr_qty_price, incr_keep_latest —
+    # now verified by the local parity suite as extras).
     "q1_pricing_summary",
     "filter_condition",
-    "filter_multi",
     "dedup_bloom_probe",
     "embed_semantic_dedup",
-    "typeconversion",
     "corpus_dsir_weights",
     "join_inner",
     "drift_suite",
-    "join_multi",
     "join_anti",
     "curation_funnel",
     "agg_orders_by_priority",
     "events_cohort_retention",
     "dedup_incremental",
     "window_rank_lag",
-    "window_frames",
     "text_quality_score",
     "text_tfidf_top_terms",
     "orders_global_rank",
-    "dedup_distinct",
     "corpus_split_leakage_safe",
     "profile_all_columns",
-    "corr_qty_price",
     "dq_suite",
     "dq_rules_onepass",
     "anomaly_suite",
@@ -3331,7 +3428,6 @@ _DRIVER_KEYS = [
     "step_customudf",
     "step_union",
     "incr_merge_upsert",
-    "incr_keep_latest",
     "incr_cdc_apply",
     "incr_scd2_apply",
     "incr_late_split",
@@ -3342,7 +3438,18 @@ _DRIVER_KEYS = [
     "dedup_exact_groups",
     "dedup_embedding_cosine",
     "embed_knn_join",
-    "text_lang_id",
+    # Round-7/8 flagships promoted to the HARD gate: every one is
+    # oracle-backed (closed-form PQ codebooks + IVF centroids replay
+    # encode/probe/ADC in DuckDB; binned KS/EMD replay the pooled-edges
+    # bucketing; global quantiles/Gini/entropy are exact statistics).
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "drift_ks_binned",
+    "drift_emd_binned",
+    "profile_global_quantiles",
+    "anomaly_robust_zscore",
+    "corpus_source_entropy",
+    "dist_gini_totalprice",
     # Every driver entry is oracle-backed: simhash_signatures runs the
     # md5 hash arm (DuckDB replays the identical bit votes),
     # minhash_near_dups is the exact inverted-index Jaccard below the
@@ -3357,6 +3464,17 @@ _DRIVER_KEYS = [
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
+    # Rotated OUT of the driver gate in round 8 (multi-round green
+    # history there); still verified by the local parity suite.
+    "drift_suite_forced_binned",
+    "filter_multi",
+    "join_multi",
+    "text_lang_id",
+    "typeconversion",
+    "window_frames",
+    "dedup_distinct",
+    "corr_qty_price",
+    "incr_keep_latest",
     "case_bucketing",
     "window_rolling_avg",
     "topk_event_types",
@@ -3372,9 +3490,6 @@ _EXTRA_KEYS = [
     "set_intersect",
     "set_except",
     "profile_quantity",
-    "profile_global_quantiles",
-    "corpus_source_entropy",
-    "dist_gini_totalprice",
     "dq_not_null",
     "dq_value_range",
     "dq_allowed_values",
@@ -3387,7 +3502,6 @@ _EXTRA_KEYS = [
     "dq_completeness",
     "anomaly_zscore",
     "anomaly_iqr",
-    "anomaly_robust_zscore",
     "anomaly_moving_avg",
     "anomaly_ensemble",
     "incr_detect_deletes",
@@ -3467,7 +3581,6 @@ _EXTRA_KEYS = [
     "text_remove_spans",
     "drift_psi_price",
     "drift_ks_quantity",
-    "drift_ks_binned",
     "drift_chi2_returnflag",
     "curation_funnel_docs",
     "text_top_bigrams",
@@ -3477,7 +3590,6 @@ _EXTRA_KEYS = [
     "corpus_temperature_mix",
     "drift_psi_by_week",
     "drift_emd_quantity",
-    "drift_emd_binned",
     "events_attribution_last_touch",
     "events_attribution_first_touch",
     "events_rolling_active_users",
@@ -3486,7 +3598,6 @@ _EXTRA_KEYS = [
     "text_lang_confusion",
     "corpus_kfold",
     "ann_lsh_multiprobe",
-    "ann_pq_adc",
     "events_transitions",
     "text_bpe_pairs",
     "drift_psi_categorical",
@@ -3601,6 +3712,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_meta": _multimodal_image_meta,
     "ann_lsh_topk": _ann_lsh_topk,
     "ann_pq_adc": _ann_pq_adc,
+    "ann_ivf_pq": _ann_ivf_pq,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_clusters": _dedup_clusters,
     "text_decontaminate": _text_decontaminate,
@@ -3679,6 +3791,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_ks_binned": _drift_ks_binned,
     "drift_chi2_returnflag": _drift_chi2_returnflag,
     "drift_suite": _drift_suite,
+    "drift_suite_forced_binned": _drift_suite_forced_binned,
     "curation_funnel": _curation_funnel,
     "curation_funnel_docs": _curation_funnel_docs,
     "text_top_bigrams": _text_top_bigrams,
@@ -6080,6 +6193,29 @@ def _ks_ctes(col: str) -> str:
     """
 
 
+def _ks_binned_ctes(col: str, nb: int) -> str:
+    """Binned-KS CTEs replaying quality/drift.py::_drift_numeric_binned's
+    KS half: both sides bucketed over the POOLED exact [min, max] into
+    ``nb`` fixed-width bins, prefix sums over binned counts."""
+    return f"""
+        ref AS (SELECT CAST({col} AS DOUBLE) AS x FROM lineitem WHERE {_DRIFT_REF}),
+        cur AS (SELECT CAST({col} AS DOUBLE) AS x FROM lineitem WHERE {_DRIFT_CUR}),
+        tagged AS (SELECT x AS v, 1 AS is_ref FROM ref WHERE x IS NOT NULL
+                   UNION ALL
+                   SELECT x AS v, 0 AS is_ref FROM cur WHERE x IS NOT NULL),
+        pe AS (SELECT MIN(v) AS pmn, MAX(v) AS pmx FROM tagged),
+        b AS (SELECT CASE WHEN pmx = pmn THEN 0
+                     ELSE LEAST(CAST(FLOOR((v - pmn)
+                          / ((pmx - pmn) / {nb}.0)) AS INT), {nb - 1})
+                     END AS bin,
+                     SUM(is_ref) AS rc, SUM(1 - is_ref) AS cc
+              FROM tagged, pe GROUP BY 1),
+        t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM b),
+        s AS (SELECT rc, cc, SUM(rc) OVER (ORDER BY bin) AS ca,
+                     SUM(cc) OVER (ORDER BY bin) AS cb FROM b)
+    """
+
+
 def _chi2_ctes(col: str) -> str:
     return f"""
         tagged AS (
@@ -6119,6 +6255,7 @@ _ALL_SQL.update(
             {_KS_SELECT}
         """,
         "ann_pq_adc": _pq_adc_sql(),
+        "ann_ivf_pq": _ivf_pq_sql(),
         "drift_emd_binned": f"""
             WITH ref AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
                          FROM lineitem WHERE {_DRIFT_REF}),
@@ -6260,6 +6397,46 @@ _ALL_SQL.update(
             SELECT 'l_extendedprice', 'ks',
                    (WITH {_ks_ctes('l_extendedprice')}
                     SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6)
+                    FROM s, t)
+            UNION ALL
+            SELECT 'l_returnflag', 'chi2',
+                   (WITH {_chi2_ctes('l_returnflag')}
+                    SELECT ROUND(SUM(term), 6) FROM terms)
+            UNION ALL
+            SELECT 'l_linestatus', 'chi2',
+                   (WITH {_chi2_ctes('l_linestatus')}
+                    SELECT ROUND(SUM(term), 6) FROM terms)
+        """,
+        # the gate-forced binned arm: PSI identical to the exact suite
+        # (bin-defined), KS over ks_bins=1000 pooled-edge buckets plus
+        # its err_bound bracket row, chi2 unchanged
+        "drift_suite_forced_binned": f"""
+            SELECT 'l_quantity' AS "column", 'psi' AS metric,
+                   (WITH {_psi_ctes('l_quantity')}
+                    SELECT ROUND(SUM(psi_term), 6) FROM terms) AS value
+            UNION ALL
+            SELECT 'l_quantity', 'ks',
+                   (WITH {_ks_binned_ctes('l_quantity', 1000)}
+                    SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6)
+                    FROM s, t)
+            UNION ALL
+            SELECT 'l_quantity', 'ks_err_bound',
+                   (WITH {_ks_binned_ctes('l_quantity', 1000)}
+                    SELECT ROUND(MAX(GREATEST(rc / n_ref, cc / n_cur)), 6)
+                    FROM s, t)
+            UNION ALL
+            SELECT 'l_extendedprice', 'psi',
+                   (WITH {_psi_ctes('l_extendedprice')}
+                    SELECT ROUND(SUM(psi_term), 6) FROM terms)
+            UNION ALL
+            SELECT 'l_extendedprice', 'ks',
+                   (WITH {_ks_binned_ctes('l_extendedprice', 1000)}
+                    SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6)
+                    FROM s, t)
+            UNION ALL
+            SELECT 'l_extendedprice', 'ks_err_bound',
+                   (WITH {_ks_binned_ctes('l_extendedprice', 1000)}
+                    SELECT ROUND(MAX(GREATEST(rc / n_ref, cc / n_cur)), 6)
                     FROM s, t)
             UNION ALL
             SELECT 'l_returnflag', 'chi2',

@@ -83,6 +83,11 @@ HEADLINE = [
     "drift_emd_binned",
     "profile_global_quantiles",
     "ann_pq_adc",
+    # round-8: the combined IVF-PQ search and the gate-forced binned
+    # drift suite (the 100-TB arm's cost tracked per round, not just
+    # its correctness — r7 verdict item 6)
+    "ann_ivf_pq",
+    "drift_suite_forced_binned",
 ]
 
 

@@ -464,3 +464,48 @@ def test_ivf_pq_topk_combines_probe_and_adc(spark, tmp_path):
     assert [(r.vec_id, r.adc_dist) for r in again] == [
         (r.vec_id, r.adc_dist) for r in got
     ]
+
+
+def test_pq_train_sample_rows_gate(spark):
+    """Round-8: pq_train's scale gate. At or under the gate the sample
+    filter must not engage (codebooks bit-identical to full-corpus
+    training); over the gate the md5-uniform sample is deterministic, so
+    two runs agree with each other."""
+    from metadata_etl_framework_spark.ops.similarity import pq_train
+
+    rows = []
+    for i in range(300):
+        c = i % 10
+        base = [float((c * 5 + j * 3) % 13) for j in range(8)]
+        jitter = [((i * 7 + j) % 4) * 0.01 for j in range(8)]
+        rows.append((i, [b + e for b, e in zip(base, jitter)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = pq_train(df, m=2, n_codes=6, sample_rows=None)
+    under_gate = pq_train(df, m=2, n_codes=6, sample_rows=1_000)
+    assert under_gate == full  # n(300) <= gate: filter must not engage
+
+    s1 = pq_train(df, m=2, n_codes=6, sample_rows=150)
+    s2 = pq_train(df, m=2, n_codes=6, sample_rows=150)
+    assert s1 == s2  # deterministic sample -> reproducible codebooks
+    assert len(s1) == 2 and all(len(b) == 6 for b in s1)
+    assert all(len(c) == 4 for b in s1 for c in b)
+
+
+def test_ivf_assign_matches_driver_argmin(spark):
+    """Round-8: ivf_assign (pure-JVM nearest-centroid projection) must
+    reproduce the driver-side argmin exactly, with equidistant ties
+    going to the lowest cluster id."""
+    from metadata_etl_framework_spark.ops.similarity import ivf_assign
+
+    cents = [[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]]
+    rows = [
+        (0, [0.1, 0.2]),   # -> 0
+        (1, [3.9, 0.1]),   # -> 1
+        (2, [0.3, 3.8]),   # -> 2
+        (3, [2.0, 0.0]),   # equidistant 0/1 -> 0 (lowest id)
+        (4, [2.0, 2.0]),   # equidistant to all three -> 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r._cluster for r in ivf_assign(df, cents).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 0}
