@@ -404,12 +404,17 @@ class TransformEngine:
             raise ValueError(
                 "drift step needs config.reference naming a source frame"
             )
+        # release=False: a pipeline step's result flows into FURTHER
+        # steps/sinks, so keep the lazy plan (with its column lineage)
+        # rather than the library default's eager cache release, which
+        # exists for long-lived standalone monitoring sessions
         return drift_suite(
             sources[ref_name],
             data,
             numeric_cols=list(cfg.get("numeric_columns", [])),
             categorical_cols=list(cfg.get("categorical_columns", [])),
             n_bins=int(cfg.get("n_bins", 10)),
+            release=False,
         )
 
     _HANDLERS: ClassVar[dict[str, Callable]] = {
