@@ -521,6 +521,184 @@ def _dist_gini_totalprice(spark, sf_dir):
     return gini_coefficient(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_lineitem(spark, sf_dir):
+    """All-pairs Pearson correlation of four lineitem measures in ONE
+    scan (functions/aggregations.py::corr_matrix): per-pair decimal
+    sufficient statistics map-side combined, O(k²) arithmetic on a
+    1-row frame. The k²-jobs F.corr loop never happens."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        corr_matrix,
+    )
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def _mi_docs_lang_source(spark, sf_dir):
+    """Mutual information between document language and source (nats) —
+    the corpus-mix dependence number χ² can't rank across pairs
+    (functions/aggregations.py::mutual_information): one joint groupBy,
+    marginals re-aggregated from it, decimal term accumulation."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        mutual_information,
+    )
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _bucketize_ntile_price(spark, sf_dir):
+    """Equal-frequency bucketing of order value with exact NTILE
+    semantics, WITHOUT the partitionless window (functions/
+    aggregations.py::ntile_assign rides the two-phase global row
+    number). o_orderkey tie-break makes the assignment total-ordered,
+    so DuckDB's real NTILE window replays it exactly."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return ntile_assign(o, ["o_totalprice", "o_orderkey"], 8)
+
+
+def _graph_pagerank_suppliers(spark, sf_dir):
+    """Weighted PageRank over the customer↔supplier trade graph
+    (ops/graph.py::pagerank — iterative edge⋈rank join, per-iteration
+    persist/release, decimal-summed contributions): edges are
+    order-volume counts in BOTH directions, 3 damped iterations. The
+    whole iterative computation is replayed by unrolled SQL CTEs — an
+    oracle-checked iterative graph algorithm."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = pair.select(
+        c.alias("src"), s.alias("dst"), F.col("n")
+    ).unionAll(pair.select(s.alias("src"), c.alias("dst"), F.col("n")))
+    return pagerank(edges, iterations=3, damping=0.85, weight_col="n")
+
+
+def _fuzzy_match_customers(spark, sf_dir):
+    """Blocked fuzzy self-match over customer names (functions/joins.py::
+    fuzzy_join_blocked): nation-key blocking turns the O(n²) fuzzy
+    cross join into a per-block equi-join, JVM-side levenshtein ≤ 1,
+    key-ordered pairs — the entity-resolution primitive."""
+    from metadata_etl_framework_spark.functions.joins import (
+        fuzzy_join_blocked,
+    )
+
+    cst = _t(spark, sf_dir, "customer")
+    return fuzzy_join_blocked(
+        cst, cst, ["c_nationkey"], "c_name", "c_name",
+        max_distance=1, left_key="c_custkey", right_key="c_custkey",
+    )
+
+
+def _corpus_embed_decontaminate(spark, sf_dir):
+    """Embedding-space eval-set decontamination (ops/similarity.py::
+    embed_decontaminate): eval vectors (vec_id < 20) broadcast, corpus
+    streamed once, exact decimal cosine, per-row max/count/nearest-id.
+    The semantic complement of the n-gram decontaminate entry."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    ev = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    return sim_ops.embed_decontaminate(corpus, ev, threshold=0.3)
+
+
+def _pagerank_sql() -> str:
+    """DuckDB replay of the 3-iteration PageRank: identical edge
+    construction, identical DECIMAL(28,12) contribution accumulation,
+    identical double teleport arithmetic ((1.0−0.85)/nn and 1.0/nn are
+    computed in IEEE doubles by both engines)."""
+    ctes = [
+        """pair AS (SELECT o_custkey AS ck, l_suppkey AS sk, COUNT(*) AS n
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    GROUP BY 1, 2)""",
+        """e0 AS (SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+                         's' || CAST(sk AS VARCHAR) AS dst,
+                         CAST(n AS DOUBLE) AS w FROM pair
+                  UNION ALL
+                  SELECT 's' || CAST(sk AS VARCHAR),
+                         'c' || CAST(ck AS VARCHAR),
+                         CAST(n AS DOUBLE) FROM pair)""",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes)",
+        """ow AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(30,10)))
+                              AS DOUBLE) AS ow FROM e0 GROUP BY src)""",
+        """e AS (SELECT e0.src, e0.dst, e0.w, ow.ow
+                 FROM e0 JOIN ow ON e0.src = ow.src)""",
+        "r0 AS (SELECT node, 1.0 / nn AS r FROM nodes, t)",
+    ]
+    for k in range(1, 4):
+        ctes.append(
+            f"""c{k} AS (SELECT e.dst,
+                       CAST(SUM(CAST((p.r * e.w) / e.ow AS DECIMAL(28,12)))
+                            AS DOUBLE) AS s
+                 FROM e JOIN r{k - 1} p ON e.src = p.node GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{k} AS (SELECT node,
+                       ((1.0 - 0.85) / nn) + 0.85 * COALESCE(s, 0.0) AS r
+                 FROM nodes CROSS JOIN t
+                 LEFT JOIN c{k} ON node = c{k}.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT node, ROUND(r, 6) AS rank FROM r3"
+    )
+
+
+def _corr_matrix_sql() -> str:
+    """DuckDB replay of corr_matrix: identical per-pair DECIMAL
+    sufficient statistics from one scan, identical double arithmetic
+    (n·Σxy − ΣxΣy over √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))."""
+    cols = _CORR_COLS
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    stats, sels = [], []
+    for i, (a, b) in enumerate(pairs):
+        cond = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        xa, xb = f"CAST({a} AS DOUBLE)", f"CAST({b} AS DOUBLE)"
+        stats += [
+            f"COUNT(CASE WHEN {cond} THEN 1 END) AS n{i}",
+            f"SUM(CAST(CASE WHEN {cond} THEN {xa} END AS DECIMAL(30,10))) AS sx{i}",
+            f"SUM(CAST(CASE WHEN {cond} THEN {xb} END AS DECIMAL(30,10))) AS sy{i}",
+            f"SUM(CAST(CASE WHEN {cond} THEN {xa} * {xb} END AS DECIMAL(38,10))) AS sxy{i}",
+            f"SUM(CAST(CASE WHEN {cond} THEN {xa} * {xa} END AS DECIMAL(38,10))) AS sxx{i}",
+            f"SUM(CAST(CASE WHEN {cond} THEN {xb} * {xb} END AS DECIMAL(38,10))) AS syy{i}",
+        ]
+        n = f"CAST(n{i} AS DOUBLE)"
+        sx, sy = f"CAST(sx{i} AS DOUBLE)", f"CAST(sy{i} AS DOUBLE)"
+        sxy = f"CAST(sxy{i} AS DOUBLE)"
+        sxx, syy = f"CAST(sxx{i} AS DOUBLE)", f"CAST(syy{i} AS DOUBLE)"
+        cov = f"({n} * {sxy} - {sx} * {sy})"
+        vx = f"({n} * {sxx} - {sx} * {sx})"
+        vy = f"({n} * {syy} - {sy} * {sy})"
+        sels.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"ROUND(CASE WHEN n{i} > 1 AND {vx} > 0 AND {vy} > 0 "
+            f"THEN {cov} / SQRT({vx}) / SQRT({vy}) END, 6) AS corr, "
+            f"CAST(n{i} AS BIGINT) AS n_pairs FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(stats) + " FROM lineitem) "
+        + " UNION ALL ".join(sels)
+    )
+
+
 def _profile_all_columns(spark, sf_dir):
     """Single-pass multi-column profile (profile_columns) — exact fields
     only (count/null/distinct/min/max); mean/std are order-dependent
@@ -3467,6 +3645,12 @@ _EXTRA_KEYS = [
     # Rotated OUT of the driver gate in round 8 (multi-round green
     # history there); still verified by the local parity suite.
     "drift_suite_forced_binned",
+    "corr_matrix_lineitem",
+    "mi_docs_lang_source",
+    "bucketize_ntile_price",
+    "graph_pagerank_suppliers",
+    "fuzzy_match_customers",
+    "corpus_embed_decontaminate",
     "filter_multi",
     "join_multi",
     "text_lang_id",
@@ -3659,6 +3843,12 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_global_quantiles": _profile_global_quantiles,
     "corpus_source_entropy": _corpus_source_entropy,
     "dist_gini_totalprice": _dist_gini_totalprice,
+    "corr_matrix_lineitem": _corr_matrix_lineitem,
+    "mi_docs_lang_source": _mi_docs_lang_source,
+    "bucketize_ntile_price": _bucketize_ntile_price,
+    "graph_pagerank_suppliers": _graph_pagerank_suppliers,
+    "fuzzy_match_customers": _fuzzy_match_customers,
+    "corpus_embed_decontaminate": _corpus_embed_decontaminate,
     "profile_all_columns": _profile_all_columns,
     "corr_qty_price": _corr_qty_price,
     "dq_not_null": _dq_not_null,
@@ -4093,6 +4283,75 @@ _ALL_SQL: dict[str, str] = {
         """,
         "corr_qty_price": """
             SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+        """,
+        "corr_matrix_lineitem": _corr_matrix_sql(),
+        "graph_pagerank_suppliers": _pagerank_sql(),
+        "fuzzy_match_customers": """
+            SELECT a.c_nationkey,
+                   a.c_name AS c_name_l, b.c_name AS c_name_r,
+                   a.c_custkey AS c_custkey_l, b.c_custkey AS c_custkey_r,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+            WHERE a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "corpus_embed_decontaminate": """
+            WITH ev AS (SELECT vec_id AS eid, embedding FROM embeddings
+                        WHERE vec_id < 20 AND embedding IS NOT NULL),
+            corpus AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id >= 20 AND embedding IS NOT NULL),
+            prod AS (SELECT c.vec_id AS id, e.eid,
+                            UNNEST(c.embedding) AS x, UNNEST(e.embedding) AS y
+                     FROM corpus c, ev e),
+            dots AS (SELECT id, eid,
+                            CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                          AS DECIMAL(30,15))) AS DOUBLE) AS dot
+                     FROM prod GROUP BY 1, 2),
+            norms AS (SELECT vec_id,
+                             SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                                AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+                      FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings
+                            WHERE embedding IS NOT NULL)
+                      GROUP BY vec_id),
+            cos AS (SELECT d.id, d.eid, d.dot / (nc.nrm * ne.nrm) AS c
+                    FROM dots d
+                    JOIN norms nc ON nc.vec_id = d.id
+                    JOIN norms ne ON ne.vec_id = d.eid
+                    WHERE d.dot / (nc.nrm * ne.nrm) >= 0.3),
+            best AS (SELECT id, eid, c,
+                            ROW_NUMBER() OVER (PARTITION BY id
+                                               ORDER BY c DESC, eid ASC) AS rn,
+                            COUNT(*) OVER (PARTITION BY id) AS nm
+                     FROM cos)
+            SELECT id AS vec_id, ROUND(c, 6) AS max_cosine,
+                   CAST(nm AS BIGINT) AS n_matches,
+                   eid AS nearest_eval_id
+            FROM best WHERE rn = 1
+        """,
+        "mi_docs_lang_source": """
+            WITH j AS (SELECT CAST(lang AS VARCHAR) AS a,
+                              CAST(source AS VARCHAR) AS b,
+                              COUNT(*) AS c
+                       FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY 1, 2),
+            ma AS (SELECT a, SUM(c) AS ca FROM j GROUP BY a),
+            mb AS (SELECT b, SUM(c) AS cb FROM j GROUP BY b),
+            t AS (SELECT SUM(c) AS n, COUNT(*) AS k FROM j),
+            terms AS (SELECT CAST(ROUND((c / n) * LN((c * n) / (ca * cb)),
+                                        6) AS DECIMAL(18,6)) AS tm, n, k
+                      FROM j JOIN ma USING (a) JOIN mb USING (b), t)
+            SELECT ROUND(CAST(SUM(tm) AS DOUBLE), 6) AS mi,
+                   CAST(k AS BIGINT) AS n_cells,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM terms GROUP BY k, n
+        """,
+        "bucketize_ntile_price": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS INT) AS bucket
+            FROM orders
         """,
         "dq_not_null": """
             SELECT COUNT(*) - COUNT(user_id) AS user_id_nulls,

@@ -88,6 +88,10 @@ HEADLINE = [
     # its correctness — r7 verdict item 6)
     "ann_ivf_pq",
     "drift_suite_forced_binned",
+    # round-8: one-pass all-pairs correlation and the iterative
+    # PageRank (per-iteration persist/release discipline under timing)
+    "corr_matrix_lineitem",
+    "graph_pagerank_suppliers",
 ]
 
 

@@ -683,3 +683,178 @@ def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
             F.col("n").cast("long").alias("n_rows"),
         )
     )
+
+
+def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation of ``columns`` in ONE aggregation
+    pass — the feature-redundancy screen a training-data pipeline runs
+    before keeping k numeric signals.
+
+    Why not k² ``F.corr`` calls: each would be its own job; here every
+    pair's sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² over rows
+    where BOTH sides are non-null — pairwise deletion, pandas
+    ``df.corr`` semantics) come from one map-side-combined scan, and the
+    O(k²) arithmetic runs on a 1-row frame. Sums accumulate as DECIMAL,
+    so the statistic is order-independent and cross-engine hash-stable
+    (the repo's numeric-parity convention). At 100 TB this is one linear
+    scan with a k²-sized reduce — nothing scales with rows downstream.
+
+    Output: one row per unordered pair — (col_x, col_y, corr 6dp,
+    n_pairs). Degenerate pairs (zero variance, n<2) yield NULL corr.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        xv = F.when(both, x)
+        yv = F.when(both, y)
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"_n{i}"),
+            F.sum(xv.cast("decimal(30,10)")).alias(f"_sx{i}"),
+            F.sum(yv.cast("decimal(30,10)")).alias(f"_sy{i}"),
+            F.sum((xv * yv).cast("decimal(38,10)")).alias(f"_sxy{i}"),
+            F.sum((xv * xv).cast("decimal(38,10)")).alias(f"_sxx{i}"),
+            F.sum((yv * yv).cast("decimal(38,10)")).alias(f"_syy{i}"),
+        ]
+    stats = df.agg(*aggs)
+    frames = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"_n{i}").cast("double")
+        sx = F.col(f"_sx{i}").cast("double")
+        sy = F.col(f"_sy{i}").cast("double")
+        sxy = F.col(f"_sxy{i}").cast("double")
+        sxx = F.col(f"_sxx{i}").cast("double")
+        syy = F.col(f"_syy{i}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = F.when(
+            (n > 1) & (vx > 0) & (vy > 0),
+            cov / F.sqrt(vx) / F.sqrt(vy),
+        )
+        frames.append(
+            stats.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.round(corr, 6).alias("corr"),
+                F.col(f"_n{i}").cast("long").alias("n_pairs"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information I(A;B) between two categorical columns in nats
+    — the dependence screen chi-square can't rank (MI is comparable
+    across pairs; χ² grows with n). Rows where either side is NULL are
+    excluded (use ``fillna`` to count absence as a level).
+
+    ONE groupBy over (a, b) builds the joint table; both marginals and
+    the total re-aggregate from it — the input is scanned once,
+    everything downstream is O(distinct pairs). Terms round to 6 dp
+    then accumulate as DECIMAL(18,6), so the sum is exact and
+    cross-engine hash-stable. Output: 1 row — (mi, n_cells, n_rows).
+    """
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    joint = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ma = joint.groupBy("_a").agg(F.sum("c").alias("ca"))
+    mb = joint.groupBy("_b").agg(F.sum("c").alias("cb"))
+    tot = joint.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    term = (
+        (F.col("c") / F.col("n"))
+        * F.log(
+            (F.col("c") * F.col("n"))
+            / (F.col("ca") * F.col("cb"))
+        )
+    )
+    return (
+        joint.join(ma, "_a")
+        .join(mb, "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(term, 6).cast("decimal(18,6)").alias("t"), "n", "k"
+        )
+        .groupBy("n", "k")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("mi"))
+        .select(
+            "mi",
+            F.col("k").cast("long").alias("n_cells"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def ntile_assign(
+    df: DataFrame,
+    order_by: "Sequence[str]",
+    n_buckets: int,
+    out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equal-frequency bucket assignment with EXACT SQL ``NTILE``
+    semantics — the quantile-discretizer a feature pipeline wants — that
+    holds at any scale.
+
+    ``NTILE(k) OVER (ORDER BY ...)`` is the single most common way to
+    write this, and on a 100-TB table it is a silent scale-killer: a
+    partitionless window collapses the whole dataset into ONE task.
+    This formulation rides :func:`~metadata_etl_framework_spark.ops.
+    packing.global_row_number` (range partition + broadcast offsets)
+    and applies NTILE's closed form to the global rank r (1-based, n
+    rows, k buckets, n = q·k + m): the first m buckets take q+1 rows,
+    bucket(r) = (r−1)/(q+1) + 1 for r ≤ m·(q+1), else
+    m + (r−1−m·(q+1))/q + 1 — bit-identical to the window function.
+
+    NTILE splits ties by window order, so ``order_by`` MUST end with a
+    unique tie-break column for the assignment to be deterministic
+    (same contract as SQL). Output: input columns + ``{out}`` (int).
+    """
+    from metadata_etl_framework_spark.ops.packing import global_row_number
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    ranked = global_row_number(
+        df, list(order_by), out="__r", num_partitions=num_partitions
+    )
+    # total rows via a broadcast 1-row aggregate (not a window: that
+    # would re-introduce the partitionless-window problem)
+    tot = ranked.agg(F.max("__r").alias("__n"))
+    q = F.floor(F.col("__n") / n_buckets)
+    m = F.col("__n") % n_buckets
+    r0 = F.col("__r") - 1
+    big = m * (q + 1)
+    bucket = F.when(
+        F.col("__n") <= 0, F.lit(None)
+    ).when(
+        q == 0, r0 + 1  # fewer rows than buckets: bucket = rank
+    ).when(
+        r0 < big, F.floor(r0 / (q + 1)) + 1
+    ).otherwise(
+        m + F.floor((r0 - big) / q) + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(out, bucket.cast("int"))
+        .drop("__r", "__n")
+    )

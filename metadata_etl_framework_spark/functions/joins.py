@@ -403,3 +403,58 @@ def range_count(
         )
         .drop("_hv", "_lv", "_rank_hi", "_rank_lo")
     )
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: "Sequence[str]",
+    left_text: str,
+    right_text: str,
+    max_distance: int = 2,
+    left_key: str | None = None,
+    right_key: str | None = None,
+    suffixes: "tuple[str, str]" = ("_l", "_r"),
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the entity-resolution /
+    record-linkage primitive: candidate pairs come from an EQUI-join on
+    ``block_on`` (nation, zip prefix, soundex, …), then survive only if
+    ``levenshtein(left_text, right_text) <= max_distance``.
+
+    The blocking key is the whole scale story: without it fuzzy matching
+    is an O(n·m) cross join — the canonical 100-TB killer. With it the
+    plan is an ordinary shuffled equi-join whose cost is Σ per-block
+    |L_b|·|R_b|; choose blocks so the largest product stays bounded
+    (standard ER practice — block harder before matching looser).
+    Levenshtein runs JVM-side (`F.levenshtein`), no UDF.
+
+    Self-join dedup: pass ``left_key``/``right_key`` (same column on
+    both sides) and pairs are restricted to ``left_key < right_key`` —
+    each undirected pair once, no self-matches.
+
+    Output: block columns, ``{left_text}{suffixes[0]}``,
+    ``{right_text}{suffixes[1]}``, key columns likewise suffixed when
+    given, and ``distance`` (int), ascending by keys.
+    """
+    sl, sr = suffixes
+    lt, rt = f"{left_text}{sl}", f"{right_text}{sr}"
+    lsel = [F.col(c) for c in block_on] + [F.col(left_text).alias(lt)]
+    rsel = [F.col(c) for c in block_on] + [F.col(right_text).alias(rt)]
+    out_keys: list[str] = []
+    if left_key:
+        lk = f"{left_key}{sl}"
+        lsel.append(F.col(left_key).alias(lk))
+        out_keys.append(lk)
+    if right_key:
+        rk = f"{right_key}{sr}"
+        rsel.append(F.col(right_key).alias(rk))
+        out_keys.append(rk)
+    pairs = left.select(*lsel).join(right.select(*rsel), list(block_on))
+    if left_key and right_key:
+        pairs = pairs.where(F.col(out_keys[0]) < F.col(out_keys[1]))
+    dist = F.levenshtein(F.col(lt), F.col(rt))
+    out = pairs.withColumn("distance", dist.cast("int")).where(
+        F.col("distance") <= int(max_distance)
+    )
+    order = out_keys if out_keys else [lt, rt]
+    return out.orderBy(*order)

@@ -1,0 +1,129 @@
+"""Graph analytics over edge lists: weighted PageRank.
+
+The entity-importance primitive a pipeline wants once it has built a
+relationship graph (customer↔supplier volume, document link graphs,
+user↔item interactions): which nodes matter? Complements the dedup
+module's connected components (ops/dedup.py — cluster MEMBERSHIP) with
+iterative IMPORTANCE propagation.
+
+Reference parity: the reference has no graph module; this extends the
+event-analytics family (transition graphs from
+src/analytics/event_analytics.py-shaped tables) the same way the drift
+suite extends its single-snapshot validators.
+
+Scale design: the classic Pregel-free formulation — each iteration is
+one join of the (persisted, out-weight-annotated) edge list with the
+current rank frame plus one aggregation by destination. Nothing is ever
+collected; state per iteration is one rank frame of O(nodes) rows.
+Contribution terms accumulate as DECIMAL so every iteration's ranks are
+order-independent and cross-engine reproducible (the repo's
+numeric-parity convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list.
+
+    ``PR_{t+1}(v) = (1−d)/N + d · Σ_{(u,v)∈E} PR_t(u) · w(u,v)/outw(u)``
+    for ``iterations`` rounds from the uniform start 1/N. Dangling nodes
+    (no out-edges) simply stop propagating — their mass is not
+    redistributed (the common simplification; total mass then decays
+    toward the teleport term, which is fine for RANKING, the use case
+    here).
+
+    Each iteration: edge⋈rank join (shuffle on src), contribution
+    aggregation (shuffle on dst), left join back onto the node set.
+    The edge list is out-weight-annotated once and persisted; each new
+    rank frame is persisted and materialized, and its predecessor
+    released — plan depth and cached state stay O(1) in the iteration
+    count, the iterative-algorithm discipline the BPE trainer uses.
+    Per-edge contribution terms are cast to DECIMAL(28,12) before the
+    sum, making every iteration bitwise order-independent.
+
+    Returns (node, rank) with rank rounded to 6 dp. The returned frame
+    derives from the final cached iteration; call ``.unpersist()`` on
+    it when finished to release the cache.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e0 = edges.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        w.alias("_w"),
+    )
+    nodes = (
+        e0.select(F.col("_src").alias("node"))
+        .union(e0.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
+    ow = e0.groupBy("_src").agg(
+        F.sum(F.col("_w").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("_ow")
+    )
+    e = e0.join(ow, "_src").persist()
+    e.count()
+
+    # both constants computed DRIVER-side in IEEE doubles so an external
+    # SQL oracle computing (1−d)/N and 1/N in its own double arithmetic
+    # reproduces them bit-for-bit
+    base = (1.0 - damping) / n
+    rank = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    rank.count()
+    for _ in range(iterations):
+        contrib = (
+            e.join(rank, e["_src"] == rank["node"])
+            .select(
+                "_dst",
+                ((F.col("rank") * F.col("_w")) / F.col("_ow"))
+                .cast("decimal(28,12)")
+                .alias("_t"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_t").cast("double").alias("_s"))
+        )
+        new_rank = (
+            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_rank.count()
+        rank.unpersist()
+        rank = new_rank
+    nodes.unpersist()
+    e.unpersist()
+    return rank.select("node", F.round("rank", 6).alias("rank"))

@@ -1203,3 +1203,76 @@ def ivf_pq_topk(
     return pq_adc_topk(
         candidates, codebooks, query_vec, k, id_col, codes_col
     )
+
+
+def embed_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    broadcast_max_rows: int = 200_000,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: every corpus vector
+    within ``threshold`` cosine of ANY held-out evaluation vector is
+    reported (so it can be dropped before training). The semantic
+    complement of the n-gram ``decontaminate`` in ops/text.py — n-grams
+    catch verbatim leaks, embeddings catch paraphrased ones.
+
+    Scale shape: the EVAL side is broadcast (benchmarks are small by
+    construction — thousands to low millions of vectors; a 100k×64-dim
+    float set is ~25 MB) and the corpus streams past it in one scan —
+    cosine per (corpus, eval) pair via the exact decimal dot, then a
+    per-corpus-row aggregate. Nothing shuffles on corpus size. The
+    ``broadcast_max_rows`` gate refuses quietly-cartesian misuse (an
+    eval side that is actually another corpus); route those through
+    ``embedding_near_dup_pairs``'s LSH bucketing instead.
+
+    Output: one row per CONTAMINATED corpus vector — (id, max_cosine
+    6dp, n_matches, nearest_eval_id [max cosine, min-id tie-break]).
+    """
+    eid = eval_id_col or id_col
+    evec = eval_vec_col or vec_col
+    ev = eval_df.where(F.col(evec).isNotNull()).select(
+        F.col(eid).alias("_eid"), F.col(evec).alias("_evec")
+    )
+    n_eval = ev.count()
+    if n_eval > broadcast_max_rows:
+        raise ValueError(
+            f"eval side has {n_eval} rows > broadcast_max_rows="
+            f"{broadcast_max_rows}; an eval set this large should go "
+            "through the LSH-bucketed path (embedding_near_dup_pairs) "
+            "instead of a broadcast scan"
+        )
+    cos = cosine_similarity_col(F.col(vec_col), F.col("_evec"))
+    scored = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .crossJoin(F.broadcast(ev))
+        .select(
+            F.col(id_col),
+            F.col("_eid"),
+            cos.alias("_cos"),
+        )
+        .where(F.col("_cos") >= float(threshold))
+    )
+    # max cosine with deterministic nearest id: struct max orders by
+    # (cosine, -eid), so ties at the max cosine resolve to the SMALLEST
+    # eval id — replayable by a (cos DESC, eid ASC) window in SQL
+    best = F.max(
+        F.struct(F.col("_cos"), (-F.col("_eid")).alias("_neg"))
+    ).alias("_best")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            best,
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("_best._cos"), 6).alias("max_cosine"),
+            "n_matches",
+            (-F.col("_best._neg")).alias("nearest_eval_id"),
+        )
+    )

@@ -509,3 +509,156 @@ def test_ivf_assign_matches_driver_argmin(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r.vec_id: r._cluster for r in ivf_assign(df, cents).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 0}
+
+
+def test_pagerank_cycle_invariant_and_asymmetric(spark):
+    """Round-8 graph op: on a symmetric 2-cycle the uniform distribution
+    is a fixed point at any damping; on an asymmetric graph the ranks
+    must match a pure-Python replication of the damped update (dangling
+    node keeps the teleport-only rank)."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    out = {r.node: r.rank for r in pagerank(cyc, iterations=4, weight_col="w").collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+    edges = [("a", "b", 1.0), ("a", "c", 1.0), ("b", "a", 2.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in pagerank(df, iterations=3, weight_col="w").collect()}
+
+    # driver-side replication of the exact same arithmetic
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n, d = len(nodes), 0.85
+    ow = {}
+    for s, _, w in edges:
+        ow[s] = ow.get(s, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib = {}
+        for s, t, w in edges:
+            contrib[t] = contrib.get(t, 0.0) + r[s] * w / ow[s]
+        r = {v: (1.0 - d) / n + d * contrib.get(v, 0.0) for v in nodes}
+    want = {v: round(r[v], 6) for v in nodes}
+    assert got == want
+
+
+def test_fuzzy_join_blocked_blocks_and_dedups(spark):
+    """Round-8 ER op: pairs only form inside a block (cross-block exact
+    matches are invisible — that is the scale contract), distances obey
+    the threshold, and the self-join emits each undirected pair once."""
+    from metadata_etl_framework_spark.functions.joins import (
+        fuzzy_join_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "B1", "smith"), (2, "B1", "smyth"), (3, "B1", "jones"),
+         (4, "B2", "smith"), (5, "B2", "smithe")],
+        "id long, blk string, name string",
+    )
+    out = fuzzy_join_blocked(
+        df, df, ["blk"], "name", "name",
+        max_distance=1, left_key="id", right_key="id",
+    ).collect()
+    pairs = {(r.id_l, r.id_r): r.distance for r in out}
+    # smith~smyth (1 sub) in B1; smith~smithe (1 ins) in B2;
+    # NOT 1~4 (identical names, different blocks), NOT jones~anything
+    assert pairs == {(1, 2): 1, (4, 5): 1}
+
+
+def test_embed_decontaminate_gate_and_values(spark):
+    """Round-8: the eval-side broadcast gate refuses oversized sets, and
+    the per-row (max, count, nearest-id tie-break) matches hand math on
+    unit vectors."""
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.similarity import (
+        embed_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]),   # cos 1.0 to eval 0 AND 1 -> nearest = 0
+         (11, [1.0, 1.0]),   # cos ~0.7071 to all three
+         (12, [-1.0, 0.0])], # negative cos to 0/1, 0 to 2 -> no match
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.max_cosine, r.n_matches, r.nearest_eval_id)
+           for r in embed_decontaminate(corpus, ev, threshold=0.5).collect()}
+    assert out[10] == (1.0, 2, 0)
+    assert out[11][1] == 3 and abs(out[11][0] - 0.707107) < 1e-6
+    assert out[11][2] == 0
+    assert 12 not in out
+
+    with _pt.raises(ValueError, match="broadcast_max_rows"):
+        embed_decontaminate(corpus, ev, broadcast_max_rows=2)
+
+
+def test_corr_matrix_matches_builtin_pairwise(spark):
+    """Round-8: corr_matrix's decimal-sum formulation must agree with
+    Spark's own F.corr per pair (which also pairwise-deletes nulls) to
+    the 6dp output precision, including on a column with nulls."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        corr_matrix,
+    )
+
+    rows = [
+        (float(i), float(i * 2 + (i % 3)), None if i % 4 == 0 else float(9 - i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r.col_x, r.col_y): (r.corr, r.n_pairs)
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
+        want = df.agg(F.round(F.corr(a, b), 6)).first()[0]
+        assert abs(got[(a, b)][0] - want) <= 1e-6, (a, b, got[(a, b)], want)
+    assert got[("x", "y")][1] == 20 and got[("x", "z")][1] == 15
+
+
+def test_ntile_assign_matches_window_ntile(spark):
+    """Round-8: ntile_assign's closed form must reproduce the NTILE
+    window bit-for-bit, including n < k and n % k != 0."""
+    from pyspark.sql import Window
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    for n, k in [(10, 3), (2, 5), (16, 4), (7, 7)]:
+        df = spark.createDataFrame(
+            [(i, float((i * 7) % n)) for i in range(n)], "id long, v double"
+        )
+        got = {r.id: r.bucket
+               for r in ntile_assign(df, ["v", "id"], k).collect()}
+        want = {r.id: r.nt for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("nt")
+        ).collect()}
+        assert got == want, (n, k)
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    """Round-8: MI is 0 for independent columns and ln(k) for a
+    bijective dependency over k uniform levels."""
+    import math
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        mutual_information,
+    )
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "pq" for b in "xy" for _ in range(5)],
+        "a string, b string",
+    )
+    r = mutual_information(indep, "a", "b").first()
+    assert r.mi == 0.0 and r.n_cells == 4 and r.n_rows == 20
+
+    dep = spark.createDataFrame(
+        [(c, c.upper()) for c in "abcd" for _ in range(3)],
+        "a string, b string",
+    )
+    r = mutual_information(dep, "a", "b").first()
+    assert abs(r.mi - math.log(4)) < 1e-5 and r.n_cells == 4
