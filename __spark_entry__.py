@@ -562,6 +562,52 @@ def _bucketize_ntile_price(spark, sf_dir):
     return ntile_assign(o, ["o_totalprice", "o_orderkey"], 8)
 
 
+def _trend_ols_by_flag(spark, sf_dir):
+    """Per-group OLS trend (functions/aggregations.py::groupwise_ols):
+    price-vs-quantity slope/intercept/r² per returnflag from one pass of
+    decimal sufficient statistics — the per-slice metric-trend monitor."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        groupwise_ols,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return groupwise_ols(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+def _events_trigrams(spark, sf_dir):
+    """Top-20 three-step event sequences (ops/retention.py::
+    event_trigrams): double-lead window per user, triple groupBy,
+    TakeOrdered top-k — second-order path mining the bigram transition
+    table can't express."""
+    from metadata_etl_framework_spark.ops.retention import event_trigrams
+
+    return event_trigrams(_t(spark, sf_dir, "events"), k=20)
+
+
+def _events_window_topk(spark, sf_dir):
+    """Top-3 trending event types per tumbling day (ops/retention.py::
+    window_topk_types): windowed groupBy + per-window ranked filter,
+    the batch form of a streaming trending monitor."""
+    from metadata_etl_framework_spark.ops.retention import window_topk_types
+
+    return window_topk_types(
+        _t(spark, sf_dir, "events"), window="1 day", k=3
+    ).select("window_start", "event_type", "n", "rk")
+
+
+def _events_seasonal_dow(spark, sf_dir):
+    """Day-of-week seasonal profile of the event value stream
+    (functions/aggregations.py::seasonal_profile): per-weekday exact
+    mean + effect vs grand mean — the drift-interpretation table."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        seasonal_profile,
+    )
+
+    return seasonal_profile(_t(spark, sf_dir, "events"), "ts", "value", "dow")
+
+
 def _graph_pagerank_suppliers(spark, sf_dir):
     """Weighted PageRank over the customer↔supplier trade graph
     (ops/graph.py::pagerank — iterative edge⋈rank join, per-iteration
@@ -3651,6 +3697,10 @@ _EXTRA_KEYS = [
     "graph_pagerank_suppliers",
     "fuzzy_match_customers",
     "corpus_embed_decontaminate",
+    "trend_ols_by_flag",
+    "events_trigrams",
+    "events_window_topk",
+    "events_seasonal_dow",
     "filter_multi",
     "join_multi",
     "text_lang_id",
@@ -3849,6 +3899,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_suppliers": _graph_pagerank_suppliers,
     "fuzzy_match_customers": _fuzzy_match_customers,
     "corpus_embed_decontaminate": _corpus_embed_decontaminate,
+    "trend_ols_by_flag": _trend_ols_by_flag,
+    "events_trigrams": _events_trigrams,
+    "events_window_topk": _events_window_topk,
+    "events_seasonal_dow": _events_seasonal_dow,
     "profile_all_columns": _profile_all_columns,
     "corr_qty_price": _corr_qty_price,
     "dq_not_null": _dq_not_null,
@@ -4286,6 +4340,85 @@ _ALL_SQL: dict[str, str] = {
         """,
         "corr_matrix_lineitem": _corr_matrix_sql(),
         "graph_pagerank_suppliers": _pagerank_sql(),
+        "trend_ols_by_flag": """
+            WITH s AS (SELECT l_returnflag,
+              COUNT(CASE WHEN l_quantity IS NOT NULL
+                          AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+              SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                       THEN CAST(l_quantity AS DOUBLE) END AS DECIMAL(30,10))) AS sx,
+              SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                       THEN CAST(l_extendedprice AS DOUBLE) END AS DECIMAL(30,10))) AS sy,
+              SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                       THEN CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                       END AS DECIMAL(38,10))) AS sxy,
+              SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                       THEN CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                       END AS DECIMAL(38,10))) AS sxx,
+              SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                       THEN CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                       END AS DECIMAL(38,10))) AS syy
+             FROM lineitem GROUP BY l_returnflag),
+            d AS (SELECT l_returnflag, n,
+                         CAST(n AS DOUBLE) AS nd,
+                         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                         CAST(sxy AS DOUBLE) AS sxyd,
+                         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+                  FROM s),
+            f AS (SELECT l_returnflag, n,
+                         (nd * sxyd - sxd * syd) AS cov,
+                         (nd * sxxd - sxd * sxd) AS vx,
+                         (nd * syyd - syd * syd) AS vy,
+                         nd, sxd, syd
+                  FROM d)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   ROUND(CASE WHEN n > 1 AND vx > 0 THEN cov / vx END, 6) AS slope,
+                   ROUND((syd - (CASE WHEN n > 1 AND vx > 0 THEN cov / vx END)
+                          * sxd) / nd, 6) AS intercept,
+                   ROUND(CASE WHEN n > 1 AND vx > 0 AND vy > 0
+                              THEN (cov / vx) * (cov / vx) * vx / vy END, 6) AS r2
+            FROM f
+        """,
+        "events_trigrams": """
+            WITH s AS (SELECT event_type AS e1,
+                   LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS e2,
+                   LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS e3
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, e1, e2, e3 LIMIT 20
+        """,
+        "events_window_topk": """
+            WITH c AS (SELECT DATE_TRUNC('day', ts) AS window_start,
+                              event_type, COUNT(*) AS n
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY 1, 2),
+            r AS (SELECT window_start, event_type, n,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                                 ORDER BY n DESC, event_type)
+                              AS INT) AS rk
+                  FROM c)
+            SELECT window_start, event_type, CAST(n AS BIGINT) AS n, rk
+            FROM r WHERE rk <= 3
+        """,
+        "events_seasonal_dow": """
+            WITH per AS (SELECT dayofweek(ts) + 1 AS season,
+                                COUNT(*) AS n,
+                                SUM(CAST(CAST(value AS DOUBLE)
+                                         AS DECIMAL(30,10))) AS s
+                         FROM events
+                         WHERE ts IS NOT NULL AND value IS NOT NULL
+                         GROUP BY 1),
+            tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM per)
+            SELECT CAST(season AS INT) AS season, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+                   ROUND(CAST(s AS DOUBLE) / n
+                         - CAST(tot.ts AS DOUBLE) / tot.tn, 6) AS effect
+            FROM per CROSS JOIN tot
+        """,
         "fuzzy_match_customers": """
             SELECT a.c_nationkey,
                    a.c_name AS c_name_l, b.c_name AS c_name_r,

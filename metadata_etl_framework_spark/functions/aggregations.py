@@ -858,3 +858,106 @@ def ntile_assign(
         .withColumn(out, bucket.cast("int"))
         .drop("__r", "__n")
     )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y = a + b·x) in ONE
+    aggregation pass — the metric-trend detector a monitoring pipeline
+    runs per source/tenant/segment ("is quality drifting DOWN in this
+    slice?").
+
+    Sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² over rows where both
+    sides are non-null) accumulate as DECIMAL per group — map-side
+    combined, order-independent, cross-engine hash-stable — and the
+    closed form runs on the grouped frame: b = (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²), a = (Σy − bΣx)/n, r² = b²·varx/vary. Groups with n < 2 or
+    zero x-variance yield NULL coefficients.
+
+    Output: group cols + (n long, slope, intercept, r2 — 6 dp).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    xv, yv = F.when(both, x), F.when(both, y)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.when(both, F.lit(1))).alias("_n"),
+        F.sum(xv.cast("decimal(30,10)")).alias("_sx"),
+        F.sum(yv.cast("decimal(30,10)")).alias("_sy"),
+        F.sum((xv * yv).cast("decimal(38,10)")).alias("_sxy"),
+        F.sum((xv * xv).cast("decimal(38,10)")).alias("_sxx"),
+        F.sum((yv * yv).cast("decimal(38,10)")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when((F.col("_n") > 1) & (vx > 0), cov / vx)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when(
+        (F.col("_n") > 1) & (vx > 0) & (vy > 0),
+        (cov / vx) * (cov / vx) * vx / vy,
+    )
+    return stats.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "dow",
+) -> DataFrame:
+    """Seasonal means profile of a metric: per calendar index (day-of-
+    week / hour-of-day / month) the row count, exact mean, and the
+    EFFECT — mean minus grand mean. The drift-interpretation table
+    ("Mondays are always low; this Monday is LOW-for-a-Monday, not
+    drift").
+
+    One groupBy over at most 24 season indexes; the grand mean
+    re-aggregates from the per-season decimal sums (no second scan).
+    Means derive from DECIMAL sums over exact integer counts, so the
+    output is order-independent and cross-engine hash-stable.
+
+    Output: (season int, n long, mean 6dp, effect 6dp), ordered by
+    season. ``dow`` follows Spark's ``dayofweek``: 1=Sunday…7=Saturday.
+    """
+    parts = {"dow": F.dayofweek, "hour": F.hour, "month": F.month}
+    if period not in parts:
+        raise ValueError(f"period must be one of {sorted(parts)}")
+    x = F.col(value_col).cast("double")
+    per = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .groupBy(parts[period](F.col(ts_col)).alias("season"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("decimal(30,10)")).alias("_s"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("_tn"), F.sum("_s").alias("_ts")
+    )
+    mean = F.col("_s").cast("double") / F.col("n")
+    grand = F.col("_ts").cast("double") / F.col("_tn")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("season").cast("int").alias("season"),
+            F.col("n").cast("long").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(mean - grand, 6).alias("effect"),
+        )
+        .orderBy("season")
+    )

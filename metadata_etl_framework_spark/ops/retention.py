@@ -164,6 +164,83 @@ def event_transitions(
     )
 
 
+def event_trigrams(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 20,
+) -> DataFrame:
+    """Second-order path mining: the top-k most common three-step event
+    SEQUENCES across users — what :func:`event_transitions` (first-order
+    Markov) cannot see ("view→click→purchase" vs "click→view→purchase"
+    have identical bigram tables).
+
+    Same scale shape as transitions: one window partitioned BY USER
+    (never global) takes each event's two successors via ``lead``; one
+    groupBy counts (e1, e2, e3) triples; the top-k is a
+    TakeOrderedAndProject (count desc, lexicographic tie-break — fully
+    deterministic). Users with fewer than three events contribute
+    nothing. Output: (e1, e2, e3, n) — ``k`` rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_e2", F.lead(type_col, 1).over(w))
+        .withColumn("_e3", F.lead(type_col, 2).over(w))
+        .where(F.col("_e2").isNotNull() & F.col("_e3").isNotNull())
+    )
+    return (
+        steps.groupBy(
+            F.col(type_col).alias("e1"),
+            F.col("_e2").alias("e2"),
+            F.col("_e3").alias("e3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(k)
+    )
+
+
+def window_topk_types(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: str = "1 day",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k event types per tumbling time window — the "what's
+    trending right now" table. Batch form of the streaming monitor
+    (identical expressions run under ``readStream`` with a watermark):
+    one windowed groupBy, then a per-window ranked filter. Determinism:
+    count desc, type asc. Output: (window_start, window_end, event_type,
+    n, rk)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("_w"), F.col(type_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("_w").orderBy(F.desc("n"), F.col(type_col))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            type_col,
+            "n",
+            "rk",
+        )
+    )
+
+
 def debounce_events(
     df: DataFrame,
     user_col: str = "user_id",

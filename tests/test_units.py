@@ -662,3 +662,46 @@ def test_mutual_information_independent_and_dependent(spark):
     )
     r = mutual_information(dep, "a", "b").first()
     assert abs(r.mi - math.log(4)) < 1e-5 and r.n_cells == 4
+
+
+def test_groupwise_ols_exact_line_and_degenerate(spark):
+    """Round-8: per-group OLS recovers an exact line (slope/intercept/
+    r²=1) and returns NULLs for degenerate groups (n<2 or zero
+    x-variance)."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        groupwise_ols,
+    )
+
+    rows = [("line", float(x), 2.0 * x + 1.0) for x in range(10)]
+    rows += [("flat", 5.0, float(v)) for v in range(4)]   # zero x-var
+    rows += [("single", 1.0, 2.0)]                        # n = 1
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in groupwise_ols(df, ["g"], "x", "y").collect()}
+    assert (out["line"].slope, out["line"].intercept, out["line"].r2) == (
+        2.0, 1.0, 1.0
+    )
+    assert out["flat"].slope is None and out["single"].slope is None
+
+
+def test_seasonal_profile_dow_effects(spark):
+    """Round-8: per-weekday means and effects vs grand mean; count-
+    weighted effects sum to 0."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        seasonal_profile,
+    )
+
+    # 2024-01-01 is a Monday (Spark dayofweek = 2)
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, 12), float(10 * (d % 7) + r))
+        for d in range(14)
+        for r in range(3)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = seasonal_profile(df, "ts", "value", "dow").collect()
+    assert [r.season for r in out] == [1, 2, 3, 4, 5, 6, 7]
+    mon = next(r for r in out if r.season == 2)
+    assert mon.n == 6 and mon.mean == 1.0  # d=0,7 -> values 0,1,2
+    weighted = sum(r.effect * r.n for r in out)
+    assert abs(weighted) < 1e-3
