@@ -608,6 +608,42 @@ def _events_seasonal_dow(spark, sf_dir):
     return seasonal_profile(_t(spark, sf_dir, "events"), "ts", "value", "dow")
 
 
+def _funnel_windowed(spark, sf_dir):
+    """Ordered funnel with a 48h conversion window per step
+    (ops/funnel.py::funnel_counts max_lag_seconds): a December purchase
+    no longer 'converts' a January view — the constraint product
+    analytics actually ships."""
+    from metadata_etl_framework_spark.ops.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], max_lag_seconds=172_800
+    )
+
+
+def _events_conversion_latency(spark, sf_dir):
+    """view → purchase time-to-convert distribution (ops/funnel.py::
+    conversion_latency): per-user in-order arrival delta, decimal-exact
+    mean, scale-safe exact p50/p90 via the prefix-scan quantiles."""
+    from metadata_etl_framework_spark.ops.funnel import conversion_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return conversion_latency(ev, "view", "purchase")
+
+
+_BM25_TERMS = ["merge", "stream", "window"]
+
+
+def _text_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword retrieval (ops/text.py::bm25_topk): postings
+    filtered to the query terms BEFORE any shuffle, document length
+    carried through the explode, Lucene idf, decimal-summed per-doc
+    scores, TakeOrdered top-10 — keyword-driven corpus selection."""
+    from metadata_etl_framework_spark.ops.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
 def _graph_pagerank_suppliers(spark, sf_dir):
     """Weighted PageRank over the customer↔supplier trade graph
     (ops/graph.py::pagerank — iterative edge⋈rank join, per-iteration
@@ -3698,6 +3734,9 @@ _EXTRA_KEYS = [
     "fuzzy_match_customers",
     "corpus_embed_decontaminate",
     "trend_ols_by_flag",
+    "text_bm25_search",
+    "funnel_windowed",
+    "events_conversion_latency",
     "events_trigrams",
     "events_window_topk",
     "events_seasonal_dow",
@@ -3900,6 +3939,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match_customers": _fuzzy_match_customers,
     "corpus_embed_decontaminate": _corpus_embed_decontaminate,
     "trend_ols_by_flag": _trend_ols_by_flag,
+    "text_bm25_search": _text_bm25_search,
+    "funnel_windowed": _funnel_windowed,
+    "events_conversion_latency": _events_conversion_latency,
     "events_trigrams": _events_trigrams,
     "events_window_topk": _events_window_topk,
     "events_seasonal_dow": _events_seasonal_dow,
@@ -4377,6 +4419,99 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(CASE WHEN n > 1 AND vx > 0 AND vy > 0
                               THEN (cov / vx) * (cov / vx) * vx / vy END, 6) AS r2
             FROM f
+        """,
+        "funnel_windowed": """
+            WITH a AS (
+              SELECT user_id, ts, event_type,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS s0
+              FROM events
+            ), b AS (
+              SELECT *, MIN(CASE WHEN event_type = 'click'
+                                  AND s0 IS NOT NULL AND ts >= s0
+                                  AND ts <= s0 + INTERVAL 172800 SECOND
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS s1
+              FROM a
+            ), c AS (
+              SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                                  AND s1 IS NOT NULL AND ts >= s1
+                                  AND ts <= s1 + INTERVAL 172800 SECOND
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS s2
+              FROM b
+            ), u AS (
+              SELECT user_id, MIN(s0) AS s0, MIN(s1) AS s1, MIN(s2) AS s2
+              FROM c GROUP BY user_id
+            ), n AS (
+              SELECT COUNT(s0) AS n0, COUNT(s1) AS n1, COUNT(s2) AS n2 FROM u
+            )
+            SELECT CAST(0 AS INT) AS step_index, 'view' AS step_name,
+                   n0 AS users_reached, CAST(1.0 AS DOUBLE) AS conversion_from_prev
+            FROM n
+            UNION ALL
+            SELECT CAST(1 AS INT), 'click', n1,
+                   ROUND(CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0
+                              ELSE 0.0 END, 6)
+            FROM n
+            UNION ALL
+            SELECT CAST(2 AS INT), 'purchase', n2,
+                   ROUND(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1
+                              ELSE 0.0 END, 6)
+            FROM n
+        """,
+        "events_conversion_latency": """
+            WITH a AS (
+              SELECT user_id, ts, event_type,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS s0
+              FROM events
+            ), b AS (
+              SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                                  AND s0 IS NOT NULL AND ts >= s0
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS s1
+              FROM a
+            ), u AS (
+              SELECT user_id, MIN(s0) AS t0, MIN(s1) AS t1
+              FROM b GROUP BY user_id
+            ), lat AS (
+              SELECT EPOCH(t1) - EPOCH(t0) AS lat_s FROM u
+              WHERE t1 IS NOT NULL
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                   ROUND(CAST(SUM(CAST(lat_s AS DECIMAL(30,10))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_s,
+                   ROUND(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+                   ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_s
+            FROM lat
+        """,
+        "text_bm25_search": r"""
+            WITH b AS (SELECT doc_id,
+                   CASE WHEN text IS NULL OR TRIM(text) = ''
+                        THEN []::VARCHAR[]
+                        ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')
+                   END AS toks
+                 FROM documents),
+            bl AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
+            stats AS (SELECT COUNT(*) AS n,
+                             CAST(SUM(CAST(dl AS DECIMAL(30,10))) AS DOUBLE)
+                               / COUNT(*) AS avgdl
+                      FROM bl),
+            p AS (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+                  FROM (SELECT doc_id, dl, UNNEST(toks) AS t FROM bl)
+                  WHERE t IN ('merge', 'stream', 'window')
+                  GROUP BY 1, 2, 3),
+            dft AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS dfv FROM p GROUP BY t),
+            terms AS (SELECT doc_id,
+                   CAST(LN(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+                        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                        AS DECIMAL(28,12)) AS s
+                FROM p JOIN dft USING (t), stats)
+            SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score,
+                   CAST(COUNT(*) AS INT) AS n_terms_hit
+            FROM terms GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "events_trigrams": """
             WITH s AS (SELECT event_type AS e1,

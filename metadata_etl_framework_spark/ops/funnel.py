@@ -28,11 +28,18 @@ def funnel_arrivals(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    max_lag_seconds: "float | None" = None,
 ) -> DataFrame:
     """Per-user funnel arrival times: adds ``step_{i}_ts`` for each step —
     the earliest qualifying event time given in-order progression
     (step i counts only at-or-after the user's step i-1 arrival).
     Users never entering the funnel keep all-null step columns.
+
+    ``max_lag_seconds`` adds the conversion-window constraint product
+    analytics usually wants ("completed the NEXT step within 48h"):
+    step i then counts only within ``max_lag_seconds`` of the step i-1
+    arrival. Without it a funnel started in January "converts" on a
+    December purchase.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -43,6 +50,11 @@ def funnel_arrivals(
         cond = F.col(event_col) == step
         if prev is not None:
             cond = cond & prev.isNotNull() & (F.col(ts_col) >= prev)
+            if max_lag_seconds is not None:
+                deadline = F.timestamp_add(
+                    "SECOND", F.lit(int(max_lag_seconds)), prev
+                )
+                cond = cond & (F.col(ts_col) <= deadline)
         arrival = F.min(F.when(cond, F.col(ts_col))).over(w)
         out = out.withColumn(f"step_{i}_ts", arrival)
         prev = F.col(f"step_{i}_ts")
@@ -55,6 +67,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    max_lag_seconds: "float | None" = None,
 ) -> DataFrame:
     """Funnel summary: one row per step with the distinct users reaching
     it in order and the conversion rate from the previous step
@@ -62,7 +75,9 @@ def funnel_counts(
 
     Output: (step_index, step_name, users_reached, conversion_from_prev).
     """
-    arrivals = funnel_arrivals(df, steps, user_col, ts_col, event_col)
+    arrivals = funnel_arrivals(
+        df, steps, user_col, ts_col, event_col, max_lag_seconds
+    )
     per_user = arrivals.groupBy(user_col).agg(
         *[
             F.min(f"step_{i}_ts").alias(f"step_{i}_ts")
@@ -101,3 +116,64 @@ def funnel_counts(
             6,
         ).alias("conversion_from_prev"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_step: str,
+    to_step: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    quantiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution between two funnel steps: for every
+    user, latency = first in-order ``to_step`` arrival minus first
+    ``from_step`` arrival; summarized as count, exact decimal mean, and
+    exact interpolated quantiles — "how long does view → purchase take,
+    and is the tail growing?".
+
+    The quantiles ride the scale-safe prefix-scan formulation
+    (functions/aggregations.py::global_quantiles), never a single-task
+    percentile buffer over every converting user. Output: 1 row —
+    (n_converted long, mean_s, p{q}_s … — seconds, 6 dp).
+    """
+    from metadata_etl_framework_spark.functions.aggregations import (
+        global_quantiles,
+    )
+
+    arrivals = funnel_arrivals(
+        df, [from_step, to_step], user_col, ts_col, event_col
+    )
+    lat = (
+        arrivals.groupBy(user_col)
+        .agg(
+            F.min("step_0_ts").alias("_t0"),
+            F.min("step_1_ts").alias("_t1"),
+        )
+        .where(F.col("_t1").isNotNull())
+        .select(
+            (
+                F.col("_t1").cast("double") - F.col("_t0").cast("double")
+            ).alias("lat_s")
+        )
+    )
+    stats = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            F.sum(F.col("lat_s").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_s"),
+    )
+    qrows = {
+        r["p"]: r["value"]
+        for r in global_quantiles(lat, "lat_s", quantiles).collect()
+    }
+    qcols = [
+        F.lit(qrows.get(float(q))).cast("double").alias(
+            f"p{int(q * 100):02d}_s"
+        )
+        for q in quantiles
+    ]
+    return stats.select("n_converted", "mean_s", *qcols)

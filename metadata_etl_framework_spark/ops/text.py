@@ -456,6 +456,85 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "Sequence[str]",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Okapi BM25 retrieval: the ``k`` corpus documents best matching a
+    fixed query-term set — keyword-driven corpus SELECTION ("give me the
+    best code-heavy documents") where :func:`tfidf_top_terms` only
+    DESCRIBES documents. Lucene's idf variant: idf = ln(1 +
+    (N − df + 0.5)/(df + 0.5)); score = Σ_t idf_t · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape — the posting-list trick: the exploded token stream is
+    filtered to the QUERY TERMS before any shuffle, so only matching
+    postings aggregate (never the full vocabulary); document length
+    rides the explode as a carried column (no second scan or join
+    against a corpus-wide lengths table); N and avgdl come from one
+    1-row broadcast aggregate; the per-term df table is |query| rows,
+    broadcast onto the postings. Per-document term scores accumulate as
+    DECIMAL (order-independent), scores round to 6 dp BEFORE ranking
+    (rank can't flip on a ulp), and the top-k is TakeOrdered with id
+    tie-break. Output: (id, score, n_terms_hit).
+    """
+    terms = sorted({t.lower() if lowercase else t for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    base = _spread(df).select(
+        F.col(id_col), toks.alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (
+            F.sum(F.col("_dl").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avgdl"),
+    )
+    postings = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("_t"))
+        .where(F.col("_t").isin(terms))
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    df_t = postings.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_part = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.col("_avgdl")))
+    )
+    return (
+        postings.join(F.broadcast(df_t), "_t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (idf * tf_part).cast("decimal(28,12)").alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("_s").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

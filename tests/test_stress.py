@@ -375,3 +375,83 @@ def test_emd_binned_vs_exact_6m(spark, big):
     binned = emd_1d(ref, cur, "l_extendedprice", n_bins=1000).collect()[0]
     assert (binned.n_ref, binned.n_cur) == (exact.n_ref, exact.n_cur)
     assert abs(binned.emd - exact.emd) <= binned.err_bound + 1e-6
+
+
+def test_pagerank_1m_edges(spark):
+    """Round-8: PageRank over ~1M synthetic edges (100k nodes, ring +
+    hub structure) — 3 iterations of the join formulation with
+    per-iteration persist/release. Invariants: every node ranked, all
+    ranks >= teleport floor, the global hub node ranks first."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    n_nodes = 100_000
+    ids = spark.range(n_nodes)
+    ring = ids.select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") + 1) % n_nodes).cast("string").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    ring2 = ids.select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") + 7) % n_nodes).cast("string").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    # every 11th node also links to node 0 (the hub)
+    hub = ids.where(F.col("id") % 11 == 1).select(
+        F.col("id").cast("string").alias("src"),
+        F.lit("0").alias("dst"),
+        F.lit(5.0).alias("w"),
+    )
+    edges = ring.unionByName(ring2).unionByName(hub)
+    out = pagerank(edges, iterations=3, weight_col="w")
+    n = 100_000
+    floor = (1.0 - 0.85) / n
+    stats = out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("rank").alias("mn"),
+        F.max("rank").alias("mx"),
+    ).collect()[0]
+    assert stats.cnt == n and stats.mn >= round(floor, 6)
+    top = out.orderBy(F.desc("rank"), "node").first()
+    assert top.node == "0" and top.rank == stats.mx
+    out.unpersist()
+
+
+def test_ntile_assign_6m(spark, big):
+    """Round-8: exact-NTILE bucketing over ~6M rows via the two-phase
+    global row number — bucket sizes must match NTILE's closed form
+    exactly (first n%k buckets one row larger)."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    keyed = big.select(
+        F.monotonically_increasing_id().alias("uid"), "l_extendedprice"
+    )
+    k = 64
+    n = keyed.count()
+    out = ntile_assign(keyed, [("l_extendedprice", "desc"), ("uid", "asc")], k)
+    sizes = {
+        r.bucket: r.c
+        for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    q, m = divmod(n, k)
+    assert len(sizes) == k
+    for b in range(1, k + 1):
+        assert sizes[b] == (q + 1 if b <= m else q), (b, sizes[b])
+
+
+def test_corr_matrix_6m(spark, big):
+    """Round-8: one-pass all-pairs correlation at ~6M rows agrees with
+    Spark's own F.corr to output precision."""
+    from metadata_etl_framework_spark.functions.aggregations import corr_matrix
+
+    df = big.select("l_quantity", "l_extendedprice", "l_discount")
+    got = {(r.col_x, r.col_y): r.corr for r in corr_matrix(
+        df, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).collect()}
+    for a, b in [("l_quantity", "l_extendedprice"),
+                 ("l_quantity", "l_discount"),
+                 ("l_extendedprice", "l_discount")]:
+        want = df.agg(F.round(F.corr(a, b), 6)).first()[0]
+        assert abs(got[(a, b)] - want) <= 2e-6, (a, b, got[(a, b)], want)
