@@ -608,6 +608,19 @@ def _events_seasonal_dow(spark, sf_dir):
     return seasonal_profile(_t(spark, sf_dir, "events"), "ts", "value", "dow")
 
 
+def _events_changepoint(spark, sf_dir):
+    """Mean-shift change-point over the event value series
+    (quality/anomaly.py::changepoint_mean_shift): scaled-CUSUM argmax
+    on top of the two-phase global row number + DECIMAL prefix sum —
+    no partitionless window anywhere in the scan."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        changepoint_mean_shift,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return changepoint_mean_shift(ev, ["ts", "event_id"], "value")
+
+
 def _funnel_windowed(spark, sf_dir):
     """Ordered funnel with a 48h conversion window per step
     (ops/funnel.py::funnel_counts max_lag_seconds): a December purchase
@@ -3736,6 +3749,7 @@ _EXTRA_KEYS = [
     "trend_ols_by_flag",
     "text_bm25_search",
     "funnel_windowed",
+    "events_changepoint",
     "events_conversion_latency",
     "events_trigrams",
     "events_window_topk",
@@ -3941,6 +3955,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_ols_by_flag": _trend_ols_by_flag,
     "text_bm25_search": _text_bm25_search,
     "funnel_windowed": _funnel_windowed,
+    "events_changepoint": _events_changepoint,
     "events_conversion_latency": _events_conversion_latency,
     "events_trigrams": _events_trigrams,
     "events_window_topk": _events_window_topk,
@@ -4419,6 +4434,34 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(CASE WHEN n > 1 AND vx > 0 AND vy > 0
                               THEN (cov / vx) * (cov / vx) * vx / vy END, 6) AS r2
             FROM f
+        """,
+        "events_changepoint": """
+            WITH base AS (SELECT CAST(value AS DOUBLE) AS v, ts, event_id
+                          FROM events
+                          WHERE value IS NOT NULL AND ts IS NOT NULL),
+            r AS (SELECT v,
+                         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS t,
+                         CAST(SUM(CAST(v AS DECIMAL(30,10)))
+                                OVER (ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                              AS DECIMAL(38,10)) AS s
+                  FROM base),
+            tot AS (SELECT COUNT(*) AS n,
+                           CAST(SUM(CAST(v AS DECIMAL(30,10)))
+                                AS DECIMAL(38,10)) AS sn
+                    FROM base),
+            d AS (SELECT t, s, n, sn,
+                         ABS(CAST(s AS DOUBLE)
+                             - (t / n) * CAST(sn AS DOUBLE)) AS dd
+                  FROM r, tot WHERE t < n)
+            SELECT CAST(t AS BIGINT) AS split_after,
+                   ROUND(dd, 6) AS stat,
+                   ROUND(CAST(s AS DOUBLE) / t, 6) AS mean_before,
+                   ROUND((CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
+                         / (n - t), 6) AS mean_after,
+                   CAST(n AS BIGINT) AS n
+            FROM d ORDER BY ROUND(dd, 6) DESC, t LIMIT 1
         """,
         "funnel_windowed": """
             WITH a AS (

@@ -94,6 +94,65 @@ def global_prefix_sum(
     )
 
 
+def global_prefix_sum_decimal(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`global_prefix_sum` for NUMERIC (non-integer) values:
+    running totals accumulate as DECIMAL(30,10) / DECIMAL(38,10), so the
+    result is exact and order-independent — the building block for
+    cumulative statistics over metric series (change-point scans,
+    cumulative revenue) where the long-typed variant would truncate.
+
+    Same two-phase shape and the same persist-before-offset-collect
+    correctness requirement; driver-side offsets accumulate as Python
+    ``Decimal`` (exact). ``order_col`` must be a total order.
+    """
+    from decimal import Decimal
+
+    from pyspark.storagelevel import StorageLevel
+
+    if num_partitions is None:
+        num_partitions = max(
+            df.rdd.getNumPartitions(),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
+    ranged = df.repartitionByRange(num_partitions, F.col(order_col))
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dec = F.col(value_col).cast("decimal(30,10)")
+    subtotals = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(dec).cast("decimal(38,10)").alias("__sub"))
+        .collect()
+    )
+    offsets, acc = [], Decimal(0)
+    for row in sorted(subtotals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__sub"] or Decimal(0)
+    if not offsets:
+        return df.withColumn(out, F.lit(0).cast("decimal(38,10)"))
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __offset decimal(38,10)"
+    )
+    local_w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        with_pid.withColumn("__local", F.sum(dec).over(local_w))
+        .join(F.broadcast(offsets_df), "__pid")
+        .withColumn(
+            out,
+            (F.col("__local") + F.col("__offset")).cast("decimal(38,10)"),
+        )
+        .drop("__pid", "__local", "__offset")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_by: "list[str | tuple[str, str]]",

@@ -534,3 +534,64 @@ def detect_sklearn(
             F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("_salt")
         )
     return grouped.applyInPandas(_run, schema=f"{key_col} long")
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    order_cols: "list[str | tuple[str, str]]",
+    value_col: str,
+) -> DataFrame:
+    """At-most-one mean-shift change-point over an ordered metric
+    series — "WHEN did this metric move?", the question the z/IQR
+    detectors (WHICH rows are extreme) and the drift suite (DID the
+    distribution move) don't answer.
+
+    The scaled-CUSUM scan: with S_t the running value total and t the
+    global position, the candidate statistic is D_t = |S_t − (t/n)·S_n|
+    and the change-point is the argmax over splits 1 ≤ t < n (count
+    desc, position tie-break after 6 dp rounding, so the pick can't
+    flip on a ulp). Both t and S_t come from the two-phase distributed
+    primitives (ops/packing.py::global_row_number /
+    global_prefix_sum_decimal) — no partitionless window, no
+    single-task buffer, sums exact at any scale.
+
+    ``order_cols`` must end in a unique tie-break column (same contract
+    as SQL ROW_NUMBER). Output: 1 row — (split_after long = last
+    position of the left segment, stat 6dp, mean_before, mean_after,
+    n long).
+    """
+    from metadata_etl_framework_spark.ops.packing import (
+        global_prefix_sum_decimal,
+        global_row_number,
+    )
+
+    specs = [(c, "asc") if isinstance(c, str) else c for c in order_cols]
+    sel = df.where(F.col(value_col).isNotNull()).select(
+        *[F.col(c) for c, _ in specs], F.col(value_col).alias("_v")
+    )
+    ranked = global_row_number(sel, list(order_cols), out="_t")
+    scanned = global_prefix_sum_decimal(ranked, "_t", "_v", out="_s")
+    tot = scanned.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(30,10)"))
+        .cast("decimal(38,10)")
+        .alias("_sn"),
+    )
+    sd = F.col("_s").cast("double")
+    snd = F.col("_sn").cast("double")
+    d_stat = F.abs(sd - (F.col("_t") / F.col("_n")) * snd)
+    return (
+        scanned.crossJoin(F.broadcast(tot))
+        .where(F.col("_t") < F.col("_n"))
+        .select(
+            F.col("_t").alias("split_after"),
+            F.round(d_stat, 6).alias("stat"),
+            F.round(sd / F.col("_t"), 6).alias("mean_before"),
+            F.round(
+                (snd - sd) / (F.col("_n") - F.col("_t")), 6
+            ).alias("mean_after"),
+            F.col("_n").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("stat"), F.col("split_after"))
+        .limit(1)
+    )

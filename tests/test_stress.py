@@ -455,3 +455,27 @@ def test_corr_matrix_6m(spark, big):
                  ("l_extendedprice", "l_discount")]:
         want = df.agg(F.round(F.corr(a, b), 6)).first()[0]
         assert abs(got[(a, b)] - want) <= 2e-6, (a, b, got[(a, b)], want)
+
+
+def test_changepoint_6m(spark, big):
+    """Round-8: the CUSUM change-point scan at ~6M rows through the
+    decimal prefix sum — an injected level shift at a known global
+    position is recovered exactly."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        changepoint_mean_shift,
+    )
+
+    keyed = big.select(
+        F.monotonically_increasing_id().alias("uid")
+    ).withColumn("rnd", F.col("uid"))
+    n = keyed.count()
+    cut = n // 3
+    from metadata_etl_framework_spark.ops.packing import global_row_number
+
+    ranked = global_row_number(keyed, ["uid"], out="pos")
+    series = ranked.withColumn(
+        "v", F.when(F.col("pos") <= cut, F.lit(1.0)).otherwise(F.lit(4.0))
+    )
+    r = changepoint_mean_shift(series, ["pos"], "v").first()
+    assert r.n == n and r.split_after == cut
+    assert (r.mean_before, r.mean_after) == (1.0, 4.0)

@@ -705,3 +705,22 @@ def test_seasonal_profile_dow_effects(spark):
     assert mon.n == 6 and mon.mean == 1.0  # d=0,7 -> values 0,1,2
     weighted = sum(r.effect * r.n for r in out)
     assert abs(weighted) < 1e-3
+
+
+def test_changepoint_mean_shift_recovers_split(spark):
+    """Round-8: a clean level shift is recovered exactly — split at the
+    boundary, segment means exact; a constant series yields stat 0."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        changepoint_mean_shift,
+    )
+
+    rows = [(i, 0.0 if i < 50 else 10.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    r = changepoint_mean_shift(df, ["t"], "v").first()
+    assert (r.split_after, r.mean_before, r.mean_after, r.n) == (
+        50, 0.0, 10.0, 100
+    )
+    # constant series: every split has stat 0; tie-break picks t=1
+    flat = spark.createDataFrame([(i, 3.5) for i in range(40)], "t long, v double")
+    r2 = changepoint_mean_shift(flat, ["t"], "v").first()
+    assert r2.stat == 0.0 and r2.split_after == 1
