@@ -726,7 +726,9 @@ def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             F.sum((yv * yv).cast("decimal(38,10)")).alias(f"_syy{i}"),
         ]
     stats = df.agg(*aggs)
-    frames = []
+    # one select + stack, NOT a union of per-pair selects: each union
+    # branch would re-plan the aggregation subtree, turning one scan
+    # into k(k-1)/2 scans (the funnel_counts stack rationale)
     for i, (a, b) in enumerate(pairs):
         n = F.col(f"_n{i}").cast("double")
         sx = F.col(f"_sx{i}").cast("double")
@@ -741,18 +743,17 @@ def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             (n > 1) & (vx > 0) & (vy > 0),
             cov / F.sqrt(vx) / F.sqrt(vy),
         )
-        frames.append(
-            stats.select(
-                F.lit(a).alias("col_x"),
-                F.lit(b).alias("col_y"),
-                F.round(corr, 6).alias("corr"),
-                F.col(f"_n{i}").cast("long").alias("n_pairs"),
-            )
+        stats = stats.withColumn(f"_corr{i}", F.round(corr, 6))
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _corr{i}, CAST(_n{i} AS LONG)"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return stats.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) "
+            "AS (col_x, col_y, corr, n_pairs)"
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    )
 
 
 def mutual_information(
@@ -763,11 +764,13 @@ def mutual_information(
     across pairs; χ² grows with n). Rows where either side is NULL are
     excluded (use ``fillna`` to count absence as a level).
 
-    ONE groupBy over (a, b) builds the joint table; both marginals and
-    the total re-aggregate from it — the input is scanned once,
-    everything downstream is O(distinct pairs). Terms round to 6 dp
-    then accumulate as DECIMAL(18,6), so the sum is exact and
-    cross-engine hash-stable. Output: 1 row — (mi, n_cells, n_rows).
+    ONE groupBy over (a, b) builds the joint table, which is PERSISTED
+    across its four consumers (both marginals, the total, and the term
+    join) — without the cache each reference would re-plan the groupBy
+    subtree and re-scan the input. The 1-row result is materialized and
+    the cache released before returning. Terms round to 6 dp then
+    accumulate as DECIMAL(18,6), so the sum is exact and cross-engine
+    hash-stable. Output: 1 row — (mi, n_cells, n_rows).
     """
     a = F.col(col_a).cast("string")
     b = F.col(col_b).cast("string")
@@ -775,6 +778,7 @@ def mutual_information(
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     ma = joint.groupBy("_a").agg(F.sum("c").alias("ca"))
     mb = joint.groupBy("_b").agg(F.sum("c").alias("cb"))
@@ -788,7 +792,7 @@ def mutual_information(
             / (F.col("ca") * F.col("cb"))
         )
     )
-    return (
+    out = (
         joint.join(ma, "_a")
         .join(mb, "_b")
         .crossJoin(F.broadcast(tot))
@@ -803,6 +807,10 @@ def mutual_information(
             F.col("n").cast("long").alias("n_rows"),
         )
     )
+    rows = out.collect()
+    schema = out.schema
+    joint.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def ntile_assign(
