@@ -608,6 +608,71 @@ def _events_seasonal_dow(spark, sf_dir):
     return seasonal_profile(_t(spark, sf_dir, "events"), "ts", "value", "dow")
 
 
+def _events_cumulative_users(spark, sf_dir):
+    """Exact cumulative distinct-user growth curve (ops/retention.py::
+    cumulative_distinct_users): first-touch reduction per user + an
+    O(periods) running total — never the COUNT(DISTINCT) window that
+    holds every user id in state."""
+    from metadata_etl_framework_spark.ops.retention import (
+        cumulative_distinct_users,
+    )
+
+    return cumulative_distinct_users(
+        _t(spark, sf_dir, "events"), period="hour"
+    )
+
+
+def _join_point_in_time(spark, sf_dir):
+    """Feature-store point-in-time join (functions/joins.py::
+    point_in_time_join): a versioned per-customer dimension (order-date
+    versions, 90-day close-out on the last one) joined to facts 200
+    days ahead — both PIT guarantees exercised: no future leakage, no
+    expired version served."""
+    from pyspark.sql import Window
+
+    from metadata_etl_framework_spark.functions.joins import (
+        point_in_time_join,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("attr"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("vstart"),
+            "attr",
+        )
+    )
+    wv = Window.partitionBy("k").orderBy("vstart")
+    dim = dim.withColumn(
+        "vend",
+        F.coalesce(
+            F.lead("vstart").over(wv),
+            F.timestamp_add("DAY", F.lit(90), F.col("vstart")),
+        ),
+    )
+    facts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.timestamp_add(
+            "DAY", F.lit(200), F.col("o_orderdate").cast("timestamp")
+        ).alias("ts"),
+    )
+    out = point_in_time_join(facts, dim, ["k"], "ts", "vstart", "vend")
+    # timestamps emitted as strings: the expired-version NULLs would
+    # otherwise hit the pandas NaT cross-resolution compare trap
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "o_orderkey",
+        "k",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("vstart_dim", fmt).alias("v_start"),
+        F.col("attr_dim").alias("attr"),
+        F.date_format("vend_dim", fmt).alias("v_end"),
+    )
+
+
 def _events_changepoint(spark, sf_dir):
     """Mean-shift change-point over the event value series
     (quality/anomaly.py::changepoint_mean_shift): scaled-CUSUM argmax
@@ -3750,6 +3815,8 @@ _EXTRA_KEYS = [
     "text_bm25_search",
     "funnel_windowed",
     "events_changepoint",
+    "events_cumulative_users",
+    "join_point_in_time",
     "events_conversion_latency",
     "events_trigrams",
     "events_window_topk",
@@ -3956,6 +4023,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_search": _text_bm25_search,
     "funnel_windowed": _funnel_windowed,
     "events_changepoint": _events_changepoint,
+    "events_cumulative_users": _events_cumulative_users,
+    "join_point_in_time": _join_point_in_time,
     "events_conversion_latency": _events_conversion_latency,
     "events_trigrams": _events_trigrams,
     "events_window_topk": _events_window_topk,
@@ -4434,6 +4503,51 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(CASE WHEN n > 1 AND vx > 0 AND vy > 0
                               THEN (cov / vx) * (cov / vx) * vx / vy END, 6) AS r2
             FROM f
+        """,
+        "events_cumulative_users": """
+            WITH f AS (SELECT user_id,
+                              MIN(DATE_TRUNC('hour', ts)) AS period
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                       GROUP BY user_id),
+            n AS (SELECT period, COUNT(*) AS new_users FROM f GROUP BY period)
+            SELECT period, CAST(new_users AS BIGINT) AS new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY period
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumulative_users
+            FROM n
+        """,
+        "join_point_in_time": """
+            WITH d0 AS (SELECT o_custkey AS k,
+                               CAST(o_orderdate AS TIMESTAMP) AS vstart,
+                               MAX(o_totalprice) AS attr
+                        FROM orders GROUP BY 1, 2),
+            d AS (SELECT k, vstart, attr,
+                         COALESCE(LEAD(vstart) OVER (PARTITION BY k
+                                                     ORDER BY vstart),
+                                  vstart + INTERVAL 90 DAY) AS vend
+                  FROM d0),
+            f AS (SELECT o_orderkey, o_custkey AS k,
+                         CAST(o_orderdate AS TIMESTAMP)
+                           + INTERVAL 200 DAY AS ts
+                  FROM orders),
+            m AS (SELECT f.o_orderkey, f.k, f.ts,
+                         d.vstart, d.attr, d.vend,
+                         ROW_NUMBER() OVER (PARTITION BY f.o_orderkey
+                                            ORDER BY d.vstart DESC) AS rn
+                  FROM f LEFT JOIN d
+                    ON f.k = d.k AND d.vstart <= f.ts)
+            SELECT o_orderkey, k,
+                   STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   STRFTIME(CASE WHEN vend IS NOT NULL AND ts >= vend
+                        THEN NULL ELSE vstart END,
+                        '%Y-%m-%d %H:%M:%S') AS v_start,
+                   CASE WHEN vend IS NOT NULL AND ts >= vend
+                        THEN NULL ELSE attr END AS attr,
+                   STRFTIME(CASE WHEN vend IS NOT NULL AND ts >= vend
+                        THEN NULL ELSE vend END,
+                        '%Y-%m-%d %H:%M:%S') AS v_end
+            FROM m WHERE rn = 1
         """,
         "events_changepoint": """
             WITH base AS (SELECT CAST(value AS DOUBLE) AS v, ts, event_id

@@ -458,3 +458,61 @@ def fuzzy_join_blocked(
     )
     order = out_keys if out_keys else [lt, rt]
     return out.orderBy(*order)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: "Sequence[str]",
+    fact_ts: str,
+    start_col: str,
+    end_col: str | None = None,
+    value_cols: "Sequence[str] | None" = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Feature-store point-in-time join: every fact row is enriched with
+    the dimension VERSION valid at its timestamp — latest ``start_col``
+    ≤ fact time, and (when ``end_col`` is given) fact time strictly
+    before the version's end. Two correctness properties training
+    pipelines break without this: no data from the FUTURE leaks into a
+    feature (the as-of direction), and no EXPIRED version survives past
+    its end (a deleted/closed key must stop matching, not keep serving
+    its last value).
+
+    Built on :func:`asof_join`'s union+window composition — ONE shuffle
+    on the keys, no per-key range explosion, no broadcast cap on the
+    dimension. An expired or missing match leaves the carried columns
+    NULL. Carried columns arrive as ``{col}{suffix}``.
+    """
+    keys = list(keys)
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in dim.columns
+            if c not in keys and c not in (start_col, end_col)
+        ]
+    carried = list(value_cols) + ([end_col] if end_col else [])
+    out = asof_join(
+        facts,
+        dim,
+        ts_col=fact_ts,
+        by=keys,
+        right_ts_col=start_col,
+        value_cols=carried,
+        suffix=suffix,
+    )
+    if end_col:
+        e = F.col(f"{end_col}{suffix}")
+        # evaluate expiry BEFORE nulling any carried column (it reads
+        # the matched end itself)
+        out = out.withColumn(
+            "_pit_expired",
+            e.isNotNull() & (F.col(fact_ts).cast("timestamp") >= e),
+        )
+        for c in [start_col] + carried:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(~F.col("_pit_expired"), F.col(f"{c}{suffix}")),
+            )
+        out = out.drop("_pit_expired")
+    return out

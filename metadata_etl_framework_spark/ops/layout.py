@@ -245,3 +245,103 @@ def partition_plan(
             & (top_share <= F.lit(float(max_top_share)))
         ).alias("recommended"),
     )
+
+
+# ----------------------------------------------------------- versioning
+# Poor-man's table versioning over plain parquet directories — snapshot
+# isolation for readers and instant rollback without a table format
+# (when Delta IS available, incremental/delta.py's arm is the real
+# thing; this covers the plain-parquet estate). Single-writer
+# discipline: the manifest is an append-only parquet log, and two
+# concurrent writers could allocate the same version — serialize writes
+# per table path (the reference's loaders assume the same).
+
+
+def _manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifest")
+
+
+def _read_manifest(spark, path: str):
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(_manifest_path(path))
+    except AnalysisException:
+        return None
+
+
+def versioned_write(df: DataFrame, path: str) -> int:
+    """Write ``df`` as a NEW immutable version under ``path/v=N/`` and
+    record it in the append-only manifest log. Readers pinned to an
+    older version (or reading mid-write) are untouched — the new data
+    directory is complete before the manifest row lands, so the version
+    only becomes visible atomically with its data. Returns N."""
+    import os
+
+    spark = df.sparkSession
+    m = _read_manifest(spark, path)
+    next_v = 1
+    if m is not None:
+        row = m.agg(
+            F.coalesce(F.max("version"), F.lit(0)).alias("v"),
+            F.coalesce(F.max("seq"), F.lit(0)).alias("s"),
+        ).first()
+        next_v, next_seq = int(row["v"]) + 1, int(row["s"]) + 1
+    else:
+        next_seq = 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={next_v}"))
+    spark.createDataFrame(
+        [(next_seq, "write", next_v)], "seq long, action string, version long"
+    ).coalesce(1).write.mode("append").parquet(_manifest_path(path))
+    return next_v
+
+
+def current_version(spark, path: str) -> "int | None":
+    """The version a plain read should serve: the target of the
+    highest-sequence manifest row — a rollback simply appends a row
+    pointing back at an old version (nothing is deleted; roll FORWARD
+    again by rolling back to the newer version)."""
+    m = _read_manifest(spark, path)
+    if m is None:
+        return None
+    row = m.orderBy(F.desc("seq")).select("version").first()
+    return int(row["version"]) if row else None
+
+
+def read_version(spark, path: str, version: "int | None" = None) -> DataFrame:
+    """Read a pinned ``version`` (time travel) or the current one."""
+    import os
+
+    v = version if version is not None else current_version(spark, path)
+    if v is None:
+        raise ValueError(f"no versions written under {path!r}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def rollback_version(spark, path: str, version: int) -> int:
+    """Append a manifest row making ``version`` current again. The data
+    directories are immutable — rollback is O(1) metadata, and the
+    rolled-back-from version remains readable by pin."""
+    m = _read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no versions written under {path!r}")
+    known = {int(r["version"]) for r in m.select("version").collect()}
+    if version not in known:
+        raise ValueError(f"unknown version {version} (have {sorted(known)})")
+    next_seq = int(m.agg(F.max("seq")).first()[0]) + 1
+    spark.createDataFrame(
+        [(next_seq, "rollback", version)],
+        "seq long, action string, version long",
+    ).coalesce(1).write.mode("append").parquet(_manifest_path(path))
+    return version
+
+
+def list_versions(spark, path: str) -> DataFrame:
+    """The manifest log: (seq, action, version), ascending — the audit
+    trail of writes and rollbacks."""
+    m = _read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no versions written under {path!r}")
+    return m.orderBy("seq")

@@ -164,6 +164,50 @@ def event_transitions(
     )
 
 
+def cumulative_distinct_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Exact cumulative distinct-user curve — growth accounting: for
+    each period, how many DISTINCT users have EVER been seen up to and
+    including it.
+
+    The naive formulation — ``COUNT(DISTINCT user) OVER (ORDER BY
+    period)`` — holds every user id in window state and re-scans per
+    period. This one is exact with one pass: reduce each user to their
+    FIRST-touch period (one groupBy over users), count new users per
+    period, then a running total over the period frame — which has one
+    row per calendar period, so the ordered window at the end is
+    O(periods), not O(users) (documented bound; a multi-decade hourly
+    curve is still only ~10⁵ rows).
+
+    Output: (period timestamp, new_users long, cumulative_users long),
+    ordered by period.
+    """
+    from pyspark.sql import Window
+
+    per = F.date_trunc(period, F.col(ts_col))
+    first = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min(per).alias("period"))
+    )
+    news = first.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("period").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        news.withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("period")
+    )
+
+
 def event_trigrams(
     df: DataFrame,
     user_col: str = "user_id",

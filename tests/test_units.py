@@ -724,3 +724,74 @@ def test_changepoint_mean_shift_recovers_split(spark):
     flat = spark.createDataFrame([(i, 3.5) for i in range(40)], "t long, v double")
     r2 = changepoint_mean_shift(flat, ["t"], "v").first()
     assert r2.stat == 0.0 and r2.split_after == 1
+
+
+def test_versioned_write_read_rollback(spark, tmp_path):
+    """Round-8 layout: versioned parquet writes — immutable v=N
+    directories, manifest-resolved current version, O(1) rollback, and
+    pinned time-travel reads."""
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.layout import (
+        current_version,
+        list_versions,
+        read_version,
+        rollback_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert versioned_write(df1, path) == 1
+    assert versioned_write(df2, path) == 2
+    assert current_version(spark, path) == 2
+    assert read_version(spark, path).count() == 1        # serves v2
+    assert read_version(spark, path, 1).count() == 2     # pinned v1
+
+    assert rollback_version(spark, path, 1) == 1
+    assert current_version(spark, path) == 1
+    assert read_version(spark, path).count() == 2        # back to v1
+    # data is immutable: v2 still readable by pin after rollback
+    assert read_version(spark, path, 2).count() == 1
+    # the audit trail records both writes and the rollback in order
+    log = [(r.action, r.version) for r in list_versions(spark, path).collect()]
+    assert log == [("write", 1), ("write", 2), ("rollback", 1)]
+    # a write AFTER rollback allocates v3 (never reuses v2)
+    assert versioned_write(df2, path) == 3
+    with _pt.raises(ValueError, match="unknown version"):
+        rollback_version(spark, path, 99)
+
+
+def test_point_in_time_join_no_leak_no_zombie(spark):
+    """Round-8: the two PIT guarantees — a fact before any version gets
+    NULL (no future leakage), and a fact after the matched version's
+    end gets NULL (no expired version served)."""
+    from metadata_etl_framework_spark.functions.joins import (
+        point_in_time_join,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-02-01 00:00:00", 10.0),
+         (1, "2024-02-01 00:00:00", "2024-03-01 00:00:00", 20.0)],
+        "k long, vstart string, vend string, attr double",
+    ).select(
+        "k",
+        F.col("vstart").cast("timestamp").alias("vstart"),
+        F.col("vend").cast("timestamp").alias("vend"),
+        "attr",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, "2023-12-15 00:00:00"),   # before any version
+         (101, 1, "2024-01-15 00:00:00"),   # inside v1
+         (102, 1, "2024-02-01 00:00:00"),   # v1 end == v2 start -> v2
+         (103, 1, "2024-06-01 00:00:00")],  # after v2 end -> expired
+        "fid long, k long, ts string",
+    ).select("fid", "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.fid: (r.attr_dim,) for r in point_in_time_join(
+        facts, dim, ["k"], "ts", "vstart", "vend"
+    ).collect()}
+    assert out[100] == (None,)
+    assert out[101] == (10.0,)
+    assert out[102] == (20.0,)
+    assert out[103] == (None,)
