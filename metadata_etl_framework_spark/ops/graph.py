@@ -35,6 +35,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -48,9 +49,13 @@ def pagerank(
     Each iteration: edge⋈rank join (shuffle on src), contribution
     aggregation (shuffle on dst), left join back onto the node set.
     The edge list is out-weight-annotated once and persisted; each new
-    rank frame is persisted and materialized, and its predecessor
-    released — plan depth and cached state stay O(1) in the iteration
-    count, the iterative-algorithm discipline the BPE trainer uses.
+    rank frame is persisted and materialized every ``checkpoint_every``
+    iterations (and always at the end), its predecessor released — plan
+    depth and cached state stay O(checkpoint_every), the
+    iterative-algorithm discipline the BPE trainer uses. Raising
+    ``checkpoint_every`` trades plan depth for fewer jobs: a handful of
+    iterations can run as one job (Catalyst handles a few stacked
+    join+agg rounds fine); at hundreds of iterations keep it small.
     Per-edge contribution terms are cast to DECIMAL(28,12) before the
     sum, making every iteration bitwise order-independent.
 
@@ -95,10 +100,13 @@ def pagerank(
     # both constants computed DRIVER-side in IEEE doubles so an external
     # SQL oracle computing (1−d)/N and 1/N in its own double arithmetic
     # reproduces them bit-for-bit
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     base = (1.0 - damping) / n
     rank = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     rank.count()
-    for _ in range(iterations):
+    last_kept = rank
+    for i in range(iterations):
         contrib = (
             e.join(rank, e["_src"] == rank["node"])
             .select(
@@ -110,19 +118,20 @@ def pagerank(
             .groupBy("_dst")
             .agg(F.sum("_t").cast("double").alias("_s"))
         )
-        new_rank = (
-            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .persist()
+        new_rank = nodes.join(
+            contrib, nodes["node"] == contrib["_dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("rank"),
         )
-        new_rank.count()
-        rank.unpersist()
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_rank = new_rank.persist()
+            new_rank.count()
+            last_kept.unpersist()
+            last_kept = new_rank
         rank = new_rank
     nodes.unpersist()
     e.unpersist()

@@ -448,7 +448,8 @@ def test_corr_matrix_6m(spark, big):
 
     df = big.select("l_quantity", "l_extendedprice", "l_discount")
     got = {(r.col_x, r.col_y): r.corr for r in corr_matrix(
-        df, ["l_quantity", "l_extendedprice", "l_discount"]
+        df, ["l_quantity", "l_extendedprice", "l_discount"],
+        method="exact",
     ).collect()}
     for a, b in [("l_quantity", "l_extendedprice"),
                  ("l_quantity", "l_discount"),

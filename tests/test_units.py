@@ -613,6 +613,9 @@ def test_corr_matrix_matches_builtin_pairwise(spark):
     df = spark.createDataFrame(rows, "x double, y double, z double")
     got = {(r.col_x, r.col_y): (r.corr, r.n_pairs)
            for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    exact = {(r.col_x, r.col_y): (r.corr, r.n_pairs)
+             for r in corr_matrix(df, ["x", "y", "z"], method="exact").collect()}
+    assert got == exact  # both arms agree at output precision
     for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
         want = df.agg(F.round(F.corr(a, b), 6)).first()[0]
         assert abs(got[(a, b)][0] - want) <= 1e-6, (a, b, got[(a, b)], want)
@@ -795,3 +798,28 @@ def test_point_in_time_join_no_leak_no_zombie(spark):
     assert out[101] == (10.0,)
     assert out[102] == (20.0,)
     assert out[103] == (None,)
+
+
+def test_hll_sketches_merge_losslessly(spark):
+    """Round-8: the mergeable-sketch production pattern — per-partition
+    (per-week) HLL sketches unioned with hll_union_agg give the SAME
+    estimate as one sketch over the whole data, and the estimate is
+    within HLL error of the exact distinct count. This is how approx
+    distinct composes incrementally at 100 TB: sketch per partition
+    once, merge forever, never rescan."""
+    df = spark.createDataFrame(
+        [(i % 7, f"user{i % 4321}") for i in range(20_000)],
+        "week int, user string",
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("e")
+    ).first()["e"]
+    merged = (
+        df.groupBy("week")
+        .agg(F.hll_sketch_agg("user").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert merged == direct  # union of sketches == sketch of union
+    exact = 4321
+    assert abs(merged - exact) / exact < 0.05
