@@ -711,6 +711,58 @@ def _events_conversion_latency(spark, sf_dir):
 
 
 _BM25_TERMS = ["merge", "stream", "window"]
+_BM25_QUERIES = [
+    ("q_stream", ["stream", "window"]),
+    ("q_join", ["join", "merge"]),
+    ("q_scan", ["scan", "filter", "sort"]),
+]
+
+
+def _text_bm25_join(spark, sf_dir):
+    """Batch BM25 retrieval join (ops/text.py::bm25_join): three query
+    rows as DATA (never collected), postings semi-joined against the
+    query vocabulary, per-query deterministic top-5."""
+    from metadata_etl_framework_spark.ops.text import bm25_join
+
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, terms array<string>"
+    )
+    return bm25_join(_t(spark, sf_dir, "documents"), queries, k=5)
+
+
+def _anomaly_robust_z_by_type(spark, sf_dir):
+    """Per-group robust modified z over event values (quality/
+    anomaly.py::detect_robust_zscore_grouped): each event type gets its
+    own median/MAD, catching per-segment extremes a global scan
+    misses."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        detect_robust_zscore_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return detect_robust_zscore_grouped(
+        ev, "value", "event_id", ["event_type"]
+    )
+
+
+def _window_rolling_median(spark, sf_dir):
+    """Rolling exact median (functions/windows.py::rolling_quantile):
+    trailing-5 median of price per supplier — the robust moving
+    average that doesn't echo spikes."""
+    from metadata_etl_framework_spark.functions.windows import (
+        rolling_quantile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice",
+    )
+    return rolling_quantile(
+        li, "l_extendedprice",
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        window_size=5, q=0.5, partition_by=["l_suppkey"],
+        out="rolling_median",
+    )
 
 
 def _text_bm25_search(spark, sf_dir):
@@ -721,6 +773,47 @@ def _text_bm25_search(spark, sf_dir):
     from metadata_etl_framework_spark.ops.text import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+def _bm25_join_sql() -> str:
+    """DuckDB replay of bm25_join: the query rows inline as VALUES
+    (same driver-side literals both engines consume), identical Lucene
+    idf / tf arithmetic and decimal term accumulation."""
+    qrows = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+        WITH qt AS (SELECT * FROM (VALUES {qrows}) AS v(query_id, t)),
+        b AS (SELECT doc_id,
+               CASE WHEN text IS NULL OR TRIM(text) = ''
+                    THEN []::VARCHAR[]
+                    ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')
+               END AS toks
+             FROM documents),
+        bl AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
+        stats AS (SELECT COUNT(*) AS n,
+                         CAST(SUM(CAST(dl AS DECIMAL(30,10))) AS DOUBLE)
+                           / COUNT(*) AS avgdl
+                  FROM bl),
+        p AS (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id, dl, UNNEST(toks) AS t FROM bl)
+              WHERE t IN (SELECT DISTINCT t FROM qt)
+              GROUP BY 1, 2, 3),
+        dft AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS dfv FROM p GROUP BY t),
+        terms AS (SELECT qt.query_id, p.doc_id,
+               CAST(LN(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+                    * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                    AS DECIMAL(28,12)) AS s
+            FROM p JOIN dft USING (t) JOIN qt USING (t), stats),
+        sc AS (SELECT query_id, doc_id,
+                      ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score,
+                      CAST(COUNT(*) AS INT) AS n_terms_hit
+               FROM terms GROUP BY 1, 2),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS INT) AS rk
+              FROM sc)
+        SELECT query_id, doc_id, score, n_terms_hit, rk FROM r WHERE rk <= 5
+    """
 
 
 def _graph_pagerank_suppliers(spark, sf_dir):
@@ -3801,6 +3894,9 @@ _EXTRA_KEYS = [
     "corpus_embed_decontaminate",
     "trend_ols_by_flag",
     "text_bm25_search",
+    "text_bm25_join",
+    "anomaly_robust_z_by_type",
+    "window_rolling_median",
     "funnel_windowed",
     "events_changepoint",
     "events_cumulative_users",
@@ -4009,6 +4105,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_embed_decontaminate": _corpus_embed_decontaminate,
     "trend_ols_by_flag": _trend_ols_by_flag,
     "text_bm25_search": _text_bm25_search,
+    "text_bm25_join": _text_bm25_join,
+    "anomaly_robust_z_by_type": _anomaly_robust_z_by_type,
+    "window_rolling_median": _window_rolling_median,
     "funnel_windowed": _funnel_windowed,
     "events_changepoint": _events_changepoint,
     "events_cumulative_users": _events_cumulative_users,
@@ -4630,6 +4729,32 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(quantile_cont(lat_s, 0.5), 6) AS p50_s,
                    ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_s
             FROM lat
+        """,
+        "text_bm25_join": _bm25_join_sql(),
+        "anomaly_robust_z_by_type": """
+            WITH med AS (SELECT event_type,
+                                quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY 1),
+            j AS (SELECT e.event_id, e.event_type, e.value, m.med
+                  FROM events e JOIN med m USING (event_type)),
+            mad AS (SELECT event_type,
+                           quantile_cont(ABS(value - med), 0.5) AS mad
+                    FROM j GROUP BY 1)
+            SELECT j.event_type, j.event_id, j.value,
+                   ROUND(0.6745 * (j.value - j.med) / m2.mad, 6) AS robust_z
+            FROM j JOIN mad m2 USING (event_type)
+            WHERE m2.mad > 0
+              AND ABS(0.6745 * (j.value - j.med) / m2.mad) > 3.5
+        """,
+        "window_rolling_median": """
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   l_extendedprice,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.5) OVER (
+                         PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_median
+            FROM lineitem
         """,
         "text_bm25_search": r"""
             WITH b AS (SELECT doc_id,

@@ -161,3 +161,40 @@ def positional_value(
     else:
         raise ValueError(f"unknown positional method: {method!r}")
     return df.withColumn(output_col or f"{column}_{method}", expr)
+
+
+def rolling_quantile(
+    df,
+    value_col: str,
+    order_by,
+    window_size: int,
+    q: float = 0.5,
+    partition_by=(),
+    out: str | None = None,
+):
+    """Rolling EXACT quantile (default: moving median) over the trailing
+    ``window_size`` rows — the robust moving-average: one wild spike
+    moves a rolling mean for the whole window but barely moves the
+    rolling median, so threshold alerts don't echo.
+
+    ``F.percentile`` evaluated over a rows-between frame; state per
+    window is ``window_size`` values (bounded by construction).
+    ``partition_by`` keeps the window distributed — same contract as
+    the other rolling operators: never a partitionless global window
+    at scale. Output: input + ``{out}`` (6 dp).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+    name = out or f"rolling_p{int(q * 100):02d}"
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    return df.withColumn(
+        name, F.round(F.percentile(value_col, F.lit(q)).over(w), 6)
+    )

@@ -535,6 +535,102 @@ def bm25_topk(
     )
 
 
+def bm25_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Batch BM25 retrieval JOIN: top-``k`` corpus documents for EVERY
+    query in a query TABLE (``(query_id, terms array<string>)``) — the
+    set-retrieval shape :func:`bm25_topk` (one fixed query, driver-side
+    terms) can't serve when the queries themselves are data (thousands
+    of curation probes, one per topic/benchmark).
+
+    Fully distributed — the query set is never collected: the corpus
+    posting stream is semi-joined against the DISTINCT query-term
+    vocabulary (a frame, broadcast by AQE when small), per-term document
+    frequencies aggregate from those postings, and scoring joins
+    postings ⋈ exploded query terms on the term key — shuffles keyed on
+    terms and (query, doc), nothing keyed on raw tokens. Per-(query,
+    doc) term scores accumulate as DECIMAL; ranking uses the 6 dp
+    rounded score with doc-id tie-break (deterministic top-k per
+    query). Output: (query_id, id, score, n_terms_hit, rk).
+    """
+    qt = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.transform(
+                F.col(terms_col),
+                (lambda t: F.lower(t)) if lowercase else (lambda t: t),
+            )
+        ).alias("_t"),
+    ).dropDuplicates([query_id_col, "_t"])
+    vocab = qt.select("_t").distinct()
+
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    base = _spread(corpus).select(
+        F.col(id_col), toks.alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (
+            F.sum(F.col("_dl").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avgdl"),
+    )
+    postings = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("_t"))
+        .join(vocab, "_t", "left_semi")
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    df_t = postings.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_part = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.col("_avgdl")))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        postings.join(df_t, "_t")
+        .join(qt, "_t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (idf * tf_part).cast("decimal(28,12)").alias("_s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum("_s").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -595,3 +595,57 @@ def changepoint_mean_shift(
         .orderBy(F.desc("stat"), F.col("split_after"))
         .limit(1)
     )
+
+
+def detect_robust_zscore_grouped(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: "Sequence[str]",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-GROUP robust modified z (Iglewicz–Hoaglin): each group gets
+    its own median and MAD, so a value extreme for ITS segment is
+    caught even when it is ordinary globally (and vice versa) — the
+    per-tenant/per-source form of :func:`detect_robust_zscore`.
+
+    Exact per-group percentiles via ``F.percentile`` — the aggregation
+    state buffers one GROUP's values, which is the intended bound here
+    (a group is a tenant/source slice, not the whole table; for a
+    global scan use :func:`detect_robust_zscore`, which rides the
+    distributed prefix scan). Two grouped passes (median, then MAD) and
+    two shuffle joins on the group key; MAD = 0 groups yield no finite
+    score and are excluded, as in the global detector.
+
+    Output: group cols + (key, value, robust_z 6dp).
+    """
+    groups = list(group_cols)
+    med = df.groupBy(*groups).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    with_med = df.join(med, groups)
+    mad = (
+        with_med.select(
+            *groups,
+            F.abs(F.col(value_col) - F.col("_med")).alias("_adev"),
+        )
+        .groupBy(*groups)
+        .agg(F.percentile("_adev", F.lit(0.5)).alias("_mad"))
+    )
+    return (
+        with_med.join(mad, groups)
+        .withColumn(
+            "robust_z",
+            F.when(
+                F.col("_mad") > 0,
+                F.lit(0.6745)
+                * (F.col(value_col) - F.col("_med"))
+                / F.col("_mad"),
+            ),
+        )
+        .filter(F.abs(F.col("robust_z")) > threshold)
+        .select(
+            *groups, key_col, value_col,
+            F.round("robust_z", 6).alias("robust_z"),
+        )
+    )
