@@ -674,6 +674,34 @@ def _join_point_in_time(spark, sf_dir):
     )
 
 
+def _dist_weighted_median(spark, sf_dir):
+    """Exact weighted quantiles of price, weighted by quantity
+    (functions/aggregations.py::weighted_quantile): per-value weight
+    totals + the DECIMAL prefix scan — the lower weighted-quantile
+    definition, no single-task buffer."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        weighted_quantile,
+    )
+
+    return weighted_quantile(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        (0.25, 0.5, 0.75),
+    )
+
+
+def _events_time_weighted_avg(spark, sf_dir):
+    """Per-type time-weighted average of the event value stream
+    (ops/retention.py::time_weighted_avg): each value weighted by how
+    long it was live — honest averaging over irregular observations."""
+    from metadata_etl_framework_spark.ops.retention import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"), ["event_type"])
+
+
 def _events_changepoint(spark, sf_dir):
     """Mean-shift change-point over the event value series
     (quality/anomaly.py::changepoint_mean_shift): scaled-CUSUM argmax
@@ -3899,6 +3927,8 @@ _EXTRA_KEYS = [
     "window_rolling_median",
     "funnel_windowed",
     "events_changepoint",
+    "dist_weighted_median",
+    "events_time_weighted_avg",
     "events_cumulative_users",
     "join_point_in_time",
     "events_conversion_latency",
@@ -4110,6 +4140,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rolling_median": _window_rolling_median,
     "funnel_windowed": _funnel_windowed,
     "events_changepoint": _events_changepoint,
+    "dist_weighted_median": _dist_weighted_median,
+    "events_time_weighted_avg": _events_time_weighted_avg,
     "events_cumulative_users": _events_cumulative_users,
     "join_point_in_time": _join_point_in_time,
     "events_conversion_latency": _events_conversion_latency,
@@ -4590,6 +4622,40 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(CASE WHEN n > 1 AND vx > 0 AND vy > 0
                               THEN (cov / vx) * (cov / vx) * vx / vy END, 6) AS r2
             FROM f
+        """,
+        "dist_weighted_median": """
+            WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                              SUM(CAST(CAST(l_quantity AS DOUBLE)
+                                       AS DECIMAL(30,10))) AS w
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL AND l_quantity > 0
+                       GROUP BY 1),
+            s AS (SELECT v, CAST(SUM(w) OVER (ORDER BY v)
+                               AS DECIMAL(38,10)) AS cw FROM c),
+            t AS (SELECT CAST(SUM(w) AS DECIMAL(38,10)) AS tw FROM c),
+            q AS (SELECT UNNEST([0.25, 0.5, 0.75]) AS p)
+            SELECT p, MIN(v) AS value FROM s, t, q
+            WHERE CAST(cw AS DOUBLE) >= p * CAST(tw AS DOUBLE)
+            GROUP BY p ORDER BY p
+        """,
+        "events_time_weighted_avg": """
+            WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v, ts,
+                              LEAD(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id) AS nxt
+                       FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL),
+            d AS (SELECT event_type, v,
+                         EPOCH(nxt) - EPOCH(ts) AS dur
+                  FROM s WHERE nxt IS NOT NULL)
+            SELECT event_type,
+                   ROUND(CAST(SUM(CAST(v * dur AS DECIMAL(30,10))) AS DOUBLE)
+                         / CAST(SUM(CAST(dur AS DECIMAL(30,10))) AS DOUBLE),
+                         6) AS twap,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   ROUND(CAST(SUM(CAST(dur AS DECIMAL(30,10))) AS DOUBLE),
+                         6) AS span_s
+            FROM d GROUP BY event_type
         """,
         "events_cumulative_users": """
             WITH f AS (SELECT user_id,

@@ -997,3 +997,58 @@ def seasonal_profile(
         )
         .orderBy("season")
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    quantiles: Sequence[float] = (0.5,),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles (lower/left-continuous definition: the
+    smallest value whose cumulative weight reaches q·W) — the corpus
+    question unweighted quantiles get wrong ("median document length"
+    means median TOKEN-weighted, or half your compute budget lands in
+    the tail).
+
+    Same scale shape as :func:`global_quantiles`: per-distinct-value
+    weight totals (one shuffle, map-side combined), the two-phase
+    DECIMAL prefix scan for cumulative weights (ops/packing.py::
+    global_prefix_sum_decimal — exact fractional weights, no
+    partitionless window), then each target resolves with one tiny
+    aggregate over the broadcast threshold frame. No interpolation by
+    construction (the weighted analogue of ``type=1`` quantiles).
+
+    Rows with null or non-positive weight are excluded. Output: one row
+    per quantile — (p, value), ordered by p.
+    """
+    from metadata_etl_framework_spark.ops.packing import (
+        global_prefix_sum_decimal,
+    )
+
+    x = F.col(value_col).cast("double")
+    wcol = F.col(weight_col).cast("double")
+    counts = (
+        df.where(x.isNotNull() & wcol.isNotNull() & (wcol > 0))
+        .groupBy(x.alias("v"))
+        .agg(F.sum(wcol.cast("decimal(30,10)")).alias("w"))
+    )
+    scanned = global_prefix_sum_decimal(counts, "v", "w", out="cw")
+    tot = counts.agg(
+        F.sum(F.col("w")).cast("decimal(38,10)").alias("tw")
+    )
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(float(q),) for q in quantiles], "p double"
+    )
+    return (
+        scanned.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tdf))
+        .where(
+            F.col("cw").cast("double")
+            >= F.col("p") * F.col("tw").cast("double")
+        )
+        .groupBy("p")
+        .agg(F.min("v").alias("value"))
+        .orderBy("p")
+    )

@@ -164,6 +164,61 @@ def event_transitions(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per group over IRREGULAR observations: each
+    value counts for the interval it was live (until the next
+    observation), so a metric sampled every second and once an hour
+    averages honestly — the plain AVG over-weights chatty periods.
+
+    One window partitioned BY GROUP (never global) takes each
+    observation's successor timestamp; the last observation carries no
+    interval and drops out (standard TWAP over a closed span). Interval
+    value·duration products accumulate as DECIMAL, so the result is
+    order-independent and cross-engine hash-stable.
+
+    Output: group cols + (twap 6dp, n_intervals long, span_s double —
+    the covered duration in seconds).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(ts_col, id_col)
+    x = F.col(value_col).cast("double")
+    stepped = (
+        df.where(
+            F.col(ts_col).isNotNull() & x.isNotNull()
+        )
+        .withColumn("_next", F.lead(F.col(ts_col)).over(w))
+        .where(F.col("_next").isNotNull())
+        .select(
+            *groups,
+            x.alias("_v"),
+            (
+                F.col("_next").cast("double")
+                - F.col(ts_col).cast("double")
+            ).alias("_dur"),
+        )
+    )
+    return stepped.groupBy(*groups).agg(
+        F.round(
+            F.sum((F.col("_v") * F.col("_dur")).cast("decimal(30,10)"))
+            .cast("double")
+            / F.sum(F.col("_dur").cast("decimal(30,10)")).cast("double"),
+            6,
+        ).alias("twap"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("_dur").cast("decimal(30,10)")).cast("double"), 6
+        ).alias("span_s"),
+    )
+
+
 def cumulative_distinct_users(
     df: DataFrame,
     user_col: str = "user_id",

@@ -823,3 +823,45 @@ def test_hll_sketches_merge_losslessly(spark):
     assert merged == direct  # union of sketches == sketch of union
     exact = 4321
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_weighted_quantile_lower_definition(spark):
+    """Round-8: weighted quantiles follow the lower definition — the
+    smallest value whose cumulative weight reaches q·W."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 8.0), (99.0, 0.0), (None, 5.0)],
+        "v double, w double",
+    )
+    out = {r.p: r.value for r in weighted_quantile(
+        df, "v", "w", (0.2, 0.5, 1.0)
+    ).collect()}
+    assert out == {0.2: 2.0, 0.5: 3.0, 1.0: 3.0}
+
+
+def test_time_weighted_avg_hand_math(spark):
+    """Round-8: TWAP weights each value by its live interval; the last
+    observation carries no interval."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.retention import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", 1, t0, 10.0),
+        ("a", 2, t0 + dt.timedelta(seconds=30), 20.0),
+        ("a", 3, t0 + dt.timedelta(seconds=40), 999.0),  # last: no interval
+        ("b", 4, t0, 5.0),  # single observation: no interval, no row
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, event_id long, ts timestamp, value double"
+    )
+    out = {r.g: (r.twap, r.n_intervals, r.span_s) for r in time_weighted_avg(
+        df, ["g"], "ts", "value", "event_id"
+    ).collect()}
+    assert out == {"a": ((10.0 * 30 + 20.0 * 10) / 40, 2, 40.0)}
