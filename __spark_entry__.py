@@ -3420,6 +3420,51 @@ def _drift_suite(spark, sf_dir):
     )
 
 
+def _drift_qq_deciles(spark, sf_dir):
+    """QQ drift table (quality/drift.py::qq_table): both snapshots'
+    exact deciles side by side with abs/relative diffs — WHERE the
+    drift lives, each side on the scale-safe prefix-scan quantiles."""
+    from metadata_etl_framework_spark.quality.drift import qq_table
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return qq_table(ref, cur, "l_extendedprice")
+
+
+def _drift_ks_significance(spark, sf_dir):
+    """KS + asymptotic two-sided p-value (quality/drift.py::
+    ks_significance): fixed 20-term Kolmogorov series over
+    λ = (√n_e + 0.12 + 0.11/√n_e)·D — 'is the drift real or sampling
+    noise', deterministically replayable."""
+    from metadata_etl_framework_spark.quality.drift import ks_significance
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return ks_significance(ref, cur, "l_quantity")
+
+
+def _text_oov_rate(spark, sf_dir):
+    """Per-document OOV rate vs a frequency-derived vocabulary
+    (ops/text.py::oov_rate): the tokenizer-fit health check. The vocab
+    here is the deterministic top-40 corpus tokens (count desc, token
+    asc) — built as a FRAME, never collected."""
+    from metadata_etl_framework_spark.ops.text import oov_rate, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        tokens("text"), F.array().cast("array<string>")
+    )
+    vocab = (
+        docs.select(
+            F.explode(F.transform(toks, lambda t: F.lower(t))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(40)
+        .select("token")
+    )
+    return oov_rate(docs, vocab)
+
+
 def _drift_suite_forced_binned(spark, sf_dir):
     """drift_suite with the approx-distinct gate forced to 0 — the arm
     every numeric column takes at 100-TB cardinalities (ONE joint
@@ -3914,6 +3959,9 @@ _EXTRA_KEYS = [
     # Rotated OUT of the driver gate in round 8 (multi-round green
     # history there); still verified by the local parity suite.
     "drift_suite_forced_binned",
+    "drift_qq_deciles",
+    "drift_ks_significance",
+    "text_oov_rate",
     "corr_matrix_lineitem",
     "mi_docs_lang_source",
     "bucketize_ntile_price",
@@ -4281,6 +4329,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_chi2_returnflag": _drift_chi2_returnflag,
     "drift_suite": _drift_suite,
     "drift_suite_forced_binned": _drift_suite_forced_binned,
+    "drift_qq_deciles": _drift_qq_deciles,
+    "drift_ks_significance": _drift_ks_significance,
+    "text_oov_rate": _text_oov_rate,
     "curation_funnel": _curation_funnel,
     "curation_funnel_docs": _curation_funnel_docs,
     "text_top_bigrams": _text_top_bigrams,
@@ -7079,6 +7130,35 @@ def _ks_binned_ctes(col: str, nb: int) -> str:
     """
 
 
+def _ks_pvalue_sql() -> str:
+    """DuckDB replay of ks_significance: _ks_ctes exact KS + the SAME
+    fixed 20-term Kolmogorov series with identical literal coefficients
+    and left-associative arithmetic."""
+    terms = " + ".join(
+        f"({float((-1) ** (j - 1)) * 2.0!r}) * "
+        f"EXP(({-2.0 * j * j!r}) * lam * lam)"
+        for j in range(1, 21)
+    )
+    return f"""
+        WITH {_ks_ctes('l_quantity')},
+        k AS (SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6) AS ks_stat,
+                     CAST(n_ref AS BIGINT) AS n_ref,
+                     CAST(n_cur AS BIGINT) AS n_cur
+              FROM s, t GROUP BY n_ref, n_cur),
+        l AS (SELECT *,
+                     (SQRT(n_ref * n_cur / (n_ref + n_cur)) + 0.12
+                      + 0.11 / SQRT(n_ref * n_cur / (n_ref + n_cur)))
+                     * ks_stat AS lam
+              FROM k)
+        SELECT ks_stat, n_ref, n_cur,
+               ROUND(CASE WHEN lam < 0.1 THEN 1.0
+                          ELSE LEAST(1.0, GREATEST(0.0, {terms}))
+                     END, 6) AS p_value,
+               ROUND(lam, 6) AS lambda
+        FROM l
+    """
+
+
 def _chi2_ctes(col: str) -> str:
     return f"""
         tagged AS (
@@ -7269,6 +7349,58 @@ _ALL_SQL.update(
             SELECT 'l_linestatus', 'chi2',
                    (WITH {_chi2_ctes('l_linestatus')}
                     SELECT ROUND(SUM(term), 6) FROM terms)
+        """,
+        "drift_ks_significance": _ks_pvalue_sql(),
+        "drift_qq_deciles": f"""
+            WITH ref AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                         FROM lineitem WHERE {_DRIFT_REF}),
+            cur AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                    FROM lineitem WHERE {_DRIFT_CUR}),
+            rq0 AS (SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,
+                                             0.6,0.7,0.8,0.9]) AS vs
+                    FROM ref),
+            rq AS (SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p,
+                          ROUND(UNNEST(vs), 6) AS ref_value
+                   FROM rq0),
+            cq0 AS (SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,
+                                             0.6,0.7,0.8,0.9]) AS vs
+                    FROM cur),
+            cq AS (SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p,
+                          ROUND(UNNEST(vs), 6) AS cur_value
+                   FROM cq0)
+            SELECT rq.p, ref_value, cur_value,
+                   ROUND(cur_value - ref_value, 6) AS diff,
+                   ROUND(CASE WHEN ref_value <> 0
+                              THEN (cur_value - ref_value) / ref_value
+                         END, 6) AS rel_diff
+            FROM rq JOIN cq ON rq.p = cq.p
+            ORDER BY rq.p
+        """,
+        "text_oov_rate": r"""
+            WITH toks AS (SELECT doc_id,
+                   UNNEST(CASE WHEN text IS NULL OR TRIM(text) = ''
+                               THEN []::VARCHAR[]
+                               ELSE REGEXP_SPLIT_TO_ARRAY(
+                                        LOWER(TRIM(text)), '\s+')
+                          END) AS t
+                 FROM documents),
+            vocab AS (SELECT t FROM (
+                SELECT t, COUNT(*) AS c FROM toks
+                GROUP BY t ORDER BY c DESC, t LIMIT 40)),
+            per AS (SELECT d.doc_id,
+                           COUNT(tk.t) AS n_tokens,
+                           COUNT(CASE WHEN tk.t IS NOT NULL
+                                       AND v.t IS NULL THEN 1 END) AS n_oov
+                    FROM documents d
+                    LEFT JOIN toks tk ON d.doc_id = tk.doc_id
+                    LEFT JOIN vocab v ON tk.t = v.t
+                    GROUP BY d.doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   ROUND(CASE WHEN n_tokens > 0
+                              THEN CAST(n_oov AS DOUBLE) / n_tokens
+                         END, 6) AS oov_rate
+            FROM per
         """,
         # the gate-forced binned arm: PSI identical to the exact suite
         # (bin-defined), KS over ks_bins=1000 pooled-edge buckets plus

@@ -1347,3 +1347,106 @@ def ks_vs_baseline(
     for f in persisted:
         f.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+def qq_table(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    quantiles: "Sequence[float]" = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Quantile–quantile drift table: the two snapshots' exact deciles
+    side by side with their differences — WHERE in the distribution the
+    drift lives (PSI/KS say *that* it moved; the QQ table says "the p90
+    moved 40%, the median didn't" — the row a human acts on).
+
+    Each side rides the scale-safe exact-quantile formulation
+    (functions/aggregations.py::global_quantiles — per-value counts +
+    distributed prefix scan, never a single-task percentile buffer);
+    the join is on the ≤len(quantiles)-row result frames. Output:
+    (p, ref_value, cur_value, diff, rel_diff 6dp), ordered by p;
+    rel_diff is NULL at a zero reference value.
+    """
+    from metadata_etl_framework_spark.functions.aggregations import (
+        global_quantiles,
+    )
+
+    _require_two_samples(ref, cur, col)
+    rq = global_quantiles(ref, col, quantiles).withColumnRenamed(
+        "value", "ref_value"
+    )
+    cq = global_quantiles(cur, col, quantiles).withColumnRenamed(
+        "value", "cur_value"
+    )
+    diff = F.col("cur_value") - F.col("ref_value")
+    return (
+        rq.join(cq, "p")
+        .select(
+            "p",
+            "ref_value",
+            "cur_value",
+            F.round(diff, 6).alias("diff"),
+            F.round(
+                F.when(F.col("ref_value") != 0, diff / F.col("ref_value")),
+                6,
+            ).alias("rel_diff"),
+        )
+        .orderBy("p")
+    )
+
+
+_KS_SERIES_TERMS = 20
+
+
+def ks_significance(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: "int | None" = None,
+) -> DataFrame:
+    """:func:`ks_statistic` plus its asymptotic two-sided p-value — the
+    "is this drift REAL or just sampling noise" number a monitoring
+    alert needs before paging anyone.
+
+    The standard asymptotic approximation: with effective size
+    n_e = n_ref·n_cur/(n_ref+n_cur) and λ = (√n_e + 0.12 + 0.11/√n_e)·D,
+    p = 2·Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²}, truncated at a FIXED
+    {terms} terms (the series converges like e^{−2j²}; both engines
+    evaluating the same truncation makes the value deterministic and
+    cross-engine reproducible). λ < 0.1 short-circuits to p = 1 — the
+    alternating series needs unboundedly many terms as λ → 0 while the
+    true tail probability is 1 there (Numerical Recipes' probks applies
+    the same escape). Valid for the usual n ≳ 35 per side; with
+    ``n_bins`` the p-value inherits the binned D's conservative bias
+    (D_binned ≤ D_exact → p is an upper bound — the safe direction for
+    alerting). Output: ks_statistic's row + (lambda 6dp, p_value 6dp,
+    clamped to [0, 1]).
+    """
+    stat = ks_statistic(ref, cur, col, n_bins=n_bins)
+    ne = (
+        F.col("n_ref") * F.col("n_cur")
+        / (F.col("n_ref") + F.col("n_cur"))
+    )
+    lam = (
+        F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)
+    ) * F.col("ks_stat")
+    series = None
+    for j in range(1, _KS_SERIES_TERMS + 1):
+        term = F.lit(float((-1) ** (j - 1)) * 2.0) * F.exp(
+            F.lit(-2.0 * j * j) * F.col("_lam") * F.col("_lam")
+        )
+        series = term if series is None else series + term
+    return (
+        stat.withColumn("_lam", lam)
+        .withColumn(
+            "p_value",
+            F.round(
+                F.when(F.col("_lam") < 0.1, F.lit(1.0)).otherwise(
+                    F.least(F.lit(1.0), F.greatest(F.lit(0.0), series))
+                ),
+                6,
+            ),
+        )
+        .withColumn("lambda", F.round(F.col("_lam"), 6))
+        .drop("_lam")
+    )

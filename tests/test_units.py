@@ -865,3 +865,22 @@ def test_time_weighted_avg_hand_math(spark):
         df, ["g"], "ts", "value", "event_id"
     ).collect()}
     assert out == {"a": ((10.0 * 30 + 20.0 * 10) / 40, 2, 40.0)}
+
+
+def test_ks_significance_extremes(spark):
+    """Round-8: KS p-value sanity — identical samples give D=0, p=1;
+    disjoint distributions give p ~ 0; p is within [0, 1]."""
+    from metadata_etl_framework_spark.quality.drift import ks_significance
+
+    a = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "x double"
+    )
+    same = ks_significance(a, a, "x").first()
+    assert same.ks_stat == 0.0 and same.p_value == 1.0
+
+    b = spark.createDataFrame(
+        [(float(i % 50) + 1000.0,) for i in range(500)], "x double"
+    )
+    far = ks_significance(a, b, "x").first()
+    assert far.ks_stat == 1.0 and far.p_value == 0.0
+    assert 0.0 <= far.p_value <= 1.0 and far["lambda"] > 0
