@@ -674,6 +674,32 @@ def _join_point_in_time(spark, sf_dir):
     )
 
 
+def _dist_lorenz_price(spark, sf_dir):
+    """Lorenz-curve points of order value (functions/aggregations.py::
+    lorenz_curve): what share of total spend the bottom p of orders
+    holds — the concentration table behind the Gini number, on the
+    dual prefix scan."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        lorenz_curve,
+    )
+
+    return lorenz_curve(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _dist_gini_by_source(spark, sf_dir):
+    """Per-source Gini of document length (functions/aggregations.py::
+    gini_by_group): which sources are dominated by a few huge
+    documents — within-group ranks from a group-partitioned window,
+    decimal rank·value sums."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        gini_by_group,
+    )
+
+    return gini_by_group(
+        _t(spark, sf_dir, "documents"), ["source"], "n_chars"
+    )
+
+
 def _dist_weighted_median(spark, sf_dir):
     """Exact weighted quantiles of price, weighted by quantity
     (functions/aggregations.py::weighted_quantile): per-value weight
@@ -3976,6 +4002,8 @@ _EXTRA_KEYS = [
     "funnel_windowed",
     "events_changepoint",
     "dist_weighted_median",
+    "dist_lorenz_price",
+    "dist_gini_by_source",
     "events_time_weighted_avg",
     "events_cumulative_users",
     "join_point_in_time",
@@ -4189,6 +4217,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_windowed": _funnel_windowed,
     "events_changepoint": _events_changepoint,
     "dist_weighted_median": _dist_weighted_median,
+    "dist_lorenz_price": _dist_lorenz_price,
+    "dist_gini_by_source": _dist_gini_by_source,
     "events_time_weighted_avg": _events_time_weighted_avg,
     "events_cumulative_users": _events_cumulative_users,
     "join_point_in_time": _join_point_in_time,
@@ -4673,6 +4703,53 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(CASE WHEN n > 1 AND vx > 0 AND vy > 0
                               THEN (cov / vx) * (cov / vx) * vx / vy END, 6) AS r2
             FROM f
+        """,
+        "dist_lorenz_price": """
+            WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                              COUNT(*) AS c,
+                              SUM(CAST(CAST(o_totalprice AS DOUBLE)
+                                       AS DECIMAL(30,10))) AS m
+                       FROM orders WHERE o_totalprice IS NOT NULL
+                       GROUP BY 1),
+            s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS ca,
+                         CAST(SUM(m) OVER (ORDER BY v)
+                              AS DECIMAL(38,10)) AS cm
+                  FROM c),
+            t AS (SELECT SUM(c) AS n,
+                         CAST(SUM(m) AS DECIMAL(38,10)) AS tm FROM c),
+            q AS (SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,
+                                 0.6,0.7,0.8,0.9]) AS p),
+            hit AS (SELECT q.p, s.v, s.cm
+                    FROM s, t, q WHERE s.ca >= q.p * t.n),
+            best AS (SELECT p, MIN(v) AS value FROM hit GROUP BY p),
+            at AS (SELECT b.p, b.value, h.cm
+                   FROM best b JOIN hit h
+                     ON h.p = b.p AND h.v = b.value)
+            SELECT at.p, at.value,
+                   ROUND(CAST(at.cm AS DOUBLE) / CAST(t.tm AS DOUBLE),
+                         6) AS cum_share
+            FROM at, t ORDER BY at.p
+        """,
+        "dist_gini_by_source": """
+            WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS v
+                       FROM documents WHERE n_chars IS NOT NULL),
+            r AS (SELECT source, v,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY v) AS rk
+                  FROM b),
+            g AS (SELECT source, COUNT(*) AS n,
+                         CAST(SUM(CAST(v AS DECIMAL(30,10)))
+                              AS DECIMAL(38,10)) AS t,
+                         SUM(CAST(v * rk AS DECIMAL(38,10))) AS rs
+                  FROM r GROUP BY source)
+            SELECT source,
+                   ROUND(CASE WHEN CAST(t AS DOUBLE) > 0
+                              THEN 2.0 * CAST(rs AS DOUBLE)
+                                   / (n * CAST(t AS DOUBLE))
+                                   - (n + 1.0) / n
+                              ELSE 0.0 END, 6) AS gini,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM g
         """,
         "dist_weighted_median": """
             WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -1052,3 +1052,147 @@ def weighted_quantile(
         .agg(F.min("v").alias("value"))
         .orderBy("p")
     )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    points: Sequence[float] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Lorenz-curve points — the concentration table behind the Gini
+    number: "the bottom p of rows holds what share of the total?"
+    (token budgets: the bottom 90% of documents may hold 40% of the
+    tokens; spend: the top decile of customers may hold half the
+    revenue).
+
+    Same machinery as :func:`gini_coefficient`: per-value counts, the
+    dual prefix scan carrying BOTH cumulative row counts and (decimal)
+    cumulative value mass, then each requested population fraction
+    resolves against the broadcast target frame. For each p: the
+    smallest value v whose cumulative row count reaches p·n, and the
+    cumulative mass share at and below v — value-level granularity, so
+    a TIE GROUP is indivisible (all rows at v count into the share;
+    with heavy ties the curve steps at the tied value rather than
+    splitting it pro-rata). Non-negative values required
+    (shares are meaningless with mixed signs). Output: (p, value,
+    cum_share 6dp), ordered by p.
+    """
+    from metadata_etl_framework_spark.quality.drift import _dual_prefix_scan
+
+    x = F.col(value_col).cast("double")
+    counts = (
+        df.where(x.isNotNull())
+        .groupBy(x.alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(x.cast("decimal(30,10)")).alias("m"),
+        )
+        .persist()
+    )
+    neg = counts.where(F.col("v") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"lorenz_curve requires non-negative {value_col!r} values"
+        )
+    # one scan carries cumulative ROWS; cumulative MASS re-derives from
+    # the same ordered frame with a second prefix pass on the decimal
+    # column (the dual scan's two slots are long-typed counts)
+    persisted: "list[DataFrame]" = [counts]
+    scanned = _dual_prefix_scan(counts, "v", "c", "c", persisted=persisted)
+    from metadata_etl_framework_spark.ops.packing import (
+        global_prefix_sum_decimal,
+    )
+
+    with_mass = global_prefix_sum_decimal(
+        scanned, "v", "m", out="cm", persisted=persisted
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("m")).cast("decimal(38,10)").alias("tm"),
+    )
+    spark = df.sparkSession
+    tdf = spark.createDataFrame([(float(p),) for p in points], "p double")
+    out = (
+        with_mass.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tdf))
+        .where(F.col("__ca") >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(
+            F.min("v").alias("value"),
+            F.min(
+                F.struct(
+                    F.col("v"),
+                    F.col("cm").cast("double").alias("cm"),
+                )
+            ).alias("_at"),
+        )
+        .crossJoin(F.broadcast(tot.select(F.col("tm"))))
+        .select(
+            "p",
+            "value",
+            F.round(
+                F.col("_at.cm") / F.col("tm").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("p")
+    )
+    rows = out.collect()
+    schema = out.schema
+    for f in persisted:
+        f.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini coefficient PER GROUP — concentration by segment
+    ("which sources are one-document-dominated?"), the grouped form of
+    :func:`gini_coefficient`.
+
+    Within-group ranks come from one window partitioned BY GROUP
+    (bounded by the group's size — the intended regime; the global
+    function rides the distributed prefix scan instead), rank·value
+    products accumulate as DECIMAL, and the closed form
+    G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n evaluates on the grouped frame.
+    Ranks over ties are interchangeable for equal values, so the sum —
+    and G — is tie-invariant and deterministic. Non-negative values
+    required. Output: group cols + (gini 6dp, n_rows long).
+    """
+    groups = list(group_cols)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(*groups, x.alias("_v"))
+    if base.where(F.col("_v") < 0).limit(1).count():
+        raise ValueError(
+            f"gini_by_group requires non-negative {value_col!r} values"
+        )
+    w = Window.partitionBy(*groups).orderBy("_v")
+    ranked = base.withColumn("_r", F.row_number().over(w))
+    return (
+        ranked.groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(30,10)"))
+            .cast("decimal(38,10)")
+            .alias("_t"),
+            F.sum((F.col("_v") * F.col("_r")).cast("decimal(38,10)")).alias(
+                "_rs"
+            ),
+        )
+        .select(
+            *groups,
+            F.round(
+                F.when(
+                    F.col("_t").cast("double") > 0,
+                    2.0
+                    * F.col("_rs").cast("double")
+                    / (F.col("_n") * F.col("_t").cast("double"))
+                    - (F.col("_n") + 1.0) / F.col("_n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("gini"),
+            F.col("_n").cast("long").alias("n_rows"),
+        )
+    )

@@ -100,6 +100,7 @@ def global_prefix_sum_decimal(
     value_col: str,
     out: str = "prefix_sum",
     num_partitions: int | None = None,
+    persisted: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """:func:`global_prefix_sum` for NUMERIC (non-integer) values:
     running totals accumulate as DECIMAL(30,10) / DECIMAL(38,10), so the
@@ -124,6 +125,11 @@ def global_prefix_sum_decimal(
     with_pid = ranged.withColumn(
         "__pid", F.spark_partition_id()
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the cache is correctness-critical until the consumer materializes
+    # (sampled range boundaries); eager callers pass `persisted` to own
+    # the release
+    if persisted is not None:
+        persisted.append(with_pid)
     dec = F.col(value_col).cast("decimal(30,10)")
     subtotals = (
         with_pid.groupBy("__pid")

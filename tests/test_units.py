@@ -884,3 +884,57 @@ def test_ks_significance_extremes(spark):
     far = ks_significance(a, b, "x").first()
     assert far.ks_stat == 1.0 and far.p_value == 0.0
     assert 0.0 <= far.p_value <= 1.0 and far["lambda"] > 0
+
+
+def test_lorenz_curve_hand_math(spark):
+    """Round-8: Lorenz points on a hand-computable distribution — equal
+    values give the diagonal; one dominant row bends the curve."""
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        lorenz_curve,
+    )
+
+    # distinct uniform masses 10..100: cum share at p is the closed form
+    # p'(p'+... ) — e.g. bottom 50% of rows = values 10..50 = 150/550
+    lin = spark.createDataFrame(
+        [(float(i), float(10 * (i + 1))) for i in range(10)],
+        "i double, v double",
+    )
+    out = {r.p: r.cum_share for r in lorenz_curve(lin, "v", (0.2, 0.5, 1.0)).collect()}
+    assert out == {0.2: round(30 / 550, 6), 0.5: round(150 / 550, 6), 1.0: 1.0}
+
+    # value-level granularity: a tie group is indivisible — with ALL
+    # rows equal, every p resolves to the single distinct value and the
+    # full mass (documented semantics)
+    flat = spark.createDataFrame([(float(i), 5.0) for i in range(10)],
+                                 "i double, v double")
+    out_f = {r.p: r.cum_share for r in lorenz_curve(flat, "v", (0.2,)).collect()}
+    assert out_f == {0.2: 1.0}
+
+    skew = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(9)] + [(9.0, 91.0)],
+        "i double, v double",
+    )
+    out2 = {r.p: r.cum_share for r in lorenz_curve(skew, "v", (0.9, 1.0)).collect()}
+    assert out2 == {0.9: 0.09, 1.0: 1.0}  # bottom 90% holds 9% of mass
+
+    with _pt.raises(ValueError, match="non-negative"):
+        lorenz_curve(spark.createDataFrame([(-1.0,)], "v double"), "v")
+
+
+def test_gini_by_group_matches_global(spark):
+    """Round-8: per-group Gini equals the global gini_coefficient when
+    computed per slice, and is 0 for a perfectly equal group."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        gini_by_group,
+        gini_coefficient,
+    )
+
+    rows = [("a", float(v)) for v in [1, 1, 1, 1]]
+    rows += [("b", float(v)) for v in [1, 2, 3, 10, 20, 5, 7, 1]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r.gini for r in gini_by_group(df, ["g"], "v").collect()}
+    assert got["a"] == 0.0
+    want_b = gini_coefficient(df.where(F.col("g") == "b"), "v").first().gini
+    assert got["b"] == want_b
