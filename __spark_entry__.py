@@ -674,6 +674,22 @@ def _join_point_in_time(spark, sf_dir):
     )
 
 
+def _basket_brand_affinity(spark, sf_dir):
+    """Market-basket affinity over order baskets of part BRANDS
+    (ops/affinity.py::basket_affinity): distinct presence reduction,
+    self-join on the basket key (never a cross join), exact
+    support/confidence/lift — pairs co-occurring in ≥ 5 orders."""
+    from metadata_etl_framework_spark.ops.affinity import basket_affinity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        p, li["l_partkey"] == p["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    return basket_affinity(baskets, "l_orderkey", "p_brand",
+                           min_pair_count=5)
+
+
 def _dist_lorenz_price(spark, sf_dir):
     """Lorenz-curve points of order value (functions/aggregations.py::
     lorenz_curve): what share of total spend the bottom p of orders
@@ -4004,6 +4020,7 @@ _EXTRA_KEYS = [
     "dist_weighted_median",
     "dist_lorenz_price",
     "dist_gini_by_source",
+    "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
     "join_point_in_time",
@@ -4218,6 +4235,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changepoint": _events_changepoint,
     "dist_weighted_median": _dist_weighted_median,
     "dist_lorenz_price": _dist_lorenz_price,
+    "basket_brand_affinity": _basket_brand_affinity,
     "dist_gini_by_source": _dist_gini_by_source,
     "events_time_weighted_avg": _events_time_weighted_avg,
     "events_cumulative_users": _events_cumulative_users,
@@ -4703,6 +4721,28 @@ _ALL_SQL: dict[str, str] = {
                    ROUND(CASE WHEN n > 1 AND vx > 0 AND vy > 0
                               THEN (cov / vx) * (cov / vx) * vx / vy END, 6) AS r2
             FROM f
+        """,
+        "basket_brand_affinity": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                           FROM lineitem JOIN part
+                             ON l_partkey = p_partkey
+                           WHERE l_orderkey IS NOT NULL
+                             AND p_brand IS NOT NULL),
+            n AS (SELECT COUNT(DISTINCT b) AS nb FROM items),
+            ci AS (SELECT i, COUNT(*) AS c FROM items GROUP BY i),
+            pr AS (SELECT a.i AS ia, c.i AS ib, COUNT(*) AS cab
+                   FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+            SELECT pr.ia AS item_a, pr.ib AS item_b,
+                   CAST(cab AS BIGINT) AS n_both,
+                   ROUND(cab / nb, 6) AS support,
+                   ROUND(cab / ca.c, 6) AS conf_a_to_b,
+                   ROUND(cab / cb.c, 6) AS conf_b_to_a,
+                   ROUND((cab * nb) / (ca.c * cb.c), 6) AS lift
+            FROM pr
+            JOIN ci ca ON ca.i = pr.ia
+            JOIN ci cb ON cb.i = pr.ib
+            CROSS JOIN n
         """,
         "dist_lorenz_price": """
             WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,

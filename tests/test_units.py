@@ -938,3 +938,27 @@ def test_gini_by_group_matches_global(spark):
     assert got["a"] == 0.0
     want_b = gini_coefficient(df.where(F.col("g") == "b"), "v").first().gini
     assert got["b"] == want_b
+
+
+def test_basket_affinity_hand_math(spark):
+    """Round-8: lift/support/confidence on a hand-computable basket set;
+    multiplicity inside a basket is presence, not double-counting."""
+    rows = [
+        (1, "x"), (1, "y"), (1, "x"),      # duplicate x collapses
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "z"),
+    ]
+    from metadata_etl_framework_spark.ops.affinity import basket_affinity
+
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r.item_a, r.item_b): r for r in basket_affinity(
+        df, "b", "i"
+    ).collect()}
+    xy = out[("x", "y")]
+    # n=4 baskets, c_x=3, c_y=2, c_xy=2
+    assert xy.n_both == 2 and xy.support == 0.5
+    assert xy.conf_a_to_b == round(2 / 3, 6) and xy.conf_b_to_a == 1.0
+    assert xy.lift == round(2 * 4 / (3 * 2), 6)
+    xz = out[("x", "z")]
+    assert xz.n_both == 1 and xz.lift == round(1 * 4 / (3 * 2), 6)
