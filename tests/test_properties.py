@@ -10,6 +10,8 @@ from datetime import datetime, timedelta
 
 from hypothesis import given, settings, strategies as st
 
+from pyspark.sql import functions as F
+
 from metadata_etl_framework_spark.catalog.schema_manager import (
     split_sql_statements,
 )
@@ -221,3 +223,95 @@ def test_binned_ks_and_emd_bracket_property(a, b, bins):
         assert abs(be[0].emd - ee[0].emd) <= be[0].err_bound + 1e-6
     else:
         assert bool(ee) == bool(be)
+
+
+@given(
+    n=st.integers(2, 40),
+    k=st.integers(1, 10),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=8, deadline=None)
+def test_ntile_assign_matches_window_property(spark, n, k, seed):
+    """Round-8 property: ntile_assign's closed form == the NTILE window
+    for any (n, k) and any value permutation (unique tie-break)."""
+    from pyspark.sql import Window
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    rows = [(i, float((i * 2654435761 + seed) % 1000)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r.id: r.bucket for r in ntile_assign(df, ["v", "id"], k).collect()}
+    want = {r.id: r.nt for r in df.select(
+        "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("nt")
+    ).collect()}
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=25,
+    ),
+    p=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+@settings(max_examples=8, deadline=None)
+def test_weighted_quantile_unit_weights_is_type1(spark, vals, p):
+    """Round-8 property: with unit weights, weighted_quantile reduces to
+    the type-1 (lower) quantile — smallest v with cum count >= p·n."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame([(v, 1.0) for v in vals], "v double, w double")
+    got = weighted_quantile(df, "v", "w", (p,)).first()["value"]
+    s = sorted(vals)
+    import math
+
+    want = s[max(0, math.ceil(p * len(s)) - 1)]
+    assert got == want
+
+
+@given(shift_at=st.integers(5, 55), seed=st.integers(0, 100))
+@settings(max_examples=8, deadline=None)
+def test_changepoint_recovers_any_split(spark, shift_at, seed):
+    """Round-8 property: a clean level shift at ANY position is
+    recovered exactly by the CUSUM argmax."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        changepoint_mean_shift,
+    )
+
+    lo, hi = float(seed % 7), float(seed % 7 + 5)
+    rows = [(i, lo if i < shift_at else hi) for i in range(60)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    r = changepoint_mean_shift(df, ["t"], "v").first()
+    assert r.split_after == shift_at
+    assert (r.mean_before, r.mean_after) == (lo, hi)
+
+
+def test_pagerank_mass_conservation(spark):
+    """Round-8: with no dangling nodes total rank mass is exactly 1 per
+    iteration; adding a dangling node makes mass decay toward the
+    teleport share (documented semantics)."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    ring = spark.createDataFrame(
+        [(str(i), str((i + 1) % 6), 1.0) for i in range(6)],
+        "src string, dst string, w double",
+    )
+    total = pagerank(ring, iterations=4, weight_col="w").agg(
+        F.sum("rank")
+    ).first()[0]
+    # each output rank is rounded to 6dp, so the sum may be off by up
+    # to n/2 ulps of 1e-6
+    assert abs(total - 1.0) <= 6e-6
+
+    dangling = ring.unionByName(spark.createDataFrame(
+        [("0", "sink", 1.0)], "src string, dst string, w double"
+    ))
+    total_d = pagerank(dangling, iterations=4, weight_col="w").agg(
+        F.sum("rank")
+    ).first()[0]
+    assert total_d < 1.0
