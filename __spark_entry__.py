@@ -913,6 +913,43 @@ def _graph_pagerank_suppliers(spark, sf_dir):
     )
 
 
+_PPR_SEEDS = ["c1", "c2", "c3"]
+
+
+def _graph_ppr_customers(spark, sf_dir):
+    """Personalized PageRank from a 3-customer seed set over the same
+    trade graph (ops/graph.py::pagerank seed_nodes) — 'which suppliers
+    matter to THESE customers', the related-items primitive; teleport
+    is a per-row CASE, plan unchanged, iterations replayed in SQL."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = pair.select(
+        c.alias("src"), s.alias("dst"), F.col("n")
+    ).unionAll(pair.select(s.alias("src"), c.alias("dst"), F.col("n")))
+    return pagerank(
+        edges, iterations=3, damping=0.85, weight_col="n",
+        checkpoint_every=3, seed_nodes=_PPR_SEEDS,
+    )
+
+
+def _events_session_stats(spark, sf_dir):
+    """Per-session metrics over gap-rule sessions (ops/retention.py::
+    session_stats): event count, duration, bounce flag — one pass on
+    the per-user gaps-and-islands window."""
+    from metadata_etl_framework_spark.ops.retention import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
 def _fuzzy_match_customers(spark, sf_dir):
     """Blocked fuzzy self-match over customer names (functions/joins.py::
     fuzzy_join_blocked): nation-key blocking turns the O(n²) fuzzy
@@ -942,7 +979,7 @@ def _corpus_embed_decontaminate(spark, sf_dir):
     return sim_ops.embed_decontaminate(corpus, ev, threshold=0.3)
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(seeds: "list[str] | None" = None) -> str:
     """DuckDB replay of the 3-iteration PageRank: identical edge
     construction, identical DECIMAL(28,12) contribution accumulation,
     identical double teleport arithmetic ((1.0−0.85)/nn and 1.0/nn are
@@ -964,8 +1001,25 @@ def _pagerank_sql() -> str:
                               AS DOUBLE) AS ow FROM e0 GROUP BY src)""",
         """e AS (SELECT e0.src, e0.dst, e0.w, ow.ow
                  FROM e0 JOIN ow ON e0.src = ow.src)""",
-        "r0 AS (SELECT node, 1.0 / nn AS r FROM nodes, t)",
+        (
+            "r0 AS (SELECT node, CASE WHEN node IN ({sl}) THEN {init!r} "
+            "ELSE 0.0 END AS r FROM nodes, t)".format(
+                sl=", ".join(f"'{s}'" for s in seeds),
+                init=1.0 / len(seeds),
+            )
+            if seeds
+            else "r0 AS (SELECT node, 1.0 / nn AS r FROM nodes, t)"
+        ),
     ]
+    if seeds:
+        base_sql = (
+            "CASE WHEN node IN ({sl}) THEN {b!r} ELSE 0.0 END".format(
+                sl=", ".join(f"'{s}'" for s in seeds),
+                b=(1.0 - 0.85) / len(seeds),
+            )
+        )
+    else:
+        base_sql = "((1.0 - 0.85) / nn)"
     for k in range(1, 4):
         ctes.append(
             f"""c{k} AS (SELECT e.dst,
@@ -975,7 +1029,7 @@ def _pagerank_sql() -> str:
         )
         ctes.append(
             f"""r{k} AS (SELECT node,
-                       ((1.0 - 0.85) / nn) + 0.85 * COALESCE(s, 0.0) AS r
+                       {base_sql} + 0.85 * COALESCE(s, 0.0) AS r
                  FROM nodes CROSS JOIN t
                  LEFT JOIN c{k} ON node = c{k}.dst)"""
         )
@@ -4008,6 +4062,8 @@ _EXTRA_KEYS = [
     "mi_docs_lang_source",
     "bucketize_ntile_price",
     "graph_pagerank_suppliers",
+    "graph_ppr_customers",
+    "events_session_stats",
     "fuzzy_match_customers",
     "corpus_embed_decontaminate",
     "trend_ols_by_flag",
@@ -4224,6 +4280,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_docs_lang_source": _mi_docs_lang_source,
     "bucketize_ntile_price": _bucketize_ntile_price,
     "graph_pagerank_suppliers": _graph_pagerank_suppliers,
+    "graph_ppr_customers": _graph_ppr_customers,
+    "events_session_stats": _events_session_stats,
     "fuzzy_match_customers": _fuzzy_match_customers,
     "corpus_embed_decontaminate": _corpus_embed_decontaminate,
     "trend_ols_by_flag": _trend_ols_by_flag,
@@ -4684,6 +4742,30 @@ _ALL_SQL: dict[str, str] = {
         """,
         "corr_matrix_lineitem": _corr_matrix_sql(),
         "graph_pagerank_suppliers": _pagerank_sql(),
+        "graph_ppr_customers": _pagerank_sql(seeds=_PPR_SEEDS),
+        "events_session_stats": """
+            WITH b AS (SELECT user_id, event_id, ts FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            s AS (SELECT *,
+                         CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS ns
+                  FROM b
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (SELECT *,
+                          SUM(ns) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                            AS session_id
+                   FROM s)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(EPOCH(MAX(ts)) - EPOCH(MIN(ts)), 6) AS duration_s,
+                   STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS started,
+                   STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ended,
+                   COUNT(*) = 1 AS is_bounce
+            FROM s2 GROUP BY user_id, session_id
+        """,
         "trend_ols_by_flag": """
             WITH s AS (SELECT l_returnflag,
               COUNT(CASE WHEN l_quantity IS NOT NULL

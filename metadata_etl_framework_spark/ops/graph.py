@@ -36,6 +36,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     checkpoint_every: int = 1,
+    seed_nodes: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -58,6 +59,14 @@ def pagerank(
     join+agg rounds fine); at hundreds of iterations keep it small.
     Per-edge contribution terms are cast to DECIMAL(28,12) before the
     sum, making every iteration bitwise order-independent.
+
+    ``seed_nodes`` switches to PERSONALIZED PageRank: the teleport mass
+    (and the starting distribution) concentrates uniformly on the seed
+    set instead of all nodes — "importance relative to THESE nodes",
+    the related-items / similar-customers primitive. Seeds are a
+    driver-side list (a query parameter, like an ANN query vector), so
+    the distributed plan is unchanged: the teleport term becomes a
+    per-row CASE on seed membership.
 
     Returns (node, rank) with rank rounded to 6 dp. The returned frame
     derives from the final cached iteration; call ``.unpersist()`` on
@@ -102,8 +111,21 @@ def pagerank(
     # reproduces them bit-for-bit
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
-    base = (1.0 - damping) / n
-    rank = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    if seed_nodes is not None:
+        seeds = sorted(set(seed_nodes))
+        if not seeds:
+            raise ValueError("seed_nodes must be non-empty when given")
+        is_seed = F.col("node").isin(list(seeds))
+        base_col = F.when(
+            is_seed, F.lit((1.0 - damping) / len(seeds))
+        ).otherwise(F.lit(0.0))
+        init_col = F.when(
+            is_seed, F.lit(1.0 / len(seeds))
+        ).otherwise(F.lit(0.0))
+    else:
+        base_col = F.lit((1.0 - damping) / n)
+        init_col = F.lit(1.0 / n)
+    rank = nodes.withColumn("rank", init_col).persist()
     rank.count()
     last_kept = rank
     for i in range(iterations):
@@ -123,7 +145,7 @@ def pagerank(
         ).select(
             "node",
             (
-                F.lit(base)
+                base_col
                 + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
             ).alias("rank"),
         )

@@ -164,6 +164,58 @@ def event_transitions(
     )
 
 
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-session metrics over gap-rule sessions — the table product
+    analytics reads daily: for every (user, session): event count,
+    duration in seconds, start/end, and the bounce flag (single-event
+    session).
+
+    One pass on top of the gaps-and-islands sessionizer
+    (streaming/windows.py::sessionize_batch — a per-user window, never
+    global): lag-gap session ids, then one groupBy (user, session).
+    Output: (user, session_id, n_events long, duration_s, started,
+    ended, is_bounce), timestamps as strings for cross-engine hash
+    stability.
+    """
+    from metadata_etl_framework_spark.streaming.windows import (
+        sessionize_batch,
+    )
+
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    sess = sessionize_batch(
+        base, ts_col, [user_col], gap=gap, order_tiebreak=id_col
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.col(ts_col)).alias("_start"),
+            F.max(F.col(ts_col)).alias("_end"),
+        )
+        .select(
+            user_col,
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            F.round(
+                F.col("_end").cast("double") - F.col("_start").cast("double"),
+                6,
+            ).alias("duration_s"),
+            F.date_format("_start", fmt).alias("started"),
+            F.date_format("_end", fmt).alias("ended"),
+            (F.col("n_events") == 1).alias("is_bounce"),
+        )
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     group_cols: "Sequence[str]",

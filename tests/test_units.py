@@ -962,3 +962,22 @@ def test_basket_affinity_hand_math(spark):
     assert xy.lift == round(2 * 4 / (3 * 2), 6)
     xz = out[("x", "z")]
     assert xz.n_both == 1 and xz.lift == round(1 * 4 / (3 * 2), 6)
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """Round-8: PPR concentrates mass near the seed — unreachable nodes
+    get rank 0 (no global teleport), the seed keeps the full teleport
+    share, and downstream-of-seed outranks upstream-only nodes."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0),
+         ("x", "y", 1.0)],  # disconnected component
+        "src string, dst string, w double",
+    )
+    out = {r.node: r.rank for r in pagerank(
+        edges, iterations=3, weight_col="w", seed_nodes=["a"]
+    ).collect()}
+    assert out["x"] == 0.0 and out["y"] == 0.0  # unreachable from seed
+    assert out["a"] == 0.15                      # teleport share only
+    assert out["b"] > out["c"] > 0.0             # mass decays downstream
