@@ -107,6 +107,56 @@ class TransformEngine:
             sources[primary] = data
         return data
 
+    def explain_transformations(
+        self,
+        sources: dict[str, DataFrame],
+        transform_config: dict[str, Any],
+        primary: str | None = None,
+        fail_on_cartesian: bool = False,
+    ) -> list[dict[str, Any]]:
+        """DRY-RUN: compile the step chain and audit each step's
+        cumulative PHYSICAL plan without executing anything — the CI
+        gate for config changes. A step edit that introduces a
+        cartesian join, drops a pushed filter, or silently switches a
+        broadcast join to sort-merge shows up here before any data
+        moves.
+
+        Per step: {step, type, exchanges, broadcast_hash_joins,
+        sort_merge_joins, cartesian, pushed_filters, takeordered}
+        (utils/plan_audit.audit_plan — the same audit PLANS.md and the
+        ``assert_scale_safe`` CI helper use). ``fail_on_cartesian``
+        raises on the first step whose plan contains a cartesian /
+        broadcast-nested-loop join. Driver-side plan analysis only; no
+        job runs (eager steps like drift suites run in the REAL
+        pipeline, but their plans here are still compiled lazily where
+        the step supports it).
+        """
+        from metadata_etl_framework_spark.utils.plan_audit import audit_plan
+
+        sources = dict(sources)
+        primary = (
+            primary
+            or transform_config.get("primary_source")
+            or next(iter(sources))
+        )
+        data = sources[primary]
+        out: list[dict[str, Any]] = []
+        for i, step in enumerate(transform_config.get("steps", [])):
+            data = self.apply_transform_step(data, step, sources)
+            row = {
+                "step": step.get("name", f"step_{i}"),
+                "type": str(step.get("type", "?")).lower(),
+                **audit_plan(data),
+            }
+            if fail_on_cartesian and row.get("cartesian"):
+                raise ValueError(
+                    f"step {row['step']!r} ({row['type']}) plans a "
+                    f"cartesian/broadcast-nested-loop join"
+                )
+            out.append(row)
+            sources[primary] = data
+        return out
+
     # ------------------------------------------------------------ dispatch
 
     def apply_transform_step(

@@ -35,6 +35,23 @@ from metadata_etl_framework_spark.utils.lineage import LineageTracker
 logger = logging.getLogger(__name__)
 
 
+def _substitute_params(obj, params: "dict[str, object]"):
+    """Recursively substitute ``{name}`` tokens in every STRING of a
+    config tree — the parameterization hook backfill rides ("read
+    partition {partition}"). Only known parameter names are replaced
+    (token-by-token ``str.replace``, not ``format`` — untouched braces
+    in regexes/SQL stay intact)."""
+    if isinstance(obj, str):
+        for k, v in params.items():
+            obj = obj.replace("{" + str(k) + "}", str(v))
+        return obj
+    if isinstance(obj, dict):
+        return {k: _substitute_params(v, params) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_substitute_params(v, params) for v in obj]
+    return obj
+
+
 class OrchestratorManager:
     def __init__(
         self,
@@ -60,11 +77,14 @@ class OrchestratorManager:
         pipeline_id: int,
         trigger_type: str = "manual",
         triggered_by: str = "cli",
+        params: "dict[str, Any] | None" = None,
     ) -> dict[str, Any]:
         config = self.loader.load_pipeline_metadata(pipeline_id)
         problems = self.loader.validate_metadata(config)
         if problems:
             raise ValueError(f"invalid pipeline metadata: {problems}")
+        if params:
+            config = _substitute_params(config, params)
 
         run_id = self.store.insert(
             "PIPELINE_RUNS",
@@ -104,6 +124,63 @@ class OrchestratorManager:
         except Exception as exc:
             self._handle_failure(run_id, exc)
             raise
+
+    def backfill(
+        self,
+        pipeline_id: int,
+        partition_values: "list[object]",
+        param_name: str = "partition",
+        resume: bool = True,
+        stop_on_failure: bool = False,
+    ) -> dict[str, Any]:
+        """Run the pipeline once per historical partition with
+        per-partition run records and RESUME semantics: each partition's
+        run is tagged ``backfill:{pipeline}:{value}`` in
+        PIPELINE_RUNS.triggered_by, and with ``resume=True`` partitions
+        that already have a SUCCESS run under that tag are skipped — a
+        crashed 500-partition backfill rerun does only the remainder
+        (the orchestration discipline every catch-up load needs; the
+        reference has no backfill surface).
+
+        Failed partitions are recorded and the sweep continues
+        (``stop_on_failure=True`` aborts at the first). Returns
+        {succeeded, skipped, failed: [(value, error)], runs}.
+        """
+        done: set[str] = set()
+        if resume:
+            for r in self.store.query("SELECT * FROM PIPELINE_RUNS"):
+                if (
+                    r.get("status") == "SUCCESS"
+                    and str(r.get("triggered_by", "")).startswith(
+                        f"backfill:{pipeline_id}:"
+                    )
+                ):
+                    done.add(str(r["triggered_by"]))
+        succeeded, skipped, failed, runs = 0, 0, [], []
+        for pv in partition_values:
+            marker = f"backfill:{pipeline_id}:{pv}"
+            if marker in done:
+                skipped += 1
+                continue
+            try:
+                res = self.execute_pipeline(
+                    pipeline_id,
+                    trigger_type="backfill",
+                    triggered_by=marker,
+                    params={param_name: pv},
+                )
+                succeeded += 1
+                runs.append(res["run_id"])
+            except Exception as exc:  # recorded by _handle_failure
+                failed.append((pv, str(exc)))
+                if stop_on_failure:
+                    break
+        return {
+            "succeeded": succeeded,
+            "skipped": skipped,
+            "failed": failed,
+            "runs": runs,
+        }
 
     # ---------------------------------------------------------------- stages
 

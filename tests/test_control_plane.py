@@ -709,3 +709,84 @@ def test_plan_column_edges_full_step_vocabulary(spark):
     assert covered == set(TransformEngine._HANDLERS), (
         set(TransformEngine._HANDLERS) - covered
     )
+
+
+def test_explain_transformations_dry_run(spark):
+    """Round-8: the pipeline dry-run audits each step's compiled plan
+    without executing, and fail_on_cartesian catches a config edit that
+    introduces a cross join before any data moves."""
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.operators import TransformEngine
+
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    eng = TransformEngine(spark)
+    rows = eng.explain_transformations(
+        {"l": left, "r": right},
+        {"primary_source": "l", "steps": [
+            {"name": "keep", "type": "filter", "condition": "k > 10"},
+            {"name": "enrich", "type": "join",
+             "config": {"right_source": "r", "on": ["k"],
+                        "broadcast": True}},
+        ]},
+    )
+    assert [r["step"] for r in rows] == ["keep", "enrich"]
+    assert rows[0]["cartesian"] == 0
+    assert rows[1]["broadcast_hash_joins"] >= 1 and rows[1]["cartesian"] == 0
+
+    bad = {"primary_source": "l", "steps": [
+        {"name": "oops", "type": "sqltransform",
+         "config": {"query": "SELECT * FROM l CROSS JOIN r"}},
+    ]}
+    audit = eng.explain_transformations({"l": left, "r": right}, bad)
+    assert audit[0]["cartesian"] >= 1  # visible in the report
+    with _pt.raises(ValueError, match="cartesian"):
+        eng.explain_transformations(
+            {"l": left, "r": right}, bad, fail_on_cartesian=True
+        )
+
+
+def test_backfill_params_resume_and_failure(spark, store, tmp_path):
+    """Round-8: parameterized backfill — {partition} tokens substitute
+    into source/target paths, per-partition run records land, resume
+    skips completed partitions, and a broken partition is recorded
+    without aborting the sweep."""
+    # partitioned input: two good days, one missing (will fail extract)
+    base = str(tmp_path / "in")
+    for day in ("2024-01-01", "2024-01-02"):
+        spark.createDataFrame(
+            [(day, i, float(i)) for i in range(5)],
+            "day string, id int, v double",
+        ).write.mode("overwrite").parquet(f"{base}/day={day}/data")
+    out = str(tmp_path / "out")
+
+    pid = store.register_pipeline("daily", "parameterized backfill")
+    store.register_source(
+        pid, "src", "parquet", {"path": f"{base}/day={{partition}}/data"}
+    )
+    store.register_transformation(
+        pid,
+        steps=[{"type": "filter", "config": {"condition": "v >= 0"}}],
+        primary_source="src",
+    )
+    store.register_target(
+        pid, "out", "parquet", {"path": f"{out}/day={{partition}}"}
+    )
+
+    mgr = OrchestratorManager(spark, store, max_attempts=1)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]  # 03 missing
+    res = mgr.backfill(pid, days)
+    assert res["succeeded"] == 2 and res["skipped"] == 0
+    assert len(res["failed"]) == 1 and res["failed"][0][0] == "2024-01-03"
+    assert spark.read.parquet(f"{out}/day=2024-01-01").count() == 5
+    assert spark.read.parquet(f"{out}/day=2024-01-02").count() == 5
+
+    # now the missing day appears; resume re-runs ONLY the failed one
+    spark.createDataFrame(
+        [("2024-01-03", i, float(i)) for i in range(3)],
+        "day string, id int, v double",
+    ).write.parquet(f"{base}/day=2024-01-03/data")
+    res2 = mgr.backfill(pid, days)
+    assert res2 == {**res2, "succeeded": 1, "skipped": 2, "failed": []}
+    assert spark.read.parquet(f"{out}/day=2024-01-03").count() == 3
