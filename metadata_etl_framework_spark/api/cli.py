@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     show.add_argument("pipeline_id", type=int)
     ex = pp.add_parser("execute")
     ex.add_argument("pipeline_id", type=int)
+    bf = pp.add_parser("backfill")
+    bf.add_argument("pipeline_id", type=int)
+    bf.add_argument("partitions", nargs="+",
+                    help="partition values substituted for {partition}")
+    bf.add_argument("--param-name", default="partition")
+    bf.add_argument("--no-resume", action="store_true")
     pp.add_parser("template")
 
     ee = sub.add_parser("executions").add_subparsers(dest="sub", required=True)
@@ -114,6 +120,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spark = spark or get_spark(app_name="cli")
             result = OrchestratorManager(spark, store).execute_pipeline(
                 args.pipeline_id, trigger_type="manual", triggered_by="cli"
+            )
+            print(json.dumps(result, default=str))
+        elif args.sub == "backfill":
+            from metadata_etl_framework_spark.orchestrator.manager import (
+                OrchestratorManager,
+            )
+            from metadata_etl_framework_spark.session import get_spark
+
+            spark = spark or get_spark(app_name="cli")
+            result = OrchestratorManager(spark, store).backfill(
+                args.pipeline_id,
+                args.partitions,
+                param_name=args.param_name,
+                resume=not args.no_resume,
             )
             print(json.dumps(result, default=str))
         return 0

@@ -48,6 +48,11 @@ def create_fastapi_app(store: MetadataStore, orchestrator=None):
     class ExecutionCreate(BaseModel):
         pipeline_id: int
 
+    class BackfillCreate(BaseModel):
+        partitions: list
+        param_name: str = "partition"
+        resume: bool = True
+
     app = FastAPI(title="metadata-etl-spark")
 
     @app.get("/health")
@@ -146,6 +151,26 @@ def create_fastapi_app(store: MetadataStore, orchestrator=None):
             )
         result = orchestrator.execute_pipeline(
             body.pipeline_id, trigger_type="api", triggered_by="rest"
+        )
+        return json.loads(json.dumps(result, default=str))
+
+    @app.post("/pipelines/{pipeline_id}/backfill", status_code=201)
+    def backfill_pipeline(
+        pipeline_id: int, body: BackfillCreate
+    ) -> dict[str, Any]:
+        if orchestrator is None:
+            raise HTTPException(
+                status_code=503, detail="no orchestrator attached"
+            )
+        if not body.partitions:
+            raise HTTPException(
+                status_code=400, detail="partitions list required"
+            )
+        result = orchestrator.backfill(
+            pipeline_id,
+            body.partitions,
+            param_name=body.param_name,
+            resume=body.resume,
         )
         return json.loads(json.dumps(result, default=str))
 

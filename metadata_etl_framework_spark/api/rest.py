@@ -117,6 +117,22 @@ def create_app(store: MetadataStore, orchestrator=None):
         )
         return jsonify(json.loads(json.dumps(result, default=str))), 201
 
+    @app.post("/pipelines/<int:pipeline_id>/backfill")
+    def backfill_pipeline(pipeline_id: int):
+        body = request.get_json(force=True)
+        if orchestrator is None:
+            return jsonify({"error": "no orchestrator attached"}), 503
+        parts = body.get("partitions") or []
+        if not parts:
+            return jsonify({"error": "partitions list required"}), 400
+        result = orchestrator.backfill(
+            pipeline_id,
+            parts,
+            param_name=body.get("param_name", "partition"),
+            resume=bool(body.get("resume", True)),
+        )
+        return jsonify(json.loads(json.dumps(result, default=str))), 201
+
     @app.get("/executions")
     def list_executions():
         return jsonify(

@@ -790,3 +790,37 @@ def test_backfill_params_resume_and_failure(spark, store, tmp_path):
     res2 = mgr.backfill(pid, days)
     assert res2 == {**res2, "succeeded": 1, "skipped": 2, "failed": []}
     assert spark.read.parquet(f"{out}/day=2024-01-03").count() == 3
+
+
+def test_rest_backfill_route(spark, store, tmp_path):
+    """Round-8: POST /pipelines/<id>/backfill drives the parameterized
+    backfill through the REST surface."""
+    from metadata_etl_framework_spark.api.rest import create_app
+
+    base = str(tmp_path / "in")
+    for day in ("d1", "d2"):
+        spark.createDataFrame(
+            [(day, i) for i in range(4)], "day string, id int"
+        ).write.parquet(f"{base}/{day}")
+    out = str(tmp_path / "out")
+    pid = store.register_pipeline("rest_backfill")
+    store.register_source(pid, "src", "parquet", {"path": f"{base}/{{partition}}"})
+    store.register_transformation(
+        pid, steps=[{"type": "filter", "config": {"condition": "id >= 0"}}],
+        primary_source="src",
+    )
+    store.register_target(pid, "out", "parquet", {"path": f"{out}/{{partition}}"})
+
+    app = create_app(store, orchestrator=OrchestratorManager(spark, store))
+    client = app.test_client()
+    resp = client.post(
+        f"/pipelines/{pid}/backfill", json={"partitions": ["d1", "d2"]}
+    )
+    assert resp.status_code == 201
+    body = resp.get_json()
+    assert body["succeeded"] == 2 and body["failed"] == []
+    assert spark.read.parquet(f"{out}/d1").count() == 4
+    # empty partitions rejected
+    assert client.post(
+        f"/pipelines/{pid}/backfill", json={}
+    ).status_code == 400
