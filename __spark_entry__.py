@@ -1957,6 +1957,41 @@ def _incr_snapshot_diff(spark, sf_dir):
     return out.select("c_custkey", "c_acctbal", "change_type")
 
 
+def _incr_snapshot_diff_cols(spark, sf_dir):
+    """Snapshot diff WITH per-row change attribution
+    (incremental/merge.py::snapshot_diff with_changed_columns): UPDATEs
+    carry the sorted list of columns whose values differ — keys
+    divisible by 11 move c_acctbal, by 3 move c_mktsegment, by 33 both;
+    the audit answer to "WHAT changed on this key?"."""
+    from metadata_etl_framework_spark.incremental.merge import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    new = (
+        cust.filter(k % 7 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 11 == 0, F.col("c_acctbal") + 1000.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(k % 3 == 0, F.lit("MOVED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )
+    out = snapshot_diff(
+        cust, new, ["c_custkey"], with_changed_columns=True
+    )
+    return out.select(
+        "c_custkey",
+        "change_type",
+        F.array_join("changed_columns", ",").alias("changed"),
+    )
+
+
 def _text_redact_pii(spark, sf_dir):
     """PII scrubbing pass (ops/text.py::redact_pii): emails/SSNs/phones/
     IPs/credit cards → typed placeholders, plus the redaction count."""
@@ -4076,6 +4111,7 @@ _EXTRA_KEYS = [
     "dist_weighted_median",
     "dist_lorenz_price",
     "dist_gini_by_source",
+    "incr_snapshot_diff_cols",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
@@ -4371,6 +4407,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_ntile_cume": _window_ntile_cume,
     "zorder_layout": _zorder_layout,
     "incr_snapshot_diff": _incr_snapshot_diff,
+    "incr_snapshot_diff_cols": _incr_snapshot_diff_cols,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
@@ -5988,6 +6025,21 @@ _ALL_SQL.update(
             FROM orders
             UNION ALL
             SELECT o_orderkey, 'totalprice_d', o_totalprice FROM orders
+        """,
+        "incr_snapshot_diff_cols": """
+            WITH changed AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 11 = 0 AND c_custkey % 3 = 0
+                          THEN 'c_acctbal,c_mktsegment'
+                          WHEN c_custkey % 11 = 0 THEN 'c_acctbal'
+                          WHEN c_custkey % 3 = 0 THEN 'c_mktsegment'
+                          ELSE '' END AS changed
+              FROM customer WHERE c_custkey % 7 <> 0)
+            SELECT c_custkey, 'UPDATE' AS change_type, changed
+            FROM changed WHERE changed <> ''
+            UNION ALL
+            SELECT c_custkey, 'DELETE', ''
+            FROM customer WHERE c_custkey % 7 = 0
         """,
         "incr_snapshot_diff": """
             SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,

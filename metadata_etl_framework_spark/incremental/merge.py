@@ -170,6 +170,7 @@ def snapshot_diff(
     new_snapshot: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    with_changed_columns: bool = False,
 ) -> DataFrame:
     """Full-snapshot incremental strategy: classify every key as
     INSERT / UPDATE / DELETE / UNCHANGED between two snapshots.
@@ -182,6 +183,11 @@ def snapshot_diff(
 
     Returns the NEW snapshot's rows (old rows for DELETEs) plus a
     ``change_type`` column; UNCHANGED rows are filtered out.
+    ``with_changed_columns`` adds ``changed_columns`` — for UPDATEs the
+    sorted list of compare columns whose values differ (null-safe
+    comparison, so null→value and value→null both count); empty for
+    INSERT/DELETE — the reconciliation detail an audit asks for
+    ("WHAT changed on this key?").
     """
     keys = list(keys)
     compare = list(
@@ -212,7 +218,38 @@ def snapshot_diff(
         F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c) if c in compare else F.col(c)
         for c in new_snapshot.columns
     ]
-    return classified.select(*out_cols, "change_type")
+    out = classified.select(
+        *out_cols,
+        "change_type",
+        *(
+            [
+                F.when(
+                    F.col("change_type") == "UPDATE",
+                    F.sort_array(
+                        F.filter(
+                            F.array(
+                                *[
+                                    F.when(
+                                        ~F.col(c).eqNullSafe(
+                                            F.col(f"_old_{c}")
+                                        ),
+                                        F.lit(c),
+                                    )
+                                    for c in compare
+                                ]
+                            ),
+                            lambda x: x.isNotNull(),
+                        )
+                    ),
+                )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("changed_columns")
+            ]
+            if with_changed_columns
+            else []
+        ),
+    )
+    return out
 
 
 def backdated_correction(
