@@ -1957,6 +1957,27 @@ def _incr_snapshot_diff(spark, sf_dir):
     return out.select("c_custkey", "c_acctbal", "change_type")
 
 
+def _corpus_release_report(spark, sf_dir):
+    """One-call corpus release diff (ops/corpus.py::
+    corpus_release_report): churn counts via the snapshot-diff
+    fingerprint, per-source net deltas, and a length-distribution PSI —
+    the pre-ship dashboard, as one tall oracle-checked frame."""
+    from metadata_etl_framework_spark.ops.corpus import (
+        corpus_release_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    new = docs.filter(k % 17 != 0).withColumn(
+        "text",
+        F.when(
+            k % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    ins = docs.filter(k % 19 == 0).withColumn("doc_id", k + 1_000_000)
+    return corpus_release_report(docs, new.unionByName(ins))
+
+
 def _incr_snapshot_diff_cols(spark, sf_dir):
     """Snapshot diff WITH per-row change attribution
     (incremental/merge.py::snapshot_diff with_changed_columns): UPDATEs
@@ -4112,6 +4133,7 @@ _EXTRA_KEYS = [
     "dist_lorenz_price",
     "dist_gini_by_source",
     "incr_snapshot_diff_cols",
+    "corpus_release_report",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
@@ -4408,6 +4430,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout": _zorder_layout,
     "incr_snapshot_diff": _incr_snapshot_diff,
     "incr_snapshot_diff_cols": _incr_snapshot_diff_cols,
+    "corpus_release_report": _corpus_release_report,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
@@ -6025,6 +6048,57 @@ _ALL_SQL.update(
             FROM orders
             UNION ALL
             SELECT o_orderkey, 'totalprice_d', o_totalprice FROM orders
+        """,
+        "corpus_release_report": """
+            WITH refn AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents),
+            curn AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                     WHERE doc_id % 17 <> 0
+                     UNION ALL
+                     SELECT CAST(n_chars AS DOUBLE) FROM documents
+                     WHERE doc_id % 19 = 0),
+            edges AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM refn),
+            rb AS (SELECT CASE WHEN x < mn THEN -1
+                               WHEN x > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE LEAST(CAST(FLOOR((x - mn)
+                                    / ((mx - mn) / 10.0)) AS INT), 9)
+                          END AS bin, COUNT(*) AS rc
+                   FROM refn, edges WHERE x IS NOT NULL GROUP BY 1),
+            cb AS (SELECT CASE WHEN x < mn THEN -1
+                               WHEN x > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE LEAST(CAST(FLOOR((x - mn)
+                                    / ((mx - mn) / 10.0)) AS INT), 9)
+                          END AS bin, COUNT(*) AS cc
+                   FROM curn, edges WHERE x IS NOT NULL GROUP BY 1),
+            j AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                         COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+                  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+            t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM j),
+            terms AS (SELECT ROUND((cc / n_cur - rc / n_ref)
+                        * LN(GREATEST(cc / n_cur, 0.000001)
+                             / GREATEST(rc / n_ref, 0.000001)), 6) AS term
+                      FROM j, t)
+            SELECT 'counts' AS section, 'INSERT' AS key,
+                   CAST(COUNT(*) AS DOUBLE) AS value
+            FROM documents WHERE doc_id % 19 = 0
+            UNION ALL
+            SELECT 'counts', 'DELETE', CAST(COUNT(*) AS DOUBLE)
+            FROM documents WHERE doc_id % 17 = 0
+            UNION ALL
+            SELECT 'counts', 'UPDATE', CAST(COUNT(*) AS DOUBLE)
+            FROM documents
+            WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0 AND text IS NOT NULL
+            UNION ALL
+            SELECT 'source_delta', CAST(source AS VARCHAR), CAST(d AS DOUBLE)
+            FROM (SELECT source,
+                         SUM(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END)
+                         - SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS d
+                  FROM documents GROUP BY source)
+            WHERE d <> 0
+            UNION ALL
+            SELECT 'drift', 'psi_n_chars',
+                   (SELECT ROUND(SUM(term), 6) FROM terms)
         """,
         "incr_snapshot_diff_cols": """
             WITH changed AS (

@@ -257,3 +257,63 @@ def kfold_assign(
     return df.withColumn(
         out, F.least(F.floor(u * k), F.lit(k - 1)).cast("int")
     )
+
+
+def corpus_release_report(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    length_col: str = "n_chars",
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-call release diff between two corpus snapshots — the "what
+    did this crawl release change" dashboard a dataset curator reads
+    before shipping: document churn (added / removed / text-changed via
+    the snapshot-diff fingerprint), per-source net deltas, and a
+    length-distribution PSI (did the SHAPE of documents move, not just
+    the set).
+
+    One tall frame — (section, key, value double):
+    ``counts``/INSERT|DELETE|UPDATE, ``source_delta``/<source> (new
+    minus old document count, only non-zero rows), ``drift``/psi_<col>
+    (PSI over ``n_bins`` reference-derived bins). Every section is a
+    key-shuffled aggregate or the two-scan PSI — nothing scales past
+    the two snapshot reads.
+    """
+    from metadata_etl_framework_spark.incremental.merge import snapshot_diff
+    from metadata_etl_framework_spark.quality.drift import psi_numeric
+
+    diff = snapshot_diff(old_docs, new_docs, [id_col], compare_cols=[text_col])
+    counts = diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).select(
+        F.lit("counts").alias("section"),
+        F.col("change_type").alias("key"),
+        "value",
+    )
+    o = old_docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_o"))
+    nw = new_docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    deltas = (
+        o.join(nw, source_col, "full_outer")
+        .select(
+            F.lit("source_delta").alias("section"),
+            F.col(source_col).cast("string").alias("key"),
+            (
+                F.coalesce("_n", F.lit(0)) - F.coalesce("_o", F.lit(0))
+            ).cast("double").alias("value"),
+        )
+        .where(F.col("value") != 0)
+    )
+    psi = (
+        psi_numeric(old_docs, new_docs, length_col, n_bins=n_bins)
+        .select("psi_total")
+        .limit(1)
+        .select(
+            F.lit("drift").alias("section"),
+            F.lit(f"psi_{length_col}").alias("key"),
+            F.col("psi_total").cast("double").alias("value"),
+        )
+    )
+    return counts.unionByName(deltas).unionByName(psi)

@@ -320,3 +320,41 @@ def foreach_batch_drift_monitor(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def foreach_batch_versioned_write(
+    stream_df,
+    table_path: str,
+    checkpoint: str,
+    processed_log: str | None = None,
+):
+    """Streaming sink into a VERSIONED parquet table
+    (ops/layout.py::versioned_write): every micro-batch lands as a new
+    immutable ``v=N`` snapshot with the manifest advanced atomically —
+    so readers always see a complete version, time travel covers every
+    batch boundary, and a bad batch rolls back in O(1)
+    (rollback_version) instead of a restore job.
+
+    Versioned writes are appends of new directories — NOT naturally
+    idempotent — so the sink wraps :func:`idempotent_foreach_batch`
+    (``processed_log`` defaults to a sibling of the checkpoint): a
+    replayed batch after a crash is skipped instead of allocating a
+    duplicate version. Single-writer discipline per table path, as
+    documented on the manifest.
+    """
+    import os
+
+    from metadata_etl_framework_spark.ops.layout import versioned_write
+
+    log = processed_log or os.path.join(checkpoint, "_versioned_done")
+
+    def _apply(batch_df, batch_id: int) -> None:
+        versioned_write(batch_df, table_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(
+            idempotent_foreach_batch(_apply, log)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

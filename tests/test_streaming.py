@@ -416,3 +416,45 @@ def test_foreach_batch_drift_monitor_against_baseline(spark_mod, tmp_path):
     assert (high.ks_stat, high.ks_err_bound) == (
         want_ks["ks_stat"], want_ks["err_bound"]
     )
+
+
+def test_foreach_batch_versioned_write_time_travel(spark_mod, tmp_path):
+    """Round-8: streaming micro-batches land as immutable versions —
+    each batch a new v=N, manifest-resolved current, pinned time travel
+    across batch boundaries, and a crash-replayed batch does NOT
+    allocate a duplicate version (idempotent wrapper)."""
+    from metadata_etl_framework_spark.ops.layout import (
+        current_version,
+        read_version,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_versioned_write,
+    )
+
+    spark = spark_mod
+    src = str(tmp_path / "stream")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame([(3, "c")], "id long, v string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    table = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    stream = streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    q = foreach_batch_versioned_write(stream, table, ck).start()
+    q.awaitTermination(120)
+
+    assert current_version(spark, table) == 2
+    counts = {v: read_version(spark, table, v).count() for v in (1, 2)}
+    assert sorted(counts.values()) == [1, 2]  # one batch per version
+
+    # replay the SAME batches (fresh checkpoint, same processed log):
+    # the idempotent log must prevent duplicate versions
+    stream2 = streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    q2 = foreach_batch_versioned_write(
+        stream2, table, str(tmp_path / "ck2"),
+        processed_log=str(tmp_path / "ck" / "_versioned_done"),
+    ).start()
+    q2.awaitTermination(120)
+    assert current_version(spark, table) == 2  # nothing re-applied
