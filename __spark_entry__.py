@@ -1957,6 +1957,17 @@ def _incr_snapshot_diff(spark, sf_dir):
     return out.select("c_custkey", "c_acctbal", "change_type")
 
 
+def _events_json_profile(spark, sf_dir):
+    """Semi-structured schema inference over event props (functions/
+    conversions.py::json_profile): per-key presence, fraction, majority
+    value type — keys are DATA (map explode), never literal paths."""
+    from metadata_etl_framework_spark.functions.conversions import (
+        json_profile,
+    )
+
+    return json_profile(_t(spark, sf_dir, "events"), "props")
+
+
 def _corpus_release_report(spark, sf_dir):
     """One-call corpus release diff (ops/corpus.py::
     corpus_release_report): churn counts via the snapshot-diff
@@ -4134,6 +4145,7 @@ _EXTRA_KEYS = [
     "dist_gini_by_source",
     "incr_snapshot_diff_cols",
     "corpus_release_report",
+    "events_json_profile",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
@@ -4431,6 +4443,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incr_snapshot_diff": _incr_snapshot_diff,
     "incr_snapshot_diff_cols": _incr_snapshot_diff_cols,
     "corpus_release_report": _corpus_release_report,
+    "events_json_profile": _events_json_profile,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
@@ -6048,6 +6061,35 @@ _ALL_SQL.update(
             FROM orders
             UNION ALL
             SELECT o_orderkey, 'totalprice_d', o_totalprice FROM orders
+        """,
+        "events_json_profile": """
+            WITH base AS (SELECT props FROM events
+                          WHERE props IS NOT NULL
+                            AND json_valid(props)),
+            t AS (SELECT COUNT(*) AS total FROM base),
+            kv AS (SELECT key,
+                          CASE WHEN v IS NULL THEN 'null'
+                               WHEN v SIMILAR TO '-?[0-9]+' THEN 'integer'
+                               WHEN v SIMILAR TO
+                                    '-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?'
+                                    THEN 'double'
+                               WHEN v IN ('true', 'false') THEN 'boolean'
+                               WHEN v LIKE '{%' THEN 'object'
+                               WHEN v LIKE '[%' THEN 'array'
+                               ELSE 'string' END AS cls
+                   FROM (SELECT k AS key,
+                                json_extract_string(props,
+                                    '$."' || k || '"') AS v
+                         FROM (SELECT props,
+                                      UNNEST(json_keys(props::JSON)) AS k
+                               FROM base))),
+            bc AS (SELECT key, cls, COUNT(*) AS c FROM kv GROUP BY 1, 2),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                ORDER BY c DESC, cls) AS r FROM bc)
+            SELECT rk.key, CAST(SUM(c) AS BIGINT) AS n_present,
+                   ROUND(SUM(c) / MAX(t.total), 6) AS fraction,
+                   MIN(CASE WHEN r = 1 THEN cls END) AS vtype
+            FROM rk, t GROUP BY rk.key ORDER BY rk.key
         """,
         "corpus_release_report": """
             WITH refn AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents),

@@ -122,3 +122,65 @@ def parse_json_column(
     if drop_source:
         out = out.drop(column)
     return out
+
+
+def json_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema inference over a semi-structured JSON string column: per
+    KEY, how many rows carry it, what fraction of non-null JSON rows
+    that is, and the majority value type — the profiling step before
+    anyone writes an extraction schema against event ``props``.
+
+    Distributed shape: ``from_json`` to ``map<string,string>`` + one
+    map explode (keys are DATA, so no per-key literal paths), one
+    groupBy (key, class) and one per-key majority vote — two small
+    shuffles keyed on key names. Value classes come from deterministic
+    regexes over the stringified scalar (integer/double/boolean/null/
+    string); nested objects/arrays stringify per Spark's map cast and
+    classify as object/array. Majority ties break lexicographically.
+
+    Output: (key, n_present long, fraction 6dp, vtype), key-ordered.
+    """
+    parsed = (
+        df.where(F.col(json_col).isNotNull())
+        .select(
+            F.from_json(F.col(json_col), "map<string,string>").alias("_m")
+        )
+        .where(F.col("_m").isNotNull())
+    )
+    total = parsed.count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "key string, n_present long, fraction double, vtype string"
+        )
+    kv = parsed.select(F.explode("_m").alias("key", "_v"))
+    v = F.col("_v")
+    cls = (
+        F.when(v.isNull(), "null")
+        .when(v.rlike(r"^-?\d+$"), "integer")
+        .when(v.rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$"), "double")
+        .when(v.isin("true", "false"), "boolean")
+        .when(v.startswith("{"), "object")
+        .when(v.startswith("["), "array")
+        .otherwise("string")
+    )
+    by_class = kv.groupBy("key", cls.alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.desc("_c"), F.asc("_cls"))
+    return (
+        by_class.withColumn("_rk", F.row_number().over(w))
+        .groupBy("key")
+        .agg(
+            F.sum("_c").cast("long").alias("n_present"),
+            F.min(F.when(F.col("_rk") == 1, F.col("_cls"))).alias("vtype"),
+        )
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") / F.lit(total), 6).alias("fraction"),
+            "vtype",
+        )
+        .orderBy("key")
+    )

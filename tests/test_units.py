@@ -981,3 +981,29 @@ def test_personalized_pagerank_seed_locality(spark):
     assert out["x"] == 0.0 and out["y"] == 0.0  # unreachable from seed
     assert out["a"] == 0.15                      # teleport share only
     assert out["b"] > out["c"] > 0.0             # mass decays downstream
+
+
+def test_json_profile_mixed_types(spark):
+    """Round-8: json_profile infers per-key presence, fraction and
+    majority value type over heterogeneous flat JSON (majority vote,
+    lexicographic tie-break; invalid JSON rows excluded from the
+    denominator)."""
+    from metadata_etl_framework_spark.functions.conversions import (
+        json_profile,
+    )
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2, "b": "y", "c": 1.5}',),
+        ('{"a": "oops", "c": 2.5}',),
+        ('{"d": true}',),
+        ("not json",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {r.key: (r.n_present, r.fraction, r.vtype)
+           for r in json_profile(df, "props").collect()}
+    assert out["a"] == (3, 0.75, "integer")   # 2 ints beat 1 string
+    assert out["b"] == (2, 0.5, "string")
+    assert out["c"] == (2, 0.5, "double")
+    assert out["d"] == (1, 0.25, "boolean")
