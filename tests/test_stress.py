@@ -480,3 +480,77 @@ def test_changepoint_6m(spark, big):
     r = changepoint_mean_shift(series, ["pos"], "v").first()
     assert r.n == n and r.split_after == cut
     assert (r.mean_before, r.mean_after) == (1.0, 4.0)
+
+
+def test_point_in_time_join_6m(spark, big):
+    """Round-8: PIT join at ~6M facts against a 150k-version dimension —
+    the as-of composition must stay one shuffle and return exactly one
+    row per fact, with no version from the future."""
+    from metadata_etl_framework_spark.functions.joins import (
+        point_in_time_join,
+    )
+
+    facts = big.select(
+        F.monotonically_increasing_id().alias("fid"),
+        (F.col("l_suppkey") % 50_000).alias("k"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+    )
+    n = facts.count()
+    dim = (
+        spark.range(150_000)
+        .select(
+            (F.col("id") % 50_000).alias("k"),
+            F.timestamp_add(
+                "DAY",
+                ((F.col("id") / 50_000).cast("int") * 700).cast("int"),
+                F.lit("1992-01-01").cast("timestamp"),
+            ).alias("vstart"),
+            F.col("id").cast("double").alias("attr"),
+        )
+    )
+    from pyspark.sql import Window
+
+    dim = dim.withColumn(
+        "vend", F.lead("vstart").over(Window.partitionBy("k").orderBy("vstart"))
+    )
+    out = point_in_time_join(facts, dim, ["k"], "ts", "vstart", "vend")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("vstart_dim").alias("matched"),
+        F.max(
+            F.when(F.col("vstart_dim") > F.col("ts"), 1).otherwise(0)
+        ).alias("future_leak"),
+    ).first()
+    assert agg.cnt == n            # exactly one row per fact
+    assert agg.matched > 0.9 * n   # shipdates 1992+ all have a version
+    assert agg.future_leak == 0    # never a version from the future
+
+
+def test_bm25_join_10x_docs(spark):
+    """Round-8: BM25 query-table join over ~50k documents × 5 queries —
+    postings stay filtered to the query vocabulary, per-query top-k is
+    exact-k and deterministic across two runs."""
+    from metadata_etl_framework_spark.ops.text import bm25_join
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    big_docs = docs
+    for i in range(1, 10):
+        big_docs = big_docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + i * 1_000_000)
+        )
+    queries = spark.createDataFrame(
+        [(f"q{i}", [t]) for i, t in enumerate(
+            ["stream", "merge", "window", "join", "scan"]
+        )],
+        "query_id string, terms array<string>",
+    )
+    r1 = bm25_join(big_docs, queries, k=10).collect()
+    r2 = bm25_join(big_docs, queries, k=10).collect()
+    key = lambda rows: sorted((r.query_id, r.rk, r.doc_id, r.score) for r in rows)
+    assert key(r1) == key(r2)
+    per_q = {}
+    for r in r1:
+        per_q.setdefault(r.query_id, 0)
+        per_q[r.query_id] += 1
+    assert all(v == 10 for v in per_q.values()) and len(per_q) == 5
