@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     show.add_argument("pipeline_id", type=int)
     ex = pp.add_parser("execute")
     ex.add_argument("pipeline_id", type=int)
+    xp = pp.add_parser("explain")
+    xp.add_argument("pipeline_id", type=int)
+    xp.add_argument("--fail-on-cartesian", action="store_true")
     bf = pp.add_parser("backfill")
     bf.add_argument("pipeline_id", type=int)
     bf.add_argument("partitions", nargs="+",
@@ -122,6 +125,45 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.pipeline_id, trigger_type="manual", triggered_by="cli"
             )
             print(json.dumps(result, default=str))
+        elif args.sub == "explain":
+            from metadata_etl_framework_spark.operators import TransformEngine
+            from metadata_etl_framework_spark.session import get_spark
+
+            spark = spark or get_spark(app_name="cli")
+            from metadata_etl_framework_spark.sources.registry import (
+                create_connector,
+            )
+
+            config = ConfigLoader(store).load_pipeline_metadata(
+                args.pipeline_id
+            )
+            # dry-run extraction: build the source frames WITHOUT the
+            # extraction-log side effects the real run records
+            conn_cache = {
+                c["connection_id"]: c
+                for c in store.query("SELECT * FROM CONNECTIONS")
+            }
+            sources = {}
+            for sc in config["sources"]:
+                conn = conn_cache.get(sc.get("connection_id"))
+                connector = create_connector(
+                    spark,
+                    {
+                        "type": sc["source_type"],
+                        **(dict(conn) if conn else {}),
+                        **sc["parameters"],
+                    },
+                )
+                sources[sc["source_name"]] = connector.read(**sc["parameters"])
+            eng = TransformEngine(spark)
+            for tconf in config.get("transformations", []):
+                rows = eng.explain_transformations(
+                    sources, tconf,
+                    primary=tconf.get("primary_source"),
+                    fail_on_cartesian=args.fail_on_cartesian,
+                )
+                for row in rows:
+                    print(json.dumps(row, default=str))
         elif args.sub == "backfill":
             from metadata_etl_framework_spark.orchestrator.manager import (
                 OrchestratorManager,

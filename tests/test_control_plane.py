@@ -824,3 +824,30 @@ def test_rest_backfill_route(spark, store, tmp_path):
     assert client.post(
         f"/pipelines/{pid}/backfill", json={}
     ).status_code == 400
+
+
+def test_cli_pipelines_explain(spark, tmp_path, capsys):
+    """Round-8: `pipelines explain <id>` prints one plan-audit row per
+    step without executing the pipeline (no run records, no target
+    writes)."""
+    import json as _json
+
+    from metadata_etl_framework_spark.api.cli import main
+
+    db = str(tmp_path / "meta.db")
+    disk = MetadataStore(db)
+    out = str(tmp_path / "out")
+    pid = _register_q1_pipeline(disk, out)
+
+    rc = main(["--db", db, "pipelines", "explain", str(pid)], spark=spark)
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    rows = [_json.loads(l) for l in lines]
+    assert [r["type"] for r in rows] == ["filter", "aggregate"]
+    assert all(r["cartesian"] == 0 for r in rows)
+    assert rows[0]["pushed_filters"] >= 0
+    # dry run: nothing executed, nothing written
+    import os
+
+    assert not os.path.exists(out)
+    assert disk.query("SELECT * FROM PIPELINE_RUNS") == []
