@@ -1957,6 +1957,34 @@ def _incr_snapshot_diff(spark, sf_dir):
     return out.select("c_custkey", "c_acctbal", "change_type")
 
 
+def _dq_rules_by_source(spark, sf_dir):
+    """Per-segment DQ evaluation (quality/rules.py::
+    evaluate_rules_by_group): every rule's failure count and pass rate
+    per document source in ONE grouped pass — the slice-level quality a
+    global score hides."""
+    from metadata_etl_framework_spark.quality.rules import (
+        evaluate_rules_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        {"name": "text_not_null", "type": "not_null", "column": "text"},
+        {"name": "len_range", "type": "value_range", "column": "n_chars",
+         "min": 100, "max": 4000},
+        {"name": "lang_allowed", "type": "allowed_values", "column": "lang",
+         "allowed_values": ["en", "es", "de"]},
+    ]
+    return evaluate_rules_by_group(docs, rules, ["source"])
+
+
+def _events_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day (ops/retention.py::stickiness_ratio):
+    two exact rolling-actives passes joined on the report day."""
+    from metadata_etl_framework_spark.ops.retention import stickiness_ratio
+
+    return stickiness_ratio(_t(spark, sf_dir, "events"))
+
+
 def _events_json_profile(spark, sf_dir):
     """Semi-structured schema inference over event props (functions/
     conversions.py::json_profile): per-key presence, fraction, majority
@@ -4146,6 +4174,8 @@ _EXTRA_KEYS = [
     "incr_snapshot_diff_cols",
     "corpus_release_report",
     "events_json_profile",
+    "dq_rules_by_source",
+    "events_stickiness",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
@@ -4444,6 +4474,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incr_snapshot_diff_cols": _incr_snapshot_diff_cols,
     "corpus_release_report": _corpus_release_report,
     "events_json_profile": _events_json_profile,
+    "dq_rules_by_source": _dq_rules_by_source,
+    "events_stickiness": _events_stickiness,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
@@ -6061,6 +6093,48 @@ _ALL_SQL.update(
             FROM orders
             UNION ALL
             SELECT o_orderkey, 'totalprice_d', o_totalprice FROM orders
+        """,
+        "dq_rules_by_source": """
+            WITH s AS (SELECT source, COUNT(*) AS total,
+               COUNT(CASE WHEN text IS NULL THEN 1 END) AS f0,
+               COUNT(CASE WHEN n_chars IS NOT NULL
+                           AND (n_chars < 100 OR n_chars > 4000)
+                          THEN 1 END) AS f1,
+               COUNT(CASE WHEN lang IS NOT NULL
+                           AND lang NOT IN ('en', 'es', 'de')
+                          THEN 1 END) AS f2
+             FROM documents GROUP BY source)
+            SELECT source, rule_name,
+                   CAST(failed AS BIGINT) AS failed_rows,
+                   CAST(total AS BIGINT) AS total_rows,
+                   ROUND((total - failed) / CAST(total AS DOUBLE), 6)
+                     AS pass_rate
+            FROM (
+              SELECT source, total, 'text_not_null' AS rule_name, f0 AS failed FROM s
+              UNION ALL
+              SELECT source, total, 'len_range', f1 FROM s
+              UNION ALL
+              SELECT source, total, 'lang_allowed', f2 FROM s)
+        """,
+        "events_stickiness": """
+            WITH pairs AS (SELECT DISTINCT user_id AS u,
+                                  CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+                           FROM events
+                           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            mx AS (SELECT MAX(d) AS mxd FROM pairs),
+            dau AS (SELECT d AS day, COUNT(DISTINCT u) AS dau
+                    FROM pairs GROUP BY d),
+            wau AS (SELECT day, COUNT(DISTINCT u) AS wau FROM (
+                      SELECT u, d + i AS day
+                      FROM pairs CROSS JOIN
+                           (SELECT UNNEST([0,1,2,3,4,5,6]) AS i)) c, mx
+                    WHERE day <= mxd GROUP BY day)
+            SELECT STRFTIME(dau.day, '%Y-%m-%d') AS day,
+                   CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+                   ROUND(CASE WHEN wau > 0
+                              THEN dau / CAST(wau AS DOUBLE) END, 6)
+                     AS stickiness
+            FROM dau JOIN wau ON dau.day = wau.day
         """,
         "events_json_profile": """
             WITH base AS (SELECT props FROM events

@@ -216,6 +216,40 @@ def session_stats(
     )
 
 
+def stickiness_ratio(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    long_window_days: int = 7,
+) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-quality ratio ("of
+    this week's users, what fraction shows up on a given day"), built
+    from two :func:`rolling_active_users` passes (window 1 and
+    ``long_window_days``) joined on the report day. 1.0 = every weekly
+    user is daily; low values = drive-by usage.
+
+    Output: (day, dau long, wau long, stickiness 6dp), ordered by day.
+    """
+    dau = rolling_active_users(df, user_col, ts_col, 1).select(
+        "day", F.col("active_users").alias("dau")
+    )
+    wau = rolling_active_users(
+        df, user_col, ts_col, long_window_days
+    ).select("day", F.col("active_users").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(
+                F.when(F.col("wau") > 0, F.col("dau") / F.col("wau")), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     group_cols: "Sequence[str]",

@@ -263,3 +263,55 @@ def quality_score(results: Sequence[RuleResult]) -> float:
     if not results:
         return 100.0
     return 100.0 * sum(1 for r in results if r.passed) / len(results)
+
+
+def evaluate_rules_by_group(
+    df: DataFrame,
+    rules: "Sequence[dict[str, Any]]",
+    group_cols: "Sequence[str]",
+) -> DataFrame:
+    """Per-SEGMENT rule evaluation: every rule's failure count and pass
+    rate broken down by ``group_cols`` — the question a global score
+    hides ("quality is 99% overall but 70% for source X"). Same one-pass
+    design as :func:`evaluate_rules`: each rule compiles to a failure
+    mask and ALL masks aggregate in ONE grouped pass; the melt to tall
+    rows happens on the |groups|×|rules| result, never the data.
+
+    Output: group cols + (rule_name, failed_rows long, total_rows long,
+    pass_rate 6dp), ordered by group then rule.
+    """
+    groups = list(group_cols)
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    names = []
+    for i, rule in enumerate(rules):
+        mask = compile_rule(rule)
+        name = rule.get("name") or f"{rule.get('type', 'rule')}_{i}"
+        names.append(name)
+        aggs.append(
+            F.count(F.when(mask, F.lit(1))).alias(f"_f{i}")
+        )
+    stats = df.groupBy(*groups).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', _f{i}" for i, n in enumerate(names)
+    )
+    return (
+        stats.select(
+            *groups,
+            F.col("_total"),
+            F.expr(
+                f"stack({len(names)}, {stack_args}) "
+                "AS (rule_name, failed_rows)"
+            ),
+        )
+        .select(
+            *groups,
+            "rule_name",
+            F.col("failed_rows").cast("long").alias("failed_rows"),
+            F.col("_total").cast("long").alias("total_rows"),
+            F.round(
+                (F.col("_total") - F.col("failed_rows")) / F.col("_total"),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy(*groups, "rule_name")
+    )
