@@ -1957,6 +1957,21 @@ def _incr_snapshot_diff(spark, sf_dir):
     return out.select("c_custkey", "c_acctbal", "change_type")
 
 
+def _dist_histogram2d(spark, sf_dir):
+    """2-D fixed-width histogram of quantity × price (functions/
+    aggregations.py::histogram2d): one bounds aggregate broadcast, one
+    (x_bin, y_bin) groupBy — post-scan ≤ nx·ny cells at any row
+    count."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        histogram2d,
+    )
+
+    return histogram2d(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
+        nx=10, ny=10,
+    )
+
+
 def _dq_rules_by_source(spark, sf_dir):
     """Per-segment DQ evaluation (quality/rules.py::
     evaluate_rules_by_group): every rule's failure count and pass rate
@@ -4176,6 +4191,7 @@ _EXTRA_KEYS = [
     "events_json_profile",
     "dq_rules_by_source",
     "events_stickiness",
+    "dist_histogram2d",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
@@ -4476,6 +4492,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_profile": _events_json_profile,
     "dq_rules_by_source": _dq_rules_by_source,
     "events_stickiness": _events_stickiness,
+    "dist_histogram2d": _dist_histogram2d,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
@@ -6093,6 +6110,35 @@ _ALL_SQL.update(
             FROM orders
             UNION ALL
             SELECT o_orderkey, 'totalprice_d', o_totalprice FROM orders
+        """,
+        "dist_histogram2d": """
+            WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                              CAST(l_extendedprice AS DOUBLE) AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL),
+            b AS (SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+                         MIN(y) AS ylo, MAX(y) AS yhi FROM d),
+            binned AS (SELECT
+                 CASE WHEN (xhi - xlo) / 10 > 0
+                      THEN LEAST(9, CAST(FLOOR((x - xlo)
+                                   / ((xhi - xlo) / 10)) AS INT))
+                      ELSE 0 END AS x_bin,
+                 CASE WHEN (yhi - ylo) / 10 > 0
+                      THEN LEAST(9, CAST(FLOOR((y - ylo)
+                                   / ((yhi - ylo) / 10)) AS INT))
+                      ELSE 0 END AS y_bin,
+                 xlo, xhi, ylo, yhi
+               FROM d, b)
+            SELECT x_bin, y_bin,
+                   ROUND(xlo + x_bin * (xhi - xlo) / 10, 6) AS x_lo,
+                   ROUND(xlo + (x_bin + 1) * (xhi - xlo) / 10, 6) AS x_hi,
+                   ROUND(ylo + y_bin * (yhi - ylo) / 10, 6) AS y_lo,
+                   ROUND(ylo + (y_bin + 1) * (yhi - ylo) / 10, 6) AS y_hi,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM binned
+            GROUP BY x_bin, y_bin, xlo, xhi, ylo, yhi
+            ORDER BY x_bin, y_bin
         """,
         "dq_rules_by_source": """
             WITH s AS (SELECT source, COUNT(*) AS total,

@@ -1196,3 +1196,67 @@ def gini_by_group(
             F.col("_n").cast("long").alias("n_rows"),
         )
     )
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    nx: int = 20,
+    ny: int = 20,
+) -> DataFrame:
+    """Two-dimensional fixed-width histogram — the heatmap / joint-
+    distribution binning behind density plots and 2-D drift eyeballing
+    (price × quantity, length × quality-score).
+
+    Bounds come from ONE 1-row aggregate broadcast into the binning
+    projection (the shared-stats pattern); counts from one groupBy over
+    (x_bin, y_bin) — post-scan size ≤ nx·ny at any row count. Values at
+    the upper bound land in the last bin; rows with a null on either
+    axis are dropped; only occupied cells are emitted.
+
+    Output: (x_bin, y_bin, x_lo, x_hi, y_lo, y_hi, cnt), bin-ordered.
+    """
+    if nx <= 0 or ny <= 0:
+        raise ValueError("nx and ny must be positive")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    data = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    bounds = data.agg(
+        F.min("__x").alias("__xlo"), F.max("__x").alias("__xhi"),
+        F.min("__y").alias("__ylo"), F.max("__y").alias("__yhi"),
+    )
+    wx = (F.col("__xhi") - F.col("__xlo")) / nx
+    wy = (F.col("__yhi") - F.col("__ylo")) / ny
+    xb = F.when(wx > 0, F.least(
+        F.lit(nx - 1), F.floor((F.col("__x") - F.col("__xlo")) / wx)
+    )).otherwise(F.lit(0)).cast("int")
+    yb = F.when(wy > 0, F.least(
+        F.lit(ny - 1), F.floor((F.col("__y") - F.col("__ylo")) / wy)
+    )).otherwise(F.lit(0)).cast("int")
+    return (
+        data.crossJoin(F.broadcast(bounds))
+        .groupBy(xb.alias("x_bin"), yb.alias("y_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("__xlo").alias("__fxlo"),
+            F.first("__xhi").alias("__fxhi"),
+            F.first("__ylo").alias("__fylo"),
+            F.first("__yhi").alias("__fyhi"),
+        )
+        .select(
+            "x_bin", "y_bin",
+            F.round(F.col("__fxlo") + F.col("x_bin")
+                    * (F.col("__fxhi") - F.col("__fxlo")) / nx, 6).alias("x_lo"),
+            F.round(F.col("__fxlo") + (F.col("x_bin") + 1)
+                    * (F.col("__fxhi") - F.col("__fxlo")) / nx, 6).alias("x_hi"),
+            F.round(F.col("__fylo") + F.col("y_bin")
+                    * (F.col("__fyhi") - F.col("__fylo")) / ny, 6).alias("y_lo"),
+            F.round(F.col("__fylo") + (F.col("y_bin") + 1)
+                    * (F.col("__fyhi") - F.col("__fylo")) / ny, 6).alias("y_hi"),
+            "cnt",
+        )
+        .orderBy("x_bin", "y_bin")
+    )
