@@ -1007,3 +1007,45 @@ def test_json_profile_mixed_types(spark):
     assert out["b"] == (2, 0.5, "string")
     assert out["c"] == (2, 0.5, "double")
     assert out["d"] == (1, 0.25, "boolean")
+
+
+def test_evaluate_rules_by_group_segment_counts(spark):
+    """Round-8: grouped rule evaluation — per-segment failure counts
+    with the same null semantics as the global evaluator (value_range /
+    allowed_values skip nulls; not_null counts them)."""
+    from metadata_etl_framework_spark.quality.rules import (
+        evaluate_rules_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 10), ("a", None, 200), ("a", "y", None),
+         ("b", "x", 5), ("b", "x", 50)],
+        "g string, s string, v long",
+    )
+    rules = [
+        {"name": "s_nn", "type": "not_null", "column": "s"},
+        {"name": "v_rng", "type": "value_range", "column": "v",
+         "min": 0, "max": 100},
+    ]
+    out = {(r.g, r.rule_name): (r.failed_rows, r.total_rows, r.pass_rate)
+           for r in evaluate_rules_by_group(df, rules, ["g"]).collect()}
+    assert out[("a", "s_nn")] == (1, 3, round(2 / 3, 6))
+    assert out[("a", "v_rng")] == (1, 3, round(2 / 3, 6))  # null v skipped
+    assert out[("b", "s_nn")] == (0, 2, 1.0)
+    assert out[("b", "v_rng")] == (0, 2, 1.0)
+
+
+def test_stickiness_bounds_and_values(spark):
+    """Round-8: stickiness = DAU/WAU is 1.0 when every weekly user is
+    daily and < 1 otherwise; hand-checkable on a 2-day fixture."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.retention import stickiness_ratio
+
+    d1, d2 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    rows = [(1, d1), (2, d1), (1, d2)]  # user 2 churns on day 2
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.day: (r.dau, r.wau, r.stickiness)
+           for r in stickiness_ratio(df).collect()}
+    assert out["2024-01-01"] == (2, 2, 1.0)
+    assert out["2024-01-02"] == (1, 2, 0.5)
