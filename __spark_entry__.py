@@ -4090,6 +4090,65 @@ def _agg_group_mode(spark, sf_dir):
     return group_mode(li, ["l_returnflag"], "qty")
 
 
+def _customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation over orders
+    (ops/retention.py::rfm_segments): per-customer recency/frequency/
+    monetary with exact-NTILE quartile scores via the scale-safe
+    ntile_assign (range-partitioned global rank, never a partitionless
+    window); DECIMAL money sums make the sort keys cross-engine
+    stable."""
+    from metadata_etl_framework_spark.ops.retention import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def _orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve (ops/retention.py::cohort_ltv):
+    first-purchase month cohorts, cumulative revenue per acquired
+    customer by month offset; the window runs over the calendar² grid,
+    never fact rows."""
+    from metadata_etl_framework_spark.ops.retention import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+def _events_inter_event_gaps(spark, sf_dir):
+    """Inter-event cadence profile (ops/retention.py::inter_event_gaps):
+    per event type, count/mean/exact-p50/max of the seconds since the
+    same user's previous event — user-partitioned lag window with a
+    (ts, id) deterministic order."""
+    from metadata_etl_framework_spark.ops.retention import (
+        inter_event_gaps,
+    )
+
+    return inter_event_gaps(_t(spark, sf_dir, "events"))
+
+
+def _embed_covariance(spark, sf_dir):
+    """Distributed embedding covariance (ops/similarity.py::
+    embed_covariance): column means via posexplode groupBy, centered
+    Gramian partials via one BLAS GEMM per Arrow batch (shuffle carries
+    O(d²) per batch, never per row); upper triangle as scalar rows."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        embed_covariance,
+    )
+
+    return embed_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+def _embed_pca_project(spark, sf_dir):
+    """PCA projection onto top-4 principal components
+    (ops/similarity.py::embedding_pca): d×d covariance from the
+    distributed GEMM partials, driver eigh of the 64×64 matrix,
+    sign-fixed components folded as broadcast literals (no UDF in the
+    projection). Rows-only entry: eigenvectors aren't SQL-expressible;
+    the numpy parity pin lives in tests/test_units.py."""
+    from metadata_etl_framework_spark.ops.similarity import embedding_pca
+
+    proj, _ratios = embedding_pca(_t(spark, sf_dir, "embeddings"), k=4)
+    return proj
+
+
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
     # capability frontier (round-8: PQ/IVF-PQ ANN, binned KS/EMD drift,
@@ -4192,6 +4251,11 @@ _EXTRA_KEYS = [
     "dq_rules_by_source",
     "events_stickiness",
     "dist_histogram2d",
+    "customer_rfm_segments",
+    "orders_cohort_ltv",
+    "events_inter_event_gaps",
+    "embed_covariance",
+    "embed_pca_project",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
@@ -4493,6 +4557,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_rules_by_source": _dq_rules_by_source,
     "events_stickiness": _events_stickiness,
     "dist_histogram2d": _dist_histogram2d,
+    "customer_rfm_segments": _customer_rfm_segments,
+    "orders_cohort_ltv": _orders_cohort_ltv,
+    "events_inter_event_gaps": _events_inter_event_gaps,
+    "embed_covariance": _embed_covariance,
+    "embed_pca_project": _embed_pca_project,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
@@ -6139,6 +6208,90 @@ _ALL_SQL.update(
             FROM binned
             GROUP BY x_bin, y_bin, xlo, xhi, ylo, yhi
             ORDER BY x_bin, y_bin
+        """,
+        "customer_rfm_segments": """
+            WITH base AS (SELECT o_custkey AS u, o_orderdate AS ts,
+                                 CAST(o_totalprice AS DECIMAL(30,2)) AS amt
+                          FROM orders
+                          WHERE o_custkey IS NOT NULL
+                            AND o_orderdate IS NOT NULL),
+            anchor AS (SELECT CAST(MAX(ts) AS DATE) AS mxd FROM base),
+            pu AS (SELECT u,
+                          DATE_DIFF('day', CAST(MAX(ts) AS DATE),
+                                    (SELECT mxd FROM anchor)) AS recency_days,
+                          COUNT(*) AS frequency,
+                          ROUND(CAST(SUM(amt) AS DOUBLE), 2) AS monetary
+                   FROM base GROUP BY u),
+            s AS (SELECT u, recency_days, frequency, monetary,
+                         NTILE(4) OVER (ORDER BY recency_days, u) AS rb,
+                         NTILE(4) OVER (ORDER BY frequency, u) AS fb,
+                         NTILE(4) OVER (ORDER BY monetary, u) AS mb
+                  FROM pu)
+            SELECT u AS "user",
+                   CAST(recency_days AS INT) AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency,
+                   monetary,
+                   CAST(5 - rb AS INT) AS r_score,
+                   CAST(fb AS INT) AS f_score,
+                   CAST(mb AS INT) AS m_score,
+                   CAST(5 - rb AS VARCHAR) || CAST(fb AS VARCHAR)
+                     || CAST(mb AS VARCHAR) AS rfm_segment
+            FROM s
+        """,
+        "orders_cohort_ltv": """
+            WITH base AS (SELECT o_custkey AS u,
+                                 DATE_TRUNC('month', o_orderdate) AS om,
+                                 CAST(o_totalprice AS DECIMAL(30,2)) AS amt
+                          FROM orders
+                          WHERE o_custkey IS NOT NULL
+                            AND o_orderdate IS NOT NULL
+                            AND o_totalprice IS NOT NULL),
+            f AS (SELECT u, MIN(om) AS cohort_month FROM base GROUP BY u),
+            sizes AS (SELECT cohort_month, COUNT(*) AS cohort_size
+                      FROM f GROUP BY cohort_month),
+            grid AS (SELECT cohort_month,
+                            CAST(DATE_DIFF('month', cohort_month, om)
+                                 AS INT) AS month_offset,
+                            SUM(amt) AS rev
+                     FROM base JOIN f USING (u)
+                     GROUP BY 1, 2),
+            cum AS (SELECT cohort_month, month_offset, rev,
+                           SUM(rev) OVER (PARTITION BY cohort_month
+                                          ORDER BY month_offset) AS cumrev
+                    FROM grid)
+            SELECT cohort_month, month_offset,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+                   ROUND(CAST(cumrev AS DOUBLE), 2) AS cum_revenue,
+                   ROUND(CAST(cumrev AS DOUBLE) / cohort_size, 6)
+                     AS ltv_per_customer
+            FROM cum JOIN sizes USING (cohort_month)
+        """,
+        "events_inter_event_gaps": """
+            WITH g AS (SELECT event_type,
+                              EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS gap_s
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT event_type,
+                   CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+                   ROUND(AVG(gap_s), 6) AS avg_gap_s,
+                   ROUND(QUANTILE_CONT(gap_s, 0.5), 6) AS p50_gap_s,
+                   ROUND(MAX(gap_s), 6) AS max_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY event_type
+        """,
+        "embed_covariance": """
+            WITH e AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1 AS i,
+                              UNNEST(embedding) AS x
+                       FROM embeddings WHERE embedding IS NOT NULL)
+            SELECT a.i AS i, b.i AS j,
+                   ROUND(COVAR_SAMP(a.x, b.x), 6) AS cov,
+                   CAST(COUNT(*) AS INT) AS n
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2
         """,
         "dq_rules_by_source": """
             WITH s AS (SELECT source, COUNT(*) AS total,

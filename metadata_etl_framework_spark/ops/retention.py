@@ -619,3 +619,212 @@ def ab_test_proportions(
         F.round(z, 6).alias("z_score"),
         (F.abs(F.round(z, 6)) > 1.959964).alias("significant_95"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_buckets: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing-analytics cut the reference's aggregation surface
+    stops just short of (cf. /root/reference/src/transformations/
+    aggregation.py's groupBy metrics): score every customer 1..k on each
+    dimension and emit the concatenated segment code.
+
+    Scores use EXACT SQL NTILE semantics via the scale-safe
+    :func:`~metadata_etl_framework_spark.functions.aggregations.
+    ntile_assign` (range-partitioned global rank + closed form — never a
+    partitionless window). Orientation: higher score = better customer,
+    so R inverts the NTILE bucket over ascending recency_days (most
+    recent day = highest score) while F and M take the bucket over
+    ascending frequency/monetary directly. Ties break on the user key
+    (ascending) in every dimension, making the assignment fully
+    deterministic — the same ORDER BY an oracle replays.
+
+    Recency is measured in whole days against the dataset's max
+    timestamp (a broadcast 1-row aggregate — no parameter to drift out
+    of sync with the data).
+
+    Plan shape at scale: one user-keyed aggregate over the fact table,
+    then three ntile_assign passes over the CUSTOMER-level frame (each a
+    range partition + broadcast offsets). Nothing downstream of the
+    first aggregate scales with fact rows.
+
+    Output: (user, recency_days, frequency, monetary 2dp, r_score,
+    f_score, m_score, rfm_segment string like '434').
+    """
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    per_user = base.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(F.col(ts_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        # DECIMAL(30,2) accumulation: currency sums are exact and
+        # order-independent, so the NTILE sort key is cross-engine stable
+        F.round(
+            F.sum(F.col(amount_col).cast("decimal(30,2)")).cast("double"),
+            2,
+        ).alias("monetary"),
+    )
+    asof = base.agg(F.max(F.col(ts_col)).alias("_asof"))
+    scored = (
+        per_user.crossJoin(F.broadcast(asof))
+        .withColumn(
+            "recency_days",
+            F.datediff(
+                F.col("_asof").cast("date"), F.col("_last").cast("date")
+            ),
+        )
+        .drop("_last", "_asof")
+    )
+    scored = ntile_assign(
+        scored, ["recency_days", "user"], n_buckets, out="_rb"
+    )
+    scored = ntile_assign(
+        scored, ["frequency", "user"], n_buckets, out="f_score"
+    )
+    scored = ntile_assign(
+        scored, ["monetary", "user"], n_buckets, out="m_score"
+    )
+    return scored.select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(n_buckets + 1) - F.col("_rb")).cast("int").alias("r_score"),
+        "f_score",
+        "m_score",
+        F.concat(
+            (F.lit(n_buckets + 1) - F.col("_rb")).cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohort by the calendar
+    month of their FIRST purchase; each later month's revenue accrues to
+    that cohort at its month offset, and the running total divided by
+    cohort size is the average LTV per acquired customer — the curve a
+    growth team reads left-to-right to see payback.
+
+    Plan shape at scale: one user-keyed first-purchase aggregate, a
+    user-keyed join back to facts, one groupBy on the (cohort, offset)
+    calendar² grid, then a cumulative window PARTITIONED BY cohort over
+    that grid (grid-sized state, never fact-sized — same rationale as
+    :func:`cohort_retention`). Month offsets use months_between on
+    truncated months (integral by construction).
+
+    Output: (cohort_month, month_offset, cohort_size, revenue 2dp,
+    cum_revenue 2dp, ltv_per_customer 6dp).
+    """
+    from pyspark.sql import Window
+
+    m = F.date_trunc("month", F.col(ts_col))
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user"),
+        m.alias("om"),
+        # DECIMAL(30,2): exact, merge-order-independent revenue sums
+        F.col(amount_col).cast("decimal(30,2)").alias("amt"),
+    )
+    firsts = base.groupBy("user").agg(F.min("om").alias("cohort_month"))
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    off = F.round(
+        F.months_between(F.col("om"), F.col("cohort_month"))
+    ).cast("int")
+    grid = (
+        base.join(firsts, "user")
+        .groupBy("cohort_month", off.alias("month_offset"))
+        .agg(F.sum("amt").alias("_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("_cum", F.sum("_rev").over(w))
+        .join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "cohort_size",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("_cum").cast("double"), 2).alias("cum_revenue"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("cohort_size"), 6
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+def inter_event_gaps(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Inter-event time distribution: per event type, the statistics of
+    the gap (seconds) between each event and the SAME user's previous
+    event of any type — the cadence profile behind session-timeout
+    choices and engagement scoring.
+
+    The lag window is PARTITIONED BY the user (user-keyed state — the
+    standard scale-safe shape; a global window would collapse to one
+    task), ordered by (ts, id) so same-timestamp events have a
+    deterministic predecessor. A user's first event has no gap and is
+    excluded. Gaps group under the LATER event's type ("time since last
+    activity when a purchase happens").
+
+    Exact percentile (linear interpolation, one per-group sort) matches
+    ``quantile_cont``; means/percentiles round to 6dp.
+
+    Output: (event_type, n_gaps, avg_gap_s, p50_gap_s, max_gap_s).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.col(user_col))
+        .orderBy(F.col(ts_col), F.col(id_col))
+    )
+    gaps = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_prev", F.lag(F.col(ts_col)).over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            F.col(type_col).alias("event_type"),
+            # timestamp→double is fractional epoch seconds (engine
+            # parity with DuckDB's epoch()); unix_timestamp would
+            # truncate subsecond components
+            (
+                F.col(ts_col).cast("double")
+                - F.col("_prev").cast("double")
+            ).alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+    )

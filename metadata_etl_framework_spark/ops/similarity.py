@@ -1276,3 +1276,165 @@ def embed_decontaminate(
             (-F.col("_best._neg")).alias("nearest_eval_id"),
         )
     )
+
+
+def embed_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    ddof: int = 1,
+) -> DataFrame:
+    """Distributed d×d covariance of an embedding column — the
+    sufficient statistic behind PCA whitening, Mahalanobis outlier
+    gates, and per-source embedding-drift monitors. Emits the upper
+    triangle as scalar rows (i, j, cov, n), i ≤ j — the same
+    scalar-rows-over-arrays convention as :func:`group_centroids` so a
+    differential oracle can hash it.
+
+    Two passes, both scale-safe (the Spark RowMatrix Gramian shape):
+
+    1. Column means via posexplode → groupBy(dim): map-side combined,
+       the shuffle carries d cells per map partition; the d-row result
+       is a driver pull the size of the dimension, not the data.
+    2. Centered Gramian partials via Arrow-batched ``mapInPandas``:
+       each batch stacks its vectors into a float64 matrix, subtracts
+       the broadcast means, and emits ONE d(d+1)/2-row partial
+       (upper-triangle of Xᶜᵀ·Xᶜ — a single BLAS GEMM per batch) plus a
+       count row. The shuffle carries O(d²) per batch regardless of
+       corpus size; groupBy(i, j) sums the partials.
+
+    Centering BEFORE the products is what makes raw float64 sums match
+    a stable one-pass co-moment engine (DuckDB COVAR_SAMP) at 6 dp —
+    the uncentered Gramian minus n·μμᵀ form cancels catastrophically
+    when |μ| ≫ σ. ``ddof=1`` is sample covariance (COVAR_SAMP);
+    ``ddof=0`` population (COVAR_POP).
+    """
+    import numpy as np
+
+    valid = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("v")
+    )
+    means_rows = (
+        valid.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(30,15)")).alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
+    )
+    if not means_rows:
+        raise ValueError("embed_covariance: no non-null vectors")
+    d = max(r["dim"] for r in means_rows) + 1
+    n_total = means_rows[0]["_n"]
+    mu = np.zeros(d, dtype=np.float64)
+    for r in means_rows:
+        mu[r["dim"]] = float(r["_s"]) / r["_n"]
+    iu = np.triu_indices(d)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            Xc = X - mu
+            G = Xc.T @ Xc
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "s": G[iu],
+                }
+            )
+
+    denom = n_total - ddof
+    if denom <= 0:
+        raise ValueError(
+            f"embed_covariance: n={n_total} too small for ddof={ddof}"
+        )
+    return (
+        valid.mapInPandas(_partials, out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("_ss"))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("_ss") / F.lit(float(denom)), 6).alias("cov"),
+            F.lit(n_total).alias("n"),
+        )
+    )
+
+
+def embedding_pca(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ddof: int = 1,
+) -> tuple[DataFrame, list[float]]:
+    """PCA projection of an embedding column onto its top-k principal
+    components — the dimensionality-reduction step before cheap ANN,
+    clustering, or drift visualization of a 100-TB embedding corpus.
+
+    The d×d covariance comes from :func:`embed_covariance` (distributed
+    GEMM partials); its d(d+1)/2 scalar rows are a driver pull the size
+    of the DIMENSION², never the data, and the eigendecomposition of a
+    d×d symmetric matrix is driver-trivial (`numpy.linalg.eigh`).
+    Components are sign-fixed (largest-|loading| entry made positive)
+    so the projection is deterministic across BLAS builds. The
+    projection itself is one broadcast-literal JVM expression per
+    component (aggregate over zip_with — no UDF, no shuffle; the same
+    literal-fold shape as pq_adc_topk).
+
+    Returns ``(projected, explained_ratio)``: the frame (id, pc —
+    array<double> length k, 6 dp) and the per-component
+    explained-variance ratios.
+    """
+    import numpy as np
+
+    cov_rows = embed_covariance(df, vec_col=vec_col, ddof=ddof).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d), dtype=np.float64)
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    total = float(vals.sum()) or 1.0
+    ratios = [round(float(vals[idx]) / total, 6) for idx in order]
+
+    x = F.transform(F.col(vec_col), lambda c: c.cast("double"))
+    pcs = []
+    for v in comps:
+        lit = F.array(*[F.lit(float(c)) for c in v])
+        pcs.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(x, lit, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                ),
+                6,
+            )
+        )
+    proj = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.array(*pcs).alias("pc")
+    )
+    return proj, ratios

@@ -1049,3 +1049,132 @@ def test_stickiness_bounds_and_values(spark):
            for r in stickiness_ratio(df).collect()}
     assert out["2024-01-01"] == (2, 2, 1.0)
     assert out["2024-01-02"] == (1, 2, 0.5)
+
+
+def test_rfm_orientation_and_determinism(spark):
+    """Round-8: the most-recent/most-frequent/highest-spend customer
+    gets the top score on each dimension, the worst gets 1, and the
+    segment code concatenates R,F,M in order."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.retention import rfm_segments
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # customer k: k orders, last order day k, each order worth 100*k
+    for k in range(1, 9):
+        for i in range(k):
+            rows.append((k * 100 + i, k, float(100 * k),
+                         base + dt.timedelta(days=k, hours=i)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, "
+              "o_orderdate timestamp",
+    )
+    out = {r["user"]: r for r in rfm_segments(df).collect()}
+    # customer 8: most recent (recency 0), most orders, biggest spend
+    assert out[8]["recency_days"] == 0
+    assert (out[8]["r_score"], out[8]["f_score"], out[8]["m_score"]) == (4, 4, 4)
+    assert out[8]["rfm_segment"] == "444"
+    # customer 1: stalest, fewest, smallest
+    assert (out[1]["r_score"], out[1]["f_score"], out[1]["m_score"]) == (1, 1, 1)
+    # 8 customers over 4 buckets -> every score bucket holds exactly 2
+    from collections import Counter
+    assert Counter(r["f_score"] for r in out.values()) == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_cohort_ltv_cumulative_and_sizes(spark):
+    """Round-8: LTV curve accumulates revenue per cohort and divides by
+    the acquisition-month cohort size; hand-checked 2-cohort fixture."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.retention import cohort_ltv
+
+    jan, feb, mar = (dt.datetime(2024, m, 15) for m in (1, 2, 3))
+    rows = [
+        (1, 10, 100.0, jan), (2, 11, 50.0, jan),   # cohort Jan: users 10,11
+        (3, 10, 30.0, feb),                        # Jan cohort, offset 1
+        (4, 12, 200.0, feb),                       # cohort Feb: user 12
+        (5, 12, 40.0, mar),                        # Feb cohort, offset 1
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, "
+              "o_orderdate timestamp",
+    )
+    out = {(r.cohort_month.month, r.month_offset): r
+           for r in cohort_ltv(df).collect()}
+    jan0, jan1 = out[(1, 0)], out[(1, 1)]
+    assert jan0.cohort_size == 2 and jan0.revenue == 150.0
+    assert jan1.cum_revenue == 180.0 and jan1.ltv_per_customer == 90.0
+    feb1 = out[(2, 1)]
+    assert feb1.cohort_size == 1 and feb1.cum_revenue == 240.0
+
+
+def test_inter_event_gaps_lag_semantics(spark):
+    """Round-8: gaps are per-user consecutive deltas grouped under the
+    LATER event's type; first events contribute nothing."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.retention import inter_event_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + dt.timedelta(seconds=10)),
+        (3, 1, "purchase", t0 + dt.timedelta(seconds=40)),
+        (4, 2, "view", t0),  # sole event of user 2: no gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.event_type: r for r in inter_event_gaps(df).collect()}
+    assert "view" not in out  # both views are first-of-user
+    assert out["click"].n_gaps == 1 and out["click"].avg_gap_s == 10.0
+    assert out["purchase"].max_gap_s == 30.0
+
+
+def test_embed_covariance_and_pca_match_numpy(spark):
+    """Round-8: distributed centered-Gramian covariance equals
+    numpy.cov at 6dp, and the PCA projection equals numpy eigh
+    projection (sign-fixed) at 6dp, on a deterministic 40×6 corpus."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.similarity import (
+        embed_covariance,
+        embedding_pca,
+    )
+
+    X = np.array(
+        [[((i * 7 + j * 13) % 23) * 0.25 + (j + 1) * 0.1 * i
+          for j in range(6)] for i in range(40)],
+        dtype=np.float64,
+    )
+    Xf = X.astype(np.float32)  # the column is array<float>
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in Xf[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+
+    C = np.cov(Xf.astype(np.float64).T, ddof=1)
+    got = {(r.i, r.j): r.cov for r in embed_covariance(df).collect()}
+    assert len(got) == 6 * 7 // 2
+    for (i, j), v in got.items():
+        assert abs(v - round(C[i, j], 6)) <= 1e-6, (i, j, v, C[i, j])
+
+    proj, ratios = embedding_pca(df, k=2)
+    vals, vecs = np.linalg.eigh(np.round(C, 6))
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    mu_free = Xf.astype(np.float64)  # projection is uncentered by design
+    expect = mu_free @ np.array(comps).T
+    got_p = {r.vec_id: r.pc for r in proj.collect()}
+    for i in range(40):
+        for c in range(2):
+            assert abs(got_p[i][c] - round(expect[i, c], 6)) <= 2e-6
+    assert abs(sum(ratios) - sum(round(float(vals[i]) / vals.sum(), 6)
+                                 for i in order)) < 1e-9
+    assert ratios[0] >= ratios[1] > 0
