@@ -4149,6 +4149,47 @@ def _embed_pca_project(spark, sf_dir):
     return proj
 
 
+def _eval_auc_orders(spark, sf_dir):
+    """Exact distributed ROC AUC (ops/evaluation.py::binary_auc):
+    Mann–Whitney average-rank-sum over the DISTINCT-score frame with the
+    two-phase global prefix sum — score o_totalprice vs the urgent-
+    priority label; decimal rank-sum accumulation."""
+    from metadata_etl_framework_spark.ops.evaluation import binary_auc
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_urgent", F.col("o_orderpriority") == "1-URGENT"
+    )
+    return binary_auc(o, "o_totalprice", "is_urgent")
+
+
+def _eval_lift_orders(spark, sf_dir):
+    """Decile lift/gains table (ops/evaluation.py::lift_table): exact
+    descending-NTILE buckets via the scale-safe ntile_assign, cumulative
+    capture over the 10-row grid."""
+    from metadata_etl_framework_spark.ops.evaluation import lift_table
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_urgent", F.col("o_orderpriority") == "1-URGENT"
+    )
+    return lift_table(o, "o_totalprice", "is_urgent", "o_orderkey")
+
+
+def _eval_calibration_orders(spark, sf_dir):
+    """Reliability-diagram bins (ops/evaluation.py::calibration_bins):
+    a deterministic pseudo-probability ((o_orderkey mod 101)/100 —
+    exercises the inclusive-top-edge clamp) against the urgent label;
+    one bounds-free projection + one groupBy(bin)."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        calibration_bins,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 101) / F.lit(100.0)).alias("p_hat"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    )
+    return calibration_bins(o, "p_hat", "is_urgent", n_bins=10)
+
+
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
     # capability frontier (round-8: PQ/IVF-PQ ANN, binned KS/EMD drift,
@@ -4256,6 +4297,9 @@ _EXTRA_KEYS = [
     "events_inter_event_gaps",
     "embed_covariance",
     "embed_pca_project",
+    "eval_auc_orders",
+    "eval_lift_orders",
+    "eval_calibration_orders",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
@@ -4562,6 +4606,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_inter_event_gaps": _events_inter_event_gaps,
     "embed_covariance": _embed_covariance,
     "embed_pca_project": _embed_pca_project,
+    "eval_auc_orders": _eval_auc_orders,
+    "eval_lift_orders": _eval_lift_orders,
+    "eval_calibration_orders": _eval_calibration_orders,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,

@@ -1,0 +1,228 @@
+"""Model-score evaluation over distributed scored corpora.
+
+A 100-TB curation pipeline ends in scores — quality classifiers, dedup
+confidences, toxicity filters — and the questions asked of those scores
+are the classic supervised-eval ones: how well does the score rank the
+positives (AUC), how concentrated are they in the top deciles (lift /
+gains), and do predicted probabilities match observed rates
+(calibration). The reference's quality surface stops at rule pass-rates
+(cf. /root/reference/src/quality/data_quality_manager.py); these ops
+extend it to score evaluation with the same oracle-friendly,
+deterministic-arithmetic conventions as the rest of the repo.
+
+Scale shapes:
+
+- ``binary_auc`` is the Mann–Whitney rank-sum form computed over the
+  DISTINCT-score frame: one groupBy(score), one two-phase global prefix
+  sum (ops/packing.py::global_prefix_sum — range partition + broadcast
+  offsets, never a partitionless window), one 1-row aggregate. Post-scan
+  state is O(distinct scores) spread across partitions.
+- ``lift_table`` buckets by exact SQL NTILE semantics over descending
+  score (functions/aggregations.py::ntile_assign — the scale-safe global
+  rank) and then works on the n_buckets-row grid; the cumulative window
+  runs over that bounded grid, never rows.
+- ``calibration_bins`` is one bounds aggregate (broadcast 1-row) plus
+  one groupBy(bin) — the histogram shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label — the
+    Mann–Whitney U statistic: AUC = P(score⁺ > score⁻) + ½·P(tie),
+    computed by the average-rank-sum closed form, never by pairwise
+    comparison.
+
+    Per distinct score s with n_s rows (p_s positive), ascending-score
+    average rank is ``cum_before(s) + (n_s + 1)/2``; then
+    ``AUC = (Σ p_s·avgrank(s) − P(P+1)/2) / (P·N)``. The only
+    row-scale operation is the groupBy(score); the prefix sum runs on
+    the distinct-score frame via the two-phase range-partitioned scan.
+    The rank-sum accumulates as DECIMAL (avg ranks are exact .5 steps),
+    so the statistic is merge-order-independent and cross-engine
+    hash-stable.
+
+    Rows with a NULL score or label are excluded (they have no rank /
+    no class). Degenerate inputs (single class) yield NULL auc.
+
+    Output: 1 row — (n_pos, n_neg, auc 6dp).
+    """
+    from metadata_etl_framework_spark.ops.packing import global_prefix_sum
+
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    per_score = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+    )
+    cum = global_prefix_sum(per_score, "s", "n", out="__cum")
+    # inclusive prefix − own count = ranks before this score block
+    avg_rank = (
+        (F.col("__cum") - F.col("n")).cast("decimal(38,10)")
+        + (F.col("n") + 1).cast("decimal(38,10)") / 2
+    )
+    tot = cum.agg(
+        F.sum("p").alias("P"),
+        F.sum(F.col("n") - F.col("p")).alias("N"),
+        F.sum(F.col("p").cast("decimal(38,10)") * avg_rank).alias("R"),
+    )
+    P, N = F.col("P"), F.col("N")
+    auc = (
+        F.col("R").cast("double")
+        - (P.cast("double") * (P + 1).cast("double")) / 2
+    ) / (P.cast("double") * N.cast("double"))
+    return tot.select(
+        P.cast("long").alias("n_pos"),
+        N.cast("long").alias("n_neg"),
+        F.round(F.when((P > 0) & (N > 0), auc), 6).alias("auc"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift / gains table: rows bucket by DESCENDING score with
+    exact SQL NTILE semantics (bucket 1 = top scores), and each bucket
+    reports its positive rate, lift over the base rate, and the
+    cumulative share of all positives captured so far — the "how deep
+    must the filter cut" readout.
+
+    Bucketing rides :func:`~metadata_etl_framework_spark.functions.
+    aggregations.ntile_assign` on (−score, id): the negation gives the
+    descending order and the unique ``id_col`` makes tie assignment
+    deterministic (the same ORDER BY score DESC, id an oracle replays).
+    Everything after the bucket groupBy runs on the n_buckets-row grid;
+    the cumulative window is over that bounded grid, never data rows.
+
+    Output per bucket: (bucket, n, positives, pos_rate, lift,
+    cum_positives, cum_capture_rate, cum_lift) — rates/lifts 6dp, NULL
+    lift when the corpus has no positives.
+    """
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        (-F.col(score_col).cast("double")).alias("__neg"),
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    bucketed = ntile_assign(base, ["__neg", "__id"], n_buckets, out="bucket")
+    grid = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("positives"),
+    )
+    # bounded n_buckets-row frame: the unpartitioned window is over the
+    # GRID, not data (same rationale as the funnel stage frame)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = grid.agg(
+        F.sum("n").alias("__tn"), F.sum("positives").alias("__tp")
+    )
+    cum = (
+        grid.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_positives", F.sum("positives").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    base_rate = F.col("__tp") / F.col("__tn")
+    rate = F.col("positives") / F.col("n")
+    cum_rate = F.col("cum_positives") / F.col("cum_n")
+    return cum.select(
+        "bucket",
+        "n",
+        "positives",
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(
+            F.when(F.col("__tp") > 0, rate / base_rate), 6
+        ).alias("lift"),
+        "cum_positives",
+        F.round(
+            F.when(F.col("__tp") > 0,
+                   F.col("cum_positives") / F.col("__tp")),
+            6,
+        ).alias("cum_capture_rate"),
+        F.round(
+            F.when(F.col("__tp") > 0, cum_rate / base_rate), 6
+        ).alias("cum_lift"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram bins: fixed-width score bins over [lo, hi]
+    with mean predicted score vs observed positive rate per bin — the
+    calibration readout for probability-like scores (plus the |gap|
+    that an expected-calibration-error roll-up weights by n).
+
+    One projection + one groupBy(bin): the histogram shape, O(n_bins)
+    post-scan. Scores outside [lo, hi] clamp into the edge bins (a
+    probability column should not have them; clamping keeps the op
+    total). The top edge is inclusive (score = hi lands in the last
+    bin, same convention as histogram2d).
+
+    Output per non-empty bin: (bin, bin_lo, bin_hi, n, avg_score,
+    pos_rate, abs_gap) — 6dp.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    width = (hi - lo) / n_bins
+    s = F.col(score_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((s - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        bin_.alias("bin"),
+        s.alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    agg = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        # DECIMAL sums: mean independent of partition merge order
+        F.sum(F.col("s").cast("decimal(30,10)")).alias("__ss"),
+        F.sum("y").alias("__pos"),
+    )
+    avg_score = F.col("__ss").cast("double") / F.col("n")
+    pos_rate = F.col("__pos") / F.col("n")
+    return agg.select(
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias(
+            "bin_hi"
+        ),
+        "n",
+        F.round(avg_score, 6).alias("avg_score"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(avg_score - pos_rate), 6).alias("abs_gap"),
+    )
