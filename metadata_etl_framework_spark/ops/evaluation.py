@@ -166,6 +166,110 @@ def lift_table(
     )
 
 
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Expected Calibration Error: the n-weighted mean of the per-bin
+    |avg_score − pos_rate| gaps from :func:`calibration_bins` — the
+    single-number calibration readout (Guo et al. 2017's ECE with
+    fixed-width bins).
+
+    Computed FROM the calibration_bins frame (gaps at their published
+    6-dp rounding), so the roll-up is exactly the number a user would
+    derive from the reported reliability table. The weighted sum
+    accumulates as DECIMAL so the statistic is merge-order-independent.
+    One extra 1-row aggregate over the n_bins-row grid.
+
+    Output: 1 row — (n long, n_bins_nonempty int, ece 6dp).
+    """
+    bins = calibration_bins(df, score_col, label_col, n_bins, lo, hi)
+    w_gap = (F.col("n") * F.col("abs_gap")).cast("decimal(38,10)")
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_nonempty"),
+        F.round(
+            F.when(
+                F.sum("n") > 0,
+                F.sum(w_gap).cast("double") / F.sum("n"),
+            ),
+            6,
+        ).alias("ece"),
+    )
+
+
+def pr_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Area under the precision–recall curve as AVERAGE PRECISION —
+    AP = Σ_s (p_s / P) · precision(s), summing over distinct scores s
+    in any order, where precision(s) counts rows with score ≥ s (ties
+    included as a block, the sklearn ``average_precision_score``
+    convention — no trapezoidal interpolation, which is optimistic on
+    PR curves per Davis & Goadrich 2006).
+
+    Same scale shape as :func:`binary_auc`: one groupBy(score), two
+    two-phase global prefix scans over the DISTINCT-score frame (row
+    counts and positive counts), one 1-row aggregate. The per-score
+    term p_s·precision(s) is rounded into DECIMAL(38,12) before the
+    sum so the statistic is merge-order-independent and an oracle
+    replays it bit-for-bit.
+
+    Rows with NULL score or label are excluded. No positives → NULL.
+
+    Output: 1 row — (n_pos, n_neg, pr_auc 6dp).
+    """
+    from metadata_etl_framework_spark.ops.packing import global_prefix_sum
+
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    per_score = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+    )
+    cum = global_prefix_sum(per_score, "s", "n", out="__cn")
+    cum = global_prefix_sum(cum, "s", "p", out="__cp")
+    tot = cum.agg(
+        F.sum("n").alias("T"), F.sum("p").alias("P")
+    )
+    cum = cum.crossJoin(F.broadcast(tot))
+    # rows / positives at threshold s (score >= s): descending
+    # cumulative = total − ascending-exclusive prefix
+    rows_ge = F.col("T") - F.col("__cn") + F.col("n")
+    pos_ge = F.col("P") - F.col("__cp") + F.col("p")
+    term = (
+        F.col("p").cast("double")
+        * pos_ge.cast("double")
+        / rows_ge.cast("double")
+    ).cast("decimal(38,12)")
+    out = cum.agg(
+        F.max("P").alias("__P"),
+        F.max(F.col("T") - F.col("P")).alias("__N"),
+        F.sum(term).alias("__ap"),
+    )
+    return out.select(
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.col("__P") > 0),
+                F.col("__ap").cast("double") / F.col("__P").cast("double"),
+            ),
+            6,
+        ).alias("pr_auc"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

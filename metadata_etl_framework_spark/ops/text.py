@@ -631,59 +631,6 @@ def bm25_join(
     )
 
 
-def oov_rate(
-    df: DataFrame,
-    vocab: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    vocab_col: str = "token",
-    lowercase: bool = True,
-) -> DataFrame:
-    """Per-document out-of-vocabulary rate against a vocabulary TABLE —
-    the tokenizer-fit health check: a corpus slice with a high OOV rate
-    will fragment into byte-fallback tokens and train badly, and a
-    vocabulary trained on last year's crawl quietly rots.
-
-    One explode → left join against the vocabulary on the token key
-    (vocab frames are ≤ a few hundred thousand rows — AQE broadcasts
-    them; a shuffle join degrades gracefully if not) → per-document
-    counts. Empty/null documents report rate NULL (no tokens to judge).
-    Output: (id, n_tokens long, n_oov long, oov_rate 6dp).
-    """
-    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
-    if lowercase:
-        toks = F.transform(toks, lambda t: F.lower(t))
-    v = vocab.select(
-        (F.lower(F.col(vocab_col)) if lowercase else F.col(vocab_col))
-        .alias("_vt")
-    ).dropDuplicates(["_vt"]).withColumn("_known", F.lit(1))
-    exploded = _spread(df).select(
-        F.col(id_col), F.explode_outer(toks).alias("_t")
-    )
-    joined = exploded.join(v, exploded["_t"] == v["_vt"], "left")
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count("_t").cast("long").alias("n_tokens"),
-            F.count(
-                F.when(F.col("_t").isNotNull() & F.col("_known").isNull(), 1)
-            ).cast("long").alias("n_oov"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            "n_oov",
-            F.round(
-                F.when(
-                    F.col("n_tokens") > 0,
-                    F.col("n_oov") / F.col("n_tokens"),
-                ),
-                6,
-            ).alias("oov_rate"),
-        )
-    )
-
-
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
