@@ -8945,18 +8945,18 @@ _ALL_SQL.update(
                            SUM(n) OVER (ORDER BY s) AS cn,
                            SUM(p) OVER (ORDER BY s) AS cp
                     FROM per),
-            tot AS (SELECT SUM(n) AS T, SUM(p) AS P FROM cum),
+            tot AS (SELECT SUM(n) AS tot_n, SUM(p) AS tot_p FROM cum),
             terms AS (
-              SELECT CAST(CAST(p AS DOUBLE)
-                          * CAST(P - cp + p AS DOUBLE)
-                          / CAST(T - cn + n AS DOUBLE)
+              SELECT CAST(CAST(cum.p AS DOUBLE)
+                          * CAST(tot.tot_p - cum.cp + cum.p AS DOUBLE)
+                          / CAST(tot.tot_n - cum.cn + cum.n AS DOUBLE)
                           AS DECIMAL(38,12)) AS term
               FROM cum, tot)
-            SELECT CAST(P AS BIGINT) AS n_pos,
-                   CAST(T - P AS BIGINT) AS n_neg,
-                   ROUND(CASE WHEN P > 0 THEN
+            SELECT CAST(tot_p AS BIGINT) AS n_pos,
+                   CAST(tot_n - tot_p AS BIGINT) AS n_neg,
+                   ROUND(CASE WHEN tot_p > 0 THEN
                            CAST((SELECT SUM(term) FROM terms) AS DOUBLE)
-                           / CAST(P AS DOUBLE) END, 6) AS pr_auc
+                           / CAST(tot_p AS DOUBLE) END, 6) AS pr_auc
             FROM tot
         """,
         # replays the mapInPandas md5 stand-in arithmetically: the PNG's

@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _materialize_1row(df: DataFrame, persisted: "list[DataFrame]") -> DataFrame:
+    """Collect a 1-row aggregate eagerly, release the prefix-scan caches
+    it pinned (they are correctness-critical only until this
+    materialization — see ops/packing.py), and re-emit the row as a
+    fresh DataFrame with the identical schema. Keeps the AUC-family ops
+    from leaking MEMORY_AND_DISK cache entries for the session lifetime
+    while costing only a 1-row collect."""
+    rows = df.collect()
+    for h in persisted:
+        h.unpersist()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def binary_auc(
     df: DataFrame,
     score_col: str,
@@ -67,7 +80,8 @@ def binary_auc(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("p"),
     )
-    cum = global_prefix_sum(per_score, "s", "n", out="__cum")
+    handles: list[DataFrame] = []
+    cum = global_prefix_sum(per_score, "s", "n", out="__cum", persisted=handles)
     # inclusive prefix − own count = ranks before this score block
     avg_rank = (
         (F.col("__cum") - F.col("n")).cast("decimal(38,10)")
@@ -83,10 +97,13 @@ def binary_auc(
         F.col("R").cast("double")
         - (P.cast("double") * (P + 1).cast("double")) / 2
     ) / (P.cast("double") * N.cast("double"))
-    return tot.select(
-        P.cast("long").alias("n_pos"),
-        N.cast("long").alias("n_neg"),
-        F.round(F.when((P > 0) & (N > 0), auc), 6).alias("auc"),
+    return _materialize_1row(
+        tot.select(
+            P.cast("long").alias("n_pos"),
+            N.cast("long").alias("n_neg"),
+            F.round(F.when((P > 0) & (N > 0), auc), 6).alias("auc"),
+        ),
+        handles,
     )
 
 
@@ -237,36 +254,44 @@ def pr_auc(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("p"),
     )
-    cum = global_prefix_sum(per_score, "s", "n", out="__cn")
-    cum = global_prefix_sum(cum, "s", "p", out="__cp")
+    handles: list[DataFrame] = []
+    cum = global_prefix_sum(per_score, "s", "n", out="__cn", persisted=handles)
+    cum = global_prefix_sum(cum, "s", "p", out="__cp", persisted=handles)
+    # total aliases must NOT collide case-insensitively with the
+    # per-score columns n/p still on `cum` (Spark's default resolution
+    # is case-INsensitive: an alias "P" next to column "p" is an
+    # AMBIGUOUS_REFERENCE) — same __-prefix convention as lift_table
     tot = cum.agg(
-        F.sum("n").alias("T"), F.sum("p").alias("P")
+        F.sum("n").alias("__tot_n"), F.sum("p").alias("__tot_p")
     )
     cum = cum.crossJoin(F.broadcast(tot))
     # rows / positives at threshold s (score >= s): descending
     # cumulative = total − ascending-exclusive prefix
-    rows_ge = F.col("T") - F.col("__cn") + F.col("n")
-    pos_ge = F.col("P") - F.col("__cp") + F.col("p")
+    rows_ge = F.col("__tot_n") - F.col("__cn") + F.col("n")
+    pos_ge = F.col("__tot_p") - F.col("__cp") + F.col("p")
     term = (
         F.col("p").cast("double")
         * pos_ge.cast("double")
         / rows_ge.cast("double")
     ).cast("decimal(38,12)")
     out = cum.agg(
-        F.max("P").alias("__P"),
-        F.max(F.col("T") - F.col("P")).alias("__N"),
+        F.max("__tot_p").alias("__P"),
+        F.max(F.col("__tot_n") - F.col("__tot_p")).alias("__N"),
         F.sum(term).alias("__ap"),
     )
-    return out.select(
-        F.col("__P").cast("long").alias("n_pos"),
-        F.col("__N").cast("long").alias("n_neg"),
-        F.round(
-            F.when(
-                (F.col("__P") > 0),
-                F.col("__ap").cast("double") / F.col("__P").cast("double"),
-            ),
-            6,
-        ).alias("pr_auc"),
+    return _materialize_1row(
+        out.select(
+            F.col("__P").cast("long").alias("n_pos"),
+            F.col("__N").cast("long").alias("n_neg"),
+            F.round(
+                F.when(
+                    (F.col("__P") > 0),
+                    F.col("__ap").cast("double") / F.col("__P").cast("double"),
+                ),
+                6,
+            ).alias("pr_auc"),
+        ),
+        handles,
     )
 
 

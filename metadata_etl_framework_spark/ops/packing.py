@@ -34,6 +34,7 @@ def global_prefix_sum(
     value_col: str,
     out: str = "prefix_sum",
     num_partitions: int | None = None,
+    persisted: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Running total of ``value_col`` over the global ``order_col`` order.
 
@@ -67,6 +68,11 @@ def global_prefix_sum(
     with_pid = ranged.withColumn(
         "__pid", F.spark_partition_id()
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the cache is correctness-critical until the consumer materializes
+    # (sampled range boundaries); eager callers pass `persisted` to own
+    # the release — same contract as global_prefix_sum_decimal
+    if persisted is not None:
+        persisted.append(with_pid)
 
     subtotals = (
         with_pid.groupBy("__pid")
