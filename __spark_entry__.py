@@ -4213,28 +4213,24 @@ def _eval_pr_auc_orders(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier (round-8: PQ/IVF-PQ ANN, binned KS/EMD drift,
-    # exact global quantiles, robust z, source entropy and exact Gini
-    # in; granular variants with multi-round green history —
-    # filter_multi, join_multi, text_lang_id, typeconversion,
-    # window_frames, dedup_distinct, corr_qty_price, incr_keep_latest —
-    # now verified by the local parity suite as extras).
+    # capability frontier (round-10: PageRank, blocked fuzzy join,
+    # point-in-time join, BM25 search, change-point, RFM segments,
+    # correlation matrix, mutual information, and the AUC/PR-AUC eval
+    # pair in; granular variants with multi-round green history —
+    # filter_condition, join_inner, join_anti, agg_orders_by_priority,
+    # window_rank_lag, step_union, step_customudf, text_features,
+    # dedup_exact_groups, orders_global_rank — now verified by the
+    # local parity suite as extras).
     "q1_pricing_summary",
-    "filter_condition",
     "dedup_bloom_probe",
     "embed_semantic_dedup",
     "corpus_dsir_weights",
-    "join_inner",
     "drift_suite",
-    "join_anti",
     "curation_funnel",
-    "agg_orders_by_priority",
     "events_cohort_retention",
     "dedup_incremental",
-    "window_rank_lag",
     "text_quality_score",
     "text_tfidf_top_terms",
-    "orders_global_rank",
     "corpus_split_leakage_safe",
     "profile_all_columns",
     "dq_suite",
@@ -4244,19 +4240,29 @@ _DRIVER_KEYS = [
     "sql_q3_shipping_priority",
     "sql_q5_local_volume",
     "sql_q10_returned_items",
-    "step_customudf",
-    "step_union",
     "incr_merge_upsert",
     "incr_cdc_apply",
     "incr_scd2_apply",
     "incr_late_split",
     "events_windows",
     "events_sessions",
-    "text_features",
     "events_kaplan_meier",
-    "dedup_exact_groups",
     "dedup_embedding_cosine",
     "embed_knn_join",
+    # Round-8/9 flagships promoted to the HARD gate (r8 task 5): each
+    # oracle-backed — PageRank by unrolled-CTE replay, fuzzy join by
+    # blocked levenshtein replay, PIT/BM25/change-point/RFM/corr/MI by
+    # exact SQL, the eval pair by the prefix-scan closed forms.
+    "graph_pagerank_suppliers",
+    "fuzzy_match_customers",
+    "join_point_in_time",
+    "text_bm25_search",
+    "events_changepoint",
+    "customer_rfm_segments",
+    "corr_matrix_lineitem",
+    "mi_docs_lang_source",
+    "eval_auc_orders",
+    "eval_pr_auc_orders",
     # Round-7/8 flagships promoted to the HARD gate: every one is
     # oracle-backed (closed-form PQ codebooks + IVF centroids replay
     # encode/probe/ADC in DuckDB; binned KS/EMD replay the pooled-edges
@@ -4283,27 +4289,21 @@ _DRIVER_KEYS = [
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
-    # Rotated OUT of the driver gate in round 8 (multi-round green
+    # Rotated OUT of the driver gate (rounds 8–10, multi-round green
     # history there); still verified by the local parity suite.
     "drift_suite_forced_binned",
     "drift_qq_deciles",
     "drift_ks_significance",
     "text_oov_rate",
-    "corr_matrix_lineitem",
-    "mi_docs_lang_source",
     "bucketize_ntile_price",
-    "graph_pagerank_suppliers",
     "graph_ppr_customers",
     "events_session_stats",
-    "fuzzy_match_customers",
     "corpus_embed_decontaminate",
     "trend_ols_by_flag",
-    "text_bm25_search",
     "text_bm25_join",
     "anomaly_robust_z_by_type",
     "window_rolling_median",
     "funnel_windowed",
-    "events_changepoint",
     "dist_weighted_median",
     "dist_lorenz_price",
     "dist_gini_by_source",
@@ -4313,20 +4313,26 @@ _EXTRA_KEYS = [
     "dq_rules_by_source",
     "events_stickiness",
     "dist_histogram2d",
-    "customer_rfm_segments",
     "orders_cohort_ltv",
     "events_inter_event_gaps",
     "embed_covariance",
     "embed_pca_project",
-    "eval_auc_orders",
     "eval_lift_orders",
     "eval_calibration_orders",
     "eval_ece_orders",
-    "eval_pr_auc_orders",
+    "filter_condition",
+    "join_inner",
+    "join_anti",
+    "agg_orders_by_priority",
+    "window_rank_lag",
+    "step_union",
+    "step_customudf",
+    "text_features",
+    "dedup_exact_groups",
+    "orders_global_rank",
     "basket_brand_affinity",
     "events_time_weighted_avg",
     "events_cumulative_users",
-    "join_point_in_time",
     "events_conversion_latency",
     "events_trigrams",
     "events_window_topk",
