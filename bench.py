@@ -109,19 +109,28 @@ def main() -> None:
     # measured query doesn't absorb one-time session costs
     _force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
 
-    # min of N runs per query: the box shows ambient CPU spikes that can
-    # inflate a single run 10×+; the min is the reproducible cost of the
-    # plan itself (set SPARK_GRAFT_BENCH_RUNS=1 for single-shot timing)
+    # min over N INTERLEAVED passes: back-to-back repeats of one query
+    # share any multi-second ambient CPU spike, so per-query min-of-3
+    # still swung 1.2-1.7x round-to-round on this box. Round-robin
+    # passes decorrelate: a transient spike lands on ONE pass of a few
+    # queries, and the other passes supply a clean min. Between passes,
+    # clear the SQL cache and nudge a JVM GC so memory-pressure drift
+    # from earlier queries' shuffles/caches can't tax later ones.
+    # (set SPARK_GRAFT_BENCH_RUNS=1 for single-shot timing)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(runs):
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for pass_i in range(runs):
+        if pass_i:
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        for name in HEADLINE:
             t0 = time.monotonic()
-            _force(fn(spark, SF_DIR))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            _force(queries[name](spark, SF_DIR))
+            timings[name] = min(timings[name], time.monotonic() - t0)
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     out = {
         "metric": "total_query_time",
