@@ -941,6 +941,31 @@ def _graph_ppr_customers(spark, sf_dir):
     )
 
 
+def _graph_pagerank_dangling(spark, sf_dir):
+    """Mass-conserving PageRank on a graph WITH dangling nodes
+    (ops/graph.py::pagerank redistribute_dangling=True): edges run
+    customer→supplier ONLY, so every supplier is dangling; each
+    iteration's dangling rank mass (one DECIMAL-summed 1-row aggregate,
+    broadcast back via cross-join) re-enters through the uniform
+    teleport, keeping Σ rank = 1. Replayed by unrolled SQL CTEs."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = pair.select(c.alias("src"), s.alias("dst"), F.col("n"))
+    return pagerank(
+        edges, iterations=3, damping=0.85, weight_col="n",
+        checkpoint_every=3, redistribute_dangling=True,
+    )
+
+
 def _events_session_stats(spark, sf_dir):
     """Per-session metrics over gap-rule sessions (ops/retention.py::
     session_stats): event count, duration, bounce flag — one pass on
@@ -979,22 +1004,34 @@ def _corpus_embed_decontaminate(spark, sf_dir):
     return sim_ops.embed_decontaminate(corpus, ev, threshold=0.3)
 
 
-def _pagerank_sql(seeds: "list[str] | None" = None) -> str:
+def _pagerank_sql(
+    seeds: "list[str] | None" = None,
+    bidirectional: bool = True,
+    redistribute: bool = False,
+) -> str:
     """DuckDB replay of the 3-iteration PageRank: identical edge
     construction, identical DECIMAL(28,12) contribution accumulation,
     identical double teleport arithmetic ((1.0−0.85)/nn and 1.0/nn are
-    computed in IEEE doubles by both engines)."""
+    computed in IEEE doubles by both engines). ``bidirectional=False``
+    keeps only customer→supplier edges (suppliers become dangling);
+    ``redistribute`` replays the mass-conserving dangling arm — per
+    iteration, the DECIMAL-summed rank on dangling nodes re-enters
+    through the uniform teleport distribution."""
+    e0 = """e0 AS (SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+                         's' || CAST(sk AS VARCHAR) AS dst,
+                         CAST(n AS DOUBLE) AS w FROM pair"""
+    if bidirectional:
+        e0 += """
+                  UNION ALL
+                  SELECT 's' || CAST(sk AS VARCHAR),
+                         'c' || CAST(ck AS VARCHAR),
+                         CAST(n AS DOUBLE) FROM pair"""
+    e0 += ")"
     ctes = [
         """pair AS (SELECT o_custkey AS ck, l_suppkey AS sk, COUNT(*) AS n
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
                     GROUP BY 1, 2)""",
-        """e0 AS (SELECT 'c' || CAST(ck AS VARCHAR) AS src,
-                         's' || CAST(sk AS VARCHAR) AS dst,
-                         CAST(n AS DOUBLE) AS w FROM pair
-                  UNION ALL
-                  SELECT 's' || CAST(sk AS VARCHAR),
-                         'c' || CAST(ck AS VARCHAR),
-                         CAST(n AS DOUBLE) FROM pair)""",
+        e0,
         "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
         "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes)",
         """ow AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(30,10)))
@@ -1020,6 +1057,12 @@ def _pagerank_sql(seeds: "list[str] | None" = None) -> str:
         )
     else:
         base_sql = "((1.0 - 0.85) / nn)"
+    if redistribute:
+        ctes.append(
+            """dang AS (SELECT node FROM nodes
+                 LEFT JOIN (SELECT DISTINCT src FROM e0) o ON node = o.src
+                 WHERE o.src IS NULL)"""
+        )
     for k in range(1, 4):
         ctes.append(
             f"""c{k} AS (SELECT e.dst,
@@ -1027,12 +1070,26 @@ def _pagerank_sql(seeds: "list[str] | None" = None) -> str:
                             AS DOUBLE) AS s
                  FROM e JOIN r{k - 1} p ON e.src = p.node GROUP BY e.dst)"""
         )
-        ctes.append(
-            f"""r{k} AS (SELECT node,
+        if redistribute:
+            ctes.append(
+                f"""m{k} AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,12)))
+                              AS DOUBLE) AS m
+                     FROM r{k - 1} JOIN dang USING (node))"""
+            )
+            ctes.append(
+                f"""r{k} AS (SELECT node,
+                       {base_sql} + 0.85 * (COALESCE(s, 0.0)
+                           + COALESCE(m, 0.0) * (1.0 / nn)) AS r
+                 FROM nodes CROSS JOIN t CROSS JOIN m{k}
+                 LEFT JOIN c{k} ON node = c{k}.dst)"""
+            )
+        else:
+            ctes.append(
+                f"""r{k} AS (SELECT node,
                        {base_sql} + 0.85 * COALESCE(s, 0.0) AS r
                  FROM nodes CROSS JOIN t
                  LEFT JOIN c{k} ON node = c{k}.dst)"""
-        )
+            )
     return (
         "WITH " + ",\n".join(ctes)
         + "\nSELECT node, ROUND(r, 6) AS rank FROM r3"
@@ -4297,6 +4354,7 @@ _EXTRA_KEYS = [
     "text_oov_rate",
     "bucketize_ntile_price",
     "graph_ppr_customers",
+    "graph_pagerank_dangling",
     "events_session_stats",
     "corpus_embed_decontaminate",
     "trend_ols_by_flag",
@@ -4542,6 +4600,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketize_ntile_price": _bucketize_ntile_price,
     "graph_pagerank_suppliers": _graph_pagerank_suppliers,
     "graph_ppr_customers": _graph_ppr_customers,
+    "graph_pagerank_dangling": _graph_pagerank_dangling,
     "events_session_stats": _events_session_stats,
     "fuzzy_match_customers": _fuzzy_match_customers,
     "corpus_embed_decontaminate": _corpus_embed_decontaminate,
@@ -5019,6 +5078,8 @@ _ALL_SQL: dict[str, str] = {
         "corr_matrix_lineitem": _corr_matrix_sql(),
         "graph_pagerank_suppliers": _pagerank_sql(),
         "graph_ppr_customers": _pagerank_sql(seeds=_PPR_SEEDS),
+        "graph_pagerank_dangling": _pagerank_sql(
+            bidirectional=False, redistribute=True),
         "events_session_stats": """
             WITH b AS (SELECT user_id, event_id, ts FROM events
                        WHERE user_id IS NOT NULL AND ts IS NOT NULL),

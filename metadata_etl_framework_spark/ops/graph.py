@@ -37,15 +37,24 @@ def pagerank(
     weight_col: str | None = None,
     checkpoint_every: int = 1,
     seed_nodes: "Sequence[str] | None" = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
     ``PR_{t+1}(v) = (1−d)/N + d · Σ_{(u,v)∈E} PR_t(u) · w(u,v)/outw(u)``
-    for ``iterations`` rounds from the uniform start 1/N. Dangling nodes
-    (no out-edges) simply stop propagating — their mass is not
-    redistributed (the common simplification; total mass then decays
-    toward the teleport term, which is fine for RANKING, the use case
-    here).
+    for ``iterations`` rounds from the uniform start 1/N. By default,
+    dangling nodes (no out-edges) simply stop propagating — their mass
+    is not redistributed (the common simplification; total mass then
+    decays toward the teleport term, which is fine for RANKING).
+    ``redistribute_dangling=True`` switches to the mass-conserving
+    formulation: each iteration adds ONE 1-row aggregate — the total
+    rank sitting on dangling nodes, DECIMAL-accumulated — broadcast
+    back into the update as ``d·m·teleport(v)`` (uniform 1/N, or the
+    seed distribution under personalization), so Σ rank stays 1 and
+    ranks are comparable across graphs with different dangling shares.
+    The extra per-iteration cost is a semi-join onto the (persisted)
+    dangling-node set plus a broadcast cross-join of one row — no new
+    row-scale shuffle.
 
     Each iteration: edge⋈rank join (shuffle on src), contribution
     aggregation (shuffle on dst), left join back onto the node set.
@@ -105,6 +114,16 @@ def pagerank(
     )
     e = e0.join(ow, "_src").persist()
     e.count()
+    dangling = None
+    if redistribute_dangling:
+        # nodes with no out-edges; small persisted frame probed by a
+        # semi-join each iteration
+        dangling = nodes.join(
+            e0.select(F.col("_src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).persist()
+        dangling.count()
 
     # both constants computed DRIVER-side in IEEE doubles so an external
     # SQL oracle computing (1−d)/N and 1/N in its own double arithmetic
@@ -125,6 +144,14 @@ def pagerank(
     else:
         base_col = F.lit((1.0 - damping) / n)
         init_col = F.lit(1.0 / n)
+    # teleport distribution the dangling mass re-enters through:
+    # uniform 1/N, or the seed distribution under personalization
+    if seed_nodes is not None:
+        redist_col = F.when(
+            is_seed, F.lit(1.0 / len(seeds))
+        ).otherwise(F.lit(0.0))
+    else:
+        redist_col = F.lit(1.0 / n)
     rank = nodes.withColumn("rank", init_col).persist()
     rank.count()
     last_kept = rank
@@ -140,15 +167,42 @@ def pagerank(
             .groupBy("_dst")
             .agg(F.sum("_t").cast("double").alias("_s"))
         )
-        new_rank = nodes.join(
-            contrib, nodes["node"] == contrib["_dst"], "left"
-        ).select(
-            "node",
-            (
-                base_col
-                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if dangling is not None:
+            # ONE 1-row aggregate: total rank on dangling nodes this
+            # iteration, DECIMAL-accumulated (order-independent), then
+            # broadcast back into the update via a 1-row cross-join —
+            # the plan stays lazy, no per-iteration driver collect
+            dm = dangling.join(rank, "node").agg(
+                F.sum(F.col("rank").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("_dm")
+            )
+            new_rank = (
+                nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "node",
+                    (
+                        base_col
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("_s"), F.lit(0.0))
+                            + F.coalesce(F.col("_dm"), F.lit(0.0))
+                            * redist_col
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            new_rank = nodes.join(
+                contrib, nodes["node"] == contrib["_dst"], "left"
+            ).select(
+                "node",
+                (
+                    base_col
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             new_rank = new_rank.persist()
             new_rank.count()
@@ -157,4 +211,6 @@ def pagerank(
         rank = new_rank
     nodes.unpersist()
     e.unpersist()
+    if dangling is not None:
+        dangling.unpersist()
     return rank.select("node", F.round("rank", 6).alias("rank"))
