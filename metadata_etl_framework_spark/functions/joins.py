@@ -415,6 +415,7 @@ def fuzzy_join_blocked(
     left_key: str | None = None,
     right_key: str | None = None,
     suffixes: "tuple[str, str]" = ("_l", "_r"),
+    sort_output: bool = False,
 ) -> DataFrame:
     """Blocked fuzzy (edit-distance) join — the entity-resolution /
     record-linkage primitive: candidate pairs come from an EQUI-join on
@@ -434,7 +435,10 @@ def fuzzy_join_blocked(
 
     Output: block columns, ``{left_text}{suffixes[0]}``,
     ``{right_text}{suffixes[1]}``, key columns likewise suffixed when
-    given, and ``distance`` (int), ascending by keys.
+    given, and ``distance`` (int). Unordered by default —
+    ``sort_output=True`` adds a presentation sort ascending by keys,
+    which is a GLOBAL sort (one extra range-shuffle of the full match
+    set): leave it off in pipelines and order in the consumer.
     """
     sl, sr = suffixes
     lt, rt = f"{left_text}{sl}", f"{right_text}{sr}"
@@ -456,8 +460,10 @@ def fuzzy_join_blocked(
     out = pairs.withColumn("distance", dist.cast("int")).where(
         F.col("distance") <= int(max_distance)
     )
-    order = out_keys if out_keys else [lt, rt]
-    return out.orderBy(*order)
+    if sort_output:
+        order = out_keys if out_keys else [lt, rt]
+        out = out.orderBy(*order)
+    return out
 
 
 def point_in_time_join(
