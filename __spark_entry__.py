@@ -4268,6 +4268,51 @@ def _eval_pr_auc_orders(spark, sf_dir):
     return pr_auc(o, "o_totalprice", "is_urgent")
 
 
+def _eval_threshold_sweep_orders(spark, sf_dir):
+    """Operating-point table (ops/evaluation.py::threshold_sweep): the
+    full precision/recall/F1/accuracy sweep over every distinct score
+    threshold — one groupBy(score) + two global prefix scans + one
+    broadcast totals cross-join, the pr_auc scale shape with a
+    row-per-threshold output."""
+    from metadata_etl_framework_spark.ops.evaluation import threshold_sweep
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_urgent", F.col("o_orderpriority") == "1-URGENT"
+    )
+    return threshold_sweep(o, "o_totalprice", "is_urgent")
+
+
+def _eval_suite_orders(spark, sf_dir):
+    """Tall (metric, value) score-audit frame compiled through the
+    DECLARATIVE vocabulary (operators/step_compiler.py 'score_eval'
+    step → ops/evaluation.py::score_eval_suite): AUC + PR-AUC + ECE
+    over a probability-like score, the gate a curation pipeline
+    thresholds the way it gates on drift_psi."""
+    from metadata_etl_framework_spark.operators.step_compiler import (
+        TransformEngine,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 101).cast("double") / F.lit(100.0))
+        .alias("s"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    ).where(F.col("o_orderkey").isNotNull()
+            & F.col("o_orderpriority").isNotNull())
+    return TransformEngine(spark).apply_transform_step(
+        o,
+        {
+            "type": "score_eval",
+            "config": {
+                "score_column": "s",
+                "label_column": "is_urgent",
+                "metrics": ["auc", "pr_auc", "ece"],
+                "n_bins": 10,
+            },
+        },
+        {},
+    )
+
+
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
     # capability frontier (round-10: PageRank, blocked fuzzy join,
@@ -4378,6 +4423,8 @@ _EXTRA_KEYS = [
     "eval_lift_orders",
     "eval_calibration_orders",
     "eval_ece_orders",
+    "eval_threshold_sweep_orders",
+    "eval_suite_orders",
     "filter_condition",
     "join_inner",
     "join_anti",
@@ -4707,6 +4754,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_calibration_orders": _eval_calibration_orders,
     "eval_ece_orders": _eval_ece_orders,
     "eval_pr_auc_orders": _eval_pr_auc_orders,
+    "eval_threshold_sweep_orders": _eval_threshold_sweep_orders,
+    "eval_suite_orders": _eval_suite_orders,
     "text_redact_pii": _text_redact_pii,
     "text_chunks": _text_chunks,
     "project_melt": _project_melt,
@@ -9025,6 +9074,113 @@ _ALL_SQL.update(
                            CAST((SELECT SUM(term) FROM terms) AS DOUBLE)
                            / CAST(tot_p AS DOUBLE) END, 6) AS pr_auc
             FROM tot
+        """,
+        # operating-point sweep replay: confusion counts from the two
+        # ascending prefixes, fixed IEEE-double ratio op order (f1 as
+        # ((2*p)*r)/(p+r)); "precision" quoted (reserved word)
+        "eval_threshold_sweep_orders": """
+            WITH base AS (
+              SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL),
+            per AS (SELECT s, COUNT(*) AS n, SUM(y) AS p
+                    FROM base GROUP BY s),
+            cum AS (SELECT s, n, p,
+                           SUM(n) OVER (ORDER BY s) AS cn,
+                           SUM(p) OVER (ORDER BY s) AS cp
+                    FROM per),
+            tot AS (SELECT SUM(n) AS tot_n, SUM(p) AS tot_p FROM cum),
+            m AS (SELECT s, n, p,
+                         tot_n - cn + n AS pp,
+                         tot_p - cp + p AS tp,
+                         tot_n, tot_p
+                  FROM cum, tot)
+            SELECT s AS threshold,
+                   CAST(pp AS BIGINT) AS n_pred_pos,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(pp - tp AS BIGINT) AS fp,
+                   CAST(tot_p - tp AS BIGINT) AS fn,
+                   CAST((tot_n - pp) - (tot_p - tp) AS BIGINT) AS tn,
+                   ROUND(CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE), 6)
+                     AS "precision",
+                   ROUND(CASE WHEN tot_p > 0 THEN
+                           CAST(tp AS DOUBLE) / CAST(tot_p AS DOUBLE)
+                         END, 6) AS recall,
+                   ROUND(CASE WHEN tot_p > 0 AND tp > 0 THEN
+                           2.0 * (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE))
+                               * (CAST(tp AS DOUBLE) / CAST(tot_p AS DOUBLE))
+                           / ((CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE))
+                              + (CAST(tp AS DOUBLE) / CAST(tot_p AS DOUBLE)))
+                         END, 6) AS f1,
+                   ROUND(CAST(tp + (tot_n - pp) - (tot_p - tp) AS DOUBLE)
+                         / CAST(tot_n AS DOUBLE), 6) AS accuracy
+            FROM m
+        """,
+        # tall score-audit replay: the auc / pr_auc / ece closed forms
+        # over ONE shared base/per/cum scaffold, unioned as
+        # (metric, value) rows
+        "eval_suite_orders": """
+            WITH base AS (
+              SELECT CAST(o_orderkey % 101 AS DOUBLE) / 100.0 AS s,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS y
+              FROM orders
+              WHERE o_orderkey IS NOT NULL
+                AND o_orderpriority IS NOT NULL),
+            per AS (SELECT s, COUNT(*) AS n, SUM(y) AS p
+                    FROM base GROUP BY s),
+            cum AS (SELECT n, p,
+                           SUM(n) OVER (ORDER BY s) AS cn,
+                           SUM(p) OVER (ORDER BY s) AS cp
+                    FROM per),
+            atot AS (SELECT SUM(p) AS P, SUM(n - p) AS N,
+                            SUM(CAST(p AS DOUBLE)
+                                * (CAST(cn - n AS DOUBLE)
+                                   + CAST(n + 1 AS DOUBLE) / 2)) AS R
+                     FROM cum),
+            ptot AS (SELECT SUM(n) AS tot_n, SUM(p) AS tot_p FROM cum),
+            terms AS (
+              SELECT CAST(CAST(cum.p AS DOUBLE)
+                          * CAST(ptot.tot_p - cum.cp + cum.p AS DOUBLE)
+                          / CAST(ptot.tot_n - cum.cn + cum.n AS DOUBLE)
+                          AS DECIMAL(38,12)) AS term
+              FROM cum, ptot),
+            binned AS (
+              SELECT LEAST(9, GREATEST(0,
+                       CAST(FLOOR(s / 0.1) AS INTEGER))) AS bin, s, y
+              FROM base),
+            bagg AS (SELECT bin, COUNT(*) AS n,
+                            SUM(CAST(s AS DECIMAL(30,10))) AS ss,
+                            SUM(y) AS pos
+                     FROM binned GROUP BY bin),
+            bins AS (SELECT n,
+                            ROUND(ABS(CAST(ss AS DOUBLE) / n
+                                      - CAST(pos AS DOUBLE) / n), 6)
+                              AS abs_gap
+                     FROM bagg)
+            SELECT 'n_pos' AS metric, CAST(P AS DOUBLE) AS value FROM atot
+            UNION ALL
+            SELECT 'n_neg', CAST(N AS DOUBLE) FROM atot
+            UNION ALL
+            SELECT 'auc',
+                   ROUND(CASE WHEN P > 0 AND N > 0 THEN
+                           (R - CAST(P AS DOUBLE)
+                                * CAST(P + 1 AS DOUBLE) / 2)
+                           / (CAST(P AS DOUBLE) * CAST(N AS DOUBLE))
+                         END, 6) FROM atot
+            UNION ALL
+            SELECT 'pr_auc',
+                   ROUND(CASE WHEN tot_p > 0 THEN
+                           CAST((SELECT SUM(term) FROM terms) AS DOUBLE)
+                           / CAST(tot_p AS DOUBLE) END, 6) FROM ptot
+            UNION ALL
+            SELECT 'ece',
+                   ROUND(CASE WHEN SUM(n) > 0 THEN
+                           CAST(SUM(CAST(n * abs_gap AS DECIMAL(38,10)))
+                                AS DOUBLE) / SUM(n) END, 6) FROM bins
         """,
         # replays the mapInPandas md5 stand-in arithmetically: the PNG's
         # uppercase hex is reconstructed from the same IHDR recipe

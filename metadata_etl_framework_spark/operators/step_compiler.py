@@ -467,6 +467,39 @@ class TransformEngine:
             release=False,
         )
 
+    def _score_eval(self, data, step, sources) -> DataFrame:
+        """Score-audit as a config step (ops/evaluation.py): lets a
+        curation pipeline gate on classifier quality the way it gates
+        on drift. mode 'suite' (default) returns the tall
+        (metric, value) frame — AUC / PR-AUC / ECE per config.metrics —
+        for SLA-style ceilings; mode 'thresholds' returns the full
+        operating-point table (precision/recall/F1 per distinct
+        score) for threshold selection."""
+        from metadata_etl_framework_spark.ops.evaluation import (
+            score_eval_suite,
+            threshold_sweep,
+        )
+
+        cfg = step.get("config", step)
+        score = cfg.get("score_column")
+        label = cfg.get("label_column")
+        if not score or not label:
+            raise ValueError(
+                "score_eval step needs config.score_column and "
+                "config.label_column"
+            )
+        if cfg.get("mode", "suite") == "thresholds":
+            return threshold_sweep(data, score, label)
+        return score_eval_suite(
+            data,
+            score,
+            label,
+            metrics=tuple(cfg.get("metrics", ("auc", "pr_auc", "ece"))),
+            n_bins=int(cfg.get("n_bins", 10)),
+            lo=float(cfg.get("lo", 0.0)),
+            hi=float(cfg.get("hi", 1.0)),
+        )
+
     _HANDLERS: ClassVar[dict[str, Callable]] = {
         "filter": _filter,
         "map": _map,
@@ -485,4 +518,5 @@ class TransformEngine:
         "split": _split,
         "filter_funnel": _filter_funnel,
         "drift": _drift,
+        "score_eval": _score_eval,
     }

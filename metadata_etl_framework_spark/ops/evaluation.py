@@ -295,6 +295,144 @@ def pr_auc(
     )
 
 
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    persisted: "list[DataFrame] | None" = None,
+) -> DataFrame:
+    """Classification metrics at EVERY decision threshold: one row per
+    distinct score s with the confusion counts and precision / recall /
+    F1 / accuracy of the rule ``predict positive iff score >= s`` —
+    the operating-point table behind a threshold choice (the
+    deployable complement of :func:`binary_auc`'s single number).
+
+    Same scale shape as :func:`pr_auc`: one groupBy(score), two
+    two-phase global prefix scans over the DISTINCT-score frame, one
+    broadcast 1-row totals cross-join. Output is O(distinct scores)
+    rows spread across partitions — filter or ``limit`` downstream for
+    presentation. All ratio arithmetic is plain IEEE double in a fixed
+    operation order so an external SQL oracle replays it bit-for-bit;
+    zero-denominator cases (no positives, tp = 0) yield NULL, never an
+    ANSI division error.
+
+    Output per distinct score: (threshold double, n_pred_pos, tp, fp,
+    fn, tn longs, precision, recall, f1, accuracy 6dp). The output is
+    row-scale (unlike the 1-row AUC statistics), so the prefix-scan
+    caches stay pinned until the CONSUMER materializes; pass
+    ``persisted`` to own their release (the
+    global_prefix_sum_decimal convention).
+    """
+    from metadata_etl_framework_spark.ops.packing import global_prefix_sum
+
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    per_score = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+    )
+    cum = global_prefix_sum(
+        per_score, "s", "n", out="__cn", persisted=persisted
+    )
+    cum = global_prefix_sum(cum, "s", "p", out="__cp", persisted=persisted)
+    tot = cum.agg(
+        F.sum("n").alias("__tot_n"), F.sum("p").alias("__tot_p")
+    )
+    cum = cum.crossJoin(F.broadcast(tot))
+    pp = F.col("__tot_n") - F.col("__cn") + F.col("n")  # predicted pos
+    tp = F.col("__tot_p") - F.col("__cp") + F.col("p")
+    fp = pp - tp
+    fn = F.col("__tot_p") - tp
+    tn = (F.col("__tot_n") - pp) - fn
+    precision = tp.cast("double") / pp.cast("double")  # pp >= n >= 1
+    recall = tp.cast("double") / F.col("__tot_p").cast("double")
+    f1 = (
+        F.lit(2.0) * precision * recall / (precision + recall)
+    )
+    return cum.select(
+        F.col("s").alias("threshold"),
+        pp.cast("long").alias("n_pred_pos"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(
+            F.when(F.col("__tot_p") > 0, recall), 6
+        ).alias("recall"),
+        F.round(
+            F.when((F.col("__tot_p") > 0) & (tp > 0), f1), 6
+        ).alias("f1"),
+        F.round(
+            (tp + tn).cast("double") / F.col("__tot_n").cast("double"), 6
+        ).alias("accuracy"),
+    )
+
+
+def score_eval_suite(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    metrics: "tuple[str, ...]" = ("auc", "pr_auc", "ece"),
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Tall (metric, value) score-audit readout — the gate-friendly
+    shape: a curation pipeline thresholds rows of this frame exactly
+    the way it already gates on the drift suite's (column, metric,
+    value) dashboard (e.g. SLA ceiling ``auc >= 0.8``, ``ece <= 0.05``).
+
+    Composes the 1-row statistics (:func:`binary_auc`, :func:`pr_auc`,
+    :func:`expected_calibration_error`) — one data pass per requested
+    metric family, each individually scale-safe; class counts ride
+    along as n_pos / n_neg rows. Unknown metric names raise (a config
+    typo must not silently drop a gate).
+
+    Output: (metric string, value double), values at their published
+    6-dp rounding.
+    """
+    allowed = {"auc", "pr_auc", "ece"}
+    bad = set(metrics) - allowed
+    if bad:
+        raise ValueError(f"unknown score_eval metrics: {sorted(bad)}")
+    if not metrics:
+        raise ValueError("metrics must be non-empty")
+    parts: list[DataFrame] = []
+
+    def tall(frame: DataFrame, pairs: "list[tuple[str, str]]") -> None:
+        for out_name, col in pairs:
+            parts.append(
+                frame.select(
+                    F.lit(out_name).alias("metric"),
+                    F.col(col).cast("double").alias("value"),
+                )
+            )
+
+    if "auc" in metrics:
+        a = binary_auc(df, score_col, label_col)
+        tall(a, [("n_pos", "n_pos"), ("n_neg", "n_neg"), ("auc", "auc")])
+    if "pr_auc" in metrics:
+        p = pr_auc(df, score_col, label_col)
+        pairs = [("pr_auc", "pr_auc")]
+        if "auc" not in metrics:
+            pairs = [("n_pos", "n_pos"), ("n_neg", "n_neg")] + pairs
+        tall(p, pairs)
+    if "ece" in metrics:
+        e = expected_calibration_error(
+            df, score_col, label_col, n_bins, lo, hi
+        )
+        tall(e, [("ece", "ece")])
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

@@ -329,3 +329,39 @@ def test_drift_step_against_reference_source(spark, people):
         _run(spark, {"people": people},
              [{"type": "drift", "config": {"numeric_columns": ["salary"]}}],
              primary="people")
+
+
+def test_score_eval_step_suite_and_thresholds(spark):
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.4, 0),
+         (0.3, 0), (0.2, 0), (0.1, 0)],
+        "s double, y int",
+    )
+    cfg = {"score_column": "s", "label_column": "y"}
+    tall = {r.metric: r.value for r in _run(
+        spark, {"d": scored},
+        [{"type": "score_eval", "config": dict(cfg, metrics=["auc", "ece"])}],
+    ).collect()}
+    # hand AUC: positives {.9,.8,.6} vs negatives {.7,.4,.3,.2,.1};
+    # pairs won = 14 of 15 -> 0.933333
+    assert tall["auc"] == pytest.approx(14 / 15, abs=1e-6)
+    assert tall["n_pos"] == 3.0 and tall["n_neg"] == 5.0
+    assert "ece" in tall and "pr_auc" not in tall
+
+    sweep = {r.threshold: r for r in _run(
+        spark, {"d": scored},
+        [{"type": "score_eval", "config": dict(cfg, mode="thresholds")}],
+    ).collect()}
+    r6 = sweep[0.6]  # predict >= 0.6: pp=4, tp=3, fp=1, fn=0, tn=4
+    assert (r6.n_pred_pos, r6.tp, r6.fp, r6.fn, r6.tn) == (4, 3, 1, 0, 4)
+    assert r6.precision == 0.75 and r6.recall == 1.0
+    assert r6.f1 == pytest.approx(2 * 0.75 / 1.75, abs=1e-6)
+    assert r6.accuracy == 0.875
+
+    with pytest.raises(ValueError, match="score_column"):
+        _run(spark, {"d": scored},
+             [{"type": "score_eval", "config": {"label_column": "y"}}])
+    with pytest.raises(ValueError, match="unknown score_eval"):
+        _run(spark, {"d": scored},
+             [{"type": "score_eval",
+               "config": dict(cfg, metrics=["auc", "nope"])}])
