@@ -4020,6 +4020,24 @@ def _text_bigram_logprob(spark, sf_dir):
     return bigram_logprob(docs)
 
 
+def _text_ccnet_perplexity(spark, sf_dir):
+    """CCNet-style reference-LM quality filter (ops/text.py::
+    ngram_lm_perplexity): interpolated bigram LM trained on the
+    English slice only (the trusted-corpus role), every document
+    scored by perplexity under it and bucketed head/middle/tail at
+    fixed cuts — the keep/sample/drop signal of Wenzek et al. 2020.
+    Vocabulary-sized LM tables met in shuffle joins, per-doc
+    distinct-bigram pre-aggregation, DECIMAL term accumulation."""
+    from metadata_etl_framework_spark.ops.text import ngram_lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_perplexity(
+        docs,
+        reference=docs.where(F.col("lang") == "en"),
+        bucket_cuts=(30.0, 33.0),
+    )
+
+
 def _events_debounce(spark, sf_dir):
     """Cooldown filter: drop events repeating within 10 minutes of the
     previous raw event on the same (user, type) key — lag-gap
@@ -4578,6 +4596,7 @@ _EXTRA_KEYS = [
     "embed_outliers",
     "layout_partition_plan",
     "text_bigram_logprob",
+    "text_ccnet_perplexity",
     "events_debounce",
     "window_range_frame",
     "sql_grouping_sets",
@@ -4848,6 +4867,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_outliers": _embed_outliers,
     "layout_partition_plan": _layout_partition_plan,
     "text_bigram_logprob": _text_bigram_logprob,
+    "text_ccnet_perplexity": _text_ccnet_perplexity,
     "events_debounce": _events_debounce,
     "window_range_frame": _window_range_frame,
     "sql_grouping_sets": _sql_grouping_sets,
@@ -8582,6 +8602,68 @@ _ALL_SQL.update(
                               THEN CAST(p.s AS DOUBLE) / p.n_bigrams END, 6)
                      AS mean_logprob
             FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
+        """,
+        # CCNet reference-perplexity replay: English-slice bigram LM
+        # (ML bigram interpolated 0.9 with add-0.1 unigram over the
+        # +1-OOV-bucket denominator), per-doc distinct-bigram counts,
+        # DECIMAL(30,12) term quantization, perplexity from the
+        # published 6-dp mean, fixed 30/33 head/middle/tail cuts
+        "text_ccnet_perplexity": r"""
+            WITH tokall AS (
+              SELECT doc_id, lang,
+                     LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                                    x -> LOWER(x)) AS t
+              FROM documents WHERE TRIM(COALESCE(text, '')) <> ''),
+            uni AS (SELECT u.w AS w, COUNT(*) AS c
+                    FROM tokall, UNNEST(t) AS u(w)
+                    WHERE lang = 'en' AND u.w <> '' GROUP BY 1),
+            tv AS (SELECT SUM(c) AS T, COUNT(*) AS V FROM uni),
+            big AS (
+              SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS cb
+              FROM tokall, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)
+              WHERE lang = 'en' AND LEN(t) >= 2 GROUP BY 1, 2),
+            dbg AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2, COUNT(*) AS cnt
+              FROM tokall, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS u(i)
+              WHERE LEN(t) >= 2 GROUP BY 1, 2, 3),
+            probed AS (
+              SELECT d.doc_id, d.cnt,
+                     CAST(CAST(d.cnt AS DOUBLE) * -LN(
+                       0.9 * (CASE WHEN u1.c IS NOT NULL THEN
+                                CAST(COALESCE(b.cb, 0) AS DOUBLE)
+                                / CAST(u1.c AS DOUBLE)
+                              ELSE 0.0 END)
+                       + (1.0 - 0.9)
+                         * ((CAST(COALESCE(u2.c, 0) AS DOUBLE) + 0.1)
+                            / (CAST(tv.T AS DOUBLE)
+                               + 0.1 * CAST(tv.V + 1 AS DOUBLE)))
+                     ) AS DECIMAL(30,12)) AS term
+              FROM dbg d
+              LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+              LEFT JOIN uni u1 ON d.w1 = u1.w
+              LEFT JOIN uni u2 ON d.w2 = u2.w, tv),
+            per_doc AS (
+              SELECT doc_id, SUM(cnt) AS n_bigrams, SUM(term) AS s
+              FROM probed GROUP BY doc_id),
+            scored AS (
+              SELECT doc.doc_id,
+                     CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                     ROUND(CASE WHEN p.n_bigrams > 0 THEN
+                             CAST(p.s AS DOUBLE)
+                             / CAST(p.n_bigrams AS DOUBLE) END, 6)
+                       AS avg_nll
+              FROM (SELECT DISTINCT doc_id FROM documents) doc
+              LEFT JOIN per_doc p ON doc.doc_id = p.doc_id),
+            withp AS (
+              SELECT doc_id, n_bigrams, avg_nll,
+                     ROUND(EXP(avg_nll), 6) AS perplexity
+              FROM scored)
+            SELECT doc_id, n_bigrams, avg_nll, perplexity,
+                   CASE WHEN perplexity IS NULL THEN NULL
+                        WHEN perplexity <= 30.0 THEN 'head'
+                        WHEN perplexity <= 33.0 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM withp
         """,
         "layout_partition_plan": r"""
             WITH melted AS (

@@ -1064,6 +1064,165 @@ def bigram_logprob(
     )
 
 
+def ngram_lm_perplexity(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+    lam: float = 0.9,
+    lowercase: bool = True,
+    bucket_cuts: "tuple[float, float] | None" = None,
+) -> DataFrame:
+    """CCNet-style reference-LM perplexity filter (Wenzek et al. 2020):
+    train an interpolated bigram language model on a CLEAN ``reference``
+    corpus (their KenLM-on-Wikipedia role), score every document of
+    ``df`` by perplexity under it, and — when ``bucket_cuts`` is given —
+    assign the head/middle/tail quality buckets curation pipelines keep,
+    sample, or drop. The self-trained :func:`bigram_logprob` asks "is
+    this document typical of the corpus?"; this op asks the filtering
+    question "is it typical of the corpus we TRUST?".
+
+    Model: ``p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·(c(w₂)+α)/(T+α·(V+1))``
+    — ML bigram interpolated with an add-α unigram (the +1 in the
+    denominator is the OOV bucket, so unseen words keep nonzero mass;
+    ``λ < 1`` keeps every probability positive). Perplexity =
+    exp(mean −ln p over the document's bigrams), computed from the mean
+    at its published 6-dp rounding so an external oracle replays it.
+
+    Scale shape: LM tables are corpus-vocabulary-sized DataFrames met
+    in shuffle equi-joins (never broadcast — vocabulary grows with the
+    reference), document bigrams pre-aggregate per (doc, w₁, w₂) before
+    the join, per-term contributions quantize into DECIMAL(30,12) so
+    the per-doc sum is partition-order-independent, and the two corpus
+    scalars (token total T, vocab size V) come from one 1-row collect.
+    Documents with < 2 tokens emit n_bigrams = 0 with NULL scores.
+
+    Output: (id, n_bigrams, avg_nll 6dp, perplexity 6dp[, bucket]) —
+    bucket ∈ head/middle/tail by ``bucket_cuts = (head_max, middle_max)``
+    perplexity thresholds, NULL for unscorable docs.
+    """
+    if not 0.0 <= lam < 1.0:
+        raise ValueError("lam must be in [0, 1) so OOV mass stays positive")
+    if alpha <= 0.0:
+        raise ValueError("alpha must be > 0")
+    ref = reference if reference is not None else df
+    toks = tokens(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+
+    # ---- train on the reference: unigram counts, bigram counts, T, V
+    uni = (
+        _spread(ref)
+        .select(F.explode(toks).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tv = uni.agg(
+        F.sum("__c").alias("T"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    t_tok, vocab = int(tv["T"] or 0), int(tv["V"] or 0)
+    if t_tok == 0:
+        raise ValueError("reference corpus has no tokens")
+    # driver-side IEEE doubles, same expression an oracle writes in SQL
+    denom = float(t_tok) + alpha * float(vocab + 1)
+    one_minus_lam = 1.0 - lam
+
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda j: F.struct(
+            F.element_at(toks, j).alias("w1"),
+            F.element_at(toks, j + 1).alias("w2"),
+        ),
+    )
+    big = (
+        _spread(ref)
+        .select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("__w1"), F.col("g.w2").alias("__w2"))
+        .groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+
+    # ---- score df: per-doc distinct-bigram counts meet the LM tables
+    doc_bg = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(
+            id_col,
+            F.col("g.w1").alias("__w1"),
+            F.col("g.w2").alias("__w2"),
+        )
+        .groupBy(id_col, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    uni1 = uni.select(
+        F.col("__w").alias("__w1"), F.col("__c").alias("__c1")
+    )
+    uni2 = uni.select(
+        F.col("__w").alias("__w2"), F.col("__c").alias("__c2")
+    )
+    ml = F.when(
+        F.col("__c1").isNotNull(),
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("double")
+        / F.col("__c1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (
+        F.coalesce(F.col("__c2"), F.lit(0)).cast("double") + F.lit(alpha)
+    ) / F.lit(denom)
+    p = F.lit(lam) * ml + F.lit(one_minus_lam) * p_uni
+    probed = (
+        doc_bg.join(big, ["__w1", "__w2"], "left")
+        .join(uni1, "__w1", "left")
+        .join(uni2, "__w2", "left")
+        .withColumn(
+            "__t",
+            (F.col("__cnt").cast("double") * -F.log(p)).cast(
+                "decimal(30,12)"
+            ),
+        )
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_bigrams"),
+        F.sum("__t").alias("__s"),
+    )
+    avg_nll = F.round(
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("__s").cast("double") / F.col("n_bigrams").cast("double"),
+        ),
+        6,
+    )
+    out = (
+        df.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            avg_nll.alias("avg_nll"),
+        )
+        .withColumn("perplexity", F.round(F.exp(F.col("avg_nll")), 6))
+    )
+    if bucket_cuts is not None:
+        head_max, middle_max = float(bucket_cuts[0]), float(bucket_cuts[1])
+        if not middle_max > head_max:
+            raise ValueError("bucket_cuts must be (head_max, middle_max) ascending")
+        out = out.withColumn(
+            "bucket",
+            F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+            .when(F.col("perplexity") <= head_max, F.lit("head"))
+            .when(F.col("perplexity") <= middle_max, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    return out
+
+
 def corpus_summary(
     df: DataFrame,
     group_cols: Sequence[str] = ("source", "lang"),

@@ -1178,3 +1178,40 @@ def test_embed_covariance_and_pca_match_numpy(spark):
     assert abs(sum(ratios) - sum(round(float(vals[i]) / vals.sum(), 6)
                                  for i in order)) < 1e-9
     assert ratios[0] >= ratios[1] > 0
+
+
+def test_ngram_lm_perplexity_reference_and_buckets(spark):
+    """Round-10 CCNet op: a document made of reference bigrams scores
+    far lower perplexity than word salad; bucket cuts assign
+    head/tail; <2-token docs emit n_bigrams=0 with NULL scores; and
+    the validation guards fire."""
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.text import ngram_lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zq xv qqq zz"), (3, "hi")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_perplexity(
+        docs, reference=ref, bucket_cuts=(10.0, 1000.0)
+    ).collect()}
+    assert out[1].perplexity < out[2].perplexity
+    assert out[1].bucket == "head" and out[2].bucket == "tail"
+    assert out[3].n_bigrams == 0 and out[3].perplexity is None
+    assert out[3].bucket is None
+
+    with _pt.raises(ValueError, match="lam"):
+        ngram_lm_perplexity(docs, reference=ref, lam=1.0)
+    with _pt.raises(ValueError, match="alpha"):
+        ngram_lm_perplexity(docs, reference=ref, alpha=0.0)
+    with _pt.raises(ValueError, match="ascending"):
+        ngram_lm_perplexity(docs, reference=ref, bucket_cuts=(5.0, 5.0))
+    with _pt.raises(ValueError, match="no tokens"):
+        ngram_lm_perplexity(
+            docs, reference=ref.where("doc_id < 0")
+        )
