@@ -4216,6 +4216,22 @@ def _embed_pca_project(spark, sf_dir):
     return proj
 
 
+def _embed_mahalanobis(spark, sf_dir):
+    """Correlation-aware global outlier gate (ops/similarity.py::
+    mahalanobis_outliers): distributed covariance GEMM partials →
+    driver d×d ridge inverse → one Arrow-batched scoring pass
+    ((X−μ)·Σ⁻¹ GEMM per batch). Rows-only entry: the matrix inverse
+    isn't SQL-expressible; the numpy parity pin lives in
+    tests/test_units.py."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        mahalanobis_outliers,
+    )
+
+    return mahalanobis_outliers(
+        _t(spark, sf_dir, "embeddings"), threshold=110.0
+    )
+
+
 def _eval_auc_orders(spark, sf_dir):
     """Exact distributed ROC AUC (ops/evaluation.py::binary_auc):
     Mann–Whitney average-rank-sum over the DISTINCT-score frame with the
@@ -4438,6 +4454,7 @@ _EXTRA_KEYS = [
     "events_inter_event_gaps",
     "embed_covariance",
     "embed_pca_project",
+    "embed_mahalanobis",
     "eval_lift_orders",
     "eval_calibration_orders",
     "eval_ece_orders",
@@ -4622,7 +4639,7 @@ _EXTRA_KEYS = [
 # tests/test_driver_contract.py allows EXACTLY this set to lack an
 # oracle; anything else without one is a contract failure. Rows-only
 # entries must never sit in the 50-entry hard driver gate.
-ROWS_ONLY_KEYS = frozenset({"embed_pca_project"})
+ROWS_ONLY_KEYS = frozenset({"embed_pca_project", "embed_mahalanobis"})
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": _q1_pricing_summary,
@@ -4768,6 +4785,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_inter_event_gaps": _events_inter_event_gaps,
     "embed_covariance": _embed_covariance,
     "embed_pca_project": _embed_pca_project,
+    "embed_mahalanobis": _embed_mahalanobis,
     "eval_auc_orders": _eval_auc_orders,
     "eval_lift_orders": _eval_lift_orders,
     "eval_calibration_orders": _eval_calibration_orders,

@@ -1376,6 +1376,106 @@ def embed_covariance(
     )
 
 
+def mahalanobis_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ddof: int = 1,
+    ridge: float = 1e-6,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Global Mahalanobis outlier score per embedding — distance from
+    the corpus mean in the metric of the corpus covariance, the
+    correlation-aware outlier gate (a vector can sit near the mean on
+    every axis yet be wildly atypical in a correlated direction; the
+    per-group cosine z-score of :func:`embedding_outliers` cannot see
+    that).
+
+    Scale shape: the d×d covariance comes from :func:`embed_covariance`
+    (distributed GEMM partials — its d(d+1)/2 scalar rows are a driver
+    pull the size of the DIMENSION², never the data); the ridge-
+    regularized inverse is a driver-trivial d×d ``numpy.linalg.inv``;
+    scoring is one Arrow-batched ``mapInPandas`` pass with the inverse
+    broadcast in the closure — per batch a single ``(X−μ)·Σ⁻¹``
+    GEMM + row-wise dot, so each row's score depends only on its own
+    vector and the fixed matrix (partition-order-independent). A
+    64-dim quadratic form as a literal-fold column expression would be
+    4096 plan literals — that is why this op takes the pandas path
+    while PCA's k×d projection stays JVM-side.
+
+    ``threshold`` (on md², the χ²_d-distributed statistic under
+    normality — e.g. ``scipy.stats.chi2.ppf(0.999, d)``) adds an
+    ``is_outlier`` flag. Output: (id, md2 6dp, md 6dp[, is_outlier]).
+
+    Oracle note: the matrix inverse has no SQL replay, so driver
+    entries over this op are declared rows-only and pinned against
+    direct numpy in unit tests (the embed_pca_project convention).
+    """
+    import numpy as np
+
+    cov_rows = embed_covariance(df, vec_col=vec_col, ddof=ddof).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d), dtype=np.float64)
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    means_rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(30,15)")).alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
+    )
+    mu = np.zeros(d, dtype=np.float64)
+    for r in means_rows:
+        mu[r["dim"]] = float(r["_s"]) / r["_n"]
+    inv = np.linalg.inv(C + float(ridge) * np.eye(d))
+
+    # the id rides through the pandas pass in its ORIGINAL type so
+    # downstream joins on it keep working
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("md2", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            Y = X - mu
+            md2 = np.einsum("ij,ij->i", Y @ inv, Y)
+            yield pd.DataFrame({"id": pdf["id"], "md2": md2})
+
+    scored = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(_score, out_schema)
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.col("md2"), 6).alias("md2"),
+            F.round(F.sqrt(F.greatest(F.col("md2"), F.lit(0.0))), 6).alias(
+                "md"
+            ),
+        )
+    )
+    if threshold is not None:
+        scored = scored.withColumn(
+            "is_outlier", F.col("md2") > F.lit(float(threshold))
+        )
+    return scored
+
+
 def embedding_pca(
     df: DataFrame,
     k: int = 8,

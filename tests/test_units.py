@@ -1215,3 +1215,41 @@ def test_ngram_lm_perplexity_reference_and_buckets(spark):
         ngram_lm_perplexity(
             docs, reference=ref.where("doc_id < 0")
         )
+
+
+def test_mahalanobis_outliers_match_numpy(spark):
+    """Round-10: distributed Mahalanobis md2 equals the direct numpy
+    quadratic form (built from the same 6dp-rounded covariance and
+    decimal-exact means) at 6dp, flags respect the threshold, and the
+    id column keeps its original type."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.similarity import (
+        mahalanobis_outliers,
+    )
+
+    rng_free = [[((i * 11 + j * 5) % 17) * 0.3 + 0.05 * i * (j + 1)
+                 for j in range(4)] for i in range(30)]
+    X = np.array(rng_free, dtype=np.float32).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in np.float32(rng_free[i])]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+
+    mu = X.mean(axis=0)
+    C = np.round(np.cov(X.T, ddof=1), 6)  # op consumes the 6dp cov rows
+    inv = np.linalg.inv(C + 1e-6 * np.eye(4))
+    Y = X - mu
+    expect = np.einsum("ij,ij->i", Y @ inv, Y)
+    thr = float(np.median(expect))
+
+    out = {r.vec_id: r for r in mahalanobis_outliers(
+        df, threshold=thr
+    ).collect()}
+    assert len(out) == 30
+    assert out[0].__fields__ == ["vec_id", "md2", "md", "is_outlier"]
+    for i in range(30):
+        assert abs(out[i].md2 - round(expect[i], 6)) <= 2e-6, (i,)
+        assert abs(out[i].md - round(np.sqrt(max(expect[i], 0.0)), 6)) <= 2e-6
+        assert out[i].is_outlier == (out[i].md2 > thr)
+    assert isinstance(next(iter(out)), int)
