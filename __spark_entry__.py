@@ -4302,6 +4302,23 @@ def _eval_pr_auc_orders(spark, sf_dir):
     return pr_auc(o, "o_totalprice", "is_urgent")
 
 
+def _eval_auc_by_status(spark, sf_dir):
+    """Per-segment ROC AUC (ops/evaluation.py::binary_auc_by_group):
+    the rank-sum closed form within each o_orderstatus segment —
+    group-partitioned window over per-group distinct scores, identical
+    DECIMAL arithmetic to the global AUC, replayed per group in SQL."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        binary_auc_by_group,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_urgent", F.col("o_orderpriority") == "1-URGENT"
+    )
+    return binary_auc_by_group(
+        o, "o_orderstatus", "o_totalprice", "is_urgent"
+    )
+
+
 def _eval_threshold_sweep_orders(spark, sf_dir):
     """Operating-point table (ops/evaluation.py::threshold_sweep): the
     full precision/recall/F1/accuracy sweep over every distinct score
@@ -4339,7 +4356,7 @@ def _eval_suite_orders(spark, sf_dir):
             "config": {
                 "score_column": "s",
                 "label_column": "is_urgent",
-                "metrics": ["auc", "pr_auc", "ece"],
+                "metrics": ["auc", "pr_auc", "ece", "brier"],
                 "n_bins": 10,
             },
         },
@@ -4458,6 +4475,7 @@ _EXTRA_KEYS = [
     "eval_lift_orders",
     "eval_calibration_orders",
     "eval_ece_orders",
+    "eval_auc_by_status",
     "eval_threshold_sweep_orders",
     "eval_suite_orders",
     "filter_condition",
@@ -4791,6 +4809,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_calibration_orders": _eval_calibration_orders,
     "eval_ece_orders": _eval_ece_orders,
     "eval_pr_auc_orders": _eval_pr_auc_orders,
+    "eval_auc_by_status": _eval_auc_by_status,
     "eval_threshold_sweep_orders": _eval_threshold_sweep_orders,
     "eval_suite_orders": _eval_suite_orders,
     "text_redact_pii": _text_redact_pii,
@@ -9175,6 +9194,37 @@ _ALL_SQL.update(
                            / CAST(tot_p AS DOUBLE) END, 6) AS pr_auc
             FROM tot
         """,
+        # per-segment rank-sum AUC replay: the eval_auc_orders closed
+        # form with every window/aggregate partitioned by o_orderstatus
+        "eval_auc_by_status": """
+            WITH base AS (
+              SELECT o_orderstatus AS g, o_totalprice AS s,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+            per AS (SELECT g, s, COUNT(*) AS n, SUM(y) AS p
+                    FROM base GROUP BY g, s),
+            cum AS (SELECT g, n, p,
+                           SUM(n) OVER (PARTITION BY g ORDER BY s) AS c
+                    FROM per),
+            tot AS (SELECT g, SUM(p) AS P, SUM(n - p) AS N,
+                           SUM(CAST(p AS DOUBLE)
+                               * (CAST(c - n AS DOUBLE)
+                                  + CAST(n + 1 AS DOUBLE) / 2)) AS R
+                    FROM cum GROUP BY g)
+            SELECT g AS o_orderstatus,
+                   CAST(P AS BIGINT) AS n_pos,
+                   CAST(N AS BIGINT) AS n_neg,
+                   ROUND(CASE WHEN P > 0 AND N > 0 THEN
+                           (R - CAST(P AS DOUBLE)
+                                * CAST(P + 1 AS DOUBLE) / 2)
+                           / (CAST(P AS DOUBLE) * CAST(N AS DOUBLE))
+                         END, 6) AS auc
+            FROM tot
+        """,
         # operating-point sweep replay: confusion counts from the two
         # ascending prefixes, fixed IEEE-double ratio op order (f1 as
         # ((2*p)*r)/(p+r)); "precision" quoted (reserved word)
@@ -9281,6 +9331,13 @@ _ALL_SQL.update(
                    ROUND(CASE WHEN SUM(n) > 0 THEN
                            CAST(SUM(CAST(n * abs_gap AS DECIMAL(38,10)))
                                 AS DOUBLE) / SUM(n) END, 6) FROM bins
+            UNION ALL
+            SELECT 'brier',
+                   ROUND(CASE WHEN COUNT(*) > 0 THEN
+                           CAST(SUM(CAST((s - CAST(y AS DOUBLE))
+                                         * (s - CAST(y AS DOUBLE))
+                                         AS DECIMAL(30,12))) AS DOUBLE)
+                           / COUNT(*) END, 6) FROM base
         """,
         # replays the mapInPandas md5 stand-in arithmetically: the PNG's
         # uppercase hex is reconstructed from the same IHDR recipe

@@ -107,6 +107,103 @@ def binary_auc(
     )
 
 
+def binary_auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-segment ROC AUC — :func:`binary_auc`'s rank-sum closed form
+    evaluated WITHIN each group: the fairness / segment-audit readout
+    ("does the quality classifier rank as well on src9 as on src2?")
+    that a global AUC averages away.
+
+    Scale shape: one groupBy(group, score), then the rank prefix runs
+    as a window PARTITIONED BY group over the per-group distinct-score
+    frame (never a partitionless window — each group's window state is
+    its own distinct-score count, and groups spread across the
+    cluster; one giant group degrades to that group's distinct-score
+    count on one task, which is the aggregation's intrinsic lower
+    bound). Identical DECIMAL rank-sum arithmetic to the global op, so
+    the same SQL oracle shape replays it per group.
+
+    Output per group: (group, n_pos, n_neg, auc 6dp) — NULL auc for
+    single-class groups.
+    """
+    base = df.where(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    per_score = base.groupBy("g", "s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("p"),
+    )
+    w = Window.partitionBy("g").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.withColumn("__cum", F.sum("n").over(w))
+    avg_rank = (
+        (F.col("__cum") - F.col("n")).cast("decimal(38,10)")
+        + (F.col("n") + 1).cast("decimal(38,10)") / 2
+    )
+    tot = cum.groupBy("g").agg(
+        F.sum("p").alias("__P"),
+        F.sum(F.col("n") - F.col("p")).alias("__N"),
+        F.sum(F.col("p").cast("decimal(38,10)") * avg_rank).alias("__R"),
+    )
+    P, N = F.col("__P"), F.col("__N")
+    auc = (
+        F.col("__R").cast("double")
+        - (P.cast("double") * (P + 1).cast("double")) / 2
+    ) / (P.cast("double") * N.cast("double"))
+    return tot.select(
+        F.col("g").alias(group_col),
+        P.cast("long").alias("n_pos"),
+        N.cast("long").alias("n_neg"),
+        F.round(F.when((P > 0) & (N > 0), auc), 6).alias("auc"),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score — mean squared error of a probability-like score
+    against the binary outcome, the strictly proper scoring rule that
+    penalizes BOTH miscalibration and lack of resolution (ECE alone
+    rewards a constant base-rate predictor). One projection + one
+    1-row aggregate; squared errors quantize into DECIMAL(30,12) so
+    the mean is partition-order-independent.
+
+    Output: 1 row — (n long, brier 6dp); NULL on empty input.
+    """
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    sq = (
+        (F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))
+    ).cast("decimal(30,12)")
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum(sq).cast("double") / F.count(F.lit(1)),
+            ),
+            6,
+        ).alias("brier"),
+    )
+
+
 def lift_table(
     df: DataFrame,
     score_col: str,
@@ -396,7 +493,7 @@ def score_eval_suite(
     Output: (metric string, value double), values at their published
     6-dp rounding.
     """
-    allowed = {"auc", "pr_auc", "ece"}
+    allowed = {"auc", "pr_auc", "ece", "brier"}
     bad = set(metrics) - allowed
     if bad:
         raise ValueError(f"unknown score_eval metrics: {sorted(bad)}")
@@ -427,6 +524,9 @@ def score_eval_suite(
             df, score_col, label_col, n_bins, lo, hi
         )
         tall(e, [("ece", "ece")])
+    if "brier" in metrics:
+        b = brier_score(df, score_col, label_col)
+        tall(b, [("brier", "brier")])
     out = parts[0]
     for part in parts[1:]:
         out = out.unionAll(part)
