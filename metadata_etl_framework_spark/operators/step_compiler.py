@@ -490,6 +490,10 @@ class TransformEngine:
             )
         if cfg.get("mode", "suite") == "thresholds":
             return threshold_sweep(data, score, label)
+        # release=False: a pipeline step's result flows into further
+        # steps/sinks and Catalyst column lineage, so keep the lazy
+        # plan (the drift-step convention) rather than the library
+        # default's eager 1-row materialization
         return score_eval_suite(
             data,
             score,
@@ -498,6 +502,7 @@ class TransformEngine:
             n_bins=int(cfg.get("n_bins", 10)),
             lo=float(cfg.get("lo", 0.0)),
             hi=float(cfg.get("hi", 1.0)),
+            release=False,
         )
 
     _HANDLERS: ClassVar[dict[str, Callable]] = {

@@ -48,6 +48,7 @@ def binary_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    release: bool = True,
 ) -> DataFrame:
     """Exact ROC AUC of a score against a binary label — the
     Mann–Whitney U statistic: AUC = P(score⁺ > score⁻) + ½·P(tie),
@@ -65,6 +66,13 @@ def binary_auc(
 
     Rows with a NULL score or label are excluded (they have no rank /
     no class). Degenerate inputs (single class) yield NULL auc.
+
+    ``release=True`` (default) eagerly materializes the 1-row result
+    and unpersists the prefix-scan caches — no session-lifetime leak.
+    ``release=False`` keeps the plan LAZY (caches stay pinned until the
+    consumer materializes): required when the result feeds Catalyst
+    column lineage or further pipeline steps (the drift-step
+    convention).
 
     Output: 1 row — (n_pos, n_neg, auc 6dp).
     """
@@ -97,14 +105,12 @@ def binary_auc(
         F.col("R").cast("double")
         - (P.cast("double") * (P + 1).cast("double")) / 2
     ) / (P.cast("double") * N.cast("double"))
-    return _materialize_1row(
-        tot.select(
-            P.cast("long").alias("n_pos"),
-            N.cast("long").alias("n_neg"),
-            F.round(F.when((P > 0) & (N > 0), auc), 6).alias("auc"),
-        ),
-        handles,
+    out = tot.select(
+        P.cast("long").alias("n_pos"),
+        N.cast("long").alias("n_neg"),
+        F.round(F.when((P > 0) & (N > 0), auc), 6).alias("auc"),
     )
+    return _materialize_1row(out, handles) if release else out
 
 
 def binary_auc_by_group(
@@ -320,6 +326,7 @@ def pr_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    release: bool = True,
 ) -> DataFrame:
     """Area under the precision–recall curve as AVERAGE PRECISION —
     AP = Σ_s (p_s / P) · precision(s), summing over distinct scores s
@@ -371,25 +378,23 @@ def pr_auc(
         * pos_ge.cast("double")
         / rows_ge.cast("double")
     ).cast("decimal(38,12)")
-    out = cum.agg(
+    agg = cum.agg(
         F.max("__tot_p").alias("__P"),
         F.max(F.col("__tot_n") - F.col("__tot_p")).alias("__N"),
         F.sum(term).alias("__ap"),
     )
-    return _materialize_1row(
-        out.select(
-            F.col("__P").cast("long").alias("n_pos"),
-            F.col("__N").cast("long").alias("n_neg"),
-            F.round(
-                F.when(
-                    (F.col("__P") > 0),
-                    F.col("__ap").cast("double") / F.col("__P").cast("double"),
-                ),
-                6,
-            ).alias("pr_auc"),
-        ),
-        handles,
+    out = agg.select(
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.col("__P") > 0),
+                F.col("__ap").cast("double") / F.col("__P").cast("double"),
+            ),
+            6,
+        ).alias("pr_auc"),
     )
+    return _materialize_1row(out, handles) if release else out
 
 
 def threshold_sweep(
@@ -478,6 +483,7 @@ def score_eval_suite(
     n_bins: int = 10,
     lo: float = 0.0,
     hi: float = 1.0,
+    release: bool = True,
 ) -> DataFrame:
     """Tall (metric, value) score-audit readout — the gate-friendly
     shape: a curation pipeline thresholds rows of this frame exactly
@@ -511,10 +517,10 @@ def score_eval_suite(
             )
 
     if "auc" in metrics:
-        a = binary_auc(df, score_col, label_col)
+        a = binary_auc(df, score_col, label_col, release=release)
         tall(a, [("n_pos", "n_pos"), ("n_neg", "n_neg"), ("auc", "auc")])
     if "pr_auc" in metrics:
-        p = pr_auc(df, score_col, label_col)
+        p = pr_auc(df, score_col, label_col, release=release)
         pairs = [("pr_auc", "pr_auc")]
         if "auc" not in metrics:
             pairs = [("n_pos", "n_pos"), ("n_neg", "n_neg")] + pairs

@@ -706,6 +706,11 @@ def test_plan_column_edges_full_step_vocabulary(spark):
     srcs = set(e["value"])
     assert ("docs", "w") in srcs and ("docs2", "w") in srcs, srcs
 
+    e = edges_for("score_eval", {"score_column": "w",
+                                 "label_column": "doc_id",
+                                 "metrics": ["auc"]})
+    assert ("docs", "w") in set(e["value"]), e
+
     assert covered == set(TransformEngine._HANDLERS), (
         set(TransformEngine._HANDLERS) - covered
     )

@@ -1253,3 +1253,39 @@ def test_mahalanobis_outliers_match_numpy(spark):
         assert abs(out[i].md - round(np.sqrt(max(expect[i], 0.0)), 6)) <= 2e-6
         assert out[i].is_outlier == (out[i].md2 > thr)
     assert isinstance(next(iter(out)), int)
+
+
+def test_pagerank_tol_early_stop_matches_full_run(spark):
+    """Round-10: convergence-based early termination. A symmetric
+    2-cycle holds its uniform ranks from iteration one (L1 delta
+    exactly 0), so a tight tol must stop at the first checkpoint and
+    still equal the long fixed-iteration run; a loose tol on an
+    asymmetric graph stops at the first checkpoint, reproducing the
+    fixed run of checkpoint_every iterations."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    sym = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    full = {r.node: r.rank for r in pagerank(
+        sym, iterations=9, weight_col="w", checkpoint_every=3
+    ).collect()}
+    early = {r.node: r.rank for r in pagerank(
+        sym, iterations=9, weight_col="w", checkpoint_every=3, tol=1e-12
+    ).collect()}
+    assert early == full == {"a": 0.5, "b": 0.5}
+
+    asym = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+         ("a", "c", 2.0)],
+        "src string, dst string, w double",
+    )
+    one_checkpoint = {r.node: r.rank for r in pagerank(
+        asym, iterations=9, weight_col="w", checkpoint_every=3,
+        tol=1e9,  # absurdly loose: stops at the FIRST checkpoint
+    ).collect()}
+    three_iters = {r.node: r.rank for r in pagerank(
+        asym, iterations=3, weight_col="w", checkpoint_every=3
+    ).collect()}
+    assert one_checkpoint == three_iters
