@@ -92,6 +92,15 @@ HEADLINE = [
     # PageRank (per-iteration persist/release discipline under timing)
     "corr_matrix_lineitem",
     "graph_pagerank_suppliers",
+    # round-10 flagships: reference-LM perplexity (two corpus-scale
+    # shuffle joins), the distinct-score prefix-scan eval pair, the
+    # mass-conserving PageRank arm, and the mapInPandas Mahalanobis
+    # pass (covariance GEMM partials + scoring GEMM under timing)
+    "text_ccnet_perplexity",
+    "eval_pr_auc_orders",
+    "eval_threshold_sweep_orders",
+    "graph_pagerank_dangling",
+    "embed_mahalanobis",
 ]
 
 
