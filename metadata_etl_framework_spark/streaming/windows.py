@@ -322,6 +322,80 @@ def foreach_batch_drift_monitor(
     )
 
 
+def foreach_batch_score_monitor(
+    stream_df,
+    score_col: str,
+    label_col: str,
+    metrics_path: str,
+    checkpoint: str,
+    auc_floor: float = 0.7,
+    ece_ceiling: float = 0.1,
+    n_bins: int = 10,
+):
+    """Per-micro-batch model-score monitoring — the streaming form of
+    the score_eval surface, the way :func:`foreach_batch_drift_monitor`
+    streams the drift suite: every batch of (score, outcome) pairs is
+    scored with the batch operators (``binary_auc``,
+    ``expected_calibration_error``, ``brier_score``) and one metrics
+    row per batch appends to ``metrics_path``:
+
+    ``(batch_id, n_rows, n_pos, n_neg, auc, ece, brier, auc_alerting,
+    ece_alerting)``
+
+    ``auc_alerting`` fires when the batch AUC drops below ``auc_floor``
+    (a degrading ranker); ``ece_alerting`` when calibration error
+    exceeds ``ece_ceiling``. Single-class batches have NULL auc and do
+    NOT alert on it (no ranking to judge). Batches with no usable
+    (score, label) pairs are skipped entirely — a plausible data
+    condition must not kill the query. Append-only parquet sink; wrap
+    with :func:`idempotent_foreach_batch` when effectively-once
+    matters.
+    """
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.evaluation import (
+        binary_auc,
+        brier_score,
+        expected_calibration_error,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        usable = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        if batch_df.where(usable).limit(1).count() == 0:
+            return
+        n = batch_df.count()
+        a = binary_auc(batch_df, score_col, label_col).first()
+        e = expected_calibration_error(
+            batch_df, score_col, label_col, n_bins
+        ).first()
+        b = brier_score(batch_df, score_col, label_col).first()
+        auc = a["auc"]
+        ece = e["ece"]
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [(
+                int(batch_id),
+                int(n),
+                int(a["n_pos"]),
+                int(a["n_neg"]),
+                None if auc is None else float(auc),
+                None if ece is None else float(ece),
+                None if b["brier"] is None else float(b["brier"]),
+                bool(auc is not None and auc < auc_floor),
+                bool(ece is not None and ece > ece_ceiling),
+            )],
+            "batch_id long, n_rows long, n_pos long, n_neg long, "
+            "auc double, ece double, brier double, "
+            "auc_alerting boolean, ece_alerting boolean",
+        ).coalesce(1).write.mode("append").parquet(metrics_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def foreach_batch_versioned_write(
     stream_df,
     table_path: str,

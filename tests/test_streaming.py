@@ -458,3 +458,51 @@ def test_foreach_batch_versioned_write_time_travel(spark_mod, tmp_path):
     ).start()
     q2.awaitTermination(120)
     assert current_version(spark, table) == 2  # nothing re-applied
+
+
+def test_foreach_batch_score_monitor_alerts_and_batch_parity(spark_mod, tmp_path):
+    """Round-10: streaming score monitor — one metrics row per
+    micro-batch; a well-ranked batch passes, an anti-ranked batch
+    trips the AUC floor; streaming numbers equal the batch operators
+    on the same rows; an all-null batch is skipped."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        binary_auc,
+        brier_score,
+        expected_calibration_error,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_score_monitor,
+    )
+
+    spark = spark_mod
+    good = [(0.05 + 0.9 * (i % 2), i % 2) for i in range(60)]
+    bad = [(0.95 - 0.9 * (i % 2), i % 2) for i in range(40)]
+    src = str(tmp_path / "scores")
+    spark.createDataFrame(good, "s double, y int").coalesce(1).write.parquet(src)
+    spark.createDataFrame(bad, "s double, y int").coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(
+        [(None, None)] * 5, "s double, y int"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = streaming_file_source(spark, src, schema, max_files_per_trigger=1)
+    metrics = str(tmp_path / "metrics")
+    q = foreach_batch_score_monitor(
+        stream, "s", "y", metrics, str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(120)
+
+    rows = sorted(spark.read.parquet(metrics).collect(),
+                  key=lambda r: -r.auc)
+    assert len(rows) == 2  # the all-null batch appended nothing
+    top, bot = rows
+    assert top.auc == 1.0 and not top.auc_alerting
+    assert bot.auc == 0.0 and bot.auc_alerting
+    bad_df = spark.createDataFrame(bad, "s double, y int")
+    assert bot.ece == expected_calibration_error(
+        bad_df, "s", "y").first()["ece"]
+    assert bot.brier == brier_score(bad_df, "s", "y").first()["brier"]
+    assert (bot.n_pos, bot.n_neg) == tuple(
+        binary_auc(bad_df, "s", "y").first()[:2]
+    )
