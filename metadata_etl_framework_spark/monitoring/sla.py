@@ -4,7 +4,10 @@ Parity target: src/monitoring/sla_monitor.py:21-298 — sla types
 execution_time (seconds ceiling), quality_score (floor), row_count
 (floor), data_freshness (hours ceiling, vs a supplied timestamp);
 beyond parity: drift_psi / drift_ks (ceilings on the batch's PSI /
-binned-KS statistic vs a persisted baseline).
+binned-KS statistic vs a persisted baseline) and score_auc (floor) /
+score_ece (ceiling) on the batch's classifier-quality readout — fed
+from ops/evaluation.py so a curation run gates on model quality the
+way it gates on drift.
 Deviation = (actual - threshold) / threshold, signed so callers can rank
 violations.
 """
@@ -30,6 +33,8 @@ class SLAMonitor:
         freshness_ts: float | None = None,
         drift_psi: float | None = None,
         drift_ks: float | None = None,
+        score_auc: float | None = None,
+        score_ece: float | None = None,
     ) -> list[dict[str, Any]]:
         results = []
         for sla in slas:
@@ -57,6 +62,18 @@ class SLAMonitor:
                 # baseline; feed from quality/drift.py::ks_vs_baseline
                 actual = drift_ks
                 met = drift_ks is None or drift_ks <= threshold
+            elif stype == "score_auc":
+                # FLOOR on the run's classifier AUC — feed from
+                # ops/evaluation.py::binary_auc / score_eval_suite;
+                # None (no labels this run, or single-class) never
+                # violates, matching the drift None semantics
+                actual = score_auc
+                met = score_auc is None or score_auc >= threshold
+            elif stype == "score_ece":
+                # ceiling on expected calibration error — feed from
+                # ops/evaluation.py::expected_calibration_error
+                actual = score_ece
+                met = score_ece is None or score_ece <= threshold
             else:
                 raise ValueError(f"unknown sla type {stype!r}")
             deviation = (

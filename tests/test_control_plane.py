@@ -856,3 +856,31 @@ def test_cli_pipelines_explain(spark, tmp_path, capsys):
 
     assert not os.path.exists(out)
     assert disk.query("SELECT * FROM PIPELINE_RUNS") == []
+
+
+def test_sla_score_quality_checks(store):
+    """Round-10: score_auc floor and score_ece ceiling — a run gates on
+    classifier quality the way it gates on drift; absent measurements
+    never violate."""
+    pid = store.register_pipeline("psq")
+    run_id = store.insert(
+        "PIPELINE_RUNS", {"pipeline_id": pid, "status": "SUCCESS", "started_at": 0}
+    )
+    mon = SLAMonitor(store)
+    auc_ok, auc_bad, ece_ok, ece_bad = mon.record_run(
+        run_id, pid,
+        [{"sla_type": "score_auc", "threshold": 0.7},
+         {"sla_type": "score_auc", "threshold": 0.9},
+         {"sla_type": "score_ece", "threshold": 0.1},
+         {"sla_type": "score_ece", "threshold": 0.01}],
+        score_auc=0.81, score_ece=0.04,
+    )
+    assert auc_ok["met"] and not auc_bad["met"]
+    assert ece_ok["met"] and not ece_bad["met"]
+    assert ece_bad["deviation"] == pytest.approx(3.0)
+    none_auc, none_ece = mon.record_run(
+        run_id, pid,
+        [{"sla_type": "score_auc", "threshold": 0.9},
+         {"sla_type": "score_ece", "threshold": 0.01}],
+    )
+    assert none_auc["met"] and none_ece["met"]
