@@ -359,8 +359,11 @@ def pr_auc(
         F.sum("y").alias("p"),
     )
     handles: list[DataFrame] = []
-    cum = global_prefix_sum(per_score, "s", "n", out="__cn", persisted=handles)
-    cum = global_prefix_sum(cum, "s", "p", out="__cp", persisted=handles)
+    # both prefixes share the score order: ONE fused range-partition
+    # pass instead of two (halves the dominant shuffle cost)
+    cum = global_prefix_sum(
+        per_score, "s", ["n", "p"], out=["__cn", "__cp"], persisted=handles
+    )
     # total aliases must NOT collide case-insensitively with the
     # per-score columns n/p still on `cum` (Spark's default resolution
     # is case-INsensitive: an alias "P" next to column "p" is an
@@ -438,9 +441,9 @@ def threshold_sweep(
         F.sum("y").alias("p"),
     )
     cum = global_prefix_sum(
-        per_score, "s", "n", out="__cn", persisted=persisted
+        per_score, "s", ["n", "p"], out=["__cn", "__cp"],
+        persisted=persisted,
     )
-    cum = global_prefix_sum(cum, "s", "p", out="__cp", persisted=persisted)
     tot = cum.agg(
         F.sum("n").alias("__tot_n"), F.sum("p").alias("__tot_p")
     )

@@ -22,6 +22,8 @@ counterpart — the reference has no corpus-packing surface.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,8 +33,8 @@ from .text import tokens
 def global_prefix_sum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    out: str = "prefix_sum",
+    value_col: "str | Sequence[str]",
+    out: "str | Sequence[str]" = "prefix_sum",
     num_partitions: int | None = None,
     persisted: "list[DataFrame] | None" = None,
 ) -> DataFrame:
@@ -43,10 +45,21 @@ def global_prefix_sum(
     partitioning-dependent. The prefix sum is inclusive: the row's own
     value is counted.
 
+    ``value_col``/``out`` accept parallel LISTS to scan several columns
+    in ONE pass — one range repartition, one materialization, one
+    subtotal collect, and one local window shared across all columns
+    (the AUC family needs both row and positive prefixes over the same
+    score order; two separate scans would double the dominant
+    range-shuffle cost).
+
     Two-phase scan (see module docstring): per-partition subtotals are
     collected to the driver — that is ``numPartitions`` rows, not data —
     then re-joined as broadcast offsets.
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(value_cols) != len(outs):
+        raise ValueError("value_col and out must have equal lengths")
     if num_partitions is None:
         # scale the range partitioning with the input (splits ≈ data
         # size / maxPartitionBytes) but floor at cluster parallelism: a
@@ -76,28 +89,47 @@ def global_prefix_sum(
 
     subtotals = (
         with_pid.groupBy("__pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("__sub"))
+        .agg(
+            *[
+                F.sum(F.col(v).cast("long")).alias(f"__sub{i}")
+                for i, v in enumerate(value_cols)
+            ]
+        )
         .collect()
     )
     # partition ids are ordered by key range (repartitionByRange), so the
     # exclusive running total over pid order is each partition's offset
-    offsets, acc = [], 0
+    offsets, accs = [], [0] * len(value_cols)
     for row in sorted(subtotals, key=lambda r: r["__pid"]):
-        offsets.append((row["__pid"], acc))
-        acc += row["__sub"] or 0
+        offsets.append((row["__pid"], *accs))
+        for i in range(len(value_cols)):
+            accs[i] += row[f"__sub{i}"] or 0
     if not offsets:
-        return df.withColumn(out, F.lit(0).cast("long"))
-    offsets_df = df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
+        res = df
+        for o in outs:
+            res = res.withColumn(o, F.lit(0).cast("long"))
+        return res
+    off_schema = "__pid int, " + ", ".join(
+        f"__offset{i} long" for i in range(len(value_cols))
+    )
+    offsets_df = df.sparkSession.createDataFrame(offsets, off_schema)
 
     local_w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        with_pid.withColumn("__local", F.sum(F.col(value_col).cast("long")).over(local_w))
-        .join(F.broadcast(offsets_df), "__pid")
-        .withColumn(out, (F.col("__local") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local", "__offset")
-    )
+    res = with_pid
+    for i, v in enumerate(value_cols):
+        res = res.withColumn(
+            f"__local{i}", F.sum(F.col(v).cast("long")).over(local_w)
+        )
+    res = res.join(F.broadcast(offsets_df), "__pid")
+    drop = ["__pid"]
+    for i, o in enumerate(outs):
+        res = res.withColumn(
+            o, (F.col(f"__local{i}") + F.col(f"__offset{i}")).cast("long")
+        )
+        drop += [f"__local{i}", f"__offset{i}"]
+    return res.drop(*drop)
 
 
 def global_prefix_sum_decimal(
