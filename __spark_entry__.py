@@ -4364,6 +4364,102 @@ def _eval_suite_orders(spark, sf_dir):
     )
 
 
+# deterministic multi-class "prediction" for the classification-eval
+# entries: o_orderkey % 6 mapped onto the five priority strings plus a
+# never-true sixth class (exercises the full-outer / NULL-recall path)
+_PRED_CLASSES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", "X-NONE",
+]
+
+
+def _orders_with_pred_class(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderpriority").alias("label"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _PRED_CLASSES]),
+            (F.col("o_orderkey") % 6 + 1).cast("int"),
+        ).alias("pred"),
+    )
+
+
+def _eval_confusion_orders(spark, sf_dir):
+    """Multi-class confusion matrix (ops/evaluation.py::
+    confusion_matrix): one groupBy over (label, pred) — true
+    o_orderpriority vs the deterministic orderkey-derived class."""
+    from metadata_etl_framework_spark.ops.evaluation import confusion_matrix
+
+    return confusion_matrix(
+        _orders_with_pred_class(spark, sf_dir), "label", "pred"
+    )
+
+
+def _eval_multiclass_orders(spark, sf_dir):
+    """Per-class precision/recall/F1/support (ops/evaluation.py::
+    multiclass_metrics): sklearn classification_report table derived
+    entirely from the bounded C²-row confusion grid; the never-true
+    'X-NONE' predicted class exercises the NULL-recall convention."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        multiclass_metrics,
+    )
+
+    return multiclass_metrics(
+        _orders_with_pred_class(spark, sf_dir), "label", "pred"
+    )
+
+
+def _eval_multiclass_summary_orders(spark, sf_dir):
+    """1-row multi-class roll-up (ops/evaluation.py::
+    multiclass_summary): accuracy, macro/weighted averages, Cohen's
+    kappa — exact integer sums off the per-class grid."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        multiclass_summary,
+    )
+
+    return multiclass_summary(
+        _orders_with_pred_class(spark, sf_dir), "label", "pred"
+    )
+
+
+def _orders_with_regression_pred(spark, sf_dir):
+    # exact-decimal synthetic forecast: 0.95·y plus a ±50.0 sawtooth —
+    # every intermediate stays decimal (no double→decimal cast anywhere)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_totalprice").alias("y"),
+        F.expr(
+            "o_totalprice * CAST(0.95 AS DECIMAL(8,2))"
+            " + CAST(o_orderkey % 1000 - 500 AS BIGINT)"
+            " * CAST(0.1 AS DECIMAL(8,1))"
+        ).alias("yhat"),
+    )
+
+
+def _eval_regression_orders(spark, sf_dir):
+    """1-row regression scorecard (ops/evaluation.py::
+    regression_metrics): MAE/RMSE/MAPE/R² with DECIMAL residual
+    accumulation over a deterministic forecast of o_totalprice."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        regression_metrics,
+    )
+
+    return regression_metrics(
+        _orders_with_regression_pred(spark, sf_dir), "yhat", "y"
+    )
+
+
+def _eval_pinball_orders(spark, sf_dir):
+    """Quantile (pinball) loss at q=0.1/0.5/0.9 (ops/evaluation.py::
+    pinball_loss): one conditional DECIMAL aggregate per quantile over
+    a single residual scan."""
+    from metadata_etl_framework_spark.ops.evaluation import pinball_loss
+
+    return pinball_loss(
+        _orders_with_regression_pred(spark, sf_dir), "yhat", "y",
+        quantiles=(0.1, 0.5, 0.9),
+    )
+
+
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
     # capability frontier (round-10: PageRank, blocked fuzzy join,
@@ -4648,6 +4744,11 @@ _EXTRA_KEYS = [
     "pivot_status",
     "set_ops",
     "text_lang_distribution",
+    "eval_confusion_orders",
+    "eval_multiclass_orders",
+    "eval_multiclass_summary_orders",
+    "eval_regression_orders",
+    "eval_pinball_orders",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -4914,6 +5015,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kaplan_meier": _events_kaplan_meier,
     "events_ab_test": _events_ab_test,
     "agg_group_mode": _agg_group_mode,
+    "eval_confusion_orders": _eval_confusion_orders,
+    "eval_multiclass_orders": _eval_multiclass_orders,
+    "eval_multiclass_summary_orders": _eval_multiclass_summary_orders,
+    "eval_regression_orders": _eval_regression_orders,
+    "eval_pinball_orders": _eval_pinball_orders,
 }
 
 
@@ -9357,6 +9463,145 @@ _ALL_SQL.update(
               FROM pairs)
             SELECT doc_id, alignment_score
             FROM scored WHERE alignment_score >= 0.3
+        """,
+    }
+)
+
+
+# round-10 classification / regression eval oracles. The multi-class
+# entries replay the confusion-grid derivations; per-class F1 uses the
+# UNROUNDED precision/recall while the summary averages the ROUNDED
+# per-class columns (exactly what multiclass_summary consumes).
+_MC_BASE_SQL = """
+  SELECT o_orderpriority AS label,
+         CASE CAST(o_orderkey % 6 AS INTEGER)
+           WHEN 0 THEN '1-URGENT' WHEN 1 THEN '2-HIGH'
+           WHEN 2 THEN '3-MEDIUM' WHEN 3 THEN '4-NOT SPECIFIED'
+           WHEN 4 THEN '5-LOW' ELSE 'X-NONE' END AS pred
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+"""
+
+_MC_PER_CLASS_SQL = f"""
+  WITH base AS ({_MC_BASE_SQL}),
+  cm AS (SELECT label, pred, COUNT(*) AS n FROM base GROUP BY 1, 2),
+  bl AS (SELECT label AS class, CAST(SUM(n) AS BIGINT) AS support,
+                CAST(SUM(CASE WHEN label = pred THEN n ELSE 0 END)
+                     AS BIGINT) AS tp
+         FROM cm GROUP BY 1),
+  bp AS (SELECT pred AS class, CAST(SUM(n) AS BIGINT) AS predicted
+         FROM cm GROUP BY 1),
+  j AS (SELECT COALESCE(bl.class, bp.class) AS class,
+               COALESCE(support, 0) AS support,
+               COALESCE(predicted, 0) AS predicted,
+               COALESCE(tp, 0) AS tp
+        FROM bl FULL OUTER JOIN bp ON bl.class = bp.class),
+  m AS (SELECT class, support, predicted, tp,
+               CASE WHEN predicted > 0
+                    THEN CAST(tp AS DOUBLE) / predicted END AS prec,
+               CASE WHEN support > 0
+                    THEN CAST(tp AS DOUBLE) / support END AS rec
+        FROM j)
+  SELECT class, support, predicted, tp,
+         ROUND(prec, 6) AS precision,
+         ROUND(rec, 6) AS recall,
+         ROUND(CASE WHEN predicted > 0 AND support > 0 AND prec + rec > 0
+                    THEN 2 * prec * rec / (prec + rec) END, 6) AS f1
+  FROM m
+"""
+
+# exact-decimal residual of the deterministic forecast (matches the
+# DECIMAL(18,6) envelope regression_metrics/pinball_loss accumulate in)
+_REG_BASE_SQL = """
+  SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS y,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6))
+              - CAST(o_totalprice * CAST(0.95 AS DECIMAL(8,2))
+                     + CAST(o_orderkey % 1000 - 500 AS BIGINT)
+                       * CAST(0.1 AS DECIMAL(8,1)) AS DECIMAL(18,6))
+              AS DECIMAL(18,6)) AS d
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+"""
+
+
+def _pinball_arm_sql(q: str) -> str:
+    return f"""
+      SELECT CAST({q} AS DOUBLE) AS q, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(CASE WHEN d >= 0
+                        THEN CAST({q} AS DECIMAL(8,6)) * d
+                        ELSE (CAST({q} AS DECIMAL(8,6)) - 1) * d END
+                        AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+               AS loss
+      FROM base
+    """
+
+
+_ALL_SQL.update(
+    {
+        "eval_confusion_orders": f"""
+            WITH base AS ({_MC_BASE_SQL})
+            SELECT label, pred, COUNT(*) AS n FROM base GROUP BY 1, 2
+        """,
+        "eval_multiclass_orders": _MC_PER_CLASS_SQL,
+        "eval_multiclass_summary_orders": f"""
+            WITH pc AS ({_MC_PER_CLASS_SQL}),
+            s AS (SELECT SUM(support) AS n, COUNT(*) AS n_classes,
+                         SUM(tp) AS tp,
+                         AVG(precision) AS mp, AVG(recall) AS mr,
+                         AVG(f1) AS mf,
+                         SUM(support * COALESCE(f1, 0.0)) AS wf,
+                         SUM(CAST(support AS DOUBLE)
+                             * CAST(predicted AS DOUBLE)) AS sp
+                  FROM pc)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n_classes AS BIGINT) AS n_classes,
+                   ROUND(CAST(tp AS DOUBLE) / n, 6) AS accuracy,
+                   ROUND(mp, 6) AS macro_precision,
+                   ROUND(mr, 6) AS macro_recall,
+                   ROUND(mf, 6) AS macro_f1,
+                   ROUND(wf / n, 6) AS weighted_f1,
+                   ROUND(CASE WHEN sp / (CAST(n AS DOUBLE) * n) < 1.0
+                         THEN (CAST(tp AS DOUBLE) / n
+                               - sp / (CAST(n AS DOUBLE) * n))
+                              / (1.0 - sp / (CAST(n AS DOUBLE) * n))
+                         END, 6) AS kappa
+            FROM s
+        """,
+        "eval_regression_orders": f"""
+            WITH base AS ({_REG_BASE_SQL}),
+            a AS (SELECT COUNT(*) AS n,
+                         SUM(ABS(d)) AS sad,
+                         SUM(CAST(CAST(d AS DECIMAL(19,6)) * d
+                                  AS DECIMAL(38,12))) AS ssd,
+                         SUM(y) AS sy,
+                         SUM(CAST(CAST(y AS DECIMAL(19,6)) * y
+                                  AS DECIMAL(38,12))) AS syy,
+                         SUM(CASE WHEN y <> 0 THEN
+                               ABS(CAST(d AS DOUBLE) / CAST(y AS DOUBLE))
+                             END) AS sape,
+                         SUM(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS n_mape
+                  FROM base)
+            SELECT n,
+                   ROUND(CAST(sad AS DOUBLE) / n, 6) AS mae,
+                   ROUND(SQRT(CAST(ssd AS DOUBLE) / n), 6) AS rmse,
+                   ROUND(CASE WHEN n_mape > 0 THEN sape / n_mape END, 6)
+                     AS mape,
+                   n_mape,
+                   ROUND(CASE WHEN CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                     / n > 0
+                         THEN 1.0 - CAST(ssd AS DOUBLE)
+                              / (CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                   / n)
+                         END, 6) AS r2
+            FROM a
+        """,
+        "eval_pinball_orders": f"""
+            WITH base AS ({_REG_BASE_SQL})
+            {_pinball_arm_sql("0.1")}
+            UNION ALL {_pinball_arm_sql("0.5")}
+            UNION ALL {_pinball_arm_sql("0.9")}
         """,
     }
 )

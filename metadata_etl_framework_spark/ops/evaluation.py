@@ -602,3 +602,268 @@ def calibration_bins(
         F.round(pos_rate, 6).alias("pos_rate"),
         F.round(F.abs(avg_score - pos_rate), 6).alias("abs_gap"),
     )
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Multi-class confusion matrix: one row per observed
+    (label, pred) pair with its count — the primitive every
+    classification-quality readout derives from.
+
+    One groupBy over the two class columns; output is bounded by
+    C² rows for C classes, so every downstream derivation
+    (per-class metrics, kappa) is post-scan work on a tiny grid.
+    Rows with a NULL on either side are excluded (no cell).
+
+    Output: (label, pred, n), one row per non-empty cell.
+    """
+    return (
+        df.where(
+            F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+        )
+        .select(
+            F.col(label_col).cast("string").alias("label"),
+            F.col(pred_col).cast("string").alias("pred"),
+        )
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def multiclass_metrics(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 / support for a multi-class
+    prediction column — the sklearn ``classification_report`` table.
+
+    Scale shape: ONE row-scale groupBy (the confusion matrix), then
+    every per-class figure is an aggregate over that bounded C²-row
+    grid — two tiny groupBys full-outer-joined on the class key (a
+    class can appear only among labels or only among predictions).
+
+    Conventions (mirrored exactly by the SQL oracle):
+    - ``precision`` NULL when the class is never predicted,
+    - ``recall`` NULL when the class has no true rows,
+    - ``f1`` NULL unless both are defined and precision+recall > 0
+      (the 0/0 F1 is undefined, not zero — callers that want
+      sklearn's ``zero_division=0`` coalesce downstream).
+
+    Output per class: (class, support, predicted, tp,
+    precision, recall, f1) — 6dp, one row per class seen on either
+    side.
+    """
+    cm = confusion_matrix(df, label_col, pred_col)
+    by_label = cm.groupBy(F.col("label").alias("class")).agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("label") == F.col("pred"), F.col("n"))
+              .otherwise(F.lit(0))).alias("tp"),
+    )
+    by_pred = cm.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("n").alias("predicted")
+    )
+    j = by_label.join(by_pred, "class", "full_outer").select(
+        "class",
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("predicted", F.lit(0)).alias("predicted"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+    )
+    precision = F.when(
+        F.col("predicted") > 0, F.col("tp") / F.col("predicted")
+    )
+    recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when(
+        (F.col("predicted") > 0)
+        & (F.col("support") > 0)
+        & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return j.select(
+        "class",
+        "support",
+        "predicted",
+        "tp",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def multiclass_summary(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """One-row multi-class roll-up: accuracy, macro / weighted
+    averages, and Cohen's kappa — the gate-friendly headline numbers
+    over :func:`multiclass_metrics`.
+
+    - ``accuracy`` = Σ tp / n (micro-F1 equals it in single-label
+      classification, so it is not repeated),
+    - ``macro_*`` = unweighted mean over classes where the per-class
+      metric is defined (NULL cells are skipped, both engines'
+      AVG semantics),
+    - ``weighted_f1`` = support-weighted mean with undefined per-class
+      F1 counted as 0 (sklearn ``zero_division=0`` convention — a
+      class with true rows must drag the weighted score down),
+    - ``kappa`` = (p_o − p_e) / (1 − p_e) with the marginal-product
+      chance agreement p_e = Σ_c support_c·predicted_c / n²; NULL at
+      the degenerate p_e = 1.
+
+    All inputs to the divisions are exact integer sums off the
+    bounded per-class grid, so the doubles are cross-engine stable at
+    the published 6dp.
+    """
+    per_class = multiclass_metrics(df, label_col, pred_col)
+    n = F.sum("support")
+    po = F.sum("tp") / n
+    pe = F.sum(
+        F.col("support").cast("double") * F.col("predicted").cast("double")
+    ) / (n.cast("double") * n.cast("double"))
+    return per_class.agg(
+        n.cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.round(po, 6).alias("accuracy"),
+        F.round(F.avg("precision"), 6).alias("macro_precision"),
+        F.round(F.avg("recall"), 6).alias("macro_recall"),
+        F.round(F.avg("f1"), 6).alias("macro_f1"),
+        F.round(
+            F.sum(F.col("support") * F.coalesce(F.col("f1"), F.lit(0.0)))
+            / n,
+            6,
+        ).alias("weighted_f1"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6
+        ).alias("kappa"),
+    )
+
+
+def regression_metrics(
+    df: DataFrame, pred_col: str, target_col: str
+) -> DataFrame:
+    """One-row regression scorecard: MAE, RMSE, MAPE, R² and the
+    residual/target second moments they derive from.
+
+    Single full pass, all accumulations exact DECIMAL (absolute
+    residuals at scale 6, squared terms at (37,12) summed into
+    (38,12), so every statistic is merge-order-independent); the only doubles are the
+    final divisions/sqrt, rounded 6dp. MAPE averages |Δ|/|y| over
+    rows with y ≠ 0 only (``n_mape`` reports how many qualified) —
+    the per-row ratio is double (a decimal quotient's scale rules
+    differ across engines) but its sum is tiny relative to n, stable
+    at 6dp after division.
+
+    R² = 1 − SS_res / SS_tot with SS_tot computed as
+    Σy² − (Σy)²/n off the exact decimal sums; NULL when the target
+    is constant (SS_tot = 0).
+
+    Output: 1 row — (n, mae, rmse, mape, n_mape, r2).
+    """
+    # DECIMAL(18,6) inputs keep the squared terms inside BOTH engines'
+    # exact-decimal envelopes: (18,6)x(18,6) -> (37,12), no silent
+    # precision-loss rescale (Spark) and no >38-digit overflow (DuckDB)
+    y = F.col(target_col).cast("decimal(18,6)")
+    p = F.col(pred_col).cast("decimal(18,6)")
+    base = df.where(
+        F.col(pred_col).isNotNull() & F.col(target_col).isNotNull()
+    ).select(
+        y.alias("y"),
+        (y - p).cast("decimal(18,6)").alias("d"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("d"))).alias("__sad"),
+        F.sum(
+            (F.col("d") * F.col("d")).cast("decimal(38,12)")
+        ).alias("__ssd"),
+        F.sum(F.col("y")).alias("__sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias(
+            "__syy"
+        ),
+        F.sum(
+            F.when(
+                F.col("y") != 0,
+                F.abs(F.col("d").cast("double") / F.col("y").cast("double")),
+            )
+        ).alias("__sape"),
+        F.sum(F.when(F.col("y") != 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_mape"
+        ),
+    )
+    nn = F.col("n").cast("double")
+    ss_tot = F.col("__syy").cast("double") - (
+        F.col("__sy").cast("double") * F.col("__sy").cast("double") / nn
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("__sad").cast("double") / nn, 6).alias("mae"),
+        F.round(F.sqrt(F.col("__ssd").cast("double") / nn), 6).alias(
+            "rmse"
+        ),
+        F.round(
+            F.when(
+                F.col("n_mape") > 0, F.col("__sape") / F.col("n_mape")
+            ),
+            6,
+        ).alias("mape"),
+        "n_mape",
+        F.round(
+            F.when(
+                ss_tot > 0,
+                1.0 - F.col("__ssd").cast("double") / ss_tot,
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    pred_col: str,
+    target_col: str,
+    quantiles: "tuple[float, ...]" = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Quantile (pinball) loss per requested quantile — the metric a
+    quantile-forecast column is scored by:
+    L_q = mean( q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺ ).
+
+    One full pass TOTAL for all quantiles: the residual projects
+    once, then each quantile is a conditional DECIMAL aggregate over
+    the same scan (q literals with ≤ 6dp keep the products exact
+    decimals). Output unpivots to the tall gate-friendly shape.
+
+    Output: (q, n, loss) — one row per quantile, loss 6dp.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"quantile out of (0,1): {q}")
+    y = F.col(target_col).cast("decimal(18,6)")
+    p = F.col(pred_col).cast("decimal(18,6)")
+    base = df.where(
+        F.col(pred_col).isNotNull() & F.col(target_col).isNotNull()
+    ).select((y - p).cast("decimal(18,6)").alias("d"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, q in enumerate(quantiles):
+        ql = F.lit(q).cast("decimal(8,6)")
+        term = F.when(
+            F.col("d") >= 0, (ql * F.col("d")).cast("decimal(38,12)")
+        ).otherwise(
+            ((ql - 1) * F.col("d")).cast("decimal(38,12)")
+        )
+        aggs.append(F.sum(term).alias(f"__s{i}"))
+    one = base.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(float(q)).alias("q"),
+            F.col("n"),
+            F.round(
+                F.col(f"__s{i}").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("loss"),
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
