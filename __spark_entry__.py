@@ -4460,6 +4460,51 @@ def _eval_pinball_orders(spark, sf_dir):
     )
 
 
+def _retrieval_run_qrels(spark, sf_dir):
+    # deterministic run/qrels over documents: query = lang; candidates
+    # are the doc_id % 3 slice scored by a tie-heavy sawtooth (exercises
+    # the doc-ASC tie-break); judgments are the overlapping % 4 slice
+    # with grades 1..3
+    d = _t(spark, sf_dir, "documents")
+    run = d.where(F.col("doc_id") % 3 == 0).select(
+        F.col("lang").alias("query"),
+        F.col("doc_id").alias("doc"),
+        ((F.col("doc_id") * 7) % 101).cast("double").alias("score"),
+    )
+    qrels = d.where(F.col("doc_id") % 4 == 0).select(
+        F.col("lang").alias("query"),
+        F.col("doc_id").alias("doc"),
+        (1 + F.col("doc_id") % 3).cast("int").alias("rel"),
+    )
+    return run, qrels
+
+
+def _eval_retrieval_docs(spark, sf_dir):
+    """Per-query TREC metrics (ops/evaluation.py::retrieval_metrics):
+    P@10 / R@10 / RR / AP@10 / NDCG@10 of a deterministic candidate
+    run against graded judgments — rank + ideal-DCG windows partition
+    by query, (query, doc) equi-joins only."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        retrieval_metrics,
+    )
+
+    run, qrels = _retrieval_run_qrels(spark, sf_dir)
+    return retrieval_metrics(run, qrels, k=10)
+
+
+def _eval_retrieval_summary_docs(spark, sf_dir):
+    """1-row retrieval roll-up (ops/evaluation.py::retrieval_summary):
+    MAP/MRR/mean-NDCG over the per-query table's published 6dp
+    values."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        retrieval_metrics,
+        retrieval_summary,
+    )
+
+    run, qrels = _retrieval_run_qrels(spark, sf_dir)
+    return retrieval_summary(retrieval_metrics(run, qrels, k=10))
+
+
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
     # capability frontier (round-10: PageRank, blocked fuzzy join,
@@ -4749,6 +4794,8 @@ _EXTRA_KEYS = [
     "eval_multiclass_summary_orders",
     "eval_regression_orders",
     "eval_pinball_orders",
+    "eval_retrieval_docs",
+    "eval_retrieval_summary_docs",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5020,6 +5067,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_multiclass_summary_orders": _eval_multiclass_summary_orders,
     "eval_regression_orders": _eval_regression_orders,
     "eval_pinball_orders": _eval_pinball_orders,
+    "eval_retrieval_docs": _eval_retrieval_docs,
+    "eval_retrieval_summary_docs": _eval_retrieval_summary_docs,
 }
 
 
@@ -9602,6 +9651,85 @@ _ALL_SQL.update(
             {_pinball_arm_sql("0.1")}
             UNION ALL {_pinball_arm_sql("0.5")}
             UNION ALL {_pinball_arm_sql("0.9")}
+        """,
+    }
+)
+
+
+# retrieval-eval oracles: full TREC arithmetic replay — rank window with
+# the doc-ASC tie-break, cumulative-hit precision terms, graded
+# 2^rel−1 DCG against the ideal ranking of the judgments
+_RETRIEVAL_PER_QUERY_SQL = """
+  WITH run AS (
+    SELECT lang AS query, doc_id AS doc,
+           CAST((doc_id * 7) % 101 AS DOUBLE) AS score
+    FROM documents
+    WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 3 = 0),
+  qr AS (
+    SELECT lang AS query, doc_id AS doc,
+           CAST(1 + doc_id % 3 AS INTEGER) AS rel
+    FROM documents
+    WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 4 = 0),
+  ranked AS (
+    SELECT query, doc,
+           ROW_NUMBER() OVER (PARTITION BY query
+                              ORDER BY score DESC, doc ASC) AS rank
+    FROM run),
+  topk AS (
+    SELECT r.query, r.rank, COALESCE(q.rel, 0) AS rel,
+           CASE WHEN COALESCE(q.rel, 0) > 0 THEN 1 ELSE 0 END AS hit
+    FROM ranked r
+    LEFT JOIN qr q ON r.query = q.query AND r.doc = q.doc
+    WHERE r.rank <= 10),
+  cum AS (
+    SELECT *, SUM(hit) OVER (PARTITION BY query ORDER BY rank
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS crel
+    FROM topk),
+  pq AS (
+    SELECT query, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           CAST(SUM(hit) AS BIGINT) AS hits,
+           MAX(CASE WHEN hit = 1
+                    THEN CAST(1.0 AS DOUBLE) / rank END) AS rr0,
+           SUM(CASE WHEN hit = 1
+                    THEN CAST(crel AS DOUBLE) / rank END) AS apnum,
+           SUM((POWER(2.0, rel) - 1) / LOG2(rank + 1)) AS dcg
+    FROM cum GROUP BY query),
+  ideal AS (
+    SELECT query, CAST(COUNT(*) AS BIGINT) AS n_rel,
+           SUM(CASE WHEN irank <= 10
+                    THEN (POWER(2.0, rel) - 1) / LOG2(irank + 1)
+               END) AS idcg
+    FROM (SELECT query, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query
+                                    ORDER BY rel DESC, doc ASC) AS irank
+          FROM qr) t
+    GROUP BY query)
+  SELECT p.query, p.n_ranked, COALESCE(i.n_rel, 0) AS n_rel, p.hits,
+         ROUND(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_k,
+         ROUND(CASE WHEN i.n_rel > 0
+                    THEN CAST(p.hits AS DOUBLE) / i.n_rel END, 6)
+           AS recall_k,
+         ROUND(COALESCE(rr0, 0.0), 6) AS rr,
+         ROUND(CASE WHEN i.n_rel > 0
+                    THEN COALESCE(apnum, 0.0) / LEAST(i.n_rel, 10)
+               END, 6) AS ap_k,
+         ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg_k
+  FROM pq p LEFT JOIN ideal i ON p.query = i.query
+"""
+
+_ALL_SQL.update(
+    {
+        "eval_retrieval_docs": _RETRIEVAL_PER_QUERY_SQL,
+        "eval_retrieval_summary_docs": f"""
+            WITH per_query AS ({_RETRIEVAL_PER_QUERY_SQL})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   ROUND(AVG(precision_k), 6) AS mean_precision_k,
+                   ROUND(AVG(recall_k), 6) AS mean_recall_k,
+                   ROUND(AVG(rr), 6) AS mrr,
+                   ROUND(AVG(ap_k), 6) AS map_k,
+                   ROUND(AVG(ndcg_k), 6) AS mean_ndcg_k
+            FROM per_query
         """,
     }
 )

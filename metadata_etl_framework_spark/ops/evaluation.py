@@ -867,3 +867,154 @@ def pinball_loss(
     for part in parts[1:]:
         out = out.unionAll(part)
     return out
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "doc",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking-quality metrics for a retrieval run (a BM25 /
+    ANN candidate table) against graded relevance judgments: P@k, R@k,
+    reciprocal rank, AP@k and NDCG@k — the TREC readout that closes
+    the loop on the text_bm25_* / ann_* operators.
+
+    Semantics (mirrored exactly by the SQL oracle):
+    - ranking is score DESC with doc ASC as the deterministic
+      tie-break; only the top-k rows per query are scored,
+    - ``precision_k`` divides by k even when fewer candidates exist
+      (the TREC convention), ``recall_k``/``ap_k`` are NULL for
+      queries with no judged-relevant docs, ``ndcg_k`` NULL when the
+      ideal DCG is 0,
+    - ``ap_k`` normalizes by min(n_rel, k), ``rr`` is 0 when no
+      relevant doc makes the top-k,
+    - graded relevance feeds DCG as 2^rel − 1; binary hit = rel > 0.
+
+    Scale shape: every window partitions by query (rank assignment on
+    the run, ideal-DCG ranks on qrels); the per-query state after the
+    top-k filter is ≤ k rows. Joins are (query, doc) equi-joins.
+    Queries are evaluated from the run side (a judged query with no
+    candidates contributes no row — its absence is visible in
+    :func:`retrieval_summary`'s n_queries).
+
+    Output per query: (query, n_ranked, n_rel, hits, precision_k,
+    recall_k, rr, ap_k, ndcg_k) — 6dp.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    r = run.where(
+        F.col(query_col).isNotNull()
+        & F.col(doc_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("doc"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    j = qrels.where(
+        F.col(query_col).isNotNull()
+        & F.col(doc_col).isNotNull()
+        & (F.coalesce(F.col(rel_col), F.lit(0)) > 0)
+    ).select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("doc"),
+        F.col(rel_col).cast("int").alias("rel"),
+    )
+    w_rank = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("doc")
+    )
+    topk = (
+        r.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .join(j, ["query", "doc"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn("hit", (F.col("rel") > 0).cast("int"))
+    )
+    w_cum = (
+        Window.partitionBy("query")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = topk.withColumn("crel", F.sum("hit").over(w_cum))
+    per_q = cum.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum("hit").alias("hits"),
+        F.max(F.when(F.col("hit") == 1, 1.0 / F.col("rank"))).alias(
+            "__rr"
+        ),
+        F.sum(
+            F.when(F.col("hit") == 1, F.col("crel") / F.col("rank"))
+        ).alias("__apnum"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1)
+            / F.log2(F.col("rank") + 1)
+        ).alias("__dcg"),
+    )
+    # ideal DCG: qrels ranked by grade DESC (doc ASC tie-break), top k
+    w_ideal = Window.partitionBy("query").orderBy(
+        F.desc("rel"), F.asc("doc")
+    )
+    ideal = (
+        j.withColumn("irank", F.row_number().over(w_ideal))
+        .groupBy("query")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("irank") <= k,
+                    (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                    / F.log2(F.col("irank") + 1),
+                )
+            ).alias("__idcg"),
+        )
+    )
+    out = per_q.join(ideal, "query", "left").select(
+        "query",
+        "n_ranked",
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+        "hits",
+        F.round(F.col("hits") / F.lit(k), 6).alias("precision_k"),
+        F.round(
+            F.when(F.col("n_rel") > 0, F.col("hits") / F.col("n_rel")), 6
+        ).alias("recall_k"),
+        F.round(F.coalesce(F.col("__rr"), F.lit(0.0)), 6).alias("rr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.coalesce(F.col("__apnum"), F.lit(0.0))
+                / F.least(F.col("n_rel"), F.lit(k)),
+            ),
+            6,
+        ).alias("ap_k"),
+        F.round(
+            F.when(
+                F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")
+            ),
+            6,
+        ).alias("ndcg_k"),
+    )
+    return out
+
+
+def retrieval_summary(per_query: DataFrame) -> DataFrame:
+    """1-row roll-up of :func:`retrieval_metrics`: means over queries
+    (MAP, MRR, mean P@k / R@k / NDCG@k). NULL per-query cells (no
+    judged-relevant docs) are skipped by AVG in both engines — the
+    trec_eval convention of averaging over judged queries only.
+
+    Output: (n_queries, mean_precision_k, mean_recall_k, mrr, map_k,
+    mean_ndcg_k) — 6dp, aggregating the per-query table's published
+    6dp values.
+    """
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("precision_k"), 6).alias("mean_precision_k"),
+        F.round(F.avg("recall_k"), 6).alias("mean_recall_k"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("ap_k"), 6).alias("map_k"),
+        F.round(F.avg("ndcg_k"), 6).alias("mean_ndcg_k"),
+    )
