@@ -4460,6 +4460,61 @@ def _eval_pinball_orders(spark, sf_dir):
     )
 
 
+def _sketch_hll_registers_orders(spark, sf_dir):
+    """HyperLogLog register table (ops/sketch.py::hll_registers) over
+    o_custkey with the portable mix hash — m=64 rows max, the
+    mergeable sketch a rollup stores per day; branch-free
+    trailing-zero ranks via bit_count((w & -w) - 1)."""
+    from metadata_etl_framework_spark.ops.sketch import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "orders"), "o_custkey", m=64)
+
+
+def _sketch_hll_estimate_orders(spark, sf_dir):
+    """HLL cardinality estimate (ops/sketch.py::hll_estimate): the
+    Flajolet harmonic estimator with linear-counting small-range
+    correction, over the m=64 register table — exact dyadic 2^-rank
+    sums, ln() branch rounded 4dp."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    regs = hll_registers(_t(spark, sf_dir, "orders"), "o_custkey", m=64)
+    return hll_estimate(regs, m=64)
+
+
+def _sketch_kmv_orders(spark, sf_dir):
+    """K-minimum-values distinct estimate (ops/sketch.py::kmv_sketch +
+    kmv_estimate): 256 smallest distinct portable hashes via
+    TakeOrderedAndProject; saturated regime uses (k-1)*2^32/h_k, the
+    sub-k regime is exact — sf0.001 exercises exact, sf0.01
+    saturated."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    s = kmv_sketch(_t(spark, sf_dir, "orders"), "o_custkey", k=256)
+    return kmv_estimate(s, k=256)
+
+
+def _sketch_countmin_orders(spark, sf_dir):
+    """Count-min point-frequency estimates (ops/sketch.py::
+    countmin_sketch + countmin_query): 3x256 counter grid over
+    o_custkey, probed for custkeys 1..10 — broadcast grid join, min
+    over rows never undercounts."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        countmin_query,
+        countmin_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cm = countmin_sketch(o, "o_custkey", depth=3, width=256)
+    keys = spark.range(1, 11).select(F.col("id").alias("k"))
+    return countmin_query(cm, keys, "k", depth=3, width=256)
+
+
 def _retrieval_run_qrels(spark, sf_dir):
     # deterministic run/qrels over documents: query = lang; candidates
     # are the doc_id % 3 slice scored by a tie-heavy sawtooth (exercises
@@ -4796,6 +4851,10 @@ _EXTRA_KEYS = [
     "eval_pinball_orders",
     "eval_retrieval_docs",
     "eval_retrieval_summary_docs",
+    "sketch_hll_registers_orders",
+    "sketch_hll_estimate_orders",
+    "sketch_kmv_orders",
+    "sketch_countmin_orders",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5069,6 +5128,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_pinball_orders": _eval_pinball_orders,
     "eval_retrieval_docs": _eval_retrieval_docs,
     "eval_retrieval_summary_docs": _eval_retrieval_summary_docs,
+    "sketch_hll_registers_orders": _sketch_hll_registers_orders,
+    "sketch_hll_estimate_orders": _sketch_hll_estimate_orders,
+    "sketch_kmv_orders": _sketch_kmv_orders,
+    "sketch_countmin_orders": _sketch_countmin_orders,
 }
 
 
@@ -9730,6 +9793,100 @@ _ALL_SQL.update(
                    ROUND(AVG(ap_k), 6) AS map_k,
                    ROUND(AVG(ndcg_k), 6) AS mean_ndcg_k
             FROM per_query
+        """,
+    }
+)
+
+
+# sketch oracles: the portable 32-bit mix hash (ops/sketch.py::hash32)
+# replayed as a CTE chain — every step is BIGINT %/*/xor/shift, so the
+# register / KMV / count-min state matches bit-for-bit
+def _hash32_cte_sql(src_select: str) -> str:
+    """CTE chain hashing column x of ``src_select`` (which must yield
+    (x [, carry...])) into h, preserving any extra columns."""
+    return f"""
+    src AS ({src_select}),
+    hc1 AS (SELECT *, ((x % 2147483648) * 2654435761) % 4294967296 AS a
+            FROM src),
+    hc2 AS (SELECT *, (xor(a, a >> 16) * 73244475) % 4294967296 AS b
+            FROM hc1),
+    hh AS (SELECT *, xor(b, b >> 16) AS h FROM hc2)
+    """
+
+
+_HLL_REGS_SQL = f"""
+  WITH {_hash32_cte_sql(
+      "SELECT o_custkey AS x FROM orders WHERE o_custkey IS NOT NULL")}
+  SELECT CAST(h % 64 AS INTEGER) AS register,
+         CAST(MAX(CASE WHEN (h >> 6) > 0
+                  THEN bit_count(((h >> 6) & -(h >> 6)) - 1) + 1
+                  ELSE 27 END) AS INTEGER) AS max_rank
+  FROM hh GROUP BY 1
+"""
+
+_ALL_SQL.update(
+    {
+        "sketch_hll_registers_orders": _HLL_REGS_SQL,
+        "sketch_hll_estimate_orders": f"""
+            WITH regs AS ({_HLL_REGS_SQL}),
+            s AS (SELECT COUNT(*) AS observed,
+                         SUM(POWER(0.5, max_rank)) AS hsum
+                  FROM regs),
+            e AS (SELECT observed, 64 - observed AS v,
+                         CAST(0.709 AS DOUBLE) * 64 * 64
+                           / (hsum + (64 - observed)) AS e_raw
+                  FROM s)
+            SELECT 64 AS m,
+                   CAST(observed AS BIGINT) AS observed,
+                   CAST(v AS BIGINT) AS v_zero,
+                   CASE WHEN e_raw <= 160.0 AND v > 0
+                        THEN 'linear' ELSE 'raw' END AS regime,
+                   ROUND(CASE WHEN e_raw <= 160.0 AND v > 0
+                         THEN 64.0 * LN(CAST(64 AS DOUBLE) / v)
+                         ELSE e_raw END, 4) AS estimate
+            FROM e
+        """,
+        "sketch_kmv_orders": f"""
+            WITH {_hash32_cte_sql(
+                "SELECT o_custkey AS x FROM orders "
+                "WHERE o_custkey IS NOT NULL")},
+            dh AS (SELECT DISTINCT h FROM hh),
+            top AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos
+                    FROM dh ORDER BY h LIMIT 256)
+            SELECT 256 AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   MAX(CASE WHEN pos = 256 THEN h END) AS kth_hash,
+                   CASE WHEN COUNT(*) >= 256
+                        THEN 'estimate' ELSE 'exact' END AS regime,
+                   ROUND(CASE WHEN COUNT(*) >= 256
+                         THEN CAST(255 AS DOUBLE) * 4294967296
+                              / MAX(CASE WHEN pos = 256 THEN h END)
+                         ELSE CAST(COUNT(*) AS DOUBLE) END, 4)
+                     AS estimate
+            FROM top
+        """,
+        "sketch_countmin_orders": f"""
+            WITH {_hash32_cte_sql(
+                "SELECT o_custkey + d * 40503 AS x, d FROM orders, "
+                "(SELECT UNNEST([0, 1, 2]) AS d) "
+                "WHERE o_custkey IS NOT NULL")},
+            cm AS (SELECT d AS row, CAST(h % 256 AS INTEGER) AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM hh GROUP BY 1, 2),
+            {_hash32_cte_sql(
+                "SELECT key + d * 40503 AS x, key, d "
+                "FROM (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS key), "
+                "(SELECT UNNEST([0, 1, 2]) AS d)").replace(
+                    "src AS", "ksrc AS").replace("FROM src", "FROM ksrc")
+                .replace("hc1 AS", "khc1 AS").replace("FROM hc1", "FROM khc1")
+                .replace("hc2 AS", "khc2 AS").replace("FROM hc2", "FROM khc2")
+                .replace("hh AS", "khh AS")},
+            probes AS (SELECT key, d AS row,
+                              CAST(h % 256 AS INTEGER) AS bucket
+                       FROM khh)
+            SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+            FROM probes LEFT JOIN cm USING (row, bucket)
+            GROUP BY key
         """,
     }
 )

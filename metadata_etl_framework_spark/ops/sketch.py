@@ -1,0 +1,304 @@
+"""Mergeable cardinality / frequency sketches over key columns.
+
+At 100 TB, "how many distinct users per day, and across any day range?"
+cannot be answered by re-scanning: the scale answer is a tiny MERGEABLE
+sketch table per partition/day, combined associatively at query time.
+The reference's profiling stops at exact per-batch counts
+(cf. /root/reference/src/quality/data_profiler.py); these ops add the
+sketch layer a hypertable-style rollup stores alongside its aggregates:
+
+- HyperLogLog register tables (``hll_registers`` / ``hll_merge`` /
+  ``hll_estimate``): m integer registers, merge = groupBy(register).max,
+  estimate from the harmonic mean — O(m) state per sketch.
+- K-minimum-values (``kmv_sketch`` / ``kmv_merge`` / ``kmv_estimate``):
+  the k smallest distinct hash values; merge = union → re-take-k;
+  global top-k compiles to TakeOrderedAndProject (no full sort).
+- Count–min (``countmin_sketch`` / ``countmin_merge`` /
+  ``countmin_query``): depth×width counter grid, merge = groupBy.sum,
+  point frequency estimate = min over rows — never underestimates.
+
+Everything is deterministic arithmetic on a PORTABLE 32-bit mix hash
+(multiply–xor–shift in plain integer ops) rather than an engine-native
+hash, so a DuckDB oracle replays every sketch bit-for-bit — and so two
+DIFFERENT engines can build sketches that merge together, which is
+exactly the property a cross-system ingest pipeline needs. All sums
+over register/counter state are exact (integers, or dyadic 2^-k doubles
+that are closed under addition at these magnitudes) — merge-order
+independent by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant and a 32-bit finalizer constant; the
+# pipeline below stays inside int64 (max intermediate 2^31·2654435761
+# ≈ 5.7e18 < 2^63) so BOTH engines evaluate it in plain BIGINT ops.
+_MULT_A = 2654435761
+_MULT_B = 73244475  # 0x45d9f3b
+_M32 = 4294967296  # 2^32
+_M31 = 2147483648  # 2^31
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit mix hash of a non-negative integer column:
+    low-31-bit clamp → Knuth multiply → xor-shift → multiply →
+    xor-shift. Every step is %/*/xor/shift on BIGINT, replayable in
+    any SQL engine (the DuckDB oracle fragment is
+    ``__spark_entry__._HASH32_SQL``)."""
+    x = col.cast("long") % _M31
+    h1 = (x * F.lit(_MULT_A)) % _M32
+    h2 = (h1.bitwiseXOR(F.shiftright(h1, 16)) * F.lit(_MULT_B)) % _M32
+    return h2.bitwiseXOR(F.shiftright(h2, 16))
+
+
+def _check_m(m: int) -> int:
+    if m < 16 or (m & (m - 1)) != 0:
+        raise ValueError("m must be a power of two >= 16")
+    b = m.bit_length() - 1
+    if b > 20:
+        raise ValueError("m too large (max 2^20 registers)")
+    return b
+
+
+def hll_registers(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """Build a HyperLogLog register table over a key column: register
+    j = low log2(m) hash bits, rank = 1 + trailing zeros of the
+    remaining bits (33 − log2(m) when they are all zero — the
+    saturated rank).
+
+    One row-scale groupBy(register); output is ≤ m rows — the sketch.
+    Registers never touched by any key are absent (sparse form);
+    :func:`hll_estimate` accounts for them. NULL keys are skipped.
+
+    The trailing-zero rank uses the branch-free identity
+    ``bit_count((w & -w) − 1)`` — pure JVM integer ops, no UDF.
+
+    Output: (register int, max_rank int), ≤ m rows.
+    """
+    b = _check_m(m)
+    h = hash32(F.col(col))
+    base = df.where(F.col(col).isNotNull()).select(h.alias("__h"))
+    w = F.shiftright(F.col("__h"), b)
+    rho = F.when(w > 0, F.bit_count((w.bitwiseAND(-w)) - 1) + 1).otherwise(
+        F.lit(33 - b)
+    )
+    return (
+        base.select(
+            (F.col("__h") % m).cast("int").alias("register"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("__rho").alias("max_rank"))
+    )
+
+
+def hll_merge(*tables: DataFrame) -> DataFrame:
+    """Combine register tables built by :func:`hll_registers` (same m):
+    union → groupBy(register).max — associative, commutative,
+    idempotent, so per-day sketches roll up to any range."""
+    if not tables:
+        raise ValueError("need at least one register table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("register").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
+    """Cardinality estimate from a (sparse) register table — the
+    Flajolet et al. estimator with the standard small-range
+    correction:
+
+    E_raw = α_m · m² / (Σ 2^−rank + V), V = m − observed registers
+    (each unseen register contributes 2⁻⁰ = 1);
+    if E_raw ≤ 2.5m and V > 0: E = m·ln(m/V) (linear counting).
+
+    The 2^−rank terms are dyadic doubles whose sum is EXACT at these
+    magnitudes (≤ 33 significant bits), so the harmonic path is
+    merge-order-independent; the ln() branch is rounded to 4dp (last-
+    ulp libm variance sits far below that). One ≤ m-row aggregate.
+
+    Output: 1 row — (m, observed, v_zero, regime, estimate 4dp).
+    """
+    _check_m(m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("observed"),
+        F.sum(F.pow(F.lit(0.5), F.col("max_rank"))).alias("__hsum"),
+    )
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    v = F.lit(m) - F.col("observed")
+    e_raw = F.lit(alpha * m * m) / (F.col("__hsum") + v.cast("double"))
+    small = (e_raw <= 2.5 * m) & (v > 0)
+    est = F.when(small, F.lit(float(m)) * F.log(F.lit(m) / v)).otherwise(
+        e_raw
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("observed").cast("long").alias("observed"),
+        v.cast("long").alias("v_zero"),
+        F.when(small, F.lit("linear")).otherwise(F.lit("raw")).alias(
+            "regime"
+        ),
+        F.round(est, 4).alias("estimate"),
+    )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values sketch: the k smallest DISTINCT portable
+    hashes of the key column. distinct → global ascending top-k,
+    which Catalyst executes as TakeOrderedAndProject (per-partition
+    heads + driver merge of k·partitions values — no full sort, no
+    single-partition shuffle).
+
+    Output: (pos 1..k, h) — pos by ascending hash; fewer rows when
+    the column has < k distinct hash values.
+    """
+    if k < 16:
+        raise ValueError("k must be >= 16")
+    h = hash32(F.col(col))
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    # k rows fit one partition: the row_number window is bounded post-agg
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")
+    return hashes.select(
+        F.row_number().over(w).alias("pos"), F.col("h")
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Combine KMV sketches: union of hash sets → re-take the k
+    smallest (associative; duplicates collapse via distinct)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0].select("h")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select("h"))
+    from pyspark.sql import Window
+
+    top = out.distinct().orderBy("h").limit(k)
+    w = Window.orderBy("h")
+    return top.select(F.row_number().over(w).alias("pos"), F.col("h"))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: when the sketch is
+    saturated (k values present), D̂ = (k−1) · 2³² / h_k with h_k the
+    k-th smallest hash; below saturation the sketch IS the distinct
+    hash set, so the count is exact (up to 32-bit hash collisions).
+
+    Output: 1 row — (k, n_values, kth_hash, regime, estimate 4dp).
+    """
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.max(F.when(F.col("pos") == k, F.col("h"))).alias("__hk"),
+    )
+    saturated = F.col("n_values") >= k
+    est = F.when(
+        saturated,
+        F.lit(float(k - 1)) * F.lit(float(_M32)) / F.col("__hk"),
+    ).otherwise(F.col("n_values").cast("double"))
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("__hk").alias("kth_hash"),
+        F.when(saturated, F.lit("estimate")).otherwise(F.lit("exact"))
+        .alias("regime"),
+        F.round(est, 4).alias("estimate"),
+    )
+
+
+def countmin_sketch(
+    df: DataFrame, col: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Count–min sketch of key frequencies: ``depth`` independent
+    hash rows (the portable mix hash salted by row index) × ``width``
+    counters. One projection explodes each key into its ``depth``
+    buckets, one groupBy((row, bucket)).count — output ≤ depth·width
+    rows. Merge across partitions/days = groupBy.sum
+    (:func:`countmin_merge`); estimates never undercount.
+
+    Output: (row int, bucket int, cnt long).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth >= 1 and width >= 2 required")
+    base = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("long").alias("__x")
+    )
+    rows = []
+    for d in range(depth):
+        h = hash32(F.col("__x") + F.lit(d * 40503)) % width
+        rows.append(
+            base.select(
+                F.lit(d).alias("row"), h.cast("int").alias("bucket")
+            )
+        )
+    exploded = rows[0]
+    for r in rows[1:]:
+        exploded = exploded.unionByName(r)
+    return exploded.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine count–min tables (same depth/width): union →
+    groupBy((row, bucket)).sum — plain counter addition."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def countmin_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for a key table: re-hash each key
+    into its ``depth`` buckets, join the counter grid, take the min
+    over rows — the count–min upper bound (≥ true frequency, with
+    the classic ε–δ guarantee from width/depth).
+
+    The sketch side is ≤ depth·width rows → broadcast join; the key
+    side stays distributed. Output: (key, est_count).
+    """
+    k = keys.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("long").alias("key")
+    ).distinct()
+    probes = []
+    for d in range(depth):
+        h = hash32(F.col("key") + F.lit(d * 40503)) % width
+        probes.append(
+            k.select(
+                "key", F.lit(d).alias("row"), h.cast("int").alias("bucket")
+            )
+        )
+    allp = probes[0]
+    for p in probes[1:]:
+        allp = allp.unionByName(p)
+    joined = allp.join(
+        F.broadcast(sketch), ["row", "bucket"], "left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return joined.groupBy("key").agg(
+        F.min("cnt").cast("long").alias("est_count")
+    )

@@ -1,0 +1,125 @@
+"""Mergeability + accuracy properties of the sketch family
+(ops/sketch.py): building a sketch over a whole dataset must equal
+merging sketches built over any partition of it — the property that
+makes per-day sketch tables roll up to arbitrary ranges."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.ops.sketch import (
+    countmin_merge,
+    countmin_query,
+    countmin_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def _norm(df):
+    p = df.toPandas()
+    p = p.reindex(sorted(p.columns), axis=1)
+    return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+
+def _keys(spark, n=5000, stride=7):
+    return spark.range(n).select((F.col("id") * stride + 3).alias("k"))
+
+
+def test_hll_merge_equals_whole(spark):
+    df = _keys(spark)
+    whole = hll_registers(df, "k", m=64)
+    h1 = hll_registers(df.where(F.col("k") % 2 == 0), "k", m=64)
+    h2 = hll_registers(df.where(F.col("k") % 2 == 1), "k", m=64)
+    merged = hll_merge(h1, h2)
+    pd.testing.assert_frame_equal(_norm(whole), _norm(merged))
+
+
+def test_hll_merge_idempotent(spark):
+    df = _keys(spark, n=1000)
+    s = hll_registers(df, "k", m=64)
+    pd.testing.assert_frame_equal(_norm(s), _norm(hll_merge(s, s)))
+
+
+def test_hll_estimate_accuracy(spark):
+    # 5000 distinct keys, m=64 -> relative error ~ 1.04/sqrt(64) = 13%;
+    # allow 3 sigma. Deterministic hash -> deterministic estimate.
+    df = _keys(spark, n=5000)
+    est = hll_estimate(hll_registers(df, "k", m=64), m=64).collect()[0]
+    assert est["regime"] == "raw"
+    assert abs(est["estimate"] - 5000) / 5000 < 0.4
+    # and the estimate is a pinned deterministic value (merge-order
+    # independent dyadic sums): re-run must reproduce it exactly
+    est2 = hll_estimate(hll_registers(df, "k", m=64), m=64).collect()[0]
+    assert est["estimate"] == est2["estimate"]
+
+
+def test_hll_small_range_regime(spark):
+    df = _keys(spark, n=20)
+    est = hll_estimate(hll_registers(df, "k", m=64), m=64).collect()[0]
+    assert est["regime"] == "linear"
+    assert abs(est["estimate"] - 20) <= 8
+
+
+def test_kmv_merge_equals_whole(spark):
+    df = _keys(spark, n=3000)
+    whole = kmv_sketch(df, "k", k=64)
+    s1 = kmv_sketch(df.where(F.col("k") % 3 == 0), "k", k=64)
+    s2 = kmv_sketch(df.where(F.col("k") % 3 != 0), "k", k=64)
+    merged = kmv_merge(64, s1, s2)
+    pd.testing.assert_frame_equal(_norm(whole), _norm(merged))
+
+
+def test_kmv_exact_below_saturation(spark):
+    df = _keys(spark, n=40)
+    est = kmv_estimate(kmv_sketch(df, "k", k=64), k=64).collect()[0]
+    assert est["regime"] == "exact"
+    assert est["estimate"] == 40.0
+    assert est["kth_hash"] is None
+
+
+def test_kmv_estimate_accuracy(spark):
+    df = _keys(spark, n=5000)
+    est = kmv_estimate(kmv_sketch(df, "k", k=256), k=256).collect()[0]
+    assert est["regime"] == "estimate"
+    assert abs(est["estimate"] - 5000) / 5000 < 0.25
+
+
+def test_countmin_merge_and_upper_bound(spark):
+    # skewed frequencies: key i appears (i % 10 + 1) times
+    df = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"),
+        F.explode(
+            F.array_repeat(F.lit(1), (F.col("id") % 3 + 1).cast("int"))
+        ).alias("_"),
+    ).select("k")
+    whole = countmin_sketch(df, "k", depth=3, width=64)
+    c1 = countmin_sketch(df.where(F.col("k") < 25), "k", depth=3, width=64)
+    c2 = countmin_sketch(df.where(F.col("k") >= 25), "k", depth=3, width=64)
+    merged = countmin_merge(c1, c2)
+    pd.testing.assert_frame_equal(_norm(whole), _norm(merged))
+
+    true = df.groupBy("k").count()
+    est = countmin_query(
+        whole, true.select(F.col("k")), "k", depth=3, width=64
+    )
+    j = (
+        true.join(est, true["k"] == est["key"])
+        .select("count", "est_count")
+        .collect()
+    )
+    assert len(j) == 50
+    assert all(r["est_count"] >= r["count"] for r in j)
+
+
+def test_countmin_query_missing_key_zero_or_collision(spark):
+    df = spark.range(100).select((F.col("id") + 1000).alias("k"))
+    cm = countmin_sketch(df, "k", depth=3, width=256)
+    probe = df.sparkSession.range(1).select(F.lit(1).alias("k"))
+    est = countmin_query(cm, probe, "k", depth=3, width=256).collect()[0]
+    assert est["est_count"] >= 0
