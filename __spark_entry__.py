@@ -4460,6 +4460,56 @@ def _eval_pinball_orders(spark, sf_dir):
     )
 
 
+def _cosupplier_edges(spark, sf_dir, part_mod=None):
+    # co-supply graph: suppliers sharing a part in lineitem; canonical
+    # (a < b) pairs, duplicates collapsed inside the graph ops
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    if part_mod is not None:
+        li = li.where(F.col("l_partkey") % part_mod == 0)
+    a, b = li.alias("ea"), li.alias("eb")
+    return a.join(
+        b,
+        (F.col("ea.l_partkey") == F.col("eb.l_partkey"))
+        & (F.col("ea.l_suppkey") < F.col("eb.l_suppkey")),
+    ).select(
+        F.col("ea.l_suppkey").alias("src"),
+        F.col("eb.l_suppkey").alias("dst"),
+    )
+
+
+def _graph_triangles_suppliers(spark, sf_dir):
+    """Degree-ordered triangle census (ops/graph.py::triangle_count —
+    compact-forward orientation bounds wedge fan-out on hubs) over the
+    co-supplier graph: node/edge/wedge/triangle counts +
+    transitivity, wedge and closure joins replayed in SQL."""
+    from metadata_etl_framework_spark.ops.graph import triangle_count
+
+    return triangle_count(_cosupplier_edges(spark, sf_dir))
+
+
+def _graph_degree_distribution(spark, sf_dir):
+    """Undirected degree histogram (ops/graph.py::
+    degree_distribution) of the co-supplier graph — the hub-skew
+    advisor for the pair-generating graph ops."""
+    from metadata_etl_framework_spark.ops.graph import degree_distribution
+
+    return degree_distribution(_cosupplier_edges(spark, sf_dir))
+
+
+def _graph_neighborhood_jaccard(spark, sf_dir):
+    """Structural similarity (ops/graph.py::neighborhood_jaccard):
+    Jaccard overlap of supplier neighbor sets on a part-sliced
+    co-supplier graph — shared-neighbor blocking, canonical pairs,
+    filter on the published 6dp value."""
+    from metadata_etl_framework_spark.ops.graph import (
+        neighborhood_jaccard,
+    )
+
+    return neighborhood_jaccard(
+        _cosupplier_edges(spark, sf_dir, part_mod=3), min_sim=0.25
+    )
+
+
 def _sketch_hll_registers_orders(spark, sf_dir):
     """HyperLogLog register table (ops/sketch.py::hll_registers) over
     o_custkey with the portable mix hash — m=64 rows max, the
@@ -4855,6 +4905,9 @@ _EXTRA_KEYS = [
     "sketch_hll_estimate_orders",
     "sketch_kmv_orders",
     "sketch_countmin_orders",
+    "graph_triangles_suppliers",
+    "graph_degree_distribution",
+    "graph_neighborhood_jaccard",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5132,6 +5185,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_estimate_orders": _sketch_hll_estimate_orders,
     "sketch_kmv_orders": _sketch_kmv_orders,
     "sketch_countmin_orders": _sketch_countmin_orders,
+    "graph_triangles_suppliers": _graph_triangles_suppliers,
+    "graph_degree_distribution": _graph_degree_distribution,
+    "graph_neighborhood_jaccard": _graph_neighborhood_jaccard,
 }
 
 
@@ -9887,6 +9943,93 @@ _ALL_SQL.update(
             SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
             FROM probes LEFT JOIN cm USING (row, bucket)
             GROUP BY key
+        """,
+    }
+)
+
+
+# graph-extension oracles: the degree-ordered triangle algorithm and
+# shared-neighbor Jaccard replayed step-for-step
+def _cosupplier_edges_sql(part_mod: "int | None" = None) -> str:
+    filt = (
+        f" AND x.l_partkey % {part_mod} = 0" if part_mod is not None else ""
+    )
+    return f"""
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_partkey = y.l_partkey
+       AND x.l_suppkey < y.l_suppkey{filt}
+    """
+
+
+_ALL_SQL.update(
+    {
+        "graph_triangles_suppliers": f"""
+            WITH edges AS ({_cosupplier_edges_sql()}),
+            deg AS (SELECT v, COUNT(*) AS d
+                    FROM (SELECT a AS v FROM edges
+                          UNION ALL SELECT b AS v FROM edges)
+                    GROUP BY 1),
+            e AS (SELECT CASE WHEN da.d <= db.d THEN a ELSE b END AS u,
+                         CASE WHEN da.d <= db.d THEN b ELSE a END AS w,
+                         CASE WHEN da.d <= db.d THEN db.d ELSE da.d END
+                           AS dw
+                  FROM edges
+                  JOIN deg da ON a = da.v
+                  JOIN deg db ON b = db.v),
+            wedge AS (SELECT x.w AS w1, y.w AS w2
+                      FROM e x JOIN e y
+                        ON x.u = y.u
+                       AND (x.dw < y.dw
+                            OR (x.dw = y.dw AND x.w < y.w))),
+            tri AS (SELECT COUNT(*) AS t
+                    FROM wedge JOIN e
+                      ON e.u = wedge.w1 AND e.w = wedge.w2),
+            nn AS (SELECT COUNT(*) AS n_nodes,
+                          CAST(SUM(d * (d - 1) / 2) AS BIGINT)
+                            AS n_wedges
+                   FROM deg),
+            ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   n_wedges,
+                   CAST(t AS BIGINT) AS n_triangles,
+                   ROUND(CASE WHEN n_wedges > 0
+                         THEN CAST(3 AS DOUBLE) * t / n_wedges END, 6)
+                     AS transitivity
+            FROM nn, ne, tri
+        """,
+        "graph_degree_distribution": f"""
+            WITH edges AS ({_cosupplier_edges_sql()}),
+            deg AS (SELECT v, COUNT(*) AS d
+                    FROM (SELECT a AS v FROM edges
+                          UNION ALL SELECT b AS v FROM edges)
+                    GROUP BY 1)
+            SELECT CAST(d AS BIGINT) AS degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY 1
+        """,
+        "graph_neighborhood_jaccard": f"""
+            WITH edges AS ({_cosupplier_edges_sql(part_mod=3)}),
+            adj AS (SELECT a AS v, b AS n FROM edges
+                    UNION ALL SELECT b AS v, a AS n FROM edges),
+            deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
+            com AS (SELECT p.node AS node_a, q.node AS node_b,
+                           COUNT(*) AS common
+                    FROM (SELECT n AS via, v AS node FROM adj) p
+                    JOIN (SELECT n AS via, v AS node FROM adj) q
+                      ON p.via = q.via AND p.node < q.node
+                    GROUP BY 1, 2),
+            sim AS (SELECT node_a, node_b,
+                           CAST(common AS BIGINT) AS common,
+                           CAST(da.d AS BIGINT) AS degree_a,
+                           CAST(db.d AS BIGINT) AS degree_b,
+                           ROUND(CAST(common AS DOUBLE)
+                                 / (da.d + db.d - common), 6) AS jaccard
+                    FROM com
+                    JOIN deg da ON node_a = da.v
+                    JOIN deg db ON node_b = db.v)
+            SELECT * FROM sim WHERE jaccard >= 0.25
         """,
     }
 )

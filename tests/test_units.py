@@ -1289,3 +1289,45 @@ def test_pagerank_tol_early_stop_matches_full_run(spark):
         asym, iterations=3, weight_col="w", checkpoint_every=3
     ).collect()}
     assert one_checkpoint == three_iters
+
+
+def test_triangle_census_known_graph(spark):
+    # K4 plus a pendant: 4 triangles, 7 edges? K4 has 6 edges + 1
+    # pendant = 7; wedges: K4 nodes deg 3 (pendant host deg 4) ->
+    # 3*C(3,2) + C(4,2) + pendant C(1,2)=0 -> 3*3 + 6 = 15
+    from metadata_etl_framework_spark.ops.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (2, 1)],  # duplicate reversed edge must collapse
+        ["src", "dst"],
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 15
+    assert row["transitivity"] == round(12 / 15, 6)
+
+
+def test_degree_distribution_and_jaccard_known_graph(spark):
+    from metadata_etl_framework_spark.ops.graph import (
+        degree_distribution,
+        neighborhood_jaccard,
+    )
+
+    # path 1-2-3 plus 1-4, 3-4: N(1)={2,4}, N(3)={2,4} -> jaccard 1.0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], ["src", "dst"]
+    )
+    dist = {r["degree"]: r["n_nodes"] for r in
+            degree_distribution(edges).collect()}
+    assert dist == {2: 4}
+    sims = {(r["node_a"], r["node_b"]): r["jaccard"]
+            for r in neighborhood_jaccard(edges).collect()}
+    assert sims[(1, 3)] == 1.0
+    assert sims[(2, 4)] == 1.0
+
+    # hub cap: dropping degree-2 middles kills every candidate pair
+    capped = neighborhood_jaccard(edges, max_degree=1)
+    assert capped.count() == 0
