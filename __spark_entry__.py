@@ -4565,6 +4565,34 @@ def _sketch_countmin_orders(spark, sf_dir):
     return countmin_query(cm, keys, "k", depth=3, width=256)
 
 
+def _sketch_hll_rollup_events(spark, sf_dir):
+    """Per-hour HLL register tables (ops/sketch.py::
+    windowed_hll_rollup) over events.user_id — the mergeable
+    distinct-count rollup a hypertable stores: <= 64 rows per bucket,
+    max is associative so hour tables roll up to any range."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        windowed_hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_hll_rollup(ev, "ts", "user_id", "1 hour", m=64)
+
+
+def _sketch_hll_range_estimate_events(spark, sf_dir):
+    """Range distinct-count from the materialized rollup
+    (ops/sketch.py::hll_rollup_estimate): merge registers across the
+    bucket range (groupBy.max — never re-reads raw events), then the
+    harmonic/linear-counting estimator."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        hll_rollup_estimate,
+        windowed_hll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rollup = windowed_hll_rollup(ev, "ts", "user_id", "1 hour", m=64)
+    return hll_rollup_estimate(rollup, m=64)
+
+
 def _retrieval_run_qrels(spark, sf_dir):
     # deterministic run/qrels over documents: query = lang; candidates
     # are the doc_id % 3 slice scored by a tie-heavy sawtooth (exercises
@@ -4908,6 +4936,8 @@ _EXTRA_KEYS = [
     "graph_triangles_suppliers",
     "graph_degree_distribution",
     "graph_neighborhood_jaccard",
+    "sketch_hll_rollup_events",
+    "sketch_hll_range_estimate_events",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5188,6 +5218,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles_suppliers": _graph_triangles_suppliers,
     "graph_degree_distribution": _graph_degree_distribution,
     "graph_neighborhood_jaccard": _graph_neighborhood_jaccard,
+    "sketch_hll_rollup_events": _sketch_hll_rollup_events,
+    "sketch_hll_range_estimate_events": _sketch_hll_range_estimate_events,
 }
 
 
@@ -9943,6 +9975,48 @@ _ALL_SQL.update(
             SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
             FROM probes LEFT JOIN cm USING (row, bucket)
             GROUP BY key
+        """,
+    }
+)
+
+
+# windowed-HLL-rollup oracles: the same register arithmetic keyed by
+# DATE_TRUNC hour buckets (Spark's window('1 hour').start), and the
+# range estimate replaying the two-level max merge
+_HLL_ROLLUP_SQL = f"""
+  WITH {_hash32_cte_sql(
+      "SELECT user_id AS x, DATE_TRUNC('hour', ts) AS bucket_start "
+      "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL")}
+  SELECT bucket_start, CAST(h % 64 AS INTEGER) AS register,
+         CAST(MAX(CASE WHEN (h >> 6) > 0
+                  THEN bit_count(((h >> 6) & -(h >> 6)) - 1) + 1
+                  ELSE 27 END) AS INTEGER) AS max_rank
+  FROM hh GROUP BY 1, 2
+"""
+
+_ALL_SQL.update(
+    {
+        "sketch_hll_rollup_events": _HLL_ROLLUP_SQL,
+        "sketch_hll_range_estimate_events": f"""
+            WITH ru AS ({_HLL_ROLLUP_SQL}),
+            regs AS (SELECT register, MAX(max_rank) AS max_rank
+                     FROM ru GROUP BY 1),
+            s AS (SELECT COUNT(*) AS observed,
+                         SUM(POWER(0.5, max_rank)) AS hsum
+                  FROM regs),
+            e AS (SELECT observed, 64 - observed AS v,
+                         CAST(0.709 AS DOUBLE) * 64 * 64
+                           / (hsum + (64 - observed)) AS e_raw
+                  FROM s)
+            SELECT 64 AS m,
+                   CAST(observed AS BIGINT) AS observed,
+                   CAST(v AS BIGINT) AS v_zero,
+                   CASE WHEN e_raw <= 160.0 AND v > 0
+                        THEN 'linear' ELSE 'raw' END AS regime,
+                   ROUND(CASE WHEN e_raw <= 160.0 AND v > 0
+                         THEN 64.0 * LN(CAST(64 AS DOUBLE) / v)
+                         ELSE e_raw END, 4) AS estimate
+            FROM e
         """,
     }
 )

@@ -302,3 +302,69 @@ def countmin_query(
     return joined.groupBy("key").agg(
         F.min("cnt").cast("long").alias("est_count")
     )
+
+
+def windowed_hll_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket: str = "1 hour",
+    m: int = 64,
+) -> DataFrame:
+    """Materialized distinct-count sketch rollup: one HLL register
+    table PER TIME BUCKET — the hypertable answer to "distinct users
+    per hour, and across any hour range" that ops/rollup.py's
+    count/sum rollups cannot give (distinct does not sum).
+
+    One groupBy((bucket, register)).max over the row scan; the
+    materialized table is ≤ m rows per bucket regardless of input
+    size. Range queries merge registers across the pruned bucket
+    range (:func:`hll_rollup_estimate`) — max is associative, so any
+    partial (hour → day → month) rollup of this table is also valid.
+
+    Output: (bucket_start timestamp, register int, max_rank int).
+    """
+    b = _check_m(m)
+    h = hash32(F.col(key_col))
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.window(ts_col, bucket).start.alias("bucket_start"),
+             h.alias("__h"))
+    w = F.shiftright(F.col("__h"), b)
+    rho = F.when(w > 0, F.bit_count((w.bitwiseAND(-w)) - 1) + 1).otherwise(
+        F.lit(33 - b)
+    )
+    return (
+        base.select(
+            "bucket_start",
+            (F.col("__h") % m).cast("int").alias("register"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy("bucket_start", "register")
+        .agg(F.max("__rho").alias("max_rank"))
+    )
+
+
+def hll_rollup_estimate(
+    rollup: DataFrame,
+    m: int = 64,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Distinct-count estimate over a bucket range of a
+    :func:`windowed_hll_rollup` table: prune buckets (a filter on the
+    materialized table's partition column — never re-reads raw data),
+    merge registers (groupBy(register).max), estimate. ``start`` is
+    inclusive, ``end`` exclusive; both optional.
+
+    Output: 1 row — (m, observed, v_zero, regime, estimate 4dp).
+    """
+    f = rollup
+    if start is not None:
+        f = f.where(F.col("bucket_start") >= F.lit(start))
+    if end is not None:
+        f = f.where(F.col("bucket_start") < F.lit(end))
+    merged = f.groupBy("register").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+    return hll_estimate(merged, m=m)

@@ -123,3 +123,41 @@ def test_countmin_query_missing_key_zero_or_collision(spark):
     probe = df.sparkSession.range(1).select(F.lit(1).alias("k"))
     est = countmin_query(cm, probe, "k", depth=3, width=256).collect()[0]
     assert est["est_count"] >= 0
+
+
+def test_windowed_rollup_merges_to_global(spark):
+    from datetime import datetime
+
+    from metadata_etl_framework_spark.ops.sketch import (
+        hll_rollup_estimate,
+        windowed_hll_rollup,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 700).alias("uid"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-01-01 "),
+                F.lpad((F.col("id") % 24).cast("string"), 2, "0"),
+            ),
+            "yyyy-MM-dd HH",
+        ).alias("ts"),
+    )
+    # the rollup covers hours 00..23 of one day
+    rollup = windowed_hll_rollup(df, "ts", "uid", "1 hour", m=64)
+    merged = (
+        rollup.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+    )
+    direct = hll_registers(df, "uid", m=64)
+    pd.testing.assert_frame_equal(_norm(direct), _norm(merged))
+
+    # range estimate over a half-day prefix equals registers built
+    # directly on the time-filtered rows
+    cut = datetime(2024, 1, 1, 12)
+    est_range = hll_rollup_estimate(rollup, m=64, end=cut).collect()[0]
+    direct_cut = hll_estimate(
+        hll_registers(df.where(F.col("ts") < F.lit(cut)), "uid", m=64),
+        m=64,
+    ).collect()[0]
+    assert est_range["estimate"] == direct_cut["estimate"]
+    assert est_range["observed"] == direct_cut["observed"]
