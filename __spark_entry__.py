@@ -4565,6 +4565,38 @@ def _sketch_countmin_orders(spark, sf_dir):
     return countmin_query(cm, keys, "k", depth=3, width=256)
 
 
+def _eval_retrieval_bm25(spark, sf_dir):
+    """END-TO-END retrieval audit: the real bm25_join operator's top-5
+    per query scored by retrieval_metrics against deterministic graded
+    judgments — the composition that tells a curation pipeline whether
+    its keyword retrieval actually surfaces the judged-relevant
+    documents; BOTH stages replayed in one SQL oracle."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        retrieval_metrics,
+    )
+    from metadata_etl_framework_spark.ops.text import bm25_join
+
+    d = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, terms array<string>"
+    )
+    run = bm25_join(d, queries, k=5).select(
+        F.col("query_id").alias("query"),
+        F.col("doc_id").alias("doc"),
+        F.col("score"),
+    )
+    qrels = (
+        queries.select(F.col("query_id").alias("query"))
+        .crossJoin(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                F.col("doc_id").alias("doc"),
+                (1 + F.col("doc_id") % 3).cast("int").alias("rel"),
+            )
+        )
+    )
+    return retrieval_metrics(run, qrels, k=5)
+
+
 def _sketch_hll_rollup_events(spark, sf_dir):
     """Per-hour HLL register tables (ops/sketch.py::
     windowed_hll_rollup) over events.user_id — the mergeable
@@ -4938,6 +4970,7 @@ _EXTRA_KEYS = [
     "graph_neighborhood_jaccard",
     "sketch_hll_rollup_events",
     "sketch_hll_range_estimate_events",
+    "eval_retrieval_bm25",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5220,6 +5253,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_neighborhood_jaccard": _graph_neighborhood_jaccard,
     "sketch_hll_rollup_events": _sketch_hll_rollup_events,
     "sketch_hll_range_estimate_events": _sketch_hll_range_estimate_events,
+    "eval_retrieval_bm25": _eval_retrieval_bm25,
 }
 
 
@@ -9809,18 +9843,19 @@ _ALL_SQL.update(
 
 # retrieval-eval oracles: full TREC arithmetic replay — rank window with
 # the doc-ASC tie-break, cumulative-hit precision terms, graded
-# 2^rel−1 DCG against the ideal ranking of the judgments
-_RETRIEVAL_PER_QUERY_SQL = """
+# 2^rel−1 DCG against the ideal ranking of the judgments. The builder
+# takes any (query, doc, score) run and (query, doc, rel) qrels SQL so
+# the same replay scores both the synthetic run and real operator
+# output (the BM25 join below).
+def _retrieval_sql(run_sql: str, qrels_sql: str, k: int) -> str:
+    return f"""
   WITH run AS (
-    SELECT lang AS query, doc_id AS doc,
-           CAST((doc_id * 7) % 101 AS DOUBLE) AS score
-    FROM documents
-    WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 3 = 0),
+    SELECT * FROM ({run_sql})
+    WHERE query IS NOT NULL AND doc IS NOT NULL AND score IS NOT NULL),
   qr AS (
-    SELECT lang AS query, doc_id AS doc,
-           CAST(1 + doc_id % 3 AS INTEGER) AS rel
-    FROM documents
-    WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 4 = 0),
+    SELECT query, doc, CAST(rel AS INTEGER) AS rel FROM ({qrels_sql})
+    WHERE query IS NOT NULL AND doc IS NOT NULL
+      AND COALESCE(rel, 0) > 0),
   ranked AS (
     SELECT query, doc,
            ROW_NUMBER() OVER (PARTITION BY query
@@ -9831,7 +9866,7 @@ _RETRIEVAL_PER_QUERY_SQL = """
            CASE WHEN COALESCE(q.rel, 0) > 0 THEN 1 ELSE 0 END AS hit
     FROM ranked r
     LEFT JOIN qr q ON r.query = q.query AND r.doc = q.doc
-    WHERE r.rank <= 10),
+    WHERE r.rank <= {k}),
   cum AS (
     SELECT *, SUM(hit) OVER (PARTITION BY query ORDER BY rank
                              ROWS BETWEEN UNBOUNDED PRECEDING
@@ -9848,7 +9883,7 @@ _RETRIEVAL_PER_QUERY_SQL = """
     FROM cum GROUP BY query),
   ideal AS (
     SELECT query, CAST(COUNT(*) AS BIGINT) AS n_rel,
-           SUM(CASE WHEN irank <= 10
+           SUM(CASE WHEN irank <= {k}
                     THEN (POWER(2.0, rel) - 1) / LOG2(irank + 1)
                END) AS idcg
     FROM (SELECT query, rel,
@@ -9857,20 +9892,44 @@ _RETRIEVAL_PER_QUERY_SQL = """
           FROM qr) t
     GROUP BY query)
   SELECT p.query, p.n_ranked, COALESCE(i.n_rel, 0) AS n_rel, p.hits,
-         ROUND(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_k,
+         ROUND(CAST(p.hits AS DOUBLE) / {k}, 6) AS precision_k,
          ROUND(CASE WHEN i.n_rel > 0
                     THEN CAST(p.hits AS DOUBLE) / i.n_rel END, 6)
            AS recall_k,
          ROUND(COALESCE(rr0, 0.0), 6) AS rr,
          ROUND(CASE WHEN i.n_rel > 0
-                    THEN COALESCE(apnum, 0.0) / LEAST(i.n_rel, 10)
+                    THEN COALESCE(apnum, 0.0) / LEAST(i.n_rel, {k})
                END, 6) AS ap_k,
          ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg_k
   FROM pq p LEFT JOIN ideal i ON p.query = i.query
 """
 
+
+_RETRIEVAL_PER_QUERY_SQL = _retrieval_sql(
+    """SELECT lang AS query, doc_id AS doc,
+              CAST((doc_id * 7) % 101 AS DOUBLE) AS score
+       FROM documents
+       WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+         AND doc_id % 3 = 0""",
+    """SELECT lang AS query, doc_id AS doc, 1 + doc_id % 3 AS rel
+       FROM documents
+       WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+         AND doc_id % 4 = 0""",
+    10,
+)
+
 _ALL_SQL.update(
     {
+        "eval_retrieval_bm25": _retrieval_sql(
+            f"""SELECT query_id AS query, doc_id AS doc, score
+                FROM ({_bm25_join_sql()})""",
+            """SELECT v.query AS query, d.doc_id AS doc,
+                      1 + d.doc_id % 3 AS rel
+               FROM (VALUES ('q_stream'), ('q_join'), ('q_scan'))
+                    v(query), documents d
+               WHERE d.doc_id % 5 = 0 AND d.doc_id IS NOT NULL""",
+            5,
+        ),
         "eval_retrieval_docs": _RETRIEVAL_PER_QUERY_SQL,
         "eval_retrieval_summary_docs": f"""
             WITH per_query AS ({_RETRIEVAL_PER_QUERY_SQL})
