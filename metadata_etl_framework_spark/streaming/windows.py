@@ -432,3 +432,57 @@ def foreach_batch_versioned_write(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def foreach_batch_hll_rollup(
+    stream_df,
+    ts_col: str,
+    key_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    bucket: str = "1 hour",
+    m: int = 64,
+):
+    """Streaming incremental distinct-count rollup: every micro-batch
+    reduces to its windowed HLL register fragments
+    (ops/sketch.py::windowed_hll_rollup — ≤ m rows per touched
+    bucket) and APPENDS them to ``sketch_path``; readers merge
+    fragments at query time (:func:`read_hll_rollup`) and estimate
+    ranges with ops/sketch.py::hll_rollup_estimate.
+
+    The crash-replay story needs NO processed-batch log: the merge is
+    groupBy.MAX, which is idempotent, so a replayed batch re-appends
+    fragments that change nothing — the sink is effectively-once BY
+    ALGEBRA, unlike count/sum rollups which double-add on replay.
+    Per-batch work is one groupBy over the batch (tiny); the sketch
+    table grows by ≤ m rows per (batch, touched bucket) and compacts
+    to ≤ m rows per bucket on any rewrite of the merged view.
+    """
+    from metadata_etl_framework_spark.ops.sketch import (
+        windowed_hll_rollup,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        frag = windowed_hll_rollup(batch_df, ts_col, key_col, bucket, m)
+        frag.write.mode("append").parquet(sketch_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def read_hll_rollup(spark, sketch_path: str):
+    """Merged view of a :func:`foreach_batch_hll_rollup` sketch table:
+    fragments collapse with groupBy((bucket, register)).max into the
+    canonical ≤ m-rows-per-bucket rollup — the same shape
+    ops/sketch.py::windowed_hll_rollup produces in batch, so the two
+    pipelines share every downstream estimator."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("bucket_start", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )

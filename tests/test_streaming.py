@@ -506,3 +506,69 @@ def test_foreach_batch_score_monitor_alerts_and_batch_parity(spark_mod, tmp_path
     assert (bot.n_pos, bot.n_neg) == tuple(
         binary_auc(bad_df, "s", "y").first()[:2]
     )
+
+
+def test_foreach_batch_hll_rollup_batch_parity_and_replay(spark_mod, tmp_path):
+    """Round-10: streaming distinct-count sketch — fragments appended
+    per micro-batch merge to EXACTLY the batch-built rollup, and
+    re-appending a batch's fragments changes nothing (max-merge
+    idempotence = effectively-once without a processed log)."""
+    import pandas as pd
+
+    from metadata_etl_framework_spark.ops.sketch import (
+        hll_rollup_estimate,
+        windowed_hll_rollup,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_hll_rollup,
+        read_hll_rollup,
+        streaming_file_source,
+    )
+
+    spark = spark_mod
+    rows1 = [(i % 300, f"2024-03-01 0{i % 8}:15:00") for i in range(500)]
+    rows2 = [(i % 450 + 100, f"2024-03-01 0{i % 8}:45:00")
+             for i in range(400)]
+    src = str(tmp_path / "ev")
+    for chunk in (rows1, rows2):
+        df = spark.createDataFrame(chunk, "uid long, tss string").select(
+            "uid", F.to_timestamp("tss").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    sketch = str(tmp_path / "sketch")
+    stream = streaming_file_source(spark, src, schema,
+                                   max_files_per_trigger=1)
+    q = foreach_batch_hll_rollup(
+        stream, "ts", "uid", sketch, str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(120)
+
+    merged = read_hll_rollup(spark, sketch)
+    full = spark.read.parquet(src)
+    batch_rollup = windowed_hll_rollup(full, "ts", "uid", "1 hour", m=64)
+
+    def norm(df):
+        p = df.toPandas()
+        p["bucket_start"] = p["bucket_start"].astype("datetime64[us]")
+        p = p.reindex(sorted(p.columns), axis=1)
+        return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(merged), norm(batch_rollup))
+
+    # replay: append one batch's fragments AGAIN -> merged view unchanged
+    frag = windowed_hll_rollup(
+        spark.createDataFrame(rows1, "uid long, tss string").select(
+            "uid", F.to_timestamp("tss").alias("ts")
+        ),
+        "ts", "uid", "1 hour", m=64,
+    )
+    frag.write.mode("append").parquet(sketch)
+    pd.testing.assert_frame_equal(
+        norm(read_hll_rollup(spark, sketch)), norm(batch_rollup)
+    )
+
+    # and the estimator runs off the merged streaming view
+    est = hll_rollup_estimate(read_hll_rollup(spark, sketch), m=64)
+    assert est.collect()[0]["estimate"] > 0
