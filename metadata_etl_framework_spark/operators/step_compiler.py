@@ -474,8 +474,16 @@ class TransformEngine:
         (metric, value) frame — AUC / PR-AUC / ECE per config.metrics —
         for SLA-style ceilings; mode 'thresholds' returns the full
         operating-point table (precision/recall/F1 per distinct
-        score) for threshold selection."""
+        score) for threshold selection; mode 'multiclass' the per-class
+        classification_report table (config.prediction_column vs
+        label), mode 'multiclass_summary' its 1-row
+        accuracy/macro-F1/kappa roll-up, and mode 'regression' the
+        MAE/RMSE/MAPE/R² scorecard (score_column = prediction,
+        label_column = target)."""
         from metadata_etl_framework_spark.ops.evaluation import (
+            multiclass_metrics,
+            multiclass_summary,
+            regression_metrics,
             score_eval_suite,
             threshold_sweep,
         )
@@ -483,12 +491,38 @@ class TransformEngine:
         cfg = step.get("config", step)
         score = cfg.get("score_column")
         label = cfg.get("label_column")
+        mode = cfg.get("mode", "suite")
+        allowed_modes = {
+            "suite", "thresholds", "multiclass", "multiclass_summary",
+            "regression",
+        }
+        if mode not in allowed_modes:
+            # a typo'd mode must not silently fall back to 'suite'
+            raise ValueError(
+                f"unknown score_eval mode {mode!r}; "
+                f"expected one of {sorted(allowed_modes)}"
+            )
+        if mode in ("multiclass", "multiclass_summary"):
+            pred = cfg.get("prediction_column") or score
+            if not pred or not label:
+                raise ValueError(
+                    "score_eval multiclass modes need "
+                    "config.prediction_column and config.label_column"
+                )
+            fn = (
+                multiclass_metrics
+                if mode == "multiclass"
+                else multiclass_summary
+            )
+            return fn(data, label, pred)
         if not score or not label:
             raise ValueError(
                 "score_eval step needs config.score_column and "
                 "config.label_column"
             )
-        if cfg.get("mode", "suite") == "thresholds":
+        if mode == "regression":
+            return regression_metrics(data, score, label)
+        if mode == "thresholds":
             return threshold_sweep(data, score, label)
         # release=False: a pipeline step's result flows into further
         # steps/sinks and Catalyst column lineage, so keep the lazy

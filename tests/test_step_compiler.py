@@ -365,3 +365,49 @@ def test_score_eval_step_suite_and_thresholds(spark):
         _run(spark, {"d": scored},
              [{"type": "score_eval",
                "config": dict(cfg, metrics=["auc", "nope"])}])
+
+
+def test_score_eval_step_new_modes(spark):
+    """Round-10: multiclass / regression modes of the score_eval step,
+    plus the unknown-mode guard."""
+    cls = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+         ("c", "c")],
+        "label string, pred string",
+    )
+    per_class = {r["class"]: r for r in _run(
+        spark, {"d": cls},
+        [{"type": "score_eval",
+          "config": {"mode": "multiclass", "label_column": "label",
+                     "prediction_column": "pred"}}],
+    ).collect()}
+    assert per_class["a"].support == 3 and per_class["a"].tp == 2
+    assert per_class["a"].precision == round(2 / 3, 6)
+    assert per_class["c"].f1 == 1.0
+
+    summary = _run(
+        spark, {"d": cls},
+        [{"type": "score_eval",
+          "config": {"mode": "multiclass_summary", "label_column": "label",
+                     "prediction_column": "pred"}}],
+    ).collect()[0]
+    assert summary.n == 6 and summary.n_classes == 3
+    assert summary.accuracy == round(4 / 6, 6)
+
+    reg = spark.createDataFrame(
+        [(1.0, 1.5), (2.0, 2.0), (3.0, 2.5)], "yhat double, y double"
+    )
+    row = _run(
+        spark, {"d": reg},
+        [{"type": "score_eval",
+          "config": {"mode": "regression", "score_column": "yhat",
+                     "label_column": "y"}}],
+    ).collect()[0]
+    assert row.n == 3 and row.mae == round(1.0 / 3, 6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown score_eval mode"):
+        _run(spark, {"d": reg},
+             [{"type": "score_eval",
+               "config": {"mode": "bogus", "score_column": "yhat",
+                          "label_column": "y"}}])
