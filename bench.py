@@ -101,6 +101,14 @@ HEADLINE = [
     "eval_threshold_sweep_orders",
     "graph_pagerank_dangling",
     "embed_mahalanobis",
+    # round-10 second sweep: the degree-ordered triangle census (two
+    # wedge joins under timing), the two-stage BM25->TREC retrieval
+    # audit, the windowed HLL sketch rollup, and the fused-residual
+    # regression scorecard
+    "graph_triangles_suppliers",
+    "eval_retrieval_bm25",
+    "sketch_hll_rollup_events",
+    "eval_regression_orders",
 ]
 
 
