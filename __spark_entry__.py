@@ -4565,6 +4565,20 @@ def _sketch_countmin_orders(spark, sf_dir):
     return countmin_query(cm, keys, "k", depth=3, width=256)
 
 
+def _events_acf_hourly(spark, sf_dir):
+    """Autocorrelation function at hourly lags 1..6
+    (functions/aggregations.py::acf_table): per-hour decimal-exact
+    mean series, then ONE bounded-grid self-join yielding all lags and
+    the global-mean ACF estimator — the seasonality-vs-shift readout
+    for drift triage."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        acf_table,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return acf_table(ev, "ts", "value", bucket_seconds=3600, max_lag=6)
+
+
 def _eval_retrieval_bm25(spark, sf_dir):
     """END-TO-END retrieval audit: the real bm25_join operator's top-5
     per query scored by retrieval_metrics against deterministic graded
@@ -4971,6 +4985,7 @@ _EXTRA_KEYS = [
     "sketch_hll_rollup_events",
     "sketch_hll_range_estimate_events",
     "eval_retrieval_bm25",
+    "events_acf_hourly",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5254,6 +5269,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_rollup_events": _sketch_hll_rollup_events,
     "sketch_hll_range_estimate_events": _sketch_hll_range_estimate_events,
     "eval_retrieval_bm25": _eval_retrieval_bm25,
+    "events_acf_hourly": _events_acf_hourly,
 }
 
 
@@ -10034,6 +10050,35 @@ _ALL_SQL.update(
             SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
             FROM probes LEFT JOIN cm USING (row, bucket)
             GROUP BY key
+        """,
+    }
+)
+
+
+_ALL_SQL.update(
+    {
+        # ACF replay: identical hour-index series, global-mean
+        # estimator; double centered-products survive 6dp rounding
+        # (the F.corr precedent)
+        "events_acf_hourly": """
+            WITH series AS (
+              SELECT FLOOR(EPOCH(ts) / 3600) AS i,
+                     CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(*) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            stats AS (SELECT AVG(y) AS mu FROM series),
+            centered AS (SELECT i, y - mu AS c FROM series, stats),
+            den AS (SELECT SUM(c * c) AS dn FROM centered)
+            SELECT CAST(s2.i - s1.i AS INTEGER) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(CASE WHEN dn > 0
+                         THEN SUM(s1.c * s2.c) / dn END, 6) AS acf
+            FROM centered s1
+            JOIN centered s2
+              ON s2.i > s1.i AND s2.i <= s1.i + 6, den
+            GROUP BY 1, dn
         """,
     }
 )

@@ -1260,3 +1260,85 @@ def histogram2d(
         )
         .orderBy("x_bin", "y_bin")
     )
+
+
+def acf_table(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Autocorrelation function of a metric series at lags 1..max_lag —
+    the seasonality/persistence readout that tells a monitoring
+    pipeline whether a drift alert is "the usual daily cycle" or a
+    genuine shift (complements seasonal_profile's calendar means with
+    lag-domain structure).
+
+    The series is the per-bucket mean (DECIMAL-sum exact) indexed by
+    integer epoch//bucket_seconds, so the row-scale work is ONE
+    groupBy; everything after runs on the bounded bucket grid: a
+    single self-join producing all lags at once (1 <= Δidx <= max_lag)
+    and the classic estimator r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²
+    with the GLOBAL series mean/variance (the statsmodels convention,
+    not per-lag Pearson). Gaps in the series simply contribute no
+    pair at the lags they break (documented irregular-series
+    behavior).
+
+    Output: (lag, n_pairs, acf 6dp), one row per lag with >= 1 pair;
+    acf NULL when the series is constant (zero variance).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    x = F.col(value_col).cast("double")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .groupBy(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        )
+        .agg(
+            (
+                F.sum(x.cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+    )
+    stats = series.agg(
+        F.avg("y").alias("__mu"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    centered = series.crossJoin(F.broadcast(stats)).select(
+        "i", (F.col("y") - F.col("__mu")).alias("c"), "__mu"
+    )
+    den = centered.agg(F.sum(F.col("c") * F.col("c")).alias("__den"))
+    s1, s2 = centered.alias("s1"), centered.alias("s2")
+    pairs = s1.join(
+        s2,
+        (F.col("s2.i") > F.col("s1.i"))
+        & (F.col("s2.i") <= F.col("s1.i") + max_lag),
+    ).select(
+        (F.col("s2.i") - F.col("s1.i")).cast("int").alias("lag"),
+        (F.col("s1.c") * F.col("s2.c")).alias("prod"),
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("prod").alias("__num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.when(
+                    F.col("__den") > 0, F.col("__num") / F.col("__den")
+                ),
+                6,
+            ).alias("acf"),
+        )
+    )

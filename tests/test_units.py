@@ -1331,3 +1331,30 @@ def test_degree_distribution_and_jaccard_known_graph(spark):
     # hub cap: dropping degree-2 middles kills every candidate pair
     capped = neighborhood_jaccard(edges, max_degree=1)
     assert capped.count() == 0
+
+
+def test_acf_table_known_series(spark):
+    # strictly periodic series y = [1,0,1,0,...] over 8 hours:
+    # ACF(1) = -1 (scaled), ACF(2) = +1-ish on the finite estimator
+    from metadata_etl_framework_spark.functions.aggregations import (
+        acf_table,
+    )
+
+    rows = [(f"2024-01-01 0{h}:00:00", float(h % 2)) for h in range(8)]
+    df = spark.createDataFrame(rows, "tss string, value double").select(
+        F.to_timestamp("tss").alias("ts"), "value"
+    )
+    out = {r["lag"]: r for r in
+           acf_table(df, "ts", "value", 3600, max_lag=3).collect()}
+    # mean .5, den = 8*.25 = 2; lag1: 7 pairs each prod -.25 -> -.875
+    assert out[1]["n_pairs"] == 7 and out[1]["acf"] == -0.875
+    # lag2: 6 pairs each +.25 -> +.75
+    assert out[2]["n_pairs"] == 6 and out[2]["acf"] == 0.75
+    assert out[3]["n_pairs"] == 5 and out[3]["acf"] == -0.625
+
+    # constant series -> zero variance -> NULL acf
+    const = spark.createDataFrame(rows, "tss string, value double").select(
+        F.to_timestamp("tss").alias("ts"), F.lit(2.0).alias("value")
+    )
+    vals = acf_table(const, "ts", "value", 3600, max_lag=2).collect()
+    assert vals and all(r["acf"] is None for r in vals)
