@@ -1018,3 +1018,108 @@ def retrieval_summary(per_query: DataFrame) -> DataFrame:
         F.round(F.avg("ap_k"), 6).alias("map_k"),
         F.round(F.avg("ndcg_k"), 6).alias("mean_ndcg_k"),
     )
+
+
+def isotonic_calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against a binary label:
+    the monotone-nondecreasing step function closest (L2) to the
+    empirical positive rates — the standard non-parametric calibrator
+    that :func:`calibration_bins`/ECE diagnose the need for.
+
+    Scale shape: the row-scale work is ONE groupBy(score) to the
+    distinct-score grid; pool-adjacent-violators then runs DRIVER-SIDE
+    over that grid under an explicit ``max_distinct`` gate (the
+    BPE-finish / union-find convention for sequential finishes: raise
+    past the gate and tell the caller to pre-quantize, e.g. round the
+    score or bucket by calibration_bins edges). Pool comparisons use
+    integer cross-multiplication (pos_a·n_b > pos_b·n_a) — EXACT, no
+    float ordering anywhere; only the final published probability
+    divides.
+
+    Output: (score double, n long, pos long, p_cal 6dp double), one
+    row per distinct score, p_cal non-decreasing in score. NULL
+    scores/labels excluded. NOT SQL-replayable (data-dependent
+    pooling loop) — verified by the PAV reimplementation pin in
+    tests/test_units.py.
+    """
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    grid_df = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    n_distinct = grid_df.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"{n_distinct} distinct scores exceed the driver gate "
+            f"({max_distinct}); pre-quantize the score (round, or bucket "
+            "by calibration_bins edges) before isotonic calibration"
+        )
+    grid = sorted(
+        ((r["s"], int(r["n"]), int(r["pos"])) for r in grid_df.collect()),
+        key=lambda t: t[0],
+    )
+    # weighted PAV: each block is [row_count, pos_count, member_count]
+    blocks: "list[list[int]]" = []
+    members: "list[list[tuple[float, int, int]]]" = []
+    for s, n, pos in grid:
+        blocks.append([n, pos])
+        members.append([(s, n, pos)])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, p2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            members[-2].extend(members.pop())
+    rows = []
+    for (bn, bp), mem in zip(blocks, members):
+        p_cal = round(bp / bn, 6)
+        for s, n, pos in mem:
+            rows.append((float(s), n, pos, p_cal))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        sorted(rows), "score double, n long, pos long, p_cal double"
+    )
+
+
+def isotonic_apply(
+    df: DataFrame,
+    table: DataFrame,
+    score_col: str,
+    out_col: str = "p_cal",
+) -> DataFrame:
+    """Apply an :func:`isotonic_calibration_table` step function to a
+    (possibly new) scored frame: each row gets the calibrated
+    probability of the GREATEST table score <= its score (piecewise-
+    constant-left, the standard isotonic extension); scores below the
+    table minimum clamp to the first step.
+
+    The table is O(distinct training scores) — broadcast; the mapping
+    is a broadcast range join Catalyst plans as BroadcastNestedLoop
+    ONLY on the tiny side, with the big side streaming (same shape as
+    the binned range join family).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("score")
+    steps = table.select(
+        F.col("score").alias("__lo"),
+        F.lead("score").over(w).alias("__hi"),
+        F.col("p_cal").alias(out_col),
+        F.row_number().over(w).alias("__rn"),
+    )
+    s = F.col(score_col).cast("double")
+    cond = (
+        (s >= F.col("__lo")) | (F.col("__rn") == 1)
+    ) & (F.col("__hi").isNull() | (s < F.col("__hi")))
+    joined = df.join(F.broadcast(steps), cond, "left")
+    return joined.drop("__lo", "__hi", "__rn")

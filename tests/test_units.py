@@ -1358,3 +1358,99 @@ def test_acf_table_known_series(spark):
     )
     vals = acf_table(const, "ts", "value", 3600, max_lag=2).collect()
     assert vals and all(r["acf"] is None for r in vals)
+
+
+def _pav_reference(grid):
+    # independent textbook PAV over (score-sorted) [(n, pos)] using
+    # Fractions — the oracle for the integer-cross-multiplication pool
+    from fractions import Fraction
+
+    vals = [Fraction(pos, n) for n, pos in grid]
+    wts = [Fraction(n) for n, _ in grid]
+    blocks = [[w, w * v, [i]] for i, (w, v) in enumerate(zip(wts, vals))]
+    out = blocks[:1]
+    for b in blocks[1:]:
+        out.append(b)
+        while len(out) >= 2 and out[-2][1] / out[-2][0] > out[-1][1] / out[-1][0]:
+            w2, s2, idx = out.pop()
+            out[-1][0] += w2
+            out[-1][1] += s2
+            out[-1][2].extend(idx)
+    res = [None] * len(grid)
+    for w, sw, idx in out:
+        for i in idx:
+            res[i] = float(sw / w)
+    return res
+
+
+def test_isotonic_calibration_matches_reference_pav(spark):
+    from metadata_etl_framework_spark.ops.evaluation import (
+        isotonic_calibration_table,
+    )
+
+    # deterministic non-monotone positive rates to force pooling
+    rows = []
+    for i in range(60):
+        s = (i * 17) % 30 / 30.0
+        rows.append((s, 1 if (i * 13) % 7 < 3 else 0))
+    df = spark.createDataFrame(rows, "s double, y int")
+    table = isotonic_calibration_table(df, "s", "y").collect()
+    # monotone non-decreasing in score
+    ordered = sorted(table, key=lambda r: r["score"])
+    assert all(
+        a["p_cal"] <= b["p_cal"] for a, b in zip(ordered, ordered[1:])
+    )
+    # matches the fraction-exact textbook PAV
+    import collections
+
+    agg = collections.OrderedDict()
+    for s, y in sorted(rows):
+        n, p = agg.get(s, (0, 0))
+        agg[s] = (n + 1, p + y)
+    grid = [agg[k] for k in sorted(agg)]
+    ref = _pav_reference(grid)
+    for r, exp in zip(ordered, ref):
+        assert r["p_cal"] == round(exp, 6)
+    # mass preserved: weighted mean of p_cal == overall positive rate
+    tot_n = sum(n for n, _ in grid)
+    tot_p = sum(p for _, p in grid)
+    approx = sum(r["p_cal"] * r["n"] for r in ordered) / tot_n
+    assert abs(approx - tot_p / tot_n) < 1e-4
+
+
+def test_isotonic_apply_step_function(spark):
+    from metadata_etl_framework_spark.ops.evaluation import (
+        isotonic_apply,
+        isotonic_calibration_table,
+    )
+
+    train = spark.createDataFrame(
+        [(0.1, 0), (0.1, 0), (0.5, 1), (0.5, 0), (0.9, 1), (0.9, 1)],
+        "s double, y int",
+    )
+    table = isotonic_calibration_table(train, "s", "y")
+    new = spark.createDataFrame(
+        [(0.05,), (0.1,), (0.3,), (0.5,), (0.7,), (0.95,)], "s double"
+    )
+    got = {r["s"]: r["p_cal"] for r in
+           isotonic_apply(new, table, "s").collect()}
+    assert got[0.05] == 0.0   # clamp below min
+    assert got[0.1] == 0.0
+    assert got[0.3] == 0.0    # piecewise-constant-left
+    assert got[0.5] == 0.5
+    assert got[0.7] == 0.5
+    assert got[0.95] == 1.0
+
+
+def test_isotonic_gate_raises_past_max_distinct(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.evaluation import (
+        isotonic_calibration_table,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") / 100.0).alias("s"), (F.col("id") % 2).alias("y")
+    )
+    with _pt.raises(ValueError, match="distinct scores exceed"):
+        isotonic_calibration_table(df, "s", "y", max_distinct=50)
