@@ -4639,6 +4639,32 @@ def _sketch_hll_range_estimate_events(spark, sf_dir):
     return hll_rollup_estimate(rollup, m=64)
 
 
+def _sketch_histogram_lineitem(spark, sf_dir):
+    """Mergeable quantile histogram (ops/sketch.py::histogram_sketch):
+    fixed pre-agreed edges over l_extendedprice, 64 bins + NULL bin —
+    the third sketch-store axis (distinct/frequency/QUANTILES), merge
+    = groupBy.sum."""
+    from metadata_etl_framework_spark.ops.sketch import histogram_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_sketch(li, "l_extendedprice", 0.0, 120000.0, 64)
+
+
+def _sketch_quantiles_lineitem(spark, sf_dir):
+    """Quantiles off the histogram sketch's bin CDF (ops/sketch.py::
+    quantile_from_histogram): bounded-grid cumulative window, ±half-
+    bin error bracket — the binned-arm contract of the drift suite
+    applied to quantile serving."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        histogram_sketch,
+        quantile_from_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    h = histogram_sketch(li, "l_extendedprice", 0.0, 120000.0, 64)
+    return quantile_from_histogram(h, (0.25, 0.5, 0.9, 0.99))
+
+
 def _retrieval_run_qrels(spark, sf_dir):
     # deterministic run/qrels over documents: query = lang; candidates
     # are the doc_id % 3 slice scored by a tie-heavy sawtooth (exercises
@@ -4986,6 +5012,8 @@ _EXTRA_KEYS = [
     "sketch_hll_range_estimate_events",
     "eval_retrieval_bm25",
     "events_acf_hourly",
+    "sketch_histogram_lineitem",
+    "sketch_quantiles_lineitem",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5270,6 +5298,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_range_estimate_events": _sketch_hll_range_estimate_events,
     "eval_retrieval_bm25": _eval_retrieval_bm25,
     "events_acf_hourly": _events_acf_hourly,
+    "sketch_histogram_lineitem": _sketch_histogram_lineitem,
+    "sketch_quantiles_lineitem": _sketch_quantiles_lineitem,
 }
 
 
@@ -10079,6 +10109,56 @@ _ALL_SQL.update(
             JOIN centered s2
               ON s2.i > s1.i AND s2.i <= s1.i + 6, den
             GROUP BY 1, dn
+        """,
+    }
+)
+
+
+# histogram-sketch oracles: fixed-edge binning (width 1875 exact in
+# double) and the bin-CDF quantile read-off with its half-bin bracket
+_HIST_SKETCH_SQL = """
+  SELECT bin,
+         CASE WHEN bin >= 0 THEN 0.0 + bin * 1875.0 END AS bin_lo,
+         CASE WHEN bin >= 0 THEN 0.0 + (bin + 1) * 1875.0 END AS bin_hi,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT CASE WHEN l_extendedprice IS NULL THEN -1
+               ELSE LEAST(63, GREATEST(0, CAST(FLOOR(
+                      (CAST(l_extendedprice AS DOUBLE) - 0.0) / 1875.0)
+                    AS INTEGER))) END AS bin
+        FROM lineitem)
+  GROUP BY bin
+"""
+
+
+def _hist_quantile_arm_sql(q: str) -> str:
+    # parenthesized so ORDER BY/LIMIT bind per-arm inside the UNION ALL
+    return f"""
+      (SELECT CAST({q} AS DOUBLE) AS q, CAST(n AS BIGINT) AS n, bin,
+              bin_lo, bin_hi,
+              ROUND((bin_lo + bin_hi) / 2, 6) AS estimate,
+              ROUND((bin_hi - bin_lo) / 2, 6) AS err_bound
+       FROM cum, tot
+       WHERE c >= CEIL(CAST({q} AS DOUBLE) * n)
+       ORDER BY bin LIMIT 1)
+    """
+
+
+_ALL_SQL.update(
+    {
+        "sketch_histogram_lineitem": _HIST_SKETCH_SQL,
+        "sketch_quantiles_lineitem": f"""
+            WITH h AS ({_HIST_SKETCH_SQL}),
+            v AS (SELECT * FROM h WHERE bin >= 0),
+            cum AS (SELECT bin, bin_lo, bin_hi, cnt,
+                           SUM(cnt) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c
+                    FROM v),
+            tot AS (SELECT SUM(cnt) AS n FROM v)
+            {_hist_quantile_arm_sql("0.25")}
+            UNION ALL {_hist_quantile_arm_sql("0.5")}
+            UNION ALL {_hist_quantile_arm_sql("0.9")}
+            UNION ALL {_hist_quantile_arm_sql("0.99")}
         """,
     }
 )

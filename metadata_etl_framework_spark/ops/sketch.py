@@ -368,3 +368,132 @@ def hll_rollup_estimate(
         F.max("max_rank").alias("max_rank")
     )
     return hll_estimate(merged, m=m)
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable quantile sketch as a fixed-edge histogram: counts per
+    bin over [lo, hi] (values outside clamp into the edge bins, the
+    calibration_bins convention) — completing the sketch store's
+    third axis: distinct (HLL/KMV), frequency (count–min), QUANTILES
+    (this). Merge across partitions/days = groupBy(bin).sum
+    (:func:`histogram_sketch_merge`); any quantile then reads off the
+    bin CDF with a provable ±bin-width error bracket
+    (:func:`quantile_from_histogram`) — the same error-bracket
+    contract as the drift suite's binned KS/EMD arms.
+
+    Fixed PRE-AGREED edges are what make sketches from different
+    days/engines mergeable (data-dependent edges would not be); pick
+    lo/hi from a profile pass. One groupBy; ≤ n_bins+1 rows of state
+    (NULL-value count rides along as bin = -1).
+
+    Output: (bin int, bin_lo double, bin_hi double, cnt long).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    width = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    bin_ = F.when(x.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+    )
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            F.when(
+                F.col("bin") >= 0, F.lit(lo) + F.col("bin") * F.lit(width)
+            ).alias("bin_lo"),
+            F.when(
+                F.col("bin") >= 0,
+                F.lit(lo) + (F.col("bin") + 1) * F.lit(width),
+            ).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+def histogram_sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine histogram sketches built with the SAME edges:
+    union → groupBy(bin).sum — plain counter addition."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(
+        F.max("bin_lo").alias("bin_lo"),
+        F.max("bin_hi").alias("bin_hi"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def quantile_from_histogram(
+    sketch: DataFrame, quantiles: "tuple[float, ...]" = (0.5,)
+) -> DataFrame:
+    """Quantile estimates off a histogram sketch's bin CDF: for each
+    requested q, the first bin whose inclusive cumulative count
+    reaches ⌈q·n⌉ (the QUANTILE_DISC convention on bins); the true
+    value provably lies inside the reported [bin_lo, bin_hi], so the
+    linearly-interpolated estimate carries a ±bin-width/2 bracket.
+    NULL-count rows (bin = -1) are excluded from n.
+
+    Post-scan work only: the cumulative window runs over the bounded
+    ≤ n_bins grid. Output: (q, n, bin, bin_lo, bin_hi, estimate,
+    err_bound) — one row per quantile.
+    """
+    from pyspark.sql import Window
+
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile out of (0,1]: {q}")
+    vals = sketch.where(F.col("bin") >= 0)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "bin", "bin_lo", "bin_hi", "cnt", F.sum("cnt").over(w).alias("__c")
+    )
+    tot = vals.agg(F.sum("cnt").alias("__n"))
+    parts = []
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("__n"))
+        hit = (
+            cum.crossJoin(F.broadcast(tot))
+            .where(F.col("__c") >= target)
+            .orderBy("bin")
+            .limit(1)
+        )
+        parts.append(
+            hit.select(
+                F.lit(float(q)).alias("q"),
+                F.col("__n").cast("long").alias("n"),
+                "bin",
+                "bin_lo",
+                "bin_hi",
+                F.round(
+                    (F.col("bin_lo") + F.col("bin_hi")) / 2, 6
+                ).alias("estimate"),
+                F.round((F.col("bin_hi") - F.col("bin_lo")) / 2, 6).alias(
+                    "err_bound"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -161,3 +161,39 @@ def test_windowed_rollup_merges_to_global(spark):
     ).collect()[0]
     assert est_range["estimate"] == direct_cut["estimate"]
     assert est_range["observed"] == direct_cut["observed"]
+
+
+def test_histogram_sketch_merge_and_bracket(spark):
+    from metadata_etl_framework_spark.ops.sketch import (
+        histogram_sketch,
+        histogram_sketch_merge,
+        quantile_from_histogram,
+    )
+
+    df = spark.range(10000).select((F.col("id") % 1000).cast(
+        "double").alias("x"))
+    whole = histogram_sketch(df, "x", 0.0, 1000.0, 50)
+    s1 = histogram_sketch(df.where(F.col("x") < 400), "x", 0.0, 1000.0, 50)
+    s2 = histogram_sketch(df.where(F.col("x") >= 400), "x", 0.0, 1000.0, 50)
+    merged = histogram_sketch_merge(s1, s2)
+    pd.testing.assert_frame_equal(_norm(whole), _norm(merged))
+
+    # uniform 0..999: true median 500 (QUANTILE_DISC); the bracket
+    # must contain it and the bound is half a bin (10)
+    q = {r["q"]: r for r in
+         quantile_from_histogram(whole, (0.5, 0.99)).collect()}
+    med = q[0.5]
+    assert med["err_bound"] == 10.0
+    assert med["bin_lo"] <= 500 <= med["bin_hi"]
+    p99 = q[0.99]
+    assert p99["bin_lo"] <= 990 <= p99["bin_hi"]
+
+    # NULL values land in bin -1 and are excluded from quantile n
+    withnull = df.unionByName(
+        spark.range(100).select(F.lit(None).cast("double").alias("x"))
+    )
+    h = histogram_sketch(withnull, "x", 0.0, 1000.0, 50)
+    nulls = {r["bin"]: r["cnt"] for r in h.collect()}.get(-1)
+    assert nulls == 100
+    qn = quantile_from_histogram(h, (0.5,)).collect()[0]
+    assert qn["n"] == 10000
