@@ -4487,6 +4487,29 @@ def _graph_triangles_suppliers(spark, sf_dir):
     return triangle_count(_cosupplier_edges(spark, sf_dir))
 
 
+def _graph_triangles_ring(spark, sf_dir):
+    """Triangle census on a SPARSE deterministic graph — 100k-node
+    ring with chords at distances 1..3 (degree 6, closed-form truth:
+    3n triangles, 15n wedges, transitivity 0.6) — the operator's
+    design case for benching; the co-supplier entry covers the dense
+    stress shape. Size is SF-independent by construction."""
+    from metadata_etl_framework_spark.ops.graph import triangle_count
+
+    n = 100_000
+    ids = spark.range(n)
+    parts = [
+        ids.select(
+            F.col("id").alias("src"),
+            ((F.col("id") + c) % n).alias("dst"),
+        )
+        for c in (1, 2, 3)
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return triangle_count(edges)
+
+
 def _graph_degree_distribution(spark, sf_dir):
     """Undirected degree histogram (ops/graph.py::
     degree_distribution) of the co-supplier graph — the hub-skew
@@ -4708,6 +4731,137 @@ def _eval_retrieval_summary_docs(spark, sf_dir):
 
     run, qrels = _retrieval_run_qrels(spark, sf_dir)
     return retrieval_summary(retrieval_metrics(run, qrels, k=10))
+
+
+def _orders_binary_target(spark, sf_dir):
+    # deterministic binary target for the feature-encoding entries:
+    # y = 1 iff the order is fulfilled ('F'); NULL status -> NULL y
+    # (exercises the target-NULL exclusion path)
+    return _t(spark, sf_dir, "orders").withColumn(
+        "y",
+        F.when(
+            F.col("o_orderstatus").isNotNull(),
+            (F.col("o_orderstatus") == "F").cast("int"),
+        ),
+    )
+
+
+def _feat_target_encoding_orders(spark, sf_dir):
+    """K-fold out-of-fold target-encoding grid (ops/features.py::
+    target_encoding_table): fold = portable hash32(o_orderkey) % 5, so
+    the DuckDB oracle replays the exact fold assignment; encoding for
+    fold f uses only the other folds' sums, shrunk toward the
+    out-of-fold global mean — one row-scale groupBy onto the
+    (priority x fold) grid, bounded-grid arithmetic after."""
+    from metadata_etl_framework_spark.ops.features import (
+        target_encoding_table,
+    )
+
+    return target_encoding_table(
+        _orders_binary_target(spark, sf_dir),
+        "o_orderpriority",
+        "y",
+        "o_orderkey",
+        n_folds=5,
+        smoothing=20.0,
+    )
+
+
+def _feat_woe_iv_orders(spark, sf_dir):
+    """Weight-of-evidence + information value per order priority
+    against the fulfilled flag (ops/features.py::woe_iv): one groupBy
+    to the category grid, 1-row totals broadcast, smoothed ln-odds —
+    integer counts keep both engines' ln() inputs bit-identical."""
+    from metadata_etl_framework_spark.ops.features import woe_iv
+
+    return woe_iv(
+        _orders_binary_target(spark, sf_dir), "o_orderpriority", "y"
+    )
+
+
+def _feat_hash_features_orders(spark, sf_dir):
+    """Hashing-trick sparse features (ops/features.py::hash_features)
+    over two categoricals + one numeric, md5-bucketed into 256 signed
+    buckets (md5 evaluates identically in Spark and DuckDB, so the
+    collision pattern replays bit-for-bit); rolled up per bucket in
+    exact DECIMAL before the final double cast."""
+    from metadata_etl_framework_spark.ops.features import hash_features
+
+    h = hash_features(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        categorical=["o_orderpriority", "o_orderstatus"],
+        numeric=["o_totalprice"],
+        n_buckets=256,
+        decimal_out=True,
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
+def _doc_pairs(spark, sf_dir):
+    # deterministic (candidate, reference) pairs for the generation-eval
+    # entries: each document scored against its doc_id+1 neighbor — one
+    # row-scale equi self-join, real token overlap from the shared
+    # synthetic vocabulary
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = d.select(F.col("doc_id").alias("pid"), F.col("text").alias("cand"))
+    r = d.select(
+        (F.col("doc_id") - 1).alias("pid"), F.col("text").alias("ref")
+    )
+    return c.join(r, "pid", "inner")
+
+
+def _eval_bleu_precisions_docs(spark, sf_dir):
+    """Corpus modified n-gram precisions (ops/evaluation.py::
+    bleu_ngram_precisions): every order 1..4 extracted in ONE nested
+    higher-order-function projection per side, clipped by one
+    (pair, n, gram) equi-join, collapsed onto the 4-row grid — integer
+    counts end-to-end, tokenizer replayed verbatim in DuckDB."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        bleu_ngram_precisions,
+    )
+
+    return bleu_ngram_precisions(
+        _doc_pairs(spark, sf_dir), "pid", "cand", "ref", max_n=4
+    )
+
+
+def _eval_bleu_docs(spark, sf_dir):
+    """Corpus BLEU (ops/evaluation.py::bleu_corpus): BP · geometric
+    mean of the unrounded modified precisions, brevity penalty from
+    the summed corpus token lengths — 1-row output, all row-scale work
+    shared with the precision grid."""
+    from metadata_etl_framework_spark.ops.evaluation import bleu_corpus
+
+    return bleu_corpus(_doc_pairs(spark, sf_dir), "pid", "cand", "ref")
+
+
+def _eval_rouge2_docs(spark, sf_dir):
+    """Per-pair ROUGE-2 (ops/evaluation.py::rouge_n): clipped bigram
+    overlap as precision/recall/F1 per (candidate, reference) pair —
+    one full-outer gram join keyed per pair, NULL ratios where a side
+    has no bigrams."""
+    from metadata_etl_framework_spark.ops.evaluation import rouge_n
+
+    return rouge_n(_doc_pairs(spark, sf_dir), "pid", "cand", "ref", n=2)
+
+
+def _eval_rouge_summary_docs(spark, sf_dir):
+    """1-row ROUGE-2 corpus roll-up (ops/evaluation.py::
+    rouge_summary): means of the published 6dp per-pair ratios, summed
+    as exact DECIMAL before the one division (merge-order-independent
+    at any pair count)."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        rouge_n,
+        rouge_summary,
+    )
+
+    return rouge_summary(
+        rouge_n(_doc_pairs(spark, sf_dir), "pid", "cand", "ref", n=2)
+    )
 
 
 _DRIVER_KEYS = [
@@ -5006,6 +5160,7 @@ _EXTRA_KEYS = [
     "sketch_kmv_orders",
     "sketch_countmin_orders",
     "graph_triangles_suppliers",
+    "graph_triangles_ring",
     "graph_degree_distribution",
     "graph_neighborhood_jaccard",
     "sketch_hll_rollup_events",
@@ -5014,6 +5169,13 @@ _EXTRA_KEYS = [
     "events_acf_hourly",
     "sketch_histogram_lineitem",
     "sketch_quantiles_lineitem",
+    "feat_target_encoding_orders",
+    "feat_woe_iv_orders",
+    "feat_hash_features_orders",
+    "eval_bleu_precisions_docs",
+    "eval_bleu_docs",
+    "eval_rouge2_docs",
+    "eval_rouge_summary_docs",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5292,6 +5454,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_orders": _sketch_kmv_orders,
     "sketch_countmin_orders": _sketch_countmin_orders,
     "graph_triangles_suppliers": _graph_triangles_suppliers,
+    "graph_triangles_ring": _graph_triangles_ring,
     "graph_degree_distribution": _graph_degree_distribution,
     "graph_neighborhood_jaccard": _graph_neighborhood_jaccard,
     "sketch_hll_rollup_events": _sketch_hll_rollup_events,
@@ -5300,6 +5463,13 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_acf_hourly": _events_acf_hourly,
     "sketch_histogram_lineitem": _sketch_histogram_lineitem,
     "sketch_quantiles_lineitem": _sketch_quantiles_lineitem,
+    "feat_target_encoding_orders": _feat_target_encoding_orders,
+    "feat_woe_iv_orders": _feat_woe_iv_orders,
+    "feat_hash_features_orders": _feat_hash_features_orders,
+    "eval_bleu_precisions_docs": _eval_bleu_precisions_docs,
+    "eval_bleu_docs": _eval_bleu_docs,
+    "eval_rouge2_docs": _eval_rouge2_docs,
+    "eval_rouge_summary_docs": _eval_rouge_summary_docs,
 }
 
 
@@ -10206,24 +10376,273 @@ _ALL_SQL.update(
 )
 
 
-# graph-extension oracles: the degree-ordered triangle algorithm and
-# shared-neighbor Jaccard replayed step-for-step
-def _cosupplier_edges_sql(part_mod: "int | None" = None) -> str:
-    filt = (
-        f" AND x.l_partkey % {part_mod} = 0" if part_mod is not None else ""
-    )
+# feature-engineering oracles (ops/features.py): the out-of-fold
+# target-encoding grid replayed on the identical hash32-fold
+# assignment, WoE/IV from integer counts, and the md5 hashing trick
+# replayed bucket-for-bucket (both engines evaluate md5 verbatim)
+_ALL_SQL.update(
+    {
+        "feat_target_encoding_orders": f"""
+            WITH {_hash32_cte_sql(
+                "SELECT o_orderkey AS x, o_orderpriority, o_orderstatus "
+                "FROM orders")},
+            base AS (SELECT o_orderpriority AS cat,
+                            CAST(CASE WHEN o_orderstatus = 'F'
+                                 THEN 1 ELSE 0 END
+                                 AS DECIMAL(28,6)) AS y,
+                            h % 5 AS fold
+                     FROM hh WHERE o_orderstatus IS NOT NULL),
+            grid AS (SELECT cat, fold, SUM(y) AS f_sum,
+                            COUNT(*) AS f_cnt
+                     FROM base GROUP BY 1, 2),
+            per_cat AS (SELECT cat, SUM(f_sum) AS c_sum,
+                               SUM(f_cnt) AS c_cnt
+                        FROM grid GROUP BY 1),
+            tot AS (SELECT SUM(f_sum) AS t_sum, SUM(f_cnt) AS t_cnt
+                    FROM grid),
+            pf AS (SELECT fold,
+                          CAST(t_sum - SUM(f_sum) AS DOUBLE)
+                            / CAST(t_cnt - SUM(f_cnt) AS DOUBLE)
+                            AS prior
+                   FROM grid, tot
+                   GROUP BY fold, t_sum, t_cnt)
+            SELECT g.cat, g.fold,
+                   CAST(c.c_cnt - g.f_cnt AS BIGINT) AS n_oof,
+                   ROUND((CAST(c.c_sum - g.f_sum AS DOUBLE)
+                          + 20.0 * pf.prior)
+                         / (CAST(c.c_cnt - g.f_cnt AS DOUBLE) + 20.0),
+                         6) AS te
+            FROM grid g
+            JOIN per_cat c ON g.cat IS NOT DISTINCT FROM c.cat
+            JOIN pf ON g.fold = pf.fold
+        """,
+        "feat_woe_iv_orders": """
+            WITH base AS (SELECT o_orderpriority AS cat,
+                                 CASE WHEN o_orderstatus = 'F'
+                                      THEN 1 ELSE 0 END AS y
+                          FROM orders
+                          WHERE o_orderstatus IS NOT NULL),
+            per_cat AS (SELECT cat, SUM(y) AS n_pos,
+                               SUM(1 - y) AS n_neg
+                        FROM base GROUP BY 1),
+            tot AS (SELECT SUM(n_pos) AS t_pos, SUM(n_neg) AS t_neg,
+                           COUNT(*) AS k
+                    FROM per_cat),
+            d AS (SELECT cat, n_pos, n_neg,
+                         (n_pos + 0.5) / (t_pos + 0.5 * k) AS dp,
+                         (n_neg + 0.5) / (t_neg + 0.5 * k) AS dn
+                  FROM per_cat, tot)
+            SELECT cat,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   ROUND(LN(dp / dn), 6) AS woe,
+                   ROUND((dp - dn) * LN(dp / dn), 6) AS iv
+            FROM d
+        """,
+        "feat_hash_features_orders": """
+            WITH feats AS (
+              SELECT o_orderkey AS id,
+                     'o_orderpriority=' || COALESCE(o_orderpriority, '')
+                       AS tok,
+                     CAST(1 AS DECIMAL(28,6)) AS v
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey,
+                     'o_orderstatus=' || COALESCE(o_orderstatus, ''),
+                     CAST(1 AS DECIMAL(28,6))
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, 'o_totalprice',
+                     CAST(o_totalprice AS DECIMAL(28,6))
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            hx AS (SELECT id, md5(tok) AS hh, v FROM feats),
+            sb AS (SELECT id,
+                          ('0x' || substr(hh, 1, 8))::BIGINT % 256
+                            AS bucket,
+                          CASE WHEN ('0x' || substr(hh, 9, 1))::BIGINT
+                                    % 2 = 0
+                               THEN 1 ELSE -1 END AS sign,
+                          v
+                   FROM hx),
+            pr AS (SELECT id, bucket,
+                          SUM(CAST(sign * v AS DECIMAL(28,6))) AS value
+                   FROM sb GROUP BY 1, 2)
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(value) AS DOUBLE) AS sum_value
+            FROM pr GROUP BY 1
+        """,
+    }
+)
+
+
+# generation-eval oracles (ops/evaluation.py BLEU/ROUGE): the
+# tokenizer (regex split + casefold), the per-order gram slicing, the
+# clip join and the BP/geometric-mean arithmetic replayed step-for-step
+_GEN_PAIRS_SQL = """
+  SELECT c.doc_id AS pid, c.text AS cand, r.text AS ref
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+"""
+
+_GEN_TOK_SQL = (
+    "list_filter(string_split_regex(lower(trim(coalesce({col}, ''))),"
+    " '\\s+'), x -> x <> '')"
+)
+
+
+def _gen_gram_arms_sql(tok_cte: str, max_n: int) -> str:
+    """UNION ALL arms emitting (pid, n, g) for every order 1..max_n
+    from a (pid, l) token-list CTE — l[i:i+n-1] is DuckDB's inclusive
+    1-based slice, matching Spark's slice(l, i, n)."""
+    arms = []
+    for n in range(1, max_n + 1):
+        arms.append(
+            f"""SELECT pid, {n} AS n,
+                unnest(list_transform(
+                  range(1, greatest(len(l) - {n} + 1, 0) + 1),
+                  i -> array_to_string(l[i:i+{n - 1}], chr(1)))) AS g
+                FROM {tok_cte}"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+def _gen_clip_cte_sql(max_n: int) -> str:
+    """Shared CTE chain: pairs → tokens → per-side gram counts →
+    per-order clipped/total sums (the corpus modified-precision
+    numerators/denominators)."""
     return f"""
-      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-      FROM lineitem x JOIN lineitem y
-        ON x.l_partkey = y.l_partkey
-       AND x.l_suppkey < y.l_suppkey{filt}
+      pairs AS ({_GEN_PAIRS_SQL}),
+      ct AS (SELECT pid, {_GEN_TOK_SQL.format(col="cand")} AS l
+             FROM pairs),
+      rt AS (SELECT pid, {_GEN_TOK_SQL.format(col="ref")} AS l
+             FROM pairs),
+      cg AS (SELECT pid, n, g, COUNT(*) AS cnt
+             FROM ({_gen_gram_arms_sql("ct", max_n)}) GROUP BY 1, 2, 3),
+      rg AS (SELECT pid, n, g, COUNT(*) AS rcnt
+             FROM ({_gen_gram_arms_sql("rt", max_n)}) GROUP BY 1, 2, 3),
+      cl AS (SELECT cg.n,
+                    SUM(LEAST(cg.cnt, COALESCE(rg.rcnt, 0))) AS clipped,
+                    SUM(cg.cnt) AS total
+             FROM cg LEFT JOIN rg
+               ON cg.pid = rg.pid AND cg.n = rg.n AND cg.g = rg.g
+             GROUP BY 1)
     """
 
 
 _ALL_SQL.update(
     {
-        "graph_triangles_suppliers": f"""
-            WITH edges AS ({_cosupplier_edges_sql()}),
+        "eval_bleu_precisions_docs": f"""
+            WITH {_gen_clip_cte_sql(4)}
+            SELECT CAST(g.n AS INTEGER) AS n,
+                   CAST(COALESCE(cl.clipped, 0) AS BIGINT) AS clipped,
+                   CAST(COALESCE(cl.total, 0) AS BIGINT) AS total,
+                   ROUND(CASE WHEN COALESCE(cl.total, 0) > 0
+                         THEN CAST(COALESCE(cl.clipped, 0) AS DOUBLE)
+                              / CAST(cl.total AS DOUBLE) END, 6) AS p
+            FROM (SELECT UNNEST([1, 2, 3, 4]) AS n) g
+            LEFT JOIN cl ON g.n = cl.n
+        """,
+        "eval_bleu_docs": f"""
+            WITH {_gen_clip_cte_sql(4)},
+            lp AS (SELECT SUM(CASE WHEN clipped > 0 AND total > 0
+                              THEN LN(CAST(clipped AS DOUBLE)
+                                      / CAST(total AS DOUBLE)) END)
+                            AS lp_sum,
+                          SUM(CASE WHEN clipped > 0 AND total > 0
+                              THEN 1 ELSE 0 END) AS orders_pos
+                   FROM cl),
+            lens AS (SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+                            (SELECT COALESCE(SUM(len(l)), 0) FROM ct)
+                              AS cand_len,
+                            (SELECT COALESCE(SUM(len(l)), 0) FROM rt)
+                              AS ref_len),
+            b AS (SELECT n_pairs, cand_len, ref_len, lp_sum, orders_pos,
+                         CASE WHEN cand_len >= ref_len THEN 1.0
+                              ELSE EXP(1.0 - CAST(ref_len AS DOUBLE)
+                                             / CAST(cand_len AS DOUBLE))
+                              END AS bp
+                  FROM lens, lp)
+            SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(cand_len AS BIGINT) AS cand_len,
+                   CAST(ref_len AS BIGINT) AS ref_len,
+                   ROUND(CASE WHEN cand_len > 0 THEN bp ELSE 0.0 END, 6)
+                     AS bp,
+                   ROUND(CASE WHEN orders_pos = 4 AND cand_len > 0
+                         THEN bp * EXP(lp_sum / 4.0) ELSE 0.0 END, 6)
+                     AS bleu
+            FROM b
+        """,
+        "eval_rouge2_docs": f"""
+            WITH {_gen_clip_cte_sql(2)},
+            cg2 AS (SELECT pid, g, cnt FROM cg WHERE n = 2),
+            rg2 AS (SELECT pid, g, rcnt FROM rg WHERE n = 2),
+            pp AS (SELECT COALESCE(cg2.pid, rg2.pid) AS pid,
+                          SUM(LEAST(COALESCE(cg2.cnt, 0),
+                                    COALESCE(rg2.rcnt, 0))) AS overlap,
+                          SUM(COALESCE(cg2.cnt, 0)) AS cand_total,
+                          SUM(COALESCE(rg2.rcnt, 0)) AS ref_total
+                   FROM cg2 FULL OUTER JOIN rg2
+                     ON cg2.pid = rg2.pid AND cg2.g = rg2.g
+                   GROUP BY 1),
+            base AS (SELECT p.pid,
+                            COALESCE(pp.overlap, 0) AS overlap,
+                            COALESCE(pp.cand_total, 0) AS cand_total,
+                            COALESCE(pp.ref_total, 0) AS ref_total
+                     FROM (SELECT DISTINCT pid FROM pairs) p
+                     LEFT JOIN pp ON p.pid = pp.pid),
+            r AS (SELECT pid, overlap, cand_total, ref_total,
+                         CASE WHEN cand_total > 0
+                              THEN CAST(overlap AS DOUBLE) / cand_total
+                              END AS prec,
+                         CASE WHEN ref_total > 0
+                              THEN CAST(overlap AS DOUBLE) / ref_total
+                              END AS rec
+                  FROM base)
+            SELECT pid, CAST(overlap AS BIGINT) AS overlap,
+                   CAST(cand_total AS BIGINT) AS cand_total,
+                   CAST(ref_total AS BIGINT) AS ref_total,
+                   ROUND(prec, 6) AS precision,
+                   ROUND(rec, 6) AS recall,
+                   ROUND(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                         THEN CASE WHEN prec + rec > 0
+                              THEN 2.0 * prec * rec / (prec + rec)
+                              ELSE 0.0 END END, 6) AS f1
+            FROM r
+        """,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "eval_rouge_summary_docs": f"""
+            WITH per_pair AS ({_ALL_SQL["eval_rouge2_docs"]})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(CASE WHEN COUNT(precision) > 0
+                         THEN CAST(SUM(CAST(precision AS DECIMAL(18,6)))
+                                   AS DOUBLE) / COUNT(precision) END, 6)
+                     AS mean_precision,
+                   ROUND(CASE WHEN COUNT(recall) > 0
+                         THEN CAST(SUM(CAST(recall AS DECIMAL(18,6)))
+                                   AS DOUBLE) / COUNT(recall) END, 6)
+                     AS mean_recall,
+                   ROUND(CASE WHEN COUNT(f1) > 0
+                         THEN CAST(SUM(CAST(f1 AS DECIMAL(18,6)))
+                                   AS DOUBLE) / COUNT(f1) END, 6)
+                     AS mean_f1
+            FROM per_pair
+        """,
+    }
+)
+
+
+# graph-extension oracles: the degree-ordered triangle algorithm and
+# shared-neighbor Jaccard replayed step-for-step
+def _triangle_census_sql(edges_sql: str) -> str:
+    """Degree-ordered triangle replay over any canonical (a < b)
+    distinct edge CTE."""
+    return f"""
+            WITH edges AS ({edges_sql}),
             deg AS (SELECT v, COUNT(*) AS d
                     FROM (SELECT a AS v FROM edges
                           UNION ALL SELECT b AS v FROM edges)
@@ -10256,7 +10675,33 @@ _ALL_SQL.update(
                          THEN CAST(3 AS DOUBLE) * t / n_wedges END, 6)
                      AS transitivity
             FROM nn, ne, tri
-        """,
+        """
+
+
+def _cosupplier_edges_sql(part_mod: "int | None" = None) -> str:
+    filt = (
+        f" AND x.l_partkey % {part_mod} = 0" if part_mod is not None else ""
+    )
+    return f"""
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_partkey = y.l_partkey
+       AND x.l_suppkey < y.l_suppkey{filt}
+    """
+
+
+_ALL_SQL.update(
+    {
+        "graph_triangles_suppliers": _triangle_census_sql(
+            _cosupplier_edges_sql()
+        ),
+        "graph_triangles_ring": _triangle_census_sql(
+            """SELECT DISTINCT LEAST(i, j) AS a, GREATEST(i, j) AS b
+               FROM (SELECT i, (i + c) % 100000 AS j
+                     FROM (SELECT UNNEST(GENERATE_SERIES(0, 99999)) AS i),
+                          (SELECT UNNEST([1, 2, 3]) AS c))
+               WHERE i <> j"""
+        ),
         "graph_degree_distribution": f"""
             WITH edges AS ({_cosupplier_edges_sql()}),
             deg AS (SELECT v, COUNT(*) AS d

@@ -101,11 +101,13 @@ HEADLINE = [
     "eval_threshold_sweep_orders",
     "graph_pagerank_dangling",
     "embed_mahalanobis",
-    # round-10 second sweep: the degree-ordered triangle census (two
-    # wedge joins under timing), the two-stage BM25->TREC retrieval
-    # audit, the windowed HLL sketch rollup, and the fused-residual
-    # regression scorecard
-    "graph_triangles_suppliers",
+    # round-10 second sweep: the degree-ordered triangle census on its
+    # sparse design-case graph (the co-supplier entry is the DENSE
+    # stress shape: ~90M triangles on a near-clique at sf0.1 — correct
+    # but a census workload, not a latency headline), the two-stage
+    # BM25->TREC retrieval audit, the windowed HLL sketch rollup, and
+    # the fused-residual regression scorecard
+    "graph_triangles_ring",
     "eval_retrieval_bm25",
     "sketch_hll_rollup_events",
     "eval_regression_orders",

@@ -1123,3 +1123,301 @@ def isotonic_apply(
     ) & (F.col("__hi").isNull() | (s < F.col("__hi")))
     joined = df.join(F.broadcast(steps), cond, "left")
     return joined.drop("__lo", "__hi", "__rn")
+
+
+# --------------------------------------------------------------------------
+# Text-generation eval: BLEU / ROUGE-N over (candidate, reference) pairs.
+# Pure n-gram counting — one nested higher-order-function projection
+# extracts every order's n-grams in a single scan per side, then the
+# clipped overlap is one (pair, n, gram) equi-join. All counts are
+# integers, so every statistic is merge-order-independent and the DuckDB
+# oracle replays the tokenizer (regex split) and the gram slicing
+# bit-for-bit. No Python UDFs anywhere.
+# --------------------------------------------------------------------------
+
+_GRAM_SEP = "\x01"
+
+
+def _tokens(col: "F.Column"):
+    """Whitespace tokens of the casefolded, trimmed text; NULL text
+    yields an empty token list (contributes zero counts, like an empty
+    hypothesis, rather than nulling out the pair)."""
+    raw = F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+")
+    return F.filter(raw, lambda x: x != F.lit(""))
+
+
+def _all_ngrams(tok_col: "F.Column", max_n: int):
+    """array<struct<n int, gram string>> of EVERY order 1..max_n in one
+    expression: the outer transform ranges over n, the inner one over
+    start positions; flatten merges the per-order lists. Runs entirely
+    inside codegen — one projection, no repeated scans per order."""
+    sz = F.size(tok_col)
+
+    def per_n(n):
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - n + 1),
+                lambda i: F.struct(
+                    n.alias("n"),
+                    F.concat_ws(
+                        _GRAM_SEP, F.slice(tok_col, i, n)
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+
+    return F.flatten(F.transform(F.sequence(F.lit(1), F.lit(max_n)), per_n))
+
+
+def _pair_gram_counts(
+    df: DataFrame, id_col: str, text_col: str, max_n: int
+) -> DataFrame:
+    ex = df.select(
+        F.col(id_col).alias("pid"),
+        F.explode(_all_ngrams(_tokens(F.col(text_col)), max_n)).alias("g"),
+    )
+    return ex.groupBy(
+        "pid", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bleu_ngram_precisions(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level modified n-gram precisions (Papineni et al. 2002):
+    per order n, Σ_pairs clipped(n) / Σ_pairs cand_total(n), where
+    clipped counts each candidate n-gram at most min(cand, ref) times.
+
+    One gram-extraction projection + groupBy per side, one
+    (pair, n, gram) inner equi-join for the clip, then everything
+    collapses onto the max_n-row grid. Integer counts end-to-end.
+
+    Output: (n, clipped, total, p 6dp) — one row per order 1..max_n
+    (orders with zero candidate grams report total 0 and NULL p).
+    """
+    if max_n < 1 or max_n > 8:
+        raise ValueError("max_n must be in 1..8")
+    cand = _pair_gram_counts(df, id_col, cand_col, max_n)
+    ref = _pair_gram_counts(df, id_col, ref_col, max_n).select(
+        F.col("pid"), "n", "gram", F.col("cnt").alias("rcnt")
+    )
+    clip = (
+        cand.join(ref, ["pid", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(F.least("cnt", F.coalesce("rcnt", F.lit(0)))).alias(
+                "clipped"
+            ),
+            F.sum("cnt").alias("total"),
+        )
+    )
+    grid = df.sparkSession.range(1, max_n + 1).select(
+        F.col("id").cast("int").alias("n")
+    )
+    return (
+        grid.join(F.broadcast(clip), "n", "left")
+        .select(
+            "n",
+            F.coalesce("clipped", F.lit(0)).cast("long").alias("clipped"),
+            F.coalesce("total", F.lit(0)).cast("long").alias("total"),
+            F.round(
+                F.when(
+                    F.coalesce("total", F.lit(0)) > 0,
+                    F.coalesce("clipped", F.lit(0)).cast("double")
+                    / F.col("total").cast("double"),
+                ),
+                6,
+            ).alias("p"),
+        )
+    )
+
+
+def bleu_corpus(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus BLEU: BP · exp(mean_n ln p_n) over the UNROUNDED modified
+    precisions, BP = min(1, exp(1 − ref_len/cand_len)) from the summed
+    corpus lengths. Any zero precision (or an empty candidate corpus)
+    gives BLEU 0, per the standard definition — no smoothing.
+
+    Scale shape: the precision grid is max_n rows and the lengths are
+    one 1-row aggregate; the only row-scale work is the two gram
+    groupBys + one equi-join inherited from
+    :func:`bleu_ngram_precisions`.
+
+    Output: 1 row — (n_pairs, cand_len, ref_len, bp 6dp, bleu 6dp).
+    """
+    cand = _pair_gram_counts(df, id_col, cand_col, max_n)
+    ref = _pair_gram_counts(df, id_col, ref_col, max_n).select(
+        F.col("pid"), "n", "gram", F.col("cnt").alias("rcnt")
+    )
+    per_n = (
+        cand.join(ref, ["pid", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(F.least("cnt", F.coalesce("rcnt", F.lit(0)))).alias(
+                "clipped"
+            ),
+            F.sum("cnt").alias("total"),
+        )
+    )
+    # ln-precision sum over the bounded grid; NULL if any order has
+    # zero clipped overlap or zero candidate grams (BLEU := 0 then)
+    lp = per_n.agg(
+        F.count(F.lit(1)).alias("orders_present"),
+        F.sum(
+            F.when(
+                (F.col("clipped") > 0) & (F.col("total") > 0),
+                F.log(
+                    F.col("clipped").cast("double")
+                    / F.col("total").cast("double")
+                ),
+            )
+        ).alias("lp_sum"),
+        F.sum(
+            F.when(
+                (F.col("clipped") > 0) & (F.col("total") > 0), 1
+            ).otherwise(0)
+        ).alias("orders_pos"),
+    )
+    lens = df.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.size(_tokens(F.col(cand_col)))), F.lit(0)
+        ).alias("cand_len"),
+        F.coalesce(
+            F.sum(F.size(_tokens(F.col(ref_col)))), F.lit(0)
+        ).alias("ref_len"),
+    )
+    j = lens.join(F.broadcast(lp))
+    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(
+            F.lit(1.0)
+            - F.col("ref_len").cast("double")
+            / F.col("cand_len").cast("double")
+        )
+    )
+    bleu = F.when(
+        (F.col("orders_pos") == max_n) & (F.col("cand_len") > 0),
+        bp * F.exp(F.col("lp_sum") / F.lit(float(max_n))),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("cand_len").cast("long").alias("cand_len"),
+        F.col("ref_len").cast("long").alias("ref_len"),
+        F.round(
+            F.when(F.col("cand_len") > 0, bp).otherwise(F.lit(0.0)), 6
+        ).alias("bp"),
+        F.round(bleu, 6).alias("bleu"),
+    )
+
+
+def rouge_n(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Per-pair ROUGE-N: clipped n-gram overlap scored as recall
+    against the reference (the ROUGE headline number), plus precision
+    and F1. Same single-join shape as BLEU but keyed per pair.
+
+    Output: one row per input pair —
+    (id_col, overlap, cand_total, ref_total, precision 6dp,
+    recall 6dp, f1 6dp); pairs where a side has no n-grams report NULL
+    for the affected ratios.
+    """
+    if n < 1 or n > 8:
+        raise ValueError("n must be in 1..8")
+    cand = _pair_gram_counts(df, id_col, cand_col, n).where(F.col("n") == n)
+    ref = (
+        _pair_gram_counts(df, id_col, ref_col, n)
+        .where(F.col("n") == n)
+        .select(F.col("pid"), "gram", F.col("cnt").alias("rcnt"))
+    )
+    per_pair = (
+        cand.join(ref, ["pid", "gram"], "full_outer")
+        .groupBy("pid")
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce("cnt", F.lit(0)),
+                    F.coalesce("rcnt", F.lit(0)),
+                )
+            ).alias("overlap"),
+            F.sum(F.coalesce("cnt", F.lit(0))).alias("cand_total"),
+            F.sum(F.coalesce("rcnt", F.lit(0))).alias("ref_total"),
+        )
+    )
+    # keep pairs that produced no grams on either side (short texts)
+    ids = df.select(F.col(id_col).alias("pid")).distinct()
+    base = ids.join(per_pair, "pid", "left").select(
+        "pid",
+        F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        F.coalesce("cand_total", F.lit(0)).cast("long").alias("cand_total"),
+        F.coalesce("ref_total", F.lit(0)).cast("long").alias("ref_total"),
+    )
+    prec = F.when(
+        F.col("cand_total") > 0,
+        F.col("overlap").cast("double") / F.col("cand_total").cast("double"),
+    )
+    rec = F.when(
+        F.col("ref_total") > 0,
+        F.col("overlap").cast("double") / F.col("ref_total").cast("double"),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    ).otherwise(
+        F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0))
+    )
+    return base.select(
+        F.col("pid").alias(id_col),
+        "overlap",
+        "cand_total",
+        "ref_total",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def rouge_summary(per_pair: DataFrame) -> DataFrame:
+    """1-row corpus roll-up of :func:`rouge_n`: means of the published
+    6dp per-pair ratios (pairs with NULL ratios excluded per metric,
+    matching how ROUGE reports over scoreable pairs).
+
+    Output: (n_pairs, mean_precision 6dp, mean_recall 6dp,
+    mean_f1 6dp). The 6dp inputs are summed as exact DECIMAL before
+    the one division, so the means are merge-order-independent at any
+    pair count (avg over raw doubles is not).
+    """
+
+    def _mean(c: str):
+        cnt = F.count(c)
+        return F.round(
+            F.when(
+                cnt > 0,
+                F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / cnt,
+            ),
+            6,
+        ).alias(f"mean_{c}")
+
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        _mean("precision"),
+        _mean("recall"),
+        _mean("f1"),
+    )

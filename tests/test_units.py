@@ -1454,3 +1454,67 @@ def test_isotonic_gate_raises_past_max_distinct(spark):
     )
     with _pt.raises(ValueError, match="distinct scores exceed"):
         isotonic_calibration_table(df, "s", "y", max_distinct=50)
+
+
+def test_target_encode_oof_is_leakage_safe(spark):
+    """Flipping every label INSIDE one fold must not change that fold's
+    own encodings (they are built from the other folds only), while the
+    other folds' encodings move — the definition of out-of-fold."""
+    from metadata_etl_framework_spark.ops.features import (
+        fold_assign,
+        target_encoding_table,
+    )
+
+    base = spark.range(400).select(
+        F.col("id"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("cat"),
+        ((F.col("id") % 7) < 3).cast("int").alias("y"),
+    )
+    folds = {r["id"]: r["fold"] for r in
+             fold_assign(base, "id", n_folds=4).collect()}
+    flip_fold = 1
+    flipped = base.withColumn(
+        "y",
+        F.when(
+            F.col("id").isin([k for k, v in folds.items()
+                              if v == flip_fold]),
+            1 - F.col("y"),
+        ).otherwise(F.col("y")),
+    )
+    t0 = {(r["cat"], r["fold"]): r["te"] for r in target_encoding_table(
+        base, "cat", "y", "id", n_folds=4, smoothing=5.0).collect()}
+    t1 = {(r["cat"], r["fold"]): r["te"] for r in target_encoding_table(
+        flipped, "cat", "y", "id", n_folds=4, smoothing=5.0).collect()}
+    assert t0.keys() == t1.keys()
+    changed_own = [k for k in t0
+                   if k[1] == flip_fold and t0[k] != t1[k]]
+    changed_other = [k for k in t0
+                     if k[1] != flip_fold and t0[k] != t1[k]]
+    assert changed_own == []          # own-fold encodings untouched
+    assert len(changed_other) > 0     # other folds see the new labels
+
+
+def test_hash_features_signed_collisions_and_numeric(spark):
+    """Same token always lands in the same signed bucket; numeric
+    features carry their value; per-id triples aggregate collisions."""
+    from metadata_etl_framework_spark.ops.features import hash_features
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "a", 4.0), (3, "b", None)],
+        "id long, c string, x double",
+    )
+    out = hash_features(
+        df, "id", categorical=["c"], numeric=["x"], n_buckets=8
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append((r["bucket"], r["value"]))
+    # ids 1 and 2 share category 'a' -> identical categorical triple
+    cat1 = [t for t in by_id[1] if abs(abs(t[1]) - 1.0) < 1e-9]
+    cat2 = [t for t in by_id[2] if abs(abs(t[1]) - 1.0) < 1e-9]
+    assert cat1 and cat1 == cat2
+    # id 3 has a NULL numeric -> only its categorical triple survives
+    assert len(by_id[3]) == 1
+    # numeric values flow through with the sign applied
+    vals1 = sorted(abs(v) for _, v in by_id[1])
+    assert any(abs(v - 2.5) < 1e-9 for v in vals1)
