@@ -4864,6 +4864,66 @@ def _eval_rouge_summary_docs(spark, sf_dir):
     )
 
 
+def _ring_of_cliques(spark, n_groups=30, size=20):
+    # G cliques of S nodes bridged in a ring — known community truth
+    # for label propagation (each clique converges to its min member).
+    # SF-independent by construction, like the triangle ring.
+    ids = spark.range(n_groups * size).select(
+        F.col("id"), F.expr(f"id DIV {size}").alias("g")
+    )
+    x, y = ids.alias("x"), ids.alias("y")
+    cliques = x.join(
+        y,
+        (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    bridges = spark.range(n_groups).select(
+        (F.col("id") * size + (size - 1)).alias("src"),
+        (((F.col("id") + 1) % n_groups) * size).alias("dst"),
+    )
+    return cliques.unionByName(bridges)
+
+
+def _graph_label_propagation(spark, sf_dir):
+    """Synchronous min-tie label propagation (ops/graph.py::
+    label_propagation) on a 30x20 ring of cliques: 4 rounds of the
+    most-frequent-neighbor/min-tie update — fully deterministic, so
+    the oracle unrolls the rounds like the PageRank replay. Expected
+    communities: each clique collapses onto its smallest member."""
+    from metadata_etl_framework_spark.ops.graph import label_propagation
+
+    return label_propagation(_ring_of_cliques(spark), iterations=4)
+
+
+def _kcore_graph(spark, n=2000, chord_max=3, clique_mod=50):
+    # ring with chords 1..3 (degree 6 everywhere) + a clique on the
+    # multiples of clique_mod: the 8-core is exactly the clique, and
+    # the first peel strips every ring-only node (cascade then stops)
+    ids = spark.range(n)
+    edges = None
+    for c in range(1, chord_max + 1):
+        p = ids.select(
+            F.col("id").alias("src"), ((F.col("id") + c) % n).alias("dst")
+        )
+        edges = p if edges is None else edges.unionByName(p)
+    m = ids.where(F.col("id") % clique_mod == 0)
+    x, y = m.alias("x"), m.alias("y")
+    clique = x.join(y, F.col("x.id") < F.col("y.id")).select(
+        F.col("x.id").alias("src"), F.col("y.id").alias("dst")
+    )
+    return edges.unionByName(clique)
+
+
+def _graph_kcore_ring(spark, sf_dir):
+    """Iterative k-core peeling (ops/graph.py::k_core, k=8) on the
+    chorded ring + embedded clique: converges in 3 peels (ring nodes
+    strip, clique re-stabilizes); the oracle unrolls 6 fixed peels —
+    a converged graph is a peel fixpoint, so extra rounds are
+    no-ops and both sides agree regardless of the early stop."""
+    from metadata_etl_framework_spark.ops.graph import k_core
+
+    return k_core(_kcore_graph(spark), k=8, max_iter=10)
+
+
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
     # capability frontier (round-10: PageRank, blocked fuzzy join,
@@ -5176,6 +5236,8 @@ _EXTRA_KEYS = [
     "eval_bleu_docs",
     "eval_rouge2_docs",
     "eval_rouge_summary_docs",
+    "graph_label_propagation",
+    "graph_kcore_ring",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5470,6 +5532,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_bleu_docs": _eval_bleu_docs,
     "eval_rouge2_docs": _eval_rouge2_docs,
     "eval_rouge_summary_docs": _eval_rouge_summary_docs,
+    "graph_label_propagation": _graph_label_propagation,
+    "graph_kcore_ring": _graph_kcore_ring,
 }
 
 
@@ -10473,6 +10537,104 @@ _ALL_SQL.update(
                    CAST(SUM(value) AS DOUBLE) AS sum_value
             FROM pr GROUP BY 1
         """,
+    }
+)
+
+
+# community / k-core oracles (ops/graph.py): label propagation and
+# the peel loop replayed as unrolled CTE rounds (both updates are
+# deterministic pure functions of the previous state; extra k-core
+# peels past the fixpoint are no-ops, so a fixed unroll >= the
+# convergence depth matches the early-stopped Spark run exactly)
+def _lpa_unrolled_sql(edges_sql: str, iterations: int) -> str:
+    ctes = [
+        f"""e0 AS ({edges_sql}),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                       GREATEST(src, dst) AS b
+                FROM e0 WHERE src <> dst),
+        adj AS (SELECT a AS v, b AS u FROM und
+                UNION ALL SELECT b AS v, a AS u FROM und),
+        l0 AS (SELECT DISTINCT v AS node, v AS label FROM adj)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (SELECT adj.v, l{i-1}.label AS lab,
+                               COUNT(*) AS cnt
+                        FROM adj JOIN l{i-1} ON adj.u = l{i-1}.node
+                        GROUP BY 1, 2),
+            l{i} AS (SELECT v AS node, lab AS label
+                     FROM (SELECT v, lab,
+                                  ROW_NUMBER() OVER (PARTITION BY v
+                                    ORDER BY cnt DESC, lab) AS rn
+                           FROM c{i})
+                     WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, label FROM l{iterations}"
+    )
+
+
+def _kcore_unrolled_sql(edges_sql: str, k: int, unroll: int) -> str:
+    # each round references the previous edge CTE three times; DuckDB
+    # inlines CTEs by default, which would expand the chain
+    # exponentially (the SQL twin of the Spark-plan blowup k_core's
+    # localCheckpoint prevents) — MATERIALIZED forces one evaluation
+    ctes = [
+        f"""e0x AS ({edges_sql}),
+        g0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                      GREATEST(src, dst) AS b
+               FROM e0x WHERE src <> dst)"""
+    ]
+    for i in range(1, unroll + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT v, COUNT(*) AS d
+                        FROM (SELECT a AS v FROM g{i-1}
+                              UNION ALL SELECT b AS v FROM g{i-1})
+                        GROUP BY 1),
+            k{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {k}),
+            g{i} AS MATERIALIZED (SELECT a, b FROM g{i-1}
+                     WHERE a IN (SELECT v FROM k{i})
+                       AND b IN (SELECT v FROM k{i}))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT a AS v FROM g{unroll}
+                    UNION ALL SELECT b AS v FROM g{unroll})
+              GROUP BY 1"""
+    )
+
+
+_RING_CLIQUES_EDGES_SQL = """
+  SELECT x.i AS src, y.i AS dst
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 599)) AS i) x
+  JOIN (SELECT UNNEST(GENERATE_SERIES(0, 599)) AS i) y
+    ON x.i // 20 = y.i // 20 AND x.i < y.i
+  UNION ALL
+  SELECT g * 20 + 19 AS src, ((g + 1) % 30) * 20 AS dst
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 29)) AS g)
+"""
+
+_KCORE_RING_EDGES_SQL = """
+  SELECT i AS src, (i + c) % 2000 AS dst
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 1999)) AS i),
+       (SELECT UNNEST([1, 2, 3]) AS c)
+  UNION ALL
+  SELECT x.i AS src, y.i AS dst
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 1999, 50)) AS i) x
+  JOIN (SELECT UNNEST(GENERATE_SERIES(0, 1999, 50)) AS i) y
+    ON x.i < y.i
+"""
+
+_ALL_SQL.update(
+    {
+        "graph_label_propagation": _lpa_unrolled_sql(
+            _RING_CLIQUES_EDGES_SQL, 4
+        ),
+        "graph_kcore_ring": _kcore_unrolled_sql(
+            _KCORE_RING_EDGES_SQL, 8, 6
+        ),
     }
 )
 

@@ -30,6 +30,8 @@ __all__ = [
     "triangle_count",
     "degree_distribution",
     "neighborhood_jaccard",
+    "label_propagation",
+    "k_core",
 ]
 
 
@@ -451,4 +453,142 @@ def neighborhood_jaccard(
     )
     if min_sim > 0.0:
         out = out.where(F.col("jaccard") >= min_sim)
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection): every node starts labeled with its own id; each
+    iteration, every node adopts the label that is MOST FREQUENT among
+    its neighbors, ties broken by the SMALLEST label. The
+    most-frequent/min-tie rule makes the update a pure function of the
+    previous labeling — no RNG, no visit order — so a fixed iteration
+    count replays exactly in SQL (the oracle unrolls the rounds the
+    way the PageRank oracle does).
+
+    Scale shape per iteration: one equi-join of the (persisted)
+    undirected adjacency against the O(nodes) label frame, one
+    groupBy((node, label)) count, one groupBy(node) argmin over
+    ``struct(-count, label)`` — two row-scale shuffles, no windows
+    over raw rows. Label frames persist/release with the same
+    ``checkpoint_every`` discipline as :func:`pagerank`.
+
+    Isolated nodes never appear in an edge list, so every node has at
+    least one neighbor; a node with no neighbors in some round
+    (impossible here) would keep its label via the left join.
+
+    Output: (node, label) — nodes sharing a label after ``iterations``
+    rounds are one community.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    und = _undirected(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .persist()
+    )
+    labels = adj.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    labels.count()
+    for it in range(1, iterations + 1):
+        counts = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("label").alias("nl")
+                ),
+                "u",
+            )
+            .groupBy("v", "nl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new_labels = (
+            counts.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("nl"))
+                ).alias("m")
+            )
+            .select(F.col("v").alias("node"), F.col("m.nl").alias("label"))
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            new_labels = new_labels.persist()
+            new_labels.count()
+            labels.unpersist()
+        labels = new_labels
+    adj.unpersist()
+    return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in
+    which every node has degree >= k, computed by iterative peeling —
+    drop all nodes of degree < k, recompute degrees on the induced
+    subgraph, repeat until stable (removals cascade: stripping a leaf
+    can expose its neighbor).
+
+    Each peel is one degree aggregation plus two semi-joins filtering
+    the edge frame to surviving endpoints — row-scale equi-shuffles
+    only. Because one peel references the previous edge frame FOUR
+    times (twice in the degree union, twice in the semi-joins), the
+    logical plan would grow 4^iterations under plain persist(); each
+    round therefore materializes via an eager ``localCheckpoint()``,
+    which truncates lineage outright (the iterative-cascade
+    discipline; superseded frames are released by the ContextCleaner
+    as references drop). Convergence is probed with a 1-row count;
+    since a converged graph is a fixpoint of the peel, running EXTRA
+    rounds is a no-op — which is what lets a fixed-unroll SQL oracle
+    replay the data-dependent iteration count exactly. ``max_iter``
+    bounds the cascade (a path of length L needs L peels); hitting the
+    bound raises rather than silently returning a non-core.
+
+    Output: (node, degree) for every node of the k-core, with its
+    degree INSIDE the core.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = _undirected(edges, src_col, dst_col).localCheckpoint()
+    n_edges = cur.count()
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("v")
+        nxt = (
+            cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} peels"
+        )
+    out = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
     return out

@@ -1518,3 +1518,39 @@ def test_hash_features_signed_collisions_and_numeric(spark):
     # numeric values flow through with the sign applied
     vals1 = sorted(abs(v) for _, v in by_id[1])
     assert any(abs(v - 2.5) < 1e-9 for v in vals1)
+
+
+def test_label_propagation_recovers_ring_of_cliques(spark):
+    """5 cliques of 6 bridged in a ring: after 4 deterministic rounds
+    every clique collapses onto its smallest member, bridges included."""
+    from metadata_etl_framework_spark.ops.graph import label_propagation
+
+    G, S = 5, 6
+    edges = []
+    for g in range(G):
+        base = g * S
+        edges += [(base + i, base + j)
+                  for i in range(S) for j in range(i + 1, S)]
+        edges.append((base + S - 1, ((g + 1) % G) * S))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    comm = {}
+    for r in label_propagation(e, iterations=4).collect():
+        comm.setdefault(r["label"], set()).add(r["node"])
+    expect = {g * S: set(range(g * S, (g + 1) * S)) for g in range(G)}
+    assert comm == expect
+
+
+def test_k_core_peeling_cascade_and_fixpoint(spark):
+    """Clique(6) with a pendant path: the 2-core is exactly the clique
+    (the path peels one node per round — the cascade case), and
+    re-running on the result is a no-op (fixpoint)."""
+    from metadata_etl_framework_spark.ops.graph import k_core
+
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    edges += [(5 + i, 6 + i) for i in range(6)]  # path 5-6-...-11
+    e = spark.createDataFrame(edges, "src long, dst long")
+    core = {(r["node"], r["degree"])
+            for r in k_core(e, k=2, max_iter=15).collect()}
+    assert core == {(i, 5) for i in range(6)}
+    with __import__("pytest").raises(RuntimeError, match="converge"):
+        k_core(e, k=2, max_iter=2)
