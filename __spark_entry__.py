@@ -4924,6 +4924,38 @@ def _graph_kcore_ring(spark, sf_dir):
     return k_core(_kcore_graph(spark), k=8, max_iter=10)
 
 
+def _stats_cramers_v_docs(spark, sf_dir):
+    """Pairwise Cramér's V over three categoricals — lang, source, and
+    a derived length bucket (functions/aggregations.py::
+    cramers_v_matrix): one stacked-pairs scan, observed-cells χ²
+    closed form, bounded-grid arithmetic with 12dp-DECIMAL term
+    sums."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        cramers_v_matrix,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket",
+        F.floor(F.col("n_chars") / 150).cast("long").cast("string"),
+    )
+    return cramers_v_matrix(d, ["lang", "source", "len_bucket"])
+
+
+def _events_forecast_baseline(spark, sf_dir):
+    """Seasonal-naive forecast backtest (functions/aggregations.py::
+    forecast_baseline_eval): hourly value means, season 24 — MAE /
+    RMSE / sMAPE of y_{t-24}, MASE vs the persistence forecast; the
+    acf_table scale shape (one groupBy, bounded-grid self-join)."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        forecast_baseline_eval,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return forecast_baseline_eval(
+        ev, "ts", "value", bucket_seconds=3600, season=24
+    )
+
+
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
     # capability frontier (round-10: PageRank, blocked fuzzy join,
@@ -5238,6 +5270,8 @@ _EXTRA_KEYS = [
     "eval_rouge_summary_docs",
     "graph_label_propagation",
     "graph_kcore_ring",
+    "stats_cramers_v_docs",
+    "events_forecast_baseline",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5534,6 +5568,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_rouge_summary_docs": _eval_rouge_summary_docs,
     "graph_label_propagation": _graph_label_propagation,
     "graph_kcore_ring": _graph_kcore_ring,
+    "stats_cramers_v_docs": _stats_cramers_v_docs,
+    "events_forecast_baseline": _events_forecast_baseline,
 }
 
 
@@ -10635,6 +10671,116 @@ _ALL_SQL.update(
         "graph_kcore_ring": _kcore_unrolled_sql(
             _KCORE_RING_EDGES_SQL, 8, 6
         ),
+    }
+)
+
+
+# categorical-association + forecast-baseline oracles
+# (functions/aggregations.py::cramers_v_matrix /
+# forecast_baseline_eval): observed-cells chi-square closed form and
+# the seasonal-naive backtest replayed with the same 12dp-DECIMAL term
+# accumulation
+_ALL_SQL.update(
+    {
+        "stats_cramers_v_docs": """
+            WITH src0 AS (SELECT lang,
+                                 source,
+                                 CAST(CAST(FLOOR(n_chars / 150.0) AS
+                                      BIGINT) AS VARCHAR) AS len_bucket
+                          FROM documents),
+            stacked AS (
+              SELECT 'lang' AS pa, 'source' AS pb,
+                     CAST(lang AS VARCHAR) AS a,
+                     CAST(source AS VARCHAR) AS b
+              FROM src0 WHERE lang IS NOT NULL AND source IS NOT NULL
+              UNION ALL
+              SELECT 'lang', 'len_bucket', CAST(lang AS VARCHAR),
+                     len_bucket
+              FROM src0
+              WHERE lang IS NOT NULL AND len_bucket IS NOT NULL
+              UNION ALL
+              SELECT 'source', 'len_bucket', CAST(source AS VARCHAR),
+                     len_bucket
+              FROM src0
+              WHERE source IS NOT NULL AND len_bucket IS NOT NULL
+            ),
+            joint AS (SELECT pa, pb, a, b, COUNT(*) AS c
+                      FROM stacked GROUP BY 1, 2, 3, 4),
+            ma AS (SELECT pa, pb, a, SUM(c) AS ca
+                   FROM joint GROUP BY 1, 2, 3),
+            mb AS (SELECT pa, pb, b, SUM(c) AS cb
+                   FROM joint GROUP BY 1, 2, 3),
+            tot AS (SELECT pa, pb, SUM(c) AS n, COUNT(*) AS k,
+                           COUNT(DISTINCT a) AS ra,
+                           COUNT(DISTINCT b) AS cb_l
+                    FROM joint GROUP BY 1, 2),
+            sums AS (SELECT j.pa, j.pb,
+                            CAST(SUM(CAST(ROUND(
+                              CAST(j.c * j.c AS DOUBLE)
+                                / CAST(ma.ca * mb.cb AS DOUBLE), 12)
+                              AS DECIMAL(28,12))) AS DOUBLE) AS s
+                     FROM joint j
+                     JOIN ma ON j.pa = ma.pa AND j.pb = ma.pb
+                            AND j.a = ma.a
+                     JOIN mb ON j.pa = mb.pa AND j.pb = mb.pb
+                            AND j.b = mb.b
+                     GROUP BY 1, 2)
+            SELECT t.pa AS col_a, t.pb AS col_b,
+                   CAST(t.n AS BIGINT) AS n_rows,
+                   CAST(t.k AS BIGINT) AS n_cells,
+                   ROUND(t.n * (s.s - 1.0), 6) AS chi2,
+                   ROUND(CASE WHEN LEAST(t.ra - 1, t.cb_l - 1) > 0
+                              AND t.n > 0
+                         THEN SQRT(GREATEST(s.s - 1.0, 0.0)
+                                   / LEAST(t.ra - 1, t.cb_l - 1)) END,
+                         6) AS v
+            FROM sums s JOIN tot t ON s.pa = t.pa AND s.pb = t.pb
+        """,
+        "events_forecast_baseline": """
+            WITH series AS (
+              SELECT FLOOR(EPOCH(ts) / 3600) AS i,
+                     CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(*) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            pairs AS (SELECT s2.i - s1.i AS lag, s2.y AS y, s1.y AS f
+                      FROM series s1 JOIN series s2
+                        ON s2.i - s1.i IN (1, 24)),
+            terms AS (SELECT lag, ABS(y - f) AS ae,
+                             CASE WHEN ABS(y) + ABS(f) > 0
+                                  THEN 2.0 * ABS(y - f)
+                                       / (ABS(y) + ABS(f))
+                                  ELSE 0.0 END AS st
+                      FROM pairs),
+            per_lag AS (SELECT lag, COUNT(*) AS n,
+                               CAST(SUM(CAST(ROUND(ae, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS sae,
+                               CAST(SUM(CAST(ROUND(ae * ae, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS sse,
+                               CAST(SUM(CAST(ROUND(st, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS ssm
+                        FROM terms GROUP BY 1),
+            agg AS (SELECT
+                      COALESCE(SUM(CASE WHEN lag = 24 THEN n END), 0)
+                        AS nf,
+                      SUM(CASE WHEN lag = 24 THEN sae END) AS sae,
+                      SUM(CASE WHEN lag = 24 THEN sse END) AS sse,
+                      SUM(CASE WHEN lag = 24 THEN ssm END) AS ssm,
+                      SUM(CASE WHEN lag = 1 THEN sae END) AS nae,
+                      SUM(CASE WHEN lag = 1 THEN n END) AS nn
+                    FROM per_lag)
+            SELECT 24 AS season, CAST(nf AS BIGINT) AS n_forecasts,
+                   ROUND(CASE WHEN nf > 0 THEN sae / nf END, 6) AS mae,
+                   ROUND(CASE WHEN nf > 0 THEN SQRT(sse / nf) END, 6)
+                     AS rmse,
+                   ROUND(CASE WHEN nf > 0 THEN ssm / nf END, 6)
+                     AS smape,
+                   ROUND(CASE WHEN nf > 0 AND nn > 0
+                              AND nae / nn > 0
+                         THEN (sae / nf) / (nae / nn) END, 6) AS mase
+            FROM agg
+        """,
     }
 )
 

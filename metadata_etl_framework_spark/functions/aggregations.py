@@ -1342,3 +1342,207 @@ def acf_table(
             ).alias("acf"),
         )
     )
+
+
+def cramers_v_matrix(
+    df: DataFrame, cols: "Sequence[str]"
+) -> DataFrame:
+    """Pairwise Cramér's V association matrix over categorical columns
+    — the bounded [0, 1] effect-size companion to
+    :func:`mutual_information` (χ² itself grows with n, so only V is
+    comparable across pairs and datasets).
+
+    Uses the observed-cells closed form χ² = n·(Σ_cells o²/(r_a·c_b) −
+    1), which never needs the zero cells of the contingency grid, then
+    V = sqrt((χ²/n) / min(R−1, C−1)). ONE scan stacks every pair's
+    (value_a, value_b) tuples via a generated-column explode (fan-out
+    = n_pairs, bounded by the column list, not data), one
+    groupBy((pair, a, b)) builds all joint tables at once, and the
+    rest runs on the bounded cell grids. Per-cell terms round to 12 dp
+    and accumulate as DECIMAL, so the statistic is
+    merge-order-independent and cross-engine hash-stable. Rows where
+    either side is NULL are excluded per pair.
+
+    Output: (col_a, col_b, n_rows, n_cells, chi2 6dp, v 6dp) — one row
+    per unordered column pair; v NULL when either column is constant.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    pair_structs = [
+        F.struct(
+            F.lit(cols[i]).alias("pa"),
+            F.lit(cols[j]).alias("pb"),
+            F.col(cols[i]).cast("string").alias("a"),
+            F.col(cols[j]).cast("string").alias("b"),
+        )
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    stacked = (
+        df.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.*")
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    joint = (
+        stacked.groupBy("pa", "pb", "a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    ma = joint.groupBy("pa", "pb", "a").agg(F.sum("c").alias("ca"))
+    mb = joint.groupBy("pa", "pb", "b").agg(F.sum("c").alias("cb"))
+    tot = joint.groupBy("pa", "pb").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("a").alias("ra"),
+        F.countDistinct("b").alias("cb_lvls"),
+    )
+    term = (F.col("c") * F.col("c")).cast("double") / (
+        F.col("ca") * F.col("cb")
+    ).cast("double")
+    sums = (
+        joint.join(ma, ["pa", "pb", "a"])
+        .join(mb, ["pa", "pb", "b"])
+        .select(
+            "pa",
+            "pb",
+            F.round(term, 12).cast("decimal(28,12)").alias("t"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.sum("t").cast("double").alias("s"))
+    )
+    dof = F.least(F.col("ra") - 1, F.col("cb_lvls") - 1)
+    chi2 = F.col("n") * (F.col("s") - 1.0)
+    out = (
+        sums.join(F.broadcast(tot), ["pa", "pb"])
+        .select(
+            F.col("pa").alias("col_a"),
+            F.col("pb").alias("col_b"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("k").cast("long").alias("n_cells"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.when(
+                    (dof > 0) & (F.col("n") > 0),
+                    F.sqrt(
+                        F.greatest(F.col("s") - 1.0, F.lit(0.0)) / dof
+                    ),
+                ),
+                6,
+            ).alias("v"),
+        )
+    )
+    rows = out.collect()
+    schema = out.schema
+    joint.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def forecast_baseline_eval(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    season: int = 24,
+) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecast ŷ_t = y_{t−season} on a
+    bucketed metric series — the sanity baseline every forecasting
+    pipeline must beat, and the scale for judging one (MASE): MAE /
+    RMSE / sMAPE of the seasonal forecast, plus MASE = seasonal MAE ÷
+    persistence MAE (mean |y_t − y_{t−1}|), so MASE < 1 reads
+    "seasonality beats persistence".
+
+    The series is the per-bucket DECIMAL-exact mean indexed by
+    epoch//bucket_seconds (one row-scale groupBy, the acf_table
+    shape); forecasts pair buckets via one bounded-grid self-join at
+    Δ=season and Δ=1 together. Gaps contribute no pair at the lags
+    they break. Error terms round to 12 dp and accumulate as DECIMAL —
+    merge-order-independent on grids of any size. sMAPE terms with a
+    zero denominator (both sides zero) count as 0, the standard
+    convention.
+
+    Output: 1 row — (season, n_forecasts, mae 6dp, rmse 6dp,
+    smape 6dp, mase 6dp); NULLs where no pairs exist (series shorter
+    than the season) or the persistence MAE is zero.
+    """
+    if season < 1 or bucket_seconds < 1:
+        raise ValueError("season and bucket_seconds must be >= 1")
+    x = F.col(value_col).cast("double")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .groupBy(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        )
+        .agg(
+            (
+                F.sum(x.cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .persist()
+    )
+    s1, s2 = series.alias("s1"), series.alias("s2")
+    pairs = s1.join(
+        s2,
+        (F.col("s2.i") - F.col("s1.i")).isin([1, season])
+        if season != 1
+        else (F.col("s2.i") - F.col("s1.i")) == 1,
+    ).select(
+        (F.col("s2.i") - F.col("s1.i")).alias("lag"),
+        F.col("s2.y").alias("y"),
+        F.col("s1.y").alias("f"),
+    )
+    ae = F.abs(F.col("y") - F.col("f"))
+    smape_t = F.when(
+        (F.abs(F.col("y")) + F.abs(F.col("f"))) > 0,
+        2.0 * ae / (F.abs(F.col("y")) + F.abs(F.col("f"))),
+    ).otherwise(F.lit(0.0))
+    dec = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(ae)).cast("double").alias("sae"),
+        F.sum(dec(ae * ae)).cast("double").alias("sse"),
+        F.sum(dec(smape_t)).cast("double").alias("ssm"),
+    )
+    seas = F.when(F.col("lag") == season, F.col("n"))
+    out = per_lag.agg(
+        F.lit(season).alias("season"),
+        F.coalesce(F.sum(seas), F.lit(0)).cast("long").alias(
+            "n_forecasts"
+        ),
+        F.sum(F.when(F.col("lag") == season, F.col("sae"))).alias(
+            "__sae"
+        ),
+        F.sum(F.when(F.col("lag") == season, F.col("sse"))).alias(
+            "__sse"
+        ),
+        F.sum(F.when(F.col("lag") == season, F.col("ssm"))).alias(
+            "__ssm"
+        ),
+        F.sum(F.when(F.col("lag") == 1, F.col("sae"))).alias("__nae"),
+        F.sum(F.when(F.col("lag") == 1, F.col("n"))).alias("__nn"),
+    )
+    nf = F.col("n_forecasts")
+    mae = F.when(nf > 0, F.col("__sae") / nf)
+    rmse = F.when(nf > 0, F.sqrt(F.col("__sse") / nf))
+    smape = F.when(nf > 0, F.col("__ssm") / nf)
+    naive_mae = F.when(
+        F.col("__nn") > 0, F.col("__nae") / F.col("__nn")
+    )
+    mase = F.when(
+        (nf > 0) & naive_mae.isNotNull() & (naive_mae > 0), mae / naive_mae
+    )
+    result = out.select(
+        "season",
+        "n_forecasts",
+        F.round(mae, 6).alias("mae"),
+        F.round(rmse, 6).alias("rmse"),
+        F.round(smape, 6).alias("smape"),
+        F.round(mase, 6).alias("mase"),
+    )
+    rows = result.collect()
+    schema = result.schema
+    series.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)

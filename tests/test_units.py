@@ -1554,3 +1554,57 @@ def test_k_core_peeling_cascade_and_fixpoint(spark):
     assert core == {(i, 5) for i in range(6)}
     with __import__("pytest").raises(RuntimeError, match="converge"):
         k_core(e, k=2, max_iter=2)
+
+
+def test_cramers_v_known_tables(spark):
+    """Perfect association -> V = 1, chi2 = n; the 2x2 mixed table
+    matches the hand-computed observed-cells closed form."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        cramers_v_matrix,
+    )
+
+    pf = spark.createDataFrame(
+        [("a", "x"), ("b", "y")] * 20, "c1 string, c2 string"
+    )
+    r = cramers_v_matrix(pf, ["c1", "c2"]).collect()[0]
+    assert (r["v"], r["chi2"], r["n_rows"]) == (1.0, 40.0, 40)
+
+    mixed = spark.createDataFrame(
+        [("a", "x")] * 20 + [("a", "y")] * 10
+        + [("b", "y")] * 20 + [("b", "x")] * 10,
+        "c1 string, c2 string",
+    )
+    m = cramers_v_matrix(mixed, ["c1", "c2"]).collect()[0]
+    # chi2 = n*(sum o^2/(ra*cb) - 1) = 60*(1000/900 - 1) = 20/3
+    assert abs(m["chi2"] - 6.666667) < 1e-6
+    assert abs(m["v"] - 0.333333) < 1e-6
+
+
+def test_forecast_baseline_exact_and_trended_series(spark):
+    """An exactly periodic series has zero seasonal error (MASE 0);
+    adding +1 per period makes every seasonal error exactly 1."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        forecast_baseline_eval,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    cyc = [1.0, 5.0, 2.0, 8.0]
+    exact = spark.createDataFrame(
+        [(base + dt.timedelta(hours=h), cyc[h % 4]) for h in range(48)],
+        "ts timestamp, v double",
+    )
+    r = forecast_baseline_eval(exact, "ts", "v", 3600, season=4).collect()[0]
+    assert (r["n_forecasts"], r["mae"], r["mase"]) == (44, 0.0, 0.0)
+
+    trended = spark.createDataFrame(
+        [(base + dt.timedelta(hours=h), cyc[h % 4] + h // 4)
+         for h in range(48)],
+        "ts timestamp, v double",
+    )
+    t = forecast_baseline_eval(
+        trended, "ts", "v", 3600, season=4
+    ).collect()[0]
+    assert (t["mae"], t["rmse"]) == (1.0, 1.0)
+    assert 0 < t["mase"] < 1  # seasonality beats persistence here
