@@ -494,13 +494,36 @@ class TransformEngine:
         mode = cfg.get("mode", "suite")
         allowed_modes = {
             "suite", "thresholds", "multiclass", "multiclass_summary",
-            "regression",
+            "regression", "bleu", "rouge",
         }
         if mode not in allowed_modes:
             # a typo'd mode must not silently fall back to 'suite'
             raise ValueError(
                 f"unknown score_eval mode {mode!r}; "
                 f"expected one of {sorted(allowed_modes)}"
+            )
+        if mode in ("bleu", "rouge"):
+            from metadata_etl_framework_spark.ops.evaluation import (
+                bleu_corpus,
+                rouge_n,
+                rouge_summary,
+            )
+
+            idc = cfg.get("id_column")
+            cand = cfg.get("candidate_column")
+            ref = cfg.get("reference_column")
+            if not idc or not cand or not ref:
+                raise ValueError(
+                    "score_eval generation modes need config.id_column,"
+                    " config.candidate_column and config.reference_column"
+                )
+            if mode == "bleu":
+                return bleu_corpus(
+                    data, idc, cand, ref, max_n=int(cfg.get("max_n", 4))
+                )
+            per = rouge_n(data, idc, cand, ref, n=int(cfg.get("n", 2)))
+            return (
+                rouge_summary(per) if cfg.get("summary", True) else per
             )
         if mode in ("multiclass", "multiclass_summary"):
             pred = cfg.get("prediction_column") or score
@@ -539,6 +562,76 @@ class TransformEngine:
             release=False,
         )
 
+    def _feature_encode(self, data, step, sources) -> DataFrame:
+        """Feature encoding as a config step (ops/features.py), so a
+        declarative pipeline can materialize model features with the
+        leakage and portability guarantees built in. mode 'target_oof'
+        (default) APPENDS the K-fold out-of-fold target encoding as
+        ``config.output_column``; mode 'woe_table' returns the
+        weight-of-evidence / information-value table for
+        ``config.cat_column`` vs a binary label; mode 'hash' returns
+        the sparse (id, bucket, value) hashing-trick triples over
+        ``config.categorical_columns`` / ``config.numeric_columns``."""
+        from metadata_etl_framework_spark.ops.features import (
+            hash_features,
+            target_encode_oof,
+            woe_iv,
+        )
+
+        cfg = step.get("config", step)
+        mode = cfg.get("mode", "target_oof")
+        if mode == "target_oof":
+            cat = cfg.get("cat_column")
+            tgt = cfg.get("target_column")
+            idc = cfg.get("id_column")
+            if not cat or not tgt or not idc:
+                raise ValueError(
+                    "feature_encode target_oof needs config.cat_column,"
+                    " config.target_column and config.id_column"
+                )
+            return target_encode_oof(
+                data,
+                cat,
+                tgt,
+                idc,
+                n_folds=int(cfg.get("n_folds", 5)),
+                smoothing=float(cfg.get("smoothing", 20.0)),
+                out=cfg.get("output_column", "te"),
+            )
+        if mode == "woe_table":
+            cat = cfg.get("cat_column")
+            label = cfg.get("label_column")
+            if not cat or not label:
+                raise ValueError(
+                    "feature_encode woe_table needs config.cat_column"
+                    " and config.label_column"
+                )
+            return woe_iv(
+                data, cat, label,
+                smoothing=float(cfg.get("smoothing", 0.5)),
+            )
+        if mode == "hash":
+            idc = cfg.get("id_column")
+            cats = list(cfg.get("categorical_columns", []))
+            nums = list(cfg.get("numeric_columns", []))
+            if not idc or not (cats or nums):
+                raise ValueError(
+                    "feature_encode hash needs config.id_column and at"
+                    " least one of config.categorical_columns /"
+                    " config.numeric_columns"
+                )
+            return hash_features(
+                data,
+                idc,
+                categorical=cats,
+                numeric=nums,
+                n_buckets=int(cfg.get("n_buckets", 1024)),
+            )
+        raise ValueError(
+            f"unknown feature_encode mode {mode!r}; expected one of"
+            " ['hash', 'target_oof', 'woe_table']"
+        )
+
     _HANDLERS: ClassVar[dict[str, Callable]] = {
         "filter": _filter,
         "map": _map,
@@ -558,4 +651,5 @@ class TransformEngine:
         "filter_funnel": _filter_funnel,
         "drift": _drift,
         "score_eval": _score_eval,
+        "feature_encode": _feature_encode,
     }

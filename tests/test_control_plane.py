@@ -711,6 +711,14 @@ def test_plan_column_edges_full_step_vocabulary(spark):
                                  "metrics": ["auc"]})
     assert ("docs", "w") in set(e["value"]), e
 
+    e = edges_for("feature_encode", {"cat_column": "source",
+                                     "target_column": "w",
+                                     "id_column": "doc_id",
+                                     "output_column": "te"})
+    # the encoding value derives from the target sums (join keys are
+    # not value edges in the plan walker's semantics)
+    assert set(e["te"]) == {("docs", "w")}, e
+
     assert covered == set(TransformEngine._HANDLERS), (
         set(TransformEngine._HANDLERS) - covered
     )

@@ -411,3 +411,69 @@ def test_score_eval_step_new_modes(spark):
              [{"type": "score_eval",
                "config": {"mode": "bogus", "score_column": "yhat",
                           "label_column": "y"}}])
+
+
+def test_score_eval_step_generation_modes(spark):
+    """Round-10 second sweep: bleu / rouge modes of score_eval — the
+    generation-eval entry points of the declarative vocabulary."""
+    pairs = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e"), (2, "x y", "x z")],
+        "pid long, cand string, ref string",
+    )
+    cfg = {"id_column": "pid", "candidate_column": "cand",
+           "reference_column": "ref"}
+    bleu = _run(spark, {"d": pairs},
+                [{"type": "score_eval",
+                  "config": dict(cfg, mode="bleu")}]).collect()[0]
+    assert bleu["n_pairs"] == 2 and 0 < bleu["bleu"] < 1
+
+    per = _run(spark, {"d": pairs},
+               [{"type": "score_eval",
+                 "config": dict(cfg, mode="rouge", n=1,
+                                summary=False)}]).collect()
+    by = {r["pid"]: r for r in per}
+    assert by[1]["f1"] == 1.0 and by[2]["recall"] == 0.5
+
+    summ = _run(spark, {"d": pairs},
+                [{"type": "score_eval",
+                  "config": dict(cfg, mode="rouge", n=1)}]).collect()[0]
+    assert summ["n_pairs"] == 2
+
+    with pytest.raises(ValueError, match="generation modes"):
+        _run(spark, {"d": pairs},
+             [{"type": "score_eval", "config": {"mode": "bleu"}}])
+
+
+def test_feature_encode_step_modes(spark):
+    """feature_encode: target_oof appends the encoding, woe_table and
+    hash return their tables; bad configs raise."""
+    df = spark.createDataFrame(
+        [(i, "c%d" % (i % 3), i % 2) for i in range(60)],
+        "id long, cat string, y int",
+    )
+    enc = _run(spark, {"d": df},
+               [{"type": "feature_encode",
+                 "config": {"cat_column": "cat", "target_column": "y",
+                            "id_column": "id", "n_folds": 3,
+                            "output_column": "enc"}}])
+    assert "enc" in enc.columns and enc.where("enc IS NULL").count() == 0
+
+    woe = _run(spark, {"d": df},
+               [{"type": "feature_encode",
+                 "config": {"mode": "woe_table", "cat_column": "cat",
+                            "label_column": "y"}}]).collect()
+    assert {r["cat"] for r in woe} == {"c0", "c1", "c2"}
+
+    h = _run(spark, {"d": df},
+             [{"type": "feature_encode",
+               "config": {"mode": "hash", "id_column": "id",
+                          "categorical_columns": ["cat"],
+                          "n_buckets": 16}}])
+    assert h.count() == 60  # one categorical triple per row
+
+    with pytest.raises(ValueError, match="target_oof needs"):
+        _run(spark, {"d": df},
+             [{"type": "feature_encode", "config": {"cat_column": "cat"}}])
+    with pytest.raises(ValueError, match="unknown feature_encode"):
+        _run(spark, {"d": df},
+             [{"type": "feature_encode", "config": {"mode": "nope"}}])
