@@ -7,7 +7,10 @@ beyond parity: drift_psi / drift_ks (ceilings on the batch's PSI /
 binned-KS statistic vs a persisted baseline) and score_auc (floor) /
 score_ece (ceiling) on the batch's classifier-quality readout — fed
 from ops/evaluation.py so a curation run gates on model quality the
-way it gates on drift.
+way it gates on drift — and forecast_smape (ceiling on the
+seasonal-naive backtest, functions/aggregations.py::
+forecast_baseline_eval) so a metrics pipeline gates on its own
+predictability.
 Deviation = (actual - threshold) / threshold, signed so callers can rank
 violations.
 """
@@ -35,6 +38,7 @@ class SLAMonitor:
         drift_ks: float | None = None,
         score_auc: float | None = None,
         score_ece: float | None = None,
+        forecast_smape: float | None = None,
     ) -> list[dict[str, Any]]:
         results = []
         for sla in slas:
@@ -74,6 +78,13 @@ class SLAMonitor:
                 # ops/evaluation.py::expected_calibration_error
                 actual = score_ece
                 met = score_ece is None or score_ece <= threshold
+            elif stype == "forecast_smape":
+                # ceiling on the run's seasonal-naive backtest sMAPE —
+                # feed from functions/aggregations.py::
+                # forecast_baseline_eval; None (series shorter than the
+                # season) never violates, the drift None semantics
+                actual = forecast_smape
+                met = forecast_smape is None or forecast_smape <= threshold
             else:
                 raise ValueError(f"unknown sla type {stype!r}")
             deviation = (

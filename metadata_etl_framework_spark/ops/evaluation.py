@@ -27,6 +27,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1420,4 +1421,87 @@ def rouge_summary(per_pair: DataFrame) -> DataFrame:
         _mean("precision"),
         _mean("recall"),
         _mean("f1"),
+    )
+
+
+def rouge_l(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+) -> DataFrame:
+    """Per-pair ROUGE-L: longest-common-subsequence overlap between
+    candidate and reference token sequences, scored as
+    precision (LCS/|cand|), recall (LCS/|ref|) and F1.
+
+    LCS is an inherently SEQUENTIAL O(m·n) dynamic program per pair —
+    not expressible as joins/aggregations — so this is one of the
+    repo's few justified Python paths: an Arrow-batched pandas UDF
+    (never row-at-a-time F.udf) computing the two-row DP per pair.
+    Each pair's work is independent, so the op scales embarrassingly
+    with partitions; cost is O(m·n) per pair, fine for document-length
+    texts (cap or truncate upstream for book-length inputs). The same
+    whitespace/casefold tokenizer as the n-gram family.
+
+    No SQL oracle can replay the DP; correctness is pinned against a
+    pure-Python textbook LCS in the unit suite (the isotonic-PAV
+    verification pattern).
+
+    Output: (id_col, lcs, cand_len, ref_len, precision 6dp,
+    recall 6dp, f1 6dp).
+    """
+
+    @F.pandas_udf("long")
+    def _lcs(cand: pd.Series, ref: pd.Series) -> pd.Series:
+        def one(c, r):
+            a = (c or "").lower().split()
+            b = (r or "").lower().split()
+            if not a or not b:
+                return 0
+            # two-row DP, short side inner for cache friendliness
+            if len(b) > len(a):
+                a, b = b, a
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0]
+                for j, y in enumerate(b, 1):
+                    cur.append(
+                        prev[j - 1] + 1 if x == y
+                        else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            return prev[-1]
+
+        return pd.Series(
+            [one(c, r) for c, r in zip(cand, ref)], dtype="int64"
+        )
+
+    base = df.select(
+        F.col(id_col),
+        _lcs(F.col(cand_col), F.col(ref_col)).alias("lcs"),
+        F.size(_tokens(F.col(cand_col))).cast("long").alias("cand_len"),
+        F.size(_tokens(F.col(ref_col))).cast("long").alias("ref_len"),
+    )
+    prec = F.when(
+        F.col("cand_len") > 0,
+        F.col("lcs").cast("double") / F.col("cand_len").cast("double"),
+    )
+    rec = F.when(
+        F.col("ref_len") > 0,
+        F.col("lcs").cast("double") / F.col("ref_len").cast("double"),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    ).otherwise(
+        F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0))
+    )
+    return base.select(
+        id_col,
+        "lcs",
+        "cand_len",
+        "ref_len",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )

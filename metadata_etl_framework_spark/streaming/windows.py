@@ -486,3 +486,76 @@ def read_hll_rollup(spark, sketch_path: str):
         .groupBy("bucket_start", "register")
         .agg(F.max("max_rank").alias("max_rank"))
     )
+
+
+def foreach_batch_forecast_monitor(
+    stream_df,
+    ts_col: str,
+    value_col: str,
+    metrics_path: str,
+    checkpoint: str,
+    bucket_seconds: int = 3600,
+    season: int = 24,
+    smape_ceiling: float = 0.5,
+    mase_ceiling: float = 1.0,
+):
+    """Per-micro-batch forecast-baseline monitoring — the streaming
+    form of ``forecast_baseline_eval``, the way
+    :func:`foreach_batch_score_monitor` streams the score-eval suite:
+    every batch's metric series is backtested against its own
+    seasonal-naive forecast and one metrics row per batch appends to
+    ``metrics_path``:
+
+    ``(batch_id, n_rows, season, n_forecasts, mae, rmse, smape, mase,
+    smape_alerting, mase_alerting)``
+
+    ``smape_alerting`` fires when the seasonal structure stops
+    predicting the series (sMAPE above the ceiling); ``mase_alerting``
+    when persistence beats seasonality (MASE above 1, or the
+    configured ceiling) — the "your daily cycle just broke" readout a
+    drift monitor can't give because the VALUES may still be in range.
+    Batches whose series is shorter than the season produce
+    n_forecasts = 0 with NULL metrics and do not alert; batches with
+    no usable rows are skipped. Append-only parquet sink; wrap with
+    :func:`idempotent_foreach_batch` when effectively-once matters.
+    """
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        forecast_baseline_eval,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        usable = F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        if batch_df.where(usable).limit(1).count() == 0:
+            return
+        n = batch_df.count()
+        r = forecast_baseline_eval(
+            batch_df, ts_col, value_col,
+            bucket_seconds=bucket_seconds, season=season,
+        ).first()
+        smape, mase = r["smape"], r["mase"]
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [(
+                int(batch_id),
+                int(n),
+                int(r["season"]),
+                int(r["n_forecasts"]),
+                None if r["mae"] is None else float(r["mae"]),
+                None if r["rmse"] is None else float(r["rmse"]),
+                None if smape is None else float(smape),
+                None if mase is None else float(mase),
+                bool(smape is not None and smape > smape_ceiling),
+                bool(mase is not None and mase > mase_ceiling),
+            )],
+            "batch_id long, n_rows long, season int, n_forecasts long, "
+            "mae double, rmse double, smape double, mase double, "
+            "smape_alerting boolean, mase_alerting boolean",
+        ).coalesce(1).write.mode("append").parquet(metrics_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -892,3 +892,27 @@ def test_sla_score_quality_checks(store):
          {"sla_type": "score_ece", "threshold": 0.01}],
     )
     assert none_auc["met"] and none_ece["met"]
+
+
+def test_sla_forecast_smape_ceiling(store):
+    """Round-10 second sweep: forecast_smape ceiling — a metrics run
+    gates on its seasonal predictability; absent measurements never
+    violate."""
+    pid = store.register_pipeline("pfc")
+    run_id = store.insert(
+        "PIPELINE_RUNS",
+        {"pipeline_id": pid, "status": "SUCCESS", "started_at": 0},
+    )
+    mon = SLAMonitor(store)
+    ok, bad = mon.record_run(
+        run_id, pid,
+        [{"sla_type": "forecast_smape", "threshold": 0.5},
+         {"sla_type": "forecast_smape", "threshold": 0.1}],
+        forecast_smape=0.2,
+    )
+    assert ok["met"] and not bad["met"]
+    assert bad["deviation"] == pytest.approx(1.0)
+    (none_r,) = mon.record_run(
+        run_id, pid, [{"sla_type": "forecast_smape", "threshold": 0.1}]
+    )
+    assert none_r["met"]

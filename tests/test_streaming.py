@@ -572,3 +572,66 @@ def test_foreach_batch_hll_rollup_batch_parity_and_replay(spark_mod, tmp_path):
     # and the estimator runs off the merged streaming view
     est = hll_rollup_estimate(read_hll_rollup(spark, sketch), m=64)
     assert est.collect()[0]["estimate"] > 0
+
+
+def test_foreach_batch_forecast_monitor_alerts_and_batch_parity(
+    spark_mod, tmp_path
+):
+    """Round-10 second sweep: streaming forecast monitor — one metrics
+    row per micro-batch; an exactly periodic batch passes, a
+    periodicity-broken batch trips the sMAPE/MASE ceilings; streaming
+    numbers equal the batch operator on the same rows; a too-short
+    series appends a no-alert row; an all-null batch is skipped."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        forecast_baseline_eval,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_forecast_monitor,
+        streaming_file_source,
+    )
+
+    spark = spark_mod
+    base = dt.datetime(2026, 3, 1)
+    cyc = [1.0, 5.0, 2.0, 8.0]
+    periodic = [(base + dt.timedelta(hours=h), cyc[h % 4])
+                for h in range(40)]
+    # period broken: alternate series with a different cycle length
+    broken = [(base + dt.timedelta(days=2, hours=h),
+               float((h % 7) * 3 + 1)) for h in range(40)]
+    short = [(base + dt.timedelta(days=4, hours=h), 1.0)
+             for h in range(3)]
+    nulls = [(None, None)] * 4
+    src = str(tmp_path / "series")
+    for chunk in (periodic, broken, short, nulls):
+        spark.createDataFrame(
+            chunk, "ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = streaming_file_source(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    metrics = str(tmp_path / "metrics")
+    q = foreach_batch_forecast_monitor(
+        stream, "ts", "v", metrics, str(tmp_path / "ck"),
+        bucket_seconds=3600, season=4, smape_ceiling=0.3,
+    ).start()
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(metrics).collect()
+    assert len(rows) == 3  # the all-null batch appended nothing
+    by_nf = sorted(rows, key=lambda r: r.n_forecasts)
+    empty, per, brk = by_nf[0], *sorted(
+        by_nf[1:], key=lambda r: r.smape
+    )
+    assert empty.n_forecasts == 0 and not empty.smape_alerting
+    assert per.smape == 0.0 and not per.smape_alerting
+    assert not per.mase_alerting and per.mase == 0.0
+    assert brk.smape_alerting and brk.mase_alerting
+    brk_df = spark.createDataFrame(broken, "ts timestamp, v double")
+    b = forecast_baseline_eval(brk_df, "ts", "v", 3600, season=4).first()
+    assert (brk.smape, brk.mase, brk.n_forecasts) == (
+        b["smape"], b["mase"], b["n_forecasts"]
+    )

@@ -1608,3 +1608,43 @@ def test_forecast_baseline_exact_and_trended_series(spark):
     ).collect()[0]
     assert (t["mae"], t["rmse"]) == (1.0, 1.0)
     assert 0 < t["mase"] < 1  # seasonality beats persistence here
+
+
+def test_rouge_l_matches_textbook_lcs(spark):
+    """The Arrow-batched ROUGE-L DP matches a pure-Python reference
+    LCS on hand cases and randomized token sequences."""
+    import itertools
+    import random
+
+    from metadata_etl_framework_spark.ops.evaluation import rouge_l
+
+    def ref_lcs(a, b):
+        a, b = a.lower().split(), b.lower().split()
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i, j in itertools.product(range(len(a)), range(len(b))):
+            dp[i + 1][j + 1] = (
+                dp[i][j] + 1 if a[i] == b[j]
+                else max(dp[i][j + 1], dp[i + 1][j])
+            )
+        return dp[-1][-1]
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    cases = [
+        (1, "the cat sat", "the cat sat"),
+        (2, "a b c d", "b d"),
+        (3, "", "x y"),
+        (4, "x y", ""),
+    ] + [
+        (10 + i,
+         " ".join(rng.choices(vocab, k=rng.randint(1, 12))),
+         " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(cases, "pid long, cand string, ref string")
+    got = {r["pid"]: r for r in rouge_l(df, "pid", "cand", "ref").collect()}
+    for pid, c, r in cases:
+        assert got[pid]["lcs"] == ref_lcs(c, r), (pid, c, r)
+    assert got[1]["f1"] == 1.0
+    assert got[2]["precision"] == 0.5 and got[2]["recall"] == 1.0
+    assert got[3]["precision"] is None and got[3]["recall"] == 0.0
