@@ -4941,6 +4941,22 @@ def _stats_cramers_v_docs(spark, sf_dir):
     return cramers_v_matrix(d, ["lang", "source", "len_bucket"])
 
 
+def _embed_drift_snapshots(spark, sf_dir):
+    """Embedding-space drift (quality/drift.py::embedding_drift)
+    between the even/odd vec_id halves: centroid cosine/L2 from
+    DECIMAL-exact per-dim means, plus PSI over each row's
+    cosine-to-reference-centroid — the representation-space arm scalar
+    drift can't see. GEMV layout: posexplode x broadcast d-row
+    centroid, decimal dot terms."""
+    from metadata_etl_framework_spark.quality.drift import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+
+
 def _events_forecast_baseline(spark, sf_dir):
     """Seasonal-naive forecast backtest (functions/aggregations.py::
     forecast_baseline_eval): hourly value means, season 24 — MAE /
@@ -5272,6 +5288,7 @@ _EXTRA_KEYS = [
     "graph_kcore_ring",
     "stats_cramers_v_docs",
     "events_forecast_baseline",
+    "embed_drift_snapshots",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5570,6 +5587,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_kcore_ring": _graph_kcore_ring,
     "stats_cramers_v_docs": _stats_cramers_v_docs,
     "events_forecast_baseline": _events_forecast_baseline,
+    "embed_drift_snapshots": _embed_drift_snapshots,
 }
 
 
@@ -10735,6 +10753,106 @@ _ALL_SQL.update(
                                    / LEAST(t.ra - 1, t.cb_l - 1)) END,
                          6) AS v
             FROM sums s JOIN tot t ON s.pa = t.pa AND s.pb = t.pb
+        """,
+        "embed_drift_snapshots": """
+            WITH rdim AS (SELECT vec_id AS rid,
+                                 generate_subscripts(embedding, 1) AS pos,
+                                 CAST(UNNEST(embedding) AS DOUBLE) AS x
+                          FROM embeddings
+                          WHERE embedding IS NOT NULL
+                            AND vec_id % 2 = 0),
+            cdim AS (SELECT vec_id AS rid,
+                            generate_subscripts(embedding, 1) AS pos,
+                            CAST(UNNEST(embedding) AS DOUBLE) AS x
+                     FROM embeddings
+                     WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+            cref AS (SELECT pos,
+                            CAST(SUM(CAST(x AS DECIMAL(30,15)))
+                                 AS DOUBLE) / COUNT(*) AS m
+                     FROM rdim GROUP BY 1),
+            ccur AS (SELECT pos,
+                            CAST(SUM(CAST(x AS DECIMAL(30,15)))
+                                 AS DOUBLE) / COUNT(*) AS m
+                     FROM cdim GROUP BY 1),
+            cc AS (SELECT
+                     CAST(SUM(CAST(COALESCE(r.m, 0) * COALESCE(c.m, 0)
+                          AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+                     CAST(SUM(CAST(COALESCE(r.m, 0) * COALESCE(r.m, 0)
+                          AS DECIMAL(30,15))) AS DOUBLE) AS nr,
+                     CAST(SUM(CAST(COALESCE(c.m, 0) * COALESCE(c.m, 0)
+                          AS DECIMAL(30,15))) AS DOUBLE) AS nc,
+                     CAST(SUM(CAST((COALESCE(r.m, 0) - COALESCE(c.m, 0))
+                          * (COALESCE(r.m, 0) - COALESCE(c.m, 0))
+                          AS DECIMAL(30,15))) AS DOUBLE) AS d2
+                   FROM cref r FULL OUTER JOIN ccur c ON r.pos = c.pos),
+            cn AS (SELECT CAST(SUM(CAST(m * m AS DECIMAL(30,15)))
+                          AS DOUBLE) AS cn FROM cref),
+            rper AS (SELECT rid,
+                            CAST(SUM(CAST(d.x * g.m AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS dot,
+                            CAST(SUM(CAST(d.x * d.x AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS nx
+                     FROM rdim d JOIN cref g ON d.pos = g.pos
+                     GROUP BY rid),
+            cper AS (SELECT rid,
+                            CAST(SUM(CAST(d.x * g.m AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS dot,
+                            CAST(SUM(CAST(d.x * d.x AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS nx
+                     FROM cdim d JOIN cref g ON d.pos = g.pos
+                     GROUP BY rid),
+            rcos AS (SELECT CASE WHEN SQRT(nx) * SQRT(cn.cn) > 0
+                            THEN dot / (SQRT(nx) * SQRT(cn.cn)) END
+                            AS cos
+                     FROM rper, cn),
+            ccos AS (SELECT CASE WHEN SQRT(nx) * SQRT(cn.cn) > 0
+                            THEN dot / (SQRT(nx) * SQRT(cn.cn)) END
+                            AS cos
+                     FROM cper, cn),
+            edges AS (SELECT MIN(cos) AS mn, MAX(cos) AS mx FROM rcos),
+            rb AS (SELECT CASE WHEN cos < mn THEN -1
+                               WHEN cos > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE LEAST(CAST(FLOOR((cos - mn)
+                                    / ((mx - mn) / 10.0)) AS INTEGER), 9)
+                               END AS bin,
+                          COUNT(*) AS cnt
+                   FROM rcos, edges WHERE cos IS NOT NULL GROUP BY 1),
+            cb AS (SELECT CASE WHEN cos < mn THEN -1
+                               WHEN cos > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE LEAST(CAST(FLOOR((cos - mn)
+                                    / ((mx - mn) / 10.0)) AS INTEGER), 9)
+                               END AS bin,
+                          COUNT(*) AS cnt
+                   FROM ccos, edges WHERE cos IS NOT NULL GROUP BY 1),
+            jb AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                          COALESCE(rb.cnt, 0) AS rc,
+                          COALESCE(cb.cnt, 0) AS cc2
+                   FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+            tb AS (SELECT SUM(rc) AS nr2, SUM(cc2) AS nc2 FROM jb),
+            terms AS (SELECT ROUND(
+                        (cc2 * 1.0 / nc2 - rc * 1.0 / nr2)
+                        * LN(GREATEST(cc2 * 1.0 / nc2, 0.000001)
+                             / GREATEST(rc * 1.0 / nr2, 0.000001)), 6)
+                        AS t
+                      FROM jb, tb),
+            psi AS (SELECT ROUND(SUM(t), 6) AS p FROM terms)
+            SELECT 'n_ref' AS metric,
+                   CAST((SELECT COUNT(*) FROM rper) AS DOUBLE) AS value
+            UNION ALL
+            SELECT 'n_cur',
+                   CAST((SELECT COUNT(*) FROM cper) AS DOUBLE)
+            UNION ALL
+            SELECT 'centroid_cosine',
+                   (SELECT ROUND(CASE WHEN nr > 0 AND nc > 0
+                           THEN dot / (SQRT(nr) * SQRT(nc)) END, 6)
+                    FROM cc)
+            UNION ALL
+            SELECT 'centroid_l2', (SELECT ROUND(SQRT(d2), 6) FROM cc)
+            UNION ALL
+            SELECT 'psi_cos_to_centroid',
+                   (SELECT CAST(p AS DOUBLE) FROM psi)
         """,
         "events_forecast_baseline": """
             WITH series AS (

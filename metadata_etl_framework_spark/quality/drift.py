@@ -1450,3 +1450,154 @@ def ks_significance(
         .withColumn("lambda", F.round(F.col("_lam"), 6))
         .drop("_lam")
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Drift between two EMBEDDING snapshots — the representation-space
+    arm of the drift suite: scalar drift detectors can't see a corpus
+    whose values stay in range while its geometry moves (new topics,
+    encoder version bumps, silent domain shift).
+
+    Three readouts in one tall frame:
+
+    - ``centroid_cosine`` / ``centroid_l2``: alignment and distance of
+      the two snapshot centroids (per-dim DECIMAL-exact means).
+    - ``psi_cos_to_centroid``: each row is reduced to ONE scalar — its
+      cosine to the REFERENCE centroid — and the two scalar
+      distributions feed :func:`psi_numeric` (reference-range bins,
+      the suite's standard smoothing). A rotated or bimodally split
+      corpus moves this distribution even when the centroid barely
+      shifts.
+    - ``n_ref`` / ``n_cur``: usable-vector counts.
+
+    Scale shape: one posexplode projection per snapshot (rows × dims,
+    the GEMV layout), joined against the broadcast d-row centroid,
+    grouped back to one scalar per row; dot/norm terms accumulate as
+    DECIMAL(30,15) (the similarity family's idiom) so every scalar is
+    merge-order-independent and the SQL oracle replays it bit-for-bit.
+    Rows with NULL vectors are excluded.
+
+    Output: (metric, value) — metrics n_ref, n_cur, centroid_cosine,
+    centroid_l2, psi_cos_to_centroid.
+    """
+    dot_dec = "decimal(30,15)"
+
+    def _dims(df: DataFrame) -> DataFrame:
+        return df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("rid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        ).select("rid", "pos", F.col("x").cast("double").alias("x"))
+
+    def _centroid(df: DataFrame) -> DataFrame:
+        return _dims(df).groupBy("pos").agg(
+            (
+                F.sum(F.col("x").cast(dot_dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+
+    c_ref = _centroid(ref)
+    c_cur = _centroid(cur)
+    # centroid alignment: join the two d-row frames on dim
+    cc = (
+        c_ref.join(
+            c_cur.withColumnRenamed("m", "m2"), "pos", "full_outer"
+        )
+        .select(
+            F.coalesce("m", F.lit(0.0)).alias("m"),
+            F.coalesce("m2", F.lit(0.0)).alias("m2"),
+        )
+        .agg(
+            F.sum((F.col("m") * F.col("m2")).cast(dot_dec))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("m") * F.col("m")).cast(dot_dec))
+            .cast("double")
+            .alias("nr"),
+            F.sum((F.col("m2") * F.col("m2")).cast(dot_dec))
+            .cast("double")
+            .alias("nc"),
+            F.sum(
+                (
+                    (F.col("m") - F.col("m2"))
+                    * (F.col("m") - F.col("m2"))
+                ).cast(dot_dec)
+            )
+            .cast("double")
+            .alias("d2"),
+        )
+    )
+    cent_ref_b = F.broadcast(c_ref)
+    ref_norm = c_ref.agg(
+        F.sum((F.col("m") * F.col("m")).cast(dot_dec))
+        .cast("double")
+        .alias("cn")
+    )
+
+    def _cos_frame(df: DataFrame) -> DataFrame:
+        per = (
+            _dims(df)
+            .join(cent_ref_b, "pos")
+            .groupBy("rid")
+            .agg(
+                F.sum((F.col("x") * F.col("m")).cast(dot_dec))
+                .cast("double")
+                .alias("dot"),
+                F.sum((F.col("x") * F.col("x")).cast(dot_dec))
+                .cast("double")
+                .alias("nx"),
+            )
+        )
+        denom = F.sqrt(F.col("nx")) * F.sqrt(F.col("cn"))
+        return per.crossJoin(F.broadcast(ref_norm)).select(
+            F.when(denom > 0, F.col("dot") / denom).alias("cos")
+        )
+    rcos = _cos_frame(ref)
+    ccos = _cos_frame(cur)
+    psi = (
+        psi_numeric(rcos, ccos, "cos", n_bins=n_bins)
+        .select("psi_total")
+        .limit(1)
+    )
+
+    counts_ref = rcos.agg(F.count(F.lit(1)).alias("v"))
+    counts_cur = ccos.agg(F.count(F.lit(1)).alias("v"))
+    cos_l2 = cc.select(
+        F.when(
+            (F.col("nr") > 0) & (F.col("nc") > 0),
+            F.col("dot") / (F.sqrt(F.col("nr")) * F.sqrt(F.col("nc"))),
+        ).alias("ccos"),
+        F.sqrt(F.col("d2")).alias("cl2"),
+    )
+    rows = [
+        counts_ref.select(
+            F.lit("n_ref").alias("metric"),
+            F.col("v").cast("double").alias("value"),
+        ),
+        counts_cur.select(
+            F.lit("n_cur").alias("metric"),
+            F.col("v").cast("double").alias("value"),
+        ),
+        cos_l2.select(
+            F.lit("centroid_cosine").alias("metric"),
+            F.round("ccos", 6).alias("value"),
+        ),
+        cos_l2.select(
+            F.lit("centroid_l2").alias("metric"),
+            F.round("cl2", 6).alias("value"),
+        ),
+        psi.select(
+            F.lit("psi_cos_to_centroid").alias("metric"),
+            F.col("psi_total").cast("double").alias("value"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1648,3 +1648,31 @@ def test_rouge_l_matches_textbook_lcs(spark):
     assert got[1]["f1"] == 1.0
     assert got[2]["precision"] == 0.5 and got[2]["recall"] == 1.0
     assert got[3]["precision"] is None and got[3]["recall"] == 0.0
+
+
+def test_embedding_drift_identity_and_shift(spark):
+    """Identical snapshots give centroid cosine 1 / L2 0 / PSI 0; a
+    deterministic shifted copy moves every readout."""
+    from metadata_etl_framework_spark.quality.drift import embedding_drift
+    from metadata_etl_framework_spark.sources.tables import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    same = {r["metric"]: r["value"]
+            for r in embedding_drift(emb, emb).collect()}
+    assert same["centroid_cosine"] == 1.0
+    assert same["centroid_l2"] == 0.0
+    assert same["psi_cos_to_centroid"] == 0.0
+    assert same["n_ref"] == same["n_cur"]
+
+    shifted = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda v: v + F.lit(0.5)),
+    )
+    sh = {r["metric"]: r["value"]
+          for r in embedding_drift(emb, shifted).collect()}
+    assert sh["centroid_l2"] > 1.0  # +0.5 on 64 dims -> l2 = 4.0
+    assert sh["psi_cos_to_centroid"] > 0.1
