@@ -111,6 +111,15 @@ HEADLINE = [
     "eval_retrieval_bm25",
     "sketch_hll_rollup_events",
     "eval_regression_orders",
+    # round-10 third sweep: iterative community/peel loops under timing
+    # (persist-release vs localCheckpoint disciplines), the corpus BLEU
+    # double gram-join, the OOF encoding grid + broadcast join-back,
+    # and the embedding-drift GEMV pass
+    "graph_label_propagation",
+    "graph_kcore_ring",
+    "eval_bleu_docs",
+    "feat_target_encoding_orders",
+    "embed_drift_snapshots",
 ]
 
 

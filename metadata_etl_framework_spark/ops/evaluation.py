@@ -1176,9 +1176,19 @@ def _all_ngrams(tok_col: "F.Column", max_n: int):
 def _pair_gram_counts(
     df: DataFrame, id_col: str, text_col: str, max_n: int
 ) -> DataFrame:
-    ex = df.select(
+    # Tokenize in a SEPARATE projection: the gram lambdas reference the
+    # token array O(positions x orders) times, and inlining the
+    # split+filter there re-tokenizes the text per position (observed
+    # ~8x on the sf0.1 bench). CollapseProject keeps the stage split —
+    # it refuses to duplicate non-cheap aliases referenced more than
+    # once — so the array materializes once per row.
+    tok = df.select(
         F.col(id_col).alias("pid"),
-        F.explode(_all_ngrams(_tokens(F.col(text_col)), max_n)).alias("g"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    ex = tok.select(
+        "pid",
+        F.explode(_all_ngrams(F.col("__toks"), max_n)).alias("g"),
     )
     return ex.groupBy(
         "pid", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")

@@ -1558,8 +1558,12 @@ def embedding_drift(
         return per.crossJoin(F.broadcast(ref_norm)).select(
             F.when(denom > 0, F.col("dot") / denom).alias("cos")
         )
-    rcos = _cos_frame(ref)
-    ccos = _cos_frame(cur)
+    # the scalar frames feed FOUR consumers each (psi bin pass, psi
+    # edge pass, totals, row counts) and the tall output unions five
+    # branches — without the cache every branch replays the GEMV scan
+    # (the mutual_information persistence rationale)
+    rcos = _cos_frame(ref).persist()
+    ccos = _cos_frame(cur).persist()
     psi = (
         psi_numeric(rcos, ccos, "cos", n_bins=n_bins)
         .select("psi_total")
@@ -1600,4 +1604,10 @@ def embedding_drift(
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    # 5-row result: materialize eagerly and release the scalar caches
+    # (the mutual_information materialize-and-release convention)
+    collected = out.collect()
+    schema = out.schema
+    rcos.unpersist()
+    ccos.unpersist()
+    return ref.sparkSession.createDataFrame(collected, schema)
