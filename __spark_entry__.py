@@ -4864,6 +4864,17 @@ def _eval_rouge_summary_docs(spark, sf_dir):
     )
 
 
+def _eval_chrf_docs(spark, sf_dir):
+    """Corpus chrF2 (ops/evaluation.py::chrf_score): character
+    1..6-gram clipped precision/recall on the whitespace-stripped
+    casefolded texts, macro-averaged over orders, F_beta=2 — the
+    tokenization-free generation metric; same single-clip-join scale
+    shape as BLEU."""
+    from metadata_etl_framework_spark.ops.evaluation import chrf_score
+
+    return chrf_score(_doc_pairs(spark, sf_dir), "pid", "cand", "ref")
+
+
 def _ring_of_cliques(spark, n_groups=30, size=20):
     # G cliques of S nodes bridged in a ring — known community truth
     # for label propagation (each clique converges to its min member).
@@ -5289,6 +5300,7 @@ _EXTRA_KEYS = [
     "stats_cramers_v_docs",
     "events_forecast_baseline",
     "embed_drift_snapshots",
+    "eval_chrf_docs",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5588,6 +5600,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_cramers_v_docs": _stats_cramers_v_docs,
     "events_forecast_baseline": _events_forecast_baseline,
     "embed_drift_snapshots": _embed_drift_snapshots,
+    "eval_chrf_docs": _eval_chrf_docs,
 }
 
 
@@ -11057,6 +11070,78 @@ _ALL_SQL.update(
                                    AS DOUBLE) / COUNT(f1) END, 6)
                      AS mean_f1
             FROM per_pair
+        """,
+    }
+)
+
+
+# chrF oracle: the whitespace-strip regex, the per-order substring
+# slicing, the clip join and the decimal-summed macro-average replayed
+def _chrf_gram_arms_sql(cte: str, max_n: int) -> str:
+    arms = []
+    for n in range(1, max_n + 1):
+        arms.append(
+            f"""SELECT pid, {n} AS n,
+                unnest(list_transform(
+                  range(1, greatest(length(c) - {n} + 1, 0) + 1),
+                  i -> substr(c, i, {n}))) AS g
+                FROM {cte}"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+_ALL_SQL.update(
+    {
+        "eval_chrf_docs": f"""
+            WITH pairs AS ({_GEN_PAIRS_SQL}),
+            ct AS (SELECT pid,
+                          regexp_replace(lower(trim(coalesce(cand, ''))),
+                                         '\\s+', '', 'g') AS c
+                   FROM pairs),
+            rt AS (SELECT pid,
+                          regexp_replace(lower(trim(coalesce(ref, ''))),
+                                         '\\s+', '', 'g') AS c
+                   FROM pairs),
+            cg AS (SELECT pid, n, g, COUNT(*) AS cnt
+                   FROM ({_chrf_gram_arms_sql("ct", 6)})
+                   GROUP BY 1, 2, 3),
+            rg AS (SELECT pid, n, g, COUNT(*) AS rcnt
+                   FROM ({_chrf_gram_arms_sql("rt", 6)})
+                   GROUP BY 1, 2, 3),
+            per_n AS (SELECT COALESCE(cg.n, rg.n) AS n,
+                             SUM(LEAST(COALESCE(cg.cnt, 0),
+                                       COALESCE(rg.rcnt, 0))) AS clipped,
+                             SUM(COALESCE(cg.cnt, 0)) AS c_tot,
+                             SUM(COALESCE(rg.rcnt, 0)) AS r_tot
+                      FROM cg FULL OUTER JOIN rg
+                        ON cg.pid = rg.pid AND cg.n = rg.n
+                       AND cg.g = rg.g
+                      GROUP BY 1),
+            pr AS (SELECT
+                     CASE WHEN c_tot > 0
+                          THEN CAST(clipped AS DOUBLE) / c_tot END AS p,
+                     CASE WHEN r_tot > 0
+                          THEN CAST(clipped AS DOUBLE) / r_tot END AS r
+                   FROM per_n),
+            agg AS (SELECT
+                      CASE WHEN COUNT(p) > 0
+                           THEN CAST(SUM(CAST(ROUND(p, 12)
+                                AS DECIMAL(28,12))) AS DOUBLE)
+                                / COUNT(p) END AS ap,
+                      CASE WHEN COUNT(r) > 0
+                           THEN CAST(SUM(CAST(ROUND(r, 12)
+                                AS DECIMAL(28,12))) AS DOUBLE)
+                                / COUNT(r) END AS ar
+                    FROM pr)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs)
+                     AS n_pairs,
+                   ROUND(ap, 6) AS avg_precision,
+                   ROUND(ar, 6) AS avg_recall,
+                   ROUND(CASE WHEN ap IS NOT NULL AND ar IS NOT NULL
+                         THEN CASE WHEN 4.0 * ap + ar > 0
+                              THEN 5.0 * ap * ar / (4.0 * ap + ar)
+                              ELSE 0.0 END END, 6) AS chrf
+            FROM agg
         """,
     }
 )

@@ -1515,3 +1515,129 @@ def rouge_l(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def _pair_chargram_counts(
+    df: DataFrame, id_col: str, text_col: str, max_n: int
+) -> DataFrame:
+    """(pid, n, gram, cnt) over CHARACTER n-grams 1..max_n of the
+    casefolded text with ALL whitespace removed (the chrF convention).
+    The cleaned string materializes in its own projection (the BLEU
+    tokenizer-inlining lesson: regexp_replace referenced per gram
+    position would re-clean the text O(length) times)."""
+    cleaned = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+        r"\s+",
+        "",
+    )
+    cl = df.select(F.col(id_col).alias("pid"), cleaned.alias("__c"))
+    sz = F.length("__c")
+
+    def per_n(n):
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - n + 1),
+                lambda i: F.struct(
+                    n.alias("n"),
+                    F.col("__c").substr(i, n).alias("gram"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+
+    grams = F.flatten(
+        F.transform(F.sequence(F.lit(1), F.lit(max_n)), per_n)
+    )
+    ex = cl.select("pid", F.explode(grams).alias("g"))
+    return ex.groupBy(
+        "pid", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def chrf_score(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus chrF (Popović 2015): the character-n-gram F_β companion
+    to BLEU — robust to tokenization and morphology because it never
+    tokenizes. Character 1..max_n-grams of the whitespace-stripped
+    casefolded texts, clipped overlap per (pair, order, gram), then
+    CORPUS-level precision/recall per order (Σ clipped / Σ totals),
+    macro-averaged over the orders whose denominator is non-zero, and
+    combined as F_β with β = 2 (recall-weighted, the chrF2 standard).
+    This is the corpus-aggregated variant (sentence-level chrF
+    averages per-pair scores; document the difference when comparing
+    to sacrebleu numbers).
+
+    Same scale shape as BLEU: one gram projection + groupBy per side,
+    one (pid, n, gram) equi-join, then the max_n-row grid. Integer
+    counts end-to-end; the DuckDB oracle replays the cleaning regex
+    and the substring slicing verbatim.
+
+    Output: 1 row — (n_pairs, avg_precision 6dp, avg_recall 6dp,
+    chrf 6dp); NULL chrf when no order has grams on either side.
+    """
+    if max_n < 1 or max_n > 10:
+        raise ValueError("max_n must be in 1..10")
+    cand = _pair_chargram_counts(df, id_col, cand_col, max_n)
+    ref = _pair_chargram_counts(df, id_col, ref_col, max_n).select(
+        F.col("pid"), "n", "gram", F.col("cnt").alias("rcnt")
+    )
+    per_n = (
+        cand.join(ref, ["pid", "n", "gram"], "full_outer")
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce("cnt", F.lit(0)),
+                    F.coalesce("rcnt", F.lit(0)),
+                )
+            ).alias("clipped"),
+            F.sum(F.coalesce("cnt", F.lit(0))).alias("c_tot"),
+            F.sum(F.coalesce("rcnt", F.lit(0))).alias("r_tot"),
+        )
+    )
+    p_n = F.when(
+        F.col("c_tot") > 0,
+        F.col("clipped").cast("double") / F.col("c_tot").cast("double"),
+    )
+    r_n = F.when(
+        F.col("r_tot") > 0,
+        F.col("clipped").cast("double") / F.col("r_tot").cast("double"),
+    )
+    # macro-average via 12dp-DECIMAL sums over the bounded order grid
+    # (plain AVG of doubles is merge-order-dependent in the last ulp)
+    def _avg(term, alias):
+        cnt = F.count(term)
+        return F.when(
+            cnt > 0,
+            F.sum(F.round(term, 12).cast("decimal(28,12)")).cast("double")
+            / cnt,
+        ).alias(alias)
+
+    agg = per_n.agg(_avg(p_n, "ap"), _avg(r_n, "ar"))
+    lens = df.agg(F.count(F.lit(1)).alias("n_pairs"))
+    b2 = float(beta) * float(beta)
+    chrf = F.when(
+        F.col("ap").isNotNull()
+        & F.col("ar").isNotNull()
+        & ((b2 * F.col("ap") + F.col("ar")) > 0),
+        (1.0 + b2)
+        * F.col("ap")
+        * F.col("ar")
+        / (b2 * F.col("ap") + F.col("ar")),
+    ).otherwise(
+        F.when(F.col("ap").isNotNull() & F.col("ar").isNotNull(), F.lit(0.0))
+    )
+    return lens.join(F.broadcast(agg)).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("ap", 6).alias("avg_precision"),
+        F.round("ar", 6).alias("avg_recall"),
+        F.round(chrf, 6).alias("chrf"),
+    )

@@ -1676,3 +1676,28 @@ def test_embedding_drift_identity_and_shift(spark):
           for r in embedding_drift(emb, shifted).collect()}
     assert sh["centroid_l2"] > 1.0  # +0.5 on 64 dims -> l2 = 4.0
     assert sh["psi_cos_to_centroid"] > 0.1
+
+
+def test_chrf_invariances_and_hand_case(spark):
+    """chrF ignores tokenization/case/whitespace (perfect score on a
+    re-spaced recasing); the abcd/abce hand case matches the clipped
+    char-gram arithmetic."""
+    from metadata_etl_framework_spark.ops.evaluation import chrf_score
+
+    inv = spark.createDataFrame(
+        [(1, "hello world", "HEL LO\tWORLD")],
+        "pid long, cand string, ref string",
+    )
+    r = chrf_score(inv, "pid", "cand", "ref").collect()[0]
+    assert (r["avg_precision"], r["avg_recall"], r["chrf"]) == (1.0, 1.0, 1.0)
+
+    # cand=abcd ref=abce: per order clipped/total = 3/4, 2/3, 1/2, 0/1
+    h = spark.createDataFrame(
+        [(1, "abcd", "abce")], "pid long, cand string, ref string"
+    )
+    x = chrf_score(h, "pid", "cand", "ref", max_n=4).collect()[0]
+    ap = (3 / 4 + 2 / 3 + 1 / 2 + 0) / 4
+    assert abs(x["avg_precision"] - round(ap, 6)) < 1e-6
+    assert abs(x["avg_recall"] - round(ap, 6)) < 1e-6  # symmetric lengths
+    chrf = 5 * ap * ap / (4 * ap + ap)
+    assert abs(x["chrf"] - round(chrf, 6)) < 1e-6
