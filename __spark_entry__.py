@@ -4864,6 +4864,22 @@ def _eval_rouge_summary_docs(spark, sf_dir):
     )
 
 
+def _events_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware anomaly detection (quality/anomaly.py::
+    detect_seasonal_residual): hourly value means, modular season 24,
+    z > 2.5 on the residual vs each hour-of-cycle's own mean — the
+    'normal for 2 a.m.' filter; acf_table series shape + the
+    detect_zscore partition-order-independent stats on residuals."""
+    from metadata_etl_framework_spark.quality.anomaly import (
+        detect_seasonal_residual,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return detect_seasonal_residual(
+        ev, "ts", "value", bucket_seconds=3600, season=24, threshold=2.5
+    )
+
+
 def _eval_chrf_docs(spark, sf_dir):
     """Corpus chrF2 (ops/evaluation.py::chrf_score): character
     1..6-gram clipped precision/recall on the whitespace-stripped
@@ -5301,6 +5317,7 @@ _EXTRA_KEYS = [
     "events_forecast_baseline",
     "embed_drift_snapshots",
     "eval_chrf_docs",
+    "events_seasonal_anomaly",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5601,6 +5618,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_forecast_baseline": _events_forecast_baseline,
     "embed_drift_snapshots": _embed_drift_snapshots,
     "eval_chrf_docs": _eval_chrf_docs,
+    "events_seasonal_anomaly": _events_seasonal_anomaly,
 }
 
 
@@ -11070,6 +11088,60 @@ _ALL_SQL.update(
                                    AS DOUBLE) / COUNT(f1) END, 6)
                      AS mean_f1
             FROM per_pair
+        """,
+    }
+)
+
+
+# seasonal-residual anomaly oracle (quality/anomaly.py::
+# detect_seasonal_residual): bucketed means, modular-season
+# expectations, and the partition-order-independent residual z replayed
+_ALL_SQL.update(
+    {
+        "events_seasonal_anomaly": """
+            WITH series AS (
+              SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS i,
+                     CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(*) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            s2 AS (SELECT i, y, i % 24 AS season_idx FROM series),
+            expect AS (SELECT season_idx,
+                              CASE WHEN COUNT(*) > 1
+                                   THEN CAST(SUM(CAST(y AS
+                                        DECIMAL(30,10))) AS DOUBLE)
+                                        / COUNT(*) END AS expected
+                       FROM s2 GROUP BY 1),
+            resid AS (SELECT s2.i, s2.season_idx, s2.y, e.expected,
+                             s2.y - e.expected AS residual
+                      FROM s2 JOIN expect e
+                        ON s2.season_idx = e.season_idx),
+            st AS (SELECT CAST(SUM(CAST(residual AS DECIMAL(30,10)))
+                          AS DOUBLE) AS _sum,
+                          COUNT(residual) AS _n
+                   FROM resid WHERE residual IS NOT NULL),
+            m AS (SELECT CASE WHEN _n > 0 THEN _sum / _n END AS _mean,
+                         _n
+                  FROM st),
+            v AS (SELECT CAST(SUM(CAST((residual - _mean)
+                          * (residual - _mean) AS DECIMAL(30,12)))
+                          AS DOUBLE) AS _ss,
+                         ANY_VALUE(_mean) AS _mean,
+                         ANY_VALUE(_n) AS _n
+                  FROM resid, m WHERE residual IS NOT NULL),
+            sd AS (SELECT _mean,
+                          CASE WHEN _n > 1 THEN SQRT(_ss / (_n - 1)) END
+                            AS _std
+                   FROM v)
+            SELECT i, season_idx,
+                   ROUND(y, 6) AS y,
+                   ROUND(expected, 6) AS expected,
+                   ROUND(residual, 6) AS residual,
+                   ROUND((residual - _mean) / _std, 6) AS z
+            FROM resid, sd
+            WHERE residual IS NOT NULL AND _std > 0
+              AND ABS((residual - _mean) / _std) > 2.5
         """,
     }
 )

@@ -649,3 +649,107 @@ def detect_robust_zscore_grouped(
             F.round("robust_z", 6).alias("robust_z"),
         )
     )
+
+
+def detect_seasonal_residual(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    season: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection on a bucketed metric series:
+    z-score the RESIDUAL against the seasonal expectation instead of
+    the raw value — a 2 a.m. spike that is normal FOR 2 A.M. stops
+    alerting, and a "normal-looking" noon value that is low-for-noon
+    starts to. The anomaly-side complement of seasonal_profile's
+    interpretation table and forecast_baseline_eval's backtest.
+
+    The series is the per-bucket DECIMAL-exact mean indexed by
+    epoch//bucket_seconds (the acf_table shape — one row-scale
+    groupBy); season index = bucket % season (modular seasonality,
+    matching the backtest's integer-season convention). The seasonal
+    expectation is each index's mean over the bounded (<= season)-row
+    grid, residual = y − expected, and the flag is the classic
+    z > threshold on residuals with the partition-order-independent
+    mean/std (the detect_zscore arithmetic, applied to residuals).
+    Season indexes observed fewer than 2 times keep NULL expectation
+    and are never flagged (no seasonal evidence to judge against).
+
+    Output: (i, season_idx, y 6dp, expected 6dp, residual 6dp, z 6dp)
+    for buckets with |z| > threshold.
+    """
+    if season < 1 or bucket_seconds < 1:
+        raise ValueError("season and bucket_seconds must be >= 1")
+    x = F.col(value_col).cast("double")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .groupBy(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        )
+        .agg(
+            (
+                F.sum(x.cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .withColumn("season_idx", F.col("i") % season)
+    )
+    expect = series.groupBy("season_idx").agg(
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.sum(F.col("y").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1)),
+        ).alias("expected"),
+    )
+    resid = series.join(F.broadcast(expect), "season_idx").withColumn(
+        "residual", F.col("y") - F.col("expected")
+    )
+    stats = resid.where(F.col("residual").isNotNull()).agg(
+        F.sum(F.col("residual").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("_sum"),
+        F.count("residual").alias("_n"),
+    )
+    mean = F.when(F.col("_n") > 0, F.col("_sum") / F.col("_n"))
+    with_mean = resid.crossJoin(
+        F.broadcast(stats.select(mean.alias("_mean"), "_n"))
+    )
+    var = with_mean.where(F.col("residual").isNotNull()).agg(
+        F.sum(
+            (
+                (F.col("residual") - F.col("_mean"))
+                * (F.col("residual") - F.col("_mean"))
+            ).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("_ss"),
+        F.first("_mean").alias("_mean"),
+        F.first("_n").alias("_n"),
+    )
+    sd = var.select(
+        "_mean",
+        F.when(
+            F.col("_n") > 1, F.sqrt(F.col("_ss") / (F.col("_n") - 1))
+        ).alias("_std"),
+    )
+    z = F.when(
+        F.col("_std") > 0,
+        (F.col("residual") - F.col("_mean")) / F.col("_std"),
+    )
+    return (
+        with_mean.drop("_mean", "_n")
+        .crossJoin(F.broadcast(sd))
+        .where(z.isNotNull() & (F.abs(z) > threshold))
+        .select(
+            "i",
+            "season_idx",
+            F.round("y", 6).alias("y"),
+            F.round("expected", 6).alias("expected"),
+            F.round("residual", 6).alias("residual"),
+            F.round(z, 6).alias("z"),
+        )
+    )

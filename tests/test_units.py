@@ -1701,3 +1701,36 @@ def test_chrf_invariances_and_hand_case(spark):
     assert abs(x["avg_recall"] - round(ap, 6)) < 1e-6  # symmetric lengths
     chrf = 5 * ap * ap / (4 * ap + ap)
     assert abs(x["chrf"] - round(chrf, 6)) < 1e-6
+
+
+def test_seasonal_residual_anomaly_injected_spike(spark):
+    """An exactly periodic series with one injected spike flags exactly
+    that bucket, with the seasonal expectation (not the global mean) as
+    the baseline; the spike-free series flags nothing."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.quality.anomaly import (
+        detect_seasonal_residual,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    cyc = [1.0, 5.0, 2.0, 8.0]
+    clean_rows = [(base + dt.timedelta(hours=h), cyc[h % 4])
+                  for h in range(96)]
+    clean = spark.createDataFrame(clean_rows, "ts timestamp, v double")
+    assert detect_seasonal_residual(
+        clean, "ts", "v", 3600, season=4, threshold=3.0
+    ).count() == 0
+
+    rows = list(clean_rows)
+    rows[50] = (rows[50][0], 50.0)
+    spiked = spark.createDataFrame(rows, "ts timestamp, v double")
+    hits = detect_seasonal_residual(
+        spiked, "ts", "v", 3600, season=4, threshold=3.0
+    ).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    # season-2 expectation: (2*23 + 50)/24 = 4.0; residual 46
+    assert (h["season_idx"], h["y"], h["expected"], h["residual"]) == (
+        2, 50.0, 4.0, 46.0
+    )
