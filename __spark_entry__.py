@@ -4864,6 +4864,23 @@ def _eval_rouge_summary_docs(spark, sf_dir):
     )
 
 
+def _events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (ops/attribution.py::
+    markov_attribution): per-user journey windows -> transition
+    shares -> 20 fixed rounds of value iteration, base chain + one
+    removal chain per channel — row-scale windows distributed, the
+    solve on the bounded collected state grid (integer micro-units of
+    ROUND(p*v,12), bit-replayed by the unrolled-CTE oracle)."""
+    from metadata_etl_framework_spark.ops.attribution import (
+        markov_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "purchase", ["click", "view", "signup"], iterations=20
+    )
+
+
 def _events_seasonal_anomaly(spark, sf_dir):
     """Seasonality-aware anomaly detection (quality/anomaly.py::
     detect_seasonal_residual): hourly value means, modular season 24,
@@ -5318,6 +5335,7 @@ _EXTRA_KEYS = [
     "embed_drift_snapshots",
     "eval_chrf_docs",
     "events_seasonal_anomaly",
+    "events_markov_attribution",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5619,6 +5637,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_drift_snapshots": _embed_drift_snapshots,
     "eval_chrf_docs": _eval_chrf_docs,
     "events_seasonal_anomaly": _events_seasonal_anomaly,
+    "events_markov_attribution": _events_markov_attribution,
 }
 
 
@@ -11091,6 +11110,137 @@ _ALL_SQL.update(
         """,
     }
 )
+
+
+# Markov removal-effect attribution oracle (ops/attribution.py::
+# markov_attribution): journey windows, transition shares, and the
+# fixed-iteration value-iteration solve replayed — the driver-side
+# integer-micro-unit arithmetic is exactly ROUND(p*v,12) accumulated
+# as DECIMAL(28,12), so every v matches bit-for-bit per round
+_MARKOV_TOUCHES = ["click", "view", "signup"]
+_MARKOV_ITERS = 20
+
+
+def _markov_value_iter_sql(tr: str, px: str) -> str:
+    sts = ", ".join(f"'{s}'" for s in _MARKOV_TOUCHES + ["start"])
+    # MATERIALIZED per round: inlined, each chain is a 20-deep nested
+    # subquery and the planner (not execution) blows up — the k-core
+    # oracle lesson applied to the value iteration
+    ctes = [
+        f"""{px}0 AS MATERIALIZED (
+             SELECT UNNEST([{sts}]) AS state, 0.0 AS v
+             UNION ALL SELECT 'conv', 1.0
+             UNION ALL SELECT 'null', 0.0)"""
+    ]
+    for i in range(1, _MARKOV_ITERS + 1):
+        ctes.append(
+            f"""{px}{i} AS MATERIALIZED (
+              SELECT st.state, COALESCE(nv.v, 0.0) AS v
+              FROM (SELECT UNNEST([{sts}]) AS state) st
+              LEFT JOIN (SELECT t.s AS state,
+                                CAST(SUM(CAST(ROUND(t.p * pv.v, 12)
+                                     AS DECIMAL(28,12))) AS DOUBLE) AS v
+                         FROM {tr} t JOIN {px}{i-1} pv
+                           ON t.d = pv.state
+                         GROUP BY 1) nv ON st.state = nv.state
+              UNION ALL SELECT 'conv', 1.0
+              UNION ALL SELECT 'null', 0.0)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _markov_attribution_sql() -> str:
+    touches_in = ", ".join(f"'{t}'" for t in _MARKOV_TOUCHES)
+    removed_trs = []
+    solves = [_markov_value_iter_sql("tr", "b")]
+    for t in _MARKOV_TOUCHES:
+        removed_trs.append(
+            f"""tr_{t} AS MATERIALIZED (
+              SELECT s, d2 AS d,
+                     CAST(SUM(CAST(ROUND(p, 12) AS DECIMAL(28,12)))
+                          AS DOUBLE) AS p
+              FROM (SELECT s,
+                           CASE WHEN d = '{t}' THEN 'null' ELSE d END
+                             AS d2,
+                           p
+                    FROM tr WHERE s <> '{t}')
+              GROUP BY 1, 2)"""
+        )
+        solves.append(_markov_value_iter_sql(f"tr_{t}", f"r{t}"))
+    k = _MARKOV_ITERS
+    eff_cols = ", ".join(
+        f"GREATEST(base - r_{t}, 0.0) AS e_{t}" for t in _MARKOV_TOUCHES
+    )
+    te_expr = " + ".join(f"e_{t}" for t in _MARKOV_TOUCHES)
+    arms = []
+    for t in _MARKOV_TOUCHES:
+        arms.append(
+            f"""SELECT '{t}' AS touch,
+                   ROUND(base, 6) AS base_conversion,
+                   ROUND(r_{t}, 6) AS removed_conversion,
+                   ROUND(e_{t}, 6) AS removal_effect,
+                   ROUND(CASE WHEN te > 0 THEN e_{t} / te END, 6)
+                     AS share
+               FROM tot"""
+        )
+    return f"""
+      WITH ev AS (SELECT user_id AS u, ts AS t, event_id AS eid,
+                         event_type AS st
+                  FROM events
+                  WHERE event_type IN ({touches_in}, 'purchase')
+                    AND user_id IS NOT NULL AND ts IS NOT NULL),
+      tagged AS (SELECT *,
+                        COALESCE(SUM(CASE WHEN st = 'purchase'
+                                     THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY u ORDER BY t, eid
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS jid
+                 FROM ev),
+      tch AS (SELECT * FROM tagged WHERE st <> 'purchase'),
+      steps AS (SELECT COALESCE(LAG(st) OVER (PARTITION BY u, jid
+                                              ORDER BY t, eid),
+                                'start') AS s,
+                       st AS d
+                FROM tch),
+      lastt AS (SELECT u, jid, st AS lt
+                FROM (SELECT u, jid, st,
+                             ROW_NUMBER() OVER (PARTITION BY u, jid
+                               ORDER BY t DESC, eid DESC) AS rn
+                      FROM tch)
+                WHERE rn = 1),
+      perj AS (SELECT g.u, g.jid, g.has_conv, l.lt
+               FROM (SELECT u, jid,
+                            MAX(CASE WHEN st = 'purchase'
+                                THEN 1 ELSE 0 END) AS has_conv
+                     FROM tagged GROUP BY 1, 2) g
+               LEFT JOIN lastt l ON g.u = l.u AND g.jid = l.jid),
+      ends AS (SELECT COALESCE(lt, 'start') AS s,
+                      CASE WHEN has_conv = 1 THEN 'conv'
+                           ELSE 'null' END AS d
+               FROM perj),
+      cnts AS (SELECT s, d, COUNT(*) AS c
+               FROM (SELECT s, d FROM steps
+                     UNION ALL SELECT s, d FROM ends)
+               GROUP BY 1, 2),
+      tot_s AS (SELECT s, SUM(c) AS n FROM cnts GROUP BY 1),
+      tr AS MATERIALIZED (SELECT cnts.s, cnts.d,
+                     CAST(cnts.c AS DOUBLE) / CAST(tot_s.n AS DOUBLE)
+                       AS p
+              FROM cnts JOIN tot_s ON cnts.s = tot_s.s),
+      {",".join(removed_trs)},
+      {",".join(solves)},
+      fin AS (SELECT (SELECT v FROM b{k} WHERE state = 'start')
+                       AS base,
+                     {", ".join(
+                       f"(SELECT v FROM r{t}{k} WHERE state = 'start')"
+                       f" AS r_{t}" for t in _MARKOV_TOUCHES)}),
+      eff AS (SELECT *, {eff_cols} FROM fin),
+      tot AS (SELECT *, {te_expr} AS te FROM eff)
+      {" UNION ALL ".join(arms)}
+    """
+
+
+_ALL_SQL.update({"events_markov_attribution": _markov_attribution_sql()})
 
 
 # seasonal-residual anomaly oracle (quality/anomaly.py::

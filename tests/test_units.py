@@ -1734,3 +1734,32 @@ def test_seasonal_residual_anomaly_injected_spike(spark):
     assert (h["season_idx"], h["y"], h["expected"], h["residual"]) == (
         2, 50.0, 4.0, 46.0
     )
+
+
+def test_markov_attribution_closed_form(spark):
+    """Three hand journeys (click->conv, view->none,
+    click->view->conv): base conversion 2/3 by the absorbing-chain
+    closed form; removing click leaves only start->view->conv at
+    1/3 * 1/2 = 1/6; click out-credits view."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.attribution import (
+        markov_attribution,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for u, seq in ((1, ["click", "purchase"]), (2, ["view"]),
+                   (3, ["click", "view", "purchase"])):
+        for t in seq:
+            rows.append((eid, base + dt.timedelta(minutes=eid), u, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["touch"]: r for r in markov_attribution(
+        df, "purchase", ["click", "view"], iterations=25).collect()}
+    assert got["click"]["base_conversion"] == 0.666667
+    assert got["click"]["removed_conversion"] == 0.166667
+    assert got["view"]["removed_conversion"] == 0.333333
+    assert got["click"]["share"] == 0.6 and got["view"]["share"] == 0.4
