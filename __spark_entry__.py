@@ -4864,6 +4864,50 @@ def _eval_rouge_summary_docs(spark, sf_dir):
     )
 
 
+def _orders_uplift_frame(spark, sf_dir):
+    # deterministic uplift fixture: treatment = odd orderkey, outcome =
+    # fulfilled, score = the orderkey sawtooth (tie-heavy, exercises
+    # the deterministic NTILE tie-break)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") * 7) % 101).cast("double").alias("s"),
+        (F.col("o_orderkey") % 2 == 1).alias("t"),
+        F.when(
+            F.col("o_orderstatus").isNotNull(),
+            F.col("o_orderstatus") == "F",
+        ).alias("y"),
+    )
+
+
+def _eval_qini_orders(spark, sf_dir):
+    """Uplift/Qini decile table (ops/evaluation.py::qini_table):
+    exact-NTILE buckets on (-score, id), per-bucket treatment/control
+    rates and the cumulative qini(k) curve — bounded-grid cumulative
+    only; integer counts end-to-end."""
+    from metadata_etl_framework_spark.ops.evaluation import qini_table
+
+    return qini_table(
+        _orders_uplift_frame(spark, sf_dir), "s", "t", "y", "id", 10
+    )
+
+
+def _eval_qini_coefficient_orders(spark, sf_dir):
+    """1-row discrete Qini coefficient (ops/evaluation.py::
+    qini_coefficient) over the decile grid — unit-width area minus the
+    diagonal's."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        qini_coefficient,
+        qini_table,
+    )
+
+    return qini_coefficient(
+        qini_table(
+            _orders_uplift_frame(spark, sf_dir), "s", "t", "y", "id", 10
+        )
+    )
+
+
 def _events_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution (ops/attribution.py::
     markov_attribution): per-user journey windows -> transition
@@ -5336,6 +5380,8 @@ _EXTRA_KEYS = [
     "eval_chrf_docs",
     "events_seasonal_anomaly",
     "events_markov_attribution",
+    "eval_qini_orders",
+    "eval_qini_coefficient_orders",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5638,6 +5684,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_chrf_docs": _eval_chrf_docs,
     "events_seasonal_anomaly": _events_seasonal_anomaly,
     "events_markov_attribution": _events_markov_attribution,
+    "eval_qini_orders": _eval_qini_orders,
+    "eval_qini_coefficient_orders": _eval_qini_coefficient_orders,
 }
 
 
@@ -11107,6 +11155,82 @@ _ALL_SQL.update(
                                    AS DOUBLE) / COUNT(f1) END, 6)
                      AS mean_f1
             FROM per_pair
+        """,
+    }
+)
+
+
+# Qini/uplift oracles (ops/evaluation.py::qini_table /
+# qini_coefficient): the exact-NTILE bucketing replayed by the window
+# function, integer cumulatives, the discrete unit-width coefficient
+_QINI_GRID_SQL = """
+  WITH base AS (
+    SELECT o_orderkey AS id,
+           -(CAST((o_orderkey * 7) % 101 AS DOUBLE)) AS neg,
+           CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL),
+  bk AS (SELECT NTILE(10) OVER (ORDER BY neg, id) AS bucket, t, y
+         FROM base),
+  grid AS (SELECT bucket,
+                  SUM(t) AS n_treat,
+                  SUM(1 - t) AS n_ctrl,
+                  SUM(t * y) AS conv_treat,
+                  SUM((1 - t) * y) AS conv_ctrl
+           FROM bk GROUP BY 1),
+  cum AS (SELECT *,
+                 SUM(n_treat) OVER w AS cnt,
+                 SUM(n_ctrl) OVER w AS cnc,
+                 SUM(conv_treat) OVER w AS cyt,
+                 SUM(conv_ctrl) OVER w AS cyc
+          FROM grid
+          WINDOW w AS (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+  SELECT bucket,
+         CAST(n_treat AS BIGINT) AS n_treat,
+         CAST(n_ctrl AS BIGINT) AS n_ctrl,
+         CAST(conv_treat AS BIGINT) AS conv_treat,
+         CAST(conv_ctrl AS BIGINT) AS conv_ctrl,
+         ROUND(CASE WHEN n_treat > 0
+               THEN CAST(conv_treat AS DOUBLE) / n_treat END, 6)
+           AS rate_treat,
+         ROUND(CASE WHEN n_ctrl > 0
+               THEN CAST(conv_ctrl AS DOUBLE) / n_ctrl END, 6)
+           AS rate_ctrl,
+         ROUND(CASE WHEN n_treat > 0 AND n_ctrl > 0
+               THEN CAST(conv_treat AS DOUBLE) / n_treat
+                    - CAST(conv_ctrl AS DOUBLE) / n_ctrl END, 6)
+           AS uplift,
+         ROUND(CASE WHEN cnc > 0
+               THEN CAST(cyt AS DOUBLE)
+                    - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE)
+                      / CAST(cnc AS DOUBLE) END, 6) AS qini
+  FROM cum
+"""
+
+_ALL_SQL.update(
+    {
+        "eval_qini_orders": _QINI_GRID_SQL,
+        "eval_qini_coefficient_orders": f"""
+            WITH g AS ({_QINI_GRID_SQL})
+            SELECT CAST(COUNT(qini) AS BIGINT) AS n_buckets,
+                   ROUND(CASE WHEN COUNT(qini) > 0
+                         THEN CAST(SUM(CAST(qini AS DECIMAL(28,12)))
+                              AS DOUBLE) / COUNT(qini) END, 6)
+                     AS qini_auc,
+                   ROUND((SELECT qini FROM g
+                          WHERE bucket = (SELECT MAX(bucket) FROM g))
+                         / 2.0, 6) AS qini_random,
+                   ROUND(CASE WHEN COUNT(qini) > 0
+                         THEN CAST(SUM(CAST(qini AS DECIMAL(28,12)))
+                              AS DOUBLE) / COUNT(qini) END
+                         - (SELECT qini FROM g
+                            WHERE bucket =
+                              (SELECT MAX(bucket) FROM g)) / 2.0, 6)
+                     AS qini_coefficient
+            FROM g
         """,
     }
 )

@@ -494,7 +494,7 @@ class TransformEngine:
         mode = cfg.get("mode", "suite")
         allowed_modes = {
             "suite", "thresholds", "multiclass", "multiclass_summary",
-            "regression", "bleu", "rouge",
+            "regression", "bleu", "rouge", "chrf",
         }
         if mode not in allowed_modes:
             # a typo'd mode must not silently fall back to 'suite'
@@ -502,9 +502,10 @@ class TransformEngine:
                 f"unknown score_eval mode {mode!r}; "
                 f"expected one of {sorted(allowed_modes)}"
             )
-        if mode in ("bleu", "rouge"):
+        if mode in ("bleu", "rouge", "chrf"):
             from metadata_etl_framework_spark.ops.evaluation import (
                 bleu_corpus,
+                chrf_score,
                 rouge_n,
                 rouge_summary,
             )
@@ -520,6 +521,12 @@ class TransformEngine:
             if mode == "bleu":
                 return bleu_corpus(
                     data, idc, cand, ref, max_n=int(cfg.get("max_n", 4))
+                )
+            if mode == "chrf":
+                return chrf_score(
+                    data, idc, cand, ref,
+                    max_n=int(cfg.get("max_n", 6)),
+                    beta=float(cfg.get("beta", 2.0)),
                 )
             per = rouge_n(data, idc, cand, ref, n=int(cfg.get("n", 2)))
             return (

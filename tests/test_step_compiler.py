@@ -439,6 +439,11 @@ def test_score_eval_step_generation_modes(spark):
                   "config": dict(cfg, mode="rouge", n=1)}]).collect()[0]
     assert summ["n_pairs"] == 2
 
+    ch = _run(spark, {"d": pairs},
+              [{"type": "score_eval",
+                "config": dict(cfg, mode="chrf")}]).collect()[0]
+    assert ch["n_pairs"] == 2 and 0 < ch["chrf"] < 1
+
     with pytest.raises(ValueError, match="generation modes"):
         _run(spark, {"d": pairs},
              [{"type": "score_eval", "config": {"mode": "bleu"}}])

@@ -1763,3 +1763,35 @@ def test_markov_attribution_closed_form(spark):
     assert got["click"]["removed_conversion"] == 0.166667
     assert got["view"]["removed_conversion"] == 0.333333
     assert got["click"]["share"] == 0.6 and got["view"]["share"] == 0.4
+
+
+def test_qini_monotone_uplift_fixture(spark):
+    """A score that IS the uplift driver yields a declining per-bucket
+    uplift and a positive Qini coefficient; a useless (constant)
+    score yields a coefficient of ~0 against its own diagonal."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        qini_coefficient,
+        qini_table,
+    )
+
+    rows = []
+    for i in range(2000):
+        s = (i * 37 % 100) / 100.0
+        t = i % 2
+        # deterministic outcome: treated convert iff s >= .5, control
+        # convert iff i % 10 == 0 (uplift concentrated in high scores)
+        y = int((t == 1 and s >= 0.5) or i % 10 == 0)
+        rows.append((i, s, t, y))
+    df = spark.createDataFrame(rows, "id long, s double, t int, y int")
+    tab = qini_table(df, "s", "t", "y", "id", n_buckets=10)
+    grid = {r["bucket"]: r for r in tab.collect()}
+    assert grid[1]["uplift"] > grid[10]["uplift"]
+    assert grid[10]["qini"] is not None
+    co = qini_coefficient(tab).collect()[0]
+    assert co["qini_coefficient"] > 0
+
+    flat = df.withColumn("s", F.lit(1.0))
+    co2 = qini_coefficient(
+        qini_table(flat, "s", "t", "y", "id", n_buckets=10)
+    ).collect()[0]
+    assert abs(co2["qini_coefficient"]) < co["qini_coefficient"] / 4
