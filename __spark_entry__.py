@@ -4125,6 +4125,17 @@ def _events_kaplan_meier(spark, sf_dir):
     return kaplan_meier(ev, horizon_days=7)
 
 
+def _events_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard (ops/retention.py::
+    nelson_aalen): H(t) = Σ d/n over the same censored-lifetime frame
+    as the KM entry — a 12dp-DECIMAL prefix sum on the
+    calendar-bounded grid instead of the exp(Σ ln) product."""
+    from metadata_etl_framework_spark.ops.retention import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    return nelson_aalen(ev, horizon_days=7)
+
+
 def _events_ab_test(spark, sf_dir):
     """A/B readout over events: users split by id parity, conversion =
     any purchase; per-variant rates + pooled two-proportion z
@@ -4908,6 +4919,28 @@ def _eval_qini_coefficient_orders(spark, sf_dir):
     )
 
 
+def _eval_covariate_balance_orders(spark, sf_dir):
+    """Treatment/control covariate balance (ops/evaluation.py::
+    covariate_balance): SMD per numeric covariate from one
+    stacked-columns scan with DECIMAL-exact sum/sum-of-squares arms —
+    'price' is randomized-balanced, the constructed 'biased' column
+    (+500 under treatment) must flag."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        covariate_balance,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    frame = o.where(F.col("o_orderkey").isNotNull()).select(
+        (F.col("o_orderkey") % 2 == 1).alias("t"),
+        F.col("o_totalprice").alias("price"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 2 == 1, 500.0).otherwise(0.0)
+        ).alias("biased"),
+    )
+    return covariate_balance(frame, "t", ["price", "biased"])
+
+
 def _events_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution (ops/attribution.py::
     markov_attribution): per-user journey windows -> transition
@@ -5382,6 +5415,8 @@ _EXTRA_KEYS = [
     "events_markov_attribution",
     "eval_qini_orders",
     "eval_qini_coefficient_orders",
+    "eval_covariate_balance_orders",
+    "events_nelson_aalen",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5686,6 +5721,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_attribution": _events_markov_attribution,
     "eval_qini_orders": _eval_qini_orders,
     "eval_qini_coefficient_orders": _eval_qini_coefficient_orders,
+    "eval_covariate_balance_orders": _eval_covariate_balance_orders,
+    "events_nelson_aalen": _events_nelson_aalen,
 }
 
 
@@ -9308,6 +9345,37 @@ _ALL_SQL.update(
                               ELSE EXP(cum_ln) END, 6) AS survival
             FROM fin
         """,
+        "events_nelson_aalen": r"""
+            WITH per_user AS (
+              SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY user_id),
+            oe AS (SELECT MAX(l) AS endd FROM per_user),
+            lifed AS (
+              SELECT DATEDIFF('day', CAST(f AS DATE), CAST(l AS DATE)) AS t,
+                     CASE WHEN DATEDIFF('day', CAST(l AS DATE),
+                                        CAST(endd AS DATE)) > 7
+                          THEN 1 ELSE 0 END AS event
+              FROM per_user, oe),
+            counts AS (SELECT t, COUNT(*) AS a, SUM(event) AS d
+                       FROM lifed GROUP BY t),
+            tot AS (SELECT SUM(a) AS N FROM counts),
+            cum AS (SELECT t, a, d, N, SUM(a) OVER (ORDER BY t) AS cum_a
+                    FROM counts, tot),
+            st AS (SELECT t, d, (N - cum_a + a) AS n_at_risk,
+                          CAST(ROUND(CAST(d AS DOUBLE)
+                               / CAST(N - cum_a + a AS DOUBLE), 12)
+                               AS DECIMAL(28,12)) AS inc_dec
+                   FROM cum)
+            SELECT t AS duration_days,
+                   CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   ROUND(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE),
+                         6) AS hazard_increment,
+                   ROUND(CAST(SUM(inc_dec) OVER (ORDER BY t)
+                              AS DOUBLE), 6) AS cumulative_hazard
+            FROM st
+        """,
         "dq_benford_totalprice": r"""
             WITH counts AS (
               SELECT CAST(FLOOR(x / POWER(10.0, FLOOR(LOG10(x)))) AS INT)
@@ -11155,6 +11223,58 @@ _ALL_SQL.update(
                                    AS DOUBLE) / COUNT(f1) END, 6)
                      AS mean_f1
             FROM per_pair
+        """,
+    }
+)
+
+
+# covariate-balance oracle (ops/evaluation.py::covariate_balance):
+# the stacked per-arm DECIMAL sum / sum-of-squares and the SMD formula
+_ALL_SQL.update(
+    {
+        "eval_covariate_balance_orders": """
+            WITH base AS (
+              SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END
+                       AS t,
+                     o_totalprice AS price,
+                     o_totalprice + CASE WHEN o_orderkey % 2 = 1
+                                    THEN 500.0 ELSE 0.0 END AS biased
+              FROM orders WHERE o_orderkey IS NOT NULL),
+            stacked AS (
+              SELECT t, 'price' AS col, CAST(price AS DOUBLE) AS x
+              FROM base WHERE price IS NOT NULL
+              UNION ALL
+              SELECT t, 'biased', CAST(biased AS DOUBLE)
+              FROM base WHERE biased IS NOT NULL),
+            arms AS (SELECT col, t, COUNT(*) AS n,
+                            CAST(SUM(CAST(x AS DECIMAL(30,10)))
+                                 AS DOUBLE) AS sx,
+                            CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
+                                 AS DOUBLE) AS sxx
+                     FROM stacked GROUP BY 1, 2),
+            pa AS (SELECT col, t, n, sx / n AS m,
+                          CASE WHEN n > 1
+                               THEN (sxx - sx * sx / n) / (n - 1) END
+                            AS v
+                   FROM arms),
+            tr AS (SELECT col, n AS n_treat, m AS mt, v AS vt
+                   FROM pa WHERE t = 1),
+            ct AS (SELECT col, n AS n_ctrl, m AS mc, v AS vc
+                   FROM pa WHERE t = 0)
+            SELECT COALESCE(tr.col, ct.col) AS col,
+                   CAST(COALESCE(n_treat, 0) AS BIGINT) AS n_treat,
+                   CAST(COALESCE(n_ctrl, 0) AS BIGINT) AS n_ctrl,
+                   ROUND(mt, 6) AS mean_treat,
+                   ROUND(mc, 6) AS mean_ctrl,
+                   ROUND(CASE WHEN vt IS NOT NULL AND vc IS NOT NULL
+                              AND SQRT((vt + vc) / 2.0) > 0
+                         THEN (mt - mc) / SQRT((vt + vc) / 2.0) END, 6)
+                     AS smd,
+                   CASE WHEN vt IS NOT NULL AND vc IS NOT NULL
+                        AND SQRT((vt + vc) / 2.0) > 0
+                   THEN ABS(ROUND((mt - mc) / SQRT((vt + vc) / 2.0),
+                                  6)) > 0.1 END AS imbalanced
+            FROM tr FULL OUTER JOIN ct ON tr.col = ct.col
         """,
     }
 )

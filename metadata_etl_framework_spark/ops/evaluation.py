@@ -1760,3 +1760,93 @@ def qini_coefficient(table: DataFrame) -> DataFrame:
         F.round(last / 2.0, 6).alias("qini_random"),
         F.round(auc - last / 2.0, 6).alias("qini_coefficient"),
     )
+
+
+def covariate_balance(
+    df: DataFrame,
+    treatment_col: str,
+    numeric_cols: "list[str]",
+) -> DataFrame:
+    """Standardized mean differences between treatment and control for
+    a list of numeric covariates — the pre-test every uplift/AB
+    readout (qini_table, ab_test) should be gated on: |SMD| > 0.1 is
+    the conventional imbalance flag, and an imbalanced assignment
+    makes the downstream effect estimates confounded, not just noisy.
+
+    SMD(col) = (mean_t − mean_c) / sqrt((var_t + var_c)/2), with
+    means/variances from DECIMAL-exact Σx / Σx² per arm (sample
+    variance). ONE stacked-columns scan (the cramers_v_matrix shape)
+    builds every covariate's per-arm sums at once; everything after is
+    the bounded (cols × 2) grid. Rows with a NULL treatment are
+    excluded; NULL covariate values are excluded per column.
+
+    Output: (col, n_treat, n_ctrl, mean_treat 6dp, mean_ctrl 6dp,
+    smd 6dp, imbalanced bool — |SMD| > 0.1); smd NULL when an arm is
+    empty/constant-pooled.
+    """
+    if not numeric_cols:
+        raise ValueError("numeric_cols must be non-empty")
+    t = F.col(treatment_col).cast("boolean").cast("int")
+    stacked = (
+        df.where(F.col(treatment_col).isNotNull())
+        .select(
+            t.alias("t"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(c).cast("double").alias("x"),
+                        )
+                        for c in numeric_cols
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("t", "s.col", "s.x")
+        .where(F.col("x").isNotNull())
+    )
+    arms = stacked.groupBy("col", "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1),
+    )
+    per_arm = arms.select(
+        "col", "t", "n", mean.alias("m"), var.alias("v")
+    )
+    tr = per_arm.where(F.col("t") == 1).select(
+        "col",
+        F.col("n").alias("n_treat"),
+        F.col("m").alias("mt"),
+        F.col("v").alias("vt"),
+    )
+    ct = per_arm.where(F.col("t") == 0).select(
+        "col",
+        F.col("n").alias("n_ctrl"),
+        F.col("m").alias("mc"),
+        F.col("v").alias("vc"),
+    )
+    pooled = F.sqrt((F.col("vt") + F.col("vc")) / 2.0)
+    smd = F.when(
+        F.col("vt").isNotNull() & F.col("vc").isNotNull() & (pooled > 0),
+        (F.col("mt") - F.col("mc")) / pooled,
+    )
+    return tr.join(ct, "col", "full_outer").select(
+        "col",
+        F.coalesce("n_treat", F.lit(0)).cast("long").alias("n_treat"),
+        F.coalesce("n_ctrl", F.lit(0)).cast("long").alias("n_ctrl"),
+        F.round("mt", 6).alias("mean_treat"),
+        F.round("mc", 6).alias("mean_ctrl"),
+        F.round(smd, 6).alias("smd"),
+        F.when(smd.isNotNull(), F.abs(F.round(smd, 6)) > 0.1).alias(
+            "imbalanced"
+        ),
+    )

@@ -828,3 +828,72 @@ def inter_event_gaps(
         F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
         F.round(F.max("gap_s"), 6).alias("max_gap_s"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over user lifetimes — the
+    additive companion to :func:`kaplan_meier`: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ.
+    Where KM answers "what fraction survives to t", the hazard slope
+    answers WHEN churn pressure spikes (onboarding cliff vs steady
+    decay), and H is the quantity that regression models (Cox) are
+    fitted against. Same censoring convention as KM: last event more
+    than ``horizon_days`` before the corpus end = churned, else
+    censored at the current lifetime.
+
+    Identical plan shape to kaplan_meier — one user-keyed aggregate,
+    then the distinct-lifetime calendar-bounded frame — but the
+    estimator is a pure prefix SUM of dᵢ/nᵢ (no log/exp needed), with
+    the per-lifetime terms rounded to 12dp and accumulated as DECIMAL
+    so the curve is merge-order-independent.
+
+    Output: one row per distinct lifetime — (duration_days, n_at_risk,
+    n_events, hazard_increment 6dp, cumulative_hazard 6dp).
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last"))
+    )
+    obs_end = per_user.agg(F.max("_last").alias("_end"))
+    lifed = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t"),
+        (
+            F.datediff(F.col("_end"), F.col("_last"))
+            > F.lit(int(horizon_days))
+        )
+        .cast("int")
+        .alias("event"),
+    )
+    counts = lifed.groupBy("t").agg(
+        F.count(F.lit(1)).alias("a"),
+        F.sum("event").alias("d"),
+    )
+    total = counts.agg(F.sum("a").alias("_N"))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_cum_a", F.sum("a").over(w_cum))
+        .withColumn(
+            "n_at_risk", F.col("_N") - F.col("_cum_a") + F.col("a")
+        )
+    )
+    inc = F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    stepped = cum.withColumn(
+        "_inc_dec", F.round(inc, 12).cast("decimal(28,12)")
+    ).withColumn(
+        "_H", F.sum("_inc_dec").over(w_cum).cast("double")
+    )
+    return stepped.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(inc, 6).alias("hazard_increment"),
+        F.round("_H", 6).alias("cumulative_hazard"),
+    )

@@ -1795,3 +1795,58 @@ def test_qini_monotone_uplift_fixture(spark):
         qini_table(flat, "s", "t", "y", "id", n_buckets=10)
     ).collect()[0]
     assert abs(co2["qini_coefficient"]) < co["qini_coefficient"] / 4
+
+
+def test_covariate_balance_flags_constructed_shift(spark):
+    """A covariate shifted by +5 std under treatment flags imbalanced;
+    the identical covariate does not, and its SMD is exactly 0."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        covariate_balance,
+    )
+
+    rows = [
+        (i % 2, float(i // 2 % 10),
+         float(i // 2 % 10) + (5.0 if i % 2 else 0.0))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "t int, same double, shifted double")
+    got = {r["col"]: r for r in
+           covariate_balance(df, "t", ["same", "shifted"]).collect()}
+    assert got["same"]["smd"] == 0.0 and got["same"]["imbalanced"] is False
+    assert got["shifted"]["imbalanced"] is True
+    assert got["shifted"]["smd"] > 1.0
+    assert got["same"]["n_treat"] == 200 and got["same"]["n_ctrl"] == 200
+
+
+def test_nelson_aalen_textbook_case(spark):
+    """Classic small-sample check: lifetimes {0:2 churn, 1:1 churn,
+    2:1 censored} -> H = 2/4 at t=0, +1/2 at t=1, +0 at t=2; and
+    KM/NA consistency: survival >= exp(-H) ... actually equality holds
+    only without ties, so pin exact H values instead."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.retention import nelson_aalen
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # users 1,2: single-day lifetime (t=0), last event day 1 -> churned
+    for u in (1, 2):
+        rows.append((u, base))
+    # user 3: t=1, churned
+    rows += [(3, base), (3, base + dt.timedelta(days=1))]
+    # user 4: t=2, last event 8 days before corpus end -> churned too
+    rows += [(4, base), (4, base + dt.timedelta(days=2))]
+    # anchor: corpus end 10 days out; its own lifetime-0 is censored
+    rows += [(9, base + dt.timedelta(days=10))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["duration_days"]: r for r in
+           nelson_aalen(df, horizon_days=7).collect()}
+    # t=0: at risk all 5 units, churn d=2 (u1,u2; anchor censored)
+    assert got[0]["n_at_risk"] == 5 and got[0]["n_events"] == 2
+    assert got[0]["hazard_increment"] == 0.4
+    # t=1: at risk {u3,u4}, u3 churns -> +1/2
+    assert got[1]["n_at_risk"] == 2 and got[1]["n_events"] == 1
+    assert got[1]["cumulative_hazard"] == 0.9
+    # t=2: at risk {u4}, churns -> +1
+    assert got[2]["n_events"] == 1
+    assert got[2]["cumulative_hazard"] == 1.9
