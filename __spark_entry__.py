@@ -4919,6 +4919,26 @@ def _eval_qini_coefficient_orders(spark, sf_dir):
     )
 
 
+def _text_heaps_growth(spark, sf_dir):
+    """Vocabulary-growth curve (ops/text.py::heaps_growth): cumulative
+    tokens and distinct vocabulary at 10 doc-id prefixes — ONE scan
+    via each term's first-doc-id groupBy instead of n_points distinct
+    counts."""
+    from metadata_etl_framework_spark.ops.text import heaps_growth
+
+    return heaps_growth(_t(spark, sf_dir, "documents"))
+
+
+def _text_scaling_laws(spark, sf_dir):
+    """Zipf + Heaps power-law fits (ops/text.py::corpus_scaling_laws):
+    OLS on the log-log term-rank head (scale-safe global ROW_NUMBER)
+    and on the vocabulary-growth grid, 12dp-DECIMAL OLS sums — the
+    corpus-health numbers a data-mixing report quotes."""
+    from metadata_etl_framework_spark.ops.text import corpus_scaling_laws
+
+    return corpus_scaling_laws(_t(spark, sf_dir, "documents"))
+
+
 def _eval_covariate_balance_orders(spark, sf_dir):
     """Treatment/control covariate balance (ops/evaluation.py::
     covariate_balance): SMD per numeric covariate from one
@@ -5417,6 +5437,8 @@ _EXTRA_KEYS = [
     "eval_qini_coefficient_orders",
     "eval_covariate_balance_orders",
     "events_nelson_aalen",
+    "text_heaps_growth",
+    "text_scaling_laws",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5723,6 +5745,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_qini_coefficient_orders": _eval_qini_coefficient_orders,
     "eval_covariate_balance_orders": _eval_covariate_balance_orders,
     "events_nelson_aalen": _events_nelson_aalen,
+    "text_heaps_growth": _text_heaps_growth,
+    "text_scaling_laws": _text_scaling_laws,
 }
 
 
@@ -11223,6 +11247,103 @@ _ALL_SQL.update(
                                    AS DOUBLE) / COUNT(f1) END, 6)
                      AS mean_f1
             FROM per_pair
+        """,
+    }
+)
+
+
+# corpus scaling-law oracles (ops/text.py::heaps_growth /
+# corpus_scaling_laws): the first-doc-id vocabulary-growth trick and
+# both log-log OLS fits replayed with the 12dp-DECIMAL sum convention
+_HEAPS_GROWTH_SQL = r"""
+  WITH base AS (
+    SELECT doc_id AS did,
+           list_transform(
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''),
+             x -> lower(x)) AS toks
+    FROM documents WHERE doc_id IS NOT NULL),
+  doc_len AS (SELECT did, len(toks) AS n FROM base),
+  first_doc AS (SELECT tok AS token, MIN(did) AS first_doc
+                FROM (SELECT did, UNNEST(toks) AS tok FROM base)
+                WHERE tok <> '' GROUP BY 1),
+  mx AS (SELECT MAX(did) AS mx FROM doc_len),
+  grid AS (SELECT CAST(p AS INTEGER) AS point,
+                  CAST(FLOOR(mx * p / 10) AS BIGINT) AS threshold
+           FROM (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS p), mx),
+  v AS (SELECT g.point, g.threshold, COUNT(*) AS vocab
+        FROM first_doc f, grid g
+        WHERE f.first_doc <= g.threshold GROUP BY 1, 2),
+  nn AS (SELECT g.point, g.threshold, SUM(d.n) AS n_tokens
+         FROM doc_len d, grid g
+         WHERE d.did <= g.threshold GROUP BY 1, 2)
+  SELECT g.point, g.threshold,
+         CAST(COALESCE(nn.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(v.vocab, 0) AS BIGINT) AS vocab
+  FROM grid g
+  LEFT JOIN nn ON g.point = nn.point AND g.threshold = nn.threshold
+  LEFT JOIN v ON g.point = v.point AND g.threshold = v.threshold
+"""
+
+
+def _loglog_ols_sql(src: str, x_expr: str, y_expr: str) -> str:
+    """slope/intercept of y on x over ``src`` with the repo's
+    12dp-DECIMAL OLS sum convention."""
+    return f"""
+      SELECT CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0
+             THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS slope,
+             CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0
+             THEN (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
+                  / n END AS intercept
+      FROM (SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12)))
+                        AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxx
+            FROM (SELECT {x_expr} AS x, {y_expr} AS y FROM {src}))
+    """
+
+
+_ALL_SQL.update(
+    {
+        "text_heaps_growth": _HEAPS_GROWTH_SQL,
+        "text_scaling_laws": rf"""
+            WITH tf AS (
+              SELECT tok AS token, COUNT(*) AS cnt
+              FROM (SELECT UNNEST(
+                      list_transform(
+                        list_filter(
+                          string_split_regex(trim(text), '\s+'),
+                          x -> x <> ''),
+                        x -> lower(x))) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1),
+            ranked AS (SELECT cnt,
+                              ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                                                 token) AS rank
+                       FROM tf QUALIFY rank <= 1000),
+            zf AS ({_loglog_ols_sql(
+                "ranked",
+                "LN(CAST(rank AS DOUBLE))",
+                "LN(CAST(cnt AS DOUBLE))")}),
+            growth AS (SELECT * FROM ({_HEAPS_GROWTH_SQL})
+                       WHERE vocab > 0 AND n_tokens > 0),
+            hp AS ({_loglog_ols_sql(
+                "growth",
+                "LN(CAST(n_tokens AS DOUBLE))",
+                "LN(CAST(vocab AS DOUBLE))")}),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                           CAST(SUM(cnt) AS BIGINT) AS n_tokens
+                    FROM tf)
+            SELECT tot.n_terms, tot.n_tokens,
+                   ROUND(zf.slope, 6) AS zipf_slope,
+                   ROUND(hp.slope, 6) AS heaps_beta,
+                   ROUND(EXP(hp.intercept), 6) AS heaps_k
+            FROM tot, zf, hp
         """,
     }
 )

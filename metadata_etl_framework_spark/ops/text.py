@@ -2081,3 +2081,175 @@ def bpe_pair_counts(
         .orderBy(F.desc("count"), F.col("pair"))
         .limit(k)
     )
+
+
+def heaps_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth curve for Heaps'-law fitting: at ``n_points``
+    corpus prefixes (doc-id thresholds at j/n_points of the max id),
+    the cumulative token count N and distinct-vocabulary size V — the
+    "how much NEW text does more data buy" diagnostic that decides
+    whether further crawling grows a tokenizer's effective vocabulary.
+
+    The trick that makes this one scan instead of n_points distinct
+    counts: each term's FIRST document id is a plain groupBy(token)
+    min — V(threshold) is then just "terms whose first_doc <=
+    threshold", a conditional count over the term table; N(threshold)
+    is the same conditional sum over per-doc token counts. Both run
+    against the broadcast n_points-row threshold grid.
+
+    Output: (point, threshold, n_tokens, vocab) for points 1..n_points
+    (prefixes with zero docs report 0/0).
+    """
+    if n_points < 2:
+        raise ValueError("n_points must be >= 2")
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("did"), toks.alias("toks")
+    )
+    doc_len = base.select("did", F.size("toks").alias("n"))
+    first_doc = (
+        base.select("did", F.explode("toks").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("did").alias("first_doc"))
+    )
+    mx = doc_len.agg(F.max("did").alias("mx"))
+    grid = (
+        df.sparkSession.range(1, n_points + 1)
+        .select(F.col("id").cast("int").alias("point"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "point",
+            F.floor(F.col("mx") * F.col("point") / n_points).alias(
+                "threshold"
+            ),
+        )
+    )
+    v = (
+        first_doc.crossJoin(F.broadcast(grid))
+        .where(F.col("first_doc") <= F.col("threshold"))
+        .groupBy("point", "threshold")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    n = (
+        doc_len.crossJoin(F.broadcast(grid))
+        .where(F.col("did") <= F.col("threshold"))
+        .groupBy("point", "threshold")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    return (
+        grid.join(n, ["point", "threshold"], "left")
+        .join(v, ["point", "threshold"], "left")
+        .select(
+            "point",
+            "threshold",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+        )
+    )
+
+
+def corpus_scaling_laws(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k_terms: int = 1000,
+    n_points: int = 10,
+) -> DataFrame:
+    """Zipf + Heaps power-law fits in one row — the two corpus health
+    numbers a data-mixing report quotes: Zipf slope ≈ −1 says the term
+    distribution looks like natural language (a boilerplate-heavy or
+    templated corpus flattens it), Heaps β ∈ (0,1) says how fast
+    vocabulary still grows with more data.
+
+    Zipf: OLS of ln(freq) on ln(rank) over the ``top_k_terms`` head of
+    the term table, ranked by (freq desc, term) via the scale-safe
+    global ROW_NUMBER (no partitionless window). Heaps: OLS of ln V on
+    ln N over :func:`heaps_growth`'s prefix grid (points with V > 0).
+    Both regressions run on bounded grids with 12dp-DECIMAL term sums
+    (the OLS-trends convention), so the DuckDB oracle replays the fits
+    exactly.
+
+    Output: 1 row — (n_terms, n_tokens, zipf_slope 6dp,
+    heaps_beta 6dp, heaps_k 6dp); NULL fits when a grid has < 2
+    usable points.
+    """
+    from metadata_etl_framework_spark.ops.packing import global_row_number
+
+    tf = vocabulary(df, text_col=text_col)
+    ranked = global_row_number(
+        tf.select(
+            F.col("token"),
+            F.col("count"),
+            (-F.col("count")).alias("__neg"),
+        ),
+        [("__neg", "asc"), ("token", "asc")],
+        out="rank",
+    ).where(F.col("rank") <= top_k_terms)
+
+    def _ols(points: DataFrame, xc, yc, slope_name: str, icept: str):
+        t = points.select(
+            F.round(xc, 12).cast("decimal(28,12)").alias("x"),
+            F.round(yc, 12).cast("decimal(28,12)").alias("y"),
+            F.round(xc * yc, 12).cast("decimal(38,12)").alias("xy"),
+            F.round(xc * xc, 12).cast("decimal(38,12)").alias("xx"),
+        )
+        s = t.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum("xy").cast("double").alias("sxy"),
+            F.sum("xx").cast("double").alias("sxx"),
+        )
+        den = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+        slope = F.when(
+            (F.col("n") > 1) & (den > 0),
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / den,
+        )
+        intercept = F.when(
+            slope.isNotNull(),
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"),
+        )
+        return s.select(
+            slope.alias(slope_name), intercept.alias(icept)
+        )
+
+    zipf = _ols(
+        ranked,
+        F.log(F.col("rank").cast("double")),
+        F.log(F.col("count").cast("double")),
+        "zipf_slope",
+        "__zi",
+    )
+    growth = heaps_growth(
+        df, text_col=text_col, id_col=id_col, n_points=n_points
+    ).where((F.col("vocab") > 0) & (F.col("n_tokens") > 0))
+    heaps = _ols(
+        growth,
+        F.log(F.col("n_tokens").cast("double")),
+        F.log(F.col("vocab").cast("double")),
+        "heaps_beta",
+        "__hi",
+    )
+    totals = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("count").cast("long").alias("n_tokens"),
+    )
+    return (
+        totals.join(F.broadcast(zipf))
+        .join(F.broadcast(heaps))
+        .select(
+            "n_terms",
+            "n_tokens",
+            F.round("zipf_slope", 6).alias("zipf_slope"),
+            F.round("heaps_beta", 6).alias("heaps_beta"),
+            F.round(F.exp(F.col("__hi")), 6).alias("heaps_k"),
+        )
+    )

@@ -1850,3 +1850,35 @@ def test_nelson_aalen_textbook_case(spark):
     # t=2: at risk {u4}, churns -> +1
     assert got[2]["n_events"] == 1
     assert got[2]["cumulative_hazard"] == 1.9
+
+
+def test_scaling_laws_on_constructed_zipf_corpus(spark):
+    """A corpus built FROM a Zipf distribution (term k appears
+    floor(1000/k) times) recovers slope ~ -1; vocabulary that keeps
+    growing across prefixes yields beta in (0, 1)."""
+    from metadata_etl_framework_spark.ops.text import (
+        corpus_scaling_laws,
+        heaps_growth,
+    )
+
+    docs = []
+    did = 0
+    # 200 terms, term k repeated 1000//k times, spread over documents
+    # of 50 tokens; term ids interleaved so vocab grows with doc_id
+    words = []
+    for k in range(1, 201):
+        words += [f"w{k:04d}"] * (1000 // k)
+    # deterministic permutation spreads rare terms through the corpus
+    # (packed in frequency order, vocabulary would EXPLODE at the tail
+    # and the growth fit would be super-linear — correctly)
+    n_w = len(words)
+    words = [words[(i * 2741) % n_w] for i in range(n_w)]
+    for i in range(0, len(words), 50):
+        docs.append((did, " ".join(words[i:i + 50])))
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = corpus_scaling_laws(df, top_k_terms=200).collect()[0]
+    assert -1.2 < r["zipf_slope"] < -0.8
+    assert 0.0 < r["heaps_beta"] < 1.0
+    g = {x["point"]: x["vocab"] for x in heaps_growth(df).collect()}
+    assert g[10] == 200 and g[1] < g[10]
