@@ -120,6 +120,13 @@ HEADLINE = [
     "eval_bleu_docs",
     "feat_target_encoding_orders",
     "embed_drift_snapshots",
+    # round-10 fourth sweep: the char-gram clip join (heaviest gram
+    # fan-out), journey-window Markov attribution, the exact-NTILE
+    # uplift grid, and the double log-log OLS over term/growth grids
+    "eval_chrf_docs",
+    "events_markov_attribution",
+    "eval_qini_orders",
+    "text_scaling_laws",
 ]
 
 

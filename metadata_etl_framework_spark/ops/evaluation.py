@@ -1522,35 +1522,43 @@ def _pair_chargram_counts(
 ) -> DataFrame:
     """(pid, n, gram, cnt) over CHARACTER n-grams 1..max_n of the
     casefolded text with ALL whitespace removed (the chrF convention).
-    The cleaned string materializes in its own projection (the BLEU
-    tokenizer-inlining lesson: regexp_replace referenced per gram
-    position would re-clean the text O(length) times)."""
+
+    Formulation matters here: the nested-HOF slice (the BLEU token
+    path) builds millions of interpreted struct rows and measured
+    ~13 s/side at sf0.1. Instead: explode the char stream ONCE with
+    positions, take max_n−1 window LEADs per char (one per-pair
+    window pass — partitions are pair-sized, never data-scale), and
+    form every order's gram as a plain codegen concat; a gram running
+    off the end concats a NULL lead and is filtered. Gram strings are
+    byte-identical to the substring formulation, so the SQL oracle is
+    unchanged. ~6x faster at sf0.1."""
     cleaned = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
         r"\s+",
         "",
     )
-    cl = df.select(F.col(id_col).alias("pid"), cleaned.alias("__c"))
-    sz = F.length("__c")
-
-    def per_n(n):
-        return F.when(
-            sz >= n,
-            F.transform(
-                F.sequence(F.lit(1), sz - n + 1),
-                lambda i: F.struct(
-                    n.alias("n"),
-                    F.col("__c").substr(i, n).alias("gram"),
-                ),
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<n:int,gram:string>>")
-        )
-
-    grams = F.flatten(
-        F.transform(F.sequence(F.lit(1), F.lit(max_n)), per_n)
+    chars = df.select(
+        F.col(id_col).alias("pid"), cleaned.alias("__c")
+    ).select(
+        "pid", F.posexplode(F.split("__c", "")).alias("pos", "ch")
+    ).where(F.col("ch") != "")
+    w = Window.partitionBy("pid").orderBy("pos")
+    led = chars.select(
+        "pid",
+        "ch",
+        *[F.lead("ch", k).over(w).alias(f"__l{k}") for k in range(1, max_n)],
     )
-    ex = cl.select("pid", F.explode(grams).alias("g"))
+    gram_structs = []
+    for n in range(1, max_n + 1):
+        parts = [F.col("ch")] + [F.col(f"__l{k}") for k in range(1, n)]
+        gram_structs.append(
+            F.struct(
+                F.lit(n).alias("n"), F.concat(*parts).alias("gram")
+            )
+        )
+    ex = led.select(
+        "pid", F.explode(F.array(*gram_structs)).alias("g")
+    ).where(F.col("g.gram").isNotNull())
     return ex.groupBy(
         "pid", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -1589,18 +1597,25 @@ def chrf_score(
     ref = _pair_chargram_counts(df, id_col, ref_col, max_n).select(
         F.col("pid"), "n", "gram", F.col("cnt").alias("rcnt")
     )
-    per_n = (
-        cand.join(ref, ["pid", "n", "gram"], "full_outer")
+    # totals never need the gram join (side-local sums onto the order
+    # grid); only the clip does, and there an INNER join suffices —
+    # min(c, r) is 0 wherever a side is absent. A full-outer join here
+    # was the sf0.1 bench's single heaviest shuffle.
+    c_tot = cand.groupBy("n").agg(F.sum("cnt").alias("c_tot"))
+    r_tot = ref.groupBy("n").agg(F.sum("rcnt").alias("r_tot"))
+    clip = (
+        cand.join(ref, ["pid", "n", "gram"])
         .groupBy("n")
-        .agg(
-            F.sum(
-                F.least(
-                    F.coalesce("cnt", F.lit(0)),
-                    F.coalesce("rcnt", F.lit(0)),
-                )
-            ).alias("clipped"),
-            F.sum(F.coalesce("cnt", F.lit(0))).alias("c_tot"),
-            F.sum(F.coalesce("rcnt", F.lit(0))).alias("r_tot"),
+        .agg(F.sum(F.least("cnt", "rcnt")).alias("clipped"))
+    )
+    per_n = (
+        c_tot.join(r_tot, "n", "full_outer")
+        .join(clip, "n", "full_outer")
+        .select(
+            "n",
+            F.coalesce("clipped", F.lit(0)).alias("clipped"),
+            F.coalesce("c_tot", F.lit(0)).alias("c_tot"),
+            F.coalesce("r_tot", F.lit(0)).alias("r_tot"),
         )
     )
     p_n = F.when(
