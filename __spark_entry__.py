@@ -4939,6 +4939,43 @@ def _text_scaling_laws(spark, sf_dir):
     return corpus_scaling_laws(_t(spark, sf_dir, "documents"))
 
 
+def _agg_rollup_orders(spark, sf_dir):
+    """OLAP ROLLUP through the declarative aggregate step
+    (functions/aggregations.py::grouping_sets_aggregate): per-group
+    rows + subtotal levels + grand total in ONE Expand+aggregate
+    shuffle, grouping_id disambiguating subtotal NULLs — exact
+    count/min/max aggregates."""
+    from metadata_etl_framework_spark.operators.step_compiler import (
+        TransformEngine,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return TransformEngine(spark).apply_transform_step(
+        o,
+        {
+            "type": "aggregate",
+            "config": {
+                "mode": "rollup",
+                "group_by": ["o_orderpriority", "o_orderstatus"],
+                "aggregations": {
+                    "o_orderkey": ["count"],
+                    "o_totalprice": ["min", "max"],
+                },
+            },
+        },
+        {},
+    )
+
+
+def _text_readability_docs(spark, sf_dir):
+    """Per-document readability + Flesch reading ease (ops/text.py::
+    text_readability): whitespace words, [.!?]-run sentences,
+    vowel-group syllables — one shuffle-free projection, no UDFs."""
+    from metadata_etl_framework_spark.ops.text import text_readability
+
+    return text_readability(_t(spark, sf_dir, "documents"))
+
+
 def _eval_covariate_balance_orders(spark, sf_dir):
     """Treatment/control covariate balance (ops/evaluation.py::
     covariate_balance): SMD per numeric covariate from one
@@ -4959,6 +4996,25 @@ def _eval_covariate_balance_orders(spark, sf_dir):
         ).alias("biased"),
     )
     return covariate_balance(frame, "t", ["price", "biased"])
+
+
+def _eval_ipw_ate_orders(spark, sf_dir):
+    """Hájek IPW average treatment effect (ops/evaluation.py::
+    ipw_ate): deterministic propensity fixture over orders — one
+    projection, one 1-row aggregate, 12dp-DECIMAL weight sums."""
+    from metadata_etl_framework_spark.ops.evaluation import ipw_ate
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull()
+    ).select(
+        (F.col("o_orderkey") % 2 == 1).alias("t"),
+        F.col("o_totalprice").alias("y"),
+        (
+            F.lit(0.3)
+            + ((F.col("o_orderkey") % 5).cast("double") / F.lit(10.0))
+        ).alias("p"),
+    )
+    return ipw_ate(o, "t", "y", "p", clip=0.05)
 
 
 def _events_markov_attribution(spark, sf_dir):
@@ -5439,6 +5495,9 @@ _EXTRA_KEYS = [
     "events_nelson_aalen",
     "text_heaps_growth",
     "text_scaling_laws",
+    "eval_ipw_ate_orders",
+    "text_readability_docs",
+    "agg_rollup_orders",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5747,6 +5806,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_nelson_aalen": _events_nelson_aalen,
     "text_heaps_growth": _text_heaps_growth,
     "text_scaling_laws": _text_scaling_laws,
+    "eval_ipw_ate_orders": _eval_ipw_ate_orders,
+    "text_readability_docs": _text_readability_docs,
+    "agg_rollup_orders": _agg_rollup_orders,
 }
 
 
@@ -11349,6 +11411,66 @@ _ALL_SQL.update(
 )
 
 
+# rollup oracle: SQL ROLLUP with GROUPING() — the same bitmask
+# convention as Spark's grouping_id (first column = MSB)
+_ALL_SQL.update(
+    {
+        "agg_rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus)
+                        AS BIGINT) AS grouping_id,
+                   CAST(COUNT(o_orderkey) AS BIGINT)
+                     AS o_orderkey_count,
+                   MIN(o_totalprice) AS o_totalprice_min,
+                   MAX(o_totalprice) AS o_totalprice_max
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+    }
+)
+
+
+# readability oracle (ops/text.py::text_readability): the word /
+# sentence / vowel-group-syllable counts and the Flesch formula
+_ALL_SQL.update(
+    {
+        "text_readability_docs": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(trim(coalesce(text, '')),
+                                          '\s+'),
+                       x -> x <> '') AS toks,
+                     list_filter(
+                       string_split_regex(coalesce(text, ''),
+                                          '[.!?]+'),
+                       s -> trim(s) <> '') AS segs
+              FROM documents),
+            m AS (SELECT doc_id,
+                         len(toks) AS w,
+                         GREATEST(len(segs),
+                                  CASE WHEN len(toks) > 0
+                                       THEN 1 ELSE 0 END) AS s,
+                         COALESCE(list_sum(list_transform(toks,
+                           t -> GREATEST(len(regexp_extract_all(
+                                  lower(t), '[aeiouy]+')), 1))), 0)
+                           AS syl
+                  FROM base)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(syl AS BIGINT) AS n_syllables,
+                   ROUND(CASE WHEN w > 0 AND s > 0
+                         THEN 206.835
+                              - 1.015 * (CAST(w AS DOUBLE) / s)
+                              - 84.6 * (CAST(syl AS DOUBLE) / w)
+                         END, 6) AS flesch
+            FROM m
+        """,
+    }
+)
+
+
 # covariate-balance oracle (ops/evaluation.py::covariate_balance):
 # the stacked per-arm DECIMAL sum / sum-of-squares and the SMD formula
 _ALL_SQL.update(
@@ -11396,6 +11518,46 @@ _ALL_SQL.update(
                    THEN ABS(ROUND((mt - mc) / SQRT((vt + vc) / 2.0),
                                   6)) > 0.1 END AS imbalanced
             FROM tr FULL OUTER JOIN ct ON tr.col = ct.col
+        """,
+    }
+)
+
+
+# IPW ATE oracle (ops/evaluation.py::ipw_ate): the Hájek weighted
+# means with 12dp-DECIMAL weight sums replayed
+_ALL_SQL.update(
+    {
+        "eval_ipw_ate_orders": """
+            WITH base AS (
+              SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END
+                       AS t,
+                     CAST(o_totalprice AS DOUBLE) AS y,
+                     LEAST(GREATEST(
+                       0.3 + CAST(o_orderkey % 5 AS DOUBLE) / 10.0,
+                       0.05), 0.95) AS p
+              FROM orders
+              WHERE o_orderkey IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+            agg AS (SELECT
+              CAST(SUM(t) AS BIGINT) AS n_treat,
+              CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+              CAST(SUM(CAST(ROUND(t / p, 12) AS DECIMAL(30,12)))
+                   AS DOUBLE) AS swt,
+              CAST(SUM(CAST(ROUND(t / p * y, 12) AS DECIMAL(30,12)))
+                   AS DOUBLE) AS swty,
+              CAST(SUM(CAST(ROUND((1 - t) / (1.0 - p), 12)
+                   AS DECIMAL(30,12))) AS DOUBLE) AS swc,
+              CAST(SUM(CAST(ROUND((1 - t) / (1.0 - p) * y, 12)
+                   AS DECIMAL(30,12))) AS DOUBLE) AS swcy
+              FROM base)
+            SELECT n_treat, n_ctrl,
+                   ROUND(CASE WHEN swt > 0 THEN swty / swt END, 6)
+                     AS mean_treat_w,
+                   ROUND(CASE WHEN swc > 0 THEN swcy / swc END, 6)
+                     AS mean_ctrl_w,
+                   ROUND(CASE WHEN swt > 0 AND swc > 0
+                         THEN swty / swt - swcy / swc END, 6) AS ate
+            FROM agg
         """,
     }
 )

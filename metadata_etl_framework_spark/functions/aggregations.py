@@ -1546,3 +1546,42 @@ def forecast_baseline_eval(
     schema = result.schema
     series.unpersist()
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def grouping_sets_aggregate(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    aggregations: "dict[str, str | list[str]]",
+    mode: str = "rollup",
+) -> DataFrame:
+    """ROLLUP / CUBE aggregation — the one-statement OLAP report table
+    (per-group rows plus every subtotal level and the grand total)
+    that otherwise takes 2^k unioned groupBys. Output columns follow
+    :func:`groupby_aggregate`'s ``{col}_{fn}`` convention, plus a
+    ``grouping_id`` BIGINT (Spark's GROUPING_ID bitmask: bit set =
+    that grouping column is rolled up in this row) so consumers can
+    tell a real NULL group from a subtotal row — the standard SQL
+    disambiguator, identical in DuckDB.
+
+    Catalyst expands rollup/cube into a single Expand + aggregate —
+    one shuffle regardless of how many levels, which is exactly why
+    this beats hand-unioned subtotal queries at scale.
+    """
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    exprs: "list[Column]" = [
+        F.grouping_id(*group_cols).alias("grouping_id")
+    ]
+    for col, fns in aggregations.items():
+        for fn in [fns] if isinstance(fns, str) else fns:
+            exprs.append(agg_expr(col, fn))
+    if len(exprs) == 1:
+        raise ValueError("no aggregations given")
+    if mode == "rollup":
+        grouped = df.rollup(*group_cols)
+    elif mode == "cube":
+        grouped = df.cube(*group_cols)
+    else:
+        raise ValueError("mode must be 'rollup' or 'cube'")
+    return grouped.agg(*exprs)

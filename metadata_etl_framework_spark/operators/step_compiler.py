@@ -216,6 +216,21 @@ class TransformEngine:
 
     def _aggregate(self, data, step, sources) -> DataFrame:
         cfg = step.get("config", step)
+        mode = cfg.get("mode", "groupby")
+        if mode in ("rollup", "cube"):
+            # OLAP subtotal levels in ONE Expand+aggregate (see
+            # functions/aggregations.py::grouping_sets_aggregate)
+            return agg_lib.grouping_sets_aggregate(
+                data,
+                cfg.get("group_by", []),
+                cfg.get("aggregations", {}),
+                mode=mode,
+            )
+        if mode != "groupby":
+            raise ValueError(
+                f"unknown aggregate mode {mode!r}; expected one of"
+                " ['cube', 'groupby', 'rollup']"
+            )
         return agg_lib.groupby_aggregate(
             data, cfg.get("group_by", []), cfg.get("aggregations", {})
         )

@@ -1865,3 +1865,67 @@ def covariate_balance(
             "imbalanced"
         ),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    clip: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect — the
+    estimator that corrects a non-randomized comparison using a
+    propensity score: ATE = E[t·y/p] − E[(1−t)·y/(1−p)], with the
+    Hájek (self-normalizing) form — weighted means, not raw moment
+    sums — so the estimate stays inside the outcome range even when
+    weights are skewed. Propensities clip to [clip, 1−clip] (the
+    standard positivity guard; extreme scores otherwise let single
+    rows dominate).
+
+    One projection + one 1-row aggregate; weight sums accumulate as
+    DECIMAL(30,12) over 12dp-rounded terms, so the estimate is
+    merge-order-independent and the SQL oracle replays it exactly.
+    Rows with a NULL treatment/outcome/propensity are excluded.
+
+    Output: 1 row — (n_treat, n_ctrl, mean_treat_w 6dp,
+    mean_ctrl_w 6dp, ate 6dp); NULL ate when either arm is empty.
+    """
+    if not (0 <= clip < 0.5):
+        raise ValueError("clip must be in [0, 0.5)")
+    t = F.col(treatment_col).cast("boolean").cast("int")
+    y = F.col(outcome_col).cast("double")
+    p = F.least(
+        F.greatest(F.col(propensity_col).cast("double"), F.lit(float(clip))),
+        F.lit(1.0 - float(clip)),
+    )
+    base = df.where(
+        F.col(treatment_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(propensity_col).isNotNull()
+    ).select(t.alias("t"), y.alias("y"), p.alias("p"))
+    wt = F.col("t") / F.col("p")
+    wc = (1 - F.col("t")) / (1.0 - F.col("p"))
+
+    def dec(c):
+        return F.round(c, 12).cast("decimal(30,12)")
+
+    agg = base.agg(
+        F.sum("t").cast("long").alias("n_treat"),
+        F.sum(1 - F.col("t")).cast("long").alias("n_ctrl"),
+        F.sum(dec(wt)).cast("double").alias("swt"),
+        F.sum(dec(wt * F.col("y"))).cast("double").alias("swty"),
+        F.sum(dec(wc)).cast("double").alias("swc"),
+        F.sum(dec(wc * F.col("y"))).cast("double").alias("swcy"),
+    )
+    mt = F.when(F.col("swt") > 0, F.col("swty") / F.col("swt"))
+    mc = F.when(F.col("swc") > 0, F.col("swcy") / F.col("swc"))
+    return agg.select(
+        "n_treat",
+        "n_ctrl",
+        F.round(mt, 6).alias("mean_treat_w"),
+        F.round(mc, 6).alias("mean_ctrl_w"),
+        F.round(
+            F.when(mt.isNotNull() & mc.isNotNull(), mt - mc), 6
+        ).alias("ate"),
+    )

@@ -2253,3 +2253,56 @@ def corpus_scaling_laws(
             F.round(F.exp(F.col("__hi")), 6).alias("heaps_k"),
         )
     )
+
+
+def text_readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document readability features + Flesch reading ease — the
+    classic quality-filter signal a curation pipeline thresholds
+    alongside the length/punctuation ratios in text_quality_score
+    (very low readability flags boilerplate/code; implausibly high
+    flags word salad).
+
+    Counts: whitespace words; sentences = non-empty segments split on
+    [.!?]+ runs (punctuation-free text counts as one sentence);
+    syllables = per-word vowel-group count ([aeiouy]+ runs, min 1 per
+    word — the standard heuristic). Flesch = 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W). Everything is one projection of per-row expressions
+    (token HOFs bounded by document length, no shuffles, no UDFs).
+
+    Output: (id_col, n_words, n_sentences, n_syllables, flesch 6dp);
+    NULL flesch for empty documents.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sent_segs = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    n_sent = F.greatest(
+        F.size(sent_segs), F.when(n_words > 0, F.lit(1)).otherwise(0)
+    )
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.regexp_count(F.lower(w), F.lit(r"[aeiouy]+")), F.lit(1)
+        ),
+    )
+    flesch = F.when(
+        (n_words > 0) & (n_sent > 0),
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )

@@ -482,3 +482,30 @@ def test_feature_encode_step_modes(spark):
     with pytest.raises(ValueError, match="unknown feature_encode"):
         _run(spark, {"d": df},
              [{"type": "feature_encode", "config": {"mode": "nope"}}])
+
+
+def test_aggregate_step_rollup_and_cube_modes(spark):
+    """Round-10: rollup/cube aggregate modes — subtotal levels with the
+    grouping_id bitmask; bad mode raises; cube adds the cross-level."""
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+        "g1 string, g2 string, v int",
+    )
+    cfg = {"mode": "rollup", "group_by": ["g1", "g2"],
+           "aggregations": {"v": ["sum", "count"]}}
+    rows = _run(spark, {"d": df},
+                [{"type": "aggregate", "config": cfg}]).collect()
+    by = {(r["g1"], r["g2"], r["grouping_id"]): r for r in rows}
+    assert by[("a", "x", 0)]["v_sum"] == 1
+    assert by[("a", None, 1)]["v_sum"] == 3     # subtotal over g2
+    assert by[(None, None, 3)]["v_sum"] == 6    # grand total
+    assert len(rows) == 3 + 2 + 1
+
+    cube = _run(spark, {"d": df},
+                [{"type": "aggregate",
+                  "config": dict(cfg, mode="cube")}]).collect()
+    cb = {(r["g1"], r["g2"], r["grouping_id"]): r for r in cube}
+    assert cb[(None, "x", 2)]["v_sum"] == 4     # cube-only level
+    with pytest.raises(ValueError, match="unknown aggregate mode"):
+        _run(spark, {"d": df},
+             [{"type": "aggregate", "config": dict(cfg, mode="nope")}])

@@ -1882,3 +1882,48 @@ def test_scaling_laws_on_constructed_zipf_corpus(spark):
     assert 0.0 < r["heaps_beta"] < 1.0
     g = {x["point"]: x["vocab"] for x in heaps_growth(df).collect()}
     assert g[10] == 200 and g[1] < g[10]
+
+
+def test_ipw_ate_recovers_effect_under_confounding(spark):
+    """Confounded assignment (high-x units mostly treated) biases the
+    naive difference; weighting by the TRUE propensity recovers the
+    constant additive effect exactly (outcomes are deterministic)."""
+    from metadata_etl_framework_spark.ops.evaluation import ipw_ate
+
+    rows = []
+    # covariate x in {0,1}: p(t|x=1)=0.8, p(t|x=0)=0.2 via counts;
+    # outcome y = 10*x + 5*t (true ATE = 5)
+    for i in range(1000):
+        x = i % 2
+        t = 1 if (i % 10) < (8 if x else 2) else 0
+        rows.append((t, float(10 * x + 5 * t), 0.8 if x else 0.2))
+    df = spark.createDataFrame(rows, "t int, y double, p double")
+    r = ipw_ate(df, "t", "y", "p").collect()[0]
+    assert abs(r["ate"] - 5.0) < 1e-6
+    # the naive difference is badly biased on the same data
+    naive = (
+        df.groupBy("t").agg(F.avg("y").alias("m")).collect()
+    )
+    m = {row["t"]: row["m"] for row in naive}
+    assert abs((m[1] - m[0]) - 5.0) > 2.0
+
+
+def test_readability_hand_cases(spark):
+    """Hand-checked counts: 3 sentences / 8 monosyllables scores high;
+    polysyllabic jargon scores deeply negative; empty text is NULL;
+    punctuation-free text counts one sentence."""
+    from metadata_etl_framework_spark.ops.text import text_readability
+
+    df = spark.createDataFrame([
+        (1, "The cat sat. The dog ran! Did it?"),
+        (2, "no punctuation here at all"),
+        (3, ""),
+        (4, "Incomprehensibility characterizes bureaucratization."),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_readability(df).collect()}
+    assert (got[1]["n_words"], got[1]["n_sentences"],
+            got[1]["n_syllables"]) == (8, 3, 8)
+    assert got[1]["flesch"] > 100
+    assert got[2]["n_sentences"] == 1
+    assert got[3]["flesch"] is None and got[3]["n_words"] == 0
+    assert got[4]["n_syllables"] >= 15 and got[4]["flesch"] < 0
