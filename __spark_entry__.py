@@ -5034,6 +5034,23 @@ def _events_markov_attribution(spark, sf_dir):
     )
 
 
+def _events_periodogram(spark, sf_dir):
+    """Discrete periodogram (functions/aggregations.py::
+    dominant_periods): spectral power per candidate period 2..48 over
+    the hourly value series — the detector that picks season= for the
+    forecast/anomaly ops; bounded bucket x period fan-out,
+    12dp-DECIMAL trig-product sums."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        dominant_periods,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return dominant_periods(
+        ev, "ts", "value", bucket_seconds=3600, min_period=2,
+        max_period=48,
+    )
+
+
 def _events_seasonal_anomaly(spark, sf_dir):
     """Seasonality-aware anomaly detection (quality/anomaly.py::
     detect_seasonal_residual): hourly value means, modular season 24,
@@ -5498,6 +5515,7 @@ _EXTRA_KEYS = [
     "eval_ipw_ate_orders",
     "text_readability_docs",
     "agg_rollup_orders",
+    "events_periodogram",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -5809,6 +5827,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_ipw_ate_orders": _eval_ipw_ate_orders,
     "text_readability_docs": _text_readability_docs,
     "agg_rollup_orders": _agg_rollup_orders,
+    "events_periodogram": _events_periodogram,
 }
 
 
@@ -11768,6 +11787,57 @@ def _markov_attribution_sql() -> str:
 
 
 _ALL_SQL.update({"events_markov_attribution": _markov_attribution_sql()})
+
+
+# periodogram oracle (functions/aggregations.py::dominant_periods):
+# the centered series, the (i % p) phase convention and the
+# 12dp-DECIMAL trig-product sums replayed
+_ALL_SQL.update(
+    {
+        "events_periodogram": """
+            WITH series AS (
+              SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS i,
+                     CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(*) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            stats AS (SELECT CAST(SUM(CAST(y AS DECIMAL(30,10)))
+                             AS DOUBLE) / COUNT(*) AS mu,
+                             COUNT(*) AS nb
+                      FROM series),
+            centered AS (SELECT i, y - mu AS c, nb FROM series, stats),
+            den AS (SELECT CAST(SUM(CAST(ROUND(c * c, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+                           ANY_VALUE(nb) AS nb
+                    FROM centered),
+            periods AS (SELECT CAST(UNNEST(GENERATE_SERIES(2, 48))
+                               AS INTEGER) AS period),
+            terms AS (SELECT p.period,
+                             CAST(ROUND(c.c * COS(6.283185307179586
+                                  * CAST(c.i % p.period AS DOUBLE)
+                                  / CAST(p.period AS DOUBLE)), 12)
+                                  AS DECIMAL(38,12)) AS tc,
+                             CAST(ROUND(c.c * SIN(6.283185307179586
+                                  * CAST(c.i % p.period AS DOUBLE)
+                                  / CAST(p.period AS DOUBLE)), 12)
+                                  AS DECIMAL(38,12)) AS ts
+                      FROM centered c, periods p),
+            spec AS (SELECT period,
+                            CAST(SUM(tc) AS DOUBLE) AS sc,
+                            CAST(SUM(ts) AS DOUBLE) AS ss2
+                     FROM terms GROUP BY 1)
+            SELECT period,
+                   CAST(d.nb AS BIGINT) AS n_buckets,
+                   ROUND(sc * sc + ss2 * ss2, 6) AS power,
+                   ROUND(CASE WHEN d.ss > 0
+                         THEN (sc * sc + ss2 * ss2)
+                              / (CAST(d.nb AS DOUBLE) * d.ss / 2.0)
+                         END, 6) AS fraction
+            FROM spec, den d
+        """,
+    }
+)
 
 
 # seasonal-residual anomaly oracle (quality/anomaly.py::

@@ -1585,3 +1585,102 @@ def grouping_sets_aggregate(
     else:
         raise ValueError("mode must be 'rollup' or 'cube'")
     return grouped.agg(*exprs)
+
+
+def dominant_periods(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    min_period: int = 2,
+    max_period: int = 48,
+) -> DataFrame:
+    """Discrete periodogram over a bucketed metric series: spectral
+    power at every candidate period ``min_period..max_period`` buckets
+    — the detector that picks the ``season=`` parameter the
+    forecast-backtest and seasonal-anomaly ops consume (acf_table
+    shows lag structure; this ranks WHICH cycle dominates).
+
+    Series = per-bucket DECIMAL-exact means (the acf_table shape),
+    centered on the global mean; per period p,
+    power(p) = (Σ c·cos(2πi/p))² + (Σ c·sin(2πi/p))², normalized by
+    Σc² so a pure sinusoid of period p scores ~n/2·(fraction of
+    variance). One bounded fan-out joins the calendar-bounded bucket
+    grid with the (max_period−min_period+1)-row period grid; the
+    trig-product terms round to 12dp and accumulate as DECIMAL, so
+    the spectrum is merge-order-independent and SQL-replayable.
+
+    Output: (period, n_buckets, power 6dp, fraction 6dp) per
+    candidate period, fraction = power/(n·Σc²/2) clipped to NULL on a
+    constant series.
+    """
+    if not (2 <= min_period <= max_period):
+        raise ValueError("need 2 <= min_period <= max_period")
+    x = F.col(value_col).cast("double")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .groupBy(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        )
+        .agg(
+            (
+                F.sum(x.cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+    )
+    stats = series.agg(
+        (
+            F.sum(F.col("y").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    centered = series.crossJoin(F.broadcast(stats)).select(
+        "i", (F.col("y") - F.col("mu")).alias("c"), "nb"
+    )
+    den = centered.agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss"),
+        F.first("nb").alias("nb"),
+    )
+    periods = df.sparkSession.range(min_period, max_period + 1).select(
+        F.col("id").cast("int").alias("period")
+    )
+    two_pi = 6.283185307179586
+    ang = (
+        F.lit(two_pi)
+        * (F.col("i") % F.col("period")).cast("double")
+        / F.col("period").cast("double")
+    )
+    terms = centered.crossJoin(F.broadcast(periods)).select(
+        "period",
+        F.round(F.col("c") * F.cos(ang), 12)
+        .cast("decimal(38,12)")
+        .alias("tc"),
+        F.round(F.col("c") * F.sin(ang), 12)
+        .cast("decimal(38,12)")
+        .alias("ts"),
+    )
+    spec = terms.groupBy("period").agg(
+        F.sum("tc").cast("double").alias("sc"),
+        F.sum("ts").cast("double").alias("ss2"),
+    )
+    power = (
+        F.col("sc") * F.col("sc") + F.col("ss2") * F.col("ss2")
+    )
+    return spec.crossJoin(F.broadcast(den)).select(
+        "period",
+        F.col("nb").cast("long").alias("n_buckets"),
+        F.round(power, 6).alias("power"),
+        F.round(
+            F.when(
+                F.col("ss") > 0,
+                power / (F.col("nb").cast("double") * F.col("ss") / 2.0),
+            ),
+            6,
+        ).alias("fraction"),
+    )

@@ -1927,3 +1927,25 @@ def test_readability_hand_cases(spark):
     assert got[2]["n_sentences"] == 1
     assert got[3]["flesch"] is None and got[3]["n_words"] == 0
     assert got[4]["n_syllables"] >= 15 and got[4]["flesch"] < 0
+
+
+def test_periodogram_finds_pure_sinusoid(spark):
+    """A pure period-12 sinusoid concentrates ALL variance at period
+    12: power = (nA/2)^2 and fraction exactly 1; neighbors are tiny."""
+    import datetime as dt
+    import math
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        dominant_periods,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(base + dt.timedelta(hours=h),
+             10.0 + 3.0 * math.sin(2 * math.pi * h / 12))
+            for h in range(240)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    got = {r["period"]: r for r in
+           dominant_periods(df, "ts", "v", 3600, 2, 24).collect()}
+    assert abs(got[12]["power"] - (240 * 3.0 / 2) ** 2) < 1e-3
+    assert got[12]["fraction"] == 1.0
+    assert got[11]["fraction"] < 0.05 and got[13]["fraction"] < 0.05
