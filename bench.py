@@ -127,6 +127,10 @@ HEADLINE = [
     "events_markov_attribution",
     "eval_qini_orders",
     "text_scaling_laws",
+    # round-10 fifth sweep: the one-shuffle Expand rollup and the
+    # bucket x period spectral fan-out
+    "agg_rollup_orders",
+    "events_periodogram",
 ]
 
 
