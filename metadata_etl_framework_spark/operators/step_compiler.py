@@ -469,18 +469,47 @@ class TransformEngine:
             raise ValueError(
                 "drift step needs config.reference naming a source frame"
             )
-        # release=False: a pipeline step's result flows into FURTHER
-        # steps/sinks, so keep the lazy plan (with its column lineage)
-        # rather than the library default's eager cache release, which
-        # exists for long-lived standalone monitoring sessions
-        return drift_suite(
-            sources[ref_name],
-            data,
-            numeric_cols=list(cfg.get("numeric_columns", [])),
-            categorical_cols=list(cfg.get("categorical_columns", [])),
-            n_bins=int(cfg.get("n_bins", 10)),
-            release=False,
-        )
+        emb_col = cfg.get("embedding_column")
+        num = list(cfg.get("numeric_columns", []))
+        cat = list(cfg.get("categorical_columns", []))
+        out = None
+        if num or cat:
+            # release=False: a pipeline step's result flows into
+            # FURTHER steps/sinks, so keep the lazy plan (with its
+            # column lineage) rather than the library default's eager
+            # cache release, which exists for long-lived standalone
+            # monitoring sessions
+            out = drift_suite(
+                sources[ref_name],
+                data,
+                numeric_cols=num,
+                categorical_cols=cat,
+                n_bins=int(cfg.get("n_bins", 10)),
+                release=False,
+            )
+        if emb_col:
+            from pyspark.sql import functions as F
+
+            from metadata_etl_framework_spark.quality.drift import (
+                embedding_drift,
+            )
+
+            emb = embedding_drift(
+                sources[ref_name],
+                data,
+                id_col=cfg.get("id_column", "vec_id"),
+                vec_col=emb_col,
+                n_bins=int(cfg.get("n_bins", 10)),
+            ).select(
+                F.lit(emb_col).alias("column"), "metric", "value"
+            )
+            out = emb if out is None else out.unionByName(emb)
+        if out is None:
+            raise ValueError(
+                "drift step needs numeric_columns, categorical_columns"
+                " or embedding_column"
+            )
+        return out
 
     def _score_eval(self, data, step, sources) -> DataFrame:
         """Score-audit as a config step (ops/evaluation.py): lets a
@@ -509,7 +538,7 @@ class TransformEngine:
         mode = cfg.get("mode", "suite")
         allowed_modes = {
             "suite", "thresholds", "multiclass", "multiclass_summary",
-            "regression", "bleu", "rouge", "chrf",
+            "regression", "bleu", "rouge", "chrf", "qini",
         }
         if mode not in allowed_modes:
             # a typo'd mode must not silently fall back to 'suite'
@@ -517,6 +546,26 @@ class TransformEngine:
                 f"unknown score_eval mode {mode!r}; "
                 f"expected one of {sorted(allowed_modes)}"
             )
+        if mode == "qini":
+            from metadata_etl_framework_spark.ops.evaluation import (
+                qini_coefficient,
+                qini_table,
+            )
+
+            idc = cfg.get("id_column")
+            tc = cfg.get("treatment_column")
+            oc = cfg.get("outcome_column")
+            if not score or not idc or not tc or not oc:
+                raise ValueError(
+                    "score_eval qini mode needs config.score_column,"
+                    " config.treatment_column, config.outcome_column"
+                    " and config.id_column"
+                )
+            tab = qini_table(
+                data, score, tc, oc, idc,
+                n_buckets=int(cfg.get("n_buckets", 10)),
+            )
+            return qini_coefficient(tab) if cfg.get("summary") else tab
         if mode in ("bleu", "rouge", "chrf"):
             from metadata_etl_framework_spark.ops.evaluation import (
                 bleu_corpus,

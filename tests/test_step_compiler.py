@@ -509,3 +509,57 @@ def test_aggregate_step_rollup_and_cube_modes(spark):
     with pytest.raises(ValueError, match="unknown aggregate mode"):
         _run(spark, {"d": df},
              [{"type": "aggregate", "config": dict(cfg, mode="nope")}])
+
+
+def test_drift_step_embedding_mode(spark):
+    """Round-10: the drift step's embedding arm — identical snapshots
+    give centroid cosine 1 / PSI 0, tagged with the embedding column
+    name; composes with the scalar suite in one tall frame."""
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = _run(
+        spark, {"cur": emb, "base": emb},
+        [{"type": "drift",
+          "config": {"reference": "base", "embedding_column": "e"}}],
+        primary="cur",
+    ).collect()
+    got = {(r["column"], r["metric"]): r["value"] for r in out}
+    assert got[("e", "centroid_cosine")] == 1.0
+    assert got[("e", "psi_cos_to_centroid")] == 0.0
+
+    both = _run(
+        spark, {"cur": emb.withColumn("x", F.col("vec_id") * 1.0),
+                "base": emb.withColumn("x", F.col("vec_id") * 1.0)},
+        [{"type": "drift",
+          "config": {"reference": "base", "numeric_columns": ["x"],
+                     "embedding_column": "e"}}],
+        primary="cur",
+    )
+    cols = {r["column"] for r in both.collect()}
+    assert {"x", "e"} <= cols
+
+    with pytest.raises(ValueError, match="numeric_columns"):
+        _run(spark, {"cur": emb, "base": emb},
+             [{"type": "drift", "config": {"reference": "base"}}],
+             primary="cur")
+
+
+def test_score_eval_step_qini_mode(spark):
+    """Round-10: qini mode — per-bucket table and 1-row summary."""
+    rows = [(i, (i * 37 % 100) / 100.0, i % 2,
+             int((i % 2 == 1 and (i * 37 % 100) >= 50) or i % 10 == 0))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s double, t int, y int")
+    cfg = {"mode": "qini", "score_column": "s", "treatment_column": "t",
+           "outcome_column": "y", "id_column": "id", "n_buckets": 5}
+    tab = _run(spark, {"d": df},
+               [{"type": "score_eval", "config": cfg}]).collect()
+    assert len(tab) == 5 and tab[0]["qini"] is not None
+    summ = _run(spark, {"d": df},
+                [{"type": "score_eval",
+                  "config": dict(cfg, summary=True)}]).collect()[0]
+    assert summ["qini_coefficient"] > 0
+    with pytest.raises(ValueError, match="qini mode"):
+        _run(spark, {"d": df},
+             [{"type": "score_eval",
+               "config": {"mode": "qini", "score_column": "s"}}])
