@@ -554,3 +554,42 @@ def test_bm25_join_10x_docs(spark):
         per_q.setdefault(r.query_id, 0)
         per_q[r.query_id] += 1
     assert all(v == 10 for v in per_q.values()) and len(per_q) == 5
+
+
+def test_label_propagation_and_kcore_1m_edges(spark):
+    """Round-10 graph loops at ~0.5M edges / 20k nodes: LPA (3 rounds)
+    on a 400-clique graph recovers every community; k-core peeling with the
+    per-round localCheckpoint discipline survives a deep run (plain
+    persist grew the 4-reference plan 4^n and OOM'd at ~5 rounds even
+    on TINY graphs)."""
+    from metadata_etl_framework_spark.ops.graph import (
+        k_core,
+        label_propagation,
+    )
+
+    G, S = 400, 50  # 400 cliques of 50: 400*1225 + 400 bridges ≈ 490k
+    ids = spark.range(G * S).select(
+        F.col("id"), F.expr(f"id DIV {S}").alias("g")
+    )
+    x, y = ids.alias("x"), ids.alias("y")
+    cliques = x.join(
+        y, (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id"))
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    bridges = spark.range(G).select(
+        (F.col("id") * S + (S - 1)).alias("src"),
+        (((F.col("id") + 1) % G) * S).alias("dst"),
+    )
+    edges = cliques.unionByName(bridges)
+
+    lp = label_propagation(edges, iterations=3)
+    # every node's label must be its clique minimum
+    wrong = lp.where(
+        F.col("label") != F.expr("node DIV 50") * S
+    ).count()
+    assert wrong == 0
+
+    # k=S-1 core: every clique survives (inside degree S-1 >= k);
+    # then k=S+10 strips everything in a couple of peels
+    core = k_core(edges, k=S - 1, max_iter=8)
+    assert core.count() == G * S
+    assert k_core(edges, k=S + 10, max_iter=8).count() == 0
