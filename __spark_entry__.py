@@ -5188,13 +5188,12 @@ def _events_forecast_baseline(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier (round-10: PageRank, blocked fuzzy join,
-    # point-in-time join, BM25 search, change-point, RFM segments,
-    # correlation matrix, mutual information, and the AUC/PR-AUC eval
-    # pair in; granular variants with multi-round green history —
-    # filter_condition, join_inner, join_anti, agg_orders_by_priority,
-    # window_rank_lag, step_union, step_customudf, text_features,
-    # dedup_exact_groups, orders_global_rank — now verified by the
+    # capability frontier (round-11: BM25->TREC retrieval audit, corpus
+    # BLEU/chrF gram joins, label propagation, k-core peeling, Markov
+    # attribution, Qini uplift, Expand-rollup, windowed HLL rollup, and
+    # OOF target encoding in; long-green granular stats — binned
+    # KS/EMD, robust z, source entropy, Gini, global quantiles,
+    # simhash/minhash/LSH variants, Kaplan-Meier — now verified by the
     # local parity suite as extras).
     "q1_pricing_summary",
     "dedup_bloom_probe",
@@ -5221,7 +5220,6 @@ _DRIVER_KEYS = [
     "incr_late_split",
     "events_windows",
     "events_sessions",
-    "events_kaplan_meier",
     "dedup_embedding_cosine",
     "embed_knn_join",
     # Round-8/9 flagships promoted to the HARD gate (r8 task 5): each
@@ -5238,34 +5236,46 @@ _DRIVER_KEYS = [
     "mi_docs_lang_source",
     "eval_auc_orders",
     "eval_pr_auc_orders",
-    # Round-7/8 flagships promoted to the HARD gate: every one is
-    # oracle-backed (closed-form PQ codebooks + IVF centroids replay
-    # encode/probe/ADC in DuckDB; binned KS/EMD replay the pooled-edges
-    # bucketing; global quantiles/Gini/entropy are exact statistics).
+    # Round-7/8 flagships retained (PQ/IVF-PQ are the ANN scale path):
+    # oracle-backed by closed-form PQ codebooks + IVF centroids
+    # replaying encode/probe/ADC in DuckDB.
     "ann_pq_adc",
     "ann_ivf_pq",
+    "multimodal_image_meta",
+    # Round-10 frontier promoted to the HARD gate (r10 verdict task 2):
+    # every one oracle-backed — BM25->TREC audit + BLEU/chrF replay
+    # their gram joins in SQL, label propagation / k-core replay the
+    # iteration unrolled, Markov attribution replays the absorbing-walk
+    # closed form, Qini the exact-NTILE grid, rollup via GROUPING SETS,
+    # HLL by portable-hash register replay, target encoding by the OOF
+    # fold grid.
+    "eval_retrieval_bm25",
+    "eval_bleu_docs",
+    "eval_chrf_docs",
+    "graph_label_propagation",
+    "graph_kcore_ring",
+    "events_markov_attribution",
+    "eval_qini_orders",
+    "agg_rollup_orders",
+    "sketch_hll_rollup_events",
+    "feat_target_encoding_orders",
+]
+
+# Granular single-operator variants, verified by the LOCAL parity suite
+# (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
+_EXTRA_KEYS = [
+    # Rotated OUT of the driver gate (rounds 8–11, multi-round green
+    # history there); still verified by the local parity suite.
     "drift_ks_binned",
     "drift_emd_binned",
     "profile_global_quantiles",
     "anomaly_robust_zscore",
     "corpus_source_entropy",
     "dist_gini_totalprice",
-    # Every driver entry is oracle-backed: simhash_signatures runs the
-    # md5 hash arm (DuckDB replays the identical bit votes),
-    # minhash_near_dups is the exact inverted-index Jaccard below the
-    # row gate, ann_lsh_topk recomputes its closed-form hyperplanes in
-    # SQL, multimodal_image_meta derives dims arithmetically.
     "minhash_near_dups",
     "simhash_signatures",
     "ann_lsh_topk",
-    "multimodal_image_meta",
-]
-
-# Granular single-operator variants, verified by the LOCAL parity suite
-# (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
-_EXTRA_KEYS = [
-    # Rotated OUT of the driver gate (rounds 8–10, multi-round green
-    # history there); still verified by the local parity suite.
+    "events_kaplan_meier",
     "drift_suite_forced_binned",
     "drift_qq_deciles",
     "drift_ks_significance",
@@ -5485,28 +5495,19 @@ _EXTRA_KEYS = [
     "graph_triangles_ring",
     "graph_degree_distribution",
     "graph_neighborhood_jaccard",
-    "sketch_hll_rollup_events",
     "sketch_hll_range_estimate_events",
-    "eval_retrieval_bm25",
     "events_acf_hourly",
     "sketch_histogram_lineitem",
     "sketch_quantiles_lineitem",
-    "feat_target_encoding_orders",
     "feat_woe_iv_orders",
     "feat_hash_features_orders",
     "eval_bleu_precisions_docs",
-    "eval_bleu_docs",
     "eval_rouge2_docs",
     "eval_rouge_summary_docs",
-    "graph_label_propagation",
-    "graph_kcore_ring",
     "stats_cramers_v_docs",
     "events_forecast_baseline",
     "embed_drift_snapshots",
-    "eval_chrf_docs",
     "events_seasonal_anomaly",
-    "events_markov_attribution",
-    "eval_qini_orders",
     "eval_qini_coefficient_orders",
     "eval_covariate_balance_orders",
     "events_nelson_aalen",
@@ -5514,7 +5515,6 @@ _EXTRA_KEYS = [
     "text_scaling_laws",
     "eval_ipw_ate_orders",
     "text_readability_docs",
-    "agg_rollup_orders",
     "events_periodogram",
 ]
 

@@ -205,7 +205,35 @@ def main() -> None:
         except (OSError, ValueError, KeyError):
             pass
 
+    # Full per-query detail goes to a file (the driver's stdout
+    # tail-capture window truncated the 74-query line in r10 —
+    # "parsed": null), and stdout ends with a SHORT summary line so the
+    # tail always contains parseable totals regardless of query count.
+    rounds = [
+        int(re.search(r"r(\d+)", f).group(1))
+        for f in os.listdir(".")
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    ]
+    default_detail = f"BENCH_DETAIL_r{max(rounds) + 1 if rounds else 0}.json"
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": detail_path,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
