@@ -34,6 +34,29 @@ __all__ = [
     "k_core",
 ]
 
+# Iteration count at/above which per-round materialization switches from
+# persist()+count() to eager localCheckpoint(). persist caches DATA but
+# the logical plan still chains every prior round, so analysis/compile
+# cost grows superlinearly with iterations (a 10-iteration dangling-arm
+# pagerank plan unrolled to ~1055 exchanges); localCheckpoint truncates
+# lineage outright, keeping the plan O(1) per round — the k_core
+# discipline. Short loops keep plain persist: a few stacked join+agg
+# rounds analyze fine and avoid checkpoint I/O.
+_TRUNCATE_MIN_ITERS = 6
+
+
+def _materialize_iter(df: DataFrame, truncate: bool) -> DataFrame:
+    """Materialize one iteration frame under the loop discipline above:
+    ``truncate=True`` → eager ``localCheckpoint`` (lineage cut, frame
+    persisted by the checkpoint itself; superseded frames are released
+    by the ContextCleaner as references drop); ``truncate=False`` →
+    ``persist``+``count`` (caller unpersists the predecessor)."""
+    if truncate:
+        return df.localCheckpoint()
+    df = df.persist()
+    df.count()
+    return df
+
 
 def pagerank(
     edges: DataFrame,
@@ -172,6 +195,7 @@ def pagerank(
     rank = nodes.withColumn("rank", init_col).persist()
     rank.count()
     last_kept = rank
+    truncate = iterations >= _TRUNCATE_MIN_ITERS
     for i in range(iterations):
         contrib = (
             e.join(rank, e["_src"] == rank["node"])
@@ -221,8 +245,7 @@ def pagerank(
                 ).alias("rank"),
             )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            new_rank = new_rank.persist()
-            new_rank.count()
+            new_rank = _materialize_iter(new_rank, truncate)
             converged = False
             if tol is not None and i < iterations - 1:
                 delta = (
@@ -498,6 +521,7 @@ def label_propagation(
         "node", F.col("node").alias("label")
     ).persist()
     labels.count()
+    truncate = iterations >= _TRUNCATE_MIN_ITERS
     for it in range(1, iterations + 1):
         counts = (
             adj.join(
@@ -519,8 +543,7 @@ def label_propagation(
             .select(F.col("v").alias("node"), F.col("m.nl").alias("label"))
         )
         if it % checkpoint_every == 0 or it == iterations:
-            new_labels = new_labels.persist()
-            new_labels.count()
+            new_labels = _materialize_iter(new_labels, truncate)
             labels.unpersist()
         labels = new_labels
     adj.unpersist()
