@@ -205,6 +205,80 @@ def _dual_prefix_scan(
     return out.drop("__pid", "__la", "__lb", "__oa", "__ob", "__ns")
 
 
+def _grouped_dual_prefix_scan(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    a_col: str,
+    b_col: str,
+    persisted: "list[DataFrame] | None" = None,
+) -> DataFrame:
+    """Per-group inclusive running totals of two count columns over
+    ``order_col`` — ALL groups' dual prefix scans through ONE
+    repartition (the :func:`_dual_prefix_scan` two-phase pattern lifted
+    to a group key): range-partition by (group, order), collect one
+    (partition, group) subtotal row each — O(partitions · groups),
+    driver-sized — walk each group's partitions in order for its
+    offsets, then broadcast the offsets back onto a local window
+    partitioned by (partition, group). A group may span partitions and
+    a partition may hold many groups; both are handled because ranges
+    are contiguous in (group, order) order. ``(group_col, order_col)``
+    pairs must be unique (callers pass grouped-by-value frames).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n_parts = max(
+        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    ranged = df.repartitionByRange(
+        n_parts, F.col(group_col), F.col(order_col)
+    )
+    # persist before the subtotal collect: range boundaries come from a
+    # sample, so re-evaluating lineage could re-partition differently
+    # than the job the offsets were computed from
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if persisted is not None:
+        persisted.append(with_pid)
+    subtotals = (
+        with_pid.groupBy("__pid", group_col)
+        .agg(
+            F.sum(F.col(a_col)).alias("__sa"),
+            F.sum(F.col(b_col)).alias("__sb"),
+        )
+        .collect()
+    )
+    if not subtotals:
+        return df.withColumn("__ca", F.lit(0).cast("long")).withColumn(
+            "__cb", F.lit(0).cast("long")
+        )
+    offsets = []
+    acc: dict = {}
+    for row in sorted(subtotals, key=lambda r: (r[group_col], r["__pid"])):
+        g = row[group_col]
+        oa, ob = acc.get(g, (0, 0))
+        offsets.append((row["__pid"], g, oa, ob))
+        acc[g] = (oa + (row["__sa"] or 0), ob + (row["__sb"] or 0))
+    off = spark.createDataFrame(
+        offsets, f"__pid int, {group_col} string, __oa long, __ob long"
+    )
+    w = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn("__la", F.sum(F.col(a_col)).over(w))
+        .withColumn("__lb", F.sum(F.col(b_col)).over(w))
+        .join(F.broadcast(off), ["__pid", group_col])
+        .withColumn("__ca", (F.col("__la") + F.col("__oa")).cast("long"))
+        .withColumn("__cb", (F.col("__lb") + F.col("__ob")).cast("long"))
+        .drop("__pid", "__la", "__lb", "__oa", "__ob")
+    )
+
+
 def _merged_value_counts(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     """Per-distinct-value counts for both sides, full-outer merged:
     (v, rc, cc). The shared first stage of every exact CDF-comparison
@@ -910,11 +984,13 @@ def drift_suite(
     standalone :func:`psi_numeric` / :func:`ks_statistic` /
     :func:`chi_square_categorical` calls, but the plan is cheaper:
     the snapshots are projected to the tested columns and persisted
-    once (two materialized scans total), and each numeric column makes
-    ONE data-pass — a tagged-union per-value count frame — from which
-    both its PSI (re-aggregated by bin: sums of exact integer counts)
-    and its KS (dual prefix scan) derive. Everything downstream of the
-    per-value frames touches only distinct values, never rows.
+    once (two materialized scans total), and ALL exact-routed numeric
+    columns share ONE data-pass — a stack()-melted (column, value,
+    side) per-value count frame built by a single groupBy(column, v)
+    shuffle — from which each column's PSI (re-aggregated by bin: sums
+    of exact integer counts) and KS (dual prefix scan) derive by
+    filtering its slice. Everything downstream of the melted frame
+    touches only distinct values, never rows.
 
     **The 100-TB guard:** on a continuous double column the per-value
     frame is per-ROW sized, so exact KS would shuffle the whole column.
@@ -969,32 +1045,59 @@ def drift_suite(
                 *[F.approx_count_distinct(c).alias(c) for c in numeric_cols]
             ).first()
             est = {c: int(ra[c]) + int(ca[c]) for c in numeric_cols}
-    for c in numeric_cols:
-        x = F.col(c).cast("double")
-        tagged = ref.select(x.alias("v"), F.lit(1).alias("is_ref")).unionByName(
-            cur.select(x.alias("v"), F.lit(0).alias("is_ref"))
+    # FUSED exact-path pass: instead of one tagged-union + groupBy(v)
+    # job per numeric column (C data-passes, C shuffles), melt every
+    # exact-routed column into ONE tall (column, v, side) frame with a
+    # single stack() projection per snapshot and count per-value in ONE
+    # groupBy(column, v) shuffle. Each column's downstream PSI/KS then
+    # filters its slice out of the persisted melted frame — distinct
+    # values only, never rows — so values are bit-identical to the
+    # per-column pass (sums of the same exact integer counts, grouped
+    # once instead of C times).
+    exact_cols = [c for c in numeric_cols if est[c] <= ks_exact_max_distinct]
+    melted = None
+    if exact_cols:
+        stack_args = ", ".join(
+            f"'{c}', cast(`{c}` as double)" for c in exact_cols
         )
-        if est[c] > ks_exact_max_distinct:
-            frames.extend(
-                _drift_numeric_binned(
-                    tagged, ref, c, n_bins, ks_bins, persisted=persisted
-                )
+        melt = f"stack({len(exact_cols)}, {stack_args}) as (__col, v)"
+        tall = (
+            ref.selectExpr(melt)
+            .withColumn("is_ref", F.lit(1))
+            .unionByName(
+                cur.selectExpr(melt).withColumn("is_ref", F.lit(0))
             )
-            continue
-        counts = (
-            tagged.where(F.col("v").isNotNull())
-            .groupBy("v")
+        )
+        melted = (
+            tall.where(F.col("v").isNotNull())
+            .groupBy("__col", "v")
             .agg(
                 F.sum("is_ref").alias("rc"),
                 F.sum(1 - F.col("is_ref")).alias("cc"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        persisted.append(counts)
-
-        # PSI re-derived from the count frame: bin sums of exact integer
-        # counts equal psi_numeric's per-row counts exactly
-        edges = counts.agg(
+        persisted.append(melted)
+        melted.count()
+    for c in numeric_cols:
+        if est[c] > ks_exact_max_distinct:
+            x = F.col(c).cast("double")
+            tagged = ref.select(
+                x.alias("v"), F.lit(1).alias("is_ref")
+            ).unionByName(
+                cur.select(x.alias("v"), F.lit(0).alias("is_ref"))
+            )
+            frames.extend(
+                _drift_numeric_binned(
+                    tagged, ref, c, n_bins, ks_bins, persisted=persisted
+                )
+            )
+    if exact_cols:
+        # PSI for ALL exact columns from the melted frame in one grouped
+        # pipeline: per-column bin edges (C-row broadcast), bin counts
+        # by ONE groupBy(column, bin) — bin sums of exact integer counts
+        # equal psi_numeric's per-row counts exactly
+        edges = melted.groupBy("__col").agg(
             F.min(F.when(F.col("rc") > 0, F.col("v"))).alias("mn"),
             F.max(F.when(F.col("rc") > 0, F.col("v"))).alias("mx"),
         )
@@ -1012,18 +1115,19 @@ def drift_suite(
             )
         )
         binned = (
-            counts.crossJoin(F.broadcast(edges))
-            .groupBy(b.alias("bin"))
+            melted.join(F.broadcast(edges), "__col")
+            .groupBy("__col", b.alias("bin"))
             .agg(
                 F.sum("rc").alias("ref_cnt"), F.sum("cc").alias("cur_cnt")
             )
         )
-        totals = binned.agg(
+        totals = binned.groupBy("__col").agg(
             F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
         )
         psi = (
-            binned.crossJoin(F.broadcast(totals))
+            binned.join(F.broadcast(totals), "__col")
             .select(
+                "__col",
                 F.round(
                     (
                         F.col("cur_cnt") / F.col("n_cur")
@@ -1038,44 +1142,109 @@ def drift_suite(
                         )
                     ),
                     6,
-                ).alias("psi_term")
+                ).alias("psi_term"),
             )
+            .groupBy("__col")
             .agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
         )
         frames.append(
             psi.select(
-                F.lit(c).alias("column"),
+                F.col("__col").alias("column"),
                 F.lit("psi").alias("metric"),
                 F.col("psi_total").cast("double").alias("value"),
             )
         )
 
-        # KS from the same count frame (ks_statistic's exact internals)
-        scanned = _dual_prefix_scan(counts, "v", "rc", "cc", persisted=persisted)
-        ktot = counts.agg(
-            F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+        # KS for ALL exact columns through ONE grouped dual prefix scan
+        # (ks_statistic's exact internals, lifted to the column key);
+        # totals re-derived from the same integer counts
+        scanned = _grouped_dual_prefix_scan(
+            melted, "__col", "v", "rc", "cc", persisted=persisted
         )
         ks = (
-            scanned.crossJoin(F.broadcast(ktot))
+            scanned.join(F.broadcast(totals), "__col")
             .select(
+                "__col",
                 F.abs(
                     F.col("__ca") / F.col("n_ref")
                     - F.col("__cb") / F.col("n_cur")
-                ).alias("d")
+                ).alias("d"),
             )
+            .groupBy("__col")
             .agg(F.round(F.max("d"), 6).alias("ks_stat"))
         )
         frames.append(
             ks.select(
-                F.lit(c).alias("column"),
+                F.col("__col").alias("column"),
                 F.lit("ks").alias("metric"),
                 F.col("ks_stat").cast("double").alias("value"),
             )
         )
-    for c in categorical_cols:
+    if categorical_cols:
+        # chi-square for ALL categorical columns in one grouped pipeline
+        # (same fusion as the numeric melt): stack() both snapshots to
+        # (column, category, side), ONE groupBy(column, category), then
+        # per-column totals broadcast back for the χ² terms. NULL
+        # categories stay their own level (stack passes them through),
+        # matching chi_square_categorical exactly.
+        cstack_args = ", ".join(
+            f"'{c}', cast(`{c}` as string)" for c in categorical_cols
+        )
+        cmelt = (
+            f"stack({len(categorical_cols)}, {cstack_args}) as (__col, cat)"
+        )
+        ctall = (
+            ref.selectExpr(cmelt)
+            .withColumn("is_ref", F.lit(1))
+            .unionByName(
+                cur.selectExpr(cmelt).withColumn("is_ref", F.lit(0))
+            )
+        )
+        ccounts = ctall.groupBy("__col", "cat").agg(
+            F.sum("is_ref").alias("rc"),
+            F.sum(1 - F.col("is_ref")).alias("cc"),
+        )
+        ctotals = ccounts.groupBy("__col").agg(
+            F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+        )
+        cterms = ccounts.join(F.broadcast(ctotals), "__col").select(
+            "__col",
+            F.round(
+                F.pow(
+                    F.col("rc")
+                    - (F.col("rc") + F.col("cc"))
+                    * F.col("n_ref")
+                    / (F.col("n_ref") + F.col("n_cur")),
+                    2,
+                )
+                / (
+                    (F.col("rc") + F.col("cc"))
+                    * F.col("n_ref")
+                    / (F.col("n_ref") + F.col("n_cur"))
+                )
+                + F.pow(
+                    F.col("cc")
+                    - (F.col("rc") + F.col("cc"))
+                    * F.col("n_cur")
+                    / (F.col("n_ref") + F.col("n_cur")),
+                    2,
+                )
+                / (
+                    (F.col("rc") + F.col("cc"))
+                    * F.col("n_cur")
+                    / (F.col("n_ref") + F.col("n_cur"))
+                ),
+                # round per-term BEFORE the final sum (see
+                # chi_square_categorical): rounded terms keep the
+                # statistic hash-stable across engines
+                6,
+            ).alias("term"),
+        )
         frames.append(
-            chi_square_categorical(ref, cur, c).select(
-                F.lit(c).alias("column"),
+            cterms.groupBy("__col")
+            .agg(F.round(F.sum("term"), 6).alias("chi2"))
+            .select(
+                F.col("__col").alias("column"),
                 F.lit("chi2").alias("metric"),
                 F.col("chi2").cast("double").alias("value"),
             )
