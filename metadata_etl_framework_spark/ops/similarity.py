@@ -1282,6 +1282,7 @@ def embed_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
     ddof: int = 1,
+    max_dim: int = 1024,
 ) -> DataFrame:
     """Distributed d×d covariance of an embedding column — the
     sufficient statistic behind PCA whitening, Mahalanobis outlier
@@ -1313,6 +1314,21 @@ def embed_covariance(
     valid = df.where(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).alias("v")
     )
+    # dimension-scaling guard (the prefilter_max_rows convention): the
+    # d(d+1)/2 scalar-row pull and the d×d driver matrix are O(d²) — a
+    # 4096-dim corpus is 8.4M cells / ~134 MB as Rows, and every
+    # downstream consumer (inv/eigh) is O(d³). Fail LOUD on a cheap
+    # limit-1 probe instead of OOMing mid-collect; callers that accept
+    # the cost raise max_dim explicitly.
+    probe = valid.select(F.size("v").alias("d")).first()
+    if probe is not None and probe["d"] > max_dim:
+        raise ValueError(
+            f"embed_covariance is O(d^2) driver-side: vectors have "
+            f"d={probe['d']} > max_dim={max_dim} "
+            f"({probe['d'] * (probe['d'] + 1) // 2} covariance cells); "
+            f"pass max_dim={probe['d']} explicitly to accept the "
+            f"driver memory cost, or reduce dimensionality first"
+        )
     means_rows = (
         valid.select(F.posexplode("v").alias("dim", "x"))
         .groupBy("dim")
@@ -1383,6 +1399,7 @@ def mahalanobis_outliers(
     ddof: int = 1,
     ridge: float = 1e-6,
     threshold: float | None = None,
+    max_dim: int = 1024,
 ) -> DataFrame:
     """Global Mahalanobis outlier score per embedding — distance from
     the corpus mean in the metric of the corpus covariance, the
@@ -1413,7 +1430,9 @@ def mahalanobis_outliers(
     """
     import numpy as np
 
-    cov_rows = embed_covariance(df, vec_col=vec_col, ddof=ddof).collect()
+    cov_rows = embed_covariance(
+        df, vec_col=vec_col, ddof=ddof, max_dim=max_dim
+    ).collect()
     d = max(r["j"] for r in cov_rows) + 1
     C = np.zeros((d, d), dtype=np.float64)
     for r in cov_rows:
@@ -1482,6 +1501,7 @@ def embedding_pca(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ddof: int = 1,
+    max_dim: int = 1024,
 ) -> tuple[DataFrame, list[float]]:
     """PCA projection of an embedding column onto its top-k principal
     components — the dimensionality-reduction step before cheap ANN,
@@ -1503,7 +1523,9 @@ def embedding_pca(
     """
     import numpy as np
 
-    cov_rows = embed_covariance(df, vec_col=vec_col, ddof=ddof).collect()
+    cov_rows = embed_covariance(
+        df, vec_col=vec_col, ddof=ddof, max_dim=max_dim
+    ).collect()
     d = max(r["j"] for r in cov_rows) + 1
     C = np.zeros((d, d), dtype=np.float64)
     for r in cov_rows:

@@ -113,3 +113,83 @@ def test_driver_and_extra_key_lists_have_no_literal_duplicates():
         ]
         dup = {k: c for k, c in Counter(vals).items() if c > 1}
         assert not dup, f"{name} literal duplicates: {dup}"
+
+
+# Functions that persist() a frame and intentionally return a LAZY plan
+# referencing it — the cache's lifetime belongs to the caller (or the
+# ContextCleaner once references drop), so no in-function release exists.
+# Every entry was individually audited (r10 verdict: all bounded frames).
+# Adding a NEW unpaired persist fails this lint until it is either given
+# a release (unpersist / the persisted-handles convention) or consciously
+# whitelisted here with a reason.
+RETURNED_LAZY_PERSISTS = {
+    # projection shared by every consumer of the returned lazy frame
+    ("functions/joins.py", "range_count"),
+    ("ops/dedup.py", "_shingle_base"),
+    ("ops/dedup.py", "minhash_near_duplicates"),
+    ("ops/dedup.py", "bloom_incremental_dedup"),
+    # loop-materialization helper: persist/release ownership sits in the
+    # calling loop (pagerank/label_propagation), localCheckpoint arm has
+    # no release API (ContextCleaner)
+    ("ops/graph.py", "_materialize_iter"),
+    # offsets-correctness cache (see packing.py docstring): released by
+    # the ContextCleaner when the returned frame is dropped
+    ("ops/packing.py", "global_row_number"),
+    ("ops/similarity.py", "embedding_near_dup_pairs"),
+    ("ops/similarity.py", "group_diversity"),
+    ("ops/text.py", "tfidf_top_terms"),
+    ("ops/text.py", "dsir_importance_weights"),
+}
+
+
+def test_no_persist_without_paired_release():
+    """r10 verdict task 7: the r8 leak class (a persist with no release
+    path) must be structurally impossible to reintroduce. Every function
+    that calls .persist() must also (a) call .unpersist(), or (b) use the
+    persisted-handles convention (a ``persisted``/``handles`` list it
+    appends to, receives as a parameter, or forwards as a ``persisted=``
+    kwarg — see ops/evaluation.py::_materialize_1row), or (c) be
+    whitelisted above as a returned-lazy persist with a documented
+    owner."""
+    violations = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for node in tree.body:
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            n_persist = n_unpersist = 0
+            has_handles = False
+            for n in ast.walk(node):
+                if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute):
+                    if n.func.attr == "persist":
+                        n_persist += 1
+                    elif n.func.attr == "unpersist":
+                        n_unpersist += 1
+                    elif (
+                        n.func.attr == "append"
+                        and isinstance(n.func.value, ast.Name)
+                        and n.func.value.id in ("persisted", "handles")
+                    ):
+                        has_handles = True
+                if isinstance(n, ast.Call):
+                    for kw in n.keywords or []:
+                        if kw.arg == "persisted":
+                            has_handles = True
+            params = {a.arg for a in node.args.args} | {
+                a.arg for a in node.args.kwonlyargs
+            }
+            if params & {"persisted", "handles"}:
+                has_handles = True
+            if (
+                n_persist
+                and not n_unpersist
+                and not has_handles
+                and (rel, node.name) not in RETURNED_LAZY_PERSISTS
+            ):
+                violations.append(f"{rel}:{node.lineno} {node.name}")
+    assert not violations, (
+        "persist() without a paired release (unpersist / persisted-handles "
+        "convention) and not whitelisted as returned-lazy:\n  "
+        + "\n  ".join(violations)
+    )

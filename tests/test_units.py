@@ -1949,3 +1949,32 @@ def test_periodogram_finds_pure_sinusoid(spark):
     assert abs(got[12]["power"] - (240 * 3.0 / 2) ** 2) < 1e-3
     assert got[12]["fraction"] == 1.0
     assert got[11]["fraction"] < 0.05 and got[13]["fraction"] < 0.05
+
+
+def test_embed_covariance_max_dim_gate(spark):
+    """Round-10 verdict task 8: the O(d²) driver-side embedding ops must
+    fail LOUD (documented ValueError naming max_dim) on a
+    higher-than-gated dimension instead of OOMing mid-collect — and
+    raising max_dim explicitly must accept the same corpus."""
+    import pytest as _pytest
+
+    from metadata_etl_framework_spark.ops.similarity import (
+        embed_covariance,
+        embedding_pca,
+        mahalanobis_outliers,
+    )
+
+    d = 12
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(d)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for call in (
+        lambda: embed_covariance(df, max_dim=8).collect(),
+        lambda: embedding_pca(df, k=2, max_dim=8),
+        lambda: mahalanobis_outliers(df, max_dim=8).collect(),
+    ):
+        with _pytest.raises(ValueError, match="max_dim=8"):
+            call()
+
+    # explicit opt-in: the same corpus passes when the caller accepts d
+    assert embed_covariance(df, max_dim=d).count() == d * (d + 1) // 2
