@@ -5264,6 +5264,9 @@ _DRIVER_KEYS = [
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
+    # Round 11: item-based collaborative filtering (ops/recsys.py).
+    "recsys_item_item_brands",
+    "recsys_user_brand_recs",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -12063,6 +12066,115 @@ _ALL_SQL.update(
                     JOIN deg da ON node_a = da.v
                     JOIN deg db ON node_b = db.v)
             SELECT * FROM sim WHERE jaccard >= 0.25
+        """,
+    }
+)
+
+
+# ---- round 11: item-based collaborative filtering (ops/recsys.py) ----
+
+
+def _recsys_ub(spark, sf_dir):
+    """Customer × part-brand interaction frame (binary presence)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .select("o_custkey", "p_brand")
+    )
+
+
+def _recsys_item_item_brands(spark, sf_dir):
+    """Item-item cosine neighbors over the customer×brand matrix
+    (ops/recsys.py::item_item_cosine): distinct-presence reduction,
+    self-equi-join on the user key (never cross), exact integer-count
+    cosine with n/(n+10) shrinkage, support floor 5 co-customers."""
+    from metadata_etl_framework_spark.ops.recsys import item_item_cosine
+
+    return item_item_cosine(
+        _recsys_ub(spark, sf_dir), "o_custkey", "p_brand",
+        min_cooc=5, shrinkage=10.0,
+    )
+
+
+def _recsys_user_brand_recs(spark, sf_dir):
+    """Top-3 unseen-brand recommendations per customer
+    (ops/recsys.py::recommend_items): symmetrized broadcast neighbor
+    model, DECIMAL score accumulation (merge-order independent),
+    deterministic (score desc, item asc) ranking."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        item_item_cosine,
+        recommend_items,
+    )
+
+    ub = _recsys_ub(spark, sf_dir)
+    sims = item_item_cosine(
+        ub, "o_custkey", "p_brand", min_cooc=5, shrinkage=10.0
+    )
+    return recommend_items(ub, sims, "o_custkey", "p_brand", top_n=3)
+
+
+_ALL_QUERIES.update(
+    {
+        "recsys_item_item_brands": _recsys_item_item_brands,
+        "recsys_user_brand_recs": _recsys_user_brand_recs,
+    }
+)
+
+# shared oracle prelude: the customer×brand interaction matrix and its
+# shrunk-cosine item-pair model, replayed exactly (integer counts under
+# closed-form division, 6-dp rounding at the same point as Spark)
+_RECSYS_SIMS_CTE = """
+    inter AS (SELECT DISTINCT o_custkey AS u, p_brand AS i
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey
+              WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL),
+    ci AS (SELECT i, COUNT(*) AS n FROM inter GROUP BY 1),
+    pr AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS cab
+           FROM inter a JOIN inter b ON a.u = b.u AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    sims AS (SELECT ia, ib, CAST(cab AS BIGINT) AS cab,
+                    ROUND(cab / SQRT(ca.n * cb.n), 6) AS cosine,
+                    ROUND((cab / SQRT(ca.n * cb.n))
+                          * (cab / (cab + 10.0)), 6) AS shrunk
+             FROM pr
+             JOIN ci ca ON ca.i = pr.ia
+             JOIN ci cb ON cb.i = pr.ib)
+"""
+
+_ALL_SQL.update(
+    {
+        "recsys_item_item_brands": f"""
+            WITH {_RECSYS_SIMS_CTE}
+            SELECT ia AS item_a, ib AS item_b, cab AS n_cooc,
+                   cosine, shrunk AS shrunk_cosine
+            FROM sims
+        """,
+        "recsys_user_brand_recs": f"""
+            WITH {_RECSYS_SIMS_CTE},
+            sym AS (SELECT ia AS i, ib AS j, shrunk AS s FROM sims
+                    UNION ALL
+                    SELECT ib AS i, ia AS j, shrunk AS s FROM sims),
+            scored AS (SELECT inter.u, sym.j,
+                              SUM(CAST(s AS DECIMAL(20,6))) AS sc
+                       FROM inter JOIN sym ON inter.i = sym.i
+                       GROUP BY 1, 2),
+            unseen AS (SELECT scored.*
+                       FROM scored
+                       ANTI JOIN inter
+                         ON scored.u = inter.u AND scored.j = inter.i),
+            ranked AS (SELECT u, j, sc,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY u
+                                  ORDER BY sc DESC, j ASC) AS rnk
+                       FROM unseen)
+            SELECT u AS "user", j AS item,
+                   ROUND(CAST(sc AS DOUBLE), 6) AS score,
+                   CAST(rnk AS INT) AS rank
+            FROM ranked WHERE rnk <= 3
         """,
     }
 )

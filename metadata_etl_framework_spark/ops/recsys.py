@@ -1,0 +1,196 @@
+"""Item-item collaborative filtering: cosine neighbors + top-N recs.
+
+The recommendation counterpart to ops/affinity.py's association table:
+affinity answers "which items co-occur more than chance" (lift), this
+module answers "which items are SIMILAR under the user-interaction
+geometry" (cosine over the user-item matrix) and turns the neighbor
+table into per-user top-N recommendations — the classic item-based CF
+of Sarwar et al. (WWW '01), which is the industry-scale baseline
+because the expensive artifact (the item-item model) is tiny and the
+per-user scoring is a bounded equi-join.
+
+The reference's analytics plane has no recommendation surface
+(cf. /root/reference/src/transformations/transform_engine.py — joins
+and aggregations only); this is beyond-reference capability.
+
+Scale design (the reason item-based CF survives 100 TB):
+- Interactions reduce to DISTINCT (user, item[, rating]) first — one
+  groupBy; multiplicity within a user is not co-occurrence signal.
+- Candidate pairs come from a self-equi-join ON THE USER KEY, never a
+  cross join; work is Σ_u m_u² over per-user item counts, so the
+  ``max_user_items`` gate drops degenerate mega-users (a crawler
+  account with 10⁴ items contributes 10⁸ pairs and no signal — the
+  standard pruning in production CF).
+- The neighbor model is top-k bounded: |items|·k rows, orders of
+  magnitude smaller than the interaction table, so the scoring join
+  broadcasts in the common case.
+- Binary mode keeps every statistic an exact integer ratio
+  (cosine = n_ab / √(n_a·n_b)); rating mode accumulates dot products
+  in DECIMAL so results are merge-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["item_item_cosine", "recommend_items"]
+
+_DEC = "decimal(30,10)"
+
+
+def item_item_cosine(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str | None = None,
+    min_cooc: int = 1,
+    shrinkage: float = 0.0,
+    max_user_items: int | None = None,
+) -> DataFrame:
+    """Unordered item-pair cosine similarity over the user-item matrix.
+
+    Binary mode (``rating_col=None``): each distinct (user, item) is a
+    1, so cosine(a,b) = n_ab / sqrt(n_a · n_b) — exact integer counts
+    under a single closed-form division. Rating mode: duplicate
+    (user, item) ratings are summed, dot products and squared norms
+    accumulate in DECIMAL(30,10) for engine-portable exactness.
+
+    ``shrinkage`` λ damps low-evidence pairs by n/(n+λ) (the standard
+    significance shrink); ``min_cooc`` prunes pairs below the support
+    floor BEFORE the statistics join.
+
+    Output: (item_a, item_b, n_cooc long, cosine, shrunk_cosine —
+    6 dp), item_a < item_b, ordered shrunk desc then items asc.
+    """
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+    )
+    if rating_col is None:
+        inter = (
+            base.select(
+                F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+            )
+            .dropDuplicates(["_u", "_i"])
+            .withColumn("_r", F.lit(1).cast(_DEC))
+        )
+    else:
+        inter = base.groupBy(
+            F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+        ).agg(F.sum(F.col(rating_col).cast(_DEC)).alias("_r"))
+    if max_user_items is not None:
+        w = Window.partitionBy("_u")
+        inter = (
+            inter.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .where(F.col("_sz") <= int(max_user_items))
+            .drop("_sz")
+        )
+    norms = inter.groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_sq"),
+    )
+    a = inter.select("_u", F.col("_i").alias("_ia"), F.col("_r").alias("_ra"))
+    b = inter.select("_u", F.col("_i").alias("_ib"), F.col("_r").alias("_rb"))
+    pairs = (
+        a.join(b, "_u")
+        .where(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(
+            F.count(F.lit(1)).alias("_cab"),
+            F.sum(F.col("_ra") * F.col("_rb")).alias("_dot"),
+        )
+        .where(F.col("_cab") >= int(min_cooc))
+    )
+    na = norms.select(F.col("_i").alias("_ia"), F.col("_sq").alias("_sqa"))
+    nb = norms.select(F.col("_i").alias("_ib"), F.col("_sq").alias("_sqb"))
+    cos = (
+        F.col("_dot").cast("double")
+        / F.sqrt(F.col("_sqa").cast("double") * F.col("_sqb").cast("double"))
+    )
+    shrunk = cos * (
+        F.col("_cab").cast("double")
+        / (F.col("_cab").cast("double") + F.lit(float(shrinkage)))
+    )
+    return (
+        pairs.join(na, "_ia")
+        .join(nb, "_ib")
+        .select(
+            F.col("_ia").alias("item_a"),
+            F.col("_ib").alias("item_b"),
+            F.col("_cab").cast("long").alias("n_cooc"),
+            F.round(cos, 6).alias("cosine"),
+            F.round(shrunk, 6).alias("shrunk_cosine"),
+        )
+        .orderBy(
+            F.desc("shrunk_cosine"), F.asc("item_a"), F.asc("item_b")
+        )
+    )
+
+
+def recommend_items(
+    interactions: DataFrame,
+    sims: DataFrame,
+    user_col: str,
+    item_col: str,
+    top_n: int = 3,
+    include_seen: bool = False,
+) -> DataFrame:
+    """Per-user top-N items scored by summed neighbor similarity.
+
+    score(u, j) = Σ_{i ∈ items(u)} sim(i, j) over the symmetrized
+    neighbor table from :func:`item_item_cosine` (``shrunk_cosine`` is
+    the similarity). Seen items are anti-joined out unless
+    ``include_seen``. Scores accumulate as DECIMAL(20,6) over the
+    6-dp similarities, so ranking is merge-order independent and the
+    (score desc, item asc) tie-break is deterministic across engines.
+
+    The neighbor model is item-pair-bounded — at production scale it
+    broadcasts, making this a map-side join + one groupBy(user, item).
+
+    Output: (user, item, score 6 dp, rank), rank ≤ ``top_n``.
+    """
+    seen = (
+        interactions.where(
+            F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+        )
+        .dropDuplicates(["_u", "_i"])
+    )
+    sym = sims.select(
+        F.col("item_a").alias("_i"),
+        F.col("item_b").alias("_j"),
+        F.col("shrunk_cosine").alias("_s"),
+    ).unionByName(
+        sims.select(
+            F.col("item_b").alias("_i"),
+            F.col("item_a").alias("_j"),
+            F.col("shrunk_cosine").alias("_s"),
+        )
+    )
+    scored = (
+        seen.join(F.broadcast(sym), "_i")
+        .groupBy("_u", "_j")
+        .agg(F.sum(F.col("_s").cast("decimal(20,6)")).alias("_score"))
+    )
+    if not include_seen:
+        scored = scored.join(
+            seen.select(
+                F.col("_u"), F.col("_i").alias("_j")
+            ),
+            ["_u", "_j"],
+            "left_anti",
+        )
+    w = Window.partitionBy("_u").orderBy(F.desc("_score"), F.asc("_j"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_n))
+        .select(
+            F.col("_u").alias("user"),
+            F.col("_j").alias("item"),
+            F.round(F.col("_score").cast("double"), 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("user", "rank")
+    )

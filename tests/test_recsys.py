@@ -1,0 +1,95 @@
+"""Unit tests for ops/recsys.py — item-based collaborative filtering."""
+
+from __future__ import annotations
+
+import math
+
+from metadata_etl_framework_spark.ops.recsys import (
+    item_item_cosine,
+    recommend_items,
+)
+
+
+def _inter(spark, rows):
+    return spark.createDataFrame(rows, "u long, i string, r double")
+
+
+def test_binary_cosine_exact(spark):
+    # u1:{A,B}, u2:{A,B}, u3:{A,C} -> n_A=3 n_B=2 n_C=1
+    rows = [(1, "A", 1.0), (1, "B", 1.0), (2, "A", 1.0), (2, "B", 1.0),
+            (3, "A", 1.0), (3, "C", 1.0),
+            (1, "A", 1.0)]  # duplicate presence must not double-count
+    out = item_item_cosine(_inter(spark, rows), "u", "i").collect()
+    by_pair = {(r.item_a, r.item_b): r for r in out}
+    ab = by_pair[("A", "B")]
+    assert ab.n_cooc == 2
+    assert ab.cosine == round(2 / math.sqrt(3 * 2), 6)
+    assert ab.shrunk_cosine == ab.cosine  # shrinkage=0
+    ac = by_pair[("A", "C")]
+    assert ac.n_cooc == 1 and ac.cosine == round(1 / math.sqrt(3), 6)
+
+
+def test_rating_mode_and_shrinkage(spark):
+    # ratings accumulate; duplicate (u,i) ratings SUM before the model
+    rows = [(1, "A", 2.0), (1, "A", 1.0), (1, "B", 4.0),
+            (2, "A", 3.0), (2, "B", 0.0)]
+    out = item_item_cosine(
+        _inter(spark, rows), "u", "i", rating_col="r", shrinkage=2.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # dot = 3*4 + 3*0 = 12; |A|² = 9+9, |B|² = 16
+    cos = 12 / math.sqrt(18 * 16)
+    assert r.cosine == round(cos, 6)
+    assert r.shrunk_cosine == round(cos * 2 / (2 + 2.0), 6)
+
+
+def test_max_user_items_gate(spark):
+    rows = [(1, "A", 1.0), (1, "B", 1.0), (1, "C", 1.0),
+            (2, "A", 1.0), (2, "B", 1.0)]
+    out = item_item_cosine(
+        _inter(spark, rows), "u", "i", max_user_items=2
+    ).collect()
+    # user 1 (3 items) is dropped; only user 2's {A,B} pair remains
+    assert [(r.item_a, r.item_b, r.n_cooc) for r in out] == [("A", "B", 1)]
+
+
+def test_min_cooc_floor(spark):
+    rows = [(1, "A", 1.0), (1, "B", 1.0), (2, "A", 1.0), (2, "C", 1.0)]
+    out = item_item_cosine(_inter(spark, rows), "u", "i", min_cooc=2)
+    assert out.count() == 0
+
+
+def test_recommend_excludes_seen_and_ranks(spark):
+    rows = [(1, "A", 1.0), (1, "B", 1.0),
+            (2, "A", 1.0), (2, "B", 1.0),
+            (3, "A", 1.0), (3, "C", 1.0),
+            (4, "B", 1.0), (4, "C", 1.0)]
+    df = _inter(spark, rows)
+    sims = item_item_cosine(df, "u", "i")
+    recs = recommend_items(df, sims, "u", "i", top_n=2)
+    got = {(r.user, r.item): (r.score, r.rank) for r in recs.collect()}
+    # user 1 saw A,B -> only C recommendable (via A-C and B-C sims)
+    assert set(k[1] for k in got if k[0] == 1) == {"C"}
+    # no recommendation may be an already-seen item
+    seen = {(u, i) for (u, i, _) in rows}
+    assert not (set(got) & seen)
+    # ranks are 1..n per user, score-descending
+    for u in {1, 2, 3, 4}:
+        urecs = sorted(
+            (v[1], v[0]) for k, v in got.items() if k[0] == u
+        )
+        assert [r for r, _ in urecs] == list(range(1, len(urecs) + 1))
+        scores = [s for _, s in urecs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_recommend_include_seen(spark):
+    rows = [(1, "A", 1.0), (1, "B", 1.0), (2, "A", 1.0), (2, "B", 1.0)]
+    df = _inter(spark, rows)
+    sims = item_item_cosine(df, "u", "i")
+    recs = recommend_items(df, sims, "u", "i", top_n=5, include_seen=True)
+    # with include_seen the seen neighbors come back as candidates
+    assert {(r.user, r.item) for r in recs.collect()} == {
+        (1, "A"), (1, "B"), (2, "A"), (2, "B")
+    }
