@@ -5267,6 +5267,11 @@ _EXTRA_KEYS = [
     # Round 11: item-based collaborative filtering (ops/recsys.py).
     "recsys_item_item_brands",
     "recsys_user_brand_recs",
+    # Round 11: distributed statistical inference (ops/stats.py).
+    "stats_bootstrap_ci_price",
+    "events_ab_cuped",
+    "stats_fdr_ks_lineitem",
+    "events_theil_sen_daily",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -12175,6 +12180,315 @@ _ALL_SQL.update(
                    ROUND(CAST(sc AS DOUBLE), 6) AS score,
                    CAST(rnk AS INT) AS rank
             FROM ranked WHERE rnk <= 3
+        """,
+    }
+)
+
+
+# ---- round 11: distributed statistical inference (ops/stats.py) ----
+
+
+def _stats_bootstrap_ci_price(spark, sf_dir):
+    """Poisson-bootstrap percentile CI of mean order value
+    (ops/stats.py::poisson_bootstrap_ci): per-(row, replicate)
+    Poisson(1) weights from the portable mix hash — no resample
+    shuffle, map-side partials collapse the 100× explode to 100 rows
+    per task; replicate means round to 6 dp before order-statistic
+    selection so the CI is merge-order independent."""
+    from metadata_etl_framework_spark.ops.stats import poisson_bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        o, "o_totalprice", "o_orderkey", n_boot=100, alpha=0.05
+    )
+
+
+def _events_ab_cuped(spark, sf_dir):
+    """CUPED-adjusted A/B effect on events (ops/stats.py::
+    cuped_adjusted_effect): id-parity variants, post-Jan-15 value sum
+    as the metric, pre-Jan-15 value sum as the pre-experiment
+    covariate; θ from DECIMAL-exact pooled moments, adjusted means by
+    the linear closed form (no second data pass)."""
+    from metadata_etl_framework_spark.ops.stats import cuped_adjusted_effect
+
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        F.when(F.col("ts") >= split, F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("post_value"),
+        F.when(F.col("ts") < split, F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("pre_value"),
+    )
+    return cuped_adjusted_effect(
+        ev, "variant", "post_value", "pre_value", "user_id"
+    )
+
+
+def _stats_fdr_ks_lineitem(spark, sf_dir):
+    """Benjamini–Hochberg FDR across the per-column KS drift tests
+    (ops/stats.py::fdr_bh over quality/drift.py::ks_significance): the
+    multiple-testing correction a wide drift dashboard needs — 4
+    column-level p-values ranked, thresholded at rank/m·q, step-up
+    rejection."""
+    from metadata_etl_framework_spark.ops.stats import fdr_bh
+    from metadata_etl_framework_spark.quality.drift import ks_significance
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    parts = None
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        one = ks_significance(ref, cur, c).select(
+            F.lit(c).alias("col_name"), "p_value"
+        )
+        parts = one if parts is None else parts.unionByName(one)
+    return fdr_bh(parts, "col_name", "p_value", q=0.05)
+
+
+def _events_theil_sen_daily(spark, sf_dir):
+    """Theil–Sen robust daily trend per event type (ops/stats.py::
+    theil_sen_trend): median pairwise slope over the per-day count
+    series — self-equi-join on the series key with the O(m²)
+    max_points gate, exact order-statistic medians."""
+    from metadata_etl_framework_spark.ops.stats import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return theil_sen_trend(daily, "event_type", "day", "n", max_points=100)
+
+
+_ALL_QUERIES.update(
+    {
+        "stats_bootstrap_ci_price": _stats_bootstrap_ci_price,
+        "events_ab_cuped": _events_ab_cuped,
+        "stats_fdr_ks_lineitem": _stats_fdr_ks_lineitem,
+        "events_theil_sen_daily": _events_theil_sen_daily,
+    }
+)
+
+# inverse-CDF ladder of Poisson(1) — the SAME literal text as
+# ops/stats.py::POISSON1_CDF so both engines parse identical doubles
+_P1_CDF_SQL = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712",
+)
+
+
+def _poisson1_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_P1_CDF_SQL)
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
+def _ks_p_subquery_sql(col: str) -> str:
+    """Per-column KS p-value as a self-contained (WITH … SELECT)
+    subquery — ks_significance's fixed 20-term Kolmogorov series with
+    identical literals, emitting (test_name, p)."""
+    terms = " + ".join(
+        f"({float((-1) ** (j - 1)) * 2.0!r}) * "
+        f"EXP(({-2.0 * j * j!r}) * lam * lam)"
+        for j in range(1, 21)
+    )
+    return f"""(WITH {_ks_ctes(col)},
+        k AS (SELECT ROUND(MAX(ABS(ca / n_ref - cb / n_cur)), 6) AS ks_stat,
+                     n_ref, n_cur
+              FROM s, t GROUP BY n_ref, n_cur),
+        l AS (SELECT *,
+                     (SQRT(n_ref * n_cur / (n_ref + n_cur)) + 0.12
+                      + 0.11 / SQRT(n_ref * n_cur / (n_ref + n_cur)))
+                     * ks_stat AS lam
+              FROM k)
+        SELECT '{col}' AS test_name,
+               ROUND(CASE WHEN lam < 0.1 THEN 1.0
+                          ELSE LEAST(1.0, GREATEST(0.0, {terms}))
+                     END, 6) AS p
+        FROM l)"""
+
+
+_ALL_SQL.update(
+    {
+        "stats_bootstrap_ci_price": f"""
+            WITH {_hash32_cte_sql(
+                "SELECT o_orderkey * 1000003 + r.b AS x, r.b AS rep, "
+                "CAST(o_totalprice AS DOUBLE) AS val "
+                "FROM orders CROSS JOIN "
+                "(SELECT UNNEST(RANGE(0, 100)) AS b) r "
+                "WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
+            )},
+            weighted AS (SELECT rep, val,
+                                {_poisson1_case_sql("h / 4294967296.0")} AS w
+                         FROM hh),
+            means AS (SELECT rep, SUM(w) AS n,
+                             SUM(w * CAST(val AS DECIMAL(30,10))) AS s
+                      FROM weighted GROUP BY 1 HAVING SUM(w) > 0),
+            m2 AS (SELECT ROUND(CAST(s AS DOUBLE) / n, 6) AS m, rep
+                   FROM means),
+            ranked AS (SELECT m,
+                              ROW_NUMBER() OVER (ORDER BY m, rep) AS rn,
+                              COUNT(*) OVER () AS r
+                       FROM m2),
+            sel AS (SELECT MIN(CASE WHEN rn = FLOOR(0.025 * r) + 1
+                                    THEN m END) AS ci_lo,
+                           MIN(CASE WHEN rn = CEIL(0.975 * r)
+                                    THEN m END) AS ci_hi,
+                           ROUND(CAST(SUM(CAST(m AS DECIMAL(20,6)))
+                                      AS DOUBLE) / COUNT(*), 6) AS boot_mean
+                    FROM ranked),
+            pt AS (SELECT COUNT(*) AS n_rows,
+                          ROUND(CAST(SUM(CAST(o_totalprice
+                                              AS DECIMAL(30,10)))
+                                     AS DOUBLE) / COUNT(*), 6) AS point_est
+                   FROM orders
+                   WHERE o_totalprice IS NOT NULL
+                     AND o_orderkey IS NOT NULL)
+            SELECT n_rows, point_est, boot_mean, ci_lo, ci_hi,
+                   CAST(100 AS INT) AS n_boot
+            FROM pt CROSS JOIN sel
+        """,
+        "events_ab_cuped": """
+            WITH ev AS (SELECT user_id AS u,
+                               CASE WHEN user_id % 2 = 0 THEN 'A'
+                                    ELSE 'B' END AS g,
+                               CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                                    THEN value ELSE 0.0 END AS y,
+                               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                                    THEN value ELSE 0.0 END AS x
+                        FROM events WHERE user_id IS NOT NULL),
+            pu AS (SELECT u, MAX(g) AS g,
+                          CAST(ROUND(SUM(CAST(y AS DECIMAL(30,10))), 6)
+                               AS DECIMAL(18,6)) AS y,
+                          CAST(ROUND(SUM(CAST(x AS DECIMAL(30,10))), 6)
+                               AS DECIMAL(18,6)) AS x
+                   FROM ev GROUP BY 1
+                   HAVING COUNT(DISTINCT g) = 1),
+            mom AS (SELECT COUNT(*) AS n,
+                           CAST(SUM(x) AS DOUBLE) AS sx,
+                           CAST(SUM(y) AS DOUBLE) AS sy,
+                           CAST(SUM(CAST(x AS DECIMAL(20,6)) * x)
+                                AS DOUBLE) AS sxx,
+                           CAST(SUM(CAST(x AS DECIMAL(20,6)) * y)
+                                AS DOUBLE) AS sxy,
+                           CAST(SUM(CAST(y AS DECIMAL(20,6)) * y)
+                                AS DOUBLE) AS syy
+                    FROM pu),
+            pv AS (SELECT g, COUNT(*) AS cnt,
+                          CAST(SUM(y) AS DOUBLE) AS syv,
+                          CAST(SUM(x) AS DOUBLE) AS sxv
+                   FROM pu GROUP BY 1),
+            w AS (SELECT m.*,
+                         a.g AS ga, a.cnt AS na, a.syv AS sya, a.sxv AS sxa,
+                         b.g AS gb, b.cnt AS nb, b.syv AS syb, b.sxv AS sxb
+                  FROM mom m,
+                       (SELECT * FROM pv ORDER BY g LIMIT 1) a,
+                       (SELECT * FROM pv ORDER BY g DESC LIMIT 1) b),
+            calc AS (SELECT *, sxy - sx * sy / n AS cov,
+                            sxx - sx * sx / n AS varx,
+                            syy - sy * sy / n AS vary,
+                            sx / n AS xbar
+                     FROM w),
+            c2 AS (SELECT *,
+                          CASE WHEN varx > 0 THEN cov / varx
+                               ELSE 0.0 END AS theta,
+                          CASE WHEN varx > 0 AND vary > 0
+                               THEN cov * cov / (varx * vary)
+                               ELSE 0.0 END AS vr
+                   FROM calc)
+            SELECT ga AS variant_a, CAST(na AS BIGINT) AS n_a,
+                   ROUND(sya / na, 6) AS mean_a,
+                   ROUND(sya / na - theta * (sxa / na - xbar), 6)
+                       AS adj_mean_a,
+                   gb AS variant_b, CAST(nb AS BIGINT) AS n_b,
+                   ROUND(syb / nb, 6) AS mean_b,
+                   ROUND(syb / nb - theta * (sxb / nb - xbar), 6)
+                       AS adj_mean_b,
+                   ROUND(sya / na - syb / nb, 6) AS diff,
+                   ROUND((sya / na - theta * (sxa / na - xbar))
+                         - (syb / nb - theta * (sxb / nb - xbar)), 6)
+                       AS adj_diff,
+                   ROUND(theta, 6) AS theta,
+                   ROUND(vr * 100.0, 6) AS var_reduction_pct
+            FROM c2
+        """,
+        "stats_fdr_ks_lineitem": f"""
+            WITH pv AS (
+                SELECT * FROM {_ks_p_subquery_sql("l_quantity")}
+                UNION ALL
+                SELECT * FROM {_ks_p_subquery_sql("l_extendedprice")}
+                UNION ALL
+                SELECT * FROM {_ks_p_subquery_sql("l_discount")}
+                UNION ALL
+                SELECT * FROM {_ks_p_subquery_sql("l_tax")}
+            ),
+            ranked AS (SELECT test_name AS test, p AS p_value,
+                              ROW_NUMBER() OVER (
+                                  ORDER BY p, test_name) AS rnk,
+                              COUNT(*) OVER () AS m
+                       FROM pv),
+            thr AS (SELECT *,
+                           ROUND(rnk / CAST(m AS DOUBLE) * 0.05, 6)
+                               AS bh_threshold
+                    FROM ranked),
+            t2 AS (SELECT *, p_value <= bh_threshold AS le FROM thr),
+            crit AS (SELECT MAX(CASE WHEN le THEN rnk END) AS c FROM t2)
+            SELECT test, ROUND(p_value, 6) AS p_value,
+                   CAST(rnk AS INT) AS rank, CAST(m AS BIGINT) AS m,
+                   bh_threshold,
+                   COALESCE(rnk <= c, FALSE) AS rejected
+            FROM t2 CROSS JOIN crit
+            ORDER BY rank
+        """,
+        "events_theil_sen_daily": """
+            WITH daily AS (SELECT event_type AS g,
+                                  CAST(DATEDIFF('day', DATE '2024-01-01',
+                                                CAST(ts AS DATE))
+                                       AS DOUBLE) AS x,
+                                  CAST(COUNT(*) AS DOUBLE) AS y
+                           FROM events GROUP BY 1, 2),
+            pairs AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+                      FROM daily a JOIN daily b
+                        ON a.g = b.g AND a.x < b.x),
+            slopes AS (SELECT g, s,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY g ORDER BY s) AS rn,
+                              COUNT(*) OVER (PARTITION BY g) AS cnt
+                       FROM pairs),
+            sl AS (SELECT g,
+                          AVG(CASE WHEN rn = FLOOR((cnt + 1) / 2)
+                                     OR rn = FLOOR((cnt + 2) / 2)
+                                   THEN s END) AS slope,
+                          MAX(cnt) AS n_pairs
+                   FROM slopes GROUP BY g),
+            resid AS (SELECT d.g, d.y - sl.slope * d.x AS r
+                      FROM daily d JOIN sl ON d.g = sl.g),
+            rr AS (SELECT g, r,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY g ORDER BY r) AS rn,
+                          COUNT(*) OVER (PARTITION BY g) AS cnt
+                   FROM resid),
+            ic AS (SELECT g,
+                          AVG(CASE WHEN rn = FLOOR((cnt + 1) / 2)
+                                     OR rn = FLOOR((cnt + 2) / 2)
+                                   THEN r END) AS icept
+                   FROM rr GROUP BY g),
+            sizes AS (SELECT g, COUNT(*) AS m FROM daily GROUP BY g)
+            SELECT sizes.g AS "group", CAST(m AS BIGINT) AS n_points,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   ROUND(slope, 6) AS slope,
+                   ROUND(icept, 6) AS intercept
+            FROM sizes
+            JOIN sl ON sizes.g = sl.g
+            JOIN ic ON sizes.g = ic.g
+            ORDER BY 1
         """,
     }
 )

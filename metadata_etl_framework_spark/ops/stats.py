@@ -1,0 +1,433 @@
+"""Distributed statistical inference: bootstrap CIs, CUPED, FDR, Theil–Sen.
+
+The reference's quality plane stops at point statistics (means, PSI/KS
+numbers — cf. /root/reference/src/quality/data_profiler.py); this module
+adds the INFERENCE layer a data-driven org runs on top: how uncertain is
+that mean (bootstrap), is that A/B lift real after covariate adjustment
+(CUPED), which of my 500 drift tests survive multiple-testing correction
+(Benjamini–Hochberg), and what's the robust trend (Theil–Sen).
+
+Scale design:
+- The bootstrap is the POISSON bootstrap (the industry-standard
+  map-reduce resampling: each row independently draws a Poisson(1)
+  weight per replicate — no global resample shuffle, one pass, map-side
+  partial aggregation collapses the R-fold row blow-up to R rows per
+  task). Weights come from the engine-portable 32-bit mix hash
+  (ops/sketch.py::hash32) through the fixed inverse-CDF ladder of
+  Poisson(1), so a DuckDB oracle replays every weight bit-for-bit.
+- CUPED moments (Σx, Σy, Σx², Σxy) accumulate in DECIMAL — merge-order
+  independent, no F.corr numerical drift — and θ, the adjusted means
+  and the variance reduction are closed forms over one 1-row frame.
+- BH-FDR is a window rank over the (tiny) test-results frame.
+- Theil–Sen is quadratic in points-per-group by construction, so a
+  ``max_points`` gate fails loud instead of letting a mega-group
+  detonate the pair join (same convention as prefilter_max_rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sketch import hash32
+
+__all__ = [
+    "poisson_bootstrap_ci",
+    "cuped_adjusted_effect",
+    "fdr_bh",
+    "theil_sen_trend",
+]
+
+_DEC = "decimal(30,10)"
+
+# cumulative inverse-CDF ladder of Poisson(1): P(X <= k) for k = 0..6,
+# spelled as EXACT literals so Spark and any SQL oracle evaluate the
+# identical CASE thresholds (tail mass beyond 7 is < 1e-7 -> clamp)
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+_M32F = 4294967296.0
+
+
+def _poisson1_weight(u):  # u in [0, 1)
+    w = F.lit(7)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    max_boot: int = 10_000,
+) -> DataFrame:
+    """Percentile bootstrap CI of the mean via the Poisson bootstrap.
+
+    Each row r and replicate b draws weight ~ Poisson(1) from
+    hash32(key·1000003 + b) — deterministic, engine-portable, and
+    independent-enough across (row, replicate) for the bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", the standard trick because it needs NO global resample:
+    the explode is collapsed by map-side partial aggregation, so the
+    shuffle is ``n_boot`` rows per task regardless of data size).
+
+    Replicate means are rounded to 6 dp BEFORE ranking/averaging so
+    every downstream number is merge-order independent; the CI picks
+    order statistics floor(α/2·R)+1 and ceil((1−α/2)·R) over the R
+    non-empty replicates. Output: 1 row — (n_rows, point_est,
+    boot_mean, ci_lo, ci_hi, n_boot int).
+    """
+    if not 1 <= n_boot <= max_boot:
+        raise ValueError(
+            f"n_boot={n_boot} outside [1, {max_boot}] — the explode "
+            f"multiplies the scan by n_boot; raise max_boot explicitly "
+            f"if you really want more replicates"
+        )
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    rep = base.select(
+        "_k",
+        "_v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+        ).alias("_b"),
+    )
+    u = hash32(F.col("_k") * F.lit(1000003) + F.col("_b")) / F.lit(_M32F)
+    weighted = rep.withColumn("_w", _poisson1_weight(u))
+    means = (
+        weighted.groupBy("_b")
+        .agg(
+            F.sum("_w").alias("_n"),
+            F.sum(F.col("_w") * F.col("_v").cast(_DEC)).alias("_s"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            F.round(
+                F.col("_s").cast("double") / F.col("_n"), 6
+            ).alias("_m"),
+            "_b",
+        )
+    )
+    w = Window.orderBy("_m", "_b")
+    ranked = means.withColumn("_rn", F.row_number().over(w))
+    lo = F.floor(F.lit(alpha / 2.0) * F.col("_r")) + 1
+    hi = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("_r"))
+    ci = (
+        ranked.withColumn("_r", F.count(F.lit(1)).over(Window.partitionBy()))
+        .agg(
+            F.min(F.when(F.col("_rn") == lo, F.col("_m"))).alias("ci_lo"),
+            F.min(F.when(F.col("_rn") == hi, F.col("_m"))).alias("ci_hi"),
+            F.round(
+                F.sum(F.col("_m").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boot_mean"),
+        )
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("_v").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_est"),
+    )
+    return point.crossJoin(ci).select(
+        "n_rows",
+        "point_est",
+        "boot_mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(int(n_boot)).cast("int").alias("n_boot"),
+    )
+
+
+def cuped_adjusted_effect(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """CUPED-adjusted A/B effect (Deng et al., WSDM '13): regress the
+    experiment metric on a PRE-experiment covariate and compare the
+    residualized means — same estimate in expectation, variance shrunk
+    by corr²(x, y).
+
+    Per-unit reduction mirrors
+    :func:`~metadata_etl_framework_spark.ops.retention.ab_test_proportions`:
+    units under both variants are contaminated and dropped (no silent
+    pick). θ = cov(x,y)/var(x) is computed POOLED across both arms from
+    the moment sums (the standard single-θ CUPED); because the CUPED
+    adjustment is linear, the adjusted variant mean is the closed form
+    ȳ_v − θ·(x̄_v − x̄) — no second pass over the data and no
+    order-dependent double summation. Per-unit metrics round to 6 dp
+    and moments accumulate as DECIMAL(18,6)-product sums (37,12
+    products — exact under the 38-digit cap for per-unit magnitudes up
+    to ~1e12), so every downstream double is derived from
+    bit-identical inputs in any engine. Output: 1 row —
+    (variant_a, n_a, mean_a, adj_mean_a, variant_b, n_b, mean_b,
+    adj_mean_b, diff, adj_diff, theta, var_reduction_pct — 6 dp,
+    var_reduction_pct = 100·corr²(x,y)).
+    """
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("_u"))
+        .agg(
+            F.max(F.col(variant_col).cast("string")).alias("_g"),
+            F.countDistinct(F.col(variant_col).cast("string")).alias("_nv"),
+            F.round(F.sum(F.col(metric_col).cast(_DEC)), 6)
+            .cast("decimal(18,6)")
+            .alias("_y"),
+            F.round(F.sum(F.col(covariate_col).cast(_DEC)), 6)
+            .cast("decimal(18,6)")
+            .alias("_x"),
+        )
+        .where(F.col("_nv") == 1)
+        .select("_u", "_g", "_y", "_x")
+    )
+    per_unit = per_unit.persist()
+    try:
+        mom = per_unit.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        ).collect()[0]
+        per_variant = (
+            per_unit.groupBy("_g")
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.sum("_y").alias("_sy"),
+                F.sum("_x").alias("_sx"),
+            )
+            .orderBy("_g")
+            .collect()
+        )
+    finally:
+        per_unit.unpersist()
+    if len(per_variant) != 2:
+        raise ValueError(
+            f"cuped_adjusted_effect needs exactly 2 variants, got "
+            f"{[r['_g'] for r in per_variant]}"
+        )
+    a, b = per_variant
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [
+            (
+                mom["_n"], mom["_sx"], mom["_sy"],
+                mom["_sxx"], mom["_sxy"], mom["_syy"],
+                a["_g"], a["_cnt"], a["_sy"], a["_sx"],
+                b["_g"], b["_cnt"], b["_sy"], b["_sx"],
+            )
+        ],
+        "n long, sx decimal(38,6), sy decimal(38,6), "
+        "sxx decimal(38,12), sxy decimal(38,12), syy decimal(38,12), "
+        "ga string, na long, sya decimal(38,6), sxa decimal(38,6), "
+        "gb string, nb long, syb decimal(38,6), sxb decimal(38,6)",
+    )
+    # every symbol below is a DOUBLE derived from the exact decimal
+    # sums — identical inputs => identical IEEE arithmetic in any engine
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    theta = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    vr = F.when(
+        (varx > 0) & (vary > 0), cov * cov / (varx * vary)
+    ).otherwise(F.lit(0.0))
+    xbar = sx / n
+    mean_a = F.col("sya").cast("double") / F.col("na")
+    mean_b = F.col("syb").cast("double") / F.col("nb")
+    adj_a = mean_a - theta * (F.col("sxa").cast("double") / F.col("na") - xbar)
+    adj_b = mean_b - theta * (F.col("sxb").cast("double") / F.col("nb") - xbar)
+    return one.select(
+        F.col("ga").alias("variant_a"),
+        F.col("na").alias("n_a"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(adj_a, 6).alias("adj_mean_a"),
+        F.col("gb").alias("variant_b"),
+        F.col("nb").alias("n_b"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(adj_b, 6).alias("adj_mean_b"),
+        F.round(mean_a - mean_b, 6).alias("diff"),
+        F.round(adj_a - adj_b, 6).alias("adj_diff"),
+        F.round(theta, 6).alias("theta"),
+        F.round(vr * F.lit(100.0), 6).alias("var_reduction_pct"),
+    )
+
+
+def fdr_bh(
+    tests: DataFrame,
+    test_col: str,
+    p_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a frame of test
+    results: rank p-values ascending, find the largest rank i with
+    p_(i) ≤ i/m·q, and reject tests 1..i.
+
+    The input is a RESULTS frame (one row per hypothesis — per-column
+    drift tests, per-segment A/B readouts), so the window is over a
+    tiny frame; ties in p break on the test id for determinism.
+
+    Output: (test, p_value, rank int, m long, bh_threshold 6 dp,
+    rejected boolean), ordered by rank.
+    """
+    base = tests.select(
+        F.col(test_col).cast("string").alias("test"),
+        F.col(p_col).cast("double").alias("p_value"),
+    ).where(F.col("p_value").isNotNull())
+    w = Window.orderBy("p_value", "test")
+    ranked = (
+        base.withColumn("rank", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "bh_threshold",
+            F.round(
+                F.col("rank").cast("double") / F.col("m") * F.lit(float(q)),
+                6,
+            ),
+        )
+        .withColumn(
+            "_le", F.col("p_value") <= F.col("bh_threshold")
+        )
+    )
+    crit = F.max(F.when(F.col("_le"), F.col("rank"))).over(
+        Window.partitionBy()
+    )
+    return (
+        ranked.withColumn(
+            "rejected",
+            F.coalesce(F.col("rank") <= crit, F.lit(False)),
+        )
+        .select(
+            "test", F.round("p_value", 6).alias("p_value"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("m").cast("long").alias("m"),
+            "bh_threshold", "rejected",
+        )
+        .orderBy("rank")
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_points: int = 2000,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i), x_i < x_j — up to ~29% outlier
+    breakdown vs OLS's zero (the robust counterpart of
+    ops/retention-family trend_ols). Intercept = median over points of
+    (y − slope·x), the standard Theil–Sen intercept.
+
+    Pairs come from a self-equi-join ON THE GROUP KEY (never cross);
+    the op is O(m²) per group by definition, so any group larger than
+    ``max_points`` raises — fit is meant for per-series trend tables
+    (daily aggregates), not raw events; pre-aggregate first.
+
+    Medians are exact order statistics (avg of the two middles on even
+    counts) via row_number — the same convention both an oracle and
+    the rolling-median ops use. Output: (group, n_points long,
+    n_pairs long, slope 6 dp, intercept 6 dp), ordered by group.
+    """
+    pts = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    pts = pts.persist()
+    try:
+        sizes = pts.groupBy("_g").agg(F.count(F.lit(1)).alias("_m"))
+        too_big = sizes.where(F.col("_m") > int(max_points)).limit(1).collect()
+        if too_big:
+            raise ValueError(
+                f"theil_sen_trend: group {too_big[0]['_g']!r} has "
+                f"{too_big[0]['_m']} points > max_points={max_points} "
+                f"(the pair join is O(m^2)) — pre-aggregate the series "
+                f"or raise max_points explicitly"
+            )
+        a = pts.select("_g", F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+        b = pts.select("_g", F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+        slopes = (
+            a.join(b, "_g")
+            .where(F.col("_xa") < F.col("_xb"))
+            .select(
+                "_g",
+                (
+                    (F.col("_yb") - F.col("_ya"))
+                    / (F.col("_xb") - F.col("_xa"))
+                ).alias("_s"),
+            )
+        )
+        slope = _grouped_median(slopes, "_g", "_s").withColumnRenamed(
+            "_median", "_slope"
+        ).withColumnRenamed("_cnt", "_n_pairs")
+        resid = pts.join(slope, "_g").select(
+            "_g", (F.col("_y") - F.col("_slope") * F.col("_x")).alias("_r")
+        )
+        inter = _grouped_median(resid, "_g", "_r").select(
+            "_g", F.col("_median").alias("_icept")
+        )
+        out = (
+            sizes.join(slope, "_g")
+            .join(inter, "_g")
+            .select(
+                F.col("_g").alias("group"),
+                F.col("_m").cast("long").alias("n_points"),
+                F.col("_n_pairs").cast("long").alias("n_pairs"),
+                F.round("_slope", 6).alias("slope"),
+                F.round("_icept", 6).alias("intercept"),
+            )
+            .orderBy("group")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pts.unpersist()
+    return out
+
+
+def _grouped_median(df: DataFrame, g: str, v: str) -> DataFrame:
+    """Exact per-group median of ``v``: avg of the two middle order
+    statistics (equal on odd counts)."""
+    w = Window.partitionBy(g).orderBy(v)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy(g))
+    )
+    mid_lo = (F.col("_cnt") + 1) / 2
+    mid_hi = (F.col("_cnt") + 2) / 2
+    return ranked.groupBy(g).agg(
+        F.avg(
+            F.when(
+                (F.col("_rn") == F.floor(mid_lo))
+                | (F.col("_rn") == F.floor(mid_hi)),
+                F.col(v),
+            )
+        ).alias("_median"),
+        F.first("_cnt").alias("_cnt"),
+    )

@@ -1,0 +1,127 @@
+"""Unit tests for ops/stats.py — bootstrap, CUPED, BH-FDR, Theil–Sen."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.ops.stats import (
+    POISSON1_CDF,
+    cuped_adjusted_effect,
+    fdr_bh,
+    poisson_bootstrap_ci,
+    theil_sen_trend,
+)
+
+
+def test_poisson_cdf_ladder_is_monotone():
+    assert list(POISSON1_CDF) == sorted(POISSON1_CDF)
+    assert 0.0 < POISSON1_CDF[0] < POISSON1_CDF[-1] < 1.0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    df = spark.range(1, 2001).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    a = poisson_bootstrap_ci(df, "v", "k", n_boot=50).collect()[0]
+    b = poisson_bootstrap_ci(df, "v", "k", n_boot=50).collect()[0]
+    assert a == b  # hash-seeded -> fully deterministic
+    assert a["n_rows"] == 2000 and a["n_boot"] == 50
+    assert a["ci_lo"] <= a["point_est"] <= a["ci_hi"]
+    # CI of a mean over 2000 rows must be tight around ~49.5
+    assert a["ci_hi"] - a["ci_lo"] < 5.0
+
+
+def test_bootstrap_n_boot_gate(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="n_boot"):
+        poisson_bootstrap_ci(df, "v", "k", n_boot=20_001)
+
+
+def test_cuped_reduces_to_plain_diff_when_theta_zero(spark):
+    # covariate constant -> var(x)=0 -> theta=0 -> adj == raw
+    rows = [(1, "A", 10.0, 5.0), (2, "A", 12.0, 5.0),
+            (3, "B", 9.0, 5.0), (4, "B", 11.0, 5.0)]
+    df = spark.createDataFrame(rows, "u long, g string, y double, x double")
+    r = cuped_adjusted_effect(df, "g", "y", "x", "u").collect()[0]
+    assert r["theta"] == 0.0 and r["var_reduction_pct"] == 0.0
+    assert r["mean_a"] == r["adj_mean_a"] == 11.0
+    assert r["diff"] == r["adj_diff"] == 1.0
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    # y = 2x exactly -> corr^2 = 1 -> 100% variance reduction and the
+    # adjusted means collapse to the grand adjusted value in both arms
+    rows = [(i, "A" if i % 2 == 0 else "B", 2.0 * v, v)
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])]
+    df = spark.createDataFrame(rows, "u long, g string, y double, x double")
+    r = cuped_adjusted_effect(df, "g", "y", "x", "u").collect()[0]
+    assert r["theta"] == 2.0
+    assert r["var_reduction_pct"] == 100.0
+    assert r["adj_diff"] == 0.0
+
+
+def test_cuped_contaminated_units_dropped(spark):
+    rows = [(1, "A", 1.0, 1.0), (1, "B", 1.0, 1.0),  # unit 1 in both arms
+            (2, "A", 3.0, 1.0), (3, "B", 5.0, 1.0)]
+    df = spark.createDataFrame(rows, "u long, g string, y double, x double")
+    r = cuped_adjusted_effect(df, "g", "y", "x", "u").collect()[0]
+    assert r["n_a"] == 1 and r["n_b"] == 1
+    assert r["mean_a"] == 3.0 and r["mean_b"] == 5.0
+
+
+def test_cuped_requires_two_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 1.0, 1.0)], "u long, g string, y double, x double"
+    )
+    with pytest.raises(ValueError, match="2 variants"):
+        cuped_adjusted_effect(df, "g", "y", "x", "u")
+
+
+def test_fdr_bh_textbook_example(spark):
+    # classic BH: m=5, q=0.25; thresholds i/5*0.25 = .05 .10 .15 .20 .25
+    pvals = [("t1", 0.01), ("t2", 0.04), ("t3", 0.12),
+             ("t4", 0.30), ("t5", 0.90)]
+    df = spark.createDataFrame(pvals, "t string, p double")
+    out = {r["test"]: r for r in fdr_bh(df, "t", "p", q=0.25).collect()}
+    # largest i with p_(i) <= i/m*q: i=3 (0.12 <= 0.15), so the step-up
+    # rejects t1..t3 even though plain per-test q would keep only t1,t2
+    assert [out[t]["rejected"] for t in ("t1", "t2", "t3", "t4", "t5")] == [
+        True, True, True, False, False
+    ]
+    assert out["t5"]["rank"] == 5 and out["t1"]["m"] == 5
+
+
+def test_fdr_bh_no_rejections(spark):
+    df = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.95)], "t string, p double"
+    )
+    out = fdr_bh(df, "t", "p", q=0.05).collect()
+    assert all(not r["rejected"] for r in out)
+
+
+def test_theil_sen_exact_line_and_outlier_resistance(spark):
+    # group g1: exact y = 3x + 2; group g2: same line + one wild outlier
+    pts = [("g1", float(x), 3.0 * x + 2.0) for x in range(10)]
+    pts += [("g2", float(x), 3.0 * x + 2.0) for x in range(10)]
+    pts += [("g2", 10.0, 1000.0)]
+    df = spark.createDataFrame(pts, "g string, x double, y double")
+    out = {r["group"]: r for r in
+           theil_sen_trend(df, "g", "x", "y").collect()}
+    assert out["g1"]["slope"] == 3.0 and out["g1"]["intercept"] == 2.0
+    # median slope shrugs off the outlier (OLS would report ~ 11.9)
+    assert out["g2"]["slope"] == 3.0
+    assert out["g1"]["n_pairs"] == 45 and out["g2"]["n_pairs"] == 55
+
+
+def test_theil_sen_max_points_gate(spark):
+    df = spark.range(100).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen_trend(df, "g", "x", "y", max_points=50)
