@@ -5272,6 +5272,11 @@ _EXTRA_KEYS = [
     "events_ab_cuped",
     "stats_fdr_ks_lineitem",
     "events_theil_sen_daily",
+    # Round 11: privacy / governance audits (quality/privacy.py).
+    "privacy_k_anonymity_customer",
+    "privacy_k_classes_customer",
+    "privacy_l_diversity_customer",
+    "privacy_dp_counts_orders",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -12489,6 +12494,140 @@ _ALL_SQL.update(
             JOIN sl ON sizes.g = sl.g
             JOIN ic ON sizes.g = ic.g
             ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 11: privacy / governance audits (quality/privacy.py) ----
+
+
+def _privacy_k_anonymity_customer(spark, sf_dir):
+    """k-anonymity release gate on customers (quality/privacy.py::
+    k_anonymity_summary): QI = (nation, market segment), k=5 — how many
+    identity classes violate k and what share of rows is
+    re-identifiable."""
+    from metadata_etl_framework_spark.quality.privacy import (
+        k_anonymity_summary,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_summary(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+def _privacy_k_classes_customer(spark, sf_dir):
+    """Per-identity-class k-anonymity table (quality/privacy.py::
+    k_anonymity_classes): one groupBy on the QI tuple, class-bounded
+    output with below-k flags."""
+    from metadata_etl_framework_spark.quality.privacy import (
+        k_anonymity_classes,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_classes(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+def _privacy_l_diversity_customer(spark, sf_dir):
+    """l-diversity audit (quality/privacy.py::l_diversity_classes):
+    sensitive attribute = account-balance band (2000-wide), distinct-l
+    with per-class entropy — catches the homogeneity attack k-anonymity
+    misses."""
+    from metadata_etl_framework_spark.quality.privacy import (
+        l_diversity_classes,
+    )
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    return l_diversity_classes(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=3
+    )
+
+
+def _privacy_dp_counts_orders(spark, sf_dir):
+    """ε-DP order counts by priority (quality/privacy.py::
+    dp_noisy_counts): Laplace(1/ε) noise inverse-CDF sampled from the
+    portable mix hash over the scale-safe global group index — the
+    release is deterministic and engine-replayable."""
+    from metadata_etl_framework_spark.quality.privacy import dp_noisy_counts
+
+    o = _t(spark, sf_dir, "orders")
+    return dp_noisy_counts(o, ["o_orderpriority"], epsilon=1.0, seed=7)
+
+
+_ALL_QUERIES.update(
+    {
+        "privacy_k_anonymity_customer": _privacy_k_anonymity_customer,
+        "privacy_k_classes_customer": _privacy_k_classes_customer,
+        "privacy_l_diversity_customer": _privacy_l_diversity_customer,
+        "privacy_dp_counts_orders": _privacy_dp_counts_orders,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "privacy_k_anonymity_customer": """
+            WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                                COUNT(*) AS cs
+                         FROM customer GROUP BY 1, 2)
+            SELECT CAST(5 AS INT) AS k,
+                   CAST(SUM(cs) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN cs < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating_classes,
+                   CAST(COALESCE(SUM(CASE WHEN cs < 5 THEN cs END), 0)
+                        AS BIGINT) AS rows_at_risk,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN cs < 5
+                                            THEN cs END), 0)
+                              AS DOUBLE) * 100.0 / SUM(cs), 6)
+                       AS pct_rows_at_risk,
+                   CAST(MIN(cs) AS BIGINT) AS min_class_size
+            FROM cls
+        """,
+        "privacy_k_classes_customer": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   COUNT(*) < 5 AS below_k
+            FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "privacy_l_diversity_customer": """
+            WITH s AS (SELECT c_nationkey, c_mktsegment,
+                              CAST(FLOOR(c_acctbal / 2000) AS BIGINT)
+                                  AS sv,
+                              COUNT(*) AS c
+                       FROM customer GROUP BY 1, 2, 3),
+            t AS (SELECT *,
+                         SUM(c) OVER (PARTITION BY c_nationkey,
+                                      c_mktsegment) AS tot
+                  FROM s)
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(SUM(c) AS BIGINT) AS class_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+                   ROUND(SUM(-(CAST(c AS DOUBLE) / tot)
+                             * LN(CAST(c AS DOUBLE) / tot)), 6)
+                       AS entropy,
+                   COUNT(*) < 3 AS below_l
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "privacy_dp_counts_orders": f"""
+            WITH {_hash32_cte_sql(
+                "SELECT idx + 7000021 AS x, o_orderpriority, exact_count "
+                "FROM (SELECT o_orderpriority, COUNT(*) AS exact_count, "
+                "ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS idx "
+                "FROM orders GROUP BY 1)"
+            )},
+            n AS (SELECT o_orderpriority, exact_count,
+                         (h + 0.5) / 4294967296.0 AS u
+                  FROM hh),
+            n2 AS (SELECT o_orderpriority, exact_count,
+                          ROUND(-(1.0) * SIGN(u - 0.5)
+                                * LN(1.0 - 2.0 * ABS(u - 0.5)), 6)
+                              AS noise
+                   FROM n)
+            SELECT o_orderpriority,
+                   CAST(exact_count AS BIGINT) AS exact_count, noise,
+                   ROUND(exact_count + noise, 6) AS noisy_count
+            FROM n2 ORDER BY 1
         """,
     }
 )
