@@ -5277,6 +5277,9 @@ _EXTRA_KEYS = [
     "privacy_k_classes_customer",
     "privacy_l_diversity_customer",
     "privacy_dp_counts_orders",
+    # Round 11: embedding density outliers + cluster quality.
+    "embed_lof_outliers",
+    "embed_silhouette_labels",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -12628,6 +12631,157 @@ _ALL_SQL.update(
                    CAST(exact_count AS BIGINT) AS exact_count, noise,
                    ROUND(exact_count + noise, 6) AS noisy_count
             FROM n2 ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 11: embedding density outliers + cluster quality ----
+
+
+def _embed_lof_outliers(spark, sf_dir):
+    """Local Outlier Factor over cosine distance
+    (ops/similarity.py::lof_scores): exact self-excluded k-NN,
+    DECIMAL-accumulated reachability sums, lrd ratios — the
+    density-relative outlier score a global z-score can't express;
+    O(n²) path behind the exact_max_rows gate."""
+    from metadata_etl_framework_spark.ops.similarity import lof_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lof_scores(e, k=5, threshold=1.5)
+
+
+def _embed_silhouette_labels(spark, sf_dir):
+    """Simplified centroid silhouette per label
+    (ops/similarity.py::centroid_silhouette): O(n·L) point×centroid
+    projection against broadcast 6-dp centroid arrays, per-cluster
+    DECIMAL-mean a/b/s readout — cluster-quality at corpus scale."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        centroid_silhouette,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_silhouette(e, "label")
+
+
+_ALL_QUERIES.update(
+    {
+        "embed_lof_outliers": _embed_lof_outliers,
+        "embed_silhouette_labels": _embed_silhouette_labels,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "embed_lof_outliers": """
+            WITH prod AS (SELECT a.vec_id AS p, b.vec_id AS o,
+                                 UNNEST(a.embedding) AS x,
+                                 UNNEST(b.embedding) AS y
+                          FROM embeddings a, embeddings b
+                          WHERE a.vec_id <> b.vec_id),
+            dots AS (SELECT p, o,
+                            CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                          * CAST(y AS DOUBLE)
+                                          AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS dot
+                     FROM prod GROUP BY 1, 2),
+            norms AS (SELECT vec_id,
+                             SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                               * CAST(x AS DOUBLE)
+                                               AS DECIMAL(30,15)))
+                                       AS DOUBLE)) AS nrm
+                      FROM (SELECT vec_id, UNNEST(embedding) AS x
+                            FROM embeddings)
+                      GROUP BY 1),
+            sims AS (SELECT p, o,
+                            ROUND(dot / (np.nrm * no.nrm), 6) AS cs
+                     FROM dots
+                     JOIN norms np ON p = np.vec_id
+                     JOIN norms no ON o = no.vec_id),
+            knn AS (SELECT p, o, 1.0 - cs AS d,
+                           ROW_NUMBER() OVER (PARTITION BY p
+                                              ORDER BY cs DESC, o) AS rn
+                    FROM sims),
+            nn AS (SELECT p, o, d FROM knn WHERE rn <= 5),
+            kd AS (SELECT p, MAX(d) AS kdist FROM nn GROUP BY 1),
+            reach AS (SELECT nn.p, nn.o,
+                             CAST(GREATEST(k2.kdist, nn.d)
+                                  AS DECIMAL(20,6)) AS rd
+                      FROM nn JOIN kd k2 ON nn.o = k2.p),
+            lrd AS (SELECT p,
+                           CASE WHEN SUM(rd) > 0
+                                THEN ROUND(5.0 / CAST(SUM(rd) AS DOUBLE),
+                                           8)
+                           END AS lrd
+                    FROM reach GROUP BY 1),
+            nl AS (SELECT nn.p,
+                          CAST(SUM(CAST(l2.lrd AS DECIMAL(20,8)))
+                               AS DOUBLE) / 5.0 AS avg_olrd
+                   FROM nn JOIN lrd l2 ON nn.o = l2.p GROUP BY 1)
+            SELECT kd.p AS vec_id, ROUND(kdist, 6) AS k_dist,
+                   lrd.lrd AS lrd,
+                   ROUND(avg_olrd / lrd.lrd, 6) AS lof,
+                   ROUND(avg_olrd / lrd.lrd, 6) > 1.5 AS is_outlier
+            FROM kd
+            JOIN lrd ON kd.p = lrd.p
+            JOIN nl ON kd.p = nl.p
+            ORDER BY 1
+        """,
+        "embed_silhouette_labels": """
+            WITH cent AS (
+                SELECT label, CAST(i.i - 1 AS BIGINT) AS dim,
+                       ROUND(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                                           AS DECIMAL(30,15)))
+                                  AS DOUBLE) / COUNT(*), 6) AS cv
+                FROM embeddings,
+                     LATERAL (SELECT UNNEST(GENERATE_SERIES(1,
+                                            LEN(embedding))) AS i) i
+                GROUP BY label, dim),
+            carr AS (SELECT label AS cg, LIST(cv ORDER BY dim) AS cvec
+                     FROM cent GROUP BY 1),
+            pairs AS (SELECT e.vec_id AS p, e.label AS g, c.cg,
+                             UNNEST(e.embedding) AS x,
+                             UNNEST(c.cvec) AS y
+                      FROM embeddings e, carr c),
+            dots AS (SELECT p, g, cg,
+                            CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                          * CAST(y AS DOUBLE)
+                                          AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS dot,
+                            CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                          * CAST(x AS DOUBLE)
+                                          AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS pn,
+                            CAST(SUM(CAST(CAST(y AS DOUBLE)
+                                          * CAST(y AS DOUBLE)
+                                          AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS cn
+                     FROM pairs GROUP BY 1, 2, 3),
+            dist AS (SELECT p, g, cg,
+                            ROUND(1.0 - dot / (SQRT(pn) * SQRT(cn)), 6)
+                                AS d
+                     FROM dots),
+            pp AS (SELECT p, MIN(g) AS g,
+                          MIN(CASE WHEN g = cg THEN d END) AS a,
+                          MIN(CASE WHEN g <> cg THEN d END) AS b
+                   FROM dist GROUP BY p),
+            ps AS (SELECT p, g, a, b,
+                          CAST(CASE WHEN a IS NOT NULL
+                                     AND b IS NOT NULL THEN
+                                   CASE WHEN GREATEST(a, b) > 0
+                                        THEN ROUND((b - a)
+                                                   / GREATEST(a, b), 6)
+                                        ELSE 0.0 END
+                               END AS DECIMAL(12,6)) AS s
+                   FROM pp)
+            SELECT g AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   ROUND(CAST(SUM(CAST(a AS DECIMAL(14,6))) AS DOUBLE)
+                         / COUNT(a), 6) AS avg_a,
+                   ROUND(CAST(SUM(CAST(b AS DECIMAL(14,6))) AS DOUBLE)
+                         / COUNT(b), 6) AS avg_b,
+                   ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(s), 6)
+                       AS avg_silhouette
+            FROM ps GROUP BY 1 ORDER BY 1
         """,
     }
 )

@@ -1560,3 +1560,239 @@ def embedding_pca(
         F.col(id_col), F.array(*pcs).alias("pc")
     )
     return proj, ratios
+
+
+def lof_scores(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.5,
+    exact_max_rows: int = 20_000,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD '00) over cosine
+    distance — the density-relative outlier score an embedding-curation
+    pass uses where a global z-score fails (a point can be "far" in a
+    sparse region yet perfectly normal for that region).
+
+    Pipeline (all equi-joins after the scoring join):
+    exact k-NN (self excluded BEFORE ranking, ties broken by neighbor
+    id) → k-distance per point → reachability distance
+    max(kdist(o), d(p,o)) accumulated in DECIMAL(20,6) (merge-order
+    independent) → lrd = k/Σreach rounded to 8 dp → LOF =
+    mean-neighbor-lrd / own-lrd. LOF ≈ 1 means inlier; > ``threshold``
+    flags density outliers.
+
+    The exact path is O(n²) scoring by construction, so
+    ``exact_max_rows`` fails loud on larger corpora (run a bucketed
+    kNN first — :func:`lsh_knn_join` — and feed a per-bucket LOF, the
+    standard production compromise). Duplicate-heavy degenerate
+    neighborhoods (Σreach = 0) yield null lrd/lof rather than a
+    divide-by-zero.
+
+    Output: (id, k_dist 6 dp, lrd 8 dp, lof 6 dp, is_outlier),
+    ordered by id.
+    """
+    n_rows = df.count()
+    if n_rows > exact_max_rows:
+        raise ValueError(
+            f"lof_scores: {n_rows} rows > exact_max_rows="
+            f"{exact_max_rows} — exact LOF scores all pairs; bucket "
+            f"the corpus first (lsh_knn_join) or raise the gate "
+            f"explicitly"
+        )
+    from pyspark.sql import Window
+
+    pts = df.select(
+        F.col(id_col).alias("_p"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    other = pts.select(
+        F.col("_p").alias("_o"),
+        F.col("_v").alias("_ov"),
+        F.col("_nrm").alias("_onrm"),
+    )
+    den = F.col("_nrm") * F.col("_onrm")
+    scored = (
+        pts.crossJoin(F.broadcast(other))
+        .where(F.col("_p") != F.col("_o"))
+        .select(
+            "_p",
+            "_o",
+            F.round(
+                F.when(
+                    den != 0, _decimal_dot(F.col("_v"), F.col("_ov")) / den
+                ),
+                6,
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_p").orderBy(F.desc("_cos"), F.asc("_o"))
+    nn = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .select("_p", "_o", (F.lit(1.0) - F.col("_cos")).alias("_d"))
+    )
+    nn = nn.persist()
+    try:
+        kd = nn.groupBy("_p").agg(F.max("_d").alias("_kdist"))
+        reach = nn.join(
+            kd.select(
+                F.col("_p").alias("_o"), F.col("_kdist").alias("_okd")
+            ),
+            "_o",
+        ).select(
+            "_p",
+            "_o",
+            F.greatest(F.col("_okd"), F.col("_d"))
+            .cast("decimal(20,6)")
+            .alias("_rd"),
+        )
+        lrd = reach.groupBy("_p").agg(
+            F.when(
+                F.sum("_rd") > 0,
+                F.round(
+                    F.lit(float(k)) / F.sum("_rd").cast("double"), 8
+                ),
+            ).alias("_lrd")
+        )
+        neigh_lrd = nn.join(
+            lrd.select(F.col("_p").alias("_o"), F.col("_lrd").alias("_olrd")),
+            "_o",
+        ).groupBy("_p").agg(
+            (
+                F.sum(F.col("_olrd").cast("decimal(20,8)")).cast("double")
+                / F.lit(float(k))
+            ).alias("_avg_olrd")
+        )
+        out = (
+            kd.join(lrd, "_p")
+            .join(neigh_lrd, "_p")
+            .select(
+                F.col("_p").alias(id_col),
+                F.round("_kdist", 6).alias("k_dist"),
+                F.col("_lrd").alias("lrd"),
+                F.round(F.col("_avg_olrd") / F.col("_lrd"), 6).alias("lof"),
+                (
+                    F.round(F.col("_avg_olrd") / F.col("_lrd"), 6)
+                    > F.lit(float(threshold))
+                ).alias("is_outlier"),
+            )
+            .orderBy(id_col)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        nn.unpersist()
+    return out
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_groups: int = 1000,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the cluster
+    quality readout at corpus scale: a(i) = cosine distance to the OWN
+    cluster centroid, b(i) = distance to the nearest OTHER centroid,
+    s(i) = (b−a)/max(a,b) ∈ [−1, 1] (Hruschka et al.'s simplified
+    silhouette — O(n·L) against centroids instead of the O(n²)
+    pairwise original, which cannot scale).
+
+    Centroids come from :func:`group_centroids` (6-dp decimal-exact
+    means), are reassembled into |L| arrays and broadcast; each point
+    is scored against all L in one projection pass. Per-point a/b
+    round to 6 dp before the ratio and the per-cluster mean
+    accumulates in DECIMAL — deterministic in any engine. Requires ≥ 2
+    clusters (b is undefined otherwise; such rows yield null s and are
+    excluded from the mean).
+
+    Output: (group, n_points long, avg_a, avg_b, avg_silhouette —
+    6 dp), ordered by group.
+    """
+    cents = group_centroids(df, group_col, id_col, vec_col)
+    cent_arrays = cents.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("centroid_val")))
+            ),
+            lambda s: s["centroid_val"],
+        ).alias("_cent")
+    )
+    n_groups = cent_arrays.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"centroid_silhouette: {n_groups} groups > max_groups="
+            f"{max_groups} — the point×centroid projection is O(n·L); "
+            f"raise the gate explicitly for genuinely many clusters"
+        )
+    pts = df.select(
+        F.col(id_col).alias("_p"),
+        F.col(group_col).alias("_g"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    cen = cent_arrays.select(
+        F.col(group_col).alias("_cg"),
+        F.col("_cent"),
+        _norm(F.col("_cent")).alias("_cnrm"),
+    )
+    den = F.col("_nrm") * F.col("_cnrm")
+    dist = F.round(
+        F.lit(1.0)
+        - F.when(den != 0, _decimal_dot(F.col("_v"), F.col("_cent")) / den),
+        6,
+    )
+    scored = pts.crossJoin(F.broadcast(cen)).select(
+        "_p", "_g", "_cg", dist.alias("_dist")
+    )
+    per_point = scored.groupBy("_p").agg(
+        F.first("_g").alias("_g"),
+        F.min(F.when(F.col("_g") == F.col("_cg"), F.col("_dist"))).alias(
+            "_a"
+        ),
+        F.min(F.when(F.col("_g") != F.col("_cg"), F.col("_dist"))).alias(
+            "_b"
+        ),
+    )
+    s = F.when(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull(),
+        F.when(
+            F.greatest(F.col("_a"), F.col("_b")) > 0,
+            F.round(
+                (F.col("_b") - F.col("_a"))
+                / F.greatest(F.col("_a"), F.col("_b")),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        per_point.withColumn("_s", s.cast("decimal(12,6)"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum(F.col("_a").cast("decimal(14,6)")).cast("double")
+                / F.count("_a"),
+                6,
+            ).alias("avg_a"),
+            F.round(
+                F.sum(F.col("_b").cast("decimal(14,6)")).cast("double")
+                / F.count("_b"),
+                6,
+            ).alias("avg_b"),
+            F.round(
+                F.sum("_s").cast("double") / F.count("_s"), 6
+            ).alias("avg_silhouette"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_points",
+            "avg_a",
+            "avg_b",
+            "avg_silhouette",
+        )
+        .orderBy(group_col)
+    )
