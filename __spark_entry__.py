@@ -5280,6 +5280,7 @@ _EXTRA_KEYS = [
     # Round 11: embedding density outliers + cluster quality.
     "embed_lof_outliers",
     "embed_silhouette_labels",
+    "embed_kmeans_summary",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -12782,6 +12783,97 @@ _ALL_SQL.update(
                    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(s), 6)
                        AS avg_silhouette
             FROM ps GROUP BY 1 ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 11: spherical k-means (ops/clustering.py) ----
+
+
+def _embed_kmeans_summary(spark, sf_dir):
+    """Two Lloyd rounds of deterministic spherical k-means, k=4
+    (ops/clustering.py::kmeans_summary): smallest-id seeding, broadcast
+    argmax-cosine assignment (ties to smallest cluster), 6-dp
+    decimal-mean centroid updates — each round is one broadcast
+    projection + one (cluster, dim)-cell aggregate, no row shuffle."""
+    from metadata_etl_framework_spark.ops.clustering import kmeans_summary
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_summary(e, k=4, iterations=2)
+
+
+_ALL_QUERIES.update({"embed_kmeans_summary": _embed_kmeans_summary})
+
+
+def _kmeans_round_sql(cent_cte: str, pre: str) -> str:
+    """One Lloyd assignment round vs centroid table ``cent_cte``
+    (c, cv double-list): emits CTEs {pre}p/{pre}d/{pre}s/{pre}a where
+    {pre}a = (p, c, cs) argmax-cosine assignment, ties to smallest c,
+    NULLS LAST to match Spark's desc_nulls_last."""
+    return f"""
+        {pre}p AS (SELECT e.vec_id AS p, c.c,
+                          UNNEST(e.embedding) AS x, UNNEST(c.cv) AS y
+                   FROM embeddings e, {cent_cte} c),
+        {pre}d AS (SELECT p, c,
+                          CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                        * CAST(y AS DOUBLE)
+                                        AS DECIMAL(30,15)))
+                               AS DOUBLE) AS dot,
+                          CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                        * CAST(x AS DOUBLE)
+                                        AS DECIMAL(30,15)))
+                               AS DOUBLE) AS pn,
+                          CAST(SUM(CAST(CAST(y AS DOUBLE)
+                                        * CAST(y AS DOUBLE)
+                                        AS DECIMAL(30,15)))
+                               AS DOUBLE) AS cn
+                   FROM {pre}p GROUP BY 1, 2),
+        {pre}s AS (SELECT p, c, ROUND(dot / (SQRT(pn) * SQRT(cn)), 6)
+                              AS cs
+                   FROM {pre}d),
+        {pre}a AS (SELECT p, c, cs FROM (
+                       SELECT p, c, cs,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY p
+                                  ORDER BY cs DESC NULLS LAST, c) AS rn
+                       FROM {pre}s) WHERE rn = 1)
+    """
+
+
+# NOTE: the oracle unrolls exactly 2 Lloyd rounds and omits the
+# empty-cluster keep-previous rule (no cluster empties on this data —
+# the Spark side retains the rule for robustness)
+_ALL_SQL.update(
+    {
+        "embed_kmeans_summary": f"""
+            WITH seeds AS (SELECT vec_id, embedding,
+                                  ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                                      AS c
+                           FROM embeddings ORDER BY vec_id LIMIT 4),
+            c0 AS (SELECT c,
+                          LIST_TRANSFORM(embedding,
+                              x -> ROUND(CAST(x AS DOUBLE), 6)) AS cv
+                   FROM seeds),
+            {_kmeans_round_sql("c0", "r1")},
+            m1 AS (SELECT r1a.c, CAST(i.i - 1 AS BIGINT) AS dim,
+                          ROUND(CAST(SUM(CAST(CAST(e.embedding[i.i]
+                                                   AS DOUBLE)
+                                              AS DECIMAL(30,15)))
+                                     AS DOUBLE) / COUNT(*), 6) AS cval
+                   FROM r1a JOIN embeddings e ON r1a.p = e.vec_id,
+                        LATERAL (SELECT UNNEST(GENERATE_SERIES(1,
+                                               LEN(e.embedding))) AS i) i
+                   GROUP BY 1, 2),
+            c1 AS (SELECT c, LIST(cval ORDER BY dim) AS cv
+                   FROM m1 GROUP BY 1),
+            {_kmeans_round_sql("c1", "r2")}
+            SELECT CAST(c AS INT) AS cluster,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   ROUND(CAST(SUM(CAST(cs AS DECIMAL(14,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_cosine,
+                   MIN(cs) AS min_cosine
+            FROM r2a GROUP BY 1 ORDER BY 1
         """,
     }
 )
