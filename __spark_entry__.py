@@ -5281,6 +5281,9 @@ _EXTRA_KEYS = [
     "embed_lof_outliers",
     "embed_silhouette_labels",
     "embed_kmeans_summary",
+    # Round 11: survival comparison + experiment power.
+    "events_logrank_ab",
+    "events_ab_power",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -12874,6 +12877,197 @@ _ALL_SQL.update(
                          / COUNT(*), 6) AS avg_cosine,
                    MIN(cs) AS min_cosine
             FROM r2a GROUP BY 1 ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 11: survival comparison + experiment power ----
+
+
+def _events_logrank_ab(spark, sf_dir):
+    """Two-group log-rank churn test (ops/retention.py::logrank_test):
+    id-parity cohorts, KM-convention censoring, O/E/V accumulated as
+    12-dp DECIMAL over the pooled event-lifetime grid, 1-df p-value
+    through the A&S normal tail."""
+    from metadata_etl_framework_spark.ops.retention import logrank_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+    )
+    return logrank_test(ev, "variant", "user_id", "ts", horizon_days=0)
+
+
+def _events_ab_power(spark, sf_dir):
+    """Post-hoc power / sample-size readout (ops/stats.py::ab_power):
+    achieved power at the observed rates plus required per-arm n for
+    80%/90% power — fixed normal-quantile literals, A&S Φ, fully
+    SQL-replayable."""
+    from metadata_etl_framework_spark.ops.stats import ab_power
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return ab_power(ev, "variant", "converted", "user_id")
+
+
+_ALL_QUERIES.update(
+    {
+        "events_logrank_ab": _events_logrank_ab,
+        "events_ab_power": _events_ab_power,
+    }
+)
+
+
+def _normal_sf_sql(x: str) -> str:
+    """A&S 26.2.17 normal tail 1−Φ(x) for expression ``x`` ≥ 0 — SAME
+    literals and Horner nesting as ops/stats.py::normal_sf_col."""
+    t = f"(1.0 / (1.0 + 0.2316419 * ({x})))"
+    poly = (
+        f"((((1.330274429 * {t} + -1.821255978) * {t} + 1.781477937)"
+        f" * {t} + -0.356563782) * {t} + 0.319381530) * {t}"
+    )
+    return (
+        f"(0.3989422804014327 * EXP(-0.5 * ({x}) * ({x})) * ({poly}))"
+    )
+
+
+_ALL_SQL.update(
+    {
+        "events_logrank_ab": f"""
+            WITH pu AS (SELECT user_id AS u,
+                               CASE WHEN user_id % 2 = 0 THEN 'A'
+                                    ELSE 'B' END AS g,
+                               MIN(ts) AS f, MAX(ts) AS l
+                        FROM events
+                        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1, 2),
+            oe AS (SELECT MAX(l) AS endd FROM pu),
+            lifed AS (SELECT g,
+                             DATEDIFF('day', CAST(f AS DATE),
+                                      CAST(l AS DATE)) AS t,
+                             CASE WHEN DATEDIFF('day', CAST(l AS DATE),
+                                                CAST(endd AS DATE)) > 0
+                                  THEN 1 ELSE 0 END AS ev
+                      FROM pu, oe),
+            counts AS (SELECT t,
+                              SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END)
+                                  AS a1,
+                              SUM(CASE WHEN g = 'A' THEN ev ELSE 0 END)
+                                  AS d1,
+                              SUM(CASE WHEN g <> 'A' THEN 1 ELSE 0 END)
+                                  AS a2,
+                              SUM(CASE WHEN g <> 'A' THEN ev ELSE 0 END)
+                                  AS d2
+                       FROM lifed GROUP BY t),
+            tot AS (SELECT SUM(a1) AS tn1, SUM(a2) AS tn2,
+                           SUM(d1) AS td1, SUM(d2) AS td2
+                    FROM counts),
+            cum AS (SELECT counts.*, tn1, tn2, td1, td2,
+                           SUM(a1) OVER (ORDER BY t) AS ca1,
+                           SUM(a2) OVER (ORDER BY t) AS ca2
+                    FROM counts, tot),
+            st AS (SELECT *, (tn1 - ca1 + a1) AS n1t,
+                          (tn2 - ca2 + a2) AS n2t,
+                          (tn1 - ca1 + a1) + (tn2 - ca2 + a2) AS nt,
+                          d1 + d2 AS dt
+                   FROM cum),
+            evt AS (SELECT * FROM st WHERE dt > 0),
+            terms AS (SELECT tn1, tn2, td1, td2,
+                             CAST(ROUND(dt * (CAST(n1t AS DOUBLE) / nt),
+                                        12) AS DECIMAL(28,12)) AS e,
+                             CAST(ROUND(CASE WHEN nt > 1
+                                  THEN dt * (CAST(n1t AS DOUBLE) / nt)
+                                       * (CAST(n2t AS DOUBLE) / nt)
+                                       * CAST(nt - dt AS DOUBLE)
+                                       / (nt - 1)
+                                  ELSE 0.0 END, 12)
+                                  AS DECIMAL(28,12)) AS v
+                      FROM evt),
+            s AS (SELECT MIN(tn1) AS fn1, MIN(tn2) AS fn2,
+                         MIN(td1) AS fd1, MIN(td2) AS fd2,
+                         CAST(SUM(e) AS DOUBLE) AS se1,
+                         CAST(SUM(v) AS DOUBLE) AS sv1
+                  FROM terms),
+            c AS (SELECT *,
+                         CASE WHEN sv1 > 0
+                              THEN (CAST(fd1 AS DOUBLE) - se1)
+                                   * (CAST(fd1 AS DOUBLE) - se1) / sv1
+                         END AS chi2
+                  FROM s),
+            cp AS (SELECT *,
+                          CASE WHEN chi2 IS NOT NULL THEN
+                              ROUND(LEAST(1.0, GREATEST(0.0,
+                                  2.0 * {_normal_sf_sql("SQRT(chi2)")})),
+                                    6)
+                          END AS p
+                   FROM c)
+            SELECT 'A' AS variant_a, CAST(fn1 AS BIGINT) AS n_a,
+                   CAST(fd1 AS BIGINT) AS events_a,
+                   'B' AS variant_b, CAST(fn2 AS BIGINT) AS n_b,
+                   CAST(fd2 AS BIGINT) AS events_b,
+                   ROUND(se1, 6) AS expected_a,
+                   ROUND(chi2, 6) AS chi2,
+                   p AS p_value,
+                   p < 0.05 AS significant_95
+            FROM cp
+        """,
+        "events_ab_power": f"""
+            WITH pu AS (SELECT user_id AS u,
+                               MAX(CASE WHEN user_id % 2 = 0 THEN 'A'
+                                        ELSE 'B' END) AS g,
+                               MAX(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) AS c
+                        FROM events WHERE user_id IS NOT NULL
+                        GROUP BY 1),
+            pv AS (SELECT g, COUNT(*) AS n, SUM(c) AS k
+                   FROM pu GROUP BY 1),
+            w AS (SELECT a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb
+                  FROM (SELECT * FROM pv WHERE g = 'A') a,
+                       (SELECT * FROM pv WHERE g = 'B') b),
+            calc AS (SELECT na, ka, nb, kb,
+                            CAST(ka AS DOUBLE) / na AS ra,
+                            CAST(kb AS DOUBLE) / nb AS rb
+                     FROM w),
+            c2 AS (SELECT *, ra * (1.0 - ra) AS qa,
+                          rb * (1.0 - rb) AS qb, ra - rb AS delta
+                   FROM calc),
+            c3 AS (SELECT *, SQRT(qa / na + qb / nb) AS se FROM c2),
+            c4 AS (SELECT *,
+                          CASE WHEN se > 0
+                               THEN ABS(delta) / se - 1.959964
+                          END AS z
+                   FROM c3),
+            c5 AS (SELECT *,
+                          CASE WHEN z IS NOT NULL THEN
+                              ROUND(CASE WHEN z >= 0
+                                    THEN 1.0 - {_normal_sf_sql("z")}
+                                    ELSE {_normal_sf_sql("(-z)")}
+                                    END, 6)
+                          END AS power
+                   FROM c4)
+            SELECT 'A' AS variant_a, CAST(na AS BIGINT) AS n_a,
+                   ROUND(ra, 6) AS rate_a,
+                   'B' AS variant_b, CAST(nb AS BIGINT) AS n_b,
+                   ROUND(rb, 6) AS rate_b,
+                   ROUND(delta, 6) AS delta, power,
+                   CASE WHEN ABS(delta) > 0
+                        THEN CAST(CEIL(7.848878512225001 * (qa + qb)
+                                       / (delta * delta)) AS BIGINT)
+                   END AS n_per_arm_80,
+                   CASE WHEN ABS(delta) > 0
+                        THEN CAST(CEIL(10.507425978255998 * (qa + qb)
+                                       / (delta * delta)) AS BIGINT)
+                   END AS n_per_arm_90
+            FROM c5
         """,
     }
 )

@@ -131,6 +131,16 @@ HEADLINE = [
     # bucket x period spectral fan-out
     "agg_rollup_orders",
     "events_periodogram",
+    # round-11: the replicate-explode Poisson bootstrap (map-side
+    # partial collapse under timing), item-item CF + top-N scoring
+    # (symmetrized broadcast model), exact LOF (n^2 scoring + 4-join
+    # pipeline), the two-round Lloyd loop, and the DP/k-anonymity
+    # release audits (group-bounded aggregates)
+    "stats_bootstrap_ci_price",
+    "recsys_user_brand_recs",
+    "embed_lof_outliers",
+    "embed_kmeans_summary",
+    "privacy_dp_counts_orders",
 ]
 
 

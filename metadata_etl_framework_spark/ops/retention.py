@@ -897,3 +897,163 @@ def nelson_aalen(
         F.round(inc, 6).alias("hazard_increment"),
         F.round("_H", 6).alias("cumulative_hazard"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Two-group log-rank test over user lifetimes — "do these cohorts
+    CHURN differently", answered the censoring-correct way (comparing
+    raw retention rates ignores at-risk windows exactly like the naive
+    day-t retention :func:`kaplan_meier` exists to fix).
+
+    Same per-user lifetime/censoring reduction as KM (units under both
+    groups are contaminated and dropped, the ab_test_proportions rule),
+    then at every pooled distinct event lifetime t:
+    O₁ₜ = d₁ₜ, E₁ₜ = dₜ·n₁ₜ/nₜ, V₁ₜ = dₜ·(n₁ₜ/nₜ)(n₂ₜ/nₜ)(nₜ−dₜ)/(nₜ−1);
+    χ² = (ΣO₁−ΣE₁)²/ΣV₁ with the 1-df p-value through the A&S normal
+    tail (ops/stats.py::normal_sf_col, |err| < 7.5e-8).
+
+    Plan: one user-keyed aggregate, ONE groupBy(t) carrying both arms
+    as conditional sums (no per-group join), cumulative at-risk via
+    the calendar-bounded lifetime frame (nelson_aalen precedent), and
+    12-dp-rounded DECIMAL sums for E and V so the statistic is
+    merge-order independent. Output: 1 row — (variant_a, n_a,
+    events_a, variant_b, n_b, events_b, expected_a, chi2, p_value —
+    6 dp, significant_95).
+    """
+    from pyspark.sql import Window
+
+    from .stats import normal_sf_col
+
+    per_user = (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.max(F.col(group_col).cast("string")).alias("_g"),
+            F.countDistinct(F.col(group_col).cast("string")).alias("_nv"),
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+        )
+        .where(F.col("_nv") == 1)
+    )
+    per_user = per_user.persist()
+    try:
+        labels = [
+            r["_g"]
+            for r in per_user.select("_g").distinct().orderBy("_g").collect()
+        ]
+        if len(labels) != 2:
+            raise ValueError(
+                f"logrank_test needs exactly 2 groups, got {labels}"
+            )
+        ga, gb = labels
+        obs_end = per_user.agg(F.max("_last").alias("_end"))
+        lifed = per_user.crossJoin(F.broadcast(obs_end)).select(
+            "_g",
+            F.datediff(F.col("_last"), F.col("_first")).alias("t"),
+            (
+                F.datediff(F.col("_end"), F.col("_last"))
+                > F.lit(int(horizon_days))
+            )
+            .cast("int")
+            .alias("event"),
+        )
+        is_a = F.col("_g") == F.lit(ga)
+        counts = lifed.groupBy("t").agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("a1"),
+            F.sum(F.when(is_a, F.col("event")).otherwise(0)).alias("d1"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).alias("a2"),
+            F.sum(F.when(~is_a, F.col("event")).otherwise(0)).alias("d2"),
+        )
+        totals = counts.agg(
+            F.sum("a1").alias("_N1"),
+            F.sum("a2").alias("_N2"),
+            F.sum("d1").alias("_D1"),
+            F.sum("d2").alias("_D2"),
+        )
+        w_cum = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = (
+            counts.crossJoin(F.broadcast(totals))
+            .withColumn("_ca1", F.sum("a1").over(w_cum))
+            .withColumn("_ca2", F.sum("a2").over(w_cum))
+            .withColumn("n1t", F.col("_N1") - F.col("_ca1") + F.col("a1"))
+            .withColumn("n2t", F.col("_N2") - F.col("_ca2") + F.col("a2"))
+            .withColumn("nt", F.col("n1t") + F.col("n2t"))
+            .withColumn("dt", F.col("d1") + F.col("d2"))
+            .where(F.col("dt") > 0)
+        )
+        rn1 = F.col("n1t").cast("double") / F.col("nt")
+        rn2 = F.col("n2t").cast("double") / F.col("nt")
+        e1 = F.col("dt") * rn1
+        v1 = F.when(
+            F.col("nt") > 1,
+            F.col("dt")
+            * rn1
+            * rn2
+            * (F.col("nt") - F.col("dt")).cast("double")
+            / (F.col("nt") - 1),
+        ).otherwise(F.lit(0.0))
+        sums = cum.select(
+            F.round(e1, 12).cast("decimal(28,12)").alias("_e"),
+            F.round(v1, 12).cast("decimal(28,12)").alias("_v"),
+        ).agg(
+            F.sum("_e").alias("_E1"),
+            F.sum("_v").alias("_V1"),
+        )
+        # materialize the 1-row statistic before the cache is released
+        r = totals.crossJoin(F.broadcast(sums)).collect()[0]
+    finally:
+        per_user.unpersist()
+    spark = df.sparkSession
+    frame = spark.createDataFrame(
+        [
+            (
+                ga, r["_N1"], r["_D1"], gb, r["_N2"], r["_D2"],
+                r["_E1"], r["_V1"],
+            )
+        ],
+        "variant_a string, n_a long, events_a long, "
+        "variant_b string, n_b long, events_b long, "
+        "e1 decimal(38,12), v1 decimal(38,12)",
+    )
+    o1 = F.col("events_a").cast("double")
+    e1d = F.col("e1").cast("double")
+    v1d = F.col("v1").cast("double")
+    chi2 = F.when(v1d > 0, (o1 - e1d) * (o1 - e1d) / v1d)
+    # guard: Spark's greatest() SKIPS nulls, so an unguarded clamp
+    # would turn a null chi2 (no events / zero variance) into p = 0.0
+    p = F.when(
+        chi2.isNotNull(),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0), F.lit(2.0) * normal_sf_col(F.sqrt(chi2))
+                ),
+            ),
+            6,
+        ),
+    )
+    return frame.select(
+        "variant_a",
+        "n_a",
+        "events_a",
+        "variant_b",
+        "n_b",
+        "events_b",
+        F.round(e1d, 6).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2"),
+        p.alias("p_value"),
+        (p < F.lit(0.05)).alias("significant_95"),
+    )

@@ -431,3 +431,133 @@ def _grouped_median(df: DataFrame, g: str, v: str) -> DataFrame:
         ).alias("_median"),
         F.first("_cnt").alias("_cnt"),
     )
+
+
+# Abramowitz & Stegun 26.2.17 — normal tail probability with |err| <
+# 7.5e-8, pure arithmetic + exp, so Spark and any SQL oracle evaluate
+# bit-comparable values from the SAME literals and Horner nesting
+AS_COEFFS = (0.319381530, -0.356563782, 1.781477937,
+             -1.821255978, 1.330274429)
+AS_T = 0.2316419
+INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_sf_col(x):
+    """1 − Φ(x) for a non-negative Column, A&S 26.2.17 (Horner form —
+    mirror the nesting when replaying in SQL)."""
+    b1, b2, b3, b4, b5 = AS_COEFFS
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(AS_T) * x)
+    poly = (
+        (
+            (
+                ((F.lit(b5) * t + F.lit(b4)) * t + F.lit(b3)) * t
+                + F.lit(b2)
+            )
+            * t
+            + F.lit(b1)
+        )
+        * t
+    )
+    return F.lit(INV_SQRT_2PI) * F.exp(F.lit(-0.5) * x * x) * poly
+
+
+def normal_cdf_col(x):
+    """Φ(x) for any Column via the tail symmetry."""
+    return F.when(
+        x >= 0, F.lit(1.0) - normal_sf_col(x)
+    ).otherwise(normal_sf_col(-x))
+
+
+def ab_power(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    unit_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Post-hoc power / sample-size readout for a two-proportion A/B —
+    the "could this experiment even have detected its effect" audit
+    that belongs next to every ab_test readout.
+
+    From the observed per-arm conversion rates (same per-unit
+    reduction and contamination rule as
+    :func:`~metadata_etl_framework_spark.ops.retention.ab_test_proportions`):
+    achieved power at the current sample sizes
+    power = Φ(|Δ|/SE − z_{α/2}), SE = √(p₁q₁/n₁ + p₂q₂/n₂), and the
+    required per-arm n for 80% / 90% power at the observed Δ:
+    n = ⌈(z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/Δ²⌉. Δ = 0 yields null ns and
+    power = α's coin-flip floor by construction. Normal quantile
+    literals are fixed (1.959964, 0.841621, 1.281552), Φ is the A&S
+    polynomial — every number replayable in SQL.
+
+    Output: 1 row — (variant_a, n_a, rate_a, variant_b, n_b, rate_b,
+    delta, power 6 dp, n_per_arm_80 long, n_per_arm_90 long).
+    """
+    if abs(alpha - 0.05) > 1e-12:
+        raise ValueError(
+            "ab_power pins alpha=0.05 (z literals are fixed for "
+            "oracle replay); parameterized quantiles need an inverse "
+            "normal implementation"
+        )
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("_u"))
+        .agg(
+            F.max(F.col(variant_col).cast("string")).alias("_g"),
+            F.countDistinct(F.col(variant_col).cast("string")).alias("_nv"),
+            F.max(F.col(converted_col).cast("int")).alias("_c"),
+        )
+        .where(F.col("_nv") == 1)
+    )
+    rows = (
+        per_unit.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_k"))
+        .orderBy("_g")
+        .collect()
+    )
+    if len(rows) != 2:
+        raise ValueError(
+            f"ab_power needs exactly 2 variants, got "
+            f"{[r['_g'] for r in rows]}"
+        )
+    a, b = rows
+    one = df.sparkSession.createDataFrame(
+        [(a["_g"], a["_n"], a["_k"], b["_g"], b["_n"], b["_k"])],
+        "ga string, na long, ka long, gb string, nb long, kb long",
+    )
+    ra = F.col("ka").cast("double") / F.col("na")
+    rb = F.col("kb").cast("double") / F.col("nb")
+    qa = ra * (F.lit(1.0) - ra)
+    qb = rb * (F.lit(1.0) - rb)
+    delta = ra - rb
+    se = F.sqrt(qa / F.col("na") + qb / F.col("nb"))
+    z_eff = F.when(se > 0, F.abs(delta) / se - F.lit(1.959964))
+    power = F.when(
+        z_eff.isNotNull(), F.round(normal_cdf_col(z_eff), 6)
+    )
+    n80 = F.when(
+        F.abs(delta) > 0,
+        F.ceil(
+            F.lit((1.959964 + 0.841621) ** 2) * (qa + qb)
+            / (delta * delta)
+        ).cast("long"),
+    )
+    n90 = F.when(
+        F.abs(delta) > 0,
+        F.ceil(
+            F.lit((1.959964 + 1.281552) ** 2) * (qa + qb)
+            / (delta * delta)
+        ).cast("long"),
+    )
+    return one.select(
+        F.col("ga").alias("variant_a"),
+        F.col("na").alias("n_a"),
+        F.round(ra, 6).alias("rate_a"),
+        F.col("gb").alias("variant_b"),
+        F.col("nb").alias("n_b"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(delta, 6).alias("delta"),
+        power.alias("power"),
+        n80.alias("n_per_arm_80"),
+        n90.alias("n_per_arm_90"),
+    )

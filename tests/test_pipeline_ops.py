@@ -886,3 +886,45 @@ def test_normalize_text_steps_and_nulls(spark):
     kept = {r.doc_id: r.text_normalized for r in normalize_text(
         docs, lowercase=False, strip_punct=False).collect()}
     assert kept[1] == "Hello, WORLD!!"
+
+
+def test_logrank_detects_differential_churn(spark):
+    # arm A: users all stop 10 days before the end (churn);
+    # arm B: users active to the end (censored)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        # A-user i: events on day 0 .. day 5+i%3, last far from end
+        rows.append((i, "A", base))
+        rows.append((i, "A", base + dt.timedelta(days=5 + i % 3)))
+    for i in range(20, 40):
+        rows.append((i, "B", base))
+        rows.append((i, "B", base + dt.timedelta(days=29)))
+    df = spark.createDataFrame(rows, "user_id long, variant string, ts timestamp")
+    from metadata_etl_framework_spark.ops.retention import logrank_test
+
+    r = logrank_test(df, "variant", "user_id", "ts", horizon_days=7).collect()[0]
+    assert r["n_a"] == 20 and r["n_b"] == 20
+    assert r["events_a"] == 20 and r["events_b"] == 0
+    assert r["chi2"] > 10 and r["p_value"] < 0.01
+    assert r["significant_95"]
+
+
+def test_logrank_identical_groups_not_significant(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        g = "A" if i % 2 == 0 else "B"
+        rows.append((i, g, base))
+        rows.append((i, g, base + dt.timedelta(days=(i // 2) % 10)))
+    df = spark.createDataFrame(rows, "user_id long, variant string, ts timestamp")
+    from metadata_etl_framework_spark.ops.retention import logrank_test
+
+    r = logrank_test(df, "variant", "user_id", "ts", horizon_days=5).collect()[0]
+    # identical lifetime distributions -> O ~ E, tiny chi2
+    assert r["chi2"] is None or r["chi2"] < 1.0
+    assert r["significant_95"] is None or not r["significant_95"]

@@ -125,3 +125,53 @@ def test_theil_sen_max_points_gate(spark):
     )
     with pytest.raises(ValueError, match="max_points"):
         theil_sen_trend(df, "g", "x", "y", max_points=50)
+
+
+def test_ab_power_known_rates(spark):
+    # 200 units/arm, A converts 60%, B converts 40%
+    rows = []
+    for i in range(200):
+        rows.append((i, "A", i % 5 < 3))
+        rows.append((1000 + i, "B", i % 5 < 2))
+    df = spark.createDataFrame(rows, "u long, g string, c boolean")
+    from metadata_etl_framework_spark.ops.stats import ab_power
+
+    r = ab_power(df, "g", "c", "u").collect()[0]
+    assert r["rate_a"] == 0.6 and r["rate_b"] == 0.4
+    assert r["delta"] == pytest.approx(0.2)
+    # a 20-point lift at n=200/arm is decisively powered
+    assert r["power"] > 0.95
+    # closed-form n for 80% power at these rates: ~ (2.8016^2 * 0.48)/0.04
+    assert 90 <= r["n_per_arm_80"] <= 100
+    assert r["n_per_arm_90"] > r["n_per_arm_80"]
+
+
+def test_ab_power_zero_delta(spark):
+    rows = [(i, "A" if i < 50 else "B", i % 2 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "u long, g string, c boolean")
+    from metadata_etl_framework_spark.ops.stats import ab_power
+
+    r = ab_power(df, "g", "c", "u").collect()[0]
+    assert r["delta"] == 0.0
+    assert r["n_per_arm_80"] is None and r["n_per_arm_90"] is None
+    # power at delta=0 is the alpha floor Phi(-z_alpha) ~ 0.025
+    assert r["power"] == pytest.approx(0.025, abs=0.001)
+
+
+def test_normal_cdf_matches_scipy_free_reference(spark):
+    # A&S 26.2.17 is within 7.5e-8 of the true Phi; pin a few values
+    import math
+
+    from metadata_etl_framework_spark.ops.stats import normal_cdf_col
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (-1.0,), (1.96,), (3.0,)], "x double"
+    )
+    from pyspark.sql import functions as FF
+
+    out = {r["x"]: r["p"] for r in
+           df.select("x", normal_cdf_col(FF.col("x")).alias("p")).collect()}
+    ref = {x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+           for x in out}
+    for x, p in out.items():
+        assert p == pytest.approx(ref[x], abs=1e-7), x
