@@ -5284,6 +5284,7 @@ _EXTRA_KEYS = [
     # Round 11: survival comparison + experiment power.
     "events_logrank_ab",
     "events_ab_power",
+    "eval_conformal_orders",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -13068,6 +13069,88 @@ _ALL_SQL.update(
                                        / (delta * delta)) AS BIGINT)
                    END AS n_per_arm_90
             FROM c5
+        """,
+    }
+)
+
+
+# ---- round 11: conformal prediction audit (ops/evaluation.py) ----
+
+
+def _eval_conformal_orders(spark, sf_dir):
+    """Split-conformal interval audit (ops/evaluation.py::
+    conformal_coverage): priority-mean 'model' for order value,
+    hash-deterministic calibration split, finite-sample
+    ⌈(n+1)(1−α)⌉ residual quantile, exact-ratio test coverage."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        conformal_coverage,
+    )
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    pm = o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pred")
+    )
+    scored = o.join(pm, "o_orderpriority").select(
+        "o_orderkey", "o_totalprice", "pred"
+    )
+    return conformal_coverage(
+        scored, "o_totalprice", "pred", "o_orderkey", alpha=0.1
+    )
+
+
+_ALL_QUERIES.update({"eval_conformal_orders": _eval_conformal_orders})
+
+_ALL_SQL.update(
+    {
+        "eval_conformal_orders": f"""
+            WITH pm AS (SELECT o_orderpriority,
+                               ROUND(CAST(SUM(CAST(o_totalprice
+                                                   AS DECIMAL(30,10)))
+                                          AS DOUBLE) / COUNT(*), 6)
+                                   AS pred
+                        FROM orders WHERE o_totalprice IS NOT NULL
+                        GROUP BY 1),
+            {_hash32_cte_sql(
+                "SELECT o_orderkey AS x, o_orderkey AS k, "
+                "ABS(CAST(o_totalprice AS DOUBLE) - pred) AS s "
+                "FROM orders JOIN pm USING (o_orderpriority) "
+                "WHERE o_totalprice IS NOT NULL "
+                "AND o_orderkey IS NOT NULL"
+            )},
+            base AS (SELECT k, s, h % 2 AS half FROM hh),
+            calib AS (SELECT k, s FROM base WHERE half = 0),
+            rk AS (SELECT s,
+                          ROW_NUMBER() OVER (ORDER BY s, k) AS rn,
+                          COUNT(*) OVER () AS n
+                   FROM calib),
+            q AS (SELECT COUNT(*) AS n_calib,
+                         ROUND(MIN(CASE WHEN rn = LEAST(n,
+                                       CEIL(CAST(0.9 AS DOUBLE)
+                                            * CAST(n + 1 AS DOUBLE)))
+                                        THEN s END), 6) AS q_hat
+                  FROM rk),
+            t AS (SELECT MIN(n_calib) AS n_calib,
+                         MIN(q_hat) AS q_hat,
+                         COUNT(*) AS n_test,
+                         ROUND(CAST(SUM(CASE WHEN s <= q_hat
+                                             THEN 1 ELSE 0 END)
+                                    AS DOUBLE) / COUNT(*), 6)
+                             AS coverage
+                  FROM base, q WHERE half = 1)
+            SELECT CAST(0.1 AS DOUBLE) AS alpha,
+                   CAST(n_calib AS BIGINT) AS n_calib,
+                   CAST(n_test AS BIGINT) AS n_test,
+                   q_hat, coverage,
+                   ROUND(2.0 * q_hat, 6) AS avg_width
+            FROM t
         """,
     }
 )

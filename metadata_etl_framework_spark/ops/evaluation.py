@@ -1929,3 +1929,86 @@ def ipw_ate(
             F.when(mt.isNotNull() & mc.isNotNull(), mt - mc), 6
         ).alias("ate"),
     )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    y_col: str,
+    pred_col: str,
+    key_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction-interval audit (Vovk; Angelopoulos &
+    Bates' tutorial formulation): calibrate the absolute-residual
+    quantile on one half, check empirical coverage of
+    pred ± q̂ on the other — the distribution-free "are my model's
+    error bars honest" gate a scoring pipeline runs before shipping
+    intervals.
+
+    The calibration/test split is hash-deterministic
+    (ops/sketch.py::hash32(key) % 2 — engine-replayable, no
+    randomness); q̂ is the ⌈(n+1)(1−α)⌉-th smallest calibration score
+    (the finite-sample-valid rank, clamped to n), selected as an exact
+    order statistic with (score, key) tie-break and rounded to 6 dp;
+    coverage on the test half is an exact integer ratio. Guarantee:
+    E[coverage] ≥ 1−α when calibration and test are exchangeable.
+
+    Plan: one scan each half — a rank selection on the calibration
+    frame (range-sortable; the window is keyless but operates on the
+    score frame, selected at a single rank) and one aggregate on the
+    test frame.
+
+    Output: 1 row — (alpha, n_calib long, n_test long, q_hat 6 dp,
+    coverage 6 dp, avg_width 6 dp = 2·q̂).
+    """
+    from .sketch import hash32
+
+    base = df.where(
+        F.col(y_col).isNotNull()
+        & F.col(pred_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.abs(
+            F.col(y_col).cast("double") - F.col(pred_col).cast("double")
+        ).alias("_s"),
+        (hash32(F.col(key_col)) % 2).alias("_half"),
+    )
+    calib = base.where(F.col("_half") == 0)
+    test = base.where(F.col("_half") == 1)
+    w = Window.orderBy("_s", "_k")
+    ranked = calib.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    r = F.least(
+        F.col("_n"),
+        F.ceil(
+            F.lit(float(1.0 - alpha))
+            * (F.col("_n") + F.lit(1)).cast("double")
+        ),
+    )
+    qhat = ranked.agg(
+        F.count(F.lit(1)).alias("n_calib"),
+        F.round(
+            F.min(F.when(F.col("_rn") == r, F.col("_s"))), 6
+        ).alias("q_hat"),
+    )
+    cov = test.crossJoin(F.broadcast(qhat)).agg(
+        F.first("n_calib").alias("n_calib"),
+        F.first("q_hat").alias("q_hat"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.sum((F.col("_s") <= F.col("q_hat")).cast("int"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    )
+    return cov.select(
+        F.lit(float(alpha)).alias("alpha"),
+        F.col("n_calib").cast("long").alias("n_calib"),
+        F.col("n_test").cast("long").alias("n_test"),
+        "q_hat",
+        "coverage",
+        F.round(F.lit(2.0) * F.col("q_hat"), 6).alias("avg_width"),
+    )

@@ -175,3 +175,40 @@ def test_normal_cdf_matches_scipy_free_reference(spark):
            for x in out}
     for x, p in out.items():
         assert p == pytest.approx(ref[x], abs=1e-7), x
+
+
+def test_conformal_coverage_guarantee_and_width(spark):
+    # residuals are |N(0,1)|-ish via a deterministic triangle wave;
+    # the audit must land coverage >= ~1-alpha on the test half
+    from metadata_etl_framework_spark.ops.evaluation import (
+        conformal_coverage,
+    )
+
+    df = spark.range(1, 4001).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("y"),
+        ((F.col("id") % 97) + (F.col("id") % 13) - 6.0).alias("pred"),
+    )
+    r = conformal_coverage(df, "y", "pred", "k", alpha=0.1).collect()[0]
+    assert r["n_calib"] + r["n_test"] == 4000
+    # both halves populated by the hash split
+    assert min(r["n_calib"], r["n_test"]) > 1500
+    # distribution-free guarantee (exchangeable halves): coverage ~>= 0.9
+    assert r["coverage"] >= 0.88
+    assert r["avg_width"] == round(2 * r["q_hat"], 6)
+    # residuals span 0..6, so q_hat must sit inside that range
+    assert 0.0 < r["q_hat"] <= 6.0
+
+
+def test_conformal_perfect_model_zero_width(spark):
+    from metadata_etl_framework_spark.ops.evaluation import (
+        conformal_coverage,
+    )
+
+    df = spark.range(1, 501).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("y"),
+        F.col("id").cast("double").alias("pred"),
+    )
+    r = conformal_coverage(df, "y", "pred", "k", alpha=0.1).collect()[0]
+    assert r["q_hat"] == 0.0 and r["coverage"] == 1.0
