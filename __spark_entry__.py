@@ -5285,6 +5285,7 @@ _EXTRA_KEYS = [
     "events_logrank_ab",
     "events_ab_power",
     "eval_conformal_orders",
+    "text_rake_keywords",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -13151,6 +13152,64 @@ _ALL_SQL.update(
                    q_hat, coverage,
                    ROUND(2.0 * q_hat, 6) AS avg_width
             FROM t
+        """,
+    }
+)
+
+
+# ---- round 11: RAKE keyword extraction (ops/text.py) ----
+
+
+def _text_rake_keywords(spark, sf_dir):
+    """Corpus-level RAKE keywords (ops/text.py::rake_keywords):
+    stopword-delimited candidate phrases, deg/freq word scores with
+    DECIMAL phrase accumulation, top-25 by (score desc, phrase)."""
+    from metadata_etl_framework_spark.ops.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", top_k=25, max_phrase_words=4)
+
+
+_ALL_QUERIES.update({"text_rake_keywords": _text_rake_keywords})
+
+_RAKE_SW = "the|a|an|of|to|in|and|is|it|for|on|with"
+
+_ALL_SQL.update(
+    {
+        "text_rake_keywords": f"""
+            WITH ph0 AS (
+                SELECT TRIM(p) AS ph
+                FROM (SELECT UNNEST(STRING_SPLIT(
+                          REGEXP_REPLACE(
+                              REGEXP_REPLACE(LOWER(text),
+                                             '[^a-z0-9]+', ' ', 'g'),
+                              '\\b({_RAKE_SW})\\b', '|', 'g'),
+                          '|')) AS p
+                      FROM documents WHERE text IS NOT NULL)),
+            phl AS (SELECT ph,
+                           LEN(STRING_SPLIT_REGEX(ph, '\\s+')) AS l
+                    FROM ph0 WHERE ph <> ''),
+            phf AS (SELECT * FROM phl WHERE l <= 4),
+            wo AS (SELECT UNNEST(STRING_SPLIT_REGEX(ph, '\\s+')) AS w, l
+                   FROM phf),
+            ws AS (SELECT w, COUNT(*) AS freq, SUM(l) AS deg
+                   FROM wo GROUP BY 1),
+            wscore AS (SELECT w,
+                              CAST(ROUND(CAST(deg AS DOUBLE) / freq, 6)
+                                   AS DECIMAL(18,6)) AS s
+                       FROM ws),
+            pc AS (SELECT ph, COUNT(*) AS n_occ FROM phf GROUP BY 1),
+            pw AS (SELECT ph, n_occ,
+                          UNNEST(STRING_SPLIT_REGEX(ph, '\\s+')) AS w
+                   FROM pc),
+            sc AS (SELECT ph, n_occ, SUM(s) AS score
+                   FROM pw JOIN wscore USING (w) GROUP BY 1, 2)
+            SELECT ph AS phrase,
+                   CAST(LEN(STRING_SPLIT_REGEX(ph, '\\s+')) AS INT)
+                       AS n_words,
+                   CAST(n_occ AS BIGINT) AS n_occurrences,
+                   ROUND(CAST(score AS DOUBLE), 6) AS score
+            FROM sc ORDER BY score DESC, ph LIMIT 25
         """,
     }
 )

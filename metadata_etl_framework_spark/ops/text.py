@@ -2306,3 +2306,91 @@ def text_readability(
         n_syll.cast("long").alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: "tuple[str, ...]" = DEFAULT_STOPWORDS,
+    top_k: int = 25,
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (Rose et al. 2010): candidate
+    phrases are maximal runs of non-stopword words; each word scores
+    deg(w)/freq(w) where deg counts, over every phrase occurrence of w,
+    the phrase's length (co-occurrence-weighted degree incl. self) and
+    freq counts occurrences; a phrase scores the sum of its word
+    scores. The unsupervised keyword table behind corpus triage —
+    complements tf-idf (which needs per-doc framing) with
+    multi-word-phrase awareness.
+
+    Built entirely from two string passes + vocabulary-bounded
+    aggregates: lowercase → collapse non-alphanumerics → replace
+    word-boundary stopwords with a delimiter → split to phrases
+    (no per-row Python). Word scores round to 6 dp and accumulate as
+    DECIMAL per phrase, so ranking is merge-order independent; phrases
+    longer than ``max_phrase_words`` are dropped whole (degenerate
+    stopword-free walls of text would otherwise dominate deg).
+
+    Output: top ``top_k`` by (score desc, phrase asc) —
+    (phrase, n_words int, n_occurrences long, score 6 dp).
+    """
+    sw_pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    cleaned = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z0-9]+", " "
+    )
+    marked = F.regexp_replace(cleaned, sw_pattern, "|")
+    ph = (
+        _spread(df.where(F.col(text_col).isNotNull()))
+        .select(F.explode(F.split(marked, r"\|")).alias("_raw"))
+        .select(F.trim(F.col("_raw")).alias("_ph"))
+        .where(F.col("_ph") != "")
+        .withColumn("_len", F.size(F.split(F.col("_ph"), r"\s+")))
+        .where(F.col("_len") <= int(max_phrase_words))
+    )
+    ph = ph.persist()
+    try:
+        stats = (
+            ph.select(
+                F.explode(F.split(F.col("_ph"), r"\s+")).alias("_w"),
+                F.col("_len"),
+            )
+            .groupBy("_w")
+            .agg(
+                F.count(F.lit(1)).alias("_freq"),
+                F.sum("_len").alias("_deg"),
+            )
+            .select(
+                "_w",
+                F.round(
+                    F.col("_deg").cast("double") / F.col("_freq"), 6
+                )
+                .cast("decimal(18,6)")
+                .alias("_s"),
+            )
+        )
+        pc = ph.groupBy("_ph").agg(F.count(F.lit(1)).alias("_n_occ"))
+        pw = pc.select(
+            "_ph",
+            "_n_occ",
+            F.explode(F.split(F.col("_ph"), r"\s+")).alias("_w"),
+        )
+        out = (
+            pw.join(stats, "_w")
+            .groupBy("_ph", "_n_occ")
+            .agg(F.sum("_s").alias("_score"))
+            .select(
+                F.col("_ph").alias("phrase"),
+                F.size(F.split(F.col("_ph"), r"\s+"))
+                .cast("int")
+                .alias("n_words"),
+                F.col("_n_occ").cast("long").alias("n_occurrences"),
+                F.round(F.col("_score").cast("double"), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("phrase"))
+            .limit(int(top_k))
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ph.unpersist()
+    return out

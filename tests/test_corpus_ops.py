@@ -988,3 +988,43 @@ def test_bpe_encode_long_merge_list_chunked(spark):
     rows = {r.doc_id: r for r in enc.collect()}
     assert list(rows[0].bpe_tokens) == ["xy", "xy", "z", "a", "xy"]
     assert rows[1].n_bpe_real == len("plainwordshere")
+
+
+def test_rake_keywords_scores_and_phrases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of deep networks is the deep learning way"),
+            (2, "gradient descent, and gradient descent"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    from metadata_etl_framework_spark.ops.text import rake_keywords
+
+    out = rake_keywords(docs, "text", top_k=10).collect()
+    rows = {r["phrase"]: r for r in out}
+    # stopwords (of/is/the/and) split the candidate phrases
+    assert "deep learning" in rows and "gradient descent" in rows
+    assert rows["gradient descent"]["n_occurrences"] == 2
+    assert rows["deep learning"]["n_words"] == 2
+    # multi-word phrases built from high-degree words outrank singles
+    single = [r for r in out if r["n_words"] == 1]
+    multi = [r for r in out if r["n_words"] > 1]
+    assert multi and max(r["score"] for r in multi) > max(
+        (r["score"] for r in single), default=0.0
+    )
+    # scores are positive and the frame is rank-ordered
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_rake_max_phrase_words_gate(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    from metadata_etl_framework_spark.ops.text import rake_keywords
+
+    # the 7-word stopword-free run exceeds the cap -> dropped whole
+    assert rake_keywords(docs, "text", max_phrase_words=4).count() == 0
+    assert rake_keywords(docs, "text", max_phrase_words=7).count() == 1
