@@ -12206,14 +12206,15 @@ def _stats_bootstrap_ci_price(spark, sf_dir):
     """Poisson-bootstrap percentile CI of mean order value
     (ops/stats.py::poisson_bootstrap_ci): per-(row, replicate)
     Poisson(1) weights from the portable mix hash — no resample
-    shuffle, map-side partials collapse the 100× explode to 100 rows
-    per task; replicate means round to 6 dp before order-statistic
-    selection so the CI is merge-order independent."""
+    shuffle, map-side partials collapse the 100× fan-out to 100 rows
+    per task; cent-exact LONG sums (value_scale=100) and 6-dp
+    replicate means before order-statistic selection."""
     from metadata_etl_framework_spark.ops.stats import poisson_bootstrap_ci
 
     o = _t(spark, sf_dir, "orders")
     return poisson_bootstrap_ci(
-        o, "o_totalprice", "o_orderkey", n_boot=100, alpha=0.05
+        o, "o_totalprice", "o_orderkey", n_boot=100, alpha=0.05,
+        value_scale=100,
     )
 
 
@@ -12334,7 +12335,8 @@ _ALL_SQL.update(
         "stats_bootstrap_ci_price": f"""
             WITH {_hash32_cte_sql(
                 "SELECT o_orderkey * 1000003 + r.b AS x, r.b AS rep, "
-                "CAST(o_totalprice AS DOUBLE) AS val "
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) "
+                "AS BIGINT) AS val "
                 "FROM orders CROSS JOIN "
                 "(SELECT UNNEST(RANGE(0, 100)) AS b) r "
                 "WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
@@ -12342,10 +12344,10 @@ _ALL_SQL.update(
             weighted AS (SELECT rep, val,
                                 {_poisson1_case_sql("h / 4294967296.0")} AS w
                          FROM hh),
-            means AS (SELECT rep, SUM(w) AS n,
-                             SUM(w * CAST(val AS DECIMAL(30,10))) AS s
+            means AS (SELECT rep, SUM(w) AS n, SUM(w * val) AS s
                       FROM weighted GROUP BY 1 HAVING SUM(w) > 0),
-            m2 AS (SELECT ROUND(CAST(s AS DOUBLE) / n, 6) AS m, rep
+            m2 AS (SELECT ROUND(CAST(s AS DOUBLE) / 100.0 / n, 6) AS m,
+                          rep
                    FROM means),
             ranked AS (SELECT m,
                               ROW_NUMBER() OVER (ORDER BY m, rep) AS rn,
@@ -12359,9 +12361,10 @@ _ALL_SQL.update(
                                       AS DOUBLE) / COUNT(*), 6) AS boot_mean
                     FROM ranked),
             pt AS (SELECT COUNT(*) AS n_rows,
-                          ROUND(CAST(SUM(CAST(o_totalprice
-                                              AS DECIMAL(30,10)))
-                                     AS DOUBLE) / COUNT(*), 6) AS point_est
+                          ROUND(CAST(SUM(CAST(ROUND(CAST(o_totalprice
+                                       AS DOUBLE) * 100, 0) AS BIGINT))
+                                     AS DOUBLE) / 100.0 / COUNT(*), 6)
+                              AS point_est
                    FROM orders
                    WHERE o_totalprice IS NOT NULL
                      AND o_orderkey IS NOT NULL)

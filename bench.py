@@ -131,14 +131,16 @@ HEADLINE = [
     # bucket x period spectral fan-out
     "agg_rollup_orders",
     "events_periodogram",
-    # round-11: the replicate-explode Poisson bootstrap (map-side
+    # round-11: the replicate-fan-out Poisson bootstrap (map-side
     # partial collapse under timing), item-item CF + top-N scoring
-    # (symmetrized broadcast model), exact LOF (n^2 scoring + 4-join
-    # pipeline), the two-round Lloyd loop, and the DP/k-anonymity
-    # release audits (group-bounded aggregates)
+    # (symmetrized broadcast model), the O(n·L) centroid silhouette,
+    # the two-round Lloyd loop, and the DP release audit. Exact LOF is
+    # deliberately NOT a headline: it is the O(n²)-by-contract gated
+    # path (exact_max_rows) — correctness-checked by the oracle suite,
+    # not raced as a latency number.
     "stats_bootstrap_ci_price",
     "recsys_user_brand_recs",
-    "embed_lof_outliers",
+    "embed_silhouette_labels",
     "embed_kmeans_summary",
     "privacy_dp_counts_orders",
 ]

@@ -158,6 +158,11 @@ def recommend_items(
         )
         .dropDuplicates(["_u", "_i"])
     )
+    # the neighbor model is item-pair-bounded (tiny next to the
+    # interactions); materialize it ONCE — the symmetrize union below
+    # references it twice and would otherwise recompute the entire
+    # similarity pipeline per branch (measured 2x on the brand query)
+    sims = sims.localCheckpoint(eager=True)
     sym = sims.select(
         F.col("item_a").alias("_i"),
         F.col("item_b").alias("_j"),

@@ -71,6 +71,7 @@ def poisson_bootstrap_ci(
     n_boot: int = 100,
     alpha: float = 0.05,
     max_boot: int = 10_000,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Percentile bootstrap CI of the mean via the Poisson bootstrap.
 
@@ -79,8 +80,16 @@ def poisson_bootstrap_ci(
     independent-enough across (row, replicate) for the bootstrap
     (Chamandy et al., "Estimating Uncertainty for Massive Data
     Streams", the standard trick because it needs NO global resample:
-    the explode is collapsed by map-side partial aggregation, so the
-    shuffle is ``n_boot`` rows per task regardless of data size).
+    the replicate fan-out — a bounded ``n_boot``-row broadcast cross —
+    is collapsed by map-side partial aggregation, so the shuffle is
+    ``n_boot`` rows per task regardless of data size).
+
+    ``value_scale``: for values that are exact multiples of
+    1/value_scale (money in cents → 100), the weighted sums run as
+    LONG integers — exact, merge-order free, and ~2× faster than the
+    DECIMAL accumulator the default path uses for arbitrary doubles.
+    The caller asserts the granularity; a value that is NOT on the
+    grid is silently rounded to it.
 
     Replicate means are rounded to 6 dp BEFORE ranking/averaging so
     every downstream number is merge-order independent; the CI picks
@@ -90,35 +99,42 @@ def poisson_bootstrap_ci(
     """
     if not 1 <= n_boot <= max_boot:
         raise ValueError(
-            f"n_boot={n_boot} outside [1, {max_boot}] — the explode "
+            f"n_boot={n_boot} outside [1, {max_boot}] — the fan-out "
             f"multiplies the scan by n_boot; raise max_boot explicitly "
             f"if you really want more replicates"
         )
+    if value_scale is None:
+        val = F.col(value_col).cast("double").cast(_DEC)
+        denom = F.lit(1.0)
+    else:
+        if value_scale < 1:
+            raise ValueError(f"value_scale must be >= 1, got {value_scale}")
+        val = F.round(
+            F.col(value_col).cast("double") * F.lit(int(value_scale))
+        ).cast("long")
+        denom = F.lit(float(value_scale))
     base = df.where(
         F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
     ).select(
         F.col(key_col).cast("long").alias("_k"),
-        F.col(value_col).cast("double").alias("_v"),
+        val.alias("_v"),
     )
-    rep = base.select(
-        "_k",
-        "_v",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
-        ).alias("_b"),
+    reps = df.sparkSession.range(int(n_boot)).select(
+        F.col("id").cast("int").alias("_b")
     )
+    rep = base.crossJoin(F.broadcast(reps))
     u = hash32(F.col("_k") * F.lit(1000003) + F.col("_b")) / F.lit(_M32F)
     weighted = rep.withColumn("_w", _poisson1_weight(u))
     means = (
         weighted.groupBy("_b")
         .agg(
             F.sum("_w").alias("_n"),
-            F.sum(F.col("_w") * F.col("_v").cast(_DEC)).alias("_s"),
+            F.sum(F.col("_w") * F.col("_v")).alias("_s"),
         )
         .where(F.col("_n") > 0)
         .select(
             F.round(
-                F.col("_s").cast("double") / F.col("_n"), 6
+                F.col("_s").cast("double") / denom / F.col("_n"), 6
             ).alias("_m"),
             "_b",
         )
@@ -142,8 +158,7 @@ def poisson_bootstrap_ci(
     point = base.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
-            F.sum(F.col("_v").cast(_DEC)).cast("double")
-            / F.count(F.lit(1)),
+            F.sum("_v").cast("double") / denom / F.count(F.lit(1)),
             6,
         ).alias("point_est"),
     )
