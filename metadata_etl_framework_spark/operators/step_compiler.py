@@ -538,7 +538,7 @@ class TransformEngine:
         mode = cfg.get("mode", "suite")
         allowed_modes = {
             "suite", "thresholds", "multiclass", "multiclass_summary",
-            "regression", "bleu", "rouge", "chrf", "qini",
+            "regression", "bleu", "rouge", "chrf", "qini", "conformal",
         }
         if mode not in allowed_modes:
             # a typo'd mode must not silently fall back to 'suite'
@@ -609,6 +609,23 @@ class TransformEngine:
                 else multiclass_summary
             )
             return fn(data, label, pred)
+        if mode == "conformal":
+            from metadata_etl_framework_spark.ops.evaluation import (
+                conformal_coverage,
+            )
+
+            idc = cfg.get("id_column")
+            if not score or not label or not idc:
+                raise ValueError(
+                    "score_eval conformal mode needs "
+                    "config.score_column (the prediction), "
+                    "config.label_column (the actual) and "
+                    "config.id_column (the deterministic split key)"
+                )
+            return conformal_coverage(
+                data, label, score, idc,
+                alpha=float(cfg.get("alpha", 0.1)),
+            )
         if not score or not label:
             raise ValueError(
                 "score_eval step needs config.score_column and "
@@ -631,6 +648,138 @@ class TransformEngine:
             lo=float(cfg.get("lo", 0.0)),
             hi=float(cfg.get("hi", 1.0)),
             release=False,
+        )
+
+    def _experiment_eval(self, data, step, sources) -> DataFrame:
+        """A/B experiment readouts as a config step, so a pipeline can
+        gate a rollout the way it gates on drift. mode 'proportions'
+        (default) = the two-proportion z readout
+        (ops/retention.py::ab_test_proportions); 'cuped' = the
+        covariate-adjusted effect (ops/stats.py::cuped_adjusted_effect
+        — needs metric_column + covariate_column); 'power' = post-hoc
+        power / required-n (ops/stats.py::ab_power); 'logrank' = the
+        censoring-correct two-group churn test
+        (ops/retention.py::logrank_test — needs ts_column)."""
+        cfg = step.get("config", step)
+        mode = str(cfg.get("mode", "proportions")).lower()
+        variant = cfg.get("variant_column")
+        unit = cfg.get("unit_column")
+        if not variant or not unit:
+            raise ValueError(
+                "experiment_eval needs config.variant_column and "
+                "config.unit_column"
+            )
+        if mode == "proportions":
+            from metadata_etl_framework_spark.ops.retention import (
+                ab_test_proportions,
+            )
+
+            conv = cfg.get("converted_column")
+            if not conv:
+                raise ValueError(
+                    "experiment_eval proportions mode needs "
+                    "config.converted_column"
+                )
+            return ab_test_proportions(data, variant, conv, unit)
+        if mode == "cuped":
+            from metadata_etl_framework_spark.ops.stats import (
+                cuped_adjusted_effect,
+            )
+
+            metric = cfg.get("metric_column")
+            cov = cfg.get("covariate_column")
+            if not metric or not cov:
+                raise ValueError(
+                    "experiment_eval cuped mode needs "
+                    "config.metric_column and config.covariate_column"
+                )
+            return cuped_adjusted_effect(data, variant, metric, cov, unit)
+        if mode == "power":
+            from metadata_etl_framework_spark.ops.stats import ab_power
+
+            conv = cfg.get("converted_column")
+            if not conv:
+                raise ValueError(
+                    "experiment_eval power mode needs "
+                    "config.converted_column"
+                )
+            return ab_power(data, variant, conv, unit)
+        if mode == "logrank":
+            from metadata_etl_framework_spark.ops.retention import (
+                logrank_test,
+            )
+
+            return logrank_test(
+                data, variant, unit,
+                cfg.get("ts_column", "ts"),
+                horizon_days=int(cfg.get("horizon_days", 7)),
+            )
+        raise ValueError(
+            f"unknown experiment_eval mode {mode!r}; expected one of"
+            " ['proportions', 'cuped', 'power', 'logrank']"
+        )
+
+    def _privacy_audit(self, data, step, sources) -> DataFrame:
+        """Privacy release gates as a config step (quality/privacy.py),
+        so a pipeline can refuse to publish a frame that violates its
+        anonymity contract. mode 'k_anonymity' (default) = the 1-row
+        release summary; 'k_classes' = the per-identity-class table;
+        'l_diversity' = per-class sensitive diversity (needs
+        sensitive_column); 'dp_counts' = ε-DP noisy group counts
+        (needs group_columns)."""
+        cfg = step.get("config", step)
+        mode = str(cfg.get("mode", "k_anonymity")).lower()
+        if mode in ("k_anonymity", "k_classes", "l_diversity"):
+            qi = cfg.get("qi_columns")
+            if not qi:
+                raise ValueError(
+                    f"privacy_audit {mode} mode needs config.qi_columns"
+                )
+            if mode == "l_diversity":
+                from metadata_etl_framework_spark.quality.privacy import (
+                    l_diversity_classes,
+                )
+
+                sens = cfg.get("sensitive_column")
+                if not sens:
+                    raise ValueError(
+                        "privacy_audit l_diversity mode needs "
+                        "config.sensitive_column"
+                    )
+                return l_diversity_classes(
+                    data, list(qi), sens, l=int(cfg.get("l", 2))
+                )
+            from metadata_etl_framework_spark.quality.privacy import (
+                k_anonymity_classes,
+                k_anonymity_summary,
+            )
+
+            fn = (
+                k_anonymity_summary
+                if mode == "k_anonymity"
+                else k_anonymity_classes
+            )
+            return fn(data, list(qi), k=int(cfg.get("k", 5)))
+        if mode == "dp_counts":
+            from metadata_etl_framework_spark.quality.privacy import (
+                dp_noisy_counts,
+            )
+
+            groups = cfg.get("group_columns")
+            if not groups:
+                raise ValueError(
+                    "privacy_audit dp_counts mode needs "
+                    "config.group_columns"
+                )
+            return dp_noisy_counts(
+                data,
+                list(groups),
+                epsilon=float(cfg.get("epsilon", 1.0)),
+                seed=int(cfg.get("seed", 0)),
+            )
+        raise ValueError(
+            f"unknown privacy_audit mode {mode!r}; expected one of"
+            " ['k_anonymity', 'k_classes', 'l_diversity', 'dp_counts']"
         )
 
     def _feature_encode(self, data, step, sources) -> DataFrame:
@@ -723,4 +872,6 @@ class TransformEngine:
         "drift": _drift,
         "score_eval": _score_eval,
         "feature_encode": _feature_encode,
+        "experiment_eval": _experiment_eval,
+        "privacy_audit": _privacy_audit,
     }

@@ -719,6 +719,23 @@ def test_plan_column_edges_full_step_vocabulary(spark):
     # not value edges in the plan walker's semantics)
     assert set(e["te"]) == {("docs", "w")}, e
 
+    # driver-collected 1-row experiment readouts assemble from a
+    # local LogicalRDD — the lineage cannot reach back to the named
+    # sources by design (the step exists for gating, not column flow)
+    e = edges_for("experiment_eval", {"variant_column": "source",
+                                      "unit_column": "doc_id",
+                                      "converted_column": "w"})
+    named = {"docs", "docs2", "dims"}
+    assert not any(
+        src in named for refs in e.values() for (src, _) in refs
+    ), e
+
+    e = edges_for("privacy_audit", {"mode": "k_classes",
+                                    "qi_columns": ["source", "g"],
+                                    "k": 2})
+    assert e["source"] == [("docs", "source")]
+    assert e["g"] == [("docs", "g")]
+
     assert covered == set(TransformEngine._HANDLERS), (
         set(TransformEngine._HANDLERS) - covered
     )

@@ -563,3 +563,127 @@ def test_score_eval_step_qini_mode(spark):
         _run(spark, {"d": df},
              [{"type": "score_eval",
                "config": {"mode": "qini", "score_column": "s"}}])
+
+
+def test_experiment_eval_step_modes(spark):
+    rows = []
+    for i in range(40):
+        g = "A" if i % 2 == 0 else "B"
+        conv = (i % 4 == 0) if g == "A" else (i % 8 == 0)
+        rows.append((i, g, bool(conv), float(i % 7), float(i % 5)))
+    df = spark.createDataFrame(
+        rows, "u long, g string, c boolean, y double, x double"
+    )
+    base = {"variant_column": "g", "unit_column": "u"}
+
+    r = _run(spark, {"d": df}, [{
+        "type": "experiment_eval",
+        "config": dict(base, converted_column="c"),
+    }]).collect()[0]
+    assert r["variant_a"] == "A" and r["n_a"] == 20
+
+    r = _run(spark, {"d": df}, [{
+        "type": "experiment_eval",
+        "config": dict(base, mode="cuped", metric_column="y",
+                       covariate_column="x"),
+    }]).collect()[0]
+    assert "adj_diff" in r.asDict() and r["n_a"] == 20
+
+    r = _run(spark, {"d": df}, [{
+        "type": "experiment_eval",
+        "config": dict(base, mode="power", converted_column="c"),
+    }]).collect()[0]
+    assert 0.0 <= r["power"] <= 1.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown experiment_eval mode"):
+        _run(spark, {"d": df}, [{
+            "type": "experiment_eval", "config": dict(base, mode="nope"),
+        }])
+    with _pt.raises(ValueError, match="converted_column"):
+        _run(spark, {"d": df}, [{
+            "type": "experiment_eval", "config": base,
+        }])
+
+
+def test_experiment_eval_step_logrank(spark):
+    import datetime as dt
+
+    base_ts = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        g = "A" if i % 2 == 0 else "B"
+        days = 3 if g == "A" else 25
+        rows.append((i, g, base_ts))
+        rows.append((i, g, base_ts + dt.timedelta(days=days)))
+    df = spark.createDataFrame(rows, "u long, g string, ts timestamp")
+    r = _run(spark, {"d": df}, [{
+        "type": "experiment_eval",
+        "config": {"mode": "logrank", "variant_column": "g",
+                   "unit_column": "u", "ts_column": "ts",
+                   "horizon_days": 7},
+    }]).collect()[0]
+    assert r["events_a"] == 15 and r["events_b"] == 0
+    assert r["significant_95"]
+
+
+def test_privacy_audit_step_modes(spark):
+    df = spark.createDataFrame(
+        [("z1", "a", 1.0)] * 5 + [("z2", "b", 2.0)],
+        "zip string, seg string, bal double",
+    )
+    qi = {"qi_columns": ["zip", "seg"]}
+
+    summary = _run(spark, {"d": df}, [{
+        "type": "privacy_audit", "config": dict(qi, k=3),
+    }]).collect()[0]
+    assert summary["n_classes"] == 2 and summary["n_violating_classes"] == 1
+
+    classes = _run(spark, {"d": df}, [{
+        "type": "privacy_audit", "config": dict(qi, mode="k_classes", k=3),
+    }]).collect()
+    assert len(classes) == 2
+
+    ld = _run(spark, {"d": df}, [{
+        "type": "privacy_audit",
+        "config": dict(qi, mode="l_diversity", sensitive_column="bal"),
+    }]).collect()
+    assert all(r["n_sensitive"] == 1 and r["below_l"] for r in ld)
+
+    dp = _run(spark, {"d": df}, [{
+        "type": "privacy_audit",
+        "config": {"mode": "dp_counts", "group_columns": ["zip"],
+                   "epsilon": 2.0, "seed": 1},
+    }]).collect()
+    assert {r["zip"] for r in dp} == {"z1", "z2"}
+    assert all(r["noisy_count"] == round(r["exact_count"] + r["noise"], 6)
+               for r in dp)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="qi_columns"):
+        _run(spark, {"d": df}, [{
+            "type": "privacy_audit", "config": {"k": 3},
+        }])
+
+
+def test_score_eval_step_conformal(spark):
+    import pytest as _pt
+
+    df = spark.range(1, 801).selectExpr(
+        "id AS k", "CAST(id % 50 AS DOUBLE) AS y",
+        "CAST(id % 50 AS DOUBLE) + CAST(id % 9 AS DOUBLE) - 4.0 AS pred",
+    )
+    r = _run(spark, {"d": df}, [{
+        "type": "score_eval",
+        "config": {"mode": "conformal", "score_column": "pred",
+                   "label_column": "y", "id_column": "k",
+                   "alpha": 0.2},
+    }]).collect()[0]
+    assert r["alpha"] == 0.2
+    assert r["coverage"] >= 0.75
+    with _pt.raises(ValueError, match="conformal mode needs"):
+        _run(spark, {"d": df}, [{
+            "type": "score_eval",
+            "config": {"mode": "conformal", "score_column": "pred",
+                       "label_column": "y"},
+        }])
