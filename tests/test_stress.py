@@ -697,3 +697,87 @@ def test_salted_join_beats_plain_smj_on_zipf_keys(spark):
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
         fact.unpersist()
         dim.unpersist()
+
+
+def test_poisson_bootstrap_6m_rows(spark, big):
+    """Round-11: the Poisson bootstrap at 6M rows × 25 replicates =
+    150M weighted samples — the replicate fan-out must stay map-side
+    collapsed (shuffle = n_boot rows per task) and the LONG fast path
+    must hold its exactness contract (cents grid)."""
+    from metadata_etl_framework_spark.ops.stats import poisson_bootstrap_ci
+
+    r = poisson_bootstrap_ci(
+        big, "l_extendedprice", "l_orderkey",
+        n_boot=25, value_scale=100,
+    ).collect()[0]
+    assert r["n_rows"] == big.count()
+    assert r["ci_lo"] <= r["point_est"] <= r["ci_hi"]
+    # a mean over 6M rows is pinned tight: the CI must be narrow
+    # relative to the point estimate (sub-1% band)
+    assert (r["ci_hi"] - r["ci_lo"]) < 0.01 * r["point_est"]
+
+
+def test_kmeans_and_silhouette_100k_vectors(spark):
+    """Round-11: two Lloyd rounds + silhouette on a 100k×16 synthetic
+    corpus with 8 planted orthogonal-ish blobs — the broadcast
+    projection and (cluster, dim)-cell aggregates must hold at 50×
+    the sf0.1 embedding count, and the planted structure must be
+    recovered exactly (every point lands with its blob's seed)."""
+    from metadata_etl_framework_spark.ops.clustering import kmeans_summary
+
+    n, dim, k = 100_000, 16, 8
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), (F.col("id") % k).alias("_blob")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(
+            d == (F.col("_blob") % dim), F.lit(10.0)
+        ).otherwise(
+            ((F.col("vec_id") * 37 + d * 11) % 7).cast("double") / 100.0
+        ),
+    )
+    df = base.select(
+        "vec_id", vec.cast("array<float>").alias("embedding")
+    )
+    out = kmeans_summary(df, k=k, iterations=2).collect()
+    assert len(out) == k
+    assert sum(r["n_points"] for r in out) == n
+    # blob of vec_id v is v % k, and seed s (vec_id s) belongs to blob
+    # s % k = s: every cluster recovers exactly n/k members
+    assert all(r["n_points"] == n // k for r in out), out
+    assert all(r["avg_cosine"] > 0.99 for r in out)
+
+
+def test_recsys_mega_user_gate_1m_interactions(spark):
+    """Round-11: item-item CF at 1M interactions with one degenerate
+    crawler account holding every item — the max_user_items gate must
+    drop it (Σ m² would otherwise add 10⁶ pairs from one user) and
+    the model must still build from the organic users."""
+    from metadata_etl_framework_spark.ops.recsys import item_item_cosine
+
+    # item modulus 199 is coprime with the 50k user stride, so every
+    # user sees 20 DISTINCT items (a multiple of 200 would collapse
+    # each user to one item and produce no pairs at all)
+    organic = spark.range(1_000_000).select(
+        (F.col("id") % 50_000).alias("u"),
+        F.concat(F.lit("item_"), (F.col("id") % 199).cast("string")).alias(
+            "i"
+        ),
+    )
+    crawler = spark.range(1000).select(
+        F.lit(99_999_999).alias("u"),
+        F.concat(F.lit("item_"), F.col("id").cast("string")).alias("i"),
+    )
+    df = organic.unionByName(crawler)
+    sims = item_item_cosine(
+        df, "u", "i", min_cooc=100, max_user_items=100
+    )
+    rows = sims.collect()
+    assert len(rows) > 0
+    # the crawler's exclusive items (ids >= 199) never reach the model
+    assert all(
+        int(r["item_a"].split("_")[1]) < 199
+        and int(r["item_b"].split("_")[1]) < 199
+        for r in rows
+    )
