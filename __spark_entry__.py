@@ -5286,6 +5286,8 @@ _EXTRA_KEYS = [
     "events_ab_power",
     "eval_conformal_orders",
     "text_rake_keywords",
+    "recsys_item_item_qty",
+    "stats_mannwhitney_price",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -13213,6 +13215,165 @@ _ALL_SQL.update(
                    CAST(n_occ AS BIGINT) AS n_occurrences,
                    ROUND(CAST(score AS DOUBLE), 6) AS score
             FROM sc ORDER BY score DESC, ph LIMIT 25
+        """,
+    }
+)
+
+
+# ---- round 11 close: rating-mode CF (DECIMAL dot-product arm) ----
+
+
+def _recsys_item_item_qty(spark, sf_dir):
+    """Rating-mode item-item cosine (ops/recsys.py::item_item_cosine
+    with rating_col): quantity-weighted customer×brand matrix — the
+    DECIMAL(18,6)-carried dot/norm arm, exact in any engine."""
+    from metadata_etl_framework_spark.ops.recsys import item_item_cosine
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ub = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .select("o_custkey", "p_brand", "l_quantity")
+    )
+    return item_item_cosine(
+        ub, "o_custkey", "p_brand", rating_col="l_quantity",
+        min_cooc=5, shrinkage=10.0,
+    )
+
+
+_ALL_QUERIES.update({"recsys_item_item_qty": _recsys_item_item_qty})
+
+_ALL_SQL.update(
+    {
+        "recsys_item_item_qty": """
+            WITH raw AS (SELECT o_custkey AS u, p_brand AS i,
+                                l_quantity AS r
+                         FROM lineitem
+                         JOIN orders ON l_orderkey = o_orderkey
+                         JOIN part ON l_partkey = p_partkey
+                         WHERE o_custkey IS NOT NULL
+                           AND p_brand IS NOT NULL),
+            inter AS (SELECT u, i,
+                             CAST(ROUND(SUM(CAST(r AS DECIMAL(30,10))),
+                                        6) AS DECIMAL(18,6)) AS r
+                      FROM raw GROUP BY 1, 2),
+            norms AS (SELECT i, COUNT(*) AS n,
+                             SUM(CAST(r AS DECIMAL(20,6)) * r) AS sq
+                      FROM inter GROUP BY 1),
+            pr AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS cab,
+                          SUM(CAST(a.r AS DECIMAL(20,6)) * b.r) AS dot
+                   FROM inter a JOIN inter b
+                     ON a.u = b.u AND a.i < b.i
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+            SELECT ia AS item_a, ib AS item_b,
+                   CAST(cab AS BIGINT) AS n_cooc,
+                   ROUND(CAST(dot AS DOUBLE)
+                         / SQRT(CAST(na.sq AS DOUBLE)
+                                * CAST(nb.sq AS DOUBLE)), 6) AS cosine,
+                   ROUND((CAST(dot AS DOUBLE)
+                          / SQRT(CAST(na.sq AS DOUBLE)
+                                 * CAST(nb.sq AS DOUBLE)))
+                         * (cab / (cab + 10.0)), 6) AS shrunk_cosine
+            FROM pr
+            JOIN norms na ON na.i = pr.ia
+            JOIN norms nb ON nb.i = pr.ib
+        """,
+    }
+)
+
+
+# ---- round 11 close: rank-based inference (ops/stats.py) ----
+
+
+def _stats_mannwhitney_price(spark, sf_dir):
+    """Mann–Whitney U + Cliff's delta on order value between
+    high-priority (1-URGENT/2-HIGH) and other orders
+    (ops/stats.py::mann_whitney_u): one groupBy(value), scale-safe
+    two-phase average-rank scan, DECIMAL half-grain rank sums,
+    tie-corrected normal p through the A&S tail."""
+    from metadata_etl_framework_spark.ops.stats import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+        )
+        .otherwise("low")
+        .alias("prio"),
+        "o_totalprice",
+    )
+    return mann_whitney_u(o, "prio", "o_totalprice")
+
+
+_ALL_QUERIES.update({"stats_mannwhitney_price": _stats_mannwhitney_price})
+
+_ALL_SQL.update(
+    {
+        "stats_mannwhitney_price": f"""
+            WITH base AS (SELECT CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                      THEN 'high' ELSE 'low' END AS g,
+                                 CAST(o_totalprice AS DOUBLE) AS v
+                          FROM orders
+                          WHERE o_totalprice IS NOT NULL),
+            counts AS (SELECT v,
+                              SUM(CASE WHEN g = 'high' THEN 1 ELSE 0 END)
+                                  AS c1,
+                              SUM(CASE WHEN g <> 'high' THEN 1 ELSE 0 END)
+                                  AS c2
+                       FROM base GROUP BY 1),
+            cc AS (SELECT *, c1 + c2 AS t,
+                          SUM(c1 + c2) OVER (ORDER BY v) AS cumt
+                   FROM counts),
+            rk AS (SELECT *, (cumt - t) + (t + 1) / 2.0 AS avg_rank
+                   FROM cc),
+            s AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+                         SUM(CAST(c1 AS DECIMAL(15,0))
+                             * CAST(avg_rank AS DECIMAL(20,1))) AS r1,
+                         SUM(CAST(t AS DECIMAL(12,0))
+                             * CAST(t AS DECIMAL(12,0))
+                             * CAST(t AS DECIMAL(12,0))
+                             - CAST(t AS DECIMAL(12,0))) AS ties
+                  FROM rk),
+            c AS (SELECT n1, n2,
+                         CAST(r1 AS DOUBLE) AS r1d,
+                         CAST(ties AS DOUBLE) AS tiesd,
+                         CAST(n1 AS DOUBLE) AS n1d,
+                         CAST(n2 AS DOUBLE) AS n2d,
+                         CAST(n1 + n2 AS DOUBLE) AS nd
+                  FROM s),
+            c2 AS (SELECT *, r1d - n1d * (n1d + 1.0) / 2.0 AS u1
+                   FROM c),
+            c3 AS (SELECT *, n1d * n2d / 2.0 AS mu,
+                          CASE WHEN nd > 1
+                               THEN (n1d * n2d / 12.0)
+                                    * ((nd + 1.0)
+                                       - tiesd / (nd * (nd - 1.0)))
+                          END AS varu
+                   FROM c2),
+            c4 AS (SELECT *,
+                          CASE WHEN varu > 0
+                               THEN (u1 - mu) / SQRT(varu)
+                          END AS z
+                   FROM c3),
+            c5 AS (SELECT *,
+                          CASE WHEN z IS NOT NULL THEN
+                              ROUND(LEAST(1.0, GREATEST(0.0,
+                                  2.0 * {_normal_sf_sql("ABS(z)")})), 6)
+                          END AS p
+                   FROM c4)
+            SELECT 'high' AS variant_a, CAST(n1 AS BIGINT) AS n_a,
+                   'low' AS variant_b, CAST(n2 AS BIGINT) AS n_b,
+                   ROUND(u1, 6) AS u_a,
+                   ROUND(2.0 * u1 / (n1d * n2d) - 1.0, 6)
+                       AS cliffs_delta,
+                   ROUND(z, 6) AS z_score,
+                   p AS p_value,
+                   p < 0.05 AS significant_95
+            FROM c5
         """,
     }
 )

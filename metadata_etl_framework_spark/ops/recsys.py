@@ -72,12 +72,21 @@ def item_item_cosine(
                 F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
             )
             .dropDuplicates(["_u", "_i"])
-            .withColumn("_r", F.lit(1).cast(_DEC))
+            .withColumn("_r", F.lit(1).cast("decimal(18,6)"))
         )
     else:
+        # per-(user,item) ratings round to 6 dp and carry as
+        # DECIMAL(18,6): the (37,12) products stay exact under the
+        # 38-digit cap in EVERY engine (a (30,10)² product would
+        # overflow/denature one side or the other — the CUPED moment
+        # convention)
         inter = base.groupBy(
             F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
-        ).agg(F.sum(F.col(rating_col).cast(_DEC)).alias("_r"))
+        ).agg(
+            F.round(F.sum(F.col(rating_col).cast(_DEC)), 6)
+            .cast("decimal(18,6)")
+            .alias("_r")
+        )
     if max_user_items is not None:
         w = Window.partitionBy("_u")
         inter = (

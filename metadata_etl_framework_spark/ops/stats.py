@@ -576,3 +576,124 @@ def ab_power(
         n80.alias("n_per_arm_80"),
         n90.alias("n_per_arm_90"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) with Cliff's
+    delta — the distribution-free "are these two groups' values drawn
+    from the same distribution" test, plus the effect size that does
+    not depend on n: δ = P(x>y) − P(x<y) = 2U/(n₁n₂) − 1.
+
+    Rank machinery at scale: ONE groupBy on the value (per-distinct
+    conditional counts for both groups), then the scale-safe two-phase
+    prefix scan (ops/packing.py::global_prefix_sum — never a
+    partitionless window over the distinct-value frame) yields
+    average ranks as exact half-integers; the rank sum accumulates as
+    DECIMAL(·,1) (half-grain exact in any engine), and the tie
+    correction Σ(t³−t) as DECIMAL — every downstream double is a
+    closed form over exact inputs. p-value via the tie-corrected
+    normal approximation (valid n ≳ 20 per side; no continuity
+    correction — documented) through the A&S tail.
+
+    Output: 1 row — (variant_a, n_a, variant_b, n_b, u_a, cliffs_delta,
+    z_score, p_value — 6 dp, significant_95).
+    """
+    from .packing import global_prefix_sum
+
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    labels = [
+        r["_g"]
+        for r in base.select("_g").distinct().orderBy("_g").collect()
+    ]
+    if len(labels) != 2:
+        raise ValueError(
+            f"mann_whitney_u needs exactly 2 groups, got {labels}"
+        )
+    ga, gb = labels
+    counts = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == ga, 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(F.col("_g") != ga, 1).otherwise(0)).alias("_c2"),
+    ).withColumn("_t", F.col("_c1") + F.col("_c2"))
+    persisted: list = []
+    try:
+        pref = global_prefix_sum(
+            counts, "_v", "_t", out="_cum", persisted=persisted
+        )
+        avg_rank = (F.col("_cum") - F.col("_t")) + (
+            F.col("_t") + F.lit(1)
+        ) / F.lit(2.0)
+        t_dec = F.col("_t").cast("decimal(12,0)")
+        sums = pref.select(
+            "_c1",
+            "_c2",
+            (
+                F.col("_c1").cast("decimal(15,0)")
+                * avg_rank.cast("decimal(20,1)")
+            ).alias("_pr"),
+            (t_dec * t_dec * t_dec - t_dec).alias("_tt"),
+        ).agg(
+            F.sum("_c1").alias("_n1"),
+            F.sum("_c2").alias("_n2"),
+            F.sum("_pr").alias("_r1"),
+            F.sum("_tt").alias("_ties"),
+        ).collect()[0]
+    finally:
+        for h in persisted:
+            h.unpersist()
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [(ga, sums["_n1"], gb, sums["_n2"], sums["_r1"], sums["_ties"])],
+        "ga string, n1 long, gb string, n2 long, "
+        "r1 decimal(38,1), ties decimal(38,0)",
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    r1d = F.col("r1").cast("double")
+    tiesd = F.col("ties").cast("double")
+    u1 = r1d - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    varu = F.when(
+        nd > 1,
+        (n1d * n2d / F.lit(12.0))
+        * (
+            (nd + F.lit(1.0))
+            - tiesd / (nd * (nd - F.lit(1.0)))
+        ),
+    )
+    z = F.when(varu > 0, (u1 - mu) / F.sqrt(varu))
+    p = F.when(
+        z.isNotNull(),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(2.0) * normal_sf_col(F.abs(z)),
+                ),
+            ),
+            6,
+        ),
+    )
+    return one.select(
+        F.col("ga").alias("variant_a"),
+        F.col("n1").alias("n_a"),
+        F.col("gb").alias("variant_b"),
+        F.col("n2").alias("n_b"),
+        F.round(u1, 6).alias("u_a"),
+        F.round(
+            F.lit(2.0) * u1 / (n1d * n2d) - F.lit(1.0), 6
+        ).alias("cliffs_delta"),
+        F.round(z, 6).alias("z_score"),
+        p.alias("p_value"),
+        (p < F.lit(0.05)).alias("significant_95"),
+    )

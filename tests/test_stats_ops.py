@@ -212,3 +212,33 @@ def test_conformal_perfect_model_zero_width(spark):
     )
     r = conformal_coverage(df, "y", "pred", "k", alpha=0.1).collect()[0]
     assert r["q_hat"] == 0.0 and r["coverage"] == 1.0
+
+
+def test_mann_whitney_separated_vs_identical(spark):
+    from metadata_etl_framework_spark.ops.stats import mann_whitney_u
+
+    # clearly shifted distributions -> dominant delta, significant
+    rows = [("A", float(100 + i % 10)) for i in range(60)]
+    rows += [("B", float(i % 10)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v").collect()[0]
+    assert r["n_a"] == 60 and r["n_b"] == 60
+    assert r["cliffs_delta"] == 1.0     # every A beats every B
+    assert r["u_a"] == 3600.0           # n1*n2 pairs all won
+    assert r["p_value"] < 0.001 and r["significant_95"]
+
+    # identical distributions (heavy ties) -> U ~ n1*n2/2, delta ~ 0
+    rows2 = [("A", float(i % 5)) for i in range(50)]
+    rows2 += [("B", float(i % 5)) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    r2 = mann_whitney_u(df2, "g", "v").collect()[0]
+    assert r2["cliffs_delta"] == 0.0 and r2["u_a"] == 1250.0
+    assert r2["p_value"] == 1.0 and not r2["significant_95"]
+
+
+def test_mann_whitney_requires_two_groups(spark):
+    from metadata_etl_framework_spark.ops.stats import mann_whitney_u
+
+    df = spark.createDataFrame([("A", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="2 groups"):
+        mann_whitney_u(df, "g", "v")
