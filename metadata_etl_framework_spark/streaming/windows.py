@@ -559,3 +559,84 @@ def foreach_batch_forecast_monitor(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def foreach_batch_experiment_monitor(
+    stream_df,
+    variant_col: str,
+    converted_col: str,
+    unit_col: str,
+    metrics_path: str,
+    checkpoint: str,
+    min_units_per_arm: int = 10,
+):
+    """Per-micro-batch A/B experiment monitoring — the streaming form of
+    the experiment_eval surface, the way
+    :func:`foreach_batch_score_monitor` streams score_eval: every
+    batch's events are reduced with the batch operator
+    (ops/retention.py::ab_test_proportions) and one metrics row per
+    batch appends to ``metrics_path``:
+
+    ``(batch_id, variant_a, n_a, rate_a, variant_b, n_b, rate_b,
+    z_score, significant_95, underpowered)``
+
+    ``underpowered`` flags batches where either arm has fewer than
+    ``min_units_per_arm`` units — a significant z on a tiny batch is
+    noise, and the flag keeps dashboards honest about it. Batches
+    without exactly two variants present are skipped entirely (a
+    ramp-up or holdout-only batch is a plausible condition, not a
+    query-killer). Append-only parquet sink; wrap with
+    :func:`idempotent_foreach_batch` when effectively-once matters.
+
+    NOTE: per-batch readouts answer "is the experiment healthy in this
+    window"; the END-OF-EXPERIMENT decision must come from the batch
+    operators over the full exposure table (peeking at streaming
+    z-scores inflates false positives — use ops/stats.py::ab_power and
+    a fixed-horizon analysis).
+    """
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_test_proportions,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        usable = (
+            F.col(variant_col).isNotNull() & F.col(unit_col).isNotNull()
+        )
+        present = [
+            r[0]
+            for r in batch_df.where(usable)
+            .select(F.col(variant_col).cast("string"))
+            .distinct()
+            .limit(3)
+            .collect()
+        ]
+        if len(present) != 2:
+            return
+        r = ab_test_proportions(
+            batch_df.where(usable), variant_col, converted_col, unit_col
+        ).first()
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [(
+                int(batch_id),
+                r["variant_a"], int(r["n_a"]), float(r["rate_a"]),
+                r["variant_b"], int(r["n_b"]), float(r["rate_b"]),
+                float(r["z_score"]),
+                bool(r["significant_95"]),
+                bool(
+                    min(int(r["n_a"]), int(r["n_b"]))
+                    < int(min_units_per_arm)
+                ),
+            )],
+            "batch_id long, variant_a string, n_a long, rate_a double, "
+            "variant_b string, n_b long, rate_b double, z_score double, "
+            "significant_95 boolean, underpowered boolean",
+        ).coalesce(1).write.mode("append").parquet(metrics_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -635,3 +635,57 @@ def test_foreach_batch_forecast_monitor_alerts_and_batch_parity(
     assert (brk.smape, brk.mase, brk.n_forecasts) == (
         b["smape"], b["mase"], b["n_forecasts"]
     )
+
+
+def test_foreach_batch_experiment_monitor_parity_and_skips(
+    spark_mod, tmp_path
+):
+    """Round-11: streaming A/B monitor — one readout row per micro-batch
+    matching the batch operator on the same rows; an underpowered batch
+    is flagged; a single-variant (ramp-up) batch appends nothing."""
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_test_proportions,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_experiment_monitor,
+        streaming_file_source,
+    )
+
+    spark = spark_mod
+    # batch 1: healthy 30v30 with a real lift; batch 2: tiny 3v3;
+    # batch 3: holdout-only (single variant) -> skipped
+    b1 = [(i, "A" if i % 2 == 0 else "B",
+           (i % 4 == 0) if i % 2 == 0 else (i % 10 == 1))
+          for i in range(60)]
+    b2 = [(100 + i, "A" if i < 3 else "B", i == 0) for i in range(6)]
+    b3 = [(200 + i, "A", True) for i in range(10)]
+    src = str(tmp_path / "exposures")
+    for chunk in (b1, b2, b3):
+        spark.createDataFrame(
+            chunk, "u long, g string, c boolean"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = streaming_file_source(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    metrics = str(tmp_path / "metrics")
+    q = foreach_batch_experiment_monitor(
+        stream, "g", "c", "u", metrics, str(tmp_path / "ck"),
+        min_units_per_arm=10,
+    ).start()
+    q.awaitTermination(120)
+
+    rows = sorted(spark.read.parquet(metrics).collect(),
+                  key=lambda r: -r.n_a)
+    assert len(rows) == 2  # the single-variant batch appended nothing
+    big, small = rows
+    assert big.n_a == 30 and big.n_b == 30 and not big.underpowered
+    ref = ab_test_proportions(
+        spark.createDataFrame(b1, "u long, g string, c boolean"),
+        "g", "c", "u",
+    ).first()
+    assert (big.rate_a, big.rate_b, big.z_score) == (
+        ref["rate_a"], ref["rate_b"], ref["z_score"]
+    )
+    assert small.n_a == 3 and small.underpowered
