@@ -5288,6 +5288,8 @@ _EXTRA_KEYS = [
     "text_rake_keywords",
     "recsys_item_item_qty",
     "stats_mannwhitney_price",
+    "eval_stratified_ate_orders",
+    "events_seasonal_decompose",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -13374,6 +13376,136 @@ _ALL_SQL.update(
                    p AS p_value,
                    p < 0.05 AS significant_95
             FROM c5
+        """,
+    }
+)
+
+
+# ---- round 11 close: stratified ATE + classical decomposition ----
+
+
+def _eval_stratified_ate_orders(spark, sf_dir):
+    """Propensity-stratified treatment effects (ops/evaluation.py::
+    stratified_ate): exact-NTILE strata on a deterministic pseudo-
+    propensity, within-stratum arm comparison with DECIMAL outcome
+    sums — the transparent subclassification companion to IPW."""
+    from metadata_etl_framework_spark.ops.evaluation import stratified_ate
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias(
+            "treated"
+        ),
+        (
+            ((F.col("o_custkey") % 100) + 1) / F.lit(102.0)
+        ).alias("propensity"),
+    )
+    return stratified_ate(
+        o, "treated", "o_totalprice", "propensity", "o_orderkey",
+        n_strata=5,
+    )
+
+
+def _events_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the daily event series
+    (functions/aggregations.py::classical_decompose): centered 7-day
+    MA trend, zero-centered per-weekday seasonal means, remainder —
+    on the calendar-bounded pre-aggregated frame."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        classical_decompose,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return classical_decompose(daily, "day", "n", period=7)
+
+
+_ALL_QUERIES.update(
+    {
+        "eval_stratified_ate_orders": _eval_stratified_ate_orders,
+        "events_seasonal_decompose": _events_seasonal_decompose,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "eval_stratified_ate_orders": """
+            WITH base AS (SELECT o_orderkey AS id,
+                                 CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                      THEN 1 ELSE 0 END AS t,
+                                 CAST(o_totalprice AS DOUBLE) AS y,
+                                 ((o_custkey % 100) + 1) / 102.0 AS p
+                          FROM orders
+                          WHERE o_totalprice IS NOT NULL
+                            AND o_custkey IS NOT NULL
+                            AND o_orderkey IS NOT NULL),
+            b AS (SELECT *,
+                         NTILE(5) OVER (ORDER BY p, id) AS stratum
+                  FROM base),
+            per AS (SELECT stratum, COUNT(*) AS n, SUM(t) AS nt,
+                           SUM(1 - t) AS nc,
+                           SUM(CASE WHEN t = 1 THEN
+                               CAST(y AS DECIMAL(30,10)) END) AS syt,
+                           SUM(CASE WHEN t = 0 THEN
+                               CAST(y AS DECIMAL(30,10)) END) AS syc
+                    FROM b GROUP BY 1)
+            SELECT CAST(stratum AS INT) AS stratum,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(nt AS BIGINT) AS n_treat,
+                   CAST(nc AS BIGINT) AS n_ctrl,
+                   ROUND(CASE WHEN nt > 0
+                              THEN CAST(syt AS DOUBLE) / nt END, 6)
+                       AS mean_treat,
+                   ROUND(CASE WHEN nc > 0
+                              THEN CAST(syc AS DOUBLE) / nc END, 6)
+                       AS mean_ctrl,
+                   ROUND(CASE WHEN nt > 0 AND nc > 0
+                              THEN CAST(syt AS DOUBLE) / nt
+                                   - CAST(syc AS DOUBLE) / nc END, 6)
+                       AS effect
+            FROM per ORDER BY 1
+        """,
+        "events_seasonal_decompose": """
+            WITH daily AS (SELECT CAST(DATEDIFF('day',
+                                      DATE '2024-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) AS x,
+                                  CAST(COUNT(*) AS DOUBLE) AS y
+                           FROM events GROUP BY 1),
+            t AS (SELECT x, y, CAST(x % 7 AS INT) AS phase,
+                         CASE WHEN COUNT(*) OVER w = 7
+                              THEN ROUND(CAST(SUM(CAST(y
+                                       AS DECIMAL(30,10))) OVER w
+                                       AS DOUBLE) / 7.0, 6)
+                         END AS trend
+                  FROM daily
+                  WINDOW w AS (ORDER BY x ROWS BETWEEN 3 PRECEDING
+                               AND 3 FOLLOWING)),
+            pm AS (SELECT phase,
+                          CAST(SUM(CAST(ROUND(y - trend, 10)
+                                   AS DECIMAL(28,10))) AS DOUBLE)
+                          / COUNT(*) AS pmv
+                   FROM t WHERE trend IS NOT NULL GROUP BY 1),
+            g AS (SELECT CAST(SUM(CAST(ROUND(pmv, 10)
+                                  AS DECIMAL(28,10))) AS DOUBLE)
+                         / COUNT(*) AS gm
+                  FROM pm),
+            s AS (SELECT phase, ROUND(pmv - gm, 6) AS seasonal
+                  FROM pm, g)
+            SELECT t.x, t.y, t.phase, t.trend, s.seasonal,
+                   ROUND(CASE WHEN t.trend IS NOT NULL
+                               AND s.seasonal IS NOT NULL
+                              THEN t.y - t.trend - s.seasonal END, 6)
+                       AS remainder
+            FROM t LEFT JOIN s ON t.phase = s.phase
+            ORDER BY 1
         """,
     }
 )

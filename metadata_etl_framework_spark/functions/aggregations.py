@@ -1684,3 +1684,116 @@ def dominant_periods(
             6,
         ).alias("fraction"),
     )
+
+
+def classical_decompose(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a PRE-AGGREGATED
+    series: y = trend + seasonal + remainder — the textbook
+    moving-average method (the non-iterative ancestor of STL, which
+    lives behind the statsmodels bridge): trend is the centered MA of
+    length ``period`` (even periods use the standard half-weight
+    2×m form), the seasonal component is the per-phase mean of the
+    detrended series re-centered to sum to zero, and the remainder is
+    what's left.
+
+    The input must be one point per integer ``x_col`` step (daily
+    index, hour index) — a calendar-bounded frame by construction, so
+    the ordered windows here follow the nelson_aalen small-frame
+    convention, NOT a data-scale sort. Window sums run over DECIMAL
+    casts of y, the trend rounds to 6 dp before detrending, and
+    per-phase means accumulate 10-dp DECIMAL terms — every downstream
+    number replays exactly in any engine.
+
+    Output: (x long, y, phase int, trend 6 dp, seasonal 6 dp,
+    remainder 6 dp; trend/remainder null at the uncovered edges),
+    ordered by x.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    ydec = F.col("y").cast("decimal(30,10)")
+    m = int(period)
+    if m % 2 == 1:
+        h = (m - 1) // 2
+        w = Window.orderBy("x").rowsBetween(-h, h)
+        full = F.count(F.lit(1)).over(w) == m
+        trend_raw = F.when(
+            full, F.sum(ydec).over(w).cast("double") / F.lit(float(m))
+        )
+    else:
+        h = m // 2
+        w1 = Window.orderBy("x").rowsBetween(-h, h - 1)
+        w2 = Window.orderBy("x").rowsBetween(-(h - 1), h)
+        full = (F.count(F.lit(1)).over(w1) == m) & (
+            F.count(F.lit(1)).over(w2) == m
+        )
+        trend_raw = F.when(
+            full,
+            (
+                F.sum(ydec).over(w1).cast("double") / F.lit(float(m))
+                + F.sum(ydec).over(w2).cast("double") / F.lit(float(m))
+            )
+            / F.lit(2.0),
+        )
+    with_trend = base.withColumn(
+        "trend", F.round(trend_raw, 6)
+    ).withColumn("phase", F.pmod(F.col("x"), F.lit(m)).cast("int"))
+    det = F.col("y") - F.col("trend")
+    phase_means = (
+        with_trend.where(F.col("trend").isNotNull())
+        .groupBy("phase")
+        .agg(
+            (
+                F.sum(F.round(det, 10).cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("_pm")
+        )
+    )
+    grand = phase_means.agg(
+        (
+            F.sum(F.round(F.col("_pm"), 10).cast("decimal(28,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("_gm")
+    )
+    seasonal = (
+        phase_means.crossJoin(F.broadcast(grand))
+        .select(
+            "phase",
+            F.round(F.col("_pm") - F.col("_gm"), 6).alias("seasonal"),
+        )
+    )
+    return (
+        with_trend.join(F.broadcast(seasonal), "phase", "left")
+        .select(
+            "x",
+            "y",
+            "phase",
+            "trend",
+            "seasonal",
+            F.round(
+                F.when(
+                    F.col("trend").isNotNull()
+                    & F.col("seasonal").isNotNull(),
+                    F.col("y") - F.col("trend") - F.col("seasonal"),
+                ),
+                6,
+            ).alias("remainder"),
+        )
+        .orderBy("x")
+    )

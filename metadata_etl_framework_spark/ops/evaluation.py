@@ -2012,3 +2012,77 @@ def conformal_coverage(
         "coverage",
         F.round(F.lit(2.0) * F.col("q_hat"), 6).alias("avg_width"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    id_col: str,
+    n_strata: int = 5,
+) -> DataFrame:
+    """Propensity-stratified treatment effects (subclassification,
+    Rosenbaum & Rubin 1984) — the transparent companion to
+    :func:`ipw_ate`: cut the propensity into equal-frequency strata,
+    compare arms WITHIN each stratum (where propensities are
+    comparable), and read the per-stratum effects directly. Where IPW
+    reweights, stratification shows you the dose-response table — and
+    flags the strata where one arm is empty (no overlap) instead of
+    silently extrapolating.
+
+    Strata come from the scale-safe exact-NTILE
+    (functions/aggregations.py::ntile_assign — never a partitionless
+    window), tie-broken on ``id_col`` for determinism. Outcome sums
+    accumulate as DECIMAL(30,10); means and effects are closed-form
+    doubles over exact inputs.
+
+    Output: one row per stratum — (stratum int, n long, n_treat,
+    n_ctrl, mean_treat 6 dp, mean_ctrl 6 dp, effect 6 dp; null
+    means/effect where an arm is empty), ordered by stratum.
+    """
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    base = df.where(
+        F.col(treatment_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(propensity_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(treatment_col).cast("boolean").cast("int").alias("_t"),
+        F.col(outcome_col).cast("double").alias("_y"),
+        F.col(propensity_col).cast("double").alias("_p"),
+    )
+    bucketed = ntile_assign(
+        base, ["_p", "_id"], int(n_strata), out="_stratum"
+    )
+    ydec = F.col("_y").cast("decimal(30,10)")
+    per = bucketed.groupBy("_stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_t").cast("long").alias("n_treat"),
+        F.sum(1 - F.col("_t")).cast("long").alias("n_ctrl"),
+        F.sum(F.when(F.col("_t") == 1, ydec)).alias("_syt"),
+        F.sum(F.when(F.col("_t") == 0, ydec)).alias("_syc"),
+    )
+    mt = F.when(
+        F.col("n_treat") > 0,
+        F.col("_syt").cast("double") / F.col("n_treat"),
+    )
+    mc = F.when(
+        F.col("n_ctrl") > 0,
+        F.col("_syc").cast("double") / F.col("n_ctrl"),
+    )
+    return per.select(
+        F.col("_stratum").cast("int").alias("stratum"),
+        "n",
+        "n_treat",
+        "n_ctrl",
+        F.round(mt, 6).alias("mean_treat"),
+        F.round(mc, 6).alias("mean_ctrl"),
+        F.round(
+            F.when(mt.isNotNull() & mc.isNotNull(), mt - mc), 6
+        ).alias("effect"),
+    ).orderBy("stratum")

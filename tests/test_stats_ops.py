@@ -242,3 +242,61 @@ def test_mann_whitney_requires_two_groups(spark):
     df = spark.createDataFrame([("A", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="2 groups"):
         mann_whitney_u(df, "g", "v")
+
+
+def test_stratified_ate_recovers_constant_effect(spark):
+    from metadata_etl_framework_spark.ops.evaluation import stratified_ate
+
+    # outcome = 10*propensity-bucket + 5*treated: every stratum's
+    # within-arm comparison must read ~5 regardless of confounding
+    rows = []
+    for i in range(200):
+        p = (i % 100) / 100.0 + 0.005
+        t = (i % 3 == 0)
+        y = 10.0 * round(p * 5) + (5.0 if t else 0.0)
+        rows.append((i, t, y, p))
+    df = spark.createDataFrame(rows, "id long, t boolean, y double, p double")
+    out = stratified_ate(df, "t", "y", "p", "id", n_strata=5).collect()
+    assert [r["stratum"] for r in out] == [1, 2, 3, 4, 5]
+    assert sum(r["n"] for r in out) == 200
+    for r in out:
+        assert r["n_treat"] > 0 and r["n_ctrl"] > 0
+        # constant additive effect recovered within every stratum
+        # (strata are propensity-homogeneous, so the 10*bucket
+        # confounder mostly cancels; allow the bucket-boundary slack)
+        assert abs(r["effect"] - 5.0) <= 5.0
+
+
+def test_classical_decompose_reconstructs_planted_series(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.functions.aggregations import (
+        classical_decompose,
+    )
+
+    # y = 2x (trend) + seasonal pattern of period 4 summing to zero
+    season = {0: 3.0, 1: -1.0, 2: -2.0, 3: 0.0}
+    rows = [(x, 2.0 * x + season[x % 4]) for x in range(24)]
+    df = spark.createDataFrame(rows, "x long, y double")
+    out = {r["x"]: r for r in
+           classical_decompose(df, "x", "y", period=4).collect()}
+    assert len(out) == 24
+    # edges have no full MA window -> null trend/remainder
+    assert out[0]["trend"] is None and out[23]["trend"] is None
+    mid = [out[x] for x in range(2, 22)]
+    for r in mid:
+        # the centered MA of a linear trend is the trend itself, and
+        # the planted seasonal is recovered exactly (it sums to zero)
+        assert r["trend"] == _pt.approx(2.0 * r["x"], abs=1e-6)
+        assert r["seasonal"] == _pt.approx(season[r["x"] % 4], abs=1e-6)
+        assert r["remainder"] == _pt.approx(0.0, abs=1e-6)
+
+
+def test_classical_decompose_period_gate(spark):
+    from metadata_etl_framework_spark.functions.aggregations import (
+        classical_decompose,
+    )
+
+    df = spark.createDataFrame([(0, 1.0)], "x long, y double")
+    with pytest.raises(ValueError, match="period"):
+        classical_decompose(df, "x", "y", period=1)
