@@ -5290,6 +5290,8 @@ _EXTRA_KEYS = [
     "stats_mannwhitney_price",
     "eval_stratified_ate_orders",
     "events_seasonal_decompose",
+    "stats_welch_price",
+    "drift_cvm_quantity",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -13506,6 +13508,152 @@ _ALL_SQL.update(
                        AS remainder
             FROM t LEFT JOIN s ON t.phase = s.phase
             ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 11 close: Welch's t + Cramér–von Mises drift ----
+
+
+def _stats_welch_price(spark, sf_dir):
+    """Welch's unequal-variance t-test on order value between priority
+    cohorts (ops/stats.py::welch_t_test): DECIMAL(18,6) moment sums,
+    Welch–Satterthwaite df, A&S-normal p reported WITH df."""
+    from metadata_etl_framework_spark.ops.stats import welch_t_test
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+        )
+        .otherwise("low")
+        .alias("prio"),
+        "o_totalprice",
+    )
+    return welch_t_test(o, "prio", "o_totalprice")
+
+
+def _drift_cvm_quantity(spark, sf_dir):
+    """Two-sample Cramér–von Mises criterion on l_quantity across the
+    1997 ship-date split (quality/drift.py::cvm_statistic): the
+    integrated-gap companion to KS on the same dual prefix scan."""
+    from metadata_etl_framework_spark.quality.drift import cvm_statistic
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return cvm_statistic(ref, cur, "l_quantity")
+
+
+_ALL_QUERIES.update(
+    {
+        "stats_welch_price": _stats_welch_price,
+        "drift_cvm_quantity": _drift_cvm_quantity,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "stats_welch_price": f"""
+            WITH base AS (SELECT CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                      THEN 'high' ELSE 'low' END AS g,
+                                 CAST(ROUND(CAST(o_totalprice AS DOUBLE)
+                                            * 1000000.0, 0)
+                                      AS HUGEINT) AS v
+                          FROM orders
+                          WHERE o_totalprice IS NOT NULL),
+            pv AS (SELECT g, COUNT(*) AS n, SUM(v) AS s,
+                          SUM(v * v) AS sq
+                   FROM base GROUP BY 1),
+            w AS (SELECT a.n AS na,
+                         CAST(a.s AS DOUBLE) AS sa,
+                         CAST(a.n * a.sq - a.s * a.s AS DOUBLE) AS vna,
+                         CAST(a.n AS DOUBLE) AS nad,
+                         b.n AS nb,
+                         CAST(b.s AS DOUBLE) AS sb,
+                         CAST(b.n * b.sq - b.s * b.s AS DOUBLE) AS vnb,
+                         CAST(b.n AS DOUBLE) AS nbd
+                  FROM (SELECT * FROM pv WHERE g = 'high') a,
+                       (SELECT * FROM pv WHERE g = 'low') b),
+            c1 AS (SELECT *,
+                          sa / nad / 1000000.0 AS ma,
+                          sb / nbd / 1000000.0 AS mb,
+                          CASE WHEN na > 1 THEN
+                              vna / (nad * (nad - 1.0))
+                                  / 1000000000000.0
+                          END AS va,
+                          CASE WHEN nb > 1 THEN
+                              vnb / (nbd * (nbd - 1.0))
+                                  / 1000000000000.0
+                          END AS vb
+                   FROM w),
+            c2 AS (SELECT *, va / nad AS sea, vb / nbd AS seb
+                   FROM c1),
+            c3 AS (SELECT *, sea + seb AS se2 FROM c2),
+            c4 AS (SELECT *,
+                          CASE WHEN se2 > 0
+                               THEN (ma - mb) / SQRT(se2) END AS t,
+                          CASE WHEN se2 > 0
+                               THEN (se2 * se2)
+                                    / (sea * sea / (nad - 1.0)
+                                       + seb * seb / (nbd - 1.0))
+                          END AS dof
+                   FROM c3),
+            c5 AS (SELECT *,
+                          CASE WHEN t IS NOT NULL THEN
+                              ROUND(LEAST(1.0, GREATEST(0.0,
+                                  2.0 * {_normal_sf_sql("ABS(t)")})), 6)
+                          END AS p
+                   FROM c4)
+            SELECT 'high' AS variant_a, CAST(na AS BIGINT) AS n_a,
+                   ROUND(ma, 6) AS mean_a, ROUND(va, 6) AS var_a,
+                   'low' AS variant_b, CAST(nb AS BIGINT) AS n_b,
+                   ROUND(mb, 6) AS mean_b, ROUND(vb, 6) AS var_b,
+                   ROUND(t, 6) AS t_stat, ROUND(dof, 6) AS df,
+                   p AS p_value, p < 0.05 AS significant_95
+            FROM c5
+        """,
+        "drift_cvm_quantity": f"""
+            WITH
+            ref AS (SELECT CAST(l_quantity AS DOUBLE) AS x
+                    FROM lineitem WHERE {_DRIFT_REF}),
+            cur AS (SELECT CAST(l_quantity AS DOUBLE) AS x
+                    FROM lineitem WHERE {_DRIFT_CUR}),
+            r AS (SELECT x AS v, COUNT(*) AS rc FROM ref
+                  WHERE x IS NOT NULL GROUP BY 1),
+            c AS (SELECT x AS v, COUNT(*) AS cc FROM cur
+                  WHERE x IS NOT NULL GROUP BY 1),
+            m AS (SELECT COALESCE(r.v, c.v) AS v,
+                         COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+                  FROM r FULL OUTER JOIN c ON r.v = c.v),
+            t AS (SELECT SUM(rc) AS n_ref, SUM(cc) AS n_cur FROM m),
+            s AS (SELECT rc, cc,
+                         SUM(rc) OVER (ORDER BY v) AS ca,
+                         SUM(cc) OVER (ORDER BY v) AS cb
+                  FROM m),
+            terms AS (SELECT CAST(ROUND((rc + cc)
+                               * (ca / n_ref - cb / n_cur)
+                               * (ca / n_ref - cb / n_cur), 12)
+                               AS DECIMAL(28,12)) AS tt,
+                             n_ref, n_cur
+                      FROM s, t),
+            agg AS (SELECT MIN(n_ref) AS n1, MIN(n_cur) AS n2,
+                           SUM(tt) AS ssum
+                    FROM terms)
+            SELECT ROUND(CAST(n1 AS DOUBLE) * n2
+                         / ((CAST(n1 AS DOUBLE) + n2)
+                            * (CAST(n1 AS DOUBLE) + n2))
+                         * CAST(ssum AS DOUBLE), 6) AS cvm_stat,
+                   CAST(n1 AS BIGINT) AS n_ref,
+                   CAST(n2 AS BIGINT) AS n_cur,
+                   ROUND(CAST(n1 AS DOUBLE) * n2
+                         / ((CAST(n1 AS DOUBLE) + n2)
+                            * (CAST(n1 AS DOUBLE) + n2))
+                         * CAST(ssum AS DOUBLE), 6) > 0.461 AS drift_05,
+                   ROUND(CAST(n1 AS DOUBLE) * n2
+                         / ((CAST(n1 AS DOUBLE) + n2)
+                            * (CAST(n1 AS DOUBLE) + n2))
+                         * CAST(ssum AS DOUBLE), 6) > 0.743 AS drift_01
+            FROM agg
         """,
     }
 )

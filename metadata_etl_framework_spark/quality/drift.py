@@ -1780,3 +1780,67 @@ def embedding_drift(
     rcos.unpersist()
     ccos.unpersist()
     return ref.sparkSession.createDataFrame(collected, schema)
+
+
+# asymptotic critical values of the two-sample Cramér–von Mises
+# criterion (Anderson & Darling 1952 limiting distribution)
+CVM_CRIT_05 = 0.461
+CVM_CRIT_01 = 0.743
+
+
+def cvm_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion — the INTEGRATED companion
+    to :func:`ks_statistic`: where KS reads the single worst CDF gap,
+    CvM integrates the squared gap over the whole pooled distribution
+    (T = n₁n₂/N² · Σ_pooled (F₁−F₂)², summing over pooled observations
+    with multiplicity), so spread-out moderate drift that never forms
+    one big gap — the shape KS is weakest on — still registers.
+
+    Same scale-safe plan as exact KS: per-value counts per side, full
+    outer merge, the dual prefix scan (never a single-task global
+    window); per-value terms t_x·(F₁−F₂)² round to 12 dp and sum as
+    DECIMAL, then one closed-form scale. Flags against the asymptotic
+    5%/1% critical values (0.461 / 0.743).
+
+    Output: 1 row — (cvm_stat 6 dp, n_ref, n_cur, drift_05, drift_01).
+    """
+    _require_two_samples(ref, cur, col)
+    merged = _merged_value_counts(ref, cur, col)
+    scanned = _dual_prefix_scan(merged, "v", "rc", "cc")
+    totals = merged.agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    term = (
+        (F.col("rc") + F.col("cc")).cast("double")
+        * (
+            F.col("__ca") / F.col("n_ref")
+            - F.col("__cb") / F.col("n_cur")
+        )
+        * (
+            F.col("__ca") / F.col("n_ref")
+            - F.col("__cb") / F.col("n_cur")
+        )
+    )
+    summed = (
+        scanned.crossJoin(F.broadcast(totals))
+        .select(
+            F.round(term, 12).cast("decimal(28,12)").alias("_t"),
+            "n_ref",
+            "n_cur",
+        )
+        .groupBy("n_ref", "n_cur")
+        .agg(F.sum("_t").alias("_s"))
+    )
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    nd = n1d + n2d
+    stat = F.round(
+        n1d * n2d / (nd * nd) * F.col("_s").cast("double"), 6
+    )
+    return summed.select(
+        stat.alias("cvm_stat"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        (stat > F.lit(CVM_CRIT_05)).alias("drift_05"),
+        (stat > F.lit(CVM_CRIT_01)).alias("drift_01"),
+    )

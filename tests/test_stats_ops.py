@@ -300,3 +300,47 @@ def test_classical_decompose_period_gate(spark):
     df = spark.createDataFrame([(0, 1.0)], "x long, y double")
     with pytest.raises(ValueError, match="period"):
         classical_decompose(df, "x", "y", period=1)
+
+
+def test_welch_t_known_values(spark):
+    from metadata_etl_framework_spark.ops.stats import welch_t_test
+
+    # A: {1..10} mean 5.5 var 9.1666..; B: {11..20} mean 15.5 same var
+    rows = [("A", float(i)) for i in range(1, 11)]
+    rows += [("B", float(i)) for i in range(11, 21)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t_test(df, "g", "v").collect()[0]
+    assert r["n_a"] == 10 and r["mean_a"] == 5.5 and r["mean_b"] == 15.5
+    assert r["var_a"] == pytest.approx(55 / 6, abs=1e-6)
+    # equal variances -> Welch df = n1+n2-2 = 18
+    assert r["df"] == pytest.approx(18.0, abs=1e-6)
+    # t = -10 / sqrt(2*9.1667/10) = -7.3855
+    assert r["t_stat"] == pytest.approx(-7.385489, abs=1e-5)
+    assert r["p_value"] < 0.001 and r["significant_95"]
+
+
+def test_welch_t_identical_groups(spark):
+    from metadata_etl_framework_spark.ops.stats import welch_t_test
+
+    rows = [("A", float(i % 7)) for i in range(70)]
+    rows += [("B", float(i % 7)) for i in range(70)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t_test(df, "g", "v").collect()[0]
+    assert r["t_stat"] == 0.0 and r["p_value"] == 1.0
+    assert not r["significant_95"]
+
+
+def test_cvm_zero_on_identical_and_positive_on_shift(spark):
+    from metadata_etl_framework_spark.quality.drift import cvm_statistic
+
+    a = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "x double"
+    )
+    r = cvm_statistic(a, a, "x").collect()[0]
+    assert r["cvm_stat"] == 0.0 and not r["drift_05"]
+    b = spark.createDataFrame(
+        [(float(i % 50) + 25.0,) for i in range(500)], "x double"
+    )
+    r2 = cvm_statistic(a, b, "x").collect()[0]
+    # a half-range shift is gross drift: far beyond the 1% critical value
+    assert r2["cvm_stat"] > 0.743 and r2["drift_01"]
