@@ -5292,6 +5292,7 @@ _EXTRA_KEYS = [
     "events_seasonal_decompose",
     "stats_welch_price",
     "drift_cvm_quantity",
+    "graph_closeness_ring",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -13654,6 +13655,81 @@ _ALL_SQL.update(
                             * (CAST(n1 AS DOUBLE) + n2))
                          * CAST(ssum AS DOUBLE), 6) > 0.743 AS drift_01
             FROM agg
+        """,
+    }
+)
+
+
+# ---- round 11 close: sampled closeness centrality (ops/graph.py) ----
+
+
+def _closeness_graph(spark, n=240, chords=(1, 5, 25, 60)):
+    # chorded ring with long-range links: diameter ~7, so the BFS
+    # converges fast and the oracle's fixed unroll covers it
+    ids = spark.range(n)
+    edges = None
+    for c in chords:
+        p = ids.select(
+            F.col("id").alias("src"), ((F.col("id") + c) % n).alias("dst")
+        )
+        edges = p if edges is None else edges.unionByName(p)
+    return edges
+
+
+def _graph_closeness_ring(spark, sf_dir):
+    """Sampled exact closeness + harmonic centrality
+    (ops/graph.py::closeness_sampled): 4 seeds advance as ONE
+    multi-source BFS frontier frame (equi-join per hop, anti-join
+    visited, k_core materialization discipline) on the chorded ring;
+    the oracle unrolls 9 MATERIALIZED BFS hops — the graph's diameter
+    is ~7, so extra hops are no-ops and both sides agree."""
+    from metadata_etl_framework_spark.ops.graph import closeness_sampled
+
+    return closeness_sampled(
+        _closeness_graph(spark), [0, 60, 120, 180], max_hops=12
+    )
+
+
+_ALL_QUERIES.update({"graph_closeness_ring": _graph_closeness_ring})
+
+
+def _bfs_hop_sql(k: int) -> str:
+    return f"""
+            n{k} AS (SELECT DISTINCT f.s, a.b AS node
+                     FROM h{k - 1} f JOIN adj a ON f.node = a.a),
+            h{k} AS MATERIALIZED (SELECT n.s, n.node FROM n{k} n
+                     ANTI JOIN v{k - 1} v
+                       ON n.s = v.s AND n.node = v.node),
+            v{k} AS MATERIALIZED (SELECT * FROM v{k - 1}
+                     UNION ALL
+                     SELECT s, node, {k} AS dist FROM h{k})"""
+
+
+_ALL_SQL.update(
+    {
+        "graph_closeness_ring": f"""
+            WITH raw AS (SELECT id AS x, (id + c) % 240 AS y
+                         FROM (SELECT UNNEST(RANGE(0, 240)) AS id),
+                              (SELECT UNNEST([1, 5, 25, 60]) AS c)),
+            und AS (SELECT DISTINCT LEAST(x, y) AS a,
+                           GREATEST(x, y) AS b
+                    FROM raw WHERE x <> y),
+            adj AS (SELECT a, b FROM und
+                    UNION ALL SELECT b, a FROM und),
+            seeds AS (SELECT UNNEST([0, 60, 120, 180]) AS s),
+            v0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist
+                                FROM seeds),
+            h0 AS (SELECT s, s AS node FROM seeds),
+            {",".join(_bfs_hop_sql(k) for k in range(1, 10))}
+            SELECT s AS seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(dist) AS BIGINT) AS total_dist,
+                   ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist), 6)
+                       AS closeness,
+                   ROUND(CAST(SUM(CAST(ROUND(CASE WHEN dist > 0
+                                       THEN 1.0 / dist ELSE 0.0 END, 10)
+                                  AS DECIMAL(24,10))) AS DOUBLE), 6)
+                       AS harmonic
+            FROM v9 GROUP BY s ORDER BY 1
         """,
     }
 )

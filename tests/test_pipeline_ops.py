@@ -928,3 +928,50 @@ def test_logrank_identical_groups_not_significant(spark):
     # identical lifetime distributions -> O ~ E, tiny chi2
     assert r["chi2"] is None or r["chi2"] < 1.0
     assert r["significant_95"] is None or not r["significant_95"]
+
+
+def test_closeness_sampled_path_graph(spark):
+    """Path graph 0-1-2-3-4: hand-checkable distances; the endpoint is
+    strictly less central than the middle by both measures."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.graph import closeness_sampled
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    out = {r["seed"]: r for r in
+           closeness_sampled(edges, [0, 2], max_hops=10).collect()}
+    # seed 0: dists 0+1+2+3+4 = 10 -> closeness 4/10
+    assert out[0]["n_reached"] == 5 and out[0]["total_dist"] == 10
+    assert out[0]["closeness"] == 0.4
+    # seed 2 (middle): dists 1+2 twice = 6 -> closeness 4/6
+    assert out[2]["total_dist"] == 6
+    assert out[2]["closeness"] == round(4 / 6, 6)
+    assert out[2]["harmonic"] > out[0]["harmonic"]
+
+
+def test_closeness_sampled_disconnected(spark):
+    from metadata_etl_framework_spark.ops.graph import closeness_sampled
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+    )
+    out = {r["seed"]: r for r in
+           closeness_sampled(edges, [0, 10], max_hops=5).collect()}
+    # components are audited separately - no phantom reachability
+    assert out[0]["n_reached"] == 3 and out[10]["n_reached"] == 2
+    # harmonic stays meaningful on the small component
+    assert out[10]["harmonic"] == 1.0
+
+
+def test_closeness_sampled_seed_gates(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.graph import closeness_sampled
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="non-empty"):
+        closeness_sampled(edges, [])
+    with _pt.raises(ValueError, match="seeds"):
+        closeness_sampled(edges, list(range(1001)))
