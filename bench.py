@@ -143,6 +143,16 @@ HEADLINE = [
     "embed_silhouette_labels",
     "embed_kmeans_summary",
     "privacy_dp_counts_orders",
+    # round-11 close: the two-phase average-rank scan (Mann-Whitney),
+    # the integrated-gap drift statistic on the dual prefix scan, the
+    # two-string-pass RAKE keyword pipeline, and the MA-decomposition
+    # window ladder. (graph_closeness_ring is fixed-size BFS overhead,
+    # not a data-scaled workload; exact LOF stays gated — neither is a
+    # latency headline.)
+    "stats_mannwhitney_price",
+    "drift_cvm_quantity",
+    "text_rake_keywords",
+    "events_seasonal_decompose",
 ]
 
 
