@@ -5201,10 +5201,8 @@ _DRIVER_KEYS = [
     "corpus_dsir_weights",
     "drift_suite",
     "curation_funnel",
-    "events_cohort_retention",
     "dedup_incremental",
     "text_quality_score",
-    "text_tfidf_top_terms",
     "corpus_split_leakage_safe",
     "profile_all_columns",
     "dq_suite",
@@ -5213,15 +5211,8 @@ _DRIVER_KEYS = [
     "step_sqltransform",
     "sql_q3_shipping_priority",
     "sql_q5_local_volume",
-    "sql_q10_returned_items",
     "incr_merge_upsert",
-    "incr_cdc_apply",
     "incr_scd2_apply",
-    "incr_late_split",
-    "events_windows",
-    "events_sessions",
-    "dedup_embedding_cosine",
-    "embed_knn_join",
     # Round-8/9 flagships promoted to the HARD gate (r8 task 5): each
     # oracle-backed — PageRank by unrolled-CTE replay, fuzzy join by
     # blocked levenshtein replay, PIT/BM25/change-point/RFM/corr/MI by
@@ -5231,7 +5222,6 @@ _DRIVER_KEYS = [
     "join_point_in_time",
     "text_bm25_search",
     "events_changepoint",
-    "customer_rfm_segments",
     "corr_matrix_lineitem",
     "mi_docs_lang_source",
     "eval_auc_orders",
@@ -5259,35 +5249,59 @@ _DRIVER_KEYS = [
     "agg_rollup_orders",
     "sketch_hll_rollup_events",
     "feat_target_encoding_orders",
+    # Round-11 frontier promoted to the HARD gate (proactive rotation,
+    # same policy as r10/r11): every one oracle-backed — the Poisson
+    # bootstrap by the portable-hash weight ladder replay, CUPED by
+    # exact decimal moments, BH-FDR over the 4-column KS p-values,
+    # Mann-Whitney by the average-rank scan replay, item-based CF
+    # top-N by the shrunk-cosine model replay, k-anonymity / DP counts
+    # by class aggregates + hash-seeded Laplace, spherical k-means by
+    # 2 unrolled Lloyd rounds, log-rank by the pooled O/E/V grid, and
+    # conformal coverage by the order-statistic quantile. Displaced to
+    # extras (multi-round green): cohort retention, tf-idf, event
+    # windows/sessions, CDC apply, late split, brute kNN, embedding
+    # cosine dedup, Q10, RFM.
+    "stats_bootstrap_ci_price",
+    "events_ab_cuped",
+    "stats_fdr_ks_lineitem",
+    "stats_mannwhitney_price",
+    "recsys_user_brand_recs",
+    "privacy_k_anonymity_customer",
+    "privacy_dp_counts_orders",
+    "embed_kmeans_summary",
+    "events_logrank_ab",
+    "eval_conformal_orders",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
+    # Rotated OUT of the driver gate at round-11 close (multi-round
+    # green there); still verified by the local parity suite.
+    "events_cohort_retention",
+    "text_tfidf_top_terms",
+    "events_windows",
+    "events_sessions",
+    "incr_cdc_apply",
+    "incr_late_split",
+    "embed_knn_join",
+    "dedup_embedding_cosine",
+    "sql_q10_returned_items",
+    "customer_rfm_segments",
     # Round 11: item-based collaborative filtering (ops/recsys.py).
     "recsys_item_item_brands",
-    "recsys_user_brand_recs",
     # Round 11: distributed statistical inference (ops/stats.py).
-    "stats_bootstrap_ci_price",
-    "events_ab_cuped",
-    "stats_fdr_ks_lineitem",
     "events_theil_sen_daily",
     # Round 11: privacy / governance audits (quality/privacy.py).
-    "privacy_k_anonymity_customer",
     "privacy_k_classes_customer",
     "privacy_l_diversity_customer",
-    "privacy_dp_counts_orders",
     # Round 11: embedding density outliers + cluster quality.
     "embed_lof_outliers",
     "embed_silhouette_labels",
-    "embed_kmeans_summary",
     # Round 11: survival comparison + experiment power.
-    "events_logrank_ab",
     "events_ab_power",
-    "eval_conformal_orders",
     "text_rake_keywords",
     "recsys_item_item_qty",
-    "stats_mannwhitney_price",
     "eval_stratified_ate_orders",
     "events_seasonal_decompose",
     "stats_welch_price",
