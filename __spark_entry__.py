@@ -5307,6 +5307,7 @@ _EXTRA_KEYS = [
     "stats_welch_price",
     "drift_cvm_quantity",
     "graph_closeness_ring",
+    "graph_hits_suppliers",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",
@@ -13744,6 +13745,99 @@ _ALL_SQL.update(
                                   AS DECIMAL(24,10))) AS DOUBLE), 6)
                        AS harmonic
             FROM v9 GROUP BY s ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 11 close: HITS hubs & authorities (ops/graph.py) ----
+
+
+def _graph_hits_suppliers(spark, sf_dir):
+    """HITS over the DIRECTED customer→supplier trade graph
+    (ops/graph.py::hits, 2 fixed rounds): the bipartite shape makes
+    customers pure hubs and suppliers pure authorities — the role
+    asymmetry PageRank collapses; L1-normalized 12-dp rounds, the
+    whole iteration replayed by unrolled MATERIALIZED CTEs."""
+    from metadata_etl_framework_spark.ops.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return hits(edges, iterations=2)
+
+
+_ALL_QUERIES.update({"graph_hits_suppliers": _graph_hits_suppliers})
+
+
+def _hits_round_sql(k: int) -> str:
+    """One HITS round: authority pull from h{k-1}, hub pull from a{k},
+    each L1-normalized via a 1-row total — 12-dp rounds throughout."""
+    return f"""
+            ca{k} AS (SELECT p.v AS node,
+                             SUM(CAST(h.h AS DECIMAL(28,12))) AS raw
+                      FROM pair p JOIN h{k - 1} h ON p.u = h.node
+                      GROUP BY 1),
+            au{k} AS (SELECT nodes.node,
+                             COALESCE(CAST(raw AS DOUBLE), 0.0) AS raw
+                      FROM nodes LEFT JOIN ca{k}
+                        ON nodes.node = ca{k}.node),
+            ta{k} AS (SELECT SUM(CAST(ROUND(raw, 12)
+                                 AS DECIMAL(28,12))) AS tt
+                      FROM au{k}),
+            a{k} AS MATERIALIZED (
+                SELECT node,
+                       CASE WHEN tt > 0
+                            THEN ROUND(raw / CAST(tt AS DOUBLE), 12)
+                            ELSE 0.0 END AS a
+                FROM au{k}, ta{k}),
+            ch{k} AS (SELECT p.u AS node,
+                             SUM(CAST(a.a AS DECIMAL(28,12))) AS raw
+                      FROM pair p JOIN a{k} a ON p.v = a.node
+                      GROUP BY 1),
+            hu{k} AS (SELECT nodes.node,
+                             COALESCE(CAST(raw AS DOUBLE), 0.0) AS raw
+                      FROM nodes LEFT JOIN ch{k}
+                        ON nodes.node = ch{k}.node),
+            th{k} AS (SELECT SUM(CAST(ROUND(raw, 12)
+                                 AS DECIMAL(28,12))) AS tt
+                      FROM hu{k}),
+            h{k} AS MATERIALIZED (
+                SELECT node,
+                       CASE WHEN tt > 0
+                            THEN ROUND(raw / CAST(tt AS DOUBLE), 12)
+                            ELSE 0.0 END AS h
+                FROM hu{k}, th{k})"""
+
+
+_ALL_SQL.update(
+    {
+        "graph_hits_suppliers": f"""
+            WITH pair AS (SELECT DISTINCT
+                              'c' || CAST(o_custkey AS VARCHAR) AS u,
+                              's' || CAST(l_suppkey AS VARCHAR) AS v
+                          FROM orders
+                          JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT u AS node FROM pair
+                      UNION SELECT v FROM pair),
+            t AS (SELECT COUNT(*) AS n FROM nodes),
+            h0 AS (SELECT node, ROUND(1.0 / n, 12) AS h
+                   FROM nodes, t),
+            {",".join(_hits_round_sql(k) for k in (1, 2))}
+            SELECT h2.node, ROUND(h2.h, 6) AS hub,
+                   ROUND(a2.a, 6) AS authority
+            FROM h2 JOIN a2 ON h2.node = a2.node
+            ORDER BY 1
         """,
     }
 )

@@ -717,3 +717,129 @@ def closeness_sampled(
         for h in handles:
             h.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list — the bipartite-role complement to PageRank: a node is a good
+    AUTHORITY when good hubs point at it and a good HUB when it points
+    at good authorities (query→document, buyer→supplier, user→item
+    graphs have exactly this asymmetry; PageRank collapses it).
+
+    Fixed-round synchronous updates from the uniform start: each round
+    is two equi-join + aggregate passes (a(v) = Σ_{u→v} h(u), then
+    h(u) = Σ_{u→v} a(v)) with DECIMAL(28,12) contribution sums, each
+    followed by L1 normalization via a 1-row broadcast aggregate
+    (Σa = Σh = 1 — the oracle-friendly normalization; L2 would put an
+    engine-boundary sqrt inside every round). Scores round to 12 dp at
+    each normalization so every round is engine-replayable; a FIXED
+    iteration count (no convergence test) keeps the unrolled oracle
+    exact. Per-round materialization uses eager localCheckpoint (two
+    frames referenced across rounds — the plan-doubling lesson).
+
+    Output: (node, hub 6 dp, authority 6 dp), ordered by node.
+    """
+    if not 1 <= iterations <= max_iterations:
+        raise ValueError(
+            f"iterations={iterations} outside [1, {max_iterations}]"
+        )
+    e = edges.where(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col) != F.col(dst_col))
+    ).select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).distinct()
+    e = e.persist()
+    try:
+        nodes = (
+            e.select(F.col("_u").alias("node"))
+            .unionByName(e.select(F.col("_v").alias("node")))
+            .distinct()
+        )
+        nodes = _materialize_iter(nodes, truncate=True)
+        n = nodes.count()
+        if n == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "node long, hub double, authority double"
+            )
+        start = F.round(F.lit(1.0) / F.lit(float(n)), 12)
+        hub = nodes.select("node", start.alias("h"))
+        auth = nodes.select("node", start.alias("a"))
+        dec = "decimal(28,12)"
+        for _ in range(int(iterations)):
+            contrib_a = (
+                e.join(
+                    hub.select(F.col("node").alias("_u"), "h"), "_u"
+                )
+                .groupBy(F.col("_v").alias("node"))
+                .agg(F.sum(F.col("h").cast(dec)).alias("_raw"))
+            )
+            a_un = nodes.join(contrib_a, "node", "left").select(
+                "node",
+                F.coalesce(
+                    F.col("_raw").cast("double"), F.lit(0.0)
+                ).alias("_raw"),
+            )
+            tot_a = a_un.agg(
+                F.sum(F.round(F.col("_raw"), 12).cast(dec)).alias("_t")
+            )
+            auth = a_un.crossJoin(F.broadcast(tot_a)).select(
+                "node",
+                F.when(
+                    F.col("_t") > 0,
+                    F.round(
+                        F.col("_raw") / F.col("_t").cast("double"), 12
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("a"),
+            )
+            auth = _materialize_iter(auth, truncate=True)
+            contrib_h = (
+                e.join(
+                    auth.select(F.col("node").alias("_v"), "a"), "_v"
+                )
+                .groupBy(F.col("_u").alias("node"))
+                .agg(F.sum(F.col("a").cast(dec)).alias("_raw"))
+            )
+            h_un = nodes.join(contrib_h, "node", "left").select(
+                "node",
+                F.coalesce(
+                    F.col("_raw").cast("double"), F.lit(0.0)
+                ).alias("_raw"),
+            )
+            tot_h = h_un.agg(
+                F.sum(F.round(F.col("_raw"), 12).cast(dec)).alias("_t")
+            )
+            hub = h_un.crossJoin(F.broadcast(tot_h)).select(
+                "node",
+                F.when(
+                    F.col("_t") > 0,
+                    F.round(
+                        F.col("_raw") / F.col("_t").cast("double"), 12
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("h"),
+            )
+            hub = _materialize_iter(hub, truncate=True)
+        out = (
+            hub.join(auth, "node")
+            .select(
+                "node",
+                F.round("h", 6).alias("hub"),
+                F.round("a", 6).alias("authority"),
+            )
+            .orderBy("node")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return out

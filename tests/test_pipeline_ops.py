@@ -975,3 +975,44 @@ def test_closeness_sampled_seed_gates(spark):
         closeness_sampled(edges, [])
     with _pt.raises(ValueError, match="seeds"):
         closeness_sampled(edges, list(range(1001)))
+
+
+def test_hits_bipartite_roles_and_star(spark):
+    """Star hub 0 -> {1,2,3}: node 0 is the only hub, leaves are pure
+    equal authorities; bipartite direction is preserved."""
+    from metadata_etl_framework_spark.ops.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits(edges, iterations=3).collect()}
+    assert out[0]["hub"] == 1.0 and out[0]["authority"] == 0.0
+    for leaf in (1, 2, 3):
+        assert out[leaf]["hub"] == 0.0
+        assert out[leaf]["authority"] == round(1 / 3, 6)
+
+
+def test_hits_favors_well_pointed_authority(spark):
+    from metadata_etl_framework_spark.ops.graph import hits
+
+    # authority 10 is cited by 3 hubs, authority 20 by only 1
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (3, 20)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits(edges, iterations=3).collect()}
+    assert out[10]["authority"] > out[20]["authority"]
+    # hub 3 cites both authorities -> strictly better hub than 1/2
+    assert out[3]["hub"] > out[1]["hub"] == out[2]["hub"]
+    # L1 normalization: scores sum to ~1 per side
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-4
+
+
+def test_hits_iteration_gate(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.graph import hits
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
