@@ -5302,6 +5302,8 @@ _EXTRA_KEYS = [
     "events_ab_power",
     "text_rake_keywords",
     "recsys_item_item_qty",
+    # Round 12: top-k-bounded neighbor model (verdict task 1).
+    "recsys_topk_model",
     "eval_stratified_ate_orders",
     "events_seasonal_decompose",
     "stats_welch_price",
@@ -12157,10 +12159,25 @@ def _recsys_user_brand_recs(spark, sf_dir):
     return recommend_items(ub, sims, "o_custkey", "p_brand", top_n=3)
 
 
+def _recsys_topk_model(spark, sf_dir):
+    """Top-k-bounded neighbor model (ops/recsys.py::item_item_cosine
+    with top_k_per_item=5): symmetrize-rank-canonicalize prune keeps a
+    pair iff either endpoint ranks it in its top 5 by shrunk cosine —
+    the bound that makes the scoring model broadcast-sized at any
+    catalog scale (round-12 verdict task 1)."""
+    from metadata_etl_framework_spark.ops.recsys import item_item_cosine
+
+    return item_item_cosine(
+        _recsys_ub(spark, sf_dir), "o_custkey", "p_brand",
+        min_cooc=5, shrinkage=10.0, top_k_per_item=5,
+    )
+
+
 _ALL_QUERIES.update(
     {
         "recsys_item_item_brands": _recsys_item_item_brands,
         "recsys_user_brand_recs": _recsys_user_brand_recs,
+        "recsys_topk_model": _recsys_topk_model,
     }
 )
 
@@ -12216,6 +12233,22 @@ _ALL_SQL.update(
                    ROUND(CAST(sc AS DOUBLE), 6) AS score,
                    CAST(rnk AS INT) AS rank
             FROM ranked WHERE rnk <= 3
+        """,
+        "recsys_topk_model": f"""
+            WITH {_RECSYS_SIMS_CTE},
+            sym AS (SELECT ia, ib, cab, cosine, shrunk, ia AS i, ib AS j
+                    FROM sims
+                    UNION ALL
+                    SELECT ia, ib, cab, cosine, shrunk, ib AS i, ia AS j
+                    FROM sims),
+            ranked AS (SELECT ia, ib, cab, cosine, shrunk,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY i
+                                  ORDER BY shrunk DESC, j ASC) AS rk
+                       FROM sym)
+            SELECT DISTINCT ia AS item_a, ib AS item_b, cab AS n_cooc,
+                   cosine, shrunk AS shrunk_cosine
+            FROM ranked WHERE rk <= 5
         """,
     }
 )

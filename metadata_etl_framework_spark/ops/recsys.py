@@ -21,9 +21,12 @@ Scale design (the reason item-based CF survives 100 TB):
   ``max_user_items`` gate drops degenerate mega-users (a crawler
   account with 10⁴ items contributes 10⁸ pairs and no signal — the
   standard pruning in production CF).
-- The neighbor model is top-k bounded: |items|·k rows, orders of
-  magnitude smaller than the interaction table, so the scoring join
-  broadcasts in the common case.
+- The neighbor model is top-k bounded when ``top_k_per_item`` is set:
+  at most |items|·k rows (a pair survives if either endpoint ranks it
+  in its top k), orders of magnitude smaller than the interaction
+  table, so the scoring join broadcasts in the common case — and
+  ``recommend_items`` gates the broadcast on an actual row count with
+  a shuffle-join fallback, so an unbounded model cannot OOM anything.
 - Binary mode keeps every statistic an exact integer ratio
   (cosine = n_ab / √(n_a·n_b)); rating mode accumulates dot products
   in DECIMAL so results are merge-order independent.
@@ -47,6 +50,7 @@ def item_item_cosine(
     min_cooc: int = 1,
     shrinkage: float = 0.0,
     max_user_items: int | None = None,
+    top_k_per_item: int | None = None,
 ) -> DataFrame:
     """Unordered item-pair cosine similarity over the user-item matrix.
 
@@ -59,6 +63,14 @@ def item_item_cosine(
     ``shrinkage`` λ damps low-evidence pairs by n/(n+λ) (the standard
     significance shrink); ``min_cooc`` prunes pairs below the support
     floor BEFORE the statistics join.
+
+    ``top_k_per_item`` bounds the model to ≤ |items|·k pairs: the
+    canonical pair frame is symmetrized, each item ranks its neighbors
+    by (shrunk_cosine desc, neighbor asc), and a pair survives if
+    EITHER endpoint ranks it within k (the standard kNN-graph prune —
+    one-sided pruning would orphan popular items from rare ones). This
+    is what makes the downstream scoring model broadcast-sized at any
+    corpus scale.
 
     Output: (item_a, item_b, n_cooc long, cosine, shrunk_cosine —
     6 dp), item_a < item_b, ordered shrunk desc then items asc.
@@ -120,7 +132,7 @@ def item_item_cosine(
         F.col("_cab").cast("double")
         / (F.col("_cab").cast("double") + F.lit(float(shrinkage)))
     )
-    return (
+    stats = (
         pairs.join(na, "_ia")
         .join(nb, "_ib")
         .select(
@@ -130,9 +142,30 @@ def item_item_cosine(
             F.round(cos, 6).alias("cosine"),
             F.round(shrunk, 6).alias("shrunk_cosine"),
         )
-        .orderBy(
-            F.desc("shrunk_cosine"), F.asc("item_a"), F.asc("item_b")
+    )
+    if top_k_per_item is not None:
+        # symmetrize carrying the stats (no join-back needed: both
+        # directions of a pair share them), rank neighbors per item,
+        # keep a pair if either endpoint ranks it within k, then dedup
+        # the two directions back to the canonical a<b row
+        sym = stats.withColumn("_i", F.col("item_a")).withColumn(
+            "_j", F.col("item_b")
+        ).unionByName(
+            stats.withColumn("_i", F.col("item_b")).withColumn(
+                "_j", F.col("item_a")
+            )
         )
+        wk = Window.partitionBy("_i").orderBy(
+            F.desc("shrunk_cosine"), F.asc("_j")
+        )
+        stats = (
+            sym.withColumn("_rk", F.row_number().over(wk))
+            .where(F.col("_rk") <= int(top_k_per_item))
+            .select("item_a", "item_b", "n_cooc", "cosine", "shrunk_cosine")
+            .dropDuplicates(["item_a", "item_b"])
+        )
+    return stats.orderBy(
+        F.desc("shrunk_cosine"), F.asc("item_a"), F.asc("item_b")
     )
 
 
@@ -143,6 +176,7 @@ def recommend_items(
     item_col: str,
     top_n: int = 3,
     include_seen: bool = False,
+    broadcast_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Per-user top-N items scored by summed neighbor similarity.
 
@@ -153,8 +187,13 @@ def recommend_items(
     6-dp similarities, so ranking is merge-order independent and the
     (score desc, item asc) tie-break is deterministic across engines.
 
-    The neighbor model is item-pair-bounded — at production scale it
-    broadcasts, making this a map-side join + one groupBy(user, item).
+    The scoring join broadcasts the neighbor model only when its
+    MEASURED size (post-symmetrization rows, counted off the
+    materialized checkpoint) is ≤ ``broadcast_max_rows``; above that —
+    e.g. a model built without ``top_k_per_item`` on a large catalog —
+    it falls back to a plain shuffle join with identical results
+    instead of OOMing the driver. Set ``broadcast_max_rows=0`` to
+    force the shuffle path.
 
     Output: (user, item, score 6 dp, rank), rank ≤ ``top_n``.
     """
@@ -183,8 +222,13 @@ def recommend_items(
             F.col("shrunk_cosine").alias("_s"),
         )
     )
+    # broadcast only when the model is measurably small: the count is
+    # a cheap scan of the checkpointed blocks, and 2×|pairs| is the
+    # exact symmetrized row count the executors would have to hold
+    if 2 * sims.count() <= int(broadcast_max_rows):
+        sym = F.broadcast(sym)
     scored = (
-        seen.join(F.broadcast(sym), "_i")
+        seen.join(sym, "_i")
         .groupBy("_u", "_j")
         .agg(F.sum(F.col("_s").cast("decimal(20,6)")).alias("_score"))
     )

@@ -93,3 +93,56 @@ def test_recommend_include_seen(spark):
     assert {(r.user, r.item) for r in recs.collect()} == {
         (1, "A"), (1, "B"), (2, "A"), (2, "B")
     }
+
+def test_top_k_per_item_prune(spark):
+    # star around A: A pairs with B,C,D at descending cosine; B,C,D
+    # also pair among themselves. With k=1 each item keeps only its
+    # single best neighbor, but a pair survives if EITHER side keeps it.
+    rows = [
+        # 4 users see {A,B}, 3 see {A,C}, 2 see {A,D}, 2 see {B,C}
+        (1, "A", 1.0), (1, "B", 1.0),
+        (2, "A", 1.0), (2, "B", 1.0),
+        (3, "A", 1.0), (3, "B", 1.0),
+        (4, "A", 1.0), (4, "B", 1.0),
+        (5, "A", 1.0), (5, "C", 1.0),
+        (6, "A", 1.0), (6, "C", 1.0),
+        (7, "A", 1.0), (7, "C", 1.0),
+        (8, "A", 1.0), (8, "D", 1.0),
+        (9, "A", 1.0), (9, "D", 1.0),
+        (10, "B", 1.0), (10, "C", 1.0),
+        (11, "B", 1.0), (11, "C", 1.0),
+    ]
+    df = _inter(spark, rows)
+    full = item_item_cosine(df, "u", "i")
+    pruned = item_item_cosine(df, "u", "i", top_k_per_item=1)
+    full_pairs = {(r.item_a, r.item_b): r for r in full.collect()}
+    kept = {(r.item_a, r.item_b) for r in pruned.collect()}
+    # every kept pair exists in the full model with identical stats
+    for r in pruned.collect():
+        f = full_pairs[(r.item_a, r.item_b)]
+        assert (r.n_cooc, r.cosine, r.shrunk_cosine) == (
+            f.n_cooc, f.cosine, f.shrunk_cosine
+        )
+    # A's best neighbor is B (cos 4/sqrt(9*6)); B's best is A; C's best
+    # is A (3/sqrt(9*7) > 2/sqrt(6*7)); D's best is A -> k=1 keeps the
+    # star edges and drops (B,C)
+    assert kept == {("A", "B"), ("A", "C"), ("A", "D")}
+    # either-endpoint semantics: (A,C) and (A,D) are NOT in A's own
+    # top-1, they survive because C and D rank A first
+    assert len(kept) > 1
+
+
+def test_broadcast_gate_shuffle_fallback_identical(spark):
+    rows = [(1, "A", 1.0), (1, "B", 1.0),
+            (2, "A", 1.0), (2, "B", 1.0),
+            (3, "A", 1.0), (3, "C", 1.0),
+            (4, "B", 1.0), (4, "C", 1.0)]
+    df = _inter(spark, rows)
+    sims = item_item_cosine(df, "u", "i")
+    bc = recommend_items(df, sims, "u", "i", top_n=2)
+    sh = recommend_items(
+        df, sims, "u", "i", top_n=2, broadcast_max_rows=0
+    )
+    assert sorted(map(tuple, bc.collect())) == sorted(
+        map(tuple, sh.collect())
+    )

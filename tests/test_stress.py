@@ -781,3 +781,43 @@ def test_recsys_mega_user_gate_1m_interactions(spark):
         and int(r["item_b"].split("_")[1]) < 199
         for r in rows
     )
+
+
+def test_recsys_broadcast_gate_fallback_row_identical(spark):
+    """Round-12 verdict task 1: at 1M interactions build an UNBOUNDED
+    model (no top_k_per_item, min_cooc=1 — the exact shape the r11
+    verdict flagged as a driver OOM at scale), trip the broadcast gate,
+    and pin that the shuffle fallback returns row-identical recs to the
+    forced-broadcast path."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        item_item_cosine,
+        recommend_items,
+    )
+
+    df = spark.range(1_000_000).select(
+        (F.col("id") % 50_000).alias("u"),
+        F.concat(F.lit("item_"), (F.col("id") % 199).cast("string")).alias(
+            "i"
+        ),
+    )
+    sims = item_item_cosine(df, "u", "i", min_cooc=1).localCheckpoint()
+    n_model = sims.count()
+    assert n_model > 0
+    # gate trips: threshold below the symmetrized model size
+    gated = recommend_items(
+        df, sims, "u", "i", top_n=3, broadcast_max_rows=n_model
+    )
+    forced_bc = recommend_items(
+        df, sims, "u", "i", top_n=3,
+        broadcast_max_rows=10 * n_model,
+    )
+    g = sorted(map(tuple, gated.collect()))
+    b = sorted(map(tuple, forced_bc.collect()))
+    assert g == b and len(g) > 0
+    # the gated plan must NOT broadcast the symmetrized model: its only
+    # allowed broadcasts are the anti-join/seen side if AQE picks them
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    forced_plan = forced_bc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") < forced_plan.count(
+        "BroadcastExchange"
+    )
