@@ -5304,6 +5304,8 @@ _EXTRA_KEYS = [
     "recsys_item_item_qty",
     # Round 12: top-k-bounded neighbor model (verdict task 1).
     "recsys_topk_model",
+    # Round 12: LSH-bucketed LOF scale path (verdict task 5).
+    "embed_lof_bucketed",
     "eval_stratified_ate_orders",
     "events_seasonal_decompose",
     "stats_welch_price",
@@ -9748,19 +9750,23 @@ _ALL_SQL.update(
               WHERE list_cosine_similarity(e.embedding::DOUBLE[], ca.cent)
                     IS NOT NULL),
             stats AS (SELECT label, COUNT(*) AS n,
-                             SUM(CAST(cos AS DECIMAL(28,6))) AS sx,
-                             SUM(CAST(cos * cos AS DECIMAL(28,12))) AS sxx
+                             SUM(CAST(ROUND(cos * 1000000, 0)
+                                      AS HUGEINT)) AS sxi,
+                             SUM(CAST(ROUND(cos * 1000000, 0) AS HUGEINT)
+                                 * CAST(ROUND(cos * 1000000, 0)
+                                        AS HUGEINT)) AS sxxi
                       FROM scored GROUP BY label),
             zed AS (
               SELECT s.vec_id, s.label, s.cos,
                      SQRT(GREATEST(
                        CASE WHEN st.n > 1
-                            THEN (CAST(st.sxx AS DOUBLE)
-                                  - CAST(st.sx AS DOUBLE)
-                                    * (CAST(st.sx AS DOUBLE) / st.n))
-                                 / (st.n - 1)
+                            THEN CAST(st.n * st.sxxi - st.sxi * st.sxi
+                                      AS DOUBLE)
+                                 / (CAST(st.n AS DOUBLE)
+                                    * (CAST(st.n AS DOUBLE) - 1.0))
+                                 / 1000000000000.0
                             ELSE 0.0 END, 0.0)) AS std,
-                     CAST(st.sx AS DOUBLE) / st.n AS mean
+                     CAST(st.sxi AS DOUBLE) / st.n / 1000000.0 AS mean
               FROM scored s JOIN stats st ON s.label = st.label)
             SELECT vec_id, label, cos AS cosine_to_centroid,
                    ROUND(CASE WHEN std > 0 THEN (cos - mean) / std
@@ -11555,15 +11561,19 @@ _ALL_SQL.update(
               SELECT t, 'biased', CAST(biased AS DOUBLE)
               FROM base WHERE biased IS NOT NULL),
             arms AS (SELECT col, t, COUNT(*) AS n,
-                            CAST(SUM(CAST(x AS DECIMAL(30,10)))
-                                 AS DOUBLE) AS sx,
-                            CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
-                                 AS DOUBLE) AS sxx
+                            SUM(CAST(ROUND(x * 1000000, 0)
+                                     AS HUGEINT)) AS sxi,
+                            SUM(CAST(ROUND(x * 1000000, 0) AS HUGEINT)
+                                * CAST(ROUND(x * 1000000, 0)
+                                       AS HUGEINT)) AS sxxi
                      FROM stacked GROUP BY 1, 2),
-            pa AS (SELECT col, t, n, sx / n AS m,
+            pa AS (SELECT col, t, n,
+                          CAST(sxi AS DOUBLE) / n / 1000000.0 AS m,
                           CASE WHEN n > 1
-                               THEN (sxx - sx * sx / n) / (n - 1) END
-                            AS v
+                               THEN CAST(n * sxxi - sxi * sxi AS DOUBLE)
+                                    / (CAST(n AS DOUBLE)
+                                       * (CAST(n AS DOUBLE) - 1.0))
+                                    / 1000000000000.0 END AS v
                    FROM arms),
             tr AS (SELECT col, n AS n_treat, m AS mt, v AS vt
                    FROM pa WHERE t = 1),
@@ -12443,16 +12453,17 @@ _ALL_SQL.update(
                                AS DECIMAL(18,6)) AS x
                    FROM ev GROUP BY 1
                    HAVING COUNT(DISTINCT g) = 1),
+            pui AS (SELECT g, x, y,
+                           CAST(x * 1000000 AS HUGEINT) AS xi,
+                           CAST(y * 1000000 AS HUGEINT) AS yi
+                    FROM pu),
             mom AS (SELECT COUNT(*) AS n,
                            CAST(SUM(x) AS DOUBLE) AS sx,
-                           CAST(SUM(y) AS DOUBLE) AS sy,
-                           CAST(SUM(CAST(x AS DECIMAL(20,6)) * x)
-                                AS DOUBLE) AS sxx,
-                           CAST(SUM(CAST(x AS DECIMAL(20,6)) * y)
-                                AS DOUBLE) AS sxy,
-                           CAST(SUM(CAST(y AS DECIMAL(20,6)) * y)
-                                AS DOUBLE) AS syy
-                    FROM pu),
+                           SUM(xi) AS sxi, SUM(yi) AS syi,
+                           SUM(xi * xi) AS sxxi,
+                           SUM(xi * yi) AS sxyi,
+                           SUM(yi * yi) AS syyi
+                    FROM pui),
             pv AS (SELECT g, COUNT(*) AS cnt,
                           CAST(SUM(y) AS DOUBLE) AS syv,
                           CAST(SUM(x) AS DOUBLE) AS sxv
@@ -12463,9 +12474,13 @@ _ALL_SQL.update(
                   FROM mom m,
                        (SELECT * FROM pv ORDER BY g LIMIT 1) a,
                        (SELECT * FROM pv ORDER BY g DESC LIMIT 1) b),
-            calc AS (SELECT *, sxy - sx * sy / n AS cov,
-                            sxx - sx * sx / n AS varx,
-                            syy - sy * sy / n AS vary,
+            -- exact HUGEINT centered numerators (the Welch micro-unit
+            -- discipline); only integer->double casts cross into the
+            -- ratios below
+            calc AS (SELECT *,
+                            CAST(n * sxyi - sxi * syi AS DOUBLE) AS cov,
+                            CAST(n * sxxi - sxi * sxi AS DOUBLE) AS varx,
+                            CAST(n * syyi - syi * syi AS DOUBLE) AS vary,
                             sx / n AS xbar
                      FROM w),
             c2 AS (SELECT *,
@@ -12554,12 +12569,12 @@ _ALL_SQL.update(
                    FROM rr GROUP BY g),
             sizes AS (SELECT g, COUNT(*) AS m FROM daily GROUP BY g)
             SELECT sizes.g AS "group", CAST(m AS BIGINT) AS n_points,
-                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
                    ROUND(slope, 6) AS slope,
                    ROUND(icept, 6) AS intercept
             FROM sizes
-            JOIN sl ON sizes.g = sl.g
-            JOIN ic ON sizes.g = ic.g
+            LEFT JOIN sl ON sizes.g = sl.g
+            LEFT JOIN ic ON sizes.g = ic.g
             ORDER BY 1
         """,
     }
@@ -12728,10 +12743,26 @@ def _embed_silhouette_labels(spark, sf_dir):
     return centroid_silhouette(e, "label")
 
 
+def _embed_lof_bucketed(spark, sf_dir):
+    """LSH-bucketed LOF — the scale path the exact gate points to
+    (ops/similarity.py::lof_scores_bucketed, round-12 verdict task 5):
+    4 deterministic hyperplanes bucket the corpus, neighbor candidates
+    come from the bucket self-join (Σ|b|² work, never n²), top-5
+    bucket-mates feed the identical LOF derivation with |N_k(p)|
+    denominators; singleton-bucket points emit all-null rows."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        lof_scores_bucketed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lof_scores_bucketed(e, k=5, threshold=1.5, n_planes=4)
+
+
 _ALL_QUERIES.update(
     {
         "embed_lof_outliers": _embed_lof_outliers,
         "embed_silhouette_labels": _embed_silhouette_labels,
+        "embed_lof_bucketed": _embed_lof_bucketed,
     }
 )
 
@@ -12774,13 +12805,13 @@ _ALL_SQL.update(
                       FROM nn JOIN kd k2 ON nn.o = k2.p),
             lrd AS (SELECT p,
                            CASE WHEN SUM(rd) > 0
-                                THEN ROUND(5.0 / CAST(SUM(rd) AS DOUBLE),
-                                           8)
+                                THEN ROUND(COUNT(*)
+                                           / CAST(SUM(rd) AS DOUBLE), 8)
                            END AS lrd
                     FROM reach GROUP BY 1),
             nl AS (SELECT nn.p,
                           CAST(SUM(CAST(l2.lrd AS DECIMAL(20,8)))
-                               AS DOUBLE) / 5.0 AS avg_olrd
+                               AS DOUBLE) / COUNT(*) AS avg_olrd
                    FROM nn JOIN lrd l2 ON nn.o = l2.p GROUP BY 1)
             SELECT kd.p AS vec_id, ROUND(kdist, 6) AS k_dist,
                    lrd.lrd AS lrd,
@@ -12789,6 +12820,87 @@ _ALL_SQL.update(
             FROM kd
             JOIN lrd ON kd.p = lrd.p
             JOIN nl ON kd.p = nl.p
+            ORDER BY 1
+        """,
+        "embed_lof_bucketed": """
+            WITH planes AS (
+                SELECT i.i AS pi,
+                       LIST_TRANSFORM(RANGE(0, 64), j ->
+                           (((i.i * 2654435761 + j * 40503 + 12345)
+                             % 65521) / 65521.0) * 2 - 1) AS plane
+                FROM (SELECT UNNEST(RANGE(0, 4)) AS i) i
+            ), pts AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            ), bucketed AS (
+                SELECT e.vec_id,
+                       STRING_AGG(
+                           CASE WHEN list_dot_product(
+                                    e.embedding::DOUBLE[], p.plane) >= 0
+                                THEN '1' ELSE '0' END, ''
+                           ORDER BY p.pi) AS bucket
+                FROM pts e, planes p
+                GROUP BY e.vec_id
+            ), cand AS (
+                SELECT a.vec_id AS p, b.vec_id AS o
+                FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+                WHERE a.vec_id <> b.vec_id
+            ), prod AS (
+                SELECT cd.p, cd.o,
+                       UNNEST(pe.embedding) AS x,
+                       UNNEST(oe.embedding) AS y
+                FROM cand cd
+                JOIN pts pe ON pe.vec_id = cd.p
+                JOIN pts oe ON oe.vec_id = cd.o
+            ), dots AS (
+                SELECT p, o,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                     * CAST(y AS DOUBLE)
+                                     AS DECIMAL(30,15))) AS DOUBLE) AS dot
+                FROM prod GROUP BY 1, 2
+            ), norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE)
+                                         * CAST(x AS DOUBLE)
+                                         AS DECIMAL(30,15)))
+                                 AS DOUBLE)) AS nrm
+                FROM (SELECT vec_id, UNNEST(embedding) AS x FROM pts)
+                GROUP BY 1
+            ), sims AS (
+                SELECT p, o, ROUND(dot / (np.nrm * no.nrm), 6) AS cs
+                FROM dots
+                JOIN norms np ON p = np.vec_id
+                JOIN norms no ON o = no.vec_id
+            ), knn AS (
+                SELECT p, o, 1.0 - cs AS d,
+                       ROW_NUMBER() OVER (PARTITION BY p
+                                          ORDER BY cs DESC, o) AS rn
+                FROM sims
+            ), nn AS (SELECT p, o, d FROM knn WHERE rn <= 5),
+            kd AS (SELECT p, MAX(d) AS kdist FROM nn GROUP BY 1),
+            reach AS (SELECT nn.p, nn.o,
+                             CAST(GREATEST(k2.kdist, nn.d)
+                                  AS DECIMAL(20,6)) AS rd
+                      FROM nn JOIN kd k2 ON nn.o = k2.p),
+            lrd AS (SELECT p,
+                           CASE WHEN SUM(rd) > 0
+                                THEN ROUND(COUNT(*)
+                                           / CAST(SUM(rd) AS DOUBLE), 8)
+                           END AS lrd
+                    FROM reach GROUP BY 1),
+            nl AS (SELECT nn.p,
+                          CAST(SUM(CAST(l2.lrd AS DECIMAL(20,8)))
+                               AS DOUBLE) / COUNT(*) AS avg_olrd
+                   FROM nn JOIN lrd l2 ON nn.o = l2.p GROUP BY 1),
+            scored AS (SELECT kd.p, kd.kdist, lrd.lrd, nl.avg_olrd
+                       FROM kd
+                       JOIN lrd ON kd.p = lrd.p
+                       JOIN nl ON kd.p = nl.p)
+            SELECT pts.vec_id, ROUND(kdist, 6) AS k_dist,
+                   lrd AS lrd,
+                   ROUND(avg_olrd / lrd, 6) AS lof,
+                   ROUND(avg_olrd / lrd, 6) > 1.5 AS is_outlier
+            FROM pts LEFT JOIN scored ON pts.vec_id = scored.p
             ORDER BY 1
         """,
         "embed_silhouette_labels": """

@@ -1788,12 +1788,18 @@ def covariate_balance(
     the conventional imbalance flag, and an imbalanced assignment
     makes the downstream effect estimates confounded, not just noisy.
 
-    SMD(col) = (mean_t − mean_c) / sqrt((var_t + var_c)/2), with
-    means/variances from DECIMAL-exact Σx / Σx² per arm (sample
-    variance). ONE stacked-columns scan (the cramers_v_matrix shape)
-    builds every covariate's per-arm sums at once; everything after is
-    the bounded (cols × 2) grid. Rows with a NULL treatment are
-    excluded; NULL covariate values are excluded per column.
+    SMD(col) = (mean_t − mean_c) / sqrt((var_t + var_c)/2). Values
+    round to 6 dp and carry as exact DECIMAL micro-units (the
+    welch_t_test discipline, round-12 ulp sweep): the centered
+    variance numerator n·Σx² − (Σx)² stays in exact decimal-integer
+    arithmetic — a covariate with a large offset (mean² ≫ var) is
+    exactly the regime where a DECIMAL→double cast ulp amplified
+    ~n-fold corrupts a cancelled variance — and only integer→double
+    casts feed the ratios. ONE stacked-columns scan (the
+    cramers_v_matrix shape) builds every covariate's per-arm sums at
+    once; everything after is the bounded (cols × 2) grid. Rows with a
+    NULL treatment are excluded; NULL covariate values are excluded
+    per column.
 
     Output: (col, n_treat, n_ctrl, mean_treat 6dp, mean_ctrl 6dp,
     smd 6dp, imbalanced bool — |SMD| > 0.1); smd NULL when an arm is
@@ -1821,18 +1827,23 @@ def covariate_balance(
         .select("t", "s.col", "s.x")
         .where(F.col("x").isNotNull())
     )
+    # multiply-first micro-units (the welch_t_test convention — both
+    # engines round the SAME double product, never two different
+    # decimal positions); (19,0)² is exactly the 38-digit cap
+    xi = F.round(F.col("x") * F.lit(1_000_000.0)).cast("decimal(19,0)")
     arms = stacked.groupBy("col", "t").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
-        .cast("double")
-        .alias("sxx"),
+        F.sum(xi).alias("sx_i"),
+        F.sum(xi * xi).alias("sxx_i"),
     )
-    mean = F.col("sx") / F.col("n")
+    sx_i = F.col("sx_i").cast("decimal(38,0)")
+    sxx_i = F.col("sxx_i").cast("decimal(38,0)")
+    varnum = F.col("n").cast("decimal(38,0)") * sxx_i - sx_i * sx_i
+    nd = F.col("n").cast("double")
+    mean = sx_i.cast("double") / F.col("n") / F.lit(1e6)
     var = F.when(
         F.col("n") > 1,
-        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-        / (F.col("n") - 1),
+        varnum.cast("double") / (nd * (nd - F.lit(1.0))) / F.lit(1e12),
     )
     per_arm = arms.select(
         "col", "t", "n", mean.alias("m"), var.alias("v")
@@ -1961,8 +1972,21 @@ def conformal_coverage(
     Output: 1 row — (alpha, n_calib long, n_test long, q_hat 6 dp,
     coverage 6 dp, avg_width 6 dp = 2·q̂).
     """
+    from pyspark.sql.types import NumericType
+
     from .sketch import hash32
 
+    kt = df.schema[key_col].dataType
+    if not isinstance(kt, NumericType):
+        # fail-loud precondition (round-12 advice, the bootstrap-key
+        # class): hash32 casts the key to long — a non-numeric key
+        # nulls the cast, _half goes null, and EVERY row would land in
+        # neither split, returning a passed-but-empty audit
+        raise TypeError(
+            f"key_col {key_col!r} must be a numeric column for the "
+            f"deterministic split hash (got {kt.simpleString()}); "
+            f"hash a surrogate first, e.g. F.xxhash64(key)"
+        )
     base = df.where(
         F.col(y_col).isNotNull()
         & F.col(pred_col).isNotNull()

@@ -195,7 +195,14 @@ def pagerank(
     rank = nodes.withColumn("rank", init_col).persist()
     rank.count()
     last_kept = rank
-    truncate = iterations >= _TRUNCATE_MIN_ITERS
+    # the dangling arm references the rank frame TWICE per iteration
+    # (the contribution join and the dangling-mass aggregate), so the
+    # un-truncated plan DOUBLES per round (2^i, not linear — the 1055-
+    # exchange audit row at 10 iterations); engage lineage truncation
+    # from 3 iterations there instead of _TRUNCATE_MIN_ITERS
+    truncate = iterations >= (
+        3 if redistribute_dangling else _TRUNCATE_MIN_ITERS
+    )
     for i in range(iterations):
         contrib = (
             e.join(rank, e["_src"] == rank["node"])
@@ -725,6 +732,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 50,
+    tol: float | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list — the bipartite-role complement to PageRank: a node is a good
@@ -738,10 +746,21 @@ def hits(
     followed by L1 normalization via a 1-row broadcast aggregate
     (Σa = Σh = 1 — the oracle-friendly normalization; L2 would put an
     engine-boundary sqrt inside every round). Scores round to 12 dp at
-    each normalization so every round is engine-replayable; a FIXED
-    iteration count (no convergence test) keeps the unrolled oracle
-    exact. Per-round materialization uses eager localCheckpoint (two
-    frames referenced across rounds — the plan-doubling lesson).
+    each normalization so every round is engine-replayable; with the
+    default ``tol=None`` the FIXED iteration count (no convergence
+    test) keeps the unrolled oracle exact. Per-round materialization
+    uses eager localCheckpoint (two frames referenced across rounds —
+    the plan-doubling lesson).
+
+    ``tol`` enables convergence-based early termination (the pagerank
+    discipline): after each full round the combined L1 delta
+    Σ|h−h_prev| + Σ|a−a_prev| — two 1-row DECIMAL aggregates over the
+    O(nodes) checkpointed frames, collected driver-side — is compared
+    against ``tol``; below it, remaining rounds are skipped.
+    ``iterations`` stays the hard upper bound, so a ``tol`` run's
+    result always equals SOME fixed-count run (each completed round is
+    identical to the fixed-count round) — it is still replayable, just
+    at a data-dependent round count.
 
     Output: (node, hub 6 dp, authority 6 dp), ordered by node.
     """
@@ -773,7 +792,8 @@ def hits(
         hub = nodes.select("node", start.alias("h"))
         auth = nodes.select("node", start.alias("a"))
         dec = "decimal(28,12)"
-        for _ in range(int(iterations)):
+        for it in range(int(iterations)):
+            prev_hub, prev_auth = hub, auth
             contrib_a = (
                 e.join(
                     hub.select(F.col("node").alias("_u"), "h"), "_u"
@@ -830,6 +850,33 @@ def hits(
                 .alias("h"),
             )
             hub = _materialize_iter(hub, truncate=True)
+            if tol is not None and it < int(iterations) - 1:
+                deltas = []
+                for cur, prev, col in (
+                    (hub, prev_hub, "h"),
+                    (auth, prev_auth, "a"),
+                ):
+                    row = (
+                        cur.join(
+                            prev.select(
+                                "node", F.col(col).alias("_p")
+                            ),
+                            "node",
+                        )
+                        .agg(
+                            F.sum(
+                                F.abs(
+                                    F.col(col) - F.col("_p")
+                                ).cast(dec)
+                            )
+                            .cast("double")
+                            .alias("_d")
+                        )
+                        .first()
+                    )
+                    deltas.append(row["_d"] or 0.0)
+                if sum(deltas) < float(tol):
+                    break
         out = (
             hub.join(auth, "node")
             .select(

@@ -882,9 +882,14 @@ def embedding_outliers(
     Plan: :func:`group_centroids` (one (group, dim) cell shuffle),
     centroid arrays reassembled on the |groups|-row frame and broadcast
     back, cosine per row (projection), then one per-group stats
-    aggregate — decimal-exact Σx/Σx² so mean and std are independent of
-    partition order (oracle convention) — broadcast-joined for the
-    z-score. Never a pairwise join.
+    aggregate — broadcast-joined for the z-score. Never a pairwise
+    join. The 6-dp cosines are exact micro-unit integers, so Σx/Σx²
+    and the centered variance numerator n·Σx² − (Σx)² stay in EXACT
+    decimal-integer arithmetic (the welch_t_test ulp discipline,
+    round-12 sweep: a tight cluster has mean² ≫ var, exactly the
+    regime where a DECIMAL→double cast ulp amplified ~n-fold would
+    poke through the 6-dp z rounding); only integer→double casts feed
+    the mean/std ratios.
 
     Output: (id, group, cosine_to_centroid, z 6dp, is_outlier).
     Groups with fewer than 2 members or zero variance yield z = 0.0
@@ -908,21 +913,29 @@ def embedding_outliers(
         F.col(group_col),
         cos.alias("cosine_to_centroid"),
     ).where(F.col("cosine_to_centroid").isNotNull())
+    ci = F.col("cosine_to_centroid").cast("decimal(18,6)")
     stats = scored.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("cosine_to_centroid").cast("decimal(28,6)")).alias("_sx"),
-        F.sum(
-            (
-                F.col("cosine_to_centroid") * F.col("cosine_to_centroid")
-            ).cast("decimal(28,12)")
-        ).alias("_sxx"),
+        F.sum(ci).alias("_sx"),
+        # (18,6)² products are exact (37,12) decimals — never a
+        # rounded double product
+        F.sum(ci * ci).alias("_sxx"),
     )
     out = scored.join(F.broadcast(stats), group_col)
-    mean = F.col("_sx").cast("double") / F.col("_n")
+    # exact integer micro-units: |cos| ≤ 1 so sx_i ≤ n·1e6 and
+    # sx_i² ≤ n²·1e12 — inside DECIMAL(38,0) for any realistic group
+    sx_i = (F.col("_sx") * F.lit(1_000_000)).cast("decimal(38,0)")
+    sxx_i = (F.col("_sxx") * F.lit(10**12).cast("decimal(20,0)")).cast(
+        "decimal(38,0)"
+    )
+    nd = F.col("_n").cast("double")
+    varnum = F.col("_n").cast("decimal(38,0)") * sxx_i - sx_i * sx_i
+    mean = sx_i.cast("double") / F.col("_n") / F.lit(1e6)
     var = F.when(
         F.col("_n") > 1,
-        (F.col("_sxx").cast("double") - F.col("_sx").cast("double") * mean)
-        / (F.col("_n") - 1),
+        varnum.cast("double")
+        / (nd * (nd - F.lit(1.0)))
+        / F.lit(1e12),
     ).otherwise(F.lit(0.0))
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when(std > 0, (F.col("cosine_to_centroid") - mean) / std).otherwise(
@@ -1579,9 +1592,13 @@ def lof_scores(
     exact k-NN (self excluded BEFORE ranking, ties broken by neighbor
     id) → k-distance per point → reachability distance
     max(kdist(o), d(p,o)) accumulated in DECIMAL(20,6) (merge-order
-    independent) → lrd = k/Σreach rounded to 8 dp → LOF =
+    independent) → lrd = |N_k(p)|/Σreach rounded to 8 dp → LOF =
     mean-neighbor-lrd / own-lrd. LOF ≈ 1 means inlier; > ``threshold``
-    flags density outliers.
+    flags density outliers. Denominators use the ACTUAL neighbor count
+    |N_k(p)| (= min(k, n−1) on the exact path), not the constant k, so
+    corpora with n ≤ k score unbiased (round-12 advice); null
+    ``id_col``/``vec_col`` rows are filtered up front like every
+    sibling op.
 
     The exact path is O(n²) scoring by construction, so
     ``exact_max_rows`` fails loud on larger corpora (run a bucketed
@@ -1593,13 +1610,16 @@ def lof_scores(
     Output: (id, k_dist 6 dp, lrd 8 dp, lof 6 dp, is_outlier),
     ordered by id.
     """
+    df = df.where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
     n_rows = df.count()
     if n_rows > exact_max_rows:
         raise ValueError(
             f"lof_scores: {n_rows} rows > exact_max_rows="
-            f"{exact_max_rows} — exact LOF scores all pairs; bucket "
-            f"the corpus first (lsh_knn_join) or raise the gate "
-            f"explicitly"
+            f"{exact_max_rows} — exact LOF scores all pairs; use "
+            f"lof_scores_bucketed (LSH-bucketed neighbor candidates, "
+            f"same derivation) or raise the gate explicitly"
         )
     from pyspark.sql import Window
 
@@ -1634,6 +1654,22 @@ def lof_scores(
         .where(F.col("_rn") <= int(k))
         .select("_p", "_o", (F.lit(1.0) - F.col("_cos")).alias("_d"))
     )
+    return _lof_from_nn(nn, id_col, threshold)
+
+
+def _lof_from_nn(
+    nn: DataFrame,
+    id_col: str,
+    threshold: float,
+    all_ids: "DataFrame | None" = None,
+) -> DataFrame:
+    """LOF derivation from a (point, neighbor, distance) kNN frame —
+    the shared tail of :func:`lof_scores` (exact kNN) and
+    :func:`lof_scores_bucketed` (LSH-candidate kNN): k-distance →
+    reachability (DECIMAL) → lrd with the |N_k(p)| denominator → LOF.
+    ``all_ids`` (a 1-column frame named ``id_col``) left-joins points
+    with NO neighbors back in as all-null rows so the audit never
+    silently loses a point."""
     nn = nn.persist()
     try:
         kd = nn.groupBy("_p").agg(F.max("_d").alias("_kdist"))
@@ -1653,7 +1689,9 @@ def lof_scores(
             F.when(
                 F.sum("_rd") > 0,
                 F.round(
-                    F.lit(float(k)) / F.sum("_rd").cast("double"), 8
+                    F.count(F.lit(1)).cast("double")
+                    / F.sum("_rd").cast("double"),
+                    8,
                 ),
             ).alias("_lrd")
         )
@@ -1663,13 +1701,16 @@ def lof_scores(
         ).groupBy("_p").agg(
             (
                 F.sum(F.col("_olrd").cast("decimal(20,8)")).cast("double")
-                / F.lit(float(k))
+                / F.count(F.lit(1)).cast("double")
             ).alias("_avg_olrd")
         )
+        scored = kd.join(lrd, "_p").join(neigh_lrd, "_p")
+        if all_ids is not None:
+            scored = all_ids.select(
+                F.col(id_col).alias("_p")
+            ).join(scored, "_p", "left")
         out = (
-            kd.join(lrd, "_p")
-            .join(neigh_lrd, "_p")
-            .select(
+            scored.select(
                 F.col("_p").alias(id_col),
                 F.round("_kdist", 6).alias("k_dist"),
                 F.col("_lrd").alias("lrd"),
@@ -1685,6 +1726,104 @@ def lof_scores(
     finally:
         nn.unpersist()
     return out
+
+
+def lof_scores_bucketed(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.5,
+    n_planes: int = 8,
+    hyperplanes: "Sequence[Sequence[float]] | None" = None,
+) -> DataFrame:
+    """LOF at corpus scale — the bucketed path :func:`lof_scores`'s
+    exact gate points to: neighbor CANDIDATES come from a
+    deterministic hyperplane-LSH bucket self-join (work is
+    Σ_b |bucket_b|² instead of n²), each point's top-k among its
+    bucket-mates feeds the IDENTICAL LOF derivation. Approximation is
+    confined to the neighbor sets: a missed true neighbor can shift
+    k-distance/lrd (the standard production LOF compromise —
+    recall-audited against the exact path in the test suite; widen
+    with fewer planes for higher recall, ``n_planes=0`` degenerates to
+    one bucket = the exact neighbor sets).
+
+    The |N_k(p)| denominators matter here by construction: a bucket
+    with ≤ k members yields fewer than k neighbors. Points ALONE in
+    their bucket emit an all-null row (no neighborhood to be relative
+    to) rather than disappearing.
+
+    ``hyperplanes`` overrides the default :func:`det_hyperplanes`
+    planes. The default recurrence is SQL-replayable but its planes
+    are phase-shifted copies of one sawtooth — fine for ≤8 planes on
+    real embeddings, but BEYOND that the near-parallel cuts leave
+    giant cells (measured: 16 default planes on 200k uniform vectors
+    → max bucket 18k → Σ|b|² ~1.7e9 pairs; 20 seeded-gaussian planes
+    → max bucket ~120 → 1.6e6 pairs). Pass seeded-gaussian planes for
+    production-scale corpora.
+
+    Output: (id, k_dist 6 dp, lrd 8 dp, lof 6 dp, is_outlier),
+    ordered by id — :func:`lof_scores`' schema.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    first = base.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, k_dist double, lrd double, lof double, "
+            f"is_outlier boolean",
+        )
+    if hyperplanes is not None:
+        bucketed = hyperplane_lsh_buckets(
+            base, hyperplanes, id_col, vec_col
+        )
+    elif n_planes > 0:
+        planes = det_hyperplanes(int(n_planes), int(first["d"]))
+        bucketed = hyperplane_lsh_buckets(base, planes, id_col, vec_col)
+    else:
+        bucketed = base.select(
+            id_col, vec_col, F.lit("").alias("bucket")
+        )
+    pts = bucketed.select(
+        F.col(id_col).alias("_p"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+        "bucket",
+    )
+    other = pts.select(
+        F.col("_p").alias("_o"),
+        F.col("_v").alias("_ov"),
+        F.col("_nrm").alias("_onrm"),
+        "bucket",
+    )
+    den = F.col("_nrm") * F.col("_onrm")
+    scored = (
+        pts.join(other, "bucket")
+        .where(F.col("_p") != F.col("_o"))
+        .select(
+            "_p",
+            "_o",
+            F.round(
+                F.when(
+                    den != 0, _decimal_dot(F.col("_v"), F.col("_ov")) / den
+                ),
+                6,
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_p").orderBy(F.desc("_cos"), F.asc("_o"))
+    nn = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .select("_p", "_o", (F.lit(1.0) - F.col("_cos")).alias("_d"))
+    )
+    return _lof_from_nn(
+        nn, id_col, threshold, all_ids=base.select(id_col)
+    )
 
 
 def centroid_silhouette(

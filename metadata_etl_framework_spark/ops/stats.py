@@ -103,6 +103,20 @@ def poisson_bootstrap_ci(
             f"multiplies the scan by n_boot; raise max_boot explicitly "
             f"if you really want more replicates"
         )
+    from pyspark.sql.types import NumericType
+
+    kt = df.schema[key_col].dataType
+    if not isinstance(kt, NumericType):
+        # fail-loud precondition (round-12 advice): a non-numeric key
+        # survives the isNotNull filter but cast("long") nulls it, u
+        # goes null, and _poisson1_weight's when-chain would fall to
+        # the otherwise(7) clamp — every row constant weight 7 in every
+        # replicate, a silently point-collapsed CI
+        raise TypeError(
+            f"key_col {key_col!r} must be a numeric column for the "
+            f"replicate hash (got {kt.simpleString()}); hash a "
+            f"surrogate first, e.g. F.xxhash64(key)"
+        )
     if value_scale is None:
         val = F.col(value_col).cast("double").cast(_DEC)
         denom = F.lit(1.0)
@@ -194,8 +208,15 @@ def cuped_adjusted_effect(
     order-dependent double summation. Per-unit metrics round to 6 dp
     and moments accumulate as DECIMAL(18,6)-product sums (37,12
     products — exact under the 38-digit cap for per-unit magnitudes up
-    to ~1e12), so every downstream double is derived from
-    bit-identical inputs in any engine. Output: 1 row —
+    to ~1e12). The centered moments n·Σxy − Σx·Σy / n·Σx² − (Σx)² /
+    n·Σy² − (Σy)² are then computed in EXACT integer micro-unit
+    arithmetic on the collected 1-row sums (the
+    :func:`welch_t_test` discipline, round-12 ulp sweep): a
+    DECIMAL(·,s>0)→double cast can disagree across engines in the
+    last ulp and the variance-style cancellation amplifies that
+    ~n-fold, so only integers cross the engine boundary for these
+    terms — integer→double casts are IEEE-identical everywhere.
+    Output: 1 row —
     (variant_a, n_a, mean_a, adj_mean_a, variant_b, n_b, mean_b,
     adj_mean_b, diff, adj_diff, theta, var_reduction_pct — 6 dp,
     var_reduction_pct = 100·corr²(x,y)).
@@ -244,31 +265,52 @@ def cuped_adjusted_effect(
             f"{[r['_g'] for r in per_variant]}"
         )
     a, b = per_variant
+    from decimal import Decimal
+
+    # exact centered numerators: the decimal sums are exact multiples
+    # of 1e-6 (Σ) / 1e-12 (Σ-of-products); scale to python ints and
+    # cancel in arbitrary precision — n·Σxy (1e-12 units) minus
+    # Σx·Σy (1e-6·1e-6 = 1e-12 units), scales consistent
+    n_i = int(mom["_n"])
+    sx_i = int(Decimal(mom["_sx"]).scaleb(6))
+    sy_i = int(Decimal(mom["_sy"]).scaleb(6))
+    sxx_i = int(Decimal(mom["_sxx"]).scaleb(12))
+    sxy_i = int(Decimal(mom["_sxy"]).scaleb(12))
+    syy_i = int(Decimal(mom["_syy"]).scaleb(12))
+    covnum = n_i * sxy_i - sx_i * sy_i
+    varxnum = n_i * sxx_i - sx_i * sx_i
+    varynum = n_i * syy_i - sy_i * sy_i
+    if max(abs(covnum), abs(varxnum), abs(varynum)) >= 10**38:
+        raise ValueError(
+            "cuped_adjusted_effect: centered moments exceed the "
+            "38-digit engine-portable integer cap — rescale the "
+            "metric/covariate (per-unit magnitudes beyond ~1e12)"
+        )
     spark = df.sparkSession
     one = spark.createDataFrame(
         [
             (
-                mom["_n"], mom["_sx"], mom["_sy"],
-                mom["_sxx"], mom["_sxy"], mom["_syy"],
+                mom["_n"], mom["_sx"],
+                Decimal(covnum), Decimal(varxnum), Decimal(varynum),
                 a["_g"], a["_cnt"], a["_sy"], a["_sx"],
                 b["_g"], b["_cnt"], b["_sy"], b["_sx"],
             )
         ],
-        "n long, sx decimal(38,6), sy decimal(38,6), "
-        "sxx decimal(38,12), sxy decimal(38,12), syy decimal(38,12), "
+        "n long, sx decimal(38,6), "
+        "covnum decimal(38,0), varxnum decimal(38,0), "
+        "varynum decimal(38,0), "
         "ga string, na long, sya decimal(38,6), sxa decimal(38,6), "
         "gb string, nb long, syb decimal(38,6), sxb decimal(38,6)",
     )
-    # every symbol below is a DOUBLE derived from the exact decimal
-    # sums — identical inputs => identical IEEE arithmetic in any engine
+    # the only casts left on the cancellation-sensitive terms are
+    # integer→double (IEEE-exact in every engine); theta/vr are the
+    # same ratios as before — n cancels between numerator and
+    # denominator
     n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    sxy = F.col("sxy").cast("double")
-    syy = F.col("syy").cast("double")
-    cov = sxy - sx * sy / n
-    varx = sxx - sx * sx / n
-    vary = syy - sy * sy / n
+    sx = F.col("sx").cast("double")
+    cov = F.col("covnum").cast("double")
+    varx = F.col("varxnum").cast("double")
+    vary = F.col("varynum").cast("double")
     theta = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
     vr = F.when(
         (varx > 0) & (vary > 0), cov * cov / (varx * vary)
@@ -369,7 +411,11 @@ def theil_sen_trend(
     Medians are exact order statistics (avg of the two middles on even
     counts) via row_number — the same convention both an oracle and
     the rolling-median ops use. Output: (group, n_points long,
-    n_pairs long, slope 6 dp, intercept 6 dp), ordered by group.
+    n_pairs long, slope 6 dp, intercept 6 dp), ordered by group. A
+    group with NO valid slope pair (a single point, or every point
+    sharing one x) still emits its row — (n_pairs=0, slope=null,
+    intercept=null) — so a per-series trend audit never silently loses
+    a series (round-12 advice; the loud-gate convention).
     """
     pts = df.select(
         F.col(group_col).cast("string").alias("_g"),
@@ -410,12 +456,14 @@ def theil_sen_trend(
             "_g", F.col("_median").alias("_icept")
         )
         out = (
-            sizes.join(slope, "_g")
-            .join(inter, "_g")
+            sizes.join(slope, "_g", "left")
+            .join(inter, "_g", "left")
             .select(
                 F.col("_g").alias("group"),
                 F.col("_m").cast("long").alias("n_points"),
-                F.col("_n_pairs").cast("long").alias("n_pairs"),
+                F.coalesce(F.col("_n_pairs"), F.lit(0))
+                .cast("long")
+                .alias("n_pairs"),
                 F.round("_slope", 6).alias("slope"),
                 F.round("_icept", 6).alias("intercept"),
             )

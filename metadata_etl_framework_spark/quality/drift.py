@@ -840,30 +840,46 @@ def psi_by_period(
 
 
 def _drift_numeric_binned(
-    tagged: DataFrame,
     ref: DataFrame,
-    c: str,
+    cur: DataFrame,
+    cols: list[str],
     n_bins: int,
     ks_bins: int,
     persisted: "list[DataFrame] | None" = None,
 ) -> list[DataFrame]:
-    """High-cardinality arm of :func:`drift_suite` for one numeric
-    column: PSI (exact — PSI is bin-defined, counts are exact integers)
-    and binned KS + its error bound, all from ONE joint groupBy on
-    (psi_bin, ks_bin). Post-scan size O(n_bins · ks_bins); nothing
-    downstream scales with rows or distinct values.
+    """High-cardinality arm of :func:`drift_suite`, fused across ALL
+    binned-routed numeric columns (round-12: the same stack()-melt the
+    exact path got in round 10): PSI (exact — PSI is bin-defined,
+    counts are exact integers) and binned KS + its error bound for
+    every column, from ONE melted data pass and ONE joint groupBy on
+    (column, psi_bin, ks_bin). Per-column bin edges come from a single
+    C-row grouped aggregate broadcast back onto the melt — replacing
+    the old per-column pair of 1-row crossJoin broadcasts (2 exchanges
+    + 2 BNLJ per column). Post-scan size O(C · n_bins · ks_bins);
+    nothing downstream scales with rows or distinct values, and the KS
+    prefix scan is a plain (column)-partitioned window because each
+    group is ≤ ks_bins rows by construction.
 
     The joint count frame is persisted (it feeds both the PSI and KS
     derivations); the caller passes ``persisted`` to take ownership of
-    unpersisting it once the returned frames are materialized — without
-    that, repeated suite calls on high-cardinality columns would
-    accumulate cached partitions for the life of the session."""
-    redges = ref.agg(
-        F.min(F.col(c).cast("double")).alias("rmn"),
-        F.max(F.col(c).cast("double")).alias("rmx"),
+    unpersisting it once the returned frames are materialized."""
+    from pyspark.storagelevel import StorageLevel
+
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    melt = f"stack({len(cols)}, {stack_args}) as (__col, v)"
+    tall = (
+        ref.selectExpr(melt)
+        .withColumn("is_ref", F.lit(1))
+        .unionByName(cur.selectExpr(melt).withColumn("is_ref", F.lit(0)))
+        .where(F.col("v").isNotNull())
     )
-    pedges = tagged.where(F.col("v").isNotNull()).agg(
-        F.min("v").alias("pmn"), F.max("v").alias("pmx")
+    # PSI edges (ref min/max) and KS edges (pooled min/max) for every
+    # column in one grouped aggregate — C rows, broadcast back
+    edges = tall.groupBy("__col").agg(
+        F.min(F.when(F.col("is_ref") == 1, F.col("v"))).alias("rmn"),
+        F.max(F.when(F.col("is_ref") == 1, F.col("v"))).alias("rmx"),
+        F.min("v").alias("pmn"),
+        F.max("v").alias("pmx"),
     )
     v = F.col("v")
     wp = (F.col("rmx") - F.col("rmn")) / F.lit(float(n_bins))
@@ -885,13 +901,9 @@ def _drift_numeric_binned(
             F.lit(ks_bins - 1),
         )
     )
-    from pyspark.storagelevel import StorageLevel
-
     joint = (
-        tagged.where(v.isNotNull())
-        .crossJoin(F.broadcast(redges))
-        .crossJoin(F.broadcast(pedges))
-        .groupBy(pb.alias("pb"), kb.alias("kb"))
+        tall.join(F.broadcast(edges), "__col")
+        .groupBy("__col", pb.alias("pb"), kb.alias("kb"))
         .agg(
             F.sum("is_ref").alias("rc"),
             F.sum(1 - F.col("is_ref")).alias("cc"),
@@ -901,15 +913,16 @@ def _drift_numeric_binned(
     if persisted is not None:
         persisted.append(joint)
 
-    binned = joint.groupBy(F.col("pb").alias("bin")).agg(
+    binned = joint.groupBy("__col", F.col("pb").alias("bin")).agg(
         F.sum("rc").alias("ref_cnt"), F.sum("cc").alias("cur_cnt")
     )
-    totals = binned.agg(
+    totals = binned.groupBy("__col").agg(
         F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
     )
     psi = (
-        binned.crossJoin(F.broadcast(totals))
+        binned.join(F.broadcast(totals), "__col")
         .select(
+            "__col",
             F.round(
                 (
                     F.col("cur_cnt") / F.col("n_cur")
@@ -924,26 +937,34 @@ def _drift_numeric_binned(
                     )
                 ),
                 6,
-            ).alias("psi_term")
+            ).alias("psi_term"),
         )
+        .groupBy("__col")
         .agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
     )
     frames = [
         psi.select(
-            F.lit(c).alias("column"),
+            F.col("__col").alias("column"),
             F.lit("psi").alias("metric"),
             F.col("psi_total").cast("double").alias("value"),
         )
     ]
 
-    kbinned = joint.groupBy(F.col("kb").alias("bin")).agg(
+    kbinned = joint.groupBy("__col", F.col("kb").alias("bin")).agg(
         F.sum("rc").alias("rc"), F.sum("cc").alias("cc")
     )
-    scanned = _dual_prefix_scan(kbinned, "bin", "rc", "cc", persisted=persisted)
-    ktot = kbinned.agg(F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur"))
+    wsc = (
+        Window.partitionBy("__col")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = kbinned.withColumn(
+        "__ca", F.sum("rc").over(wsc)
+    ).withColumn("__cb", F.sum("cc").over(wsc))
     ks2 = (
-        scanned.crossJoin(F.broadcast(ktot))
+        scanned.join(F.broadcast(totals), "__col")
         .select(
+            "__col",
             F.abs(
                 F.col("__ca") / F.col("n_ref") - F.col("__cb") / F.col("n_cur")
             ).alias("d"),
@@ -951,6 +972,7 @@ def _drift_numeric_binned(
                 F.col("rc") / F.col("n_ref"), F.col("cc") / F.col("n_cur")
             ).alias("bin_mass"),
         )
+        .groupBy("__col")
         .agg(
             F.round(F.max("d"), 6).alias("ks_stat"),
             F.round(F.max("bin_mass"), 6).alias("err_bound"),
@@ -959,7 +981,7 @@ def _drift_numeric_binned(
     for metric, colname in (("ks", "ks_stat"), ("ks_err_bound", "err_bound")):
         frames.append(
             ks2.select(
-                F.lit(c).alias("column"),
+                F.col("__col").alias("column"),
                 F.lit(metric).alias("metric"),
                 F.col(colname).cast("double").alias("value"),
             )
@@ -1079,19 +1101,15 @@ def drift_suite(
         )
         persisted.append(melted)
         melted.count()
-    for c in numeric_cols:
-        if est[c] > ks_exact_max_distinct:
-            x = F.col(c).cast("double")
-            tagged = ref.select(
-                x.alias("v"), F.lit(1).alias("is_ref")
-            ).unionByName(
-                cur.select(x.alias("v"), F.lit(0).alias("is_ref"))
+    binned_cols = [
+        c for c in numeric_cols if est[c] > ks_exact_max_distinct
+    ]
+    if binned_cols:
+        frames.extend(
+            _drift_numeric_binned(
+                ref, cur, binned_cols, n_bins, ks_bins, persisted=persisted
             )
-            frames.extend(
-                _drift_numeric_binned(
-                    tagged, ref, c, n_bins, ks_bins, persisted=persisted
-                )
-            )
+        )
     if exact_cols:
         # PSI for ALL exact columns from the melted frame in one grouped
         # pipeline: per-column bin edges (C-row broadcast), bin counts

@@ -614,16 +614,30 @@ def foreach_batch_experiment_monitor(
         ]
         if len(present) != 2:
             return
-        r = ab_test_proportions(
-            batch_df.where(usable), variant_col, converted_col, unit_col
-        ).first()
+        try:
+            r = ab_test_proportions(
+                batch_df.where(usable), variant_col, converted_col,
+                unit_col,
+            ).first()
+        except ValueError:
+            # the two-variant precheck above runs BEFORE the operator's
+            # cross-variant-contamination filter: a batch where
+            # dropping contaminated units empties one arm raises inside
+            # the operator — a plausible ramp-up shape, so skip the
+            # batch (the docstring contract), never kill the stream
+            return
+        if r is None or r["rate_a"] is None or r["rate_b"] is None:
+            # an arm whose converted values are all null reports a null
+            # rate — no readout to publish for this batch
+            return
         spark = batch_df.sparkSession
         spark.createDataFrame(
             [(
                 int(batch_id),
                 r["variant_a"], int(r["n_a"]), float(r["rate_a"]),
                 r["variant_b"], int(r["n_b"]), float(r["rate_b"]),
-                float(r["z_score"]),
+                float(r["z_score"]) if r["z_score"] is not None
+                else 0.0,
                 bool(r["significant_95"]),
                 bool(
                     min(int(r["n_a"]), int(r["n_b"]))

@@ -468,3 +468,30 @@ def test_ivf_recall_exhaustive_probe_is_exact(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sim.ivf_recall_report(emb, queries, max_queries=1)
+
+
+def test_embedding_outliers_z_exact_from_micro_ints(spark):
+    """Round-12 ulp-sweep pin: a TIGHT cluster (mean ~1, variance
+    ~1e-10) is the amplification regime — the z the op emits must
+    equal the z recomputed in exact python-integer arithmetic from the
+    6-dp cosines (same micro-int formulation, same float op order)."""
+    from metadata_etl_framework_spark.ops import similarity as sim
+
+    rows = [(i, 0, [1.0, 4e-3 * (i % 7)] + [0.0] * 4)
+            for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = sim.embedding_outliers(emb, z_threshold=2.0).collect()
+    cos_i = {r.vec_id: round(r.cosine_to_centroid * 1e6) for r in out}
+    n = len(out)
+    sx = sum(cos_i.values())
+    sxx = sum(v * v for v in cos_i.values())
+    varnum = n * sxx - sx * sx
+    assert varnum > 0  # the fixture really is in the tiny-var regime
+    var = float(varnum) / (float(n) * (float(n) - 1.0)) / 1e12
+    mean = float(sx) / n / 1e6
+    std = var ** 0.5
+    for r in out:
+        expect = round((r.cosine_to_centroid - mean) / std, 6)
+        assert r.z == expect, (r.vec_id, r.z, expect)

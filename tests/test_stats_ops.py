@@ -344,3 +344,70 @@ def test_cvm_zero_on_identical_and_positive_on_shift(spark):
     r2 = cvm_statistic(a, b, "x").collect()[0]
     # a half-range shift is gross drift: far beyond the 1% critical value
     assert r2["cvm_stat"] > 0.743 and r2["drift_01"]
+
+
+def test_bootstrap_rejects_non_numeric_key(spark):
+    # round-12 advice: a string key would cast("long")->null, null u,
+    # constant weight 7 everywhere, CI silently collapsed to a point —
+    # the op must fail loud instead
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double"
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        poisson_bootstrap_ci(df, "v", "k", n_boot=10)
+
+
+def test_conformal_rejects_non_numeric_key(spark):
+    from metadata_etl_framework_spark.ops.evaluation import (
+        conformal_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.1), ("b", 2.0, 1.9)],
+        "k string, y double, p double",
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        conformal_coverage(df, "y", "p", "k")
+
+
+def test_theil_sen_emits_degenerate_groups(spark):
+    # round-12 advice: a group with a single point (or one distinct x)
+    # has no slope pair — it must still appear with n_pairs=0 and null
+    # slope/intercept, never silently vanish from the trend table
+    rows = [
+        ("g1", 1.0, 1.0), ("g1", 2.0, 3.0), ("g1", 3.0, 5.0),
+        ("lonely", 4.0, 2.0),
+        ("flat_x", 7.0, 1.0), ("flat_x", 7.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["group"]: r for r in
+           theil_sen_trend(df, "g", "x", "y").collect()}
+    assert set(out) == {"g1", "lonely", "flat_x"}
+    assert out["g1"]["slope"] == 2.0 and out["g1"]["n_pairs"] == 3
+    for g, npts in (("lonely", 1), ("flat_x", 2)):
+        r = out[g]
+        assert r["n_points"] == npts and r["n_pairs"] == 0
+        assert r["slope"] is None and r["intercept"] is None
+
+
+def test_cuped_large_offset_exact_theta(spark):
+    """Round-12 ulp sweep adversarial pin: covariate = 1e9 + 0.01·i
+    (huge offset, tiny variance) with metric exactly 2× the covariate.
+    In exact integer micro-unit arithmetic covnum = 2·varxnum EXACTLY,
+    so θ = 2.0 and var_reduction = 100% bit-exactly. The old
+    DECIMAL→double-then-cancel path loses the entire variance to the
+    cast ulp here (|Σx²| ~ 1e21·n vs varnum ~ 1e2 — the n-fold
+    amplification class) and returns garbage θ."""
+    rows = []
+    for i in range(400):
+        x = 1e9 + 0.01 * i
+        rows.append((i, "A" if i % 2 == 0 else "B", 2.0 * x, x))
+    df = spark.createDataFrame(
+        rows, "u long, g string, y double, x double"
+    )
+    r = cuped_adjusted_effect(df, "g", "y", "x", "u").first()
+    assert r["theta"] == 2.0
+    assert r["var_reduction_pct"] == 100.0
+    # CUPED with a perfectly-correlated covariate: adjusted means of
+    # both arms collapse to the same value -> adj_diff 0
+    assert r["adj_diff"] == 0.0

@@ -689,3 +689,42 @@ def test_foreach_batch_experiment_monitor_parity_and_skips(
         ref["rate_a"], ref["rate_b"], ref["z_score"]
     )
     assert small.n_a == 3 and small.underpowered
+
+
+def test_foreach_batch_experiment_monitor_contaminated_arm_skips(
+    spark_mod, tmp_path
+):
+    """Round-12 advice: a batch with two variants PRESENT whose
+    cross-variant (contaminated) units, once dropped by the batch
+    operator, empty one arm must be skipped — not kill the stream;
+    likewise all-null converted values produce no readout row."""
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_experiment_monitor,
+        streaming_file_source,
+    )
+
+    spark = spark_mod
+    # unit 1 is the ONLY A-exposed unit and is also B-exposed ->
+    # after contamination drop, arm A is empty
+    rows = [(1, "A", True), (1, "B", False)] + [
+        (10 + i, "B", i % 2 == 0) for i in range(6)
+    ]
+    src = str(tmp_path / "exposures2")
+    spark.createDataFrame(
+        rows, "u long, g string, c boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = streaming_file_source(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    metrics = str(tmp_path / "metrics2")
+    q = foreach_batch_experiment_monitor(
+        stream, "g", "c", "u", metrics, str(tmp_path / "ck2")
+    ).start()
+    q.awaitTermination(120)
+    assert q.exception() is None  # the stream survived the batch
+    import os
+
+    assert not os.path.exists(metrics) or not [
+        f for f in os.listdir(metrics) if f.endswith(".parquet")
+    ]

@@ -821,3 +821,40 @@ def test_recsys_broadcast_gate_fallback_row_identical(spark):
     assert plan.count("BroadcastExchange") < forced_plan.count(
         "BroadcastExchange"
     )
+
+
+def test_lof_bucketed_200k_vectors_where_exact_refuses(spark):
+    """Round-12 verdict task 5: at 200k vectors the exact LOF gate
+    refuses (O(n^2) scoring); the LSH-bucketed path completes, emits
+    one row per input vector (singleton buckets as null rows), and
+    produces real scores."""
+    from metadata_etl_framework_spark.ops.similarity import (
+        lof_scores,
+        lof_scores_bucketed,
+    )
+
+    import random
+
+    n, dim = 200_000, 16
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), j -> CAST("
+            "pmod(hash(id, j), 10000) / 5000.0 - 1 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="exact_max_rows"):
+        lof_scores(df, k=5)
+    # seeded-gaussian planes (the docstring's production guidance):
+    # 20 planes over this corpus measured max-bucket ~120, sum(|b|^2)
+    # ~1.6M candidate pairs — O(n) work; the default sawtooth planes
+    # leave 18k-row cells here (1.7e9 pairs, the quadratic regime)
+    rng = random.Random(7)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)
+    ]
+    out = lof_scores_bucketed(df, k=5, hyperplanes=planes)
+    rows = out.count()
+    assert rows == n
+    scored = out.where(F.col("lof").isNotNull()).count()
+    assert scored > 0

@@ -1978,3 +1978,27 @@ def test_embed_covariance_max_dim_gate(spark):
 
     # explicit opt-in: the same corpus passes when the caller accepts d
     assert embed_covariance(df, max_dim=d).count() == d * (d + 1) // 2
+
+
+def test_covariate_balance_large_offset_exact(spark):
+    """Round-12 ulp-sweep pin (the welch_t_test class): covariates
+    sitting on a 1e9 offset with variance ~1 — the regime where the
+    old DECIMAL→double-then-cancel variance loses everything to the
+    cast ulp. With the micro-int formulation SMD is exact: identical
+    offset-free and offset-1e9 columns must produce the SAME smd."""
+    from metadata_etl_framework_spark.ops.evaluation import (
+        covariate_balance,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).select(
+        (F.col("id") % 2 == 0).alias("t"),
+        (F.col("id") % 7).cast("double").alias("small"),
+        ((F.col("id") % 7) + F.lit(1e9)).cast("double").alias("huge"),
+    )
+    out = {r["col"]: r for r in
+           covariate_balance(df, "t", ["small", "huge"]).collect()}
+    assert out["small"]["smd"] is not None
+    # the 1e9 offset cancels exactly in the integer arithmetic: same
+    # spread -> same variance -> same standardized difference
+    assert out["huge"]["smd"] == out["small"]["smd"]
