@@ -5306,6 +5306,12 @@ _EXTRA_KEYS = [
     "recsys_topk_model",
     # Round 12: LSH-bucketed LOF scale path (verdict task 5).
     "embed_lof_bucketed",
+    # Round 12: two-sample bootstrap difference CI.
+    "stats_bootstrap_diff_price",
+    # Round 12: Ljung-Box white-noise portmanteau test.
+    "events_ljung_box",
+    # Round 12: in-engine multinomial Naive Bayes (train + score).
+    "nb_lang_docs",
     "eval_stratified_ate_orders",
     "events_seasonal_decompose",
     "stats_welch_price",
@@ -13983,6 +13989,266 @@ _ALL_SQL.update(
                    ROUND(a2.a, 6) AS authority
             FROM h2 JOIN a2 ON h2.node = a2.node
             ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 12: two-sample bootstrap, Ljung-Box, Naive Bayes, mSPRT ----
+
+
+def _stats_bootstrap_diff_price(spark, sf_dir):
+    """Two-sample Poisson-bootstrap CI of the high-vs-low-priority mean
+    order-value difference (ops/stats.py::poisson_bootstrap_diff): the
+    one-sample hash ladder lifted to the difference statistic — both
+    arms reweighted per replicate, 6-dp arm means differenced, order
+    statistics over the replicate diffs; cent-exact LONG sums."""
+    from metadata_etl_framework_spark.ops.stats import (
+        poisson_bootstrap_diff,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+        )
+        .otherwise("low")
+        .alias("prio"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    return poisson_bootstrap_diff(
+        o, "prio", "o_totalprice", "o_orderkey",
+        n_boot=100, alpha=0.05, value_scale=100,
+    )
+
+
+_ALL_QUERIES.update(
+    {"stats_bootstrap_diff_price": _stats_bootstrap_diff_price}
+)
+
+_ALL_SQL.update(
+    {
+        "stats_bootstrap_diff_price": f"""
+            WITH {_hash32_cte_sql(
+                "SELECT o_orderkey * 1000003 + r.b AS x, r.b AS rep, "
+                "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+                "THEN 'high' ELSE 'low' END AS g, "
+                "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) "
+                "AS BIGINT) AS val "
+                "FROM orders CROSS JOIN "
+                "(SELECT UNNEST(RANGE(0, 100)) AS b) r "
+                "WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
+            )},
+            weighted AS (SELECT rep, g, val,
+                                {_poisson1_case_sql("h / 4294967296.0")} AS w
+                         FROM hh),
+            gm AS (SELECT rep, g,
+                          ROUND(CAST(SUM(w * val) AS DOUBLE) / 100.0
+                                / SUM(w), 6) AS m
+                   FROM weighted GROUP BY 1, 2 HAVING SUM(w) > 0),
+            diffs AS (SELECT a.rep,
+                             ROUND(a.m - b.m, 6) AS d
+                      FROM gm a JOIN gm b
+                        ON a.rep = b.rep
+                       AND a.g = 'high' AND b.g = 'low'),
+            ranked AS (SELECT d,
+                              ROW_NUMBER() OVER (ORDER BY d, rep) AS rn,
+                              COUNT(*) OVER () AS r
+                       FROM diffs),
+            sel AS (SELECT MIN(CASE WHEN rn = FLOOR(0.025 * r) + 1
+                                    THEN d END) AS ci_lo,
+                           MIN(CASE WHEN rn = CEIL(0.975 * r)
+                                    THEN d END) AS ci_hi,
+                           ROUND(CAST(SUM(CAST(d AS DECIMAL(20,6)))
+                                      AS DOUBLE) / COUNT(*), 6)
+                               AS boot_mean_diff,
+                           CAST(COUNT(*) AS INTEGER) AS n_boot_used
+                    FROM ranked),
+            pt AS (SELECT
+                     COUNT(CASE WHEN g = 'high' THEN 1 END) AS n_a,
+                     COUNT(CASE WHEN g = 'low' THEN 1 END) AS n_b,
+                     ROUND(CAST(SUM(CASE WHEN g = 'high' THEN v END)
+                                AS DOUBLE) / 100.0
+                           / COUNT(CASE WHEN g = 'high' THEN 1 END), 6)
+                         AS mean_a,
+                     ROUND(CAST(SUM(CASE WHEN g = 'low' THEN v END)
+                                AS DOUBLE) / 100.0
+                           / COUNT(CASE WHEN g = 'low' THEN 1 END), 6)
+                         AS mean_b
+                   FROM (SELECT CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                     THEN 'high' ELSE 'low' END AS g,
+                                CAST(ROUND(CAST(o_totalprice AS DOUBLE)
+                                           * 100, 0) AS BIGINT) AS v
+                         FROM orders
+                         WHERE o_totalprice IS NOT NULL
+                           AND o_orderkey IS NOT NULL))
+            SELECT 'high' AS variant_a, CAST(n_a AS BIGINT) AS n_a,
+                   mean_a,
+                   'low' AS variant_b, CAST(n_b AS BIGINT) AS n_b,
+                   mean_b,
+                   ROUND(mean_a - mean_b, 6) AS point_diff,
+                   boot_mean_diff, ci_lo, ci_hi, n_boot_used
+            FROM pt, sel
+        """,
+    }
+)
+
+
+def _events_ljung_box(spark, sf_dir):
+    """Ljung–Box white-noise gate over the hourly value series
+    (ops/stats.py::ljung_box): acf_table's global-mean estimator,
+    Q(h)=n(n+2)Σr²/(n−k) by ordered running sum, χ² survival via the
+    Wilson–Hilferty cube-root normal + A&S tail — all SQL-replayable."""
+    from metadata_etl_framework_spark.ops.stats import ljung_box
+
+    ev = _t(spark, sf_dir, "events")
+    return ljung_box(ev, "ts", "value", bucket_seconds=3600, max_lag=6)
+
+
+_ALL_QUERIES.update({"events_ljung_box": _events_ljung_box})
+
+_ALL_SQL.update(
+    {
+        "events_ljung_box": f"""
+            WITH series AS (
+              SELECT FLOOR(EPOCH(ts) / 3600) AS i,
+                     CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                       / COUNT(*) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            stats AS (SELECT AVG(y) AS mu FROM series),
+            nn AS (SELECT COUNT(*) AS n FROM series),
+            centered AS (SELECT i, y - mu AS c FROM series, stats),
+            den AS (SELECT SUM(c * c) AS dn FROM centered),
+            acf AS (
+              SELECT CAST(s2.i - s1.i AS INTEGER) AS lag,
+                     ROUND(CASE WHEN dn > 0
+                           THEN SUM(s1.c * s2.c) / dn END, 6) AS r
+              FROM centered s1
+              JOIN centered s2
+                ON s2.i > s1.i AND s2.i <= s1.i + 6, den
+              GROUP BY 1, dn),
+            cum AS (
+              SELECT lag, r,
+                     CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                     * SUM(r * r / CAST(n - lag AS DOUBLE))
+                       OVER (ORDER BY lag
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS q
+              FROM acf, nn WHERE lag < n),
+            wh AS (
+              SELECT lag, r, q,
+                     (POWER(q / CAST(lag AS DOUBLE), 1.0 / 3.0)
+                      - (1.0 - 2.0 / (9.0 * CAST(lag AS DOUBLE))))
+                     / SQRT(2.0 / (9.0 * CAST(lag AS DOUBLE))) AS z
+              FROM cum),
+            pv AS (
+              SELECT lag, r, q,
+                     ROUND(LEAST(1.0, GREATEST(0.0,
+                         CASE WHEN z >= 0 THEN {_normal_sf_sql("z")}
+                              ELSE 1.0 - {_normal_sf_sql("(-z)")} END)),
+                         6) AS p
+              FROM wh)
+            SELECT lag, r AS acf, ROUND(q, 6) AS q_stat,
+                   p AS p_value, p < 0.05 AS white_noise_rejected
+            FROM pv ORDER BY lag
+        """,
+    }
+)
+
+
+def _nb_lang_docs(spark, sf_dir):
+    """Multinomial Naive Bayes language ID trained INSIDE the engine
+    (ops/classify.py::nb_train/nb_score): exact token-count sufficient
+    statistics, Laplace smoothing, 12-dp log weights, DECIMAL score
+    accumulation; resubstitution scoring over the same corpus — the
+    oracle replays train AND score to the last bit."""
+    from metadata_etl_framework_spark.ops.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = nb_train(d, "text", "lang", smoothing=1.0, min_count=2)
+    return nb_score(d, model, "text", "doc_id")
+
+
+_ALL_QUERIES.update({"nb_lang_docs": _nb_lang_docs})
+
+_ALL_SQL.update(
+    {
+        "nb_lang_docs": r"""
+            WITH base AS (
+              SELECT lang AS c,
+                     CASE WHEN TRIM(text) = '' THEN []
+                          ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)),
+                                                     '\s+') END AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL),
+            exploded AS (SELECT c, UNNEST(toks) AS t FROM base),
+            vocab AS (SELECT t FROM exploded
+                      GROUP BY t HAVING COUNT(*) >= 2),
+            pair AS (SELECT c, t, COUNT(*) AS cnt
+                     FROM exploded JOIN vocab USING (t)
+                     GROUP BY 1, 2),
+            totals AS (SELECT c, SUM(cnt) AS tc FROM pair GROUP BY 1),
+            vv AS (SELECT COUNT(*) AS v FROM vocab),
+            dc AS (SELECT c, COUNT(*) AS nc FROM base GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n FROM base),
+            priors AS (SELECT c AS label,
+                              ROUND(LN(CAST(nc AS DOUBLE) / n), 12)
+                                  AS prior
+                       FROM dc, nd),
+            tokw AS (SELECT pair.c AS label, pair.t,
+                            ROUND(LN((CAST(cnt AS DOUBLE) + 1.0)
+                                     / (CAST(tc AS DOUBLE) + 1.0 * v)),
+                                  12) AS w
+                     FROM pair JOIN totals ON pair.c = totals.c, vv),
+            defaults AS (SELECT c AS label,
+                                ROUND(LN(1.0
+                                         / (CAST(tc AS DOUBLE)
+                                            + 1.0 * v)), 12) AS d
+                         FROM totals, vv),
+            sdocs AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                          ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)),
+                                                     '\s+') END AS toks
+              FROM documents WHERE doc_id IS NOT NULL),
+            dt AS (SELECT doc_id, u.t
+                   FROM sdocs, UNNEST(toks) AS u(t)
+                   WHERE u.t IN (SELECT t FROM vocab)),
+            st AS (SELECT dt.doc_id, dl.label,
+                          COALESCE(tw.w, dl.d) AS lw
+                   FROM dt
+                   CROSS JOIN defaults dl
+                   LEFT JOIN tokw tw
+                     ON tw.label = dl.label AND tw.t = dt.t),
+            agg AS (SELECT doc_id, label,
+                           SUM(CAST(lw AS DECIMAL(28,12))) AS s,
+                           COUNT(*) AS nt
+                    FROM st GROUP BY 1, 2),
+            per_label AS (
+              SELECT d.doc_id, p.label,
+                     p.prior + COALESCE(CAST(a.s AS DOUBLE), 0.0)
+                         AS score,
+                     COALESCE(a.nt, 0) AS nt
+              FROM sdocs d
+              CROSS JOIN priors p
+              LEFT JOIN agg a
+                ON a.doc_id = d.doc_id AND a.label = p.label),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY doc_id
+                          ORDER BY score DESC, label ASC) AS rk
+              FROM per_label)
+            SELECT doc_id, label AS predicted_label,
+                   ROUND(score, 12) AS score,
+                   CAST(nt AS BIGINT) AS n_tokens
+            FROM ranked WHERE rk = 1
+            ORDER BY doc_id
         """,
     }
 )

@@ -35,9 +35,11 @@ from .sketch import hash32
 
 __all__ = [
     "poisson_bootstrap_ci",
+    "poisson_bootstrap_diff",
     "cuped_adjusted_effect",
     "fdr_bh",
     "theil_sen_trend",
+    "ljung_box",
 ]
 
 _DEC = "decimal(30,10)"
@@ -183,6 +185,153 @@ def poisson_bootstrap_ci(
         "ci_lo",
         "ci_hi",
         F.lit(int(n_boot)).cast("int").alias("n_boot"),
+    )
+
+
+def poisson_bootstrap_diff(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    max_boot: int = 10_000,
+    value_scale: int | None = None,
+) -> DataFrame:
+    """Percentile bootstrap CI of the DIFFERENCE in means between two
+    groups — the uncertainty readout an A/B summary actually needs
+    (the :func:`poisson_bootstrap_ci` machinery lifted to the
+    two-sample statistic; same hash ladder, same scale design: the
+    n_boot-row fan-out collapses map-side, the shuffle is
+    n_boot·2 rows per task regardless of data size).
+
+    Each replicate reweights BOTH arms with the same deterministic
+    per-(row, replicate) Poisson(1) weights, takes each arm's 6-dp
+    weighted mean, and differences them (group_a − group_b with groups
+    ordered ascending — deterministic orientation). Replicates where
+    either arm weights to zero are dropped (reported via
+    ``n_boot_used``). ``value_scale`` as in the one-sample form:
+    LONG-exact sums for grid-valued metrics.
+
+    Output: 1 row — (variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+    point_diff, boot_mean_diff, ci_lo, ci_hi — 6 dp,
+    n_boot_used int).
+    """
+    if not 1 <= n_boot <= max_boot:
+        raise ValueError(
+            f"n_boot={n_boot} outside [1, {max_boot}] — the fan-out "
+            f"multiplies the scan by n_boot; raise max_boot explicitly"
+        )
+    from pyspark.sql.types import NumericType
+
+    kt = df.schema[key_col].dataType
+    if not isinstance(kt, NumericType):
+        raise TypeError(
+            f"key_col {key_col!r} must be a numeric column for the "
+            f"replicate hash (got {kt.simpleString()}); hash a "
+            f"surrogate first, e.g. F.xxhash64(key)"
+        )
+    if value_scale is None:
+        val = F.col(value_col).cast("double").cast(_DEC)
+        denom = F.lit(1.0)
+    else:
+        if value_scale < 1:
+            raise ValueError(f"value_scale must be >= 1, got {value_scale}")
+        val = F.round(
+            F.col(value_col).cast("double") * F.lit(int(value_scale))
+        ).cast("long")
+        denom = F.lit(float(value_scale))
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(key_col).cast("long").alias("_k"),
+        val.alias("_v"),
+    )
+    groups = [
+        r["_g"] for r in base.select("_g").distinct().orderBy("_g").collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(
+            f"poisson_bootstrap_diff needs exactly 2 groups, got {groups}"
+        )
+    ga, gb = groups
+    reps = df.sparkSession.range(int(n_boot)).select(
+        F.col("id").cast("int").alias("_b")
+    )
+    rep = base.crossJoin(F.broadcast(reps))
+    u = hash32(F.col("_k") * F.lit(1000003) + F.col("_b")) / F.lit(_M32F)
+    weighted = rep.withColumn("_w", _poisson1_weight(u))
+    gm = (
+        weighted.groupBy("_b", "_g")
+        .agg(
+            F.sum("_w").alias("_n"),
+            F.sum(F.col("_w") * F.col("_v")).alias("_s"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "_b",
+            "_g",
+            F.round(
+                F.col("_s").cast("double") / denom / F.col("_n"), 6
+            ).alias("_m"),
+        )
+    )
+    diffs = (
+        gm.where(F.col("_g") == ga)
+        .select("_b", F.col("_m").alias("_ma"))
+        .join(
+            gm.where(F.col("_g") == gb).select(
+                "_b", F.col("_m").alias("_mb")
+            ),
+            "_b",
+        )
+        .select("_b", F.round(F.col("_ma") - F.col("_mb"), 6).alias("_d"))
+    )
+    w = Window.orderBy("_d", "_b")
+    ranked = diffs.withColumn("_rn", F.row_number().over(w))
+    lo = F.floor(F.lit(alpha / 2.0) * F.col("_r")) + 1
+    hi = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("_r"))
+    ci = (
+        ranked.withColumn("_r", F.count(F.lit(1)).over(Window.partitionBy()))
+        .agg(
+            F.min(F.when(F.col("_rn") == lo, F.col("_d"))).alias("ci_lo"),
+            F.min(F.when(F.col("_rn") == hi, F.col("_d"))).alias("ci_hi"),
+            F.round(
+                F.sum(F.col("_d").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boot_mean_diff"),
+            F.count(F.lit(1)).cast("int").alias("n_boot_used"),
+        )
+    )
+    ia = F.when(F.col("_g") == ga, F.col("_v"))
+    ib = F.when(F.col("_g") == gb, F.col("_v"))
+    ca = F.count(F.when(F.col("_g") == ga, F.lit(1)))
+    cb = F.count(F.when(F.col("_g") == gb, F.lit(1)))
+    ma = F.round(F.sum(ia).cast("double") / denom / ca, 6)
+    mb = F.round(F.sum(ib).cast("double") / denom / cb, 6)
+    point = base.agg(
+        ca.alias("n_a"),
+        cb.alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.round(ma - mb, 6).alias("point_diff"),
+    )
+    return point.crossJoin(ci).select(
+        F.lit(ga).alias("variant_a"),
+        F.col("n_a").cast("long").alias("n_a"),
+        "mean_a",
+        F.lit(gb).alias("variant_b"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "mean_b",
+        "point_diff",
+        "boot_mean_diff",
+        "ci_lo",
+        "ci_hi",
+        "n_boot_used",
     )
 
 
@@ -473,6 +622,96 @@ def theil_sen_trend(
     finally:
         pts.unpersist()
     return out
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Ljung–Box portmanteau test over the bucketed metric series —
+    "is there ANY autocorrelation up to lag h" as one number per h,
+    the white-noise gate a forecasting/monitoring pipeline runs before
+    trusting residual-based alerts (a significant Q says the residuals
+    still carry structure the model missed).
+
+    Builds on :func:`~metadata_etl_framework_spark.functions.aggregations.acf_table`
+    (same per-bucket series, same global-mean estimator):
+    Q(h) = n(n+2)·Σ_{k≤h} r_k²/(n−k), cumulated over the ≤ max_lag
+    ACF rows by an ordered running sum (sequential in both engines).
+    The p-value is the χ²_h survival via the Wilson–Hilferty cube-root
+    normal approximation through the A&S tail — pure
+    arithmetic+exp+pow, SQL-replayable; accurate to ~1e-3 for h ≥ 3.
+    Lags the irregular series breaks contribute no ACF row and are
+    simply absent from the cumulation (acf_table's documented gap
+    behavior). Lags ≥ n are dropped (the n−k denominator).
+
+    Output: (lag int, acf 6dp, q_stat 6dp, p_value 6dp,
+    white_noise_rejected bool — p < 0.05), ordered by lag; null
+    q/p on a constant series (acf null).
+    """
+    from metadata_etl_framework_spark.functions.aggregations import (
+        acf_table,
+    )
+
+    acf = acf_table(
+        df, ts_col, value_col,
+        bucket_seconds=bucket_seconds, max_lag=max_lag,
+    )
+    x = F.col(value_col).cast("double")
+    nser = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .select(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    base = (
+        acf.crossJoin(F.broadcast(nser))
+        .where(F.col("lag") < F.col("_n"))
+        .withColumn(
+            "_term",
+            F.col("acf") * F.col("acf")
+            / (F.col("_n") - F.col("lag")).cast("double"),
+        )
+    )
+    wcum = (
+        Window.orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nd = F.col("_n").cast("double")
+    q = nd * (nd + F.lit(2.0)) * F.sum("_term").over(wcum)
+    hd = F.col("lag").cast("double")
+    wh_mu = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * hd)
+    wh_sd = F.sqrt(F.lit(2.0) / (F.lit(9.0) * hd))
+    z = (F.pow(q / hd, F.lit(1.0) / F.lit(3.0)) - wh_mu) / wh_sd
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.when(z >= 0, normal_sf_col(z)).otherwise(
+                    F.lit(1.0) - normal_sf_col(-z)
+                ),
+            ),
+        ),
+        6,
+    )
+    return (
+        base.select(
+            F.col("lag"),
+            F.col("acf"),
+            F.round(q, 6).alias("q_stat"),
+            p.alias("p_value"),
+            (p < F.lit(0.05)).alias("white_noise_rejected"),
+        )
+        .orderBy("lag")
+    )
 
 
 def _grouped_median(df: DataFrame, g: str, v: str) -> DataFrame:

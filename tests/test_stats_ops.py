@@ -411,3 +411,94 @@ def test_cuped_large_offset_exact_theta(spark):
     # CUPED with a perfectly-correlated covariate: adjusted means of
     # both arms collapse to the same value -> adj_diff 0
     assert r["adj_diff"] == 0.0
+
+
+def test_bootstrap_diff_brackets_true_difference(spark):
+    from metadata_etl_framework_spark.ops.stats import (
+        poisson_bootstrap_diff,
+    )
+
+    # arm A mean ~60, arm B mean ~50 -> true diff 10
+    df = spark.range(1, 4001).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+        (
+            (F.col("id") % 100).cast("double")
+            + F.when(F.col("id") % 2 == 0, 10.0).otherwise(0.0)
+        ).alias("v"),
+    )
+    a = poisson_bootstrap_diff(df, "g", "v", "k", n_boot=60).collect()[0]
+    b = poisson_bootstrap_diff(df, "g", "v", "k", n_boot=60).collect()[0]
+    assert a == b  # hash-seeded -> fully deterministic
+    assert a["variant_a"] == "A" and a["variant_b"] == "B"
+    assert a["n_a"] == 2000 and a["n_b"] == 2000
+    assert a["ci_lo"] <= a["point_diff"] <= a["ci_hi"]
+    assert abs(a["point_diff"] - (a["mean_a"] - a["mean_b"])) < 1e-9
+    assert 5.0 < a["point_diff"] < 15.0
+    assert a["n_boot_used"] == 60
+
+
+def test_bootstrap_diff_needs_two_groups(spark):
+    from metadata_etl_framework_spark.ops.stats import (
+        poisson_bootstrap_diff,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("only").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        poisson_bootstrap_diff(df, "g", "v", "k", n_boot=5)
+
+
+def test_ljung_box_separates_noise_from_structure(spark):
+    from metadata_etl_framework_spark.ops.stats import ljung_box
+    import math
+
+    # hourly buckets: one value per hour so the bucket mean IS the
+    # series. Deterministic pseudo-noise vs a slow sine.
+    import random
+
+    rng = random.Random(3)
+    rows_noise, rows_sine = [], []
+    for i in range(200):
+        rows_noise.append((i, rng.random()))
+        rows_sine.append((i, math.sin(2 * math.pi * i / 48.0)))
+    import datetime
+
+    def frame(rows):
+        base = datetime.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(base + datetime.timedelta(hours=i), v) for i, v in rows],
+            "ts timestamp, value double",
+        )
+
+    noise = {r["lag"]: r for r in
+             ljung_box(frame(rows_noise), "ts", "value",
+                       3600, max_lag=6).collect()}
+    sine = {r["lag"]: r for r in
+            ljung_box(frame(rows_sine), "ts", "value",
+                      3600, max_lag=6).collect()}
+    assert set(noise) == set(range(1, 7))
+    # the sine's lag-structure must be detected decisively
+    assert sine[6]["p_value"] < 0.001 and sine[6]["white_noise_rejected"]
+    # the hash noise shows no structure at the 5% level
+    assert noise[6]["p_value"] > 0.05
+    assert not noise[6]["white_noise_rejected"]
+    # Q is cumulative: monotone nondecreasing in h
+    qs = [sine[h]["q_stat"] for h in range(1, 7)]
+    assert qs == sorted(qs)
+
+
+def test_ljung_box_constant_series_null(spark):
+    from metadata_etl_framework_spark.ops.stats import ljung_box
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=i), 5.0) for i in range(30)],
+        "ts timestamp, value double",
+    )
+    out = ljung_box(df, "ts", "value", 3600, max_lag=3).collect()
+    assert len(out) == 3
+    assert all(r["acf"] is None and r["q_stat"] is None for r in out)
