@@ -5312,6 +5312,8 @@ _EXTRA_KEYS = [
     "events_ljung_box",
     # Round 12: in-engine multinomial Naive Bayes (train + score).
     "nb_lang_docs",
+    # Round 12: mSPRT always-valid (anytime) p-value.
+    "events_ab_always_valid",
     "eval_stratified_ate_orders",
     "events_seasonal_decompose",
     "stats_welch_price",
@@ -14249,6 +14251,73 @@ _ALL_SQL.update(
                    CAST(nt AS BIGINT) AS n_tokens
             FROM ranked WHERE rk = 1
             ORDER BY doc_id
+        """,
+    }
+)
+
+
+def _events_ab_always_valid(spark, sf_dir):
+    """Always-valid (anytime) p-value for the parity-split purchase
+    experiment (ops/retention.py::ab_always_valid_p): the mSPRT
+    mixture likelihood ratio in closed form — the peeking-safe
+    companion to events_ab_test's fixed-horizon z."""
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_always_valid_p,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return ab_always_valid_p(ev, "variant", "converted", tau=1.0)
+
+
+_ALL_QUERIES.update({"events_ab_always_valid": _events_ab_always_valid})
+
+_ALL_SQL.update(
+    {
+        "events_ab_always_valid": r"""
+            WITH per_unit AS (
+              SELECT user_id,
+                     MAX(CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END)
+                       AS variant,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) AS conv
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+            pv AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+                   FROM per_unit GROUP BY variant),
+            two AS (
+              SELECT a.variant AS variant_a, a.n AS n_a, a.c AS c_a,
+                     b.variant AS variant_b, b.n AS n_b, b.c AS c_b
+              FROM pv a, pv b WHERE a.variant = 'A' AND b.variant = 'B'),
+            calc AS (
+              SELECT *,
+                     ((c_a + c_b) / (n_a + n_b))
+                     * (1 - (c_a + c_b) / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b) AS v,
+                     c_a / n_a - c_b / n_b AS theta
+              FROM two),
+            lrc AS (
+              SELECT *,
+                     CASE WHEN v > 0
+                          THEN SQRT(v / (v + 1.0))
+                               * EXP(theta * theta * 1.0
+                                     / (2.0 * v * (v + 1.0)))
+                          ELSE 1.0 END AS lr
+              FROM calc)
+            SELECT variant_a, CAST(n_a AS BIGINT) AS n_a,
+                   ROUND(c_a / n_a, 6) AS rate_a,
+                   variant_b, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(c_b / n_b, 6) AS rate_b,
+                   ROUND(theta, 6) AS effect,
+                   ROUND(lr, 6) AS mixture_lr,
+                   ROUND(LEAST(1.0, 1.0 / lr), 6) AS always_valid_p,
+                   ROUND(LEAST(1.0, 1.0 / lr), 6) < 0.05
+                       AS significant_95
+            FROM lrc
         """,
     }
 )

@@ -621,6 +621,99 @@ def ab_test_proportions(
     )
 
 
+def ab_always_valid_p(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    unit_col: str = "user_id",
+    tau: float = 1.0,
+) -> DataFrame:
+    """Always-valid p-value for the two-proportion comparison — the
+    mixture sequential probability ratio test (mSPRT; Johari et al.,
+    "Peeking at A/B Tests", KDD '17) in its normal-approximation
+    closed form. This is the anytime companion to
+    :func:`ab_test_proportions`: a fixed-horizon z-test is only valid
+    at ONE predetermined look, while 1/Λ̄ is a valid p-value at EVERY
+    peek (sup over time still controls type-I error), so a dashboard
+    can poll it continuously — exactly the gap the streaming monitor's
+    docstring warns about.
+
+    With θ̂ = p̂_a − p̂_b, V = p̂(1−p̂)(1/n_a + 1/n_b) (pooled), and a
+    N(0, τ) mixing prior over the effect:
+
+        Λ̄ = sqrt(V / (V + τ)) · exp(θ̂² · τ / (2·V·(V + τ)))
+        p  = min(1, 1/Λ̄)
+
+    Larger ``tau`` spends power on larger effects; 1.0 is a neutral
+    default for rate differences. Per-unit reduction, contamination
+    drop, and the exactly-two-variants contract are identical to
+    :func:`ab_test_proportions`. Pure sqrt/exp arithmetic on a 1-row
+    frame — SQL-replayable. Degenerate pooled rates (V = 0) report
+    p = 1 (no evidence against the null is extractable).
+
+    Output: 1 row — (variant_a, n_a, rate_a, variant_b, n_b, rate_b,
+    effect 6dp, mixture_lr 6dp, always_valid_p 6dp, significant_95).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.max(F.col(variant_col).cast("string")).alias("variant"),
+            F.countDistinct(F.col(variant_col).cast("string")).alias(
+                "_n_variants"
+            ),
+            F.max(F.col(converted_col).cast("int")).alias("conv"),
+        )
+        .where(F.col("_n_variants") == 1)
+    )
+    per_variant = (
+        per_unit.groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+        .orderBy("variant")
+    )
+    rows = per_variant.collect()
+    if len(rows) != 2:
+        raise ValueError(
+            f"ab_always_valid_p needs exactly 2 variants, got "
+            f"{[r['variant'] for r in rows]}"
+        )
+    (va, na, ca), (vb, nb, cb) = [
+        (r["variant"], r["n"], r["c"]) for r in rows
+    ]
+    spark = df.sparkSession
+    two = spark.createDataFrame(
+        [(va, na, ca, vb, nb, cb)],
+        "variant_a string, n_a long, c_a long, "
+        "variant_b string, n_b long, c_b long",
+    )
+    ra = F.col("c_a") / F.col("n_a")
+    rb = F.col("c_b") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    v = pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    theta = ra - rb
+    t = F.lit(float(tau))
+    lr = F.when(
+        v > 0,
+        F.sqrt(v / (v + t))
+        * F.exp(theta * theta * t / (F.lit(2.0) * v * (v + t))),
+    ).otherwise(F.lit(1.0))
+    p = F.least(F.lit(1.0), F.lit(1.0) / lr)
+    return two.select(
+        "variant_a",
+        "n_a",
+        F.round(ra, 6).alias("rate_a"),
+        "variant_b",
+        "n_b",
+        F.round(rb, 6).alias("rate_b"),
+        F.round(theta, 6).alias("effect"),
+        F.round(lr, 6).alias("mixture_lr"),
+        F.round(p, 6).alias("always_valid_p"),
+        (F.round(p, 6) < 0.05).alias("significant_95"),
+    )
+
+
 def rfm_segments(
     df: DataFrame,
     user_col: str = "o_custkey",

@@ -1028,3 +1028,61 @@ def test_rake_max_phrase_words_gate(spark):
     # the 7-word stopword-free run exceeds the cap -> dropped whole
     assert rake_keywords(docs, "text", max_phrase_words=4).count() == 0
     assert rake_keywords(docs, "text", max_phrase_words=7).count() == 1
+
+
+def test_ab_always_valid_p_properties(spark):
+    """mSPRT anytime p (ops/retention.py::ab_always_valid_p): a large
+    real effect drives p -> 0; a null effect keeps p at 1 (the mixture
+    LR <= 1 when theta = 0); monotone in evidence; closed form checked
+    against the python replica."""
+    import math
+
+    from pyspark.sql import functions as F
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_always_valid_p,
+    )
+
+    def frame(rate_a_num):
+        return spark.range(2000).select(
+            F.col("id").alias("user_id"),
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("v"),
+            F.when(
+                F.col("id") % 2 == 0,
+                (F.col("id") % 10) < rate_a_num,
+            ).otherwise((F.col("id") % 10) < 2).alias("c"),
+        )
+
+    strong = ab_always_valid_p(frame(8), "v", "c").first()
+    null = ab_always_valid_p(frame(2), "v", "c").first()
+    assert strong["always_valid_p"] < 0.001
+    assert strong["significant_95"]
+    assert null["always_valid_p"] == 1.0 and not null["significant_95"]
+    # closed-form replica on the strong arm
+    n_a, n_b = strong["n_a"], strong["n_b"]
+    ca = round(strong["rate_a"] * n_a)
+    cb = round(strong["rate_b"] * n_b)
+    pooled = (ca + cb) / (n_a + n_b)
+    v = pooled * (1 - pooled) * (1 / n_a + 1 / n_b)
+    theta = ca / n_a - cb / n_b
+    lr = math.sqrt(v / (v + 1.0)) * math.exp(
+        theta * theta / (2.0 * v * (v + 1.0))
+    )
+    assert strong["always_valid_p"] == round(min(1.0, 1.0 / lr), 6)
+
+
+def test_ab_always_valid_p_gates(spark):
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_always_valid_p,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("user_id"), F.lit("A").alias("v"),
+        F.lit(True).alias("c"),
+    )
+    with _pt.raises(ValueError, match="tau"):
+        ab_always_valid_p(df, "v", "c", tau=0.0)
+    with _pt.raises(ValueError, match="exactly 2"):
+        ab_always_valid_p(df, "v", "c")
