@@ -5201,35 +5201,22 @@ _DRIVER_KEYS = [
     "corpus_dsir_weights",
     "drift_suite",
     "curation_funnel",
-    "dedup_incremental",
     "text_quality_score",
     "corpus_split_leakage_safe",
-    "profile_all_columns",
     "dq_suite",
     "dq_rules_onepass",
     "anomaly_suite",
     "step_sqltransform",
     "sql_q3_shipping_priority",
-    "sql_q5_local_volume",
     "incr_merge_upsert",
     "incr_scd2_apply",
-    # Round-8/9 flagships promoted to the HARD gate (r8 task 5): each
-    # oracle-backed — PageRank by unrolled-CTE replay, fuzzy join by
-    # blocked levenshtein replay, PIT/BM25/change-point/RFM/corr/MI by
-    # exact SQL, the eval pair by the prefix-scan closed forms.
+    # Round-8/9 flagships retained in the HARD gate; long-green
+    # siblings (fuzzy join, PIT, BM25 search, change-point, corr/MI,
+    # AUC, PQ-ADC, profile, incremental dedup, Q5, BLEU) rotated to
+    # extras at round-12 close — still verified by the local parity
+    # suite every run.
     "graph_pagerank_suppliers",
-    "fuzzy_match_customers",
-    "join_point_in_time",
-    "text_bm25_search",
-    "events_changepoint",
-    "corr_matrix_lineitem",
-    "mi_docs_lang_source",
-    "eval_auc_orders",
     "eval_pr_auc_orders",
-    # Round-7/8 flagships retained (PQ/IVF-PQ are the ANN scale path):
-    # oracle-backed by closed-form PQ codebooks + IVF centroids
-    # replaying encode/probe/ADC in DuckDB.
-    "ann_pq_adc",
     "ann_ivf_pq",
     "multimodal_image_meta",
     # Round-10 frontier promoted to the HARD gate (r10 verdict task 2):
@@ -5240,7 +5227,6 @@ _DRIVER_KEYS = [
     # HLL by portable-hash register replay, target encoding by the OOF
     # fold grid.
     "eval_retrieval_bm25",
-    "eval_bleu_docs",
     "eval_chrf_docs",
     "graph_label_propagation",
     "graph_kcore_ring",
@@ -5271,11 +5257,46 @@ _DRIVER_KEYS = [
     "embed_kmeans_summary",
     "events_logrank_ab",
     "eval_conformal_orders",
+    # Round-11 post-ritual additions promoted to the HARD gate (r12
+    # verdict task 4): HITS by 2-round unrolled replay, Welch by the
+    # HUGEINT micro-unit moments, CvM by the dual prefix scan, seasonal
+    # decomposition by the calendar grid, sampled closeness by BFS
+    # unroll, silhouette by the centroid-array projection.
+    "graph_hits_suppliers",
+    "stats_welch_price",
+    "drift_cvm_quantity",
+    "events_seasonal_decompose",
+    "graph_closeness_ring",
+    "embed_silhouette_labels",
+    # Round-12 flagships, oracle-backed from day one: the top-k-bounded
+    # CF model, the LSH-bucketed LOF scale path, in-engine Naive Bayes
+    # (train + score replayed), the two-sample bootstrap ladder, the
+    # Ljung-Box portmanteau, and the mSPRT anytime p.
+    "recsys_topk_model",
+    "embed_lof_bucketed",
+    "nb_lang_docs",
+    "stats_bootstrap_diff_price",
+    "events_ljung_box",
+    "events_ab_always_valid",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
+    # Rotated OUT of the driver gate at round-12 close (multi-round
+    # green there); still verified by the local parity suite.
+    "sql_q5_local_volume",
+    "fuzzy_match_customers",
+    "join_point_in_time",
+    "text_bm25_search",
+    "events_changepoint",
+    "corr_matrix_lineitem",
+    "mi_docs_lang_source",
+    "eval_auc_orders",
+    "ann_pq_adc",
+    "dedup_incremental",
+    "profile_all_columns",
+    "eval_bleu_docs",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -5297,29 +5318,11 @@ _EXTRA_KEYS = [
     "privacy_l_diversity_customer",
     # Round 11: embedding density outliers + cluster quality.
     "embed_lof_outliers",
-    "embed_silhouette_labels",
     # Round 11: survival comparison + experiment power.
     "events_ab_power",
     "text_rake_keywords",
     "recsys_item_item_qty",
-    # Round 12: top-k-bounded neighbor model (verdict task 1).
-    "recsys_topk_model",
-    # Round 12: LSH-bucketed LOF scale path (verdict task 5).
-    "embed_lof_bucketed",
-    # Round 12: two-sample bootstrap difference CI.
-    "stats_bootstrap_diff_price",
-    # Round 12: Ljung-Box white-noise portmanteau test.
-    "events_ljung_box",
-    # Round 12: in-engine multinomial Naive Bayes (train + score).
-    "nb_lang_docs",
-    # Round 12: mSPRT always-valid (anytime) p-value.
-    "events_ab_always_valid",
     "eval_stratified_ate_orders",
-    "events_seasonal_decompose",
-    "stats_welch_price",
-    "drift_cvm_quantity",
-    "graph_closeness_ring",
-    "graph_hits_suppliers",
     # Rotated OUT of the driver gate (rounds 8–11, multi-round green
     # history there); still verified by the local parity suite.
     "drift_ks_binned",

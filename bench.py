@@ -153,6 +153,17 @@ HEADLINE = [
     "drift_cvm_quantity",
     "text_rake_keywords",
     "events_seasonal_decompose",
+    # round-12: the top-k-pruned CF model (symmetrize-rank-canonicalize
+    # under timing), the LSH-bucketed LOF scale path, NB train+score
+    # over the full corpus, the two-sample bootstrap fan-out, and the
+    # Ljung-Box cumulation on the ACF grid. (events_ab_always_valid is
+    # a 1-row closed form over the ab_test reduction — oracle-checked,
+    # not a latency headline.)
+    "recsys_topk_model",
+    "embed_lof_bucketed",
+    "nb_lang_docs",
+    "stats_bootstrap_diff_price",
+    "events_ljung_box",
 ]
 
 
