@@ -5297,6 +5297,8 @@ _EXTRA_KEYS = [
     "dedup_incremental",
     "profile_all_columns",
     "eval_bleu_docs",
+    # Round 12: in-engine IRLS logistic regression.
+    "glm_logit_orders",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -14321,6 +14323,95 @@ _ALL_SQL.update(
                    ROUND(LEAST(1.0, 1.0 / lr), 6) < 0.05
                        AS significant_95
             FROM lrc
+        """,
+    }
+)
+
+
+def _glm_logit_orders(spark, sf_dir):
+    """In-engine IRLS logistic regression (ops/glm.py::logistic_train):
+    P(urgent | price) with intercept + scaled price, 3 Newton steps —
+    each ONE aggregation pass collecting pico-int gradient/Hessian
+    sums, coefficients rounded to 12 dp between passes; the oracle
+    unrolls the full training loop as CTEs (HUGEINT sums + the same
+    closed-form 2×2 solve) and reproduces the betas bit-exactly."""
+    from metadata_etl_framework_spark.ops.glm import logistic_train
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        (F.col("o_totalprice").cast("double") / F.lit(100000.0)).alias(
+            "x1"
+        ),
+    )
+    return logistic_train(
+        o, ["x1"], "urgent", iterations=3, ridge=1e-6
+    )
+
+
+_ALL_QUERIES.update({"glm_logit_orders": _glm_logit_orders})
+
+
+def _logit_iter_sql(i: int) -> str:
+    prev = f"b{i - 1}"
+    return f"""
+            p{i} AS (SELECT y, x1,
+                            1.0 / (1.0 + EXP(-GREATEST(LEAST(
+                                b0 + b1 * x1, 30.0), -30.0))) AS p
+                     FROM base, {prev}),
+            s{i} AS (SELECT COUNT(*) AS n,
+                            SUM(CAST(ROUND((y - p) * 1000000000000.0,
+                                           0) AS HUGEINT)) AS g0,
+                            SUM(CAST(ROUND((y - p) * x1
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS g1,
+                            SUM(CAST(ROUND(p * (1.0 - p)
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS h00,
+                            SUM(CAST(ROUND(p * (1.0 - p) * x1
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS h01,
+                            SUM(CAST(ROUND(p * (1.0 - p) * x1 * x1
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS h11
+                     FROM p{i}),
+            d{i} AS (SELECT n,
+                            CAST(g0 AS DOUBLE) AS g0d,
+                            CAST(g1 AS DOUBLE) AS g1d,
+                            CAST(h00 + 1000000 AS DOUBLE) AS h00d,
+                            CAST(h01 AS DOUBLE) AS h01d,
+                            CAST(h11 + 1000000 AS DOUBLE) AS h11d
+                     FROM s{i}),
+            b{i} AS (SELECT n,
+                            ROUND((SELECT b0 FROM {prev})
+                                  + (h11d * g0d - h01d * g1d)
+                                    / (h00d * h11d - h01d * h01d),
+                                  12) AS b0,
+                            ROUND((SELECT b1 FROM {prev})
+                                  + (h00d * g1d - h01d * g0d)
+                                    / (h00d * h11d - h01d * h01d),
+                                  12) AS b1
+                     FROM d{i})"""
+
+
+_ALL_SQL.update(
+    {
+        "glm_logit_orders": f"""
+            WITH base AS (
+              SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1.0 ELSE 0.0 END AS y,
+                     CAST(o_totalprice AS DOUBLE) / 100000.0 AS x1
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+            b0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+            {",".join(_logit_iter_sql(i) for i in (1, 2, 3))}
+            SELECT '_intercept' AS term, b0 AS beta,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(3 AS INTEGER) AS iterations
+            FROM b3
+            UNION ALL
+            SELECT 'x1', b1, CAST(n AS BIGINT), CAST(3 AS INTEGER)
+            FROM b3
         """,
     }
 )

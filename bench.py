@@ -164,6 +164,9 @@ HEADLINE = [
     "nb_lang_docs",
     "stats_bootstrap_diff_price",
     "events_ljung_box",
+    # round-12 second sweep: 3 Newton passes over the full orders scan
+    # (the iterative-GLM cost under timing)
+    "glm_logit_orders",
 ]
 
 

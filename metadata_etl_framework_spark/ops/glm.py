@@ -1,0 +1,176 @@
+"""In-engine logistic regression — IRLS/Newton over exact integer
+sufficient statistics, the second trainable model (after
+ops/classify.py's Naive Bayes) that needs NO ML runtime: each Newton
+step is ONE aggregation pass collecting the d×d Hessian and d-vector
+gradient as pico-unit (×10¹²) integer sums, the tiny solve happens on
+the driver, and the new coefficients re-enter the next pass as plan
+literals.
+
+The reference's analytics plane has no trainable-model surface
+(cf. /root/reference/src/transformations/transform_engine.py);
+beyond-reference capability. Logistic regression is chosen because its
+sufficient statistics are per-row products — the whole training loop
+is engine-replayable: an oracle can unroll the fixed iteration count
+as CTEs and reproduce the coefficients to the last bit.
+
+Scale design:
+- One scan per Newton iteration, no caching requirement (iterations
+  are few and bounded); work per row is O(d²) for the Hessian upper
+  triangle with ``max_features`` keeping d small — the regime where
+  Newton is the right distributed algorithm (d×d solve is free on the
+  driver; SGD's sequential dependence is what does NOT distribute).
+- Determinism (the welch_t_test micro-unit discipline): per-row terms
+  round to pico-ints via the multiply-first convention and sum as
+  DECIMAL(38,0) — merge-order free, engine-exact; the solve runs on
+  integer→double casts (IEEE-identical everywhere) with a fixed
+  closed-form 2×2 path mirrored by the SQL oracle, and coefficients
+  round to 12 dp between iterations so every pass starts from
+  identical literals in any engine.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["logistic_train"]
+
+_SCALE = 10**12
+_ZCLAMP = 30.0
+
+
+def _sigmoid(z):
+    zc = F.greatest(F.least(z, F.lit(_ZCLAMP)), F.lit(-_ZCLAMP))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+
+
+def _solve(h: "list[list[float]]", g: "list[float]") -> "list[float]":
+    """Solve H·δ = g. d=2 uses the EXACT closed form the SQL oracle
+    mirrors (adjugate over determinant, same op order); d>2 uses
+    Gaussian elimination with partial pivoting (deterministic, but not
+    oracle-mirrored — register such models as rows-only entries)."""
+    d = len(g)
+    if d == 2:
+        det = h[0][0] * h[1][1] - h[0][1] * h[0][1]
+        if det == 0:
+            raise ValueError("logistic_train: singular Hessian (det=0)")
+        return [
+            (h[1][1] * g[0] - h[0][1] * g[1]) / det,
+            (h[0][0] * g[1] - h[0][1] * g[0]) / det,
+        ]
+    a = [row[:] + [g[i]] for i, row in enumerate(h)]
+    for col in range(d):
+        piv = max(range(col, d), key=lambda r: abs(a[r][col]))
+        if a[piv][col] == 0:
+            raise ValueError("logistic_train: singular Hessian")
+        a[col], a[piv] = a[piv], a[col]
+        for r in range(d):
+            if r != col:
+                f = a[r][col] / a[col][col]
+                for c in range(col, d + 1):
+                    a[r][c] -= f * a[col][c]
+    return [a[i][d] / a[i][i] for i in range(d)]
+
+
+def logistic_train(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    iterations: int = 3,
+    ridge: float = 1e-6,
+    max_features: int = 8,
+) -> DataFrame:
+    """Train P(y=1|x) = σ(β₀ + Σ βⱼ·xⱼ) by ``iterations`` Newton/IRLS
+    steps from β = 0.
+
+    Per step, one aggregation pass computes (all as exact pico-int
+    DECIMAL(38,0) sums of 12-dp-rounded per-row terms):
+    gradient gⱼ = Σ (y − p)·xⱼ and Hessian Hⱼₖ = Σ p(1−p)·xⱼ·xₖ
+    (+ ridge·I — kept OUT of the integer sums and added exactly on the
+    driver), then β ← β + H⁻¹g with coefficients rounded to 12 dp. The
+    logit is clamped to ±30 before exp (overflow guard; identical
+    clamp in the oracle). Rows with any NULL feature/label are
+    excluded; ``label_col`` casts through boolean (0/1).
+
+    Standardize or pre-scale features yourself — Newton converges in
+    a handful of steps on O(1)-magnitude features, and the pico-int
+    grid assumes per-row terms ≤ ~1e13.
+
+    Output: one row per coefficient — (term string: '_intercept' then
+    feature names, beta 12 dp, n_rows long, iterations int), ordered
+    with the intercept first then feature order.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if len(feature_cols) > max_features:
+        raise ValueError(
+            f"logistic_train: {len(feature_cols)} features > "
+            f"max_features={max_features} — the per-row Hessian work "
+            f"is O(d²); raise the gate explicitly for genuinely wide "
+            f"models"
+        )
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        F.col(label_col).cast("boolean").cast("int").cast("double").alias(
+            "_y"
+        ),
+        *[
+            F.col(c).cast("double").alias(f"_x{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    d = len(feature_cols) + 1
+    xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
+    betas = [0.0] * d
+    n_rows = None
+    ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
+    for _ in range(int(iterations)):
+        z = F.lit(betas[0])
+        for j in range(1, d):
+            z = z + F.lit(betas[j]) * xs[j]
+        p = _sigmoid(z)
+        w = p * (F.lit(1.0) - p)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for j in range(d):
+            aggs.append(
+                F.sum(
+                    F.round((F.col("_y") - p) * xs[j] * F.lit(1e12))
+                    .cast("decimal(38,0)")
+                ).alias(f"_g{j}")
+            )
+        for j in range(d):
+            for k in range(j, d):
+                aggs.append(
+                    F.sum(
+                        F.round(w * xs[j] * xs[k] * F.lit(1e12))
+                        .cast("decimal(38,0)")
+                    ).alias(f"_h{j}{k}")
+                )
+        row = base.agg(*aggs).collect()[0]
+        n_rows = int(row["_n"])
+        if n_rows == 0:
+            raise ValueError("logistic_train: no usable rows")
+        g = [float(int(row[f"_g{j}"])) for j in range(d)]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(int(row[f"_h{j}{k}"]) + (ridge_i if j == k else 0))
+                h[j][k] = v
+                h[k][j] = v
+        delta = _solve(h, g)
+        betas = [round(betas[j] + delta[j], 12) for j in range(d)]
+    spark = df.sparkSession
+    terms = ["_intercept"] + list(feature_cols)
+    return spark.createDataFrame(
+        [
+            (i, t, betas[i], n_rows, int(iterations))
+            for i, t in enumerate(terms)
+        ],
+        "ord int, term string, beta double, n_rows long, iterations int",
+    ).orderBy("ord").drop("ord")

@@ -1,0 +1,101 @@
+"""Unit tests for ops/glm.py — in-engine IRLS logistic regression."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.ops.glm import logistic_train
+
+
+def test_logit_recovers_separating_direction(spark):
+    # y depends on x through a steep logistic: recovered slope must be
+    # strongly positive, intercept near -2 (P(y|x=0) = sigmoid(-2))
+    df = spark.range(4000).select(
+        ((F.col("id") % 40).cast("double") / 10.0).alias("x"),
+        # deterministic threshold stand-in for sampling: y = 1 where
+        # sigmoid(2x - 4) > (hash-based uniform)
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(2.0) * (F.col("id") % 40).cast("double")
+                        / 10.0
+                        - 4.0
+                    )
+                )
+            )
+            > (F.abs(F.hash("id")) % 1000).cast("double") / 1000.0
+        ).alias("y"),
+    )
+    out = {r["term"]: r for r in
+           logistic_train(df, ["x"], "y", iterations=6).collect()}
+    assert set(out) == {"_intercept", "x"}
+    assert out["x"]["beta"] > 1.0
+    assert out["_intercept"]["beta"] < -1.0
+    assert out["x"]["n_rows"] == 4000 and out["x"]["iterations"] == 6
+
+
+def test_logit_matches_python_replica_exactly(spark):
+    """The strongest pin: replicate the IRLS loop in pure python with
+    the identical pico-int rounding and 2x2 closed form — coefficients
+    must match to the last bit."""
+    rows = [(float(i % 7) / 3.0, (i % 3 == 0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    out = {r["term"]: r["beta"] for r in
+           logistic_train(df, ["x"], "y", iterations=3,
+                          ridge=1e-6).collect()}
+
+    b0, b1 = 0.0, 0.0
+    ridge_i = 10**6
+    for _ in range(3):
+        g0i = g1i = h00i = h01i = h11i = 0
+        for x, yb in rows:
+            y = 1.0 if yb else 0.0
+            z = b0 + b1 * x
+            zc = max(min(z, 30.0), -30.0)
+            p = 1.0 / (1.0 + math.exp(-zc))
+            w = p * (1.0 - p)
+            # mirror Spark's expression order: ((y-p)*xj)*1e12
+            g0i += round((y - p) * 1.0 * 1e12)
+            g1i += round((y - p) * x * 1e12)
+            h00i += round(w * 1.0 * 1.0 * 1e12)
+            h01i += round(w * 1.0 * x * 1e12)
+            h11i += round(w * x * x * 1e12)
+        h00 = float(h00i + ridge_i)
+        h11 = float(h11i + ridge_i)
+        h01 = float(h01i)
+        g0, g1 = float(g0i), float(g1i)
+        det = h00 * h11 - h01 * h01
+        b0 = round(b0 + (h11 * g0 - h01 * g1) / det, 12)
+        b1 = round(b1 + (h00 * g1 - h01 * g0) / det, 12)
+    assert out["_intercept"] == b0
+    assert out["x"] == b1
+
+
+def test_logit_gates(spark):
+    df = spark.createDataFrame([(1.0, True)], "x double, y boolean")
+    with pytest.raises(ValueError, match="non-empty"):
+        logistic_train(df, [], "y")
+    with pytest.raises(ValueError, match="max_features"):
+        logistic_train(df, [f"x{i}" for i in range(9)], "y")
+    with pytest.raises(ValueError, match="iterations"):
+        logistic_train(df, ["x"], "y", iterations=0)
+
+
+def test_logit_multifeature_gaussian_path(spark):
+    # d=3 exercises the Gaussian-elimination branch; constructed so
+    # only x1 carries signal
+    df = spark.range(2000).select(
+        ((F.col("id") % 20).cast("double") / 5.0).alias("x1"),
+        ((F.col("id") % 7).cast("double") / 7.0).alias("x2"),
+        ((F.col("id") % 20) >= 10).alias("y"),
+    )
+    out = {r["term"]: r["beta"] for r in
+           logistic_train(df, ["x1", "x2"], "y", iterations=5).collect()}
+    assert out["x1"] > 1.0
+    assert abs(out["x2"]) < abs(out["x1"]) / 2
