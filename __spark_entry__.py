@@ -5297,8 +5297,11 @@ _EXTRA_KEYS = [
     "dedup_incremental",
     "profile_all_columns",
     "eval_bleu_docs",
-    # Round 12: in-engine IRLS logistic regression.
+    # Round 12: in-engine IRLS logistic regression + closed-form OLS.
     "glm_logit_orders",
+    "glm_linear_lineitem",
+    # Round 12: deterministic random walks (hash-seeded sampling).
+    "graph_walks_bipartite",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -14412,6 +14415,168 @@ _ALL_SQL.update(
             UNION ALL
             SELECT 'x1', b1, CAST(n AS BIGINT), CAST(3 AS INTEGER)
             FROM b3
+        """,
+    }
+)
+
+
+def _glm_linear_lineitem(spark, sf_dir):
+    """Closed-form OLS (ops/glm.py::linear_train): price-per-quantity
+    line over lineitem from ONE aggregation pass of pico-int normal-
+    equation sums; R² from the SAME sums (no second pass). The oracle
+    replays sums, 2×2 solve and R² arithmetic bit-exactly."""
+    from metadata_etl_framework_spark.ops.glm import linear_train
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("double") / F.lit(10.0)).alias("x1"),
+        (F.col("l_extendedprice").cast("double") / F.lit(100000.0))
+        .alias("y"),
+    )
+    return linear_train(li, ["x1"], "y")
+
+
+_ALL_QUERIES.update({"glm_linear_lineitem": _glm_linear_lineitem})
+
+_ALL_SQL.update(
+    {
+        "glm_linear_lineitem": """
+            WITH base AS (
+              SELECT CAST(l_quantity AS DOUBLE) / 10.0 AS x1,
+                     CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            s AS (SELECT COUNT(*) AS n,
+                         SUM(CAST(ROUND(y * y * 1000000000000.0, 0)
+                                  AS HUGEINT)) AS yy,
+                         SUM(CAST(ROUND(y * 1000000000000.0, 0)
+                                  AS HUGEINT)) AS g0,
+                         SUM(CAST(ROUND(x1 * y * 1000000000000.0, 0)
+                                  AS HUGEINT)) AS g1,
+                         SUM(CAST(ROUND(1000000000000.0, 0)
+                                  AS HUGEINT)) AS h00,
+                         SUM(CAST(ROUND(x1 * 1000000000000.0, 0)
+                                  AS HUGEINT)) AS h01,
+                         SUM(CAST(ROUND(x1 * x1 * 1000000000000.0, 0)
+                                  AS HUGEINT)) AS h11
+                  FROM base),
+            d AS (SELECT n,
+                         CAST(yy AS DOUBLE) AS yyd,
+                         CAST(g0 AS DOUBLE) AS g0d,
+                         CAST(g1 AS DOUBLE) AS g1d,
+                         CAST(h00 AS DOUBLE) AS h00d,
+                         CAST(h01 AS DOUBLE) AS h01d,
+                         CAST(h11 AS DOUBLE) AS h11d
+                  FROM s),
+            b AS (SELECT *,
+                         ROUND((h11d * g0d - h01d * g1d)
+                               / (h00d * h11d - h01d * h01d), 12)
+                             AS b0,
+                         ROUND((h00d * g1d - h01d * g0d)
+                               / (h00d * h11d - h01d * h01d), 12)
+                             AS b1
+                  FROM d),
+            r AS (SELECT *,
+                         yyd - 2.0 * (b0 * g0d + b1 * g1d)
+                         + (b0 * h00d * b0 + b0 * h01d * b1
+                            + b1 * h01d * b0 + b1 * h11d * b1) AS sse,
+                         yyd - g0d * g0d / h00d AS sst
+                  FROM b)
+            SELECT '_intercept' AS term, b0 AS beta,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN sst > 0
+                        THEN ROUND(1.0 - sse / sst, 6) END AS r2
+            FROM r
+            UNION ALL
+            SELECT 'x1', b1, CAST(n AS BIGINT),
+                   CASE WHEN sst > 0
+                        THEN ROUND(1.0 - sse / sst, 6) END
+            FROM r
+        """,
+    }
+)
+
+
+def _graph_walks_bipartite(spark, sf_dir):
+    """Deterministic uniform random walks (ops/graph.py::random_walks)
+    over the customer↔supplier bipartite graph (suppliers offset by
+    1e6): hash-seeded neighbor choice instead of RNG state, so the
+    oracle replays the exact walk corpus — the sampling primitive
+    under DeepWalk-style embeddings and Monte-Carlo PageRank."""
+    from metadata_etl_framework_spark.ops.graph import random_walks
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+    )
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return random_walks(edges, walk_length=3, seed=1)
+
+
+_ALL_QUERIES.update({"graph_walks_bipartite": _graph_walks_bipartite})
+
+
+def _walk_step_sql(t: int) -> str:
+    # hash32 replay inline (x % 2^31 → Knuth multiply → xor-shift →
+    # multiply → xor-shift), seed=1 folded into the additive constant
+    return f"""
+            w{t} AS (
+              SELECT q.start, nb._d AS cur
+              FROM (
+                SELECT start, cur, xor(b2, b2 >> 16) AS h
+                FROM (
+                  SELECT start, cur,
+                         (xor(a2, a2 >> 16) * 73244475)
+                         % 4294967296 AS b2
+                  FROM (
+                    SELECT start, cur,
+                           ((((cur % 2147483648) * 1000003
+                              + (start % 65521) * 257 + {t + 7919})
+                             % 2147483648) * 2654435761)
+                           % 4294967296 AS a2
+                    FROM w{t - 1}) qa) qb) q
+              JOIN nbrs nb
+                ON nb._s = q.cur AND nb._idx = q.h % nb._deg)"""
+
+
+_ALL_SQL.update(
+    {
+        "graph_walks_bipartite": f"""
+            WITH pair AS (
+              SELECT DISTINCT o_custkey AS c,
+                              l_suppkey + 1000000 AS s
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            edges AS (
+              SELECT c AS src, s AS dst FROM pair
+              UNION
+              SELECT s, c FROM pair),
+            nbrs AS (
+              SELECT src AS _s, dst AS _d,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY dst) - 1 AS _idx,
+                     COUNT(*) OVER (PARTITION BY src) AS _deg
+              FROM edges
+              WHERE src IS NOT NULL AND dst IS NOT NULL),
+            w0 AS (SELECT DISTINCT _s AS start, _s AS cur FROM nbrs),
+            {",".join(_walk_step_sql(t) for t in (1, 2, 3))}
+            SELECT start, CAST(0 AS INTEGER) AS step,
+                   CAST(cur AS BIGINT) AS node FROM w0
+            UNION ALL
+            SELECT start, CAST(1 AS INTEGER), CAST(cur AS BIGINT)
+            FROM w1
+            UNION ALL
+            SELECT start, CAST(2 AS INTEGER), CAST(cur AS BIGINT)
+            FROM w2
+            UNION ALL
+            SELECT start, CAST(3 AS INTEGER), CAST(cur AS BIGINT)
+            FROM w3
+            ORDER BY start, step
         """,
     }
 )

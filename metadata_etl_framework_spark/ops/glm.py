@@ -35,7 +35,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_train"]
+__all__ = ["logistic_train", "linear_train"]
 
 _SCALE = 10**12
 _ZCLAMP = 30.0
@@ -72,6 +72,123 @@ def _solve(h: "list[list[float]]", g: "list[float]") -> "list[float]":
                 for c in range(col, d + 1):
                     a[r][c] -= f * a[col][c]
     return [a[i][d] / a[i][i] for i in range(d)]
+
+
+def linear_train(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    ridge: float = 0.0,
+    max_features: int = 8,
+) -> DataFrame:
+    """Multi-feature OLS/ridge regression in ONE aggregation pass — the
+    normal equations (XᵀX + λI)β = Xᵀy solved on the driver from exact
+    pico-int sufficient statistics (the :func:`logistic_train`
+    machinery without the iteration: linear least squares IS its
+    single Newton step).
+
+    Per-row terms xⱼ·xₖ, xⱼ·y, y² round to pico-ints (multiply-first)
+    and sum as DECIMAL(38,0); the d×d solve uses the closed-form 2×2
+    path (SQL-oracle-mirrored) or partial-pivot elimination for wider
+    models. R² is computed from the SAME collected sums via
+    SSE = Σy² − 2βᵀXᵀy + βᵀ(XᵀX)β — no second data pass. Intercept is
+    implicit (x₀ = 1). Standardize large-magnitude features yourself
+    (pico-int grid assumes per-row terms ≤ ~1e13).
+
+    Output: one row per coefficient — (term: '_intercept' then feature
+    names, beta 12 dp, n_rows long, r2 6 dp), intercept first.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if len(feature_cols) > max_features:
+        raise ValueError(
+            f"linear_train: {len(feature_cols)} features > "
+            f"max_features={max_features}"
+        )
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    d = len(feature_cols) + 1
+    xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.round(F.col("_y") * F.col("_y") * F.lit(1e12)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_yy"),
+    ]
+    for j in range(d):
+        aggs.append(
+            F.sum(
+                F.round(xs[j] * F.col("_y") * F.lit(1e12)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"_g{j}")
+        )
+    for j in range(d):
+        for k in range(j, d):
+            aggs.append(
+                F.sum(
+                    F.round(xs[j] * xs[k] * F.lit(1e12)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias(f"_h{j}{k}")
+            )
+    row = base.agg(*aggs).collect()[0]
+    n_rows = int(row["_n"])
+    if n_rows == 0:
+        raise ValueError("linear_train: no usable rows")
+    ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
+    g = [float(int(row[f"_g{j}"])) for j in range(d)]
+    h = [[0.0] * d for _ in range(d)]
+    for j in range(d):
+        for k in range(j, d):
+            v = float(int(row[f"_h{j}{k}"]) + (ridge_i if j == k else 0))
+            h[j][k] = v
+            h[k][j] = v
+    betas = [round(b, 12) for b in _solve(h, g)]
+    # R² from the same sums: SSE = Σy² − 2βᵀg + βᵀHβ (H here WITHOUT
+    # ridge — use the raw integer sums), SST = Σy² − (Σy)²/n; the Σy
+    # and Σ1 terms live inside g0/h00 (x₀ = 1)
+    yy = float(int(row["_yy"]))
+    h_raw = [
+        [float(int(row[f"_h{min(j, k)}{max(j, k)}"])) for k in range(d)]
+        for j in range(d)
+    ]
+    bhb = sum(
+        betas[j] * h_raw[j][k] * betas[k]
+        for j in range(d)
+        for k in range(d)
+    )
+    bg = sum(betas[j] * g[j] for j in range(d))
+    sse = yy - 2.0 * bg + bhb
+    sy = g[0]  # Σ(1·y) in pico-units
+    n_pico = float(int(row["_h00"]))  # Σ(1·1) in pico-units = n·1e12
+    sst = yy - sy * sy / n_pico
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    spark = df.sparkSession
+    terms = ["_intercept"] + list(feature_cols)
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                t,
+                betas[i],
+                n_rows,
+                round(r2, 6) if r2 is not None else None,
+            )
+            for i, t in enumerate(terms)
+        ],
+        "ord int, term string, beta double, n_rows long, r2 double",
+    ).orderBy("ord").drop("ord")
 
 
 def logistic_train(

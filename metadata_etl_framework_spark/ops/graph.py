@@ -32,6 +32,7 @@ __all__ = [
     "neighborhood_jaccard",
     "label_propagation",
     "k_core",
+    "random_walks",
 ]
 
 # Iteration count at/above which per-round materialization switches from
@@ -723,6 +724,112 @@ def closeness_sampled(
     finally:
         for h in handles:
             h.unpersist()
+    return out
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: int = 1,
+    max_walk_length: int = 20,
+) -> DataFrame:
+    """Deterministic uniform random walks over a directed edge list —
+    the sampling primitive under DeepWalk/node2vec-style embeddings
+    and Monte-Carlo PageRank: one walk per out-degree-positive node,
+    each step choosing a uniform neighbor by the PORTABLE mix hash of
+    (current node, start node, step, seed) instead of RNG state, so
+    every run (and any SQL engine) reproduces the identical walk corpus
+    — resumable, testable, and oracle-replayable like the Poisson
+    bootstrap's weight ladder.
+
+    Step t: neighbor index = hash32((cur mod 2³¹)·1000003 +
+    (start mod 65521)·257 + t + seed·7919) mod deg(cur), against a
+    per-node neighbor table indexed by (row_number over dst order).
+    Work per step is ONE equi-join walks⋈neighbors on the current
+    node — never a fan-out; the neighbor table is built once and
+    persisted. A walk reaching a node with no out-edges simply stops
+    (its later steps emit no rows — the standard dangling behavior).
+    Node ids must be non-negative integers (raises otherwise — the
+    hash contract; hash a surrogate for string nodes).
+
+    Output: (start, step int, node) tall frame — step 0 is the start
+    itself — ordered by (start, step).
+    """
+    if not 1 <= walk_length <= max_walk_length:
+        raise ValueError(
+            f"walk_length={walk_length} outside [1, {max_walk_length}] "
+            f"— each step is a join; raise max_walk_length explicitly"
+        )
+    from pyspark.sql import Window
+
+    from .sketch import hash32
+
+    e = (
+        edges.where(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(
+            F.col(src_col).cast("long").alias("_s"),
+            F.col(dst_col).cast("long").alias("_d"),
+        )
+        .distinct()
+    )
+    wn = Window.partitionBy("_s").orderBy("_d")
+    nbrs = e.select(
+        "_s",
+        "_d",
+        (F.row_number().over(wn) - 1).alias("_idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("_s")).alias("_deg"),
+    )
+    nbrs = nbrs.persist()
+    try:
+        mins = nbrs.agg(
+            F.min("_s").alias("ms"), F.min("_d").alias("md"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if mins["n"] == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "start long, step int, node long"
+            )
+        if min(mins["ms"], mins["md"]) < 0:
+            raise ValueError(
+                "random_walks: negative node ids break the portable "
+                "hash contract — offset or hash a surrogate first"
+            )
+        cur = nbrs.select(F.col("_s").alias("start")).distinct().select(
+            "start", F.col("start").alias("cur")
+        )
+        frames = [
+            cur.select(
+                "start", F.lit(0).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        ]
+        for t in range(1, int(walk_length) + 1):
+            u = hash32(
+                (F.col("cur") % F.lit(2147483648)) * F.lit(1000003)
+                + (F.col("start") % F.lit(65521)) * F.lit(257)
+                + F.lit(int(t) + int(seed) * 7919)
+            )
+            cur = (
+                cur.join(nbrs, cur["cur"] == nbrs["_s"])
+                .where(F.col("_idx") == u % F.col("_deg"))
+                .select("start", F.col("_d").alias("cur"))
+            )
+            frames.append(
+                cur.select(
+                    "start", F.lit(int(t)).cast("int").alias("step"),
+                    F.col("cur").alias("node"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        out = out.orderBy("start", "step").localCheckpoint(eager=True)
+    finally:
+        nbrs.unpersist()
     return out
 
 

@@ -99,3 +99,51 @@ def test_logit_multifeature_gaussian_path(spark):
            logistic_train(df, ["x1", "x2"], "y", iterations=5).collect()}
     assert out["x1"] > 1.0
     assert abs(out["x2"]) < abs(out["x1"]) / 2
+
+
+def test_linear_recovers_exact_line(spark):
+    from metadata_etl_framework_spark.ops.glm import linear_train
+
+    # y = 3 + 2x exactly -> betas exact (up to pico rounding), r2 = 1
+    df = spark.range(100).select(
+        (F.col("id").cast("double") / 10.0).alias("x"),
+    ).withColumn("y", F.lit(3.0) + F.lit(2.0) * F.col("x"))
+    out = {r["term"]: r for r in
+           linear_train(df, ["x"], "y").collect()}
+    assert abs(out["_intercept"]["beta"] - 3.0) < 1e-9
+    assert abs(out["x"]["beta"] - 2.0) < 1e-9
+    assert out["x"]["r2"] == 1.0
+    assert out["x"]["n_rows"] == 100
+
+
+def test_linear_multifeature_and_ridge(spark):
+    from metadata_etl_framework_spark.ops.glm import linear_train
+
+    # y = 1 + 2*x1 - 3*x2 with decorrelated features
+    df = spark.range(500).select(
+        ((F.col("id") % 25).cast("double") / 5.0).alias("x1"),
+        ((F.col("id") % 7).cast("double") / 2.0).alias("x2"),
+    ).withColumn(
+        "y", F.lit(1.0) + F.lit(2.0) * F.col("x1") - F.lit(3.0) * F.col("x2")
+    )
+    out = {r["term"]: r["beta"] for r in
+           linear_train(df, ["x1", "x2"], "y").collect()}
+    assert abs(out["x1"] - 2.0) < 1e-6
+    assert abs(out["x2"] + 3.0) < 1e-6
+    assert abs(out["_intercept"] - 1.0) < 1e-6
+    # heavy ridge shrinks coefficients toward zero
+    shrunk = {r["term"]: r["beta"] for r in
+              linear_train(df, ["x1", "x2"], "y",
+                           ridge=1e6).collect()}
+    assert abs(shrunk["x1"]) < abs(out["x1"])
+    assert abs(shrunk["x2"]) < abs(out["x2"])
+
+
+def test_linear_constant_label_r2_null(spark):
+    from metadata_etl_framework_spark.ops.glm import linear_train
+
+    df = spark.range(50).select(
+        (F.col("id").cast("double")).alias("x"), F.lit(7.0).alias("y")
+    )
+    out = linear_train(df, ["x"], "y").collect()
+    assert all(r["r2"] is None for r in out)

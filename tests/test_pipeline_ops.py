@@ -1040,3 +1040,63 @@ def test_hits_tol_early_stop_matches_fixed(spark):
         map(tuple, hits(edges, iterations=3).collect())
     ) == fixed
 
+
+
+def test_random_walks_ring_and_dangling(spark):
+    from metadata_etl_framework_spark.ops.graph import random_walks
+
+    # deterministic ring 0->1->2->0 (deg 1 everywhere: hash mod 1 = 0,
+    # the walk MUST follow the ring) plus dangling edge 5->6
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (5, 6)], "src long, dst long"
+    )
+    out = random_walks(edges, walk_length=3)
+    rows = {(r.start, r.step): r.node for r in out.collect()}
+    assert rows[(0, 0)] == 0 and rows[(0, 1)] == 1
+    assert rows[(0, 2)] == 2 and rows[(0, 3)] == 0
+    assert rows[(1, 1)] == 2 and rows[(2, 1)] == 0
+    # dangling: node 6 has no out-edges -> walk from 5 stops at step 1
+    assert rows[(5, 1)] == 6
+    assert (5, 2) not in rows
+    # walks start only from out-degree-positive nodes
+    assert {s for s, _ in rows} == {0, 1, 2, 5}
+
+
+def test_random_walks_deterministic_and_valid_edges(spark):
+    from metadata_etl_framework_spark.ops.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(s, d) for s in range(20) for d in range(20) if (s + d) % 3 == 0
+         and s != d],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, random_walks(edges, walk_length=4).collect()))
+    b = sorted(map(tuple, random_walks(edges, walk_length=4).collect()))
+    assert a == b and len(a) > 0
+    # a different seed diverges somewhere
+    c = sorted(
+        map(tuple, random_walks(edges, walk_length=4, seed=2).collect())
+    )
+    assert c != a
+    # every consecutive (node, next) pair is a real edge
+    eset = {(s, d) for s in range(20) for d in range(20)
+            if (s + d) % 3 == 0 and s != d}
+    byw = {}
+    for start, step, node in a:
+        byw.setdefault(start, {})[step] = node
+    for start, path in byw.items():
+        for t in range(1, max(path) + 1):
+            assert (path[t - 1], path[t]) in eset
+
+
+def test_random_walks_gates(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.graph import random_walks
+
+    edges = spark.createDataFrame([(-1, 2)], "src long, dst long")
+    with _pt.raises(ValueError, match="negative"):
+        random_walks(edges, walk_length=2)
+    ok = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="walk_length"):
+        random_walks(ok, walk_length=0)
