@@ -5300,8 +5300,9 @@ _EXTRA_KEYS = [
     # Round 12: in-engine IRLS logistic regression + closed-form OLS.
     "glm_logit_orders",
     "glm_linear_lineitem",
-    # Round 12: deterministic random walks (hash-seeded sampling).
+    # Round 12: deterministic random walks + skip-gram PMI counting.
     "graph_walks_bipartite",
+    "graph_walk_pmi",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -14545,10 +14546,7 @@ def _walk_step_sql(t: int) -> str:
                 ON nb._s = q.cur AND nb._idx = q.h % nb._deg)"""
 
 
-_ALL_SQL.update(
-    {
-        "graph_walks_bipartite": f"""
-            WITH pair AS (
+_WALK_CTES_SQL = f"""pair AS (
               SELECT DISTINCT o_custkey AS c,
                               l_suppkey + 1000000 AS s
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -14564,19 +14562,92 @@ _ALL_SQL.update(
               FROM edges
               WHERE src IS NOT NULL AND dst IS NOT NULL),
             w0 AS (SELECT DISTINCT _s AS start, _s AS cur FROM nbrs),
-            {",".join(_walk_step_sql(t) for t in (1, 2, 3))}
-            SELECT start, CAST(0 AS INTEGER) AS step,
-                   CAST(cur AS BIGINT) AS node FROM w0
-            UNION ALL
-            SELECT start, CAST(1 AS INTEGER), CAST(cur AS BIGINT)
-            FROM w1
-            UNION ALL
-            SELECT start, CAST(2 AS INTEGER), CAST(cur AS BIGINT)
-            FROM w2
-            UNION ALL
-            SELECT start, CAST(3 AS INTEGER), CAST(cur AS BIGINT)
-            FROM w3
+            {",".join(_walk_step_sql(t) for t in (1, 2, 3))},
+            walks AS (
+              SELECT start, CAST(0 AS INTEGER) AS step,
+                     CAST(cur AS BIGINT) AS node FROM w0
+              UNION ALL
+              SELECT start, CAST(1 AS INTEGER), CAST(cur AS BIGINT)
+              FROM w1
+              UNION ALL
+              SELECT start, CAST(2 AS INTEGER), CAST(cur AS BIGINT)
+              FROM w2
+              UNION ALL
+              SELECT start, CAST(3 AS INTEGER), CAST(cur AS BIGINT)
+              FROM w3)"""
+
+_ALL_SQL.update(
+    {
+        "graph_walks_bipartite": f"""
+            WITH {_WALK_CTES_SQL}
+            SELECT start, step, node FROM walks
             ORDER BY start, step
+        """,
+    }
+)
+
+
+def _graph_walk_pmi(spark, sf_dir):
+    """Skip-gram co-occurrence + PMI over the deterministic walk corpus
+    (ops/graph.py::walk_cooccurrence, window=2): the DeepWalk counting
+    half — band self-join on the walk key, canonical-pair counts,
+    closed-form PMI from exact integers; the oracle replays walks AND
+    counting."""
+    from metadata_etl_framework_spark.ops.graph import (
+        random_walks,
+        walk_cooccurrence,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+    )
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    walks = random_walks(edges, walk_length=3, seed=1)
+    return walk_cooccurrence(walks, window=2)
+
+
+_ALL_QUERIES.update({"graph_walk_pmi": _graph_walk_pmi})
+
+_ALL_SQL.update(
+    {
+        "graph_walk_pmi": f"""
+            WITH {_WALK_CTES_SQL},
+            wp AS (
+              SELECT LEAST(a.node, b.node) AS node_a,
+                     GREATEST(a.node, b.node) AS node_b,
+                     COUNT(*) AS n_cooc
+              FROM walks a
+              JOIN walks b
+                ON a.start = b.start
+               AND b.step > a.step AND b.step <= a.step + 2
+               AND a.node <> b.node
+              GROUP BY 1, 2),
+            slots AS (
+              SELECT n, SUM(n_cooc) AS cn
+              FROM (SELECT node_a AS n, n_cooc FROM wp
+                    UNION ALL
+                    SELECT node_b, n_cooc FROM wp)
+              GROUP BY 1),
+            tt AS (SELECT SUM(n_cooc) AS t FROM wp)
+            SELECT node_a, node_b,
+                   CAST(n_cooc AS BIGINT) AS n_cooc,
+                   ROUND(LN(
+                       (CAST(n_cooc AS DOUBLE) / CAST(t AS DOUBLE))
+                       / ((CAST(ca.cn AS DOUBLE)
+                           / (2.0 * CAST(t AS DOUBLE)))
+                          * (CAST(cb.cn AS DOUBLE)
+                             / (2.0 * CAST(t AS DOUBLE))))), 6)
+                       AS pmi
+            FROM wp
+            JOIN slots ca ON ca.n = wp.node_a
+            JOIN slots cb ON cb.n = wp.node_b, tt
         """,
     }
 )

@@ -33,6 +33,7 @@ __all__ = [
     "label_propagation",
     "k_core",
     "random_walks",
+    "walk_cooccurrence",
 ]
 
 # Iteration count at/above which per-round materialization switches from
@@ -830,6 +831,101 @@ def random_walks(
         out = out.orderBy("start", "step").localCheckpoint(eager=True)
     finally:
         nbrs.unpersist()
+    return out
+
+
+def walk_cooccurrence(
+    walks: DataFrame,
+    window: int = 2,
+    max_window: int = 10,
+) -> DataFrame:
+    """Skip-gram co-occurrence + PMI over a :func:`random_walks`
+    corpus — the DeepWalk recipe's counting half: nodes appearing
+    within ``window`` steps of each other on the same walk co-occur;
+    PMI(a,b) = ln( (c_ab/T) / ((c_a/2T)·(c_b/2T)) ) with c_a the
+    node's slot count over all pairs and T the total pair count — the
+    association table an embedding factorization (or a related-items
+    surface) consumes. Everything is exact integer counts under one
+    closed-form log, so the whole pipeline (walks included) replays in
+    SQL.
+
+    Plan: ONE self-join on the walk key with a step-band predicate
+    (1 ≤ Δstep ≤ window — never a cross join; walk length bounds the
+    fan-out), canonical (least, greatest) pair groupBy, two bounded
+    aggregates for slots/total.
+
+    Output: (node_a, node_b, n_cooc long, pmi 6 dp), node_a < node_b,
+    ordered by pmi desc then nodes.
+    """
+    if not 1 <= window <= max_window:
+        raise ValueError(
+            f"window={window} outside [1, {max_window}] — the band "
+            f"self-join fans out linearly in window"
+        )
+    a = walks.select(
+        F.col("start").alias("_w"),
+        F.col("step").alias("_sa"),
+        F.col("node").alias("_na"),
+    )
+    b = walks.select(
+        F.col("start").alias("_w"),
+        F.col("step").alias("_sb"),
+        F.col("node").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "_w")
+        .where(
+            (F.col("_sb") > F.col("_sa"))
+            & (F.col("_sb") <= F.col("_sa") + int(window))
+            & (F.col("_na") != F.col("_nb"))
+        )
+        .select(
+            F.least("_na", "_nb").alias("node_a"),
+            F.greatest("_na", "_nb").alias("node_b"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    pairs = pairs.persist()
+    try:
+        slots = (
+            pairs.select(F.col("node_a").alias("n"), "n_cooc")
+            .unionByName(
+                pairs.select(F.col("node_b").alias("n"), "n_cooc")
+            )
+            .groupBy("n")
+            .agg(F.sum("n_cooc").alias("_cn"))
+        )
+        total = pairs.agg(F.sum("n_cooc").alias("_t"))
+        sa = slots.select(
+            F.col("n").alias("node_a"), F.col("_cn").alias("_ca")
+        )
+        sb = slots.select(
+            F.col("n").alias("node_b"), F.col("_cn").alias("_cb")
+        )
+        t = F.col("_t").cast("double")
+        pmi = F.log(
+            (F.col("n_cooc").cast("double") / t)
+            / (
+                (F.col("_ca").cast("double") / (F.lit(2.0) * t))
+                * (F.col("_cb").cast("double") / (F.lit(2.0) * t))
+            )
+        )
+        out = (
+            pairs.join(sa, "node_a")
+            .join(sb, "node_b")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node_a",
+                "node_b",
+                F.col("n_cooc").cast("long").alias("n_cooc"),
+                F.round(pmi, 6).alias("pmi"),
+            )
+            .orderBy(F.desc("pmi"), F.asc("node_a"), F.asc("node_b"))
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
     return out
 
 

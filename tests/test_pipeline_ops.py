@@ -1100,3 +1100,37 @@ def test_random_walks_gates(spark):
     ok = spark.createDataFrame([(0, 1)], "src long, dst long")
     with _pt.raises(ValueError, match="walk_length"):
         random_walks(ok, walk_length=0)
+
+
+def test_walk_cooccurrence_counts_and_pmi(spark):
+    import math
+
+    from metadata_etl_framework_spark.ops.graph import walk_cooccurrence
+
+    # one walk 0: [1, 2, 3]; window=1 -> pairs (1,2), (2,3)
+    walks = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 2), (0, 2, 3)],
+        "start long, step int, node long",
+    )
+    out = {(r.node_a, r.node_b): r for r in
+           walk_cooccurrence(walks, window=1).collect()}
+    assert set(out) == {(1, 2), (2, 3)}
+    assert all(r.n_cooc == 1 for r in out.values())
+    # T=2; c_1=1, c_2=2, c_3=1: pmi(1,2) = ln((1/2)/((1/4)*(2/4)))
+    assert out[(1, 2)].pmi == round(math.log((1 / 2) / ((1 / 4) * (2 / 4))), 6)
+    # window=2 adds (1,3)
+    out2 = {(r.node_a, r.node_b) for r in
+            walk_cooccurrence(walks, window=2).collect()}
+    assert out2 == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_walk_cooccurrence_window_gate(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.graph import walk_cooccurrence
+
+    walks = spark.createDataFrame(
+        [(0, 0, 1)], "start long, step int, node long"
+    )
+    with _pt.raises(ValueError, match="window"):
+        walk_cooccurrence(walks, window=0)
