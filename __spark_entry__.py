@@ -12763,7 +12763,9 @@ def _embed_silhouette_labels(spark, sf_dir):
 def _embed_lof_bucketed(spark, sf_dir):
     """LSH-bucketed LOF — the scale path the exact gate points to
     (ops/similarity.py::lof_scores_bucketed, round-12 verdict task 5):
-    4 deterministic hyperplanes bucket the corpus, neighbor candidates
+    8 deterministic quadratic-mix hyperplanes bucket the corpus
+    (det_hyperplanes_mixed — the sawtooth planes stop splitting cells
+    beyond ~4 and leave 8x the candidate pairs), candidates
     come from the bucket self-join (Σ|b|² work, never n²), top-5
     bucket-mates feed the identical LOF derivation with |N_k(p)|
     denominators; singleton-bucket points emit all-null rows."""
@@ -12772,7 +12774,7 @@ def _embed_lof_bucketed(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return lof_scores_bucketed(e, k=5, threshold=1.5, n_planes=4)
+    return lof_scores_bucketed(e, k=5, threshold=1.5, n_planes=8)
 
 
 _ALL_QUERIES.update(
@@ -12833,7 +12835,8 @@ _ALL_SQL.update(
             SELECT kd.p AS vec_id, ROUND(kdist, 6) AS k_dist,
                    lrd.lrd AS lrd,
                    ROUND(avg_olrd / lrd.lrd, 6) AS lof,
-                   ROUND(avg_olrd / lrd.lrd, 6) > 1.5 AS is_outlier
+                   COALESCE(ROUND(avg_olrd / lrd.lrd, 6) > 1.5, FALSE)
+                       AS is_outlier
             FROM kd
             JOIN lrd ON kd.p = lrd.p
             JOIN nl ON kd.p = nl.p
@@ -12843,9 +12846,10 @@ _ALL_SQL.update(
             WITH planes AS (
                 SELECT i.i AS pi,
                        LIST_TRANSFORM(RANGE(0, 64), j ->
-                           (((i.i * 2654435761 + j * 40503 + 12345)
-                             % 65521) / 65521.0) * 2 - 1) AS plane
-                FROM (SELECT UNNEST(RANGE(0, 4)) AS i) i
+                           (((((i.i + 1) * (j + 13) * (j + 13)
+                               * 2654435761 + i.i * 97)
+                              % 65521) / 65521.0) * 2 - 1)) AS plane
+                FROM (SELECT UNNEST(RANGE(0, 8)) AS i) i
             ), pts AS (
                 SELECT vec_id, embedding FROM embeddings
                 WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
@@ -12916,7 +12920,8 @@ _ALL_SQL.update(
             SELECT pts.vec_id, ROUND(kdist, 6) AS k_dist,
                    lrd AS lrd,
                    ROUND(avg_olrd / lrd, 6) AS lof,
-                   ROUND(avg_olrd / lrd, 6) > 1.5 AS is_outlier
+                   COALESCE(ROUND(avg_olrd / lrd, 6) > 1.5, FALSE)
+                       AS is_outlier
             FROM pts LEFT JOIN scored ON pts.vec_id = scored.p
             ORDER BY 1
         """,

@@ -201,9 +201,16 @@ def pagerank(
     # (the contribution join and the dangling-mass aggregate), so the
     # un-truncated plan DOUBLES per round (2^i, not linear — the 1055-
     # exchange audit row at 10 iterations); engage lineage truncation
-    # from 3 iterations there instead of _TRUNCATE_MIN_ITERS
+    # one round earlier there. NOT earlier than that: eager
+    # localCheckpoint was MEASURED 2.5× slower than persist+count on
+    # the 3-iteration sf0.1 bench query (8.8 s vs 3.6 s — checkpoint
+    # storage costs real time, and 2³ plan refs analyze fine), so
+    # short dangling loops keep the fast path; the ≥5 truncated shape
+    # is pinned as its own PLANS.md audit row.
     truncate = iterations >= (
-        3 if redistribute_dangling else _TRUNCATE_MIN_ITERS
+        _TRUNCATE_MIN_ITERS - 1
+        if redistribute_dangling
+        else _TRUNCATE_MIN_ITERS
     )
     for i in range(iterations):
         contrib = (

@@ -170,4 +170,4 @@ def test_lof_bucketed_singleton_bucket_emits_null_row(spark):
     assert set(out) == {0, 1}
     for r in out.values():
         assert r["lof"] is None and r["k_dist"] is None
-        assert r["is_outlier"] is None
+        assert r["is_outlier"] is False  # null-safe flag
