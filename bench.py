@@ -165,8 +165,11 @@ HEADLINE = [
     "stats_bootstrap_diff_price",
     "events_ljung_box",
     # round-12 second sweep: 3 Newton passes over the full orders scan
-    # (the iterative-GLM cost under timing)
+    # (the iterative-GLM cost under timing), and the walk corpus +
+    # skip-gram PMI counting over the bipartite graph (walks are 3
+    # hash-seeded equi-join hops; PMI is the band self-join)
     "glm_logit_orders",
+    "graph_walk_pmi",
 ]
 
 
