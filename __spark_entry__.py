@@ -5303,6 +5303,11 @@ _EXTRA_KEYS = [
     # Round 12: deterministic random walks + skip-gram PMI counting.
     "graph_walks_bipartite",
     "graph_walk_pmi",
+    # Round 12 second sweep: inference completeness (four-way p-value
+    # corrections, standardized effect sizes, Wilson intervals).
+    "stats_padjust_ks_lineitem",
+    "stats_cohens_d_price",
+    "events_wilson_ci_type",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -14653,6 +14658,206 @@ _ALL_SQL.update(
             FROM wp
             JOIN slots ca ON ca.n = wp.node_a
             JOIN slots cb ON cb.n = wp.node_b, tt
+        """,
+    }
+)
+
+
+def _stats_padjust_ks_lineitem(spark, sf_dir):
+    """Four-way multiple-testing panel (ops/stats.py::p_adjust_panel)
+    over the same per-column KS p-values as the BH gate entry:
+    Bonferroni / Holm / BH / BY decisions side by side, BY's harmonic
+    constant DECIMAL-accumulated."""
+    from metadata_etl_framework_spark.ops.stats import p_adjust_panel
+    from metadata_etl_framework_spark.quality.drift import (
+        ks_significance,
+    )
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    tests = None
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        one = ks_significance(ref, cur, c).select(
+            F.lit(c).alias("test_name"), "p_value"
+        )
+        tests = one if tests is None else tests.unionByName(one)
+    return p_adjust_panel(tests, "test_name", "p_value", alpha=0.05)
+
+
+def _stats_cohens_d_price(spark, sf_dir):
+    """Standardized effect size of the high-vs-low-priority order-value
+    gap (ops/stats.py::cohens_d): pooled-SD Cohen's d + Hedges' g from
+    the welch micro-unit integer moments — the magnitude companion to
+    stats_welch_price."""
+    from metadata_etl_framework_spark.ops.stats import cohens_d
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+        )
+        .otherwise("low")
+        .alias("prio"),
+        "o_totalprice",
+    )
+    return cohens_d(o, "prio", "o_totalprice")
+
+
+def _events_wilson_ci_type(spark, sf_dir):
+    """Per-event-type high-value rates with Wilson score intervals
+    (ops/retention.py::proportion_wilson_ci): the calibrated error
+    bars a per-segment conversion dashboard needs (Wald collapses at
+    the extremes)."""
+    from metadata_etl_framework_spark.ops.retention import (
+        proportion_wilson_ci,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value") > 100.0).alias("high"),
+    )
+    return proportion_wilson_ci(
+        ev, "event_type", "high", unit_col="event_id"
+    )
+
+
+_ALL_QUERIES.update(
+    {
+        "stats_padjust_ks_lineitem": _stats_padjust_ks_lineitem,
+        "stats_cohens_d_price": _stats_cohens_d_price,
+        "events_wilson_ci_type": _events_wilson_ci_type,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "stats_padjust_ks_lineitem": f"""
+            WITH pv AS (
+                SELECT * FROM {_ks_p_subquery_sql("l_quantity")}
+                UNION ALL
+                SELECT * FROM {_ks_p_subquery_sql("l_extendedprice")}
+                UNION ALL
+                SELECT * FROM {_ks_p_subquery_sql("l_discount")}
+                UNION ALL
+                SELECT * FROM {_ks_p_subquery_sql("l_tax")}
+            ),
+            ranked AS (SELECT test_name AS test, p AS p_value,
+                              ROW_NUMBER() OVER (
+                                  ORDER BY p, test_name) AS rnk,
+                              COUNT(*) OVER () AS m
+                       FROM pv),
+            withcm AS (SELECT *,
+                              CAST(SUM(CAST(ROUND(1.0 / rnk, 12)
+                                            AS DECIMAL(28,12)))
+                                   OVER () AS DOUBLE) AS cm
+                       FROM ranked),
+            marks AS (SELECT *,
+                             p_value > 0.05
+                                 / (CAST(m AS DOUBLE) - rnk + 1.0)
+                                 AS holm_fail,
+                             p_value <= CAST(rnk AS DOUBLE)
+                                 / CAST(m AS DOUBLE) * 0.05 AS bh_ok,
+                             p_value <= CAST(rnk AS DOUBLE) * 0.05
+                                 / (CAST(m AS DOUBLE) * cm) AS by_ok
+                      FROM withcm),
+            crits AS (SELECT *,
+                             MIN(CASE WHEN holm_fail THEN rnk END)
+                                 OVER () AS first_fail,
+                             MAX(CASE WHEN bh_ok THEN rnk END)
+                                 OVER () AS bh_crit,
+                             MAX(CASE WHEN by_ok THEN rnk END)
+                                 OVER () AS by_crit
+                      FROM marks)
+            SELECT test, ROUND(p_value, 6) AS p_value,
+                   CAST(rnk AS INT) AS rank, CAST(m AS BIGINT) AS m,
+                   p_value <= 0.05 / CAST(m AS DOUBLE)
+                       AS rej_bonferroni,
+                   COALESCE(rnk < first_fail, TRUE) AS rej_holm,
+                   COALESCE(rnk <= bh_crit, FALSE) AS rej_bh,
+                   COALESCE(rnk <= by_crit, FALSE) AS rej_by
+            FROM crits ORDER BY rank
+        """,
+        "stats_cohens_d_price": """
+            WITH base AS (SELECT CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                      THEN 'high' ELSE 'low' END AS g,
+                                 CAST(ROUND(CAST(o_totalprice AS DOUBLE)
+                                            * 1000000.0, 0)
+                                      AS HUGEINT) AS v
+                          FROM orders
+                          WHERE o_totalprice IS NOT NULL
+                            AND o_orderpriority IS NOT NULL),
+            pv AS (SELECT g, COUNT(*) AS n, SUM(v) AS s,
+                          SUM(v * v) AS sq
+                   FROM base GROUP BY 1),
+            w AS (SELECT a.n AS na,
+                         CAST(a.s AS DOUBLE) AS sa,
+                         CAST(a.n * a.sq - a.s * a.s AS DOUBLE) AS vna,
+                         CAST(a.n AS DOUBLE) AS nad,
+                         b.n AS nb,
+                         CAST(b.s AS DOUBLE) AS sb,
+                         CAST(b.n * b.sq - b.s * b.s AS DOUBLE) AS vnb,
+                         CAST(b.n AS DOUBLE) AS nbd
+                  FROM (SELECT * FROM pv WHERE g = 'high') a,
+                       (SELECT * FROM pv WHERE g = 'low') b),
+            c1 AS (SELECT *,
+                          sa / nad / 1000000.0 AS ma,
+                          sb / nbd / 1000000.0 AS mb,
+                          CASE WHEN na + nb > 2 THEN
+                              (vna / nad + vnb / nbd)
+                              / (nad + nbd - 2.0)
+                              / 1000000000000.0
+                          END AS sp2
+                   FROM w),
+            c2 AS (SELECT *, SQRT(sp2) AS sp FROM c1),
+            c3 AS (SELECT *,
+                          CASE WHEN sp > 0 THEN (ma - mb) / sp END AS d,
+                          1.0 - 3.0 / (4.0 * (nad + nbd) - 9.0) AS j
+                   FROM c2)
+            SELECT 'high' AS variant_a, CAST(na AS BIGINT) AS n_a,
+                   ROUND(ma, 6) AS mean_a,
+                   'low' AS variant_b, CAST(nb AS BIGINT) AS n_b,
+                   ROUND(mb, 6) AS mean_b,
+                   ROUND(sp, 6) AS pooled_sd,
+                   ROUND(d, 6) AS cohens_d,
+                   ROUND(d * j, 6) AS hedges_g,
+                   CASE WHEN d IS NULL THEN NULL
+                        WHEN ABS(d) < 0.2 THEN 'negligible'
+                        WHEN ABS(d) < 0.5 THEN 'small'
+                        WHEN ABS(d) < 0.8 THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM c3
+        """,
+        "events_wilson_ci_type": """
+            WITH per_unit AS (
+              SELECT event_id,
+                     MAX(CAST(event_type AS VARCHAR)) AS grp,
+                     MAX(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                         AS conv
+              FROM events
+              WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY event_id),
+            pg AS (SELECT grp, COUNT(*) AS n, SUM(conv) AS c
+                   FROM per_unit GROUP BY grp),
+            calc AS (SELECT grp, n, c,
+                            CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                            1.0 + 1.959964 * 1.959964
+                                / CAST(n AS DOUBLE) AS dn,
+                            CAST(n AS DOUBLE) AS nd
+                     FROM pg),
+            c2 AS (SELECT *,
+                          (p + 1.959964 * 1.959964 / (2.0 * nd)) / dn
+                              AS center,
+                          1.959964 * SQRT(p * (1.0 - p) / nd
+                                          + 1.959964 * 1.959964
+                                            / (4.0 * nd * nd)) / dn
+                              AS half
+                   FROM calc)
+            SELECT grp AS "group", CAST(n AS BIGINT) AS n_units,
+                   CAST(c AS BIGINT) AS conversions,
+                   ROUND(p, 6) AS rate,
+                   ROUND(GREATEST(center - half, 0.0), 6) AS ci_lo,
+                   ROUND(LEAST(center + half, 1.0), 6) AS ci_hi
+            FROM c2 ORDER BY 1
         """,
     }
 )

@@ -714,6 +714,65 @@ def ab_always_valid_p(
     )
 
 
+def proportion_wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    converted_col: str,
+    unit_col: str = "user_id",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group conversion rates with Wilson score intervals — the
+    interval the normal (Wald) approximation should never be used in
+    place of: Wald collapses to zero width at p̂ ∈ {0, 1} and
+    undercovers small n, while Wilson stays calibrated — the right
+    error bars for a per-segment conversion dashboard.
+
+    Per-unit reduction as in :func:`ab_test_proportions` (a unit
+    converts if ANY of its rows converted; a unit's group is its max —
+    use the A/B ops when cross-group contamination needs the drop
+    rule). center = (p̂ + z²/2n)/(1 + z²/n),
+    half = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) — pure closed form,
+    SQL-replayable.
+
+    Output: one row per group — (group, n_units long, conversions
+    long, rate, ci_lo, ci_hi — 6 dp), ordered by group.
+    """
+    per_unit = (
+        df.where(
+            F.col(unit_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.max(F.col(group_col).cast("string")).alias("grp"),
+            F.max(F.col(converted_col).cast("int")).alias("conv"),
+        )
+    )
+    per_group = per_unit.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    zl = F.lit(float(z))
+    nd = F.col("n").cast("double")
+    p = F.col("c").cast("double") / nd
+    denom = F.lit(1.0) + zl * zl / nd
+    center = (p + zl * zl / (F.lit(2.0) * nd)) / denom
+    half = (
+        zl
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + zl * zl / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    return per_group.select(
+        F.col("grp").alias("group"),
+        F.col("n").cast("long").alias("n_units"),
+        F.col("c").cast("long").alias("conversions"),
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("ci_lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("ci_hi"),
+    ).orderBy("group")
+
+
 def rfm_segments(
     df: DataFrame,
     user_col: str = "o_custkey",

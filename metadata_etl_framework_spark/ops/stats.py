@@ -38,8 +38,10 @@ __all__ = [
     "poisson_bootstrap_diff",
     "cuped_adjusted_effect",
     "fdr_bh",
+    "p_adjust_panel",
     "theil_sen_trend",
     "ljung_box",
+    "cohens_d",
 ]
 
 _DEC = "decimal(30,10)"
@@ -539,6 +541,86 @@ def fdr_bh(
     )
 
 
+def p_adjust_panel(
+    tests: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Multiple-testing decisions under FOUR corrections at once —
+    Bonferroni, Holm step-down, Benjamini–Hochberg and
+    Benjamini–Yekutieli — over a results frame (one row per
+    hypothesis), the side-by-side panel a metrics review actually
+    wants: FWER-conservative to FDR-liberal in one table, so
+    disagreements between corrections are visible instead of hidden
+    behind a single method choice. Complements :func:`fdr_bh` (kept —
+    the focused BH table with thresholds).
+
+    Windows run over the tiny results frame; ties in p break on the
+    test id. BY's harmonic constant c(m) = Σ 1/j accumulates as
+    DECIMAL over 12-dp terms, so every rejection boundary is derived
+    from identical inputs in any engine.
+
+    Output: (test, p_value 6 dp, rank int, m long, rej_bonferroni,
+    rej_holm, rej_bh, rej_by), ordered by rank. Monotone by
+    construction: rej_bonferroni ⊆ rej_holm ⊆ rej_bh and
+    rej_by ⊆ rej_bh.
+    """
+    base = tests.select(
+        F.col(test_col).cast("string").alias("test"),
+        F.col(p_col).cast("double").alias("p_value"),
+    ).where(F.col("p_value").isNotNull())
+    w = Window.orderBy("p_value", "test")
+    full = Window.partitionBy()
+    a = F.lit(float(alpha))
+    ranked = (
+        base.withColumn("rank", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(full))
+        .withColumn(
+            "_cm",
+            F.sum(
+                F.round(
+                    F.lit(1.0) / F.col("rank").cast("double"), 12
+                ).cast("decimal(28,12)")
+            )
+            .over(full)
+            .cast("double"),
+        )
+    )
+    md = F.col("m").cast("double")
+    rd = F.col("rank").cast("double")
+    p = F.col("p_value")
+    holm_fail = p > a / (md - rd + F.lit(1.0))
+    first_fail = F.min(
+        F.when(holm_fail, F.col("rank"))
+    ).over(full)
+    bh_crit = F.max(
+        F.when(p <= rd / md * a, F.col("rank"))
+    ).over(full)
+    by_crit = F.max(
+        F.when(p <= rd * a / (md * F.col("_cm")), F.col("rank"))
+    ).over(full)
+    return (
+        ranked.select(
+            "test",
+            F.round(p, 6).alias("p_value"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("m").cast("long").alias("m"),
+            (p <= a / md).alias("rej_bonferroni"),
+            F.coalesce(
+                F.col("rank") < first_fail, F.lit(True)
+            ).alias("rej_holm"),
+            F.coalesce(
+                F.col("rank") <= bh_crit, F.lit(False)
+            ).alias("rej_bh"),
+            F.coalesce(
+                F.col("rank") <= by_crit, F.lit(False)
+            ).alias("rej_by"),
+        )
+        .orderBy("rank")
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     group_col: str,
@@ -986,6 +1068,116 @@ def mann_whitney_u(
     )
 
 
+def _two_group_micro_moments(
+    df: DataFrame, group_col: str, value_col: str, op_name: str
+):
+    """Shared two-sample sufficient-statistic collection (welch /
+    cohens_d): 6-dp micro-unit DECIMAL(19,0) values — (19,0)² is
+    exactly the 38-digit cap — with exact Σv and Σv² per group;
+    exactly two groups or raises."""
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.round(F.col(value_col).cast("double") * F.lit(1_000_000.0))
+        .cast("decimal(19,0)")
+        .alias("_v"),
+    )
+    rows = (
+        base.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_sq"),
+        )
+        .orderBy("_g")
+        .collect()
+    )
+    if len(rows) != 2:
+        raise ValueError(
+            f"{op_name} needs exactly 2 groups, got "
+            f"{[r['_g'] for r in rows]}"
+        )
+    return rows[0], rows[1]
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Standardized two-sample effect size — Cohen's d over the pooled
+    SD plus the small-sample Hedges' g correction — the magnitude
+    readout that makes a significant :func:`welch_t_test` actionable
+    (with big n everything is significant; d says whether it MATTERS;
+    0.2/0.5/0.8 are the conventional small/medium/large flags).
+
+    Shares :func:`welch_t_test`'s exact micro-unit sufficient
+    statistics: the pooled variance numerator combines the per-group
+    centered numerators in exact integer arithmetic —
+    sp² = (varnum_a/n_a + varnum_b/n_b) / (n_a+n_b−2) / 1e12 — so only
+    integer→double casts feed the ratios. g = d·J with
+    J = 1 − 3/(4(n_a+n_b) − 9) (the standard approximation to the
+    exact gamma ratio).
+
+    Output: 1 row — (variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+    pooled_sd, cohens_d, hedges_g — 6 dp, magnitude ∈
+    {negligible, small, medium, large} on |d|); null d/g on zero
+    pooled variance or n_a+n_b < 3.
+    """
+    a, b = _two_group_micro_moments(df, group_col, value_col, "cohens_d")
+
+    def _varnum(r):
+        return int(r["_n"]) * int(r["_sq"]) - int(r["_s"]) * int(r["_s"])
+
+    from decimal import Decimal
+
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [(a["_g"], a["_n"], Decimal(int(a["_s"])), Decimal(_varnum(a)),
+          b["_g"], b["_n"], Decimal(int(b["_s"])), Decimal(_varnum(b)))],
+        "ga string, na long, sa decimal(38,0), vna decimal(38,0), "
+        "gb string, nb long, sb decimal(38,0), vnb decimal(38,0)",
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / nad / F.lit(1e6)
+    mb = F.col("sb").cast("double") / nbd / F.lit(1e6)
+    # varnum/n = (n−1)·s² in pico-units; pooled over both arms
+    sp2 = F.when(
+        F.col("na") + F.col("nb") > 2,
+        (
+            F.col("vna").cast("double") / nad
+            + F.col("vnb").cast("double") / nbd
+        )
+        / (nad + nbd - F.lit(2.0))
+        / F.lit(1e12),
+    )
+    sp = F.sqrt(sp2)
+    d = F.when(sp > 0, (ma - mb) / sp)
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (nad + nbd) - F.lit(9.0)
+    )
+    g = d * j
+    mag = F.when(
+        d.isNull(), F.lit(None).cast("string")
+    ).when(F.abs(d) < 0.2, "negligible").when(
+        F.abs(d) < 0.5, "small"
+    ).when(F.abs(d) < 0.8, "medium").otherwise("large")
+    return one.select(
+        F.col("ga").alias("variant_a"),
+        F.col("na").alias("n_a"),
+        F.round(ma, 6).alias("mean_a"),
+        F.col("gb").alias("variant_b"),
+        F.col("nb").alias("n_b"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+        mag.alias("magnitude"),
+    )
+
+
 def welch_t_test(
     df: DataFrame,
     group_col: str,
@@ -1014,30 +1206,9 @@ def welch_t_test(
     Output: 1 row — (variant_a, n_a, mean_a, var_a, variant_b, n_b,
     mean_b, var_b, t_stat, df, p_value — 6 dp, significant_95).
     """
-    base = df.where(
-        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
-    ).select(
-        F.col(group_col).cast("string").alias("_g"),
-        F.round(F.col(value_col).cast("double") * F.lit(1_000_000.0))
-        .cast("decimal(19,0)")
-        .alias("_v"),
+    a, b = _two_group_micro_moments(
+        df, group_col, value_col, "welch_t_test"
     )
-    rows = (
-        base.groupBy("_g")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum("_v").alias("_s"),
-            F.sum(F.col("_v") * F.col("_v")).alias("_sq"),
-        )
-        .orderBy("_g")
-        .collect()
-    )
-    if len(rows) != 2:
-        raise ValueError(
-            f"welch_t_test needs exactly 2 groups, got "
-            f"{[r['_g'] for r in rows]}"
-        )
-    a, b = rows
 
     def _varnum(r):  # n·Σv² − (Σv)², exact python int
         return int(r["_n"]) * int(r["_sq"]) - int(r["_s"]) * int(r["_s"])

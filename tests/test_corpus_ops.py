@@ -1086,3 +1086,33 @@ def test_ab_always_valid_p_gates(spark):
         ab_always_valid_p(df, "v", "c", tau=0.0)
     with _pt.raises(ValueError, match="exactly 2"):
         ab_always_valid_p(df, "v", "c")
+
+
+def test_proportion_wilson_ci(spark):
+    from pyspark.sql import functions as F
+    from metadata_etl_framework_spark.ops.retention import (
+        proportion_wilson_ci,
+    )
+
+    rows = (
+        # segment 'half': 50 units alternating conversion
+        [(i, "half", i % 2 == 0) for i in range(50)]
+        # segment 'none': 20 units, zero conversions (Wald would give
+        # a zero-width interval here; Wilson must not)
+        + [(100 + i, "none", False) for i in range(20)]
+        # unit-level dedup: unit 200 converts on ONE of two rows
+        + [(200, "dup", False), (200, "dup", True)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, seg string, c boolean")
+    out = {r["group"]: r for r in
+           proportion_wilson_ci(df, "seg", "c").collect()}
+    h = out["half"]
+    assert h["n_units"] == 50 and h["rate"] == 0.5
+    assert h["ci_lo"] < 0.5 < h["ci_hi"]
+    assert 0.3 < h["ci_lo"] and h["ci_hi"] < 0.7
+    n = out["none"]
+    assert n["rate"] == 0.0 and n["ci_lo"] == 0.0
+    assert 0.05 < n["ci_hi"] < 0.25  # Wilson stays open at p=0
+    d = out["dup"]
+    assert d["n_units"] == 1 and d["conversions"] == 1
+    assert d["rate"] == 1.0 and d["ci_hi"] == 1.0 and d["ci_lo"] < 1.0

@@ -502,3 +502,55 @@ def test_ljung_box_constant_series_null(spark):
     out = ljung_box(df, "ts", "value", 3600, max_lag=3).collect()
     assert len(out) == 3
     assert all(r["acf"] is None and r["q_stat"] is None for r in out)
+
+
+def test_p_adjust_panel_four_methods_disagree(spark):
+    from metadata_etl_framework_spark.ops.stats import p_adjust_panel
+
+    ps = [0.001, 0.002, 0.0055, 0.02, 0.04, 0.2, 0.3, 0.5, 0.7, 0.9]
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", p) for i, p in enumerate(ps)],
+        "name string, p double",
+    )
+    out = {r["rank"]: r for r in
+           p_adjust_panel(df, "name", "p", alpha=0.05).collect()}
+    assert len(out) == 10 and out[1]["m"] == 10
+    counts = {
+        m: sum(1 for r in out.values() if r[m])
+        for m in ("rej_bonferroni", "rej_holm", "rej_bh", "rej_by")
+    }
+    # constructed so all four corrections disagree:
+    # bonferroni 2 (alpha/m = .005), holm 3 (step-down thresholds
+    # .005/.00556/.00625 pass, .00714 fails), BH 4 (p4 = .02 <= 4/10*a),
+    # BY 2 (harmonic c(10) ~ 2.929 shrinks the BH line)
+    assert counts == {
+        "rej_bonferroni": 2, "rej_holm": 3, "rej_bh": 4, "rej_by": 2
+    }, counts
+    # monotone containment holds row-wise
+    for r in out.values():
+        assert not r["rej_bonferroni"] or r["rej_holm"]
+        assert not r["rej_holm"] or r["rej_bh"]
+        assert not r["rej_by"] or r["rej_bh"]
+
+
+def test_cohens_d_known_values_and_degenerate(spark):
+    from metadata_etl_framework_spark.ops.stats import cohens_d
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v)) for v in (2, 3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cohens_d(df, "g", "v").first()
+    assert (r["variant_a"], r["variant_b"]) == ("a", "b")
+    assert r["pooled_sd"] == round(2.5 ** 0.5, 6)
+    assert r["cohens_d"] == round(-1.0 / 2.5 ** 0.5, 6)
+    j = 1.0 - 3.0 / (4 * 10 - 9)
+    assert r["hedges_g"] == round((-1.0 / 2.5 ** 0.5) * j, 6)
+    assert r["magnitude"] == "medium"
+    # zero pooled variance -> null d/g, null magnitude
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "g string, v double",
+    )
+    r2 = cohens_d(flat, "g", "v").first()
+    assert r2["cohens_d"] is None and r2["magnitude"] is None
