@@ -719,6 +719,68 @@ class TransformEngine:
             " ['proportions', 'cuped', 'power', 'logrank']"
         )
 
+    def _model_train(self, data, step, sources) -> DataFrame:
+        """In-engine model training as a config step (round 12), so a
+        pipeline can produce a MODEL TABLE the way it produces any
+        other frame — no ML runtime, engine-replayable arithmetic.
+        mode 'naive_bayes' (default) = multinomial NB over tokenized
+        text (ops/classify.py::nb_train — needs text_column +
+        label_column; optional smoothing, min_count); 'logistic' =
+        IRLS logistic regression (ops/glm.py::logistic_train — needs
+        feature_columns + label_column; optional iterations, ridge);
+        'linear' = closed-form ridge/OLS (ops/glm.py::linear_train —
+        same config, no iterations)."""
+        cfg = step.get("config", step)
+        mode = str(cfg.get("mode", "naive_bayes")).lower()
+        label = cfg.get("label_column")
+        if not label:
+            raise ValueError("model_train needs config.label_column")
+        if mode == "naive_bayes":
+            from metadata_etl_framework_spark.ops.classify import (
+                nb_train,
+            )
+
+            text = cfg.get("text_column")
+            if not text:
+                raise ValueError(
+                    "model_train naive_bayes mode needs "
+                    "config.text_column"
+                )
+            return nb_train(
+                data, text, label,
+                smoothing=float(cfg.get("smoothing", 1.0)),
+                min_count=int(cfg.get("min_count", 1)),
+            )
+        if mode in ("logistic", "linear"):
+            feats = cfg.get("feature_columns")
+            if not feats:
+                raise ValueError(
+                    f"model_train {mode} mode needs "
+                    f"config.feature_columns"
+                )
+            if mode == "logistic":
+                from metadata_etl_framework_spark.ops.glm import (
+                    logistic_train,
+                )
+
+                return logistic_train(
+                    data, list(feats), label,
+                    iterations=int(cfg.get("iterations", 3)),
+                    ridge=float(cfg.get("ridge", 1e-6)),
+                )
+            from metadata_etl_framework_spark.ops.glm import (
+                linear_train,
+            )
+
+            return linear_train(
+                data, list(feats), label,
+                ridge=float(cfg.get("ridge", 0.0)),
+            )
+        raise ValueError(
+            f"unknown model_train mode {mode!r}; expected one of"
+            " ['naive_bayes', 'logistic', 'linear']"
+        )
+
     def _privacy_audit(self, data, step, sources) -> DataFrame:
         """Privacy release gates as a config step (quality/privacy.py),
         so a pipeline can refuse to publish a frame that violates its
@@ -874,4 +936,5 @@ class TransformEngine:
         "feature_encode": _feature_encode,
         "experiment_eval": _experiment_eval,
         "privacy_audit": _privacy_audit,
+        "model_train": _model_train,
     }

@@ -569,6 +569,7 @@ def foreach_batch_experiment_monitor(
     metrics_path: str,
     checkpoint: str,
     min_units_per_arm: int = 10,
+    anytime_tau: "float | None" = None,
 ):
     """Per-micro-batch A/B experiment monitoring — the streaming form of
     the experiment_eval surface, the way
@@ -578,7 +579,7 @@ def foreach_batch_experiment_monitor(
     batch appends to ``metrics_path``:
 
     ``(batch_id, variant_a, n_a, rate_a, variant_b, n_b, rate_b,
-    z_score, significant_95, underpowered)``
+    z_score, significant_95, underpowered[, always_valid_p])``
 
     ``underpowered`` flags batches where either arm has fewer than
     ``min_units_per_arm`` units — a significant z on a tiny batch is
@@ -588,15 +589,21 @@ def foreach_batch_experiment_monitor(
     query-killer). Append-only parquet sink; wrap with
     :func:`idempotent_foreach_batch` when effectively-once matters.
 
-    NOTE: per-batch readouts answer "is the experiment healthy in this
-    window"; the END-OF-EXPERIMENT decision must come from the batch
-    operators over the full exposure table (peeking at streaming
-    z-scores inflates false positives — use ops/stats.py::ab_power and
-    a fixed-horizon analysis).
+    ``anytime_tau`` (round 12) appends the mSPRT always-valid p over
+    THIS BATCH's units (ops/retention.py::ab_always_valid_p, mixing
+    variance τ) — the number that IS safe to poll continuously.
+
+    NOTE: per-batch z readouts answer "is the experiment healthy in
+    this window"; the END-OF-EXPERIMENT decision must come from the
+    batch operators over the full exposure table — peeking at
+    streaming z-scores inflates false positives (use
+    ops/stats.py::ab_power and a fixed-horizon analysis), which is
+    exactly what the ``always_valid_p`` column exists to avoid.
     """
     from pyspark.sql import functions as F
 
     from metadata_etl_framework_spark.ops.retention import (
+        ab_always_valid_p,
         ab_test_proportions,
     )
 
@@ -631,23 +638,37 @@ def foreach_batch_experiment_monitor(
             # rate — no readout to publish for this batch
             return
         spark = batch_df.sparkSession
-        spark.createDataFrame(
-            [(
-                int(batch_id),
-                r["variant_a"], int(r["n_a"]), float(r["rate_a"]),
-                r["variant_b"], int(r["n_b"]), float(r["rate_b"]),
-                float(r["z_score"]) if r["z_score"] is not None
-                else 0.0,
-                bool(r["significant_95"]),
-                bool(
-                    min(int(r["n_a"]), int(r["n_b"]))
-                    < int(min_units_per_arm)
-                ),
-            )],
+        row = [
+            int(batch_id),
+            r["variant_a"], int(r["n_a"]), float(r["rate_a"]),
+            r["variant_b"], int(r["n_b"]), float(r["rate_b"]),
+            float(r["z_score"]) if r["z_score"] is not None
+            else 0.0,
+            bool(r["significant_95"]),
+            bool(
+                min(int(r["n_a"]), int(r["n_b"]))
+                < int(min_units_per_arm)
+            ),
+        ]
+        schema = (
             "batch_id long, variant_a string, n_a long, rate_a double, "
             "variant_b string, n_b long, rate_b double, z_score double, "
-            "significant_95 boolean, underpowered boolean",
-        ).coalesce(1).write.mode("append").parquet(metrics_path)
+            "significant_95 boolean, underpowered boolean"
+        )
+        if anytime_tau is not None:
+            av = ab_always_valid_p(
+                batch_df.where(usable), variant_col, converted_col,
+                unit_col, tau=float(anytime_tau),
+            ).first()
+            row.append(
+                float(av["always_valid_p"])
+                if av is not None and av["always_valid_p"] is not None
+                else 1.0
+            )
+            schema += ", always_valid_p double"
+        spark.createDataFrame([tuple(row)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(metrics_path)
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

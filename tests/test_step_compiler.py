@@ -687,3 +687,52 @@ def test_score_eval_step_conformal(spark):
             "config": {"mode": "conformal", "score_column": "pred",
                        "label_column": "y"},
         }])
+
+
+def test_model_train_step_modes(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana", "fruit"), (2, "carrot onion", "veg"),
+         (3, "apple apple", "fruit"), (4, "onion potato", "veg")],
+        "doc_id long, text string, lab string",
+    )
+    nb = _run(spark, {"d": docs}, [{
+        "type": "model_train",
+        "config": {"mode": "naive_bayes", "text_column": "text",
+                   "label_column": "lab"},
+    }]).collect()
+    assert {r["kind"] for r in nb} == {"prior", "token", "default"}
+
+    num = spark.range(200).selectExpr(
+        "CAST(id % 20 AS DOUBLE) / 5.0 AS x",
+        "CAST(id % 20 >= 10 AS BOOLEAN) AS y",
+    )
+    logit = {r["term"]: r for r in _run(spark, {"d": num}, [{
+        "type": "model_train",
+        "config": {"mode": "logistic", "feature_columns": ["x"],
+                   "label_column": "y", "iterations": 4},
+    }]).collect()}
+    assert logit["x"]["beta"] > 0 and logit["x"]["iterations"] == 4
+
+    lin = {r["term"]: r for r in _run(spark, {"d": num}, [{
+        "type": "model_train",
+        "config": {"mode": "linear", "feature_columns": ["x"],
+                   "label_column": "y"},
+    }]).collect()}
+    assert 0.0 < lin["x"]["beta"] < 1.0  # slope of the step function
+
+    with _pt.raises(ValueError, match="label_column"):
+        _run(spark, {"d": num}, [{
+            "type": "model_train", "config": {"mode": "linear"},
+        }])
+    with _pt.raises(ValueError, match="feature_columns"):
+        _run(spark, {"d": num}, [{
+            "type": "model_train",
+            "config": {"mode": "logistic", "label_column": "y"},
+        }])
+    with _pt.raises(ValueError, match="unknown model_train mode"):
+        _run(spark, {"d": num}, [{
+            "type": "model_train",
+            "config": {"mode": "forest", "label_column": "y"},
+        }])

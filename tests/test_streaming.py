@@ -728,3 +728,42 @@ def test_foreach_batch_experiment_monitor_contaminated_arm_skips(
     assert not os.path.exists(metrics) or not [
         f for f in os.listdir(metrics) if f.endswith(".parquet")
     ]
+
+
+def test_experiment_monitor_anytime_p_batch_parity(spark_mod, tmp_path):
+    """Round-12: with anytime_tau set, every metrics row carries the
+    mSPRT always-valid p and it equals the batch operator's value on
+    the same rows."""
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_always_valid_p,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_experiment_monitor,
+        streaming_file_source,
+    )
+
+    spark = spark_mod
+    rows = [(i, "A" if i % 2 == 0 else "B",
+             (i % 4 == 0) if i % 2 == 0 else (i % 10 == 1))
+            for i in range(80)]
+    src = str(tmp_path / "exp_av")
+    spark.createDataFrame(
+        rows, "u long, g string, c boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = streaming_file_source(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    metrics = str(tmp_path / "m_av")
+    q = foreach_batch_experiment_monitor(
+        stream, "g", "c", "u", metrics, str(tmp_path / "ck_av"),
+        anytime_tau=1.0,
+    ).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(metrics).collect()
+    assert len(got) == 1
+    ref = ab_always_valid_p(
+        spark.createDataFrame(rows, "u long, g string, c boolean"),
+        "g", "c", "u", tau=1.0,
+    ).first()
+    assert got[0]["always_valid_p"] == ref["always_valid_p"]
