@@ -781,6 +781,64 @@ class TransformEngine:
             " ['naive_bayes', 'logistic', 'linear']"
         )
 
+    def _model_score(self, data, step, sources) -> DataFrame:
+        """Score the primary frame against a model table produced by a
+        'model_train' step (round 12). mode 'naive_bayes' (default)
+        joins the NB model from ``config.model_source`` and emits
+        per-document argmax predictions (ops/classify.py::nb_score —
+        needs text_column + id_column); mode 'logistic'/'linear' reads
+        the (term, beta) table and emits the primary frame plus a
+        ``score`` column (σ(xβ) for logistic, xβ for linear) — betas
+        are driver-collected (d+1 rows) and applied as plan literals,
+        so scoring is a pure projection."""
+        cfg = step.get("config", step)
+        mode = str(cfg.get("mode", "naive_bayes")).lower()
+        model_name = cfg.get("model_source")
+        if not model_name or model_name not in sources:
+            raise ValueError(
+                "model_score needs config.model_source naming a "
+                "registered source/step output"
+            )
+        model = sources[model_name]
+        if mode == "naive_bayes":
+            from metadata_etl_framework_spark.ops.classify import (
+                nb_score,
+            )
+
+            text = cfg.get("text_column")
+            idc = cfg.get("id_column")
+            if not text or not idc:
+                raise ValueError(
+                    "model_score naive_bayes mode needs "
+                    "config.text_column and config.id_column"
+                )
+            return nb_score(data, model, text, idc)
+        if mode in ("logistic", "linear"):
+            betas = {
+                r["term"]: float(r["beta"]) for r in model.collect()
+            }
+            if "_intercept" not in betas:
+                raise ValueError(
+                    "model_score: model table has no '_intercept' row "
+                    "— not a glm model_train output"
+                )
+            z = F.lit(betas.pop("_intercept"))
+            for term, b in betas.items():
+                z = z + F.lit(b) * F.col(term).cast("double")
+            if mode == "logistic":
+                zc = F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0))
+                score = F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+            else:
+                score = z
+            return data.withColumn(
+                str(cfg.get("output_column", "score")),
+                F.round(score, 12),
+            )
+        raise ValueError(
+            f"unknown model_score mode {mode!r}; expected one of"
+            " ['naive_bayes', 'logistic', 'linear']"
+        )
+
     def _privacy_audit(self, data, step, sources) -> DataFrame:
         """Privacy release gates as a config step (quality/privacy.py),
         so a pipeline can refuse to publish a frame that violates its
@@ -937,4 +995,5 @@ class TransformEngine:
         "experiment_eval": _experiment_eval,
         "privacy_audit": _privacy_audit,
         "model_train": _model_train,
+        "model_score": _model_score,
     }

@@ -736,3 +736,55 @@ def test_model_train_step_modes(spark):
             "type": "model_train",
             "config": {"mode": "forest", "label_column": "y"},
         }])
+
+
+def test_model_score_step_modes(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.classify import nb_train
+    from metadata_etl_framework_spark.ops.glm import logistic_train
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana", "fruit"), (2, "carrot onion", "veg"),
+         (3, "apple apple", "fruit"), (4, "onion potato", "veg")],
+        "doc_id long, text string, lab string",
+    )
+    model = nb_train(docs, "text", "lab")
+    test = spark.createDataFrame(
+        [(10, "banana apple"), (11, "potato carrot")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_label"] for r in _run(
+        spark, {"d": test, "m": model}, [{
+            "type": "model_score",
+            "config": {"mode": "naive_bayes", "model_source": "m",
+                       "text_column": "text", "id_column": "doc_id"},
+        }], primary="d").collect()}
+    assert out == {10: "fruit", 11: "veg"}
+
+    num = spark.range(200).selectExpr(
+        "CAST(id % 20 AS DOUBLE) / 5.0 AS x",
+        "CAST(id % 20 >= 10 AS BOOLEAN) AS y",
+    )
+    glm = logistic_train(num, ["x"], "y", iterations=4)
+    scored = _run(spark, {"d": num, "m": glm}, [{
+        "type": "model_score",
+        "config": {"mode": "logistic", "model_source": "m",
+                   "output_column": "p_hat"},
+    }], primary="d")
+    rows = scored.collect()
+    assert all(0.0 <= r["p_hat"] <= 1.0 for r in rows)
+    hi = [r for r in rows if r["x"] > 3.0]
+    lo = [r for r in rows if r["x"] < 1.0]
+    assert min(r["p_hat"] for r in hi) > max(r["p_hat"] for r in lo)
+
+    with _pt.raises(ValueError, match="model_source"):
+        _run(spark, {"d": num}, [{
+            "type": "model_score", "config": {"mode": "logistic"},
+        }])
+    with _pt.raises(ValueError, match="_intercept"):
+        _run(spark, {"d": num, "m": num.selectExpr(
+            "'x' AS term", "1.0 AS beta")}, [{
+            "type": "model_score",
+            "config": {"mode": "linear", "model_source": "m"},
+        }])

@@ -858,3 +858,71 @@ def test_lof_bucketed_200k_vectors_where_exact_refuses(spark):
     assert rows == n
     scored = out.where(F.col("lof").isNotNull()).count()
     assert scored > 0
+
+
+def test_random_walks_1m_edges(spark):
+    """Round-12: walks over a 1M-edge graph (200k nodes, ~5 out-edges
+    each via hash-mixed targets): 4 steps complete, every step is one
+    equi-join, and the walk count only shrinks (dangling stops)."""
+    from metadata_etl_framework_spark.ops.graph import random_walks
+
+    edges = spark.range(1_000_000).select(
+        (F.col("id") % 200_000).alias("src"),
+        F.expr("pmod(hash(id, 7), 200000)").cast("long").alias("dst"),
+    )
+    out = random_walks(edges, walk_length=4)
+    per_step = {
+        r["step"]: r["n"]
+        for r in out.groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_step) == {0, 1, 2, 3, 4}
+    assert per_step[0] > 150_000  # most nodes have out-edges
+    for t in range(1, 5):
+        assert per_step[t] <= per_step[t - 1]
+    assert per_step[4] > 100_000  # the graph is dense enough to walk
+
+
+def test_nb_train_score_at_10x_docs(spark):
+    """Round-12: NB train+score over the 10x-replicated corpus (~5k
+    docs, full token explode twice): the model stays vocab-bounded and
+    resubstitution scoring emits one prediction per doc."""
+    from functools import reduce as _reduce
+
+    from metadata_etl_framework_spark.ops.classify import (
+        nb_score,
+        nb_train,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    big = _reduce(
+        lambda a, b: a.unionByName(b),
+        [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+         for i in range(10)],
+    )
+    model = nb_train(big, "text", "lang", min_count=2)
+    n_docs = big.where(F.col("doc_id").isNotNull()).count()
+    preds = nb_score(big, model, "text", "doc_id")
+    assert preds.count() == n_docs
+    # the synthetic corpus shares ONE vocabulary across langs (no
+    # separability by construction), so the pins here are structural:
+    # the model is vocab-bounded, every prediction is a training
+    # label, and every scored doc carries vocab tokens
+    labels = {r["lang"] for r in big.select("lang").distinct().collect()
+              if r["lang"] is not None}
+    kinds = model.groupBy("kind").count().collect()
+    counts = {r["kind"]: r["count"] for r in kinds}
+    n_vocab = (
+        model.where(F.col("kind") == "token")
+        .select("token").distinct().count()
+    )
+    assert counts["prior"] == counts["default"] == len(labels)
+    assert counts["token"] <= len(labels) * n_vocab
+    got_labels = {
+        r["predicted_label"]
+        for r in preds.select("predicted_label").distinct().collect()
+    }
+    assert got_labels <= labels
+    assert preds.where(F.col("n_tokens") > 0).count() == n_docs
