@@ -5308,6 +5308,7 @@ _EXTRA_KEYS = [
     "stats_padjust_ks_lineitem",
     "stats_cohens_d_price",
     "events_wilson_ci_type",
+    "nb_top_terms_lang",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -14198,10 +14199,7 @@ def _nb_lang_docs(spark, sf_dir):
 
 _ALL_QUERIES.update({"nb_lang_docs": _nb_lang_docs})
 
-_ALL_SQL.update(
-    {
-        "nb_lang_docs": r"""
-            WITH base AS (
+_NB_TRAIN_CTES = r"""base AS (
               SELECT lang AS c,
                      CASE WHEN TRIM(text) = '' THEN []
                           ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)),
@@ -14231,7 +14229,13 @@ _ALL_SQL.update(
                                 ROUND(LN(1.0
                                          / (CAST(tc AS DOUBLE)
                                             + 1.0 * v)), 12) AS d
-                         FROM totals, vv),
+                         FROM totals, vv)"""
+
+
+_ALL_SQL.update(
+    {
+        "nb_lang_docs": rf"""
+            WITH {_NB_TRAIN_CTES},
             sdocs AS (
               SELECT doc_id,
                      CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
@@ -14858,6 +14862,56 @@ _ALL_SQL.update(
                    ROUND(GREATEST(center - half, 0.0), 6) AS ci_lo,
                    ROUND(LEAST(center + half, 1.0), 6) AS ci_hi
             FROM c2 ORDER BY 1
+        """,
+    }
+)
+
+
+def _nb_top_terms_lang(spark, sf_dir):
+    """Per-class discriminative tokens from the NB model
+    (ops/classify.py::nb_top_terms): one-vs-rest decision margins over
+    the defaults-completed (token × label) grid — the interpretability
+    readout; pure frame math on the vocab-bounded model, replayed from
+    the training CTEs."""
+    from metadata_etl_framework_spark.ops.classify import (
+        nb_top_terms,
+        nb_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = nb_train(d, "text", "lang", smoothing=1.0, min_count=2)
+    return nb_top_terms(model, k=5)
+
+
+_ALL_QUERIES.update({"nb_top_terms_lang": _nb_top_terms_lang})
+
+_ALL_SQL.update(
+    {
+        "nb_top_terms_lang": rf"""
+            WITH {_NB_TRAIN_CTES},
+            grid AS (SELECT v.t AS token, d.label,
+                            COALESCE(tw.w, d.d) AS w
+                     FROM (SELECT DISTINCT t FROM tokw) v
+                     CROSS JOIN defaults d
+                     LEFT JOIN tokw tw
+                       ON tw.label = d.label AND tw.t = v.t),
+            bo AS (SELECT g.token, g.label, g.w,
+                          MAX(o.w) AS best_other
+                   FROM grid g JOIN grid o
+                     ON o.token = g.token AND o.label <> g.label
+                   GROUP BY 1, 2, 3),
+            ranked AS (SELECT label, token, w,
+                              w - best_other AS margin,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY label
+                                  ORDER BY w - best_other DESC,
+                                           token ASC) AS rnk
+                       FROM bo)
+            SELECT label, token, ROUND(w, 12) AS weight,
+                   ROUND(margin, 12) AS margin,
+                   CAST(rnk AS INT) AS rank
+            FROM ranked WHERE rnk <= 5
+            ORDER BY label, rank
         """,
     }
 )

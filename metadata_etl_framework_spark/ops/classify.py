@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["nb_train", "nb_score"]
+__all__ = ["nb_train", "nb_score", "nb_top_terms"]
 
 
 def _doc_tokens(df: DataFrame, text_col: str) -> "F.Column":
@@ -219,4 +219,77 @@ def nb_score(
             F.col("_nt").cast("long").alias("n_tokens"),
         )
         .orderBy(id_col)
+    )
+
+
+def nb_top_terms(model: DataFrame, k: int = 5) -> DataFrame:
+    """The most DISCRIMINATIVE tokens per class from an
+    :func:`nb_train` model — the interpretability readout ("what makes
+    the model call something 'de'?") that turns the weight table into
+    something a curator can review. A token's margin for class c is
+    its log-likelihood under c minus the BEST log-likelihood under any
+    other class (the one-vs-rest decision margin; a token absent from
+    the other class falls back to that class's smoothed default, the
+    same rule scoring uses).
+
+    Pure frame math over the vocab-bounded model: one (token) window
+    for the top-2 weights per token, one (label) window for the top-k
+    margins — no data pass at all.
+
+    Output: (label, token, weight 12 dp, margin 12 dp, rank int ≤ k),
+    ordered by (label, rank); ties break on token ascending.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tok = model.where(F.col("kind") == "token").select(
+        "label", "token", "weight"
+    )
+    defaults = model.where(F.col("kind") == "default").select(
+        F.col("label"), F.col("weight").alias("_default")
+    )
+    labels = defaults.select("label")
+    # complete the (token x label) grid with the smoothed defaults so
+    # "best OTHER class" sees absent-token classes at their true weight
+    grid = (
+        tok.select("token").distinct()
+        .crossJoin(F.broadcast(labels))
+        .join(tok, ["token", "label"], "left")
+        .join(F.broadcast(defaults), "label")
+        .select(
+            "token",
+            "label",
+            F.coalesce(F.col("weight"), F.col("_default")).alias("_w"),
+        )
+    )
+    others = grid.select(
+        F.col("token"),
+        F.col("label").alias("_other"),
+        F.col("_w").alias("_ow"),
+    )
+    best_other = (
+        grid.join(others, "token")
+        .where(F.col("label") != F.col("_other"))
+        .groupBy("token", "label", "_w")
+        .agg(F.max("_ow").alias("_best_other"))
+    )
+    wlab = Window.partitionBy("label").orderBy(
+        F.desc("_margin"), F.asc("token")
+    )
+    return (
+        best_other.select(
+            "label",
+            "token",
+            F.col("_w").alias("weight"),
+            (F.col("_w") - F.col("_best_other")).alias("_margin"),
+        )
+        .withColumn("rank", F.row_number().over(wlab))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "label",
+            "token",
+            F.round("weight", 12).alias("weight"),
+            F.round("_margin", 12).alias("margin"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("label", "rank")
     )

@@ -82,3 +82,33 @@ def test_nb_gates(spark):
         nb_train(train, "text", "lab", smoothing=0.0)
     with pytest.raises(ValueError, match="min_count"):
         nb_train(train, "text", "lab", min_count=0)
+
+
+def test_nb_top_terms_margins(spark):
+    # 'apple' appears only in fruit docs -> top fruit discriminator;
+    # 'onion' only in veg; the shared token 'food' has ~zero margin
+    train = _docs(spark, [
+        (1, "apple food", "fruit"), (2, "apple food", "fruit"),
+        (3, "onion food", "veg"), (4, "onion food", "veg"),
+    ])
+    model = nb_train(train, "text", "lab")
+    from metadata_etl_framework_spark.ops.classify import nb_top_terms
+
+    out = {(r.label, r.rank): r for r in
+           nb_top_terms(model, k=3).collect()}
+    assert out[("fruit", 1)].token == "apple"
+    assert out[("veg", 1)].token == "onion"
+    assert out[("fruit", 1)].margin > 0
+    # shared token: identical weight both classes -> margin 0
+    food = [r for r in out.values() if r.token == "food"]
+    assert food and all(r.margin == 0.0 for r in food)
+
+
+def test_nb_top_terms_k_gate(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.classify import nb_top_terms
+
+    train = _docs(spark, [(1, "a", "x"), (2, "b", "y")])
+    with _pt.raises(ValueError, match="k must"):
+        nb_top_terms(nb_train(train, "text", "lab"), k=0)
