@@ -5309,6 +5309,7 @@ _EXTRA_KEYS = [
     "stats_cohens_d_price",
     "events_wilson_ci_type",
     "nb_top_terms_lang",
+    "dedup_containment_docs",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -14912,6 +14913,63 @@ _ALL_SQL.update(
                    CAST(rnk AS INT) AS rank
             FROM ranked WHERE rnk <= 5
             ORDER BY label, rank
+        """,
+    }
+)
+
+
+def _dedup_containment_docs(spark, sf_dir):
+    """Asymmetric shingle-set containment pairs
+    (ops/dedup.py::containment_pairs): the doc-embedded-in-doc
+    statistic symmetric Jaccard structurally misses; df-capped
+    inverted index, both directions emitted, C >= 0.6."""
+    from metadata_etl_framework_spark.ops.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.6)
+
+
+_ALL_QUERIES.update({"dedup_containment_docs": _dedup_containment_docs})
+
+_ALL_SQL.update(
+    {
+        "dedup_containment_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+                FROM documents
+            ), shg AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS u(i)
+                WHERE LEN(t) >= 3
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id
+            ), kept AS (
+                SELECT s FROM shg GROUP BY s
+                HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000
+            ), shf AS (
+                SELECT shg.doc_id, shg.s, sizes.n
+                FROM shg JOIN kept USING (s)
+                JOIN sizes ON sizes.doc_id = shg.doc_id
+            ), common AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb,
+                       a.n AS na, b.n AS nb, COUNT(*) AS c
+                FROM shf a JOIN shf b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ), dirs AS (
+                SELECT ida AS id_inner, idb AS id_outer,
+                       na AS ni, c FROM common
+                UNION ALL
+                SELECT idb, ida, nb, c FROM common
+            )
+            SELECT id_inner, id_outer,
+                   CAST(ni AS BIGINT) AS inner_size,
+                   CAST(c AS BIGINT) AS n_common,
+                   ROUND(CAST(c AS DOUBLE) / ni, 6) AS containment
+            FROM dirs
+            WHERE ROUND(CAST(c AS DOUBLE) / ni, 6) >= 0.6
         """,
     }
 )

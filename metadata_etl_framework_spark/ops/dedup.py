@@ -245,6 +245,116 @@ def exact_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    max_shingle_df: int = 10_000,
+    exact_max_rows: int = 100_000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle-set containment
+    C(inner→outer) = |S(inner) ∩ S(outer)| / |S(inner)| — the
+    statistic that catches a document EMBEDDED in a larger one
+    (quote-with-commentary, boilerplate-wrapped reposts, chunk-of-a-
+    bigger-page), which symmetric Jaccard structurally misses: a 100-
+    shingle doc inside a 10k-shingle page has J ≈ 0.01 but C = 1.0.
+    The directed complement to :func:`exact_jaccard_pairs`.
+
+    Same shingle inverted index (explode → self equi-join on the
+    shingle → the group count IS the intersection), emitting BOTH
+    directions of each sharing pair and keeping those with
+    C ≥ ``threshold``. ``max_shingle_df`` drops shingles whose
+    document frequency exceeds the cap BEFORE the join — the lever
+    that bounds the Σ df² index cost at corpus scale (dropped
+    high-df shingles can only LOWER a containment score: the
+    denominator stays the true shingle count, so the filter is
+    conservative, never a false positive). df-1 shingles are also
+    dropped (they cannot pair — pure cost, no effect on any score).
+    ``exact_max_rows`` fails loud beyond the exact regime.
+
+    Output: (id_inner, id_outer, inner_size long, n_common long,
+    containment 6 dp), ordered by containment desc then ids.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    n_rows = df.count()
+    if n_rows > exact_max_rows:
+        raise ValueError(
+            f"containment_pairs: {n_rows} rows > exact_max_rows="
+            f"{exact_max_rows} — the inverted index costs Σ df² over "
+            f"shingles; lower max_shingle_df and raise the gate "
+            f"explicitly, or pre-block the corpus"
+        )
+    base = _shingle_base(df, id_col, text_col, shingle_n)
+    try:
+        sh = base.select(
+            F.col(id_col),
+            F.size("_sh").alias("_n"),
+            F.explode("_sh").alias("_s"),
+        )
+        kept = (
+            sh.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(
+                (F.col("_df") >= 2)
+                & (F.col("_df") <= int(max_shingle_df))
+            )
+            .select("_s")
+        )
+        sh = sh.join(kept, "_s")
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a._s") == F.col("b._s"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("_ida"),
+                F.col(f"b.{id_col}").alias("_idb"),
+                F.col("a._n").alias("_na"),
+                F.col("b._n").alias("_nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        both = common.select(
+            F.col("_ida").alias("id_inner"),
+            F.col("_idb").alias("id_outer"),
+            F.col("_na").alias("_ni"),
+            "_c",
+        ).unionByName(
+            common.select(
+                F.col("_idb").alias("id_inner"),
+                F.col("_ida").alias("id_outer"),
+                F.col("_nb").alias("_ni"),
+                "_c",
+            )
+        )
+        cont = F.round(
+            F.col("_c").cast("double") / F.col("_ni"), 6
+        )
+        out = (
+            both.select(
+                "id_inner",
+                "id_outer",
+                F.col("_ni").cast("long").alias("inner_size"),
+                F.col("_c").cast("long").alias("n_common"),
+                cont.alias("containment"),
+            )
+            .where(F.col("containment") >= float(threshold))
+            .orderBy(
+                F.desc("containment"), F.asc("id_inner"),
+                F.asc("id_outer"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+    return out
+
+
 def minhash_near_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.8, num_hashes: int = 64,

@@ -1116,3 +1116,58 @@ def test_proportion_wilson_ci(spark):
     d = out["dup"]
     assert d["n_units"] == 1 and d["conversions"] == 1
     assert d["rate"] == 1.0 and d["ci_hi"] == 1.0 and d["ci_lo"] < 1.0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """Asymmetric containment (ops/dedup.py::containment_pairs): a
+    short doc fully embedded in a long one has C=1.0 in the
+    inner->outer direction while Jaccard stays tiny — the case the
+    symmetric statistic structurally misses."""
+    from metadata_etl_framework_spark.ops.dedup import (
+        containment_pairs,
+        exact_jaccard_pairs,
+    )
+
+    inner = "alpha beta gamma delta epsilon"
+    outer = inner + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    other = "zeta eta theta iota kappa completely different words here"
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other)], "doc_id long, text string"
+    )
+    out = {(r.id_inner, r.id_outer): r for r in
+           containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)].containment == 1.0
+    assert out[(1, 2)].inner_size == 3  # 5 tokens -> 3 shingles
+    # the reverse direction does NOT qualify (outer mostly not inner)
+    assert (2, 1) not in out
+    # and Jaccard at the same bar finds nothing
+    assert exact_jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_containment_df_cap_is_conservative(spark):
+    """Dropping a high-df shingle can only LOWER containment: with the
+    cap at 1 every shared shingle is dropped and no pair survives."""
+    from metadata_etl_framework_spark.ops.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    assert containment_pairs(df, threshold=0.5).count() > 0
+    assert containment_pairs(
+        df, threshold=0.5, max_shingle_df=1
+    ).count() == 0
+
+
+def test_containment_gates(spark):
+    import pytest as _pt
+
+    from metadata_etl_framework_spark.ops.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(30)], "doc_id long, text string"
+    )
+    with _pt.raises(ValueError, match="exact_max_rows"):
+        containment_pairs(df, exact_max_rows=10)
+    with _pt.raises(ValueError, match="threshold"):
+        containment_pairs(df, threshold=0.0)
