@@ -5310,6 +5310,7 @@ _EXTRA_KEYS = [
     "events_wilson_ci_type",
     "nb_top_terms_lang",
     "dedup_containment_docs",
+    "profile_robust_price",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -14970,6 +14971,87 @@ _ALL_SQL.update(
                    ROUND(CAST(c AS DOUBLE) / ni, 6) AS containment
             FROM dirs
             WHERE ROUND(CAST(c AS DOUBLE) / ni, 6) >= 0.6
+        """,
+    }
+)
+
+
+def _profile_robust_price(spark, sf_dir):
+    """Robust location summary of extended price
+    (functions/aggregations.py::robust_moments): trimmed/winsorized
+    means, exact median and MAD from per-value counts + dual prefix
+    scans — distinct-values-sized after one groupBy, never row-scaled;
+    micro-int DECIMAL sums."""
+    from metadata_etl_framework_spark.functions.aggregations import (
+        robust_moments,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return robust_moments(li, "l_extendedprice", trim=0.1)
+
+
+_ALL_QUERIES.update({"profile_robust_price": _profile_robust_price})
+
+_ALL_SQL.update(
+    {
+        "profile_robust_price": """
+            WITH vals AS (
+              SELECT ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS v
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            counts AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+            s AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum
+                  FROM counts),
+            t AS (SELECT MAX(cum) AS n,
+                         SUM(CAST(ROUND(v * 1000000.0, 0) AS HUGEINT)
+                             * c) AS svi
+                  FROM s),
+            kk AS (SELECT n, svi,
+                          CAST(FLOOR(0.1 * n) AS BIGINT) AS k
+                   FROM t),
+            med AS (SELECT
+                      ((SELECT MIN(v) FROM s, kk
+                        WHERE cum >= (kk.n + 1) // 2)
+                       + (SELECT MIN(v) FROM s, kk
+                          WHERE cum >= kk.n // 2 + 1)) / 2.0 AS median),
+            mid AS (SELECT SUM(
+                        CAST(ROUND(s.v * 1000000.0, 0) AS HUGEINT)
+                        * GREATEST(0, LEAST(s.cum, kk.n - kk.k)
+                                   - GREATEST(s.cum - s.c, kk.k)))
+                        AS msum
+                    FROM s, kk),
+            bounds AS (SELECT
+                         (SELECT MIN(v) FROM s, kk
+                          WHERE cum >= kk.k + 1) AS xlo,
+                         (SELECT MIN(v) FROM s, kk
+                          WHERE cum >= kk.n - kk.k) AS xhi),
+            dev AS (SELECT ROUND(ABS(counts.v - med.median), 6) AS v,
+                           SUM(c) AS c
+                    FROM counts, med GROUP BY 1),
+            ds AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM dev),
+            madv AS (SELECT
+                       ((SELECT MIN(v) FROM ds, kk
+                         WHERE cum >= (kk.n + 1) // 2)
+                        + (SELECT MIN(v) FROM ds, kk
+                           WHERE cum >= kk.n // 2 + 1)) / 2.0 AS mad)
+            SELECT CAST(kk.n AS BIGINT) AS n,
+                   CAST(kk.k AS BIGINT) AS k,
+                   ROUND(CAST(svi AS DOUBLE) / kk.n / 1000000.0, 6)
+                       AS mean,
+                   CASE WHEN kk.n - 2 * kk.k > 0 THEN
+                       ROUND(CAST(msum AS DOUBLE)
+                             / (kk.n - 2 * kk.k) / 1000000.0, 6)
+                   END AS trimmed_mean,
+                   CASE WHEN kk.n - 2 * kk.k > 0 THEN
+                       ROUND(CAST(msum
+                                  + kk.k * CAST(ROUND(xlo * 1000000.0,
+                                                      0) AS HUGEINT)
+                                  + kk.k * CAST(ROUND(xhi * 1000000.0,
+                                                      0) AS HUGEINT)
+                                  AS DOUBLE) / kk.n / 1000000.0, 6)
+                   END AS winsorized_mean,
+                   ROUND(med.median, 6) AS median,
+                   ROUND(madv.mad, 6) AS mad
+            FROM kk, mid, bounds, med, madv
         """,
     }
 )

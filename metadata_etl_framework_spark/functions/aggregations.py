@@ -1797,3 +1797,139 @@ def classical_decompose(
         )
         .orderBy("x")
     )
+
+
+def robust_moments(
+    df: DataFrame,
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Robust location summary of one numeric column in one row: mean,
+    ``trim``-trimmed mean, winsorized mean, exact median, and MAD —
+    the outlier-resistant profile a data-quality review reads next to
+    profile_columns' raw moments (one fat-fingered 1e9 row moves the
+    mean arbitrarily; it moves none of the robust four).
+
+    Scale shape (the KS/global-quantiles discipline): ONE groupBy(v)
+    builds per-value counts — everything downstream touches DISTINCT
+    values, never rows. The dual prefix scan resolves exact global
+    ranks; with k = floor(trim·n) dropped per tail, a value's count
+    inside [k+1, n−k] is the clamp overlap of its rank interval, so
+    the trimmed sum needs no row filter. Winsorizing replaces each
+    tail with its boundary order statistic (x_(k+1) / x_(n−k)). MAD
+    runs a SECOND prefix scan over |v − median| on the same per-value
+    frame (still distinct-values-sized). Values round to 6 dp and sums
+    accumulate in DECIMAL micro-units — merge-order free, exact in any
+    engine.
+
+    Output: 1 row — (n long, k long, mean, trimmed_mean,
+    winsorized_mean, median, mad — 6 dp); trimmed/winsorized null when
+    n − 2k ≤ 0.
+    """
+    if not 0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    from metadata_etl_framework_spark.quality.drift import (
+        _dual_prefix_scan,
+    )
+
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(v6.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = counts.persist()
+    try:
+        scanned = _dual_prefix_scan(counts, "v", "c", "c").select(
+            "v", "c", F.col("__ca").alias("cum")
+        )
+        scanned = scanned.persist()
+        tot = scanned.agg(
+            F.max("cum").alias("n"),
+            F.sum(
+                (F.round(F.col("v") * F.lit(1e6)).cast("decimal(28,0)"))
+                * F.col("c")
+            ).alias("svi"),
+        ).collect()[0]
+        n = int(tot["n"] or 0)
+        if n == 0:
+            return df.sparkSession.createDataFrame(
+                [],
+                "n long, k long, mean double, trimmed_mean double, "
+                "winsorized_mean double, median double, mad double",
+            )
+        k = int(float(trim) * n)
+        mean = float(int(tot["svi"])) / n / 1e6
+
+        def _order_stat(rank: int) -> float:
+            return (
+                scanned.where(F.col("cum") >= rank)
+                .orderBy("v")
+                .select("v")
+                .first()["v"]
+            )
+
+        mid_lo = _order_stat((n + 1) // 2)
+        mid_hi = _order_stat(n // 2 + 1)
+        median = (mid_lo + mid_hi) / 2.0
+        trimmed = winsor = None
+        if n - 2 * k > 0:
+            lo_r, hi_r = k + 1, n - k
+            contained = F.greatest(
+                F.lit(0),
+                F.least(F.col("cum"), F.lit(hi_r))
+                - F.greatest(F.col("cum") - F.col("c"), F.lit(lo_r - 1)),
+            )
+            mid = scanned.agg(
+                F.sum(
+                    F.round(F.col("v") * F.lit(1e6)).cast(
+                        "decimal(28,0)"
+                    )
+                    * contained.cast("long")
+                ).alias("s")
+            ).collect()[0]
+            mid_sum_i = int(mid["s"] or 0)
+            trimmed = mid_sum_i / (n - 2 * k) / 1e6
+            x_lo = _order_stat(lo_r)
+            x_hi = _order_stat(hi_r)
+            winsor = (
+                mid_sum_i
+                + k * round(x_lo * 1e6)
+                + k * round(x_hi * 1e6)
+            ) / n / 1e6
+        # MAD: weighted median of |v − median| over the SAME per-value
+        # counts (distinct-values-sized second scan)
+        dev = counts.select(
+            F.round(F.abs(F.col("v") - F.lit(median)), 6).alias("v"),
+            "c",
+        ).groupBy("v").agg(F.sum("c").alias("c"))
+        dscan = _dual_prefix_scan(dev, "v", "c", "c").select(
+            "v", F.col("__ca").alias("cum")
+        )
+
+        def _dev_stat(rank: int) -> float:
+            return (
+                dscan.where(F.col("cum") >= rank)
+                .orderBy("v")
+                .select("v")
+                .first()["v"]
+            )
+
+        mad = (_dev_stat((n + 1) // 2) + _dev_stat(n // 2 + 1)) / 2.0
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(
+                n, k, round(mean, 6),
+                round(trimmed, 6) if trimmed is not None else None,
+                round(winsor, 6) if winsor is not None else None,
+                round(median, 6), round(mad, 6),
+            )],
+            "n long, k long, mean double, trimmed_mean double, "
+            "winsorized_mean double, median double, mad double",
+        )
+    finally:
+        counts.unpersist()
+        try:
+            scanned.unpersist()
+        except Exception:
+            pass

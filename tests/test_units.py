@@ -2002,3 +2002,43 @@ def test_covariate_balance_large_offset_exact(spark):
     # the 1e9 offset cancels exactly in the integer arithmetic: same
     # spread -> same variance -> same standardized difference
     assert out["huge"]["smd"] == out["small"]["smd"]
+
+
+def test_robust_moments_known_values(spark):
+    from metadata_etl_framework_spark.functions.aggregations import (
+        robust_moments,
+    )
+    from pyspark.sql import functions as F
+
+    # 1..10 plus one wild outlier: robust four barely move, mean jumps
+    vals = [float(i) for i in range(1, 11)] + [1e6]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = robust_moments(df, "x", trim=0.1).first()
+    assert r["n"] == 11 and r["k"] == 1
+    assert r["mean"] > 90000
+    assert r["median"] == 6.0  # 6th of 11
+    # trimmed: drop 1 per tail -> mean of 2..10 = 6.0
+    assert r["trimmed_mean"] == 6.0
+    # winsorized: 1 -> 2, 1e6 -> 10 -> (2 + 2..10 + 10)/11
+    expect_w = (2 + sum(range(2, 11)) + 10) / 11
+    assert r["winsorized_mean"] == round(expect_w, 6)
+    # MAD: |v - 6| = [5,4,3,2,1,0,1,2,3,4,999994] -> median 3
+    assert r["mad"] == 3.0
+
+
+def test_robust_moments_trim_zero_and_duplicates(spark):
+    from metadata_etl_framework_spark.functions.aggregations import (
+        robust_moments,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (2.0,), (4.0,)], "x double"
+    )
+    r = robust_moments(df, "x", trim=0.0).first()
+    assert r["k"] == 0
+    assert r["mean"] == r["trimmed_mean"] == r["winsorized_mean"] == 2.0
+    assert r["median"] == 1.5  # avg of 2nd and 3rd order stats
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="trim"):
+        robust_moments(df, "x", trim=0.5)
