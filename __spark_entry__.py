@@ -5311,6 +5311,7 @@ _EXTRA_KEYS = [
     "nb_top_terms_lang",
     "dedup_containment_docs",
     "profile_robust_price",
+    "events_simpsons_check",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -15052,6 +15053,60 @@ _ALL_SQL.update(
                    ROUND(med.median, 6) AS median,
                    ROUND(madv.mad, 6) AS mad
             FROM kk, mid, bounds, med, madv
+        """,
+    }
+)
+
+
+def _events_simpsons_check(spark, sf_dir):
+    """Simpson's-paradox screen (ops/stats.py::simpsons_check):
+    per-event-type high-value effects vs the pooled effect with
+    sign-reversal flags — the aggregation-trap audit; exact integer
+    ratios, pooled counts re-summed from the same groupBy."""
+    from metadata_etl_framework_spark.ops.stats import simpsons_check
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("t"),
+        (F.col("value") > 100.0).alias("y"),
+    )
+    return simpsons_check(ev, "event_type", "t", "y")
+
+
+_ALL_QUERIES.update({"events_simpsons_check": _events_simpsons_check})
+
+_ALL_SQL.update(
+    {
+        "events_simpsons_check": """
+            WITH base AS (
+              SELECT CAST(event_type AS VARCHAR) AS s,
+                     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+              FROM events
+              WHERE event_type IS NOT NULL
+                AND user_id IS NOT NULL AND value IS NOT NULL),
+            seg AS (SELECT s, SUM(t) AS nt, SUM(t * y) AS ct,
+                           SUM(1 - t) AS nc, SUM((1 - t) * y) AS cc
+                    FROM base GROUP BY s),
+            pooled AS (SELECT SUM(nt) AS pnt, SUM(ct) AS pct,
+                              SUM(nc) AS pnc, SUM(cc) AS pcc
+                       FROM seg),
+            calc AS (SELECT s, nt, nc,
+                            CAST(ct AS DOUBLE) / nt AS rt,
+                            CAST(cc AS DOUBLE) / nc AS rc,
+                            CAST(pct AS DOUBLE) / pnt
+                            - CAST(pcc AS DOUBLE) / pnc AS peff
+                     FROM seg, pooled
+                     WHERE nt > 0 AND nc > 0)
+            SELECT s AS segment, CAST(nt AS BIGINT) AS n_treat,
+                   ROUND(rt, 6) AS rate_treat,
+                   CAST(nc AS BIGINT) AS n_ctrl,
+                   ROUND(rc, 6) AS rate_ctrl,
+                   ROUND(rt - rc, 6) AS effect,
+                   ROUND(peff, 6) AS pooled_effect,
+                   ((rt - rc > 0 AND peff < 0)
+                    OR (rt - rc < 0 AND peff > 0)) AS reversed
+            FROM calc ORDER BY 1
         """,
     }
 )

@@ -42,6 +42,7 @@ __all__ = [
     "theil_sen_trend",
     "ljung_box",
     "cohens_d",
+    "simpsons_check",
 ]
 
 _DEC = "decimal(30,10)"
@@ -539,6 +540,83 @@ def fdr_bh(
         )
         .orderBy("rank")
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    segment_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Simpson's-paradox audit: per-segment treatment effects next to
+    the pooled effect, flagging segments whose effect SIGN disagrees
+    with the pooled sign — the aggregation trap every pooled A/B or
+    cohort comparison should be screened for (the pooled number can
+    invert when segment mix correlates with assignment; acting on it
+    then optimizes the wrong direction for every actual segment).
+
+    Rates are exact integer ratios per (segment, arm) from ONE
+    groupBy; the pooled rates come from the same counts re-summed
+    (bit-identical inputs, no second scan). ``reversed`` uses strict
+    sign opposition (a zero effect on either side is not a reversal).
+
+    Output: one row per segment with both arms present —
+    (segment, n_treat long, rate_treat, n_ctrl long, rate_ctrl,
+    effect, pooled_effect — 6 dp, reversed boolean), ordered by
+    segment; plus nothing pooled-only (read pooled_effect off any
+    row).
+    """
+    base = df.where(
+        F.col(segment_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(segment_col).cast("string").alias("_s"),
+        F.col(treatment_col).cast("boolean").cast("int").alias("_t"),
+        F.col(outcome_col).cast("boolean").cast("int").alias("_y"),
+    )
+    seg = base.groupBy("_s").agg(
+        F.sum("_t").alias("_nt"),
+        F.sum(F.col("_t") * F.col("_y")).alias("_ct"),
+        F.sum(1 - F.col("_t")).alias("_nc"),
+        F.sum((1 - F.col("_t")) * F.col("_y")).alias("_cc"),
+    )
+    seg = seg.persist()
+    try:
+        pooled = seg.agg(
+            F.sum("_nt").alias("_pnt"),
+            F.sum("_ct").alias("_pct"),
+            F.sum("_nc").alias("_pnc"),
+            F.sum("_cc").alias("_pcc"),
+        )
+        rt = F.col("_ct").cast("double") / F.col("_nt")
+        rc = F.col("_cc").cast("double") / F.col("_nc")
+        prt = F.col("_pct").cast("double") / F.col("_pnt")
+        prc = F.col("_pcc").cast("double") / F.col("_pnc")
+        eff = rt - rc
+        peff = prt - prc
+        out = (
+            seg.where((F.col("_nt") > 0) & (F.col("_nc") > 0))
+            .crossJoin(F.broadcast(pooled))
+            .select(
+                F.col("_s").alias("segment"),
+                F.col("_nt").cast("long").alias("n_treat"),
+                F.round(rt, 6).alias("rate_treat"),
+                F.col("_nc").cast("long").alias("n_ctrl"),
+                F.round(rc, 6).alias("rate_ctrl"),
+                F.round(eff, 6).alias("effect"),
+                F.round(peff, 6).alias("pooled_effect"),
+                (
+                    ((eff > 0) & (peff < 0))
+                    | ((eff < 0) & (peff > 0))
+                ).alias("reversed"),
+            )
+            .orderBy("segment")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        seg.unpersist()
+    return out
 
 
 def p_adjust_panel(

@@ -554,3 +554,48 @@ def test_cohens_d_known_values_and_degenerate(spark):
     )
     r2 = cohens_d(flat, "g", "v").first()
     assert r2["cohens_d"] is None and r2["magnitude"] is None
+
+
+def test_simpsons_check_classic_reversal(spark):
+    """The textbook construction: treatment wins INSIDE both segments
+    but loses pooled, because assignment correlates with segment mix."""
+    from metadata_etl_framework_spark.ops.stats import simpsons_check
+
+    rows = []
+    uid = 0
+
+    def add(seg, treated, conv, n):
+        nonlocal uid, rows
+        for _ in range(n):
+            rows.append((seg, treated, conv))
+            uid += 1
+
+    # easy segment: ctrl-heavy; treatment 95% vs ctrl 90%
+    add("easy", True, True, 19); add("easy", True, False, 1)
+    add("easy", False, True, 180); add("easy", False, False, 20)
+    # hard segment: treat-heavy; treatment 30% vs ctrl 20%
+    add("hard", True, True, 60); add("hard", True, False, 140)
+    add("hard", False, True, 4); add("hard", False, False, 16)
+    df = spark.createDataFrame(rows, "seg string, t boolean, y boolean")
+    out = {r["segment"]: r for r in
+           simpsons_check(df, "seg", "t", "y").collect()}
+    easy, hard = out["easy"], out["hard"]
+    assert easy["effect"] > 0 and hard["effect"] > 0
+    assert easy["pooled_effect"] < 0  # the paradox
+    assert easy["reversed"] and hard["reversed"]
+    # exact integer-ratio rates
+    assert easy["rate_treat"] == 0.95 and easy["rate_ctrl"] == 0.9
+    assert hard["rate_treat"] == 0.3 and hard["rate_ctrl"] == 0.2
+
+
+def test_simpsons_check_no_reversal_and_single_arm_drop(spark):
+    from metadata_etl_framework_spark.ops.stats import simpsons_check
+
+    rows = ([("a", True, True)] * 8 + [("a", True, False)] * 2
+            + [("a", False, True)] * 5 + [("a", False, False)] * 5
+            + [("only_treat", True, True)] * 5)
+    df = spark.createDataFrame(rows, "seg string, t boolean, y boolean")
+    out = {r["segment"]: r for r in
+           simpsons_check(df, "seg", "t", "y").collect()}
+    assert set(out) == {"a"}  # single-arm segment emits no row
+    assert not out["a"]["reversed"]
