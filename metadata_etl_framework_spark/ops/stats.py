@@ -43,6 +43,7 @@ __all__ = [
     "ljung_box",
     "cohens_d",
     "simpsons_check",
+    "spearman_corr",
 ]
 
 _DEC = "decimal(30,10)"
@@ -539,6 +540,123 @@ def fdr_bh(
             "bh_threshold", "rejected",
         )
         .orderBy("rank")
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Spearman rank correlation — the monotone-association companion
+    to Pearson (corr_matrix): invariant to any monotone transform and
+    robust to outliers, the right dependence screen when the
+    relationship is nonlinear or the scales are arbitrary.
+
+    Exact average ranks with the tie convention: each column's
+    per-value counts + a prefix scan give avg_rank(v) = cum − (c−1)/2
+    (distinct-values-sized), joined back onto the rows. Ranks are
+    exact HALF-integers, so doubled ranks are exact ints and every
+    moment sum (Σr, Σr², Σr_a·r_b) accumulates as DECIMAL(38,0) —
+    ρ's centered numerator/denominators then follow the welch
+    integer-exact discipline (only int→double casts feed the ratio).
+    The p-value uses the t-approximation t = ρ·√((n−2)/(1−ρ²))
+    through the A&S normal tail (fine for n ≳ 30; reported with n so
+    small-sample callers can see why not to trust it).
+
+    Output: 1 row — (n long, rho 6 dp, p_value 6 dp); null rho when
+    either column is constant or n < 2.
+    """
+    base = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(
+        F.col(col_a).cast("double").alias("_a"),
+        F.col(col_b).cast("double").alias("_b"),
+    )
+    base = base.persist()
+    try:
+        ranked = base
+        for c in ("_a", "_b"):
+            counts = ranked.groupBy(c).agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            from metadata_etl_framework_spark.quality.drift import (
+                _dual_prefix_scan,
+            )
+
+            scan = _dual_prefix_scan(counts, c, "__c", "__c").select(
+                c,
+                # doubled average rank = 2·cum − (c − 1): exact LONG
+                (
+                    F.lit(2) * F.col("__ca") - (F.col("__c") - F.lit(1))
+                ).cast("long").alias(f"__r{c}"),
+            )
+            ranked = ranked.join(scan, c)
+        moments = ranked.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("__r_a").cast("decimal(38,0)")).alias("_sa"),
+            F.sum(F.col("__r_b").cast("decimal(38,0)")).alias("_sb"),
+            F.sum(
+                (F.col("__r_a") * F.col("__r_a")).cast("decimal(38,0)")
+            ).alias("_saa"),
+            F.sum(
+                (F.col("__r_b") * F.col("__r_b")).cast("decimal(38,0)")
+            ).alias("_sbb"),
+            F.sum(
+                (F.col("__r_a") * F.col("__r_b")).cast("decimal(38,0)")
+            ).alias("_sab"),
+        ).collect()[0]
+    finally:
+        base.unpersist()
+    n = int(moments["_n"])
+    spark = df.sparkSession
+    if n < 2:
+        return spark.createDataFrame(
+            [(n, None, None)], "n long, rho double, p_value double"
+        )
+    sa, sb = int(moments["_sa"]), int(moments["_sb"])
+    covnum = n * int(moments["_sab"]) - sa * sb
+    vara = n * int(moments["_saa"]) - sa * sa
+    varb = n * int(moments["_sbb"]) - sb * sb
+    if vara == 0 or varb == 0:
+        return spark.createDataFrame(
+            [(n, None, None)], "n long, rho double, p_value double"
+        )
+    from decimal import Decimal
+
+    one = spark.createDataFrame(
+        [(n, Decimal(covnum), Decimal(vara), Decimal(varb))],
+        "n long, covnum decimal(38,0), vara decimal(38,0), "
+        "varb decimal(38,0)",
+    )
+    rho = F.col("covnum").cast("double") / F.sqrt(
+        F.col("vara").cast("double") * F.col("varb").cast("double")
+    )
+    nd = F.col("n").cast("double")
+    t = F.when(
+        (F.abs(rho) < 1) & (F.col("n") > 2),
+        rho * F.sqrt((nd - F.lit(2.0)) / (F.lit(1.0) - rho * rho)),
+    )
+    p = F.when(
+        t.isNotNull(),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0), F.lit(2.0) * normal_sf_col(F.abs(t))
+                ),
+            ),
+            6,
+        ),
+    ).otherwise(
+        # |rho| = 1 or n = 2: the normal-approx tail is 0 by
+        # construction (degenerate perfect ranking)
+        F.when(F.abs(rho) >= 1, F.lit(0.0))
+    )
+    return one.select(
+        F.col("n"),
+        F.round(rho, 6).alias("rho"),
+        p.alias("p_value"),
     )
 
 

@@ -599,3 +599,45 @@ def test_simpsons_check_no_reversal_and_single_arm_drop(spark):
            simpsons_check(df, "seg", "t", "y").collect()}
     assert set(out) == {"a"}  # single-arm segment emits no row
     assert not out["a"]["reversed"]
+
+
+def test_spearman_monotone_and_ties(spark):
+    from metadata_etl_framework_spark.ops.stats import spearman_corr
+
+    # perfect nonlinear monotone: rho exactly 1 (Pearson would be < 1)
+    import math
+
+    mono = spark.createDataFrame(
+        [(float(i), math.exp(i / 3.0)) for i in range(30)],
+        "a double, b double",
+    )
+    r = spearman_corr(mono, "a", "b").first()
+    assert r["rho"] == 1.0 and r["p_value"] == 0.0 and r["n"] == 30
+    anti = spark.createDataFrame(
+        [(float(i), -math.exp(i / 3.0)) for i in range(30)],
+        "a double, b double",
+    )
+    assert spearman_corr(anti, "a", "b").first()["rho"] == -1.0
+
+    # tie convention against a python replica (average ranks)
+    rows = [(1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = spearman_corr(df, "a", "b").first()["rho"]
+    ra = [1, 2.5, 2.5, 4]
+    rb = [1, 3, 2, 4]
+    n = 4
+    sa, sb = sum(ra), sum(rb)
+    cov = n * sum(x * y for x, y in zip(ra, rb)) - sa * sb
+    va = n * sum(x * x for x in ra) - sa * sa
+    vb = n * sum(y * y for y in rb) - sb * sb
+    assert got == round(cov / (va * vb) ** 0.5, 6)
+
+
+def test_spearman_degenerate(spark):
+    from metadata_etl_framework_spark.ops.stats import spearman_corr
+
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], "a double, b double"
+    )
+    r = spearman_corr(const, "a", "b").first()
+    assert r["rho"] is None and r["p_value"] is None
