@@ -5313,6 +5313,7 @@ _EXTRA_KEYS = [
     "profile_robust_price",
     "events_simpsons_check",
     "stats_spearman_qty_price",
+    "stats_kruskal_price_prio",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",
@@ -15173,6 +15174,76 @@ _ALL_SQL.update(
                            2.0 * {_normal_sf_sql("ABS(t)")})), 6)
                    WHEN ABS(rho) >= 1 THEN 0.0 END AS p_value
             FROM tt
+        """,
+    }
+)
+
+
+def _stats_kruskal_price_prio(spark, sf_dir):
+    """Kruskal–Wallis across the five order-priority groups
+    (ops/stats.py::kruskal_wallis): exact tie-averaged ranks, exact
+    integer per-group rank sums + tie correction, Wilson–Hilferty χ²
+    survival — the nonparametric ANOVA for skewed metrics."""
+    from metadata_etl_framework_spark.ops.stats import kruskal_wallis
+
+    o = _t(spark, sf_dir, "orders")
+    return kruskal_wallis(o, "o_orderpriority", "o_totalprice")
+
+
+_ALL_QUERIES.update(
+    {"stats_kruskal_price_prio": _stats_kruskal_price_prio}
+)
+
+_ALL_SQL.update(
+    {
+        "stats_kruskal_price_prio": f"""
+            WITH base AS (
+              SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                     CAST(o_totalprice AS DOUBLE) AS v
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+            cnts AS (SELECT v, COUNT(*) AS c FROM base GROUP BY v),
+            rk AS (SELECT v,
+                          2 * SUM(c) OVER (ORDER BY v) - (c - 1) AS d
+                   FROM cnts),
+            pg AS (SELECT g, COUNT(*) AS ni,
+                          SUM(CAST(d AS HUGEINT)) AS di
+                   FROM base JOIN rk USING (v) GROUP BY g),
+            nn AS (SELECT SUM(ni) AS n, COUNT(*) AS k FROM pg),
+            tsum AS (SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS ts
+                     FROM cnts),
+            terms AS (SELECT ROUND(CAST(di * di AS DOUBLE)
+                                   / 4.0 / ni, 6) AS t
+                      FROM pg),
+            sagg AS (SELECT CAST(SUM(CAST(t AS DECIMAL(28,6)))
+                                 AS DOUBLE) AS s
+                     FROM terms),
+            calc AS (SELECT n, k, s, ts,
+                            CAST(n AS HUGEINT) * n * n - n AS dt,
+                            12.0 / (CAST(n AS DOUBLE)
+                                    * (CAST(n AS DOUBLE) + 1.0)) * s
+                            - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h
+                     FROM nn, tsum, sagg),
+            c2 AS (SELECT *,
+                          h / (1.0 - CAST(ts AS DOUBLE)
+                                     / CAST(dt AS DOUBLE)) AS hc,
+                          CAST(k - 1 AS DOUBLE) AS dd
+                   FROM calc),
+            whz AS (SELECT *,
+                           (POWER(GREATEST(hc, 0.0) / dd, 1.0 / 3.0)
+                            - (1.0 - 2.0 / (9.0 * dd)))
+                           / SQRT(2.0 / (9.0 * dd)) AS z
+                    FROM c2)
+            SELECT CAST(n AS BIGINT) AS n, CAST(k AS INT) AS k,
+                   ROUND(h, 6) AS h_stat,
+                   ROUND(hc, 6) AS h_tie_corrected,
+                   CAST(k - 1 AS INT) AS df,
+                   ROUND(LEAST(1.0, GREATEST(0.0,
+                       CASE WHEN z >= 0 THEN {_normal_sf_sql("z")}
+                            ELSE 1.0 - {_normal_sf_sql("(-z)")} END)),
+                       6) AS p_value
+            FROM whz
         """,
     }
 )

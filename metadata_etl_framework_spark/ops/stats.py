@@ -44,6 +44,7 @@ __all__ = [
     "cohens_d",
     "simpsons_check",
     "spearman_corr",
+    "kruskal_wallis",
 ]
 
 _DEC = "decimal(30,10)"
@@ -656,6 +657,169 @@ def spearman_corr(
     return one.select(
         F.col("n"),
         F.round(rho, 6).alias("rho"),
+        p.alias("p_value"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test — "do these k groups share a
+    distribution" on ranks, the k-group generalization of
+    :func:`mann_whitney_u` (and the nonparametric ANOVA a segment
+    comparison should reach for before trusting mean differences on
+    skewed metrics).
+
+    Exact tie-averaged ranks from ONE per-value prefix scan
+    (distinct-values-sized), joined back; per-group doubled-rank sums
+    are exact integers in DECIMAL(38,0). H = 12/(n(n+1))·Σ R_i²/n_i −
+    3(n+1) with the per-group terms rounded to 6 dp before the
+    DECIMAL sum (merge-order free); the standard tie correction
+    divides by 1 − Σ(t³−t)/(n³−n) from the same per-value counts. The
+    p-value is the χ²_{k−1} survival via Wilson–Hilferty + the A&S
+    tail (the ljung_box convention; fine for group sizes ≳ 5).
+
+    Output: 1 row — (n long, k int, h_stat 6 dp, h_tie_corrected
+    6 dp, df int, p_value 6 dp); nulls when all values tie (zero
+    variance) or k < 2.
+    """
+    from metadata_etl_framework_spark.quality.drift import (
+        _dual_prefix_scan,
+    )
+
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    base = base.persist()
+    try:
+        counts = base.groupBy("_v").agg(F.count(F.lit(1)).alias("__c"))
+        scan = _dual_prefix_scan(counts, "_v", "__c", "__c").select(
+            "_v",
+            (
+                F.lit(2) * F.col("__ca") - (F.col("__c") - F.lit(1))
+            ).cast("long").alias("__d"),
+        )
+        per_group = (
+            base.join(scan, "_v")
+            .groupBy("_g")
+            .agg(
+                F.count(F.lit(1)).alias("_ni"),
+                F.sum(F.col("__d").cast("decimal(38,0)")).alias("_di"),
+            )
+            .collect()
+        )
+        ties = counts.agg(
+            F.sum(
+                (
+                    F.col("__c").cast("decimal(38,0)")
+                    * F.col("__c")
+                    * F.col("__c")
+                    - F.col("__c")
+                )
+            ).alias("_t")
+        ).collect()[0]
+    finally:
+        base.unpersist()
+    k = len(per_group)
+    n = sum(int(r["_ni"]) for r in per_group)
+    spark = df.sparkSession
+    if k < 2 or n < 2:
+        return spark.createDataFrame(
+            [(n, k, None, None, max(k - 1, 0), None)],
+            "n long, k int, h_stat double, h_tie_corrected double, "
+            "df int, p_value double",
+        )
+    tie_sum = int(ties["_t"] or 0)
+    denom_t = n * n * n - n
+    if tie_sum >= denom_t:  # every value identical
+        return spark.createDataFrame(
+            [(n, k, None, None, k - 1, None)],
+            "n long, k int, h_stat double, h_tie_corrected double, "
+            "df int, p_value double",
+        )
+    # per-group term R_i²/n_i = (d_i²/4)/n_i with d_i² an EXACT python
+    # int handed across the engine boundary as DECIMAL(38,0) (d_i ≤
+    # 2n² keeps d_i² under 38 digits for n ≤ ~1e9); the 6-dp-rounded
+    # terms then sum as DECIMAL — group-order free and bit-identical
+    # to the SQL replay (the welch boundary discipline)
+    from decimal import Decimal
+
+    dfree = k - 1
+    gframe = spark.createDataFrame(
+        [
+            (Decimal(int(r["_di"]) ** 2), int(r["_ni"]))
+            for r in per_group
+        ],
+        "dd decimal(38,0), ni long",
+    )
+    term = F.round(
+        F.col("dd").cast("double") / F.lit(4.0) / F.col("ni"), 6
+    )
+    srow = gframe.agg(
+        F.sum(term.cast("decimal(28,6)")).cast("double").alias("_s")
+    )
+    one = (
+        srow.select(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(k).cast("int").alias("k"),
+            F.col("_s"),
+            F.lit(Decimal(tie_sum)).cast("decimal(38,0)").alias("_ts"),
+            F.lit(Decimal(denom_t)).cast("decimal(38,0)").alias("_dt"),
+            F.lit(dfree).cast("int").alias("df"),
+        )
+        .withColumn(
+            "h",
+            F.lit(12.0)
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") + F.lit(1.0))
+            )
+            * F.col("_s")
+            - F.lit(3.0) * (F.col("n").cast("double") + F.lit(1.0)),
+        )
+        .withColumn(
+            "hc",
+            F.col("h")
+            / (
+                F.lit(1.0)
+                - F.col("_ts").cast("double")
+                / F.col("_dt").cast("double")
+            ),
+        )
+    )
+    hcol = F.col("hc")
+    dd = F.col("df").cast("double")
+    wh_mu = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dd)
+    wh_sd = F.sqrt(F.lit(2.0) / (F.lit(9.0) * dd))
+    z = (
+        F.pow(
+            F.greatest(hcol, F.lit(0.0)) / dd, F.lit(1.0) / F.lit(3.0)
+        )
+        - wh_mu
+    ) / wh_sd
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.when(z >= 0, normal_sf_col(z)).otherwise(
+                    F.lit(1.0) - normal_sf_col(-z)
+                ),
+            ),
+        ),
+        6,
+    )
+    return one.select(
+        "n",
+        "k",
+        F.round("h", 6).alias("h_stat"),
+        F.round("hc", 6).alias("h_tie_corrected"),
+        "df",
         p.alias("p_value"),
     )
 

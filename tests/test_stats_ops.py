@@ -641,3 +641,44 @@ def test_spearman_degenerate(spark):
     )
     r = spearman_corr(const, "a", "b").first()
     assert r["rho"] is None and r["p_value"] is None
+
+
+def test_kruskal_wallis_known_value_and_detection(spark):
+    from metadata_etl_framework_spark.ops.stats import kruskal_wallis
+
+    # three clearly shifted groups: H large, p tiny
+    rows = ([("a", float(v)) for v in range(10)]
+            + [("b", float(v) + 20) for v in range(10)]
+            + [("c", float(v) + 40) for v in range(10)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").first()
+    assert r["n"] == 30 and r["k"] == 3 and r["df"] == 2
+    # no ties: R_a = 55, R_b = 155, R_c = 255 ->
+    # H = 12/(30*31)*(55^2/10 + 155^2/10 + 255^2/10) - 3*31
+    expect = 12.0 / (30 * 31) * ((55 ** 2 + 155 ** 2 + 255 ** 2) / 10.0) - 93.0
+    assert r["h_stat"] == round(expect, 6)
+    assert r["h_tie_corrected"] == r["h_stat"]  # no ties -> corr = 1
+    assert r["p_value"] < 0.001
+
+    # identical distributions: H near 0, p near 1
+    same = spark.createDataFrame(
+        [(g, float(i % 10)) for g in ("a", "b", "c") for i in range(30)],
+        "g string, v double",
+    )
+    r2 = kruskal_wallis(same, "g", "v").first()
+    assert r2["p_value"] > 0.9
+
+
+def test_kruskal_wallis_degenerate(spark):
+    from metadata_etl_framework_spark.ops.stats import kruskal_wallis
+
+    allsame = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    r = kruskal_wallis(allsame, "g", "v").first()
+    assert r["h_stat"] is None and r["p_value"] is None
+    onegroup = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r2 = kruskal_wallis(onegroup, "g", "v").first()
+    assert r2["k"] == 1 and r2["h_stat"] is None
