@@ -170,6 +170,13 @@ HEADLINE = [
     # hash-seeded equi-join hops; PMI is the band self-join)
     "glm_logit_orders",
     "graph_walk_pmi",
+    # round-12 third sweep: the df-capped containment inverted index,
+    # the distinct-values robust-moments scans, and the two rank tests
+    # (per-value prefix-scan ranks joined back to rows)
+    "dedup_containment_docs",
+    "profile_robust_price",
+    "stats_spearman_qty_price",
+    "stats_kruskal_price_prio",
 ]
 
 
