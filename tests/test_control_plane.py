@@ -736,6 +736,34 @@ def test_plan_column_edges_full_step_vocabulary(spark):
     assert e["source"] == [("docs", "source")]
     assert e["g"] == [("docs", "g")]
 
+    # round 12: trainable-model steps. nb_train's model frame is
+    # eagerly localCheckpointed (a LogicalRDD — lineage severed by the
+    # materialization, like experiment_eval's driver-collected rows)
+    e = edges_for("model_train", {"mode": "naive_bayes",
+                                  "text_column": "text",
+                                  "label_column": "g"})
+    named = {"docs", "docs2", "dims"}
+    assert not any(
+        src in named for refs in e.values() for (src, _) in refs
+    ), e
+    # glm betas apply as plan literals: the score column derives from
+    # the FEATURE columns of the scored frame
+    docs_model = spark.createDataFrame(
+        [("_intercept", 0.1), ("w", 0.5)], "term string, beta double"
+    )
+    covered.add("model_score")
+    e = plan_column_edges(
+        eng.execute_transformations(
+            {"docs": spark.table("docs"), "docs2": spark.table("docs2"),
+             "dims": spark.table("dims"), "m": docs_model},
+            {"primary_source": "docs", "steps": [{
+                "type": "model_score",
+                "config": {"mode": "logistic", "model_source": "m"},
+            }]},
+        )
+    )
+    assert set(e["score"]) == {("docs", "w")}, e
+
     assert covered == set(TransformEngine._HANDLERS), (
         set(TransformEngine._HANDLERS) - covered
     )
