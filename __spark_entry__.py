@@ -5196,12 +5196,8 @@ _DRIVER_KEYS = [
     # simhash/minhash/LSH variants, Kaplan-Meier — now verified by the
     # local parity suite as extras).
     "q1_pricing_summary",
-    "dedup_bloom_probe",
-    "embed_semantic_dedup",
-    "corpus_dsir_weights",
     "drift_suite",
     "curation_funnel",
-    "text_quality_score",
     "corpus_split_leakage_safe",
     "dq_suite",
     "dq_rules_onepass",
@@ -5216,7 +5212,6 @@ _DRIVER_KEYS = [
     # extras at round-12 close — still verified by the local parity
     # suite every run.
     "graph_pagerank_suppliers",
-    "eval_pr_auc_orders",
     "ann_ivf_pq",
     "multimodal_image_meta",
     # Round-10 frontier promoted to the HARD gate (r10 verdict task 2):
@@ -5227,14 +5222,6 @@ _DRIVER_KEYS = [
     # HLL by portable-hash register replay, target encoding by the OOF
     # fold grid.
     "eval_retrieval_bm25",
-    "eval_chrf_docs",
-    "graph_label_propagation",
-    "graph_kcore_ring",
-    "events_markov_attribution",
-    "eval_qini_orders",
-    "agg_rollup_orders",
-    "sketch_hll_rollup_events",
-    "feat_target_encoding_orders",
     # Round-11 frontier promoted to the HARD gate (proactive rotation,
     # same policy as r10/r11): every one oracle-backed — the Poisson
     # bootstrap by the portable-hash weight ladder replay, CUPED by
@@ -5278,6 +5265,30 @@ _DRIVER_KEYS = [
     "stats_bootstrap_diff_price",
     "events_ljung_box",
     "events_ab_always_valid",
+    # Round-13 rotation (r12 verdict task 1): the 13 round-12
+    # oracle-backed keys added after the mid-round gate rotation,
+    # promoted so the hard driver gate exercises them — in-engine GLMs
+    # (IRLS logit + closed-form OLS, training unrolled in SQL),
+    # deterministic walks + skip-gram PMI, the rank-test family
+    # (Spearman / Kruskal-Wallis on the dual prefix scan), robust
+    # moments, shingle containment, NB top terms, Simpson's-paradox
+    # audit, four-way p-adjust, Cohen's d, and Wilson intervals.
+    # Displaced to extras (multi-round green): bloom probe, semantic
+    # dedup, DSIR, text quality, PR-AUC, chrF, label prop, k-core,
+    # Markov attribution, Qini, rollup, HLL rollup, target encoding.
+    "glm_logit_orders",
+    "glm_linear_lineitem",
+    "graph_walks_bipartite",
+    "graph_walk_pmi",
+    "stats_spearman_qty_price",
+    "stats_kruskal_price_prio",
+    "profile_robust_price",
+    "dedup_containment_docs",
+    "nb_top_terms_lang",
+    "events_simpsons_check",
+    "stats_padjust_ks_lineitem",
+    "stats_cohens_d_price",
+    "events_wilson_ci_type",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
@@ -5297,23 +5308,22 @@ _EXTRA_KEYS = [
     "dedup_incremental",
     "profile_all_columns",
     "eval_bleu_docs",
-    # Round 12: in-engine IRLS logistic regression + closed-form OLS.
-    "glm_logit_orders",
-    "glm_linear_lineitem",
-    # Round 12: deterministic random walks + skip-gram PMI counting.
-    "graph_walks_bipartite",
-    "graph_walk_pmi",
-    # Round 12 second sweep: inference completeness (four-way p-value
-    # corrections, standardized effect sizes, Wilson intervals).
-    "stats_padjust_ks_lineitem",
-    "stats_cohens_d_price",
-    "events_wilson_ci_type",
-    "nb_top_terms_lang",
-    "dedup_containment_docs",
-    "profile_robust_price",
-    "events_simpsons_check",
-    "stats_spearman_qty_price",
-    "stats_kruskal_price_prio",
+    # Rotated OUT of the driver gate at round-13 (multi-round green
+    # there, displaced by the round-12 key promotion); still verified
+    # by the local parity suite every run.
+    "dedup_bloom_probe",
+    "embed_semantic_dedup",
+    "corpus_dsir_weights",
+    "text_quality_score",
+    "eval_pr_auc_orders",
+    "eval_chrf_docs",
+    "graph_label_propagation",
+    "graph_kcore_ring",
+    "events_markov_attribution",
+    "eval_qini_orders",
+    "agg_rollup_orders",
+    "sketch_hll_rollup_events",
+    "feat_target_encoding_orders",
     # Rotated OUT of the driver gate at round-11 close (multi-round
     # green there); still verified by the local parity suite.
     "events_cohort_retention",

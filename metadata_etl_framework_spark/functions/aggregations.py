@@ -1839,8 +1839,11 @@ def robust_moments(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     counts = counts.persist()
+    _scan_cached: "list" = []
     try:
-        scanned = _dual_prefix_scan(counts, "v", "c", "c").select(
+        scanned = _dual_prefix_scan(
+            counts, "v", "c", "c", persisted=_scan_cached
+        ).select(
             "v", "c", F.col("__ca").alias("cum")
         )
         scanned = scanned.persist()
@@ -1853,8 +1856,11 @@ def robust_moments(
         ).collect()[0]
         n = int(tot["n"] or 0)
         if n == 0:
+            # 1 row of nulls, not a 0-row frame: .first() callers read
+            # a row either way, and the DuckDB oracle's aggregate CTEs
+            # emit exactly this shape on an empty/all-null column
             return df.sparkSession.createDataFrame(
-                [],
+                [(0, 0, None, None, None, None, None)],
                 "n long, k long, mean double, trimmed_mean double, "
                 "winsorized_mean double, median double, mad double",
             )
@@ -1903,7 +1909,9 @@ def robust_moments(
             F.round(F.abs(F.col("v") - F.lit(median)), 6).alias("v"),
             "c",
         ).groupBy("v").agg(F.sum("c").alias("c"))
-        dscan = _dual_prefix_scan(dev, "v", "c", "c").select(
+        dscan = _dual_prefix_scan(
+            dev, "v", "c", "c", persisted=_scan_cached
+        ).select(
             "v", F.col("__ca").alias("cum")
         )
 
@@ -1929,6 +1937,8 @@ def robust_moments(
         )
     finally:
         counts.unpersist()
+        for f in _scan_cached:
+            f.unpersist()
         try:
             scanned.unpersist()
         except Exception:

@@ -559,6 +559,10 @@ def spearman_corr(
     (distinct-values-sized), joined back onto the rows. Ranks are
     exact HALF-integers, so doubled ranks are exact ints and every
     moment sum (Σr, Σr², Σr_a·r_b) accumulates as DECIMAL(38,0) —
+    one operand is cast to decimal BEFORE the multiply (the
+    kruskal_wallis tie-term pattern), so the products themselves are
+    decimal arithmetic: doubled ranks reach 2n and their products 4n²,
+    which overflows int64 around n ≈ 1.5e9 rows if multiplied LONG.
     ρ's centered numerator/denominators then follow the welch
     integer-exact discipline (only int→double casts feed the ratio).
     The p-value uses the t-approximation t = ρ·√((n−2)/(1−ρ²))
@@ -575,6 +579,7 @@ def spearman_corr(
         F.col(col_b).cast("double").alias("_b"),
     )
     base = base.persist()
+    _scan_cached: "list[DataFrame]" = []
     try:
         ranked = base
         for c in ("_a", "_b"):
@@ -585,7 +590,9 @@ def spearman_corr(
                 _dual_prefix_scan,
             )
 
-            scan = _dual_prefix_scan(counts, c, "__c", "__c").select(
+            scan = _dual_prefix_scan(
+                counts, c, "__c", "__c", persisted=_scan_cached
+            ).select(
                 c,
                 # doubled average rank = 2·cum − (c − 1): exact LONG
                 (
@@ -598,17 +605,19 @@ def spearman_corr(
             F.sum(F.col("__r_a").cast("decimal(38,0)")).alias("_sa"),
             F.sum(F.col("__r_b").cast("decimal(38,0)")).alias("_sb"),
             F.sum(
-                (F.col("__r_a") * F.col("__r_a")).cast("decimal(38,0)")
+                F.col("__r_a").cast("decimal(38,0)") * F.col("__r_a")
             ).alias("_saa"),
             F.sum(
-                (F.col("__r_b") * F.col("__r_b")).cast("decimal(38,0)")
+                F.col("__r_b").cast("decimal(38,0)") * F.col("__r_b")
             ).alias("_sbb"),
             F.sum(
-                (F.col("__r_a") * F.col("__r_b")).cast("decimal(38,0)")
+                F.col("__r_a").cast("decimal(38,0)") * F.col("__r_b")
             ).alias("_sab"),
         ).collect()[0]
     finally:
         base.unpersist()
+        for f in _scan_cached:
+            f.unpersist()
     n = int(moments["_n"])
     spark = df.sparkSession
     if n < 2:
@@ -696,9 +705,12 @@ def kruskal_wallis(
         F.col(value_col).cast("double").alias("_v"),
     )
     base = base.persist()
+    _scan_cached: "list[DataFrame]" = []
     try:
         counts = base.groupBy("_v").agg(F.count(F.lit(1)).alias("__c"))
-        scan = _dual_prefix_scan(counts, "_v", "__c", "__c").select(
+        scan = _dual_prefix_scan(
+            counts, "_v", "__c", "__c", persisted=_scan_cached
+        ).select(
             "_v",
             (
                 F.lit(2) * F.col("__ca") - (F.col("__c") - F.lit(1))
@@ -725,6 +737,8 @@ def kruskal_wallis(
         ).collect()[0]
     finally:
         base.unpersist()
+        for f in _scan_cached:
+            f.unpersist()
     k = len(per_group)
     n = sum(int(r["_ni"]) for r in per_group)
     spark = df.sparkSession

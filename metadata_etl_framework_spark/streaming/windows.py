@@ -561,6 +561,41 @@ def foreach_batch_forecast_monitor(
     )
 
 
+def _msprt_always_valid_p(
+    per_arm: "dict[str, tuple[int, int]]", tau: float
+) -> float:
+    """Closed-form mSPRT always-valid p from cumulative per-arm counts
+    ``{variant: (n, conversions)}`` — the arithmetic half of
+    ops/retention.py::ab_always_valid_p (same pooled-variance mixture
+    LR, identical double op order, same HALF_UP 6-dp rounding), lifted
+    out so the streaming monitor can apply it to RUNNING totals
+    instead of a single frame. Degenerate inputs (missing arm, empty
+    arm, zero pooled variance) report 1.0 — no extractable evidence.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if len(per_arm) != 2:
+        return 1.0
+    (na, ca), (nb, cb) = [per_arm[k] for k in sorted(per_arm)]
+    if na == 0 or nb == 0:
+        return 1.0
+    pooled = (ca + cb) / (na + nb)
+    v = pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    if v <= 0:
+        return 1.0
+    theta = ca / na - cb / nb
+    lr = math.sqrt(v / (v + tau)) * math.exp(
+        theta * theta * tau / (2.0 * v * (v + tau))
+    )
+    p = min(1.0, 1.0 / lr)
+    return float(
+        Decimal(repr(p)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def foreach_batch_experiment_monitor(
     stream_df,
     variant_col: str,
@@ -589,9 +624,19 @@ def foreach_batch_experiment_monitor(
     query-killer). Append-only parquet sink; wrap with
     :func:`idempotent_foreach_batch` when effectively-once matters.
 
-    ``anytime_tau`` (round 12) appends the mSPRT always-valid p over
-    THIS BATCH's units (ops/retention.py::ab_always_valid_p, mixing
-    variance τ) — the number that IS safe to poll continuously.
+    ``anytime_tau`` appends the mSPRT always-valid p (Johari et al.,
+    mixing variance τ) computed over the CUMULATIVE per-arm counts
+    since stream start, not this batch alone: per-batch per-arm
+    (n, conversions) rows accumulate in a compact parquet state dir
+    next to ``metrics_path`` (``<metrics_path>_avstate``), and every
+    batch recomputes the closed-form mixture LR from the running
+    totals. Anytime validity holds for the mixture LR over the
+    accumulated data — a sequence of independent per-batch p-values
+    each read at 0.05 would re-inflate the type-I error the column
+    exists to control. Assumes each unit's exposure arrives in a
+    single micro-batch (dedupe upstream with
+    :func:`streaming_dedup_watermark` otherwise — a unit split across
+    batches is counted once per batch).
 
     NOTE: per-batch z readouts answer "is the experiment healthy in
     this window"; the END-OF-EXPERIMENT decision must come from the
@@ -603,7 +648,6 @@ def foreach_batch_experiment_monitor(
     from pyspark.sql import functions as F
 
     from metadata_etl_framework_spark.ops.retention import (
-        ab_always_valid_p,
         ab_test_proportions,
     )
 
@@ -656,14 +700,50 @@ def foreach_batch_experiment_monitor(
             "significant_95 boolean, underpowered boolean"
         )
         if anytime_tau is not None:
-            av = ab_always_valid_p(
-                batch_df.where(usable), variant_col, converted_col,
-                unit_col, tau=float(anytime_tau),
-            ).first()
+            # accumulate this batch's per-arm (n, conversions) into the
+            # state dir, then recompute the mixture LR over the RUNNING
+            # totals — the quantity whose sup-over-time type-I bound
+            # makes the column continuously pollable (see docstring)
+            state_path = metrics_path.rstrip("/") + "_avstate"
+            (
+                batch_df.where(usable)
+                .groupBy(F.col(unit_col).alias("unit"))
+                .agg(
+                    F.max(F.col(variant_col).cast("string")).alias(
+                        "variant"
+                    ),
+                    F.countDistinct(
+                        F.col(variant_col).cast("string")
+                    ).alias("_nv"),
+                    F.max(F.col(converted_col).cast("int")).alias(
+                        "conv"
+                    ),
+                )
+                .where(F.col("_nv") == 1)
+                .groupBy("variant")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("conv").alias("c"),
+                )
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(state_path)
+            )
+            cum = {
+                s["variant"]: (int(s["n"]), int(s["c"] or 0))
+                for s in spark.read.parquet(state_path)
+                .where(
+                    F.col("variant").isin(
+                        [r["variant_a"], r["variant_b"]]
+                    )
+                )
+                .groupBy("variant")
+                .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+                .collect()
+            }
             row.append(
-                float(av["always_valid_p"])
-                if av is not None and av["always_valid_p"] is not None
-                else 1.0
+                _msprt_always_valid_p(cum, float(anytime_tau))
             )
             schema += ", always_valid_p double"
         spark.createDataFrame([tuple(row)], schema).coalesce(

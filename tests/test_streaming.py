@@ -767,3 +767,65 @@ def test_experiment_monitor_anytime_p_batch_parity(spark_mod, tmp_path):
         "g", "c", "u", tau=1.0,
     ).first()
     assert got[0]["always_valid_p"] == ref["always_valid_p"]
+
+
+def test_experiment_monitor_anytime_p_cumulative(spark_mod, tmp_path):
+    """Round-13 (ADVICE): the anytime p is the mSPRT over CUMULATIVE
+    per-arm counts since stream start, not this batch alone — batch 2's
+    row must equal the batch operator run on batch1 ∪ batch2. Per-batch
+    independent p-values would re-inflate the peeking type-I error the
+    column exists to control (Johari et al.)."""
+    from metadata_etl_framework_spark.ops.retention import (
+        ab_always_valid_p,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_experiment_monitor,
+        streaming_file_source,
+    )
+
+    spark = spark_mod
+    # disjoint unit ranges per file: cumulative count accumulation is
+    # exact (each unit arrives in exactly one micro-batch)
+    batch1 = [(i, "A" if i % 2 == 0 else "B",
+               (i % 4 == 0) if i % 2 == 0 else (i % 10 == 1))
+              for i in range(80)]
+    batch2 = [(i, "A" if i % 2 == 0 else "B",
+               (i % 3 == 0) if i % 2 == 0 else (i % 7 == 1))
+              for i in range(100, 180)]
+    src = str(tmp_path / "exp_av2")
+    for part in (batch1, batch2):
+        spark.createDataFrame(
+            part, "u long, g string, c boolean"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = streaming_file_source(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    metrics = str(tmp_path / "m_av2")
+    q = foreach_batch_experiment_monitor(
+        stream, "g", "c", "u", metrics, str(tmp_path / "ck_av2"),
+        anytime_tau=1.0,
+    ).start()
+    q.awaitTermination(120)
+    got = sorted(
+        spark.read.parquet(metrics).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert len(got) == 2
+    ref_cum = ab_always_valid_p(
+        spark.createDataFrame(
+            batch1 + batch2, "u long, g string, c boolean"
+        ),
+        "g", "c", "u", tau=1.0,
+    ).first()
+    assert got[1]["always_valid_p"] == ref_cum["always_valid_p"]
+    # and the two batches saw different evidence, so the cumulative
+    # number moved — a per-batch recompute would NOT equal ref_cum
+    ref_b2_only = ab_always_valid_p(
+        spark.createDataFrame(batch2, "u long, g string, c boolean"),
+        "g", "c", "u", tau=1.0,
+    ).first()
+    assert (
+        got[1]["always_valid_p"] != ref_b2_only["always_valid_p"]
+        or ref_cum["always_valid_p"] == ref_b2_only["always_valid_p"]
+    )
