@@ -4645,6 +4645,32 @@ def _eval_retrieval_bm25(spark, sf_dir):
     return retrieval_metrics(run, qrels, k=5)
 
 
+def _sketch_kll_rollup_price(spark, sf_dir):
+    """Mergeable quantile sketch rollup (ops/sketch.py::kll_sketch /
+    kll_merge / kll_quantiles): per-priority KLL-family deterministic
+    compactors (k=32) over orders.o_totalprice, bag-union merged to a
+    global sketch, then p25/p50/p75/p90/p99 rank-selected off the
+    weight CDF — the edge-free mergeable counterpart of the exact
+    global-quantiles prefix scan (reference's exact per-batch median:
+    /root/reference/src/quality/dq_engine.py:42-67). Every step is
+    integer block arithmetic + weighted order statistics, replayed
+    bit-for-bit by the DuckDB oracle."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), "o_totalprice"
+    )
+    sk = kll_sketch(o, "o_totalprice", k=32, group_cols=["g"])
+    merged = kll_merge([], sk.select("value", "weight"))
+    return kll_quantiles(
+        merged, (0.25, 0.5, 0.75, 0.9, 0.99)
+    ).orderBy("p")
+
+
 def _sketch_hll_rollup_events(spark, sf_dir):
     """Per-hour HLL register tables (ops/sketch.py::
     windowed_hll_rollup) over events.user_id — the mergeable
@@ -5289,6 +5315,11 @@ _DRIVER_KEYS = [
     "stats_padjust_ks_lineitem",
     "stats_cohens_d_price",
     "events_wilson_ci_type",
+    # Round-13 flagships, oracle-backed from day one.
+    "sketch_kll_rollup_price",
+    "recsys_als_factors",
+    "graph_betweenness_ring",
+    "glm_cv_lineitem",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
@@ -5338,6 +5369,8 @@ _EXTRA_KEYS = [
     "customer_rfm_segments",
     # Round 11: item-based collaborative filtering (ops/recsys.py).
     "recsys_item_item_brands",
+    # Round 13: rank-2 ALS training-fit eval (factors key is gated).
+    "recsys_als_rmse",
     # Round 11: distributed statistical inference (ops/stats.py).
     "events_theil_sen_daily",
     # Round 11: privacy / governance audits (quality/privacy.py).
@@ -5884,6 +5917,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_degree_distribution": _graph_degree_distribution,
     "graph_neighborhood_jaccard": _graph_neighborhood_jaccard,
     "sketch_hll_rollup_events": _sketch_hll_rollup_events,
+    "sketch_kll_rollup_price": _sketch_kll_rollup_price,
     "sketch_hll_range_estimate_events": _sketch_hll_range_estimate_events,
     "eval_retrieval_bm25": _eval_retrieval_bm25,
     "events_acf_hourly": _events_acf_hourly,
@@ -10829,6 +10863,53 @@ _HLL_ROLLUP_SQL = f"""
 
 _ALL_SQL.update(
     {
+        # KLL-family deterministic quantile sketch: per-priority k=32
+        # block compactors -> bag-union merge -> CDF rank selection.
+        # Pure integer block arithmetic + weighted order statistics —
+        # the same doubles, the same ranks, in any engine.
+        "sketch_kll_rollup_price": """
+            WITH base AS (
+              SELECT o_orderpriority AS g,
+                     CAST(o_totalprice AS DOUBLE) AS v
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            per_v AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+            cum AS (SELECT g, v, c,
+                           SUM(c) OVER (PARTITION BY g ORDER BY v) AS cm
+                    FROM per_v),
+            tot AS (SELECT g, SUM(c) AS n FROM per_v GROUP BY 1),
+            tg AS (
+              SELECT g, i,
+                     (n // 32) + CASE WHEN i <= n % 32 THEN 1 ELSE 0 END
+                       AS w,
+                     (i - 1) * (n // 32) + LEAST(i - 1, n % 32)
+                       + ((n // 32)
+                          + CASE WHEN i <= n % 32 THEN 1 ELSE 0 END
+                          + 1) // 2 AS m
+              FROM tot, (SELECT UNNEST(range(1, 33)) AS i)
+            ),
+            sk AS (
+              SELECT c2.v AS value, t.w AS weight
+              FROM cum c2 JOIN tg t
+                ON c2.g = t.g AND c2.cm >= t.m AND c2.cm - c2.c < t.m
+              WHERE t.w > 0
+            ),
+            merged AS (SELECT value, SUM(weight) AS weight
+                       FROM sk GROUP BY 1),
+            mcum AS (SELECT value, weight,
+                            SUM(weight) OVER (ORDER BY value) AS cm
+                     FROM merged),
+            mtot AS (SELECT SUM(weight) AS n FROM merged),
+            probs AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.9, 0.99])
+                                  AS DOUBLE) AS p),
+            sel AS (SELECT p, n, GREATEST(1, CEIL(p * n)) AS r
+                    FROM mtot, probs)
+            SELECT s.p AS p, CAST(s.n AS BIGINT) AS n,
+                   m.value AS estimate
+            FROM mcum m JOIN sel s
+              ON m.cm >= s.r AND m.cm - m.weight < s.r
+            ORDER BY p
+        """,
         "sketch_hll_rollup_events": _HLL_ROLLUP_SQL,
         "sketch_hll_range_estimate_events": f"""
             WITH ru AS ({_HLL_ROLLUP_SQL}),
@@ -12221,11 +12302,61 @@ def _recsys_topk_model(spark, sf_dir):
     )
 
 
+def _als_ratings(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+    )
+
+
+def _recsys_als_factors(spark, sf_dir):
+    """Rank-2 ALS factorization (ops/recsys.py::als_factorize) of the
+    customer×supplier quantity matrix, 2 alternation rounds, λ=0.1:
+    item factors initialize from the portable hash, each half-round is
+    one groupBy collecting per-key 2×2 normal equations as pico-int
+    DECIMAL sums with the closed-form adjugate solve as column
+    arithmetic — the training loop unrolled bit-for-bit by the
+    DuckDB oracle (the glm_logit IRLS convention). Returns the item
+    (supplier) factor table."""
+    from metadata_etl_framework_spark.ops.recsys import als_factorize
+
+    _, itf = als_factorize(
+        _als_ratings(spark, sf_dir), "o_custkey", "l_suppkey", "r",
+        rounds=2, reg=0.1,
+    )
+    return itf.orderBy("l_suppkey")
+
+
+def _recsys_als_rmse(spark, sf_dir):
+    """Training-fit evaluation of the same rank-2 ALS run
+    (ops/recsys.py::als_evaluate): one joined pass, pico-int squared
+    error sums — (n_ratings, n_users, n_items, rmse)."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        als_evaluate,
+        als_factorize,
+    )
+
+    ratings = _als_ratings(spark, sf_dir)
+    uf, itf = als_factorize(
+        ratings, "o_custkey", "l_suppkey", "r", rounds=2, reg=0.1
+    )
+    return als_evaluate(
+        ratings, uf, itf, "o_custkey", "l_suppkey", "r"
+    )
+
+
 _ALL_QUERIES.update(
     {
         "recsys_item_item_brands": _recsys_item_item_brands,
         "recsys_user_brand_recs": _recsys_user_brand_recs,
         "recsys_topk_model": _recsys_topk_model,
+        "recsys_als_factors": _recsys_als_factors,
+        "recsys_als_rmse": _recsys_als_rmse,
     }
 )
 
@@ -12297,6 +12428,98 @@ _ALL_SQL.update(
             SELECT DISTINCT ia AS item_a, ib AS item_b, cab AS n_cooc,
                    cosine, shrunk AS shrunk_cosine
             FROM ranked WHERE rk <= 5
+        """,
+    }
+)
+
+
+# ---- round 13: rank-2 ALS factorization (ops/recsys.py) ----
+# The training loop unrolled as CTEs (the glm_logit IRLS convention):
+# portable-hash item init, then per-half-round pico-int 2x2 normal
+# equations + closed-form adjugate solve, coefficients rounded to
+# 12 dp between halves. MATERIALIZED on every factor CTE: each is
+# referenced by TWO downstream halves (the k-ref blowup rule).
+def _als_half_sql(out: str, gkey: str, okey: str, f: str) -> str:
+    return f"""
+            {out} AS MATERIALIZED (
+              SELECT k,
+                     ROUND((a22 * b1 - a12 * b2)
+                           / (a11 * a22 - a12 * a12), 12) AS f1,
+                     ROUND((a11 * b2 - a12 * b1)
+                           / (a11 * a22 - a12 * a12), 12) AS f2
+              FROM (
+                SELECT b.{gkey} AS k,
+                       CAST(SUM(CAST(ROUND(f.f1 * f.f1
+                                * 1000000000000.0, 0) AS HUGEINT))
+                            + 100000000000 AS DOUBLE) AS a11,
+                       CAST(SUM(CAST(ROUND(f.f1 * f.f2
+                                * 1000000000000.0, 0) AS HUGEINT))
+                            AS DOUBLE) AS a12,
+                       CAST(SUM(CAST(ROUND(f.f2 * f.f2
+                                * 1000000000000.0, 0) AS HUGEINT))
+                            + 100000000000 AS DOUBLE) AS a22,
+                       CAST(SUM(CAST(ROUND(b.r * f.f1
+                                * 1000000000000.0, 0) AS HUGEINT))
+                            AS DOUBLE) AS b1,
+                       CAST(SUM(CAST(ROUND(b.r * f.f2
+                                * 1000000000000.0, 0) AS HUGEINT))
+                            AS DOUBLE) AS b2
+                FROM base b JOIN {f} f ON b.{okey} = f.k
+                GROUP BY 1))"""
+
+
+_ALS_PRELUDE_SQL = f"""
+            WITH base AS MATERIALIZED (
+              SELECT o_custkey AS u, l_suppkey AS it,
+                     CAST(SUM(l_quantity) AS DOUBLE) AS r
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1, 2
+            ),
+            it0 AS (SELECT DISTINCT it FROM base),
+            ha AS (SELECT it,
+                          ((it % 2147483648) * 2654435761)
+                            % 4294967296 AS x1,
+                          (((it + 7919) % 2147483648) * 2654435761)
+                            % 4294967296 AS x2
+                   FROM it0),
+            hb AS (SELECT it,
+                          (xor(x1, x1 >> 16) * 73244475)
+                            % 4294967296 AS y1,
+                          (xor(x2, x2 >> 16) * 73244475)
+                            % 4294967296 AS y2
+                   FROM ha),
+            q0 AS MATERIALIZED (
+                 SELECT it AS k,
+                        ROUND(xor(y1, y1 >> 16) / 4294967296.0
+                              - 0.5, 12) AS f1,
+                        ROUND(xor(y2, y2 >> 16) / 4294967296.0
+                              - 0.5, 12) AS f2
+                 FROM hb),
+            {_als_half_sql('p1', 'u', 'it', 'q0')},
+            {_als_half_sql('q1', 'it', 'u', 'p1')},
+            {_als_half_sql('p2', 'u', 'it', 'q1')},
+            {_als_half_sql('q2', 'it', 'u', 'p2')}
+"""
+
+_ALL_SQL.update(
+    {
+        "recsys_als_factors": f"""
+            {_ALS_PRELUDE_SQL}
+            SELECT k AS l_suppkey, f1, f2 FROM q2 ORDER BY l_suppkey
+        """,
+        "recsys_als_rmse": f"""
+            {_ALS_PRELUDE_SQL}
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
+                   CAST(COUNT(DISTINCT b.u) AS BIGINT) AS n_users,
+                   CAST(COUNT(DISTINCT b.it) AS BIGINT) AS n_items,
+                   ROUND(SQRT(CAST(SUM(CAST(ROUND(
+                       (b.r - (p.f1 * q.f1 + p.f2 * q.f2))
+                       * (b.r - (p.f1 * q.f1 + p.f2 * q.f2))
+                       * 1000000000000.0, 0) AS HUGEINT)) AS DOUBLE)
+                       / 1000000000000.0 / COUNT(*)), 6) AS rmse
+            FROM base b
+            JOIN p2 p ON b.u = p.k
+            JOIN q2 q ON b.it = q.k
         """,
     }
 )
@@ -13896,6 +14119,28 @@ def _graph_closeness_ring(spark, sf_dir):
 _ALL_QUERIES.update({"graph_closeness_ring": _graph_closeness_ring})
 
 
+def _graph_betweenness_ring(spark, sf_dir):
+    """Sampled betweenness centrality (ops/graph.py::
+    betweenness_sampled): Brandes dependency accumulation from 4
+    sampled sources on the chorded ring — forward multi-source BFS
+    with σ path counting, then one backward pass per depth level
+    (deepest first), 10-dp DECIMAL dependency sums. The oracle unrolls
+    9 forward hops and 9 backward levels as MATERIALIZED CTEs;
+    beyond-diameter levels are empty on both sides."""
+    from metadata_etl_framework_spark.ops.graph import (
+        betweenness_sampled,
+    )
+
+    return betweenness_sampled(
+        _closeness_graph(spark), [0, 60, 120, 180], max_hops=12
+    )
+
+
+_ALL_QUERIES.update(
+    {"graph_betweenness_ring": _graph_betweenness_ring}
+)
+
+
 def _bfs_hop_sql(k: int) -> str:
     return f"""
             n{k} AS (SELECT DISTINCT f.s, a.b AS node
@@ -13933,6 +14178,86 @@ _ALL_SQL.update(
                                   AS DECIMAL(24,10))) AS DOUBLE), 6)
                        AS harmonic
             FROM v9 GROUP BY s ORDER BY 1
+        """,
+    }
+)
+
+
+# ---- round 13: sampled betweenness (Brandes) on the same ring ----
+def _btw_fwd_sql(k: int) -> str:
+    """Forward BFS hop with σ path counting: candidates grouped
+    BEFORE the visited anti-join so every layer-(k−1) parent
+    contributes its σ."""
+    return f"""
+            n{k} AS (SELECT f.s, a.b AS node, SUM(f.sigma) AS sigma
+                     FROM h{k - 1} f JOIN adj a ON f.node = a.a
+                     GROUP BY 1, 2),
+            h{k} AS MATERIALIZED (SELECT n.s, n.node, n.sigma
+                     FROM n{k} n
+                     ANTI JOIN v{k - 1} v
+                       ON n.s = v.s AND n.node = v.node),
+            v{k} AS MATERIALIZED (SELECT * FROM v{k - 1}
+                     UNION ALL
+                     SELECT s, node, {k} AS dist, sigma FROM h{k})"""
+
+
+def _btw_bwd_sql(h: int) -> str:
+    """One backward Brandes level: layer h−1 node v receives
+    Σ_w (σ_v/σ_w)(1+δ_w) over layer-h neighbors w, 10-dp DECIMAL
+    terms, δ re-entering as a 10-dp double."""
+    return f"""
+            ct{h} AS (SELECT c.s, p.node,
+                             SUM(CAST(ROUND((CAST(p.sigma AS DOUBLE)
+                                  / CAST(c.sigma AS DOUBLE))
+                                  * (1.0 + c.delta), 10)
+                                  AS DECIMAL(28,10))) AS d
+                      FROM cur{h} c
+                      JOIN adj a ON c.node = a.a
+                      JOIN lay{h - 1} p
+                        ON c.s = p.s AND a.b = p.node
+                      GROUP BY 1, 2),
+            cur{h - 1} AS MATERIALIZED (
+                 SELECT l.s, l.node, l.sigma,
+                        COALESCE(ROUND(CAST(ct.d AS DOUBLE), 10), 0.0)
+                            AS delta
+                 FROM lay{h - 1} l
+                 LEFT JOIN ct{h} ct
+                   ON l.s = ct.s AND l.node = ct.node)"""
+
+
+_ALL_SQL.update(
+    {
+        "graph_betweenness_ring": f"""
+            WITH raw AS (SELECT id AS x, (id + c) % 240 AS y
+                         FROM (SELECT UNNEST(RANGE(0, 240)) AS id),
+                              (SELECT UNNEST([1, 5, 25, 60]) AS c)),
+            und AS (SELECT DISTINCT LEAST(x, y) AS a,
+                           GREATEST(x, y) AS b
+                    FROM raw WHERE x <> y),
+            adj AS (SELECT a, b FROM und
+                    UNION ALL SELECT b, a FROM und),
+            seeds AS (SELECT UNNEST([0, 60, 120, 180]) AS s),
+            v0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist,
+                                       1 AS sigma FROM seeds),
+            h0 AS (SELECT s, s AS node, 1 AS sigma FROM seeds),
+            {",".join(_btw_fwd_sql(k) for k in range(1, 10))},
+            {",".join(
+                f'''lay{h} AS (SELECT s, node, sigma FROM v9
+                               WHERE dist = {h})'''
+                for h in range(0, 10)
+            )},
+            cur9 AS (SELECT s, node, sigma, 0.0 AS delta FROM lay9),
+            {",".join(_btw_bwd_sql(h) for h in range(9, 0, -1))},
+            alldeps AS ({" UNION ALL ".join(
+                f"SELECT s, node, delta FROM cur{h}"
+                for h in range(0, 9)
+            )})
+            SELECT node,
+                   ROUND(CAST(SUM(CAST(delta AS DECIMAL(28,10)))
+                              AS DOUBLE), 6) AS betweenness
+            FROM alldeps
+            WHERE node <> s AND delta > 0
+            GROUP BY node ORDER BY node
         """,
     }
 )
@@ -14467,6 +14792,47 @@ def _glm_linear_lineitem(spark, sf_dir):
 
 _ALL_QUERIES.update({"glm_linear_lineitem": _glm_linear_lineitem})
 
+
+def _glm_cv_lineitem(spark, sf_dir):
+    """K-fold cross-validated OLS as a declarative step (round 13):
+    the 'model_cv' step type (operators/step_compiler.py::_model_cv →
+    ops/glm.py::linear_cv) over the glm_linear feature scaling —
+    4 hash folds of (l_orderkey·8 + l_linenumber), leave-one-fold-out
+    training sums by exact integer subtraction (ONE grouped pass for
+    all 4 models), fold-literal CASE scoring, per-fold + pooled
+    held-out RMSE/MAE/R². The oracle replays folds, betas, and metric
+    arithmetic bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    feat = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+            "row_id"
+        ),
+        (F.col("l_quantity").cast("double") / 10.0).alias("x1"),
+        (F.col("l_extendedprice").cast("double") / 100000.0).alias(
+            "y"
+        ),
+    )
+    return TransformEngine(spark).apply_transform_step(
+        feat,
+        {
+            "type": "model_cv",
+            "config": {
+                "mode": "linear",
+                "feature_columns": ["x1"],
+                "label_column": "y",
+                "id_column": "row_id",
+                "n_folds": 4,
+            },
+        },
+        {},
+    )
+
+
+_ALL_QUERIES.update({"glm_cv_lineitem": _glm_cv_lineitem})
+
 _ALL_SQL.update(
     {
         "glm_linear_lineitem": """
@@ -14522,6 +14888,99 @@ _ALL_SQL.update(
                    CASE WHEN sst > 0
                         THEN ROUND(1.0 - sse / sst, 6) END
             FROM r
+        """,
+        # round 13: 4-fold CV of the same model — portable-hash folds,
+        # leave-one-fold-out training sums by exact HUGEINT
+        # subtraction, fold-wise closed-form betas (12 dp), held-out
+        # pico-int error sums, per-fold + pooled metrics.
+        "glm_cv_lineitem": """
+            WITH feat AS (
+              SELECT l_orderkey * 8 + l_linenumber AS rid,
+                     CAST(l_quantity AS DOUBLE) / 10.0 AS x1,
+                     CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_orderkey IS NOT NULL
+                AND l_linenumber IS NOT NULL),
+            hbase AS (SELECT y, x1,
+                             ((rid % 2147483648) * 2654435761)
+                               % 4294967296 AS a
+                      FROM feat),
+            hbase2 AS (SELECT y, x1,
+                              (xor(a, a >> 16) * 73244475)
+                                % 4294967296 AS b
+                       FROM hbase),
+            base AS MATERIALIZED (
+                 SELECT xor(b, b >> 16) % 4 AS fold, y, x1
+                 FROM hbase2),
+            s AS MATERIALIZED (
+              SELECT fold, COUNT(*) AS n,
+                     SUM(CAST(ROUND(y * y * 1000000000000.0, 0)
+                              AS HUGEINT)) AS yy,
+                     SUM(CAST(ROUND(y * 1000000000000.0, 0)
+                              AS HUGEINT)) AS g0,
+                     SUM(CAST(ROUND(x1 * y * 1000000000000.0, 0)
+                              AS HUGEINT)) AS g1,
+                     SUM(CAST(ROUND(1000000000000.0, 0)
+                              AS HUGEINT)) AS h00,
+                     SUM(CAST(ROUND(x1 * 1000000000000.0, 0)
+                              AS HUGEINT)) AS h01,
+                     SUM(CAST(ROUND(x1 * x1 * 1000000000000.0, 0)
+                              AS HUGEINT)) AS h11
+              FROM base GROUP BY 1),
+            tot AS (SELECT SUM(yy) AS yy, SUM(g0) AS g0,
+                           SUM(g1) AS g1, SUM(h00) AS h00,
+                           SUM(h01) AS h01, SUM(h11) AS h11
+                    FROM s),
+            tr AS MATERIALIZED (
+              SELECT fold,
+                     ROUND((h11d * g0d - h01d * g1d)
+                           / (h00d * h11d - h01d * h01d), 12) AS b0,
+                     ROUND((h00d * g1d - h01d * g0d)
+                           / (h00d * h11d - h01d * h01d), 12) AS b1
+              FROM (SELECT s.fold,
+                           CAST(t.g0 - s.g0 AS DOUBLE) AS g0d,
+                           CAST(t.g1 - s.g1 AS DOUBLE) AS g1d,
+                           CAST(t.h00 - s.h00 AS DOUBLE) AS h00d,
+                           CAST(t.h01 - s.h01 AS DOUBLE) AS h01d,
+                           CAST(t.h11 - s.h11 AS DOUBLE) AS h11d
+                    FROM s, tot t)),
+            met AS MATERIALIZED (
+              SELECT b.fold,
+                     SUM(CAST(ROUND((b.y - (t.b0 + t.b1 * b.x1))
+                              * (b.y - (t.b0 + t.b1 * b.x1))
+                              * 1000000000000.0, 0)
+                              AS HUGEINT)) AS sse,
+                     SUM(CAST(ROUND(ABS(b.y - (t.b0 + t.b1 * b.x1))
+                              * 1000000000000.0, 0)
+                              AS HUGEINT)) AS sae
+              FROM base b JOIN tr t ON b.fold = t.fold
+              GROUP BY 1),
+            fr AS (
+              SELECT s.fold, s.n, m.sse, m.sae, s.yy, s.g0
+              FROM s JOIN met m ON s.fold = m.fold
+              UNION ALL
+              SELECT -1, SUM(s.n), SUM(m.sse), SUM(m.sae),
+                     SUM(s.yy), SUM(s.g0)
+              FROM s JOIN met m ON s.fold = m.fold)
+            SELECT CASE WHEN fold = -1 THEN 'pooled'
+                        ELSE CAST(fold AS VARCHAR) END AS fold,
+                   CAST(n AS BIGINT) AS n_test,
+                   ROUND(SQRT(CAST(sse AS DOUBLE)
+                              / 1000000000000.0 / n), 6) AS rmse,
+                   ROUND(CAST(sae AS DOUBLE)
+                         / 1000000000000.0 / n, 6) AS mae,
+                   CASE WHEN CAST(yy AS DOUBLE)
+                             - CAST(g0 AS DOUBLE) * CAST(g0 AS DOUBLE)
+                               / (n * 1000000000000.0) > 0
+                        THEN ROUND(1.0 - CAST(sse AS DOUBLE)
+                             / (CAST(yy AS DOUBLE)
+                                - CAST(g0 AS DOUBLE)
+                                  * CAST(g0 AS DOUBLE)
+                                  / (n * 1000000000000.0)), 6)
+                   END AS r2
+            FROM fr
         """,
     }
 )

@@ -177,6 +177,15 @@ HEADLINE = [
     "profile_robust_price",
     "stats_spearman_qty_price",
     "stats_kruskal_price_prio",
+    # round-13: per-group KLL block compactors + merge + CDF probe,
+    # 2-round rank-2 ALS (4 grouped normal-equation passes + 4
+    # distributed 2×2 solves under timing), 4-fold leave-one-fold-out
+    # CV (two scans for all 4 models), and forward-σ/backward-δ
+    # Brandes from 4 sources on the chorded ring
+    "sketch_kll_rollup_price",
+    "recsys_als_factors",
+    "glm_cv_lineitem",
+    "graph_betweenness_ring",
 ]
 
 
@@ -205,8 +214,23 @@ def main() -> None:
     # the MEDIAN ratio over all queries, not any single query.
     # (set SPARK_GRAFT_BENCH_RUNS=1 for single-shot timing)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Controlled measurement arms (r12 verdict task 2 — reconcile the
+    # driver-vs-builder bench gap):
+    #   SPARK_GRAFT_BENCH_FRESH_EVERY=N  → stop + rebuild the
+    #     SparkSession every N queries, isolating batched-session state
+    #     (codegen cache, accumulated temp state, heap fragmentation)
+    #     from ambient box load as the inflation cause.
+    #   SPARK_GRAFT_BENCH_HYGIENE=1      → after each query's min-of-N,
+    #     clear the SQL cache and request a JVM GC so leaked cached
+    #     frames from one query can't tax the next one's timing.
+    fresh_every = int(os.environ.get("SPARK_GRAFT_BENCH_FRESH_EVERY", "0"))
+    hygiene = os.environ.get("SPARK_GRAFT_BENCH_HYGIENE", "0") == "1"
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if fresh_every and qi and qi % fresh_every == 0:
+            spark.stop()
+            spark = get_spark(app_name="bench")
+            _force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
         fn = queries[name]
         best = float("inf")
         for _ in range(runs):
@@ -214,6 +238,9 @@ def main() -> None:
             _force(fn(spark, SF_DIR))
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
+        if hygiene:
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
 
     out = {
         "metric": "total_query_time",

@@ -972,6 +972,40 @@ class TransformEngine:
             " ['hash', 'target_oof', 'woe_table']"
         )
 
+    def _model_cv(self, data, step, sources) -> DataFrame:
+        """K-fold cross-validated model evaluation as a config step
+        (round 13): composes the deterministic hash fold assignment
+        (ops/features.py::fold_assign convention) with the glm
+        training machinery into per-fold + pooled held-out metrics —
+        ONE grouped sufficient-statistics pass for all K models
+        (leave-one-fold-out integer subtraction) + one scoring pass
+        (ops/glm.py::linear_cv). mode 'linear' (default) needs
+        feature_columns + label_column + id_column; optional n_folds,
+        ridge."""
+        cfg = step.get("config", step)
+        mode = str(cfg.get("mode", "linear")).lower()
+        if mode != "linear":
+            raise ValueError(
+                f"unknown model_cv mode {mode!r}; expected 'linear' "
+                "(closed-form leave-one-fold-out is exact there; "
+                "iterative models need per-fold model_train steps)"
+            )
+        feats = cfg.get("feature_columns")
+        label = cfg.get("label_column")
+        idc = cfg.get("id_column")
+        if not feats or not label or not idc:
+            raise ValueError(
+                "model_cv needs config.feature_columns, "
+                "config.label_column and config.id_column"
+            )
+        from metadata_etl_framework_spark.ops.glm import linear_cv
+
+        return linear_cv(
+            data, list(feats), label, idc,
+            n_folds=int(cfg.get("n_folds", 4)),
+            ridge=float(cfg.get("ridge", 0.0)),
+        )
+
     _HANDLERS: ClassVar[dict[str, Callable]] = {
         "filter": _filter,
         "map": _map,
@@ -996,4 +1030,5 @@ class TransformEngine:
         "privacy_audit": _privacy_audit,
         "model_train": _model_train,
         "model_score": _model_score,
+        "model_cv": _model_cv,
     }

@@ -35,7 +35,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_train", "linear_train"]
+__all__ = ["logistic_train", "linear_train", "linear_cv"]
 
 _SCALE = 10**12
 _ZCLAMP = 30.0
@@ -291,3 +291,180 @@ def logistic_train(
         ],
         "ord int, term string, beta double, n_rows long, iterations int",
     ).orderBy("ord").drop("ord")
+
+
+def linear_cv(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    id_col: str,
+    n_folds: int = 4,
+    ridge: float = 0.0,
+    max_features: int = 8,
+) -> DataFrame:
+    """K-fold cross-validated ridge/OLS — per-fold AND pooled held-out
+    metrics in TWO data scans total, for all K models at once:
+
+    1. ONE grouped pass collects the per-fold pico-int normal-equation
+       sums (the :func:`linear_train` statistics, GROUP BY the
+       deterministic portable-hash fold of ``id_col`` —
+       ops/features.py::fold_assign's convention, so folds are
+       identical in any engine). Fold f's TRAINING sums are then
+       GLOBAL − fold_f by exact integer subtraction — the
+       leave-one-fold-out trick that makes K-fold CV cost one scan
+       instead of K.
+    2. ONE scoring pass: each row's prediction uses ITS OWN fold's
+       held-out betas (K sets of plan literals in a CASE chain — no
+       join, no second model pass), accumulating per-fold pico-int
+       squared/absolute error sums.
+
+    Metrics math runs driver-side on the collected per-fold integers
+    (IEEE-identical everywhere): RMSE = √(SSE/n), MAE, and held-out
+    R² = 1 − SSE/SST with SST from the fold's own label sums. The
+    ``pooled`` row sums the per-fold integer components before the
+    same formulas. Betas round to 12 dp (the glm convention), so a
+    SQL oracle unrolls the whole procedure bit-for-bit.
+
+    Output: one row per fold then 'pooled' —
+    (fold string, n_test long, rmse 6 dp, mae 6 dp, r2 6 dp).
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if len(feature_cols) > max_features:
+        raise ValueError(
+            f"linear_cv: {len(feature_cols)} features > "
+            f"max_features={max_features}"
+        )
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    from metadata_etl_framework_spark.ops.sketch import hash32
+
+    cond = F.col(label_col).isNotNull() & F.col(id_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        (hash32(F.col(id_col)) % F.lit(int(n_folds))).alias("_fold"),
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    d = len(feature_cols) + 1
+    xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.round(F.col("_y") * F.col("_y") * F.lit(1e12)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_yy"),
+    ]
+    for j in range(d):
+        aggs.append(
+            F.sum(
+                F.round(xs[j] * F.col("_y") * F.lit(1e12)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"_g{j}")
+        )
+    for j in range(d):
+        for k in range(j, d):
+            aggs.append(
+                F.sum(
+                    F.round(xs[j] * xs[k] * F.lit(1e12)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias(f"_h{j}{k}")
+            )
+    per_fold = {
+        int(r["_fold"]): r
+        for r in base.groupBy("_fold").agg(*aggs).collect()
+    }
+    if not per_fold:
+        raise ValueError("linear_cv: no usable rows")
+    folds = sorted(per_fold)
+    keys = ["_n", "_yy"] + [f"_g{j}" for j in range(d)] + [
+        f"_h{j}{k}" for j in range(d) for k in range(j, d)
+    ]
+    tot = {
+        k: sum(int(per_fold[f][k]) for f in folds) for k in keys
+    }
+    ridge_i = int(
+        Decimal(repr(float(ridge))).scaleb(12).to_integral_value()
+    )
+    betas_by_fold: "dict[int, list[float]]" = {}
+    for f in folds:
+        g = [
+            float(tot[f"_g{j}"] - int(per_fold[f][f"_g{j}"]))
+            for j in range(d)
+        ]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(
+                    tot[f"_h{j}{k}"]
+                    - int(per_fold[f][f"_h{j}{k}"])
+                    + (ridge_i if j == k else 0)
+                )
+                h[j][k] = v
+                h[k][j] = v
+        betas_by_fold[f] = [round(b, 12) for b in _solve(h, g)]
+    # scoring pass: fold-specific betas as a CASE chain of literals
+    pred = None
+    for f in folds:
+        b = betas_by_fold[f]
+        z = F.lit(b[0])
+        for j in range(1, d):
+            z = z + F.lit(b[j]) * F.col(f"_x{j}")
+        pred = (
+            F.when(F.col("_fold") == f, z)
+            if pred is None
+            else pred.when(F.col("_fold") == f, z)
+        )
+    err = F.col("_y") - pred
+    met = {
+        int(r["_fold"]): r
+        for r in base.groupBy("_fold")
+        .agg(
+            F.sum(
+                F.round(err * err * F.lit(1e12)).cast("decimal(38,0)")
+            ).alias("_sse"),
+            F.sum(
+                F.round(F.abs(err) * F.lit(1e12)).cast("decimal(38,0)")
+            ).alias("_sae"),
+        )
+        .collect()
+    }
+
+    def _row(label: str, n: int, sse: int, sae: int, yy: int, sy: int):
+        import math
+
+        ssed, saed = float(sse), float(sae)
+        # math.sqrt, not ** 0.5: pow(x, 0.5) is not guaranteed to be
+        # the correctly-rounded root the SQL oracle's SQRT computes
+        rmse = round(math.sqrt(ssed / 1e12 / n), 6)
+        mae = round(saed / 1e12 / n, 6)
+        sstd = float(yy) - float(sy) * float(sy) / (n * 1e12)
+        r2 = round(1.0 - ssed / sstd, 6) if sstd > 0 else None
+        return (label, n, rmse, mae, r2)
+
+    rows = []
+    p_n = p_sse = p_sae = p_yy = p_sy = 0
+    for f in folds:
+        n = int(per_fold[f]["_n"])
+        sse = int(met[f]["_sse"])
+        sae = int(met[f]["_sae"])
+        yy = int(per_fold[f]["_yy"])
+        sy = int(per_fold[f]["_g0"])
+        rows.append(_row(str(f), n, sse, sae, yy, sy))
+        p_n += n
+        p_sse += sse
+        p_sae += sae
+        p_yy += yy
+        p_sy += sy
+    rows.append(_row("pooled", p_n, p_sse, p_sae, p_yy, p_sy))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "fold string, n_test long, rmse double, mae double, r2 double",
+    )

@@ -34,10 +34,17 @@ Scale design (the reason item-based CF survives 100 TB):
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["item_item_cosine", "recommend_items"]
+__all__ = [
+    "item_item_cosine",
+    "recommend_items",
+    "als_factorize",
+    "als_evaluate",
+]
 
 _DEC = "decimal(30,10)"
 
@@ -251,4 +258,185 @@ def recommend_items(
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("user", "rank")
+    )
+
+
+def als_factorize(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rounds: int = 2,
+    reg: float = 0.1,
+) -> "tuple[DataFrame, DataFrame]":
+    """ALS matrix factorization at rank 2 — implicit/explicit-feedback
+    factors beyond the item-item CF above (the reference's analytics
+    plane has no factorization surface;
+    cf. /root/reference/src/transformations/transform_engine.py).
+    Alternating ridge solves on the ops/glm.py machinery: each half
+    round is ONE groupBy over the ratings joined with the other side's
+    factors, collecting the per-key 2×2 normal equations as pico-unit
+    (×10¹²) DECIMAL(38,0) sums (merge-order free), then the closed-form
+    adjugate solve AS COLUMN ARITHMETIC — millions of independent 2×2
+    solves run fully distributed, no driver loop, no ML runtime.
+
+    Rank is FIXED at 2: the regime where the per-key solve is exact
+    closed-form column math that a SQL oracle unrolls bit-for-bit
+    (the glm_linear convention — integer sums → double casts in a
+    pinned op order → 12-dp coefficient rounding between half-rounds).
+    Item factors initialize from the portable hash
+    (ops/sketch.py::hash32 → uniform in [−0.5, 0.5), 12 dp), so the
+    whole training run is deterministic in ANY engine.
+
+    Scale: per round, two shuffles of the ratings (by user, by item) +
+    two factor joins; factor frames localCheckpoint between rounds —
+    each is referenced by BOTH next-half joins, the k-ref lineage
+    doubling the pagerank dangling arm taught us to cut. λ > 0 keeps
+    every 2×2 system non-singular (cold keys included).
+
+    Returns ``(user_factors, item_factors)`` — (key, f1, f2) each.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not reg > 0:
+        raise ValueError("reg must be > 0 (singular cold-key solves)")
+    from metadata_etl_framework_spark.ops.sketch import hash32
+
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(item_col).isNotNull()
+        & F.col(rating_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(item_col).alias("__it"),
+        F.col(rating_col).cast("double").alias("__r"),
+    )
+    base = base.persist()
+    base.count()
+    q = (
+        base.select("__it")
+        .distinct()
+        .select(
+            F.col("__it").alias("__k"),
+            F.round(
+                hash32(F.col("__it")) / F.lit(4294967296.0)
+                - F.lit(0.5),
+                12,
+            ).alias("__f1"),
+            F.round(
+                hash32(F.col("__it") + F.lit(7919))
+                / F.lit(4294967296.0)
+                - F.lit(0.5),
+                12,
+            ).alias("__f2"),
+        )
+        .localCheckpoint()
+    )
+    reg_pico = int(
+        Decimal(repr(float(reg))).scaleb(12).to_integral_value()
+    )
+
+    def _pico(e):
+        return F.round(e * F.lit(1e12)).cast("decimal(38,0)")
+
+    def _half(gkey: str, okey: str, factors: DataFrame) -> DataFrame:
+        j = base.join(
+            factors.withColumnRenamed("__k", okey), okey
+        )
+        s = j.groupBy(gkey).agg(
+            F.sum(_pico(F.col("__f1") * F.col("__f1"))).alias("a11"),
+            F.sum(_pico(F.col("__f1") * F.col("__f2"))).alias("a12"),
+            F.sum(_pico(F.col("__f2") * F.col("__f2"))).alias("a22"),
+            F.sum(_pico(F.col("__r") * F.col("__f1"))).alias("b1"),
+            F.sum(_pico(F.col("__r") * F.col("__f2"))).alias("b2"),
+        )
+        a11 = (F.col("a11") + F.lit(reg_pico)).cast("double")
+        a12 = F.col("a12").cast("double")
+        a22 = (F.col("a22") + F.lit(reg_pico)).cast("double")
+        b1 = F.col("b1").cast("double")
+        b2 = F.col("b2").cast("double")
+        det = a11 * a22 - a12 * a12
+        return s.select(
+            F.col(gkey).alias("__k"),
+            F.round((a22 * b1 - a12 * b2) / det, 12).alias("__f1"),
+            F.round((a11 * b2 - a12 * b1) / det, 12).alias("__f2"),
+        ).localCheckpoint()
+
+    p = None
+    for _ in range(rounds):
+        p = _half("__u", "__it", q)
+        q = _half("__it", "__u", p)
+    base.unpersist()
+    uf = p.select(
+        F.col("__k").alias(user_col),
+        F.col("__f1").alias("f1"),
+        F.col("__f2").alias("f2"),
+    )
+    itf = q.select(
+        F.col("__k").alias(item_col),
+        F.col("__f1").alias("f1"),
+        F.col("__f2").alias("f2"),
+    )
+    return uf, itf
+
+
+def als_evaluate(
+    df: DataFrame,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+) -> DataFrame:
+    """Training-set fit of an :func:`als_factorize` model in one pass:
+    RMSE of r − p·q over the rated pairs, pico-int squared-error sums
+    (merge-order free, oracle-exact). Output: 1 row —
+    (n_ratings, n_users, n_items, rmse 6 dp)."""
+    j = (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(rating_col).isNotNull()
+        )
+        .join(
+            user_factors.select(
+                user_col,
+                F.col("f1").alias("__pf1"),
+                F.col("f2").alias("__pf2"),
+            ),
+            user_col,
+        )
+        .join(
+            item_factors.select(
+                item_col,
+                F.col("f1").alias("__qf1"),
+                F.col("f2").alias("__qf2"),
+            ),
+            item_col,
+        )
+    )
+    err = F.col(rating_col).cast("double") - (
+        F.col("__pf1") * F.col("__qf1")
+        + F.col("__pf2") * F.col("__qf2")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.countDistinct(F.col(user_col)).alias("n_users"),
+        F.countDistinct(F.col(item_col)).alias("n_items"),
+        F.sum(
+            F.round(err * err * F.lit(1e12)).cast("decimal(38,0)")
+        ).alias("__sse"),
+    )
+    return agg.select(
+        F.col("n_ratings").cast("long").alias("n_ratings"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(
+            F.sqrt(
+                F.col("__sse").cast("double")
+                / F.lit(1e12)
+                / F.col("n_ratings")
+            ),
+            6,
+        ).alias("rmse"),
     )

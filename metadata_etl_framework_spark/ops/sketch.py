@@ -497,3 +497,284 @@ def quantile_from_histogram(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KLL-family mergeable quantile sketch (deterministic compactor)
+# ---------------------------------------------------------------------------
+# The histogram sketch above answers quantiles with a ±bin-width bracket
+# but needs PRE-AGREED edges; the reference's profiling median
+# (/root/reference/src/quality/dq_engine.py:42-67) is an exact per-batch
+# number that cannot merge across batches at all. This section adds the
+# edge-free mergeable quantile summary: per-group k-item weighted
+# compactors in the Manku–Rajagopalan–Lindsay / KLL family, with the
+# randomized compaction schedule replaced by the DETERMINISTIC mid-block
+# order statistic — so a DuckDB oracle (or any second engine) replays
+# the sketch bit-for-bit, and sketches built by different engines merge.
+#
+# Contract: a sketch is a weighted value table (group…, value double,
+# weight long) with Σ weight = exact row count. Build compresses each
+# group to ≤ k items whose block-median order statistics it keeps
+# (rank error ≤ ⌈n_g/k⌉/2 within the group). MERGE is bag union +
+# same-value weight addition — exact integer arithmetic, associative,
+# commutative, idempotent-free but order-independent, which is the
+# property the rollup store needs (per-day sketches combine to any
+# range in any order and the bytes are identical). Compression is only
+# re-applied explicitly (kll_compress) or never: estimate-time work is
+# sketch-sized (≤ groups·k rows), so the single-partition windows in
+# kll_quantiles/_spaced_summary-on-merged-state are bounded by
+# construction, not by data volume.
+
+
+def _spaced_summary(
+    weighted: DataFrame,
+    value_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: "list[str]",
+) -> DataFrame:
+    """k-item deterministic spaced summary of a weighted value table,
+    per group: total weight n splits into k integer blocks
+    w_i = n div k + (1 if i ≤ n mod k else 0) (Σ w_i = n exactly);
+    item i keeps the weighted order statistic at the block's MEDIAN
+    rank prefix_{i-1} + (w_i+1) div 2 — pure integer arithmetic plus
+    one distinct-values window per group, replayable in any SQL
+    engine. Zero-weight blocks (n < k) are dropped, so a tiny group
+    keeps every distinct value exactly."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    g = list(group_cols)
+    per_v = weighted.groupBy(
+        *g, F.col(value_col).alias("value")
+    ).agg(F.sum(F.col(weight_col)).alias("__c"))
+    w = Window.partitionBy(*g).orderBy("value")
+    cum = per_v.withColumn("__cum", F.sum("__c").over(w))
+    tot = (
+        per_v.groupBy(*g).agg(F.sum("__c").alias("__n"))
+        if g
+        else per_v.agg(F.sum("__c").alias("__n"))
+    )
+    kq = F.expr(f"__n div {int(k)}")
+    kr = F.col("__n") % k
+    targets = (
+        tot.select(*g, "__n", kq.alias("__q"), kr.alias("__r"))
+        .select(
+            *g,
+            "__q",
+            "__r",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(k)))
+            ).alias("__i"),
+        )
+        .select(
+            *g,
+            "__i",
+            (
+                F.col("__q")
+                + F.when(F.col("__i") <= F.col("__r"), F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("__w"),
+            (
+                (F.col("__i") - 1) * F.col("__q")
+                + F.least(F.col("__i") - 1, F.col("__r"))
+            ).alias("__prefix"),
+        )
+        .where(F.col("__w") > 0)
+        .select(
+            *g,
+            "__w",
+            (
+                F.col("__prefix")
+                + F.expr("(__w + 1) div 2")
+            ).alias("__m"),
+        )
+    )
+    joined = (
+        cum.join(F.broadcast(targets), g)
+        if g
+        else cum.crossJoin(F.broadcast(targets))
+    )
+    picked = joined.where(
+        (F.col("__cum") >= F.col("__m"))
+        & (F.col("__cum") - F.col("__c") < F.col("__m"))
+    ).select(*g, "value", F.col("__w").cast("long").alias("weight"))
+    # collapse blocks whose median lands on the same (tied) value: the
+    # weight-CDF is identical, rows stay ≤ k, and a small group (n < k,
+    # every block weight 1) degenerates to exact per-value counts
+    return picked.groupBy(*g, "value").agg(
+        F.sum("weight").alias("weight")
+    )
+
+
+def kll_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Build per-group mergeable quantile sketches of a numeric column:
+    ≤ k weighted items per group (see the section note above for the
+    determinism/merge contract; rank error within a group is bounded
+    by ⌈n_g/k⌉/2, i.e. ~1/(2k) relative). ``group_cols`` is REQUIRED
+    non-empty: the build path is one groupBy(group…, value) + one
+    per-group distinct-values window, so groups bound every partition
+    — for a single global EXACT answer use
+    functions/aggregations.py::global_quantiles (the dual-prefix-scan
+    path); for a global SKETCH, build per-partition-key sketches and
+    kll_merge them.
+
+    Output: (group…, value double, weight long), ≤ k rows per group.
+    """
+    if not group_cols:
+        raise ValueError(
+            "kll_sketch needs group_cols (per-day/per-bucket build); "
+            "merge the grouped sketches for a global summary"
+        )
+    base = df.where(F.col(col).isNotNull()).select(
+        *group_cols,
+        F.col(col).cast("double").alias("__v"),
+        F.lit(1).alias("__one"),
+    )
+    return _spaced_summary(base, "__v", "__one", k, list(group_cols))
+
+
+def kll_merge(
+    group_cols: "list[str]", *sketches: DataFrame
+) -> DataFrame:
+    """Combine sketches: bag union + same-(group, value) weight
+    addition — exact integer arithmetic, so the merge is associative,
+    commutative, and order-independent BY CONSTRUCTION (the property
+    pin in tests/test_sketch.py exercises all bracketings). Pass the
+    TARGET grouping: per-day sketches merge to per-nothing (global,
+    ``group_cols=[]``) or to any coarser rollup level. State grows as
+    Σ sketch sizes; apply :func:`kll_compress` explicitly when a
+    bounded-state handoff matters more than zero extra rank error."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    g = list(group_cols)
+    sel = out.groupBy(*g, "value") if g else out.groupBy("value")
+    return sel.agg(F.sum("weight").alias("weight"))
+
+
+def kll_compress(
+    sketch: DataFrame,
+    k: int,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Re-compress a (possibly merged) sketch back to ≤ k items per
+    group with the same deterministic mid-block rule — adds at most
+    ⌈T_g/k⌉/2 rank error on top of the inputs' bounds. Sketch-sized
+    input (≤ groups·k·merges rows), so the window inside is bounded
+    by construction."""
+    return _spaced_summary(
+        sketch, "value", "weight", k, list(group_cols or [])
+    )
+
+
+def kll_quantiles(
+    sketch: DataFrame,
+    probs: "tuple[float, ...]" = (0.5,),
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Quantile estimates off a (merged) sketch: for each p, the
+    weighted order statistic at rank max(1, ⌈p·T⌉) over the sketch's
+    weight-CDF (the QUANTILE_DISC convention) — one sketch-sized
+    window + one broadcast probe join, both bounded by sketch size.
+    The reported value is one the sketch actually retained, so its
+    TRUE rank in the source data is within the build/merge error
+    bounds of p·n.
+
+    Output: (group…, p double, n long, estimate double).
+    """
+    from pyspark.sql import Window
+
+    for p in probs:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"prob out of (0,1]: {p}")
+    g = list(group_cols or [])
+    per_v = sketch.groupBy(*g, "value").agg(
+        F.sum("weight").alias("__c")
+    )
+    w = Window.partitionBy(*g).orderBy("value")
+    cum = per_v.withColumn("__cum", F.sum("__c").over(w))
+    tot = (
+        per_v.groupBy(*g).agg(F.sum("__c").alias("__n"))
+        if g
+        else per_v.agg(F.sum("__c").alias("__n"))
+    )
+    spark = sketch.sparkSession
+    pf = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    targets = tot.crossJoin(F.broadcast(pf)).select(
+        *g,
+        "p",
+        "__n",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("p") * F.col("__n"))
+        ).alias("__rank"),
+    )
+    joined = (
+        cum.join(F.broadcast(targets), g)
+        if g
+        else cum.crossJoin(F.broadcast(targets))
+    )
+    return joined.where(
+        (F.col("__cum") >= F.col("__rank"))
+        & (F.col("__cum") - F.col("__c") < F.col("__rank"))
+    ).select(
+        *g,
+        "p",
+        F.col("__n").cast("long").alias("n"),
+        F.col("value").alias("estimate"),
+    )
+
+
+def windowed_kll_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+    k: int = 64,
+) -> DataFrame:
+    """Materialized quantile-sketch rollup: one ≤ k-item KLL-family
+    summary PER TIME BUCKET — the hypertable answer to "p95 latency
+    per hour, and across any hour range" (exact quantiles do not sum;
+    these sketches merge). Same shape as :func:`windowed_hll_rollup`
+    on the distinct axis.
+
+    Output: (bucket_start timestamp, value double, weight long),
+    ≤ k rows per bucket regardless of input size.
+    """
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.window(ts_col, bucket).start.alias("bucket_start"),
+        F.col(value_col),
+    )
+    return kll_sketch(
+        base, value_col, k=k, group_cols=["bucket_start"]
+    )
+
+
+def kll_rollup_quantiles(
+    rollup: DataFrame,
+    probs: "tuple[float, ...]" = (0.5,),
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Quantile estimates over a bucket range of a
+    :func:`windowed_kll_rollup` table: prune buckets (a filter on the
+    materialized table — never re-reads raw data), bag-union merge,
+    rank-select. ``start`` inclusive, ``end`` exclusive; both
+    optional. Output: (p, n, estimate)."""
+    f = rollup
+    if start is not None:
+        f = f.where(F.col("bucket_start") >= F.lit(start))
+    if end is not None:
+        f = f.where(F.col("bucket_start") < F.lit(end))
+    merged = kll_merge([], f.select("value", "weight"))
+    return kll_quantiles(merged, probs)

@@ -764,6 +764,19 @@ def test_plan_column_edges_full_step_vocabulary(spark):
     )
     assert set(e["score"]) == {("docs", "w")}, e
 
+    # round 13: model_cv's per-fold metric rows are driver-assembled
+    # from collected integer sums (a LogicalRDD) — lineage severed by
+    # the materialization, like experiment_eval / model_train
+    e = edges_for("model_cv", {"mode": "linear",
+                               "feature_columns": ["doc_id"],
+                               "label_column": "w",
+                               "id_column": "doc_id",
+                               "n_folds": 2})
+    named = {"docs", "docs2", "dims"}
+    assert not any(
+        src in named for refs in e.values() for (src, _) in refs
+    ), e
+
     assert covered == set(TransformEngine._HANDLERS), (
         set(TransformEngine._HANDLERS) - covered
     )

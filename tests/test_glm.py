@@ -147,3 +147,80 @@ def test_linear_constant_label_r2_null(spark):
     )
     out = linear_train(df, ["x"], "y").collect()
     assert all(r["r2"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# linear_cv (round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_cv_perfect_fit(spark):
+    """Noise-free y = 3 + 2x: every fold's held-out RMSE collapses to
+    the pico-rounding floor and R² = 1."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.glm import linear_cv
+
+    df = spark.range(400).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 37).cast("double").alias("x"),
+        (3.0 + 2.0 * (F.col("id") % 37)).alias("y"),
+    )
+    rows = linear_cv(df, ["x"], "y", "rid", n_folds=4).collect()
+    assert [r["fold"] for r in rows] == ["0", "1", "2", "3", "pooled"]
+    assert sum(r["n_test"] for r in rows[:-1]) == 400
+    assert rows[-1]["n_test"] == 400
+    for r in rows:
+        assert r["rmse"] < 1e-5
+        assert r["r2"] > 0.999999
+
+
+def test_linear_cv_equals_direct_leave_one_fold_out(spark):
+    """Fold 0's held-out SSE from linear_cv equals training
+    linear_train directly on folds 1..3 and scoring fold 0 — the
+    integer-subtraction trick is exact, not an approximation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.glm import (
+        linear_cv,
+        linear_train,
+    )
+    from metadata_etl_framework_spark.ops.sketch import hash32
+
+    df = spark.range(500).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 7) % 23).cast("double").alias("x"),
+        (
+            1.5
+            + 0.5 * ((F.col("id") * 7) % 23)
+            + ((F.col("id") * 13) % 11).cast("double") / 10.0
+        ).alias("y"),
+    ).withColumn("fold", hash32(F.col("rid")) % F.lit(4))
+    cv0 = [
+        r
+        for r in linear_cv(df, ["x"], "y", "rid", n_folds=4).collect()
+        if r["fold"] == "0"
+    ][0]
+    model = {
+        r["term"]: r["beta"]
+        for r in linear_train(
+            df.where(F.col("fold") != 0), ["x"], "y"
+        ).collect()
+    }
+    held = df.where(F.col("fold") == 0)
+    err = F.col("y") - (
+        F.lit(model["_intercept"]) + F.lit(model["x"]) * F.col("x")
+    )
+    agg = held.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(err * err * F.lit(1e12)).cast("decimal(38,0)")
+        ).alias("sse"),
+    ).collect()[0]
+    rmse = round(
+        math.sqrt(float(int(agg["sse"])) / 1e12 / int(agg["n"])), 6
+    )
+    assert cv0["n_test"] == agg["n"]
+    assert cv0["rmse"] == rmse

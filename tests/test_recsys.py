@@ -146,3 +146,65 @@ def test_broadcast_gate_shuffle_fallback_identical(spark):
     assert sorted(map(tuple, bc.collect())) == sorted(
         map(tuple, sh.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-2 ALS factorization (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _als_ratings(spark):
+    # rank-1 structure: r = (1 + u%3) * (1 + i%2), 30 users x 12 items
+    rows = [
+        (u, i, float((1 + u % 3) * (1 + i % 2)))
+        for u in range(30)
+        for i in range(12)
+        if (u + i) % 4 != 0  # drop a quarter: not a full matrix
+    ]
+    return spark.createDataFrame(rows, "u long, i long, r double")
+
+
+def test_als_deterministic_and_shapes(spark):
+    from metadata_etl_framework_spark.ops.recsys import als_factorize
+
+    df = _als_ratings(spark)
+    uf1, if1 = als_factorize(df, "u", "i", "r", rounds=2, reg=0.1)
+    uf2, if2 = als_factorize(df, "u", "i", "r", rounds=2, reg=0.1)
+    assert sorted(map(tuple, uf1.collect())) == sorted(
+        map(tuple, uf2.collect())
+    )
+    assert sorted(map(tuple, if1.collect())) == sorted(
+        map(tuple, if2.collect())
+    )
+    assert uf1.count() == 30 and if1.count() == 12
+
+
+def test_als_fits_low_rank_structure(spark):
+    """Rank-1 ground truth fits to near-zero RMSE in 2 rounds — and
+    beats the constant-mean predictor by a wide margin."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        als_evaluate,
+        als_factorize,
+    )
+    from pyspark.sql import functions as F
+
+    df = _als_ratings(spark)
+    uf, itf = als_factorize(df, "u", "i", "r", rounds=2, reg=0.01)
+    ev = als_evaluate(df, uf, itf, "u", "i", "r").collect()[0]
+    stats = df.agg(
+        F.stddev_pop("r").alias("sd"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert ev["n_ratings"] == stats["n"]
+    assert ev["rmse"] < 0.2 * stats["sd"]
+
+
+def test_als_guards(spark):
+    import pytest
+
+    from metadata_etl_framework_spark.ops.recsys import als_factorize
+
+    df = _als_ratings(spark)
+    with pytest.raises(ValueError):
+        als_factorize(df, "u", "i", "r", rounds=0)
+    with pytest.raises(ValueError):
+        als_factorize(df, "u", "i", "r", reg=0.0)

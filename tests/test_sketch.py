@@ -197,3 +197,148 @@ def test_histogram_sketch_merge_and_bracket(spark):
     assert nulls == 100
     qn = quantile_from_histogram(h, (0.5,)).collect()[0]
     assert qn["n"] == 10000
+
+
+# ---------------------------------------------------------------------------
+# KLL-family deterministic quantile sketch (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, n=3000, groups=3):
+    # deterministic skewed-ish values with ties: v = (id*id) % 997
+    return spark.range(n).select(
+        (F.col("id") % groups).cast("int").alias("g"),
+        ((F.col("id") * F.col("id")) % 997).cast("double").alias("v"),
+    )
+
+
+def test_kll_sketch_exact_when_small(spark):
+    """A group with fewer rows than k keeps every distinct value with
+    its exact count — the sketch IS the data, zero rank error."""
+    from metadata_etl_framework_spark.ops.sketch import kll_sketch
+
+    df = spark.range(20).select(
+        F.lit(0).alias("g"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    sk = kll_sketch(df, "v", k=64, group_cols=["g"]).orderBy("value")
+    rows = sk.collect()
+    exact = (
+        df.groupBy("v").count().orderBy("v").collect()
+    )
+    assert [(r["value"], r["weight"]) for r in rows] == [
+        (r["v"], r["count"]) for r in exact
+    ]
+
+
+def test_kll_sketch_weight_conservation_and_size(spark):
+    """Σ weight = exact group row count, and ≤ k items per group."""
+    from metadata_etl_framework_spark.ops.sketch import kll_sketch
+
+    df = _vals(spark, n=5000, groups=3)
+    sk = kll_sketch(df, "v", k=32, group_cols=["g"])
+    agg = (
+        sk.groupBy("g")
+        .agg(F.sum("weight").alias("w"), F.count(F.lit(1)).alias("c"))
+        .orderBy("g")
+        .collect()
+    )
+    exact = df.groupBy("g").count().orderBy("g").collect()
+    for got, ref in zip(agg, exact):
+        assert got["w"] == ref["count"]
+        assert got["c"] <= 32
+
+
+def test_kll_merge_associative_commutative(spark):
+    """The merge-associativity property pin: (A⊎B)⊎C, A⊎(B⊎C) and
+    C⊎(B⊎A) produce IDENTICAL sketch tables (exact integer weights,
+    no compaction inside merge)."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        kll_merge,
+        kll_sketch,
+    )
+
+    df = _vals(spark, n=4000, groups=3)
+    parts = [
+        kll_sketch(df.where(F.col("g") == i), "v", k=16, group_cols=["g"])
+        .drop("g")
+        for i in range(3)
+    ]
+    a, b, c = parts
+
+    def table(sk):
+        return sorted(
+            (r["value"], r["weight"]) for r in sk.collect()
+        )
+
+    m1 = table(kll_merge([], kll_merge([], a, b), c))
+    m2 = table(kll_merge([], a, kll_merge([], b, c)))
+    m3 = table(kll_merge([], c, kll_merge([], b, a)))
+    assert m1 == m2 == m3 and len(m1) > 0
+
+
+def test_kll_quantiles_rank_error_bound(spark):
+    """Estimated quantile's TRUE rank is within the documented bound:
+    build error ≤ Σ_g ⌈n_g/k⌉/2 + selection ≤ 1 item block."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketch,
+    )
+
+    k = 64
+    df = _vals(spark, n=6000, groups=3)
+    sk = kll_sketch(df, "v", k=k, group_cols=["g"])
+    merged = kll_merge([], sk)
+    est = {
+        r["p"]: r["estimate"]
+        for r in kll_quantiles(merged, (0.25, 0.5, 0.9)).collect()
+    }
+    n = df.count()
+    vals = [r["v"] for r in df.orderBy("v").collect()]
+    # per-group block ≤ ceil(2000/64)=32; 3 groups → ±(3*16 + 32) ranks
+    slack = 3 * 16 + 32
+    for p, v in est.items():
+        target = max(1, -(-int(p * n) // 1))
+        import bisect
+
+        lo = bisect.bisect_left(vals, v) + 1
+        hi = bisect.bisect_right(vals, v)
+        # the estimate's true rank interval must overlap target±slack
+        assert lo - slack <= p * n <= hi + slack, (p, v, lo, hi)
+
+
+def test_kll_compress_bounds_state_and_error(spark):
+    """kll_compress shrinks a merged sketch to ≤ k items, conserves
+    total weight exactly, and its median stays within the extra
+    ⌈T/k⌉/2 rank error."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        kll_compress,
+        kll_merge,
+        kll_quantiles,
+        kll_sketch,
+    )
+
+    df = _vals(spark, n=6000, groups=3)
+    merged = kll_merge([], kll_sketch(df, "v", k=64, group_cols=["g"]))
+    small = kll_compress(merged, k=16)
+    rows = small.collect()
+    assert len(rows) <= 16
+    assert sum(r["weight"] for r in rows) == 6000
+    med_big = kll_quantiles(merged, (0.5,)).collect()[0]["estimate"]
+    med_small = kll_quantiles(small, (0.5,)).collect()[0]["estimate"]
+    vals = sorted(r["v"] for r in df.collect())
+    import bisect
+
+    r_big = bisect.bisect_left(vals, med_big)
+    r_small = bisect.bisect_left(vals, med_small)
+    assert abs(r_big - r_small) <= 6000 // 16 + 6000 // 64 + 2
+
+
+def test_kll_sketch_requires_groups(spark):
+    import pytest
+
+    from metadata_etl_framework_spark.ops.sketch import kll_sketch
+
+    df = _vals(spark, n=10)
+    with pytest.raises(ValueError):
+        kll_sketch(df, "v", k=8, group_cols=[])

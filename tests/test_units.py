@@ -2042,3 +2042,38 @@ def test_robust_moments_trim_zero_and_duplicates(spark):
 
     with _pt.raises(ValueError, match="trim"):
         robust_moments(df, "x", trim=0.5)
+
+
+def test_betweenness_sampled_path_graph(spark):
+    """Brandes on the path 0-1-2-3-4 from both endpoints: every
+    interior node accumulates dependency 4 (3+1, 2+2, 1+3)."""
+    from metadata_etl_framework_spark.ops.graph import (
+        betweenness_sampled,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_sampled(edges, [0, 4]).collect()
+    }
+    assert got == {1: 4.0, 2: 4.0, 3: 4.0}
+
+
+def test_betweenness_sampled_diamond_sigma_split(spark):
+    """σ path counting: the diamond 0→{1,2}→3 has TWO shortest 0→3
+    paths, so each middle node gets dependency 1/2 from source 0 —
+    the σ_v/σ_w ratio, not just reachability."""
+    from metadata_etl_framework_spark.ops.graph import (
+        betweenness_sampled,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_sampled(edges, [0]).collect()
+    }
+    assert got == {1: 0.5, 2: 0.5}
