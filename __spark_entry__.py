@@ -5320,6 +5320,7 @@ _DRIVER_KEYS = [
     "recsys_als_factors",
     "graph_betweenness_ring",
     "glm_cv_lineitem",
+    "glm_cv_logit_orders",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
@@ -5369,8 +5370,10 @@ _EXTRA_KEYS = [
     "customer_rfm_segments",
     # Round 11: item-based collaborative filtering (ops/recsys.py).
     "recsys_item_item_brands",
-    # Round 13: rank-2 ALS training-fit eval (factors key is gated).
+    # Round 13: rank-2 ALS training-fit eval + top-N readout (the
+    # factors key is gated).
     "recsys_als_rmse",
+    "recsys_als_recs",
     # Round 11: distributed statistical inference (ops/stats.py).
     "events_theil_sen_daily",
     # Round 11: privacy / governance audits (quality/privacy.py).
@@ -12332,6 +12335,26 @@ def _recsys_als_factors(spark, sf_dir):
     return itf.orderBy("l_suppkey")
 
 
+def _recsys_als_recs(spark, sf_dir):
+    """Top-3 unseen-supplier recommendations from the rank-2 ALS model
+    (ops/recsys.py::als_recommend): broadcast item-factor scoring
+    (bounded catalog side, measured gate with the ANN remediation
+    path), seen anti-join, per-user window — (score DESC, item ASC)
+    deterministic ordering replayed by the oracle."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        als_factorize,
+        als_recommend,
+    )
+
+    ratings = _als_ratings(spark, sf_dir)
+    uf, itf = als_factorize(
+        ratings, "o_custkey", "l_suppkey", "r", rounds=2, reg=0.1
+    )
+    return als_recommend(
+        ratings, uf, itf, "o_custkey", "l_suppkey", top_n=3
+    )
+
+
 def _recsys_als_rmse(spark, sf_dir):
     """Training-fit evaluation of the same rank-2 ALS run
     (ops/recsys.py::als_evaluate): one joined pass, pico-int squared
@@ -12357,6 +12380,7 @@ _ALL_QUERIES.update(
         "recsys_topk_model": _recsys_topk_model,
         "recsys_als_factors": _recsys_als_factors,
         "recsys_als_rmse": _recsys_als_rmse,
+        "recsys_als_recs": _recsys_als_recs,
     }
 )
 
@@ -12506,6 +12530,24 @@ _ALL_SQL.update(
         "recsys_als_factors": f"""
             {_ALS_PRELUDE_SQL}
             SELECT k AS l_suppkey, f1, f2 FROM q2 ORDER BY l_suppkey
+        """,
+        "recsys_als_recs": f"""
+            {_ALS_PRELUDE_SQL},
+            cross0 AS (SELECT p.k AS u, q.k AS it,
+                              ROUND(p.f1 * q.f1 + p.f2 * q.f2, 6)
+                                  AS score
+                       FROM p2 p, q2 q),
+            unseen AS (SELECT c.* FROM cross0 c
+                       ANTI JOIN base b
+                         ON c.u = b.u AND c.it = b.it),
+            rk AS (SELECT u, it, score,
+                          CAST(ROW_NUMBER() OVER (
+                               PARTITION BY u
+                               ORDER BY score DESC, it ASC)
+                               AS INT) AS rank
+                   FROM unseen)
+            SELECT u AS o_custkey, it AS l_suppkey, score, rank
+            FROM rk WHERE rank <= 3
         """,
         "recsys_als_rmse": f"""
             {_ALS_PRELUDE_SQL}
@@ -14707,6 +14749,165 @@ def _glm_logit_orders(spark, sf_dir):
 
 
 _ALL_QUERIES.update({"glm_logit_orders": _glm_logit_orders})
+
+
+def _glm_cv_logit_orders(spark, sf_dir):
+    """4-fold cross-validated IRLS logistic regression
+    (ops/glm.py::logistic_cv via the 'model_cv' step): all 4 held-out
+    models advance together — per Newton iteration ONE groupBy(fold)
+    pass computes every model's pico-int gradient/Hessian cells under
+    its own β literals, model f trains on the Σ of cells g ≠ f
+    (leave-one-fold-out integer addition), then one held-out scoring
+    pass (log-loss / Brier / accuracy per fold + pooled). The oracle
+    unrolls iterations × folds as CTE arithmetic."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("row_id"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        (F.col("o_totalprice").cast("double") / F.lit(100000.0)).alias(
+            "x1"
+        ),
+    ).where(F.col("o_orderkey").isNotNull())
+    return TransformEngine(spark).apply_transform_step(
+        o,
+        {
+            "type": "model_cv",
+            "config": {
+                "mode": "logistic",
+                "feature_columns": ["x1"],
+                "label_column": "urgent",
+                "id_column": "row_id",
+                "n_folds": 4,
+                "iterations": 3,
+            },
+        },
+        {},
+    )
+
+
+_ALL_QUERIES.update({"glm_cv_logit_orders": _glm_cv_logit_orders})
+
+
+def _logit_cv_iter_sql(t: int, n_folds: int = 4) -> str:
+    """One CV Newton iteration: per-fold cells for every model under
+    bet{t-1}'s columns, then each model's leave-one-fold-out update."""
+    cell_cols = []
+    for f in range(n_folds):
+        pf = (
+            f"1.0 / (1.0 + EXP(-GREATEST(LEAST("
+            f"b0_{f} + b1_{f} * x1, 30.0), -30.0)))"
+        )
+        wf = f"({pf}) * (1.0 - ({pf}))"
+        cell_cols += [
+            f"SUM(CAST(ROUND((y - ({pf})) * 1000000000000.0, 0) "
+            f"AS HUGEINT)) AS g{f}_0",
+            f"SUM(CAST(ROUND((y - ({pf})) * x1 * 1000000000000.0, 0) "
+            f"AS HUGEINT)) AS g{f}_1",
+            f"SUM(CAST(ROUND(({wf}) * 1000000000000.0, 0) "
+            f"AS HUGEINT)) AS h{f}_00",
+            f"SUM(CAST(ROUND(({wf}) * x1 * 1000000000000.0, 0) "
+            f"AS HUGEINT)) AS h{f}_01",
+            f"SUM(CAST(ROUND(({wf}) * x1 * x1 * 1000000000000.0, 0) "
+            f"AS HUGEINT)) AS h{f}_11",
+        ]
+    # ridge joins the INTEGER sums before the double cast — the
+    # glm_logit convention (above 2^53 an int-add-then-cast and a
+    # cast-then-double-add differ by an ulp)
+    loo_cols = []
+    for f in range(n_folds):
+        for nm, rdg in (
+            ("g{f}_0", 0), ("g{f}_1", 0),
+            ("h{f}_00", 1000000), ("h{f}_01", 0), ("h{f}_11", 1000000),
+        ):
+            c = nm.format(f=f)
+            add = f" + {rdg}" if rdg else ""
+            loo_cols.append(
+                f"CAST(SUM({c}) FILTER (WHERE fold <> {f}){add} "
+                f"AS DOUBLE) AS {c}d"
+            )
+    upd_cols = []
+    for f in range(n_folds):
+        det = f"(h{f}_00d * h{f}_11d - h{f}_01d * h{f}_01d)"
+        upd_cols += [
+            f"ROUND(b0_{f} + (h{f}_11d * g{f}_0d "
+            f"- h{f}_01d * g{f}_1d) / {det}, 12) AS b0_{f}",
+            f"ROUND(b1_{f} + (h{f}_00d * g{f}_1d "
+            f"- h{f}_01d * g{f}_0d) / {det}, 12) AS b1_{f}",
+        ]
+    return f"""
+            cells{t} AS MATERIALIZED (
+              SELECT fold, {", ".join(cell_cols)}
+              FROM base, bet{t - 1} GROUP BY fold),
+            loo{t} AS (SELECT {", ".join(loo_cols)} FROM cells{t}),
+            bet{t} AS MATERIALIZED (
+              SELECT {", ".join(upd_cols)}
+              FROM loo{t}, bet{t - 1})"""
+
+
+def _logit_cv_sql(n_folds: int = 4, iterations: int = 3) -> str:
+    zeros = ", ".join(
+        f"0.0 AS b0_{f}, 0.0 AS b1_{f}" for f in range(n_folds)
+    )
+    pick = " ".join(
+        f"WHEN fold = {f} THEN 1.0 / (1.0 + EXP(-GREATEST(LEAST("
+        f"b0_{f} + b1_{f} * x1, 30.0), -30.0)))"
+        for f in range(n_folds)
+    )
+    return f"""
+            WITH feat AS (
+              SELECT o_orderkey AS rid,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1.0 ELSE 0.0 END AS y,
+                     CAST(o_totalprice AS DOUBLE) / 100000.0 AS x1
+              FROM orders
+              WHERE o_orderkey IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+            hb1 AS (SELECT y, x1,
+                           ((rid % 2147483648) * 2654435761)
+                             % 4294967296 AS a
+                    FROM feat),
+            hb2 AS (SELECT y, x1,
+                           (xor(a, a >> 16) * 73244475)
+                             % 4294967296 AS b
+                    FROM hb1),
+            base AS MATERIALIZED (
+                 SELECT xor(b, b >> 16) % {n_folds} AS fold, y, x1
+                 FROM hb2),
+            bet0 AS (SELECT {zeros}),
+            {",".join(
+                _logit_cv_iter_sql(t, n_folds)
+                for t in range(1, iterations + 1)
+            )},
+            scored AS (
+              SELECT fold, y, CASE {pick} END AS p
+              FROM base, bet{iterations}),
+            met AS MATERIALIZED (
+              SELECT fold, COUNT(*) AS n,
+                     SUM(CAST(ROUND(-(y * LN(p)
+                          + (1.0 - y) * LN(1.0 - p))
+                          * 1000000000000.0, 0) AS HUGEINT)) AS llp,
+                     SUM(CAST(ROUND((y - p) * (y - p)
+                          * 1000000000000.0, 0) AS HUGEINT)) AS brp,
+                     SUM(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0
+                                    ELSE 0.0 END) = y
+                              THEN 1 ELSE 0 END) AS acc
+              FROM scored GROUP BY fold),
+            fr AS (
+              SELECT CAST(fold AS VARCHAR) AS fold, n, llp, brp, acc
+              FROM met
+              UNION ALL
+              SELECT 'pooled', SUM(n), SUM(llp), SUM(brp), SUM(acc)
+              FROM met)
+            SELECT fold, CAST(n AS BIGINT) AS n_test,
+                   ROUND(CAST(llp AS DOUBLE)
+                         / 1000000000000.0 / n, 6) AS logloss,
+                   ROUND(CAST(brp AS DOUBLE)
+                         / 1000000000000.0 / n, 6) AS brier,
+                   ROUND(acc / n, 6) AS accuracy
+            FROM fr"""
+
+
+_ALL_SQL.update({"glm_cv_logit_orders": _logit_cv_sql()})
 
 
 def _logit_iter_sql(i: int) -> str:

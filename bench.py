@@ -185,6 +185,7 @@ HEADLINE = [
     "sketch_kll_rollup_price",
     "recsys_als_factors",
     "glm_cv_lineitem",
+    "glm_cv_logit_orders",
     "graph_betweenness_ring",
 ]
 

@@ -984,11 +984,10 @@ class TransformEngine:
         ridge."""
         cfg = step.get("config", step)
         mode = str(cfg.get("mode", "linear")).lower()
-        if mode != "linear":
+        if mode not in ("linear", "logistic"):
             raise ValueError(
-                f"unknown model_cv mode {mode!r}; expected 'linear' "
-                "(closed-form leave-one-fold-out is exact there; "
-                "iterative models need per-fold model_train steps)"
+                f"unknown model_cv mode {mode!r}; expected "
+                "['linear', 'logistic']"
             )
         feats = cfg.get("feature_columns")
         label = cfg.get("label_column")
@@ -997,6 +996,15 @@ class TransformEngine:
             raise ValueError(
                 "model_cv needs config.feature_columns, "
                 "config.label_column and config.id_column"
+            )
+        if mode == "logistic":
+            from metadata_etl_framework_spark.ops.glm import logistic_cv
+
+            return logistic_cv(
+                data, list(feats), label, idc,
+                n_folds=int(cfg.get("n_folds", 4)),
+                iterations=int(cfg.get("iterations", 3)),
+                ridge=float(cfg.get("ridge", 1e-6)),
             )
         from metadata_etl_framework_spark.ops.glm import linear_cv
 

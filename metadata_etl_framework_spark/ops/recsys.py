@@ -44,6 +44,7 @@ __all__ = [
     "recommend_items",
     "als_factorize",
     "als_evaluate",
+    "als_recommend",
 ]
 
 _DEC = "decimal(30,10)"
@@ -439,4 +440,74 @@ def als_evaluate(
             ),
             6,
         ).alias("rmse"),
+    )
+
+
+def als_recommend(
+    ratings: DataFrame,
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    user_col: str,
+    item_col: str,
+    top_n: int = 5,
+    max_items: int = 100_000,
+) -> DataFrame:
+    """Top-N unseen-item recommendations from an :func:`als_factorize`
+    model: score(u, i) = p_u · q_i over the user × item grid with the
+    ITEM FACTORS BROADCAST (catalogs are the bounded side — the
+    measured count must be ≤ ``max_items`` or this raises and points
+    at the ANN path: index the item factors with ops/similarity.py's
+    IVF/LSH and query per user), seen pairs anti-joined out, then one
+    per-user window for the top N. Scores round to 6 dp with
+    (score DESC, item ASC) deterministic ordering — oracle-replayable
+    like :func:`recommend_items`.
+
+    Output: (user, item, score, rank), ≤ top_n rows per user.
+    """
+    n_items = item_factors.count()
+    if n_items > max_items:
+        raise ValueError(
+            f"als_recommend: {n_items} items > max_items={max_items} "
+            f"— broadcast scoring is the bounded-catalog path; index "
+            f"the item factors with ops/similarity.py (IVF/LSH) for "
+            f"larger catalogs"
+        )
+    uf = user_factors.select(
+        F.col(user_col).alias("__u"),
+        F.col("f1").alias("__pf1"),
+        F.col("f2").alias("__pf2"),
+    )
+    itf = item_factors.select(
+        F.col(item_col).alias("__i"),
+        F.col("f1").alias("__qf1"),
+        F.col("f2").alias("__qf2"),
+    )
+    seen = ratings.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    scored = (
+        uf.crossJoin(F.broadcast(itf))
+        .join(seen, ["__u", "__i"], "left_anti")
+        .select(
+            "__u",
+            "__i",
+            F.round(
+                F.col("__pf1") * F.col("__qf1")
+                + F.col("__pf2") * F.col("__qf2"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("__u").orderBy(
+        F.col("score").desc(), F.col("__i").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_n))
+        .select(
+            F.col("__u").alias(user_col),
+            F.col("__i").alias(item_col),
+            "score",
+            "rank",
+        )
     )

@@ -488,6 +488,66 @@ def read_hll_rollup(spark, sketch_path: str):
     )
 
 
+def foreach_batch_kll_rollup(
+    stream_df,
+    ts_col: str,
+    value_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    bucket: str = "1 hour",
+    k: int = 64,
+):
+    """Streaming incremental QUANTILE rollup — the KLL-family
+    companion of :func:`foreach_batch_hll_rollup`: every micro-batch
+    reduces to its per-bucket ≤ k-item weighted summaries
+    (ops/sketch.py::windowed_kll_rollup) and lands under
+    ``sketch_path``; readers bag-union fragments at query time
+    (:func:`read_kll_rollup`) and probe ranges with
+    ops/sketch.py::kll_rollup_quantiles.
+
+    Crash-replay: HLL fragments merge with MAX (idempotent by
+    algebra), but KLL weights SUM — a replayed batch would
+    double-count. The sink therefore partitions fragments by
+    ``batch_id`` and writes with DYNAMIC partition overwrite, so a
+    replay rewrites its own partition in place — effectively-once by
+    LAYOUT (the idempotent-sink discipline, inlined)."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        windowed_kll_rollup,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        frag = windowed_kll_rollup(
+            batch_df, ts_col, value_col, bucket, k
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            frag.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def read_kll_rollup(spark, sketch_path: str):
+    """Merged view of a :func:`foreach_batch_kll_rollup` sketch table:
+    fragments bag-union with groupBy((bucket, value)).sum(weight) into
+    the canonical per-bucket rollup — the same shape
+    ops/sketch.py::windowed_kll_rollup produces in batch, so the two
+    pipelines share kll_rollup_quantiles and every other reader."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("bucket_start", "value")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
 def foreach_batch_forecast_monitor(
     stream_df,
     ts_col: str,

@@ -224,3 +224,53 @@ def test_linear_cv_equals_direct_leave_one_fold_out(spark):
     )
     assert cv0["n_test"] == agg["n"]
     assert cv0["rmse"] == rmse
+
+
+def test_logistic_cv_equals_direct_leave_one_fold_out(spark):
+    """Fold 0's held-out model from logistic_cv must equal training
+    logistic_train directly on folds 1..3 — identical betas via the
+    grouped-cells integer sums, so identical held-out log-loss."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.glm import (
+        logistic_cv,
+        logistic_train,
+    )
+    from metadata_etl_framework_spark.ops.sketch import hash32
+
+    df = spark.range(600).select(
+        F.col("id").alias("rid"),
+        (((F.col("id") * 7) % 21).cast("double") / 10.0).alias("x"),
+        (((F.col("id") * 7) % 21) >= 10).alias("y"),
+    ).withColumn("fold", hash32(F.col("rid")) % F.lit(4))
+    cv = {
+        r["fold"]: r
+        for r in logistic_cv(
+            df, ["x"], "y", "rid", n_folds=4, iterations=3
+        ).collect()
+    }
+    model = {
+        r["term"]: r["beta"]
+        for r in logistic_train(
+            df.where(F.col("fold") != 0), ["x"], "y", iterations=3
+        ).collect()
+    }
+    held = df.where(F.col("fold") == 0)
+    z = F.lit(model["_intercept"]) + F.lit(model["x"]) * F.col("x")
+    zc = F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-zc))
+    yd = F.col("y").cast("int").cast("double")
+    ll = -(yd * F.log(p) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - p))
+    agg = held.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(ll * F.lit(1e12)).cast("decimal(38,0)")
+        ).alias("llp"),
+    ).collect()[0]
+    direct_ll = round(float(int(agg["llp"])) / 1e12 / int(agg["n"]), 6)
+    assert cv["0"]["n_test"] == agg["n"]
+    assert cv["0"]["logloss"] == direct_ll
+    # pooled row present and separable classes fit well
+    assert cv["pooled"]["accuracy"] > 0.9

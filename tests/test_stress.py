@@ -926,3 +926,64 @@ def test_nb_train_score_at_10x_docs(spark):
     }
     assert got_labels <= labels
     assert preds.where(F.col("n_tokens") > 0).count() == n_docs
+
+
+def test_als_factorize_at_1m_interactions(spark):
+    """Round-13: rank-2 ALS over ~1M (user, item) interactions — the
+    grouped normal-equation passes and distributed 2×2 solves must
+    hold at interaction scale (factors stay finite, Σ counts exact)."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        als_evaluate,
+        als_factorize,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 50_000).alias("u"),
+        ((F.col("id") * 7) % 2_000).alias("i"),
+        (1.0 + (F.col("id") % 5).cast("double")).alias("r"),
+    )
+    uf, itf = als_factorize(df, "u", "i", "r", rounds=2, reg=0.1)
+    ev = als_evaluate(df, uf, itf, "u", "i", "r").collect()[0]
+    assert ev["n_ratings"] == n
+    assert ev["n_users"] == 50_000 and ev["n_items"] == 2_000
+    assert ev["rmse"] is not None and ev["rmse"] < 10.0
+    bad = itf.where(
+        F.isnan("f1") | F.isnan("f2") | F.col("f1").isNull()
+    ).count()
+    assert bad == 0
+
+
+def test_kll_sketch_at_6m(big, spark):
+    """Round-13: KLL build over 6M rows grouped by return flag — ≤ k
+    items per group, exact weight conservation, merged p50 within the
+    documented rank-error bound of the exact median."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketch,
+    )
+
+    k = 128
+    sk = kll_sketch(big, "l_extendedprice", k=k,
+                    group_cols=["l_returnflag"])
+    per = sk.groupBy("l_returnflag").agg(
+        F.sum("weight").alias("w"), F.count(F.lit(1)).alias("c")
+    )
+    exact = big.where(F.col("l_extendedprice").isNotNull()).groupBy(
+        "l_returnflag"
+    ).count()
+    j = per.join(exact, "l_returnflag").collect()
+    assert j and all(r["w"] == r["count"] and r["c"] <= k for r in j)
+    merged = kll_merge([], sk.select("value", "weight"))
+    est = kll_quantiles(merged, (0.5,)).collect()[0]
+    n = sum(r["count"] for r in exact.collect())
+    # true rank of the estimate within n/2 ± (groups+1)·ceil(n_g/k)
+    below = big.where(
+        F.col("l_extendedprice") <= est["estimate"]
+    ).count()
+    above_eq = big.where(
+        F.col("l_extendedprice") >= est["estimate"]
+    ).count()
+    slack = 4 * (n // k)
+    assert below >= n // 2 - slack and above_eq >= n // 2 - slack
