@@ -5321,6 +5321,7 @@ _DRIVER_KEYS = [
     "graph_betweenness_ring",
     "glm_cv_lineitem",
     "glm_cv_logit_orders",
+    "events_cox_ph",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
@@ -13551,6 +13552,157 @@ _ALL_SQL.update(
         """,
     }
 )
+
+
+def _events_cox_ph(spark, sf_dir):
+    """Cox proportional-hazards regression over user lifetimes
+    (ops/retention.py::cox_ph, Breslow ties, 3 Newton steps): the
+    regression member of the survival family — does a user's mean
+    event value (micro-unit DECIMAL mean / 100) change the churn
+    hazard?
+    Horizon 0 (any user whose last event predates the corpus end day
+    counts as churned) — the synthetic corpus keeps every user active
+    within 7 days of the end, so the KM horizon would yield 0 events.
+    Per-duration pico-int grids + DESC suffix sums form the risk-set
+    statistics; the oracle unrolls every Newton step and the final
+    information pass, A&S tail for the p-value."""
+    from metadata_etl_framework_spark.ops.retention import cox_ph
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("_first"),
+            F.max("ts").alias("_last"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1e6)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_sv"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    obs_end = per_user.agg(F.max("_last").alias("_end"))
+    subjects = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t"),
+        (F.datediff(F.col("_end"), F.col("_last")) > F.lit(0))
+        .cast("int")
+        .alias("e"),
+        # covariate: per-user mean event value (micro-unit DECIMAL
+        # mean — order-independent), scaled to O(0.5)
+        (
+            F.col("_sv").cast("double")
+            / F.col("_n")
+            / F.lit(1e6)
+            / F.lit(100.0)
+        ).alias("x"),
+    )
+    return cox_ph(subjects, "t", "e", "x", iterations=3)
+
+
+_ALL_QUERIES.update({"events_cox_ph": _events_cox_ph})
+
+
+def _cox_iter_sql(i: int, final: bool = False) -> str:
+    """One Cox Newton step under bt{i-1}'s beta: per-duration pico
+    grid, DESC suffix sums (risk sets), event-duration score/info
+    contribs as 10-dp DECIMAL sums, then the β update (skipped on the
+    final information-only pass)."""
+    w = "EXP(GREATEST(LEAST(beta * x, 30.0), -30.0))"
+    body = f"""
+            cg{i} AS (SELECT t,
+                     SUM(CAST(ROUND({w}
+                          * 1000000000000.0, 0) AS HUGEINT)) AS s0,
+                     SUM(CAST(ROUND(x * {w}
+                          * 1000000000000.0, 0) AS HUGEINT)) AS s1,
+                     SUM(CAST(ROUND(x * x * {w}
+                          * 1000000000000.0, 0) AS HUGEINT)) AS s2,
+                     SUM(e) AS d,
+                     SUM(CAST(ROUND(x * e * 1000000000000.0, 0)
+                          AS HUGEINT)) AS dx
+              FROM base, bt{i - 1} GROUP BY t),
+            cs{i} AS (SELECT t, d, dx,
+                     SUM(s0) OVER (ORDER BY t DESC) AS rs0,
+                     SUM(s1) OVER (ORDER BY t DESC) AS rs1,
+                     SUM(s2) OVER (ORDER BY t DESC) AS rs2
+              FROM cg{i}),
+            cu{i} AS (SELECT
+                     SUM(CAST(ROUND(CAST(dx AS DOUBLE)
+                          / 1000000000000.0
+                          - d * (CAST(rs1 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)), 10)
+                          AS DECIMAL(28,10))) AS u,
+                     SUM(CAST(ROUND(d * (CAST(rs2 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)
+                                 - (CAST(rs1 AS DOUBLE)
+                                    / CAST(rs0 AS DOUBLE))
+                                   * (CAST(rs1 AS DOUBLE)
+                                      / CAST(rs0 AS DOUBLE))), 10)
+                          AS DECIMAL(28,10))) AS i_
+              FROM cs{i} WHERE d > 0)"""
+    if final:
+        return body
+    return body + f""",
+            bt{i} AS (SELECT ROUND(beta
+                          + CAST(u AS DOUBLE) / CAST(i_ AS DOUBLE),
+                          12) AS beta
+                      FROM cu{i}, bt{i - 1})"""
+
+
+_ALL_SQL.update(
+    {
+        "events_cox_ph": f"""
+            WITH per_user AS (
+              SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+                     SUM(CAST(ROUND(value * 1000000.0, 0)
+                         AS HUGEINT)) AS sv,
+                     COUNT(*) AS n
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY user_id),
+            oe AS (SELECT MAX(l) AS endd FROM per_user),
+            base AS MATERIALIZED (
+              SELECT DATEDIFF('day', CAST(f AS DATE),
+                              CAST(l AS DATE)) AS t,
+                     CASE WHEN DATEDIFF('day', CAST(l AS DATE),
+                                        CAST(endd AS DATE)) > 0
+                          THEN 1 ELSE 0 END AS e,
+                     CAST(sv AS DOUBLE) / n / 1000000.0 / 100.0 AS x
+              FROM per_user, oe),
+            tot AS (SELECT COUNT(*) AS ns, SUM(e) AS evn FROM base),
+            bt0 AS (SELECT 0.0 AS beta),
+            {_cox_iter_sql(1)},
+            {_cox_iter_sql(2)},
+            {_cox_iter_sql(3)},
+            {_cox_iter_sql(4, final=True)},
+            inf AS (SELECT beta, CAST(i_ AS DOUBLE) AS info
+                    FROM cu4, bt3)
+            SELECT CAST(ns AS BIGINT) AS n_subjects,
+                   CAST(evn AS BIGINT) AS n_events,
+                   CASE WHEN COALESCE(info, 0) > 0 THEN beta END
+                       AS beta,
+                   CASE WHEN COALESCE(info, 0) > 0
+                        THEN ROUND(EXP(beta), 6) END AS hazard_ratio,
+                   CASE WHEN COALESCE(info, 0) > 0
+                        THEN ROUND(1.0 / SQRT(info), 6) END AS se,
+                   CASE WHEN COALESCE(info, 0) > 0
+                        THEN ROUND(beta * SQRT(info), 6) END AS z,
+                   CASE WHEN COALESCE(info, 0) > 0
+                        THEN ROUND(LEAST(1.0, GREATEST(0.0, 2.0 *
+                       {_normal_sf_sql("ABS(beta * SQRT(info))")}
+                       )), 6) END AS p_value
+            FROM inf, tot
+        """,
+    }
+)
+
+
 
 
 # ---- round 11: conformal prediction audit (ops/evaluation.py) ----

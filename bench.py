@@ -187,6 +187,9 @@ HEADLINE = [
     "glm_cv_lineitem",
     "glm_cv_logit_orders",
     "graph_betweenness_ring",
+    # round-13 second sweep: Cox PH — per-Newton-iteration duration
+    # grid + DESC risk-set suffix sums under timing
+    "events_cox_ph",
 ]
 
 

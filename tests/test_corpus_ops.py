@@ -1171,3 +1171,97 @@ def test_containment_gates(spark):
         containment_pairs(df, exact_max_rows=10)
     with _pt.raises(ValueError, match="threshold"):
         containment_pairs(df, threshold=0.0)
+
+
+def test_cox_ph_matches_python_reference(spark):
+    """Round-13: Cox PH (Breslow) — the distributed suffix-sum Newton
+    must agree with an independent plain-Python implementation of the
+    same partial likelihood on a small cohort, and recover a positive
+    effect wired into the hazard."""
+    import math
+
+    from metadata_etl_framework_spark.ops.retention import cox_ph
+
+    # deterministic cohort: higher x → earlier event
+    subs = []
+    for i in range(60):
+        x = (i % 5) / 2.0
+        t = 1 + ((i * 7) % 10) + (4 - int(x)) * 3
+        e = 1 if (i % 4) != 0 else 0
+        subs.append((t, e, x))
+
+    def py_cox(subjects, iters=3):
+        beta = 0.0
+        info = None
+        for _ in range(iters):
+            u, i_ = py_pass(subjects, beta)
+            if not i_ > 0:
+                return None, None
+            beta = round(beta + u / i_, 12)
+        _, info = py_pass(subjects, beta)
+        return beta, info
+
+    def py_pass(subjects, beta):
+        # group by duration with pico rounding, then suffix sums
+        grid = {}
+        for t, e, x in subjects:
+            bx = max(min(beta * x, 30.0), -30.0)
+            w = math.exp(bx)
+            g = grid.setdefault(t, [0, 0, 0, 0, 0])
+            g[0] += round(w * 1e12)
+            g[1] += round(x * w * 1e12)
+            g[2] += round(x * x * w * 1e12)
+            g[3] += e
+            g[4] += round(x * e * 1e12)
+        u = i_ = 0.0
+        s0 = s1 = s2 = 0
+        from decimal import Decimal
+
+        ud = id_ = Decimal(0)
+        for t in sorted(grid, reverse=True):
+            g = grid[t]
+            s0 += g[0]
+            s1 += g[1]
+            s2 += g[2]
+            if g[3] > 0:
+                r1 = float(s1) / float(s0)
+                r2 = float(s2) / float(s0)
+                ud += Decimal(repr(round(
+                    g[4] / 1e12 - g[3] * r1, 10)))
+                id_ += Decimal(repr(round(
+                    g[3] * (r2 - r1 * r1), 10)))
+        return float(ud), float(id_)
+
+    ref_beta, ref_info = py_cox(subs)
+    got = cox_ph(
+        spark.createDataFrame(subs, "t long, e int, x double"),
+        "t", "e", "x",
+    ).collect()[0]
+    assert got["n_subjects"] == 60
+    assert abs(got["beta"] - ref_beta) < 1e-9, (got["beta"], ref_beta)
+    assert abs(got["se"] - round(1.0 / math.sqrt(ref_info), 6)) < 1e-6
+    # wired-in effect: higher covariate hazard → positive beta,
+    # significant at any sane level
+    assert got["beta"] > 0.3 and got["p_value"] < 0.05
+    assert got["hazard_ratio"] == round(math.exp(got["beta"]), 6)
+
+
+def test_cox_ph_null_covariate(spark):
+    """A covariate carrying no signal: |z| small, p large; constant
+    covariate: I = 0 → null inference row, not a crash."""
+    from metadata_etl_framework_spark.ops.retention import cox_ph
+
+    rows = [(1 + (i * 7) % 12, 1 if i % 3 else 0, float(i % 2))
+            for i in range(80)]
+    got = cox_ph(
+        spark.createDataFrame(rows, "t long, e int, x double"),
+        "t", "e", "x",
+    ).collect()[0]
+    assert got["p_value"] > 0.05
+    const = cox_ph(
+        spark.createDataFrame(
+            [(t, e, 1.0) for t, e, _ in rows], "t long, e int, x double"
+        ),
+        "t", "e", "x",
+    ).collect()[0]
+    assert const["beta"] is None and const["p_value"] is None
