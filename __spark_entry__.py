@@ -4256,6 +4256,21 @@ def _eval_auc_orders(spark, sf_dir):
     return binary_auc(o, "o_totalprice", "is_urgent")
 
 
+def _eval_auc_delong_orders(spark, sf_dir):
+    """ROC AUC with DeLong SE + 95% CI (ops/evaluation.py::
+    auc_delong): structural-component variance in closed form from
+    EXACT integer placement moments on the distinct-score grid (one
+    dual prefix scan + two grid aggregates) — the inference companion
+    of eval_auc_orders, at one-pass cost where a bootstrap needs
+    hundreds."""
+    from metadata_etl_framework_spark.ops.evaluation import auc_delong
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_urgent", F.col("o_orderpriority") == "1-URGENT"
+    )
+    return auc_delong(o, "o_totalprice", "is_urgent")
+
+
 def _eval_lift_orders(spark, sf_dir):
     """Decile lift/gains table (ops/evaluation.py::lift_table): exact
     descending-NTILE buckets via the scale-safe ntile_assign, cumulative
@@ -5322,6 +5337,7 @@ _DRIVER_KEYS = [
     "glm_cv_lineitem",
     "glm_cv_logit_orders",
     "events_cox_ph",
+    "eval_auc_delong_orders",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
@@ -16078,3 +16094,61 @@ def oracle_sql() -> dict[str, str]:
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for the granular entries beyond the driver's 50-entry cap."""
     return {k: _ALL_SQL[k] for k in _EXTRA_KEYS if k in _ALL_SQL}
+
+
+_ALL_QUERIES.update(
+    {"eval_auc_delong_orders": _eval_auc_delong_orders}
+)
+
+_ALL_SQL.update(
+    {
+        "eval_auc_delong_orders": """
+            WITH base AS (
+              SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL),
+            grid AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS n
+                     FROM base GROUP BY s),
+            scan AS (SELECT s, p, n,
+                            SUM(n) OVER (ORDER BY s) - n AS negb,
+                            SUM(p) OVER (ORDER BY s) AS cumpos
+                     FROM grid),
+            tot AS (SELECT SUM(p) AS m, SUM(n) AS nn,
+                           SUM(CAST(p AS HUGEINT)
+                               * (2 * negb + n)) AS a,
+                           SUM(CAST(p AS HUGEINT)
+                               * (2 * negb + n)
+                               * (2 * negb + n)) AS q10
+                    FROM scan),
+            q01t AS (SELECT SUM(CAST(n AS HUGEINT)
+                                * (2 * (m - cumpos) + p)
+                                * (2 * (m - cumpos) + p)) AS q01
+                     FROM scan, tot),
+            d AS (SELECT CAST(m AS BIGINT) AS m,
+                         CAST(nn AS BIGINT) AS nn,
+                         CAST(a AS DOUBLE) AS a,
+                         CAST(q10 AS DOUBLE) AS q10,
+                         CAST(q01 AS DOUBLE) AS q01
+                  FROM tot, q01t),
+            e AS (SELECT m, nn, a / (2.0 * m * nn) AS auc, q10, q01
+                  FROM d),
+            f AS (SELECT m, nn, auc,
+                         SQRT(GREATEST(0.0,
+                             ((q10 / (4.0 * nn * nn) - m * auc * auc)
+                              / (m - 1.0)) / m
+                             + ((q01 / (4.0 * m * m) - nn * auc * auc)
+                                / (nn - 1.0)) / nn)) AS se
+                  FROM e)
+            SELECT m AS n_pos, nn AS n_neg,
+                   ROUND(auc, 6) AS auc, ROUND(se, 6) AS se,
+                   ROUND(GREATEST(0.0, auc - 1.959964 * se), 6)
+                       AS ci_lo,
+                   ROUND(LEAST(1.0, auc + 1.959964 * se), 6)
+                       AS ci_hi
+            FROM f
+        """,
+    }
+)

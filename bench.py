@@ -188,8 +188,10 @@ HEADLINE = [
     "glm_cv_logit_orders",
     "graph_betweenness_ring",
     # round-13 second sweep: Cox PH — per-Newton-iteration duration
-    # grid + DESC risk-set suffix sums under timing
+    # grid + DESC risk-set suffix sums under timing — and the DeLong
+    # AUC interval (dual prefix scan + two grid aggregates)
     "events_cox_ph",
+    "eval_auc_delong_orders",
 ]
 
 

@@ -171,3 +171,57 @@ def test_lof_bucketed_singleton_bucket_emits_null_row(spark):
     for r in out.values():
         assert r["lof"] is None and r["k_dist"] is None
         assert r["is_outlier"] is False  # null-safe flag
+
+
+def test_auc_delong_matches_direct_reference(spark):
+    """Round-13: DeLong AUC SE from exact integer grid moments must
+    equal the direct per-row structural-component computation
+    (placements enumerated in plain Python), ties included."""
+    import math
+
+    from metadata_etl_framework_spark.ops.evaluation import auc_delong
+
+    pairs = [((i * 13) % 37 / 5.0, (i % 3 == 0) or (i % 7 == 1))
+             for i in range(200)]
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    m, n = len(pos), len(neg)
+    v10 = [
+        (sum(1 for t in neg if t < s)
+         + 0.5 * sum(1 for t in neg if t == s)) / n
+        for s in pos
+    ]
+    v01 = [
+        (sum(1 for t in pos if t > s)
+         + 0.5 * sum(1 for t in pos if t == s)) / m
+        for s in neg
+    ]
+    auc = sum(v10) / m
+    s10 = sum((v - auc) ** 2 for v in v10) / (m - 1)
+    s01 = sum((v - auc) ** 2 for v in v01) / (n - 1)
+    se = math.sqrt(s10 / m + s01 / n)
+    got = auc_delong(
+        spark.createDataFrame(pairs, "s double, y boolean"), "s", "y"
+    ).collect()[0]
+    assert got["n_pos"] == m and got["n_neg"] == n
+    assert abs(got["auc"] - auc) < 1e-6
+    assert abs(got["se"] - se) < 1e-6
+    assert got["ci_lo"] <= got["auc"] <= got["ci_hi"]
+
+
+def test_auc_delong_degenerate_classes(spark):
+    from metadata_etl_framework_spark.ops.evaluation import auc_delong
+
+    one_pos = [(float(i), i == 0) for i in range(10)]
+    got = auc_delong(
+        spark.createDataFrame(one_pos, "s double, y boolean"),
+        "s", "y",
+    ).collect()[0]
+    assert got["auc"] is not None and got["se"] is None
+    empty = auc_delong(
+        spark.createDataFrame(
+            [(1.0, True)], "s double, y boolean"
+        ),
+        "s", "y",
+    ).collect()[0]
+    assert empty["n_neg"] == 0 and empty["auc"] is None
