@@ -55,15 +55,22 @@ def _materialize_iter(df: DataFrame, truncate: bool) -> DataFrame:
     by the ContextCleaner as references drop); ``truncate=False`` →
     ``persist``+``count`` (caller unpersists the predecessor).
 
-    Round-13 measurement note: a same-session min-of-3 A/B on the
-    sf0.1 dangling-pagerank bench query showed raw localCheckpoint
-    (3.37 s) on par with persist+count (3.55 s) — the round-12 "2.5×
-    slower" reading was ambient-load contamination (the same session
-    produced 3.4–17.7 s spreads on IDENTICAL work), so truncation is
-    not a speed trade-off and the dangling arm now always truncates at
-    its materialization points."""
+    Round-13 measurement note: truncation executes through ``.rdd``,
+    which compiles the segment WITHOUT AQE (no runtime SMJ→BHJ
+    conversion, no partition coalescing) — a bare localCheckpoint on
+    the full benched dangling query measured 7.5 s vs 4.6 s for the
+    persist path at sf0.1 (an earlier A/B that pre-persisted the edge
+    frame hid this). The truncate arm therefore runs the segment
+    through the SQL path FIRST (persist + count, AQE on), then
+    checkpoints — the checkpoint scan reads the cached blocks, so the
+    non-AQE penalty applies only to a cache read, and the returned
+    frame's plan is still a leaf."""
     if truncate:
-        return df.localCheckpoint()
+        cached = df.persist()
+        cached.count()
+        out = cached.localCheckpoint()
+        cached.unpersist()
+        return out
     df = df.persist()
     df.count()
     return df

@@ -10,8 +10,13 @@ import __spark_entry__ as entry_mod
 
 
 def test_driver_gate_is_exactly_fifty_resolvable_entries():
+    # round 13: the hard gate grew past the historical 50 — it now
+    # carries the rotated 50 PLUS every new-round flagship (gated from
+    # day one); pin the floor and the _DRIVER_KEYS agreement instead
+    # of a fixed count
     q = entry_mod.queries()
-    assert len(q) == 50
+    assert len(q) >= 50
+    assert list(q) == list(entry_mod._DRIVER_KEYS)
     assert all(callable(f) for f in q.values())
 
 
@@ -45,4 +50,6 @@ def test_no_duplicate_keys_between_driver_and_extras():
 
 
 def test_driver_oracle_coverage_is_fifty_of_fifty():
-    assert len(entry_mod.oracle_sql()) == 50  # every driver entry
+    # every driver entry is oracle-backed (gate may exceed 50 — see
+    # test_driver_gate_is_exactly_fifty_resolvable_entries)
+    assert len(entry_mod.oracle_sql()) == len(entry_mod.queries())

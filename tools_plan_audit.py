@@ -158,6 +158,12 @@ EXTRA_BROADCAST_CROSS: dict[str, str] = {
     ),
     "stats_fdr_ks_lineitem": _R_GRID,
     "stats_padjust_ks_lineitem": _R_GRID,
+    "recsys_als_recs": (
+        "DELIBERATE user × item broadcast cross for ALS top-N scoring "
+        "— the item-factor build side is catalog-bounded and gated on "
+        "a MEASURED count (≤ max_items, raise points at the ANN path "
+        "for larger catalogs; ops/recsys.py::als_recommend)"
+    ),
 }
 
 BOUNDED_PARTITIONLESS_WINDOW: dict[str, str] = {
