@@ -4686,6 +4686,24 @@ def _sketch_kll_rollup_price(spark, sf_dir):
     ).orderBy("p")
 
 
+def _sketch_kll_rollup_events(spark, sf_dir):
+    """Hypertable quantile rollup end-to-end (ops/sketch.py::
+    windowed_kll_rollup → kll_rollup_quantiles): one ≤ 32-item
+    KLL-family summary per hour bucket of events.value, bag-union
+    merged across the full range, p50/p95 rank-selected off the
+    weight CDF — "p95 latency per hour, and across any hour range"
+    without re-reading raw data; the windowed twin of
+    sketch_kll_rollup_price."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        kll_rollup_quantiles,
+        windowed_kll_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    roll = windowed_kll_rollup(ev, "ts", "value", "1 hour", k=32)
+    return kll_rollup_quantiles(roll, (0.5, 0.95)).orderBy("p")
+
+
 def _sketch_hll_rollup_events(spark, sf_dir):
     """Per-hour HLL register tables (ops/sketch.py::
     windowed_hll_rollup) over events.user_id — the mergeable
@@ -5332,6 +5350,7 @@ _DRIVER_KEYS = [
     "events_wilson_ci_type",
     # Round-13 flagships, oracle-backed from day one.
     "sketch_kll_rollup_price",
+    "sketch_kll_rollup_events",
     "recsys_als_factors",
     "graph_betweenness_ring",
     "glm_cv_lineitem",
@@ -5938,6 +5957,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_neighborhood_jaccard": _graph_neighborhood_jaccard,
     "sketch_hll_rollup_events": _sketch_hll_rollup_events,
     "sketch_kll_rollup_price": _sketch_kll_rollup_price,
+    "sketch_kll_rollup_events": _sketch_kll_rollup_events,
     "sketch_hll_range_estimate_events": _sketch_hll_range_estimate_events,
     "eval_retrieval_bm25": _eval_retrieval_bm25,
     "events_acf_hourly": _events_acf_hourly,
@@ -10921,6 +10941,50 @@ _ALL_SQL.update(
                      FROM merged),
             mtot AS (SELECT SUM(weight) AS n FROM merged),
             probs AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.9, 0.99])
+                                  AS DOUBLE) AS p),
+            sel AS (SELECT p, n, GREATEST(1, CEIL(p * n)) AS r
+                    FROM mtot, probs)
+            SELECT s.p AS p, CAST(s.n AS BIGINT) AS n,
+                   m.value AS estimate
+            FROM mcum m JOIN sel s
+              ON m.cm >= s.r AND m.cm - m.weight < s.r
+            ORDER BY p
+        """,
+        "sketch_kll_rollup_events": """
+            WITH base AS (
+              SELECT DATE_TRUNC('hour', ts) AS g,
+                     CAST(value AS DOUBLE) AS v
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            per_v AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+            cum AS (SELECT g, v, c,
+                           SUM(c) OVER (PARTITION BY g ORDER BY v) AS cm
+                    FROM per_v),
+            tot AS (SELECT g, SUM(c) AS n FROM per_v GROUP BY 1),
+            tg AS (
+              SELECT g, i,
+                     (n // 32) + CASE WHEN i <= n % 32 THEN 1 ELSE 0 END
+                       AS w,
+                     (i - 1) * (n // 32) + LEAST(i - 1, n % 32)
+                       + ((n // 32)
+                          + CASE WHEN i <= n % 32 THEN 1 ELSE 0 END
+                          + 1) // 2 AS m
+              FROM tot, (SELECT UNNEST(range(1, 33)) AS i)
+            ),
+            sk AS (
+              SELECT c2.v AS value, t.w AS weight
+              FROM cum c2 JOIN tg t
+                ON c2.g = t.g AND c2.cm >= t.m AND c2.cm - c2.c < t.m
+              WHERE t.w > 0
+            ),
+            merged AS (SELECT value, SUM(weight) AS weight
+                       FROM sk GROUP BY 1),
+            mcum AS (SELECT value, weight,
+                            SUM(weight) OVER (ORDER BY value) AS cm
+                     FROM merged),
+            mtot AS (SELECT SUM(weight) AS n FROM merged),
+            probs AS (SELECT CAST(UNNEST([0.5, 0.95])
                                   AS DOUBLE) AS p),
             sel AS (SELECT p, n, GREATEST(1, CEIL(p * n)) AS r
                     FROM mtot, probs)

@@ -192,6 +192,7 @@ HEADLINE = [
     # AUC interval (dual prefix scan + two grid aggregates)
     "events_cox_ph",
     "eval_auc_delong_orders",
+    "sketch_kll_rollup_events",
 ]
 
 
