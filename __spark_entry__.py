@@ -5674,6 +5674,12 @@ _EXTRA_KEYS = [
     "eval_ipw_ate_orders",
     "text_readability_docs",
     "events_periodogram",
+    # round-13 continuation sweep
+    "graph_link_prediction",
+    "graph_assortativity_parts",
+    "graph_modularity_brands",
+    "glm_poisson_orders",
+    "privacy_t_closeness_customer",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -16213,6 +16219,397 @@ _ALL_SQL.update(
                    ROUND(LEAST(1.0, auc + 1.959964 * se), 6)
                        AS ci_hi
             FROM f
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): link prediction / assortativity / modularity ----
+
+
+def _copurchase_edges(spark, sf_dir, part_mod=None):
+    # part co-purchase graph: parts sharing an order in lineitem —
+    # SPARSE on the synthetic corpus (unlike the supplier projections,
+    # which are complete graphs at sf>=0.01), so non-edges exist and
+    # link prediction is meaningful
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    if part_mod is not None:
+        li = li.where(F.col("l_partkey") % part_mod == 0)
+    a, b = li.alias("pa"), li.alias("pb")
+    return a.join(
+        b,
+        (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
+        & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
+    ).select(
+        F.col("pa.l_partkey").alias("src"),
+        F.col("pb.l_partkey").alias("dst"),
+    )
+
+
+def _copurchase_edges_sql(part_mod: "int | None" = None) -> str:
+    filt = (
+        f" AND x.l_partkey % {part_mod} = 0"
+        f" AND y.l_partkey % {part_mod} = 0"
+        if part_mod is not None
+        else ""
+    )
+    return f"""
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey
+       AND x.l_partkey < y.l_partkey{filt}
+    """
+
+
+def _graph_link_prediction(spark, sf_dir):
+    """Link prediction (ops/graph.py::link_prediction): score NON-edges
+    of the part co-purchase graph (parts sharing an order, l_partkey%3
+    slice) by common neighbors / Jaccard / Adamic-Adar / resource
+    allocation / preferential attachment — shared-neighbor blocking
+    (never all-pairs), existing edges removed by LEFT ANTI, AA/RA terms
+    pico-int DECIMAL-summed; global top-100 by (adamic_adar DESC, a, b)
+    — a total order, reproducible cut."""
+    from metadata_etl_framework_spark.ops.graph import link_prediction
+
+    return link_prediction(
+        _copurchase_edges(spark, sf_dir, part_mod=3),
+        min_common=2,
+        top_k=100,
+    )
+
+
+def _graph_assortativity_parts(spark, sf_dir):
+    """Degree assortativity (ops/graph.py::assortativity) of the full
+    part co-purchase graph: Pearson of endpoint degrees over the
+    symmetrized edge list from exact DECIMAL(38,0) integer sums —
+    positive = hub-hub attachment. One row; tells the planner whether
+    wedge work concentrates on hubs."""
+    from metadata_etl_framework_spark.ops.graph import assortativity
+
+    return assortativity(_copurchase_edges(spark, sf_dir))
+
+
+def _graph_modularity_brands(spark, sf_dir):
+    """Partition quality (ops/graph.py::modularity): Newman modularity
+    of the brand partition over the part co-purchase graph — per
+    community Q_c = e_c/m − (D_c/2m)² from two exact integer
+    aggregations; the quality gate for any community assignment
+    (label-prop output, dedup clusters)."""
+    from metadata_etl_framework_spark.ops.graph import modularity
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    return modularity(
+        _copurchase_edges(spark, sf_dir), p
+    )
+
+
+_ALL_QUERIES.update(
+    {
+        "graph_link_prediction": _graph_link_prediction,
+        "graph_assortativity_parts": _graph_assortativity_parts,
+        "graph_modularity_brands": _graph_modularity_brands,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "graph_link_prediction": f"""
+            WITH e AS ({_copurchase_edges_sql(part_mod=3)}),
+            adj AS (SELECT a AS v, b AS n FROM e
+                    UNION ALL SELECT b AS v, a AS n FROM e),
+            deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
+            mid AS (SELECT adj.n AS via, adj.v AS node, dv.d AS d_via
+                    FROM adj JOIN deg dv ON adj.n = dv.v),
+            cand AS (SELECT p.node AS a, q.node AS b,
+                            COUNT(*) AS common,
+                            SUM(CAST(ROUND(1000000000000.0
+                                           / LN(p.d_via), 0)
+                                     AS HUGEINT)) AS aa,
+                            SUM(CAST(ROUND(1000000000000.0
+                                           / p.d_via, 0)
+                                     AS HUGEINT)) AS ra
+                     FROM mid p JOIN mid q
+                       ON p.via = q.via AND p.node < q.node
+                     GROUP BY 1, 2
+                     HAVING COUNT(*) >= 2),
+            ne AS (SELECT cand.* FROM cand
+                   LEFT JOIN e ON cand.a = e.a AND cand.b = e.b
+                   WHERE e.a IS NULL),
+            sc AS (SELECT ne.a AS node_a, ne.b AS node_b,
+                          CAST(common AS BIGINT) AS common,
+                          CAST(da.d AS BIGINT) AS degree_a,
+                          CAST(db.d AS BIGINT) AS degree_b,
+                          ROUND(CAST(common AS DOUBLE)
+                                / (da.d + db.d - common), 6)
+                              AS jaccard,
+                          ROUND(CAST(aa AS DOUBLE)
+                                / 1000000000000.0, 6) AS adamic_adar,
+                          ROUND(CAST(ra AS DOUBLE)
+                                / 1000000000000.0, 6)
+                              AS resource_alloc,
+                          CAST(da.d AS BIGINT) * CAST(db.d AS BIGINT)
+                              AS pref_attach
+                   FROM ne
+                   JOIN deg da ON ne.a = da.v
+                   JOIN deg db ON ne.b = db.v)
+            SELECT * FROM sc
+            ORDER BY adamic_adar DESC, node_a, node_b
+            LIMIT 100
+        """,
+        "graph_assortativity_parts": f"""
+            WITH e AS ({_copurchase_edges_sql()}),
+            adj AS (SELECT a AS v, b AS n FROM e
+                    UNION ALL SELECT b AS v, a AS n FROM e),
+            deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY 1),
+            bo AS (SELECT dx.d AS ddx, dy.d AS ddy
+                     FROM adj
+                     JOIN deg dx ON adj.v = dx.v
+                     JOIN deg dy ON adj.n = dy.v),
+            s AS (SELECT COUNT(*) AS m2,
+                         SUM(CAST(ddx AS HUGEINT)) AS sx,
+                         SUM(CAST(ddx AS HUGEINT) * ddy) AS sxy,
+                         SUM(CAST(ddx AS HUGEINT) * ddx) AS sxx
+                  FROM bo)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)
+                       AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
+                       AS n_edges,
+                   CASE WHEN CAST(m2 AS DOUBLE)
+                             * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)
+                               * CAST(sx AS DOUBLE) <> 0
+                        THEN ROUND((CAST(m2 AS DOUBLE)
+                                    * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE)
+                                      * CAST(sx AS DOUBLE))
+                                   / (CAST(m2 AS DOUBLE)
+                                      * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE)
+                                        * CAST(sx AS DOUBLE)), 6)
+                   END AS assortativity
+            FROM s
+        """,
+        "graph_modularity_brands": f"""
+            WITH e0 AS ({_copurchase_edges_sql()}),
+            e AS (SELECT e0.a, e0.b,
+                         pa.p_brand AS ca, pb.p_brand AS cb
+                  FROM e0
+                  JOIN part pa ON e0.a = pa.p_partkey
+                  JOIN part pb ON e0.b = pb.p_partkey),
+            m AS (SELECT COUNT(*) AS m FROM e),
+            adj AS (SELECT a AS v, ca AS c FROM e
+                    UNION ALL SELECT b AS v, cb AS c FROM e),
+            degsum AS (SELECT c, COUNT(*) AS degree_sum,
+                              COUNT(DISTINCT v) AS n_nodes
+                       FROM adj GROUP BY 1),
+            intra AS (SELECT ca AS c, COUNT(*) AS intra_edges
+                      FROM e WHERE ca = cb GROUP BY 1)
+            SELECT degsum.c AS community,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(COALESCE(intra_edges, 0) AS BIGINT)
+                       AS intra_edges,
+                   CAST(degree_sum AS BIGINT) AS degree_sum,
+                   ROUND(COALESCE(intra_edges, 0) / m
+                         - (degree_sum / (2.0 * m))
+                           * (degree_sum / (2.0 * m)), 6)
+                       AS q_contrib
+            FROM degsum
+            LEFT JOIN intra ON degsum.c = intra.c, m
+            ORDER BY community
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): Poisson GLM (ops/glm.py::poisson_train) ----
+
+
+def _glm_poisson_orders(spark, sf_dir):
+    """In-engine Poisson regression (ops/glm.py::poisson_train):
+    orders-per-customer ~ scaled account balance, log link, 3 Newton
+    steps from the ln(mean) intercept init — each step ONE aggregation
+    pass of pico-int gradient/Hessian sums, coefficients rounded 12 dp
+    between passes; the oracle unrolls init + all 3 steps as CTEs
+    (HUGEINT sums, same clamp, same 2x2 closed-form solve) and
+    reproduces the betas bit-exactly. Completes the GLM family:
+    logistic (rates) / OLS-ridge (levels) / Poisson (counts)."""
+    from metadata_etl_framework_spark.ops.glm import poisson_train
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("double") / F.lit(10000.0)).alias(
+            "x1"
+        ),
+    )
+    base = c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left"
+    ).select(
+        "x1", F.coalesce(F.col("n_orders"), F.lit(0)).alias("y")
+    )
+    return poisson_train(base, ["x1"], "y", iterations=3, ridge=1e-6)
+
+
+_ALL_QUERIES.update({"glm_poisson_orders": _glm_poisson_orders})
+
+
+def _poisson_iter_sql(i: int) -> str:
+    prev = f"b{i - 1}"
+    return f"""
+            p{i} AS (SELECT y, x1,
+                            EXP(GREATEST(LEAST(
+                                b0 + b1 * x1, 30.0), -30.0)) AS mu
+                     FROM base, {prev}),
+            s{i} AS (SELECT SUM(CAST(ROUND((y - mu)
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS g0,
+                            SUM(CAST(ROUND((y - mu) * x1
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS g1,
+                            SUM(CAST(ROUND(mu * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS h00,
+                            SUM(CAST(ROUND(mu * x1
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS h01,
+                            SUM(CAST(ROUND(mu * x1 * x1
+                                           * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS h11
+                     FROM p{i}),
+            d{i} AS (SELECT CAST(g0 AS DOUBLE) AS g0d,
+                            CAST(g1 AS DOUBLE) AS g1d,
+                            CAST(h00 + 1000000 AS DOUBLE) AS h00d,
+                            CAST(h01 AS DOUBLE) AS h01d,
+                            CAST(h11 + 1000000 AS DOUBLE) AS h11d
+                     FROM s{i}),
+            b{i} AS (SELECT ROUND((SELECT b0 FROM {prev})
+                                  + (h11d * g0d - h01d * g1d)
+                                    / (h00d * h11d - h01d * h01d),
+                                  12) AS b0,
+                            ROUND((SELECT b1 FROM {prev})
+                                  + (h00d * g1d - h01d * g0d)
+                                    / (h00d * h11d - h01d * h01d),
+                                  12) AS b1
+                     FROM d{i})"""
+
+
+_ALL_SQL.update(
+    {
+        "glm_poisson_orders": f"""
+            WITH base AS (
+              SELECT c.c_acctbal / 10000.0 AS x1,
+                     CAST(COALESCE(o.n_orders, 0) AS DOUBLE) AS y
+              FROM customer c
+              LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                         FROM orders GROUP BY 1) o
+                ON c.c_custkey = o.o_custkey
+              WHERE c.c_acctbal IS NOT NULL),
+            s0 AS (SELECT COUNT(*) AS n,
+                          SUM(CAST(ROUND(y * 1000000000000.0, 0)
+                                   AS HUGEINT)) AS sy
+                   FROM base),
+            b0 AS (SELECT CASE WHEN sy > 0
+                               THEN ROUND(LN(CAST(sy AS DOUBLE)
+                                             / 1000000000000.0 / n),
+                                          12)
+                               ELSE 0.0 END AS b0,
+                          0.0 AS b1
+                   FROM s0),
+            {",".join(_poisson_iter_sql(i) for i in (1, 2, 3))}
+            SELECT '_intercept' AS term, b0 AS beta,
+                   (SELECT CAST(n AS BIGINT) FROM s0) AS n_rows,
+                   CAST(3 AS INTEGER) AS iterations
+            FROM b3
+            UNION ALL
+            SELECT 'x1', b1,
+                   (SELECT CAST(n AS BIGINT) FROM s0),
+                   CAST(3 AS INTEGER)
+            FROM b3
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): t-closeness (quality/privacy.py) ----
+
+
+def _privacy_t_closeness_customer(spark, sf_dir):
+    """t-closeness release audit (quality/privacy.py::
+    t_closeness_classes): completes the privacy triad (k-anonymity /
+    l-diversity / t-closeness) — ordered EMD between each identity
+    class's balance-band distribution and the global one, per-class
+    cumulative differences on the bounded band grid, EXACT integer
+    numerators (DECIMAL sums of c·N − g·n_c) with one final divide.
+    QI = (nation, market segment), sensitive = 2000-wide balance band,
+    t = 0.2."""
+    from metadata_etl_framework_spark.quality.privacy import (
+        t_closeness_classes,
+    )
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    return t_closeness_classes(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket",
+        t=0.2, ordered=True,
+    )
+
+
+_ALL_QUERIES.update(
+    {"privacy_t_closeness_customer": _privacy_t_closeness_customer}
+)
+
+_ALL_SQL.update(
+    {
+        "privacy_t_closeness_customer": """
+            WITH base AS (SELECT c_nationkey, c_mktsegment,
+                                 CAST(FLOOR(c_acctbal / 2000)
+                                      AS BIGINT) AS v
+                          FROM customer
+                          WHERE c_acctbal IS NOT NULL),
+            gv AS (SELECT v, COUNT(*) AS g FROM base GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS nn FROM base),
+            mv AS (SELECT COUNT(*) AS m FROM gv),
+            cls AS (SELECT c_nationkey, c_mktsegment,
+                           COUNT(*) AS nc
+                    FROM base GROUP BY 1, 2),
+            cv AS (SELECT c_nationkey, c_mktsegment, v,
+                          COUNT(*) AS c
+                   FROM base GROUP BY 1, 2, 3),
+            grid AS (SELECT cls.c_nationkey, cls.c_mktsegment,
+                            cls.nc, gv.v, gv.g,
+                            COALESCE(cv.c, 0) AS c
+                     FROM cls CROSS JOIN gv
+                     LEFT JOIN cv
+                       ON cv.c_nationkey = cls.c_nationkey
+                      AND cv.c_mktsegment = cls.c_mktsegment
+                      AND cv.v = gv.v),
+            cum AS (SELECT grid.*, nn,
+                           SUM(CAST(c AS HUGEINT) * nn
+                               - CAST(g AS HUGEINT) * nc)
+                               OVER (PARTITION BY c_nationkey,
+                                                  c_mktsegment
+                                     ORDER BY v) AS cm
+                    FROM grid, tot),
+            agg AS (SELECT c_nationkey, c_mktsegment,
+                           CAST(MAX(nc) AS BIGINT) AS class_size,
+                           ROUND(CAST(SUM(ABS(cm)) AS DOUBLE)
+                                 / (CAST(MAX(nc) AS DOUBLE)
+                                    * CAST(MAX(nn) AS DOUBLE)
+                                    * CAST((SELECT m - 1 FROM mv)
+                                           AS DOUBLE)), 6) AS emd
+                    FROM cum GROUP BY 1, 2)
+            SELECT c_nationkey, c_mktsegment, class_size, emd,
+                   emd > 0.2 AS above_t
+            FROM agg ORDER BY 1, 2
         """,
     }
 )

@@ -193,6 +193,14 @@ HEADLINE = [
     "events_cox_ph",
     "eval_auc_delong_orders",
     "sketch_kll_rollup_events",
+    # round-13 continuation sweep: GLM family completion (Poisson),
+    # link prediction + partition quality on the sparse part
+    # co-purchase graph, and the t-closeness release audit
+    "glm_poisson_orders",
+    "graph_link_prediction",
+    "graph_assortativity_parts",
+    "graph_modularity_brands",
+    "privacy_t_closeness_customer",
 ]
 
 

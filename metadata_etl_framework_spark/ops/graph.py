@@ -35,6 +35,9 @@ __all__ = [
     "random_walks",
     "walk_cooccurrence",
     "betweenness_sampled",
+    "link_prediction",
+    "assortativity",
+    "modularity",
 ]
 
 # Iteration count at/above which per-round materialization switches from
@@ -1273,3 +1276,267 @@ def betweenness_sampled(
         )
     finally:
         adj.unpersist()
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_degree: "int | None" = None,
+    top_k: "int | None" = None,
+) -> DataFrame:
+    """Neighborhood-based link prediction: score NON-edges that share
+    at least one neighbor with the classic local indices — common
+    neighbors, Jaccard, Adamic–Adar Σ 1/ln(d(via)), resource
+    allocation Σ 1/d(via), preferential attachment d(a)·d(b) — the
+    "which relationships are missing" primitive (supplier pairs likely
+    to co-fulfill, parts likely to be bought together next).
+
+    Scale shape: candidates come from ONE self-join of the adjacency
+    on the shared neighbor (the :func:`neighborhood_jaccard` blocking
+    — never all-pairs), existing edges removed by a LEFT ANTI join
+    against the canonical edge set. Hubs in the MIDDLE position make
+    the join quadratic in their degree — ``max_degree`` drops them
+    from the via role (their own pairs still score through other
+    neighbors); :func:`degree_distribution` advises the cap.
+
+    Determinism: Adamic–Adar / resource-allocation terms round to
+    pico-ints (×10¹²) per via node and sum as DECIMAL(38,0) — merge-
+    order free, engine-exact; published scores round to 6 dp. With
+    ``top_k`` the output is the global top-k by (adamic_adar DESC,
+    node_a, node_b) — a total order, so the cut is reproducible.
+
+    Output: (node_a, node_b, common, degree_a, degree_b, jaccard,
+    adamic_adar, resource_alloc, pref_attach), canonical a < b pairs,
+    filtered to common >= min_common.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    und = _undirected(edges, src, dst)
+    adj = und.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    # middle position annotated with the via node's degree (>= 2 for
+    # any node that connects two candidates, so ln(d) > 0)
+    mid = adj.select(
+        F.col("n").alias("via"), F.col("v").alias("node")
+    ).join(
+        deg.select(F.col("v").alias("via"), F.col("d").alias("d_via")),
+        "via",
+    )
+    if max_degree is not None:
+        mid = mid.where(F.col("d_via") <= max_degree)
+    p, q = mid.alias("p"), mid.alias("q")
+    pico = F.lit(1e12)
+    cand = (
+        p.join(
+            q,
+            (F.col("p.via") == F.col("q.via"))
+            & (F.col("p.node") < F.col("q.node")),
+        )
+        .groupBy(
+            F.col("p.node").alias("node_a"),
+            F.col("q.node").alias("node_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(
+                F.round(pico / F.log(F.col("p.d_via"))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_aa"),
+            F.sum(
+                F.round(pico / F.col("p.d_via")).cast("decimal(38,0)")
+            ).alias("_ra"),
+        )
+    )
+    if min_common > 1:
+        cand = cand.where(F.col("common") >= min_common)
+    # keep only NON-edges: remove pairs already connected
+    cand = cand.join(
+        und.select(
+            F.col("a").alias("node_a"), F.col("b").alias("node_b")
+        ),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    dda, ddb = deg.alias("dda"), deg.alias("ddb")
+    out = (
+        cand.join(dda, F.col("node_a") == F.col("dda.v"))
+        .join(ddb, F.col("node_b") == F.col("ddb.v"))
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            F.col("dda.d").alias("degree_a"),
+            F.col("ddb.d").alias("degree_b"),
+            F.round(
+                F.col("common")
+                / (F.col("dda.d") + F.col("ddb.d") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("_aa").cast("double") / pico, 6).alias(
+                "adamic_adar"
+            ),
+            F.round(F.col("_ra").cast("double") / pico, 6).alias(
+                "resource_alloc"
+            ),
+            (F.col("dda.d").cast("long") * F.col("ddb.d")).alias(
+                "pref_attach"
+            ),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("adamic_adar").desc(), "node_a", "node_b"
+        ).limit(int(top_k))
+    return out
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of
+    endpoint degrees over the (symmetrized) edge list — positive when
+    hubs attach to hubs (social graphs), negative when hubs attach to
+    leaves (supply chains, the web). One number that says which joins
+    will skew: a disassortative graph concentrates wedge work on hubs.
+
+    Computed from exact integer sufficient statistics (degrees are
+    integers): each undirected edge contributes BOTH orientations, so
+    Σx = Σy and Σx² = Σy² by construction and the classic formula
+    reduces to r = (E·Σxy − Σx²ₛᵤₘ…)/… with every sum a
+    DECIMAL(38,0) — merge-order free and replayable in ANSI SQL.
+    Shift by the excess-degree convention (d−1) cancels in Pearson.
+
+    Output: ONE row (n_nodes, n_edges, assortativity 6dp) — NULL
+    assortativity when the degree variance is zero (regular graph).
+    """
+    und = _undirected(edges, src, dst)
+    adj = und.select(
+        F.col("a").alias("v"), F.col("b").alias("n")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    # both orientations, each endpoint annotated with its degree
+    dirped = adj.join(deg, "v").select(
+        F.col("d").alias("dx"), F.col("n").alias("_other")
+    )
+    both = dirped.join(
+        deg.select(F.col("v").alias("_other"), F.col("d").alias("dy")),
+        "_other",
+    )
+    stats = both.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("dx").cast("decimal(19,0)") * F.col("dy")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxy"),
+        F.sum(
+            (F.col("dx").cast("decimal(19,0)") * F.col("dx")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+    )
+    n_nodes = deg.select(F.count(F.lit(1)).alias("n_nodes"))
+    m_edges = und.select(F.count(F.lit(1)).alias("n_edges"))
+    num = F.col("m2").cast("double") * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    den = F.col("m2").cast("double") * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        stats.crossJoin(n_nodes)
+        .crossJoin(m_edges)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.when(den != 0, F.round(num / den, 6)).alias(
+                "assortativity"
+            ),
+        )
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a given partition: per community c,
+    Q_c = e_c/m − (D_c/2m)² (intra-edge fraction minus the expected
+    fraction under the degree-preserving null), Q = Σ Q_c. The
+    quality gate for any community assignment — label propagation
+    output, nation/brand groupings, dedup clusters.
+
+    Graph = canonical undirected edges restricted to nodes PRESENT in
+    ``labels`` (edges with an unlabeled endpoint are dropped before m
+    is counted, so Q is the modularity of the labeled subgraph). All
+    inputs to Q are integer counts (m, e_c, D_c) — the arithmetic is
+    two exact integer aggregations and replayable in ANSI SQL.
+
+    Output: one row per community — (community, n_nodes, intra_edges,
+    degree_sum, q_contrib 6dp), ordered by community.
+    """
+    lab = labels.select(
+        F.col(node_col).alias("_v"), F.col(label_col).alias("_c")
+    ).distinct()
+    und = (
+        _undirected(edges, src, dst)
+        .join(
+            lab.select(
+                F.col("_v").alias("a"), F.col("_c").alias("ca")
+            ),
+            "a",
+        )
+        .join(
+            lab.select(
+                F.col("_v").alias("b"), F.col("_c").alias("cb")
+            ),
+            "b",
+        )
+    )
+    m = und.select(F.count(F.lit(1)).alias("m"))
+    adj = und.select(
+        F.col("a").alias("v"), F.col("ca").alias("c")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("cb").alias("c")))
+    degsum = adj.groupBy("c").agg(
+        F.count(F.lit(1)).alias("degree_sum"),
+        F.count_distinct(F.col("v")).alias("n_nodes"),
+    )
+    intra = (
+        und.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    return (
+        degsum.join(intra, "c", "left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(m)
+        .select(
+            F.col("c").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("intra_edges").cast("long").alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round(
+                F.col("intra_edges") / F.col("m")
+                - (
+                    F.col("degree_sum")
+                    / (F.lit(2.0) * F.col("m"))
+                )
+                * (
+                    F.col("degree_sum")
+                    / (F.lit(2.0) * F.col("m"))
+                ),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )

@@ -45,6 +45,8 @@ __all__ = [
     "simpsons_check",
     "spearman_corr",
     "kruskal_wallis",
+    "ar_forecast",
+    "esd_outliers",
 ]
 
 _DEC = "decimal(30,10)"
@@ -1653,3 +1655,283 @@ def welch_t_test(
         p.alias("p_value"),
         (p < F.lit(0.05)).alias("significant_95"),
     )
+
+
+def ar_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    horizon: int = 3,
+) -> DataFrame:
+    """AR(2) forecast of a bucketed metric series via Yule–Walker —
+    the closed-form autoregressive companion to the ACF readout
+    (:func:`functions.aggregations.acf_table` tells you the series is
+    persistent; this turns that persistence into h-step forecasts
+    without an ML runtime).
+
+    Pipeline (everything after the bucket groupBy runs on the bounded
+    bucket grid): per-bucket mean series y_i (DECIMAL-sum exact) →
+    series mean ȳ from an exact pico-int sum → lag-{0,1,2}
+    autocovariance sums over CONSECUTIVE-index pairs, each per-pair
+    product rounded to pico-ints (×10¹²) and summed as DECIMAL(38,0)
+    (merge-order free) → Yule–Walker closed form on the driver:
+    r_k = γ_k/γ_0, φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²),
+    each rounded 12 dp → the forecast recursion
+    ŷ_{T+h} = ȳ + φ₁(ŷ_{T+h−1}−ȳ) + φ₂(ŷ_{T+h−2}−ȳ) unrolled on the
+    driver from the LAST TWO OBSERVED buckets (gaps: the recursion
+    conditions on observed buckets, the irregular-series
+    simplification acf_table documents), 12 dp per step. Every stage
+    is engine-replayable — an unrolled-CTE oracle reproduces the
+    forecasts bit-exactly.
+
+    Degenerate guards (replayable CASEs, not errors): zero variance
+    (γ₀ ≤ 0) or a singular YW system (1−r₁² = 0) → φ = 0 and the
+    forecast collapses to ȳ.
+
+    Output: one row per step — (step int 1..horizon, forecast 6 dp,
+    mu 6 dp, phi1 6 dp, phi2 6 dp, n_buckets long).
+    """
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    x = F.col(value_col).cast("double")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .groupBy(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        )
+        .agg(
+            (
+                F.sum(x.cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .persist()
+    )
+    try:
+        head = series.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.round(F.col("y") * F.lit(1e12)).cast("decimal(38,0)")
+            ).alias("_sy"),
+        ).collect()[0]
+        n = int(head["_n"])
+        if n < 3:
+            raise ValueError(
+                f"ar_forecast: need >= 3 buckets, got {n}"
+            )
+        mu = round(float(int(head["_sy"])) / 1e12 / n, 12)
+        s1, s2 = series.alias("s1"), series.alias("s2")
+        pairs = s1.join(
+            s2,
+            (F.col("s2.i") >= F.col("s1.i"))
+            & (F.col("s2.i") <= F.col("s1.i") + 2),
+        ).select(
+            (F.col("s2.i") - F.col("s1.i")).cast("int").alias("lag"),
+            F.round(
+                (F.col("s1.y") - F.lit(mu))
+                * (F.col("s2.y") - F.lit(mu))
+                * F.lit(1e12)
+            ).cast("decimal(38,0)").alias("p"),
+        )
+        g = {
+            int(r["lag"]): int(r["s"])
+            for r in pairs.groupBy("lag")
+            .agg(F.sum("p").alias("s"))
+            .collect()
+        }
+        g0 = float(g.get(0, 0))
+        g1 = float(g.get(1, 0))
+        g2 = float(g.get(2, 0))
+        if g0 > 0:
+            r1 = g1 / g0
+            r2 = g2 / g0
+            den = 1.0 - r1 * r1
+            if den != 0.0:
+                phi1 = round(r1 * (1.0 - r2) / den, 12)
+                phi2 = round((r2 - r1 * r1) / den, 12)
+            else:
+                phi1 = phi2 = 0.0
+        else:
+            phi1 = phi2 = 0.0
+        last = series.orderBy(F.col("i").desc()).limit(2).collect()
+        prev1 = float(last[0]["y"])
+        prev2 = float(last[1]["y"])
+    finally:
+        series.unpersist()
+    fc = []
+    for h in range(1, int(horizon) + 1):
+        f = round(
+            mu + phi1 * (prev1 - mu) + phi2 * (prev2 - mu), 12
+        )
+        fc.append(f)
+        prev2, prev1 = prev1, f
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                h + 1,
+                round(fc[h], 6),
+                round(mu, 6),
+                round(phi1, 6),
+                round(phi2, 6),
+                n,
+            )
+            for h in range(len(fc))
+        ],
+        "step int, forecast double, mu double, phi1 double, "
+        "phi2 double, n_buckets long",
+    ).orderBy("step")
+
+
+def esd_outliers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: "str | None" = None,
+    bucket_seconds: int = 3600,
+    k: int = 3,
+    threshold: float = 3.0,
+    season: int = 24,
+) -> DataFrame:
+    """Seasonal ESD outlier sweep over a bucketed event series (the
+    S-H-ESD shape popularized for production event streams): bucket
+    the stream, remove the seasonal level (per-phase EXACT median —
+    hour-of-day for hourly buckets with ``season=24``), then run ``k``
+    generalized-ESD iterations on the residuals: each round computes
+    the residual mean/SD from EXACT pico-int sums, takes the most
+    extreme remaining bucket, flags it if its studentized deviation
+    exceeds ``threshold``, and removes it before the next round (so
+    one masked spike cannot hide another — the advantage over a
+    single z-score pass).
+
+    ``value_col=None`` audits VOLUME (per-bucket row count);
+    otherwise the per-bucket DECIMAL-exact mean of the column.
+
+    Determinism: the per-round argmax orders by the pico-int deviation
+    (exact integer) DESC then bucket index ASC — ties cannot reorder
+    across engines; a fixed ``threshold`` replaces the t-quantile λ_i
+    so every branch is closed-form (document the threshold you
+    publish). Every round is ONE aggregation + ONE
+    TakeOrderedAndProject on the bounded bucket grid.
+
+    Output: one row per iteration — (iteration int 1..k,
+    bucket_start timestamp, metric 6 dp, residual 6 dp, r_stat 6 dp,
+    flagged boolean).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    base = df.where(F.col(ts_col).isNotNull())
+    if value_col is None:
+        metric = F.count(F.lit(1)).cast("double").alias("y")
+        base = base.groupBy(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        ).agg(metric)
+    else:
+        x = F.col(value_col).cast("double")
+        base = (
+            base.where(x.isNotNull())
+            .groupBy(
+                F.floor(
+                    F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+                ).alias("i")
+            )
+            .agg(
+                (
+                    F.sum(x.cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("y")
+            )
+        )
+    base = base.withColumn("ph", (F.col("i") % season).cast("int"))
+    med = _grouped_median(base, "ph", "y").select(
+        "ph", F.col("_median").alias("m")
+    )
+    resid = (
+        base.join(med, "ph")
+        .select(
+            "i",
+            "y",
+            (F.col("y") - F.col("m")).alias("r"),
+        )
+        .persist()
+    )
+    rows = []
+    spark = df.sparkSession
+    try:
+        cur = resid
+        for it in range(1, int(k) + 1):
+            st = cur.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(
+                    F.round(F.col("r") * F.lit(1e12)).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("_s"),
+                F.sum(
+                    F.round(
+                        F.col("r") * F.col("r") * F.lit(1e12)
+                    ).cast("decimal(38,0)")
+                ).alias("_ss"),
+            ).collect()[0]
+            n = int(st["_n"])
+            if n < 3:
+                break
+            s = float(int(st["_s"]))
+            ss = float(int(st["_ss"]))
+            mean = s / 1e12 / n
+            var = (ss / 1e12 - (s / 1e12) * (s / 1e12) / n) / (n - 1)
+            sd = var ** 0.5 if var > 0 else 0.0
+            top = (
+                cur.select(
+                    "i",
+                    "y",
+                    "r",
+                    F.abs(
+                        F.round(
+                            (F.col("r") - F.lit(mean)) * F.lit(1e12)
+                        ).cast("decimal(38,0)")
+                    ).alias("_dev"),
+                )
+                .orderBy(F.col("_dev").desc(), F.col("i").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            r_stat = (
+                abs(float(top["r"]) - mean) / sd if sd > 0 else 0.0
+            )
+            rows.append(
+                (
+                    it,
+                    int(top["i"]) * int(bucket_seconds),
+                    round(float(top["y"]), 6),
+                    round(float(top["r"]), 6),
+                    round(r_stat, 6),
+                    bool(r_stat > float(threshold)),
+                )
+            )
+            cur = cur.where(F.col("i") != int(top["i"]))
+    finally:
+        resid.unpersist()
+    out = spark.createDataFrame(
+        rows,
+        "iteration int, _epoch long, metric double, residual double, "
+        "r_stat double, flagged boolean",
+    )
+    return out.select(
+        "iteration",
+        F.timestamp_seconds(F.col("_epoch")).alias("bucket_start"),
+        "metric",
+        "residual",
+        "r_stat",
+        "flagged",
+    ).orderBy("iteration")

@@ -34,6 +34,7 @@ __all__ = [
     "k_anonymity_classes",
     "k_anonymity_summary",
     "l_diversity_classes",
+    "t_closeness_classes",
     "dp_noisy_counts",
 ]
 
@@ -195,3 +196,134 @@ def dp_noisy_counts(
         )
         .orderBy(*group_cols)
     )
+
+
+def t_closeness_classes(
+    df: DataFrame,
+    qi_cols: "list[str]",
+    sensitive_col: str,
+    t: float = 0.2,
+    ordered: bool = False,
+    max_values: int = 64,
+) -> DataFrame:
+    """Per-identity-class t-closeness audit (Li, Li & Venkatasubramanian
+    2007) — the release gate after k-anonymity and l-diversity: a class
+    can hold l distinct sensitive values yet still skew far from the
+    GLOBAL distribution (the skewness attack); t-closeness demands the
+    earth-mover's distance between the class's sensitive-value
+    distribution and the table-wide one stay ≤ t.
+
+    Two ground metrics:
+    - ``ordered=False`` (categorical): equal ground distance, so
+      EMD = ½ Σ_v |p_v − q_v| (total variation). Computed WITHOUT the
+      class×value grid via the identity
+      Σ_v |c_v·N − g_v·n_c| = Σ_{v∈class} (|c_v·N − g_v·n_c|
+      − g_v·n_c) + n_c·N — one join of class-value counts onto global
+      value counts, absent values folded in closed form.
+    - ``ordered=True`` (numeric/banded): the ordered EMD
+      (1/(m−1)) Σ_i |Σ_{j≤i} (p_j − q_j)| over the m global values in
+      sort order. This NEEDS per-class cumulative sums over the FULL
+      value domain, so classes are crossed with the (bounded) distinct
+      value list — gated at ``max_values`` (the audit's sensitive
+      attribute should be banded anyway; band first if wider).
+
+    All distances are EXACT integer arithmetic until the final divide:
+    numerators accumulate |c_v·N − g_v·n_c| as DECIMAL(38,0) and the
+    single division by (2·n_c·N) (resp. n_c·N·(m−1)) happens at the
+    end, rounded 6 dp — merge-order free and engine-replayable.
+
+    Output: (*qi_cols, class_size long, emd 6 dp, above_t boolean),
+    ordered by the QI tuple.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    base = df.where(F.col(sensitive_col).isNotNull())
+    glob = base.groupBy(F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__g")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("__N"))
+    cls = base.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__nc"))
+    cv = base.groupBy(
+        *[F.col(c) for c in qi_cols],
+        F.col(sensitive_col).alias("__v"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    if not ordered:
+        # Σ_{v∈class} (|c·N − g·nc| − g·nc), then + nc·N in closed form
+        j = (
+            cv.join(glob, "__v")
+            .join(cls, qi_cols)
+            .crossJoin(tot)
+            .select(
+                *qi_cols,
+                F.col("__nc"),
+                F.col("__N"),
+                (
+                    F.abs(
+                        F.col("__c").cast("decimal(38,0)")
+                        * F.col("__N")
+                        - F.col("__g").cast("decimal(38,0)")
+                        * F.col("__nc")
+                    )
+                    - F.col("__g").cast("decimal(38,0)")
+                    * F.col("__nc")
+                ).alias("__term"),
+            )
+        )
+        out = j.groupBy(*qi_cols).agg(
+            F.max("__nc").cast("long").alias("class_size"),
+            F.round(
+                (
+                    F.sum(F.col("__term").cast("decimal(38,0)"))
+                    + F.max("__nc").cast("decimal(38,0)")
+                    * F.max("__N")
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.max("__nc").cast("double")
+                    * F.max("__N").cast("double")
+                ),
+                6,
+            ).alias("emd"),
+        )
+    else:
+        n_vals = glob.count()
+        if n_vals > max_values:
+            raise ValueError(
+                f"t_closeness_classes(ordered=True): {n_vals} distinct "
+                f"sensitive values > max_values={max_values} — band the "
+                f"attribute first (the class×value grid is m×classes)"
+            )
+        if n_vals < 2:
+            raise ValueError(
+                "t_closeness_classes(ordered=True): need >= 2 distinct "
+                "sensitive values"
+            )
+        grid = cls.crossJoin(glob).join(
+            cv, [*qi_cols, "__v"], "left"
+        ).na.fill({"__c": 0})
+        w = Window.partitionBy(*qi_cols).orderBy("__v")
+        cum = grid.crossJoin(tot).withColumn(
+            "__cum",
+            F.sum(
+                F.col("__c").cast("decimal(38,0)") * F.col("__N")
+                - F.col("__g").cast("decimal(38,0)") * F.col("__nc")
+            ).over(w),
+        )
+        out = cum.groupBy(*qi_cols).agg(
+            F.max("__nc").cast("long").alias("class_size"),
+            F.round(
+                F.sum(F.abs(F.col("__cum"))).cast("double")
+                / (
+                    F.max("__nc").cast("double")
+                    * F.max("__N").cast("double")
+                    * F.lit(float(n_vals - 1))
+                ),
+                6,
+            ).alias("emd"),
+        )
+    return out.select(
+        *qi_cols,
+        "class_size",
+        "emd",
+        (F.col("emd") > float(t)).alias("above_t"),
+    ).orderBy(*qi_cols)

@@ -274,3 +274,78 @@ def test_logistic_cv_equals_direct_leave_one_fold_out(spark):
     assert cv["0"]["logloss"] == direct_ll
     # pooled row present and separable classes fit well
     assert cv["pooled"]["accuracy"] > 0.9
+
+
+def test_poisson_matches_python_replica_exactly(spark):
+    """Pin the Poisson IRLS loop against a pure-python replica with
+    identical pico-int rounding, ln(mean) init, clamp, and 2x2 solve
+    — coefficients must match to the last bit."""
+    from metadata_etl_framework_spark.ops.glm import poisson_train
+
+    rows = [(float(i % 5) / 2.0, float((i * 7) % 11)) for i in range(300)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {r["term"]: r["beta"] for r in
+           poisson_train(df, ["x"], "y", iterations=3,
+                         ridge=1e-6).collect()}
+
+    syi = sum(round(y * 1e12) for _, y in rows)
+    n = len(rows)
+    b0 = round(math.log(float(syi) / 1e12 / n), 12)
+    b1 = 0.0
+    ridge_i = 10**6
+    for _ in range(3):
+        g0i = g1i = h00i = h01i = h11i = 0
+        for x, y in rows:
+            z = b0 + b1 * x
+            zc = max(min(z, 30.0), -30.0)
+            mu = math.exp(zc)
+            g0i += round((y - mu) * 1.0 * 1e12)
+            g1i += round((y - mu) * x * 1e12)
+            h00i += round(mu * 1.0 * 1.0 * 1e12)
+            h01i += round(mu * 1.0 * x * 1e12)
+            h11i += round(mu * x * x * 1e12)
+        h00 = float(h00i + ridge_i)
+        h11 = float(h11i + ridge_i)
+        h01 = float(h01i)
+        g0, g1 = float(g0i), float(g1i)
+        det = h00 * h11 - h01 * h01
+        b0 = round(b0 + (h11 * g0 - h01 * g1) / det, 12)
+        b1 = round(b1 + (h00 * g1 - h01 * g0) / det, 12)
+    assert out["_intercept"] == b0
+    assert out["x"] == b1
+
+
+def test_poisson_recovers_log_rate(spark):
+    """Exact Poisson means: y = exp(1 + 0.5x) evaluated at integer
+    means — the fit recovers the generating coefficients closely and
+    converges (3 vs 6 iterations agree to 6dp)."""
+    from metadata_etl_framework_spark.ops.glm import poisson_train
+
+    rows = []
+    for i in range(400):
+        x = float(i % 5)
+        mu = math.exp(1.0 + 0.5 * x)
+        rows.append((x, float(round(mu))))
+    df = spark.createDataFrame(rows, "x double, y double")
+    got3 = {r["term"]: r["beta"] for r in
+            poisson_train(df, ["x"], "y", iterations=3).collect()}
+    got5 = {r["term"]: r["beta"] for r in
+            poisson_train(df, ["x"], "y", iterations=5).collect()}
+    got6 = {r["term"]: r["beta"] for r in
+            poisson_train(df, ["x"], "y", iterations=6).collect()}
+    assert abs(got3["x"] - 0.5) < 0.02
+    assert abs(got3["_intercept"] - 1.0) < 0.05
+    # Newton has converged by iteration 5 (fixed point to 12dp)
+    assert got5 == got6
+
+
+def test_poisson_gates(spark):
+    from metadata_etl_framework_spark.ops.glm import poisson_train
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match="non-empty"):
+        poisson_train(df, [], "y")
+    with pytest.raises(ValueError, match="max_features"):
+        poisson_train(df, [f"x{i}" for i in range(9)], "y")
+    with pytest.raises(ValueError, match="no usable rows"):
+        poisson_train(df.where(F.col("x") > 5), ["x"], "y")

@@ -99,3 +99,80 @@ def test_dp_counts_epsilon_scales_noise(spark):
 def test_dp_counts_epsilon_gate(spark):
     with pytest.raises(ValueError, match="epsilon"):
         dp_noisy_counts(_people(spark), ["zip"], epsilon=0.0)
+
+
+def test_t_closeness_categorical_hand_math(spark):
+    """Two classes over a 2-value sensitive attribute. Global: 4xA,
+    4xB (q = 1/2 each). Class z1 = {A,A,A,B}: TV = |3/4-1/2| = 1/4.
+    Class z2 = {A,B,B,B}: symmetric, 1/4."""
+    from metadata_etl_framework_spark.quality.privacy import (
+        t_closeness_classes,
+    )
+
+    rows = [("z1", s) for s in "AAAB"] + [("z2", s) for s in "ABBB"]
+    df = spark.createDataFrame(rows, "zip string, s string")
+    got = {r["zip"]: r for r in
+           t_closeness_classes(df, ["zip"], "s", t=0.2).collect()}
+    assert got["z1"]["class_size"] == 4
+    assert got["z1"]["emd"] == 0.25
+    assert got["z2"]["emd"] == 0.25
+    assert got["z1"]["above_t"]
+
+
+def test_t_closeness_categorical_absent_value(spark):
+    """A class missing a global value entirely: global 4xA 4xB,
+    class z1 = {A,A,A,A} -> TV = |1-1/2|/?  = (1/2 + 1/2)/2 = 1/2;
+    exercises the no-grid absent-value fold."""
+    from metadata_etl_framework_spark.quality.privacy import (
+        t_closeness_classes,
+    )
+
+    rows = [("z1", s) for s in "AAAA"] + [("z2", s) for s in "BBBB"]
+    df = spark.createDataFrame(rows, "zip string, s string")
+    got = {r["zip"]: r["emd"] for r in
+           t_closeness_classes(df, ["zip"], "s").collect()}
+    assert got == {"z1": 0.5, "z2": 0.5}
+
+
+def test_t_closeness_ordered_vs_categorical(spark):
+    """Ordered EMD distinguishes NEAR misses from FAR ones: global
+    values 1,2,3 uniform; a class holding {1,2} is closer than one
+    holding {1,3}? No - holding {3,3}: cum diffs larger. Hand math:
+    global q = (1/3,1/3,1/3); class {1,1}: p=(1,0,0);
+    cums of p-q: 2/3, 1/3, 0 -> EMD = (2/3+1/3)/2 = 1/2.
+    class {2,2}: cums -1/3, +1/3... |.|: 1/3+1/3 -> /2 = 1/3 —
+    the middle value is nearer the global mass."""
+    from metadata_etl_framework_spark.quality.privacy import (
+        t_closeness_classes,
+    )
+
+    rows = (
+        [("z1", 1), ("z1", 1)]
+        + [("z2", 2), ("z2", 2)]
+        + [("z3", 3), ("z3", 3)]
+    )
+    df = spark.createDataFrame(rows, "zip string, s int")
+    got = {r["zip"]: r["emd"] for r in
+           t_closeness_classes(df, ["zip"], "s", ordered=True)
+           .collect()}
+    assert got["z1"] == 0.5
+    assert got["z2"] == round(1.0 / 3.0, 6)
+    assert got["z3"] == 0.5
+
+
+def test_t_closeness_ordered_gates(spark):
+    from metadata_etl_framework_spark.quality.privacy import (
+        t_closeness_classes,
+    )
+
+    df = spark.createDataFrame(
+        [("z", i) for i in range(10)], "zip string, s int"
+    )
+    with pytest.raises(ValueError, match="max_values"):
+        t_closeness_classes(df, ["zip"], "s", ordered=True,
+                            max_values=5)
+    one = spark.createDataFrame([("z", 1)], "zip string, s int")
+    with pytest.raises(ValueError, match="distinct"):
+        t_closeness_classes(one, ["zip"], "s", ordered=True)
+    with pytest.raises(ValueError, match="qi_cols"):
+        t_closeness_classes(df, [], "s")

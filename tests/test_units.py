@@ -2077,3 +2077,90 @@ def test_betweenness_sampled_diamond_sigma_split(spark):
         for r in betweenness_sampled(edges, [0]).collect()
     }
     assert got == {1: 0.5, 2: 0.5}
+
+
+def test_link_prediction_triangle_pendant_excludes_edges(spark):
+    """Triangle 0-1-2 plus pendant 2-3: the only candidate non-edges
+    are (0,3) and (1,3) via node 2 (degree 3); connected pairs share
+    neighbors too but must be removed by the anti-join."""
+    from metadata_etl_framework_spark.ops.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    rows = {
+        (r["node_a"], r["node_b"]): r
+    for r in link_prediction(edges).collect()
+    }
+    assert set(rows) == {(0, 3), (1, 3)}
+    r = rows[(0, 3)]
+    assert r["common"] == 1
+    assert r["degree_a"] == 2 and r["degree_b"] == 1
+    # jaccard = 1 / (2 + 1 - 1); AA = 1/ln(3); RA = 1/3
+    assert r["jaccard"] == 0.5
+    assert r["adamic_adar"] == round(1.0 / __import__("math").log(3), 6)
+    assert r["resource_alloc"] == 0.333333
+    assert r["pref_attach"] == 2
+
+
+def test_link_prediction_square_min_common_and_topk(spark):
+    """Square 0-1-2-3-0: diagonals (0,2) and (1,3) each have TWO
+    common neighbors — min_common=2 keeps both, top_k=1 cuts by the
+    (adamic_adar DESC, node_a, node_b) total order."""
+    from metadata_etl_framework_spark.ops.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+    got = link_prediction(edges, min_common=2).collect()
+    assert {(r["node_a"], r["node_b"]) for r in got} == {(0, 2), (1, 3)}
+    for r in got:
+        assert r["common"] == 2
+        assert r["jaccard"] == 1.0  # 2 / (2 + 2 - 2)
+        assert r["adamic_adar"] == round(
+            2.0 / __import__("math").log(2), 6
+        )
+    top = link_prediction(edges, min_common=2, top_k=1).collect()
+    assert [(r["node_a"], r["node_b"]) for r in top] == [(0, 2)]
+
+
+def test_assortativity_star_and_regular(spark):
+    """Star K1,3 is perfectly disassortative (r = -1); a regular graph
+    (triangle) has zero degree variance -> NULL."""
+    from metadata_etl_framework_spark.ops.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = assortativity(star).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 3
+    assert r["assortativity"] == -1.0
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    r = assortativity(tri).collect()[0]
+    assert r["n_nodes"] == 3 and r["n_edges"] == 3
+    assert r["assortativity"] is None
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles bridged by one edge, communities = the triangles:
+    each community has e_c=3, D_c=7 of m=7 edges ->
+    Q_c = 3/7 - (7/14)^2 = 0.178571 (hand math)."""
+    from metadata_etl_framework_spark.ops.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, "A" if i < 3 else "B") for i in range(6)],
+        "node long, community string",
+    )
+    rows = modularity(edges, labels).collect()
+    assert [r["community"] for r in rows] == ["A", "B"]
+    for r in rows:
+        assert r["n_nodes"] == 3
+        assert r["intra_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert r["q_contrib"] == 0.178571

@@ -164,6 +164,15 @@ EXTRA_BROADCAST_CROSS: dict[str, str] = {
         "a MEASURED count (≤ max_items, raise points at the ANN path "
         "for larger catalogs; ops/recsys.py::als_recommend)"
     ),
+    # round-13 continuation sweep
+    "graph_assortativity_parts": _R_STATS_1ROW,
+    "graph_modularity_brands": _R_STATS_1ROW,
+    "privacy_t_closeness_customer": (
+        "1-row broadcast global-total frame plus the bounded "
+        "sensitive-band grid crossed onto the class list (the ordered-"
+        "EMD grid is gated at max_values; quality/privacy.py::"
+        "t_closeness_classes)"
+    ),
 }
 
 BOUNDED_PARTITIONLESS_WINDOW: dict[str, str] = {
@@ -329,6 +338,10 @@ def main() -> None:
         "target-rank frame broadcast onto the per-group distinct-value "
         "CDF (the profile_global_quantiles pattern) — every build "
         "side is sketch-/probe-sized by construction",
+        "sketch_kll_rollup_events": "same sketch-sized build sides as "
+        "sketch_kll_rollup_price on the hourly-bucket rollup: the "
+        "≤ k-row merged-sketch CDF and probe-rank frames broadcast "
+        "onto each other (profile_global_quantiles pattern)",
     }
     bad = [
         r["name"]
