@@ -5680,6 +5680,13 @@ _EXTRA_KEYS = [
     "graph_modularity_brands",
     "glm_poisson_orders",
     "privacy_t_closeness_customer",
+    "events_ar2_forecast",
+    "events_esd_hourly",
+    "eval_aipw_ate_orders",
+    "text_textrank_keywords",
+    "recsys_pop_recs",
+    "recsys_eval_coverage",
+    "glm_huber_lineitem",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -16610,6 +16617,625 @@ _ALL_SQL.update(
             SELECT c_nationkey, c_mktsegment, class_size, emd,
                    emd > 0.2 AS above_t
             FROM agg ORDER BY 1, 2
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): AR(2) Yule-Walker forecast + seasonal ESD ----
+
+
+def _events_ar2_forecast(spark, sf_dir):
+    """AR(2) h-step forecast (ops/stats.py::ar_forecast): hourly mean
+    series -> exact pico-int autocovariance sums over consecutive-lag
+    pairs -> closed-form Yule-Walker on the driver (12-dp literals) ->
+    3-step recursion from the last two observed buckets. The oracle
+    unrolls series, sums, solve, and recursion as CTEs and reproduces
+    the forecasts bit-exactly."""
+    from metadata_etl_framework_spark.ops.stats import ar_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    return ar_forecast(
+        ev, "ts", "value", bucket_seconds=3600, horizon=3
+    )
+
+
+def _events_esd_hourly(spark, sf_dir):
+    """Seasonal ESD volume-outlier sweep (ops/stats.py::esd_outliers):
+    hourly counts, hour-of-day EXACT-median deseasonalization, k=3
+    generalized-ESD rounds — each round recomputes mean/SD from exact
+    pico-int sums of the REMAINING residuals and removes the most
+    extreme bucket (masked spikes can't hide), argmax ordered by the
+    exact integer deviation then bucket index. Oracle unrolls all 3
+    rounds."""
+    from metadata_etl_framework_spark.ops.stats import esd_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return esd_outliers(
+        ev, "ts", None, bucket_seconds=3600, k=3, threshold=3.0,
+        season=24,
+    )
+
+
+_ALL_QUERIES.update(
+    {
+        "events_ar2_forecast": _events_ar2_forecast,
+        "events_esd_hourly": _events_esd_hourly,
+    }
+)
+
+
+def _esd_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+            s{i} AS (SELECT COUNT(*) AS n,
+                            SUM(CAST(ROUND(r * 1000000000000.0, 0)
+                                     AS HUGEINT)) AS s,
+                            SUM(CAST(ROUND(r * r * 1000000000000.0,
+                                           0) AS HUGEINT)) AS ss
+                     FROM {prev}),
+            m{i} AS (SELECT n,
+                            CAST(s AS DOUBLE) / 1000000000000.0 / n
+                                AS mean,
+                            (CAST(ss AS DOUBLE) / 1000000000000.0
+                             - (CAST(s AS DOUBLE) / 1000000000000.0)
+                               * (CAST(s AS DOUBLE)
+                                  / 1000000000000.0) / n)
+                            / (n - 1) AS var
+                     FROM s{i}),
+            t{i} AS (SELECT {prev}.i, {prev}.y, {prev}.r, mean, var
+                     FROM {prev}, m{i}
+                     ORDER BY ABS(CAST(ROUND((r - mean)
+                                             * 1000000000000.0, 0)
+                                       AS HUGEINT)) DESC, i ASC
+                     LIMIT 1),
+            o{i} AS (SELECT {i} AS iteration, i, y, r,
+                            CASE WHEN var > 0
+                                 THEN ABS(r - mean) / SQRT(var)
+                                 ELSE 0.0 END AS rs
+                     FROM t{i}),
+            r{i} AS (SELECT {prev}.i, {prev}.y, {prev}.r
+                     FROM {prev}, o{i} WHERE {prev}.i <> o{i}.i)"""
+
+
+_ALL_SQL.update(
+    {
+        "events_ar2_forecast": """
+            WITH series AS (
+              SELECT FLOOR(EPOCH(ts) / 3600) AS i,
+                     CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                          AS DOUBLE) / COUNT(*) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            hd AS (SELECT COUNT(*) AS n,
+                          SUM(CAST(ROUND(y * 1000000000000.0, 0)
+                                   AS HUGEINT)) AS sy
+                   FROM series),
+            muc AS (SELECT n,
+                           ROUND(CAST(sy AS DOUBLE)
+                                 / 1000000000000.0 / n, 12) AS mu
+                    FROM hd),
+            pr AS (SELECT CAST(s2.i - s1.i AS INT) AS lag,
+                          SUM(CAST(ROUND((s1.y - mu) * (s2.y - mu)
+                                         * 1000000000000.0, 0)
+                                   AS HUGEINT)) AS s
+                   FROM series s1
+                   JOIN series s2
+                     ON s2.i >= s1.i AND s2.i <= s1.i + 2, muc
+                   GROUP BY 1),
+            g AS (SELECT
+                    CAST(COALESCE(MAX(CASE WHEN lag = 0 THEN s END),
+                                  0) AS DOUBLE) AS g0,
+                    CAST(COALESCE(MAX(CASE WHEN lag = 1 THEN s END),
+                                  0) AS DOUBLE) AS g1,
+                    CAST(COALESCE(MAX(CASE WHEN lag = 2 THEN s END),
+                                  0) AS DOUBLE) AS g2
+                  FROM pr),
+            ph AS (SELECT CASE WHEN g0 > 0 AND
+                               1.0 - (g1 / g0) * (g1 / g0) <> 0
+                          THEN ROUND((g1 / g0) * (1.0 - (g2 / g0))
+                                     / (1.0 - (g1 / g0) * (g1 / g0)),
+                                     12)
+                          ELSE 0.0 END AS phi1,
+                          CASE WHEN g0 > 0 AND
+                               1.0 - (g1 / g0) * (g1 / g0) <> 0
+                          THEN ROUND(((g2 / g0) - (g1 / g0) * (g1 / g0))
+                                     / (1.0 - (g1 / g0) * (g1 / g0)),
+                                     12)
+                          ELSE 0.0 END AS phi2
+                   FROM g),
+            lt AS (SELECT y, ROW_NUMBER() OVER (ORDER BY i DESC)
+                              AS rn
+                   FROM series),
+            pv AS (SELECT (SELECT y FROM lt WHERE rn = 1) AS p1,
+                          (SELECT y FROM lt WHERE rn = 2) AS p2),
+            fc AS (SELECT n, mu, phi1, phi2, p1, p2,
+                          ROUND(mu + phi1 * (p1 - mu)
+                                + phi2 * (p2 - mu), 12) AS f1
+                   FROM muc, ph, pv),
+            fc2 AS (SELECT *,
+                           ROUND(mu + phi1 * (f1 - mu)
+                                 + phi2 * (p1 - mu), 12) AS f2
+                    FROM fc),
+            fc3 AS (SELECT *,
+                           ROUND(mu + phi1 * (f2 - mu)
+                                 + phi2 * (f1 - mu), 12) AS f3
+                    FROM fc2)
+            SELECT CAST(s.step AS INTEGER) AS step,
+                   ROUND(CASE s.step WHEN 1 THEN f1
+                                     WHEN 2 THEN f2
+                                     ELSE f3 END, 6) AS forecast,
+                   ROUND(mu, 6) AS mu,
+                   ROUND(phi1, 6) AS phi1,
+                   ROUND(phi2, 6) AS phi2,
+                   CAST(n AS BIGINT) AS n_buckets
+            FROM fc3, (SELECT UNNEST([1, 2, 3]) AS step) s
+            ORDER BY step
+        """,
+        "events_esd_hourly": f"""
+            WITH b AS (SELECT FLOOR(EPOCH(ts) / 3600) AS i,
+                              CAST(COUNT(*) AS DOUBLE) AS y
+                       FROM events WHERE ts IS NOT NULL
+                       GROUP BY 1),
+            phd AS (SELECT i, y, CAST(i % 24 AS INT) AS ph FROM b),
+            rk AS (SELECT phd.*,
+                          ROW_NUMBER() OVER (PARTITION BY ph
+                                             ORDER BY y) AS rn,
+                          COUNT(*) OVER (PARTITION BY ph) AS c
+                   FROM phd),
+            med AS (SELECT ph,
+                           AVG(CASE WHEN rn = FLOOR((c + 1) / 2)
+                                      OR rn = FLOOR((c + 2) / 2)
+                                    THEN y END) AS m
+                    FROM rk GROUP BY ph),
+            r0 AS (SELECT phd.i, phd.y, phd.y - med.m AS r
+                   FROM phd JOIN med ON phd.ph = med.ph),
+            {",".join(_esd_iter_sql(i) for i in (1, 2, 3))}
+            SELECT CAST(iteration AS INTEGER) AS iteration,
+                   TO_TIMESTAMP(i * 3600)
+                       AT TIME ZONE 'UTC' AS bucket_start,
+                   ROUND(y, 6) AS metric,
+                   ROUND(r, 6) AS residual,
+                   ROUND(rs, 6) AS r_stat,
+                   rs > 3.0 AS flagged
+            FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+                  UNION ALL SELECT * FROM o3)
+            ORDER BY iteration
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): doubly-robust AIPW ATE (ops/evaluation.py) ----
+
+
+def _eval_aipw_ate_orders(spark, sf_dir):
+    """Doubly-robust AIPW treatment effect (ops/evaluation.py::
+    aipw_ate): within-stratum arm means as the outcome model
+    (exact-NTILE subclassification) + clipped IPW correction term,
+    per-row psi rounded 12dp and DECIMAL-summed; no-overlap strata
+    counted in strata_dropped, never extrapolated. Same deterministic
+    fixture as the IPW/stratified panel keys."""
+    from metadata_etl_framework_spark.ops.evaluation import aipw_ate
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias(
+            "treated"
+        ),
+        (
+            ((F.col("o_custkey") % 100) + 1) / F.lit(102.0)
+        ).alias("propensity"),
+    )
+    return aipw_ate(
+        o, "treated", "o_totalprice", "propensity", "o_orderkey",
+        n_strata=5, clip=0.05,
+    )
+
+
+_ALL_QUERIES.update({"eval_aipw_ate_orders": _eval_aipw_ate_orders})
+
+_ALL_SQL.update(
+    {
+        "eval_aipw_ate_orders": """
+            WITH base AS (SELECT o_orderkey AS id,
+                                 CASE WHEN o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH')
+                                      THEN 1 ELSE 0 END AS t,
+                                 CAST(o_totalprice AS DOUBLE) AS y,
+                                 ((o_custkey % 100) + 1) / 102.0 AS p
+                          FROM orders
+                          WHERE o_totalprice IS NOT NULL
+                            AND o_custkey IS NOT NULL
+                            AND o_orderkey IS NOT NULL
+                            AND o_orderpriority IS NOT NULL),
+            b AS (SELECT *,
+                         NTILE(5) OVER (ORDER BY p, id) AS stratum
+                  FROM base),
+            per AS (SELECT stratum, COUNT(*) AS ns, SUM(t) AS nt,
+                           SUM(1 - t) AS nc,
+                           SUM(CASE WHEN t = 1 THEN
+                               CAST(y AS DECIMAL(30,10)) END) AS syt,
+                           SUM(CASE WHEN t = 0 THEN
+                               CAST(y AS DECIMAL(30,10)) END) AS syc
+                    FROM b GROUP BY 1),
+            used AS (SELECT stratum, ns,
+                            CAST(syt AS DOUBLE) / nt AS mt,
+                            CAST(syc AS DOUBLE) / nc AS mc
+                     FROM per WHERE nt > 0 AND nc > 0),
+            cnt AS (SELECT CAST(COUNT(*) AS INT) AS strata_total,
+                           CAST(SUM(ns) AS BIGINT) AS n
+                    FROM per),
+            rws AS (SELECT b.stratum, b.t, b.y,
+                           LEAST(GREATEST(b.p, 0.05), 0.95) AS pc,
+                           used.mt, used.mc
+                    FROM b JOIN used ON b.stratum = used.stratum),
+            ra AS (SELECT COUNT(*) AS n_used,
+                          CAST(COUNT(DISTINCT stratum) AS INT)
+                              AS strata_used,
+                          CAST(SUM(CAST(ROUND(
+                              (mt - mc)
+                              + t * (y - mt) / pc
+                              - (1 - t) * (y - mc) / (1.0 - pc),
+                              12) AS DECIMAL(30,12))) AS DOUBLE)
+                              AS spsi,
+                          CAST(SUM(CAST(ROUND(mt - mc, 12)
+                                   AS DECIMAL(30,12))) AS DOUBLE)
+                              AS sout
+                   FROM rws)
+            SELECT n,
+                   CAST(COALESCE(n_used, 0) AS BIGINT) AS n_used,
+                   COALESCE(strata_used, 0) AS strata_used,
+                   CAST(strata_total - COALESCE(strata_used, 0)
+                        AS INT) AS strata_dropped,
+                   ROUND(CASE WHEN n_used > 0
+                              THEN sout / n_used END, 6)
+                       AS ate_outcome,
+                   ROUND(CASE WHEN n_used > 0
+                              THEN spsi / n_used END, 6)
+                       AS ate_aipw
+            FROM ra, cnt
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): TextRank keywords (ops/text.py) ----
+
+
+def _text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (ops/text.py::textrank_keywords):
+    word co-occurrence graph (window 2, support floor 2) -> 3-iteration
+    weighted PageRank (ops/graph.py::pagerank, DECIMAL contribution
+    sums) -> top-20 by (rank DESC, word). The oracle rebuilds the
+    graph in SQL and unrolls the identical iteration loop — a fully
+    replayed graph-NLP composition."""
+    from metadata_etl_framework_spark.ops.text import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return textrank_keywords(
+        d, text_col="text", window=2, iterations=3,
+        damping=0.85, top_k=20, min_cooc=2,
+    )
+
+
+_ALL_QUERIES.update(
+    {"text_textrank_keywords": _text_textrank_keywords}
+)
+
+
+def _textrank_sql() -> str:
+    ctes = [
+        r"""tok AS (SELECT doc_id,
+                          LIST_TRANSFORM(
+                              REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                              x -> LOWER(x)) AS t
+                   FROM documents
+                   WHERE TRIM(COALESCE(text, '')) <> '')""",
+        """pos AS (SELECT doc_id, i, t[i] AS w
+                   FROM tok, UNNEST(GENERATE_SERIES(1, LEN(t)))
+                        AS u(i))""",
+        """pr AS (SELECT LEAST(p.w, q.w) AS a,
+                         GREATEST(p.w, q.w) AS b,
+                         COUNT(*) AS n
+                  FROM pos p JOIN pos q
+                    ON p.doc_id = q.doc_id
+                   AND q.i > p.i AND q.i <= p.i + 2
+                   AND p.w <> q.w
+                  GROUP BY 1, 2
+                  HAVING COUNT(*) >= 2)""",
+        """e0 AS (SELECT a AS src, b AS dst, CAST(n AS DOUBLE) AS w
+                  FROM pr
+                  UNION ALL
+                  SELECT b, a, CAST(n AS DOUBLE) FROM pr)""",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes)",
+        """ow AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(30,10)))
+                              AS DOUBLE) AS ow FROM e0 GROUP BY src)""",
+        """e AS (SELECT e0.src, e0.dst, e0.w, ow.ow
+                 FROM e0 JOIN ow ON e0.src = ow.src)""",
+        "r0 AS (SELECT node, 1.0 / nn AS r FROM nodes, t)",
+    ]
+    for k in range(1, 4):
+        ctes.append(
+            f"""c{k} AS (SELECT e.dst,
+                       CAST(SUM(CAST((p.r * e.w) / e.ow AS DECIMAL(28,12)))
+                            AS DOUBLE) AS s
+                 FROM e JOIN r{k - 1} p ON e.src = p.node GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{k} AS (SELECT node,
+                       ((1.0 - 0.85) / nn) + 0.85 * COALESCE(s, 0.0) AS r
+                 FROM nodes CROSS JOIN t
+                 LEFT JOIN c{k} ON node = c{k}.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT node AS word, ROUND(r, 6) AS rank FROM r3"
+        + "\nORDER BY rank DESC, word LIMIT 20"
+    )
+
+
+_ALL_SQL.update({"text_textrank_keywords": _textrank_sql()})
+
+
+# ---- round 13 (cont.): popularity recs + beyond-accuracy audit ----
+
+_POP_RECS_SQL_CTES = """
+            ui AS (SELECT DISTINCT o_custkey AS usr, p_brand AS item
+                   FROM lineitem
+                   JOIN orders ON l_orderkey = o_orderkey
+                   JOIN part ON l_partkey = p_partkey
+                   WHERE o_custkey IS NOT NULL
+                     AND p_brand IS NOT NULL),
+            pop AS (SELECT item, COUNT(*) AS pop FROM ui GROUP BY 1),
+            usrs AS (SELECT DISTINCT usr FROM ui),
+            cand AS (SELECT usrs.usr, pop.item, pop.pop
+                     FROM usrs CROSS JOIN pop
+                     LEFT JOIN ui ON ui.usr = usrs.usr
+                                 AND ui.item = pop.item
+                     WHERE ui.usr IS NULL),
+            rr AS (SELECT usr, item, pop,
+                          ROW_NUMBER() OVER (PARTITION BY usr
+                                             ORDER BY pop DESC, item)
+                              AS rn
+                   FROM cand)"""
+
+
+def _recsys_pop_recs(spark, sf_dir):
+    """Popularity-baseline recommender (ops/recsys.py::
+    popularity_recommend): per-customer top-5 most-popular UNSEEN
+    brands — distinct-reduced interactions, measured-catalog broadcast
+    cross, seen anti-filter, one partitioned window with (pop DESC,
+    item) determinism. The baseline every personalized path (CF, ALS)
+    must beat."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        popularity_recommend,
+    )
+
+    return popularity_recommend(
+        _recsys_ub(spark, sf_dir), "o_custkey", "p_brand", n=5
+    )
+
+
+def _recsys_eval_coverage(spark, sf_dir):
+    """Beyond-accuracy audit (ops/recsys.py::recsys_eval_coverage) of
+    the popularity baseline: catalog coverage, mean self-information
+    novelty (pico-int log2 sums), and the exact rank-formula Gini of
+    recommendation concentration over the FULL catalog (zeros
+    included) — the metrics that catch head-item collapse."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        popularity_recommend,
+        recsys_eval_coverage,
+    )
+
+    ub = _recsys_ub(spark, sf_dir)
+    recs = popularity_recommend(ub, "o_custkey", "p_brand", n=5)
+    return recsys_eval_coverage(
+        recs.withColumnRenamed("user", "o_custkey")
+        .withColumnRenamed("item", "p_brand"),
+        ub,
+        user_col="o_custkey",
+        item_col="p_brand",
+    )
+
+
+_ALL_QUERIES.update(
+    {
+        "recsys_pop_recs": _recsys_pop_recs,
+        "recsys_eval_coverage": _recsys_eval_coverage,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "recsys_pop_recs": f"""
+            WITH {_POP_RECS_SQL_CTES}
+            SELECT usr AS "user", item, CAST(pop AS BIGINT) AS pop,
+                   CAST(rn AS INT) AS rn
+            FROM rr WHERE rn <= 5
+        """,
+        "recsys_eval_coverage": f"""
+            WITH {_POP_RECS_SQL_CTES},
+            recs AS (SELECT usr, item FROM rr WHERE rn <= 5),
+            nu AS (SELECT COUNT(DISTINCT usr) AS n_users FROM ui),
+            rcount AS (SELECT item, COUNT(*) AS rc FROM recs
+                       GROUP BY 1),
+            nov AS (SELECT COUNT(*) AS n_rec_rows,
+                           SUM(CASE WHEN pop.pop IS NULL
+                                    THEN 1 ELSE 0 END) AS n_unscored,
+                           SUM(CASE WHEN pop.pop IS NOT NULL THEN
+                               CAST(ROUND(
+                                   -LOG2(pop.pop
+                                         / CAST(n_users AS DOUBLE))
+                                   * 1000000000000.0, 0)
+                                    AS HUGEINT) END) AS snov,
+                           MAX(n_users) AS n_users
+                    FROM recs LEFT JOIN pop ON recs.item = pop.item,
+                         nu),
+            grid AS (SELECT pop.item,
+                            COALESCE(rcount.rc, 0) AS rc
+                     FROM pop LEFT JOIN rcount
+                       ON pop.item = rcount.item),
+            rkd AS (SELECT rc,
+                           ROW_NUMBER() OVER (ORDER BY rc, item)
+                               AS i
+                    FROM grid),
+            gini AS (SELECT COUNT(*) AS catalog_size,
+                            SUM(CAST(i AS HUGEINT) * rc) AS six,
+                            SUM(CAST(rc AS HUGEINT)) AS ssx,
+                            SUM(CASE WHEN rc > 0 THEN 1 ELSE 0 END)
+                                AS items_recommended
+                     FROM rkd)
+            SELECT CAST(n_users AS BIGINT) AS n_users,
+                   CAST(n_rec_rows AS BIGINT) AS n_rec_rows,
+                   CAST(catalog_size AS BIGINT) AS catalog_size,
+                   CAST(items_recommended AS BIGINT)
+                       AS items_recommended,
+                   CAST(n_unscored AS BIGINT) AS n_unscored,
+                   ROUND(items_recommended
+                         / CAST(catalog_size AS DOUBLE), 6)
+                       AS coverage,
+                   ROUND(CASE WHEN n_rec_rows - n_unscored > 0
+                              THEN CAST(snov AS DOUBLE)
+                                   / 1000000000000.0
+                                   / (n_rec_rows - n_unscored) END,
+                         6) AS novelty_bits,
+                   ROUND(CASE WHEN ssx > 0 THEN
+                         (2.0 * CAST(six AS DOUBLE)
+                          - CAST(catalog_size + 1 AS DOUBLE)
+                            * CAST(ssx AS DOUBLE))
+                         / (CAST(catalog_size AS DOUBLE)
+                            * CAST(ssx AS DOUBLE)) END, 6)
+                       AS rec_gini
+            FROM nov, gini
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): Huber robust regression (ops/glm.py) ----
+
+
+def _glm_huber_lineitem(spark, sf_dir):
+    """Huber robust regression (ops/glm.py::huber_train): the
+    glm_linear price-per-quantity line refit with bounded-influence
+    IRLS (delta=0.2 on the scaled label, 2 reweighted passes from the
+    closed-form OLS start) — each pass ONE aggregation of pico-int
+    weighted normal-equation sums; the oracle unrolls OLS init + both
+    reweighted passes and reproduces the betas bit-exactly."""
+    from metadata_etl_framework_spark.ops.glm import huber_train
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("double") / F.lit(10.0)).alias("x1"),
+        (F.col("l_extendedprice").cast("double") / F.lit(100000.0))
+        .alias("y"),
+    )
+    return huber_train(
+        li, ["x1"], "y", delta=0.2, iterations=2, ridge=1e-6
+    )
+
+
+_ALL_QUERIES.update({"glm_huber_lineitem": _glm_huber_lineitem})
+
+
+def _huber_iter_sql(i: int) -> str:
+    prev = f"hb{i - 1}"
+    return f"""
+            hp{i} AS (SELECT y, x1,
+                             y - (b0 + b1 * x1) AS r
+                      FROM base, {prev}),
+            hw{i} AS (SELECT y, x1,
+                             CASE WHEN ABS(r) <= 0.2 THEN 1.0
+                                  ELSE 0.2 / ABS(r) END AS w
+                      FROM hp{i}),
+            hs{i} AS (SELECT COUNT(*) AS n,
+                             SUM(CAST(ROUND(w * 1.0 * y
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS g0,
+                             SUM(CAST(ROUND(w * x1 * y
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS g1,
+                             SUM(CAST(ROUND(w * 1.0 * 1.0
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS h00,
+                             SUM(CAST(ROUND(w * 1.0 * x1
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS h01,
+                             SUM(CAST(ROUND(w * x1 * x1
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS h11
+                      FROM hw{i}),
+            hd{i} AS (SELECT n,
+                             CAST(g0 AS DOUBLE) AS g0d,
+                             CAST(g1 AS DOUBLE) AS g1d,
+                             CAST(h00 + 1000000 AS DOUBLE) AS h00d,
+                             CAST(h01 AS DOUBLE) AS h01d,
+                             CAST(h11 + 1000000 AS DOUBLE) AS h11d
+                      FROM hs{i}),
+            hb{i} AS (SELECT n,
+                             ROUND((h11d * g0d - h01d * g1d)
+                                   / (h00d * h11d - h01d * h01d),
+                                   12) AS b0,
+                             ROUND((h00d * g1d - h01d * g0d)
+                                   / (h00d * h11d - h01d * h01d),
+                                   12) AS b1
+                      FROM hd{i})"""
+
+
+_ALL_SQL.update(
+    {
+        "glm_huber_lineitem": f"""
+            WITH base AS (
+              SELECT CAST(l_quantity AS DOUBLE) / 10.0 AS x1,
+                     CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            hs0 AS (SELECT COUNT(*) AS n,
+                           SUM(CAST(ROUND(1.0 * 1.0 * y
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS g0,
+                           SUM(CAST(ROUND(1.0 * x1 * y
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS g1,
+                           SUM(CAST(ROUND(1.0 * 1.0 * 1.0
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS h00,
+                           SUM(CAST(ROUND(1.0 * 1.0 * x1
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS h01,
+                           SUM(CAST(ROUND(1.0 * x1 * x1
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS h11
+                    FROM base),
+            hd0 AS (SELECT n,
+                           CAST(g0 AS DOUBLE) AS g0d,
+                           CAST(g1 AS DOUBLE) AS g1d,
+                           CAST(h00 + 1000000 AS DOUBLE) AS h00d,
+                           CAST(h01 AS DOUBLE) AS h01d,
+                           CAST(h11 + 1000000 AS DOUBLE) AS h11d
+                    FROM hs0),
+            hb0 AS (SELECT n,
+                           ROUND((h11d * g0d - h01d * g1d)
+                                 / (h00d * h11d - h01d * h01d), 12)
+                               AS b0,
+                           ROUND((h00d * g1d - h01d * g0d)
+                                 / (h00d * h11d - h01d * h01d), 12)
+                               AS b1
+                    FROM hd0),
+            {",".join(_huber_iter_sql(i) for i in (1, 2))}
+            SELECT '_intercept' AS term, b0 AS beta,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(2 AS INTEGER) AS iterations
+            FROM hb2
+            UNION ALL
+            SELECT 'x1', b1, CAST(n AS BIGINT), CAST(2 AS INTEGER)
+            FROM hb2
         """,
     }
 )

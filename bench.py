@@ -201,6 +201,13 @@ HEADLINE = [
     "graph_assortativity_parts",
     "graph_modularity_brands",
     "privacy_t_closeness_customer",
+    "events_ar2_forecast",
+    "events_esd_hourly",
+    "eval_aipw_ate_orders",
+    "text_textrank_keywords",
+    "recsys_pop_recs",
+    "recsys_eval_coverage",
+    "glm_huber_lineitem",
 ]
 
 

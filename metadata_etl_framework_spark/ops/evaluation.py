@@ -2245,3 +2245,131 @@ def auc_delong(
             F.least(F.lit(1.0), auc + F.lit(1.959964) * se), 6
         ).alias("ci_hi"),
     )
+
+
+def aipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    id_col: str,
+    n_strata: int = 5,
+    clip: float = 0.01,
+) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect — the estimator
+    that stays consistent if EITHER the propensity model OR the
+    outcome model is right (Robins, Rotnitzky & Zhao 1994): per row
+    ψ = [m₁(x) − m₀(x)] + t·(y − m₁(x))/p − (1−t)·(y − m₀(x))/(1−p),
+    ATE = mean ψ. Completes the causal panel (naive diff, IPW,
+    stratified, CUPED, uplift) with the one production teams actually
+    ship.
+
+    The outcome models m̂ₐ are the within-propensity-stratum arm means
+    (subclassification-based AIPW — transparent, no extra trained
+    model): strata from the scale-safe exact-NTILE on (propensity,
+    id), per-stratum DECIMAL outcome sums, the bounded stratum-means
+    frame broadcast back onto the rows. Strata where an arm is empty
+    (no overlap) are EXCLUDED from the estimate and counted in
+    ``strata_dropped`` rather than silently extrapolated. Propensities
+    clip to [clip, 1−clip] in the correction term only (strata are cut
+    on the raw score).
+
+    Per-row ψ terms round to 12 dp and sum as DECIMAL(30,12) (the
+    ipw_ate convention) — merge-order free, oracle-replayable.
+
+    Output: 1 row — (n long, n_used long, strata_used int,
+    strata_dropped int, ate_outcome 6 dp, ate_aipw 6 dp); NULL
+    estimates when every stratum lacks overlap.
+    """
+    if not (0 <= clip < 0.5):
+        raise ValueError("clip must be in [0, 0.5)")
+    if n_strata < 1:
+        raise ValueError("n_strata must be >= 1")
+    from metadata_etl_framework_spark.functions.aggregations import (
+        ntile_assign,
+    )
+
+    base = df.where(
+        F.col(treatment_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(propensity_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(treatment_col).cast("boolean").cast("int").alias("_t"),
+        F.col(outcome_col).cast("double").alias("_y"),
+        F.col(propensity_col).cast("double").alias("_p"),
+    )
+    bucketed = ntile_assign(
+        base, ["_p", "_id"], int(n_strata), out="_stratum"
+    )
+    ydec = F.col("_y").cast("decimal(30,10)")
+    per = bucketed.groupBy("_stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("_ns"),
+        F.sum("_t").cast("long").alias("_nt"),
+        F.sum(1 - F.col("_t")).cast("long").alias("_nc"),
+        F.sum(F.when(F.col("_t") == 1, ydec)).alias("_syt"),
+        F.sum(F.when(F.col("_t") == 0, ydec)).alias("_syc"),
+    )
+    used = per.where((F.col("_nt") > 0) & (F.col("_nc") > 0)).select(
+        "_stratum",
+        "_ns",
+        (F.col("_syt").cast("double") / F.col("_nt")).alias("_mt"),
+        (F.col("_syc").cast("double") / F.col("_nc")).alias("_mc"),
+    )
+    counts = per.agg(
+        F.count(F.lit(1)).cast("int").alias("strata_total"),
+        F.sum(F.col("_ns")).cast("long").alias("n"),
+    )
+
+    def dec(c):
+        return F.round(c, 12).cast("decimal(30,12)")
+
+    pc = F.least(
+        F.greatest(F.col("_p"), F.lit(float(clip))),
+        F.lit(1.0 - float(clip)),
+    )
+    psi = (
+        (F.col("_mt") - F.col("_mc"))
+        + F.col("_t") * (F.col("_y") - F.col("_mt")) / pc
+        - (1 - F.col("_t")) * (F.col("_y") - F.col("_mc"))
+        / (F.lit(1.0) - pc)
+    )
+    rowagg = (
+        bucketed.join(F.broadcast(used), "_stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_used"),
+            F.count_distinct(F.col("_stratum"))
+            .cast("int")
+            .alias("strata_used"),
+            F.sum(dec(psi)).cast("double").alias("_spsi"),
+            F.sum(
+                dec(F.col("_mt") - F.col("_mc"))
+            ).cast("double").alias("_sout"),
+        )
+    )
+    return rowagg.crossJoin(F.broadcast(counts)).select(
+        "n",
+        F.coalesce(F.col("n_used"), F.lit(0)).alias("n_used"),
+        F.coalesce(F.col("strata_used"), F.lit(0)).alias(
+            "strata_used"
+        ),
+        (
+            F.col("strata_total")
+            - F.coalesce(F.col("strata_used"), F.lit(0))
+        ).cast("int").alias("strata_dropped"),
+        F.round(
+            F.when(
+                F.col("n_used") > 0,
+                F.col("_sout") / F.col("n_used"),
+            ),
+            6,
+        ).alias("ate_outcome"),
+        F.round(
+            F.when(
+                F.col("n_used") > 0,
+                F.col("_spsi") / F.col("n_used"),
+            ),
+            6,
+        ).alias("ate_aipw"),
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "linear_cv",
     "logistic_cv",
     "poisson_train",
+    "huber_train",
 ]
 
 _SCALE = 10**12
@@ -779,6 +780,117 @@ def poisson_train(
                 h[k][j] = v
         delta = _solve(h, g)
         betas = [round(betas[j] + delta[j], 12) for j in range(d)]
+    spark = df.sparkSession
+    terms = ["_intercept"] + list(feature_cols)
+    return spark.createDataFrame(
+        [
+            (i, t, betas[i], n_rows, int(iterations))
+            for i, t in enumerate(terms)
+        ],
+        "ord int, term string, beta double, n_rows long, iterations int",
+    ).orderBy("ord").drop("ord")
+
+
+def huber_train(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    delta: float = 1.0,
+    iterations: int = 3,
+    ridge: float = 1e-6,
+    max_features: int = 8,
+) -> DataFrame:
+    """Huber robust regression by IRLS — the GLM family's answer to
+    contaminated labels (the reference's quality plane flags outliers;
+    this FITS THROUGH them): quadratic loss inside ``delta``, linear
+    outside, so a mislabeled row pulls the fit with bounded force
+    instead of its squared residual.
+
+    Starts from the closed-form OLS solution (one
+    :func:`linear_train`-shaped pass — itself oracle-replayable),
+    then ``iterations`` reweighted passes: per row
+    w = 1 if |r| ≤ δ else δ/|r| (w = 1 when r = 0), and the weighted
+    normal equations (XᵀWX + λI)β = XᵀWy are re-collected as exact
+    pico-int (×10¹²) DECIMAL(38,0) sums and solved on the driver
+    (closed-form 2×2 path mirrored by the SQL oracle). Coefficients
+    round to 12 dp between passes — the whole training loop unrolls
+    as CTEs and replays bit-exactly.
+
+    Scale ``delta`` to the label's units (it is a residual threshold,
+    not a quantile). Output: one row per coefficient — (term, beta
+    12 dp, n_rows long, iterations int), intercept first.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if len(feature_cols) > max_features:
+        raise ValueError(
+            f"huber_train: {len(feature_cols)} features > "
+            f"max_features={max_features}"
+        )
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if delta <= 0:
+        raise ValueError("delta must be > 0")
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    d = len(feature_cols) + 1
+    xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
+    ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
+
+    def _collect_pass(w):
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for j in range(d):
+            aggs.append(
+                F.sum(
+                    F.round(w * xs[j] * F.col("_y") * F.lit(1e12))
+                    .cast("decimal(38,0)")
+                ).alias(f"_g{j}")
+            )
+        for j in range(d):
+            for k in range(j, d):
+                aggs.append(
+                    F.sum(
+                        F.round(w * xs[j] * xs[k] * F.lit(1e12))
+                        .cast("decimal(38,0)")
+                    ).alias(f"_h{j}{k}")
+                )
+        row = base.agg(*aggs).collect()[0]
+        n = int(row["_n"])
+        if n == 0:
+            raise ValueError("huber_train: no usable rows")
+        g = [float(int(row[f"_g{j}"])) for j in range(d)]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(
+                    int(row[f"_h{j}{k}"]) + (ridge_i if j == k else 0)
+                )
+                h[j][k] = v
+                h[k][j] = v
+        return n, g, h
+
+    # OLS init (w = 1)
+    n_rows, g, h = _collect_pass(F.lit(1.0))
+    betas = [round(b, 12) for b in _solve(h, g)]
+    dl = float(delta)
+    for _ in range(int(iterations)):
+        z = F.lit(betas[0])
+        for j in range(1, d):
+            z = z + F.lit(betas[j]) * xs[j]
+        r = F.col("_y") - z
+        w = F.when(F.abs(r) <= F.lit(dl), F.lit(1.0)).otherwise(
+            F.lit(dl) / F.abs(r)
+        )
+        n_rows, g, h = _collect_pass(w)
+        betas = [round(b, 12) for b in _solve(h, g)]
     spark = df.sparkSession
     terms = ["_intercept"] + list(feature_cols)
     return spark.createDataFrame(

@@ -45,6 +45,8 @@ __all__ = [
     "als_factorize",
     "als_evaluate",
     "als_recommend",
+    "popularity_recommend",
+    "recsys_eval_coverage",
 ]
 
 _DEC = "decimal(30,10)"
@@ -509,5 +511,201 @@ def als_recommend(
             F.col("__i").alias(item_col),
             "score",
             "rank",
+        )
+    )
+
+
+def popularity_recommend(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    n: int = 5,
+    max_catalog: int = 100_000,
+) -> DataFrame:
+    """Popularity-baseline recommender: for each user, the top-``n``
+    most-popular items they have NOT interacted with — the baseline
+    every personalized recommender must beat (and the cold-start
+    fallback production systems actually ship). Deterministic:
+    popularity = distinct-user count per item, ranked (count DESC,
+    item ASC).
+
+    Scale shape: interactions reduce to DISTINCT (user, item) first;
+    the candidate side is the popularity-ranked catalog, which is
+    broadcast-crossed onto users ONLY when a MEASURED count shows the
+    catalog fits (≤ ``max_catalog``; brand/category-level catalogs do,
+    item-level ones should go through the CF/ALS scoring paths) —
+    each user then anti-filters seen items and keeps n via one
+    partitioned window. Work is |users|·|catalog| with a bounded build
+    side, never |users|²     .
+
+    Output: (user, item, pop long, rn int), rn = 1..n per user.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ui = (
+        interactions.where(
+            F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("user"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    pop = ui.groupBy("item").agg(
+        F.count(F.lit(1)).alias("pop")
+    )
+    n_items = pop.count()
+    if n_items > max_catalog:
+        raise ValueError(
+            f"popularity_recommend: catalog {n_items} > "
+            f"max_catalog={max_catalog} — the user × catalog cross is "
+            f"only safe for bounded catalogs; use the CF/ALS paths"
+        )
+    users = ui.select("user").distinct()
+    seen = ui.withColumn("_seen", F.lit(1))
+    cand = (
+        users.join(F.broadcast(pop), how="cross")
+        .join(seen, ["user", "item"], "left")
+        .where(F.col("_seen").isNull())
+    )
+    w = Window.partitionBy("user").orderBy(
+        F.col("pop").desc(), F.col("item").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(n))
+        .select("user", "item", "pop", F.col("rn").cast("int"))
+    )
+
+
+def recsys_eval_coverage(
+    recs: DataFrame,
+    interactions: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """Beyond-accuracy recommendation audit: catalog coverage, novelty
+    and aggregate diversity of a recommendation table — the metrics
+    that catch a recommender collapsing onto its head items even while
+    RMSE/precision look fine.
+
+    - coverage: distinct recommended items / catalog size (catalog =
+      distinct items in ``interactions``).
+    - novelty: mean self-information −log₂(pop_i/|users|) over ALL
+      recommendation rows (pop_i = distinct users who interacted with
+      i) — recommending only blockbusters scores low. Items never
+      interacted with carry the maximum self-information −log₂(1/|users|)
+      ... they have no popularity; such rows are EXCLUDED and counted
+      (``n_unscored``) rather than given an arbitrary score.
+    - rec_gini: Gini concentration of recommendation counts across the
+      FULL catalog (never-recommended items enter as zeros) via the
+      exact rank formula G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) — tie-safe
+      (equal values commute) and integer-exact until one divide.
+
+    Novelty terms round to pico-ints and sum as DECIMAL(38,0); all
+    counts are exact. Output: 1 row — (n_users long, n_rec_rows long,
+    catalog_size long, items_recommended long, n_unscored long,
+    coverage 6 dp, novelty_bits 6 dp, rec_gini 6 dp).
+    """
+    ui = (
+        interactions.where(
+            F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("user"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    pop = ui.groupBy("item").agg(F.count(F.lit(1)).alias("pop"))
+    nu = ui.select(
+        F.count_distinct(F.col("user")).alias("n_users")
+    )
+    r = recs.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    )
+    rcount = r.groupBy("item").agg(F.count(F.lit(1)).alias("rc"))
+    # novelty over rec rows joined to popularity
+    nov = (
+        r.join(pop, "item", "left")
+        .crossJoin(F.broadcast(nu))
+        .agg(
+            F.count(F.lit(1)).alias("n_rec_rows"),
+            F.sum(
+                F.when(F.col("pop").isNull(), 1).otherwise(0)
+            ).alias("n_unscored"),
+            F.sum(
+                F.when(
+                    F.col("pop").isNotNull(),
+                    F.round(
+                        -F.log2(
+                            F.col("pop")
+                            / F.col("n_users").cast("double")
+                        )
+                        * F.lit(1e12)
+                    ).cast("decimal(38,0)"),
+                )
+            ).alias("_nov"),
+            F.max("n_users").alias("n_users"),
+        )
+    )
+    # gini over the full catalog, zeros included
+    grid = pop.select("item").join(rcount, "item", "left").na.fill(
+        {"rc": 0}
+    )
+    wg = Window.orderBy(F.col("rc").asc(), F.col("item").asc())
+    gini = (
+        grid.withColumn("_i", F.row_number().over(wg))
+        .agg(
+            F.count(F.lit(1)).alias("catalog_size"),
+            F.sum(
+                (F.col("_i").cast("decimal(38,0)") * F.col("rc"))
+            ).alias("_ix"),
+            F.sum(F.col("rc").cast("decimal(38,0)")).alias("_sx"),
+            F.sum(
+                F.when(F.col("rc") > 0, 1).otherwise(0)
+            ).alias("items_recommended"),
+        )
+    )
+    return (
+        nov.crossJoin(F.broadcast(gini))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_rec_rows").cast("long").alias("n_rec_rows"),
+            F.col("catalog_size").cast("long").alias("catalog_size"),
+            F.col("items_recommended").cast("long").alias(
+                "items_recommended"
+            ),
+            F.col("n_unscored").cast("long").alias("n_unscored"),
+            F.round(
+                F.col("items_recommended")
+                / F.col("catalog_size").cast("double"),
+                6,
+            ).alias("coverage"),
+            F.round(
+                F.when(
+                    (F.col("n_rec_rows") - F.col("n_unscored")) > 0,
+                    F.col("_nov").cast("double")
+                    / F.lit(1e12)
+                    / (F.col("n_rec_rows") - F.col("n_unscored")),
+                ),
+                6,
+            ).alias("novelty_bits"),
+            F.round(
+                F.when(
+                    F.col("_sx") > 0,
+                    (
+                        F.lit(2.0) * F.col("_ix").cast("double")
+                        - (F.col("catalog_size") + F.lit(1)).cast(
+                            "double"
+                        )
+                        * F.col("_sx").cast("double")
+                    )
+                    / (
+                        F.col("catalog_size").cast("double")
+                        * F.col("_sx").cast("double")
+                    ),
+                ),
+                6,
+            ).alias("rec_gini"),
         )
     )

@@ -2394,3 +2394,97 @@ def rake_keywords(
     finally:
         ph.unpersist()
     return out
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 3,
+    damping: float = 0.85,
+    top_k: int = 20,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-based companion to :func:`rake_keywords` and the TF-IDF
+    readout: words become nodes, co-occurrence within ``window``
+    positions becomes weighted edges, and PageRank centrality (not
+    raw frequency) ranks the keywords, so connector terms that
+    co-occur with MANY distinct words outrank locally-frequent ones.
+
+    A pure composition of existing engine pieces: co-occurring pairs
+    are generated ENTIRELY map-side as shifted-array zips (for each
+    offset d ≤ window, zip the token array with itself shifted by d —
+    no positional self-join, no extra shuffle; the only row-scale
+    shuffle is the pair-count groupBy), pruned by the ``min_cooc``
+    support floor before any iteration, then
+    :func:`ops.graph.pagerank` — weighted, damped,
+    DECIMAL-accumulated, the SAME oracle-replayable iteration loop the
+    supplier-graph keys pin. Top-k cut on (rank DESC, word ASC) — a
+    total order over the 6 dp published ranks.
+
+    Output: (word, rank 6 dp), ``top_k`` rows.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from .graph import pagerank
+
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = _spread(df).select(toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    zips = []
+    for d in range(1, int(window) + 1):
+        ln = n - F.lit(d)
+        zips.append(
+            F.when(
+                ln > 0,
+                F.arrays_zip(
+                    F.slice(F.col("_t"), F.lit(1), ln).alias("x"),
+                    F.slice(F.col("_t"), F.lit(d + 1), ln).alias("y"),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<x:string,y:string>>")
+            )
+        )
+    allpairs = zips[0] if len(zips) == 1 else F.concat(*zips)
+    pairs = (
+        base.select(F.explode(allpairs).alias("_p"))
+        .where(F.col("_p.x") != F.col("_p.y"))
+        .groupBy(
+            F.least(F.col("_p.x"), F.col("_p.y")).alias("a"),
+            F.greatest(F.col("_p.x"), F.col("_p.y")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_cooc > 1:
+        pairs = pairs.where(F.col("n") >= min_cooc)
+    # pagerank materializes its node set, out-weight edge frame and
+    # every iteration EAGERLY (internal counts) — persist the pair
+    # aggregation so the tokenize→zip→count pipeline runs once, not
+    # once per internal materialization; by the time pagerank returns,
+    # everything downstream is cached, so the persist can be released
+    pairs = pairs.persist()
+    try:
+        edges = pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "n"
+        ).unionAll(
+            pairs.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "n"
+            )
+        )
+        ranked = pagerank(
+            edges,
+            iterations=iterations,
+            damping=damping,
+            weight_col="n",
+            checkpoint_every=max(3, int(iterations)),
+        )
+    finally:
+        pairs.unpersist()
+    return (
+        ranked.select(F.col("node").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(int(top_k))
+    )

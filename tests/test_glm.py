@@ -349,3 +349,70 @@ def test_poisson_gates(spark):
         poisson_train(df, [f"x{i}" for i in range(9)], "y")
     with pytest.raises(ValueError, match="no usable rows"):
         poisson_train(df.where(F.col("x") > 5), ["x"], "y")
+
+
+def test_huber_matches_python_replica_exactly(spark):
+    """Pin the Huber IRLS loop (OLS init + 2 reweighted passes)
+    against a pure-python replica with identical pico-int rounding."""
+    from metadata_etl_framework_spark.ops.glm import huber_train
+
+    rows = [(float(i % 9) / 4.0, 1.0 + 0.5 * (i % 9) / 4.0
+             + (5.0 if i % 17 == 0 else 0.0)) for i in range(250)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {r["term"]: r["beta"] for r in
+           huber_train(df, ["x"], "y", delta=0.5, iterations=2,
+                       ridge=1e-6).collect()}
+
+    ridge_i = 10**6
+
+    def wpass(b0, b1, use_w):
+        g0i = g1i = h00i = h01i = h11i = 0
+        for x, y in rows:
+            if use_w:
+                r = y - (b0 + b1 * x)
+                w = 1.0 if abs(r) <= 0.5 else 0.5 / abs(r)
+            else:
+                w = 1.0
+            g0i += round(w * 1.0 * y * 1e12)
+            g1i += round(w * x * y * 1e12)
+            h00i += round(w * 1.0 * 1.0 * 1e12)
+            h01i += round(w * 1.0 * x * 1e12)
+            h11i += round(w * x * x * 1e12)
+        h00 = float(h00i + ridge_i)
+        h11 = float(h11i + ridge_i)
+        h01 = float(h01i)
+        g0, g1 = float(g0i), float(g1i)
+        det = h00 * h11 - h01 * h01
+        return (round((h11 * g0 - h01 * g1) / det, 12),
+                round((h00 * g1 - h01 * g0) / det, 12))
+
+    b0, b1 = wpass(0.0, 0.0, False)
+    for _ in range(2):
+        b0, b1 = wpass(b0, b1, True)
+    assert out["_intercept"] == b0
+    assert out["x"] == b1
+
+
+def test_huber_resists_outliers_vs_ols(spark):
+    """Clean line y = 2 + 3x plus 4% wild outliers: the Huber slope
+    must land closer to 3 than the OLS slope."""
+    from metadata_etl_framework_spark.ops.glm import (
+        huber_train,
+        linear_train,
+    )
+
+    rows = []
+    for i in range(500):
+        x = float(i % 10)
+        y = 2.0 + 3.0 * x + (200.0 if i % 25 == 0 else 0.0)
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    ols = {r["term"]: r["beta"] for r in
+           linear_train(df, ["x"], "y").collect()}
+    hub = {r["term"]: r["beta"] for r in
+           huber_train(df, ["x"], "y", delta=2.0,
+                       iterations=5).collect()}
+    assert abs(hub["x"] - 3.0) < abs(ols["x"] - 3.0)
+    assert abs(hub["_intercept"] - 2.0) < abs(ols["_intercept"] - 2.0)
+    with pytest.raises(ValueError, match="delta"):
+        huber_train(df, ["x"], "y", delta=0.0)

@@ -208,3 +208,68 @@ def test_als_guards(spark):
         als_factorize(df, "u", "i", "r", rounds=0)
     with pytest.raises(ValueError):
         als_factorize(df, "u", "i", "r", reg=0.0)
+
+
+def test_popularity_recommend_excludes_seen_and_ranks(spark):
+    """3 users, 4 items with popularity c>b>a>d; each user must get
+    unseen items in popularity order with deterministic ties."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        popularity_recommend,
+    )
+
+    rows = [
+        ("u1", "a"), ("u1", "b"), ("u1", "c"),
+        ("u2", "c"), ("u2", "b"),
+        ("u3", "c"),
+    ]
+    df = spark.createDataFrame(rows, "u string, i string")
+    out = popularity_recommend(df, "u", "i", n=2).collect()
+    got = {(r["user"], r["rn"]): (r["item"], r["pop"]) for r in out}
+    # popularity: c=3, b=2, a=1; catalog = {a,b,c}
+    # u1 saw the whole catalog -> zero recommendations
+    assert not any(u == "u1" for (u, _rn) in got)
+    assert got[("u2", 1)] == ("a", 1)
+    assert got[("u3", 1)] == ("b", 2)
+    assert got[("u3", 2)] == ("a", 1)
+    assert len(got) == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="max_catalog"):
+        popularity_recommend(df, "u", "i", n=1, max_catalog=2)
+
+
+def test_recsys_eval_coverage_hand_math(spark):
+    """2 users, catalog {a,b,c,d}; recs: u1->a, u2->a (full head
+    collapse on a). coverage = 1/4; novelty of a (pop 2 of 2 users) =
+    -log2(1) = 0; gini over counts (0,0,0,2): sorted 0,0,0,2 ->
+    sum ix = 4*2 = 8, sx = 2, G = (16 - 5*2)/(4*2) = 0.75."""
+    from metadata_etl_framework_spark.ops.recsys import (
+        recsys_eval_coverage,
+    )
+
+    inter = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "c"),
+         ("u2", "d")],
+        "u string, i string",
+    )
+    recs = spark.createDataFrame(
+        [("u1", "a"), ("u2", "a")], "u string, i string"
+    )
+    r = recsys_eval_coverage(recs, inter, "u", "i").first()
+    assert r["n_users"] == 2 and r["catalog_size"] == 4
+    assert r["items_recommended"] == 1 and r["n_rec_rows"] == 2
+    assert r["coverage"] == 0.25
+    assert r["novelty_bits"] == 0.0
+    assert r["rec_gini"] == 0.75
+    # a rarer recommendation scores positive novelty bits
+    recs2 = spark.createDataFrame(
+        [("u1", "d")], "u string, i string"
+    )
+    r2 = recsys_eval_coverage(recs2, inter, "u", "i").first()
+    assert r2["novelty_bits"] == 1.0  # -log2(1/2)
+    # unknown item counted, not scored
+    recs3 = spark.createDataFrame(
+        [("u1", "zz")], "u string, i string"
+    )
+    r3 = recsys_eval_coverage(recs3, inter, "u", "i").first()
+    assert r3["n_unscored"] == 1 and r3["novelty_bits"] is None

@@ -682,3 +682,217 @@ def test_kruskal_wallis_degenerate(spark):
     )
     r2 = kruskal_wallis(onegroup, "g", "v").first()
     assert r2["k"] == 1 and r2["h_stat"] is None
+
+
+# ---- ar_forecast (round-13 continuation) ----
+
+
+def _ar_replica(series, horizon=3):
+    """Pure-python replica of ar_forecast's arithmetic on an already-
+    bucketed (i, y) series."""
+    import math
+
+    ys = [y for _, y in sorted(series)]
+    n = len(ys)
+    syi = sum(round(y * 1e12) for y in ys)
+    mu = round(float(syi) / 1e12 / n, 12)
+    idx = {i: y for i, y in series}
+    g = {0: 0, 1: 0, 2: 0}
+    for i, y in series:
+        for k in (0, 1, 2):
+            if i + k in idx:
+                g[k] += round((y - mu) * (idx[i + k] - mu) * 1e12)
+    g0, g1, g2 = float(g[0]), float(g[1]), float(g[2])
+    if g0 > 0:
+        r1, r2 = g1 / g0, g2 / g0
+        den = 1.0 - r1 * r1
+        if den != 0.0:
+            phi1 = round(r1 * (1.0 - r2) / den, 12)
+            phi2 = round((r2 - r1 * r1) / den, 12)
+        else:
+            phi1 = phi2 = 0.0
+    else:
+        phi1 = phi2 = 0.0
+    hi = sorted(series)[-1][1]
+    lo = sorted(series)[-2][1]
+    prev1, prev2 = hi, lo
+    out = []
+    for _ in range(horizon):
+        f = round(mu + phi1 * (prev1 - mu) + phi2 * (prev2 - mu), 12)
+        out.append(round(f, 6))
+        prev2, prev1 = prev1, f
+    return out, round(mu, 6), round(phi1, 6), round(phi2, 6)
+
+
+def test_ar_forecast_matches_python_replica(spark):
+    """One event per hourly bucket with a decaying AR-ish value —
+    forecasts must equal the pure-python replica bit-for-bit."""
+    from metadata_etl_framework_spark.ops.stats import ar_forecast
+
+    series = [(i, 10.0 + 5.0 * ((0.6) ** (i % 7))) for i in range(48)]
+    rows = [(i * 3600, y) for i, y in series]
+    df = spark.createDataFrame(rows, "epoch long, value double").select(
+        F.timestamp_seconds(F.col("epoch")).alias("ts"), "value"
+    )
+    got = ar_forecast(df, "ts", "value", 3600, horizon=3).collect()
+    exp_fc, exp_mu, exp_p1, exp_p2 = _ar_replica(series)
+    assert [r["forecast"] for r in got] == exp_fc
+    assert got[0]["mu"] == exp_mu
+    assert got[0]["phi1"] == exp_p1
+    assert got[0]["phi2"] == exp_p2
+    assert got[0]["n_buckets"] == 48
+
+
+def test_ar_forecast_constant_series_collapses_to_mean(spark):
+    from metadata_etl_framework_spark.ops.stats import ar_forecast
+
+    rows = [(i * 3600, 7.5) for i in range(10)]
+    df = spark.createDataFrame(rows, "epoch long, value double").select(
+        F.timestamp_seconds(F.col("epoch")).alias("ts"), "value"
+    )
+    got = ar_forecast(df, "ts", "value", 3600, horizon=2).collect()
+    assert all(r["forecast"] == 7.5 for r in got)
+    assert all(r["phi1"] == 0.0 and r["phi2"] == 0.0 for r in got)
+
+
+def test_ar_forecast_gates(spark):
+    from metadata_etl_framework_spark.ops.stats import ar_forecast
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (3600, 2.0)], "epoch long, value double"
+    ).select(F.timestamp_seconds(F.col("epoch")).alias("ts"), "value")
+    with pytest.raises(ValueError, match="horizon"):
+        ar_forecast(df, "ts", "value", horizon=0)
+    with pytest.raises(ValueError, match=">= 3 buckets"):
+        ar_forecast(df, "ts", "value")
+
+
+# ---- esd_outliers (round-13 continuation) ----
+
+
+def test_esd_unmasks_second_spike(spark):
+    """Flat-ish hourly volume with TWO planted spikes: a single
+    z-score pass centered on contaminated stats can miss the second;
+    ESD removes the first then flags the second. Baseline counts
+    alternate 10/12 so the residual SD is nonzero."""
+    from metadata_etl_framework_spark.ops.stats import esd_outliers
+
+    rows = []
+    for i in range(72):  # 3 days so each phase's median has 3 samples
+        n = 10 if i % 2 == 0 else 12
+        if i == 17:
+            n = 60
+        if i == 31:
+            n = 50
+        for j in range(n):
+            rows.append((i * 3600 + j,))
+    df = spark.createDataFrame(rows, "epoch long").select(
+        F.timestamp_seconds(F.col("epoch")).alias("ts")
+    )
+    got = esd_outliers(df, "ts", None, 3600, k=3, threshold=3.0,
+                       season=24).collect()
+    assert [r["iteration"] for r in got] == [1, 2, 3]
+    assert got[0]["metric"] == 60.0 and got[0]["flagged"]
+    assert got[1]["metric"] == 50.0 and got[1]["flagged"]
+    assert not got[2]["flagged"]
+    # epoch 17*3600 -> bucket_start hour 17
+    assert got[0]["bucket_start"].hour == 17
+
+
+def test_esd_seasonal_median_absorbs_cycle(spark):
+    """A strong 24h cycle (hour 0 always 100, others 10) must NOT be
+    flagged — the hour-of-day median removes it; a genuine spike on
+    top of the cycle IS flagged."""
+    from metadata_etl_framework_spark.ops.stats import esd_outliers
+
+    rows = []
+    for i in range(72):
+        n = 100 if i % 24 == 0 else (10 if i % 2 == 0 else 12)
+        if i == 49:  # genuine anomaly on a normal hour
+            n = 80
+        for j in range(n):
+            rows.append((i * 3600 + j,))
+    df = spark.createDataFrame(rows, "epoch long").select(
+        F.timestamp_seconds(F.col("epoch")).alias("ts")
+    )
+    got = esd_outliers(df, "ts", None, 3600, k=2, threshold=3.0,
+                       season=24).collect()
+    assert got[0]["metric"] == 80.0 and got[0]["flagged"]
+    assert not got[1]["flagged"]
+
+
+def test_esd_gates(spark):
+    from metadata_etl_framework_spark.ops.stats import esd_outliers
+
+    df = spark.createDataFrame([(0,)], "epoch long").select(
+        F.timestamp_seconds(F.col("epoch")).alias("ts")
+    )
+    with pytest.raises(ValueError, match="k must"):
+        esd_outliers(df, "ts", k=0)
+    with pytest.raises(ValueError, match="season"):
+        esd_outliers(df, "ts", season=0)
+
+
+# ---- aipw_ate (round-13 continuation) ----
+
+
+def test_aipw_constant_effect_and_overlap_drop(spark):
+    """Constant additive effect +10 with both arms present in every
+    stratum -> ate_outcome == ate_aipw == 10 exactly (the correction
+    term cancels when the outcome model is exact). A stratum whose
+    control arm is removed must be dropped and counted."""
+    from metadata_etl_framework_spark.ops.evaluation import aipw_ate
+
+    rows = []
+    for i in range(200):
+        p = (i % 10 + 1) / 12.0
+        t = i % 2 == 0
+        y = 50.0 + (10.0 if t else 0.0)
+        rows.append((i, t, y, p))
+    df = spark.createDataFrame(
+        rows, "id long, t boolean, y double, p double"
+    )
+    r = aipw_ate(df, "t", "y", "p", "id", n_strata=5).first()
+    assert r["n"] == 200 and r["n_used"] == 200
+    assert r["strata_used"] == 5 and r["strata_dropped"] == 0
+    assert r["ate_outcome"] == 10.0
+    assert r["ate_aipw"] == 10.0
+    # a no-overlap stratum: low-p rows mixed arms, high-p rows ALL
+    # treated -> with n_strata=2 the top stratum must be dropped
+    rows2 = [(i, i % 2 == 0, 50.0 + (10.0 if i % 2 == 0 else 0.0),
+              0.2) for i in range(20)]
+    rows2 += [(100 + i, True, 60.0, 0.8) for i in range(20)]
+    df2 = spark.createDataFrame(
+        rows2, "id long, t boolean, y double, p double"
+    )
+    r2 = aipw_ate(df2, "t", "y", "p", "id", n_strata=2).first()
+    assert r2["strata_dropped"] == 1 and r2["strata_used"] == 1
+    assert r2["n"] == 40 and r2["n_used"] == 20
+    assert r2["ate_aipw"] == 10.0  # constant effect survives the drop
+
+
+def test_aipw_corrects_confounded_outcome_model(spark):
+    """When treatment probability rises with the outcome level, the
+    naive arm-mean difference is biased; the stratified outcome model
+    plus IPW correction pulls the estimate toward the true 0 effect."""
+    from metadata_etl_framework_spark.ops.evaluation import aipw_ate
+
+    rows = []
+    for i in range(1000):
+        lvl = i % 10  # confounder
+        p = (lvl + 1) / 12.0
+        t = (i * 7 % 12) < (lvl + 1)  # treated more when lvl high
+        y = float(lvl * 10)  # outcome depends ONLY on confounder
+        rows.append((i, t, y, p))
+    df = spark.createDataFrame(
+        rows, "id long, t boolean, y double, p double"
+    )
+    naive = df.agg(
+        (F.avg(F.when(F.col("t"), F.col("y")))
+         - F.avg(F.when(~F.col("t"), F.col("y")))).alias("d")
+    ).first()["d"]
+    r = aipw_ate(df, "t", "y", "p", "id", n_strata=10).first()
+    assert abs(naive) > 5.0
+    assert abs(r["ate_aipw"]) < abs(naive) / 4
+    with pytest.raises(ValueError, match="clip"):
+        aipw_ate(df, "t", "y", "p", "id", clip=0.7)

@@ -2164,3 +2164,50 @@ def test_modularity_two_triangles_bridge(spark):
         assert r["intra_edges"] == 3
         assert r["degree_sum"] == 7
         assert r["q_contrib"] == 0.178571
+
+
+def test_textrank_connector_outranks_frequent_pair(spark):
+    """A connector word co-occurring with MANY distinct words must
+    outrank words from one high-frequency pair — the property that
+    separates TextRank from raw counts."""
+    from metadata_etl_framework_spark.ops.text import textrank_keywords
+
+    docs = [
+        # 'hub' touches many distinct words (each pair twice to clear
+        # the support floor)...
+        ("hub alpha hub beta hub gamma hub delta",),
+        ("hub alpha hub beta hub gamma hub delta",),
+        # ...while 'spam ham' repeats as an isolated pair
+        ("spam ham spam ham spam ham spam ham spam ham",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = textrank_keywords(
+        df, "text", window=2, iterations=3, top_k=10, min_cooc=2
+    ).collect()
+    ranks = {r["word"]: r["rank"] for r in out}
+    assert out[0]["word"] == "hub"
+    assert ranks["hub"] > ranks["spam"]
+    # deterministic ordering: ties broken by word
+    assert [r["word"] for r in out] == sorted(
+        [r["word"] for r in out],
+        key=lambda w: (-ranks[w], w),
+    )
+
+
+def test_textrank_window_and_support_floor(spark):
+    """window=1 links only adjacent tokens; min_cooc prunes pairs
+    below the support floor so once-off neighbors never enter the
+    graph."""
+    from metadata_etl_framework_spark.ops.text import textrank_keywords
+
+    docs = [("a b c",), ("a b d",)]
+    df = spark.createDataFrame(docs, "text string")
+    # pair (a,b) occurs twice; (b,c) and (b,d) once each -> only a,b
+    out = textrank_keywords(
+        df, "text", window=1, iterations=2, top_k=10, min_cooc=2
+    ).collect()
+    assert {r["word"] for r in out} == {"a", "b"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        textrank_keywords(df, "text", window=0)

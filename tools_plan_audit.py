@@ -173,6 +173,20 @@ EXTRA_BROADCAST_CROSS: dict[str, str] = {
         "EMD grid is gated at max_values; quality/privacy.py::"
         "t_closeness_classes)"
     ),
+    "eval_aipw_ate_orders": (
+        "n_strata-row broadcast stratum-means frame joined back onto "
+        "the rows plus the 1-row strata-total readout cross (the "
+        "eval_stratified_ate pattern; ops/evaluation.py::aipw_ate)"
+    ),
+    "recsys_pop_recs": (
+        "DELIBERATE user × catalog broadcast cross, catalog gated on "
+        "a MEASURED count (≤ max_catalog; ops/recsys.py::"
+        "popularity_recommend)"
+    ),
+    "recsys_eval_coverage": (
+        "popularity-baseline cross (measured catalog gate) plus 1-row "
+        "audit-totals readout crosses (two-pass statistic pattern)"
+    ),
 }
 
 BOUNDED_PARTITIONLESS_WINDOW: dict[str, str] = {
@@ -198,6 +212,8 @@ BOUNDED_PARTITIONLESS_WINDOW: dict[str, str] = {
     "eval_conformal_orders": "calibration-frame rank selection — the "
     "op documents the keyless window and callers bound the "
     "calibration split (sampled at scale)",
+    "recsys_eval_coverage": "catalog-bounded Gini rank window "
+    "(distinct items; the op documents the bound)",
 }
 
 
@@ -342,6 +358,23 @@ def main() -> None:
         "sketch_kll_rollup_price on the hourly-bucket rollup: the "
         "≤ k-row merged-sketch CDF and probe-rank frames broadcast "
         "onto each other (profile_global_quantiles pattern)",
+        "eval_aipw_ate_orders": "n_strata-row broadcast stratum-means "
+        "frame joined back onto the rows plus the 1-row strata-total "
+        "readout cross (the eval_stratified_ate pattern)",
+        "graph_assortativity_parts": "1-row broadcast node/edge-count "
+        "readout frames onto the 1-row moment aggregate (two-pass "
+        "statistic pattern)",
+        "graph_modularity_brands": "1-row broadcast total-edge-count "
+        "frame onto the per-community rollup (two-pass statistic "
+        "pattern)",
+        "privacy_t_closeness_customer": "1-row global-total + bounded "
+        "band-grid crosses (ordered-EMD grid gated at max_values)",
+        "recsys_pop_recs": "DELIBERATE user × catalog broadcast cross "
+        "for the popularity baseline — catalog gated on a MEASURED "
+        "count (≤ max_catalog; ops/recsys.py::popularity_recommend)",
+        "recsys_eval_coverage": "popularity-baseline cross (measured "
+        "catalog gate) plus 1-row audit-totals readout crosses "
+        "(two-pass statistic pattern)",
     }
     bad = [
         r["name"]
