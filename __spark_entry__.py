@@ -5247,13 +5247,14 @@ def _events_forecast_baseline(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier (round-11: BM25->TREC retrieval audit, corpus
-    # BLEU/chrF gram joins, label propagation, k-core peeling, Markov
-    # attribution, Qini uplift, Expand-rollup, windowed HLL rollup, and
-    # OOF target encoding in; long-green granular stats — binned
-    # KS/EMD, robust z, source entropy, Gini, global quantiles,
-    # simhash/minhash/LSH variants, Kaplan-Meier — now verified by the
-    # local parity suite as extras).
+    # capability frontier. Round-13 continuation rotation: ALL 20
+    # round-13 keys (wave 1: KLL/ALS/betweenness/CV/Cox/DeLong;
+    # continuation: link prediction, assortativity, modularity,
+    # Poisson/Huber GLM, t-closeness, AR(2) forecast, seasonal ESD,
+    # AIPW, TextRank, popularity recs + coverage audit) sit inside
+    # the 50-entry driver cap; 20 long-green granular stats keys
+    # (bootstrap/rank-test/AB panels) rotate to extras where the
+    # local parity suite still verifies them every run.
     "q1_pricing_summary",
     "drift_suite",
     "curation_funnel",
@@ -5265,90 +5266,23 @@ _DRIVER_KEYS = [
     "sql_q3_shipping_priority",
     "incr_merge_upsert",
     "incr_scd2_apply",
-    # Round-8/9 flagships retained in the HARD gate; long-green
-    # siblings (fuzzy join, PIT, BM25 search, change-point, corr/MI,
-    # AUC, PQ-ADC, profile, incremental dedup, Q5, BLEU) rotated to
-    # extras at round-12 close — still verified by the local parity
-    # suite every run.
     "graph_pagerank_suppliers",
     "ann_ivf_pq",
     "multimodal_image_meta",
-    # Round-10 frontier promoted to the HARD gate (r10 verdict task 2):
-    # every one oracle-backed — BM25->TREC audit + BLEU/chrF replay
-    # their gram joins in SQL, label propagation / k-core replay the
-    # iteration unrolled, Markov attribution replays the absorbing-walk
-    # closed form, Qini the exact-NTILE grid, rollup via GROUPING SETS,
-    # HLL by portable-hash register replay, target encoding by the OOF
-    # fold grid.
     "eval_retrieval_bm25",
-    # Round-11 frontier promoted to the HARD gate (proactive rotation,
-    # same policy as r10/r11): every one oracle-backed — the Poisson
-    # bootstrap by the portable-hash weight ladder replay, CUPED by
-    # exact decimal moments, BH-FDR over the 4-column KS p-values,
-    # Mann-Whitney by the average-rank scan replay, item-based CF
-    # top-N by the shrunk-cosine model replay, k-anonymity / DP counts
-    # by class aggregates + hash-seeded Laplace, spherical k-means by
-    # 2 unrolled Lloyd rounds, log-rank by the pooled O/E/V grid, and
-    # conformal coverage by the order-statistic quantile. Displaced to
-    # extras (multi-round green): cohort retention, tf-idf, event
-    # windows/sessions, CDC apply, late split, brute kNN, embedding
-    # cosine dedup, Q10, RFM.
-    "stats_bootstrap_ci_price",
-    "events_ab_cuped",
-    "stats_fdr_ks_lineitem",
-    "stats_mannwhitney_price",
     "recsys_user_brand_recs",
     "privacy_k_anonymity_customer",
     "privacy_dp_counts_orders",
     "embed_kmeans_summary",
-    "events_logrank_ab",
-    "eval_conformal_orders",
-    # Round-11 post-ritual additions promoted to the HARD gate (r12
-    # verdict task 4): HITS by 2-round unrolled replay, Welch by the
-    # HUGEINT micro-unit moments, CvM by the dual prefix scan, seasonal
-    # decomposition by the calendar grid, sampled closeness by BFS
-    # unroll, silhouette by the centroid-array projection.
     "graph_hits_suppliers",
-    "stats_welch_price",
-    "drift_cvm_quantity",
-    "events_seasonal_decompose",
-    "graph_closeness_ring",
-    "embed_silhouette_labels",
-    # Round-12 flagships, oracle-backed from day one: the top-k-bounded
-    # CF model, the LSH-bucketed LOF scale path, in-engine Naive Bayes
-    # (train + score replayed), the two-sample bootstrap ladder, the
-    # Ljung-Box portmanteau, and the mSPRT anytime p.
-    "recsys_topk_model",
     "embed_lof_bucketed",
     "nb_lang_docs",
-    "stats_bootstrap_diff_price",
-    "events_ljung_box",
-    "events_ab_always_valid",
-    # Round-13 rotation (r12 verdict task 1): the 13 round-12
-    # oracle-backed keys added after the mid-round gate rotation,
-    # promoted so the hard driver gate exercises them — in-engine GLMs
-    # (IRLS logit + closed-form OLS, training unrolled in SQL),
-    # deterministic walks + skip-gram PMI, the rank-test family
-    # (Spearman / Kruskal-Wallis on the dual prefix scan), robust
-    # moments, shingle containment, NB top terms, Simpson's-paradox
-    # audit, four-way p-adjust, Cohen's d, and Wilson intervals.
-    # Displaced to extras (multi-round green): bloom probe, semantic
-    # dedup, DSIR, text quality, PR-AUC, chrF, label prop, k-core,
-    # Markov attribution, Qini, rollup, HLL rollup, target encoding.
     "glm_logit_orders",
     "glm_linear_lineitem",
-    "graph_walks_bipartite",
     "graph_walk_pmi",
-    "stats_spearman_qty_price",
-    "stats_kruskal_price_prio",
     "profile_robust_price",
     "dedup_containment_docs",
     "nb_top_terms_lang",
-    "events_simpsons_check",
-    "stats_padjust_ks_lineitem",
-    "stats_cohens_d_price",
-    "events_wilson_ci_type",
-    # Round-13 flagships, oracle-backed from day one.
     "sketch_kll_rollup_price",
     "sketch_kll_rollup_events",
     "recsys_als_factors",
@@ -5357,6 +5291,20 @@ _DRIVER_KEYS = [
     "glm_cv_logit_orders",
     "events_cox_ph",
     "eval_auc_delong_orders",
+    "graph_link_prediction",
+    "graph_assortativity_parts",
+    "graph_modularity_brands",
+    "glm_poisson_orders",
+    "privacy_t_closeness_customer",
+    "events_ar2_forecast",
+    "events_esd_hourly",
+    "eval_aipw_ate_orders",
+    "text_textrank_keywords",
+    "recsys_pop_recs",
+    "recsys_eval_coverage",
+    "glm_huber_lineitem",
+    "stats_gmm2_price",
+    "events_ab_ratio_delta",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
@@ -5674,19 +5622,30 @@ _EXTRA_KEYS = [
     "eval_ipw_ate_orders",
     "text_readability_docs",
     "events_periodogram",
-    # round-13 continuation sweep
-    "graph_link_prediction",
-    "graph_assortativity_parts",
-    "graph_modularity_brands",
-    "glm_poisson_orders",
-    "privacy_t_closeness_customer",
-    "events_ar2_forecast",
-    "events_esd_hourly",
-    "eval_aipw_ate_orders",
-    "text_textrank_keywords",
-    "recsys_pop_recs",
-    "recsys_eval_coverage",
-    "glm_huber_lineitem",
+    # rotated OUT of the driver gate (round-13 continuation; multi-
+    # round green there; still verified by the local parity suite)
+    "stats_bootstrap_ci_price",
+    "events_ab_cuped",
+    "stats_fdr_ks_lineitem",
+    "stats_mannwhitney_price",
+    "events_logrank_ab",
+    "eval_conformal_orders",
+    "stats_welch_price",
+    "drift_cvm_quantity",
+    "events_seasonal_decompose",
+    "embed_silhouette_labels",
+    "stats_bootstrap_diff_price",
+    "events_ljung_box",
+    "events_ab_always_valid",
+    "graph_walks_bipartite",
+    "stats_spearman_qty_price",
+    "stats_kruskal_price_prio",
+    "events_simpsons_check",
+    "stats_padjust_ks_lineitem",
+    "stats_cohens_d_price",
+    "events_wilson_ci_type",
+    "graph_closeness_ring",
+    "recsys_topk_model",    "sketch_cm_rollup_events",    "graph_eigenvector_trade",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -17239,3 +17198,447 @@ _ALL_SQL.update(
         """,
     }
 )
+
+
+# ---- round 13 (cont.): 2-component GMM via unrolled EM ----
+
+
+def _stats_gmm2_price(spark, sf_dir):
+    """1-D two-component Gaussian mixture (ops/clustering.py::
+    gmm2_train): EM over scaled extended price — mean-split init, 3 EM
+    rounds each ONE aggregation pass (log-space responsibilities with
+    the +/-30 clamp, pico-int DECIMAL sums for BOTH components,
+    log-sum-exp likelihood monitor), parameters re-entering as 12-dp
+    literals. The oracle unrolls init + all 3 rounds and reproduces
+    weights/means/sigmas bit-exactly."""
+    from metadata_etl_framework_spark.ops.clustering import gmm2_train
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("double") / F.lit(100000.0))
+        .alias("x")
+    )
+    return gmm2_train(li, "x", iterations=3)
+
+
+_ALL_QUERIES.update({"stats_gmm2_price": _stats_gmm2_price})
+
+
+def _gmm2_iter_sql(i: int) -> str:
+    prev = f"g{i - 1}"
+    return f"""
+            e{i} AS (SELECT x,
+                            LN(pi1) - 0.5 * LN(2.0 * PI() * v1)
+                            - (x - mu1) * (x - mu1) / (2.0 * v1)
+                                AS l1,
+                            LN(1.0 - pi1)
+                            - 0.5 * LN(2.0 * PI() * v2)
+                            - (x - mu2) * (x - mu2) / (2.0 * v2)
+                                AS l2
+                     FROM base, {prev}),
+            q{i} AS (SELECT x, l1, l2,
+                            1.0 / (1.0 + EXP(-GREATEST(LEAST(
+                                l1 - l2, 30.0), -30.0))) AS r1
+                     FROM e{i}),
+            a{i} AS (SELECT
+                       SUM(CAST(ROUND(r1 * 1000000000000.0, 0)
+                                AS HUGEINT)) AS sr1,
+                       SUM(CAST(ROUND(r1 * x * 1000000000000.0, 0)
+                                AS HUGEINT)) AS sr1x,
+                       SUM(CAST(ROUND(r1 * x * x
+                                      * 1000000000000.0, 0)
+                                AS HUGEINT)) AS sr1xx,
+                       SUM(CAST(ROUND((1.0 - r1)
+                                      * 1000000000000.0, 0)
+                                AS HUGEINT)) AS sr2,
+                       SUM(CAST(ROUND((1.0 - r1) * x
+                                      * 1000000000000.0, 0)
+                                AS HUGEINT)) AS sr2x,
+                       SUM(CAST(ROUND((1.0 - r1) * x * x
+                                      * 1000000000000.0, 0)
+                                AS HUGEINT)) AS sr2xx,
+                       SUM(CAST(ROUND((GREATEST(l1, l2)
+                           + LN(1.0 + EXP(LEAST(l1, l2)
+                                          - GREATEST(l1, l2))))
+                           * 1000000000000.0, 0)
+                                AS HUGEINT)) AS sll
+                     FROM q{i}),
+            m{i} AS (SELECT
+                       ROUND(CAST(sr1x AS DOUBLE)
+                             / CAST(sr1 AS DOUBLE), 12) AS mu1,
+                       ROUND(CAST(sr2x AS DOUBLE)
+                             / CAST(sr2 AS DOUBLE), 12) AS mu2,
+                       sr1, sr2, sr1xx, sr2xx, sll
+                     FROM a{i}),
+            g{i} AS (SELECT mu1, mu2,
+                            GREATEST(ROUND(CAST(sr1xx AS DOUBLE)
+                                           / CAST(sr1 AS DOUBLE)
+                                           - mu1 * mu1, 12),
+                                     0.000001) AS v1,
+                            GREATEST(ROUND(CAST(sr2xx AS DOUBLE)
+                                           / CAST(sr2 AS DOUBLE)
+                                           - mu2 * mu2, 12),
+                                     0.000001) AS v2,
+                            ROUND(CAST(sr1 AS DOUBLE)
+                                  / 1000000000000.0
+                                  / (SELECT n FROM s0), 12) AS pi1,
+                            ROUND(CAST(sll AS DOUBLE)
+                                  / 1000000000000.0
+                                  / (SELECT n FROM s0), 12) AS ll
+                     FROM m{i})"""
+
+
+_ALL_SQL.update(
+    {
+        "stats_gmm2_price": f"""
+            WITH base AS (
+              SELECT CAST(l_extendedprice AS DOUBLE) / 100000.0 AS x
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            s0 AS (SELECT COUNT(*) AS n,
+                          SUM(CAST(ROUND(x * 1000000000000.0, 0)
+                                   AS HUGEINT)) AS sx,
+                          SUM(CAST(ROUND(x * x * 1000000000000.0, 0)
+                                   AS HUGEINT)) AS sxx
+                   FROM base),
+            i0 AS (SELECT n,
+                          ROUND(CAST(sx AS DOUBLE)
+                                / 1000000000000.0 / n, 12) AS m
+                   FROM s0),
+            i1 AS (SELECT i0.n, i0.m,
+                          GREATEST(ROUND(CAST(sxx AS DOUBLE)
+                                         / 1000000000000.0 / i0.n
+                                         - i0.m * i0.m, 12),
+                                   0.000001) AS v
+                   FROM s0, i0),
+            sp AS (SELECT SUM(CASE WHEN x <= m THEN 1 ELSE 0 END)
+                              AS n1,
+                          SUM(CAST(ROUND(CASE WHEN x <= m THEN x
+                                              ELSE 0.0 END
+                                         * 1000000000000.0, 0)
+                                   AS HUGEINT)) AS sl,
+                          SUM(CAST(ROUND(CASE WHEN x > m THEN x
+                                              ELSE 0.0 END
+                                         * 1000000000000.0, 0)
+                                   AS HUGEINT)) AS su
+                   FROM base, i1
+                   GROUP BY m),
+            g0 AS (SELECT CASE WHEN n1 = 0 OR n - n1 = 0 THEN m
+                          ELSE ROUND(CAST(sl AS DOUBLE)
+                                     / 1000000000000.0 / n1, 12)
+                          END AS mu1,
+                          CASE WHEN n1 = 0 OR n - n1 = 0 THEN m
+                          ELSE ROUND(CAST(su AS DOUBLE)
+                                     / 1000000000000.0 / (n - n1),
+                                     12)
+                          END AS mu2,
+                          v AS v1, v AS v2,
+                          CASE WHEN n1 = 0 OR n - n1 = 0 THEN 0.5
+                          ELSE ROUND(CAST(n1 AS DOUBLE) / n, 12)
+                          END AS pi1
+                   FROM sp, i1),
+            {",".join(_gmm2_iter_sql(i) for i in (1, 2, 3))}
+            SELECT CAST(c.component AS INTEGER) AS component,
+                   CASE c.component WHEN 1 THEN ROUND(pi1, 6)
+                        ELSE ROUND(1.0 - pi1, 6) END AS weight,
+                   CASE c.component WHEN 1 THEN ROUND(mu1, 6)
+                        ELSE ROUND(mu2, 6) END AS mu,
+                   CASE c.component WHEN 1 THEN ROUND(SQRT(v1), 6)
+                        ELSE ROUND(SQRT(v2), 6) END AS sigma,
+                   (SELECT CAST(n AS BIGINT) FROM s0) AS n_rows,
+                   CAST(3 AS INTEGER) AS iterations,
+                   ROUND(ll, 6) AS mean_loglik
+            FROM g3, (SELECT UNNEST([1, 2]) AS component) c
+            ORDER BY component
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): delta-method ratio-metric A/B ----
+
+
+def _events_ab_ratio_delta(spark, sf_dir):
+    """Delta-method ratio-metric inference (ops/stats.py::
+    ab_ratio_delta): purchase value PER EVENT by id-parity arms —
+    per-user numerator/denominator micro-int sums, exact python-int
+    centered (co)variance numerators on the collected arm moments
+    (the welch ulp discipline), delta-method SE with the
+    within-user X/Y covariance term naive row-level variance misses."""
+    from metadata_etl_framework_spark.ops.stats import ab_ratio_delta
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("purchase_value"),
+        F.lit(1.0).alias("one"),
+    )
+    return ab_ratio_delta(
+        ev, "variant", "purchase_value", "one", "user_id"
+    )
+
+
+_ALL_QUERIES.update(
+    {"events_ab_ratio_delta": _events_ab_ratio_delta}
+)
+
+_ALL_SQL.update(
+    {
+        "events_ab_ratio_delta": """
+            WITH base AS (
+              SELECT user_id AS u,
+                     CASE WHEN user_id % 2 = 0 THEN 'A'
+                          ELSE 'B' END AS g,
+                     CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0.0 END AS x,
+                     1.0 AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL),
+            pu AS (SELECT u, MAX(g) AS g,
+                          CAST(ROUND(CAST(SUM(CAST(x AS
+                              DECIMAL(30,10))) AS DOUBLE)
+                              * 1000000.0, 0) AS HUGEINT) AS xs,
+                          CAST(ROUND(CAST(SUM(CAST(y AS
+                              DECIMAL(30,10))) AS DOUBLE)
+                              * 1000000.0, 0) AS HUGEINT) AS ys
+                   FROM base GROUP BY u
+                   HAVING COUNT(DISTINCT g) = 1),
+            arm AS (SELECT g, COUNT(*) AS n,
+                           SUM(xs) AS sx, SUM(ys) AS sy,
+                           SUM(xs * xs) AS sxx,
+                           SUM(ys * ys) AS syy,
+                           SUM(xs * ys) AS sxy
+                    FROM pu GROUP BY g),
+            m AS (SELECT g, n,
+                         CAST(sx AS DOUBLE) AS sxd,
+                         CAST(sy AS DOUBLE) AS syd,
+                         CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                         CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+                         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy
+                  FROM arm),
+            c AS (SELECT g, n, sxd, syd, vx, vy, cxy,
+                         CASE WHEN syd <> 0 THEN sxd / syd END AS r,
+                         syd / n / 1000000.0 AS ybar,
+                         CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0) AS dn
+                  FROM m),
+            v AS (SELECT g, n, r,
+                         CASE WHEN n > 1 AND syd <> 0 THEN
+                           GREATEST(0.0,
+                             (vx / dn / 1000000000000.0
+                              + r * r
+                                * (vy / dn / 1000000000000.0)
+                              - 2.0 * r
+                                * (cxy / dn / 1000000000000.0))
+                             / (n * ybar * ybar))
+                         END AS var
+                  FROM c),
+            ab AS (SELECT
+                     (SELECT g FROM v ORDER BY g LIMIT 1) AS ga,
+                     (SELECT n FROM v ORDER BY g LIMIT 1) AS na,
+                     (SELECT r FROM v ORDER BY g LIMIT 1) AS ra,
+                     (SELECT var FROM v ORDER BY g LIMIT 1) AS va,
+                     (SELECT g FROM v ORDER BY g DESC LIMIT 1) AS gb,
+                     (SELECT n FROM v ORDER BY g DESC LIMIT 1) AS nb,
+                     (SELECT r FROM v ORDER BY g DESC LIMIT 1) AS rb,
+                     (SELECT var FROM v ORDER BY g DESC LIMIT 1)
+                         AS vb),
+            f AS (SELECT *, rb - ra AS diff,
+                         CASE WHEN va + vb > 0
+                              THEN SQRT(va + vb) END AS se
+                  FROM ab),
+            zz AS (SELECT *,
+                          CASE WHEN se IS NOT NULL
+                               THEN diff / se END AS z
+                   FROM f),
+            pp AS (SELECT *,
+                          CASE WHEN z IS NOT NULL THEN
+                            ROUND(LEAST(1.0, GREATEST(0.0,
+                              2.0 * PLACEHOLDER_KEEP)), 6)
+                          END AS p
+                   FROM zz)
+            SELECT ga AS variant_a, CAST(na AS BIGINT) AS n_a,
+                   ROUND(ra, 6) AS ratio_a,
+                   gb AS variant_b, CAST(nb AS BIGINT) AS n_b,
+                   ROUND(rb, 6) AS ratio_b,
+                   ROUND(diff, 6) AS diff, ROUND(se, 6) AS se,
+                   ROUND(z, 6) AS z_stat, p AS p_value,
+                   ROUND(diff - 1.959964 * se, 6) AS ci_lo,
+                   ROUND(diff + 1.959964 * se, 6) AS ci_hi,
+                   CASE WHEN p IS NOT NULL THEN p < 0.05 END
+                       AS significant_95
+            FROM pp
+        """,
+    }
+)
+
+
+_ALL_SQL["events_ab_ratio_delta"] = _ALL_SQL[
+    "events_ab_ratio_delta"
+].replace("PLACEHOLDER_KEEP", _normal_sf_sql("ABS(z)"))
+
+
+# ---- round 13 (cont.): windowed count-min rollup (ops/sketch.py) ----
+
+
+def _sketch_cm_rollup_events(spark, sf_dir):
+    """Windowed count-min rollup + range frequency query
+    (ops/sketch.py::windowed_countmin_rollup/countmin_rollup_query):
+    hourly per-user frequency counter grids (counters ADD, so
+    hour->day->month partial rollups stay valid), bucket-range prune +
+    counter merge + min-over-rows estimates for 10 probe users —
+    completes the sketch-rollup family (HLL distinct / KLL quantiles /
+    count-min frequencies). Oracle replays the portable mix hash,
+    per-bucket grids, range merge and probes."""
+    import datetime as _dt
+
+    from metadata_etl_framework_spark.ops.sketch import (
+        countmin_rollup_query,
+        windowed_countmin_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    roll = windowed_countmin_rollup(
+        ev, "ts", "user_id", bucket="1 hour", depth=3, width=256
+    )
+    keys = spark.range(1, 11).select(F.col("id").alias("user_id"))
+    return countmin_rollup_query(
+        roll, keys, "user_id", depth=3, width=256,
+        start=_dt.datetime(2024, 1, 5),
+        end=_dt.datetime(2024, 1, 20),
+    )
+
+
+_ALL_QUERIES.update(
+    {"sketch_cm_rollup_events": _sketch_cm_rollup_events}
+)
+
+_ALL_SQL.update(
+    {
+        "sketch_cm_rollup_events": f"""
+            WITH ev0 AS (SELECT DATE_TRUNC('hour', ts) AS bk,
+                                user_id
+                         FROM events
+                         WHERE user_id IS NOT NULL
+                           AND ts IS NOT NULL),
+            {_hash32_cte_sql(
+                "SELECT user_id + d * 40503 AS x, bk, d FROM ev0, "
+                "(SELECT UNNEST([0, 1, 2]) AS d)")},
+            cm AS (SELECT bk, d AS row,
+                          CAST(h % 256 AS INTEGER) AS bucket,
+                          COUNT(*) AS cnt
+                   FROM hh GROUP BY 1, 2, 3),
+            rng AS (SELECT row, bucket, SUM(cnt) AS cnt
+                    FROM cm
+                    WHERE bk >= TIMESTAMP '2024-01-05'
+                      AND bk < TIMESTAMP '2024-01-20'
+                    GROUP BY 1, 2),
+            {_hash32_cte_sql(
+                "SELECT key + d * 40503 AS x, key, d "
+                "FROM (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS key), "
+                "(SELECT UNNEST([0, 1, 2]) AS d)").replace(
+                    "src AS", "ksrc AS").replace("FROM src", "FROM ksrc")
+                .replace("hc1 AS", "khc1 AS").replace("FROM hc1", "FROM khc1")
+                .replace("hc2 AS", "khc2 AS").replace("FROM hc2", "FROM khc2")
+                .replace("hh AS", "khh AS")},
+            probes AS (SELECT key, d AS row,
+                              CAST(h % 256 AS INTEGER) AS bucket
+                       FROM khh)
+            SELECT key,
+                   CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+            FROM probes LEFT JOIN rng USING (row, bucket)
+            GROUP BY key
+        """,
+    }
+)
+
+
+# ---- round 13 (cont.): eigenvector centrality (ops/graph.py) ----
+
+
+def _graph_eigenvector_trade(spark, sf_dir):
+    """Eigenvector centrality (ops/graph.py::eigenvector_centrality):
+    3 power iterations over the bidirectional customer-supplier trade
+    graph — DECIMAL contribution sums, exact pico-int squared-norm,
+    driver sqrt re-entering as a 12-dp literal divisor; shifted
+    (A+I) iteration so the bipartite trade graph cannot oscillate;
+    the oracle unrolls all 3 rounds. No teleport: the
+    raw principal-eigenvector importance, completing the centrality
+    family."""
+    from metadata_etl_framework_spark.ops.graph import (
+        eigenvector_centrality,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = pair.select(
+        c.alias("src"), s.alias("dst"), F.col("n")
+    ).unionAll(pair.select(s.alias("src"), c.alias("dst"), F.col("n")))
+    return eigenvector_centrality(
+        edges, iterations=3, weight_col="n"
+    )
+
+
+_ALL_QUERIES.update(
+    {"graph_eigenvector_trade": _graph_eigenvector_trade}
+)
+
+
+def _eigenvector_sql() -> str:
+    ctes = [
+        """pair AS (SELECT o_custkey AS ck, l_suppkey AS sk,
+                           COUNT(*) AS n
+                    FROM orders JOIN lineitem
+                      ON o_orderkey = l_orderkey
+                    GROUP BY 1, 2)""",
+        """e0 AS (SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+                         's' || CAST(sk AS VARCHAR) AS dst,
+                         CAST(n AS DOUBLE) AS w FROM pair
+                  UNION ALL
+                  SELECT 's' || CAST(sk AS VARCHAR),
+                         'c' || CAST(ck AS VARCHAR),
+                         CAST(n AS DOUBLE) FROM pair)""",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "x0 AS (SELECT node, 1.0 AS x FROM nodes)",
+    ]
+    for k in range(1, 4):
+        ctes.append(
+            f"""c{k} AS (SELECT e0.dst AS node,
+                       CAST(SUM(CAST(e0.w * p.x AS DECIMAL(28,12)))
+                            AS DOUBLE) AS y
+                 FROM e0 JOIN x{k - 1} p ON e0.src = p.node
+                 GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""y{k} AS (SELECT p.node,
+                       COALESCE(c{k}.y, 0.0) + p.x AS y
+                 FROM x{k - 1} p LEFT JOIN c{k} ON p.node = c{k}.node)"""
+        )
+        ctes.append(
+            f"""n{k} AS (SELECT ROUND(SQRT(
+                       CAST(SUM(CAST(ROUND(y * y
+                           * 1000000000000.0, 0) AS HUGEINT))
+                           AS DOUBLE) / 1000000000000.0), 12) AS l2
+                 FROM y{k})"""
+        )
+        ctes.append(
+            f"""x{k} AS (SELECT node,
+                       CASE WHEN l2 > 0 THEN y / l2 ELSE y END AS x
+                 FROM y{k}, n{k})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT node, ROUND(x, 6) AS score FROM x3"
+    )
+
+
+_ALL_SQL.update({"graph_eigenvector_trade": _eigenvector_sql()})

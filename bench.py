@@ -208,6 +208,10 @@ HEADLINE = [
     "recsys_pop_recs",
     "recsys_eval_coverage",
     "glm_huber_lineitem",
+    "stats_gmm2_price",
+    "events_ab_ratio_delta",
+    "sketch_cm_rollup_events",
+    "graph_eigenvector_trade",
 ]
 
 

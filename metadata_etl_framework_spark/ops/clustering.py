@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .similarity import _decimal_dot, _norm
 
-__all__ = ["kmeans_assign", "kmeans_summary"]
+__all__ = ["kmeans_assign", "kmeans_summary", "gmm2_train"]
 
 
 def _centroid_frame(df_cent: DataFrame) -> DataFrame:
@@ -179,3 +179,138 @@ def kmeans_summary(
         )
         .orderBy("cluster")
     )
+
+
+def gmm2_train(
+    df: DataFrame,
+    value_col: str,
+    iterations: int = 3,
+    var_floor: float = 1e-6,
+) -> DataFrame:
+    """Two-component 1-D Gaussian mixture by EM — the soft-clustering
+    companion to :func:`kmeans_summary` and the model-based
+    alternative to threshold anomaly rules: "is this column really two
+    populations?" (a bimodal latency, a contaminated price, a
+    mixed-source metric) answered with weights, means and sigmas
+    instead of a fixed cut.
+
+    Everything is a fixed, engine-replayable unroll (the IRLS
+    discipline):
+    - Init (deterministic, 2 passes): split at the exact-pico global
+      mean — μ₁/μ₂ = side means, π₁ = lower share, σ² = global
+      variance for both components (degenerate all-equal input
+      collapses both means to the global mean via a replayable CASE).
+    - Each EM round is ONE aggregation pass: responsibilities in log
+      space, r₁ = σ(clamp(l₁ − l₂, ±30)) with
+      lᵢ = ln πᵢ − 0.5·ln(2π·vᵢ) − (x−μᵢ)²/(2·vᵢ) — no underflow,
+      IEEE-identical in any engine; per-row r, r·x, r·x² terms (both
+      components explicitly, so rounding is symmetric) round to
+      pico-ints and sum as DECIMAL(38,0); parameters update on the
+      driver at 12 dp with a ``var_floor`` guard and re-enter as plan
+      literals. The same pass accumulates the observed-data
+      log-likelihood via the two-term log-sum-exp identity.
+
+    Output: 2 rows — (component int, weight 6 dp, mu 6 dp, sigma
+    6 dp, n_rows long, iterations int, mean_loglik 6 dp; the
+    log-likelihood is evaluated at the parameters ENTERING the final
+    round, the standard EM monitor).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if var_floor <= 0:
+        raise ValueError("var_floor must be > 0")
+    import math
+
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(x.alias("_x"))
+    pico = F.lit(1e12)
+
+    def _psum(c):
+        return F.sum(F.round(c * pico).cast("decimal(38,0)"))
+
+    g = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        _psum(F.col("_x")).alias("_sx"),
+        _psum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ).collect()[0]
+    n = int(g["_n"])
+    if n < 2:
+        raise ValueError("gmm2_train: need >= 2 non-null rows")
+    m = round(float(int(g["_sx"])) / 1e12 / n, 12)
+    vraw = round(float(int(g["_sxx"])) / 1e12 / n - m * m, 12)
+    v = max(vraw, float(var_floor))
+    s = base.agg(
+        F.sum(F.when(F.col("_x") <= m, 1).otherwise(0)).alias("_n1"),
+        _psum(F.when(F.col("_x") <= m, F.col("_x")).otherwise(0.0))
+        .alias("_sl"),
+        _psum(F.when(F.col("_x") > m, F.col("_x")).otherwise(0.0))
+        .alias("_su"),
+    ).collect()[0]
+    n1 = int(s["_n1"])
+    n2 = n - n1
+    if n1 == 0 or n2 == 0:
+        mu1 = mu2 = m
+        pi1 = 0.5
+    else:
+        mu1 = round(float(int(s["_sl"])) / 1e12 / n1, 12)
+        mu2 = round(float(int(s["_su"])) / 1e12 / n2, 12)
+        pi1 = round(n1 / n, 12)
+    v1 = v2 = v
+    ll = None
+    for _ in range(int(iterations)):
+        l1 = (
+            F.lit(math.log(pi1))
+            - F.lit(0.5 * math.log(2.0 * math.pi * v1))
+            - (F.col("_x") - F.lit(mu1))
+            * (F.col("_x") - F.lit(mu1))
+            / F.lit(2.0 * v1)
+        )
+        l2 = (
+            F.lit(math.log(1.0 - pi1))
+            - F.lit(0.5 * math.log(2.0 * math.pi * v2))
+            - (F.col("_x") - F.lit(mu2))
+            * (F.col("_x") - F.lit(mu2))
+            / F.lit(2.0 * v2)
+        )
+        dlt = F.greatest(F.least(l1 - l2, F.lit(30.0)), F.lit(-30.0))
+        r1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-dlt))
+        r2 = F.lit(1.0) - r1
+        lse = F.greatest(l1, l2) + F.log(
+            F.lit(1.0) + F.exp(F.least(l1, l2) - F.greatest(l1, l2))
+        )
+        row = base.agg(
+            _psum(r1).alias("_r1"),
+            _psum(r1 * F.col("_x")).alias("_r1x"),
+            _psum(r1 * F.col("_x") * F.col("_x")).alias("_r1xx"),
+            _psum(r2).alias("_r2"),
+            _psum(r2 * F.col("_x")).alias("_r2x"),
+            _psum(r2 * F.col("_x") * F.col("_x")).alias("_r2xx"),
+            _psum(lse).alias("_ll"),
+        ).collect()[0]
+        ll = round(float(int(row["_ll"])) / 1e12 / n, 12)
+        sr1 = float(int(row["_r1"]))
+        sr2 = float(int(row["_r2"]))
+        if sr1 <= 0 or sr2 <= 0:
+            break  # one component died; keep last parameters
+        mu1 = round(float(int(row["_r1x"])) / sr1, 12)
+        mu2 = round(float(int(row["_r2x"])) / sr2, 12)
+        v1 = max(
+            round(float(int(row["_r1xx"])) / sr1 - mu1 * mu1, 12),
+            float(var_floor),
+        )
+        v2 = max(
+            round(float(int(row["_r2xx"])) / sr2 - mu2 * mu2, 12),
+            float(var_floor),
+        )
+        pi1 = round(sr1 / 1e12 / n, 12)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (1, round(pi1, 6), round(mu1, 6), round(v1 ** 0.5, 6),
+             n, int(iterations), round(ll, 6)),
+            (2, round(1.0 - pi1, 6), round(mu2, 6),
+             round(v2 ** 0.5, 6), n, int(iterations), round(ll, 6)),
+        ],
+        "component int, weight double, mu double, sigma double, "
+        "n_rows long, iterations int, mean_loglik double",
+    ).orderBy("component")

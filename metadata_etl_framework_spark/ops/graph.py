@@ -38,6 +38,7 @@ __all__ = [
     "link_prediction",
     "assortativity",
     "modularity",
+    "eigenvector_centrality",
 ]
 
 # Iteration count at/above which per-round materialization switches from
@@ -1540,3 +1541,122 @@ def modularity(
         )
         .orderBy("community")
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: "str | None" = None,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration — completes the
+    centrality family (PageRank's damped/teleport variant, HITS'
+    bipartite pair, closeness/harmonic, betweenness): a node is
+    important in proportion to the importance of the nodes pointing
+    at it, with NO teleport smoothing — the raw principal eigenvector
+    of the (weighted) adjacency matrix. Pass a symmetrized edge list
+    for the undirected form.
+
+    Uses the SHIFTED power iteration x' = (A + I)x / ‖·‖ — same
+    eigenvectors as A, but the identity shift makes the dominant
+    eigenvalue strictly largest in magnitude so bipartite graphs
+    (stars, trees, the trade graph itself) cannot oscillate between
+    ±λ (the classic power-iteration failure).
+
+    Each iteration is one edge⋈score join + one destination
+    aggregation with DECIMAL(28,12) contribution sums (merge-order
+    free), plus the identity term, then L2 normalization: the squared-norm accumulates as
+    exact pico-int DECIMAL(38,0), the square root happens on the
+    driver and re-enters as a 12-dp literal divisor — so the whole
+    unrolled computation is engine-replayable. Nodes with no
+    in-edges decay to 0 (the eigenvector semantics; use
+    :func:`pagerank` when you want teleport mass to keep them
+    comparable).
+
+    Output: (node, score 6 dp), L2-normalized after the final
+    iteration. The returned frame derives from the final cached
+    iteration — ``.unpersist()`` it when done.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    import math
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        w.alias("_w"),
+    ).persist()
+    e.count()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    # plan depth doubles per round even under persist (the module-
+    # docstring lineage hazard) — follow the loop discipline: plain
+    # persist for short unrolls, localCheckpoint truncation beyond
+    truncate = int(iterations) >= _TRUNCATE_MIN_ITERS
+    x = _materialize_iter(
+        nodes.select("node", F.lit(1.0).alias("x")), truncate
+    )
+    try:
+        for _ in range(int(iterations)):
+            contrib = (
+                e.join(x, e["_src"] == x["node"])
+                .groupBy(F.col("_dst").alias("node"))
+                .agg(
+                    F.sum(
+                        (F.col("_w") * F.col("x")).cast(
+                            "decimal(28,12)"
+                        )
+                    ).cast("double").alias("y")
+                )
+            )
+            y = _materialize_iter(
+                x.join(contrib, "node", "left").select(
+                    "node",
+                    (
+                        F.coalesce(F.col("y"), F.lit(0.0))
+                        + F.col("x")
+                    ).alias("y"),
+                ),
+                truncate,
+            )
+            s = y.agg(
+                F.sum(
+                    F.round(
+                        F.col("y") * F.col("y") * F.lit(1e12)
+                    ).cast("decimal(38,0)")
+                ).alias("_s")
+            ).collect()[0]["_s"]
+            l2 = (
+                round(math.sqrt(float(int(s)) / 1e12), 12)
+                if s is not None and int(s) > 0
+                else 0.0
+            )
+            if l2 > 0:
+                xn = y.select(
+                    "node", (F.col("y") / F.lit(l2)).alias("x")
+                )
+            else:
+                xn = y.select("node", F.col("y").alias("x"))
+            xn = _materialize_iter(xn, truncate)
+            y.unpersist()
+            x.unpersist()
+            x = xn
+        return x.select(
+            "node", F.round(F.col("x"), 6).alias("score")
+        )
+    finally:
+        e.unpersist()
+        nodes.unpersist()

@@ -778,3 +778,81 @@ def kll_rollup_quantiles(
         f = f.where(F.col("bucket_start") < F.lit(end))
     merged = kll_merge([], f.select("value", "weight"))
     return kll_quantiles(merged, probs)
+
+
+def windowed_countmin_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket: str = "1 hour",
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Materialized FREQUENCY sketch rollup: one count–min counter
+    grid PER TIME BUCKET — completing the sketch-rollup family (HLL =
+    distinct over any range, KLL = quantiles over any range, count–
+    min = per-key frequencies over any range). Counters ADD, so any
+    partial rollup (hour → day → month) of this table is also valid,
+    and a range query never re-reads raw data.
+
+    One union of ``depth`` hash projections + one
+    groupBy((bucket, row, counter)).count; the materialized table is
+    ≤ depth·width rows per bucket regardless of input size.
+
+    Output: (bucket_start timestamp, row int, bucket int, cnt long).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth >= 1 and width >= 2 required")
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.window(ts_col, bucket).start.alias("bucket_start"),
+        F.col(key_col).cast("long").alias("__x"),
+    )
+    rows = []
+    for d in range(depth):
+        h = hash32(F.col("__x") + F.lit(d * 40503)) % width
+        rows.append(
+            base.select(
+                "bucket_start",
+                F.lit(d).alias("row"),
+                h.cast("int").alias("bucket"),
+            )
+        )
+    exploded = rows[0]
+    for r in rows[1:]:
+        exploded = exploded.unionByName(r)
+    return exploded.groupBy("bucket_start", "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_rollup_query(
+    rollup: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 256,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Point-frequency estimates over a bucket range of a
+    :func:`windowed_countmin_rollup` table: prune buckets (a filter
+    on the materialized table's partition column — never the raw
+    stream), merge counters by plain addition, then the standard
+    min-over-rows count–min upper bound per probed key.
+
+    Output: (key long, est_count long), one row per distinct probed
+    key.
+    """
+    f = rollup
+    if start is not None:
+        f = f.where(F.col("bucket_start") >= F.lit(start))
+    if end is not None:
+        f = f.where(F.col("bucket_start") < F.lit(end))
+    merged = f.groupBy("row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return countmin_query(
+        merged, keys, col, depth=depth, width=width
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "kruskal_wallis",
     "ar_forecast",
     "esd_outliers",
+    "ab_ratio_delta",
 ]
 
 _DEC = "decimal(30,10)"
@@ -1935,3 +1936,154 @@ def esd_outliers(
         "r_stat",
         "flagged",
     ).orderBy("iteration")
+
+
+def ab_ratio_delta(
+    df: DataFrame,
+    variant_col: str,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """Delta-method inference for RATIO metrics (revenue per session,
+    clicks per view, cost per conversion) — the A/B panel member the
+    mean/rate tests cannot cover: when the metric is a ratio of
+    per-unit sums, naive row-level variance ignores the within-unit
+    correlation between numerator and denominator and overstates
+    significance (Deng et al., the standard large-scale-experimentation
+    correction).
+
+    Per unit (user), numerator and denominator sums accumulate as
+    DECIMAL then round to 6-dp micro-ints; units appearing in BOTH
+    arms are dropped (the CUPED contamination rule). Per arm the ratio
+    is R = ΣX/ΣY and its delta-method variance
+    var(R) ≈ (s²ₓ + R²·s²ᵧ − 2R·sₓᵧ)/(n·Ȳ²) uses sample (co)variances
+    whose centered numerators n·ΣX² − (ΣX)² etc. are EXACT python-int
+    arithmetic on collected 1-row moments (the welch_t_test ulp
+    discipline — never a cancellation of two large doubles). The
+    two-sided p-value uses the A&S normal tail; the CI multiplier is
+    1.959964.
+
+    Output: 1 row — (variant_a, n_a, ratio_a, variant_b, n_b,
+    ratio_b, diff, se, z_stat, p_value, ci_lo, ci_hi — 6 dp,
+    significant_95 boolean); inference NULL when either arm has < 2
+    units, zero denominator, or zero variance.
+    """
+    base = df.where(
+        F.col(variant_col).isNotNull()
+        & F.col(unit_col).isNotNull()
+        & F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+    ).select(
+        F.col(variant_col).cast("string").alias("_g"),
+        F.col(unit_col).alias("_u"),
+        F.col(num_col).cast("double").alias("_x"),
+        F.col(den_col).cast("double").alias("_y"),
+    )
+    per_unit = base.groupBy("_u").agg(
+        F.count_distinct(F.col("_g")).alias("_ng"),
+        F.max("_g").alias("_g2"),
+        F.round(
+            F.sum(F.col("_x").cast(_DEC)).cast("double")
+            * F.lit(1_000_000.0)
+        ).cast("decimal(19,0)").alias("_xs"),
+        F.round(
+            F.sum(F.col("_y").cast(_DEC)).cast("double")
+            * F.lit(1_000_000.0)
+        ).cast("decimal(19,0)").alias("_ys"),
+    ).where(F.col("_ng") == 1)
+    rows = (
+        per_unit.groupBy("_g2")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_xs").alias("_sx"),
+            F.sum("_ys").alias("_sy"),
+            F.sum(F.col("_xs") * F.col("_xs")).alias("_sxx"),
+            F.sum(F.col("_ys") * F.col("_ys")).alias("_syy"),
+            F.sum(F.col("_xs") * F.col("_ys")).alias("_sxy"),
+        )
+        .orderBy("_g2")
+        .collect()
+    )
+    if len(rows) != 2:
+        raise ValueError(
+            f"ab_ratio_delta needs exactly 2 variants, got "
+            f"{[r['_g2'] for r in rows]}"
+        )
+    from decimal import Decimal
+
+    def _mom(r):
+        n = int(r["_n"])
+        sx, sy = int(r["_sx"]), int(r["_sy"])
+        sxx, syy, sxy = int(r["_sxx"]), int(r["_syy"]), int(r["_sxy"])
+        return (
+            r["_g2"], n, Decimal(sx), Decimal(sy),
+            Decimal(n * sxx - sx * sx),
+            Decimal(n * syy - sy * sy),
+            Decimal(n * sxy - sx * sy),
+        )
+
+    a, b = _mom(rows[0]), _mom(rows[1])
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [a + b],
+        "ga string, na long, sxa decimal(38,0), sya decimal(38,0), "
+        "vxa decimal(38,0), vya decimal(38,0), cxa decimal(38,0), "
+        "gb string, nb long, sxb decimal(38,0), syb decimal(38,0), "
+        "vxb decimal(38,0), vyb decimal(38,0), cxb decimal(38,0)",
+    )
+    scale_v = F.lit(1e12)
+
+    def _arm(sfx):
+        n = F.col(f"n{sfx}").cast("double")
+        sx = F.col(f"sx{sfx}").cast("double")
+        sy = F.col(f"sy{sfx}").cast("double")
+        r = F.when(sy != 0, sx / sy)
+        ybar = sy / n / F.lit(1_000_000.0)
+        den = n * (n - F.lit(1.0))
+        s2x = F.col(f"vx{sfx}").cast("double") / den / scale_v
+        s2y = F.col(f"vy{sfx}").cast("double") / den / scale_v
+        sxy = F.col(f"cx{sfx}").cast("double") / den / scale_v
+        var = F.when(
+            (F.col(f"n{sfx}") > 1) & (sy != 0),
+            F.greatest(
+                F.lit(0.0),
+                (s2x + r * r * s2y - F.lit(2.0) * r * sxy)
+                / (n * ybar * ybar),
+            ),
+        )
+        return r, var
+
+    ra, va = _arm("a")
+    rb, vb = _arm("b")
+    diff = rb - ra
+    se2 = va + vb
+    se = F.when(se2 > 0, F.sqrt(se2))
+    z = F.when(se.isNotNull(), diff / se)
+    p = F.when(
+        z.isNotNull(),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0), F.lit(2.0) * normal_sf_col(F.abs(z))
+                ),
+            ),
+            6,
+        ),
+    )
+    return one.select(
+        F.col("ga").alias("variant_a"),
+        F.col("na").alias("n_a"),
+        F.round(ra, 6).alias("ratio_a"),
+        F.col("gb").alias("variant_b"),
+        F.col("nb").alias("n_b"),
+        F.round(rb, 6).alias("ratio_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z_stat"),
+        p.alias("p_value"),
+        F.round(diff - F.lit(1.959964) * se, 6).alias("ci_lo"),
+        F.round(diff + F.lit(1.959964) * se, 6).alias("ci_hi"),
+        F.when(p.isNotNull(), p < 0.05).alias("significant_95"),
+    )

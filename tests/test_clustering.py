@@ -65,3 +65,54 @@ def test_kmeans_iteration_gate(spark):
         kmeans_assign(df, k=3, iterations=100)
     with pytest.raises(ValueError, match="k must be"):
         kmeans_assign(df, k=0)
+
+
+def test_gmm2_recovers_bimodal_mixture(spark):
+    """Two well-separated spikes (70% at ~1.0, 30% at ~5.0): EM must
+    land one component near each mode with the right weights."""
+    from metadata_etl_framework_spark.ops.clustering import gmm2_train
+
+    rows = []
+    for i in range(1000):
+        if i % 10 < 7:
+            rows.append((1.0 + (i % 7) * 0.01,))
+        else:
+            rows.append((5.0 + (i % 5) * 0.01,))
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["component"]: r for r in
+           gmm2_train(df, "x", iterations=5).collect()}
+    assert abs(out[1]["mu"] - 1.03) < 0.1
+    assert abs(out[2]["mu"] - 5.02) < 0.1
+    assert abs(out[1]["weight"] - 0.7) < 0.05
+    assert abs(out[2]["weight"] - 0.3) < 0.05
+    assert out[1]["sigma"] < 0.1 and out[2]["sigma"] < 0.1
+    assert out[1]["n_rows"] == 1000
+
+
+def test_gmm2_loglik_improves_with_iterations(spark):
+    """The EM monitor: mean log-likelihood at iteration 4's entry
+    must be >= iteration 1's entry (EM is monotone)."""
+    from metadata_etl_framework_spark.ops.clustering import gmm2_train
+
+    rows = [((i % 13) * 0.5 + (3.0 if i % 3 == 0 else 0.0),)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "x double")
+    ll1 = gmm2_train(df, "x", iterations=1).first()["mean_loglik"]
+    ll4 = gmm2_train(df, "x", iterations=4).first()["mean_loglik"]
+    assert ll4 >= ll1
+
+
+def test_gmm2_degenerate_and_gates(spark):
+    from metadata_etl_framework_spark.ops.clustering import gmm2_train
+    import pytest
+
+    const = spark.createDataFrame([(2.0,)] * 10, "x double")
+    out = {r["component"]: r for r in
+           gmm2_train(const, "x", iterations=2).collect()}
+    assert out[1]["mu"] == 2.0 and out[2]["mu"] == 2.0
+    assert out[1]["sigma"] == 0.001  # sqrt(var_floor)
+    one = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match=">= 2"):
+        gmm2_train(one, "x")
+    with pytest.raises(ValueError, match="iterations"):
+        gmm2_train(const, "x", iterations=0)

@@ -342,3 +342,45 @@ def test_kll_sketch_requires_groups(spark):
     df = _vals(spark, n=10)
     with pytest.raises(ValueError):
         kll_sketch(df, "v", k=8, group_cols=[])
+
+
+def test_countmin_rollup_range_equals_direct_sketch(spark):
+    """A range query over the materialized hourly rollup must equal a
+    count-min sketch built directly on the raw slice (counter
+    addition is lossless), and estimates never undercount truth."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.sketch import (
+        countmin_query,
+        countmin_rollup_query,
+        countmin_sketch,
+        windowed_countmin_rollup,
+    )
+
+    rows = []
+    for i in range(2000):
+        key = i % 17
+        hour = i % 50
+        rows.append((key, dt.datetime(2024, 1, 1) +
+                     dt.timedelta(hours=hour)))
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    roll = windowed_countmin_rollup(df, "ts", "k", "1 hour",
+                                    depth=3, width=64)
+    keys = spark.range(0, 17).select(F.col("id").alias("k"))
+    lo = dt.datetime(2024, 1, 1, 10)
+    hi = dt.datetime(2024, 1, 2, 5)
+    got = {r["key"]: r["est_count"] for r in countmin_rollup_query(
+        roll, keys, "k", depth=3, width=64, start=lo, end=hi
+    ).collect()}
+    raw = df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    direct = {r["key"]: r["est_count"] for r in countmin_query(
+        countmin_sketch(raw, "k", depth=3, width=64),
+        keys, "k", depth=3, width=64
+    ).collect()}
+    assert got == direct
+    truth = {r["k"]: r["c"] for r in raw.groupBy("k")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    for k, est in got.items():
+        assert est >= truth.get(k, 0)  # never undercounts

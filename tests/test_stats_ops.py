@@ -896,3 +896,56 @@ def test_aipw_corrects_confounded_outcome_model(spark):
     assert abs(r["ate_aipw"]) < abs(naive) / 4
     with pytest.raises(ValueError, match="clip"):
         aipw_ate(df, "t", "y", "p", "id", clip=0.7)
+
+
+# ---- ab_ratio_delta (round-13 continuation) ----
+
+
+def test_ab_ratio_delta_hand_ratios_and_contamination(spark):
+    """Arm A: 2 users with (x,y) = (2,4),(4,4) -> R_A = 6/8 = 0.75;
+    arm B: (3,2),(9,6) -> R_B = 12/8 = 1.5. A unit logged in BOTH
+    arms must be dropped."""
+    from metadata_etl_framework_spark.ops.stats import ab_ratio_delta
+
+    rows = [
+        ("A", 1, 2.0, 4.0), ("A", 2, 4.0, 4.0),
+        ("B", 3, 3.0, 2.0), ("B", 4, 9.0, 6.0),
+        ("A", 5, 100.0, 1.0), ("B", 5, 100.0, 1.0),  # contaminated
+    ]
+    df = spark.createDataFrame(rows, "g string, u long, x double, y double")
+    r = ab_ratio_delta(df, "g", "x", "y", "u").first()
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["ratio_a"] == 0.75 and r["ratio_b"] == 1.5
+    assert r["diff"] == 0.75
+    assert r["se"] is not None and r["se"] > 0
+    assert r["ci_lo"] < r["diff"] < r["ci_hi"]
+
+
+def test_ab_ratio_delta_covariance_term_tightens_se(spark):
+    """When numerator and denominator are perfectly proportional per
+    unit (x = 2y), the ratio is constant -> delta-method variance
+    collapses to ~0 even though x and y individually vary; a naive
+    variance would not. Inference goes NULL at zero variance."""
+    from metadata_etl_framework_spark.ops.stats import ab_ratio_delta
+
+    rows = []
+    for i in range(40):
+        y = float(1 + i % 7)
+        g = "A" if i % 2 == 0 else "B"
+        rows.append((g, i, 2.0 * y, y))
+    df = spark.createDataFrame(rows, "g string, u long, x double, y double")
+    r = ab_ratio_delta(df, "g", "x", "y", "u").first()
+    assert r["ratio_a"] == 2.0 and r["ratio_b"] == 2.0
+    assert r["diff"] == 0.0
+    # constant ratio -> se None (zero variance) or ~0
+    assert r["se"] is None or r["se"] < 1e-6
+
+
+def test_ab_ratio_delta_two_variant_gate(spark):
+    from metadata_etl_framework_spark.ops.stats import ab_ratio_delta
+
+    df = spark.createDataFrame(
+        [("A", 1, 1.0, 1.0)], "g string, u long, x double, y double"
+    )
+    with pytest.raises(ValueError, match="2 variants"):
+        ab_ratio_delta(df, "g", "x", "y", "u")

@@ -2211,3 +2211,28 @@ def test_textrank_window_and_support_floor(spark):
 
     with _pt.raises(ValueError, match="window"):
         textrank_keywords(df, "text", window=0)
+
+
+def test_eigenvector_centrality_star_and_path(spark):
+    """Star (undirected): the hub's score must dominate the leaves
+    and the result is L2-normalized. A directed edge into a sink
+    gives the sink all the mass."""
+    from metadata_etl_framework_spark.ops.graph import (
+        eigenvector_centrality,
+    )
+
+    und = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    star = spark.createDataFrame(und, "src long, dst long")
+    got = eigenvector_centrality(star, iterations=8)
+    rows = {r["node"]: r["score"] for r in got.collect()}
+    got.unpersist()
+    assert rows[0] > rows[1] == rows[2] == rows[3] > 0
+    l2 = sum(v * v for v in rows.values())
+    assert abs(l2 - 1.0) < 1e-6
+    # analytic: hub = 1/sqrt(2), leaves = 1/sqrt(6)
+    assert abs(rows[0] - 0.707107) < 1e-4
+    assert abs(rows[1] - 0.408248) < 1e-4
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iterations"):
+        eigenvector_centrality(star, iterations=0)
