@@ -17247,28 +17247,25 @@ def _gmm2_iter_sql(i: int) -> str:
                        SUM(CAST(ROUND(r1 * x * x
                                       * 1000000000000.0, 0)
                                 AS HUGEINT)) AS sr1xx,
-                       SUM(CAST(ROUND((1.0 - r1)
-                                      * 1000000000000.0, 0)
-                                AS HUGEINT)) AS sr2,
-                       SUM(CAST(ROUND((1.0 - r1) * x
-                                      * 1000000000000.0, 0)
-                                AS HUGEINT)) AS sr2x,
-                       SUM(CAST(ROUND((1.0 - r1) * x * x
-                                      * 1000000000000.0, 0)
-                                AS HUGEINT)) AS sr2xx,
                        SUM(CAST(ROUND((GREATEST(l1, l2)
                            + LN(1.0 + EXP(LEAST(l1, l2)
                                           - GREATEST(l1, l2))))
                            * 1000000000000.0, 0)
                                 AS HUGEINT)) AS sll
                      FROM q{i}),
+            b{i} AS (SELECT sr1, sr1x, sr1xx, sll,
+                            CAST(n AS HUGEINT) * 1000000000000
+                                - sr1 AS sr2,
+                            sx - sr1x AS sr2x,
+                            sxx - sr1xx AS sr2xx
+                     FROM a{i}, s0),
             m{i} AS (SELECT
                        ROUND(CAST(sr1x AS DOUBLE)
                              / CAST(sr1 AS DOUBLE), 12) AS mu1,
                        ROUND(CAST(sr2x AS DOUBLE)
                              / CAST(sr2 AS DOUBLE), 12) AS mu2,
                        sr1, sr2, sr1xx, sr2xx, sll
-                     FROM a{i}),
+                     FROM b{i}),
             g{i} AS (SELECT mu1, mu2,
                             GREATEST(ROUND(CAST(sr1xx AS DOUBLE)
                                            / CAST(sr1 AS DOUBLE)

@@ -222,7 +222,9 @@ def gmm2_train(
     import math
 
     x = F.col(value_col).cast("double")
-    base = df.where(x.isNotNull()).select(x.alias("_x"))
+    # 2 init passes + one pass per EM round read this projection —
+    # persist so rounds hit cached rows; released before every exit
+    base = df.where(x.isNotNull()).select(x.alias("_x")).persist()
     pico = F.lit(1e12)
 
     def _psum(c):
@@ -235,7 +237,10 @@ def gmm2_train(
     ).collect()[0]
     n = int(g["_n"])
     if n < 2:
+        base.unpersist()
         raise ValueError("gmm2_train: need >= 2 non-null rows")
+    S1 = int(g["_sx"])
+    S2 = int(g["_sxx"])
     m = round(float(int(g["_sx"])) / 1e12 / n, 12)
     vraw = round(float(int(g["_sxx"])) / 1e12 / n - m * m, 12)
     v = max(vraw, float(var_floor))
@@ -274,35 +279,37 @@ def gmm2_train(
         )
         dlt = F.greatest(F.least(l1 - l2, F.lit(30.0)), F.lit(-30.0))
         r1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-dlt))
-        r2 = F.lit(1.0) - r1
         lse = F.greatest(l1, l2) + F.log(
             F.lit(1.0) + F.exp(F.least(l1, l2) - F.greatest(l1, l2))
         )
+        # component-2 sufficient statistics are the EXACT integer
+        # complements of the init totals (Σ(1−r₁)·t = Σt − Σr₁·t on
+        # the pico grid up to per-row rounding, which this DEFINES
+        # away): 4 DECIMAL streams per round instead of 7 — the
+        # decimal aggregation is the measured per-pass cost
         row = base.agg(
             _psum(r1).alias("_r1"),
             _psum(r1 * F.col("_x")).alias("_r1x"),
             _psum(r1 * F.col("_x") * F.col("_x")).alias("_r1xx"),
-            _psum(r2).alias("_r2"),
-            _psum(r2 * F.col("_x")).alias("_r2x"),
-            _psum(r2 * F.col("_x") * F.col("_x")).alias("_r2xx"),
             _psum(lse).alias("_ll"),
         ).collect()[0]
         ll = round(float(int(row["_ll"])) / 1e12 / n, 12)
         sr1 = float(int(row["_r1"]))
-        sr2 = float(int(row["_r2"]))
+        sr2 = float(n * 10**12 - int(row["_r1"]))
         if sr1 <= 0 or sr2 <= 0:
             break  # one component died; keep last parameters
         mu1 = round(float(int(row["_r1x"])) / sr1, 12)
-        mu2 = round(float(int(row["_r2x"])) / sr2, 12)
+        mu2 = round(float(S1 - int(row["_r1x"])) / sr2, 12)
         v1 = max(
             round(float(int(row["_r1xx"])) / sr1 - mu1 * mu1, 12),
             float(var_floor),
         )
         v2 = max(
-            round(float(int(row["_r2xx"])) / sr2 - mu2 * mu2, 12),
+            round(float(S2 - int(row["_r1xx"])) / sr2 - mu2 * mu2, 12),
             float(var_floor),
         )
         pi1 = round(sr1 / 1e12 / n, 12)
+    base.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         [

@@ -254,6 +254,9 @@ def logistic_train(
     betas = [0.0] * d
     n_rows = None
     ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
+    # one projection feeds every Newton pass — persist so iterations
+    # read cached rows; released before every exit (incl. the raise)
+    base = base.persist()
     for _ in range(int(iterations)):
         z = F.lit(betas[0])
         for j in range(1, d):
@@ -279,6 +282,7 @@ def logistic_train(
         row = base.agg(*aggs).collect()[0]
         n_rows = int(row["_n"])
         if n_rows == 0:
+            base.unpersist()
             raise ValueError("logistic_train: no usable rows")
         g = [float(int(row[f"_g{j}"])) for j in range(d)]
         h = [[0.0] * d for _ in range(d)]
@@ -289,6 +293,7 @@ def logistic_train(
                 h[k][j] = v
         delta = _solve(h, g)
         betas = [round(betas[j] + delta[j], 12) for j in range(d)]
+    base.unpersist()
     spark = df.sparkSession
     terms = ["_intercept"] + list(feature_cols)
     return spark.createDataFrame(
@@ -732,6 +737,7 @@ def poisson_train(
     )
     d = len(feature_cols) + 1
     xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
+    base = base.persist()
     init = base.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(
@@ -740,6 +746,7 @@ def poisson_train(
     ).collect()[0]
     n_rows = int(init["_n"])
     if n_rows == 0:
+        base.unpersist()
         raise ValueError("poisson_train: no usable rows")
     sy = int(init["_sy"])
     import math
@@ -780,6 +787,7 @@ def poisson_train(
                 h[k][j] = v
         delta = _solve(h, g)
         betas = [round(betas[j] + delta[j], 12) for j in range(d)]
+    base.unpersist()
     spark = df.sparkSession
     terms = ["_intercept"] + list(feature_cols)
     return spark.createDataFrame(
@@ -865,6 +873,7 @@ def huber_train(
         row = base.agg(*aggs).collect()[0]
         n = int(row["_n"])
         if n == 0:
+            base.unpersist()
             raise ValueError("huber_train: no usable rows")
         g = [float(int(row[f"_g{j}"])) for j in range(d)]
         h = [[0.0] * d for _ in range(d)]
@@ -877,7 +886,9 @@ def huber_train(
                 h[k][j] = v
         return n, g, h
 
-    # OLS init (w = 1)
+    # OLS init (w = 1); one persisted projection feeds every pass —
+    # released before every exit (incl. the raise in _collect_pass)
+    base = base.persist()
     n_rows, g, h = _collect_pass(F.lit(1.0))
     betas = [round(b, 12) for b in _solve(h, g)]
     dl = float(delta)
@@ -891,6 +902,7 @@ def huber_train(
         )
         n_rows, g, h = _collect_pass(w)
         betas = [round(b, 12) for b in _solve(h, g)]
+    base.unpersist()
     spark = df.sparkSession
     terms = ["_intercept"] + list(feature_cols)
     return spark.createDataFrame(

@@ -987,3 +987,110 @@ def test_kll_sketch_at_6m(big, spark):
     ).count()
     slack = 4 * (n // k)
     assert below >= n // 2 - slack and above_eq >= n // 2 - slack
+
+
+def test_gmm2_at_6m_rows(big, spark):
+    """Round-13 continuation: 2-component EM over 6M prices — each
+    round is ONE aggregation pass, so scale costs scans not memory;
+    output invariants hold (weights sum to 1, sigmas floored > 0)."""
+    from metadata_etl_framework_spark.ops.clustering import gmm2_train
+
+    out = {r["component"]: r for r in gmm2_train(
+        big.select((F.col("l_extendedprice") / 100000.0).alias("x")),
+        "x", iterations=3,
+    ).collect()}
+    assert round(out[1]["weight"] + out[2]["weight"], 6) == 1.0
+    assert out[1]["sigma"] > 0 and out[2]["sigma"] > 0
+    assert out[1]["n_rows"] == out[2]["n_rows"] > 5_000_000
+
+
+def test_link_prediction_full_copurchase_with_degree_cap(spark):
+    """Round-13 continuation: link prediction over the FULL sf0.1 part
+    co-purchase graph (~20k nodes) with a via-degree cap — the hub
+    guard bounds the Σd² candidate join; the top-k cut is a total
+    order (two runs identical)."""
+    from metadata_etl_framework_spark.ops.graph import link_prediction
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("pa"), li.alias("pb")
+    edges = a.join(
+        b,
+        (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
+        & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
+    ).select(
+        F.col("pa.l_partkey").alias("src"),
+        F.col("pb.l_partkey").alias("dst"),
+    )
+    r1 = link_prediction(
+        edges, min_common=2, max_degree=200, top_k=50
+    ).collect()
+    r2 = link_prediction(
+        edges, min_common=2, max_degree=200, top_k=50
+    ).collect()
+    assert len(r1) == 50 and r1 == r2
+    assert all(row["adamic_adar"] > 0 for row in r1)
+
+
+def test_eigenvector_8_iterations_truncation_path(spark):
+    """Round-13 continuation: 8 shifted power iterations on the sf0.1
+    trade graph exercises the localCheckpoint truncation arm (plain
+    persist doubled the plan per round and OOM'd the plan printer
+    before the fix); the result stays L2-normalized."""
+    from metadata_etl_framework_spark.ops.graph import (
+        eigenvector_centrality,
+    )
+    from metadata_etl_framework_spark.sources.tables import load_table
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pair = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = pair.select(
+        c.alias("src"), s.alias("dst"), F.col("n")
+    ).unionAll(pair.select(s.alias("src"), c.alias("dst"), F.col("n")))
+    out = eigenvector_centrality(edges, iterations=8, weight_col="n")
+    rows = out.collect()
+    out.unpersist()
+    l2 = sum(r["score"] ** 2 for r in rows)
+    assert abs(l2 - 1.0) < 1e-3
+    assert len(rows) > 10_000
+
+
+def test_countmin_rollup_bounded_at_6m(big, spark):
+    """Round-13 continuation: the materialized count-min rollup over
+    6M rows stays <= depth*width rows PER BUCKET regardless of input
+    size (the sketch contract that makes range queries never re-read
+    raw data)."""
+    from metadata_etl_framework_spark.ops.sketch import (
+        windowed_countmin_rollup,
+    )
+
+    df = big.select(
+        F.col("l_partkey").alias("k"),
+        F.to_timestamp(F.col("l_shipdate")).alias("ts"),
+    )
+    roll = windowed_countmin_rollup(
+        df, "ts", "k", bucket="7 days", depth=3, width=128
+    )
+    per = roll.groupBy("bucket_start").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("cnt").alias("mass"),
+    ).collect()
+    assert per and all(r["c"] <= 3 * 128 for r in per)
+    total = sum(int(r["mass"]) for r in per)
+    n = df.where(
+        F.col("k").isNotNull() & F.col("ts").isNotNull()
+    ).count()
+    assert total == 3 * n  # every row lands in depth counters
