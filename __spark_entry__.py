@@ -5645,7 +5645,8 @@ _EXTRA_KEYS = [
     "stats_cohens_d_price",
     "events_wilson_ci_type",
     "graph_closeness_ring",
-    "recsys_topk_model",    "sketch_cm_rollup_events",    "graph_eigenvector_trade",
+    "recsys_topk_model",    "sketch_cm_rollup_events",    "graph_eigenvector_trade",    "anomaly_hbos_lineitem",
+    "events_rmst",
 ]
 
 # Entries whose results are NOT SQL-expressible (eigen-decomposition:
@@ -17639,3 +17640,145 @@ def _eigenvector_sql() -> str:
 
 
 _ALL_SQL.update({"graph_eigenvector_trade": _eigenvector_sql()})
+
+
+# ---- round 13 (cont.): HBOS + RMST ----
+
+
+def _anomaly_hbos_lineitem(spark, sf_dir):
+    """HBOS multivariate outliers (quality/anomaly.py::hbos_scores):
+    per-feature fixed-width histograms between collected exact
+    min/max, per-row score = sum of -log10(bin density) over
+    (quantity, price, discount), top-20 by (score DESC, id) — the
+    NATIVE no-ML-runtime multivariate detector between the univariate
+    rules and the sklearn-gated iForest/LOF arms; one stats pass +
+    one row pass + bins-by-features broadcast grids."""
+    from metadata_etl_framework_spark.quality.anomaly import hbos_scores
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+            "rid"
+        ),
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    return hbos_scores(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], "rid",
+        n_bins=16, top_k=20,
+    )
+
+
+def _events_rmst(spark, sf_dir):
+    """Restricted mean survival time (ops/retention.py::rmst):
+    integral of the censored Kaplan-Meier curve to tau=30 days —
+    'average days retained in the first month', the assumption-free
+    single-number survival readout; exact step-function integration
+    with pico-int DECIMAL segment sums on the calendar-bounded
+    lifetime frame. The oracle wraps the KM oracle and replays the
+    integral."""
+    from metadata_etl_framework_spark.ops.retention import rmst
+
+    ev = _t(spark, sf_dir, "events")
+    return rmst(ev, horizon_days=7, tau=30)
+
+
+_ALL_QUERIES.update(
+    {
+        "anomaly_hbos_lineitem": _anomaly_hbos_lineitem,
+        "events_rmst": _events_rmst,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "anomaly_hbos_lineitem": """
+            WITH base AS (
+              SELECT l_orderkey * 8 + l_linenumber AS rid,
+                     CAST(l_quantity AS DOUBLE) AS q,
+                     CAST(l_extendedprice AS DOUBLE) AS p,
+                     CAST(l_discount AS DOUBLE) AS d
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_linenumber IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL),
+            st AS (SELECT COUNT(*) AS n,
+                          MIN(q) AS mnq, MAX(q) AS mxq,
+                          MIN(p) AS mnp, MAX(p) AS mxp,
+                          MIN(d) AS mnd, MAX(d) AS mxd
+                   FROM base),
+            bn AS (SELECT rid,
+                          CASE WHEN (mxq - mnq) / 16 > 0
+                               THEN LEAST(15, GREATEST(0,
+                                    CAST(FLOOR((q - mnq)
+                                         / ((mxq - mnq) / 16))
+                                         AS INTEGER)))
+                               ELSE 0 END AS bq,
+                          CASE WHEN (mxp - mnp) / 16 > 0
+                               THEN LEAST(15, GREATEST(0,
+                                    CAST(FLOOR((p - mnp)
+                                         / ((mxp - mnp) / 16))
+                                         AS INTEGER)))
+                               ELSE 0 END AS bp,
+                          CASE WHEN (mxd - mnd) / 16 > 0
+                               THEN LEAST(15, GREATEST(0,
+                                    CAST(FLOOR((d - mnd)
+                                         / ((mxd - mnd) / 16))
+                                         AS INTEGER)))
+                               ELSE 0 END AS bd
+                   FROM base, st),
+            cq AS (SELECT bq, COUNT(*) AS c FROM bn GROUP BY 1),
+            cp AS (SELECT bp, COUNT(*) AS c FROM bn GROUP BY 1),
+            cd AS (SELECT bd, COUNT(*) AS c FROM bn GROUP BY 1)
+            SELECT rid,
+                   ROUND((-LOG10(cq.c
+                                 / CAST((SELECT n FROM st)
+                                        AS DOUBLE)))
+                         + (-LOG10(cp.c
+                                   / CAST((SELECT n FROM st)
+                                          AS DOUBLE)))
+                         + (-LOG10(cd.c
+                                   / CAST((SELECT n FROM st)
+                                          AS DOUBLE))), 6)
+                       AS score,
+                   bq AS bin_l_quantity,
+                   bp AS bin_l_extendedprice,
+                   bd AS bin_l_discount
+            FROM bn
+            JOIN cq USING (bq) JOIN cp USING (bp) JOIN cd USING (bd)
+            ORDER BY score DESC, rid LIMIT 20
+        """,
+    }
+)
+
+_ALL_SQL.update(
+    {
+        "events_rmst": f"""
+            WITH km AS ({_ALL_SQL["events_kaplan_meier"]}),
+            seg AS (SELECT CAST(duration_days AS DOUBLE) AS t,
+                           survival, n_at_risk,
+                           LEAD(CAST(duration_days AS DOUBLE))
+                               OVER (ORDER BY duration_days)
+                               AS t_next
+                    FROM km),
+            a AS (SELECT SUM(CAST(ROUND(survival
+                              * GREATEST(0.0,
+                                  LEAST(COALESCE(t_next, 30.0), 30.0)
+                                  - LEAST(t, 30.0))
+                              * 1000000000000.0, 0) AS HUGEINT))
+                             AS s,
+                         COUNT(*) AS n_steps,
+                         MAX(n_at_risk) AS n_users,
+                         MIN(t) AS t0
+                  FROM seg)
+            SELECT CAST(30 AS INTEGER) AS tau,
+                   CAST(7 AS INTEGER) AS horizon_days,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   CAST(n_steps AS BIGINT) AS n_steps,
+                   ROUND(CAST(s AS DOUBLE) / 1000000000000.0
+                         + GREATEST(0.0, LEAST(t0, 30.0)), 6)
+                       AS rmst_days
+            FROM a
+        """,
+    }
+)

@@ -212,6 +212,8 @@ HEADLINE = [
     "events_ab_ratio_delta",
     "sketch_cm_rollup_events",
     "graph_eigenvector_trade",
+    "anomaly_hbos_lineitem",
+    "events_rmst",
 ]
 
 

@@ -753,3 +753,105 @@ def detect_seasonal_residual(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def hbos_scores(
+    df,
+    cols: "list[str]",
+    id_col: str,
+    n_bins: int = 16,
+    top_k: int = 20,
+):
+    """HBOS — histogram-based outlier score (Goldstein & Dengel
+    2012): the NATIVE multivariate anomaly detector that needs no ML
+    runtime, completing the family between the univariate rules
+    (z-score/IQR/MAD) and the sklearn-gated iForest/LOF arms. Each
+    feature gets a fixed-width histogram between its global min/max;
+    a row's score is Σ_features −log₁₀(density of its bin) —
+    independence-assumption density estimation, which is exactly why
+    it scales: ONE stats pass + ONE row pass + a bins×features
+    broadcast grid, no pairwise work at any size.
+
+    Determinism: bin edges derive from collected exact min/max
+    re-entering as literals; densities are exact integer ratios;
+    the per-row score is a FIXED left-associated sum over ``cols``
+    order; the top-k cut orders by (score 6 dp DESC, id) — a total
+    order. Zero-width features (constant columns) collapse to one
+    bin and contribute 0. Rows with any NULL feature are excluded.
+
+    Output: top-``top_k`` rows — (id, score 6 dp, one bin index per
+    feature as ``bin_<col>`` int).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    cond = F.col(id_col).isNotNull()
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).cast("double").alias(f"_x{i}")
+          for i, c in enumerate(cols)],
+    ).persist()
+    try:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[x for i in range(len(cols)) for x in (
+                F.min(f"_x{i}").alias(f"_mn{i}"),
+                F.max(f"_x{i}").alias(f"_mx{i}"),
+            )],
+        ).collect()[0]
+        n = int(stats["_n"])
+        if n == 0:
+            raise ValueError("hbos_scores: no usable rows")
+        binned = base
+        for i in range(len(cols)):
+            mn = float(stats[f"_mn{i}"])
+            mx = float(stats[f"_mx{i}"])
+            w = (mx - mn) / n_bins
+            if w > 0:
+                b = F.least(
+                    F.lit(n_bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(f"_x{i}") - F.lit(mn)) / F.lit(w)
+                        ).cast("int"),
+                    ),
+                )
+            else:
+                b = F.lit(0)
+            binned = binned.withColumn(f"_b{i}", b)
+        binned0 = binned.drop(
+            *[f"_x{i}" for i in range(len(cols))]
+        ).persist()
+        binned = binned0
+        score = None
+        for i in range(len(cols)):
+            cnts = binned0.groupBy(f"_b{i}").agg(
+                F.count(F.lit(1)).alias(f"_c{i}")
+            )
+            binned = binned.join(F.broadcast(cnts), f"_b{i}")
+            term = -F.log10(F.col(f"_c{i}") / F.lit(float(n)))
+            score = term if score is None else score + term
+        out = (
+            binned.select(
+                F.col("_id").alias(id_col),
+                F.round(score, 6).alias("score"),
+                *[F.col(f"_b{i}").alias(f"bin_{c}")
+                  for i, c in enumerate(cols)],
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(int(top_k))
+        )
+        # materialize before releasing the upstream caches
+        rows = out.collect()
+        spark = df.sparkSession
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        base.unpersist()
+        try:
+            binned0.unpersist()
+        except Exception:
+            pass

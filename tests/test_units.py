@@ -2236,3 +2236,61 @@ def test_eigenvector_centrality_star_and_path(spark):
 
     with _pt.raises(ValueError, match="iterations"):
         eigenvector_centrality(star, iterations=0)
+
+
+def test_hbos_flags_planted_multivariate_outlier(spark):
+    """A row extreme in EVERY feature lands in sparse bins of all
+    three histograms and must take the top score; ties under the
+    rounded score break by id."""
+    from metadata_etl_framework_spark.quality.anomaly import hbos_scores
+
+    rows = [(i, float(i % 10), float((i * 3) % 10), 1.0)
+            for i in range(500)]
+    rows.append((9999, 100.0, 100.0, 100.0))  # the outlier
+    df = spark.createDataFrame(rows, "rid long, a double, b double, c double")
+    out = hbos_scores(df, ["a", "b", "c"], "rid", n_bins=16, top_k=5)
+    top = out.collect()
+    assert top[0]["rid"] == 9999
+    assert top[0]["score"] > top[1]["score"]
+    # outlier sits in the last bin of every feature
+    assert (top[0]["bin_a"], top[0]["bin_b"], top[0]["bin_c"]) == (15, 15, 15)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="cols"):
+        hbos_scores(df, [], "rid")
+    # a genuinely constant column: zero width -> one bin -> score 0
+    const = df.where(F.col("rid") != 9999)
+    out2 = hbos_scores(const, ["c"], "rid", top_k=3).collect()
+    assert all(r["score"] == 0.0 and r["bin_c"] == 0 for r in out2)
+
+
+def test_rmst_hand_math_step_curve(spark):
+    """4 users, no censoring horizon tricks: lifetimes 0,0,10,20 with
+    corpus end at the last event. With horizon 5: users ending >5 days
+    before the end churn. Hand-integrate the resulting KM curve."""
+    import datetime as dt
+
+    from metadata_etl_framework_spark.ops.retention import (
+        kaplan_meier,
+        rmst,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1: single event day0 (lifetime 0); u2: day0..day10; u3: day0..day20
+    rows += [(1, base)]
+    rows += [(2, base), (2, base + dt.timedelta(days=10))]
+    rows += [(3, base), (3, base + dt.timedelta(days=20))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    km = {r["duration_days"]: r for r in
+          kaplan_meier(df, horizon_days=5).collect()}
+    # corpus end day20: u1 (last day0, 20>5) churn at t=0; u2 churn at
+    # t=10; u3 censored at t=20.
+    # S: t=0: n=3,d=1 -> 2/3; t=10: n=2,d=1 -> 1/3; t=20 censored
+    assert km[0]["n_events"] == 1 and round(km[0]["survival"], 6) == round(2/3, 6)
+    assert round(km[10]["survival"], 6) == round(1/3, 6)
+    r = rmst(df, horizon_days=5, tau=15).first()
+    # integral of the PUBLISHED (6dp-rounded) curve to tau=15:
+    # S(0)=0.666667 over [0,10) + S(10)=0.333333 over [10,15)
+    assert r["rmst_days"] == round(0.666667 * 10 + 0.333333 * 5, 6)
+    assert r["tau"] == 15 and r["n_users"] == 3

@@ -187,6 +187,10 @@ EXTRA_BROADCAST_CROSS: dict[str, str] = {
         "popularity-baseline cross (measured catalog gate) plus 1-row "
         "audit-totals readout crosses (two-pass statistic pattern)"
     ),
+    "events_rmst": (
+        "1-row broadcast corpus-end/total frames inside the wrapped "
+        "Kaplan-Meier machinery (the events_kaplan_meier pattern)"
+    ),
 }
 
 BOUNDED_PARTITIONLESS_WINDOW: dict[str, str] = {
@@ -214,6 +218,8 @@ BOUNDED_PARTITIONLESS_WINDOW: dict[str, str] = {
     "calibration split (sampled at scale)",
     "recsys_eval_coverage": "catalog-bounded Gini rank window "
     "(distinct items; the op documents the bound)",
+    "events_rmst": "distinct-lifetime-days grid (calendar-bounded, "
+    "the events_kaplan_meier pattern)",
 }
 
 
