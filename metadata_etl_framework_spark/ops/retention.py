@@ -836,11 +836,23 @@ def rfm_segments(
         )
         .drop("_last", "_asof")
     )
-    scored = ntile_assign(
-        scored, ["recency_days", "user"], n_buckets, out="_rb"
+    # each ntile pass references its input ~4× (global_row_number's
+    # range-partition + offset frames, the total-rows aggregate, the
+    # final cross-join), so three stacked passes multiply the plan ~4³
+    # (the benched arm analyzed to 412 exchanges) — cut lineage between
+    # passes with the cache-then-checkpoint hybrid; the frame is
+    # CUSTOMER-level (tiny relative to facts), so the materializations
+    # are O(users) each and the audited plan stays one-pass-sized
+    from metadata_etl_framework_spark.ops.graph import _materialize_iter
+
+    scored = _materialize_iter(scored, truncate=True)
+    scored = _materialize_iter(
+        ntile_assign(scored, ["recency_days", "user"], n_buckets, out="_rb"),
+        truncate=True,
     )
-    scored = ntile_assign(
-        scored, ["frequency", "user"], n_buckets, out="f_score"
+    scored = _materialize_iter(
+        ntile_assign(scored, ["frequency", "user"], n_buckets, out="f_score"),
+        truncate=True,
     )
     scored = ntile_assign(
         scored, ["monetary", "user"], n_buckets, out="m_score"
