@@ -35,6 +35,8 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.exact_agg import exact_pico_sums
+
 __all__ = [
     "logistic_train",
     "linear_train",
@@ -124,32 +126,15 @@ def linear_train(
     )
     d = len(feature_cols) + 1
     xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
-    aggs = [
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(
-            F.round(F.col("_y") * F.col("_y") * F.lit(1e12)).cast(
-                "decimal(38,0)"
-            )
-        ).alias("_yy"),
-    ]
+    # two-level exact sums (ops/exact_agg.py): bit-identical to the
+    # single-level DECIMAL streams, ~3× cheaper per scan
+    terms = {"_yy": F.col("_y") * F.col("_y")}
     for j in range(d):
-        aggs.append(
-            F.sum(
-                F.round(xs[j] * F.col("_y") * F.lit(1e12)).cast(
-                    "decimal(38,0)"
-                )
-            ).alias(f"_g{j}")
-        )
+        terms[f"_g{j}"] = xs[j] * F.col("_y")
     for j in range(d):
         for k in range(j, d):
-            aggs.append(
-                F.sum(
-                    F.round(xs[j] * xs[k] * F.lit(1e12)).cast(
-                        "decimal(38,0)"
-                    )
-                ).alias(f"_h{j}{k}")
-            )
-    row = base.agg(*aggs).collect()[0]
+            terms[f"_h{j}{k}"] = xs[j] * xs[k]
+    row = exact_pico_sums(base, terms, count_alias="_n").collect()[0]
     n_rows = int(row["_n"])
     if n_rows == 0:
         raise ValueError("linear_train: no usable rows")
@@ -263,23 +248,15 @@ def logistic_train(
             z = z + F.lit(betas[j]) * xs[j]
         p = _sigmoid(z)
         w = p * (F.lit(1.0) - p)
-        aggs = [F.count(F.lit(1)).alias("_n")]
+        # two-level exact sums (ops/exact_agg.py): bit-identical to the
+        # single-level DECIMAL streams, ~3× cheaper per Newton pass
+        terms = {}
         for j in range(d):
-            aggs.append(
-                F.sum(
-                    F.round((F.col("_y") - p) * xs[j] * F.lit(1e12))
-                    .cast("decimal(38,0)")
-                ).alias(f"_g{j}")
-            )
+            terms[f"_g{j}"] = (F.col("_y") - p) * xs[j]
         for j in range(d):
             for k in range(j, d):
-                aggs.append(
-                    F.sum(
-                        F.round(w * xs[j] * xs[k] * F.lit(1e12))
-                        .cast("decimal(38,0)")
-                    ).alias(f"_h{j}{k}")
-                )
-        row = base.agg(*aggs).collect()[0]
+                terms[f"_h{j}{k}"] = w * xs[j] * xs[k]
+        row = exact_pico_sums(base, terms, count_alias="_n").collect()[0]
         n_rows = int(row["_n"])
         if n_rows == 0:
             base.unpersist()
@@ -364,34 +341,19 @@ def linear_cv(
     )
     d = len(feature_cols) + 1
     xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
-    aggs = [
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(
-            F.round(F.col("_y") * F.col("_y") * F.lit(1e12)).cast(
-                "decimal(38,0)"
-            )
-        ).alias("_yy"),
-    ]
+    # two-level exact sums (ops/exact_agg.py): bit-identical to the
+    # single-level DECIMAL streams, ~3× cheaper per scan
+    terms = {"_yy": F.col("_y") * F.col("_y")}
     for j in range(d):
-        aggs.append(
-            F.sum(
-                F.round(xs[j] * F.col("_y") * F.lit(1e12)).cast(
-                    "decimal(38,0)"
-                )
-            ).alias(f"_g{j}")
-        )
+        terms[f"_g{j}"] = xs[j] * F.col("_y")
     for j in range(d):
         for k in range(j, d):
-            aggs.append(
-                F.sum(
-                    F.round(xs[j] * xs[k] * F.lit(1e12)).cast(
-                        "decimal(38,0)"
-                    )
-                ).alias(f"_h{j}{k}")
-            )
+            terms[f"_h{j}{k}"] = xs[j] * xs[k]
     per_fold = {
         int(r["_fold"]): r
-        for r in base.groupBy("_fold").agg(*aggs).collect()
+        for r in exact_pico_sums(
+            base, terms, group_cols=["_fold"], count_alias="_n"
+        ).collect()
     }
     if not per_fold:
         raise ValueError("linear_cv: no usable rows")
@@ -437,16 +399,11 @@ def linear_cv(
     err = F.col("_y") - pred
     met = {
         int(r["_fold"]): r
-        for r in base.groupBy("_fold")
-        .agg(
-            F.sum(
-                F.round(err * err * F.lit(1e12)).cast("decimal(38,0)")
-            ).alias("_sse"),
-            F.sum(
-                F.round(F.abs(err) * F.lit(1e12)).cast("decimal(38,0)")
-            ).alias("_sae"),
-        )
-        .collect()
+        for r in exact_pico_sums(
+            base,
+            {"_sse": err * err, "_sae": F.abs(err)},
+            group_cols=["_fold"],
+        ).collect()
     }
 
     def _row(label: str, n: int, sse: int, sae: int, yy: int, sy: int):
@@ -557,7 +514,9 @@ def logistic_cv(
             Decimal(repr(float(ridge))).scaleb(12).to_integral_value()
         )
         for _ in range(int(iterations)):
-            aggs = [F.count(F.lit(1)).alias("_n")]
+            # two-level exact sums (ops/exact_agg.py) over the K×d² grid
+            # grouped by fold — bit-identical, ~3× cheaper per pass
+            terms = {}
             for f in folds:
                 z = F.lit(betas[f][0])
                 for j in range(1, d):
@@ -565,25 +524,15 @@ def logistic_cv(
                 p = _sigmoid(z)
                 w = p * (F.lit(1.0) - p)
                 for j in range(d):
-                    aggs.append(
-                        F.sum(
-                            F.round(
-                                (F.col("_y") - p) * xs[j] * F.lit(1e12)
-                            ).cast("decimal(38,0)")
-                        ).alias(f"_g{f}_{j}")
-                    )
+                    terms[f"_g{f}_{j}"] = (F.col("_y") - p) * xs[j]
                 for j in range(d):
                     for k in range(j, d):
-                        aggs.append(
-                            F.sum(
-                                F.round(
-                                    w * xs[j] * xs[k] * F.lit(1e12)
-                                ).cast("decimal(38,0)")
-                            ).alias(f"_h{f}_{j}{k}")
-                        )
+                        terms[f"_h{f}_{j}{k}"] = w * xs[j] * xs[k]
             cells = {
                 int(r["_fold"]): r
-                for r in base.groupBy("_fold").agg(*aggs).collect()
+                for r in exact_pico_sums(
+                    base, terms, group_cols=["_fold"], count_alias="_n"
+                ).collect()
             }
             if not cells:
                 raise ValueError("logistic_cv: no usable rows")
@@ -640,18 +589,13 @@ def logistic_cv(
         ).cast("long")
         met = {
             int(r["_fold"]): r
-            for r in base.groupBy("_fold")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(
-                    F.round(ll * F.lit(1e12)).cast("decimal(38,0)")
-                ).alias("_ll"),
-                F.sum(
-                    F.round(brier * F.lit(1e12)).cast("decimal(38,0)")
-                ).alias("_br"),
-                F.sum(hit).alias("_acc"),
-            )
-            .collect()
+            for r in exact_pico_sums(
+                base,
+                {"_ll": ll, "_br": brier},
+                group_cols=["_fold"],
+                long_terms={"_acc": hit},
+                count_alias="_n",
+            ).collect()
         }
 
         def _row(label: str, n: int, llp: int, brp: int, acc: int):
@@ -738,11 +682,8 @@ def poisson_train(
     d = len(feature_cols) + 1
     xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
     base = base.persist()
-    init = base.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(
-            F.round(F.col("_y") * F.lit(1e12)).cast("decimal(38,0)")
-        ).alias("_sy"),
+    init = exact_pico_sums(
+        base, {"_sy": F.col("_y")}, count_alias="_n"
     ).collect()[0]
     n_rows = int(init["_n"])
     if n_rows == 0:
@@ -761,23 +702,15 @@ def poisson_train(
         mu = F.exp(
             F.greatest(F.least(z, F.lit(_ZCLAMP)), F.lit(-_ZCLAMP))
         )
-        aggs = []
+        # two-level exact sums (ops/exact_agg.py): bit-identical to the
+        # single-level DECIMAL streams, ~3× cheaper per Newton pass
+        terms = {}
         for j in range(d):
-            aggs.append(
-                F.sum(
-                    F.round((F.col("_y") - mu) * xs[j] * F.lit(1e12))
-                    .cast("decimal(38,0)")
-                ).alias(f"_g{j}")
-            )
+            terms[f"_g{j}"] = (F.col("_y") - mu) * xs[j]
         for j in range(d):
             for k in range(j, d):
-                aggs.append(
-                    F.sum(
-                        F.round(mu * xs[j] * xs[k] * F.lit(1e12))
-                        .cast("decimal(38,0)")
-                    ).alias(f"_h{j}{k}")
-                )
-        row = base.agg(*aggs).collect()[0]
+                terms[f"_h{j}{k}"] = mu * xs[j] * xs[k]
+        row = exact_pico_sums(base, terms).collect()[0]
         g = [float(int(row[f"_g{j}"])) for j in range(d)]
         h = [[0.0] * d for _ in range(d)]
         for j in range(d):
@@ -854,23 +787,16 @@ def huber_train(
     ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
 
     def _collect_pass(w):
-        aggs = [F.count(F.lit(1)).alias("_n")]
+        # two-level exact sums (ops/exact_agg.py): bit-identical to the
+        # single-level DECIMAL streams, ~3× cheaper per pass — the
+        # reweighted normal equations are pure pico-int totals
+        terms = {}
         for j in range(d):
-            aggs.append(
-                F.sum(
-                    F.round(w * xs[j] * F.col("_y") * F.lit(1e12))
-                    .cast("decimal(38,0)")
-                ).alias(f"_g{j}")
-            )
+            terms[f"_g{j}"] = w * xs[j] * F.col("_y")
         for j in range(d):
             for k in range(j, d):
-                aggs.append(
-                    F.sum(
-                        F.round(w * xs[j] * xs[k] * F.lit(1e12))
-                        .cast("decimal(38,0)")
-                    ).alias(f"_h{j}{k}")
-                )
-        row = base.agg(*aggs).collect()[0]
+                terms[f"_h{j}{k}"] = w * xs[j] * xs[k]
+        row = exact_pico_sums(base, terms, count_alias="_n").collect()[0]
         n = int(row["_n"])
         if n == 0:
             base.unpersist()
