@@ -221,6 +221,39 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Ambient-noise anchor (r13 verdict task 2): a fixed 5-query canary
+# subset re-timed at session START / MIDDLE / END. The box this bench
+# runs on carries ambient load that inflated three consecutive driver
+# rounds (r11 1.37×, r13 1.25× shared-query medians) while controlled
+# builder A/Bs on the same code measured 0.77–1.08×; the canary triplet
+# puts the evidence INSIDE the artifact: identical work probed three
+# times in one session. If the canary drifts, the box drifted — divide
+# the shared-median round-over-round ratio by the canary drift before
+# reading it as a regression. Each probe is min-of-2 back-to-back runs
+# (one recompile-absorbing run + one hot run) so all three probes pay
+# the same codegen protocol even after the 100-entry whole-stage-codegen
+# cache evicts between probes.
+CANARY = [
+    "q1_pricing_summary",
+    "join_inner",
+    "dq_suite",
+    "minhash_near_dups",
+    "glm_logit_orders",
+]
+
+
+def _probe_canary(spark, queries) -> dict[str, float]:
+    probe: dict[str, float] = {}
+    for name in CANARY:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            _force(queries[name](spark, SF_DIR))
+            best = min(best, time.monotonic() - t0)
+        probe[name] = round(best, 3)
+    return probe
+
+
 def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -254,11 +287,22 @@ def main() -> None:
     fresh_every = int(os.environ.get("SPARK_GRAFT_BENCH_FRESH_EVERY", "0"))
     hygiene = os.environ.get("SPARK_GRAFT_BENCH_HYGIENE", "0") == "1"
     timings: dict[str, float] = {}
+    # untimed canary warmup: the START probe must not absorb first-ever
+    # session costs (file-listing caches, codegen compiles) or the
+    # drift ratios read "warmed up" instead of "box drifted" — the
+    # smoke run without this measured start/middle drift 0.51 on an
+    # idle box, which is warm-up, not ambient load
+    for name in CANARY:
+        _force(queries[name](spark, SF_DIR))
+    canary = {"start": _probe_canary(spark, queries)}
+    mid_at = len(HEADLINE) // 2
     for qi, name in enumerate(HEADLINE):
         if fresh_every and qi and qi % fresh_every == 0:
             spark.stop()
             spark = get_spark(app_name="bench")
             _force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+        if qi == mid_at:
+            canary["middle"] = _probe_canary(spark, queries)
         fn = queries[name]
         best = float("inf")
         for _ in range(runs):
@@ -269,6 +313,20 @@ def main() -> None:
         if hygiene:
             spark.catalog.clearCache()
             spark._jvm.System.gc()
+    canary["end"] = _probe_canary(spark, queries)
+    # per-canary end/start and middle/start ratios + their medians: a
+    # one-number ambient-drift summary for the round-over-round compare
+    ratios = {
+        phase: sorted(
+            canary[phase][q] / canary["start"][q]
+            for q in CANARY
+            if canary["start"][q] > 0
+        )
+        for phase in ("middle", "end")
+    }
+    canary["drift"] = {
+        phase: round(r[len(r) // 2], 3) for phase, r in ratios.items() if r
+    }
 
     out = {
         "metric": "total_query_time",
@@ -276,6 +334,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary": canary,
     }
 
     # Per-query regression flags vs the previous round's bench (same SF
@@ -323,6 +382,9 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(out))
+    # the short summary line carries the canary triplets too — it is the
+    # line the driver's tail-capture is guaranteed to keep, and the
+    # noise anchor is useless if it gets truncated out of the artifact
     print(
         json.dumps(
             {
@@ -332,6 +394,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": detail_path,
+                "canary": canary,
             }
         )
     )
