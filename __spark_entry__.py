@@ -5247,14 +5247,13 @@ def _events_forecast_baseline(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier. Round-13 continuation rotation: ALL 20
-    # round-13 keys (wave 1: KLL/ALS/betweenness/CV/Cox/DeLong;
-    # continuation: link prediction, assortativity, modularity,
-    # Poisson/Huber GLM, t-closeness, AR(2) forecast, seasonal ESD,
-    # AIPW, TextRank, popularity recs + coverage audit) sit inside
-    # the 50-entry driver cap; 20 long-green granular stats keys
-    # (bootstrap/rank-test/AB panels) rotate to extras where the
-    # local parity suite still verifies them every run.
+    # capability frontier. Round-14 rotation: the 3 round-14 flagships
+    # (quantile regression, greedy modularity local-move,
+    # Holt-Winters backtest) rotate IN; 3 long-green granular twins
+    # (sketch_kll_rollup_events — the _price twin stays;
+    # nb_top_terms_lang — nb_lang_docs stays; glm_cv_lineitem — the
+    # iterative logistic CV stays) rotate to extras where the local
+    # parity suite still verifies them every run.
     "q1_pricing_summary",
     "drift_suite",
     "curation_funnel",
@@ -5282,12 +5281,9 @@ _DRIVER_KEYS = [
     "graph_walk_pmi",
     "profile_robust_price",
     "dedup_containment_docs",
-    "nb_top_terms_lang",
     "sketch_kll_rollup_price",
-    "sketch_kll_rollup_events",
     "recsys_als_factors",
     "graph_betweenness_ring",
-    "glm_cv_lineitem",
     "glm_cv_logit_orders",
     "events_cox_ph",
     "eval_auc_delong_orders",
@@ -5305,11 +5301,19 @@ _DRIVER_KEYS = [
     "glm_huber_lineitem",
     "stats_gmm2_price",
     "events_ab_ratio_delta",
+    "glm_quantile_lineitem",
+    "graph_greedy_modularity",
+    "events_holt_winters",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
+    # Rotated OUT of the driver gate at round-14 (multi-round green
+    # there); still verified by the local parity suite.
+    "sketch_kll_rollup_events",
+    "nb_top_terms_lang",
+    "glm_cv_lineitem",
     # Rotated OUT of the driver gate at round-12 close (multi-round
     # green there); still verified by the local parity suite.
     "sql_q5_local_volume",
@@ -17782,3 +17786,358 @@ _ALL_SQL.update(
         """,
     }
 )
+
+
+# ---- round 14: quantile (pinball) regression ----
+
+
+def _glm_quantile_lineitem(spark, sf_dir):
+    """Quantile (pinball) regression (ops/glm.py::quantile_train):
+    the P50 and P90 price-per-quantity lines fit together — shared
+    closed-form OLS init, then 2 IRLS passes per tau with
+    w = |tau − 1[r<0]| / max(|r|, 1e-6), BOTH taus' pico-int
+    normal-equation sums collected in the SAME scan (two-level exact
+    aggregation). The oracle unrolls init + both taus' passes and
+    reproduces every beta bit-exactly."""
+    from metadata_etl_framework_spark.ops.glm import quantile_train
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("double") / F.lit(10.0)).alias("x1"),
+        (F.col("l_extendedprice").cast("double") / F.lit(100000.0))
+        .alias("y"),
+    )
+    return quantile_train(
+        li, ["x1"], "y", taus=(0.5, 0.9), iterations=2,
+        ridge=1e-6, eps=1e-6,
+    )
+
+
+_ALL_QUERIES.update({"glm_quantile_lineitem": _glm_quantile_lineitem})
+
+
+def _quantile_iter_sql(ti: int, tau: str, i: int) -> str:
+    prev = "qb0" if i == 1 else f"qt{ti}b{i - 1}"
+    return f"""
+            qt{ti}p{i} AS (SELECT y, x1,
+                                  y - (b0 + b1 * x1) AS r
+                           FROM base, {prev}),
+            qt{ti}w{i} AS (SELECT y, x1,
+                                  ABS({tau} - CASE WHEN r < 0
+                                              THEN 1.0 ELSE 0.0 END)
+                                  / GREATEST(ABS(r), 0.000001) AS w
+                           FROM qt{ti}p{i}),
+            qt{ti}s{i} AS (SELECT COUNT(*) AS n,
+                             SUM(CAST(ROUND(w * 1.0 * y
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS g0,
+                             SUM(CAST(ROUND(w * x1 * y
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS g1,
+                             SUM(CAST(ROUND(w * 1.0 * 1.0
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS h00,
+                             SUM(CAST(ROUND(w * 1.0 * x1
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS h01,
+                             SUM(CAST(ROUND(w * x1 * x1
+                                            * 1000000000000.0, 0)
+                                      AS HUGEINT)) AS h11
+                           FROM qt{ti}w{i}),
+            qt{ti}d{i} AS (SELECT n,
+                             CAST(g0 AS DOUBLE) AS g0d,
+                             CAST(g1 AS DOUBLE) AS g1d,
+                             CAST(h00 + 1000000 AS DOUBLE) AS h00d,
+                             CAST(h01 AS DOUBLE) AS h01d,
+                             CAST(h11 + 1000000 AS DOUBLE) AS h11d
+                           FROM qt{ti}s{i}),
+            qt{ti}b{i} AS (SELECT n,
+                             ROUND((h11d * g0d - h01d * g1d)
+                                   / (h00d * h11d - h01d * h01d),
+                                   12) AS b0,
+                             ROUND((h00d * g1d - h01d * g0d)
+                                   / (h00d * h11d - h01d * h01d),
+                                   12) AS b1
+                           FROM qt{ti}d{i})"""
+
+
+def _quantile_sql() -> str:
+    iters = ",".join(
+        _quantile_iter_sql(ti, tau, i)
+        for ti, tau in ((0, "0.5"), (1, "0.9"))
+        for i in (1, 2)
+    )
+    tail = "\n            UNION ALL\n".join(
+        f"""            SELECT {tau} AS tau, '{term}' AS term,
+                   {col} AS beta, CAST(n AS BIGINT) AS n_rows,
+                   CAST(2 AS INTEGER) AS iterations
+            FROM qt{ti}b2"""
+        for ti, tau in ((0, "0.5"), (1, "0.9"))
+        for term, col in (("_intercept", "b0"), ("x1", "b1"))
+    )
+    return f"""
+            WITH base AS (
+              SELECT CAST(l_quantity AS DOUBLE) / 10.0 AS x1,
+                     CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            qs0 AS (SELECT COUNT(*) AS n,
+                           SUM(CAST(ROUND(1.0 * 1.0 * y
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS g0,
+                           SUM(CAST(ROUND(1.0 * x1 * y
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS g1,
+                           SUM(CAST(ROUND(1.0 * 1.0 * 1.0
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS h00,
+                           SUM(CAST(ROUND(1.0 * 1.0 * x1
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS h01,
+                           SUM(CAST(ROUND(1.0 * x1 * x1
+                                          * 1000000000000.0, 0)
+                                    AS HUGEINT)) AS h11
+                    FROM base),
+            qd0 AS (SELECT n,
+                           CAST(g0 AS DOUBLE) AS g0d,
+                           CAST(g1 AS DOUBLE) AS g1d,
+                           CAST(h00 + 1000000 AS DOUBLE) AS h00d,
+                           CAST(h01 AS DOUBLE) AS h01d,
+                           CAST(h11 + 1000000 AS DOUBLE) AS h11d
+                    FROM qs0),
+            qb0 AS (SELECT n,
+                           ROUND((h11d * g0d - h01d * g1d)
+                                 / (h00d * h11d - h01d * h01d), 12)
+                               AS b0,
+                           ROUND((h00d * g1d - h01d * g0d)
+                                 / (h00d * h11d - h01d * h01d), 12)
+                               AS b1
+                    FROM qd0),
+            {iters}
+{tail}
+        """
+
+
+_ALL_SQL.update({"glm_quantile_lineitem": _quantile_sql()})
+
+
+# ---- round 14: greedy modularity local-move (Louvain phase-1 step) ----
+
+
+def _graph_greedy_modularity(spark, sf_dir):
+    """Louvain-style greedy modularity optimization (ops/graph.py::
+    greedy_modularity_move): 4 deterministic min-ward local-move
+    rounds from singleton communities on the part co-purchase graph —
+    per round one adjacency⋈labels join, one (node, community) count,
+    one community-degree aggregate, one argmax by exact 2m²-scaled
+    integer ΔQ with smallest-label ties; moves only to smaller labels
+    (swap-free, cycle-free). The oracle unrolls all 4 rounds as CTEs
+    and reproduces the final labeling exactly."""
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+    )
+
+    return greedy_modularity_move(
+        _copurchase_edges(spark, sf_dir, part_mod=3), rounds=4
+    )
+
+
+_ALL_QUERIES.update({"graph_greedy_modularity": _graph_greedy_modularity})
+
+
+def _gmod_round_sql(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""
+            kv{r} AS (SELECT a.v AS v, l.community AS c,
+                             COUNT(*) AS k
+                      FROM adj a JOIN {prev} l ON a.u = l.node
+                      GROUP BY 1, 2),
+            cand{r} AS (SELECT v, c, MAX(k) AS k
+                        FROM (SELECT v, c, k FROM kv{r}
+                              UNION ALL
+                              SELECT node, community, 0 FROM {prev})
+                        GROUP BY v, c),
+            tot{r} AS (SELECT l.community AS c,
+                              SUM(d.d) AS tot
+                       FROM {prev} l JOIN deg d ON l.node = d.v
+                       GROUP BY 1),
+            sc{r} AS (SELECT cd.v, cd.c,
+                             2 * CAST(mm.m AS HUGEINT)
+                                 * CAST(cd.k AS HUGEINT)
+                             - CAST(dg.d AS HUGEINT)
+                                 * (CAST(t.tot AS HUGEINT)
+                                    - CASE WHEN cd.c = own.community
+                                           THEN CAST(dg.d AS HUGEINT)
+                                           ELSE CAST(0 AS HUGEINT)
+                                      END) AS s
+                      FROM cand{r} cd
+                      JOIN tot{r} t ON cd.c = t.c
+                      JOIN {prev} own ON cd.v = own.node
+                      JOIN deg dg ON cd.v = dg.v
+                      CROSS JOIN mm
+                      WHERE cd.c <= own.community),
+            l{r} AS (SELECT v AS node, c AS community
+                     FROM (SELECT v, c,
+                                  ROW_NUMBER() OVER (
+                                    PARTITION BY v
+                                    ORDER BY s DESC, c) AS rn
+                           FROM sc{r})
+                     WHERE rn = 1)"""
+
+
+def _gmod_sql() -> str:
+    rounds = ",".join(_gmod_round_sql(r) for r in (1, 2, 3, 4))
+    return f"""
+            WITH e AS ({_copurchase_edges_sql(part_mod=3)}),
+            adj AS (SELECT a AS v, b AS u FROM e
+                    UNION ALL
+                    SELECT b AS v, a AS u FROM e),
+            deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+            mm AS (SELECT COUNT(*) AS m FROM e),
+            l0 AS (SELECT v AS node, v AS community FROM deg),
+            {rounds}
+            SELECT node, community FROM l4
+        """
+
+
+_ALL_SQL.update({"graph_greedy_modularity": _gmod_sql()})
+
+
+# ---- round 14: Holt-Winters (triple exponential smoothing) backtest ----
+
+
+def _events_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters backtest (ops/stats.py::
+    holt_winters_backtest): hourly mean series → last 96 observed
+    buckets → exact pico-int two-season init, 48 recursion steps
+    (12-dp per step) on the driver over the calendar-bounded window,
+    24 held-out forecasts scored MAE/RMSE/sMAPE/MASE with the
+    forecast_baseline_eval conventions. The oracle unrolls init,
+    every recursion step, the forecasts, and the metric sums as CTEs
+    and reproduces the row bit-exactly."""
+    from metadata_etl_framework_spark.ops.stats import (
+        holt_winters_backtest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_winters_backtest(
+        ev, "ts", "value", bucket_seconds=3600, season=24,
+        train_window=72, holdout=24, alpha=0.3, beta=0.05, gamma=0.2,
+    )
+
+
+_ALL_QUERIES.update({"events_holt_winters": _events_holt_winters})
+
+
+def _hw_sql(
+    m: int = 24,
+    train: int = 72,
+    hold: int = 24,
+    a: str = "0.3",
+    be: str = "0.05",
+    ga: str = "0.2",
+) -> str:
+    w = train + hold
+    pico = "1000000000000.0"
+
+    def s_src(pos: int) -> str:
+        # seasonal scalar for 1-based position pos: init row or step CTE
+        if pos <= m:
+            return f"(SELECT s FROM sinit WHERE t = {pos})"
+        return f"(SELECT s FROM st{pos})"
+
+    steps = []
+    for p in range(m + 1, train + 1):
+        prev = "st0" if p == m + 1 else f"st{p - 1}"
+        steps.append(f"""
+            st{p} AS MATERIALIZED (SELECT
+                ROUND({a} * (yy.y - sp.s)
+                      + (1.0 - {a}) * (pv.l + pv.b), 12) AS l,
+                ROUND({be} * (ROUND({a} * (yy.y - sp.s)
+                      + (1.0 - {a}) * (pv.l + pv.b), 12) - pv.l)
+                      + (1.0 - {be}) * pv.b, 12) AS b,
+                ROUND({ga} * (yy.y - ROUND({a} * (yy.y - sp.s)
+                      + (1.0 - {a}) * (pv.l + pv.b), 12))
+                      + (1.0 - {ga}) * sp.s, 12) AS s
+              FROM (SELECT y FROM w WHERE t = {p}) yy,
+                   {prev} pv, {s_src(p - m)} sp)""")
+    fcs = []
+    for h in range(1, hold + 1):
+        q = train - m + ((h - 1) % m) + 1
+        fcs.append(
+            f"SELECT {h} AS h, ROUND(fin.l + {h} * fin.b + sx.s, 12)"
+            f" AS f FROM st{train} fin, {s_src(q)} sx"
+        )
+    fc_union = "\n              UNION ALL\n              ".join(fcs)
+    return f"""
+            WITH bucket AS MATERIALIZED (
+              SELECT FLOOR(EPOCH(ts) / 3600) AS i,
+                     CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                          AS DOUBLE) / COUNT(*) AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1),
+            tl AS MATERIALIZED (SELECT y,
+                          ROW_NUMBER() OVER (ORDER BY i DESC) AS rd
+                   FROM bucket),
+            w AS MATERIALIZED (SELECT {w + 1} - rd AS t, y FROM tl
+                  WHERE rd <= {w}),
+            i1 AS MATERIALIZED (SELECT SUM(CAST(ROUND(y * {pico}, 0) AS HUGEINT))
+                          AS s1
+                   FROM w WHERE t BETWEEN 1 AND {m}),
+            i2 AS MATERIALIZED (SELECT SUM(CAST(ROUND(y * {pico}, 0) AS HUGEINT))
+                          AS s2
+                   FROM w WHERE t BETWEEN {m + 1} AND {2 * m}),
+            st0 AS MATERIALIZED (SELECT
+                      ROUND(CAST(s1 AS DOUBLE) / {pico} / {m}, 12)
+                          AS l,
+                      ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE))
+                            / {pico} / {m} / {m}, 12) AS b
+                    FROM i1, i2),
+            sinit AS MATERIALIZED (SELECT t,
+                             ROUND(y - (SELECT l FROM st0), 12) AS s
+                      FROM w WHERE t <= {m}),
+            {",".join(steps)},
+            fc AS MATERIALIZED ({fc_union}),
+            err AS MATERIALIZED (SELECT
+                      SUM(CAST(ROUND(ABS(w.y - fc.f) * {pico}, 0)
+                               AS HUGEINT)) AS sae,
+                      SUM(CAST(ROUND(ABS(w.y - fc.f)
+                                     * ABS(w.y - fc.f) * {pico}, 0)
+                               AS HUGEINT)) AS sse,
+                      SUM(CAST(ROUND(CASE
+                            WHEN ABS(w.y) + ABS(fc.f) > 0
+                            THEN 2.0 * ABS(w.y - fc.f)
+                                 / (ABS(w.y) + ABS(fc.f))
+                            ELSE 0.0 END * {pico}, 0)
+                               AS HUGEINT)) AS ssm
+                    FROM fc JOIN w ON w.t = {train} + fc.h),
+            nv AS MATERIALIZED (SELECT
+                     SUM(CAST(ROUND(ABS(b2.y - a2.y) * {pico}, 0)
+                              AS HUGEINT)) AS nae
+                   FROM w a2 JOIN w b2 ON b2.t = a2.t + 1
+                   WHERE b2.t <= {train})
+            SELECT CAST({m} AS INTEGER) AS season,
+                   {a} AS alpha, {be} AS beta, {ga} AS gamma,
+                   CAST({train} AS BIGINT) AS n_train,
+                   CAST({hold} AS BIGINT) AS n_test,
+                   ROUND(fin.l, 6) AS level,
+                   ROUND(fin.b, 6) AS trend,
+                   ROUND(CAST(sae AS DOUBLE) / {pico} / {hold}, 6)
+                       AS mae,
+                   ROUND(SQRT(CAST(sse AS DOUBLE) / {pico} / {hold}),
+                         6) AS rmse,
+                   ROUND(CAST(ssm AS DOUBLE) / {pico} / {hold}, 6)
+                       AS smape,
+                   CASE WHEN CAST(nae AS DOUBLE) / {pico}
+                             / {train - 1} > 0
+                        THEN ROUND((CAST(sae AS DOUBLE) / {pico}
+                                    / {hold})
+                                   / (CAST(nae AS DOUBLE) / {pico}
+                                      / {train - 1}), 6)
+                   END AS mase
+            FROM st{train} fin, err, nv
+        """
+
+
+_ALL_SQL.update({"events_holt_winters": _hw_sql()})

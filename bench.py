@@ -214,6 +214,14 @@ HEADLINE = [
     "graph_eigenvector_trade",
     "anomaly_hbos_lineitem",
     "events_rmst",
+    # round-14: joint-tau quantile IRLS (shared scan per pass through
+    # the two-level exact aggregation), the min-ward greedy modularity
+    # rounds on the co-purchase graph, and the Holt-Winters backtest
+    # (driver recursion over the calendar-bounded window; the timing
+    # is the bucket groupBy + last-window pick)
+    "glm_quantile_lineitem",
+    "graph_greedy_modularity",
+    "events_holt_winters",
 ]
 
 

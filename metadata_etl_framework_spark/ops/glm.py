@@ -44,6 +44,7 @@ __all__ = [
     "logistic_cv",
     "poisson_train",
     "huber_train",
+    "quantile_train",
 ]
 
 _SCALE = 10**12
@@ -838,3 +839,142 @@ def huber_train(
         ],
         "ord int, term string, beta double, n_rows long, iterations int",
     ).orderBy("ord").drop("ord")
+
+
+def quantile_train(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    taus: "Sequence[float]" = (0.5, 0.9),
+    iterations: int = 3,
+    ridge: float = 1e-6,
+    eps: float = 1e-6,
+    max_features: int = 8,
+) -> DataFrame:
+    """Quantile (pinball-loss) regression by IRLS — completes the
+    in-engine GLM family across the target's SHAPE: OLS/ridge fit the
+    mean, :func:`huber_train` fits the mean robustly, logistic fits a
+    rate, Poisson fits a count, and this fits the τ-QUANTILE of
+    y | x — the P50/P90 latency line, the demand band, the fee
+    percentile — the regression a capacity or pricing pipeline
+    actually wants when the tail matters more than the average. The
+    eval metric already exists (ops/evaluation.py::pinball_loss); this
+    is its trainer.
+
+    Minimizing Σ ρ_τ(r), ρ_τ(r) = r·(τ − 1[r<0]), by the classic IRLS
+    surrogate: ρ_τ(r) = w(r)·r² with w = |τ − 1[r<0]| / |r|, so each
+    pass solves the weighted normal equations (XᵀWX + λI)β = XᵀWy
+    under the weights of the PREVIOUS betas, with |r| floored at
+    ``eps`` (the standard smoothing that keeps zero residuals finite;
+    the floor is a plan literal an oracle replays). Starts from the
+    closed-form OLS solution, exactly like :func:`huber_train`.
+
+    ALL requested quantiles train in the same passes: iteration i is
+    ONE scan collecting every τ's gradient/Hessian pico-int sums
+    side by side (|taus|·(d + d(d+1)/2) streams through the two-level
+    exact path — ops/exact_agg.py), so the τ-grid costs scans, not
+    scans × quantiles. Coefficients round to 12 dp between passes; the
+    whole unroll replays bit-exactly as CTEs (the glm oracle
+    convention).
+
+    IRLS for quantile loss converges in distribution-typical cases but
+    is a fixed-point heuristic (exact LP solutions need simplex /
+    interior-point — wrong shape for one-pass distributed scans); a
+    fixed small ``iterations`` is both the scale-right and the
+    replayable choice.
+
+    Output: one row per (tau, coefficient) — (tau double, term string,
+    beta 12 dp, n_rows long, iterations int), tau ascending, intercept
+    first within tau.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if len(feature_cols) > max_features:
+        raise ValueError(
+            f"quantile_train: {len(feature_cols)} features > "
+            f"max_features={max_features}"
+        )
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not taus:
+        raise ValueError("taus must be non-empty")
+    ts = [float(t) for t in taus]
+    if len(set(ts)) != len(ts):
+        raise ValueError("taus must be distinct")
+    if any(not (0.0 < t < 1.0) for t in ts):
+        raise ValueError("each tau must be in (0, 1)")
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    cond = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    d = len(feature_cols) + 1
+    xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
+    ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
+
+    def _solve_cell(row, prefix: str) -> "list[float]":
+        g = [float(int(row[f"{prefix}g{j}"])) for j in range(d)]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(
+                    int(row[f"{prefix}h{j}{k}"])
+                    + (ridge_i if j == k else 0)
+                )
+                h[j][k] = v
+                h[k][j] = v
+        return [round(b, 12) for b in _solve(h, g)]
+
+    base = base.persist()
+    try:
+        # shared OLS init (w = 1): one pass, τ-independent
+        terms = {}
+        for j in range(d):
+            terms[f"_g{j}"] = xs[j] * F.col("_y")
+        for j in range(d):
+            for k in range(j, d):
+                terms[f"_h{j}{k}"] = xs[j] * xs[k]
+        row = exact_pico_sums(base, terms, count_alias="_n").collect()[0]
+        n_rows = int(row["_n"])
+        if n_rows == 0:
+            raise ValueError("quantile_train: no usable rows")
+        betas = {t: _solve_cell(row, "_") for t in ts}
+        for _ in range(int(iterations)):
+            terms = {}
+            for ti, t in enumerate(ts):
+                z = F.lit(betas[t][0])
+                for j in range(1, d):
+                    z = z + F.lit(betas[t][j]) * xs[j]
+                r = F.col("_y") - z
+                w = F.abs(
+                    F.lit(t) - F.when(r < 0, F.lit(1.0)).otherwise(0.0)
+                ) / F.greatest(F.abs(r), F.lit(float(eps)))
+                for j in range(d):
+                    terms[f"_t{ti}_g{j}"] = w * xs[j] * F.col("_y")
+                for j in range(d):
+                    for k in range(j, d):
+                        terms[f"_t{ti}_h{j}{k}"] = w * xs[j] * xs[k]
+            row = exact_pico_sums(base, terms).collect()[0]
+            betas = {
+                t: _solve_cell(row, f"_t{ti}_") for ti, t in enumerate(ts)
+            }
+    finally:
+        base.unpersist()
+    spark = df.sparkSession
+    names = ["_intercept"] + list(feature_cols)
+    return spark.createDataFrame(
+        [
+            (ti, i, t, nm, betas[t][i], n_rows, int(iterations))
+            for ti, t in enumerate(sorted(ts))
+            for i, nm in enumerate(names)
+        ],
+        "tord int, ord int, tau double, term string, beta double, "
+        "n_rows long, iterations int",
+    ).orderBy("tord", "ord").drop("tord", "ord")

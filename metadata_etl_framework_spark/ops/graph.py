@@ -38,6 +38,7 @@ __all__ = [
     "link_prediction",
     "assortativity",
     "modularity",
+    "greedy_modularity_move",
     "eigenvector_centrality",
 ]
 
@@ -1562,6 +1563,159 @@ def modularity(
         )
         .orderBy("community")
     )
+
+
+def greedy_modularity_move(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    labels: "DataFrame | None" = None,
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Deterministic Louvain-style local-move rounds — the OPTIMIZER
+    for the metric :func:`modularity` scores: each round, eligible
+    nodes move to the neighbor community (or stay) with the best
+    exact modularity gain, deciding against the previous labeling.
+    Complements :func:`label_propagation` (which optimizes nothing —
+    it follows neighbor majorities) with a pass that greedily
+    improves Q for every move it picks.
+
+    ΔQ comparisons run in EXACT integer arithmetic scaled by 2m²:
+    for node v with degree d_v, candidate community c scores
+    ``2m·k_{v,c} − d_v·(Σtot_c − [c = c_v]·d_v)`` where k_{v,c} is
+    v's edge count into c and Σtot_c the community degree sum (v
+    removed from its own community when evaluating "stay" — the
+    standard Louvain formulation with c-independent terms dropped).
+    Scores accumulate as DECIMAL(38,0) products of exact counts; the
+    argmax tie-breaks on the SMALLEST community label, so the whole
+    pass is a pure function of the previous labeling and replays in
+    ANSI SQL (fixed-round unrolled-CTE oracle, like
+    :func:`label_propagation`).
+
+    A fixed small ``rounds`` is the scale-right choice: full Louvain
+    iterates phase 1 to convergence then contracts the graph — a
+    data-dependent loop no fixed oracle can replay; a few rounds
+    capture most of the gain and keep the plan bounded.
+
+    FULLY synchronous moves oscillate: two singleton neighbors each
+    swap into the other's community forever (observed on the
+    two-triangle toy graph — hash-parity alternation does not fix it,
+    since same-parity neighbors still move together). Moves are
+    therefore restricted to communities with a STRICTLY SMALLER label
+    than the node's own ("min-ward" moves): a swap needs one label
+    increase, so swaps are impossible, and Σ labels strictly
+    decreases with every move — the process can never cycle, for any
+    node-id type. Community labels are arbitrary names, so the
+    restriction costs little: the best merge still happens, anchored
+    at its smallest member (the connected-components keeper
+    convention), and on the toy graph one round reaches the optimal
+    partition.
+
+    Scale shape per round: one equi-join of the adjacency against the
+    O(nodes) label frame, one groupBy((v, c)) count, one small
+    community-degree aggregate joined back, one groupBy(v) argmin —
+    row-scale equi-shuffles only; m enters once as a driver literal
+    from a 1-row count. Label frames follow the
+    :func:`_materialize_iter` truncation discipline.
+
+    ``labels``: optional starting assignment (node, community);
+    default = singleton communities (each node its own id).
+    Output: (node, community) after ``rounds`` rounds.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = _undirected(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(
+            und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        .persist()
+    )
+    m = adj.count() // 2
+    if m == 0:
+        adj.unpersist()
+        raise ValueError("greedy_modularity_move: no edges")
+    deg = _materialize_iter(
+        adj.groupBy("v").agg(F.count(F.lit(1)).alias("_d")),
+        truncate=True,
+    )
+    if labels is None:
+        lab = deg.select(
+            F.col("v").alias("node"), F.col("v").alias("community")
+        )
+    else:
+        lab = labels.select(
+            F.col(node_col).alias("node"),
+            F.col(label_col).alias("community"),
+        ).distinct()
+    lab = _materialize_iter(lab, truncate=True)
+    two_m = F.lit(int(2 * m)).cast("decimal(38,0)")
+    for _ in range(int(rounds)):
+        # k_{v,c}: v's edge multiplicity into each neighbor community
+        kvc = (
+            adj.join(
+                lab.select(
+                    F.col("node").alias("u"),
+                    F.col("community").alias("c"),
+                ),
+                "u",
+            )
+            .groupBy("v", "c")
+            .agg(F.count(F.lit(1)).alias("_k"))
+        )
+        # "stay" is always a candidate, even with no intra neighbors
+        cand = kvc.unionByName(
+            lab.select(
+                F.col("node").alias("v"),
+                F.col("community").alias("c"),
+                F.lit(0).cast("long").alias("_k"),
+            )
+        ).groupBy("v", "c").agg(F.max("_k").alias("_k"))
+        tot = (
+            lab.join(deg, lab["node"] == deg["v"])
+            .groupBy("community")
+            .agg(F.sum("_d").alias("_tot"))
+            .select(F.col("community").alias("c"), "_tot")
+        )
+        own = lab.select(
+            F.col("node").alias("v"), F.col("community").alias("_cv")
+        )
+        score = two_m * F.col("_k").cast("decimal(38,0)") - F.col(
+            "_d"
+        ).cast("decimal(38,0)") * (
+            F.col("_tot").cast("decimal(38,0)")
+            - F.when(
+                F.col("c") == F.col("_cv"), F.col("_d")
+            ).otherwise(F.lit(0)).cast("decimal(38,0)")
+        )
+        new_lab = (
+            cand.join(tot, "c")
+            .join(own, "v")
+            .join(deg, "v")
+            # min-ward restriction: candidates are v's own community
+            # ("stay") and neighbor communities with a smaller label
+            .where(F.col("c") <= F.col("_cv"))
+            .select("v", "c", score.alias("_s"))
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_s")).alias("ns"), F.col("c"))
+                ).alias("_m")
+            )
+            .select(
+                F.col("v").alias("node"),
+                F.col("_m.c").alias("community"),
+            )
+        )
+        prev = lab
+        lab = _materialize_iter(new_lab, truncate=True)
+        prev.unpersist()
+    adj.unpersist()
+    deg.unpersist()
+    return lab
 
 
 def eigenvector_centrality(

@@ -46,6 +46,7 @@ __all__ = [
     "spearman_corr",
     "kruskal_wallis",
     "ar_forecast",
+    "holt_winters_backtest",
     "esd_outliers",
     "ab_ratio_delta",
 ]
@@ -1787,6 +1788,155 @@ def ar_forecast(
         "step int, forecast double, mu double, phi1 double, "
         "phi2 double, n_buckets long",
     ).orderBy("step")
+
+
+def holt_winters_backtest(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+    season: int = 24,
+    train_window: int = 72,
+    holdout: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) BACKTEST —
+    the level+trend+seasonality forecaster between the seasonal-naive
+    baseline (functions/aggregations.py::forecast_baseline_eval) and
+    the AR(2) line (:func:`ar_forecast`): train on the last
+    ``train_window`` observed buckets before a ``holdout`` tail, then
+    score the holdout forecasts with the SAME metric conventions as
+    the baseline harness (MAE / RMSE / sMAPE with the both-zero→0
+    rule; MASE = MAE ÷ train persistence MAE).
+
+    Recursion (standard additive HW, smoothing constants fixed —
+    they are plan parameters, not fitted):
+    ``l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})``,
+    ``b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}``,
+    ``s_t = γ(y_t − l_t) + (1−γ)s_{t−m}``; init over the first two
+    seasons of the train window: l₀ = mean(season 1), b₀ =
+    (mean(season 2) − mean(season 1))/m, s_j = y_j − l₀ — the means
+    from EXACT pico-int sums so they are order-independent. Forecast
+    ``ŷ_{T+h} = l_T + h·b_T + s_{T−m+((h−1) mod m)}``.
+
+    Scale/replay design: the bucket series is a distributed row-scale
+    groupBy; everything after runs on the CALENDAR-BOUNDED bucket
+    grid, and only the last ``train_window + holdout`` bucket rows
+    (≤ a few hundred BY CONSTRUCTION — the window is a fixed
+    parameter, not data-sized) are collected for the driver-side
+    recursion. Every recursion step rounds to 12 dp, so a fixed-step
+    unrolled-CTE oracle replays the whole backtest bit-exactly — the
+    reason ``train_window`` is a fixed parameter (a data-dependent
+    length could not be unrolled). Buckets are consumed POSITIONALLY
+    in bucket order (phase = position mod m) — gaps are treated as
+    consecutive observations, :func:`ar_forecast`'s irregular-series
+    simplification. Metric error terms round to 12-dp pico-ints and
+    sum exactly.
+
+    Raises if the series has fewer than ``train_window + holdout``
+    buckets or ``train_window < 2·season`` (the init needs two full
+    seasons). Output: 1 row — (season, alpha, beta, gamma, n_train,
+    n_test, level 6dp, trend 6dp, mae 6dp, rmse 6dp, smape 6dp,
+    mase 6dp).
+    """
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    if season < 2:
+        raise ValueError("season must be >= 2")
+    if train_window < 2 * season:
+        raise ValueError("train_window must be >= 2*season")
+    if holdout < 1:
+        raise ValueError("holdout must be >= 1")
+    if train_window + holdout > 4096:
+        raise ValueError(
+            "train_window + holdout > 4096 — the driver-side "
+            "recursion window must stay bounded"
+        )
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < float(v) < 1.0):
+            raise ValueError(f"{nm} must be in (0, 1)")
+    x = F.col(value_col).cast("double")
+    w = int(train_window) + int(holdout)
+    series = (
+        df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+        .groupBy(
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / bucket_seconds
+            ).alias("i")
+        )
+        .agg(
+            (
+                F.sum(x.cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+    )
+    tail = series.orderBy(F.col("i").desc()).limit(w).collect()
+    if len(tail) < w:
+        raise ValueError(
+            f"holt_winters_backtest: need >= {w} buckets, "
+            f"got {len(tail)}"
+        )
+    ys = [float(r["y"]) for r in sorted(tail, key=lambda r: r["i"])]
+    m = int(season)
+    T = int(train_window)
+    a, b_, g_ = float(alpha), float(beta), float(gamma)
+    # init means from exact pico-int sums (order-independent)
+    sum1 = sum(round(y * 1e12) for y in ys[:m])
+    sum2 = sum(round(y * 1e12) for y in ys[m:2 * m])
+    l = round(float(sum1) / 1e12 / m, 12)
+    b = round((float(sum2) - float(sum1)) / 1e12 / m / m, 12)
+    s = [round(ys[j] - l, 12) for j in range(m)]
+    for t in range(m, T):
+        sp = s[t - m]
+        ln = round(a * (ys[t] - sp) + (1.0 - a) * (l + b), 12)
+        b = round(b_ * (ln - l) + (1.0 - b_) * b, 12)
+        s.append(round(g_ * (ys[t] - ln) + (1.0 - g_) * sp, 12))
+        l = ln
+    # holdout forecasts + exact pico-int metric sums
+    sae = sse = ssm = 0
+    for h in range(1, int(holdout) + 1):
+        f = round(l + h * b + s[T - m + ((h - 1) % m)], 12)
+        y = ys[T + h - 1]
+        ae = abs(y - f)
+        sae += round(ae * 1e12)
+        sse += round(ae * ae * 1e12)
+        den = abs(y) + abs(f)
+        ssm += round((2.0 * ae / den if den > 0 else 0.0) * 1e12)
+    nae = sum(
+        round(abs(ys[t] - ys[t - 1]) * 1e12) for t in range(1, T)
+    )
+    import math
+
+    n_test = int(holdout)
+    mae = float(sae) / 1e12 / n_test
+    rmse = math.sqrt(float(sse) / 1e12 / n_test)
+    smape = float(ssm) / 1e12 / n_test
+    naive_mae = float(nae) / 1e12 / (T - 1)
+    mase = mae / naive_mae if naive_mae > 0 else None
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                m,
+                a,
+                b_,
+                g_,
+                T,
+                n_test,
+                round(l, 6),
+                round(b, 6),
+                round(mae, 6),
+                round(rmse, 6),
+                round(smape, 6),
+                round(mase, 6) if mase is not None else None,
+            )
+        ],
+        "season int, alpha double, beta double, gamma double, "
+        "n_train long, n_test long, level double, trend double, "
+        "mae double, rmse double, smape double, mase double",
+    )
 
 
 def esd_outliers(

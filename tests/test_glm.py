@@ -416,3 +416,104 @@ def test_huber_resists_outliers_vs_ols(spark):
     assert abs(hub["_intercept"] - 2.0) < abs(ols["_intercept"] - 2.0)
     with pytest.raises(ValueError, match="delta"):
         huber_train(df, ["x"], "y", delta=0.0)
+
+
+def test_quantile_matches_python_replica_exactly(spark):
+    """Pin the quantile-IRLS loop (shared OLS init + 2 reweighted
+    passes per tau) against a pure-python replica with identical
+    pico-int rounding and the same |r|-floor literal."""
+    from metadata_etl_framework_spark.ops.glm import quantile_train
+
+    rows = [(float(i % 9) / 4.0,
+             1.0 + 0.5 * (i % 9) / 4.0 + 0.31 * (i % 7) - 0.9)
+            for i in range(250)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r["tau"], r["term"]): r["beta"] for r in
+           quantile_train(df, ["x"], "y", taus=(0.5, 0.9),
+                          iterations=2, ridge=1e-6,
+                          eps=1e-6).collect()}
+
+    ridge_i = 10**6
+
+    def wpass(tau, b0, b1, use_w):
+        g0i = g1i = h00i = h01i = h11i = 0
+        for x, y in rows:
+            if use_w:
+                r = y - (b0 + b1 * x)
+                w = abs(tau - (1.0 if r < 0 else 0.0)) / max(
+                    abs(r), 1e-6
+                )
+            else:
+                w = 1.0
+            g0i += round(w * 1.0 * y * 1e12)
+            g1i += round(w * x * y * 1e12)
+            h00i += round(w * 1.0 * 1.0 * 1e12)
+            h01i += round(w * 1.0 * x * 1e12)
+            h11i += round(w * x * x * 1e12)
+        h00 = float(h00i + ridge_i)
+        h11 = float(h11i + ridge_i)
+        h01 = float(h01i)
+        g0, g1 = float(g0i), float(g1i)
+        det = h00 * h11 - h01 * h01
+        return (round((h11 * g0 - h01 * g1) / det, 12),
+                round((h00 * g1 - h01 * g0) / det, 12))
+
+    for tau in (0.5, 0.9):
+        b0, b1 = wpass(tau, 0.0, 0.0, False)
+        for _ in range(2):
+            b0, b1 = wpass(tau, b0, b1, True)
+        assert out[(tau, "_intercept")] == b0
+        assert out[(tau, "x")] == b1
+
+
+def test_quantile_orders_by_tau(spark):
+    """On right-skewed noise the fitted P90 line must sit ABOVE the
+    P50 line across the x range, and each tau's fit must score better
+    on ITS OWN pinball loss than the other tau's fit."""
+    from metadata_etl_framework_spark.ops.glm import quantile_train
+
+    rows = []
+    for i in range(2000):
+        x = float(i % 10)
+        noise = (i % 20) ** 2 / 40.0  # right-skewed 0..~9
+        rows.append((x, 1.0 + 2.0 * x + noise))
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r["tau"], r["term"]): r["beta"] for r in
+           quantile_train(df, ["x"], "y", taus=(0.5, 0.9),
+                          iterations=8).collect()}
+    for x in (0.0, 5.0, 9.0):
+        lo = got[(0.5, "_intercept")] + got[(0.5, "x")] * x
+        hi = got[(0.9, "_intercept")] + got[(0.9, "x")] * x
+        assert hi > lo
+
+    def pinball(tau, b0, b1):
+        tot = 0.0
+        for x, y in rows:
+            r = y - (b0 + b1 * x)
+            tot += r * tau if r >= 0 else -r * (1.0 - tau)
+        return tot / len(rows)
+
+    for tau, other in ((0.5, 0.9), (0.9, 0.5)):
+        own = pinball(tau, got[(tau, "_intercept")], got[(tau, "x")])
+        cross = pinball(
+            tau, got[(other, "_intercept")], got[(other, "x")]
+        )
+        assert own < cross
+
+
+def test_quantile_gates(spark):
+    from metadata_etl_framework_spark.ops.glm import quantile_train
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match="non-empty"):
+        quantile_train(df, [], "y")
+    with pytest.raises(ValueError, match="tau"):
+        quantile_train(df, ["x"], "y", taus=())
+    with pytest.raises(ValueError, match="tau"):
+        quantile_train(df, ["x"], "y", taus=(0.5, 0.5))
+    with pytest.raises(ValueError, match="tau"):
+        quantile_train(df, ["x"], "y", taus=(1.5,))
+    with pytest.raises(ValueError, match="eps"):
+        quantile_train(df, ["x"], "y", eps=0.0)
+    with pytest.raises(ValueError, match="no usable rows"):
+        quantile_train(df.where(F.col("x") > 5), ["x"], "y")

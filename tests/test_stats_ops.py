@@ -949,3 +949,94 @@ def test_ab_ratio_delta_two_variant_gate(spark):
     )
     with pytest.raises(ValueError, match="2 variants"):
         ab_ratio_delta(df, "g", "x", "y", "u")
+
+
+def _hw_series_df(spark, n=120, season=6, trend=0.5, amp=10.0):
+    """Synthetic hourly series with linear trend + season-6 pattern."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for t in range(n):
+        y = 100.0 + trend * t + amp * ((t % season) - season / 2.0)
+        rows.append((base + datetime.timedelta(hours=t), y))
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_holt_winters_beats_persistence_on_seasonal_trend(spark):
+    """On a clean trend+season series Holt-Winters must backtest with
+    MASE well below 1 (persistence is blind to both components) and a
+    positive fitted trend near the true slope."""
+    from metadata_etl_framework_spark.ops.stats import (
+        holt_winters_backtest,
+    )
+
+    df = _hw_series_df(spark, n=120, season=6, trend=0.5, amp=10.0)
+    row = holt_winters_backtest(
+        df, "ts", "value", bucket_seconds=3600, season=6,
+        train_window=96, holdout=24, alpha=0.5, beta=0.1, gamma=0.3,
+    ).collect()[0]
+    assert row["n_train"] == 96 and row["n_test"] == 24
+    assert row["mase"] < 0.5
+    assert 0.2 < row["trend"] < 0.8
+    assert row["smape"] < 0.05
+
+
+def test_holt_winters_python_replica(spark):
+    """Bit-exact pin of init + recursion + forecast + metrics against
+    a pure-python replica with the same 12-dp/pico-int conventions."""
+    from metadata_etl_framework_spark.ops.stats import (
+        holt_winters_backtest,
+    )
+
+    n, m, T, H = 60, 4, 40, 20
+    a, be, ga = 0.3, 0.05, 0.2
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ys = [50.0 + 0.3 * t + 5.0 * ((t * t) % 7) for t in range(n)]
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=t), ys[t]) for t in range(n)],
+        "ts timestamp, value double",
+    )
+    row = holt_winters_backtest(
+        df, "ts", "value", season=m, train_window=T, holdout=H,
+        alpha=a, beta=be, gamma=ga,
+    ).collect()[0]
+
+    w = ys[-(T + H):]
+    s1 = sum(round(y * 1e12) for y in w[:m])
+    s2 = sum(round(y * 1e12) for y in w[m:2 * m])
+    l = round(float(s1) / 1e12 / m, 12)
+    b = round((float(s2) - float(s1)) / 1e12 / m / m, 12)
+    s = [round(w[j] - l, 12) for j in range(m)]
+    for t in range(m, T):
+        sp = s[t - m]
+        ln = round(a * (w[t] - sp) + (1.0 - a) * (l + b), 12)
+        b = round(be * (ln - l) + (1.0 - be) * b, 12)
+        s.append(round(ga * (w[t] - ln) + (1.0 - ga) * sp, 12))
+        l = ln
+    sae = 0
+    for h in range(1, H + 1):
+        f = round(l + h * b + s[T - m + ((h - 1) % m)], 12)
+        sae += round(abs(w[T + h - 1] - f) * 1e12)
+    assert row["level"] == round(l, 6)
+    assert row["trend"] == round(b, 6)
+    assert row["mae"] == round(float(sae) / 1e12 / H, 6)
+
+
+def test_holt_winters_gates(spark):
+    from metadata_etl_framework_spark.ops.stats import (
+        holt_winters_backtest,
+    )
+
+    df = _hw_series_df(spark, n=30, season=6)
+    with pytest.raises(ValueError, match="train_window"):
+        holt_winters_backtest(df, "ts", "value", season=24,
+                              train_window=24)
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters_backtest(df, "ts", "value", season=6,
+                              train_window=12, alpha=1.0)
+    with pytest.raises(ValueError, match="need >="):
+        holt_winters_backtest(df, "ts", "value", season=6,
+                              train_window=24, holdout=24)

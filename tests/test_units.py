@@ -2294,3 +2294,99 @@ def test_rmst_hand_math_step_curve(spark):
     # S(0)=0.666667 over [0,10) + S(10)=0.333333 over [10,15)
     assert r["rmst_days"] == round(0.666667 * 10 + 0.333333 * 5, 6)
     assert r["tau"] == 15 and r["n_users"] == 3
+
+
+def test_greedy_modularity_move_collapses_triangles(spark):
+    """Two triangles bridged by one edge: 4 min-ward rounds from
+    singletons must reach the optimal partition (each triangle one
+    community, Q = 2 * (3/7 - (7/14)^2) = 0.357142) and be a fixpoint
+    afterwards; Q must improve monotonically with rounds."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+        modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+
+    def q_of(lab):
+        return modularity(edges, lab).agg(
+            F.sum("q_contrib").alias("q")
+        ).collect()[0]["q"]
+
+    qs = []
+    for rounds in (1, 2, 4):
+        lab = greedy_modularity_move(edges, rounds=rounds)
+        qs.append(q_of(lab))
+    assert qs == sorted(qs)
+    assert abs(qs[-1] - 0.357142) < 1e-6
+    lab4 = {
+        r["node"]: r["community"]
+        for r in greedy_modularity_move(edges, rounds=4).collect()
+    }
+    lab6 = {
+        r["node"]: r["community"]
+        for r in greedy_modularity_move(edges, rounds=6).collect()
+    }
+    assert lab4 == lab6  # converged partition is a move fixpoint
+    # partition content: the two triangles, whatever the label names
+    groups = {}
+    for n, c in lab4.items():
+        groups.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, groups.values())) == [
+        [1, 2, 3], [4, 5, 6],
+    ]
+
+
+def test_greedy_modularity_move_never_swaps(spark):
+    """A single edge between two singletons: the min-ward rule lets
+    only the LARGER-labeled node move, so the pair merges instead of
+    swapping (the synchronous-update pathology this op must avoid)."""
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+    )
+
+    edges = spark.createDataFrame([(7, 9)], "src long, dst long")
+    lab = {
+        r["node"]: r["community"]
+        for r in greedy_modularity_move(edges, rounds=3).collect()
+    }
+    assert lab == {7: 7, 9: 7}
+
+
+def test_greedy_modularity_move_respects_start_labels(spark):
+    """Starting from a given labeling (not singletons), nodes refine
+    it: a wrongly-assigned node joins its triangle's community."""
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    start = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 4), (4, 4), (5, 4), (6, 4)],
+        "node long, community long",
+    )
+    lab = {
+        r["node"]: r["community"]
+        for r in greedy_modularity_move(
+            edges, rounds=2, labels=start
+        ).collect()
+    }
+    assert lab[3] == 1  # rejoined its triangle
+    assert lab[1] == lab[2] == 1
+    assert lab[4] == lab[5] == lab[6] == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        greedy_modularity_move(edges, rounds=0)
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="no edges"):
+        greedy_modularity_move(empty, rounds=1)
