@@ -17947,6 +17947,9 @@ _ALL_QUERIES.update({"graph_greedy_modularity": _graph_greedy_modularity})
 
 def _gmod_round_sql(r: int) -> str:
     prev = f"l{r - 1}"
+    # round r is 1-based here; spark round r-1 is 0-based: even spark
+    # rounds move only to smaller labels, odd only to larger
+    direction = "<=" if (r - 1) % 2 == 0 else ">="
     return f"""
             kv{r} AS (SELECT a.v AS v, l.community AS c,
                              COUNT(*) AS k
@@ -17975,7 +17978,7 @@ def _gmod_round_sql(r: int) -> str:
                       JOIN {prev} own ON cd.v = own.node
                       JOIN deg dg ON cd.v = dg.v
                       CROSS JOIN mm
-                      WHERE cd.c <= own.community),
+                      WHERE cd.c {direction} own.community),
             l{r} AS (SELECT v AS node, c AS community
                      FROM (SELECT v, c,
                                   ROW_NUMBER() OVER (

@@ -1602,16 +1602,21 @@ def greedy_modularity_move(
     FULLY synchronous moves oscillate: two singleton neighbors each
     swap into the other's community forever (observed on the
     two-triangle toy graph — hash-parity alternation does not fix it,
-    since same-parity neighbors still move together). Moves are
-    therefore restricted to communities with a STRICTLY SMALLER label
-    than the node's own ("min-ward" moves): a swap needs one label
-    increase, so swaps are impossible, and Σ labels strictly
-    decreases with every move — the process can never cycle, for any
-    node-id type. Community labels are arbitrary names, so the
-    restriction costs little: the best merge still happens, anchored
-    at its smallest member (the connected-components keeper
-    convention), and on the toy graph one round reaches the optimal
-    partition.
+    since same-parity neighbors still move together). Each round
+    therefore restricts the move DIRECTION in label order: even
+    rounds (0-based) allow only moves to a SMALLER community label,
+    odd rounds only to a LARGER one ("stay" is always allowed, and
+    ties keep the smaller label, so label-increasing moves happen
+    only on STRICT gain). A swap inside one round would need one
+    label-increasing and one label-decreasing move — impossible in
+    either round type. Pure min-ward (the one-direction variant) is
+    provably cycle-free but TRAPS defectors: on a ring of cliques
+    every clique's min-labeled node wanders into the previous
+    clique's (smaller-labeled) community and can never climb back —
+    measured Q 0.795 vs 0.978 for the alternating rule on the
+    60×20-clique stress ring, where alternation coalesces every
+    clique exactly. Use an EVEN ``rounds`` so both directions run
+    equally.
 
     Scale shape per round: one equi-join of the adjacency against the
     O(nodes) label frame, one groupBy((v, c)) count, one small
@@ -1653,7 +1658,7 @@ def greedy_modularity_move(
         ).distinct()
     lab = _materialize_iter(lab, truncate=True)
     two_m = F.lit(int(2 * m)).cast("decimal(38,0)")
-    for _ in range(int(rounds)):
+    for rnd in range(int(rounds)):
         # k_{v,c}: v's edge multiplicity into each neighbor community
         kvc = (
             adj.join(
@@ -1695,9 +1700,14 @@ def greedy_modularity_move(
             cand.join(tot, "c")
             .join(own, "v")
             .join(deg, "v")
-            # min-ward restriction: candidates are v's own community
-            # ("stay") and neighbor communities with a smaller label
-            .where(F.col("c") <= F.col("_cv"))
+            # direction restriction (docstring): even rounds move only
+            # toward smaller labels, odd rounds only toward larger;
+            # "stay" (c = own) is always a candidate
+            .where(
+                F.col("c") <= F.col("_cv")
+                if rnd % 2 == 0
+                else F.col("c") >= F.col("_cv")
+            )
             .select("v", "c", score.alias("_s"))
             .groupBy("v")
             .agg(

@@ -1094,3 +1094,107 @@ def test_countmin_rollup_bounded_at_6m(big, spark):
         F.col("k").isNotNull() & F.col("ts").isNotNull()
     ).count()
     assert total == 3 * n  # every row lands in depth counters
+
+
+def test_exact_pico_sums_bit_identical_at_6m(big, spark):
+    """The two-level exact path must reproduce the single-level
+    DECIMAL(38,0) sums BIT-IDENTICALLY at 6M rows — the property the
+    GLM/GMM trainers' oracle hashes rest on — including a grouped
+    variant and the count."""
+    from metadata_etl_framework_spark.ops.exact_agg import (
+        exact_pico_sums,
+    )
+
+    base = big.select(
+        (F.col("l_quantity").cast("double") / 10.0).alias("x"),
+        (F.col("l_extendedprice").cast("double") / 100000.0).alias(
+            "y"
+        ),
+        (F.col("l_orderkey") % 4).alias("g"),
+    )
+    terms = {
+        "sx": F.col("x"),
+        "sxy": F.col("x") * F.col("y"),
+        "syy": F.col("y") * F.col("y"),
+    }
+    fast = exact_pico_sums(base, terms, count_alias="n").collect()[0]
+    slow = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.round(t * F.lit(1e12)).cast("decimal(38,0)")
+            ).alias(k)
+            for k, t in terms.items()
+        ],
+    ).collect()[0]
+    assert int(fast["n"]) == int(slow["n"])
+    for k in terms:
+        assert int(fast[k]) == int(slow[k])
+
+    gfast = {
+        int(r["g"]): r
+        for r in exact_pico_sums(
+            base, terms, group_cols=["g"], count_alias="n"
+        ).collect()
+    }
+    gslow = {
+        int(r["g"]): r
+        for r in base.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.round(t * F.lit(1e12)).cast("decimal(38,0)")
+                ).alias(k)
+                for k, t in terms.items()
+            ],
+        )
+        .collect()
+    }
+    assert set(gfast) == set(gslow)
+    for g in gfast:
+        for k in list(terms) + ["n"]:
+            assert int(gfast[g][k]) == int(gslow[g][k])
+
+
+def test_greedy_modularity_deterministic_on_ring_of_cliques(spark):
+    """4 alternating-direction rounds on a 60x20 ring of cliques: two
+    runs must be IDENTICAL (the determinism the unrolled oracle
+    depends on), every clique must coalesce (this is the graph where
+    pure min-ward moves trapped every clique's min node at Q 0.795 —
+    the alternating rule must reach the block-structure optimum), and
+    modularity must be near-ideal."""
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+        modularity,
+    )
+
+    n_cliques, k = 60, 20
+    rows = []
+    for c in range(n_cliques):
+        basev = c * k
+        for i in range(k):
+            for j in range(i + 1, k):
+                rows.append((basev + i, basev + j))
+        rows.append((basev + k - 1, ((c + 1) % n_cliques) * k))
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted(
+        (r["node"], r["community"])
+        for r in greedy_modularity_move(edges, rounds=4).collect()
+    )
+    b = sorted(
+        (r["node"], r["community"])
+        for r in greedy_modularity_move(edges, rounds=4).collect()
+    )
+    assert a == b
+    lab = dict(a)
+    for c in range(n_cliques):
+        comm = {lab[c * k + i] for i in range(k)}
+        assert len(comm) == 1  # each clique is one community
+    labels_df = spark.createDataFrame(
+        list(lab.items()), "node long, community long"
+    )
+    q = modularity(edges, labels_df).agg(
+        F.sum("q_contrib").alias("q")
+    ).collect()[0]["q"]
+    assert q > 0.9  # near-ideal block structure recovered
