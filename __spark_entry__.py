@@ -17795,10 +17795,12 @@ def _glm_quantile_lineitem(spark, sf_dir):
     """Quantile (pinball) regression (ops/glm.py::quantile_train):
     the P50 and P90 price-per-quantity lines fit together — shared
     closed-form OLS init, then 2 IRLS passes per tau with
-    w = |tau − 1[r<0]| / max(|r|, 1e-6), BOTH taus' pico-int
+    w = |tau − 1[r<0]| / max(|r|, 1e-3), BOTH taus' pico-int
     normal-equation sums collected in the SAME scan (two-level exact
-    aggregation). The oracle unrolls init + both taus' passes and
-    reproduces every beta bit-exactly."""
+    aggregation; the 1e-3 floor caps the weight so the long partials
+    stay bounded — 1e-6 measured-overflowed at sf0.1). The oracle
+    unrolls init + both taus' passes and reproduces every beta
+    bit-exactly."""
     from metadata_etl_framework_spark.ops.glm import quantile_train
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -17808,7 +17810,7 @@ def _glm_quantile_lineitem(spark, sf_dir):
     )
     return quantile_train(
         li, ["x1"], "y", taus=(0.5, 0.9), iterations=2,
-        ridge=1e-6, eps=1e-6,
+        ridge=1e-6, eps=1e-3,
     )
 
 
@@ -17824,7 +17826,7 @@ def _quantile_iter_sql(ti: int, tau: str, i: int) -> str:
             qt{ti}w{i} AS (SELECT y, x1,
                                   ABS({tau} - CASE WHEN r < 0
                                               THEN 1.0 ELSE 0.0 END)
-                                  / GREATEST(ABS(r), 0.000001) AS w
+                                  / GREATEST(ABS(r), 0.001) AS w
                            FROM qt{ti}p{i}),
             qt{ti}s{i} AS (SELECT COUNT(*) AS n,
                              SUM(CAST(ROUND(w * 1.0 * y

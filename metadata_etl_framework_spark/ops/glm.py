@@ -848,7 +848,7 @@ def quantile_train(
     taus: "Sequence[float]" = (0.5, 0.9),
     iterations: int = 3,
     ridge: float = 1e-6,
-    eps: float = 1e-6,
+    eps: float = 1e-3,
     max_features: int = 8,
 ) -> DataFrame:
     """Quantile (pinball-loss) regression by IRLS — completes the
@@ -868,6 +868,17 @@ def quantile_train(
     ``eps`` (the standard smoothing that keeps zero residuals finite;
     the floor is a plan literal an oracle replays). Starts from the
     closed-form OLS solution, exactly like :func:`huber_train`.
+
+    ``eps`` also CAPS the per-row weight at max(τ, 1−τ)/eps, and that
+    cap is a numeric contract, not just smoothing: with eps = 1e-3
+    and O(1)-scaled features the largest pico-int term is ~1e16,
+    comfortably inside the long-partial bound of the two-level exact
+    path (finer 2048-way sub-buckets are used for the reweighted
+    passes since near-line rows concentrate weight). eps = 1e-6 was
+    measured to overflow at sf0.1 — a single row within 1e-6 of the
+    line carries weight 1e6 and a ~1e19 pico term; ANSI mode fails
+    such a case loudly rather than corrupting the fit. Scale ``eps``
+    with the label's units (it is a residual threshold).
 
     ALL requested quantiles train in the same passes: iteration i is
     ONE scan collecting every τ's gradient/Hessian pico-int sums
@@ -961,7 +972,12 @@ def quantile_train(
                 for j in range(d):
                     for k in range(j, d):
                         terms[f"_t{ti}_h{j}{k}"] = w * xs[j] * xs[k]
-            row = exact_pico_sums(base, terms).collect()[0]
+            # 2048 sub-buckets: near-line rows carry weights up to
+            # max(τ,1−τ)/eps, so the long partials need more headroom
+            # than the clamped-weight trainers (see docstring)
+            row = exact_pico_sums(
+                base, terms, sub_buckets=2048
+            ).collect()[0]
             betas = {
                 t: _solve_cell(row, f"_t{ti}_") for ti, t in enumerate(ts)
             }
