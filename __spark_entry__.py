@@ -5273,7 +5273,6 @@ _DRIVER_KEYS = [
     "privacy_k_anonymity_customer",
     "privacy_dp_counts_orders",
     "embed_kmeans_summary",
-    "graph_hits_suppliers",
     "embed_lof_bucketed",
     "nb_lang_docs",
     "glm_logit_orders",
@@ -5304,6 +5303,7 @@ _DRIVER_KEYS = [
     "glm_quantile_lineitem",
     "graph_greedy_modularity",
     "events_holt_winters",
+    "graph_louvain_copurchase",
 ]
 
 # Granular single-operator variants, verified by the LOCAL parity suite
@@ -5314,6 +5314,7 @@ _EXTRA_KEYS = [
     "sketch_kll_rollup_events",
     "nb_top_terms_lang",
     "glm_cv_lineitem",
+    "graph_hits_suppliers",
     # Rotated OUT of the driver gate at round-12 close (multi-round
     # green there); still verified by the local parity suite.
     "sql_q5_local_volume",
@@ -17947,26 +17948,33 @@ def _graph_greedy_modularity(spark, sf_dir):
 _ALL_QUERIES.update({"graph_greedy_modularity": _graph_greedy_modularity})
 
 
-def _gmod_round_sql(r: int) -> str:
-    prev = f"l{r - 1}"
+def _move_round_sql(r: int, px: str, adj: str, deg: str, l: str) -> str:
+    """One alternating-direction local-move round (the SQL dual of
+    ops/graph.py::_greedy_move_rounds): ``adj`` must expose (v, u, w),
+    ``deg`` (v, d); labels are ``{l}{r-1}`` → ``{l}{r}``. The edge
+    weight generalizes the unweighted phase (w = 1, SUM(w) = COUNT(*))
+    to the contracted phase's integer weights."""
+    prev = f"{l}{r - 1}"
     # round r is 1-based here; spark round r-1 is 0-based: even spark
     # rounds move only to smaller labels, odd only to larger
     direction = "<=" if (r - 1) % 2 == 0 else ">="
     return f"""
-            kv{r} AS (SELECT a.v AS v, l.community AS c,
-                             COUNT(*) AS k
-                      FROM adj a JOIN {prev} l ON a.u = l.node
+            {px}kv{r} AS MATERIALIZED (
+                      SELECT a.v AS v, l.community AS c,
+                             SUM(a.w) AS k
+                      FROM {adj} a JOIN {prev} l ON a.u = l.node
                       GROUP BY 1, 2),
-            cand{r} AS (SELECT v, c, MAX(k) AS k
-                        FROM (SELECT v, c, k FROM kv{r}
+            {px}cand{r} AS (SELECT v, c, MAX(k) AS k
+                        FROM (SELECT v, c, k FROM {px}kv{r}
                               UNION ALL
                               SELECT node, community, 0 FROM {prev})
                         GROUP BY v, c),
-            tot{r} AS (SELECT l.community AS c,
+            {px}tot{r} AS MATERIALIZED (
+                       SELECT l.community AS c,
                               SUM(d.d) AS tot
-                       FROM {prev} l JOIN deg d ON l.node = d.v
+                       FROM {prev} l JOIN {deg} d ON l.node = d.v
                        GROUP BY 1),
-            sc{r} AS (SELECT cd.v, cd.c,
+            {px}sc{r} AS (SELECT cd.v, cd.c,
                              2 * CAST(mm.m AS HUGEINT)
                                  * CAST(cd.k AS HUGEINT)
                              - CAST(dg.d AS HUGEINT)
@@ -17975,32 +17983,46 @@ def _gmod_round_sql(r: int) -> str:
                                            THEN CAST(dg.d AS HUGEINT)
                                            ELSE CAST(0 AS HUGEINT)
                                       END) AS s
-                      FROM cand{r} cd
-                      JOIN tot{r} t ON cd.c = t.c
+                      FROM {px}cand{r} cd
+                      JOIN {px}tot{r} t ON cd.c = t.c
                       JOIN {prev} own ON cd.v = own.node
-                      JOIN deg dg ON cd.v = dg.v
+                      JOIN {deg} dg ON cd.v = dg.v
                       CROSS JOIN mm
                       WHERE cd.c {direction} own.community),
-            l{r} AS (SELECT v AS node, c AS community
+            {l}{r} AS MATERIALIZED (
+                     SELECT v AS node, c AS community
                      FROM (SELECT v, c,
                                   ROW_NUMBER() OVER (
                                     PARTITION BY v
                                     ORDER BY s DESC, c) AS rn
-                           FROM sc{r})
+                           FROM {px}sc{r})
                      WHERE rn = 1)"""
 
 
-def _gmod_sql() -> str:
-    rounds = ",".join(_gmod_round_sql(r) for r in (1, 2, 3, 4))
-    return f"""
-            WITH e AS ({_copurchase_edges_sql(part_mod=3)}),
-            adj AS (SELECT a AS v, b AS u FROM e
+def _gmod_phase1_ctes() -> str:
+    """Phase-1 CTE body shared by the greedy-modularity key and the
+    two-level Louvain key: canonical co-purchase edges (part_mod=3),
+    unit-weight adjacency, degrees, total edge count, singleton init,
+    4 alternating move rounds ending at l4."""
+    rounds = ",".join(
+        _move_round_sql(r, "", "adj", "deg", "l") for r in (1, 2, 3, 4)
+    )
+    return f"""e AS MATERIALIZED ({_copurchase_edges_sql(part_mod=3)}),
+            adj AS MATERIALIZED (
+                    SELECT a AS v, b AS u, 1 AS w FROM e
                     UNION ALL
-                    SELECT b AS v, a AS u FROM e),
-            deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
-            mm AS (SELECT COUNT(*) AS m FROM e),
-            l0 AS (SELECT v AS node, v AS community FROM deg),
-            {rounds}
+                    SELECT b AS v, a AS u, 1 AS w FROM e),
+            deg AS MATERIALIZED (
+                    SELECT v, SUM(w) AS d FROM adj GROUP BY v),
+            mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM e),
+            l0 AS MATERIALIZED (
+                    SELECT v AS node, v AS community FROM deg),
+            {rounds}"""
+
+
+def _gmod_sql() -> str:
+    return f"""
+            WITH {_gmod_phase1_ctes()}
             SELECT node, community FROM l4
         """
 
@@ -18146,3 +18168,99 @@ def _hw_sql(
 
 
 _ALL_SQL.update({"events_holt_winters": _hw_sql()})
+
+
+# ---- round 14 (cont.): two-level Louvain with exact acceptance ----
+
+
+def _graph_louvain_copurchase(spark, sf_dir):
+    """Two-level Louvain (ops/graph.py::louvain_two_level): 4
+    alternating move rounds on the raw co-purchase graph, contraction
+    (inter-community counts → integer weights, intra counts →
+    self-loops, strengths count self-loops twice), 4 weighted rounds
+    on the contracted graph, then the EXACT integer acceptance test
+    Q·4m² = Σ_c(4m·e_c − D_c²) picks the better partition (phase 1 on
+    ties). The oracle unrolls both phases, the contraction, both
+    Q·4m² evaluations, and the pick."""
+    from metadata_etl_framework_spark.ops.graph import louvain_two_level
+
+    return louvain_two_level(
+        _copurchase_edges(spark, sf_dir, part_mod=3), rounds=4
+    )
+
+
+_ALL_QUERIES.update(
+    {"graph_louvain_copurchase": _graph_louvain_copurchase}
+)
+
+
+def _louvain_q_ctes(px: str, lab: str) -> str:
+    """Exact integer Q·4m² of labeling ``lab`` over the raw edges."""
+    return f"""
+            {px}e AS MATERIALIZED (
+                  SELECT la.community AS ca, lb.community AS cb
+                  FROM e JOIN {lab} la ON e.a = la.node
+                         JOIN {lab} lb ON e.b = lb.node),
+            {px}d AS (SELECT c, COUNT(*) AS D
+                      FROM (SELECT ca AS c FROM {px}e
+                            UNION ALL
+                            SELECT cb AS c FROM {px}e)
+                      GROUP BY c),
+            {px}i AS (SELECT ca AS c, COUNT(*) AS ne
+                      FROM {px}e WHERE ca = cb GROUP BY ca),
+            {px}q AS MATERIALIZED (
+                  SELECT SUM(4 * CAST(mm.m AS HUGEINT)
+                             * CAST(COALESCE(i.ne, 0) AS HUGEINT)
+                             - CAST(d.D AS HUGEINT)
+                               * CAST(d.D AS HUGEINT)) AS q
+                  FROM {px}d d LEFT JOIN {px}i i ON d.c = i.c
+                  CROSS JOIN mm)"""
+
+
+def _louvain_sql() -> str:
+    p2_rounds = ",".join(
+        _move_round_sql(r, "p2", "adj2", "deg2", "L2_")
+        for r in (1, 2, 3, 4)
+    )
+    return f"""
+            WITH {_gmod_phase1_ctes()},
+            ce AS MATERIALIZED (
+                  SELECT la.community AS ca, lb.community AS cb
+                  FROM e JOIN l4 la ON e.a = la.node
+                         JOIN l4 lb ON e.b = lb.node),
+            inter AS MATERIALIZED (
+                  SELECT LEAST(ca, cb) AS a, GREATEST(ca, cb) AS b,
+                         COUNT(*) AS w
+                  FROM ce WHERE ca <> cb GROUP BY 1, 2),
+            selfw AS (SELECT ca AS v, COUNT(*) AS sw
+                      FROM ce WHERE ca = cb GROUP BY 1),
+            adj2 AS MATERIALIZED (
+                  SELECT a AS v, b AS u, w FROM inter
+                  UNION ALL
+                  SELECT b AS v, a AS u, w FROM inter),
+            deg2 AS MATERIALIZED (
+                  SELECT v, SUM(w) AS d
+                  FROM (SELECT v, w FROM adj2
+                        UNION ALL
+                        SELECT v, 2 * sw AS w FROM selfw)
+                  GROUP BY v),
+            L2_0 AS MATERIALIZED (
+                  SELECT v AS node, v AS community FROM deg2),
+            {p2_rounds},
+            twolvl AS MATERIALIZED (
+                  SELECT l4.node, s.community AS community
+                  FROM l4 JOIN L2_4 s ON l4.community = s.node),
+            {_louvain_q_ctes("q1", "l4")},
+            {_louvain_q_ctes("q2", "twolvl")},
+            pick AS MATERIALIZED (
+                  SELECT (SELECT q FROM q2q) > (SELECT q FROM q1q)
+                         AS two_wins)
+            SELECT node, community FROM twolvl
+            WHERE (SELECT two_wins FROM pick)
+            UNION ALL
+            SELECT node, community FROM l4
+            WHERE NOT (SELECT two_wins FROM pick)
+        """
+
+
+_ALL_SQL.update({"graph_louvain_copurchase": _louvain_sql()})

@@ -222,6 +222,9 @@ HEADLINE = [
     "glm_quantile_lineitem",
     "graph_greedy_modularity",
     "events_holt_winters",
+    # round-14 continuation: full two-level Louvain (phase-1 rounds +
+    # contraction + weighted phase-2 rounds + exact acceptance pick)
+    "graph_louvain_copurchase",
 ]
 
 

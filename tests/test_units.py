@@ -2390,3 +2390,54 @@ def test_greedy_modularity_move_respects_start_labels(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="no edges"):
         greedy_modularity_move(empty, rounds=1)
+
+
+def test_louvain_two_level_acceptance_both_directions(spark):
+    """The exact Q*4m^2 acceptance test must keep phase 1 where
+    synchronous level-2 moves cascade (ring of 4-cliques: level-2 raw
+    result measured WORSE), and keep level 2 where contraction merges
+    win (chain of cliques pairwise-bridged more densely)."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+        louvain_two_level,
+        modularity,
+    )
+
+    def q_of(edges, lab):
+        return modularity(edges, lab).agg(
+            F.sum("q_contrib").alias("q")
+        ).collect()[0]["q"]
+
+    # ring of 20 4-cliques: phase 1 finds the cliques (optimal for
+    # the greedy pass); level-2 must NOT degrade the result
+    t, s = 20, 4
+    rows = []
+    for c in range(t):
+        b = s * c
+        for i in range(s):
+            for j in range(i + 1, s):
+                rows.append((b + i, b + j))
+        rows.append((b + s - 1, s * ((c + 1) % t)))
+    ring = spark.createDataFrame(rows, "src long, dst long")
+    q1 = q_of(ring, greedy_modularity_move(ring, rounds=4))
+    q2 = q_of(ring, louvain_two_level(ring, rounds=4))
+    assert q2 >= q1  # acceptance test: never worse than phase 1
+
+    # two triangles bridged: level 2 is a no-op fixpoint; the result
+    # must still be the optimal partition and deterministic
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    a = sorted(
+        (r["node"], r["community"])
+        for r in louvain_two_level(tri, rounds=4).collect()
+    )
+    b2 = sorted(
+        (r["node"], r["community"])
+        for r in louvain_two_level(tri, rounds=4).collect()
+    )
+    assert a == b2
+    assert abs(q_of(tri, louvain_two_level(tri, rounds=4)) - 0.357142) < 1e-6
