@@ -1863,27 +1863,20 @@ def louvain_two_level(
         truncate=True,
     )
 
-    # acceptance test (docstring): exact integer Q·4m² per partition
-    def _q_scaled(lab: DataFrame) -> int:
-        j = und.join(
-            lab.select(
-                F.col("node").alias("a"), F.col("community").alias("_pa")
-            ),
-            "a",
-        ).join(
-            lab.select(
-                F.col("node").alias("b"), F.col("community").alias("_pb")
-            ),
-            "b",
-        )
+    # acceptance test (docstring): exact integer Q·4m² per partition.
+    # Both evaluations reuse the already-labeled edge frame e2 — the
+    # phase-1 Q reads (ca, cb) directly, the two-level Q maps each
+    # side through the COMMUNITY-sized lab2 (never re-joining raw
+    # edges) — identical integers, two raw-edge scans saved.
+    def _q_scaled(pe: DataFrame) -> int:
         degs = (
-            j.select(F.col("_pa").alias("_c"))
-            .unionAll(j.select(F.col("_pb").alias("_c")))
+            pe.select(F.col("_pa").alias("_c"))
+            .unionAll(pe.select(F.col("_pb").alias("_c")))
             .groupBy("_c")
             .agg(F.count(F.lit(1)).alias("_D"))
         )
         intra = (
-            j.where(F.col("_pa") == F.col("_pb"))
+            pe.where(F.col("_pa") == F.col("_pb"))
             .groupBy(F.col("_pa").alias("_c"))
             .agg(F.count(F.lit(1)).alias("_e"))
         )
@@ -1902,7 +1895,19 @@ def louvain_two_level(
         )
         return int(row["_q"]) if row["_q"] is not None else 0
 
-    keep_two = _q_scaled(two_lvl) > _q_scaled(l1)
+    sup = lab2.select(
+        F.col("node").alias("_k"), F.col("community").alias("_s")
+    )
+    pe2 = (
+        e2.join(sup.withColumnRenamed("_k", "ca"), "ca")
+        .withColumnRenamed("_s", "_pa")
+        .join(sup.withColumnRenamed("_k", "cb"), "cb")
+        .withColumnRenamed("_s", "_pb")
+        .select("_pa", "_pb")
+    )
+    keep_two = _q_scaled(pe2) > _q_scaled(
+        e2.select(F.col("ca").alias("_pa"), F.col("cb").alias("_pb"))
+    )
     out = two_lvl if keep_two else l1
     e2.unpersist()
     adj2.unpersist()
