@@ -5247,13 +5247,14 @@ def _events_forecast_baseline(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier. Round-14 rotation: the 3 round-14 flagships
-    # (quantile regression, greedy modularity local-move,
-    # Holt-Winters backtest) rotate IN; 3 long-green granular twins
-    # (sketch_kll_rollup_events — the _price twin stays;
-    # nb_top_terms_lang — nb_lang_docs stays; glm_cv_lineitem — the
-    # iterative logistic CV stays) rotate to extras where the local
-    # parity suite still verifies them every run.
+    # capability frontier. Round-14 rotation: the 4 round-14 flagships
+    # (glm_quantile_lineitem, graph_greedy_modularity,
+    # events_holt_winters, graph_louvain_copurchase) rotate IN; 4
+    # long-green twins (sketch_kll_rollup_events — the _price twin
+    # stays; nb_top_terms_lang — nb_lang_docs stays; glm_cv_lineitem —
+    # the iterative logistic CV stays; graph_hits_suppliers — four
+    # other iterative graph keys stay) rotate to extras where the
+    # local parity suite still verifies them every run.
     "q1_pricing_summary",
     "drift_suite",
     "curation_funnel",

@@ -51,6 +51,17 @@ __all__ = ["exact_pico_sums"]
 
 _COUNT_ALIAS = "__c"
 
+# Below this many row×stream decimal updates the two-level split LOSES:
+# the level-1 (partition, sub-bucket) grouping pass plus the extra
+# exchange cost more than the decimal buffers they avoid. Measured r14→r15
+# on the driver bench: poisson (5 streams × ~15k customer rows × 4 passes)
+# regressed 1.89 → 2.62 s under blanket adoption, while every call site
+# above ~3M row-streams per pass (huber 20 streams × 600k, GMM, the CV
+# grids) won 1.6–4×. Callers that know their row count pass ``row_hint``
+# and the split engages only when it pays; unknown-size callers keep the
+# two-level form, which is the right default at data scale.
+_TWO_LEVEL_MIN_ROW_STREAMS = 2_000_000
+
 
 def exact_pico_sums(
     df: DataFrame,
@@ -59,6 +70,7 @@ def exact_pico_sums(
     long_terms: "Mapping[str, Column] | None" = None,
     count_alias: "str | None" = None,
     sub_buckets: int = 256,
+    row_hint: "int | None" = None,
 ) -> DataFrame:
     """Exact grouped sums of pico-scaled terms via bounded long partials.
 
@@ -71,12 +83,39 @@ def exact_pico_sums(
     empty global group rather than NULL).
     ``group_cols``: optional caller grouping (e.g. a CV fold) — output
     has one row per present group, like ``df.groupBy(...).agg(...)``.
+    ``row_hint``: approximate input row count when the caller already
+    knows it (iterative trainers count rows on their init pass). When
+    ``row_hint × streams`` is below ``_TWO_LEVEL_MIN_ROW_STREAMS`` the
+    two-level split is skipped for the plain single-level DECIMAL sum —
+    bit-identical output, one exchange fewer, cheaper on small frames
+    (see the threshold note above). Omit it (the default) to keep the
+    two-level form, the right call at unknown/large scale.
     """
     if not pico_terms and not long_terms and count_alias is None:
         raise ValueError("exact_pico_sums: nothing to aggregate")
     if sub_buckets < 1:
         raise ValueError("sub_buckets must be >= 1")
     pico = F.lit(1e12)
+    streams = len(pico_terms) + len(long_terms or {})
+    if (
+        row_hint is not None
+        and row_hint * max(streams, 1) < _TWO_LEVEL_MIN_ROW_STREAMS
+    ):
+        aggs = [
+            F.sum(F.round(t * pico).cast("decimal(38,0)")).alias(k)
+            for k, t in pico_terms.items()
+        ]
+        aggs += [
+            F.sum(t.cast("decimal(38,0)")).alias(k)
+            for k, t in (long_terms or {}).items()
+        ]
+        if count_alias is not None:
+            aggs.append(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias(count_alias)
+            )
+        if group_cols:
+            return df.groupBy(*group_cols).agg(*aggs)
+        return df.agg(*aggs)
     l1_aggs = [
         F.sum(F.round(t * pico).cast("long")).alias(k)
         for k, t in pico_terms.items()

@@ -683,13 +683,18 @@ def poisson_train(
     d = len(feature_cols) + 1
     xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
     base = base.persist()
-    init = exact_pico_sums(
-        base, {"_sy": F.col("_y")}, count_alias="_n"
-    ).collect()[0]
-    n_rows = int(init["_n"])
+    # plain count first (materializes the persist) so every aggregate
+    # pass can carry row_hint — poisson's typical frame is a per-entity
+    # rollup (small × few streams), where the two-level split measured
+    # SLOWER than the single-level decimal sum (r14 driver bench:
+    # 1.89 → 2.62 s); row_hint lets exact_pico_sums pick per call
+    n_rows = base.count()
     if n_rows == 0:
         base.unpersist()
         raise ValueError("poisson_train: no usable rows")
+    init = exact_pico_sums(
+        base, {"_sy": F.col("_y")}, row_hint=n_rows
+    ).collect()[0]
     sy = int(init["_sy"])
     import math
 
@@ -703,15 +708,16 @@ def poisson_train(
         mu = F.exp(
             F.greatest(F.least(z, F.lit(_ZCLAMP)), F.lit(-_ZCLAMP))
         )
-        # two-level exact sums (ops/exact_agg.py): bit-identical to the
-        # single-level DECIMAL streams, ~3× cheaper per Newton pass
+        # exact pico sums with row_hint: small per-entity frames keep
+        # the single-level DECIMAL sum, large ones get the two-level
+        # split — bit-identical either way (ops/exact_agg.py)
         terms = {}
         for j in range(d):
             terms[f"_g{j}"] = (F.col("_y") - mu) * xs[j]
         for j in range(d):
             for k in range(j, d):
                 terms[f"_h{j}{k}"] = mu * xs[j] * xs[k]
-        row = exact_pico_sums(base, terms).collect()[0]
+        row = exact_pico_sums(base, terms, row_hint=n_rows).collect()[0]
         g = [float(int(row[f"_g{j}"])) for j in range(d)]
         h = [[0.0] * d for _ in range(d)]
         for j in range(d):
@@ -972,11 +978,24 @@ def quantile_train(
                 for j in range(d):
                     for k in range(j, d):
                         terms[f"_t{ti}_h{j}{k}"] = w * xs[j] * xs[k]
-            # 2048 sub-buckets: near-line rows carry weights up to
-            # max(τ,1−τ)/eps, so the long partials need more headroom
-            # than the clamped-weight trainers (see docstring)
+            # Near-line rows carry IRLS weights up to w_cap =
+            # max(τ,1−τ)/eps, multiplying the per-row pico bound the
+            # level-1 long partials are sized for, so derive the
+            # sub-bucket count from the cap instead of fixing it:
+            # doubling headroom per power of two of w_cap keeps the
+            # ≥45× margin of the unit-weight trainers PROVIDED
+            # high-weight rows are sparse (only rows within eps of the
+            # fitted line approach w_cap — the residual-concentration
+            # assumption that pairs with the eps floor above). If a
+            # pathological dataset concentrates mass at the line, the
+            # pinned ANSI mode (session.py) makes the partial overflow
+            # a loud ArithmeticException, never a silent wrap.
+            w_cap = max(max(t, 1.0 - t) for t in ts) / float(eps)
+            sub_buckets = min(
+                1 << 16, max(2048, 1 << (int(w_cap).bit_length() + 1))
+            )
             row = exact_pico_sums(
-                base, terms, sub_buckets=2048
+                base, terms, sub_buckets=sub_buckets
             ).collect()[0]
             betas = {
                 t: _solve_cell(row, f"_t{ti}_") for ti, t in enumerate(ts)

@@ -1650,19 +1650,64 @@ def greedy_modularity_move(
         truncate=True,
     )
     if labels is None:
+        # projection of the checkpointed deg leaf — already
+        # materialized, no extra checkpoint round-trip needed
         lab = deg.select(
             F.col("v").alias("node"), F.col("v").alias("community")
         )
     else:
-        lab = labels.select(
+        sup = labels.select(
             F.col(node_col).alias("node"),
             F.col(label_col).alias("community"),
         ).distinct()
-    lab = _materialize_iter(lab, truncate=True)
+        # A node labeled with two different communities would survive
+        # .distinct() and be duplicated through every round — a caller
+        # bug; fail loudly rather than emit duplicate rows.
+        dup = (
+            sup.groupBy("node")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        if dup:
+            adj.unpersist()
+            raise ValueError(
+                f"greedy_modularity_move: {dup} node(s) carry multiple "
+                "communities in the supplied labels"
+            )
+        # Graph nodes absent from the supplied labels default to
+        # singleton communities (their own id) instead of being
+        # silently dropped by the per-round inner joins.
+        lab = (
+            deg.select("v")
+            .join(
+                sup.withColumnRenamed("node", "_n"),
+                F.col("v") == F.col("_n"),
+                "left",
+            )
+            .select(
+                F.col("v").alias("node"),
+                F.coalesce(F.col("community"), F.col("v")).alias(
+                    "community"
+                ),
+            )
+        )
+        lab = _materialize_iter(lab, truncate=True)
     lab = _greedy_move_rounds(adj, deg, m, lab, rounds)
     adj.unpersist()
     deg.unpersist()
     return lab
+
+
+# Node-count gate for broadcasting the O(nodes) frames inside the
+# local-move rounds: label/strength/community-total frames are two-long
+# rows (~16 B), so 2M nodes ≈ 32 MB — comfortably broadcastable — and
+# below the gate every per-round join goes map-side, collapsing ~10
+# shuffle stages per round to the 4 aggregations that genuinely need a
+# shuffle (measured: one benched Louvain run scheduled 130 AQE jobs at
+# sf0.1, nearly all tiny exchange stages). Above the gate the plan keeps
+# the row-scale equi-shuffle form — the right one at 100-TB node counts.
+_MOVE_BCAST_MAX_NODES = 2_000_000
 
 
 def _greedy_move_rounds(
@@ -1677,31 +1722,53 @@ def _greedy_move_rounds(
     self-loop weight counted twice (the Newman convention); ``m``:
     total edge weight; ``lab``: materialized (node, community). The
     caller owns adj/deg persistence; superseded label frames are
-    released here, the returned frame is materialized."""
+    released here, the returned frame is materialized.
+
+    Early fixpoint exit: each round counts its moves (one join +
+    count over two O(nodes) checkpointed label frames — cheap next to
+    a move round's edge joins). Rounds alternate direction, so one
+    quiet round proves nothing about the OTHER direction — but two
+    consecutive quiet rounds (one of each parity) leave the state a
+    fixpoint for both, and every remaining round replays as a no-op;
+    skipping them returns labels IDENTICAL to the full unroll, which
+    is why the fixed-round SQL oracles still match bit-for-bit."""
     two_m = F.lit(int(2 * m)).cast("decimal(38,0)")
+    # one cheap count over the checkpointed strength leaf decides the
+    # broadcast gate for the whole loop (node count never grows)
+    small = deg.count() <= _MOVE_BCAST_MAX_NODES
+    bc = F.broadcast if small else (lambda d: d)
+    quiet = 0
     for rnd in range(int(rounds)):
         # k_{v,c}: v's edge weight into each neighbor community
         kvc = (
             adj.join(
-                lab.select(
-                    F.col("node").alias("u"),
-                    F.col("community").alias("c"),
+                bc(
+                    lab.select(
+                        F.col("node").alias("u"),
+                        F.col("community").alias("c"),
+                    )
                 ),
                 "u",
             )
             .groupBy("v", "c")
             .agg(F.sum("_w").alias("_k"))
         )
-        # "stay" is always a candidate, even with no intra neighbors
+        # "stay" is always a candidate, even with no intra neighbors.
+        # No dedup groupBy needed: when (v, c_own) also exists in kvc,
+        # the union carries two rows for the same candidate, but the
+        # zero-k stay row scores STRICTLY below the true kvc row
+        # (2m·k > 0 for k ≥ 1, identical c-independent terms), so the
+        # per-node argmin below always picks the true row — one whole
+        # shuffle per round saved vs the groupBy-max formulation
         cand = kvc.unionByName(
             lab.select(
                 F.col("node").alias("v"),
                 F.col("community").alias("c"),
                 F.lit(0).cast("long").alias("_k"),
             )
-        ).groupBy("v", "c").agg(F.max("_k").alias("_k"))
+        )
         tot = (
-            lab.join(deg, lab["node"] == deg["v"])
+            bc(lab).join(deg, lab["node"] == deg["v"])
             .groupBy("community")
             .agg(F.sum("_d").alias("_tot"))
             .select(F.col("community").alias("c"), "_tot")
@@ -1718,9 +1785,9 @@ def _greedy_move_rounds(
             ).otherwise(F.lit(0)).cast("decimal(38,0)")
         )
         new_lab = (
-            cand.join(tot, "c")
-            .join(own, "v")
-            .join(deg, "v")
+            cand.join(bc(tot), "c")
+            .join(bc(own), "v")
+            .join(bc(deg), "v")
             # direction restriction (greedy_modularity_move docstring):
             # even rounds move only toward smaller labels, odd rounds
             # only toward larger; "stay" (c = own) always a candidate
@@ -1729,21 +1796,46 @@ def _greedy_move_rounds(
                 if rnd % 2 == 0
                 else F.col("c") >= F.col("_cv")
             )
-            .select("v", "c", score.alias("_s"))
+            .select("v", "c", score.alias("_s"), "_cv")
             .groupBy("v")
             .agg(
                 F.min(
                     F.struct((-F.col("_s")).alias("ns"), F.col("c"))
-                ).alias("_m")
+                ).alias("_m"),
+                # _cv is constant per v; carrying it through the argmax
+                # lets the move count ride the SAME aggregation instead
+                # of a separate join-count job per round
+                F.min("_cv").alias("_pv"),
             )
             .select(
                 F.col("v").alias("node"),
                 F.col("_m.c").alias("community"),
+                (F.col("_m.c") != F.col("_pv"))
+                .cast("long")
+                .alias("_chg"),
             )
         )
         prev = lab
-        lab = _materialize_iter(new_lab, truncate=True)
+        # fused materialize: the move-count aggregate scans every
+        # partition, populating the persist (the job _materialize_iter
+        # would otherwise spend on count()), then the checkpoint reads
+        # the cached blocks — 2 jobs per round, not 3
+        cached = new_lab.persist()
+        moved = int(
+            cached.agg(F.coalesce(F.sum("_chg"), F.lit(0))).collect()[0][0]
+        )
+        # checkpoint the (node, community) projection so the returned
+        # frame is itself the checkpoint leaf — callers can unpersist
+        # it explicitly (the projection reads the cached blocks)
+        lab = cached.select("node", "community").localCheckpoint()
+        cached.unpersist()
         prev.unpersist()
+        if moved == 0:
+            quiet += 1
+            if quiet >= 2:
+                break
+        else:
+            quiet = 0
     return lab
 
 
@@ -1791,20 +1883,66 @@ def louvain_two_level(
     level-2 super-community (a level-1 community label) when level 2
     wins, else its phase-1 community.
     """
-    l1 = greedy_modularity_move(
-        edges, rounds=rounds, src_col=src_col, dst_col=dst_col
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    # phase 1 inlined (rather than calling greedy_modularity_move) so
+    # the canonical undirected edge frame and the adjacency/strength
+    # persists are BUILT ONCE and reused by the contraction + the
+    # acceptance scoring — the delegating form re-derived _undirected
+    # from raw edges a second time (r14 verdict task 5)
+    und = _undirected(edges, src_col, dst_col).persist()
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .withColumn("_w", F.lit(1).cast("long"))
+        .persist()
     )
-    und = _undirected(edges, src_col, dst_col)
+    m = adj.count() // 2
+    if m == 0:
+        adj.unpersist()
+        und.unpersist()
+        raise ValueError("louvain_two_level: no edges")
+    deg = _materialize_iter(
+        adj.groupBy("v").agg(F.sum("_w").alias("_d")), truncate=True
+    )
+    # the singleton start labels are a projection of the checkpointed
+    # deg leaf — already materialized, no extra checkpoint needed
+    l1 = _greedy_move_rounds(
+        adj,
+        deg,
+        m,
+        deg.select(
+            F.col("v").alias("node"), F.col("v").alias("community")
+        ),
+        rounds,
+    )
+    n_nodes = deg.count()  # cheap: checkpointed leaf
+    adj.unpersist()
+    deg.unpersist()
+    # same measured gate as the move rounds: label frames are O(nodes)
+    # two-long rows — broadcast them into the edge-scale joins when
+    # provably small, keep the equi-shuffle form above the gate
+    bc = (
+        F.broadcast
+        if n_nodes <= _MOVE_BCAST_MAX_NODES
+        else (lambda d: d)
+    )
     e2 = (
         und.join(
-            l1.select(
-                F.col("node").alias("a"), F.col("community").alias("ca")
+            bc(
+                l1.select(
+                    F.col("node").alias("a"),
+                    F.col("community").alias("ca"),
+                )
             ),
             "a",
         )
         .join(
-            l1.select(
-                F.col("node").alias("b"), F.col("community").alias("cb")
+            bc(
+                l1.select(
+                    F.col("node").alias("b"),
+                    F.col("community").alias("cb"),
+                )
             ),
             "b",
         )
@@ -1832,7 +1970,9 @@ def louvain_two_level(
         )
         .persist()
     )
-    m = e2.count()  # total edge weight is preserved by contraction
+    # total edge weight is preserved by contraction: m carries over
+    # from phase 1 (one count job saved; e2 materializes its persist
+    # on first use by the contraction aggregates below)
     # strength = inter weight + 2 × self-loop weight (Newman)
     deg2 = _materialize_iter(
         adj2.select("v", "_w")
@@ -1845,18 +1985,22 @@ def louvain_two_level(
         .agg(F.sum("_w").alias("_d")),
         truncate=True,
     )
-    lab2 = _materialize_iter(
+    lab2 = _greedy_move_rounds(
+        adj2,
+        deg2,
+        m,
         deg2.select(
             F.col("v").alias("node"), F.col("v").alias("community")
         ),
-        truncate=True,
+        rounds,
     )
-    lab2 = _greedy_move_rounds(adj2, deg2, m, lab2, rounds)
     two_lvl = _materialize_iter(
         l1.join(
-            lab2.select(
-                F.col("node").alias("community"),
-                F.col("community").alias("_super"),
+            bc(
+                lab2.select(
+                    F.col("node").alias("community"),
+                    F.col("community").alias("_super"),
+                )
             ),
             "community",
         ).select("node", F.col("_super").alias("community")),
@@ -1867,48 +2011,54 @@ def louvain_two_level(
     # Both evaluations reuse the already-labeled edge frame e2 — the
     # phase-1 Q reads (ca, cb) directly, the two-level Q maps each
     # side through the COMMUNITY-sized lab2 (never re-joining raw
-    # edges) — identical integers, two raw-edge scans saved.
-    def _q_scaled(pe: DataFrame) -> int:
-        degs = (
-            pe.select(F.col("_pa").alias("_c"))
-            .unionAll(pe.select(F.col("_pb").alias("_c")))
-            .groupBy("_c")
-            .agg(F.count(F.lit(1)).alias("_D"))
-        )
-        intra = (
-            pe.where(F.col("_pa") == F.col("_pb"))
-            .groupBy(F.col("_pa").alias("_c"))
-            .agg(F.count(F.lit(1)).alias("_e"))
-        )
-        row = (
-            degs.join(intra, "_c", "left")
-            .na.fill({"_e": 0})
-            .agg(
-                F.sum(
-                    F.lit(int(4 * m)).cast("decimal(38,0)")
-                    * F.col("_e").cast("decimal(38,0)")
-                    - F.col("_D").cast("decimal(38,0)")
-                    * F.col("_D").cast("decimal(38,0)")
-                ).alias("_q")
-            )
-            .collect()[0]
-        )
-        return int(row["_q"]) if row["_q"] is not None else 0
-
+    # edges) — and both score in ONE tagged aggregation job (tag 1 =
+    # phase 1, tag 2 = two-level) instead of two separate collects.
     sup = lab2.select(
         F.col("node").alias("_k"), F.col("community").alias("_s")
     )
     pe2 = (
-        e2.join(sup.withColumnRenamed("_k", "ca"), "ca")
+        e2.join(bc(sup.withColumnRenamed("_k", "ca")), "ca")
         .withColumnRenamed("_s", "_pa")
-        .join(sup.withColumnRenamed("_k", "cb"), "cb")
+        .join(bc(sup.withColumnRenamed("_k", "cb")), "cb")
         .withColumnRenamed("_s", "_pb")
-        .select("_pa", "_pb")
+        .select(F.lit(2).alias("_t"), "_pa", "_pb")
     )
-    keep_two = _q_scaled(pe2) > _q_scaled(
-        e2.select(F.col("ca").alias("_pa"), F.col("cb").alias("_pb"))
+    pe_both = pe2.unionByName(
+        e2.select(
+            F.lit(1).alias("_t"),
+            F.col("ca").alias("_pa"),
+            F.col("cb").alias("_pb"),
+        )
     )
+    degs = (
+        pe_both.select("_t", F.col("_pa").alias("_c"))
+        .unionAll(pe_both.select("_t", F.col("_pb").alias("_c")))
+        .groupBy("_t", "_c")
+        .agg(F.count(F.lit(1)).alias("_D"))
+    )
+    intra = (
+        pe_both.where(F.col("_pa") == F.col("_pb"))
+        .groupBy("_t", F.col("_pa").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_e"))
+    )
+    qrows = (
+        degs.join(intra, ["_t", "_c"], "left")
+        .na.fill({"_e": 0})
+        .groupBy("_t")
+        .agg(
+            F.sum(
+                F.lit(int(4 * m)).cast("decimal(38,0)")
+                * F.col("_e").cast("decimal(38,0)")
+                - F.col("_D").cast("decimal(38,0)")
+                * F.col("_D").cast("decimal(38,0)")
+            ).alias("_q")
+        )
+        .collect()
+    )
+    qs = {int(r["_t"]): int(r["_q"]) for r in qrows if r["_q"] is not None}
+    keep_two = qs.get(2, 0) > qs.get(1, 0)
     out = two_lvl if keep_two else l1
+    und.unpersist()
     e2.unpersist()
     adj2.unpersist()
     deg2.unpersist()

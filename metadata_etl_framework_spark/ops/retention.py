@@ -845,15 +845,24 @@ def rfm_segments(
     # are O(users) each and the audited plan stays one-pass-sized
     from metadata_etl_framework_spark.ops.graph import _materialize_iter
 
+    # superseded checkpointed frames are released eagerly (the graph
+    # loops' prev.unpersist() discipline) rather than waiting on the
+    # ContextCleaner, so repeated calls in a long session don't
+    # accumulate O(users) checkpoint blocks; the last frame stays —
+    # the returned lazy plan still reads it
     scored = _materialize_iter(scored, truncate=True)
+    prev = scored
     scored = _materialize_iter(
         ntile_assign(scored, ["recency_days", "user"], n_buckets, out="_rb"),
         truncate=True,
     )
+    prev.unpersist()
+    prev = scored
     scored = _materialize_iter(
         ntile_assign(scored, ["frequency", "user"], n_buckets, out="f_score"),
         truncate=True,
     )
+    prev.unpersist()
     scored = ntile_assign(
         scored, ["monetary", "user"], n_buckets, out="m_score"
     )

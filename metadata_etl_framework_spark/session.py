@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ops/exact_agg.py's overflow contract requires ANSI mode: a long
+        # overflow of a level-1 partial must fail LOUDLY, never wrap. ANSI
+        # defaults ON in Spark 4 but OFF in 3.5 — pin it explicitly so the
+        # exactness guarantee is engine-version independent.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # test/bench parquet carries TIMESTAMP(NANOS); read as long and let

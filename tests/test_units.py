@@ -2392,6 +2392,44 @@ def test_greedy_modularity_move_respects_start_labels(spark):
         greedy_modularity_move(empty, rounds=1)
 
 
+def test_greedy_modularity_move_validates_start_labels(spark):
+    """Supplied labels that miss graph nodes default them to singleton
+    communities (NOT silently dropped), and a node carrying two
+    different communities raises instead of duplicating through every
+    round."""
+    import pytest
+
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    # nodes 4,5,6 absent from labels: must still appear in the output,
+    # seeded as singletons, and coalesce into their own triangle
+    partial = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, community long"
+    )
+    lab = {
+        r["node"]: r["community"]
+        for r in greedy_modularity_move(
+            edges, rounds=2, labels=partial
+        ).collect()
+    }
+    assert sorted(lab) == [1, 2, 3, 4, 5, 6]
+    assert lab[1] == lab[2] == lab[3] == 1
+    assert lab[4] == lab[5] == lab[6]
+
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node long, community long",
+    )
+    with pytest.raises(ValueError, match="multiple communities"):
+        greedy_modularity_move(edges, rounds=2, labels=dup)
+
+
 def test_louvain_two_level_acceptance_both_directions(spark):
     """The exact Q*4m^2 acceptance test must keep phase 1 where
     synchronous level-2 moves cascade (ring of 4-cliques: level-2 raw
@@ -2441,3 +2479,53 @@ def test_louvain_two_level_acceptance_both_directions(spark):
     )
     assert a == b2
     assert abs(q_of(tri, louvain_two_level(tri, rounds=4)) - 0.357142) < 1e-6
+
+
+def test_exact_pico_sums_row_hint_single_level_parity(spark):
+    """The row_hint fast path (small row×stream products skip the
+    two-level split for a plain single-level DECIMAL sum) must return
+    bit-identical values to the two-level form, grouped and global,
+    including long_terms and the count alias."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.exact_agg import (
+        exact_pico_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i * 0.001 - 0.5, i % 7) for i in range(1000)],
+        "g int, x double, k int",
+    )
+    terms = {"sx": F.col("x"), "sxx": F.col("x") * F.col("x")}
+    longs = {"sk": F.col("k")}
+
+    def rows(row_hint):
+        return sorted(
+            tuple(r)
+            for r in exact_pico_sums(
+                df,
+                terms,
+                group_cols=["g"],
+                long_terms=longs,
+                count_alias="n",
+                row_hint=row_hint,
+            ).collect()
+        )
+
+    # row_hint=1000 × 3 streams < threshold → single-level;
+    # row_hint=None → two-level; values must match exactly
+    assert rows(1000) == rows(None)
+    a = exact_pico_sums(df, terms, row_hint=1000).collect()[0]
+    b = exact_pico_sums(df, terms, row_hint=None).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    # the single-level plan really is single-level: the sub-bucket key
+    # (monotonically_increasing_id) appears only in the two-level form
+    plan = exact_pico_sums(
+        df, terms, row_hint=1000
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    plan2 = exact_pico_sums(
+        df, terms, row_hint=10_000_000
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "monotonically_increasing_id" in plan2
