@@ -5310,6 +5310,10 @@ _DRIVER_KEYS = [
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
+    # round-15 flagships land here first; rotated into the driver gate
+    # at round close per standing policy
+    "graph_pmi_factors",
+    "graph_pmi_knn",
     # Rotated OUT of the driver gate at round-14 (multi-round green
     # there); still verified by the local parity suite.
     "sketch_kll_rollup_events",
@@ -15548,6 +15552,192 @@ _ALL_SQL.update(
             FROM wp
             JOIN slots ca ON ca.n = wp.node_a
             JOIN slots cb ON cb.n = wp.node_b, tt
+        """,
+    }
+)
+
+
+def _graph_pmi_factors(spark, sf_dir):
+    """In-engine graph embeddings completing the DeepWalk pipeline
+    (ops/graph.py::pmi_embeddings): the walk corpus + skip-gram PMI
+    counting of graph_walk_pmi, then the Levy–Goldberg factorization
+    half — positive-PMI cells symmetrized and factorized by the rank-2
+    ALS machinery (2 alternation rounds, λ=0.1, portable-hash context
+    init, pico-int 2×2 normal equations, 12-dp rounding between
+    halves). The oracle replays walks, counting, the PPMI filter, and
+    both ALS rounds bit-exactly (the recsys_als_factors convention)."""
+    from metadata_etl_framework_spark.ops.graph import (
+        pmi_embeddings,
+        random_walks,
+        walk_cooccurrence,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+    )
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    walks = random_walks(edges, walk_length=3, seed=1)
+    pmi = walk_cooccurrence(walks, window=2)
+    return pmi_embeddings(pmi, rounds=2, reg=0.1).orderBy("node")
+
+
+_ALL_QUERIES.update({"graph_pmi_factors": _graph_pmi_factors})
+
+# PMI-matrix ALS unroll: the walk/counting CTEs feed a symmetrized
+# positive-PMI ratings table, then the exact _als_half_sql machinery
+# runs both rounds (MATERIALIZED factor CTEs — each is referenced by
+# two downstream halves, the k-ref blowup rule).
+_PMI_BASE_SQL = f"""
+            WITH {_WALK_CTES_SQL},
+            wp AS (
+              SELECT LEAST(a.node, b.node) AS node_a,
+                     GREATEST(a.node, b.node) AS node_b,
+                     COUNT(*) AS n_cooc
+              FROM walks a
+              JOIN walks b
+                ON a.start = b.start
+               AND b.step > a.step AND b.step <= a.step + 2
+               AND a.node <> b.node
+              GROUP BY 1, 2),
+            slots AS (
+              SELECT n, SUM(n_cooc) AS cn
+              FROM (SELECT node_a AS n, n_cooc FROM wp
+                    UNION ALL
+                    SELECT node_b, n_cooc FROM wp)
+              GROUP BY 1),
+            tt AS (SELECT SUM(n_cooc) AS t FROM wp),
+            pmip AS MATERIALIZED (
+              SELECT node_a, node_b,
+                     ROUND(LN(
+                         (CAST(n_cooc AS DOUBLE) / CAST(t AS DOUBLE))
+                         / ((CAST(ca.cn AS DOUBLE)
+                             / (2.0 * CAST(t AS DOUBLE)))
+                            * (CAST(cb.cn AS DOUBLE)
+                               / (2.0 * CAST(t AS DOUBLE))))), 6)
+                         AS pmi
+              FROM wp
+              JOIN slots ca ON ca.n = wp.node_a
+              JOIN slots cb ON cb.n = wp.node_b, tt),
+            base AS MATERIALIZED (
+              SELECT node_a AS u, node_b AS it, CAST(pmi AS DOUBLE) AS r
+              FROM pmip WHERE pmi > 0
+              UNION ALL
+              SELECT node_b AS u, node_a AS it, CAST(pmi AS DOUBLE) AS r
+              FROM pmip WHERE pmi > 0
+            ),
+            it0 AS (SELECT DISTINCT it FROM base),
+            ha AS (SELECT it,
+                          ((it % 2147483648) * 2654435761)
+                            % 4294967296 AS x1,
+                          (((it + 7919) % 2147483648) * 2654435761)
+                            % 4294967296 AS x2
+                   FROM it0),
+            hb AS (SELECT it,
+                          (xor(x1, x1 >> 16) * 73244475)
+                            % 4294967296 AS y1,
+                          (xor(x2, x2 >> 16) * 73244475)
+                            % 4294967296 AS y2
+                   FROM ha),
+            q0 AS MATERIALIZED (
+                 SELECT it AS k,
+                        ROUND(xor(y1, y1 >> 16) / 4294967296.0
+                              - 0.5, 12) AS f1,
+                        ROUND(xor(y2, y2 >> 16) / 4294967296.0
+                              - 0.5, 12) AS f2
+                 FROM hb),
+            {_als_half_sql('p1', 'u', 'it', 'q0')},
+            {_als_half_sql('q1', 'it', 'u', 'p1')},
+            {_als_half_sql('p2', 'u', 'it', 'q1')},
+            {_als_half_sql('q2', 'it', 'u', 'p2')}
+"""
+
+def _graph_pmi_knn(spark, sf_dir):
+    """End-to-end graph-embedding consumption: the PMI-factorized node
+    embeddings (ops/graph.py::pmi_embeddings) flow into the existing
+    embedding surface — exact brute-force cosine top-3
+    (ops/similarity.py::knn_join_topk, broadcast-query regime) for a
+    fixed small query set, proving the factors are a first-class
+    embedding column (array assembly, decimal-dot cosine, ranked
+    window) and not just a coefficient table."""
+    from metadata_etl_framework_spark.ops.graph import (
+        pmi_embeddings,
+        random_walks,
+        walk_cooccurrence,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+    )
+    edges = pair.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    walks = random_walks(edges, walk_length=3, seed=1)
+    emb = pmi_embeddings(walk_cooccurrence(walks, window=2))
+    vec = emb.select(
+        "node", F.array(F.col("f1"), F.col("f2")).alias("embedding")
+    )
+    queries = vec.where(F.col("node") < 10).select(
+        F.col("node").alias("query_id"), "embedding"
+    )
+    return sim_ops.knn_join_topk(
+        vec,
+        queries,
+        k=3,
+        id_col="node",
+        vec_col="embedding",
+        query_id_col="query_id",
+        query_vec_col="embedding",
+    )
+
+
+_ALL_QUERIES.update({"graph_pmi_knn": _graph_pmi_knn})
+
+_ALL_SQL.update(
+    {
+        "graph_pmi_factors": f"""
+            {_PMI_BASE_SQL}
+            SELECT k AS node, ROUND(f1, 6) AS f1, ROUND(f2, 6) AS f2
+            FROM p2 ORDER BY node
+        """,
+        "graph_pmi_knn": f"""
+            {_PMI_BASE_SQL},
+            emb AS MATERIALIZED (
+              SELECT k AS node, ROUND(f1, 6) AS f1, ROUND(f2, 6) AS f2
+              FROM p2),
+            scored AS (
+              SELECT q.node AS query_id, e.node AS neighbor_id,
+                     CAST(CAST(e.f1 * q.f1 AS DECIMAL(30,15))
+                          + CAST(e.f2 * q.f2 AS DECIMAL(30,15))
+                          AS DOUBLE)
+                     / NULLIF(
+                       SQRT(CAST(CAST(e.f1 * e.f1 AS DECIMAL(30,15))
+                                 + CAST(e.f2 * e.f2 AS DECIMAL(30,15))
+                                 AS DOUBLE))
+                       * SQRT(CAST(CAST(q.f1 * q.f1 AS DECIMAL(30,15))
+                                   + CAST(q.f2 * q.f2 AS DECIMAL(30,15))
+                                   AS DOUBLE)), 0) AS sim
+              FROM emb e, emb q WHERE q.node < 10),
+            ranked AS (
+              SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id
+                     ) AS INTEGER) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM ranked WHERE rank <= 3
         """,
     }
 )

@@ -225,6 +225,11 @@ HEADLINE = [
     # round-14 continuation: full two-level Louvain (phase-1 rounds +
     # contraction + weighted phase-2 rounds + exact acceptance pick)
     "graph_louvain_copurchase",
+    # round-15: the DeepWalk factorization half (walks → PMI → PPMI →
+    # rank-2 ALS) and its end-to-end embedding consumption (brute-force
+    # cosine top-3 over the factored vectors)
+    "graph_pmi_factors",
+    "graph_pmi_knn",
 ]
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "k_core",
     "random_walks",
     "walk_cooccurrence",
+    "pmi_embeddings",
     "betweenness_sampled",
     "link_prediction",
     "assortativity",
@@ -969,6 +970,73 @@ def walk_cooccurrence(
     finally:
         pairs.unpersist()
     return out
+
+
+def pmi_embeddings(
+    pmi_pairs: DataFrame,
+    rounds: int = 2,
+    reg: float = 0.1,
+    node_a_col: str = "node_a",
+    node_b_col: str = "node_b",
+    pmi_col: str = "pmi",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Node embeddings by factorizing the walk-PMI matrix — the
+    factorization half of the DeepWalk pipeline whose counting half is
+    :func:`random_walks` + :func:`walk_cooccurrence`. Skip-gram with
+    negative sampling implicitly factorizes a shifted PMI matrix (Levy
+    & Goldberg 2014, "Neural Word Embedding as Implicit Matrix
+    Factorization"), so the in-engine, oracle-replayable equivalent is
+    direct: keep the POSITIVE-PMI cells (the PPMI sparsifier — negative
+    association carries mostly sampling noise and would densify the
+    matrix), symmetrize them (each canonical a<b pair feeds both
+    (a,b) and (b,a) so every node trains against its full context
+    row), and run the rank-2 ALS machinery
+    (ops/recsys.py::als_factorize) — alternating closed-form 2×2
+    ridge solves on exact pico-int normal-equation sums, portable-hash
+    context init, 12-dp coefficient rounding between half-rounds — so
+    the whole training run replays bit-exactly in an unrolled-CTE
+    oracle (the glm/ALS convention).
+
+    Scale shape: PPMI filter + symmetrize are row-scale projections of
+    the pair list; each ALS half-round is one groupBy over the pairs
+    joined with the other side's O(nodes) factor frame. Nothing is
+    collected; factor frames localCheckpoint between rounds.
+
+    Output: (node, f1 ``out_dp`` dp, f2 ``out_dp`` dp) — one rank-2
+    embedding row per node with at least one positive-PMI neighbor.
+    The output rounds to 6 dp by default (ample for an embedding
+    consumed by kNN/dedup distances) rather than the trainer-internal
+    12 dp: a final 12-dp round sits ~10³× closer to cross-engine
+    rounding knife edges (an engine that rounds ``x·10¹²`` in double
+    arithmetic disagrees with a decimal-exact round whenever the
+    scaled fraction lies within one double ulp of .5 — observed once
+    in 3 200 cells), while 6 dp shrinks that window to ~1e-9 and also
+    absorbs single-pico divergences cascading from the half-round
+    roundings.
+    """
+    from metadata_etl_framework_spark.ops.recsys import als_factorize
+
+    pos = pmi_pairs.where(F.col(pmi_col) > 0)
+    sym = pos.select(
+        F.col(node_a_col).alias("node"),
+        F.col(node_b_col).alias("_ctx"),
+        F.col(pmi_col).alias("_r"),
+    ).unionByName(
+        pos.select(
+            F.col(node_b_col).alias("node"),
+            F.col(node_a_col).alias("_ctx"),
+            F.col(pmi_col).alias("_r"),
+        )
+    )
+    uf, _ = als_factorize(
+        sym, "node", "_ctx", "_r", rounds=rounds, reg=reg
+    )
+    return uf.select(
+        "node",
+        F.round("f1", int(out_dp)).alias("f1"),
+        F.round("f2", int(out_dp)).alias("f2"),
+    )
 
 
 def hits(

@@ -2529,3 +2529,46 @@ def test_exact_pico_sums_row_hint_single_level_parity(spark):
         df, terms, row_hint=10_000_000
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "monotonically_increasing_id" in plan2
+
+
+def test_pmi_embeddings_shape_and_determinism(spark):
+    """The PPMI factorization keeps only positive-PMI nodes, emits one
+    rank-2 row per node, and replays identically (hash init + exact
+    pico sums — no RNG anywhere)."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.graph import pmi_embeddings
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 4, 1.386294),
+            (1, 3, 2, 0.693147),
+            (2, 3, 1, -0.405465),  # negative PMI: dropped by PPMI
+            (4, 5, 3, 2.079442),
+        ],
+        "node_a long, node_b long, n_cooc long, pmi double",
+    )
+    emb = pmi_embeddings(pairs, rounds=2, reg=0.1)
+    rows = {r["node"]: (r["f1"], r["f2"]) for r in emb.collect()}
+    # nodes 2 and 3 keep their positive pairs with 1; the (2,3) cell is
+    # dropped but both nodes survive via other edges
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    again = {
+        r["node"]: (r["f1"], r["f2"])
+        for r in pmi_embeddings(pairs, rounds=2, reg=0.1).collect()
+    }
+    assert rows == again
+    # symmetric star: nodes 4 and 5 see identical (single-pair) systems
+    # against each other's context factors only in round parity — check
+    # every factor is a finite 6-dp double
+    for f1, f2 in rows.values():
+        assert f1 == round(f1, 6) and f2 == round(f2, 6)
+        assert abs(f1) < 1e6 and abs(f2) < 1e6
+
+    # an all-negative-PMI input leaves nothing to factorize: the
+    # embedding table is simply empty (no error — an empty PPMI slice
+    # is a legitimate corpus state)
+    only_neg = spark.createDataFrame(
+        [(1, 2, 1, -0.5)], "node_a long, node_b long, n_cooc long, pmi double"
+    )
+    assert pmi_embeddings(only_neg).count() == 0
