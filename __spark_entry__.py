@@ -5314,6 +5314,7 @@ _EXTRA_KEYS = [
     # at round close per standing policy
     "graph_pmi_factors",
     "graph_pmi_knn",
+    "events_cox_ph_multi",
     # Rotated OUT of the driver gate at round-14 (multi-round green
     # there); still verified by the local parity suite.
     "sketch_kll_rollup_events",
@@ -13671,6 +13672,57 @@ def _events_cox_ph(spark, sf_dir):
 _ALL_QUERIES.update({"events_cox_ph": _events_cox_ph})
 
 
+def _events_cox_ph_multi(spark, sf_dir):
+    """Multi-covariate Cox PH (ops/retention.py::cox_ph_multi, d=2,
+    Breslow ties, 3 Newton steps): churn hazard vs BOTH the per-user
+    mean event value and the user's activity volume (events/100) —
+    the d×d generalization on the logistic-CV Hessian-grid machinery
+    (d+d(d+1)/2 pico streams in one scan per pass, closed-form 2×2
+    adjugate solve, 12-dp inter-step rounding). The oracle unrolls
+    every Newton step, the final information pass, the 2×2 inverse
+    diagonal, and the A&S tails bit-exactly."""
+    from metadata_etl_framework_spark.ops.retention import cox_ph_multi
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("_first"),
+            F.max("ts").alias("_last"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1e6)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_sv"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    obs_end = per_user.agg(F.max("_last").alias("_end"))
+    subjects = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t"),
+        (F.datediff(F.col("_end"), F.col("_last")) > F.lit(0))
+        .cast("int")
+        .alias("e"),
+        (
+            F.col("_sv").cast("double")
+            / F.col("_n")
+            / F.lit(1e6)
+            / F.lit(100.0)
+        ).alias("x1"),
+        # second covariate: activity volume, scaled to O(1)
+        (F.col("_n").cast("double") / F.lit(100.0)).alias("x2"),
+    )
+    return cox_ph_multi(subjects, "t", "e", ["x1", "x2"], iterations=3)
+
+
+_ALL_QUERIES.update({"events_cox_ph_multi": _events_cox_ph_multi})
+
+
 def _cox_iter_sql(i: int, final: bool = False) -> str:
     """One Cox Newton step under bt{i-1}'s beta: per-duration pico
     grid, DESC suffix sums (risk sets), event-duration score/info
@@ -13761,6 +13813,149 @@ _ALL_SQL.update(
                        {_normal_sf_sql("ABS(beta * SQRT(info))")}
                        )), 6) END AS p_value
             FROM inf, tot
+        """,
+    }
+)
+
+
+def _cox2_iter_sql(i: int, final: bool = False) -> str:
+    """One d=2 Cox Newton step under bt{i-1}'s (b1, b2): per-duration
+    pico grids for s0/s1_j/s2_jk/dx_j, DESC suffix sums, 10-dp DECIMAL
+    score/info sums, then the closed-form 2×2 adjugate update (skipped
+    on the final information-only pass) — mirrors
+    ops/retention.py::cox_ph_multi and ops/glm.py::_solve d=2."""
+    w = "EXP(GREATEST(LEAST(b1 * x1 + b2 * x2, 30.0), -30.0))"
+
+    def pico(expr: str) -> str:
+        return (
+            f"SUM(CAST(ROUND({expr} * 1000000000000.0, 0) AS HUGEINT))"
+        )
+
+    body = f"""
+            mg{i} AS (SELECT t,
+                     {pico(w)} AS s0,
+                     {pico(f'x1 * {w}')} AS s1_0,
+                     {pico(f'x2 * {w}')} AS s1_1,
+                     {pico(f'x1 * x1 * {w}')} AS s2_00,
+                     {pico(f'x1 * x2 * {w}')} AS s2_01,
+                     {pico(f'x2 * x2 * {w}')} AS s2_11,
+                     SUM(e) AS d,
+                     {pico('x1 * e')} AS dx0,
+                     {pico('x2 * e')} AS dx1
+              FROM base, mb{i - 1} GROUP BY t),
+            ms{i} AS (SELECT t, d, dx0, dx1,
+                     SUM(s0) OVER (ORDER BY t DESC) AS rs0,
+                     SUM(s1_0) OVER (ORDER BY t DESC) AS rs1_0,
+                     SUM(s1_1) OVER (ORDER BY t DESC) AS rs1_1,
+                     SUM(s2_00) OVER (ORDER BY t DESC) AS rs2_00,
+                     SUM(s2_01) OVER (ORDER BY t DESC) AS rs2_01,
+                     SUM(s2_11) OVER (ORDER BY t DESC) AS rs2_11
+              FROM mg{i}),
+            mu{i} AS (SELECT
+                     SUM(CAST(ROUND(CAST(dx0 AS DOUBLE)
+                          / 1000000000000.0
+                          - d * (CAST(rs1_0 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)), 10)
+                          AS DECIMAL(28,10))) AS u0,
+                     SUM(CAST(ROUND(CAST(dx1 AS DOUBLE)
+                          / 1000000000000.0
+                          - d * (CAST(rs1_1 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)), 10)
+                          AS DECIMAL(28,10))) AS u1,
+                     SUM(CAST(ROUND(d * (CAST(rs2_00 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)
+                                 - (CAST(rs1_0 AS DOUBLE)
+                                    / CAST(rs0 AS DOUBLE))
+                                   * (CAST(rs1_0 AS DOUBLE)
+                                      / CAST(rs0 AS DOUBLE))), 10)
+                          AS DECIMAL(28,10))) AS i00,
+                     SUM(CAST(ROUND(d * (CAST(rs2_01 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)
+                                 - (CAST(rs1_0 AS DOUBLE)
+                                    / CAST(rs0 AS DOUBLE))
+                                   * (CAST(rs1_1 AS DOUBLE)
+                                      / CAST(rs0 AS DOUBLE))), 10)
+                          AS DECIMAL(28,10))) AS i01,
+                     SUM(CAST(ROUND(d * (CAST(rs2_11 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)
+                                 - (CAST(rs1_1 AS DOUBLE)
+                                    / CAST(rs0 AS DOUBLE))
+                                   * (CAST(rs1_1 AS DOUBLE)
+                                      / CAST(rs0 AS DOUBLE))), 10)
+                          AS DECIMAL(28,10))) AS i_
+              FROM ms{i} WHERE d > 0)"""
+    if final:
+        return body
+    return body + f""",
+            mb{i} AS (SELECT
+                ROUND(b1 + (CAST(i_ AS DOUBLE) * CAST(u0 AS DOUBLE)
+                            - CAST(i01 AS DOUBLE) * CAST(u1 AS DOUBLE))
+                           / (CAST(i00 AS DOUBLE) * CAST(i_ AS DOUBLE)
+                              - CAST(i01 AS DOUBLE)
+                                * CAST(i01 AS DOUBLE)),
+                      12) AS b1,
+                ROUND(b2 + (CAST(i00 AS DOUBLE) * CAST(u1 AS DOUBLE)
+                            - CAST(i01 AS DOUBLE) * CAST(u0 AS DOUBLE))
+                           / (CAST(i00 AS DOUBLE) * CAST(i_ AS DOUBLE)
+                              - CAST(i01 AS DOUBLE)
+                                * CAST(i01 AS DOUBLE)),
+                      12) AS b2
+                FROM mu{i}, mb{i - 1})"""
+
+
+_ALL_SQL.update(
+    {
+        "events_cox_ph_multi": f"""
+            WITH per_user AS (
+              SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+                     SUM(CAST(ROUND(value * 1000000.0, 0)
+                         AS HUGEINT)) AS sv,
+                     COUNT(*) AS n
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY user_id),
+            oe AS (SELECT MAX(l) AS endd FROM per_user),
+            base AS MATERIALIZED (
+              SELECT DATEDIFF('day', CAST(f AS DATE),
+                              CAST(l AS DATE)) AS t,
+                     CASE WHEN DATEDIFF('day', CAST(l AS DATE),
+                                        CAST(endd AS DATE)) > 0
+                          THEN 1 ELSE 0 END AS e,
+                     CAST(sv AS DOUBLE) / n / 1000000.0 / 100.0 AS x1,
+                     CAST(n AS DOUBLE) / 100.0 AS x2
+              FROM per_user, oe),
+            tot AS (SELECT COUNT(*) AS ns, SUM(e) AS evn FROM base),
+            mb0 AS (SELECT 0.0 AS b1, 0.0 AS b2),
+            {_cox2_iter_sql(1)},
+            {_cox2_iter_sql(2)},
+            {_cox2_iter_sql(3)},
+            {_cox2_iter_sql(4, final=True)},
+            inv AS (SELECT b1, b2,
+                           CAST(i_ AS DOUBLE)
+                           / (CAST(i00 AS DOUBLE) * CAST(i_ AS DOUBLE)
+                              - CAST(i01 AS DOUBLE)
+                                * CAST(i01 AS DOUBLE)) AS inv0,
+                           CAST(i00 AS DOUBLE)
+                           / (CAST(i00 AS DOUBLE) * CAST(i_ AS DOUBLE)
+                              - CAST(i01 AS DOUBLE)
+                                * CAST(i01 AS DOUBLE)) AS inv1
+                    FROM mu4, mb3),
+            terms AS (
+              SELECT 0 AS ord, 'x1' AS term, b1 AS beta, inv0 AS inv
+              FROM inv
+              UNION ALL
+              SELECT 1, 'x2', b2, inv1 FROM inv)
+            SELECT term, beta,
+                   ROUND(EXP(beta), 6) AS hazard_ratio,
+                   ROUND(SQRT(inv), 6) AS se,
+                   ROUND(beta / SQRT(inv), 6) AS z,
+                   ROUND(LEAST(1.0, GREATEST(0.0, 2.0 *
+                       {_normal_sf_sql("ABS(beta / SQRT(inv))")}
+                       )), 6) AS p_value,
+                   CAST(ns AS BIGINT) AS n_subjects,
+                   CAST(evn AS BIGINT) AS n_events
+            FROM terms, tot ORDER BY ord
         """,
     }
 )

@@ -226,10 +226,12 @@ HEADLINE = [
     # contraction + weighted phase-2 rounds + exact acceptance pick)
     "graph_louvain_copurchase",
     # round-15: the DeepWalk factorization half (walks → PMI → PPMI →
-    # rank-2 ALS) and its end-to-end embedding consumption (brute-force
-    # cosine top-3 over the factored vectors)
+    # rank-2 ALS), its end-to-end embedding consumption (brute-force
+    # cosine top-3 over the factored vectors), and the d=2 Cox PH
+    # (4 subject scans, 9 pico streams each, closed-form 2×2 solves)
     "graph_pmi_factors",
     "graph_pmi_knn",
+    "events_cox_ph_multi",
 ]
 
 

@@ -871,7 +871,13 @@ def random_walks(
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        out = out.orderBy("start", "step").localCheckpoint(eager=True)
+        # hybrid materialization (_materialize_iter discipline): run
+        # the walk pipeline through the SQL path first so AQE plans it
+        # — a bare localCheckpoint compiles the whole segment via .rdd
+        # WITHOUT AQE — then checkpoint the cached blocks
+        out = _materialize_iter(
+            out.orderBy("start", "step"), truncate=True
+        )
     finally:
         nbrs.unpersist()
     return out
@@ -966,7 +972,9 @@ def walk_cooccurrence(
             )
             .orderBy(F.desc("pmi"), F.asc("node_a"), F.asc("node_b"))
         )
-        out = out.localCheckpoint(eager=True)
+        # hybrid materialization — same rationale as random_walks: keep
+        # AQE on the PMI joins, checkpoint only the cached result
+        out = _materialize_iter(out, truncate=True)
     finally:
         pairs.unpersist()
     return out

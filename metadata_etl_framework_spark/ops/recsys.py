@@ -315,8 +315,28 @@ def als_factorize(
         F.col(rating_col).cast("double").alias("__r"),
     )
     base = base.persist()
-    base.count()
-    q = (
+    n_ratings = base.count()
+
+    def _mat(df: DataFrame) -> DataFrame:
+        # hybrid materialization (the ops/graph.py::_materialize_iter
+        # discipline): run the segment through the SQL path first
+        # (persist + count, AQE on — a bare localCheckpoint compiles
+        # the whole half-round through .rdd WITHOUT AQE, measured 1.6×
+        # slower on the benched dangling arm), then checkpoint the
+        # cached blocks and release the cache
+        cached = df.persist()
+        cached.count()
+        out = cached.localCheckpoint()
+        cached.unpersist()
+        return out
+
+    # factor frames are O(keys) two-double rows; keys ≤ ratings, so a
+    # small ratings count proves them broadcastable — every half-round
+    # join then goes map-side (the graph move-round gate convention).
+    # Above the gate the equi-shuffle join stands, the right plan at
+    # fact scale.
+    bc = F.broadcast if n_ratings <= 2_000_000 else (lambda d: d)
+    q = _mat(
         base.select("__it")
         .distinct()
         .select(
@@ -333,7 +353,6 @@ def als_factorize(
                 12,
             ).alias("__f2"),
         )
-        .localCheckpoint()
     )
     reg_pico = int(
         Decimal(repr(float(reg))).scaleb(12).to_integral_value()
@@ -344,7 +363,7 @@ def als_factorize(
 
     def _half(gkey: str, okey: str, factors: DataFrame) -> DataFrame:
         j = base.join(
-            factors.withColumnRenamed("__k", okey), okey
+            bc(factors.withColumnRenamed("__k", okey)), okey
         )
         s = j.groupBy(gkey).agg(
             F.sum(_pico(F.col("__f1") * F.col("__f1"))).alias("a11"),
@@ -359,16 +378,23 @@ def als_factorize(
         b1 = F.col("b1").cast("double")
         b2 = F.col("b2").cast("double")
         det = a11 * a22 - a12 * a12
-        return s.select(
-            F.col(gkey).alias("__k"),
-            F.round((a22 * b1 - a12 * b2) / det, 12).alias("__f1"),
-            F.round((a11 * b2 - a12 * b1) / det, 12).alias("__f2"),
-        ).localCheckpoint()
+        return _mat(
+            s.select(
+                F.col(gkey).alias("__k"),
+                F.round((a22 * b1 - a12 * b2) / det, 12).alias("__f1"),
+                F.round((a11 * b2 - a12 * b1) / det, 12).alias("__f2"),
+            )
+        )
 
     p = None
-    for _ in range(rounds):
-        p = _half("__u", "__it", q)
+    for r in range(rounds):
+        prev_q = q
+        p_new = _half("__u", "__it", q)
+        if p is not None:
+            p.unpersist()
+        p = p_new
         q = _half("__it", "__u", p)
+        prev_q.unpersist()
     base.unpersist()
     uf = p.select(
         F.col("__k").alias(user_col),

@@ -1394,6 +1394,236 @@ def cox_ph(
         base.unpersist()
 
 
+def cox_ph_multi(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    covariate_cols: "list[str]",
+    iterations: int = 3,
+    max_covariates: int = 4,
+) -> DataFrame:
+    """Multi-covariate Cox proportional hazards (Breslow ties) — the
+    d-dimensional generalization of :func:`cox_ph` on the
+    logistic-CV Hessian-grid machinery: per Newton iteration ONE
+    subject scan groups by duration collecting pico-int DECIMAL sums
+    of e^{βᵀx}, x_j·e^{βᵀx} (d streams) and x_j·x_k·e^{βᵀx}
+    (d(d+1)/2 streams) plus event counts/covariate-event sums; DESC
+    suffix sums over the distinct-duration grid form the risk-set
+    statistics S₀/S₁ⱼ/S₂ⱼₖ; the score vector Uⱼ = Σ_d [Σx_j,events −
+    d·S₁ⱼ/S₀] and information matrix Iⱼₖ = Σ_d d·[S₂ⱼₖ/S₀ −
+    (S₁ⱼ/S₀)(S₁ₖ/S₀)] accumulate as 10-dp DECIMAL terms, and the d×d
+    Newton step solves on the driver (d = 2 uses the exact
+    closed-form adjugate the SQL oracle mirrors — the
+    ops/glm.py::_solve convention; d > 2 uses deterministic Gaussian
+    elimination, registered rows-only). β updates round to 12 dp so
+    an unrolled-CTE oracle replays the training bit-exactly.
+
+    A final pass at the converged β yields the reported information
+    matrix; per-term inference inverts it (closed form at d = 2):
+    se_j = √(I⁻¹)ⱼⱼ, z_j = β_j/se_j, two-sided A&S normal tail.
+
+    Output: one row per covariate, input order — (term, beta 12 dp,
+    hazard_ratio 6 dp, se 6 dp, z 6 dp, p_value 6 dp, n_subjects,
+    n_events); null beta/inference when the information matrix is
+    singular or not positive definite.
+    """
+    from pyspark.sql import Window
+
+    from metadata_etl_framework_spark.ops.glm import _solve
+    from metadata_etl_framework_spark.ops.stats import normal_sf_col
+
+    d = len(covariate_cols)
+    if not 1 <= d <= max_covariates:
+        raise ValueError(
+            f"cox_ph_multi: {d} covariates outside [1, {max_covariates}]"
+        )
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    cond = F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    for c in covariate_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("boolean").cast("int").alias("_e"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j + 1}")
+            for j, c in enumerate(covariate_cols)
+        ],
+    )
+    xs = [F.col(f"_x{j + 1}") for j in range(d)]
+    spark = df.sparkSession
+
+    def _null_out(n_subj: int, n_ev: int) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (j, covariate_cols[j], None, None, None, None, None,
+                 n_subj, n_ev)
+                for j in range(d)
+            ],
+            "ord int, term string, beta double, hazard_ratio double, "
+            "se double, z double, p_value double, n_subjects long, "
+            "n_events long",
+        ).orderBy("ord").drop("ord")
+
+    base = base.persist()
+    try:
+        counts = base.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_e").alias("ev")
+        ).collect()[0]
+        n_subj, n_ev = int(counts["n"]), int(counts["ev"] or 0)
+        if n_subj == 0 or n_ev == 0:
+            return _null_out(n_subj, n_ev)
+
+        def _pico(e):
+            return F.round(e * F.lit(1e12)).cast("decimal(38,0)")
+
+        def _pass(betas: "list[float]"):
+            bx = F.lit(betas[0]) * xs[0]
+            for j in range(1, d):
+                bx = bx + F.lit(betas[j]) * xs[j]
+            w = F.exp(
+                F.greatest(F.least(bx, F.lit(30.0)), F.lit(-30.0))
+            )
+            aggs = [
+                F.sum(_pico(w)).alias("_s0"),
+                F.sum("_e").alias("_d"),
+            ]
+            for j in range(d):
+                aggs.append(F.sum(_pico(xs[j] * w)).alias(f"_s1_{j}"))
+                aggs.append(
+                    F.sum(_pico(xs[j] * F.col("_e"))).alias(f"_dx{j}")
+                )
+            for j in range(d):
+                for k in range(j, d):
+                    aggs.append(
+                        F.sum(_pico(xs[j] * xs[k] * w)).alias(
+                            f"_s2_{j}{k}"
+                        )
+                    )
+            grid = base.groupBy("_t").agg(*aggs)
+            # risk set = durations >= t: DESC suffix sums over the
+            # distinct-duration grid (calendar-bounded frame)
+            wd = Window.orderBy(F.col("_t").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            cum = grid.withColumn("_S0", F.sum("_s0").over(wd))
+            for j in range(d):
+                cum = cum.withColumn(
+                    f"_S1_{j}", F.sum(f"_s1_{j}").over(wd)
+                )
+            for j in range(d):
+                for k in range(j, d):
+                    cum = cum.withColumn(
+                        f"_S2_{j}{k}", F.sum(f"_s2_{j}{k}").over(wd)
+                    )
+            cum = cum.where(F.col("_d") > 0)
+            s0 = F.col("_S0").cast("double")
+            outs = []
+            for j in range(d):
+                r1j = F.col(f"_S1_{j}").cast("double") / s0
+                outs.append(
+                    F.sum(
+                        F.round(
+                            F.col(f"_dx{j}").cast("double") / F.lit(1e12)
+                            - F.col("_d") * r1j,
+                            10,
+                        ).cast("decimal(28,10)")
+                    ).alias(f"_u{j}")
+                )
+            for j in range(d):
+                for k in range(j, d):
+                    r1j = F.col(f"_S1_{j}").cast("double") / s0
+                    r1k = F.col(f"_S1_{k}").cast("double") / s0
+                    r2 = F.col(f"_S2_{j}{k}").cast("double") / s0
+                    outs.append(
+                        F.sum(
+                            F.round(
+                                F.col("_d") * (r2 - r1j * r1k), 10
+                            ).cast("decimal(28,10)")
+                        ).alias(f"_i{j}{k}")
+                    )
+            row = cum.agg(*outs).collect()[0]
+            u = [float(row[f"_u{j}"] or 0.0) for j in range(d)]
+            imat = [[0.0] * d for _ in range(d)]
+            for j in range(d):
+                for k in range(j, d):
+                    v = float(row[f"_i{j}{k}"] or 0.0)
+                    imat[j][k] = v
+                    imat[k][j] = v
+            return u, imat
+
+        betas = [0.0] * d
+        ok = True
+        for _ in range(int(iterations)):
+            u, imat = _pass(betas)
+            try:
+                delta = _solve(imat, u)
+            except ValueError:
+                ok = False
+                break
+            betas = [round(betas[j] + delta[j], 12) for j in range(d)]
+        if not ok:
+            return _null_out(n_subj, n_ev)
+        # reported inference at the CONVERGED betas
+        _, imat = _pass(betas)
+        inv_jj: "list[float] | None"
+        if d == 1:
+            inv_jj = [1.0 / imat[0][0]] if imat[0][0] > 0 else None
+        elif d == 2:
+            det = imat[0][0] * imat[1][1] - imat[0][1] * imat[0][1]
+            inv_jj = (
+                [imat[1][1] / det, imat[0][0] / det]
+                if det > 0
+                else None
+            )
+        else:
+            try:
+                inv_jj = [
+                    _solve(imat, [1.0 if r == j else 0.0 for r in range(d)])[j]
+                    for j in range(d)
+                ]
+            except ValueError:
+                inv_jj = None
+        if inv_jj is None or any(not v > 0 for v in inv_jj):
+            return _null_out(n_subj, n_ev)
+        one = spark.createDataFrame(
+            [
+                (j, covariate_cols[j], betas[j], inv_jj[j], n_subj, n_ev)
+                for j in range(d)
+            ],
+            "ord int, term string, beta double, inv double, "
+            "n_subjects long, n_events long",
+        )
+        se = F.sqrt(F.col("inv"))
+        z = F.col("beta") / se
+        p = F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0), F.lit(2.0) * normal_sf_col(F.abs(z))
+                ),
+            ),
+            6,
+        )
+        return (
+            one.select(
+                "ord",
+                "term",
+                "beta",
+                F.round(F.exp(F.col("beta")), 6).alias("hazard_ratio"),
+                F.round(se, 6).alias("se"),
+                F.round(z, 6).alias("z"),
+                p.alias("p_value"),
+                "n_subjects",
+                "n_events",
+            )
+            .orderBy("ord")
+            .drop("ord")
+        )
+    finally:
+        base.unpersist()
+
+
 def rmst(
     df: DataFrame,
     user_col: str = "user_id",

@@ -2572,3 +2572,107 @@ def test_pmi_embeddings_shape_and_determinism(spark):
         [(1, 2, 1, -0.5)], "node_a long, node_b long, n_cooc long, pmi double"
     )
     assert pmi_embeddings(only_neg).count() == 0
+
+
+def test_cox_ph_multi_matches_single_and_replica(spark):
+    """d=1 cox_ph_multi reproduces cox_ph's beta exactly (same grids,
+    same 12-dp Newton updates), and d=2 betas match an independent
+    pure-Python replica of the Breslow partial-likelihood Newton."""
+    from metadata_etl_framework_spark.ops.retention import (
+        cox_ph,
+        cox_ph_multi,
+    )
+
+    rows = [
+        # (duration, event, x1, x2) — mixed ties, censoring
+        (5, 1, 0.2, 0.1), (5, 0, 0.8, 0.3), (8, 1, 0.5, 0.9),
+        (8, 1, 0.1, 0.2), (12, 0, 0.9, 0.4), (12, 1, 0.3, 0.8),
+        (15, 1, 0.7, 0.1), (20, 0, 0.4, 0.6), (20, 1, 0.6, 0.5),
+        (25, 1, 0.2, 0.7),
+    ]
+    df = spark.createDataFrame(
+        rows, "t long, e int, x1 double, x2 double"
+    )
+    single = cox_ph(df, "t", "e", "x1", iterations=3).collect()[0]
+    multi1 = cox_ph_multi(
+        df, "t", "e", ["x1"], iterations=3
+    ).collect()[0]
+    assert multi1["beta"] == single["beta"]
+    assert multi1["n_subjects"] == single["n_subjects"] == 10
+    assert multi1["n_events"] == single["n_events"] == 7
+
+    got = {
+        r["term"]: r
+        for r in cox_ph_multi(
+            df, "t", "e", ["x1", "x2"], iterations=3
+        ).collect()
+    }
+
+    # independent replica: same math, no Spark
+    def replica(rows, iters):
+        import math
+
+        def newton_pass(b):
+            grid = {}
+            for t, e, x1, x2 in rows:
+                w = math.exp(max(min(b[0] * x1 + b[1] * x2, 30), -30))
+                g = grid.setdefault(
+                    t, {"s0": 0, "s1": [0, 0], "s2": [[0, 0], [0, 0]],
+                        "d": 0, "dx": [0, 0]}
+                )
+                xv = [x1, x2]
+                g["s0"] += round(w * 1e12)
+                for j in range(2):
+                    g["s1"][j] += round(xv[j] * w * 1e12)
+                    g["dx"][j] += round(xv[j] * e * 1e12)
+                    for k in range(j, 2):
+                        g["s2"][j][k] += round(xv[j] * xv[k] * w * 1e12)
+                g["d"] += e
+            from decimal import Decimal
+
+            u = [Decimal(0)] * 2
+            im = [[Decimal(0)] * 2 for _ in range(2)]
+            S0 = 0
+            S1 = [0, 0]
+            S2 = [[0, 0], [0, 0]]
+            for t in sorted(grid, reverse=True):
+                g = grid[t]
+                S0 += g["s0"]
+                for j in range(2):
+                    S1[j] += g["s1"][j]
+                    for k in range(j, 2):
+                        S2[j][k] += g["s2"][j][k]
+                if g["d"] > 0:
+                    for j in range(2):
+                        r1j = float(S1[j]) / float(S0)
+                        u[j] += Decimal(
+                            repr(round(g["dx"][j] / 1e12
+                                       - g["d"] * r1j, 10))
+                        )
+                        for k in range(j, 2):
+                            r1k = float(S1[k]) / float(S0)
+                            r2 = float(S2[j][k]) / float(S0)
+                            im[j][k] += Decimal(
+                                repr(round(g["d"] * (r2 - r1j * r1k),
+                                           10))
+                            )
+            uf = [float(v) for v in u]
+            h = [[float(im[0][0]), float(im[0][1])],
+                 [float(im[0][1]), float(im[1][1])]]
+            return uf, h
+
+        b = [0.0, 0.0]
+        for _ in range(iters):
+            u, h = newton_pass(b)
+            det = h[0][0] * h[1][1] - h[0][1] * h[0][1]
+            d0 = (h[1][1] * u[0] - h[0][1] * u[1]) / det
+            d1 = (h[0][0] * u[1] - h[0][1] * u[0]) / det
+            b = [round(b[0] + d0, 12), round(b[1] + d1, 12)]
+        return b
+
+    b = replica(rows, 3)
+    assert got["x1"]["beta"] == b[0]
+    assert got["x2"]["beta"] == b[1]
+    assert got["x1"]["hazard_ratio"] == round(
+        __import__("math").exp(b[0]), 6
+    )
