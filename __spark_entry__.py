@@ -5247,14 +5247,20 @@ def _events_forecast_baseline(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier. Round-14 rotation: the 4 round-14 flagships
-    # (glm_quantile_lineitem, graph_greedy_modularity,
-    # events_holt_winters, graph_louvain_copurchase) rotate IN; 4
-    # long-green twins (sketch_kll_rollup_events — the _price twin
-    # stays; nb_top_terms_lang — nb_lang_docs stays; glm_cv_lineitem —
-    # the iterative logistic CV stays; graph_hits_suppliers — four
-    # other iterative graph keys stay) rotate to extras where the
-    # local parity suite still verifies them every run.
+    # capability frontier. Round-15 rotation: the 3 round-15 flagships
+    # (graph_pmi_factors — DeepWalk factorization half;
+    # graph_pmi_knn — its end-to-end embedding consumption;
+    # events_cox_ph_multi — d=2 Cox PH) rotate IN; 3 long-green twins
+    # (graph_walk_pmi — graph_pmi_factors contains the whole counting
+    # half; events_cox_ph — the d=1 special case of the new multi key;
+    # graph_pagerank_suppliers — the dangling/centrality family keeps
+    # betweenness + eigenvector + link-prediction + 4 community keys
+    # in the gate) rotate to extras where the local parity suite
+    # still verifies them every run.
+    # (Round-14 rotation history: in glm_quantile_lineitem,
+    # graph_greedy_modularity, events_holt_winters,
+    # graph_louvain_copurchase; out sketch_kll_rollup_events,
+    # nb_top_terms_lang, glm_cv_lineitem, graph_hits_suppliers.)
     "q1_pricing_summary",
     "drift_suite",
     "curation_funnel",
@@ -5266,7 +5272,7 @@ _DRIVER_KEYS = [
     "sql_q3_shipping_priority",
     "incr_merge_upsert",
     "incr_scd2_apply",
-    "graph_pagerank_suppliers",
+    "graph_pmi_factors",
     "ann_ivf_pq",
     "multimodal_image_meta",
     "eval_retrieval_bm25",
@@ -5278,14 +5284,14 @@ _DRIVER_KEYS = [
     "nb_lang_docs",
     "glm_logit_orders",
     "glm_linear_lineitem",
-    "graph_walk_pmi",
+    "graph_pmi_knn",
     "profile_robust_price",
     "dedup_containment_docs",
     "sketch_kll_rollup_price",
     "recsys_als_factors",
     "graph_betweenness_ring",
     "glm_cv_logit_orders",
-    "events_cox_ph",
+    "events_cox_ph_multi",
     "eval_auc_delong_orders",
     "graph_link_prediction",
     "graph_assortativity_parts",
@@ -5310,11 +5316,13 @@ _DRIVER_KEYS = [
 # Granular single-operator variants, verified by the LOCAL parity suite
 # (tests/test_oracle_parity.py runs queries() ∪ extra_queries()).
 _EXTRA_KEYS = [
-    # round-15 flagships land here first; rotated into the driver gate
-    # at round close per standing policy
-    "graph_pmi_factors",
-    "graph_pmi_knn",
-    "events_cox_ph_multi",
+    # Rotated OUT of the driver gate at round-15 (multi-round green
+    # there; the round-15 flagships graph_pmi_factors / graph_pmi_knn /
+    # events_cox_ph_multi took their slots); still verified by the
+    # local parity suite.
+    "graph_walk_pmi",
+    "events_cox_ph",
+    "graph_pagerank_suppliers",
     # Rotated OUT of the driver gate at round-14 (multi-round green
     # there); still verified by the local parity suite.
     "sketch_kll_rollup_events",

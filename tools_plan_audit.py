@@ -381,6 +381,11 @@ def main() -> None:
         "recsys_eval_coverage": "popularity-baseline cross (measured "
         "catalog gate) plus 1-row audit-totals readout crosses "
         "(two-pass statistic pattern)",
+        "events_rmst": "1-row horizon/observation-end readout crosses "
+        "plus the KM survival-grid cross — the grid is bounded by "
+        "horizon_days by construction (ops/retention.py::rmst), so "
+        "every build side is ≤ horizon-sized; the partitionless "
+        "Window.orderBy runs on that same bounded grid",
     }
     bad = [
         r["name"]
