@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
+
 from .text import tokens
 
 __all__ = ["nb_train", "nb_score", "nb_top_terms"]
@@ -126,7 +128,7 @@ def nb_train(
             )
         )
         out = priors.unionByName(tok).unionByName(defaults)
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint_hybrid(out)
     finally:
         base.unpersist()
         try:

@@ -18,6 +18,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 from pyspark.sql import types as T
 
 from metadata_etl_framework_spark.ops.text import fingerprint
@@ -349,7 +351,7 @@ def containment_pairs(
                 F.asc("id_outer"),
             )
         )
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint_hybrid(out)
     finally:
         base.unpersist()
     return out

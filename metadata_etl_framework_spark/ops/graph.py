@@ -572,13 +572,21 @@ def label_propagation(
     labels = adj.select(F.col("v").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).persist()
-    labels.count()
+    # node-count broadcast gate (the _greedy_move_rounds convention)
+    bc = (
+        F.broadcast
+        if labels.count() <= _MOVE_BCAST_MAX_NODES
+        else (lambda d: d)
+    )
     truncate = iterations >= _TRUNCATE_MIN_ITERS
     for it in range(1, iterations + 1):
         counts = (
             adj.join(
-                labels.select(
-                    F.col("node").alias("u"), F.col("label").alias("nl")
+                bc(
+                    labels.select(
+                        F.col("node").alias("u"),
+                        F.col("label").alias("nl"),
+                    )
                 ),
                 "u",
             )
@@ -2204,7 +2212,14 @@ def eigenvector_centrality(
         .distinct()
         .persist()
     )
-    nodes.count()
+    # node-count broadcast gate (the _greedy_move_rounds convention):
+    # score frames are O(nodes) two-column rows — map-side join them
+    # below the gate, keep the equi-shuffle form above it
+    bc = (
+        F.broadcast
+        if nodes.count() <= _MOVE_BCAST_MAX_NODES
+        else (lambda d: d)
+    )
     # plan depth doubles per round even under persist (each round
     # references the score frame twice: contribution join + identity
     # add) — truncate lineage at every materialization; the benched
@@ -2217,7 +2232,7 @@ def eigenvector_centrality(
     try:
         for _ in range(int(iterations)):
             contrib = (
-                e.join(x, e["_src"] == x["node"])
+                e.join(bc(x), e["_src"] == x["node"])
                 .groupBy(F.col("_dst").alias("node"))
                 .agg(
                     F.sum(
@@ -2228,7 +2243,7 @@ def eigenvector_centrality(
                 )
             )
             y = _materialize_iter(
-                x.join(contrib, "node", "left").select(
+                x.join(bc(contrib), "node", "left").select(
                     "node",
                     (
                         F.coalesce(F.col("y"), F.lit(0.0))

@@ -39,6 +39,8 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
+
 __all__ = [
     "item_item_cosine",
     "recommend_items",
@@ -220,7 +222,7 @@ def recommend_items(
     # interactions); materialize it ONCE — the symmetrize union below
     # references it twice and would otherwise recompute the entire
     # similarity pipeline per branch (measured 2x on the brand query)
-    sims = sims.localCheckpoint(eager=True)
+    sims = checkpoint_hybrid(sims)
     sym = sims.select(
         F.col("item_a").alias("_i"),
         F.col("item_b").alias("_j"),

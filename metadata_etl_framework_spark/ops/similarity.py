@@ -16,6 +16,8 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 from pyspark.sql import types as T
 
 
@@ -1760,7 +1762,7 @@ def _lof_from_nn(
             )
             .orderBy(id_col)
         )
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint_hybrid(out)
     finally:
         nn.unpersist()
     return out

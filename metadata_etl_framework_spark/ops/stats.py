@@ -31,6 +31,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
+
 from .sketch import hash32
 
 __all__ = [
@@ -913,7 +915,7 @@ def simpsons_check(
             )
             .orderBy("segment")
         )
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint_hybrid(out)
     finally:
         seg.unpersist()
     return out
@@ -1078,7 +1080,7 @@ def theil_sen_trend(
             )
             .orderBy("group")
         )
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint_hybrid(out)
     finally:
         pts.unpersist()
     return out

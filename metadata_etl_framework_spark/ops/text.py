@@ -13,6 +13,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
+
 DEFAULT_STOPWORDS = (
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "for", "on", "with",
 )
@@ -2390,7 +2392,7 @@ def rake_keywords(
             .orderBy(F.desc("score"), F.asc("phrase"))
             .limit(int(top_k))
         )
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint_hybrid(out)
     finally:
         ph.unpersist()
     return out
