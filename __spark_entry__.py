@@ -5323,6 +5323,8 @@ _EXTRA_KEYS = [
     "graph_walk_pmi",
     "events_cox_ph",
     "graph_pagerank_suppliers",
+    # round-15 post-rotation addition (local parity)
+    "events_cox_ph_strata",
     # Rotated OUT of the driver gate at round-14 (multi-round green
     # there); still verified by the local parity suite.
     "sketch_kll_rollup_events",
@@ -13731,6 +13733,80 @@ def _events_cox_ph_multi(spark, sf_dir):
 _ALL_QUERIES.update({"events_cox_ph_multi": _events_cox_ph_multi})
 
 
+def _events_cox_ph_strata(spark, sf_dir):
+    """STRATIFIED Cox PH (ops/retention.py::cox_ph_multi with
+    strata_col, d=1, Breslow, 3 Newton steps): churn hazard vs mean
+    event value, stratified by the user's MODAL event type (argmax
+    count, lexicographic tie-break) — each usage style keeps its own
+    baseline hazard and risk sets while β is shared (the partial
+    likelihood factorizes per stratum: grid keys and the suffix-sum
+    window gain the stratum, nothing else changes). Oracle unrolls
+    the per-stratum grids, partitioned suffix sums, and every Newton
+    step bit-exactly."""
+    from metadata_etl_framework_spark.ops.retention import cox_ph_multi
+
+    ev = _t(spark, sf_dir, "events")
+    modal = (
+        ev.where(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_c")).alias("nc"),
+                    F.col("event_type").alias("et"),
+                )
+            ).alias("_m")
+        )
+        .select("user_id", F.col("_m.et").alias("modal_type"))
+    )
+    per_user = (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("_first"),
+            F.max("ts").alias("_last"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1e6)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_sv"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    obs_end = per_user.agg(F.max("_last").alias("_end"))
+    subjects = (
+        per_user.join(modal, "user_id")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.datediff(F.col("_last"), F.col("_first")).alias("t"),
+            (F.datediff(F.col("_end"), F.col("_last")) > F.lit(0))
+            .cast("int")
+            .alias("e"),
+            (
+                F.col("_sv").cast("double")
+                / F.col("_n")
+                / F.lit(1e6)
+                / F.lit(100.0)
+            ).alias("x1"),
+            F.col("modal_type").alias("site"),
+        )
+    )
+    return cox_ph_multi(
+        subjects, "t", "e", ["x1"], iterations=3, strata_col="site"
+    )
+
+
+_ALL_QUERIES.update({"events_cox_ph_strata": _events_cox_ph_strata})
+
+
 def _cox_iter_sql(i: int, final: bool = False) -> str:
     """One Cox Newton step under bt{i-1}'s beta: per-duration pico
     grid, DESC suffix sums (risk sets), event-duration score/info
@@ -13824,6 +13900,55 @@ _ALL_SQL.update(
         """,
     }
 )
+
+
+def _coxs_iter_sql(i: int, final: bool = False) -> str:
+    """One STRATIFIED d=1 Cox Newton step under sb{i-1}'s beta: the
+    _cox_iter_sql shape with the stratum joining the grid key and the
+    suffix-sum window partition (mirrors cox_ph_multi's strata_col
+    arm)."""
+    w = "EXP(GREATEST(LEAST(beta * x1, 30.0), -30.0))"
+    body = f"""
+            sg{i} AS (SELECT g, t,
+                     SUM(CAST(ROUND({w}
+                          * 1000000000000.0, 0) AS HUGEINT)) AS s0,
+                     SUM(CAST(ROUND(x1 * {w}
+                          * 1000000000000.0, 0) AS HUGEINT)) AS s1,
+                     SUM(CAST(ROUND(x1 * x1 * {w}
+                          * 1000000000000.0, 0) AS HUGEINT)) AS s2,
+                     SUM(e) AS d,
+                     SUM(CAST(ROUND(x1 * e * 1000000000000.0, 0)
+                          AS HUGEINT)) AS dx
+              FROM base, sb{i - 1} GROUP BY g, t),
+            ss{i} AS (SELECT g, t, d, dx,
+                     SUM(s0) OVER (PARTITION BY g
+                                   ORDER BY t DESC) AS rs0,
+                     SUM(s1) OVER (PARTITION BY g
+                                   ORDER BY t DESC) AS rs1,
+                     SUM(s2) OVER (PARTITION BY g
+                                   ORDER BY t DESC) AS rs2
+              FROM sg{i}),
+            su{i} AS (SELECT
+                     SUM(CAST(ROUND(CAST(dx AS DOUBLE)
+                          / 1000000000000.0
+                          - d * (CAST(rs1 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)), 10)
+                          AS DECIMAL(28,10))) AS u,
+                     SUM(CAST(ROUND(d * (CAST(rs2 AS DOUBLE)
+                                 / CAST(rs0 AS DOUBLE)
+                                 - (CAST(rs1 AS DOUBLE)
+                                    / CAST(rs0 AS DOUBLE))
+                                   * (CAST(rs1 AS DOUBLE)
+                                      / CAST(rs0 AS DOUBLE))), 10)
+                          AS DECIMAL(28,10))) AS i_
+              FROM ss{i} WHERE d > 0)"""
+    if final:
+        return body
+    return body + f""",
+            sb{i} AS (SELECT ROUND(beta
+                          + CAST(u AS DOUBLE) / CAST(i_ AS DOUBLE),
+                          12) AS beta
+                      FROM su{i}, sb{i - 1})"""
 
 
 def _cox2_iter_sql(i: int, final: bool = False) -> str:
@@ -13964,6 +14089,55 @@ _ALL_SQL.update(
                    CAST(ns AS BIGINT) AS n_subjects,
                    CAST(evn AS BIGINT) AS n_events
             FROM terms, tot ORDER BY ord
+        """,
+        "events_cox_ph_strata": f"""
+            WITH modal AS (
+              SELECT user_id, MIN(struct_pack(nc := -cnt, et := et)).et
+                         AS modal_type
+              FROM (SELECT user_id, event_type AS et, COUNT(*) AS cnt
+                    FROM events
+                    WHERE user_id IS NOT NULL
+                      AND event_type IS NOT NULL
+                    GROUP BY 1, 2)
+              GROUP BY user_id),
+            per_user AS (
+              SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+                     SUM(CAST(ROUND(value * 1000000.0, 0)
+                         AS HUGEINT)) AS sv,
+                     COUNT(*) AS n
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY user_id),
+            oe AS (SELECT MAX(l) AS endd FROM per_user),
+            base AS MATERIALIZED (
+              SELECT DATEDIFF('day', CAST(f AS DATE),
+                              CAST(l AS DATE)) AS t,
+                     CASE WHEN DATEDIFF('day', CAST(l AS DATE),
+                                        CAST(endd AS DATE)) > 0
+                          THEN 1 ELSE 0 END AS e,
+                     CAST(sv AS DOUBLE) / n / 1000000.0 / 100.0 AS x1,
+                     modal_type AS g
+              FROM per_user JOIN modal USING (user_id), oe),
+            tot AS (SELECT COUNT(*) AS ns, SUM(e) AS evn FROM base),
+            sb0 AS (SELECT 0.0 AS beta),
+            {_coxs_iter_sql(1)},
+            {_coxs_iter_sql(2)},
+            {_coxs_iter_sql(3)},
+            {_coxs_iter_sql(4, final=True)},
+            inf AS (SELECT beta,
+                           1.0 / CAST(i_ AS DOUBLE) AS inv
+                    FROM su4, sb3)
+            SELECT 'x1' AS term, beta,
+                   ROUND(EXP(beta), 6) AS hazard_ratio,
+                   ROUND(SQRT(inv), 6) AS se,
+                   ROUND(beta / SQRT(inv), 6) AS z,
+                   ROUND(LEAST(1.0, GREATEST(0.0, 2.0 *
+                       {_normal_sf_sql("ABS(beta / SQRT(inv))")}
+                       )), 6) AS p_value,
+                   CAST(ns AS BIGINT) AS n_subjects,
+                   CAST(evn AS BIGINT) AS n_events
+            FROM inf, tot
         """,
     }
 )

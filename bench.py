@@ -232,6 +232,9 @@ HEADLINE = [
     "graph_pmi_factors",
     "graph_pmi_knn",
     "events_cox_ph_multi",
+    # round-15 continuation: stratified Cox (per-stratum risk-set
+    # suffix sums under a shared β)
+    "events_cox_ph_strata",
 ]
 
 

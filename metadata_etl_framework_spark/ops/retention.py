@@ -1401,6 +1401,7 @@ def cox_ph_multi(
     covariate_cols: "list[str]",
     iterations: int = 3,
     max_covariates: int = 4,
+    strata_col: "str | None" = None,
 ) -> DataFrame:
     """Multi-covariate Cox proportional hazards (Breslow ties) — the
     d-dimensional generalization of :func:`cox_ph` on the
@@ -1422,6 +1423,18 @@ def cox_ph_multi(
     matrix; per-term inference inverts it (closed form at d = 2):
     se_j = √(I⁻¹)ⱼⱼ, z_j = β_j/se_j, two-sided A&S normal tail.
 
+    ``strata_col`` switches to STRATIFIED Cox — the standard control
+    for a confounder that violates proportional hazards (site, cohort,
+    device class): the partial likelihood factorizes per stratum, so
+    each stratum keeps its own baseline hazard and risk sets while β
+    stays shared. Mechanically the change is exactly two keys: the
+    duration grid groups by (stratum, t) and the DESC suffix-sum
+    window partitions by stratum — score/information still sum over
+    ALL strata's event durations, so the Newton step, the solve, and
+    the oracle convention are unchanged. Scale shape is unchanged too
+    (the grid grows to strata × durations, still calendar-bounded per
+    stratum).
+
     Output: one row per covariate, input order — (term, beta 12 dp,
     hazard_ratio 6 dp, se 6 dp, z 6 dp, p_value 6 dp, n_subjects,
     n_events); null beta/inference when the information matrix is
@@ -1442,7 +1455,15 @@ def cox_ph_multi(
     cond = F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
     for c in covariate_cols:
         cond = cond & F.col(c).isNotNull()
+    if strata_col is not None:
+        cond = cond & F.col(strata_col).isNotNull()
+    strata_sel = (
+        [F.col(strata_col).alias("_g")]
+        if strata_col is not None
+        else [F.lit(0).alias("_g")]
+    )
     base = df.where(cond).select(
+        *strata_sel,
         F.col(duration_col).cast("long").alias("_t"),
         F.col(event_col).cast("boolean").cast("int").alias("_e"),
         *[
@@ -1500,11 +1521,14 @@ def cox_ph_multi(
                             f"_s2_{j}{k}"
                         )
                     )
-            grid = base.groupBy("_t").agg(*aggs)
-            # risk set = durations >= t: DESC suffix sums over the
-            # distinct-duration grid (calendar-bounded frame)
-            wd = Window.orderBy(F.col("_t").desc()).rowsBetween(
-                Window.unboundedPreceding, 0
+            grid = base.groupBy("_g", "_t").agg(*aggs)
+            # risk set = same-stratum durations >= t: DESC suffix sums
+            # over the distinct-(stratum, duration) grid
+            # (calendar-bounded per stratum)
+            wd = (
+                Window.partitionBy("_g")
+                .orderBy(F.col("_t").desc())
+                .rowsBetween(Window.unboundedPreceding, 0)
             )
             cum = grid.withColumn("_S0", F.sum("_s0").over(wd))
             for j in range(d):
