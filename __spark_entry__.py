@@ -5230,6 +5230,28 @@ def _embed_drift_snapshots(spark, sf_dir):
     )
 
 
+def _drift_mmd_embeddings(spark, sf_dir):
+    """Kernel two-sample drift between the even/odd embedding halves
+    (quality/drift.py::embedding_mmd_rff): RBF-kernel MMD² via
+    deterministic random Fourier features — 8 integer-recurrence
+    planes (det_hyperplanes_mixed) + recurrence phase offsets, exact
+    DECIMAL plane dots, pico-int cosine-feature sums, 10-dp DECIMAL
+    cross-feature total — ONE aggregation pass over both snapshots,
+    no pairs formed (the linear-time arm where exact quadratic MMD is
+    hopeless at corpus scale). The oracle regenerates the planes and
+    replays every feature mean bit-exactly."""
+    from metadata_etl_framework_spark.quality.drift import (
+        embedding_mmd_rff,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_mmd_rff(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        n_features=8,
+    )
+
+
 def _events_forecast_baseline(spark, sf_dir):
     """Seasonal-naive forecast backtest (functions/aggregations.py::
     forecast_baseline_eval): hourly value means, season 24 — MAE /
@@ -5323,8 +5345,9 @@ _EXTRA_KEYS = [
     "graph_walk_pmi",
     "events_cox_ph",
     "graph_pagerank_suppliers",
-    # round-15 post-rotation addition (local parity)
+    # round-15 post-rotation additions (local parity)
     "events_cox_ph_strata",
+    "drift_mmd_embeddings",
     # Rotated OUT of the driver gate at round-14 (multi-round green
     # there); still verified by the local parity suite.
     "sketch_kll_rollup_events",
@@ -13805,6 +13828,75 @@ def _events_cox_ph_strata(spark, sf_dir):
 
 
 _ALL_QUERIES.update({"events_cox_ph_strata": _events_cox_ph_strata})
+
+_ALL_QUERIES.update({"drift_mmd_embeddings": _drift_mmd_embeddings})
+
+_ALL_SQL.update(
+    {
+        "drift_mmd_embeddings": """
+            WITH planes AS (
+              SELECT i.i AS pi,
+                     LIST_TRANSFORM(RANGE(0, 64), j ->
+                         ((((i.i + 1) * (j + 13) * (j + 13)
+                            * 2654435761 + i.i * 97) % 65521)
+                          / 65521.0) * 2 - 1) AS plane,
+                     6.283185307179586
+                       * (((i.i * 7919 + 104729) % 65521)
+                          / 65521.0) AS b
+              FROM (SELECT UNNEST(RANGE(0, 8)) AS i) i),
+            tagged AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS side
+              FROM embeddings WHERE embedding IS NOT NULL),
+            counts AS (
+              SELECT SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS nr,
+                     SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nc
+              FROM tagged),
+            prod AS (
+              SELECT t.side, t.vec_id, p.pi, p.b,
+                     UNNEST(t.embedding) AS a, UNNEST(p.plane) AS w
+              FROM tagged t, planes p),
+            dots AS (
+              SELECT side, vec_id, pi, ANY_VALUE(b) AS b,
+                     CAST(SUM(CAST(CAST(a AS DOUBLE)
+                                   * CAST(w AS DOUBLE)
+                                   AS DECIMAL(30,15))) AS DOUBLE)
+                       AS dot
+              FROM prod GROUP BY side, vec_id, pi),
+            feats AS (
+              SELECT side, pi,
+                     CAST(ROUND(COS(dot / 1.0 + b)
+                          * 1000000000000.0, 0) AS HUGEINT) AS zp
+              FROM dots),
+            sums AS (
+              SELECT pi,
+                     SUM(CASE WHEN side = 0 THEN zp END) AS r,
+                     SUM(CASE WHEN side = 1 THEN zp END) AS c
+              FROM feats GROUP BY pi),
+            terms AS (
+              SELECT SUM(CAST(ROUND(
+                         ((CAST(r AS DOUBLE) / 1000000000000.0 / nr)
+                          - (CAST(c AS DOUBLE) / 1000000000000.0 / nc))
+                         * ((CAST(r AS DOUBLE) / 1000000000000.0 / nr)
+                            - (CAST(c AS DOUBLE)
+                               / 1000000000000.0 / nc)), 10)
+                         AS DECIMAL(28,10))) AS t
+              FROM sums, counts)
+            SELECT CAST(nr AS BIGINT) AS n_ref,
+                   CAST(nc AS BIGINT) AS n_cur,
+                   CAST(8 AS INT) AS n_features,
+                   CASE WHEN nr > 0 AND nc > 0 THEN
+                     ROUND(2.0 / 8.0 * CAST(t AS DOUBLE), 6) END
+                       AS mmd2,
+                   CASE WHEN nr > 0 AND nc > 0 THEN
+                     ROUND(SQRT(GREATEST(
+                         2.0 / 8.0 * CAST(t AS DOUBLE), 0.0)), 6) END
+                       AS mmd
+            FROM terms, counts
+        """,
+    }
+)
+
 
 
 def _cox_iter_sql(i: int, final: bool = False) -> str:

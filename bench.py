@@ -233,8 +233,10 @@ HEADLINE = [
     "graph_pmi_knn",
     "events_cox_ph_multi",
     # round-15 continuation: stratified Cox (per-stratum risk-set
-    # suffix sums under a shared β)
+    # suffix sums under a shared β) and linear-time kernel drift
+    # (RFF-MMD: one tagged aggregation, 8 plane-dot features)
     "events_cox_ph_strata",
+    "drift_mmd_embeddings",
 ]
 
 

@@ -1862,3 +1862,129 @@ def cvm_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         (stat > F.lit(CVM_CRIT_05)).alias("drift_05"),
         (stat > F.lit(CVM_CRIT_01)).alias("drift_01"),
     )
+
+
+def embedding_mmd_rff(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    n_features: int = 8,
+    lengthscale: float = 1.0,
+) -> DataFrame:
+    """Kernel two-sample drift between embedding snapshots: MMD² for
+    the RBF kernel, approximated with deterministic RANDOM FOURIER
+    FEATURES (Rahimi & Recht 2007) — the linear-time arm of kernel
+    drift, complementing :func:`embedding_drift`'s centroid/PSI view
+    with a statistic sensitive to the FULL distribution shape. The
+    exact quadratic-kernel MMD is all-pairs (hopeless at corpus
+    scale); with features z_i(x) = cos(w_i·x/ℓ + b_i),
+    MMD² ≈ (2/D)·Σᵢ (E_ref zᵢ − E_cur zᵢ)² — one aggregation pass
+    over both snapshots, no pairs ever formed.
+
+    Determinism/oracle contract: w_i come from
+    ops/similarity.py::det_hyperplanes_mixed (pure integer recurrence,
+    SQL-replayable) and b_i from the same recurrence family, so every
+    engine regenerates identical projections; plane dots accumulate as
+    exact DECIMAL(30,15) element products (the embed_knn convention —
+    merge-order free), cos features round to pico-ints and sum as
+    DECIMAL(38,0), and the final means/deltas follow a pinned op
+    order. One tiny job infers the embedding dimension; everything
+    else is a single tagged aggregation (2·D + 2 streams).
+
+    Output: 1 row — (n_ref, n_cur, n_features, mmd2 6 dp, mmd 6 dp);
+    null statistics when either snapshot is empty.
+    """
+    from metadata_etl_framework_spark.ops.similarity import (
+        _decimal_dot,
+        det_hyperplanes_mixed,
+    )
+
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    if not lengthscale > 0:
+        raise ValueError("lengthscale must be > 0")
+    first = (
+        ref.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("_d"))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        first = (
+            cur.where(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("_d"))
+            .limit(1)
+            .collect()
+        )
+    dim = int(first[0]["_d"]) if first else 0
+    spark = ref.sparkSession
+    if dim == 0:
+        return spark.createDataFrame(
+            [(0, 0, int(n_features), None, None)],
+            "n_ref long, n_cur long, n_features int, mmd2 double, "
+            "mmd double",
+        )
+    planes = det_hyperplanes_mixed(int(n_features), dim)
+    # phase offsets in [0, 2π): same integer-recurrence family as the
+    # planes — regenerable in any engine, no RNG
+    bs = [
+        6.283185307179586 * (((i * 7919 + 104729) % 65521) / 65521.0)
+        for i in range(int(n_features))
+    ]
+    tagged = ref.where(F.col(vec_col).isNotNull()).select(
+        F.lit(0).alias("_side"), F.col(vec_col).alias("_v")
+    ).unionByName(
+        cur.where(F.col(vec_col).isNotNull()).select(
+            F.lit(1).alias("_side"), F.col(vec_col).alias("_v")
+        )
+    )
+    aggs = [
+        F.sum(F.when(F.col("_side") == 0, F.lit(1)).otherwise(0)).alias(
+            "_nr"
+        ),
+        F.sum(F.when(F.col("_side") == 1, F.lit(1)).otherwise(0)).alias(
+            "_nc"
+        ),
+    ]
+    for i in range(int(n_features)):
+        w = F.array(*[F.lit(float(v)) for v in planes[i]])
+        z = F.cos(
+            _decimal_dot(F.col("_v"), w) / F.lit(float(lengthscale))
+            + F.lit(float(bs[i]))
+        )
+        zp = F.round(z * F.lit(1e12)).cast("decimal(38,0)")
+        aggs.append(
+            F.sum(F.when(F.col("_side") == 0, zp)).alias(f"_r{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("_side") == 1, zp)).alias(f"_c{i}")
+        )
+    row = tagged.agg(*aggs)
+    # per-feature squared deltas round to 10 dp and sum as DECIMAL so
+    # the cross-feature total is addition-order free (the oracle sums
+    # the same terms grouped per plane — double addition would differ)
+    terms = None
+    for i in range(int(n_features)):
+        mr = (
+            F.col(f"_r{i}").cast("double") / F.lit(1e12)
+        ) / F.col("_nr")
+        mc = (
+            F.col(f"_c{i}").cast("double") / F.lit(1e12)
+        ) / F.col("_nc")
+        t = F.round((mr - mc) * (mr - mc), 10).cast("decimal(28,10)")
+        terms = t if terms is None else (terms + t).cast(
+            "decimal(28,10)"
+        )
+    mmd2 = (F.lit(2.0) / F.lit(float(n_features))) * terms.cast(
+        "double"
+    )
+    ok = (F.col("_nr") > 0) & (F.col("_nc") > 0)
+    return row.select(
+        F.col("_nr").cast("long").alias("n_ref"),
+        F.col("_nc").cast("long").alias("n_cur"),
+        F.lit(int(n_features)).alias("n_features"),
+        F.when(ok, F.round(mmd2, 6)).alias("mmd2"),
+        F.when(
+            ok, F.round(F.sqrt(F.greatest(mmd2, F.lit(0.0))), 6)
+        ).alias("mmd"),
+    )

@@ -2746,3 +2746,36 @@ def test_cox_ph_multi_stratified(spark):
 
     assert strat["beta"] == replica(rows, 3)
     assert strat["beta"] != plain["beta"]  # strata really factorize
+
+
+def test_embedding_mmd_rff_properties(spark):
+    """MMD² via deterministic RFF: identical snapshots score ~0, a
+    shifted snapshot scores strictly higher, empty sides yield null,
+    and the statistic replays identically run-over-run."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.quality.drift import (
+        embedding_mmd_rff,
+    )
+
+    rows = [(i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    same = embedding_mmd_rff(emb, emb).collect()[0]
+    assert same["n_ref"] == same["n_cur"] == 60
+    assert same["mmd2"] == 0.0
+
+    shifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.5)).alias(
+            "embedding"
+        ),
+    )
+    diff = embedding_mmd_rff(emb, shifted).collect()[0]
+    assert diff["mmd2"] > 0.0
+    again = embedding_mmd_rff(emb, shifted).collect()[0]
+    assert diff["mmd2"] == again["mmd2"]
+
+    empty = emb.where(F.lit(False))
+    nul = embedding_mmd_rff(emb, empty).collect()[0]
+    assert nul["mmd2"] is None and nul["n_cur"] == 0
