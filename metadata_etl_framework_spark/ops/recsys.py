@@ -236,9 +236,17 @@ def recommend_items(
     )
     # broadcast only when the model is measurably small: the count is
     # a cheap scan of the checkpointed blocks, and 2×|pairs| is the
-    # exact symmetrized row count the executors would have to hold
+    # exact symmetrized row count the executors would have to hold.
+    # Above the gate, pin the SORT-MERGE form explicitly: the
+    # checkpointed leaf carries real size statistics (checkpoint_hybrid
+    # materializes through the cache), and a planner estimate must not
+    # be allowed to override the caller's measured ceiling with an
+    # auto-broadcast — the whole point of the gate is that broadcast
+    # size is governed by the count, not an estimate.
     if 2 * sims.count() <= int(broadcast_max_rows):
         sym = F.broadcast(sym)
+    else:
+        sym = sym.hint("merge")
     scored = (
         seen.join(sym, "_i")
         .groupBy("_u", "_j")
