@@ -364,10 +364,21 @@ def main() -> None:
     # only; informational — never changes the exit code).
     baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     if baseline_path is None:
-        # numeric round sort: lexicographic would put r10 before r2
+        # Prefer the DETAIL files — the driver's BENCH_r{N}.json is a
+        # wrapper (n/rc/tail/parsed around the SHORT summary line, no
+        # per-query map); the full timings live in BENCH_DETAIL_r{N}.json.
+        # Numeric round sort: lexicographic would put r10 before r2.
         candidates = sorted(
-            (f for f in os.listdir(".") if re.fullmatch(r"BENCH_r\d+\.json", f)),
-            key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
+            (
+                f
+                for f in os.listdir(".")
+                if re.fullmatch(r"BENCH_DETAIL_r\d+\.json", f)
+                or re.fullmatch(r"BENCH_r\d+\.json", f)
+            ),
+            key=lambda f: (
+                int(re.search(r"r(\d+)", f).group(1)),
+                "DETAIL" in f,  # detail wins within a round
+            ),
         )
         baseline_path = candidates[-1] if candidates else None
     base_queries: dict[str, float] = {}
@@ -375,6 +386,16 @@ def main() -> None:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
+            # unwrap the driver format: {parsed: {...}} or nested detail
+            if "queries" not in base and isinstance(base.get("parsed"), dict):
+                base = base["parsed"]
+            if (
+                "queries" not in base
+                and base.get("detail")
+                and os.path.exists(base["detail"])
+            ):
+                with open(base["detail"]) as f:
+                    base = json.load(f)
             if base.get("sf") == sf:
                 base_queries = base.get("queries", {}) or {}
         except (OSError, ValueError, KeyError):

@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 
 from .text import tokens
 
@@ -128,7 +127,7 @@ def nb_train(
             )
         )
         out = priors.unionByName(tok).unionByName(defaults)
-        out = checkpoint_hybrid(out)
+        out = out.localCheckpoint(eager=True)
     finally:
         base.unpersist()
         try:

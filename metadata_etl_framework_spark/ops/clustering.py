@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 
 from .similarity import _decimal_dot, _norm
 
@@ -143,7 +142,7 @@ def kmeans_assign(
             )
             # empty-cluster rule: keep the previous centroid
             kept = cents.join(new_cents.select("_c"), "_c", "left_anti")
-            cents = checkpoint_hybrid(new_cents.unionByName(kept))
+            cents = new_cents.unionByName(kept).localCheckpoint(eager=True)
         return assigned.select(
             F.col("_p").alias(id_col),
             F.col("_c").alias("cluster"),

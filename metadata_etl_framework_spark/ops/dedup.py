@@ -19,7 +19,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 from pyspark.sql import types as T
 
 from metadata_etl_framework_spark.ops.text import fingerprint
@@ -351,7 +350,7 @@ def containment_pairs(
                 F.asc("id_outer"),
             )
         )
-        out = checkpoint_hybrid(out)
+        out = out.localCheckpoint(eager=True)
     finally:
         base.unpersist()
     return out

@@ -879,13 +879,13 @@ def random_walks(
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        # hybrid materialization (_materialize_iter discipline): run
-        # the walk pipeline through the SQL path first so AQE plans it
-        # — a bare localCheckpoint compiles the whole segment via .rdd
-        # WITHOUT AQE — then checkpoint the cached blocks
-        out = _materialize_iter(
-            out.orderBy("start", "step"), truncate=True
-        )
+        # bare eager checkpoint, NOT the hybrid: an interleaved A/B at
+        # sf0.1 measured the hybrid's double materialization (cache
+        # write + checkpoint copy) costing more than its AQE benefit
+        # on this segment (7.5 s vs 8.6 s for the benched walk-PMI
+        # chain) — end-of-op materializations of small outputs keep
+        # the single-pass form
+        out = out.orderBy("start", "step").localCheckpoint(eager=True)
     finally:
         nbrs.unpersist()
     return out
@@ -980,9 +980,8 @@ def walk_cooccurrence(
             )
             .orderBy(F.desc("pmi"), F.asc("node_a"), F.asc("node_b"))
         )
-        # hybrid materialization — same rationale as random_walks: keep
-        # AQE on the PMI joins, checkpoint only the cached result
-        out = _materialize_iter(out, truncate=True)
+        # bare eager checkpoint — same measured verdict as random_walks
+        out = out.localCheckpoint(eager=True)
     finally:
         pairs.unpersist()
     return out

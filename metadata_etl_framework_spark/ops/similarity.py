@@ -17,7 +17,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 from pyspark.sql import types as T
 
 
@@ -1762,7 +1761,7 @@ def _lof_from_nn(
             )
             .orderBy(id_col)
         )
-        out = checkpoint_hybrid(out)
+        out = out.localCheckpoint(eager=True)
     finally:
         nn.unpersist()
     return out

@@ -31,7 +31,6 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 
 from .sketch import hash32
 
@@ -915,7 +914,7 @@ def simpsons_check(
             )
             .orderBy("segment")
         )
-        out = checkpoint_hybrid(out)
+        out = out.localCheckpoint(eager=True)
     finally:
         seg.unpersist()
     return out
@@ -1080,7 +1079,7 @@ def theil_sen_trend(
             )
             .orderBy("group")
         )
-        out = checkpoint_hybrid(out)
+        out = out.localCheckpoint(eager=True)
     finally:
         pts.unpersist()
     return out

@@ -13,7 +13,6 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
 
 DEFAULT_STOPWORDS = (
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "for", "on", "with",
@@ -2392,7 +2391,7 @@ def rake_keywords(
             .orderBy(F.desc("score"), F.asc("phrase"))
             .limit(int(top_k))
         )
-        out = checkpoint_hybrid(out)
+        out = out.localCheckpoint(eager=True)
     finally:
         ph.unpersist()
     return out
