@@ -386,6 +386,11 @@ def main() -> None:
         "horizon_days by construction (ops/retention.py::rmst), so "
         "every build side is ≤ horizon-sized; the partitionless "
         "Window.orderBy runs on that same bounded grid",
+        "graph_pmi_knn": "broadcast bounded query set (node < 10 — "
+        "the embed_knn_join pattern) crossed onto the node-embedding "
+        "corpus for exact brute-force cosine; the documented large-"
+        "query path is the LSH-bucketed join "
+        "(ops/similarity.py::knn_join_topk gate)",
     }
     bad = [
         r["name"]
