@@ -966,6 +966,66 @@ def _graph_pagerank_dangling(spark, sf_dir):
     )
 
 
+def _graph_pagerank_parts(spark, sf_dir):
+    """Weighted PageRank over the SPARSE part co-purchase graph
+    (ops/graph.py::pagerank): edge weight = number of distinct orders
+    sharing the two parts (l_partkey%3 slice, both directions), 3
+    damped iterations. This replaces graph_pagerank_suppliers as the
+    centrality bench headliner (r15 verdict task 5): the supplier
+    co-occurrence projection is near-complete at sf≥0.01 — quadratic
+    edge growth — so as a bench key it measured graph density, not
+    plan quality; the part graph's edge count scales with real
+    co-purchase structure. Replayed by unrolled SQL CTEs."""
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey") % 3 == 0)
+    )
+    a, b = li.alias("pa"), li.alias("pb")
+    pair = (
+        a.join(
+            b,
+            (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
+            & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
+        )
+        .select(
+            F.col("pa.l_orderkey").alias("o"),
+            F.col("pa.l_partkey").alias("a"),
+            F.col("pb.l_partkey").alias("b"),
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = pair.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "n"
+    ).unionAll(
+        pair.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n")
+    )
+    return pagerank(
+        edges, iterations=3, damping=0.85, weight_col="n",
+        checkpoint_every=3,
+    )
+
+
+_PARTS_PAGERANK_EDGE_CTES = [
+    """pair AS (SELECT a, b, COUNT(*) AS n FROM (
+                  SELECT DISTINCT x.l_orderkey AS o,
+                         x.l_partkey AS a, y.l_partkey AS b
+                  FROM lineitem x JOIN lineitem y
+                    ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey
+                  WHERE x.l_partkey % 3 = 0 AND y.l_partkey % 3 = 0)
+                GROUP BY 1, 2)""",
+    """e0 AS (SELECT a AS src, b AS dst, CAST(n AS DOUBLE) AS w
+              FROM pair
+              UNION ALL
+              SELECT b, a, CAST(n AS DOUBLE) FROM pair)""",
+]
+
+
 def _events_session_stats(spark, sf_dir):
     """Per-session metrics over gap-rule sessions (ops/retention.py::
     session_stats): event count, duration, bounce flag — one pass on
@@ -1008,6 +1068,7 @@ def _pagerank_sql(
     seeds: "list[str] | None" = None,
     bidirectional: bool = True,
     redistribute: bool = False,
+    edge_ctes: "list[str] | None" = None,
 ) -> str:
     """DuckDB replay of the 3-iteration PageRank: identical edge
     construction, identical DECIMAL(28,12) contribution accumulation,
@@ -1016,7 +1077,9 @@ def _pagerank_sql(
     keeps only customer→supplier edges (suppliers become dangling);
     ``redistribute`` replays the mass-conserving dangling arm — per
     iteration, the DECIMAL-summed rank on dangling nodes re-enters
-    through the uniform teleport distribution."""
+    through the uniform teleport distribution. ``edge_ctes`` swaps the
+    default trade-graph construction for caller CTEs that must end in
+    ``e0(src, dst, w)``; everything from ``nodes`` on is shared."""
     e0 = """e0 AS (SELECT 'c' || CAST(ck AS VARCHAR) AS src,
                          's' || CAST(sk AS VARCHAR) AS dst,
                          CAST(n AS DOUBLE) AS w FROM pair"""
@@ -1027,11 +1090,13 @@ def _pagerank_sql(
                          'c' || CAST(ck AS VARCHAR),
                          CAST(n AS DOUBLE) FROM pair"""
     e0 += ")"
-    ctes = [
+    ctes = edge_ctes if edge_ctes is not None else [
         """pair AS (SELECT o_custkey AS ck, l_suppkey AS sk, COUNT(*) AS n
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
                     GROUP BY 1, 2)""",
         e0,
+    ]
+    ctes = ctes + [
         "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
         "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes)",
         """ow AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(30,10)))
@@ -5252,6 +5317,75 @@ def _drift_mmd_embeddings(spark, sf_dir):
     )
 
 
+def _anomaly_dbscan_embeddings(spark, sf_dir):
+    """Native distributed DBSCAN (ops/clustering.py::dbscan_grid) over
+    the first two embedding dimensions — the reference's density-based
+    anomaly method (anomaly_manager.py:162-180, a sklearn bridge
+    there) as a grid-cell candidate join + core-core connected
+    components, never all-pairs. eps=0.05, min_samples=15 on the
+    ~N(0, 0.1²) synthetic dims gives a genuine core/border/noise mix.
+    The oracle replays the exact ε-pair set (brute-force in DuckDB —
+    the grid is candidate pruning, provably the same pairs), the
+    sklearn-convention core rule, hash-min components over core-core
+    edges (recursive CTE), and the deterministic min-adjacent-core
+    border rule."""
+    from metadata_etl_framework_spark.ops.clustering import dbscan_grid
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("e1"),
+        F.element_at("embedding", 2).cast("double").alias("e2"),
+    )
+    return dbscan_grid(
+        emb, "vec_id", ["e1", "e2"], eps=0.05, min_samples=15
+    )
+
+
+_DBSCAN_EMB_SQL = """
+    WITH RECURSIVE p AS (
+      SELECT vec_id AS id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+    pr AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib
+      FROM p a JOIN p b
+        ON a.id <> b.id
+       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.05*0.05),
+    nc AS (SELECT ia AS id, COUNT(*) AS n FROM pr GROUP BY 1),
+    allp AS MATERIALIZED (
+      SELECT p.id, COALESCE(nc.n, 0) AS n
+      FROM p LEFT JOIN nc USING (id)),
+    core AS MATERIALIZED (SELECT id FROM allp WHERE n + 1 >= 15),
+    ce AS (SELECT pr.ia AS u, pr.ib AS v
+           FROM pr JOIN core ca ON pr.ia = ca.id
+                   JOIN core cb ON pr.ib = cb.id),
+    reach(node, r) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT ce.u, reach.r FROM ce JOIN reach ON reach.node = ce.v),
+    cl AS MATERIALIZED (
+      SELECT node AS id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+    border AS (
+      SELECT pr.ia AS id, MIN(cl.cluster_id) AS cluster_id
+      FROM pr JOIN core c ON pr.ib = c.id
+              JOIN cl ON cl.id = pr.ib
+      WHERE pr.ia NOT IN (SELECT id FROM core)
+      GROUP BY 1)
+    SELECT a.id AS vec_id,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN border.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.cluster_id, border.cluster_id) AS cluster_id,
+           CAST(a.n AS BIGINT) AS n_neighbors
+    FROM allp a
+    LEFT JOIN cl ON cl.id = a.id
+    LEFT JOIN border ON border.id = a.id
+"""
+
+
 def _events_forecast_baseline(spark, sf_dir):
     """Seasonal-naive forecast backtest (functions/aggregations.py::
     forecast_baseline_eval): hourly value means, season 24 — MAE /
@@ -5269,7 +5403,14 @@ def _events_forecast_baseline(spark, sf_dir):
 
 _DRIVER_KEYS = [
     # Rotated each round so the hard CORRECTNESS gate tracks the
-    # capability frontier. Round-15 rotation: the 3 round-15 flagships
+    # capability frontier. Round-16 rotation: anomaly_dbscan_embeddings
+    # (native distributed DBSCAN — the one reference §2.11 method that
+    # previously had only a pandas-bridge arm) rotates IN;
+    # glm_logit_orders (the single-model special case of
+    # glm_cv_logit_orders, which stays in the gate and trains the same
+    # Newton machinery per fold) rotates to extras where the local
+    # parity suite still verifies it every run.
+    # Round-15 rotation: the 3 round-15 flagships
     # (graph_pmi_factors — DeepWalk factorization half;
     # graph_pmi_knn — its end-to-end embedding consumption;
     # events_cox_ph_multi — d=2 Cox PH) rotate IN; 3 long-green twins
@@ -5304,7 +5445,7 @@ _DRIVER_KEYS = [
     "embed_kmeans_summary",
     "embed_lof_bucketed",
     "nb_lang_docs",
-    "glm_logit_orders",
+    "anomaly_dbscan_embeddings",
     "glm_linear_lineitem",
     "graph_pmi_knn",
     "profile_robust_price",
@@ -5345,6 +5486,11 @@ _EXTRA_KEYS = [
     "graph_walk_pmi",
     "events_cox_ph",
     "graph_pagerank_suppliers",
+    # Rotated OUT at round-16 (gate slot went to the native DBSCAN);
+    # the CV key keeps the Newton-logit machinery in the gate.
+    "glm_logit_orders",
+    # round-16 additions (local parity + bench headline)
+    "graph_pagerank_parts",
     # round-15 post-rotation additions (local parity)
     "events_cox_ph_strata",
     "drift_mmd_embeddings",
@@ -5743,6 +5889,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_docs_lang_source": _mi_docs_lang_source,
     "bucketize_ntile_price": _bucketize_ntile_price,
     "graph_pagerank_suppliers": _graph_pagerank_suppliers,
+    "graph_pagerank_parts": _graph_pagerank_parts,
+    "anomaly_dbscan_embeddings": _anomaly_dbscan_embeddings,
     "graph_ppr_customers": _graph_ppr_customers,
     "graph_pagerank_dangling": _graph_pagerank_dangling,
     "events_session_stats": _events_session_stats,
@@ -6274,6 +6422,9 @@ _ALL_SQL: dict[str, str] = {
         """,
         "corr_matrix_lineitem": _corr_matrix_sql(),
         "graph_pagerank_suppliers": _pagerank_sql(),
+        "graph_pagerank_parts": _pagerank_sql(
+            edge_ctes=_PARTS_PAGERANK_EDGE_CTES),
+        "anomaly_dbscan_embeddings": _DBSCAN_EMB_SQL,
         "graph_ppr_customers": _pagerank_sql(seeds=_PPR_SEEDS),
         "graph_pagerank_dangling": _pagerank_sql(
             bidirectional=False, redistribute=True),
@@ -14156,28 +14307,37 @@ _ALL_SQL.update(
             {_cox2_iter_sql(2)},
             {_cox2_iter_sql(3)},
             {_cox2_iter_sql(4, final=True)},
+            -- determinant guard mirrors the engine's null-out: the
+            -- whole row set nulls when det <= 0 or any inv_jj <= 0
+            -- (otherwise IEEE division would emit inf/garbage here
+            -- where the engine reports nulls)
+            det AS (SELECT CAST(i00 AS DOUBLE) * CAST(i_ AS DOUBLE)
+                           - CAST(i01 AS DOUBLE) * CAST(i01 AS DOUBLE)
+                               AS dv,
+                           CAST(i00 AS DOUBLE) AS d00,
+                           CAST(i_ AS DOUBLE) AS d11
+                    FROM mu4),
             inv AS (SELECT b1, b2,
-                           CAST(i_ AS DOUBLE)
-                           / (CAST(i00 AS DOUBLE) * CAST(i_ AS DOUBLE)
-                              - CAST(i01 AS DOUBLE)
-                                * CAST(i01 AS DOUBLE)) AS inv0,
-                           CAST(i00 AS DOUBLE)
-                           / (CAST(i00 AS DOUBLE) * CAST(i_ AS DOUBLE)
-                              - CAST(i01 AS DOUBLE)
-                                * CAST(i01 AS DOUBLE)) AS inv1
-                    FROM mu4, mb3),
+                           CASE WHEN dv > 0 THEN d11 / dv END AS inv0,
+                           CASE WHEN dv > 0 THEN d00 / dv END AS inv1,
+                           (dv > 0 AND d11 > 0 AND d00 > 0) AS ok
+                    FROM det, mb3),
             terms AS (
-              SELECT 0 AS ord, 'x1' AS term, b1 AS beta, inv0 AS inv
-              FROM inv
+              SELECT 0 AS ord, 'x1' AS term, b1 AS beta, inv0 AS inv,
+                     ok FROM inv
               UNION ALL
-              SELECT 1, 'x2', b2, inv1 FROM inv)
-            SELECT term, beta,
-                   ROUND(EXP(beta), 6) AS hazard_ratio,
-                   ROUND(SQRT(inv), 6) AS se,
-                   ROUND(beta / SQRT(inv), 6) AS z,
-                   ROUND(LEAST(1.0, GREATEST(0.0, 2.0 *
+              SELECT 1, 'x2', b2, inv1, ok FROM inv)
+            SELECT term,
+                   CASE WHEN ok THEN beta END AS beta,
+                   CASE WHEN ok THEN ROUND(EXP(beta), 6) END
+                       AS hazard_ratio,
+                   CASE WHEN ok THEN ROUND(SQRT(inv), 6) END AS se,
+                   CASE WHEN ok THEN ROUND(beta / SQRT(inv), 6) END
+                       AS z,
+                   CASE WHEN ok THEN
+                       ROUND(LEAST(1.0, GREATEST(0.0, 2.0 *
                        {_normal_sf_sql("ABS(beta / SQRT(inv))")}
-                       )), 6) AS p_value,
+                       )), 6) END AS p_value,
                    CAST(ns AS BIGINT) AS n_subjects,
                    CAST(evn AS BIGINT) AS n_events
             FROM terms, tot ORDER BY ord
@@ -15960,30 +16120,91 @@ _ALL_SQL.update(
 )
 
 
+# ---- shared DeepWalk corpus (session-scoped memo) ----
+# graph_walk_pmi / graph_pmi_factors / graph_pmi_knn all consume the
+# SAME deterministic walks→cooccurrence→PMI prefix (identical edge
+# projection, walk_length=3, seed=1, window=2), and the two pmi_* keys
+# additionally share the full rank-2 factor frame (identical
+# rounds=2/reg=0.1). A real pipeline materializes the PMI table and
+# the embedding table ONCE and fans consumers out from them; paying
+# the ~9 s corpus cost per key was bench-design, not engine cost
+# (round-15 verdict task 2). Accounting contract: each key PRODUCES
+# its own stage every call (refresh=True — its bench number stays the
+# honest marginal cost of that stage even under min-of-N timing) and
+# READS upstream stages through the memo (walk_pmi produces the pair
+# corpus; pmi_factors produces the ALS factors over the memoized
+# corpus; pmi_knn consumes the memoized factors). The memo is keyed on
+# (applicationId, sf_dir) so a restarted session or a different scale
+# factor recomputes, and each cached frame is a checkpoint leaf —
+# reuse is bit-exact by construction (the oracles replay the
+# identical corpus).
+_PMI_MEMO: dict = {}
+
+
+def _pmi_memo_get(spark, sf_dir, what, build, refresh):
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _PMI_MEMO if k[0] != app]:
+        del _PMI_MEMO[k]  # stale sessions: checkpoint leaves are dead
+    key = (app, sf_dir, what)
+    if refresh or key not in _PMI_MEMO:
+        from metadata_etl_framework_spark.ops.materialize import (
+            checkpoint_hybrid,
+        )
+
+        _PMI_MEMO[key] = checkpoint_hybrid(build())
+    return _PMI_MEMO[key]
+
+
+def _pmi_pair_corpus(spark, sf_dir, refresh=False):
+    """The counting half: deterministic walks + skip-gram PMI pairs."""
+
+    def _build():
+        from metadata_etl_framework_spark.ops.graph import (
+            random_walks,
+            walk_cooccurrence,
+        )
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+        )
+        edges = pair.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).unionByName(
+            pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        walks = random_walks(edges, walk_length=3, seed=1)
+        return walk_cooccurrence(walks, window=2)
+
+    return _pmi_memo_get(spark, sf_dir, "pairs", _build, refresh)
+
+
+def _pmi_factor_frame(spark, sf_dir, refresh=False):
+    """The factorization half: rank-2 PPMI embeddings over the shared
+    corpus (rounds=2, reg=0.1 — the pmi_embeddings defaults)."""
+
+    def _build():
+        from metadata_etl_framework_spark.ops.graph import pmi_embeddings
+
+        return pmi_embeddings(
+            _pmi_pair_corpus(spark, sf_dir), rounds=2, reg=0.1
+        )
+
+    return _pmi_memo_get(spark, sf_dir, "factors", _build, refresh)
+
+
 def _graph_walk_pmi(spark, sf_dir):
     """Skip-gram co-occurrence + PMI over the deterministic walk corpus
     (ops/graph.py::walk_cooccurrence, window=2): the DeepWalk counting
     half — band self-join on the walk key, canonical-pair counts,
     closed-form PMI from exact integers; the oracle replays walks AND
-    counting."""
-    from metadata_etl_framework_spark.ops.graph import (
-        random_walks,
-        walk_cooccurrence,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.col("o_custkey").alias("c"),
-        (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
-    )
-    edges = pair.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    walks = random_walks(edges, walk_length=3, seed=1)
-    return walk_cooccurrence(walks, window=2)
+    counting. PRODUCES the session-shared corpus memo (recomputed
+    every call — this key's bench number is the corpus cost)."""
+    return _pmi_pair_corpus(spark, sf_dir, refresh=True)
 
 
 _ALL_QUERIES.update({"graph_walk_pmi": _graph_walk_pmi})
@@ -16034,27 +16255,11 @@ def _graph_pmi_factors(spark, sf_dir):
     ALS machinery (2 alternation rounds, λ=0.1, portable-hash context
     init, pico-int 2×2 normal equations, 12-dp rounding between
     halves). The oracle replays walks, counting, the PPMI filter, and
-    both ALS rounds bit-exactly (the recsys_als_factors convention)."""
-    from metadata_etl_framework_spark.ops.graph import (
-        pmi_embeddings,
-        random_walks,
-        walk_cooccurrence,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.col("o_custkey").alias("c"),
-        (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
-    )
-    edges = pair.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    walks = random_walks(edges, walk_length=3, seed=1)
-    pmi = walk_cooccurrence(walks, window=2)
-    return pmi_embeddings(pmi, rounds=2, reg=0.1).orderBy("node")
+    both ALS rounds bit-exactly (the recsys_als_factors convention).
+    PRODUCES the session-shared factor memo (the ALS training run is
+    recomputed every call — this key's bench number is the
+    factorization cost; the pair corpus is read through the memo)."""
+    return _pmi_factor_frame(spark, sf_dir, refresh=True).orderBy("node")
 
 
 _ALL_QUERIES.update({"graph_pmi_factors": _graph_pmi_factors})
@@ -16134,26 +16339,11 @@ def _graph_pmi_knn(spark, sf_dir):
     (ops/similarity.py::knn_join_topk, broadcast-query regime) for a
     fixed small query set, proving the factors are a first-class
     embedding column (array assembly, decimal-dot cosine, ranked
-    window) and not just a coefficient table."""
-    from metadata_etl_framework_spark.ops.graph import (
-        pmi_embeddings,
-        random_walks,
-        walk_cooccurrence,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pair = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.col("o_custkey").alias("c"),
-        (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
-    )
-    edges = pair.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    walks = random_walks(edges, walk_length=3, seed=1)
-    emb = pmi_embeddings(walk_cooccurrence(walks, window=2))
+    window) and not just a coefficient table. CONSUMES the
+    session-shared factor memo (read-through: builds the chain only if
+    no producer key ran this session) — this key's bench number is the
+    kNN consumption cost."""
+    emb = _pmi_factor_frame(spark, sf_dir)
     vec = emb.select(
         "node", F.array(F.col("f1"), F.col("f2")).alias("embedding")
     )

@@ -89,9 +89,14 @@ HEADLINE = [
     "ann_ivf_pq",
     "drift_suite_forced_binned",
     # round-8: one-pass all-pairs correlation and the iterative
-    # PageRank (per-iteration persist/release discipline under timing)
+    # PageRank (per-iteration persist/release discipline under timing).
+    # r16: the PageRank headliner moved from the supplier co-occurrence
+    # projection (near-complete at sf≥0.01 — edge count grows
+    # quadratically with scale, so the key measured graph DENSITY, not
+    # plan quality) onto the sparse part co-purchase graph the gate
+    # keys already use (r15 verdict task 5).
     "corr_matrix_lineitem",
-    "graph_pagerank_suppliers",
+    "graph_pagerank_parts",
     # round-10 flagships: reference-LM perplexity (two corpus-scale
     # shuffle joins), the distinct-score prefix-scan eval pair, the
     # mass-conserving PageRank arm, and the mapInPandas Mahalanobis
@@ -237,6 +242,82 @@ HEADLINE = [
     # (RFF-MMD: one tagged aggregation, 8 plane-dot features)
     "events_cox_ph_strata",
     "drift_mmd_embeddings",
+    # round-16: native distributed DBSCAN (grid-cell ε-join + core-core
+    # connected components) over the 2-D embedding slice
+    "anomaly_dbscan_embeddings",
+]
+
+# Sampled stable tier (r15 verdict task 7): the headline set grew ~5
+# keys per round and its fixed cost with it, so long-green cheap shapes
+# rotate into a 3-slice sampled tier — each is benched every 3rd round
+# (slice = round number mod 3) instead of every round. Membership
+# criteria: NOT a driver-gate key (all 50 gate keys bench every round),
+# NOT a canary probe, ≤ ~1.5 s at r15, and stable since at least r12
+# (no real regression on record). Correctness coverage is unaffected —
+# every one of these keys stays in the oracle-parity suite every round;
+# only the latency sampling is thinned. The keys benched every round
+# remain the full gate set + canary + every actively-watched perf key
+# (graph/glm/recsys/eval/new-this-round). Skipped keys are recorded in
+# the artifact ("tier" block) so a missing entry reads as by-design,
+# not as a dropped query.
+STABLE_TIER = [
+    "profile_all_columns",
+    "drift_emd_binned",
+    "drift_ks_binned",
+    "ann_pq_adc",
+    "embed_semantic_dedup",
+    "graph_kcore_ring",
+    "embed_knn_join",
+    "drift_emd_quantity",
+    "embed_mahalanobis",
+    "events_markov_attribution",
+    "eval_qini_orders",
+    "dedup_embedding_cosine",
+    "sketch_kll_rollup_events",
+    "drift_cvm_quantity",
+    "sql_q5_local_volume",
+    "topk_per_order",
+    "dedup_incremental",
+    "sketch_cm_rollup_events",
+    "events_ljung_box",
+    "text_tfidf_top_terms",
+    "range_join_price_bands",
+    "window_frames",
+    "text_features",
+    "text_rake_keywords",
+    "text_decontaminate",
+    "text_quality_score",
+    "pack_sequences",
+    "orders_global_rank",
+    "layout_compaction_plan",
+    "embed_group_diversity",
+    "sql_q10_returned_items",
+    "dedup_bloom_probe",
+    "funnel_conversion",
+    "eval_regression_orders",
+    "window_rank_lag",
+    "events_attribution_last_touch",
+    "events_rmst",
+    "events_periodogram",
+    "heavy_hitters_qty",
+    "asof_join_purchases",
+    "events_seasonal_decompose",
+    "feat_target_encoding_orders",
+    "events_rolling_active_users",
+    "events_cohort_retention",
+    "pack_length_buckets",
+    "events_windows",
+    "events_sessions",
+    "sketch_hll_rollup_events",
+    "embed_group_centroids",
+    "join_multi",
+    "agg_orders_by_priority",
+    "corr_matrix_lineitem",
+    "dedup_exact_groups",
+    "corpus_domain_cap",
+    "dedup_distinct",
+    "agg_rollup_orders",
+    "corpus_weighted_sample",
 ]
 
 
@@ -281,11 +362,37 @@ def _probe_canary(spark, queries) -> dict[str, float]:
     return probe
 
 
+def _retime_trigger(first: float, base: float) -> bool:
+    """Re-time trigger (r15 verdict task 4): the flat 1.5× threshold
+    let 1.17–1.21× moves on 6–8 s keys escape classification, so slow
+    keys get a tighter trip wire — any query ≥ 3 s (either round's
+    number) that moved ≥ 1.2×, plus the original 1.5× anywhere."""
+    ratio = first / base
+    return ratio > 1.5 or (ratio > 1.2 and max(first, base) >= 3.0)
+
+
 def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="bench")
     queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
+
+    # stable-tier sampling: slice = (this round number) mod 3; a stable
+    # key runs only when its index lands in this round's slice
+    prior_rounds = [
+        int(re.search(r"r(\d+)", f).group(1))
+        for f in os.listdir(".")
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    ]
+    this_round = (max(prior_rounds) + 1) if prior_rounds else 0
+    tier_slice = this_round % 3
+    stable_idx = {q: i for i, q in enumerate(STABLE_TIER)}
+    skipped = [
+        q
+        for q in HEADLINE
+        if q in stable_idx and stable_idx[q] % 3 != tier_slice
+    ]
+    run_set = [q for q in HEADLINE if q not in set(skipped)]
 
     # warm the JVM + file-listing caches on a trivial plan so the first
     # measured query doesn't absorb one-time session costs
@@ -324,7 +431,7 @@ def main() -> None:
     canary = {"start": _probe_canary(spark, queries)}
     probe_pos = {"start": 0}
     qpos: dict[str, int] = {}
-    for qi, name in enumerate(HEADLINE):
+    for qi, name in enumerate(run_set):
         if fresh_every and qi and qi % fresh_every == 0:
             spark.stop()
             spark = get_spark(app_name="bench")
@@ -411,7 +518,7 @@ def main() -> None:
     retimed: dict[str, dict] = {}
     for q, first in list(timings.items()):
         b = base_queries.get(q, 0)
-        if not b or first / b <= 1.5:
+        if not b or not _retime_trigger(first, b):
             continue
         best = float("inf")
         for _ in range(3):
@@ -421,7 +528,7 @@ def main() -> None:
         best = round(best, 3)
         near = min(probe_pos, key=lambda k: abs(probe_pos[k] - qpos[q]))
         near_drift = drift.get(near, 1.0)
-        if best / b <= 1.5:
+        if not _retime_trigger(best, b):
             verdict = "ambient_retime_recovered"
         elif near_drift >= 1.3:
             verdict = "ambient_canary_correlated"
@@ -445,6 +552,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "canary": canary,
+        # sampled stable tier: keys absent from "queries" this round by
+        # design (benched every 3rd round), not dropped coverage
+        "tier": {
+            "round": this_round,
+            "slice": tier_slice,
+            "stable_total": len(STABLE_TIER),
+            "stable_skipped": sorted(skipped),
+        },
     }
     if retimed:
         out["retimed"] = retimed
@@ -463,22 +578,23 @@ def main() -> None:
     # tail-capture window truncated the 74-query line in r10 —
     # "parsed": null), and stdout ends with a SHORT summary line so the
     # tail always contains parseable totals regardless of query count.
-    rounds = [
-        int(re.search(r"r(\d+)", f).group(1))
-        for f in os.listdir(".")
-        if re.fullmatch(r"BENCH_r\d+\.json", f)
-    ]
-    default_detail = f"BENCH_DETAIL_r{max(rounds) + 1 if rounds else 0}.json"
+    default_detail = f"BENCH_DETAIL_r{this_round}.json"
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
+    detail_ok = True
     try:
         with open(detail_path, "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
-        pass
-    print(json.dumps(out))
+        detail_ok = False
+    if not detail_ok:
+        # fall back to stdout so the per-query map is never lost
+        print(json.dumps(out))
     # the short summary line carries the canary triplets too — it is the
     # line the driver's tail-capture is guaranteed to keep, and the
-    # noise anchor is useless if it gets truncated out of the artifact
+    # noise anchor is useless if it gets truncated out of the artifact.
+    # Stdout carries ONLY this line when the detail file wrote (the r15
+    # artifact's tail held the summary twice — full-out + summary both
+    # landed in the capture window).
     summary = {
         "metric": "total_query_time",
         "value": out["value"],
@@ -487,9 +603,10 @@ def main() -> None:
         "n_queries": len(timings),
         "detail": detail_path,
         "canary": canary,
+        "tier": out["tier"],
     }
-    # the >1.5×-mover classifications belong in the line of record too —
-    # they are exactly the evidence the round-over-round compare needs
+    # the trigger-tripped mover classifications belong in the line of
+    # record too — they are the evidence the round compare needs
     if retimed:
         summary["retimed"] = retimed
     print(json.dumps(summary))

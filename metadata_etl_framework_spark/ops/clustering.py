@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .similarity import _decimal_dot, _norm
 
-__all__ = ["kmeans_assign", "kmeans_summary", "gmm2_train"]
+__all__ = ["kmeans_assign", "kmeans_summary", "gmm2_train", "dbscan_grid"]
 
 
 def _centroid_frame(df_cent: DataFrame) -> DataFrame:
@@ -331,3 +331,197 @@ def gmm2_train(
         "component int, weight double, mu double, sigma double, "
         "n_rows long, iterations int, mean_loglik double",
     ).orderBy("component")
+
+
+def dbscan_grid(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: "list[str]",
+    eps: float,
+    min_samples: int,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Native distributed DBSCAN — the density-based clustering /
+    anomaly method of the reference (anomaly_manager.py:162-180, a
+    sklearn bridge there) re-expressed as a grid-cell candidate join,
+    the Spark-first scale path alongside the pandas-bridge arm in
+    quality/anomaly.py.
+
+    Algorithm (ε-grid candidate generation — the MR-DBSCAN family
+    shape, He et al. 2011):
+    1. every point lands in the grid cell ``floor(x_i / eps)`` per
+       dimension; any two points within ε differ by at most 1 cell per
+       dimension, so the EXACT ε-neighbor pairs are found by joining
+       each point against the 3^d neighboring cells (a row-scale
+       explode of ≤27 offsets, then ONE equi-shuffle join on the cell
+       key) and filtering true squared distance ≤ ε² — never all
+       pairs;
+    2. a point is CORE when (neighbors within ε) + 1 ≥ ``min_samples``
+       (the sklearn counting convention — the point itself counts);
+    3. clusters are the connected components of the core-core ε-graph
+       (ops/dedup.py::connected_components — hash-min label
+       propagation, cluster id = component-minimum core id);
+    4. non-core points within ε of a core point become BORDER points
+       of the SMALLEST adjacent core's cluster id (classic DBSCAN
+       leaves border assignment order-dependent; the min rule is the
+       deterministic, oracle-replayable resolution — documented
+       tie-break, not a correctness fudge);
+    5. everything else is NOISE (null cluster).
+
+    Scale shape: the explode fans each row out ≤ 3^d times (d ≤ 3
+    enforced — higher-d density work belongs to the LSH-bucketed
+    path, ops/similarity.py::lof_scores_bucketed); the cell equi-join
+    shuffles on the cell key, where AQE's skew splitting handles hot
+    cells; neighbor counts and border argmin are map-side-combinable
+    aggregations; the core-core component loop is O(log diameter)
+    rounds (or the driver union-find fast path under the measured
+    edge gate). Distance arithmetic is fixed-order IEEE doubles —
+    (xa−xb)² summed in declaration order — so an oracle replays it
+    bit-for-bit.
+
+    Output: (``id_col``, role string core|border|noise, cluster_id
+    nullable same-type-as-id, n_neighbors long — ε-neighbors
+    EXCLUDING self).
+    """
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    if min_samples < 1:
+        raise ValueError("min_samples must be >= 1")
+    d = len(feature_cols)
+    if not 1 <= d <= 3:
+        raise ValueError(
+            "dbscan_grid supports 1-3 feature dims (3^d cell offsets);"
+            " use the LSH-bucketed density path for high-d embeddings"
+        )
+    from itertools import product
+
+    from metadata_etl_framework_spark.ops.dedup import (
+        connected_components,
+    )
+
+    fx = [f"_x{i}" for i in range(d)]
+    cond = F.col(id_col).isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    pts = df.where(cond).select(
+        F.col(id_col).alias("_id"),
+        *[
+            F.col(c).cast("double").alias(fx[i])
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+    cell = [F.floor(F.col(fx[i]) / F.lit(float(eps))) for i in range(d)]
+    pts = pts.select(
+        "_id", *fx, *[cell[i].alias(f"_c{i}") for i in range(d)]
+    ).persist()
+    pts.count()
+    # ≤27 neighbor-cell offsets as an exploded literal array — a
+    # row-scale projection, no join, no driver loop
+    offs = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(int(o[i])).alias(f"_o{i}")
+                    for i in range(d)
+                ]
+            )
+            for o in product((-1, 0, 1), repeat=d)
+        ]
+    )
+    probe = pts.select(
+        F.col("_id").alias("_ida"),
+        *[F.col(fx[i]).alias(f"_xa{i}") for i in range(d)],
+        F.explode(offs).alias("_o"),
+        *[F.col(f"_c{i}") for i in range(d)],
+    ).select(
+        "_ida",
+        *[f"_xa{i}" for i in range(d)],
+        *[
+            (F.col(f"_c{i}") + F.col(f"_o._o{i}")).alias(f"_tc{i}")
+            for i in range(d)
+        ],
+    )
+    dist2 = None
+    for i in range(d):
+        t = (F.col(f"_xa{i}") - F.col(fx[i])) * (
+            F.col(f"_xa{i}") - F.col(fx[i])
+        )
+        dist2 = t if dist2 is None else dist2 + t
+    pairs = (
+        probe.join(
+            pts,
+            [
+                probe[f"_tc{i}"] == pts[f"_c{i}"]
+                for i in range(d)
+            ],
+        )
+        .where(
+            (F.col("_ida") != F.col("_id"))
+            & (dist2 <= F.lit(float(eps) * float(eps)))
+        )
+        .select(F.col("_ida").alias("id_a"), F.col("_id").alias("id_b"))
+        .persist()
+    )
+    ncnt = pairs.groupBy(F.col("id_a").alias("_id")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    stats = pts.select("_id").join(ncnt, "_id", "left").select(
+        "_id", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+    )
+    stats = stats.persist()
+    core = stats.where(
+        F.col("_n") + F.lit(1) >= F.lit(int(min_samples))
+    ).select("_id")
+    core_pairs = (
+        pairs.join(core.withColumnRenamed("_id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("_id", "id_b"), "id_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(
+        core_pairs, src="id_a", dst="id_b",
+        max_iterations=max_iterations,
+    ).select(F.col("node").alias("_id"), "cluster_id")
+    # isolated cores (min_samples-dense but no core neighbor) form
+    # singleton clusters: their own id
+    core_lab = core.join(cc, "_id", "left").select(
+        "_id",
+        F.coalesce(F.col("cluster_id"), F.col("_id")).alias("_cl"),
+    )
+    border_lab = (
+        pairs.join(
+            core_lab.select(
+                F.col("_id").alias("id_b"), F.col("_cl")
+            ),
+            "id_b",
+        )
+        .join(
+            core_lab.select(F.col("_id").alias("id_a")),
+            "id_a",
+            "left_anti",
+        )
+        .groupBy(F.col("id_a").alias("_id"))
+        .agg(F.min("_cl").alias("_bl"))
+    )
+    out = (
+        stats.join(
+            core_lab.withColumnRenamed("_cl", "_core_cl"), "_id", "left"
+        )
+        .join(
+            border_lab.withColumnRenamed("_bl", "_border_cl"),
+            "_id",
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("_core_cl"), F.col("_border_cl")).alias(
+                "cluster_id"
+            ),
+            F.col("_n").cast("long").alias("n_neighbors"),
+        )
+    )
+    return out

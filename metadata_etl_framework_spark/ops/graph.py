@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.materialize import BCAST_MAX_ROWS
+
 __all__ = [
     "pagerank",
     "triangle_count",
@@ -225,7 +227,12 @@ def pagerank(
         ).otherwise(F.lit(0.0))
     else:
         redist_col = F.lit(1.0 / n)
-    rank = nodes.withColumn("rank", init_col).persist()
+    # under the measured node gate the O(nodes) rank iterates coalesce
+    # to _SMALL_GRAPH_NPART — cached/checkpointed plans compile without
+    # AQE partition coalescing, so un-shrunk iterates keep all shuffle
+    # partitions and every downstream stage pays the task overhead
+    small = n <= _MOVE_BCAST_MAX_NODES
+    rank = _shrink(nodes.withColumn("rank", init_col), small).persist()
     rank.count()
     last_kept = rank
     # the dangling arm references the rank frame TWICE per iteration
@@ -297,7 +304,7 @@ def pagerank(
                 ).alias("rank"),
             )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            new_rank = _materialize_iter(new_rank, truncate)
+            new_rank = _materialize_iter(_shrink(new_rank, small), truncate)
             converged = False
             if tol is not None and i < iterations - 1:
                 delta = (
@@ -573,11 +580,8 @@ def label_propagation(
         "node", F.col("node").alias("label")
     ).persist()
     # node-count broadcast gate (the _greedy_move_rounds convention)
-    bc = (
-        F.broadcast
-        if labels.count() <= _MOVE_BCAST_MAX_NODES
-        else (lambda d: d)
-    )
+    small = labels.count() <= _MOVE_BCAST_MAX_NODES
+    bc = F.broadcast if small else (lambda d: d)
     truncate = iterations >= _TRUNCATE_MIN_ITERS
     for it in range(1, iterations + 1):
         counts = (
@@ -603,7 +607,9 @@ def label_propagation(
             .select(F.col("v").alias("node"), F.col("m.nl").alias("label"))
         )
         if it % checkpoint_every == 0 or it == iterations:
-            new_labels = _materialize_iter(new_labels, truncate)
+            new_labels = _materialize_iter(
+                _shrink(new_labels, small), truncate
+            )
             labels.unpersist()
         labels = new_labels
     adj.unpersist()
@@ -850,9 +856,17 @@ def random_walks(
                 "random_walks: negative node ids break the portable "
                 "hash contract — offset or hash a surrogate first"
             )
-        cur = nbrs.select(F.col("_s").alias("start")).distinct().select(
-            "start", F.col("start").alias("cur")
-        )
+        # under the measured gate the cached neighbor table coalesces
+        # (narrow read over the populated cache): every step-join's map
+        # side and the final union of step frames then carry
+        # _SMALL_GRAPH_NPART partitions per arm instead of stacking
+        # full shuffle-partition counts (walk_length+1 × 32 map tasks
+        # observed on the benched corpus)
+        small = int(mins["n"]) <= _MOVE_BCAST_MAX_NODES
+        walk_nbrs = _shrink(nbrs, small)
+        cur = walk_nbrs.select(
+            F.col("_s").alias("start")
+        ).distinct().select("start", F.col("start").alias("cur"))
         frames = [
             cur.select(
                 "start", F.lit(0).cast("int").alias("step"),
@@ -866,7 +880,7 @@ def random_walks(
                 + F.lit(int(t) + int(seed) * 7919)
             )
             cur = (
-                cur.join(nbrs, cur["cur"] == nbrs["_s"])
+                cur.join(walk_nbrs, cur["cur"] == walk_nbrs["_s"])
                 .where(F.col("_idx") == u % F.col("_deg"))
                 .select("start", F.col("_d").alias("cur"))
             )
@@ -884,8 +898,12 @@ def random_walks(
         # write + checkpoint copy) costing more than its AQE benefit
         # on this segment (7.5 s vs 8.6 s for the benched walk-PMI
         # chain) — end-of-op materializations of small outputs keep
-        # the single-pass form
-        out = out.orderBy("start", "step").localCheckpoint(eager=True)
+        # the single-pass form. Under the measured gate the corpus
+        # leaf coalesces (post-orderBy — consecutive range partitions
+        # merge, global order preserved) so downstream self-joins
+        # don't stack full shuffle-partition counts per union arm.
+        out = _shrink(out.orderBy("start", "step"), small)
+        out = out.localCheckpoint(eager=True)
     finally:
         nbrs.unpersist()
     return out
@@ -943,8 +961,14 @@ def walk_cooccurrence(
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
     )
-    pairs = pairs.persist()
+    cached_pairs = pairs.persist()
     try:
+        # one count materializes the cache (the downstream aggregates
+        # would anyway) and decides the small-corpus partitioning;
+        # under the gate the pair frame coalesces so the three
+        # downstream joins/unions don't stack 32-partition arms
+        small = cached_pairs.count() <= _MOVE_BCAST_MAX_NODES
+        pairs = _shrink(cached_pairs, small)
         slots = (
             pairs.select(F.col("node_a").alias("n"), "n_cooc")
             .unionByName(
@@ -981,9 +1005,9 @@ def walk_cooccurrence(
             .orderBy(F.desc("pmi"), F.asc("node_a"), F.asc("node_b"))
         )
         # bare eager checkpoint — same measured verdict as random_walks
-        out = out.localCheckpoint(eager=True)
+        out = _shrink(out, small).localCheckpoint(eager=True)
     finally:
-        pairs.unpersist()
+        cached_pairs.unpersist()
     return out
 
 
@@ -1790,7 +1814,28 @@ def greedy_modularity_move(
 # shuffle (measured: one benched Louvain run scheduled 130 AQE jobs at
 # sf0.1, nearly all tiny exchange stages). Above the gate the plan keeps
 # the row-scale equi-shuffle form — the right one at 100-TB node counts.
-_MOVE_BCAST_MAX_NODES = 2_000_000
+# The value is the shared measured gate (ops/materialize.BCAST_MAX_ROWS)
+# so retuning it cannot silently diverge from the ALS half-round gate.
+_MOVE_BCAST_MAX_NODES = BCAST_MAX_ROWS
+
+# Partition count for the iterative frames when the graph sits under the
+# broadcast gate. Cached/checkpointed plans compile WITHOUT AQE partition
+# coalescing (`canChangeCachedPlanOutputPartitioning` defaults false), so
+# every materialized move-round frame otherwise keeps all
+# spark.sql.shuffle.partitions partitions and unions stack them — the
+# driver-config Louvain profile showed 64–128-task stages over a
+# 6.7k-node graph, pure scheduling overhead (~0.6 s/job at local[32]).
+# Under the gate every frame is O(nodes) ≤ 2M rows, so 8 partitions keep
+# tasks ≥ 250k rows; above the gate frames keep the shuffle-sized
+# partitioning — the right shape at 100-TB node counts.
+_SMALL_GRAPH_NPART = 8
+
+
+def _shrink(df: DataFrame, small: bool) -> DataFrame:
+    """Coalesce an under-the-gate frame to `_SMALL_GRAPH_NPART` (a
+    narrow merge of reduce partitions — no extra shuffle); identity
+    above the gate."""
+    return df.coalesce(_SMALL_GRAPH_NPART) if small else df
 
 
 def _greedy_move_rounds(
@@ -1823,7 +1868,7 @@ def _greedy_move_rounds(
     quiet = 0
     for rnd in range(int(rounds)):
         # k_{v,c}: v's edge weight into each neighbor community
-        kvc = (
+        kvc = _shrink(
             adj.join(
                 bc(
                     lab.select(
@@ -1834,7 +1879,8 @@ def _greedy_move_rounds(
                 "u",
             )
             .groupBy("v", "c")
-            .agg(F.sum("_w").alias("_k"))
+            .agg(F.sum("_w").alias("_k")),
+            small,
         )
         # "stay" is always a candidate, even with no intra neighbors.
         # No dedup groupBy needed: when (v, c_own) also exists in kvc,
@@ -1850,11 +1896,12 @@ def _greedy_move_rounds(
                 F.lit(0).cast("long").alias("_k"),
             )
         )
-        tot = (
+        tot = _shrink(
             bc(lab).join(deg, lab["node"] == deg["v"])
             .groupBy("community")
             .agg(F.sum("_d").alias("_tot"))
-            .select(F.col("community").alias("c"), "_tot")
+            .select(F.col("community").alias("c"), "_tot"),
+            small,
         )
         own = lab.select(
             F.col("node").alias("v"), F.col("community").alias("_cv")
@@ -1903,13 +1950,14 @@ def _greedy_move_rounds(
         # partition, populating the persist (the job _materialize_iter
         # would otherwise spend on count()), then the checkpoint reads
         # the cached blocks — 2 jobs per round, not 3
-        cached = new_lab.persist()
+        cached = _shrink(new_lab, small).persist()
         moved = int(
             cached.agg(F.coalesce(F.sum("_chg"), F.lit(0))).collect()[0][0]
         )
         # checkpoint the (node, community) projection so the returned
-        # frame is itself the checkpoint leaf — callers can unpersist
-        # it explicitly (the projection reads the cached blocks)
+        # frame is itself the checkpoint leaf; superseded leaves are
+        # freed by the ContextCleaner as references drop
+        # (Dataset.unpersist() cannot reach localCheckpoint blocks)
         lab = cached.select("node", "community").localCheckpoint()
         cached.unpersist()
         prev.unpersist()
@@ -1974,19 +2022,30 @@ def louvain_two_level(
     # acceptance scoring — the delegating form re-derived _undirected
     # from raw edges a second time (r14 verdict task 5)
     und = _undirected(edges, src_col, dst_col).persist()
-    adj = (
-        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
-        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
-        .withColumn("_w", F.lit(1).cast("long"))
-        .persist()
-    )
-    m = adj.count() // 2
+    # m = |und| directly (each canonical edge contributes exactly two
+    # adj rows), so the und count both materializes the persist AND
+    # decides the small-graph partitioning for everything downstream —
+    # nodes ≤ 2·edges, so a small edge count proves the node frames
+    # small too (one count job, no separate adj count)
+    m = und.count()
     if m == 0:
-        adj.unpersist()
         und.unpersist()
         raise ValueError("louvain_two_level: no edges")
+    small = 2 * m <= _MOVE_BCAST_MAX_NODES
+    adj = (
+        _shrink(
+            und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+            .unionAll(
+                und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+            )
+            .withColumn("_w", F.lit(1).cast("long")),
+            small,
+        )
+        .persist()
+    )
     deg = _materialize_iter(
-        adj.groupBy("v").agg(F.sum("_w").alias("_d")), truncate=True
+        _shrink(adj.groupBy("v").agg(F.sum("_w").alias("_d")), small),
+        truncate=True,
     )
     # the singleton start labels are a projection of the checkpointed
     # deg leaf — already materialized, no extra checkpoint needed
@@ -2011,23 +2070,26 @@ def louvain_two_level(
         else (lambda d: d)
     )
     e2 = (
-        und.join(
-            bc(
-                l1.select(
-                    F.col("node").alias("a"),
-                    F.col("community").alias("ca"),
-                )
+        _shrink(
+            und.join(
+                bc(
+                    l1.select(
+                        F.col("node").alias("a"),
+                        F.col("community").alias("ca"),
+                    )
+                ),
+                "a",
+            )
+            .join(
+                bc(
+                    l1.select(
+                        F.col("node").alias("b"),
+                        F.col("community").alias("cb"),
+                    )
+                ),
+                "b",
             ),
-            "a",
-        )
-        .join(
-            bc(
-                l1.select(
-                    F.col("node").alias("b"),
-                    F.col("community").alias("cb"),
-                )
-            ),
-            "b",
+            small,
         )
         .persist()
     )
@@ -2045,11 +2107,15 @@ def louvain_two_level(
         .agg(F.count(F.lit(1)).alias("_sw"))
     )
     adj2 = (
-        inter.select(F.col("a").alias("v"), F.col("b").alias("u"), "_w")
-        .unionAll(
+        _shrink(
             inter.select(
-                F.col("b").alias("v"), F.col("a").alias("u"), "_w"
-            )
+                F.col("a").alias("v"), F.col("b").alias("u"), "_w"
+            ).unionAll(
+                inter.select(
+                    F.col("b").alias("v"), F.col("a").alias("u"), "_w"
+                )
+            ),
+            small,
         )
         .persist()
     )
@@ -2058,14 +2124,18 @@ def louvain_two_level(
     # on first use by the contraction aggregates below)
     # strength = inter weight + 2 × self-loop weight (Newman)
     deg2 = _materialize_iter(
-        adj2.select("v", "_w")
-        .unionByName(
-            selfw.select(
-                "v", (F.col("_sw") * F.lit(2)).cast("long").alias("_w")
+        _shrink(
+            adj2.select("v", "_w")
+            .unionByName(
+                selfw.select(
+                    "v",
+                    (F.col("_sw") * F.lit(2)).cast("long").alias("_w"),
+                )
             )
-        )
-        .groupBy("v")
-        .agg(F.sum("_w").alias("_d")),
+            .groupBy("v")
+            .agg(F.sum("_w").alias("_d")),
+            small,
+        ),
         truncate=True,
     )
     lab2 = _greedy_move_rounds(
@@ -2078,15 +2148,18 @@ def louvain_two_level(
         rounds,
     )
     two_lvl = _materialize_iter(
-        l1.join(
-            bc(
-                lab2.select(
-                    F.col("node").alias("community"),
-                    F.col("community").alias("_super"),
-                )
-            ),
-            "community",
-        ).select("node", F.col("_super").alias("community")),
+        _shrink(
+            l1.join(
+                bc(
+                    lab2.select(
+                        F.col("node").alias("community"),
+                        F.col("community").alias("_super"),
+                    )
+                ),
+                "community",
+            ).select("node", F.col("_super").alias("community")),
+            small,
+        ),
         truncate=True,
     )
 
@@ -2214,18 +2287,16 @@ def eigenvector_centrality(
     # node-count broadcast gate (the _greedy_move_rounds convention):
     # score frames are O(nodes) two-column rows — map-side join them
     # below the gate, keep the equi-shuffle form above it
-    bc = (
-        F.broadcast
-        if nodes.count() <= _MOVE_BCAST_MAX_NODES
-        else (lambda d: d)
-    )
+    small = nodes.count() <= _MOVE_BCAST_MAX_NODES
+    bc = F.broadcast if small else (lambda d: d)
     # plan depth doubles per round even under persist (each round
     # references the score frame twice: contribution join + identity
     # add) — truncate lineage at every materialization; the benched
     # 3-iteration arm analyzed to 4,793 exchanges under plain persist
     truncate = int(iterations) >= _TRUNCATE_MIN_ITERS
     x = _materialize_iter(
-        nodes.select("node", F.lit(1.0).alias("x")), truncate
+        _shrink(nodes.select("node", F.lit(1.0).alias("x")), small),
+        truncate,
     )
     prev_y = None
     try:
@@ -2242,12 +2313,15 @@ def eigenvector_centrality(
                 )
             )
             y = _materialize_iter(
-                x.join(bc(contrib), "node", "left").select(
-                    "node",
-                    (
-                        F.coalesce(F.col("y"), F.lit(0.0))
-                        + F.col("x")
-                    ).alias("y"),
+                _shrink(
+                    x.join(bc(contrib), "node", "left").select(
+                        "node",
+                        (
+                            F.coalesce(F.col("y"), F.lit(0.0))
+                            + F.col("x")
+                        ).alias("y"),
+                    ),
+                    small,
                 ),
                 truncate,
             )

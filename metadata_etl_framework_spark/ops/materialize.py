@@ -20,14 +20,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["checkpoint_hybrid"]
+__all__ = ["checkpoint_hybrid", "BCAST_MAX_ROWS"]
+
+# Measured broadcast gate shared by the iterative-join call sites
+# (graph move rounds / pagerank / eigenvector / label propagation and
+# ALS half-rounds): a two-to-three-column key frame at or under this
+# many rows stays comfortably inside the 8 GB broadcast hard cap and
+# measured faster map-side at sf0.1; above it the equi-shuffle join is
+# the right plan at fact scale. Hoisted here so the gate cannot
+# silently diverge between modules when retuned.
+BCAST_MAX_ROWS = 2_000_000
 
 
 def checkpoint_hybrid(df: DataFrame) -> DataFrame:
     """Eagerly materialize ``df`` and cut its lineage, keeping AQE on
     the computing segment (see module docstring). The returned frame
-    is the checkpoint leaf itself — callers may ``unpersist()`` it to
-    release the blocks explicitly."""
+    is the checkpoint leaf itself; its blocks are RDD-level (not
+    cache-manager entries), so ``Dataset.unpersist()`` cannot release
+    them — the ContextCleaner frees them as references drop."""
     cached = df.persist()
     cached.count()
     out = cached.localCheckpoint()

@@ -39,7 +39,10 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import checkpoint_hybrid
+from metadata_etl_framework_spark.ops.materialize import (
+    BCAST_MAX_ROWS,
+    checkpoint_hybrid,
+)
 
 __all__ = [
     "item_item_cosine",
@@ -339,7 +342,7 @@ def als_factorize(
     # join then goes map-side (the graph move-round gate convention).
     # Above the gate the equi-shuffle join stands, the right plan at
     # fact scale.
-    bc = F.broadcast if n_ratings <= 2_000_000 else (lambda d: d)
+    bc = F.broadcast if n_ratings <= BCAST_MAX_ROWS else (lambda d: d)
     q = _mat(
         base.select("__it")
         .distinct()
@@ -382,11 +385,19 @@ def als_factorize(
         b1 = F.col("b1").cast("double")
         b2 = F.col("b2").cast("double")
         det = a11 * a22 - a12 * a12
+        # det == 0 is reachable (rank-1 normal matrix at reg=0); under
+        # the session's pinned ANSI mode a bare divide would raise
+        # DIVIDE_BY_ZERO engine-wide, so null the factors for that key
+        # instead (the pre-ANSI null-flow contract)
         return _mat(
             s.select(
                 F.col(gkey).alias("__k"),
-                F.round((a22 * b1 - a12 * b2) / det, 12).alias("__f1"),
-                F.round((a11 * b2 - a12 * b1) / det, 12).alias("__f2"),
+                F.round(
+                    F.when(det != 0, (a22 * b1 - a12 * b2) / det), 12
+                ).alias("__f1"),
+                F.round(
+                    F.when(det != 0, (a11 * b2 - a12 * b1) / det), 12
+                ).alias("__f2"),
             )
         )
 

@@ -845,24 +845,20 @@ def rfm_segments(
     # are O(users) each and the audited plan stays one-pass-sized
     from metadata_etl_framework_spark.ops.graph import _materialize_iter
 
-    # superseded checkpointed frames are released eagerly (the graph
-    # loops' prev.unpersist() discipline) rather than waiting on the
-    # ContextCleaner, so repeated calls in a long session don't
-    # accumulate O(users) checkpoint blocks; the last frame stays —
-    # the returned lazy plan still reads it
+    # superseded checkpoint blocks are released by the ContextCleaner
+    # as the Python references drop at each rebind below —
+    # Dataset.unpersist() cannot reach localCheckpoint blocks (they are
+    # RDD-level, not cache-manager entries), so there is no eager-release
+    # lever here; the frames are O(users) each, bounded between calls
     scored = _materialize_iter(scored, truncate=True)
-    prev = scored
     scored = _materialize_iter(
         ntile_assign(scored, ["recency_days", "user"], n_buckets, out="_rb"),
         truncate=True,
     )
-    prev.unpersist()
-    prev = scored
     scored = _materialize_iter(
         ntile_assign(scored, ["frequency", "user"], n_buckets, out="f_score"),
         truncate=True,
     )
-    prev.unpersist()
     scored = ntile_assign(
         scored, ["monetary", "user"], n_buckets, out="m_score"
     )
@@ -1325,12 +1321,12 @@ def cox_ph(
                 .withColumn("_S2", F.sum("_s2").over(wd))
                 .where(F.col("_d") > 0)
             )
-            r1 = F.col("_S1").cast("double") / F.col("_S0").cast(
-                "double"
-            )
-            r2 = F.col("_S2").cast("double") / F.col("_S0").cast(
-                "double"
-            )
+            # _S0 can be 0 when every risk-set weight pico-rounds to 0
+            # (exp(-30) clamp ≈ 9e-14 < half-pico); under pinned ANSI a
+            # bare divide raises, so null-flow those grid rows instead
+            _s0d = F.col("_S0").cast("double")
+            r1 = F.when(_s0d != 0, F.col("_S1").cast("double") / _s0d)
+            r2 = F.when(_s0d != 0, F.col("_S2").cast("double") / _s0d)
             u_c = (
                 F.col("_dx").cast("double") / F.lit(1e12)
                 - F.col("_d") * r1
@@ -1542,9 +1538,16 @@ def cox_ph_multi(
                     )
             cum = cum.where(F.col("_d") > 0)
             s0 = F.col("_S0").cast("double")
+
+            # _S0 == 0 is reachable (all weights clamp/round to 0
+            # pico); pinned ANSI raises on bare division, so null-flow
+            # the affected grid rows (F.sum skips them) as pre-ANSI did
+            def _ratio(num):
+                return F.when(s0 != 0, num.cast("double") / s0)
+
             outs = []
             for j in range(d):
-                r1j = F.col(f"_S1_{j}").cast("double") / s0
+                r1j = _ratio(F.col(f"_S1_{j}"))
                 outs.append(
                     F.sum(
                         F.round(
@@ -1556,9 +1559,9 @@ def cox_ph_multi(
                 )
             for j in range(d):
                 for k in range(j, d):
-                    r1j = F.col(f"_S1_{j}").cast("double") / s0
-                    r1k = F.col(f"_S1_{k}").cast("double") / s0
-                    r2 = F.col(f"_S2_{j}{k}").cast("double") / s0
+                    r1j = _ratio(F.col(f"_S1_{j}"))
+                    r1k = _ratio(F.col(f"_S1_{k}"))
+                    r2 = _ratio(F.col(f"_S2_{j}{k}"))
                     outs.append(
                         F.sum(
                             F.round(

@@ -116,3 +116,103 @@ def test_gmm2_degenerate_and_gates(spark):
         gmm2_train(one, "x")
     with pytest.raises(ValueError, match="iterations"):
         gmm2_train(const, "x", iterations=0)
+
+
+# ---- dbscan_grid: hand-pinned two-cluster + noise fixture ----
+
+def _dbscan_fixture(spark):
+    # chain cluster (ids 1-5 at x=0,0.5,...,2.0): with eps=0.6 /
+    # min_samples=3 the interior points (2,3,4) are core, the endpoints
+    # border; pair cluster (10-12 spaced 0.5): only 11 is core (an
+    # ISOLATED core — no core neighbor — so its own id is the cluster);
+    # id 20 is far-away noise
+    rows = [
+        (1, 0.0, 0.0), (2, 0.5, 0.0), (3, 1.0, 0.0),
+        (4, 1.5, 0.0), (5, 2.0, 0.0),
+        (10, 10.0, 0.0), (11, 10.5, 0.0), (12, 11.0, 0.0),
+        (20, 50.0, 0.0),
+    ]
+    return spark.createDataFrame(rows, "id long, x double, y double")
+
+
+def test_dbscan_two_clusters_plus_noise_pinned(spark):
+    from metadata_etl_framework_spark.ops.clustering import dbscan_grid
+
+    out = {
+        r["id"]: r
+        for r in dbscan_grid(
+            _dbscan_fixture(spark), "id", ["x", "y"],
+            eps=0.6, min_samples=3,
+        ).collect()
+    }
+    assert len(out) == 9
+    expect = {
+        # id: (role, cluster_id, n_neighbors)
+        1: ("border", 2, 1),
+        2: ("core", 2, 2),
+        3: ("core", 2, 2),
+        4: ("core", 2, 2),
+        5: ("border", 2, 1),
+        10: ("border", 11, 1),
+        11: ("core", 11, 2),
+        12: ("border", 11, 1),
+        20: ("noise", None, 0),
+    }
+    for i, (role, cl, n) in expect.items():
+        r = out[i]
+        assert (r["role"], r["cluster_id"], r["n_neighbors"]) == (
+            role, cl, n,
+        ), (i, r)
+
+
+def test_dbscan_duplicate_points_and_gates(spark):
+    from metadata_etl_framework_spark.ops.clustering import dbscan_grid
+
+    # three ids at the SAME coordinates: each has 2 zero-distance
+    # neighbors, so with min_samples=3 all are core, one cluster (min
+    # id), and the lone distant point is noise
+    df = spark.createDataFrame(
+        [(7, 1.0, 1.0), (8, 1.0, 1.0), (9, 1.0, 1.0), (30, 9.0, 9.0)],
+        "id long, x double, y double",
+    )
+    out = {
+        r["id"]: r
+        for r in dbscan_grid(
+            df, "id", ["x", "y"], eps=0.1, min_samples=3
+        ).collect()
+    }
+    for i in (7, 8, 9):
+        assert out[i]["role"] == "core"
+        assert out[i]["cluster_id"] == 7
+    assert out[30]["role"] == "noise"
+    assert out[30]["cluster_id"] is None
+
+    with pytest.raises(ValueError):
+        dbscan_grid(df, "id", ["x", "y"], eps=0.0, min_samples=3)
+    with pytest.raises(ValueError):
+        dbscan_grid(df, "id", ["x", "y"], eps=0.1, min_samples=0)
+    with pytest.raises(ValueError):
+        dbscan_grid(df, "id", ["x", "y", "x", "y"], eps=0.1,
+                    min_samples=2)
+
+
+def test_dbscan_cell_boundary_pairs(spark):
+    from metadata_etl_framework_spark.ops.clustering import dbscan_grid
+
+    # points straddling a grid-cell boundary at exactly eps apart:
+    # the neighbor-cell join must still find the pair (distance == eps
+    # is INSIDE the neighborhood, <=), and negative coordinates floor
+    # toward -inf identically in both engines
+    df = spark.createDataFrame(
+        [(1, -0.05, 0.0), (2, 0.05, 0.0), (3, 0.15, 0.0)],
+        "id long, x double, y double",
+    )
+    out = {
+        r["id"]: r
+        for r in dbscan_grid(
+            df, "id", ["x"], eps=0.1, min_samples=2
+        ).collect()
+    }
+    # chain 1-2-3: all pairwise-adjacent at exactly 0.1 -> all core
+    assert all(out[i]["role"] == "core" for i in (1, 2, 3))
+    assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3))
