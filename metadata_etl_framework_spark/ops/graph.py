@@ -651,6 +651,9 @@ def k_core(
         raise ValueError("k must be >= 1")
     cur = _undirected(edges, src_col, dst_col).localCheckpoint()
     n_edges = cur.count()
+    # peel iterates coalesce under the measured gate (checkpoint
+    # leaves otherwise keep full shuffle-partition counts; see _shrink)
+    small = n_edges <= _MOVE_BCAST_MAX_NODES
     for _ in range(max_iter):
         deg = (
             cur.select(F.col("a").alias("v"))
@@ -659,12 +662,12 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.where(F.col("d") >= k).select("v")
-        nxt = (
+        nxt = _shrink(
             cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint()
-        )
+            .select("a", "b"),
+            small,
+        ).localCheckpoint()
         n_next = nxt.count()
         cur = nxt
         if n_next == n_edges:
@@ -724,6 +727,9 @@ def closeness_sampled(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     adj = adj.persist()
+    # populate the persist and decide the small-graph partitioning for
+    # the per-hop checkpoint leaves (see _shrink)
+    small = adj.count() <= _MOVE_BCAST_MAX_NODES
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(s), int(s), 0) for s in seeds], "s long, node long, dist int"
@@ -743,11 +749,11 @@ def closeness_sampled(
                 .join(visited, ["s", "node"], "left_anti")
                 .withColumn("dist", F.lit(hop).cast("int"))
             )
-            nxt = _materialize_iter(nxt, truncate=True)
+            nxt = _materialize_iter(_shrink(nxt, small), truncate=True)
             if nxt.limit(1).count() == 0:
                 break
             visited = _materialize_iter(
-                visited.unionByName(nxt), truncate=True
+                _shrink(visited.unionByName(nxt), small), truncate=True
             )
             frontier = nxt
         inv = F.when(
@@ -1140,6 +1146,8 @@ def hits(
             return edges.sparkSession.createDataFrame(
                 [], "node long, hub double, authority double"
             )
+        # score iterates coalesce under the measured gate (see _shrink)
+        small = n <= _MOVE_BCAST_MAX_NODES
         start = F.round(F.lit(1.0) / F.lit(float(n)), 12)
         hub = nodes.select("node", start.alias("h"))
         auth = nodes.select("node", start.alias("a"))
@@ -1173,7 +1181,7 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("a"),
             )
-            auth = _materialize_iter(auth, truncate=True)
+            auth = _materialize_iter(_shrink(auth, small), truncate=True)
             contrib_h = (
                 e.join(
                     auth.select(F.col("node").alias("_v"), "a"), "_v"
@@ -1201,7 +1209,7 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("h"),
             )
-            hub = _materialize_iter(hub, truncate=True)
+            hub = _materialize_iter(_shrink(hub, small), truncate=True)
             if tol is not None and it < int(iterations) - 1:
                 deltas = []
                 for cur, prev, col in (
@@ -1288,6 +1296,12 @@ def betweenness_sampled(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     adj = adj.persist()
+    # one count populates the persist (the loop reuses adj twice per
+    # hop) and decides the small-graph partitioning for the BFS/
+    # accumulation iterates (checkpoint leaves union per hop — without
+    # the gate-keyed coalesce the stacked leaves carry full
+    # shuffle-partition counts per arm; see _shrink)
+    small = adj.count() <= _MOVE_BCAST_MAX_NODES
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(s), int(s), 0, 1) for s in seeds],
@@ -1307,11 +1321,11 @@ def betweenness_sampled(
                 .withColumn("dist", F.lit(hop).cast("int"))
                 .select("s", "node", "dist", "sigma")
             )
-            nxt = _materialize_iter(nxt, truncate=True)
+            nxt = _materialize_iter(_shrink(nxt, small), truncate=True)
             if nxt.limit(1).count() == 0:
                 break
             visited = _materialize_iter(
-                visited.unionByName(nxt), truncate=True
+                _shrink(visited.unionByName(nxt), small), truncate=True
             )
             frontier = nxt
         h_max = visited.agg(F.max("dist")).collect()[0][0] or 0
@@ -1364,7 +1378,7 @@ def betweenness_sampled(
                     ),
                 )
             )
-            cur = _materialize_iter(nxt_cur, truncate=True)
+            cur = _materialize_iter(_shrink(nxt_cur, small), truncate=True)
             deps.append(
                 cur.where(
                     (F.col("node") != F.col("s"))

@@ -456,6 +456,34 @@ def detect_timeseries(
     )
 
 
+def detect_dbscan_native(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    key_col: str,
+    eps: float = 0.5,
+    min_samples: int = 5,
+) -> DataFrame:
+    """Native distributed arm of the reference's DBSCAN anomaly method
+    (anomaly_manager.py:162-180 — label == -1, i.e. NOISE points, are
+    the anomalies): routes to ops/clustering.py::dbscan_grid (ε-grid
+    cell equi-join + core-core connected components — never all-pairs)
+    and returns the noise keys in the same one-column shape
+    :func:`detect_sklearn` emits, so :func:`ensemble_vote` composes
+    both arms interchangeably. Unlike the bucketed sklearn bridge this
+    arm computes the GLOBAL ε-graph — no per-bucket approximation —
+    and is deterministic/oracle-replayable. Features are taken raw
+    (the detect_sklearn convention here); standardize upstream when
+    scales differ. Limited to ≤3 feature dims (the 3^d cell-offset
+    fan-out); higher-d density work belongs to the LSH-bucketed LOF
+    path."""
+    from metadata_etl_framework_spark.ops.clustering import dbscan_grid
+
+    out = dbscan_grid(
+        df, key_col, list(value_cols), eps=eps, min_samples=min_samples
+    )
+    return out.where(F.col("role") == "noise").select(key_col)
+
+
 _SKLEARN_METHODS = ("isolation_forest", "lof", "dbscan", "ocsvm")
 
 

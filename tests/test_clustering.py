@@ -216,3 +216,19 @@ def test_dbscan_cell_boundary_pairs(spark):
     # chain 1-2-3: all pairwise-adjacent at exactly 0.1 -> all core
     assert all(out[i]["role"] == "core" for i in (1, 2, 3))
     assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3))
+
+
+def test_detect_dbscan_native_flags_noise_and_votes(spark):
+    from metadata_etl_framework_spark.quality.anomaly import (
+        detect_dbscan_native,
+        ensemble_vote,
+    )
+
+    df = _dbscan_fixture(spark)
+    noise = detect_dbscan_native(
+        df, ["x", "y"], "id", eps=0.6, min_samples=3
+    )
+    assert [r["id"] for r in noise.collect()] == [20]
+    # composes with ensemble_vote in the detect_sklearn output shape
+    voted = ensemble_vote([noise, noise], "id", min_votes=2).collect()
+    assert [r["id"] for r in voted] == [20]
