@@ -90,12 +90,14 @@ HEADLINE = [
     "drift_suite_forced_binned",
     # round-8: one-pass all-pairs correlation and the iterative
     # PageRank (per-iteration persist/release discipline under timing).
-    # r16: the PageRank headliner moved from the supplier co-occurrence
-    # projection (near-complete at sf≥0.01 — edge count grows
-    # quadratically with scale, so the key measured graph DENSITY, not
-    # plan quality) onto the sparse part co-purchase graph the gate
-    # keys already use (r15 verdict task 5).
+    # r16: graph_pagerank_parts ADDED alongside the supplier key — the
+    # supplier co-occurrence projection is near-complete at sf≥0.01
+    # (edge count grows quadratically with scale, so it measures graph
+    # DENSITY), while the part co-purchase graph is the sparse
+    # plan-quality workload (r15 verdict task 5). The optimization
+    # contract forbids removing bench entries, so both run.
     "corr_matrix_lineitem",
+    "graph_pagerank_suppliers",
     "graph_pagerank_parts",
     # round-10 flagships: reference-LM perplexity (two corpus-scale
     # shuffle joins), the distinct-score prefix-scan eval pair, the
@@ -247,78 +249,12 @@ HEADLINE = [
     "anomaly_dbscan_embeddings",
 ]
 
-# Sampled stable tier (r15 verdict task 7): the headline set grew ~5
-# keys per round and its fixed cost with it, so long-green cheap shapes
-# rotate into a 3-slice sampled tier — each is benched every 3rd round
-# (slice = round number mod 3) instead of every round. Membership
-# criteria: NOT a driver-gate key (all 50 gate keys bench every round),
-# NOT a canary probe, ≤ ~1.5 s at r15, and stable since at least r12
-# (no real regression on record). Correctness coverage is unaffected —
-# every one of these keys stays in the oracle-parity suite every round;
-# only the latency sampling is thinned. The keys benched every round
-# remain the full gate set + canary + every actively-watched perf key
-# (graph/glm/recsys/eval/new-this-round). Skipped keys are recorded in
-# the artifact ("tier" block) so a missing entry reads as by-design,
-# not as a dropped query.
-STABLE_TIER = [
-    "profile_all_columns",
-    "drift_emd_binned",
-    "drift_ks_binned",
-    "ann_pq_adc",
-    "embed_semantic_dedup",
-    "graph_kcore_ring",
-    "embed_knn_join",
-    "drift_emd_quantity",
-    "embed_mahalanobis",
-    "events_markov_attribution",
-    "eval_qini_orders",
-    "dedup_embedding_cosine",
-    "sketch_kll_rollup_events",
-    "drift_cvm_quantity",
-    "sql_q5_local_volume",
-    "topk_per_order",
-    "dedup_incremental",
-    "sketch_cm_rollup_events",
-    "events_ljung_box",
-    "text_tfidf_top_terms",
-    "range_join_price_bands",
-    "window_frames",
-    "text_features",
-    "text_rake_keywords",
-    "text_decontaminate",
-    "text_quality_score",
-    "pack_sequences",
-    "orders_global_rank",
-    "layout_compaction_plan",
-    "embed_group_diversity",
-    "sql_q10_returned_items",
-    "dedup_bloom_probe",
-    "funnel_conversion",
-    "eval_regression_orders",
-    "window_rank_lag",
-    "events_attribution_last_touch",
-    "events_rmst",
-    "events_periodogram",
-    "heavy_hitters_qty",
-    "asof_join_purchases",
-    "events_seasonal_decompose",
-    "feat_target_encoding_orders",
-    "events_rolling_active_users",
-    "events_cohort_retention",
-    "pack_length_buckets",
-    "events_windows",
-    "events_sessions",
-    "sketch_hll_rollup_events",
-    "embed_group_centroids",
-    "join_multi",
-    "agg_orders_by_priority",
-    "corr_matrix_lineitem",
-    "dedup_exact_groups",
-    "corpus_domain_cap",
-    "dedup_distinct",
-    "agg_rollup_orders",
-    "corpus_weighted_sample",
-]
+# NOTE (r16): a 3-slice sampled "stable tier" (r15 verdict task 7) was
+# prototyped here and REVERTED before close — the optimization-round
+# contract requires every existing bench entry to appear in every
+# round's "queries" map (entries may be added, never removed), so all
+# headline keys run every round. The fixed-cost concern is addressed by
+# making the queries themselves faster instead.
 
 
 def _force(df) -> None:
@@ -377,22 +313,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
-    # stable-tier sampling: slice = (this round number) mod 3; a stable
-    # key runs only when its index lands in this round's slice
+    # every headline key runs every round (the optimization-round
+    # contract: entries may be added to "queries", never removed)
     prior_rounds = [
         int(re.search(r"r(\d+)", f).group(1))
         for f in os.listdir(".")
         if re.fullmatch(r"BENCH_r\d+\.json", f)
     ]
     this_round = (max(prior_rounds) + 1) if prior_rounds else 0
-    tier_slice = this_round % 3
-    stable_idx = {q: i for i, q in enumerate(STABLE_TIER)}
-    skipped = [
-        q
-        for q in HEADLINE
-        if q in stable_idx and stable_idx[q] % 3 != tier_slice
-    ]
-    run_set = [q for q in HEADLINE if q not in set(skipped)]
+    run_set = list(HEADLINE)
 
     # warm the JVM + file-listing caches on a trivial plan so the first
     # measured query doesn't absorb one-time session costs
@@ -552,14 +481,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "canary": canary,
-        # sampled stable tier: keys absent from "queries" this round by
-        # design (benched every 3rd round), not dropped coverage
-        "tier": {
-            "round": this_round,
-            "slice": tier_slice,
-            "stable_total": len(STABLE_TIER),
-            "stable_skipped": sorted(skipped),
-        },
     }
     if retimed:
         out["retimed"] = retimed
@@ -603,7 +524,6 @@ def main() -> None:
         "n_queries": len(timings),
         "detail": detail_path,
         "canary": canary,
-        "tier": out["tier"],
     }
     # the trigger-tripped mover classifications belong in the line of
     # record too — they are the evidence the round compare needs

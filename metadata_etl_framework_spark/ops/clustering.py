@@ -411,9 +411,11 @@ def dbscan_grid(
         ],
     )
     cell = [F.floor(F.col(fx[i]) / F.lit(float(eps))) for i in range(d)]
+    persisted: "list[DataFrame]" = []
     pts = pts.select(
         "_id", *fx, *[cell[i].alias(f"_c{i}") for i in range(d)]
     ).persist()
+    persisted.append(pts)
     pts.count()
     # ≤27 neighbor-cell offsets as an exploded literal array — a
     # row-scale projection, no join, no driver loop
@@ -462,6 +464,7 @@ def dbscan_grid(
         .select(F.col("_ida").alias("id_a"), F.col("_id").alias("id_b"))
         .persist()
     )
+    persisted.append(pairs)
     ncnt = pairs.groupBy(F.col("id_a").alias("_id")).agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -469,6 +472,7 @@ def dbscan_grid(
         "_id", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
     )
     stats = stats.persist()
+    persisted.append(stats)
     core = stats.where(
         F.col("_n") + F.lit(1) >= F.lit(int(min_samples))
     ).select("_id")
@@ -524,4 +528,10 @@ def dbscan_grid(
             F.col("_n").cast("long").alias("n_neighbors"),
         )
     )
+    # O(points) output: eager leaf so the three intermediates above can
+    # be released here instead of leaking past the return (the r8 leak
+    # class the persist lint guards against)
+    out = out.localCheckpoint(eager=True)
+    for h in persisted:
+        h.unpersist()
     return out
