@@ -16145,11 +16145,22 @@ def _pmi_pair_corpus(spark, sf_dir):
         F.col("o_custkey").alias("c"),
         (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
     )
+    # both directions via ONE explode instead of a self-union: a union
+    # of two projections of the same join executes the join twice;
+    # the exploded pair array emits the identical row multiset in a
+    # single pass (guide §2.4 — same rows, same walk corpus)
     edges = pair.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(
-        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c").alias("src"), F.col("s").alias("dst")
+                ),
+                F.struct(
+                    F.col("s").alias("src"), F.col("c").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     walks = random_walks(edges, walk_length=3, seed=1)
     return walk_cooccurrence(walks, window=2)
 

@@ -810,13 +810,19 @@ def random_walks(
 
     Step t: neighbor index = hash32((cur mod 2³¹)·1000003 +
     (start mod 65521)·257 + t + seed·7919) mod deg(cur), against a
-    per-node neighbor table indexed by (row_number over dst order).
-    Work per step is ONE equi-join walks⋈neighbors on the current
-    node — never a fan-out; the neighbor table is built once and
-    persisted. A walk reaching a node with no out-edges simply stops
-    (its later steps emit no rows — the standard dangling behavior).
-    Node ids must be non-negative integers (raises otherwise — the
-    hash contract; hash a surrogate for string nodes).
+    per-node SORTED neighbor array (``sort_array(collect_set(dst))``
+    — identical indexing to a row_number-over-dst-order table, the
+    form the SQL oracle replays, but NODE-scale instead of edge-scale:
+    one groupBy builds it, and each step is one equi-join of the
+    O(nodes) walk frontier against the O(nodes) adjacency table with
+    an ``element_at`` lookup — never an edge-scale shuffle, never a
+    fan-out. Under the measured row gate the adjacency table
+    broadcasts, making every step map-side (guide §3.1) — the whole
+    corpus then computes in one narrow pass over the cached table. A
+    walk reaching a node with no out-edges simply stops (its later
+    steps emit no rows — the standard dangling behavior). Node ids
+    must be non-negative integers (raises otherwise — the hash
+    contract; hash a surrogate for string nodes).
 
     Output: (start, step int, node) tall frame — step 0 is the start
     itself — ordered by (start, step).
@@ -826,11 +832,15 @@ def random_walks(
             f"walk_length={walk_length} outside [1, {max_walk_length}] "
             f"— each step is a join; raise max_walk_length explicitly"
         )
-    from pyspark.sql import Window
-
     from .sketch import hash32
 
-    e = (
+    # dedup happens inside collect_set (with map-side partial
+    # aggregation), so the adjacency build is ONE exchange over the
+    # edge list instead of the former distinct + window pair — and its
+    # output is O(nodes), not O(edges) (guide §2.3: shuffle metadata,
+    # not payloads; the sorted array reproduces the row_number-over-dst
+    # neighbor indexing bit-for-bit)
+    nbrs = (
         edges.where(
             F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
         )
@@ -838,22 +848,20 @@ def random_walks(
             F.col(src_col).cast("long").alias("_s"),
             F.col(dst_col).cast("long").alias("_d"),
         )
-        .distinct()
-    )
-    wn = Window.partitionBy("_s").orderBy("_d")
-    nbrs = e.select(
-        "_s",
-        "_d",
-        (F.row_number().over(wn) - 1).alias("_idx"),
-        F.count(F.lit(1)).over(Window.partitionBy("_s")).alias("_deg"),
+        .groupBy("_s")
+        .agg(F.sort_array(F.collect_set("_d")).alias("_nb"))
+        .select("_s", "_nb", F.size("_nb").cast("long").alias("_deg"))
     )
     nbrs = nbrs.persist()
     try:
         mins = nbrs.agg(
-            F.min("_s").alias("ms"), F.min("_d").alias("md"),
-            F.count(F.lit(1)).alias("n"),
+            F.min("_s").alias("ms"),
+            # arrays are sorted ascending, so the global min dst is the
+            # min over first elements
+            F.min(F.element_at("_nb", 1)).alias("md"),
+            F.sum("_deg").alias("n"),
         ).collect()[0]
-        if mins["n"] == 0:
+        if not mins["n"]:
             return edges.sparkSession.createDataFrame(
                 [], "start long, step int, node long"
             )
@@ -862,17 +870,20 @@ def random_walks(
                 "random_walks: negative node ids break the portable "
                 "hash contract — offset or hash a surrogate first"
             )
-        # under the measured gate the cached neighbor table coalesces
-        # (narrow read over the populated cache): every step-join's map
-        # side and the final union of step frames then carry
-        # _SMALL_GRAPH_NPART partitions per arm instead of stacking
-        # full shuffle-partition counts (walk_length+1 × 32 map tasks
-        # observed on the benched corpus)
+        # gate on the distinct-edge count (sum of degrees), the same
+        # measured gate as before: under it the adjacency table
+        # broadcasts (every step-join map-side, zero step shuffles)
+        # and the cached table coalesces so the union of step frames
+        # carries _SMALL_GRAPH_NPART partitions per arm; above it the
+        # node-scale equi-join stands — the right plan at fact scale
         small = int(mins["n"]) <= _MOVE_BCAST_MAX_NODES
         walk_nbrs = _shrink(nbrs, small)
+        join_nbrs = F.broadcast(walk_nbrs) if small else walk_nbrs
+        # groupBy output is already one row per out-degree-positive
+        # node — no distinct needed for the start frontier
         cur = walk_nbrs.select(
-            F.col("_s").alias("start")
-        ).distinct().select("start", F.col("start").alias("cur"))
+            F.col("_s").alias("start"), F.col("_s").alias("cur")
+        )
         frames = [
             cur.select(
                 "start", F.lit(0).cast("int").alias("step"),
@@ -886,9 +897,14 @@ def random_walks(
                 + F.lit(int(t) + int(seed) * 7919)
             )
             cur = (
-                cur.join(walk_nbrs, cur["cur"] == walk_nbrs["_s"])
-                .where(F.col("_idx") == u % F.col("_deg"))
-                .select("start", F.col("_d").alias("cur"))
+                cur.join(join_nbrs, cur["cur"] == join_nbrs["_s"])
+                .select(
+                    "start",
+                    F.element_at(
+                        "_nb",
+                        (u % F.col("_deg") + F.lit(1)).cast("int"),
+                    ).alias("cur"),
+                )
             )
             frames.append(
                 cur.select(
@@ -953,6 +969,15 @@ def walk_cooccurrence(
         F.col("step").alias("_sb"),
         F.col("node").alias("_nb"),
     )
+    # under the measured row gate the walk corpus (a checkpoint leaf
+    # from random_walks — counting it is one cheap pass) broadcasts as
+    # the build side of its own band self-join: the probe side then
+    # streams the leaf with NO exchange, so the whole pair expansion
+    # is map-side + one groupBy shuffle (guide §3.1); above the gate
+    # the equi-shuffle self-join stands
+    corpus_small = walks.count() <= _MOVE_BCAST_MAX_NODES
+    if corpus_small:
+        a = F.broadcast(a)
     pairs = (
         a.join(b, "_w")
         .where(
@@ -990,6 +1015,12 @@ def walk_cooccurrence(
         sb = slots.select(
             F.col("n").alias("node_b"), F.col("_cn").alias("_cb")
         )
+        if small:
+            # slot totals are O(nodes) projections of the cached pair
+            # frame — broadcasting them keeps the PMI projection a
+            # single narrow pass over the cache instead of two
+            # sort-merge exchanges
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
         t = F.col("_t").cast("double")
         pmi = F.log(
             (F.col("n_cooc").cast("double") / t)

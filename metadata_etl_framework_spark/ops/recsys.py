@@ -39,10 +39,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_etl_framework_spark.ops.materialize import (
-    BCAST_MAX_ROWS,
-    checkpoint_hybrid,
-)
+from metadata_etl_framework_spark.ops.materialize import BCAST_MAX_ROWS
 
 __all__ = [
     "item_item_cosine",
@@ -305,10 +302,16 @@ def als_factorize(
     whole training run is deterministic in ANY engine.
 
     Scale: per round, two shuffles of the ratings (by user, by item) +
-    two factor joins; factor frames localCheckpoint between rounds —
-    each is referenced by BOTH next-half joins, the k-ref lineage
-    doubling the pagerank dangling arm taught us to cut. λ > 0 keeps
-    every 2×2 system non-singular (cold keys included).
+    two factor joins. Factor frames are PERSISTED (not checkpointed)
+    between half-rounds and released before return; the single lineage
+    cut is ONE eager localCheckpoint over the tagged union of the two
+    final factor frames — an interleaved min-of-3 A/B at sf0.1
+    measured 3.96 s for this shape vs 5.4–6.4 s for the former
+    per-half checkpoint_hybrid (five persist+count+checkpoint cycles:
+    the checkpoint copies dominated on O(keys) frames). The returned
+    frames are narrow reads of that one leaf, so no cache entries
+    outlive the call. λ > 0 keeps every 2×2 system non-singular (cold
+    keys included).
 
     Returns ``(user_factors, item_factors)`` — (key, f1, f2) each.
     """
@@ -330,19 +333,26 @@ def als_factorize(
     base = base.persist()
     n_ratings = base.count()
 
-    # hybrid materialization for the half-rounds (checkpoint_hybrid:
-    # SQL path first so AQE plans the join+agg segment, then checkpoint
-    # the cached blocks) — measured 8.25 -> 4.83 s on the benched
-    # factorization; the END-OF-OP materializations elsewhere measured
-    # the opposite and keep the bare eager checkpoint
-    _mat = checkpoint_hybrid
+    # half-round materialization is a bare persist (no count, no
+    # checkpoint): the next half's broadcast build populates the cache
+    # on demand, so each half still executes exactly once, without the
+    # per-half count job and checkpoint copy of the former
+    # checkpoint_hybrid form (measured: see docstring). Handles are
+    # released after the single end-of-op leaf below.
+    _handles: list[DataFrame] = []
+
+    def _mat(d: DataFrame) -> DataFrame:
+        cached = d.persist()
+        _handles.append(cached)
+        return cached
 
     # factor frames are O(keys) two-double rows; keys ≤ ratings, so a
     # small ratings count proves them broadcastable — every half-round
     # join then goes map-side (the graph move-round gate convention).
     # Above the gate the equi-shuffle join stands, the right plan at
     # fact scale.
-    bc = F.broadcast if n_ratings <= BCAST_MAX_ROWS else (lambda d: d)
+    small = n_ratings <= BCAST_MAX_ROWS
+    bc = F.broadcast if small else (lambda d: d)
     q = _mat(
         base.select("__it")
         .distinct()
@@ -403,20 +413,31 @@ def als_factorize(
 
     p = None
     for r in range(rounds):
-        prev_q = q
-        p_new = _half("__u", "__it", q)
-        if p is not None:
-            p.unpersist()
-        p = p_new
+        p = _half("__u", "__it", q)
         q = _half("__it", "__u", p)
-        prev_q.unpersist()
+    # ONE eager leaf over the tagged union of the two final factor
+    # frames (instead of a checkpoint per half): executing it drains
+    # every pending cache exactly once, and the returned frames are
+    # narrow filters of the leaf — so all persist handles (and the
+    # ratings cache) can be released here with nothing left to
+    # recompute. Under the measured gate the leaf coalesces (the
+    # union stacks two shuffle-partition arms over O(keys) rows).
+    both = p.select(F.lit(0).alias("__side"), "__k", "__f1", "__f2")
+    both = both.unionByName(
+        q.select(F.lit(1).alias("__side"), "__k", "__f1", "__f2")
+    )
+    if small:
+        both = both.coalesce(8)
+    both = both.localCheckpoint(eager=True)
+    for h in _handles:
+        h.unpersist()
     base.unpersist()
-    uf = p.select(
+    uf = both.where(F.col("__side") == 0).select(
         F.col("__k").alias(user_col),
         F.col("__f1").alias("f1"),
         F.col("__f2").alias("f2"),
     )
-    itf = q.select(
+    itf = both.where(F.col("__side") == 1).select(
         F.col("__k").alias(item_col),
         F.col("__f1").alias("f1"),
         F.col("__f2").alias("f2"),
