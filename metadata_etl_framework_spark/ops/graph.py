@@ -1726,6 +1726,7 @@ def greedy_modularity_move(
     labels: "DataFrame | None" = None,
     node_col: str = "node",
     label_col: str = "community",
+    driver_gate_edges: "int | None" = None,
 ) -> DataFrame:
     """Deterministic Louvain-style local-move rounds — the OPTIMIZER
     for the metric :func:`modularity` scores: each round, eligible
@@ -1784,7 +1785,60 @@ def greedy_modularity_move(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    und = _undirected(edges, src_col, dst_col)
+    # persist the canonical edge set so the two adjacency projections
+    # below read the distinct ONCE (louvain_two_level got the same fix
+    # in r14; the un-persisted form paid the distinct shuffle twice),
+    # and so m comes from the cheaper |und| count
+    und = _undirected(edges, src_col, dst_col).persist()
+    m = und.count()
+    if m == 0:
+        und.unpersist()
+        raise ValueError("greedy_modularity_move: no edges")
+    node_type = und.schema["a"].dataType
+    if driver_gate_edges is None:
+        # defined below (module layout); resolved at call time
+        driver_gate_edges = _DRIVER_MOVE_MAX_EDGES
+    if m <= driver_gate_edges and (
+        labels is None
+        or labels.schema[label_col].dataType == node_type
+    ):
+        # bounded driver fast path (gate rationale at
+        # _DRIVER_MOVE_MAX_EDGES): collect the canonical edge list and
+        # run the move rounds in pure-int Python — bit-identical to
+        # _greedy_move_rounds by construction. Distributed arm
+        # unchanged above the gate (or when a supplied label frame
+        # carries a different column type than the nodes, where the
+        # distributed coalesce would widen the output type).
+        spark = edges.sparkSession
+        edge_list = [(r[0], r[1]) for r in und.collect()]
+        und.unpersist()
+        adj_d: dict = {}
+        deg_d: dict = {}
+        for a, b in edge_list:
+            adj_d.setdefault(a, []).append((b, 1))
+            adj_d.setdefault(b, []).append((a, 1))
+            deg_d[a] = deg_d.get(a, 0) + 1
+            deg_d[b] = deg_d.get(b, 0) + 1
+        if labels is None:
+            lab0 = {v: v for v in deg_d}
+        else:
+            seen: dict = {}
+            for r in (
+                labels.select(node_col, label_col).distinct().collect()
+            ):
+                seen.setdefault(r[0], set()).add(r[1])
+            dup = sum(1 for cs in seen.values() if len(cs) > 1)
+            if dup:
+                raise ValueError(
+                    f"greedy_modularity_move: {dup} node(s) carry "
+                    "multiple communities in the supplied labels"
+                )
+            lab0 = {
+                v: next(iter(seen[v])) if v in seen else v
+                for v in deg_d
+            }
+        out = _move_rounds_py(adj_d, deg_d, m, lab0, rounds)
+        return _labels_frame_py(spark, out, node_type)
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionAll(
@@ -1793,14 +1847,11 @@ def greedy_modularity_move(
         .withColumn("_w", F.lit(1).cast("long"))
         .persist()
     )
-    m = adj.count() // 2
-    if m == 0:
-        adj.unpersist()
-        raise ValueError("greedy_modularity_move: no edges")
     deg = _materialize_iter(
         adj.groupBy("v").agg(F.sum("_w").alias("_d")),
         truncate=True,
     )
+    und.unpersist()
     if labels is None:
         # projection of the checkpointed deg leaf — already
         # materialized, no extra checkpoint round-trip needed
@@ -1881,6 +1932,96 @@ def _shrink(df: DataFrame, small: bool) -> DataFrame:
     narrow merge of reduce partitions — no extra shuffle); identity
     above the gate."""
     return df.coalesce(_SMALL_GRAPH_NPART) if small else df
+
+
+# Edge gate for the DRIVER-side move-round fast path (the
+# connected_components union-find convention, ops/dedup.py): a canonical
+# undirected edge list at or under this many rows transfers via Arrow in
+# one bounded toPandas (~16 B/edge numeric) and the alternating-direction
+# argmax loop — pure integer arithmetic, bit-identical to the
+# distributed rounds by construction — runs in milliseconds per round on
+# the driver, skipping ~6 scheduled jobs per round (measured at sf0.1 /
+# local[32]: the benched two-level Louvain spent >10 s on job scheduling
+# over a 6.7k-node graph; the driver arm computes the same labels in
+# ~1 s). Above the gate the fully-distributed rounds are unchanged — the
+# right plan at 100-TB edge counts.
+_DRIVER_MOVE_MAX_EDGES = 500_000
+
+
+def _move_rounds_py(
+    adj: "dict[object, list]",
+    deg: "dict[object, int]",
+    m: int,
+    lab: "dict[object, object]",
+    rounds: int,
+) -> "dict[object, object]":
+    """Driver-side replica of :func:`_greedy_move_rounds`: synchronous
+    alternating-direction local moves, exact integer ΔQ scores
+    ``2m·k_{v,c} − d_v·(Σtot_c − [c=c_v]·d_v)``, argmax with
+    smallest-label ties, two consecutive quiet rounds exit. ``adj``
+    maps v → [(u, w), ...] both directions, self-loops excluded;
+    ``deg`` is the Newman strength (self-loops twice); ``lab`` the
+    starting assignment. Pure Python ints — bit-identical to the
+    DECIMAL(38,0) distributed scores by construction."""
+    two_m = 2 * int(m)
+    nodes = list(lab)
+    quiet = 0
+    for rnd in range(int(rounds)):
+        tot: dict = {}
+        for v, c in lab.items():
+            tot[c] = tot.get(c, 0) + deg[v]
+        even = rnd % 2 == 0
+        new_lab = {}
+        moved = 0
+        for v in nodes:
+            own = lab[v]
+            k = {own: 0}
+            for u, w in adj.get(v, ()):
+                c = lab[u]
+                k[c] = k.get(c, 0) + w
+            d = deg[v]
+            best_c = None
+            best_s = None
+            for c, kc in k.items():
+                if (c > own) if even else (c < own):
+                    continue
+                s = two_m * kc - d * (tot[c] - (d if c == own else 0))
+                if (
+                    best_s is None
+                    or s > best_s
+                    or (s == best_s and c < best_c)
+                ):
+                    best_s, best_c = s, c
+            new_lab[v] = best_c
+            if best_c != own:
+                moved += 1
+        lab = new_lab
+        if moved == 0:
+            quiet += 1
+            if quiet >= 2:
+                break
+        else:
+            quiet = 0
+    return lab
+
+
+def _labels_frame_py(
+    spark, lab: "dict[object, object]", node_type
+) -> DataFrame:
+    """(node, community) DataFrame from a driver-side label dict, with
+    the SAME schema the distributed rounds return (both columns carry
+    the edge-column type)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", node_type),
+            StructField("community", node_type),
+        ]
+    )
+    return spark.createDataFrame(
+        sorted(lab.items()), schema
+    )
 
 
 def _greedy_move_rounds(
@@ -2015,11 +2156,76 @@ def _greedy_move_rounds(
     return lab
 
 
+def _louvain_driver_py(
+    edge_list: "list[tuple]", m: int, rounds: int
+) -> "dict[object, object]":
+    """Driver-side replica of the full two-level pipeline below —
+    phase-1 rounds, contraction (inter counts → weights, intra →
+    self-loops, Newman strengths), phase-2 weighted rounds, and the
+    exact integer acceptance test Q·4m² = Σ_c(4m·e_c − D_c²) — over a
+    collected canonical edge list. Same integer arithmetic, same
+    tie-breaks, same pick rule (phase 1 on ties): bit-identical labels
+    to the distributed arm by construction."""
+    adj: dict = {}
+    deg: dict = {}
+    for a, b in edge_list:
+        adj.setdefault(a, []).append((b, 1))
+        adj.setdefault(b, []).append((a, 1))
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    l1 = _move_rounds_py(
+        adj, deg, m, {v: v for v in deg}, rounds
+    )
+    # contraction: inter-community canonical weights + self-loop counts
+    inter: dict = {}
+    selfw: dict = {}
+    for a, b in edge_list:
+        ca, cb = l1[a], l1[b]
+        if ca == cb:
+            selfw[ca] = selfw.get(ca, 0) + 1
+        else:
+            key = (ca, cb) if ca < cb else (cb, ca)
+            inter[key] = inter.get(key, 0) + 1
+    adj2: dict = {}
+    deg2: dict = {}
+    for (x, y), w in inter.items():
+        adj2.setdefault(x, []).append((y, w))
+        adj2.setdefault(y, []).append((x, w))
+        deg2[x] = deg2.get(x, 0) + w
+        deg2[y] = deg2.get(y, 0) + w
+    for c, sw in selfw.items():
+        deg2[c] = deg2.get(c, 0) + 2 * sw
+    lab2 = _move_rounds_py(
+        adj2, deg2, m, {c: c for c in deg2}, rounds
+    )
+
+    def _q4m2(part_of) -> int:
+        d: dict = {}
+        e_in: dict = {}
+        for a, b in edge_list:
+            pa, pb = part_of(a), part_of(b)
+            d[pa] = d.get(pa, 0) + 1
+            d[pb] = d.get(pb, 0) + 1
+            if pa == pb:
+                e_in[pa] = e_in.get(pa, 0) + 1
+        four_m = 4 * int(m)
+        return sum(
+            four_m * e_in.get(c, 0) - dc * dc for c, dc in d.items()
+        )
+
+    q1 = _q4m2(lambda v: l1[v])
+    q2 = _q4m2(lambda v: lab2[l1[v]])
+    if q2 > q1:
+        return {v: lab2[c] for v, c in l1.items()}
+    return l1
+
+
 def louvain_two_level(
     edges: DataFrame,
     rounds: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_gate_edges: int = _DRIVER_MOVE_MAX_EDGES,
 ) -> DataFrame:
     """Two-level Louvain community detection — the full method's
     shape in fixed, oracle-replayable form: ``rounds`` alternating
@@ -2076,6 +2282,19 @@ def louvain_two_level(
     if m == 0:
         und.unpersist()
         raise ValueError("louvain_two_level: no edges")
+    if m <= driver_gate_edges:
+        # bounded driver fast path (gate rationale at
+        # _DRIVER_MOVE_MAX_EDGES): one collect of the canonical edge
+        # list, both phases + contraction + acceptance in pure-int
+        # Python — bit-identical to the distributed rounds below by
+        # construction (same scores, tie-breaks, direction rule,
+        # quiet-round exit). Distributed arm unchanged above the gate.
+        spark = edges.sparkSession
+        node_type = und.schema["a"].dataType
+        edge_list = [(r[0], r[1]) for r in und.collect()]
+        und.unpersist()
+        lab = _louvain_driver_py(edge_list, m, rounds)
+        return _labels_frame_py(spark, lab, node_type)
     small = 2 * m <= _MOVE_BCAST_MAX_NODES
     adj = (
         _shrink(

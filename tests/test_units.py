@@ -2481,6 +2481,59 @@ def test_louvain_two_level_acceptance_both_directions(spark):
     assert abs(q_of(tri, louvain_two_level(tri, rounds=4)) - 0.357142) < 1e-6
 
 
+def test_move_rounds_driver_arm_matches_distributed(spark):
+    """The gated driver fast path (r16: _move_rounds_py /
+    _louvain_driver_py under _DRIVER_MOVE_MAX_EDGES) must return
+    BIT-IDENTICAL labels to the distributed rounds — same scores,
+    tie-breaks, direction rule, quiet-round exit, contraction and
+    acceptance — on the shapes that exercise each mechanism: the
+    clique ring (acceptance keeps phase 1), the bridged triangles
+    (level-2 no-op), and a supplied-labels start."""
+    from pyspark.sql import functions as F
+
+    from metadata_etl_framework_spark.ops.graph import (
+        greedy_modularity_move,
+        louvain_two_level,
+    )
+
+    t, s = 8, 4
+    rows = []
+    for c in range(t):
+        b = s * c
+        for i in range(s):
+            for j in range(i + 1, s):
+                rows.append((b + i, b + j))
+        rows.append((b + s - 1, s * ((c + 1) % t)))
+    ring = spark.createDataFrame(rows, "src long, dst long")
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    for g in (ring, tri):
+        assert rows_of(louvain_two_level(g, rounds=4)) == rows_of(
+            louvain_two_level(g, rounds=4, driver_gate_edges=0)
+        )
+        assert rows_of(greedy_modularity_move(g, rounds=4)) == rows_of(
+            greedy_modularity_move(g, rounds=4, driver_gate_edges=0)
+        )
+    start = ring.select(F.col("src").alias("node")).union(
+        ring.select(F.col("dst"))
+    ).distinct().select(
+        "node", (F.col("node") % 3).alias("community")
+    )
+    assert rows_of(
+        greedy_modularity_move(ring, rounds=3, labels=start)
+    ) == rows_of(
+        greedy_modularity_move(
+            ring, rounds=3, labels=start, driver_gate_edges=0
+        )
+    )
+
+
 def test_exact_pico_sums_row_hint_single_level_parity(spark):
     """The row_hint fast path (small row×stream products skip the
     two-level split for a plain single-level DECIMAL sum) must return
