@@ -1,0 +1,134 @@
+"""Exact driver-side replicas of the engine's pinned numeric kernels.
+
+The gated driver fast paths (the ``connected_components`` union-find /
+Louvain move-round convention: a bounded collect under a measured gate,
+the fully-distributed arm unchanged above it) must return results
+BIT-IDENTICAL to the distributed plans they replace. The distributed
+plans pin three numeric behaviors that a naive NumPy port would get
+wrong; this module centralizes their exact driver-side equivalents:
+
+1. ``spark_round`` — Spark's ``F.round(double, s)``: HALF_UP applied to
+   the SHORTEST decimal representation of the double
+   (``BigDecimal.valueOf(d).setScale(s, HALF_UP)``), where ties round
+   AWAY FROM ZERO. Python's ``repr`` produces the same shortest
+   round-trip digits as Java's ``Double.toString``, so
+   ``Decimal(repr(x)).quantize(1e-s, ROUND_HALF_UP)`` replicates it.
+2. ``round_half_up_int64`` — the vectorized form of
+   ``F.round(double_expr)`` (scale 0) used by the pico/deci fixed-point
+   sums. The fast path is ``sign · floor(|p| + 0.5)`` in float64; any
+   element whose fractional part sits within a few ulp of .5 (where the
+   binary +0.5 could disagree with the decimal HALF_UP) is re-done
+   through the exact scalar path. The band is rare in practice, so the
+   vector path keeps its speed while staying bit-exact.
+3. ``hash32_i64`` — the portable mix hash (ops/sketch.py::hash32) on
+   int64 arrays. Every intermediate fits int64: the clamp bounds
+   ``x < 2^31`` so ``x · 2654435761 < 2^62.4``, and the second multiply
+   takes a ``< 2^32`` operand to ``< 2^58.2``.
+
+Everything here is plain NumPy + ``decimal`` — no Spark imports — so
+the ops modules can unit-test the kernels against their distributed
+twins directly.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+__all__ = [
+    "spark_round",
+    "spark_round_f64",
+    "round_half_up_int64",
+    "hash32_i64",
+]
+
+_M31 = 2147483648  # 2^31
+_M32 = 4294967296  # 2^32
+_MULT_A = 2654435761
+_MULT_B = 73244475
+
+
+def spark_round(x: float, scale: int) -> float:
+    """Exact scalar replica of ``F.round(double_col, scale)``."""
+    if x is None or x != x:  # NULL / NaN flow through like Spark
+        return x
+    q = Decimal(1).scaleb(-int(scale))
+    return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+
+def _round0_exact(p: float) -> int:
+    """Scalar ``F.round(double_col)`` → integer, ties away from zero on
+    the shortest-decimal digits."""
+    return int(
+        Decimal(repr(float(p))).quantize(Decimal(1), ROUND_HALF_UP)
+    )
+
+
+def round_half_up_int64(p: "np.ndarray") -> "np.ndarray":
+    """Vectorized ``F.round(double_expr).cast('decimal(38,0)')`` for
+    |p| comfortably below 2^62: fast float64 path plus an exact
+    re-check of every element whose fractional part lies within a
+    few ulp of the .5 tie (see module docstring)."""
+    p = np.asarray(p, dtype=np.float64)
+    ap = np.abs(p)
+    if ap.size and float(np.max(ap)) >= 4.0e18:
+        raise ValueError("round_half_up_int64: |p| too large for int64")
+    fast = (np.sign(p) * np.floor(ap + 0.5)).astype(np.int64)
+    # |p| >= 2^52: spacing >= 1, the value is already integral (and
+    # the +0.5 could round up a whole step) — take it directly
+    big = ap >= 4503599627370496.0
+    if big.any():
+        fast[big] = p[big].astype(np.int64)
+    # boundary band: |frac(|p|) - 0.5| small relative to the float64
+    # spacing at this magnitude (plus an absolute floor) — only these
+    # can disagree with HALF_UP on the shortest-decimal digits
+    frac = ap - np.floor(ap)
+    band = np.maximum(8.0 * np.spacing(ap + 0.5), 1e-9)
+    risky = np.abs(frac - 0.5) <= band
+    if risky.any():
+        idx = np.nonzero(risky)[0]
+        vals = p[idx]
+        fast[idx] = [_round0_exact(float(v)) for v in vals]
+    return fast
+
+
+def spark_round_f64(x: "np.ndarray", scale: int) -> "np.ndarray":
+    """Vectorized :func:`spark_round` over a float64 array (NaN flows
+    through). Fast path: scale in binary, round half-away-from-zero,
+    divide back — exact because 10^scale and the integer result are
+    exactly representable and IEEE ops are correctly rounded. Any
+    element within a few ulp of the .5 tie (where the binary scaling
+    could disagree with HALF_UP on the shortest-decimal digits), or
+    too large for the binary fast path, is re-done through the exact
+    scalar path."""
+    x = np.asarray(x, dtype=np.float64)
+    s = float(10.0 ** int(scale))
+    p = x * s
+    ap = np.abs(p)
+    fast = np.sign(p) * np.floor(ap + 0.5)
+    frac = ap - np.floor(ap)
+    band = np.maximum(8.0 * np.spacing(ap + 0.5), 1e-9)
+    risky = (
+        (np.abs(frac - 0.5) <= band)
+        | (ap >= 4503599627370496.0)  # 2^52: binary path too coarse
+        | ~np.isfinite(p)
+    ) & ~np.isnan(x)
+    out = fast / s
+    nan_mask = np.isnan(x)
+    if nan_mask.any():
+        out[nan_mask] = np.nan
+    if risky.any():
+        idx = np.nonzero(risky)[0]
+        out[idx] = [spark_round(float(v), scale) for v in x[idx]]
+    return out
+
+
+def hash32_i64(v: "np.ndarray") -> "np.ndarray":
+    """Vectorized ops/sketch.py::hash32 over a non-negative int64
+    array (same clamp → multiply → xor-shift → multiply → xor-shift
+    ladder, every intermediate in int64)."""
+    x = np.asarray(v, dtype=np.int64) % _M31
+    h1 = (x * _MULT_A) % _M32
+    h2 = ((h1 ^ (h1 >> 16)) * _MULT_B) % _M32
+    return h2 ^ (h2 >> 16)

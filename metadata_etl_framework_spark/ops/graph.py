@@ -798,6 +798,7 @@ def random_walks(
     dst_col: str = "dst",
     seed: int = 1,
     max_walk_length: int = 20,
+    driver_gate_edges: "int | None" = None,
 ) -> DataFrame:
     """Deterministic uniform random walks over a directed edge list —
     the sampling primitive under DeepWalk/node2vec-style embeddings
@@ -877,6 +878,28 @@ def random_walks(
         # carries _SMALL_GRAPH_NPART partitions per arm; above it the
         # node-scale equi-join stands — the right plan at fact scale
         small = int(mins["n"]) <= _MOVE_BCAST_MAX_NODES
+        if driver_gate_edges is None:
+            driver_gate_edges = _MOVE_BCAST_MAX_NODES
+        if int(mins["n"]) <= driver_gate_edges:
+            # bounded driver fast path (the Louvain move-round
+            # convention): the adjacency table the broadcast arm would
+            # ship to every executor is instead collected ONCE (the
+            # same O(distinct-edges) bytes the broadcast pays), and
+            # the walk simulation — pure integer hash/modulo
+            # arithmetic per step — runs vectorized on the driver,
+            # bit-identical to the step joins by construction (same
+            # hash ladder, same sorted-neighbor indexing, same
+            # stop-on-dangling rule). The distributed step joins
+            # spent their time scheduling one join job per step over
+            # an O(nodes) frontier; above the gate they are unchanged
+            # — the right plan at fact scale.
+            rows = sorted(nbrs.collect(), key=lambda r: r[0])
+            return _walks_driver_py(
+                edges.sparkSession,
+                rows,
+                walk_length=int(walk_length),
+                seed=int(seed),
+            )
         walk_nbrs = _shrink(nbrs, small)
         join_nbrs = F.broadcast(walk_nbrs) if small else walk_nbrs
         # groupBy output is already one row per out-degree-positive
@@ -931,10 +954,172 @@ def random_walks(
     return out
 
 
+def _walks_driver_py(
+    spark, nbr_rows: "list", walk_length: int, seed: int
+) -> DataFrame:
+    """Driver-side replica of the :func:`random_walks` step joins over
+    a collected ``(_s, sorted-neighbor-array, _deg)`` adjacency list:
+    per step, the SAME portable hash of (cur, start, step, seed)
+    indexes the SAME sorted neighbor array; a walk whose current node
+    has no out-edges stops (no row at that step). Pure int64 NumPy —
+    bit-identical to the distributed arm by construction. Output rows
+    sorted by (start, step), schema (start long, step int, node
+    long)."""
+    import numpy as np
+
+    from .driver_exact import hash32_i64
+
+    node_ids = np.array([r[0] for r in nbr_rows], dtype=np.int64)
+    degs = np.array([r[2] for r in nbr_rows], dtype=np.int64)
+    offs = np.zeros(len(nbr_rows) + 1, dtype=np.int64)
+    np.cumsum(degs, out=offs[1:])
+    flat = (
+        np.concatenate(
+            [np.asarray(r[1], dtype=np.int64) for r in nbr_rows]
+        )
+        if nbr_rows
+        else np.empty(0, dtype=np.int64)
+    )
+    s_act = node_ids.copy()
+    c_act = node_ids.copy()
+    out_s = [s_act]
+    out_t = [np.zeros(len(s_act), dtype=np.int32)]
+    out_n = [c_act]
+    for t in range(1, walk_length + 1):
+        pos = np.searchsorted(node_ids, c_act)
+        pos_c = np.minimum(pos, max(len(node_ids) - 1, 0))
+        found = node_ids[pos_c] == c_act
+        s_act = s_act[found]
+        posf = pos_c[found]
+        c_prev = c_act[found]
+        if not len(s_act):
+            break
+        u = hash32_i64(
+            (c_prev % 2147483648) * 1000003
+            + (s_act % 65521) * 257
+            + (t + seed * 7919)
+        )
+        c_act = flat[offs[posf] + u % degs[posf]]
+        out_s.append(s_act)
+        out_t.append(np.full(len(s_act), t, dtype=np.int32))
+        out_n.append(c_act)
+    ss = np.concatenate(out_s)
+    tt = np.concatenate(out_t)
+    nn = np.concatenate(out_n)
+    order = np.lexsort((tt, ss))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "start": ss[order],
+            "step": tt[order].astype("int32"),
+            "node": nn[order],
+        }
+    )
+    out = spark.createDataFrame(
+        pdf, "start long, step int, node long"
+    )
+    # in-process handoff for a downstream driver arm
+    # (walk_cooccurrence): the SAME rows the frame carries, as arrays
+    out._graft_local_walks = (ss[order], tt[order], nn[order])
+    return out
+
+
+def _cooc_driver_py(
+    spark, walk_rows: "list | tuple", window: int
+) -> DataFrame:
+    """Driver-side replica of :func:`walk_cooccurrence` over a
+    collected (start, step, node) corpus: the same band self-join
+    semantics (same walk key, 1 ≤ Δstep ≤ window, differing nodes),
+    canonical (least, greatest) counts, slot totals, and the identical
+    double-op-order PMI — each value rounded with the engine's exact
+    HALF_UP-on-shortest-decimal rule (driver_exact.spark_round).
+    ``walk_rows`` is either a collected row list or the (start, step,
+    node) array triple handed through from the random_walks driver arm
+    (same rows either way). Output sorted (pmi desc, node_a, node_b),
+    schema (node_a long, node_b long, n_cooc long, pmi double)."""
+    import numpy as np
+
+    from .driver_exact import spark_round_f64
+
+    if isinstance(walk_rows, tuple):
+        w, st, nd = (
+            np.asarray(walk_rows[0], dtype=np.int64),
+            np.asarray(walk_rows[1], dtype=np.int64),
+            np.asarray(walk_rows[2], dtype=np.int64),
+        )
+    else:
+        w = np.array([r[0] for r in walk_rows], dtype=np.int64)
+        st = np.array([r[1] for r in walk_rows], dtype=np.int64)
+        nd = np.array([r[2] for r in walk_rows], dtype=np.int64)
+    order = np.lexsort((st, w))
+    w, st, nd = w[order], st[order], nd[order]
+    pa, pb = [], []
+    d = 1
+    while d < len(w):
+        same = w[:-d] == w[d:]
+        if not same.any():
+            break
+        ds = st[d:] - st[:-d]
+        inwin = same & (ds >= 1) & (ds <= int(window))
+        if not (same & (ds <= int(window))).any():
+            # steps sorted within a walk: every pair at a larger
+            # distance is at least this far apart — done
+            break
+        keep = inwin & (nd[:-d] != nd[d:])
+        if keep.any():
+            pa.append(nd[:-d][keep])
+            pb.append(nd[d:][keep])
+        d += 1
+    if not pa:
+        return spark.createDataFrame(
+            [], "node_a long, node_b long, n_cooc long, pmi double"
+        )
+    x = np.concatenate(pa)
+    y = np.concatenate(pb)
+    a = np.minimum(x, y)
+    b = np.maximum(x, y)
+    uniq, n = np.unique(np.stack([a, b], axis=1), axis=0,
+                        return_counts=True)
+    ua, ub = uniq[:, 0], uniq[:, 1]
+    # slot totals: each pair's count lands on both of its nodes
+    slot_ids, inv = np.unique(np.concatenate([ua, ub]),
+                              return_inverse=True)
+    cn = np.zeros(len(slot_ids), dtype=np.int64)
+    np.add.at(cn, inv, np.concatenate([n, n]))
+    ca = cn[inv[: len(ua)]].astype(np.float64)
+    cb = cn[inv[len(ua):]].astype(np.float64)
+    t = np.float64(int(n.sum()))
+    num = n.astype(np.float64) / t
+    den = (ca / (2.0 * t)) * (cb / (2.0 * t))
+    raw = np.log(num / den)
+    pmi = spark_round_f64(raw, 6)
+    srt = np.lexsort((ub, ua, -pmi))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "node_a": ua[srt],
+            "node_b": ub[srt],
+            "n_cooc": n[srt],
+            "pmi": pmi[srt],
+        }
+    )
+    out = spark.createDataFrame(
+        pdf, "node_a long, node_b long, n_cooc long, pmi double"
+    )
+    # in-process handoff for a downstream driver arm (pmi_embeddings):
+    # the SAME rows the frame carries, as arrays — consuming them skips
+    # one collect round-trip, nothing more
+    out._graft_local_pmi = (ua[srt], ub[srt], n[srt], pmi[srt])
+    return out
+
+
 def walk_cooccurrence(
     walks: DataFrame,
     window: int = 2,
     max_window: int = 10,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """Skip-gram co-occurrence + PMI over a :func:`random_walks`
     corpus — the DeepWalk recipe's counting half: nodes appearing
@@ -959,6 +1144,16 @@ def walk_cooccurrence(
             f"window={window} outside [1, {max_window}] — the band "
             f"self-join fans out linearly in window"
         )
+    local = getattr(walks, "_graft_local_walks", None)
+    if local is not None and len(local[0]) <= (
+        _MOVE_BCAST_MAX_NODES
+        if driver_gate_rows is None
+        else driver_gate_rows
+    ):
+        # the corpus came from the random_walks driver arm: consume
+        # its arrays directly (identical rows) instead of collecting
+        # the local frame back off the session
+        return _cooc_driver_py(walks.sparkSession, local, int(window))
     a = walks.select(
         F.col("start").alias("_w"),
         F.col("step").alias("_sa"),
@@ -975,7 +1170,23 @@ def walk_cooccurrence(
     # streams the leaf with NO exchange, so the whole pair expansion
     # is map-side + one groupBy shuffle (guide §3.1); above the gate
     # the equi-shuffle self-join stands
-    corpus_small = walks.count() <= _MOVE_BCAST_MAX_NODES
+    n_corpus = walks.count()
+    if driver_gate_rows is None:
+        driver_gate_rows = _MOVE_BCAST_MAX_NODES
+    if n_corpus <= driver_gate_rows:
+        # bounded driver fast path (the random_walks convention): the
+        # corpus the broadcast arm would ship whole to every executor
+        # is collected once, and the band pairing + integer counting +
+        # closed-form PMI run vectorized on the driver — bit-identical
+        # to the self-join by construction (same band predicate,
+        # canonical counts, double op order, exact HALF_UP rounding).
+        # Above the gate the equi-shuffle self-join is unchanged.
+        return _cooc_driver_py(
+            walks.sparkSession,
+            walks.select("start", "step", "node").collect(),
+            int(window),
+        )
+    corpus_small = n_corpus <= _MOVE_BCAST_MAX_NODES
     if corpus_small:
         a = F.broadcast(a)
     pairs = (
@@ -1091,7 +1302,53 @@ def pmi_embeddings(
     absorbs single-pico divergences cascading from the half-round
     roundings.
     """
-    from metadata_etl_framework_spark.ops.recsys import als_factorize
+    from metadata_etl_framework_spark.ops.recsys import (
+        ALS_DRIVER_MAX_ROWS,
+        als_factorize,
+    )
+
+    local = getattr(pmi_pairs, "_graft_local_pmi", None)
+    if local is not None and (node_a_col, node_b_col, pmi_col) == (
+        "node_a",
+        "node_b",
+        "pmi",
+    ):
+        # the pair table came from the walk_cooccurrence driver arm:
+        # build the symmetrized PPMI ratings from its arrays directly
+        # (identical rows to the select/union below) and run the ALS
+        # driver core, skipping one collect round-trip. Engages only
+        # under the ALS driver gate; above it the regular path stands.
+        import numpy as np
+
+        ua, ub, _n, pmiv = local
+        mask = pmiv > 0
+        n_sym = 2 * int(mask.sum())
+        if n_sym <= ALS_DRIVER_MAX_ROWS:
+            from metadata_etl_framework_spark.ops.driver_exact import (
+                spark_round_f64,
+            )
+            from metadata_etl_framework_spark.ops.recsys import (
+                _als_driver_core,
+            )
+
+            node = np.concatenate([ua[mask], ub[mask]])
+            ctx = np.concatenate([ub[mask], ua[mask]])
+            rv = np.concatenate([pmiv[mask], pmiv[mask]])
+            uu, f1, f2, _itu, _q1, _q2 = _als_driver_core(
+                node, ctx, rv, int(rounds), float(reg)
+            )
+            import pandas as pd
+
+            rf1 = spark_round_f64(f1, int(out_dp))
+            rf2 = spark_round_f64(f2, int(out_dp))
+            pdf = pd.DataFrame({"node": uu, "f1": rf1, "f2": rf2})
+            for c in ("f1", "f2"):
+                pdf[c] = (
+                    pdf[c].astype(object).where(pdf[c].notna(), None)
+                )
+            return pmi_pairs.sparkSession.createDataFrame(
+                pdf, "node long, f1 double, f2 double"
+            )
 
     pos = pmi_pairs.where(F.col(pmi_col) > 0)
     sym = pos.select(

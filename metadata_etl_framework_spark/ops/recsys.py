@@ -274,6 +274,151 @@ def recommend_items(
     )
 
 
+def _als_driver_py(
+    spark,
+    rows: "list",
+    u_type,
+    it_type,
+    user_col: str,
+    item_col: str,
+    rounds: int,
+    reg: float,
+) -> "tuple[DataFrame, DataFrame]":
+    """Driver-side replica of the :func:`als_factorize` half-rounds
+    over collected ``(__u, __it, __r)`` ratings: same portable-hash
+    item init, same per-row pico products (the double multiply THEN
+    the exact HALF_UP integer round — driver_exact.round_half_up_int64
+    replicates ``F.round(e·1e12)`` bit-for-bit), exact integer group
+    sums, the same double-cast closed-form adjugate solve, and the
+    same 12-dp HALF_UP coefficient rounding between halves
+    (driver_exact.spark_round). NULL-factor rows drop out of every
+    sum exactly as Spark's null-skipping aggregates drop them; a key
+    with no surviving rows solves to NULL factors like the
+    ``F.when(det != 0)`` guard. Bit-identical by construction."""
+    import numpy as np
+
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    it = np.array([r[1] for r in rows], dtype=np.int64)
+    rr = np.array([r[2] for r in rows], dtype=np.float64)
+    uu, pf1, pf2, itu, qf1, qf2 = _als_driver_core(
+        u, it, rr, rounds, reg
+    )
+
+    import pandas as pd
+
+    def _frame(keys, f1, f2, name, ktype):
+        pdf = pd.DataFrame(
+            {name: keys, "f1": f1, "f2": f2}
+        )
+        # NaN marks NULL factors for the createDataFrame path
+        pdf["f1"] = pdf["f1"].astype(object).where(pdf["f1"].notna(), None)
+        pdf["f2"] = pdf["f2"].astype(object).where(pdf["f2"].notna(), None)
+        return spark.createDataFrame(
+            pdf,
+            f"{name} {ktype.simpleString()}, f1 double, f2 double",
+        )
+
+    return (
+        _frame(uu, pf1, pf2, user_col, u_type),
+        _frame(itu, qf1, qf2, item_col, it_type),
+    )
+
+
+def _als_driver_core(
+    u: "object",
+    it: "object",
+    rr: "object",
+    rounds: int,
+    reg: float,
+) -> "tuple":
+    """Array core of :func:`_als_driver_py` (int64 keys, float64
+    ratings): returns (user_keys, uf1, uf2, item_keys, if1, if2) with
+    NaN marking NULL factors."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        hash32_i64,
+        round_half_up_int64,
+        spark_round_f64,
+    )
+
+    uu, ui = np.unique(u, return_inverse=True)
+    itu, iti = np.unique(it, return_inverse=True)
+
+    def _init_side(keys: "np.ndarray") -> "tuple":
+        h1 = hash32_i64(keys).astype(np.float64)
+        h2 = hash32_i64(keys + 7919).astype(np.float64)
+        f1 = spark_round_f64(h1 / 4294967296.0 - 0.5, 12)
+        f2 = spark_round_f64(h2 / 4294967296.0 - 0.5, 12)
+        return f1, f2
+
+    qf1, qf2 = _init_side(itu)
+    from decimal import Decimal
+
+    reg_pico = int(
+        Decimal(repr(float(reg))).scaleb(12).to_integral_value()
+    )
+
+    def _half(gidx, n_groups, of1, of2, oidx):
+        # factor gather for each rating row's other-side key
+        f1 = of1[oidx]
+        f2 = of2[oidx]
+        ok = ~(np.isnan(f1) | np.isnan(f2))
+        g = gidx[ok]
+        f1k, f2k, rk = f1[ok], f2[ok], rr[ok]
+        sums = np.zeros((5, n_groups), dtype=np.int64)
+        prods = (f1k * f1k, f1k * f2k, f2k * f2k, rk * f1k, rk * f2k)
+        for i, pvals in enumerate(prods):
+            v = round_half_up_int64(pvals * 1e12)
+            # int64 accumulation is exact only while partial sums fit;
+            # the bound below guarantees it for this group shape
+            if len(v) and int(np.max(np.abs(v))) * len(v) >= (1 << 62):
+                acc = {}
+                for gi, vi in zip(g.tolist(), v.tolist()):
+                    acc[gi] = acc.get(gi, 0) + vi
+                for gi, vi in acc.items():
+                    sums[i, gi] = vi
+            else:
+                np.add.at(sums[i], g, v)
+        cnt = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(cnt, g, 1)
+        a11 = (sums[0] + reg_pico).astype(np.float64)
+        a12 = sums[1].astype(np.float64)
+        a22 = (sums[2] + reg_pico).astype(np.float64)
+        b1 = sums[3].astype(np.float64)
+        b2 = sums[4].astype(np.float64)
+        det = a11 * a22 - a12 * a12
+        nf1 = np.full(n_groups, np.nan)
+        nf2 = np.full(n_groups, np.nan)
+        live = (cnt > 0) & (det != 0)
+        d = det[live]
+        nf1[live] = spark_round_f64(
+            (a22[live] * b1[live] - a12[live] * b2[live]) / d, 12
+        )
+        nf2[live] = spark_round_f64(
+            (a11[live] * b2[live] - a12[live] * b1[live]) / d, 12
+        )
+        return nf1, nf2
+
+    pf1 = pf2 = None
+    for _ in range(int(rounds)):
+        pf1, pf2 = _half(ui, len(uu), qf1, qf2, iti)
+        qf1, qf2 = _half(iti, len(itu), pf1, pf2, ui)
+    return uu, pf1, pf2, itu, qf1, qf2
+
+
+# Driver gate for the ALS fast path: a ratings table at or under this
+# many rows transfers in one bounded collect (three numeric columns)
+# and the four half-rounds run vectorized on the driver in well under
+# a second, versus ~7 s of broadcast-build + shuffle jobs for the
+# distributed halves at the benched scale. Deliberately TIGHTER than
+# BCAST_MAX_ROWS: the collect is O(ratings), not O(keys), so the gate
+# bounds driver transfer, not just broadcast size. Above it the
+# distributed half-rounds are unchanged — the right plan at fact
+# scale.
+ALS_DRIVER_MAX_ROWS = 500_000
+
+
 def als_factorize(
     df: DataFrame,
     user_col: str,
@@ -281,6 +426,7 @@ def als_factorize(
     rating_col: str,
     rounds: int = 2,
     reg: float = 0.1,
+    driver_gate_rows: "int | None" = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """ALS matrix factorization at rank 2 — implicit/explicit-feedback
     factors beyond the item-item CF above (the reference's analytics
@@ -332,6 +478,34 @@ def als_factorize(
     )
     base = base.persist()
     n_ratings = base.count()
+
+    if driver_gate_rows is None:
+        driver_gate_rows = ALS_DRIVER_MAX_ROWS
+    from pyspark.sql.types import IntegralType
+
+    u_type = df.schema[user_col].dataType
+    it_type = df.schema[item_col].dataType
+    if (
+        n_ratings <= driver_gate_rows
+        and isinstance(u_type, IntegralType)
+        and isinstance(it_type, IntegralType)
+    ):
+        # bounded driver fast path (gate rationale at
+        # ALS_DRIVER_MAX_ROWS); non-integral key columns stay on the
+        # distributed arm (the portable-hash init is defined on
+        # integer keys and the replica's arrays are int64)
+        rows = base.collect()
+        base.unpersist()
+        return _als_driver_py(
+            df.sparkSession,
+            rows,
+            u_type,
+            it_type,
+            user_col,
+            item_col,
+            int(rounds),
+            float(reg),
+        )
 
     # half-round materialization is a bare persist (no count, no
     # checkpoint): the next half's broadcast build populates the cache

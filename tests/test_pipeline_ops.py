@@ -1134,3 +1134,69 @@ def test_walk_cooccurrence_window_gate(spark):
     )
     with _pt.raises(ValueError, match="window"):
         walk_cooccurrence(walks, window=0)
+
+
+def test_walk_pmi_als_driver_arms_match_distributed(spark):
+    """The r16 gated driver fast paths (random_walks adjacency sim,
+    walk_cooccurrence band counting, als_factorize half-rounds, and the
+    in-process array handoffs between them) must return BIT-IDENTICAL
+    rows to the distributed arms — same hash ladder, band predicate,
+    pico rounding, solve order, and HALF_UP rounds — on a random graph
+    with dangling nodes, a duplicate-step corpus, and a ratings table
+    with negative values."""
+    import random
+
+    from metadata_etl_framework_spark.ops.graph import (
+        pmi_embeddings,
+        random_walks,
+        walk_cooccurrence,
+    )
+    from metadata_etl_framework_spark.ops.recsys import als_factorize
+
+    random.seed(11)
+    edges = [
+        (random.randrange(60), random.randrange(75)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def rows_of(d):
+        return sorted(map(tuple, d.collect()))
+
+    w_drv = random_walks(df, walk_length=5, seed=3)
+    w_dst = random_walks(df, walk_length=5, seed=3, driver_gate_edges=0)
+    assert rows_of(w_drv) == rows_of(w_dst)
+
+    c_drv = walk_cooccurrence(w_drv, window=2)  # array handoff path
+    c_col = walk_cooccurrence(w_dst, window=2)  # collect path
+    c_dst = walk_cooccurrence(w_dst, window=2, driver_gate_rows=0)
+    assert rows_of(c_drv) == rows_of(c_dst) == rows_of(c_col)
+
+    e_drv = pmi_embeddings(c_drv, rounds=2, reg=0.1)  # handoff ALS
+    e_dst = pmi_embeddings(c_dst, rounds=2, reg=0.1)  # gated collect ALS
+    assert rows_of(e_drv) == rows_of(e_dst)
+
+    # duplicate-step general corpus through both cooc arms
+    wdup = spark.createDataFrame(
+        [(1, 0, 5), (1, 0, 6), (1, 1, 7), (1, 3, 5),
+         (2, 0, 9), (2, 2, 9), (2, 2, 8), (2, 3, 1)],
+        "start long, step int, node long",
+    )
+    assert rows_of(walk_cooccurrence(wdup, window=2)) == rows_of(
+        walk_cooccurrence(wdup, window=2, driver_gate_rows=0)
+    )
+
+    # ALS arms on a ratings table with negative ratings + int keys
+    rows = [
+        (random.randrange(25), random.randrange(20),
+         round(random.uniform(-3, 8), 3))
+        for _ in range(300)
+    ]
+    rdf = spark.createDataFrame(rows, "u int, i int, r double")
+    for gate in (None, 0):
+        uf, itf = als_factorize(
+            rdf, "u", "i", "r", rounds=2, reg=0.1, driver_gate_rows=gate
+        )
+        if gate is None:
+            a = (rows_of(uf), rows_of(itf))
+        else:
+            assert (rows_of(uf), rows_of(itf)) == a
