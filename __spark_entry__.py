@@ -904,9 +904,19 @@ def _graph_pagerank_suppliers(spark, sf_dir):
     )
     c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # both directions via ONE explode instead of a self-union: a union
+    # of two projections of the same aggregate executes the fact join
+    # + groupBy twice; the exploded pair array emits the identical row
+    # multiset in a single pass (guide §2.4 — the _pmi_pair_corpus
+    # convention)
     edges = pair.select(
-        c.alias("src"), s.alias("dst"), F.col("n")
-    ).unionAll(pair.select(s.alias("src"), c.alias("dst"), F.col("n")))
+        F.explode(
+            F.array(
+                F.struct(c.alias("src"), s.alias("dst"), F.col("n")),
+                F.struct(s.alias("src"), c.alias("dst"), F.col("n")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.n")
     return pagerank(
         edges, iterations=3, damping=0.85, weight_col="n",
         checkpoint_every=3,
@@ -932,9 +942,15 @@ def _graph_ppr_customers(spark, sf_dir):
     )
     c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # one explode, not a self-union (see _graph_pagerank_suppliers)
     edges = pair.select(
-        c.alias("src"), s.alias("dst"), F.col("n")
-    ).unionAll(pair.select(s.alias("src"), c.alias("dst"), F.col("n")))
+        F.explode(
+            F.array(
+                F.struct(c.alias("src"), s.alias("dst"), F.col("n")),
+                F.struct(s.alias("src"), c.alias("dst"), F.col("n")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.n")
     return pagerank(
         edges, iterations=3, damping=0.85, weight_col="n",
         checkpoint_every=3, seed_nodes=_PPR_SEEDS,
@@ -999,11 +1015,23 @@ def _graph_pagerank_parts(spark, sf_dir):
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # one explode, not a self-union (see _graph_pagerank_suppliers)
     edges = pair.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "n"
-    ).unionAll(
-        pair.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("n"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("n"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.n")
     return pagerank(
         edges, iterations=3, damping=0.85, weight_col="n",
         checkpoint_every=3,

@@ -40,6 +40,8 @@ __all__ = [
     "spark_round",
     "spark_round_f64",
     "round_half_up_int64",
+    "cast_decimal_i64",
+    "scaled_i64_to_f64",
     "hash32_i64",
 ]
 
@@ -91,6 +93,58 @@ def round_half_up_int64(p: "np.ndarray") -> "np.ndarray":
         vals = p[idx]
         fast[idx] = [_round0_exact(float(v)) for v in vals]
     return fast
+
+
+def cast_decimal_i64(x: "np.ndarray", scale: int) -> "tuple":
+    """Vectorized ``double_col.cast(decimal(p, scale))`` as scaled
+    int64 units plus a validity mask (NaN/inf → null, like Spark's
+    pre-ANSI null-flow cast the engine pins). Spark's cast applies
+    HALF_UP to the SHORTEST decimal digits of x scaled by 10^scale —
+    an exact decimal operation — so the binary fast path re-checks
+    every element near a .5 tie through the exact scalar path, which
+    scales the Decimal digits directly."""
+    x = np.asarray(x, dtype=np.float64)
+    ok = np.isfinite(x)
+    s = float(10.0 ** int(scale))
+    p = np.where(ok, x, 0.0) * s
+    ap = np.abs(p)
+    if ap.size and float(np.max(ap)) >= 4.0e18:
+        raise ValueError("cast_decimal_i64: |x·10^s| too large")
+    fast = (np.sign(p) * np.floor(ap + 0.5)).astype(np.int64)
+    frac = ap - np.floor(ap)
+    band = np.maximum(8.0 * np.spacing(ap + 0.5), 1e-9)
+    risky = ok & (
+        (np.abs(frac - 0.5) <= band) | (ap >= 4503599627370496.0)
+    )
+    if risky.any():
+        idx = np.nonzero(risky)[0]
+        fast[idx] = [
+            int(
+                Decimal(repr(float(v)))
+                .scaleb(int(scale))
+                .quantize(Decimal(1), ROUND_HALF_UP)
+            )
+            for v in x[idx]
+        ]
+    return fast, ok
+
+
+def scaled_i64_to_f64(ints: "np.ndarray", scale: int) -> "np.ndarray":
+    """Exact ``decimal(p, scale) → double`` of scaled-int64 units:
+    the correctly-rounded value of i·10^-scale. For |i| < 2^53 the
+    int64→float64 conversion is exact and the single division is
+    correctly rounded; larger magnitudes go through Decimal."""
+    ints = np.asarray(ints, dtype=np.int64)
+    s = float(10.0 ** int(scale))
+    out = ints.astype(np.float64) / s
+    big = np.abs(ints) >= 9007199254740992  # 2^53
+    if big.any():
+        idx = np.nonzero(big)[0]
+        out[idx] = [
+            float(Decimal(int(v)).scaleb(-int(scale)))
+            for v in ints[idx]
+        ]
+    return out
 
 
 def spark_round_f64(x: "np.ndarray", scale: int) -> "np.ndarray":

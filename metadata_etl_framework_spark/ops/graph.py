@@ -104,6 +104,7 @@ def pagerank(
     seed_nodes: "Sequence[str] | None" = None,
     redistribute_dangling: bool = False,
     tol: float | None = None,
+    driver_gate_edges: "int | None" = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -158,6 +159,10 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    if seed_nodes is not None and not sorted(set(seed_nodes)):
+        raise ValueError("seed_nodes must be non-empty when given")
     w = (
         F.col(weight_col).cast("double")
         if weight_col
@@ -170,6 +175,45 @@ def pagerank(
         F.col(dst_col).alias("_dst"),
         w.alias("_w"),
     )
+    # the edge projection feeds FOUR distinct subtrees below (node
+    # set, out-weights, the annotated edge join, the dangling
+    # anti-join) — persisting it executes the caller's edge lineage
+    # (often a join + groupBy, or a union that runs that join twice)
+    # exactly once instead of once per subtree
+    e0 = e0.persist()
+    n_edges = e0.count()
+    if n_edges == 0:
+        e0.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
+    if driver_gate_edges is None:
+        driver_gate_edges = _MOVE_BCAST_MAX_NODES
+    if n_edges <= driver_gate_edges:
+        # bounded driver fast path (the Louvain move-round
+        # convention): one transfer of the filtered edge rows, then
+        # the iterations — per-edge double contributions, the exact
+        # fixed-point casts and order-free decimal sums, the dangling
+        # mass, personalization, and the tol probe — run vectorized on
+        # the driver, bit-identical to the distributed loop by
+        # construction (driver_exact kernels replicate every pinned
+        # cast/round). The distributed loop below is unchanged above
+        # the gate — the right plan at fact scale.
+        try:
+            pdf = e0.toPandas()
+        finally:
+            e0.unpersist()
+        return _pagerank_driver_py(
+            edges.sparkSession,
+            pdf,
+            edges.schema[src_col].dataType,
+            iterations=int(iterations),
+            damping=float(damping),
+            checkpoint_every=int(checkpoint_every),
+            seed_nodes=seed_nodes,
+            redistribute_dangling=bool(redistribute_dangling),
+            tol=tol,
+        )
     nodes = (
         e0.select(F.col("_src").alias("node"))
         .union(e0.select(F.col("_dst").alias("node")))
@@ -177,11 +221,6 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    if n == 0:
-        nodes.unpersist()
-        return edges.sparkSession.createDataFrame(
-            [], "node string, rank double"
-        )
     ow = e0.groupBy("_src").agg(
         F.sum(F.col("_w").cast("decimal(30,10)"))
         .cast("double")
@@ -199,6 +238,7 @@ def pagerank(
             "left_anti",
         ).persist()
         dangling.count()
+    e0.unpersist()
 
     # both constants computed DRIVER-side in IEEE doubles so an external
     # SQL oracle computing (1−d)/N and 1/N in its own double arithmetic
@@ -337,6 +377,137 @@ def pagerank(
     if dangling is not None:
         dangling.unpersist()
     return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_driver_py(
+    spark,
+    pdf,
+    node_type,
+    iterations: int,
+    damping: float,
+    checkpoint_every: int,
+    seed_nodes,
+    redistribute_dangling: bool,
+    tol,
+) -> DataFrame:
+    """Driver-side replica of the :func:`pagerank` loop over collected
+    ``(_src, _dst, _w)`` edge rows (pandas frame; None weights arrive
+    as NaN and null-flow out of the sums exactly like Spark's
+    null-skipping aggregates). Every pinned numeric behavior is
+    replicated through the driver_exact kernels: the decimal(30,10)
+    out-weight cast + exact sum + double cast, the decimal(28,12)
+    per-edge contribution fixed point, the decimal(38,12) dangling
+    mass and tol-delta sums, the same IEEE expression order for the
+    rank update, and the final 6-dp HALF_UP round. Bit-identical to
+    the distributed loop by construction."""
+    import numpy as np
+    import pandas as pd
+
+    from .driver_exact import (
+        cast_decimal_i64,
+        scaled_i64_to_f64,
+        spark_round_f64,
+    )
+
+    allv = pd.concat(
+        [pdf["_src"], pdf["_dst"]], ignore_index=True
+    )
+    codes, uniques = pd.factorize(allv)
+    m = len(pdf)
+    scode = codes[:m]
+    dcode = codes[m:]
+    n = len(uniques)
+    wv = pdf["_w"].to_numpy(dtype=np.float64)
+
+    def _exact_sum(code, vals, scale, size):
+        """Order-free decimal sum of vals cast to decimal(·, scale),
+        grouped by code; returns (double values, has-any-row mask)."""
+        ints, ok = cast_decimal_i64(vals, scale)
+        ints = ints[ok]
+        c = code[ok]
+        acc = np.zeros(size, dtype=np.int64)
+        if len(ints) and int(np.max(np.abs(ints))) * len(ints) >= (
+            1 << 62
+        ):
+            accd: dict = {}
+            for ci, vi in zip(c.tolist(), ints.tolist()):
+                accd[ci] = accd.get(ci, 0) + vi
+            out = np.zeros(size, dtype=np.float64)
+            got = np.zeros(size, dtype=bool)
+            from decimal import Decimal
+
+            for ci, vi in accd.items():
+                out[ci] = float(Decimal(vi).scaleb(-scale))
+                got[ci] = True
+            return out, got
+        np.add.at(acc, c, ints)
+        got = np.zeros(size, dtype=bool)
+        got[c] = True
+        return scaled_i64_to_f64(acc, scale), got
+
+    # out-weights: decimal(30,10)-cast sum per src, like the groupBy
+    ow, ow_ok = _exact_sum(scode, wv, 10, n)
+    if seed_nodes is not None:
+        seeds = sorted(set(seed_nodes))
+        is_seed = pd.Series(uniques).isin(list(seeds)).to_numpy()
+        base = np.where(is_seed, (1.0 - damping) / len(seeds), 0.0)
+        init = np.where(is_seed, 1.0 / len(seeds), 0.0)
+        redist = np.where(is_seed, 1.0 / len(seeds), 0.0)
+    else:
+        base = np.full(n, (1.0 - damping) / n)
+        init = np.full(n, 1.0 / n)
+        redist = np.full(n, 1.0 / n)
+    has_out = np.zeros(n, dtype=bool)
+    has_out[scode] = True
+    rank = init.copy()
+    last_kept = rank
+    if redistribute_dangling:
+        checkpoint_every = min(checkpoint_every, 3)
+    dang = ~has_out
+    # per-edge gather indices stay fixed; the contribution term
+    # follows the exact Spark expression: (rank·w)/ow in doubles,
+    # cast decimal(28,12), summed, cast double; missing groups stay
+    # NULL → coalesce 0.0
+    for i in range(iterations):
+        t = (rank[scode] * wv) / np.where(ow_ok, ow, np.nan)[scode]
+        s, s_ok = _exact_sum(dcode, t, 12, n)
+        s = np.where(s_ok, s, 0.0)
+        if redistribute_dangling:
+            if dang.any():
+                dints, dok = cast_decimal_i64(rank[dang], 12)
+                tot = int(dints[dok].sum())
+                from decimal import Decimal
+
+                dm = float(Decimal(tot).scaleb(-12))
+            else:
+                dm = 0.0
+            rank = base + damping * (s + dm * redist)
+        else:
+            rank = base + damping * s
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            converged = False
+            if tol is not None and i < iterations - 1:
+                vints, vok = cast_decimal_i64(
+                    np.abs(rank - last_kept), 12
+                )
+                from decimal import Decimal
+
+                delta = float(
+                    Decimal(int(vints[vok].sum())).scaleb(-12)
+                )
+                converged = delta < float(tol)
+            last_kept = rank
+            if converged:
+                break
+    out = pd.DataFrame(
+        {
+            "node": uniques,
+            "rank": spark_round_f64(rank, 6),
+        }
+    )
+    return spark.createDataFrame(
+        out, f"node {node_type.simpleString()}, rank double"
+    )
 
 
 def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:

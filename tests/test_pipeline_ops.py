@@ -1200,3 +1200,53 @@ def test_walk_pmi_als_driver_arms_match_distributed(spark):
             a = (rows_of(uf), rows_of(itf))
         else:
             assert (rows_of(uf), rows_of(itf)) == a
+
+
+def test_pagerank_driver_arm_matches_distributed(spark):
+    """The r16 gated pagerank driver fast path must return
+    BIT-IDENTICAL rows to the distributed loop across every variant:
+    weighted, dangling-redistributing, personalized, tol-converging,
+    null weights, and string/long node ids."""
+    import random
+
+    from metadata_etl_framework_spark.ops.graph import pagerank
+
+    random.seed(17)
+    rows = [
+        (f"n{random.randrange(50)}", f"n{random.randrange(70)}",
+         random.randrange(1, 9))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, n long")
+
+    def rows_of(d):
+        return sorted(map(tuple, d.collect()))
+
+    cases = [
+        dict(iterations=3, weight_col="n", checkpoint_every=3),
+        dict(iterations=4, weight_col="n", checkpoint_every=3,
+             redistribute_dangling=True),
+        dict(iterations=3, weight_col="n", checkpoint_every=3,
+             seed_nodes=["n1", "n2", "n3"]),
+        dict(iterations=6, checkpoint_every=2, tol=1e-3),
+        dict(iterations=5, damping=0.9, weight_col="n",
+             checkpoint_every=1, redistribute_dangling=True,
+             seed_nodes=["n1", "n5"], tol=1e-4),
+    ]
+    for kw in cases:
+        assert rows_of(pagerank(df, **kw)) == rows_of(
+            pagerank(df, driver_gate_edges=0, **kw)
+        )
+    rows2 = [
+        (random.randrange(30), random.randrange(40),
+         random.choice([None, 1, 3]))
+        for _ in range(250)
+    ]
+    df2 = spark.createDataFrame(rows2, "src long, dst long, n int")
+    assert rows_of(
+        pagerank(df2, iterations=3, weight_col="n",
+                 redistribute_dangling=True)
+    ) == rows_of(
+        pagerank(df2, iterations=3, weight_col="n",
+                 redistribute_dangling=True, driver_gate_edges=0)
+    )
