@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType
 
 from metadata_etl_framework_spark.ops.materialize import BCAST_MAX_ROWS
 
@@ -709,12 +710,59 @@ def neighborhood_jaccard(
     return out
 
 
+def _label_prop_driver_py(
+    spark, edge_rows: "list", iterations: int, node_type
+) -> DataFrame:
+    """Driver-side replica of :func:`label_propagation` over the
+    collected canonical undirected edge list: synchronous rounds of
+    the most-frequent-neighbor/min-tie update in pure integer NumPy —
+    bit-identical to the distributed rounds by construction (the op
+    has no floating point). Output (node, label), node type
+    preserved."""
+    import numpy as np
+    import pandas as pd
+
+    if edge_rows:
+        a = np.array([r[0] for r in edge_rows], dtype=np.int64)
+        b = np.array([r[1] for r in edge_rows], dtype=np.int64)
+        srcs = np.concatenate([a, b])
+        dsts = np.concatenate([b, a])
+    else:
+        srcs = dsts = np.empty(0, dtype=np.int64)
+    uniq, inv = np.unique(
+        np.concatenate([srcs, dsts]), return_inverse=True
+    )
+    n = len(uniq)
+    si = inv[: len(srcs)]
+    di = inv[len(srcs):]
+    lab = uniq.copy()  # label VALUES (node ids), indexed by node idx
+    for _ in range(int(iterations)):
+        nl = lab[di]
+        # per (v, neighbor-label) counts, then argmax count with
+        # smallest-label ties — the min(struct(-cnt, nl)) rule
+        keys = np.stack([si, nl], axis=1)
+        u, cnt = np.unique(keys, axis=0, return_counts=True)
+        order = np.lexsort((u[:, 1], -cnt, u[:, 0]))
+        us = u[order]
+        first = np.ones(len(us), dtype=bool)
+        first[1:] = us[1:, 0] != us[:-1, 0]
+        win_v = us[first, 0]
+        win_l = us[first, 1]
+        new_lab = lab.copy()
+        new_lab[win_v] = win_l
+        lab = new_lab
+    out = pd.DataFrame({"node": uniq, "label": lab})
+    t = node_type.simpleString()
+    return spark.createDataFrame(out, f"node {t}, label {t}")
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 1,
+    driver_gate_edges: "int | None" = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (community
     detection): every node starts labeled with its own id; each
@@ -741,7 +789,27 @@ def label_propagation(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    und = _undirected(edges, src_col, dst_col)
+    und = _undirected(edges, src_col, dst_col).persist()
+    n_und = und.count()
+    if driver_gate_edges is None:
+        driver_gate_edges = _MOVE_BCAST_MAX_NODES
+    if 2 * n_und <= driver_gate_edges and isinstance(
+        edges.schema[src_col].dataType, IntegralType
+    ):
+        # bounded driver fast path (the pagerank convention): pure
+        # integer counting + the same most-frequent/min-tie argmin on
+        # a collected canonical edge list — bit-identical by
+        # construction (no floating point anywhere in this op).
+        # Distributed arm unchanged above the gate or for
+        # non-integral node ids.
+        rows = [(r[0], r[1]) for r in und.collect()]
+        und.unpersist()
+        return _label_prop_driver_py(
+            edges.sparkSession,
+            rows,
+            int(iterations),
+            edges.schema[src_col].dataType,
+        )
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
@@ -750,6 +818,7 @@ def label_propagation(
     labels = adj.select(F.col("v").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).persist()
+    und.unpersist()
     # node-count broadcast gate (the _greedy_move_rounds convention)
     small = labels.count() <= _MOVE_BCAST_MAX_NODES
     bc = F.broadcast if small else (lambda d: d)
@@ -1711,12 +1780,154 @@ def hits(
     return out
 
 
+def _betweenness_driver_py(
+    spark, edge_rows: "list", seeds: "list[int]", max_hops: int
+) -> DataFrame:
+    """Driver-side replica of :func:`betweenness_sampled` over the
+    collected canonical undirected edge list: the computation keys
+    every forward/backward step on the seed, so it decomposes exactly
+    per seed — multi-source σ BFS (exact integer path counts), then
+    per-level Brandes accumulation with the engine's pinned numerics
+    (term = (σv/σw)·(1+δw) in IEEE order, 10-dp HALF_UP round, exact
+    decimal(28,10) sums, δ re-entering as a 10-dp double), and the
+    final cross-seed dependency sum as exact deci-int units.
+    Bit-identical by construction. Output (node long, betweenness
+    double) ordered by node."""
+    import numpy as np
+
+    from .driver_exact import (
+        cast_decimal_i64,
+        spark_round,
+        spark_round_f64,
+    )
+
+    if edge_rows:
+        a = np.array([r[0] for r in edge_rows], dtype=np.int64)
+        b = np.array([r[1] for r in edge_rows], dtype=np.int64)
+        srcs = np.concatenate([a, b])
+        dsts = np.concatenate([b, a])
+    else:
+        srcs = dsts = np.empty(0, dtype=np.int64)
+    uniq, inv = np.unique(np.concatenate([srcs, dsts]),
+                          return_inverse=True)
+    n = len(uniq)
+    si = inv[: len(srcs)]
+    di = inv[len(srcs):]
+    # CSR over directed pairs
+    order = np.argsort(si, kind="stable")
+    si_s, di_s = si[order], di[order]
+    degs = np.bincount(si_s, minlength=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(degs, out=offs[1:])
+    # cross-seed dependency accumulator: node index → exact deci units
+    dep_units: dict = {}
+    for s_val in seeds:
+        j = np.searchsorted(uniq, s_val)
+        if j >= n or uniq[j] != s_val:
+            continue  # seed absent from the graph: contributes nothing
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=object)
+        dist[j] = 0
+        sigma[j] = 1
+        frontier = np.array([j], dtype=np.int64)
+        for h in range(1, int(max_hops) + 1):
+            # every parent contributes its σ to each neighbor; only
+            # unvisited neighbors join level h
+            nb_idx = np.concatenate(
+                [
+                    np.arange(offs[f], offs[f + 1])
+                    for f in frontier
+                ]
+            ) if len(frontier) else np.empty(0, dtype=np.int64)
+            if not len(nb_idx):
+                break
+            tgt = di_s[nb_idx]
+            par = si_s[nb_idx]
+            acc: dict = {}
+            for t_i, p_i in zip(tgt.tolist(), par.tolist()):
+                if dist[t_i] == -1:
+                    acc[t_i] = acc.get(t_i, 0) + sigma[p_i]
+            if not acc:
+                break
+            nxt = np.fromiter(acc.keys(), dtype=np.int64)
+            for t_i, sg in acc.items():
+                dist[t_i] = h
+                sigma[t_i] = sg
+            frontier = nxt
+        h_max = int(dist.max()) if n else 0
+        delta = np.zeros(n, dtype=np.float64)
+        for h in range(h_max, 0, -1):
+            # edges from layer-h nodes w to layer-(h-1) nodes v
+            mask = (dist[si_s] == h) & (dist[di_s] == h - 1)
+            idx = np.nonzero(mask)[0]
+            new_delta = np.zeros(n, dtype=np.float64)
+            if len(idx):
+                wnode = si_s[idx]
+                vnode = di_s[idx]
+                sv = np.array(
+                    [float(sigma[v]) for v in vnode], dtype=np.float64
+                )
+                sw = np.array(
+                    [float(sigma[w]) for w in wnode], dtype=np.float64
+                )
+                term = (sv / sw) * (1.0 + delta[wnode])
+                rterm = spark_round_f64(term, 10)
+                units, ok = cast_decimal_i64(rterm, 10)
+                gacc: dict = {}
+                for v_i, u_i in zip(
+                    vnode[ok].tolist(), units[ok].tolist()
+                ):
+                    gacc[v_i] = gacc.get(v_i, 0) + u_i
+                from decimal import Decimal as _D
+
+                for v_i, u_sum in gacc.items():
+                    new_delta[v_i] = spark_round(
+                        float(_D(u_sum).scaleb(-10)), 10
+                    )
+            # deps: layer-(h-1) rows with positive delta, node != seed
+            lvl = np.nonzero(dist == h - 1)[0]
+            for v_i in lvl:
+                dv = new_delta[v_i]
+                if dv > 0 and v_i != j:
+                    u, _ = cast_decimal_i64(np.array([dv]), 10)
+                    dep_units[v_i] = dep_units.get(v_i, 0) + int(u[0])
+            # next backward level state: layer h-1 carries its delta
+            delta = new_delta
+    if not dep_units:
+        return spark.createDataFrame(
+            [], "node long, betweenness double"
+        )
+    import pandas as pd
+
+    items = sorted(dep_units.items())
+    nodes = np.array([uniq[k] for k, _ in items], dtype=np.int64)
+    vals = np.array(
+        [
+            float(
+                __import__("decimal").Decimal(v).scaleb(-10)
+            )
+            for _, v in items
+        ],
+        dtype=np.float64,
+    )
+    out = pd.DataFrame(
+        {
+            "node": nodes,
+            "betweenness": spark_round_f64(vals, 6),
+        }
+    )
+    return spark.createDataFrame(
+        out, "node long, betweenness double"
+    )
+
+
 def betweenness_sampled(
     edges: DataFrame,
     seeds: "list[int]",
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 20,
+    driver_gate_edges: "int | None" = None,
 ) -> DataFrame:
     """Sampled betweenness centrality — Brandes' dependency
     accumulation (Brandes 2001) restricted to a seed set of sources,
@@ -1750,7 +1961,24 @@ def betweenness_sampled(
         raise ValueError(
             f"{len(seeds)} seeds — sample sources, not the graph"
         )
-    und = _undirected(edges, src, dst)
+    und = _undirected(edges, src, dst).persist()
+    n_und = und.count()
+    if driver_gate_edges is None:
+        driver_gate_edges = _MOVE_BCAST_MAX_NODES
+    if 2 * n_und <= driver_gate_edges and isinstance(
+        edges.schema[src].dataType, IntegralType
+    ):
+        # bounded driver fast path (the pagerank convention): collect
+        # the canonical undirected edge list once and run the σ BFS +
+        # per-level Brandes accumulation on the driver — bit-identical
+        # (see _betweenness_driver_py). The distributed multi-source
+        # machinery below is unchanged above the gate (or for
+        # non-integer node ids, which the long-typed seed frame pins).
+        rows = [(r[0], r[1]) for r in und.collect()]
+        und.unpersist()
+        return _betweenness_driver_py(
+            edges.sparkSession, rows, seeds, int(max_hops)
+        )
     adj = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -1761,6 +1989,7 @@ def betweenness_sampled(
     # the gate-keyed coalesce the stacked leaves carry full
     # shuffle-partition counts per arm; see _shrink)
     small = adj.count() <= _MOVE_BCAST_MAX_NODES
+    und.unpersist()
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(s), int(s), 0, 1) for s in seeds],
@@ -2918,12 +3147,91 @@ def louvain_two_level(
     return out
 
 
+def _eigenvector_driver_py(
+    spark, pdf, node_type, iterations: int
+) -> DataFrame:
+    """Driver-side replica of :func:`eigenvector_centrality` over
+    collected ``(_src, _dst, _w)`` edge rows (None weights arrive as
+    NaN and null-flow out of the sums like Spark's null-skipping
+    aggregates): per iteration, the per-edge ``w·x`` doubles take the
+    exact decimal(28,12) fixed point and order-free integer sum, the
+    identity term adds in the same IEEE order, the squared norm
+    accumulates as exact pico ints, and the SAME driver-side
+    ``round(math.sqrt(...), 12)`` literal divides through.
+    Bit-identical by construction."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .driver_exact import (
+        cast_decimal_i64,
+        round_half_up_int64,
+        scaled_i64_to_f64,
+        spark_round_f64,
+    )
+
+    allv = pd.concat([pdf["_src"], pdf["_dst"]], ignore_index=True)
+    codes, uniques = pd.factorize(allv)
+    m = len(pdf)
+    scode, dcode = codes[:m], codes[m:]
+    n = len(uniques)
+    wv = pdf["_w"].to_numpy(dtype=np.float64)
+    x = np.ones(n, dtype=np.float64)
+    for _ in range(int(iterations)):
+        t = wv * x[scode]
+        ints, ok = cast_decimal_i64(t, 12)
+        acc = np.zeros(n, dtype=np.int64)
+        kept = ints[ok]
+        if len(kept) and int(np.max(np.abs(kept))) * len(kept) >= (
+            1 << 62
+        ):
+            accd: dict = {}
+            for ci, vi in zip(dcode[ok].tolist(), kept.tolist()):
+                accd[ci] = accd.get(ci, 0) + vi
+            c_arr = np.fromiter(accd.keys(), dtype=np.int64)
+            from decimal import Decimal
+
+            contrib = np.zeros(n, dtype=np.float64)
+            for ci, vi in accd.items():
+                contrib[ci] = float(Decimal(vi).scaleb(-12))
+            got = np.zeros(n, dtype=bool)
+            got[c_arr] = True
+        else:
+            np.add.at(acc, dcode[ok], kept)
+            got = np.zeros(n, dtype=bool)
+            got[dcode[ok]] = True
+            contrib = scaled_i64_to_f64(acc, 12)
+        y = np.where(got, contrib, 0.0) + x
+        p = (y * y) * 1e12
+        if len(p) and float(np.max(np.abs(p))) >= 4.0e18:
+            # beyond the int64 fast path: exact per-element rounding
+            from .driver_exact import _round0_exact
+
+            s = sum(_round0_exact(float(v)) for v in p)
+        else:
+            # exact big-int sum of the pico squares (the int64 element
+            # bound does not bound the SUM)
+            s = sum(round_half_up_int64(p).tolist())
+        l2 = (
+            round(math.sqrt(float(s) / 1e12), 12) if s > 0 else 0.0
+        )
+        x = y / l2 if l2 > 0 else y
+    out = pd.DataFrame(
+        {"node": uniques, "score": spark_round_f64(x, 6)}
+    )
+    return spark.createDataFrame(
+        out, f"node {node_type.simpleString()}, score double"
+    )
+
+
 def eigenvector_centrality(
     edges: DataFrame,
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: "str | None" = None,
+    driver_gate_edges: "int | None" = None,
 ) -> DataFrame:
     """Eigenvector centrality by power iteration — completes the
     centrality family (PageRank's damped/teleport variant, HITS'
@@ -2969,7 +3277,27 @@ def eigenvector_centrality(
         F.col(dst_col).alias("_dst"),
         w.alias("_w"),
     ).persist()
-    e.count()
+    n_edges = e.count()
+    if driver_gate_edges is None:
+        driver_gate_edges = _MOVE_BCAST_MAX_NODES
+    if n_edges <= driver_gate_edges:
+        # bounded driver fast path (the pagerank convention): one
+        # transfer of the filtered edge rows, then the shifted power
+        # iterations — decimal(28,12) contribution fixed point, the
+        # identity add, the exact pico squared-norm and the 12-dp
+        # driver sqrt divisor — run vectorized on the driver through
+        # the driver_exact kernels, bit-identical to the loop below.
+        # Distributed arm unchanged above the gate.
+        try:
+            pdf = e.toPandas()
+        finally:
+            e.unpersist()
+        return _eigenvector_driver_py(
+            edges.sparkSession,
+            pdf,
+            edges.schema[src_col].dataType,
+            int(iterations),
+        )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))

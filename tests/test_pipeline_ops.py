@@ -1250,3 +1250,54 @@ def test_pagerank_driver_arm_matches_distributed(spark):
         pagerank(df2, iterations=3, weight_col="n",
                  redistribute_dangling=True, driver_gate_edges=0)
     )
+
+
+def test_betweenness_eigenvector_labelprop_driver_arms(spark):
+    """r16 gated driver fast paths for betweenness_sampled,
+    eigenvector_centrality and label_propagation must return
+    BIT-IDENTICAL rows to the distributed arms, including absent
+    seeds, weighted string-id graphs, and multi-round propagation."""
+    import random
+
+    from metadata_etl_framework_spark.ops.graph import (
+        betweenness_sampled,
+        eigenvector_centrality,
+        label_propagation,
+    )
+
+    random.seed(23)
+
+    def rows_of(d):
+        return sorted(map(tuple, d.collect()))
+
+    edges = [
+        (random.randrange(60), random.randrange(60))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert rows_of(
+        betweenness_sampled(df, [0, 5, 11, 999], max_hops=12)
+    ) == rows_of(
+        betweenness_sampled(
+            df, [0, 5, 11, 999], max_hops=12, driver_gate_edges=0
+        )
+    )
+    for its in (1, 4):
+        assert rows_of(
+            label_propagation(df, iterations=its)
+        ) == rows_of(
+            label_propagation(df, iterations=its, driver_gate_edges=0)
+        )
+    wrows = [
+        (f"n{random.randrange(40)}", f"n{random.randrange(50)}",
+         random.randrange(1, 7))
+        for _ in range(300)
+    ]
+    edf = spark.createDataFrame(wrows, "src string, dst string, n long")
+    assert rows_of(
+        eigenvector_centrality(edf, iterations=3, weight_col="n")
+    ) == rows_of(
+        eigenvector_centrality(
+            edf, iterations=3, weight_col="n", driver_gate_edges=0
+        )
+    )
