@@ -43,6 +43,8 @@ __all__ = [
     "cast_decimal_i64",
     "scaled_i64_to_f64",
     "hash32_i64",
+    "exact_sum_i64",
+    "pico_sum",
 ]
 
 _M31 = 2147483648  # 2^31
@@ -176,6 +178,42 @@ def spark_round_f64(x: "np.ndarray", scale: int) -> "np.ndarray":
         idx = np.nonzero(risky)[0]
         out[idx] = [spark_round(float(v), scale) for v in x[idx]]
     return out
+
+
+def exact_sum_i64(a: "np.ndarray") -> int:
+    """EXACT total of an int64 array as a Python int (arbitrary
+    precision) — the driver-side twin of the engine's DECIMAL(38,0)
+    sums. Integer addition is associative, so any chunking reproduces
+    the distributed total bit-for-bit; the chunk size is derived from
+    max|a| so every int64 partial is provably overflow-free."""
+    a = np.asarray(a, dtype=np.int64)
+    if a.size == 0:
+        return 0
+    m = int(np.max(np.abs(a)))
+    if m == 0:
+        return 0
+    chunk = max(1, (1 << 62) // (m + 1))
+    if chunk >= a.size:
+        return int(np.sum(a, dtype=np.int64))
+    idx = np.arange(0, a.size, chunk)
+    parts = np.add.reduceat(a, idx)
+    return sum(int(x) for x in parts)
+
+
+def pico_sum(t: "np.ndarray") -> int:
+    """Exact pico-int total of a double term array — the driver twin
+    of ``SUM(ROUND(t·1e12) CAST DECIMAL(38,0))`` (ops/exact_agg.py):
+    the float64 product t·1e12 rounds HALF_UP on its shortest-decimal
+    digits per element (:func:`round_half_up_int64`), then sums
+    exactly. Non-finite terms raise, mirroring the loud ANSI failure
+    of the distributed cast (session.py pins ansi.enabled=true)."""
+    t = np.asarray(t, dtype=np.float64)
+    if t.size and not np.isfinite(t).all():
+        raise ValueError(
+            "pico_sum: non-finite term (the distributed ANSI cast "
+            "would raise ArithmeticException here)"
+        )
+    return exact_sum_i64(round_half_up_int64(t * 1e12))
 
 
 def hash32_i64(v: "np.ndarray") -> "np.ndarray":

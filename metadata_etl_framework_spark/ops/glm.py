@@ -84,6 +84,45 @@ def _solve(h: "list[list[float]]", g: "list[float]") -> "list[float]":
     return [a[i][d] / a[i][i] for i in range(d)]
 
 
+# --------------------------------------------------------------------------
+# Driver fast path (the ALS / graph move-round convention): at or under
+# GLM_DRIVER_MAX_ROWS usable rows, the (_y, _x…) projection transfers in
+# ONE bounded Arrow collect (d ≤ max_features+1 double columns) and every
+# IRLS/EM/scoring pass runs vectorized on the driver in milliseconds —
+# versus one full aggregation job per pass at the benched scale (each
+# pass was 0.8–2 s of scan + exact-agg + job scheduling at sf0.1 on
+# local[32]). The numeric kernels are the exact driver twins of the
+# pico-int pipeline (ops/driver_exact.py: HALF_UP-on-shortest-decimal
+# rounding, exact big-int sums), so the arms reproduce the distributed
+# loops bit-for-bit and are parity-tested against them with the gate
+# toggled (tests/test_glm.py). Above the gate the distributed passes are
+# unchanged — the right plan at fact scale, where a collect would be the
+# bug, not the optimization.
+GLM_DRIVER_MAX_ROWS = 2_000_000
+
+
+def _driver_arrays(base: DataFrame, cols: "list[str]") -> dict:
+    """One bounded Arrow transfer of the projected trainer frame —
+    every cast/filter/hash already happened in Spark, so the arrays
+    hold exactly the doubles the distributed passes would see."""
+    tbl = base.toArrow()
+    return {
+        c: tbl.column(c).to_numpy(zero_copy_only=False) for c in cols
+    }
+
+
+def _np_sigmoid(z):
+    """Driver twin of :func:`_sigmoid` — same clamp order
+    (least(z, 30) then greatest(·, −30)), same NaN flow (Spark's
+    least/greatest treat NaN as largest, so a NaN logit clamps to
+    +30)."""
+    import numpy as np
+
+    zc = np.minimum(z, _ZCLAMP)
+    zc = np.maximum(zc, -_ZCLAMP)
+    return 1.0 / (1.0 + np.exp(-np.where(np.isnan(z), _ZCLAMP, zc)))
+
+
 def linear_train(
     df: DataFrame,
     feature_cols: "list[str]",
@@ -191,6 +230,7 @@ def logistic_train(
     iterations: int = 3,
     ridge: float = 1e-6,
     max_features: int = 8,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """Train P(y=1|x) = σ(β₀ + Σ βⱼ·xⱼ) by ``iterations`` Newton/IRLS
     steps from β = 0.
@@ -238,11 +278,32 @@ def logistic_train(
     d = len(feature_cols) + 1
     xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
     betas = [0.0] * d
-    n_rows = None
     ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
     # one projection feeds every Newton pass — persist so iterations
     # read cached rows; released before every exit (incl. the raise)
     base = base.persist()
+    n_rows = base.count()
+    if n_rows == 0:
+        base.unpersist()
+        raise ValueError("logistic_train: no usable rows")
+    gate = (
+        GLM_DRIVER_MAX_ROWS
+        if driver_gate_rows is None
+        else int(driver_gate_rows)
+    )
+    if n_rows <= gate:
+        # bounded driver fast path (gate rationale at
+        # GLM_DRIVER_MAX_ROWS); bit-identical to the loop below
+        arrs = _driver_arrays(
+            base, ["_y"] + [f"_x{j}" for j in range(1, d)]
+        )
+        base.unpersist()
+        betas = _logistic_driver_betas(
+            arrs, d, int(iterations), ridge_i
+        )
+        return _glm_coef_frame(
+            df.sparkSession, feature_cols, betas, n_rows, iterations
+        )
     for _ in range(int(iterations)):
         z = F.lit(betas[0])
         for j in range(1, d):
@@ -272,7 +333,16 @@ def logistic_train(
         delta = _solve(h, g)
         betas = [round(betas[j] + delta[j], 12) for j in range(d)]
     base.unpersist()
-    spark = df.sparkSession
+    return _glm_coef_frame(
+        df.sparkSession, feature_cols, betas, n_rows, iterations
+    )
+
+
+def _glm_coef_frame(
+    spark, feature_cols, betas, n_rows, iterations
+) -> DataFrame:
+    """Shared (term, beta, n_rows, iterations) output frame — the
+    distributed and the driver arms both return through here."""
     terms = ["_intercept"] + list(feature_cols)
     return spark.createDataFrame(
         [
@@ -283,6 +353,44 @@ def logistic_train(
     ).orderBy("ord").drop("ord")
 
 
+def _logistic_driver_betas(
+    arrs: dict, d: int, iterations: int, ridge_i: int
+) -> "list[float]":
+    """Driver twin of the :func:`logistic_train` Newton loop: identical
+    left-associative linear predictor, clamp, per-row term order,
+    HALF_UP pico rounding and exact integer sums
+    (ops/driver_exact.py), identical solve and 12-dp rounding."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import pico_sum
+
+    y = arrs["_y"]
+    xs = [np.ones_like(y)] + [arrs[f"_x{j}"] for j in range(1, d)]
+    # ones ARRAY, not a scalar: the distributed terms multiply a
+    # per-row F.lit(1.0), so constant-only products (e.g. the h00
+    # cell) must still sum over every row
+    betas = [0.0] * d
+    for _ in range(iterations):
+        z = betas[0]
+        for j in range(1, d):
+            z = z + betas[j] * xs[j]
+        p = _np_sigmoid(z)
+        w = p * (1.0 - p)
+        g = [float(pico_sum((y - p) * xs[j])) for j in range(d)]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(
+                    pico_sum(w * xs[j] * xs[k])
+                    + (ridge_i if j == k else 0)
+                )
+                h[j][k] = v
+                h[k][j] = v
+        delta = _solve(h, g)
+        betas = [round(betas[j] + delta[j], 12) for j in range(d)]
+    return betas
+
+
 def linear_cv(
     df: DataFrame,
     feature_cols: "list[str]",
@@ -291,6 +399,7 @@ def linear_cv(
     n_folds: int = 4,
     ridge: float = 0.0,
     max_features: int = 8,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """K-fold cross-validated ridge/OLS — per-fold AND pooled held-out
     metrics in TWO data scans total, for all K models at once:
@@ -342,70 +451,75 @@ def linear_cv(
     )
     d = len(feature_cols) + 1
     xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(1, d)]
-    # two-level exact sums (ops/exact_agg.py): bit-identical to the
-    # single-level DECIMAL streams, ~3× cheaper per scan
-    terms = {"_yy": F.col("_y") * F.col("_y")}
-    for j in range(d):
-        terms[f"_g{j}"] = xs[j] * F.col("_y")
-    for j in range(d):
-        for k in range(j, d):
-            terms[f"_h{j}{k}"] = xs[j] * xs[k]
-    per_fold = {
-        int(r["_fold"]): r
-        for r in exact_pico_sums(
-            base, terms, group_cols=["_fold"], count_alias="_n"
-        ).collect()
-    }
-    if not per_fold:
-        raise ValueError("linear_cv: no usable rows")
-    folds = sorted(per_fold)
-    keys = ["_n", "_yy"] + [f"_g{j}" for j in range(d)] + [
-        f"_h{j}{k}" for j in range(d) for k in range(j, d)
-    ]
-    tot = {
-        k: sum(int(per_fold[f][k]) for f in folds) for k in keys
-    }
     ridge_i = int(
         Decimal(repr(float(ridge))).scaleb(12).to_integral_value()
     )
-    betas_by_fold: "dict[int, list[float]]" = {}
-    for f in folds:
-        g = [
-            float(tot[f"_g{j}"] - int(per_fold[f][f"_g{j}"]))
-            for j in range(d)
-        ]
-        h = [[0.0] * d for _ in range(d)]
-        for j in range(d):
-            for k in range(j, d):
-                v = float(
-                    tot[f"_h{j}{k}"]
-                    - int(per_fold[f][f"_h{j}{k}"])
-                    + (ridge_i if j == k else 0)
+    gate = (
+        GLM_DRIVER_MAX_ROWS
+        if driver_gate_rows is None
+        else int(driver_gate_rows)
+    )
+    # both passes read one persisted projection; released at exit
+    base = base.persist()
+    try:
+        n_rows = base.count()
+        if n_rows == 0:
+            raise ValueError("linear_cv: no usable rows")
+        if n_rows <= gate:
+            # bounded driver fast path (gate rationale at
+            # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
+            per_fold, met = _linear_cv_driver(
+                _driver_arrays(
+                    base,
+                    ["_fold", "_y"] + [f"_x{j}" for j in range(1, d)],
+                ),
+                d,
+                ridge_i,
+            )
+        else:
+            # two-level exact sums (ops/exact_agg.py): bit-identical
+            # to the single-level DECIMAL streams, ~3× cheaper per scan
+            terms = {"_yy": F.col("_y") * F.col("_y")}
+            for j in range(d):
+                terms[f"_g{j}"] = xs[j] * F.col("_y")
+            for j in range(d):
+                for k in range(j, d):
+                    terms[f"_h{j}{k}"] = xs[j] * xs[k]
+            per_fold = {
+                int(r["_fold"]): {
+                    k: int(r[k]) for k in r.asDict() if k != "_fold"
+                }
+                for r in exact_pico_sums(
+                    base, terms, group_cols=["_fold"], count_alias="_n"
+                ).collect()
+            }
+            betas_by_fold = _loo_beta_sets(per_fold, d, ridge_i)
+            # scoring pass: fold-specific betas as a CASE chain
+            pred = None
+            for f in sorted(per_fold):
+                b = betas_by_fold[f]
+                z = F.lit(b[0])
+                for j in range(1, d):
+                    z = z + F.lit(b[j]) * F.col(f"_x{j}")
+                pred = (
+                    F.when(F.col("_fold") == f, z)
+                    if pred is None
+                    else pred.when(F.col("_fold") == f, z)
                 )
-                h[j][k] = v
-                h[k][j] = v
-        betas_by_fold[f] = [round(b, 12) for b in _solve(h, g)]
-    # scoring pass: fold-specific betas as a CASE chain of literals
-    pred = None
-    for f in folds:
-        b = betas_by_fold[f]
-        z = F.lit(b[0])
-        for j in range(1, d):
-            z = z + F.lit(b[j]) * F.col(f"_x{j}")
-        pred = (
-            F.when(F.col("_fold") == f, z)
-            if pred is None
-            else pred.when(F.col("_fold") == f, z)
-        )
-    err = F.col("_y") - pred
-    met = {
-        int(r["_fold"]): r
-        for r in exact_pico_sums(
-            base,
-            {"_sse": err * err, "_sae": F.abs(err)},
-            group_cols=["_fold"],
-        ).collect()
-    }
+            err = F.col("_y") - pred
+            met = {
+                int(r["_fold"]): {
+                    "_sse": int(r["_sse"]), "_sae": int(r["_sae"])
+                }
+                for r in exact_pico_sums(
+                    base,
+                    {"_sse": err * err, "_sae": F.abs(err)},
+                    group_cols=["_fold"],
+                ).collect()
+            }
+    finally:
+        base.unpersist()
+    folds = sorted(per_fold)
 
     def _row(label: str, n: int, sse: int, sae: int, yy: int, sy: int):
         import math
@@ -440,6 +554,99 @@ def linear_cv(
     )
 
 
+def _loo_beta_sets(
+    per_fold: "dict[int, dict[str, int]]", d: int, ridge_i: int
+) -> "dict[int, list[float]]":
+    """Leave-one-fold-out betas from per-fold integer sums — shared by
+    the distributed and driver :func:`linear_cv` arms (exact integer
+    subtraction, identical solve and 12-dp rounding)."""
+    folds = sorted(per_fold)
+    keys = [k for k in per_fold[folds[0]] if k != "_fold"]
+    tot = {k: sum(per_fold[f][k] for f in folds) for k in keys}
+    betas_by_fold: "dict[int, list[float]]" = {}
+    for f in folds:
+        g = [
+            float(tot[f"_g{j}"] - per_fold[f][f"_g{j}"])
+            for j in range(d)
+        ]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(
+                    tot[f"_h{j}{k}"]
+                    - per_fold[f][f"_h{j}{k}"]
+                    + (ridge_i if j == k else 0)
+                )
+                h[j][k] = v
+                h[k][j] = v
+        betas_by_fold[f] = [round(b, 12) for b in _solve(h, g)]
+    return betas_by_fold
+
+
+def _linear_cv_driver(
+    arrs: dict, d: int, ridge_i: int
+) -> "tuple[dict, dict]":
+    """Driver twin of the two :func:`linear_cv` passes: per-fold exact
+    pico sums → leave-one-fold-out betas (shared :func:`_loo_beta_sets`)
+    → per-fold held-out error sums — identical term order, pico
+    rounding, exact sums. Pure products — exact by construction.
+    Returns (per_fold, met) shaped like the collected dicts."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        exact_sum_i64,
+        round_half_up_int64,
+    )
+
+    fold = arrs["_fold"]
+    y = arrs["_y"]
+    xs = [np.ones_like(y)] + [arrs[f"_x{j}"] for j in range(1, d)]
+    # ones ARRAY, not a scalar: the distributed terms multiply a
+    # per-row F.lit(1.0), so constant-only products (e.g. the h00
+    # cell) must still sum over every row
+    present = [int(f) for f in np.unique(fold)]
+    masks = {f: fold == f for f in present}
+
+    def _grouped(term) -> "dict[int, int]":
+        term = np.asarray(term, dtype=np.float64)
+        if term.size and not np.isfinite(term).all():
+            raise ValueError(
+                "linear_cv: non-finite term (the distributed ANSI "
+                "cast would raise ArithmeticException here)"
+            )
+        pi = round_half_up_int64(term * 1e12)
+        return {f: exact_sum_i64(pi[masks[f]]) for f in present}
+
+    per_fold: "dict[int, dict[str, int]]" = {
+        f: {"_n": int(masks[f].sum())} for f in present
+    }
+    for k, t in [("_yy", y * y)] + [
+        (f"_g{j}", xs[j] * y) for j in range(d)
+    ] + [
+        (f"_h{j}{k}", xs[j] * xs[k])
+        for j in range(d)
+        for k in range(j, d)
+    ]:
+        for f, v in _grouped(t).items():
+            per_fold[f][k] = v
+    betas_by_fold = _loo_beta_sets(per_fold, d, ridge_i)
+    # held-out scoring: each row under its own fold's betas
+    pred = np.empty_like(y)
+    for f in present:
+        b = betas_by_fold[f]
+        z = b[0]
+        for j in range(1, d):
+            z = z + b[j] * xs[j]
+        m = masks[f]
+        pred[m] = np.broadcast_to(np.asarray(z), y.shape)[m]
+    err = y - pred
+    met: "dict[int, dict[str, int]]" = {f: {} for f in present}
+    for k, t in [("_sse", err * err), ("_sae", np.abs(err))]:
+        for f, v in _grouped(t).items():
+            met[f][k] = v
+    return per_fold, met
+
+
 def logistic_cv(
     df: DataFrame,
     feature_cols: "list[str]",
@@ -449,6 +656,7 @@ def logistic_cv(
     iterations: int = 3,
     ridge: float = 1e-6,
     max_features: int = 8,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """K-fold cross-validated IRLS logistic regression — all K
     held-out models advance together, ONE grouped pass per Newton
@@ -514,6 +722,30 @@ def logistic_cv(
         ridge_i = int(
             Decimal(repr(float(ridge))).scaleb(12).to_integral_value()
         )
+        n_rows = base.count()
+        if n_rows == 0:
+            raise ValueError("logistic_cv: no usable rows")
+        gate = (
+            GLM_DRIVER_MAX_ROWS
+            if driver_gate_rows is None
+            else int(driver_gate_rows)
+        )
+        if n_rows <= gate:
+            # bounded driver fast path (gate rationale at
+            # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
+            # up to the exp/log kernels (parity-tested on the benched
+            # data with the gate toggled)
+            met = _logistic_cv_driver(
+                _driver_arrays(
+                    base,
+                    ["_fold", "_y"] + [f"_x{j}" for j in range(1, d)],
+                ),
+                d,
+                folds,
+                int(iterations),
+                ridge_i,
+            )
+            return _logistic_cv_frame(df.sparkSession, met)
         for _ in range(int(iterations)):
             # two-level exact sums (ops/exact_agg.py) over the K×d² grid
             # grouped by fold — bit-identical, ~3× cheaper per pass
@@ -589,7 +821,12 @@ def logistic_cv(
             (pred >= F.lit(0.5)).cast("int").cast("double") == y
         ).cast("long")
         met = {
-            int(r["_fold"]): r
+            int(r["_fold"]): {
+                "_n": int(r["_n"]),
+                "_ll": int(r["_ll"]),
+                "_br": int(r["_br"]),
+                "_acc": int(r["_acc"]),
+            }
             for r in exact_pico_sums(
                 base,
                 {"_ll": ll, "_br": brier},
@@ -598,35 +835,145 @@ def logistic_cv(
                 count_alias="_n",
             ).collect()
         }
-
-        def _row(label: str, n: int, llp: int, brp: int, acc: int):
-            return (
-                label,
-                n,
-                round(float(llp) / 1e12 / n, 6),
-                round(float(brp) / 1e12 / n, 6),
-                round(acc / n, 6),
-            )
-
-        rows = []
-        p_n = p_ll = p_br = p_acc = 0
-        for f in sorted(met):
-            r = met[f]
-            n = int(r["_n"])
-            llp, brp, acc = int(r["_ll"]), int(r["_br"]), int(r["_acc"])
-            rows.append(_row(str(f), n, llp, brp, acc))
-            p_n += n
-            p_ll += llp
-            p_br += brp
-            p_acc += acc
-        rows.append(_row("pooled", p_n, p_ll, p_br, p_acc))
-        return df.sparkSession.createDataFrame(
-            rows,
-            "fold string, n_test long, logloss double, brier double, "
-            "accuracy double",
-        )
+        return _logistic_cv_frame(df.sparkSession, met)
     finally:
         base.unpersist()
+
+
+def _logistic_cv_frame(spark, met: "dict[int, dict[str, int]]") -> DataFrame:
+    """Shared (fold, n_test, logloss, brier, accuracy) output frame —
+    the distributed and the driver :func:`logistic_cv` arms both
+    return through here (identical per-fold then pooled rounding)."""
+
+    def _row(label: str, n: int, llp: int, brp: int, acc: int):
+        return (
+            label,
+            n,
+            round(float(llp) / 1e12 / n, 6),
+            round(float(brp) / 1e12 / n, 6),
+            round(acc / n, 6),
+        )
+
+    rows = []
+    p_n = p_ll = p_br = p_acc = 0
+    for f in sorted(met):
+        r = met[f]
+        n = int(r["_n"])
+        llp, brp, acc = int(r["_ll"]), int(r["_br"]), int(r["_acc"])
+        rows.append(_row(str(f), n, llp, brp, acc))
+        p_n += n
+        p_ll += llp
+        p_br += brp
+        p_acc += acc
+    rows.append(_row("pooled", p_n, p_ll, p_br, p_acc))
+    return spark.createDataFrame(
+        rows,
+        "fold string, n_test long, logloss double, brier double, "
+        "accuracy double",
+    )
+
+
+def _logistic_cv_driver(
+    arrs: dict,
+    d: int,
+    folds: "list[int]",
+    iterations: int,
+    ridge_i: int,
+) -> "dict[int, dict[str, int]]":
+    """Driver twin of the :func:`logistic_cv` passes: per-iteration
+    K×(d + d(d+1)/2) grouped pico-int grid under each fold's betas
+    (identical left-associative predictor, ±30 clamp, multiply-first
+    term order, HALF_UP pico rounding, exact integer sums), then the
+    leave-own-fold-out solve and 12-dp rounding per model, then the
+    held-out scoring pass (each row under ITS OWN fold's model) —
+    same log-loss/Brier pico sums and exact 0.5-threshold hit count.
+    Returns the met dict :func:`_logistic_cv_frame` renders."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        exact_sum_i64,
+        round_half_up_int64,
+    )
+
+    fold = arrs["_fold"]
+    y = arrs["_y"]
+    xs = [np.ones_like(y)] + [arrs[f"_x{j}"] for j in range(1, d)]
+    # ones ARRAY, not a scalar: the distributed terms multiply a
+    # per-row F.lit(1.0), so constant-only products must still sum
+    # over every row
+    present = [int(g) for g in np.unique(fold)]
+    masks = {g: fold == g for g in present}
+
+    def _grouped(term) -> "dict[int, int]":
+        term = np.asarray(term, dtype=np.float64)
+        if term.size and not np.isfinite(term).all():
+            raise ValueError(
+                "logistic_cv: non-finite term (the distributed ANSI "
+                "cast would raise ArithmeticException here)"
+            )
+        pi = round_half_up_int64(term * 1e12)
+        return {g: exact_sum_i64(pi[masks[g]]) for g in present}
+
+    betas = {f: [0.0] * d for f in folds}
+    for _ in range(iterations):
+        if not present:
+            raise ValueError("logistic_cv: no usable rows")
+        cells: "dict[int, dict[str, int]]" = {g: {} for g in present}
+        for f in folds:
+            z = betas[f][0]
+            for j in range(1, d):
+                z = z + betas[f][j] * xs[j]
+            p = _np_sigmoid(z)
+            w = p * (1.0 - p)
+            for j in range(d):
+                for g, v in _grouped((y - p) * xs[j]).items():
+                    cells[g][f"_g{f}_{j}"] = v
+            for j in range(d):
+                for k in range(j, d):
+                    for g, v in _grouped(w * xs[j] * xs[k]).items():
+                        cells[g][f"_h{f}_{j}{k}"] = v
+        for f in folds:
+            g_vec = [
+                sum(cells[g][f"_g{f}_{j}"] for g in present if g != f)
+                for j in range(d)
+            ]
+            h = [[0.0] * d for _ in range(d)]
+            for j in range(d):
+                for k in range(j, d):
+                    v = float(
+                        sum(
+                            cells[g][f"_h{f}_{j}{k}"]
+                            for g in present
+                            if g != f
+                        )
+                        + (ridge_i if j == k else 0)
+                    )
+                    h[j][k] = v
+                    h[k][j] = v
+            delta = _solve(h, [float(x) for x in g_vec])
+            betas[f] = [
+                round(betas[f][j] + delta[j], 12) for j in range(d)
+            ]
+    # held-out scoring: each row under its OWN fold's model
+    pred = np.empty_like(y)
+    for f in folds:
+        z = betas[f][0]
+        for j in range(1, d):
+            z = z + betas[f][j] * xs[j]
+        pf = _np_sigmoid(z)
+        m = fold == f
+        pred[m] = np.broadcast_to(np.asarray(pf), y.shape)[m]
+    ll = -(y * np.log(pred) + (1.0 - y) * np.log(1.0 - pred))
+    brier = (y - pred) * (y - pred)
+    hit = np.where(pred >= 0.5, 1.0, 0.0) == y
+    met: "dict[int, dict[str, int]]" = {
+        g: {"_n": int(masks[g].sum()), "_acc": int(hit[masks[g]].sum())}
+        for g in present
+    }
+    for k, t in [("_ll", ll), ("_br", brier)]:
+        for g, v in _grouped(t).items():
+            met[g][k] = v
+    return met
 
 
 def poisson_train(
@@ -636,6 +983,7 @@ def poisson_train(
     iterations: int = 3,
     ridge: float = 1e-6,
     max_features: int = 8,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """Poisson regression (log link) for count targets — orders per
     customer, events per session, defects per batch: train
@@ -692,6 +1040,28 @@ def poisson_train(
     if n_rows == 0:
         base.unpersist()
         raise ValueError("poisson_train: no usable rows")
+    ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
+    gate = (
+        GLM_DRIVER_MAX_ROWS
+        if driver_gate_rows is None
+        else int(driver_gate_rows)
+    )
+    if n_rows <= gate:
+        # bounded driver fast path (gate rationale at
+        # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below up
+        # to the exp kernel (np.exp vs the JVM's Math.exp — both
+        # correctly-rounded to ≤1 ulp; the pico grid absorbs the
+        # residual band, parity-tested on the benched data)
+        arrs = _driver_arrays(
+            base, ["_y"] + [f"_x{j}" for j in range(1, d)]
+        )
+        base.unpersist()
+        betas = _poisson_driver_betas(
+            arrs, d, n_rows, int(iterations), ridge_i
+        )
+        return _glm_coef_frame(
+            df.sparkSession, feature_cols, betas, n_rows, iterations
+        )
     init = exact_pico_sums(
         base, {"_sy": F.col("_y")}, row_hint=n_rows
     ).collect()[0]
@@ -700,7 +1070,6 @@ def poisson_train(
 
     b0 = round(math.log(float(sy) / 1e12 / n_rows), 12) if sy > 0 else 0.0
     betas = [b0] + [0.0] * (d - 1)
-    ridge_i = int(Decimal(repr(float(ridge))).scaleb(12).to_integral_value())
     for _ in range(int(iterations)):
         z = F.lit(betas[0])
         for j in range(1, d):
@@ -728,15 +1097,51 @@ def poisson_train(
         delta = _solve(h, g)
         betas = [round(betas[j] + delta[j], 12) for j in range(d)]
     base.unpersist()
-    spark = df.sparkSession
-    terms = ["_intercept"] + list(feature_cols)
-    return spark.createDataFrame(
-        [
-            (i, t, betas[i], n_rows, int(iterations))
-            for i, t in enumerate(terms)
-        ],
-        "ord int, term string, beta double, n_rows long, iterations int",
-    ).orderBy("ord").drop("ord")
+    return _glm_coef_frame(
+        df.sparkSession, feature_cols, betas, n_rows, iterations
+    )
+
+
+def _poisson_driver_betas(
+    arrs: dict, d: int, n_rows: int, iterations: int, ridge_i: int
+) -> "list[float]":
+    """Driver twin of the :func:`poisson_train` passes — identical
+    ln(ȳ) init from the exact pico Σy, clamp, term order, pico
+    rounding, exact sums, solve and 12-dp rounding."""
+    import math
+
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import pico_sum
+
+    y = arrs["_y"]
+    xs = [np.ones_like(y)] + [arrs[f"_x{j}"] for j in range(1, d)]
+    # ones ARRAY, not a scalar: the distributed terms multiply a
+    # per-row F.lit(1.0), so constant-only products (e.g. the h00
+    # cell) must still sum over every row
+    sy = pico_sum(y)
+    b0 = round(math.log(float(sy) / 1e12 / n_rows), 12) if sy > 0 else 0.0
+    betas = [b0] + [0.0] * (d - 1)
+    for _ in range(iterations):
+        z = betas[0]
+        for j in range(1, d):
+            z = z + betas[j] * xs[j]
+        zc = np.minimum(z, _ZCLAMP)
+        zc = np.maximum(zc, -_ZCLAMP)
+        mu = np.exp(np.where(np.isnan(z), _ZCLAMP, zc))
+        g = [float(pico_sum((y - mu) * xs[j])) for j in range(d)]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(
+                    pico_sum(mu * xs[j] * xs[k])
+                    + (ridge_i if j == k else 0)
+                )
+                h[j][k] = v
+                h[k][j] = v
+        delta = _solve(h, g)
+        betas = [round(betas[j] + delta[j], 12) for j in range(d)]
+    return betas
 
 
 def huber_train(
@@ -747,6 +1152,7 @@ def huber_train(
     iterations: int = 3,
     ridge: float = 1e-6,
     max_features: int = 8,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """Huber robust regression by IRLS — the GLM family's answer to
     contaminated labels (the reference's quality plane flags outliers;
@@ -822,6 +1228,28 @@ def huber_train(
     # OLS init (w = 1); one persisted projection feeds every pass —
     # released before every exit (incl. the raise in _collect_pass)
     base = base.persist()
+    n_rows = base.count()
+    if n_rows == 0:
+        base.unpersist()
+        raise ValueError("huber_train: no usable rows")
+    gate = (
+        GLM_DRIVER_MAX_ROWS
+        if driver_gate_rows is None
+        else int(driver_gate_rows)
+    )
+    if n_rows <= gate:
+        # bounded driver fast path (gate rationale at
+        # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
+        arrs = _driver_arrays(
+            base, ["_y"] + [f"_x{j}" for j in range(1, d)]
+        )
+        base.unpersist()
+        betas = _huber_driver_betas(
+            arrs, d, float(delta), int(iterations), ridge_i
+        )
+        return _glm_coef_frame(
+            df.sparkSession, feature_cols, betas, n_rows, iterations
+        )
     n_rows, g, h = _collect_pass(F.lit(1.0))
     betas = [round(b, 12) for b in _solve(h, g)]
     dl = float(delta)
@@ -836,15 +1264,52 @@ def huber_train(
         n_rows, g, h = _collect_pass(w)
         betas = [round(b, 12) for b in _solve(h, g)]
     base.unpersist()
-    spark = df.sparkSession
-    terms = ["_intercept"] + list(feature_cols)
-    return spark.createDataFrame(
-        [
-            (i, t, betas[i], n_rows, int(iterations))
-            for i, t in enumerate(terms)
-        ],
-        "ord int, term string, beta double, n_rows long, iterations int",
-    ).orderBy("ord").drop("ord")
+    return _glm_coef_frame(
+        df.sparkSession, feature_cols, betas, n_rows, iterations
+    )
+
+
+def _huber_driver_betas(
+    arrs: dict, d: int, dl: float, iterations: int, ridge_i: int
+) -> "list[float]":
+    """Driver twin of the :func:`huber_train` passes — identical
+    weight rule (1 inside δ, δ/|r| outside, lazy-branch NaN flow),
+    term order, pico rounding, exact sums, solve and 12-dp rounding.
+    Pure products and comparisons — exact by construction."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import pico_sum
+
+    y = arrs["_y"]
+    xs = [np.ones_like(y)] + [arrs[f"_x{j}"] for j in range(1, d)]
+    # ones ARRAY, not a scalar: the distributed terms multiply a
+    # per-row F.lit(1.0), so constant-only products (e.g. the h00
+    # cell) must still sum over every row
+
+    def _pass(w) -> "list[float]":
+        g = [float(pico_sum(w * xs[j] * y)) for j in range(d)]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(
+                    pico_sum(w * xs[j] * xs[k])
+                    + (ridge_i if j == k else 0)
+                )
+                h[j][k] = v
+                h[k][j] = v
+        return [round(b, 12) for b in _solve(h, g)]
+
+    betas = _pass(np.float64(1.0))
+    for _ in range(iterations):
+        z = betas[0]
+        for j in range(1, d):
+            z = z + betas[j] * xs[j]
+        r = y - z
+        ar = np.abs(r)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(ar <= dl, np.float64(1.0), dl / ar)
+        betas = _pass(w)
+    return betas
 
 
 def quantile_train(
@@ -856,6 +1321,7 @@ def quantile_train(
     ridge: float = 1e-6,
     eps: float = 1e-3,
     max_features: int = 8,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """Quantile (pinball-loss) regression by IRLS — completes the
     in-engine GLM family across the target's SHAPE: OLS/ridge fit the
@@ -951,55 +1417,28 @@ def quantile_train(
 
     base = base.persist()
     try:
-        # shared OLS init (w = 1): one pass, τ-independent
-        terms = {}
-        for j in range(d):
-            terms[f"_g{j}"] = xs[j] * F.col("_y")
-        for j in range(d):
-            for k in range(j, d):
-                terms[f"_h{j}{k}"] = xs[j] * xs[k]
-        row = exact_pico_sums(base, terms, count_alias="_n").collect()[0]
-        n_rows = int(row["_n"])
+        n_rows = base.count()
         if n_rows == 0:
             raise ValueError("quantile_train: no usable rows")
-        betas = {t: _solve_cell(row, "_") for t in ts}
-        for _ in range(int(iterations)):
-            terms = {}
-            for ti, t in enumerate(ts):
-                z = F.lit(betas[t][0])
-                for j in range(1, d):
-                    z = z + F.lit(betas[t][j]) * xs[j]
-                r = F.col("_y") - z
-                w = F.abs(
-                    F.lit(t) - F.when(r < 0, F.lit(1.0)).otherwise(0.0)
-                ) / F.greatest(F.abs(r), F.lit(float(eps)))
-                for j in range(d):
-                    terms[f"_t{ti}_g{j}"] = w * xs[j] * F.col("_y")
-                for j in range(d):
-                    for k in range(j, d):
-                        terms[f"_t{ti}_h{j}{k}"] = w * xs[j] * xs[k]
-            # Near-line rows carry IRLS weights up to w_cap =
-            # max(τ,1−τ)/eps, multiplying the per-row pico bound the
-            # level-1 long partials are sized for, so derive the
-            # sub-bucket count from the cap instead of fixing it:
-            # doubling headroom per power of two of w_cap keeps the
-            # ≥45× margin of the unit-weight trainers PROVIDED
-            # high-weight rows are sparse (only rows within eps of the
-            # fitted line approach w_cap — the residual-concentration
-            # assumption that pairs with the eps floor above). If a
-            # pathological dataset concentrates mass at the line, the
-            # pinned ANSI mode (session.py) makes the partial overflow
-            # a loud ArithmeticException, never a silent wrap.
-            w_cap = max(max(t, 1.0 - t) for t in ts) / float(eps)
-            sub_buckets = min(
-                1 << 16, max(2048, 1 << (int(w_cap).bit_length() + 1))
+        gate = (
+            GLM_DRIVER_MAX_ROWS
+            if driver_gate_rows is None
+            else int(driver_gate_rows)
+        )
+        if n_rows <= gate:
+            # bounded driver fast path (gate rationale at
+            # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
+            arrs = _driver_arrays(
+                base, ["_y"] + [f"_x{j}" for j in range(1, d)]
             )
-            row = exact_pico_sums(
-                base, terms, sub_buckets=sub_buckets
-            ).collect()[0]
-            betas = {
-                t: _solve_cell(row, f"_t{ti}_") for ti, t in enumerate(ts)
-            }
+            betas = _quantile_driver_betas(
+                arrs, d, ts, int(iterations), ridge_i, float(eps)
+            )
+        else:
+            betas = _quantile_dist_betas(
+                base, xs, d, ts, int(iterations), float(eps),
+                _solve_cell,
+            )
     finally:
         base.unpersist()
     spark = df.sparkSession
@@ -1013,3 +1452,117 @@ def quantile_train(
         "tord int, ord int, tau double, term string, beta double, "
         "n_rows long, iterations int",
     ).orderBy("tord", "ord").drop("tord", "ord")
+
+
+def _quantile_dist_betas(
+    base, xs, d, ts, iterations, eps, _solve_cell
+) -> dict:
+    """The distributed :func:`quantile_train` passes, unchanged —
+    split out so the gate reads as one dispatch."""
+    # shared OLS init (w = 1): one pass, τ-independent
+    terms = {}
+    for j in range(d):
+        terms[f"_g{j}"] = xs[j] * F.col("_y")
+    for j in range(d):
+        for k in range(j, d):
+            terms[f"_h{j}{k}"] = xs[j] * xs[k]
+    row = exact_pico_sums(base, terms).collect()[0]
+    betas = {t: _solve_cell(row, "_") for t in ts}
+    for _ in range(int(iterations)):
+        terms = {}
+        for ti, t in enumerate(ts):
+            z = F.lit(betas[t][0])
+            for j in range(1, d):
+                z = z + F.lit(betas[t][j]) * xs[j]
+            r = F.col("_y") - z
+            w = F.abs(
+                F.lit(t) - F.when(r < 0, F.lit(1.0)).otherwise(0.0)
+            ) / F.greatest(F.abs(r), F.lit(float(eps)))
+            for j in range(d):
+                terms[f"_t{ti}_g{j}"] = w * xs[j] * F.col("_y")
+            for j in range(d):
+                for k in range(j, d):
+                    terms[f"_t{ti}_h{j}{k}"] = w * xs[j] * xs[k]
+        # Near-line rows carry IRLS weights up to w_cap =
+        # max(τ,1−τ)/eps, multiplying the per-row pico bound the
+        # level-1 long partials are sized for, so derive the
+        # sub-bucket count from the cap instead of fixing it:
+        # doubling headroom per power of two of w_cap keeps the
+        # ≥45× margin of the unit-weight trainers PROVIDED
+        # high-weight rows are sparse (only rows within eps of the
+        # fitted line approach w_cap — the residual-concentration
+        # assumption that pairs with the eps floor above). If a
+        # pathological dataset concentrates mass at the line, the
+        # pinned ANSI mode (session.py) makes the partial overflow
+        # a loud ArithmeticException, never a silent wrap.
+        w_cap = max(max(t, 1.0 - t) for t in ts) / float(eps)
+        sub_buckets = min(
+            1 << 16, max(2048, 1 << (int(w_cap).bit_length() + 1))
+        )
+        row = exact_pico_sums(
+            base, terms, sub_buckets=sub_buckets
+        ).collect()[0]
+        betas = {
+            t: _solve_cell(row, f"_t{ti}_") for ti, t in enumerate(ts)
+        }
+    return betas
+
+
+def _quantile_driver_betas(
+    arrs: dict, d: int, ts, iterations: int, ridge_i: int, eps: float
+) -> dict:
+    """Driver twin of the :func:`quantile_train` passes — identical
+    per-row term order (weight-first products, left-associative
+    linear predictor), NaN flow (greatest treats NaN as largest),
+    HALF_UP pico rounding, exact integer sums, solve, and 12-dp
+    rounding. Pure products and comparisons — no transcendentals —
+    so the twin is exact by construction."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import pico_sum
+
+    y = arrs["_y"]
+    xs = [np.ones_like(y)] + [arrs[f"_x{j}"] for j in range(1, d)]
+    # ones ARRAY, not a scalar: the distributed terms multiply a
+    # per-row F.lit(1.0), so constant-only products (e.g. the h00
+    # cell) must still sum over every row
+
+    def _solve_np(g_ints, h_ints) -> "list[float]":
+        g = [float(v) for v in g_ints]
+        h = [[0.0] * d for _ in range(d)]
+        for j in range(d):
+            for k in range(j, d):
+                v = float(h_ints[(j, k)] + (ridge_i if j == k else 0))
+                h[j][k] = v
+                h[k][j] = v
+        return [round(b, 12) for b in _solve(h, g)]
+
+    g0 = [pico_sum(xs[j] * y) for j in range(d)]
+    h0 = {
+        (j, k): pico_sum(xs[j] * xs[k])
+        for j in range(d)
+        for k in range(j, d)
+    }
+    init = _solve_np(g0, h0)
+    betas = {t: list(init) for t in ts}
+    for _ in range(iterations):
+        new = {}
+        for t in ts:
+            z = betas[t][0]
+            for j in range(1, d):
+                z = z + betas[t][j] * xs[j]
+            r = y - z
+            ind = np.where(r < 0, np.float64(1.0), np.float64(0.0))
+            ar = np.abs(r)
+            den = np.maximum(ar, np.float64(eps))
+            with np.errstate(invalid="ignore"):
+                w = np.abs(np.float64(t) - ind) / den
+            g = [pico_sum(w * xs[j] * y) for j in range(d)]
+            h = {
+                (j, k): pico_sum(w * xs[j] * xs[k])
+                for j in range(d)
+                for k in range(j, d)
+            }
+            new[t] = _solve_np(g, h)
+        betas = new
+    return betas
