@@ -86,14 +86,36 @@ def round_half_up_int64(p: "np.ndarray") -> "np.ndarray":
         fast[big] = p[big].astype(np.int64)
     # boundary band: |frac(|p|) - 0.5| small relative to the float64
     # spacing at this magnitude (plus an absolute floor) — only these
-    # can disagree with HALF_UP on the shortest-decimal digits
+    # can disagree with HALF_UP on the shortest-decimal digits (the
+    # fast path's ap + 0.5 can round across the integer)
     frac = ap - np.floor(ap)
     band = np.maximum(8.0 * np.spacing(ap + 0.5), 1e-9)
     risky = np.abs(frac - 0.5) <= band
-    if risky.any():
-        idx = np.nonzero(risky)[0]
-        vals = p[idx]
-        fast[idx] = [_round0_exact(float(v)) for v in vals]
+    # Exact VECTORIZED decision for the band (the former per-element
+    # Decimal(repr).quantize fallback dominated the driver fast paths:
+    # at |p| ~ 1e14 the band covers percent-scale fractions of the
+    # input). For |p| < 2^52: floor(ap) is exact and frac = ap -
+    # floor(ap) is exact (Sterbenz), and HALF_UP on the SHORTEST-
+    # DECIMAL digits equals the binary comparison frac >= 0.5 —
+    # n + 0.5 is itself a representable double there, so the shortest
+    # decimal D of ap (which must round-trip to ap) satisfies
+    # D >= n + 0.5 iff ap >= n + 0.5: round-to-nearest cannot carry D
+    # across the representable tie point, and D == n + 0.5 exactly
+    # forces ap == binary(n + 0.5), where both paths round away from
+    # zero. (Fuzzed against the Decimal scalar path in
+    # tests/test_units.py.) |p| >= 2^52 keeps the scalar shortest-
+    # decimal path: the value is integral in BINARY but its shortest
+    # DECIMAL may differ from the binary integer (repr drops digits),
+    # and Spark rounds the shortest decimal.
+    vec = risky & ~big
+    if vec.any():
+        fl = np.floor(ap[vec])
+        up = (ap[vec] - fl) >= 0.5
+        fast[vec] = (np.sign(p[vec]) * (fl + up)).astype(np.int64)
+    scalar = risky & big
+    if scalar.any():
+        idx = np.nonzero(scalar)[0]
+        fast[idx] = [_round0_exact(float(v)) for v in p[idx]]
     return fast
 
 

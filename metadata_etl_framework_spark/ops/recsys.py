@@ -118,6 +118,13 @@ def item_item_cosine(
             .where(F.col("_sz") <= int(max_user_items))
             .drop("_sz")
         )
+    # the deduped user-item frame feeds THREE consumers (norms + both
+    # sides of the pair self-join) — persist so the upstream
+    # interaction pipeline computes once, not three times; the default
+    # MEMORY_AND_DISK level spills gracefully at fact scale, where the
+    # recompute it replaces is three full scan+shuffle passes.
+    # Released after the eager O(pairs) output leaf below.
+    inter = inter.persist()
     norms = inter.groupBy("_i").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("_r") * F.col("_r")).alias("_sq"),
@@ -176,6 +183,11 @@ def item_item_cosine(
             .select("item_a", "item_b", "n_cooc", "cosine", "shrunk_cosine")
             .dropDuplicates(["item_a", "item_b"])
         )
+    # eager O(pairs) model leaf, then release the interaction cache —
+    # the leaf is what every downstream consumer (symmetrize, scoring,
+    # audits) re-reads, so nothing re-executes the self-join
+    stats = stats.localCheckpoint(eager=True)
+    inter.unpersist()
     return stats.orderBy(
         F.desc("shrunk_cosine"), F.asc("item_a"), F.asc("item_b")
     )
@@ -218,6 +230,10 @@ def recommend_items(
         )
         .dropDuplicates(["_u", "_i"])
     )
+    # seen feeds TWO consumers (the scoring join and the unseen
+    # anti-join) — persist so the interaction dedup computes once;
+    # released after the eager O(users·top_n) output leaf below
+    seen = seen.persist()
     # the neighbor model is item-pair-bounded (tiny next to the
     # interactions); materialize it ONCE — the symmetrize union below
     # references it twice and would otherwise recompute the entire
@@ -261,7 +277,7 @@ def recommend_items(
             "left_anti",
         )
     w = Window.partitionBy("_u").orderBy(F.desc("_score"), F.asc("_j"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(top_n))
         .select(
@@ -270,13 +286,16 @@ def recommend_items(
             F.round(F.col("_score").cast("double"), 6).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("user", "rank")
     )
+    # eager O(users·top_n) output leaf, then release the seen cache
+    out = out.localCheckpoint(eager=True)
+    seen.unpersist()
+    return out.orderBy("user", "rank")
 
 
 def _als_driver_py(
     spark,
-    rows: "list",
+    arrs: "tuple",
     u_type,
     it_type,
     user_col: str,
@@ -285,7 +304,7 @@ def _als_driver_py(
     reg: float,
 ) -> "tuple[DataFrame, DataFrame]":
     """Driver-side replica of the :func:`als_factorize` half-rounds
-    over collected ``(__u, __it, __r)`` ratings: same portable-hash
+    over Arrow-transferred ``(__u, __it, __r)`` arrays: same portable-hash
     item init, same per-row pico products (the double multiply THEN
     the exact HALF_UP integer round — driver_exact.round_half_up_int64
     replicates ``F.round(e·1e12)`` bit-for-bit), exact integer group
@@ -295,11 +314,7 @@ def _als_driver_py(
     sum exactly as Spark's null-skipping aggregates drop them; a key
     with no surviving rows solves to NULL factors like the
     ``F.when(det != 0)`` guard. Bit-identical by construction."""
-    import numpy as np
-
-    u = np.array([r[0] for r in rows], dtype=np.int64)
-    it = np.array([r[1] for r in rows], dtype=np.int64)
-    rr = np.array([r[2] for r in rows], dtype=np.float64)
+    u, it, rr = arrs
     uu, pf1, pf2, itu, qf1, qf2 = _als_driver_core(
         u, it, rr, rounds, reg
     )
@@ -366,22 +381,44 @@ def _als_driver_core(
         ok = ~(np.isnan(f1) | np.isnan(f2))
         g = gidx[ok]
         f1k, f2k, rk = f1[ok], f2[ok], rr[ok]
+        cnt = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(cnt, g, 1)
+        maxg = int(cnt.max()) if n_groups else 0
         sums = np.zeros((5, n_groups), dtype=np.int64)
         prods = (f1k * f1k, f1k * f2k, f2k * f2k, rk * f1k, rk * f2k)
         for i, pvals in enumerate(prods):
             v = round_half_up_int64(pvals * 1e12)
             # int64 accumulation is exact only while partial sums fit;
-            # the bound below guarantees it for this group shape
-            if len(v) and int(np.max(np.abs(v))) * len(v) >= (1 << 62):
-                acc = {}
-                for gi, vi in zip(g.tolist(), v.tolist()):
-                    acc[gi] = acc.get(gi, 0) + vi
-                for gi, vi in acc.items():
-                    sums[i, gi] = vi
+            # bound by the LARGEST GROUP (the sums are per group, so
+            # total row count is the wrong multiplier — the former
+            # bound tripped a per-row Python dict loop on every
+            # rating-product stream at the benched scale)
+            if len(v) and int(np.max(np.abs(v))) * max(maxg, 1) >= (
+                1 << 62
+            ):
+                # exact vectorized hi/lo split: per-group int64 sums
+                # of v >> 26 and the 26-bit remainder cannot overflow
+                # (|hi| ≤ 6e10 under the round_half_up_int64 domain,
+                # lo < 2^26, group rows ≤ len(v)); the Python-int
+                # combine is arbitrary-precision and the final int64
+                # store raises loudly if a true group total exceeds
+                # int64 (the distributed DECIMAL(38,0) arm is the
+                # path for such magnitudes)
+                hi = v >> np.int64(26)
+                lo = v - (hi << np.int64(26))
+                shi = np.zeros(n_groups, dtype=np.int64)
+                slo = np.zeros(n_groups, dtype=np.int64)
+                np.add.at(shi, g, hi)
+                np.add.at(slo, g, lo)
+                sums[i] = np.array(
+                    [
+                        (int(a) << 26) + int(b)
+                        for a, b in zip(shi.tolist(), slo.tolist())
+                    ],
+                    dtype=np.int64,
+                )
             else:
                 np.add.at(sums[i], g, v)
-        cnt = np.zeros(n_groups, dtype=np.int64)
-        np.add.at(cnt, g, 1)
         a11 = (sums[0] + reg_pico).astype(np.float64)
         a12 = sums[1].astype(np.float64)
         a22 = (sums[2] + reg_pico).astype(np.float64)
@@ -408,15 +445,16 @@ def _als_driver_core(
 
 
 # Driver gate for the ALS fast path: a ratings table at or under this
-# many rows transfers in one bounded collect (three numeric columns)
-# and the four half-rounds run vectorized on the driver in well under
-# a second, versus ~7 s of broadcast-build + shuffle jobs for the
-# distributed halves at the benched scale. Deliberately TIGHTER than
-# BCAST_MAX_ROWS: the collect is O(ratings), not O(keys), so the gate
-# bounds driver transfer, not just broadcast size. Above it the
-# distributed half-rounds are unchanged — the right plan at fact
-# scale.
-ALS_DRIVER_MAX_ROWS = 500_000
+# many rows transfers in one bounded Arrow collect (three numeric
+# columns — ≤ ~48 MB at the gate, columnar batches rather than pickled
+# Rows) and the four half-rounds run vectorized on the driver in well
+# under a second, versus ~5-7 s of broadcast-build + shuffle jobs for
+# the distributed halves at the benched scale. Same 2M-row measured
+# gate as the GLM trainers (GLM_DRIVER_MAX_ROWS) and BCAST_MAX_ROWS —
+# the transfer is O(ratings) of three numerics, the same byte budget
+# as the GLM projection at its gate. Above it the distributed
+# half-rounds are unchanged — the right plan at fact scale.
+ALS_DRIVER_MAX_ROWS = 2_000_000
 
 
 def als_factorize(
@@ -493,12 +531,27 @@ def als_factorize(
         # bounded driver fast path (gate rationale at
         # ALS_DRIVER_MAX_ROWS); non-integral key columns stay on the
         # distributed arm (the portable-hash init is defined on
-        # integer keys and the replica's arrays are int64)
-        rows = base.collect()
+        # integer keys and the replica's arrays are int64). ONE Arrow
+        # transfer of the three numeric columns — columnar batches,
+        # not pickled Rows (guide §6: Arrow for driver transfers).
+        import numpy as np
+
+        tbl = base.toArrow()
         base.unpersist()
+        arrs = (
+            tbl.column("__u").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ),
+            tbl.column("__it").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ),
+            tbl.column("__r").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ),
+        )
         return _als_driver_py(
             df.sparkSession,
-            rows,
+            arrs,
             u_type,
             it_type,
             user_col,
