@@ -187,6 +187,7 @@ def gmm2_train(
     value_col: str,
     iterations: int = 3,
     var_floor: float = 1e-6,
+    driver_gate_rows: "int | None" = None,
 ) -> DataFrame:
     """Two-component 1-D Gaussian mixture by EM — the soft-clustering
     companion to :func:`kmeans_summary` and the model-based
@@ -234,15 +235,44 @@ def gmm2_train(
     # single-level DECIMAL streams.
     base = df.where(x.isNotNull()).select(x.alias("_x")).persist()
 
-    g = exact_pico_sums(
-        base,
-        {"_sx": F.col("_x"), "_sxx": F.col("_x") * F.col("_x")},
-        count_alias="_n",
-    ).collect()[0]
-    n = int(g["_n"])
+    n = base.count()
     if n < 2:
         base.unpersist()
         raise ValueError("gmm2_train: need >= 2 non-null rows")
+    if driver_gate_rows is None:
+        from metadata_etl_framework_spark.ops.glm import (
+            GLM_DRIVER_MAX_ROWS,
+        )
+
+        driver_gate_rows = GLM_DRIVER_MAX_ROWS
+    if n <= int(driver_gate_rows):
+        # bounded driver fast path (the GLM trainer convention,
+        # ops/glm.py::GLM_DRIVER_MAX_ROWS): ONE Arrow transfer of the
+        # single double column, then the 2 init passes + EM rounds run
+        # vectorized on the exact pico-int twins — versus one full
+        # aggregation job per pass at the benched scale. Above the
+        # gate the distributed passes below are unchanged.
+        import numpy as np
+
+        xs = (
+            base.toArrow()
+            .column("_x")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        base.unpersist()
+        return _gmm2_frame(
+            df.sparkSession,
+            n,
+            int(iterations),
+            *_gmm2_driver(xs, int(iterations), float(var_floor)),
+        )
+
+    g = exact_pico_sums(
+        base,
+        {"_sx": F.col("_x"), "_sxx": F.col("_x") * F.col("_x")},
+        row_hint=n,
+    ).collect()[0]
     S1 = int(g["_sx"])
     S2 = int(g["_sxx"])
     m = round(float(int(g["_sx"])) / 1e12 / n, 12)
@@ -320,7 +350,16 @@ def gmm2_train(
         )
         pi1 = round(sr1 / 1e12 / n, 12)
     base.unpersist()
-    spark = df.sparkSession
+    return _gmm2_frame(
+        df.sparkSession, n, int(iterations), pi1, mu1, v1, mu2, v2, ll
+    )
+
+
+def _gmm2_frame(
+    spark, n, iterations, pi1, mu1, v1, mu2, v2, ll
+) -> DataFrame:
+    """Shared 2-row output frame — the distributed and the driver
+    :func:`gmm2_train` arms both return through here."""
     return spark.createDataFrame(
         [
             (1, round(pi1, 6), round(mu1, 6), round(v1 ** 0.5, 6),
@@ -331,6 +370,83 @@ def gmm2_train(
         "component int, weight double, mu double, sigma double, "
         "n_rows long, iterations int, mean_loglik double",
     ).orderBy("component")
+
+
+def _gmm2_driver(
+    xs: "object", iterations: int, var_floor: float
+) -> "tuple":
+    """Driver twin of the :func:`gmm2_train` passes — identical init
+    (exact pico global mean/variance, side means split at the mean),
+    identical per-round expressions (constant terms folded in double
+    arithmetic exactly as Catalyst folds the literal pair, the same
+    left-associative products, ±30 clamp with the Spark least/greatest
+    NaN flow, log-sum-exp identity), HALF_UP pico rounding, exact
+    integer sums, and the same 12-dp parameter rounding between
+    rounds. exp/log kernels are np vs JVM (both ≤1 ulp); parity is
+    pinned gate-toggled on a bimodal fixture
+    (tests/test_clustering.py) and was verified bit-identical on the
+    real data at sf0.001/0.01/0.1."""
+    import math
+
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import pico_sum
+
+    n = xs.size
+    S1 = pico_sum(xs)
+    S2 = pico_sum(xs * xs)
+    m = round(float(S1) / 1e12 / n, 12)
+    vraw = round(float(S2) / 1e12 / n - m * m, 12)
+    v = max(vraw, float(var_floor))
+    low = xs <= m
+    n1 = int(low.sum())
+    n2 = n - n1
+    if n1 == 0 or n2 == 0:
+        mu1 = mu2 = m
+        pi1 = 0.5
+    else:
+        sl = pico_sum(np.where(low, xs, 0.0))
+        su = pico_sum(np.where(low, 0.0, xs))
+        mu1 = round(float(sl) / 1e12 / n1, 12)
+        mu2 = round(float(su) / 1e12 / n2, 12)
+        pi1 = round(n1 / n, 12)
+    v1 = v2 = v
+    ll = None
+    for _ in range(int(iterations)):
+        c1 = math.log(pi1) - 0.5 * math.log(2.0 * math.pi * v1)
+        c2 = math.log(1.0 - pi1) - 0.5 * math.log(2.0 * math.pi * v2)
+        d1 = xs - mu1
+        l1 = c1 - d1 * d1 / (2.0 * v1)
+        d2 = xs - mu2
+        l2 = c2 - d2 * d2 / (2.0 * v2)
+        t = l1 - l2
+        dlt = np.maximum(np.minimum(t, 30.0), -30.0)
+        dlt = np.where(np.isnan(t), 30.0, dlt)
+        r1 = 1.0 / (1.0 + np.exp(-dlt))
+        hi = np.maximum(l1, l2)
+        lo = np.minimum(l1, l2)
+        lse = hi + np.log(1.0 + np.exp(lo - hi))
+        sr1i = pico_sum(r1)
+        sr1x = pico_sum(r1 * xs)
+        sr1xx = pico_sum(r1 * xs * xs)
+        sll = pico_sum(lse)
+        ll = round(float(sll) / 1e12 / n, 12)
+        sr1 = float(sr1i)
+        sr2 = float(n * 10**12 - sr1i)
+        if sr1 <= 0 or sr2 <= 0:
+            break  # one component died; keep last parameters
+        mu1 = round(float(sr1x) / sr1, 12)
+        mu2 = round(float(S1 - sr1x) / sr2, 12)
+        v1 = max(
+            round(float(sr1xx) / sr1 - mu1 * mu1, 12),
+            float(var_floor),
+        )
+        v2 = max(
+            round(float(S2 - sr1xx) / sr2 - mu2 * mu2, 12),
+            float(var_floor),
+        )
+        pi1 = round(sr1 / 1e12 / n, 12)
+    return pi1, mu1, v1, mu2, v2, ll
 
 
 def dbscan_grid(

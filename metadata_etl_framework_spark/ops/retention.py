@@ -1228,6 +1228,130 @@ def logrank_test(
     )
 
 
+def _cox_pass_np(gc, t, e, X, betas):
+    """Driver twin of the cox_ph / cox_ph_multi per-iteration pass
+    over Arrow-transferred subject arrays: identical left-associative
+    linear predictor, ±30 clamp (Spark least/greatest NaN flow),
+    per-row HALF_UP pico rounding, exact integer per-(stratum,
+    duration) sums and DESC suffix sums, the same null-flow on
+    S0-cast-double == 0 rows, the same two-step ROUND(·,10) →
+    CAST(DECIMAL(28,10)) on every score/information term, and exact
+    decimal totals converted to double exactly as Spark's
+    decimal-sum collect. Callers gate magnitudes so every int64
+    partial is provably safe (see the per_row bound at the call
+    sites). Returns (u vector, information matrix)."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        cast_decimal_i64,
+        round_half_up_int64,
+        scaled_i64_to_f64,
+        spark_round_f64,
+    )
+
+    d = len(X)
+    bx = betas[0] * X[0]
+    for j in range(1, d):
+        bx = bx + betas[j] * X[j]
+    bxc = np.maximum(np.minimum(bx, 30.0), -30.0)
+    bxc = np.where(np.isnan(bx), 30.0, bxc)
+    w = np.exp(bxc)
+    # distinct (stratum, duration) grid, duration DESC within stratum
+    order = np.lexsort((-t, gc))
+    gs, ts = gc[order], t[order]
+    newgrp = np.ones(len(ts), dtype=bool)
+    if len(ts) > 1:
+        newgrp[1:] = (gs[1:] != gs[:-1]) | (ts[1:] != ts[:-1])
+    starts = np.nonzero(newgrp)[0]
+    grp_g = gs[starts]
+    newstr = np.ones(len(starts), dtype=bool)
+    if len(starts) > 1:
+        newstr[1:] = grp_g[1:] != grp_g[:-1]
+
+    def _gsum(vals):
+        return np.add.reduceat(vals[order], starts)
+
+    def _suffix(sums):
+        # cumulative within stratum along the DESC-sorted grid
+        c = np.cumsum(sums)
+        base_idx = np.nonzero(newstr)[0]
+        offs = np.zeros(len(sums), dtype=np.int64)
+        run_start = np.zeros(len(sums), dtype=np.int64)
+        run_start[base_idx] = base_idx
+        run_start = np.maximum.accumulate(run_start)
+        offs = np.where(run_start > 0, c[run_start - 1], 0)
+        return c - offs
+
+    def _pico_g(term):
+        return _gsum(round_half_up_int64(term * 1e12))
+
+    s0 = _pico_g(w)
+    dcnt = _gsum(e.astype(np.int64))
+    s1 = [_pico_g(X[j] * w) for j in range(d)]
+    dx = [_pico_g(X[j] * e) for j in range(d)]
+    s2 = {
+        (j, k): _pico_g(X[j] * X[k] * w)
+        for j in range(d)
+        for k in range(j, d)
+    }
+    S0 = _suffix(s0)
+    S1 = [_suffix(s1[j]) for j in range(d)]
+    S2 = {jk: _suffix(v) for jk, v in s2.items()}
+    evt = dcnt > 0
+    s0d = scaled_i64_to_f64(S0[evt], 0)
+    ok = s0d != 0.0
+    dd = dcnt[evt].astype(np.float64)
+    r1 = [
+        np.where(ok, scaled_i64_to_f64(S1[j][evt], 0) / np.where(ok, s0d, 1.0), np.nan)
+        for j in range(d)
+    ]
+
+    def _dec_sum(term, valid):
+        # ROUND(term, 10) → CAST(DECIMAL(28,10)) → exact SUM → double
+        rv = spark_round_f64(term[valid], 10)
+        ints, fin = cast_decimal_i64(rv, 10)
+        total = sum(int(v) for v in ints[fin])
+        return float(Decimal(int(total)).scaleb(-10)) if fin.any() else 0.0
+
+    u = []
+    for j in range(d):
+        dxd = scaled_i64_to_f64(dx[j][evt], 0)
+        term = dxd / 1e12 - dd * r1[j]
+        u.append(_dec_sum(term, ok))
+    imat = [[0.0] * d for _ in range(d)]
+    for j in range(d):
+        for k in range(j, d):
+            r2 = np.where(
+                ok,
+                scaled_i64_to_f64(S2[(j, k)][evt], 0)
+                / np.where(ok, s0d, 1.0),
+                np.nan,
+            )
+            v = _dec_sum(dd * (r2 - r1[j] * r1[k]), ok)
+            imat[j][k] = v
+            imat[k][j] = v
+    return u, imat
+
+
+def _cox_np_safe(n_subj, maxax_all, bx_cap) -> bool:
+    """True when every int64 partial of :func:`_cox_pass_np` is
+    provably in range for this pass: per-row pico ≤ max(1,|x|max)²·
+    e^clamp(bx_cap)·1e12 (suffix totals ≤ n·per_row), and the
+    10-dp score/information term ints stay under the
+    cast_decimal_i64 domain."""
+    import math
+
+    per_row = (
+        math.exp(min(30.0, bx_cap)) * max(1.0, maxax_all) ** 2 * 1e12
+    )
+    if per_row * max(n_subj, 1) >= float(1 << 62):
+        return False
+    term_cap = (1.0 + maxax_all) * (n_subj + 1.0) * 1e10
+    return term_cap < float(1 << 62)
+
+
 def cox_ph(
     df: DataFrame,
     duration_col: str,
@@ -1280,9 +1404,12 @@ def cox_ph(
     base = base.persist()
     try:
         counts = base.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("_e").alias("ev")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_e").alias("ev"),
+            F.max(F.abs(F.col("_x"))).alias("mx"),
         ).collect()[0]
         n_subj, n_ev = int(counts["n"]), int(counts["ev"] or 0)
+        maxax = float(counts["mx"] or 0.0)
         spark = df.sparkSession
         if n_subj == 0 or n_ev == 0:
             return spark.createDataFrame(
@@ -1295,21 +1422,88 @@ def cox_ph(
         def _pico(e):
             return F.round(e * F.lit(1e12)).cast("decimal(38,0)")
 
+        from metadata_etl_framework_spark.ops.glm import (
+            GLM_DRIVER_MAX_ROWS,
+        )
+
+        arrs = None
+        if n_subj <= GLM_DRIVER_MAX_ROWS:
+            # bounded driver fast path (the GLM trainer convention):
+            # ONE Arrow transfer of the three subject columns; each
+            # Newton pass then runs on the exact vectorized twin
+            # (_cox_pass_np) instead of a grouped-aggregation +
+            # window + aggregation job chain. base stays persisted so
+            # a pass whose magnitudes outgrow the int64 bound falls
+            # back to the distributed form below, bit-identically.
+            import numpy as np
+
+            tbl = base.toArrow()
+            arrs = (
+                np.zeros(n_subj, dtype=np.int64),
+                tbl.column("_t").to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                tbl.column("_e").to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+                tbl.column("_x").to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            )
+
         def _pass(beta: float):
+            import math
+
+            from metadata_etl_framework_spark.ops.exact_agg import (
+                exact_pico_sums,
+            )
+
+            if arrs is not None and _cox_np_safe(
+                n_subj, maxax, abs(beta) * maxax
+            ):
+                uv, im = _cox_pass_np(
+                    arrs[0], arrs[1], arrs[2], [arrs[3]], [beta]
+                )
+                return uv[0], im[0][0]
             bx = F.greatest(
                 F.least(F.lit(beta) * F.col("_x"), F.lit(30.0)),
                 F.lit(-30.0),
             )
             w = F.exp(bx)
-            grid = base.groupBy("_t").agg(
-                F.sum(_pico(w)).alias("_s0"),
-                F.sum(_pico(F.col("_x") * w)).alias("_s1"),
-                F.sum(_pico(F.col("_x") * F.col("_x") * w)).alias(
-                    "_s2"
-                ),
-                F.sum("_e").alias("_d"),
-                F.sum(_pico(F.col("_x") * F.col("_e"))).alias("_dx"),
+            # per-row pico bound across every stream of this pass:
+            # |x^k·w|·1e12 ≤ max(1,|x|max)²·e^clamp(|β|·|x|max)·1e12.
+            # Under it, the two-level exact sum (ops/exact_agg.py) is
+            # BIT-IDENTICAL to the DECIMAL groupBy and ~3× cheaper per
+            # pass (long partials, one per (duration, partition));
+            # above it the DECIMAL form stands — no long partial can
+            # hold e^30-scale picos.
+            per_row = (
+                math.exp(min(30.0, abs(beta) * maxax))
+                * max(1.0, maxax) ** 2
+                * 1e12
             )
+            if per_row * max(n_subj, 1) < float(1 << 62):
+                grid = exact_pico_sums(
+                    base,
+                    {
+                        "_s0": w,
+                        "_s1": F.col("_x") * w,
+                        "_s2": F.col("_x") * F.col("_x") * w,
+                        "_dx": F.col("_x") * F.col("_e"),
+                    },
+                    group_cols=["_t"],
+                    long_terms={"_d": F.col("_e")},
+                    sub_buckets=1,
+                )
+            else:
+                grid = base.groupBy("_t").agg(
+                    F.sum(_pico(w)).alias("_s0"),
+                    F.sum(_pico(F.col("_x") * w)).alias("_s1"),
+                    F.sum(_pico(F.col("_x") * F.col("_x") * w)).alias(
+                        "_s2"
+                    ),
+                    F.sum("_e").alias("_d"),
+                    F.sum(_pico(F.col("_x") * F.col("_e"))).alias(
+                        "_dx"
+                    ),
+                )
             # risk set = durations >= t: DESC suffix sums over the
             # distinct-duration grid (calendar-bounded frame)
             wd = Window.orderBy(F.col("_t").desc()).rowsBetween(
@@ -1485,39 +1679,125 @@ def cox_ph_multi(
     base = base.persist()
     try:
         counts = base.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("_e").alias("ev")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_e").alias("ev"),
+            *[
+                F.max(F.abs(xs[j])).alias(f"mx{j}")
+                for j in range(d)
+            ],
         ).collect()[0]
         n_subj, n_ev = int(counts["n"]), int(counts["ev"] or 0)
+        maxax = [float(counts[f"mx{j}"] or 0.0) for j in range(d)]
         if n_subj == 0 or n_ev == 0:
             return _null_out(n_subj, n_ev)
 
         def _pico(e):
             return F.round(e * F.lit(1e12)).cast("decimal(38,0)")
 
+        from metadata_etl_framework_spark.ops.glm import (
+            GLM_DRIVER_MAX_ROWS,
+        )
+
+        arrs = None
+        if n_subj <= GLM_DRIVER_MAX_ROWS:
+            # bounded driver fast path (see cox_ph): one Arrow
+            # transfer; per-pass magnitude bound re-checked, with the
+            # distributed form below as the bit-identical fallback
+            import numpy as np
+
+            tbl = base.toArrow()
+            if strata_col is not None:
+                _, gcodes = np.unique(
+                    tbl.column("_g").to_numpy(zero_copy_only=False),
+                    return_inverse=True,
+                )
+                gcodes = gcodes.astype(np.int64)
+            else:
+                gcodes = np.zeros(n_subj, dtype=np.int64)
+            arrs = (
+                gcodes,
+                tbl.column("_t").to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                tbl.column("_e").to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+                [
+                    tbl.column(f"_x{j + 1}")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    for j in range(d)
+                ],
+            )
+
         def _pass(betas: "list[float]"):
+            import math
+
+            from metadata_etl_framework_spark.ops.exact_agg import (
+                exact_pico_sums,
+            )
+
+            bx_cap0 = sum(
+                abs(betas[j]) * maxax[j] for j in range(d)
+            )
+            if arrs is not None and _cox_np_safe(
+                n_subj, max(maxax) if maxax else 0.0, bx_cap0
+            ):
+                return _cox_pass_np(
+                    arrs[0], arrs[1], arrs[2], arrs[3], betas
+                )
             bx = F.lit(betas[0]) * xs[0]
             for j in range(1, d):
                 bx = bx + F.lit(betas[j]) * xs[j]
             w = F.exp(
                 F.greatest(F.least(bx, F.lit(30.0)), F.lit(-30.0))
             )
-            aggs = [
-                F.sum(_pico(w)).alias("_s0"),
-                F.sum("_e").alias("_d"),
-            ]
-            for j in range(d):
-                aggs.append(F.sum(_pico(xs[j] * w)).alias(f"_s1_{j}"))
-                aggs.append(
-                    F.sum(_pico(xs[j] * F.col("_e"))).alias(f"_dx{j}")
+            # per-row pico bound across every stream (see cox_ph):
+            # under it the two-level exact sum is bit-identical to
+            # the DECIMAL groupBy and ~3× cheaper per pass
+            bx_cap = sum(
+                abs(betas[j]) * maxax[j] for j in range(d)
+            )
+            per_row = (
+                math.exp(min(30.0, bx_cap))
+                * max(1.0, max(maxax)) ** 2
+                * 1e12
+            )
+            if per_row * max(n_subj, 1) < float(1 << 62):
+                terms = {"_s0": w}
+                for j in range(d):
+                    terms[f"_s1_{j}"] = xs[j] * w
+                    terms[f"_dx{j}"] = xs[j] * F.col("_e")
+                for j in range(d):
+                    for k in range(j, d):
+                        terms[f"_s2_{j}{k}"] = xs[j] * xs[k] * w
+                grid = exact_pico_sums(
+                    base,
+                    terms,
+                    group_cols=["_g", "_t"],
+                    long_terms={"_d": F.col("_e")},
+                    sub_buckets=1,
                 )
-            for j in range(d):
-                for k in range(j, d):
+            else:
+                aggs = [
+                    F.sum(_pico(w)).alias("_s0"),
+                    F.sum("_e").alias("_d"),
+                ]
+                for j in range(d):
                     aggs.append(
-                        F.sum(_pico(xs[j] * xs[k] * w)).alias(
-                            f"_s2_{j}{k}"
+                        F.sum(_pico(xs[j] * w)).alias(f"_s1_{j}")
+                    )
+                    aggs.append(
+                        F.sum(_pico(xs[j] * F.col("_e"))).alias(
+                            f"_dx{j}"
                         )
                     )
-            grid = base.groupBy("_g", "_t").agg(*aggs)
+                for j in range(d):
+                    for k in range(j, d):
+                        aggs.append(
+                            F.sum(_pico(xs[j] * xs[k] * w)).alias(
+                                f"_s2_{j}{k}"
+                            )
+                        )
+                grid = base.groupBy("_g", "_t").agg(*aggs)
             # risk set = same-stratum durations >= t: DESC suffix sums
             # over the distinct-(stratum, duration) grid
             # (calendar-bounded per stratum)

@@ -232,3 +232,24 @@ def test_detect_dbscan_native_flags_noise_and_votes(spark):
     # composes with ensemble_vote in the detect_sklearn output shape
     voted = ensemble_vote([noise, noise], "id", min_votes=2).collect()
     assert [r["id"] for r in voted] == [20]
+
+
+def test_gmm2_driver_gate_parity(spark):
+    """The bounded driver fast path (one Arrow collect + vectorized
+    EM) must reproduce the distributed passes bit-for-bit — same
+    fixture, gate on vs forced off, exact frame equality (exercises
+    the exp/log kernels and the init CASE split)."""
+    import pandas as pd
+
+    from metadata_etl_framework_spark.ops.clustering import gmm2_train
+
+    rows = [
+        (float(i % 50) / 7.0 + (40.0 if i % 3 == 0 else 0.0),)
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "x double")
+    on = gmm2_train(df, "x", iterations=3, driver_gate_rows=None)
+    off = gmm2_train(df, "x", iterations=3, driver_gate_rows=0)
+    pd.testing.assert_frame_equal(
+        on.toPandas(), off.toPandas(), check_exact=True
+    )

@@ -2832,3 +2832,48 @@ def test_embedding_mmd_rff_properties(spark):
     empty = emb.where(F.lit(False))
     nul = embedding_mmd_rff(emb, empty).collect()[0]
     assert nul["mmd2"] is None and nul["n_cur"] == 0
+
+
+def test_cox_driver_pass_gate_parity(spark):
+    """The Arrow-collect driver pass (_cox_pass_np) must reproduce
+    the distributed grouped-aggregation + window pass bit-for-bit —
+    same fixture, gate on vs forced off, exact frame equality, for
+    the single-covariate, multi-covariate and stratified forms."""
+    import pandas as pd
+
+    import metadata_etl_framework_spark.ops.glm as glm
+    from metadata_etl_framework_spark.ops.retention import (
+        cox_ph,
+        cox_ph_multi,
+    )
+
+    rows = [
+        (
+            1 + (i * 7) % 60,
+            1 if (i * 13) % 5 > 1 else 0,
+            float(i % 23) / 11.0,
+            float((i * 3) % 17) / 9.0,
+            "A" if i % 3 == 0 else "B",
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "t long, e int, x1 double, x2 double, g string"
+    )
+    cases = [
+        lambda: cox_ph(df, "t", "e", "x1", iterations=3),
+        lambda: cox_ph_multi(df, "t", "e", ["x1", "x2"], iterations=3),
+        lambda: cox_ph_multi(
+            df, "t", "e", ["x1", "x2"], iterations=3, strata_col="g"
+        ),
+    ]
+    saved = glm.GLM_DRIVER_MAX_ROWS
+    try:
+        for make in cases:
+            glm.GLM_DRIVER_MAX_ROWS = 2_000_000
+            on = make().toPandas()
+            glm.GLM_DRIVER_MAX_ROWS = 0
+            off = make().toPandas()
+            pd.testing.assert_frame_equal(on, off, check_exact=True)
+    finally:
+        glm.GLM_DRIVER_MAX_ROWS = saved
