@@ -1767,6 +1767,196 @@ def _lof_from_nn(
     return out
 
 
+# Driver gate for the bucketed-LOF fast path: at or under these bounds
+# the (id, vector) frame transfers in ONE Arrow collect and the whole
+# bucket → candidate-pair → top-k → LOF derivation runs on exact
+# vectorized twins of the DECIMAL conventions (driver_exact.py) — no
+# transcendental kernels beyond the correctly-rounded sqrt, so the twin
+# is bit-exact by construction. Above any bound the distributed chain
+# below is unchanged — the right plan at corpus scale. The benched
+# shape (2k × 64-dim vectors) spent ~6 s on 6 tiny shuffle stages of
+# interpreted per-element DECIMAL aggregates.
+LOF_DRIVER_MAX_ROWS = 2_000_000
+LOF_DRIVER_MAX_CELLS = 32_000_000  # rows × dims transferred
+LOF_DRIVER_MAX_PAIRS = 20_000_000  # Σ|bucket|² candidate pairs
+
+
+def _lof_bucketed_driver(
+    spark, ids, V, planes, k, threshold, id_type, id_col
+):
+    """Driver twin of the :func:`lof_scores_bucketed` chain over
+    Arrow-transferred arrays — every step replicates the distributed
+    expression exactly: per-component double products cast
+    DECIMAL(30,15) (HALF_UP on shortest-decimal digits) and summed as
+    exact ints for dots/norms/bucket signs, 6-dp cosine rounding,
+    (cos DESC NULLS LAST, id ASC) top-k, then the LOF derivation with
+    Spark's null flow (max/sum skip nulls, greatest skips nulls,
+    count counts all rows) and the same DECIMAL(20,6)/(20,8) casts.
+    Returns None when Σ|bucket|² exceeds LOF_DRIVER_MAX_PAIRS — the
+    caller falls back to the distributed chain."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        cast_decimal_i64,
+        scaled_i64_to_f64,
+        spark_round_f64,
+    )
+
+    n, d = V.shape
+
+    def _dec_rowdot(A, B):
+        """Exact rowwise decimal(38,15) dot of (m,d) arrays → scaled
+        int64 sums (the distributed F.aggregate total)."""
+        ints, ok = cast_decimal_i64((A * B).reshape(-1), 15)
+        if not ok.all():
+            raise ValueError(
+                "lof driver twin: non-finite product (the distributed "
+                "ANSI decimal cast would raise here)"
+            )
+        return ints.reshape(A.shape[0], d).sum(axis=1)
+
+    # bucket bits: sign of the decimal dot with each float32-cast plane
+    pl = np.asarray(planes, dtype=np.float32).astype(np.float64)
+    codes = np.zeros(n, dtype=np.int64)
+    for h in range(pl.shape[0]):
+        s = _dec_rowdot(V, np.broadcast_to(pl[h], (n, d)))
+        codes = codes * 2 + (s >= 0).astype(np.int64)
+    nrm = np.sqrt(scaled_i64_to_f64(_dec_rowdot(V, V), 15))
+
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    starts = np.nonzero(
+        np.concatenate(([True], sc[1:] != sc[:-1]))
+    )[0]
+    ends = np.concatenate((starts[1:], [n]))
+    sizes = ends - starts
+    if int(np.sum(sizes.astype(np.float64) ** 2)) > LOF_DRIVER_MAX_PAIRS:
+        return None
+    # candidate pairs: full bucket grids minus the diagonal
+    p_idx_parts, o_idx_parts = [], []
+    for s0, s1 in zip(starts, ends):
+        if s1 - s0 < 2:
+            continue
+        members = order[s0:s1]
+        gp = np.repeat(members, len(members))
+        go = np.tile(members, len(members))
+        keep = gp != go
+        p_idx_parts.append(gp[keep])
+        o_idx_parts.append(go[keep])
+    if p_idx_parts:
+        p_idx = np.concatenate(p_idx_parts)
+        o_idx = np.concatenate(o_idx_parts)
+    else:
+        p_idx = np.zeros(0, dtype=np.int64)
+        o_idx = np.zeros(0, dtype=np.int64)
+
+    # 6-dp cosine per candidate pair (chunked: exactness is per-row)
+    cos = np.full(len(p_idx), np.nan)
+    CH = 2_000_000 // max(d, 1) + 1
+    for lo in range(0, len(p_idx), CH):
+        hi = min(lo + CH, len(p_idx))
+        dots = scaled_i64_to_f64(
+            _dec_rowdot(V[p_idx[lo:hi]], V[o_idx[lo:hi]]), 15
+        )
+        den = nrm[p_idx[lo:hi]] * nrm[o_idx[lo:hi]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(den != 0, dots / np.where(den != 0, den, 1.0), np.nan)
+        cos[lo:hi] = spark_round_f64(c, 6)
+
+    # top-k per point: (_cos DESC NULLS LAST, _o ASC) — nan → -inf
+    # sorts null rows last exactly like Spark's DESC default
+    ckey = np.where(np.isnan(cos), -np.inf, cos)
+    oid = ids[o_idx]
+    sel = np.lexsort((oid, -ckey, ids[p_idx]))
+    sp, so, scos = p_idx[sel], o_idx[sel], cos[sel]
+    spk = ids[sp]
+    first = np.concatenate(([True], spk[1:] != spk[:-1]))
+    grp_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(spk)), 0)
+    )
+    rn = np.arange(len(spk)) - grp_start
+    keep = rn < int(k)
+    sp, so, scos = sp[keep], so[keep], scos[keep]
+    dv = 1.0 - scos  # nan flows like the distributed null
+
+    # k-distance per point (max skips nulls; nan when all null)
+    has = ~np.isnan(dv)
+    kd = np.full(n, -np.inf)
+    if has.any():
+        np.maximum.at(kd, sp[has], dv[has])
+    kd[np.isinf(kd)] = np.nan
+    in_nn = np.zeros(n, dtype=bool)
+    if len(sp):
+        in_nn[sp] = True
+
+    # reachability: greatest(kd[o], d) — Spark greatest SKIPS nulls
+    okd = kd[so]
+    rd = np.where(
+        np.isnan(okd),
+        dv,
+        np.where(np.isnan(dv), okd, np.maximum(okd, dv)),
+    )
+    rd6, rd_ok = cast_decimal_i64(rd, 6)
+
+    def _gsum_ints(vals, valid, pts):
+        out = np.zeros(n, dtype=np.int64)
+        got = np.zeros(n, dtype=bool)
+        if valid.any():
+            np.add.at(out, pts[valid], vals[valid])
+            got[pts[valid]] = True
+        return out, got
+
+    cnt = np.zeros(n, dtype=np.int64)
+    if len(sp):
+        np.add.at(cnt, sp, 1)
+    srd, srd_got = _gsum_ints(rd6, rd_ok, sp)
+    # lrd: when(sum > 0, round(count / sum_double, 8))
+    lrd = np.full(n, np.nan)
+    live = srd_got & (srd > 0)
+    if live.any():
+        lrd[live] = spark_round_f64(
+            cnt[live].astype(np.float64)
+            / scaled_i64_to_f64(srd[live], 6),
+            8,
+        )
+    # neighbor-lrd average: sum(lrd[o] cast decimal(20,8)) / count
+    olrd8, olrd_ok = cast_decimal_i64(lrd[so], 8)
+    sol, sol_got = _gsum_ints(olrd8, olrd_ok, sp)
+    avg_olrd = np.full(n, np.nan)
+    m_ = in_nn & sol_got
+    if m_.any():
+        avg_olrd[m_] = scaled_i64_to_f64(sol[m_], 8) / cnt[
+            m_
+        ].astype(np.float64)
+
+    # final projection (null flow: nan → None)
+    k_dist = spark_round_f64(kd, 6)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lof_raw = avg_olrd / lrd
+    lof = spark_round_f64(lof_raw, 6)
+    outlier = np.where(np.isnan(lof), False, lof > float(threshold))
+
+    import pandas as pd
+
+    srt = np.argsort(ids, kind="stable")
+    pdf = pd.DataFrame(
+        {
+            id_col: ids[srt],
+            "k_dist": k_dist[srt],
+            "lrd": lrd[srt],
+            "lof": lof[srt],
+            "is_outlier": outlier[srt],
+        }
+    )
+    for c in ("k_dist", "lrd", "lof"):
+        pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
+    return spark.createDataFrame(
+        pdf,
+        f"{id_col} {id_type.simpleString()}, k_dist double, "
+        "lrd double, lof double, is_outlier boolean",
+    )
+
+
 def lof_scores_bucketed(
     df: DataFrame,
     k: int = 5,
@@ -1817,13 +2007,67 @@ def lof_scores_bucketed(
             f"{id_col} long, k_dist double, lrd double, lof double, "
             f"is_outlier boolean",
         )
-    if hyperplanes is not None:
+    dim = int(first["d"])
+    pl_list = (
+        [list(map(float, h)) for h in hyperplanes]
+        if hyperplanes is not None
+        else det_hyperplanes_mixed(int(n_planes), dim)
+        if n_planes > 0
+        else []
+    )
+    from pyspark.sql.types import IntegralType
+
+    n_rows = base.count()
+    if (
+        n_rows <= LOF_DRIVER_MAX_ROWS
+        and n_rows * max(dim, 1) <= LOF_DRIVER_MAX_CELLS
+        and isinstance(df.schema[id_col].dataType, IntegralType)
+    ):
+        # bounded driver fast path (gate rationale at
+        # LOF_DRIVER_MAX_ROWS); ragged vectors, duplicate ids or
+        # out-of-bound magnitudes fall through to the distributed
+        # chain, as does a Σ|bucket|² above the pair cap
+        import numpy as np
+
+        tbl = base.select(id_col, vec_col).toArrow()
+        vcol = tbl.column(vec_col).combine_chunks()
+        offs = np.diff(vcol.offsets.to_numpy(zero_copy_only=False))
+        if vcol.null_count == 0 and (offs == dim).all():
+            ids_np = (
+                tbl.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            V = (
+                vcol.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n_rows, dim)
+            )
+            maxv = float(np.max(np.abs(V))) if V.size else 0.0
+            safe = (
+                np.isfinite(V).all()
+                and max(1.0, maxv) ** 2 * 1e15 * max(dim, 1)
+                < float(1 << 62)
+                and len(np.unique(ids_np)) == n_rows
+            )
+            if safe:
+                out = _lof_bucketed_driver(
+                    df.sparkSession,
+                    ids_np,
+                    V,
+                    pl_list,
+                    int(k),
+                    float(threshold),
+                    df.schema[id_col].dataType,
+                    id_col,
+                )
+                if out is not None:
+                    return out
+    if pl_list:
         bucketed = hyperplane_lsh_buckets(
-            base, hyperplanes, id_col, vec_col
+            base, pl_list, id_col, vec_col
         )
-    elif n_planes > 0:
-        planes = det_hyperplanes_mixed(int(n_planes), int(first["d"]))
-        bucketed = hyperplane_lsh_buckets(base, planes, id_col, vec_col)
     else:
         bucketed = base.select(
             id_col, vec_col, F.lit("").alias("bucket")

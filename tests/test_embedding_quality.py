@@ -225,3 +225,39 @@ def test_auc_delong_degenerate_classes(spark):
         "s", "y",
     ).collect()[0]
     assert empty["n_neg"] == 0 and empty["auc"] is None
+
+
+def test_lof_bucketed_driver_gate_parity(spark):
+    """The Arrow-collect driver twin of the bucketed-LOF chain must
+    reproduce the distributed chain bit-for-bit — same fixture, gate
+    on vs forced off, exact frame equality (exercises buckets,
+    decimal dots, top-k tie order, and the null flow for singleton
+    buckets)."""
+    import pandas as pd
+
+    import metadata_etl_framework_spark.ops.similarity as sim
+    from metadata_etl_framework_spark.ops.similarity import (
+        lof_scores_bucketed,
+    )
+
+    rows = [
+        (
+            i,
+            [
+                float((i * 7 + j * 13) % 19) / 19.0 - 0.5
+                + (3.0 if i == 41 and j == 0 else 0.0)
+                for j in range(8)
+            ],
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    saved = sim.LOF_DRIVER_MAX_ROWS
+    try:
+        sim.LOF_DRIVER_MAX_ROWS = 2_000_000
+        on = lof_scores_bucketed(df, k=4, n_planes=4).toPandas()
+        sim.LOF_DRIVER_MAX_ROWS = 0
+        off = lof_scores_bucketed(df, k=4, n_planes=4).toPandas()
+    finally:
+        sim.LOF_DRIVER_MAX_ROWS = saved
+    pd.testing.assert_frame_equal(on, off, check_exact=True)
