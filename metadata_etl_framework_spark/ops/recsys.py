@@ -53,6 +53,129 @@ __all__ = [
 
 _DEC = "decimal(30,10)"
 
+# Driver gates for the CF fast paths: at or under these bounds the
+# deduped interaction frame (and the pair-bounded neighbor model)
+# transfer in one Arrow collect each and the candidate generation /
+# scoring runs on exact vectorized twins — integer co-occurrence
+# counts, correctly-rounded sqrt, 6-dp rounds and exact micro-int
+# score sums, so the twins are bit-exact by construction (no
+# transcendental kernels). Above any bound the distributed chains are
+# unchanged — the right plan at catalog scale.
+CF_DRIVER_MAX_ROWS = 2_000_000
+CF_DRIVER_MAX_PAIRS = 20_000_000
+CF_DRIVER_MAX_ITEMS = 4_096
+
+
+def _np_orderable(arr) -> bool:
+    """True when numpy sorts `arr` exactly like Spark orders the
+    column: any numeric dtype, or strings that are pure ASCII (both
+    engines then compare the same code units)."""
+    import numpy as np
+
+    if arr.dtype != object:
+        return True
+    for v in arr:
+        if not isinstance(v, str):
+            return False
+        if not v.isascii():
+            return False
+    return True
+
+
+def _item_cosine_driver(
+    spark, ucode, icode, items, item_type, min_cooc, shrinkage,
+    top_k_per_item,
+):
+    """Driver twin of the binary-mode :func:`item_item_cosine` chain
+    over factorized distinct (user, item) codes: per-user item pairs
+    (ia < ib in VALUE order — np.unique codes are value-sorted),
+    exact integer co-occurrence counts, the same cos/shrink/round
+    expressions (counts convert to double exactly; sqrt is correctly
+    rounded in both engines), and the same either-endpoint top-k
+    prune. Returns the stats frame the shared orderBy tail sorts."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        spark_round_f64,
+    )
+
+    L = len(items)
+    n_i = np.bincount(icode, minlength=L).astype(np.int64)
+    # per-user blocks over the (value-sorted) distinct codes
+    order = np.lexsort((icode, ucode))
+    iu = icode[order]
+    uu_sorted = ucode[order]
+    starts = np.nonzero(
+        np.concatenate(([True], uu_sorted[1:] != uu_sorted[:-1]))
+    )[0]
+    ends = np.concatenate((starts[1:], [len(iu)]))
+    ks = ends - starts
+    # pair generation grouped by identical user-degree k (vectorized
+    # k×k grids; #distinct k ≤ CF_DRIVER_MAX_ITEMS)
+    pa_parts, pb_parts = [], []
+    for k in np.unique(ks):
+        if k < 2:
+            continue
+        s = starts[ks == k]
+        block = iu[(s[:, None] + np.arange(k)[None, :])]
+        a_i, b_i = np.triu_indices(int(k), k=1)
+        pa_parts.append(block[:, a_i].reshape(-1))
+        pb_parts.append(block[:, b_i].reshape(-1))
+    if pa_parts:
+        pa = np.concatenate(pa_parts)
+        pb = np.concatenate(pb_parts)
+        keys, cab = np.unique(pa * np.int64(L) + pb, return_counts=True)
+        ia = (keys // L).astype(np.int64)
+        ib = (keys % L).astype(np.int64)
+        cab = cab.astype(np.int64)
+    else:
+        ia = ib = cab = np.zeros(0, dtype=np.int64)
+    keep = cab >= int(min_cooc)
+    ia, ib, cab = ia[keep], ib[keep], cab[keep]
+    cos = cab.astype(np.float64) / np.sqrt(
+        n_i[ia].astype(np.float64) * n_i[ib].astype(np.float64)
+    )
+    shrunk = cos * (
+        cab.astype(np.float64)
+        / (cab.astype(np.float64) + float(shrinkage))
+    )
+    cos6 = spark_round_f64(cos, 6)
+    shr6 = spark_round_f64(shrunk, 6)
+    if top_k_per_item is not None and len(ia):
+        kk = int(top_k_per_item)
+        si = np.concatenate([ia, ib])
+        sj = np.concatenate([ib, ia])
+        sv = np.concatenate([shr6, shr6])
+        pair = np.concatenate([np.arange(len(ia)), np.arange(len(ia))])
+        o2 = np.lexsort((sj, -sv, si))
+        sio = si[o2]
+        firsts = np.concatenate(([True], sio[1:] != sio[:-1]))
+        gstart = np.maximum.accumulate(
+            np.where(firsts, np.arange(len(sio)), 0)
+        )
+        rn = np.arange(len(sio)) - gstart
+        kept_pairs = np.zeros(len(ia), dtype=bool)
+        kept_pairs[pair[o2][rn < kk]] = True
+        ia, ib = ia[kept_pairs], ib[kept_pairs]
+        cab = cab[kept_pairs]
+        cos6, shr6 = cos6[kept_pairs], shr6[kept_pairs]
+    pdf = pd.DataFrame(
+        {
+            "item_a": items[ia],
+            "item_b": items[ib],
+            "n_cooc": cab,
+            "cosine": cos6,
+            "shrunk_cosine": shr6,
+        }
+    )
+    t = item_type.simpleString()
+    return spark.createDataFrame(
+        pdf,
+        f"item_a {t}, item_b {t}, n_cooc long, cosine double, "
+        "shrunk_cosine double",
+    )
+
 
 def item_item_cosine(
     df: DataFrame,
@@ -125,6 +248,43 @@ def item_item_cosine(
     # recompute it replaces is three full scan+shuffle passes.
     # Released after the eager O(pairs) output leaf below.
     inter = inter.persist()
+    if rating_col is None and max_user_items is None:
+        # bounded driver fast path (gate rationale at
+        # CF_DRIVER_MAX_ROWS); oversized catalogs, pair blowups or
+        # non-orderable key values fall through to the distributed
+        # chain below
+        n_inter = inter.count()
+        if n_inter <= CF_DRIVER_MAX_ROWS:
+            import numpy as np
+
+            tbl = inter.select("_u", "_i").toArrow()
+            u_np = tbl.column("_u").to_numpy(zero_copy_only=False)
+            i_np = tbl.column("_i").to_numpy(zero_copy_only=False)
+            items, icode = np.unique(i_np, return_inverse=True)
+            L = len(items)
+            if L and _np_orderable(items):
+                _, ucode = np.unique(u_np, return_inverse=True)
+                ks = np.bincount(ucode).astype(np.float64)
+                if (
+                    L <= CF_DRIVER_MAX_ITEMS
+                    and float(np.sum(ks * ks)) <= CF_DRIVER_MAX_PAIRS
+                ):
+                    stats = _item_cosine_driver(
+                        df.sparkSession,
+                        ucode.astype(np.int64),
+                        icode.astype(np.int64),
+                        items,
+                        df.schema[item_col].dataType,
+                        int(min_cooc),
+                        float(shrinkage),
+                        top_k_per_item,
+                    )
+                    inter.unpersist()
+                    return stats.orderBy(
+                        F.desc("shrunk_cosine"),
+                        F.asc("item_a"),
+                        F.asc("item_b"),
+                    )
     norms = inter.groupBy("_i").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("_r") * F.col("_r")).alias("_sq"),
@@ -193,6 +353,123 @@ def item_item_cosine(
     )
 
 
+def _recommend_driver(
+    spark,
+    seen_df,
+    sims,
+    user_col,
+    item_col,
+    user_type,
+    item_type,
+    top_n,
+    include_seen,
+):
+    """Driver twin of the :func:`recommend_items` scoring chain over
+    Arrow-transferred arrays: symmetrized neighbor expansion, EXACT
+    micro-int (decimal(20,6)) score sums per (user, candidate), the
+    same seen anti-join and (score DESC, item ASC) rank, the same
+    6-dp double readout. Integer arithmetic + exact casts only —
+    bit-exact by construction. Returns None when a precondition
+    fails (non-orderable items, null/non-finite similarities, model
+    over the gate, or an expansion blowup) — the caller falls back to
+    the distributed chain."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        cast_decimal_i64,
+        scaled_i64_to_f64,
+        spark_round_f64,
+    )
+
+    stbl = sims.select("item_a", "item_b", "shrunk_cosine").toArrow()
+    if stbl.num_rows > CF_DRIVER_MAX_ROWS:
+        return None
+    A = stbl.column("item_a").to_numpy(zero_copy_only=False)
+    B = stbl.column("item_b").to_numpy(zero_copy_only=False)
+    S = (
+        stbl.column("shrunk_cosine")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    if len(S) and not np.isfinite(S).all():
+        return None
+    ttbl = seen_df.toArrow()
+    su = ttbl.column("_u").to_numpy(zero_copy_only=False)
+    si = ttbl.column("_i").to_numpy(zero_copy_only=False)
+    items = np.unique(np.concatenate([si, A, B]))
+    if not _np_orderable(items):
+        return None
+    L = len(items)
+    ai = np.searchsorted(items, A)
+    bi = np.searchsorted(items, B)
+    sic = np.searchsorted(items, si)
+    users, ucode = np.unique(su, return_inverse=True)
+    if float(len(users)) * L >= float(1 << 62):
+        return None
+    s6, ok6 = cast_decimal_i64(S, 6)
+    if len(S) and not ok6.all():
+        return None
+    # EXACT dense formulation (this box pays ~20 ms/MB of first-touch
+    # page faults, so a row-expansion join is the wrong driver shape):
+    # score(u, j) = Σ_{i∈items(u)} sim(i, j) = (U @ S6)[u, j] with U a
+    # 0/1 incidence matrix and S6 the symmetric micro-int similarity
+    # matrix — every product and partial sum is an integer far below
+    # 2^53, so the float64 matmul is EXACT regardless of summation
+    # order. A candidate cell exists iff it had ≥1 contributing pair:
+    # cnt = U @ A01 > 0 (a zero-valued sim still contributes a row,
+    # exactly like the distributed join → sum).
+    nU = len(users)
+    if nU * L > 8_000_000:
+        return None
+    if L and (
+        len(np.unique(ai * np.int64(L) + bi)) != len(ai)
+        or (ai == bi).any()
+    ):
+        return None  # non-canonical model; the distributed sum differs
+    U = np.zeros((nU, L))
+    U[ucode, sic] = 1.0
+    S6m = np.zeros((L, L))
+    S6m[ai, bi] = s6.astype(np.float64)
+    S6m[bi, ai] = s6.astype(np.float64)
+    A01 = np.zeros((L, L))
+    A01[ai, bi] = 1.0
+    A01[bi, ai] = 1.0
+    sc = U @ S6m
+    cnt = U @ A01
+    mask = cnt > 0
+    if not include_seen:
+        mask &= U == 0
+    ru, rj = np.nonzero(mask)
+    scores = np.rint(sc[ru, rj]).astype(np.int64)
+    # rank per user: (score DESC, item ASC); nonzero() already yields
+    # row-major (user ASC, item ASC) order — lexsort for the score
+    o2 = np.lexsort((rj, -scores, ru))
+    ru, rj, scores = ru[o2], rj[o2], scores[o2]
+    firsts = np.concatenate(([True], ru[1:] != ru[:-1]))
+    gstart = np.maximum.accumulate(
+        np.where(firsts, np.arange(len(ru)), 0)
+    )
+    rn = (np.arange(len(ru)) - gstart + 1).astype(np.int32)
+    keep = rn <= int(top_n)
+    ru, rj, scores, rn = ru[keep], rj[keep], scores[keep], rn[keep]
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "user": users[ru],
+            "item": items[rj],
+            "score": spark_round_f64(scaled_i64_to_f64(scores, 6), 6),
+            "rank": rn,
+        }
+    )
+    return spark.createDataFrame(
+        pdf,
+        f"user {user_type.simpleString()}, "
+        f"item {item_type.simpleString()}, score double, rank int",
+    )
+
+
 def recommend_items(
     interactions: DataFrame,
     sims: DataFrame,
@@ -234,6 +511,27 @@ def recommend_items(
     # anti-join) — persist so the interaction dedup computes once;
     # released after the eager O(users·top_n) output leaf below
     seen = seen.persist()
+    n_seen = seen.count()
+    if n_seen <= CF_DRIVER_MAX_ROWS:
+        # bounded driver fast path (gate rationale at
+        # CF_DRIVER_MAX_ROWS): the model is pair-bounded and seen is
+        # under the gate, so scoring runs on the exact integer twin;
+        # any unmet precondition falls through to the distributed
+        # chain (seen stays persisted either way)
+        out = _recommend_driver(
+            interactions.sparkSession,
+            seen,
+            sims,
+            user_col,
+            item_col,
+            interactions.schema[user_col].dataType,
+            interactions.schema[item_col].dataType,
+            int(top_n),
+            bool(include_seen),
+        )
+        if out is not None:
+            seen.unpersist()
+            return out.orderBy("user", "rank")
     # the neighbor model is item-pair-bounded (tiny next to the
     # interactions); materialize it ONCE — the symmetrize union below
     # references it twice and would otherwise recompute the entire
