@@ -1799,6 +1799,86 @@ def classical_decompose(
     )
 
 
+def _robust_moments_driver(spark, xs, trim):
+    """Driver twin of the :func:`robust_moments` chain over an
+    Arrow-transferred value array — identical 6-dp value rounding,
+    per-value counts, prefix-scan order statistics (first value whose
+    cumulative count reaches the rank), micro-int exact sums for the
+    mean/trimmed/winsorized numerators (including the clamp-overlap
+    trimmed-sum identity and the Python-round winsorized boundary
+    terms, which were driver-side already), and the MAD second scan.
+    Returns None when a precondition fails (non-finite values or
+    micro-int products that could overflow an int64 element)."""
+    import numpy as np
+
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        exact_sum_i64,
+        round_half_up_int64,
+        spark_round_f64,
+    )
+
+    if xs.size and not np.isfinite(xs).all():
+        return None
+    v6 = spark_round_f64(xs, 6)
+    vals, cnts = np.unique(v6, return_counts=True)
+    c = cnts.astype(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    if float(np.max(np.abs(vals))) * 1e6 >= 4.0e18:
+        return None
+    vi6 = round_half_up_int64(vals * 1e6)
+    mx = int(np.max(np.abs(vi6))) if len(vi6) else 0
+    if mx * int(c.max()) >= (1 << 62):
+        return None
+    svi = exact_sum_i64(vi6 * c)
+    k = int(trim * n)
+    mean = float(svi) / n / 1e6
+
+    def _order_stat(rank: int) -> float:
+        return float(vals[np.searchsorted(cum, rank, side="left")])
+
+    mid_lo = _order_stat((n + 1) // 2)
+    mid_hi = _order_stat(n // 2 + 1)
+    median = (mid_lo + mid_hi) / 2.0
+    trimmed = winsor = None
+    if n - 2 * k > 0:
+        lo_r, hi_r = k + 1, n - k
+        contained = np.maximum(
+            0,
+            np.minimum(cum, hi_r) - np.maximum(cum - c, lo_r - 1),
+        ).astype(np.int64)
+        mid_sum_i = exact_sum_i64(vi6 * contained)
+        trimmed = mid_sum_i / (n - 2 * k) / 1e6
+        x_lo = _order_stat(lo_r)
+        x_hi = _order_stat(hi_r)
+        winsor = (
+            mid_sum_i
+            + k * round(x_lo * 1e6)
+            + k * round(x_hi * 1e6)
+        ) / n / 1e6
+    # MAD: weighted median of |v − median| over the same counts
+    dv = spark_round_f64(np.abs(vals - median), 6)
+    dvals, dinv = np.unique(dv, return_inverse=True)
+    dc = np.zeros(len(dvals), dtype=np.int64)
+    np.add.at(dc, dinv, c)
+    dcum = np.cumsum(dc)
+
+    def _dev_stat(rank: int) -> float:
+        return float(dvals[np.searchsorted(dcum, rank, side="left")])
+
+    mad = (_dev_stat((n + 1) // 2) + _dev_stat(n // 2 + 1)) / 2.0
+    return spark.createDataFrame(
+        [(
+            n, k, round(mean, 6),
+            round(trimmed, 6) if trimmed is not None else None,
+            round(winsor, 6) if winsor is not None else None,
+            round(median, 6), round(mad, 6),
+        )],
+        "n long, k long, mean double, trimmed_mean double, "
+        "winsorized_mean double, median double, mad double",
+    )
+
+
 def robust_moments(
     df: DataFrame,
     value_col: str,
@@ -1831,6 +1911,36 @@ def robust_moments(
     from metadata_etl_framework_spark.quality.drift import (
         _dual_prefix_scan,
     )
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_x")
+    )
+    from metadata_etl_framework_spark.ops.glm import (
+        GLM_DRIVER_MAX_ROWS,
+    )
+
+    n_rows = base.count()
+    if 0 < n_rows <= GLM_DRIVER_MAX_ROWS:
+        # bounded driver fast path (the GLM trainer convention): ONE
+        # Arrow transfer of the single double column; the per-value
+        # counts, dual prefix scans, clamp-overlap trimmed sums and
+        # the MAD second scan run as exact integer/6-dp arithmetic —
+        # np.unique groups and orders the 6-dp values exactly like
+        # the distributed groupBy + value-ordered scan, so the twin
+        # is bit-exact by construction. Non-finite values or
+        # out-of-bound micro-int magnitudes fall through to the
+        # unchanged distributed chain.
+        import numpy as np
+
+        xs = (
+            base.toArrow()
+            .column("_x")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        out = _robust_moments_driver(df.sparkSession, xs, float(trim))
+        if out is not None:
+            return out
 
     v6 = F.round(F.col(value_col).cast("double"), 6)
     counts = (

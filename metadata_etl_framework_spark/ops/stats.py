@@ -586,53 +586,111 @@ def spearman_corr(
     base = base.persist()
     _scan_cached: "list[DataFrame]" = []
     try:
-        ranked = base
-        for c in ("_a", "_b"):
-            counts = ranked.groupBy(c).agg(
-                F.count(F.lit(1)).alias("__c")
-            )
-            from metadata_etl_framework_spark.quality.drift import (
-                _dual_prefix_scan,
+        n = base.count()
+        from metadata_etl_framework_spark.ops.glm import (
+            GLM_DRIVER_MAX_ROWS,
+        )
+
+        if 0 < n <= GLM_DRIVER_MAX_ROWS:
+            # bounded driver fast path (the GLM trainer convention):
+            # ONE Arrow transfer of the two double columns, then the
+            # tie-averaged doubled ranks and the five moment sums run
+            # as exact integer arithmetic — np.unique groups doubles
+            # exactly like the distributed groupBy (NaNs collapse and
+            # sort last, -0.0 merges with 0.0) and the doubled ranks
+            # are exact ints, so the twin is bit-exact by
+            # construction. Above the gate the distributed
+            # prefix-scan chain below is unchanged.
+            import numpy as np
+
+            from metadata_etl_framework_spark.ops.driver_exact import (
+                exact_sum_i64,
             )
 
-            scan = _dual_prefix_scan(
-                counts, c, "__c", "__c", persisted=_scan_cached
-            ).select(
-                c,
-                # doubled average rank = 2·cum − (c − 1): exact LONG
-                (
-                    F.lit(2) * F.col("__ca") - (F.col("__c") - F.lit(1))
-                ).cast("long").alias(f"__r{c}"),
+            tbl = base.toArrow()
+            a_np = (
+                tbl.column("_a")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
             )
-            ranked = ranked.join(scan, c)
-        moments = ranked.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col("__r_a").cast("decimal(38,0)")).alias("_sa"),
-            F.sum(F.col("__r_b").cast("decimal(38,0)")).alias("_sb"),
-            F.sum(
-                F.col("__r_a").cast("decimal(38,0)") * F.col("__r_a")
-            ).alias("_saa"),
-            F.sum(
-                F.col("__r_b").cast("decimal(38,0)") * F.col("__r_b")
-            ).alias("_sbb"),
-            F.sum(
-                F.col("__r_a").cast("decimal(38,0)") * F.col("__r_b")
-            ).alias("_sab"),
-        ).collect()[0]
+            b_np = (
+                tbl.column("_b")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+
+            def _dranks(x):
+                _, inv, cnts = np.unique(
+                    x, return_inverse=True, return_counts=True
+                )
+                cum = np.cumsum(cnts.astype(np.int64))
+                dr = 2 * cum - (cnts.astype(np.int64) - 1)
+                return dr[inv]
+
+            ra, rb = _dranks(a_np), _dranks(b_np)
+            sa = exact_sum_i64(ra)
+            sb = exact_sum_i64(rb)
+            saa = exact_sum_i64(ra * ra)
+            sbb = exact_sum_i64(rb * rb)
+            sab = exact_sum_i64(ra * rb)
+        else:
+            ranked = base
+            for c in ("_a", "_b"):
+                counts = ranked.groupBy(c).agg(
+                    F.count(F.lit(1)).alias("__c")
+                )
+                from metadata_etl_framework_spark.quality.drift import (
+                    _dual_prefix_scan,
+                )
+
+                scan = _dual_prefix_scan(
+                    counts, c, "__c", "__c", persisted=_scan_cached
+                ).select(
+                    c,
+                    # doubled average rank = 2·cum − (c − 1): exact LONG
+                    (
+                        F.lit(2) * F.col("__ca")
+                        - (F.col("__c") - F.lit(1))
+                    ).cast("long").alias(f"__r{c}"),
+                )
+                ranked = ranked.join(scan, c)
+            moments = ranked.agg(
+                F.sum(F.col("__r_a").cast("decimal(38,0)")).alias(
+                    "_sa"
+                ),
+                F.sum(F.col("__r_b").cast("decimal(38,0)")).alias(
+                    "_sb"
+                ),
+                F.sum(
+                    F.col("__r_a").cast("decimal(38,0)")
+                    * F.col("__r_a")
+                ).alias("_saa"),
+                F.sum(
+                    F.col("__r_b").cast("decimal(38,0)")
+                    * F.col("__r_b")
+                ).alias("_sbb"),
+                F.sum(
+                    F.col("__r_a").cast("decimal(38,0)")
+                    * F.col("__r_b")
+                ).alias("_sab"),
+            ).collect()[0]
+            if n >= 2:
+                sa, sb = int(moments["_sa"]), int(moments["_sb"])
+                saa = int(moments["_saa"])
+                sbb = int(moments["_sbb"])
+                sab = int(moments["_sab"])
     finally:
         base.unpersist()
         for f in _scan_cached:
             f.unpersist()
-    n = int(moments["_n"])
     spark = df.sparkSession
     if n < 2:
         return spark.createDataFrame(
             [(n, None, None)], "n long, rho double, p_value double"
         )
-    sa, sb = int(moments["_sa"]), int(moments["_sb"])
-    covnum = n * int(moments["_sab"]) - sa * sb
-    vara = n * int(moments["_saa"]) - sa * sa
-    varb = n * int(moments["_sbb"]) - sb * sb
+    covnum = n * sab - sa * sb
+    vara = n * saa - sa * sa
+    varb = n * sbb - sb * sb
     if vara == 0 or varb == 0:
         return spark.createDataFrame(
             [(n, None, None)], "n long, rho double, p_value double"

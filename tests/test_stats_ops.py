@@ -1040,3 +1040,42 @@ def test_holt_winters_gates(spark):
     with pytest.raises(ValueError, match="need >="):
         holt_winters_backtest(df, "ts", "value", season=6,
                               train_window=24, holdout=24)
+
+
+def test_spearman_robust_driver_gate_parity(spark):
+    """The Arrow-collect driver twins of spearman_corr and
+    robust_moments must reproduce the distributed prefix-scan chains
+    bit-for-bit — same fixture (heavy ties + an outlier), gate on vs
+    forced off, exact frame equality."""
+    import pandas as pd
+
+    import metadata_etl_framework_spark.ops.glm as glm
+    from metadata_etl_framework_spark.functions.aggregations import (
+        robust_moments,
+    )
+    from metadata_etl_framework_spark.ops.stats import spearman_corr
+
+    rows = [
+        (
+            float(i % 13) / 7.0,
+            float((i * 5) % 17) / 3.0 + (900.0 if i == 77 else 0.0),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double")
+    saved = glm.GLM_DRIVER_MAX_ROWS
+    try:
+        glm.GLM_DRIVER_MAX_ROWS = 2_000_000
+        on = (
+            spearman_corr(df, "a", "b").toPandas(),
+            robust_moments(df, "b", trim=0.1).toPandas(),
+        )
+        glm.GLM_DRIVER_MAX_ROWS = 0
+        off = (
+            spearman_corr(df, "a", "b").toPandas(),
+            robust_moments(df, "b", trim=0.1).toPandas(),
+        )
+    finally:
+        glm.GLM_DRIVER_MAX_ROWS = saved
+    for a, b in zip(on, off):
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
