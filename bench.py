@@ -256,6 +256,48 @@ HEADLINE = [
 # headline keys run every round. The fixed-cost concern is addressed by
 # making the queries themselves faster instead.
 
+# Gate-OFF measurement arm (r17, per the r16 verdict's top task): every
+# headline key whose operator chain carries a bounded driver fast path
+# (a *_DRIVER_MAX_* twin gate) is re-timed min-of-N with
+# SPARK_GRAFT_DRIVER_GATE=0 — the twins skipped, the DISTRIBUTED arms
+# executing — and the numbers land in the artifact's "gate_off" block.
+# At sf0.1 the twins make these keys single-digit-millisecond
+# LocalTableScan plans; the gate-off column is the cost of the code
+# that actually runs at fact scale, and it is what optimization rounds
+# target. Results are identical either way (the twins are bit-exact);
+# only the execution venue changes, so this is measurement, not a
+# second query set — the headline "queries" map is untouched.
+DRIVER_GATED = [
+    "glm_logit_orders",
+    "glm_cv_lineitem",
+    "glm_cv_logit_orders",
+    "glm_poisson_orders",
+    "glm_huber_lineitem",
+    "glm_quantile_lineitem",
+    "graph_pagerank_suppliers",
+    "graph_pagerank_parts",
+    "graph_pagerank_dangling",
+    "graph_label_propagation",
+    "graph_walk_pmi",
+    "graph_pmi_factors",
+    "graph_pmi_knn",
+    "graph_betweenness_ring",
+    "graph_greedy_modularity",
+    "graph_louvain_copurchase",
+    "graph_eigenvector_trade",
+    "recsys_user_brand_recs",
+    "recsys_topk_model",
+    "recsys_als_factors",
+    "recsys_eval_coverage",
+    "embed_lof_bucketed",
+    "stats_gmm2_price",
+    "stats_spearman_qty_price",
+    "profile_robust_price",
+    "events_cox_ph",
+    "events_cox_ph_multi",
+    "events_cox_ph_strata",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -404,6 +446,12 @@ def main() -> None:
         # wrapper (n/rc/tail/parsed around the SHORT summary line, no
         # per-query map); the full timings live in BENCH_DETAIL_r{N}.json.
         # Numeric round sort: lexicographic would put r10 before r2.
+        # r16 verdict task 2: the baseline is the PREVIOUS round's
+        # artifact of record — never a file from THIS round (during a
+        # driver session the newest detail file is the builder's own
+        # same-round run, so "newest" made the comparison
+        # self-referential and every vs-prev mover escaped the retime
+        # adjudication in r16).
         candidates = sorted(
             (
                 f
@@ -416,6 +464,11 @@ def main() -> None:
                 "DETAIL" in f,  # detail wins within a round
             ),
         )
+        candidates = [
+            f
+            for f in candidates
+            if int(re.search(r"r(\d+)", f).group(1)) < this_round
+        ]
         baseline_path = candidates[-1] if candidates else None
     base_queries: dict[str, float] = {}
     if baseline_path and os.path.exists(baseline_path):
@@ -474,14 +527,42 @@ def main() -> None:
         }
         timings[q] = min(first, best)
 
+    # Gate-OFF arm: min-of-N per driver-gated key with the twins
+    # disabled (see DRIVER_GATED above). Runs AFTER the headline
+    # block + retimes so it cannot perturb them; restores the env
+    # either way. SPARK_GRAFT_BENCH_GATEOFF_RUNS=0 skips the arm.
+    gateoff_runs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_GATEOFF_RUNS", "3")
+    )
+    gate_off: dict[str, float] = {}
+    if gateoff_runs > 0:
+        os.environ["SPARK_GRAFT_DRIVER_GATE"] = "0"
+        try:
+            for name in DRIVER_GATED:
+                fn = queries.get(name)
+                if fn is None:
+                    continue
+                best = float("inf")
+                for _ in range(gateoff_runs):
+                    t0 = time.monotonic()
+                    _force(fn(spark, SF_DIR))
+                    best = min(best, time.monotonic() - t0)
+                gate_off[name] = round(best, 3)
+        finally:
+            os.environ.pop("SPARK_GRAFT_DRIVER_GATE", None)
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     out = {
         "metric": "total_query_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         "canary": canary,
     }
+    if gate_off:
+        out["gate_off"] = gate_off
     if retimed:
         out["retimed"] = retimed
 
@@ -501,6 +582,24 @@ def main() -> None:
     # tail always contains parseable totals regardless of query count.
     default_detail = f"BENCH_DETAIL_r{this_round}.json"
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
+    # r16 verdict task 2 (clobber guard): a sanity run at another SF —
+    # or the driver's low-core scaling run — must never overwrite the
+    # round's sf0.1/32-core artifact of record (it happened in r16:
+    # the committed detail file was silently replaced and the next
+    # run's baseline machinery went blind). If the default path holds
+    # a run with a different (sf, cpus), divert to a suffixed name;
+    # a same-config re-run still updates the record (latest wins).
+    if detail_path == default_detail and os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+            prev_cfg = (prev.get("sf"), prev.get("cpus", cpus))
+        except (OSError, ValueError):
+            prev_cfg = (None, None)
+        if prev_cfg != (sf, cpus):
+            detail_path = (
+                f"BENCH_DETAIL_r{this_round}_sf{sf}_c{cpus}.json"
+            )
     detail_ok = True
     try:
         with open(detail_path, "w") as f:
@@ -521,10 +620,15 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(timings),
         "detail": detail_path,
         "canary": canary,
     }
+    # the distributed-arm costs belong on the line of record too —
+    # they are what the optimization rounds are judged against
+    if gate_off:
+        summary["gate_off"] = gate_off
     # the trigger-tripped mover classifications belong in the line of
     # record too — they are the evidence the round compare needs
     if retimed:

@@ -1915,32 +1915,42 @@ def robust_moments(
     base = df.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_x")
     )
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        driver_gates_enabled,
+    )
     from metadata_etl_framework_spark.ops.glm import (
         GLM_DRIVER_MAX_ROWS,
     )
 
-    n_rows = base.count()
-    if 0 < n_rows <= GLM_DRIVER_MAX_ROWS:
+    if driver_gates_enabled():
         # bounded driver fast path (the GLM trainer convention): ONE
         # Arrow transfer of the single double column; the per-value
         # counts, dual prefix scans, clamp-overlap trimmed sums and
         # the MAD second scan run as exact integer/6-dp arithmetic —
         # np.unique groups and orders the 6-dp values exactly like
         # the distributed groupBy + value-ordered scan, so the twin
-        # is bit-exact by construction. Non-finite values or
-        # out-of-bound micro-int magnitudes fall through to the
-        # unchanged distributed chain.
+        # is bit-exact by construction (order-free: the twin groups
+        # by value, so limit's row order is irrelevant). Non-finite
+        # values or out-of-bound micro-int magnitudes fall through to
+        # the unchanged distributed chain. The gate probe IS the
+        # transfer: limit(cap+1) collects at most cap+1 rows, so no
+        # separate full-count job is paid — above the gate the limit
+        # scan short-circuits and the distributed chain runs with
+        # zero extra passes.
         import numpy as np
 
-        xs = (
-            base.toArrow()
-            .column("_x")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        out = _robust_moments_driver(df.sparkSession, xs, float(trim))
-        if out is not None:
-            return out
+        tbl = base.limit(GLM_DRIVER_MAX_ROWS + 1).toArrow()
+        if 0 < tbl.num_rows <= GLM_DRIVER_MAX_ROWS:
+            xs = (
+                tbl.column("_x")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            out = _robust_moments_driver(
+                df.sparkSession, xs, float(trim)
+            )
+            if out is not None:
+                return out
 
     v6 = F.round(F.col(value_col).cast("double"), 6)
     counts = (

@@ -245,7 +245,11 @@ def gmm2_train(
         )
 
         driver_gate_rows = GLM_DRIVER_MAX_ROWS
-    if n <= int(driver_gate_rows):
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        driver_gates_enabled,
+    )
+
+    if driver_gates_enabled() and n <= int(driver_gate_rows):
         # bounded driver fast path (the GLM trainer convention,
         # ops/glm.py::GLM_DRIVER_MAX_ROWS): ONE Arrow transfer of the
         # single double column, then the 2 init passes + EM rounds run

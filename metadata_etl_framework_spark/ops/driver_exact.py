@@ -32,11 +32,13 @@ twins directly.
 
 from __future__ import annotations
 
+import os
 from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 
 __all__ = [
+    "driver_gates_enabled",
     "spark_round",
     "spark_round_f64",
     "round_half_up_int64",
@@ -46,6 +48,21 @@ __all__ = [
     "exact_sum_i64",
     "pico_sum",
 ]
+
+def driver_gates_enabled() -> bool:
+    """True unless ``SPARK_GRAFT_DRIVER_GATE=0``.
+
+    The bench's gate-OFF measurement arm: with the env var set to 0,
+    every bounded driver fast path (the ``*_DRIVER_MAX_*`` twin gates)
+    is skipped and the DISTRIBUTED arms run — the plans that execute
+    at fact scale — so ``BENCH_DETAIL_r*.json``'s ``gate_off`` block
+    records their cost every round instead of the twins hiding it.
+    Read at call time (not import time) so the bench can flip it
+    between timing blocks inside one process. Results are identical
+    either way — the twins are bit-exact replicas; only the execution
+    venue changes."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_GATE", "1") != "0"
+
 
 _M31 = 2147483648  # 2^31
 _M32 = 4294967296  # 2^32
@@ -103,7 +120,7 @@ def round_half_up_int64(p: "np.ndarray") -> "np.ndarray":
     # across the representable tie point, and D == n + 0.5 exactly
     # forces ap == binary(n + 0.5), where both paths round away from
     # zero. (Fuzzed against the Decimal scalar path in
-    # tests/test_units.py.) |p| >= 2^52 keeps the scalar shortest-
+    # tests/test_driver_gate_env.py.) |p| >= 2^52 keeps the scalar shortest-
     # decimal path: the value is integral in BINARY but its shortest
     # DECIMAL may differ from the binary integer (repr drops digits),
     # and Spark rounds the shortest decimal.

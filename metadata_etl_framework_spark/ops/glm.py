@@ -35,6 +35,9 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.driver_exact import (
+    driver_gates_enabled,
+)
 from metadata_etl_framework_spark.ops.exact_agg import exact_pico_sums
 
 __all__ = [
@@ -291,7 +294,7 @@ def logistic_train(
         if driver_gate_rows is None
         else int(driver_gate_rows)
     )
-    if n_rows <= gate:
+    if driver_gates_enabled() and n_rows <= gate:
         # bounded driver fast path (gate rationale at
         # GLM_DRIVER_MAX_ROWS); bit-identical to the loop below
         arrs = _driver_arrays(
@@ -465,7 +468,7 @@ def linear_cv(
         n_rows = base.count()
         if n_rows == 0:
             raise ValueError("linear_cv: no usable rows")
-        if n_rows <= gate:
+        if driver_gates_enabled() and n_rows <= gate:
             # bounded driver fast path (gate rationale at
             # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
             per_fold, met = _linear_cv_driver(
@@ -730,7 +733,7 @@ def logistic_cv(
             if driver_gate_rows is None
             else int(driver_gate_rows)
         )
-        if n_rows <= gate:
+        if driver_gates_enabled() and n_rows <= gate:
             # bounded driver fast path (gate rationale at
             # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
             # up to the exp/log kernels (parity-tested on the benched
@@ -1046,7 +1049,7 @@ def poisson_train(
         if driver_gate_rows is None
         else int(driver_gate_rows)
     )
-    if n_rows <= gate:
+    if driver_gates_enabled() and n_rows <= gate:
         # bounded driver fast path (gate rationale at
         # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below up
         # to the exp kernel (np.exp vs the JVM's Math.exp — both
@@ -1237,7 +1240,7 @@ def huber_train(
         if driver_gate_rows is None
         else int(driver_gate_rows)
     )
-    if n_rows <= gate:
+    if driver_gates_enabled() and n_rows <= gate:
         # bounded driver fast path (gate rationale at
         # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
         arrs = _driver_arrays(
@@ -1425,7 +1428,7 @@ def quantile_train(
             if driver_gate_rows is None
             else int(driver_gate_rows)
         )
-        if n_rows <= gate:
+        if driver_gates_enabled() and n_rows <= gate:
             # bounded driver fast path (gate rationale at
             # GLM_DRIVER_MAX_ROWS); bit-identical to the passes below
             arrs = _driver_arrays(

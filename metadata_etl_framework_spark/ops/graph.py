@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegralType
 
+from metadata_etl_framework_spark.ops.driver_exact import (
+    driver_gates_enabled,
+)
 from metadata_etl_framework_spark.ops.materialize import BCAST_MAX_ROWS
 
 __all__ = [
@@ -190,7 +193,7 @@ def pagerank(
         )
     if driver_gate_edges is None:
         driver_gate_edges = _MOVE_BCAST_MAX_NODES
-    if n_edges <= driver_gate_edges:
+    if driver_gates_enabled() and n_edges <= driver_gate_edges:
         # bounded driver fast path (the Louvain move-round
         # convention): one transfer of the filtered edge rows, then
         # the iterations — per-edge double contributions, the exact
@@ -793,8 +796,10 @@ def label_propagation(
     n_und = und.count()
     if driver_gate_edges is None:
         driver_gate_edges = _MOVE_BCAST_MAX_NODES
-    if 2 * n_und <= driver_gate_edges and isinstance(
-        edges.schema[src_col].dataType, IntegralType
+    if (
+        driver_gates_enabled()
+        and 2 * n_und <= driver_gate_edges
+        and isinstance(edges.schema[src_col].dataType, IntegralType)
     ):
         # bounded driver fast path (the pagerank convention): pure
         # integer counting + the same most-frequent/min-tie argmin on
@@ -1120,7 +1125,7 @@ def random_walks(
         small = int(mins["n"]) <= _MOVE_BCAST_MAX_NODES
         if driver_gate_edges is None:
             driver_gate_edges = _MOVE_BCAST_MAX_NODES
-        if int(mins["n"]) <= driver_gate_edges:
+        if driver_gates_enabled() and int(mins["n"]) <= driver_gate_edges:
             # bounded driver fast path (the Louvain move-round
             # convention): the adjacency table the broadcast arm would
             # ship to every executor is instead collected ONCE (the
@@ -1385,7 +1390,7 @@ def walk_cooccurrence(
             f"self-join fans out linearly in window"
         )
     local = getattr(walks, "_graft_local_walks", None)
-    if local is not None and len(local[0]) <= (
+    if driver_gates_enabled() and local is not None and len(local[0]) <= (
         _MOVE_BCAST_MAX_NODES
         if driver_gate_rows is None
         else driver_gate_rows
@@ -1413,7 +1418,7 @@ def walk_cooccurrence(
     n_corpus = walks.count()
     if driver_gate_rows is None:
         driver_gate_rows = _MOVE_BCAST_MAX_NODES
-    if n_corpus <= driver_gate_rows:
+    if driver_gates_enabled() and n_corpus <= driver_gate_rows:
         # bounded driver fast path (the random_walks convention): the
         # corpus the broadcast arm would ship whole to every executor
         # is collected once, and the band pairing + integer counting +
@@ -1548,10 +1553,11 @@ def pmi_embeddings(
     )
 
     local = getattr(pmi_pairs, "_graft_local_pmi", None)
-    if local is not None and (node_a_col, node_b_col, pmi_col) == (
-        "node_a",
-        "node_b",
-        "pmi",
+    if (
+        driver_gates_enabled()
+        and local is not None
+        and (node_a_col, node_b_col, pmi_col)
+        == ("node_a", "node_b", "pmi")
     ):
         # the pair table came from the walk_cooccurrence driver arm:
         # build the symmetrized PPMI ratings from its arrays directly
@@ -1965,8 +1971,10 @@ def betweenness_sampled(
     n_und = und.count()
     if driver_gate_edges is None:
         driver_gate_edges = _MOVE_BCAST_MAX_NODES
-    if 2 * n_und <= driver_gate_edges and isinstance(
-        edges.schema[src].dataType, IntegralType
+    if (
+        driver_gates_enabled()
+        and 2 * n_und <= driver_gate_edges
+        and isinstance(edges.schema[src].dataType, IntegralType)
     ):
         # bounded driver fast path (the pagerank convention): collect
         # the canonical undirected edge list once and run the σ BFS +
@@ -2455,9 +2463,13 @@ def greedy_modularity_move(
     if driver_gate_edges is None:
         # defined below (module layout); resolved at call time
         driver_gate_edges = _DRIVER_MOVE_MAX_EDGES
-    if m <= driver_gate_edges and (
-        labels is None
-        or labels.schema[label_col].dataType == node_type
+    if (
+        driver_gates_enabled()
+        and m <= driver_gate_edges
+        and (
+            labels is None
+            or labels.schema[label_col].dataType == node_type
+        )
     ):
         # bounded driver fast path (gate rationale at
         # _DRIVER_MOVE_MAX_EDGES): collect the canonical edge list and
@@ -2939,7 +2951,7 @@ def louvain_two_level(
     if m == 0:
         und.unpersist()
         raise ValueError("louvain_two_level: no edges")
-    if m <= driver_gate_edges:
+    if driver_gates_enabled() and m <= driver_gate_edges:
         # bounded driver fast path (gate rationale at
         # _DRIVER_MOVE_MAX_EDGES): one collect of the canonical edge
         # list, both phases + contraction + acceptance in pure-int
@@ -3280,7 +3292,7 @@ def eigenvector_centrality(
     n_edges = e.count()
     if driver_gate_edges is None:
         driver_gate_edges = _MOVE_BCAST_MAX_NODES
-    if n_edges <= driver_gate_edges:
+    if driver_gates_enabled() and n_edges <= driver_gate_edges:
         # bounded driver fast path (the pagerank convention): one
         # transfer of the filtered edge rows, then the shifted power
         # iterations — decimal(28,12) contribution fixed point, the

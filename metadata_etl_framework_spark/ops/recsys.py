@@ -39,6 +39,9 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.driver_exact import (
+    driver_gates_enabled,
+)
 from metadata_etl_framework_spark.ops.materialize import BCAST_MAX_ROWS
 
 __all__ = [
@@ -248,7 +251,11 @@ def item_item_cosine(
     # recompute it replaces is three full scan+shuffle passes.
     # Released after the eager O(pairs) output leaf below.
     inter = inter.persist()
-    if rating_col is None and max_user_items is None:
+    if (
+        rating_col is None
+        and max_user_items is None
+        and driver_gates_enabled()
+    ):
         # bounded driver fast path (gate rationale at
         # CF_DRIVER_MAX_ROWS); oversized catalogs, pair blowups or
         # non-orderable key values fall through to the distributed
@@ -381,7 +388,17 @@ def _recommend_driver(
         spark_round_f64,
     )
 
-    stbl = sims.select("item_a", "item_b", "shrunk_cosine").toArrow()
+    # bound the transfer BEFORE collecting: limit(cap+1) keeps the
+    # Arrow collect ≤ cap+1 rows even when the model is huge (a model
+    # built without top_k_per_item on a large catalog), so an
+    # over-the-gate model can never OOM the driver here — it returns
+    # None and the distributed chain handles it. Row order is
+    # irrelevant: the twin indexes by (item_a, item_b).
+    stbl = (
+        sims.select("item_a", "item_b", "shrunk_cosine")
+        .limit(CF_DRIVER_MAX_ROWS + 1)
+        .toArrow()
+    )
     if stbl.num_rows > CF_DRIVER_MAX_ROWS:
         return None
     A = stbl.column("item_a").to_numpy(zero_copy_only=False)
@@ -424,6 +441,16 @@ def _recommend_driver(
     if L and (
         len(np.unique(ai * np.int64(L) + bi)) != len(ai)
         or (ai == bi).any()
+        # a model holding BOTH (a,b) and (b,a) passes the directed
+        # uniqueness check, but the dense assignments below OVERWRITE
+        # where the distributed symmetrize-union SUMS — require the
+        # unordered key to be unique too
+        or len(
+            np.unique(
+                np.minimum(ai, bi) * np.int64(L) + np.maximum(ai, bi)
+            )
+        )
+        != len(ai)
     ):
         return None  # non-canonical model; the distributed sum differs
     U = np.zeros((nU, L))
@@ -512,7 +539,7 @@ def recommend_items(
     # released after the eager O(users·top_n) output leaf below
     seen = seen.persist()
     n_seen = seen.count()
-    if n_seen <= CF_DRIVER_MAX_ROWS:
+    if driver_gates_enabled() and n_seen <= CF_DRIVER_MAX_ROWS:
         # bounded driver fast path (gate rationale at
         # CF_DRIVER_MAX_ROWS): the model is pair-bounded and seen is
         # under the gate, so scoring runs on the exact integer twin;
@@ -822,7 +849,8 @@ def als_factorize(
     u_type = df.schema[user_col].dataType
     it_type = df.schema[item_col].dataType
     if (
-        n_ratings <= driver_gate_rows
+        driver_gates_enabled()
+        and n_ratings <= driver_gate_rows
         and isinstance(u_type, IntegralType)
         and isinstance(it_type, IntegralType)
     ):

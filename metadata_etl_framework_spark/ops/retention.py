@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from metadata_etl_framework_spark.ops.driver_exact import (
+    driver_gates_enabled,
+)
+
 _PERIOD_DAYS = {"day": 1, "week": 7}
 
 
@@ -1340,7 +1344,11 @@ def _cox_np_safe(n_subj, maxax_all, bx_cap) -> bool:
     provably in range for this pass: per-row pico ≤ max(1,|x|max)²·
     e^clamp(bx_cap)·1e12 (suffix totals ≤ n·per_row), and the
     10-dp score/information term ints stay under the
-    cast_decimal_i64 domain."""
+    cast_decimal_i64 domain. The information-matrix terms
+    dd·(r2 − r1j·r1k) scale with n·|x|max² (not n·|x|max — the score
+    bound), so the term cap carries the SQUARED covariate magnitude
+    and is compared against the 4e18 cast_decimal_i64 raise domain,
+    not the looser 1<<62 int64 bound."""
     import math
 
     per_row = (
@@ -1348,8 +1356,8 @@ def _cox_np_safe(n_subj, maxax_all, bx_cap) -> bool:
     )
     if per_row * max(n_subj, 1) >= float(1 << 62):
         return False
-    term_cap = (1.0 + maxax_all) * (n_subj + 1.0) * 1e10
-    return term_cap < float(1 << 62)
+    term_cap = (1.0 + maxax_all) ** 2 * (n_subj + 1.0) * 1e10
+    return term_cap < 4.0e18
 
 
 def cox_ph(
@@ -1427,7 +1435,7 @@ def cox_ph(
         )
 
         arrs = None
-        if n_subj <= GLM_DRIVER_MAX_ROWS:
+        if driver_gates_enabled() and n_subj <= GLM_DRIVER_MAX_ROWS:
             # bounded driver fast path (the GLM trainer convention):
             # ONE Arrow transfer of the three subject columns; each
             # Newton pass then runs on the exact vectorized twin
@@ -1458,10 +1466,16 @@ def cox_ph(
             if arrs is not None and _cox_np_safe(
                 n_subj, maxax, abs(beta) * maxax
             ):
-                uv, im = _cox_pass_np(
-                    arrs[0], arrs[1], arrs[2], [arrs[3]], [beta]
-                )
-                return uv[0], im[0][0]
+                try:
+                    uv, im = _cox_pass_np(
+                        arrs[0], arrs[1], arrs[2], [arrs[3]], [beta]
+                    )
+                    return uv[0], im[0][0]
+                except ValueError:
+                    # a partial outgrew the exact-int domain despite
+                    # the a-priori bound — the DECIMAL(28,10) pass
+                    # below has ~1e18 capacity and is the reference
+                    pass
             bx = F.greatest(
                 F.least(F.lit(beta) * F.col("_x"), F.lit(30.0)),
                 F.lit(-30.0),
@@ -1699,7 +1713,7 @@ def cox_ph_multi(
         )
 
         arrs = None
-        if n_subj <= GLM_DRIVER_MAX_ROWS:
+        if driver_gates_enabled() and n_subj <= GLM_DRIVER_MAX_ROWS:
             # bounded driver fast path (see cox_ph): one Arrow
             # transfer; per-pass magnitude bound re-checked, with the
             # distributed form below as the bit-identical fallback
@@ -1741,9 +1755,13 @@ def cox_ph_multi(
             if arrs is not None and _cox_np_safe(
                 n_subj, max(maxax) if maxax else 0.0, bx_cap0
             ):
-                return _cox_pass_np(
-                    arrs[0], arrs[1], arrs[2], arrs[3], betas
-                )
+                try:
+                    return _cox_pass_np(
+                        arrs[0], arrs[1], arrs[2], arrs[3], betas
+                    )
+                except ValueError:
+                    # see cox_ph: fall through to the DECIMAL pass
+                    pass
             bx = F.lit(betas[0]) * xs[0]
             for j in range(1, d):
                 bx = bx + F.lit(betas[j]) * xs[j]

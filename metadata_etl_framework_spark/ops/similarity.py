@@ -2017,19 +2017,36 @@ def lof_scores_bucketed(
     )
     from pyspark.sql.types import IntegralType
 
-    n_rows = base.count()
-    if (
-        n_rows <= LOF_DRIVER_MAX_ROWS
-        and n_rows * max(dim, 1) <= LOF_DRIVER_MAX_CELLS
-        and isinstance(df.schema[id_col].dataType, IntegralType)
+    from metadata_etl_framework_spark.ops.driver_exact import (
+        driver_gates_enabled,
+    )
+
+    # row cap from BOTH gate dimensions (rows and rows×dim cells) so
+    # the limit probe below bounds the transfer under either
+    _lof_cap = min(
+        LOF_DRIVER_MAX_ROWS, LOF_DRIVER_MAX_CELLS // max(dim, 1)
+    )
+    if driver_gates_enabled() and isinstance(
+        df.schema[id_col].dataType, IntegralType
     ):
         # bounded driver fast path (gate rationale at
         # LOF_DRIVER_MAX_ROWS); ragged vectors, duplicate ids or
         # out-of-bound magnitudes fall through to the distributed
-        # chain, as does a Σ|bucket|² above the pair cap
+        # chain, as does a Σ|bucket|² above the pair cap. The gate
+        # probe IS the transfer: limit(cap+1) collects at most cap+1
+        # rows (the former separate base.count() full-scan gate job
+        # is gone), and the twin is row-order-free (it groups by
+        # bucket and ranks by (cos, id)), so limit's order is
+        # irrelevant.
         import numpy as np
 
-        tbl = base.select(id_col, vec_col).toArrow()
+        tbl = base.select(id_col, vec_col).limit(_lof_cap + 1).toArrow()
+        n_rows = tbl.num_rows
+        if n_rows > _lof_cap:
+            tbl = None
+    else:
+        tbl = None
+    if tbl is not None:
         vcol = tbl.column(vec_col).combine_chunks()
         offs = np.diff(vcol.offsets.to_numpy(zero_copy_only=False))
         if vcol.null_count == 0 and (offs == dim).all():
@@ -2045,10 +2062,23 @@ def lof_scores_bucketed(
                 .reshape(n_rows, dim)
             )
             maxv = float(np.max(np.abs(V))) if V.size else 0.0
+            # the int64 row-dot bound must cover BOTH dot families the
+            # twin computes: V·V (elements ≤ maxv²·1e15) and V·plane
+            # (elements ≤ maxv·max|plane|·1e15 — caller-supplied
+            # hyperplanes can exceed maxv); and the packed bucket sign
+            # bits only fit an int64 code for ≤ 63 planes
+            maxp = max(
+                (abs(float(x)) for h in pl_list for x in h),
+                default=0.0,
+            )
             safe = (
                 np.isfinite(V).all()
-                and max(1.0, maxv) ** 2 * 1e15 * max(dim, 1)
+                and max(1.0, maxv)
+                * max(1.0, maxv, maxp)
+                * 1e15
+                * max(dim, 1)
                 < float(1 << 62)
+                and len(pl_list) <= 63
                 and len(np.unique(ids_np)) == n_rows
             )
             if safe:

@@ -591,7 +591,11 @@ def spearman_corr(
             GLM_DRIVER_MAX_ROWS,
         )
 
-        if 0 < n <= GLM_DRIVER_MAX_ROWS:
+        from metadata_etl_framework_spark.ops.driver_exact import (
+            driver_gates_enabled,
+        )
+
+        if driver_gates_enabled() and 0 < n <= GLM_DRIVER_MAX_ROWS:
             # bounded driver fast path (the GLM trainer convention):
             # ONE Arrow transfer of the two double columns, then the
             # tie-averaged doubled ranks and the five moment sums run
