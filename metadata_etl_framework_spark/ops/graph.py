@@ -218,30 +218,56 @@ def pagerank(
             redistribute_dangling=bool(redistribute_dangling),
             tol=tol,
         )
-    nodes = (
-        e0.select(F.col("_src").alias("node"))
-        .union(e0.select(F.col("_dst").alias("node")))
-        .distinct()
+    # ONE exploded groupBy derives everything node-level the loop
+    # needs — the distinct node set, each node's DECIMAL out-weight,
+    # and the dangling flag — where the former chain paid three
+    # separate shuffle passes over the edge cache (union+distinct for
+    # nodes, groupBy(_src) for out-weights, an anti-join for dangling;
+    # guide §2.4: shared exchanges). The out-weight sum skips the
+    # dst-emitted rows (NULL _w), so it equals the old groupBy(_src)
+    # term-for-term; nodes/dangling are narrow reads of the one cache.
+    nodes_stats = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_src").alias("node"),
+                        F.col("_w").alias("_w"),
+                        F.lit(1).alias("_o"),
+                    ),
+                    F.struct(
+                        F.col("_dst").alias("node"),
+                        F.lit(None).cast("double").alias("_w"),
+                        F.lit(0).alias("_o"),
+                    ),
+                )
+            ).alias("_x")
+        )
+        .select("_x.node", "_x._w", "_x._o")
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("_w").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("_ow"),
+            F.max("_o").alias("_has_out"),
+        )
         .persist()
     )
-    n = nodes.count()
-    ow = e0.groupBy("_src").agg(
-        F.sum(F.col("_w").cast("decimal(30,10)"))
-        .cast("double")
-        .alias("_ow")
+    n = nodes_stats.count()
+    nodes = nodes_stats.select("node")
+    ow = nodes_stats.where(F.col("_has_out") == 1).select(
+        F.col("node").alias("_src"), "_ow"
     )
-    e = e0.join(ow, "_src").persist()
+    ow_small = n <= _MOVE_BCAST_MAX_NODES
+    e = e0.join(F.broadcast(ow) if ow_small else ow, "_src").persist()
     e.count()
     dangling = None
     if redistribute_dangling:
-        # nodes with no out-edges; small persisted frame probed by a
-        # semi-join each iteration
-        dangling = nodes.join(
-            e0.select(F.col("_src").alias("node")).distinct(),
-            "node",
-            "left_anti",
-        ).persist()
-        dangling.count()
+        # nodes with no out-edges — a narrow filter of the cached
+        # node stats, probed each iteration
+        dangling = nodes_stats.where(F.col("_has_out") == 0).select(
+            "node"
+        )
     e0.unpersist()
 
     # both constants computed DRIVER-side in IEEE doubles so an external
@@ -283,25 +309,36 @@ def pagerank(
     # (the contribution join and the dangling-mass aggregate), so the
     # un-truncated plan DOUBLES per round (2^i, not linear — the
     # round-12 benched 3-iteration entry analyzed to 1055 exchanges).
-    # Round 13 (r12 verdict task 3): the middle path between full
-    # per-iteration truncation (MEASURED 2.5× slower at sf0.1 — 8.8 s
-    # vs 3.6 s; and cadence 2 measured +2 s of extra-job overhead at
-    # sf0.1) and the unbounded doubled plan — cap the dangling arm's
-    # materialization cadence at 3 rounds and cut lineage
-    # (localCheckpoint) at every materialization once the loop runs ≥3
-    # rounds. Each segment's analyzed plan then carries at most 2³
-    # rank references on top of a checkpoint leaf (constant in total
-    # iterations — the driver-side planning hazard the 1055-exchange
-    # round-12 audit row flagged), the job count matches the old
-    # persist path for the benched 3-iteration query, and the RETURNED
-    # frame's plan is a leaf. Non-dangling loops grow linearly and
-    # keep the original persist discipline.
+    # r13 capped the segment at 3 rounds (per-round truncation then
+    # measured 2.5× slower); r17 RE-measured with the broadcast
+    # contribution join and the fused node-stats pass in place:
+    # per-round localCheckpoint of the O(nodes) iterate is now the
+    # FASTER arm (interleaved min-of-3 at sf0.1, gate off: 9.8 s for
+    # the 3-round segment vs 8.3 s per-round — the 2³-reference
+    # segment re-executes the edge-side join per reference, which
+    # broadcasting made the dominant term). tol checks keep the OLD
+    # cadence (ck_tol) so convergence positions — and results under
+    # tol — are bit-identical, and the driver twin's cadence logic
+    # needs no change. Non-dangling loops grow linearly and keep the
+    # caller's cadence.
+    ck_tol = checkpoint_every
     if redistribute_dangling:
-        checkpoint_every = min(checkpoint_every, 3)
+        ck_tol = min(checkpoint_every, 3)
+        checkpoint_every = 1
     truncate = iterations >= _TRUNCATE_MIN_ITERS
+    # node-count broadcast gate for the per-iteration joins (guide
+    # §3.1, the label-propagation/eigenvector convention): the rank
+    # iterate is O(nodes) — broadcasting it as the build side of the
+    # contribution join lets the persisted edge table stream MAP-SIDE
+    # with no exchange per iteration (previously BOTH sides re-shuffled
+    # every round), and the O(nodes) contribution frame broadcasts
+    # into the left-join update the same way. Identical rows either
+    # way; the DECIMAL sums are merge-order free.
+    bc = F.broadcast if small else (lambda d: d)
     for i in range(iterations):
+        jr = bc(rank)
         contrib = (
-            e.join(rank, e["_src"] == rank["node"])
+            e.join(jr, e["_src"] == jr["node"])
             .select(
                 "_dst",
                 ((F.col("rank") * F.col("_w")) / F.col("_ow"))
@@ -316,13 +353,15 @@ def pagerank(
             # iteration, DECIMAL-accumulated (order-independent), then
             # broadcast back into the update via a 1-row cross-join —
             # the plan stays lazy, no per-iteration driver collect
-            dm = dangling.join(rank, "node").agg(
+            dm = dangling.join(bc(rank), "node").agg(
                 F.sum(F.col("rank").cast("decimal(38,12)"))
                 .cast("double")
                 .alias("_dm")
             )
             new_rank = (
-                nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+                nodes.join(
+                    bc(contrib), nodes["node"] == contrib["_dst"], "left"
+                )
                 .crossJoin(F.broadcast(dm))
                 .select(
                     "node",
@@ -339,7 +378,7 @@ def pagerank(
             )
         else:
             new_rank = nodes.join(
-                contrib, nodes["node"] == contrib["_dst"], "left"
+                bc(contrib), nodes["node"] == contrib["_dst"], "left"
             ).select(
                 "node",
                 (
@@ -350,11 +389,14 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             new_rank = _materialize_iter(_shrink(new_rank, small), truncate)
             converged = False
-            if tol is not None and i < iterations - 1:
+            at_tol = (i + 1) % ck_tol == 0 or i == iterations - 1
+            if tol is not None and i < iterations - 1 and at_tol:
                 delta = (
                     new_rank.join(
-                        last_kept.select(
-                            "node", F.col("rank").alias("__prev")
+                        bc(
+                            last_kept.select(
+                                "node", F.col("rank").alias("__prev")
+                            )
                         ),
                         "node",
                     )
@@ -370,16 +412,19 @@ def pagerank(
                     .collect()[0]["d"]
                 )
                 converged = delta is not None and delta < float(tol)
-            last_kept.unpersist()
-            last_kept = new_rank
+            if at_tol:
+                # last_kept is only READ at tol positions — advancing
+                # it there (not at every materialization) keeps the
+                # compared iterates, and so convergence, identical to
+                # the pre-r17 3-round cadence
+                last_kept.unpersist()
+                last_kept = new_rank
             if converged:
                 rank = new_rank
                 break
         rank = new_rank
-    nodes.unpersist()
+    nodes_stats.unpersist()
     e.unpersist()
-    if dangling is not None:
-        dangling.unpersist()
     return rank.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -2004,16 +2049,22 @@ def betweenness_sampled(
         "s long, node long, dist int, sigma long",
     )
     frontier = visited
+    # under the node gate every per-hop frame is O(seeds·nodes) —
+    # broadcast it as the build side so the persisted adjacency streams
+    # map-side (guide §3.1; identical rows, order-free sums)
+    bc = F.broadcast if small else (lambda d: d)
     try:
         for hop in range(1, int(max_hops) + 1):
             nxt = (
-                frontier.select(
-                    "s", F.col("node").alias("a"), "sigma"
+                bc(
+                    frontier.select(
+                        "s", F.col("node").alias("a"), "sigma"
+                    )
                 )
                 .join(adj, "a")
                 .groupBy("s", F.col("b").alias("node"))
                 .agg(F.sum("sigma").alias("sigma"))
-                .join(visited, ["s", "node"], "left_anti")
+                .join(bc(visited), ["s", "node"], "left_anti")
                 .withColumn("dist", F.lit(hop).cast("int"))
                 .select("s", "node", "dist", "sigma")
             )
@@ -2041,12 +2092,14 @@ def betweenness_sampled(
                 / F.col("sigma").cast("double")
             ) * (F.lit(1.0) + F.col("delta"))
             contrib = (
-                cur.select(
-                    "s", F.col("node").alias("a"), "sigma", "delta"
+                bc(
+                    cur.select(
+                        "s", F.col("node").alias("a"), "sigma", "delta"
+                    )
                 )
                 .join(adj, "a")
                 .select("s", F.col("b").alias("__v"), "sigma", "delta")
-                .join(prev_layer, ["s", "__v"])
+                .join(bc(prev_layer), ["s", "__v"])
                 .groupBy("s", "__v")
                 .agg(
                     F.sum(
@@ -2057,12 +2110,14 @@ def betweenness_sampled(
             nxt_cur = (
                 visited.where(F.col("dist") == h - 1)
                 .join(
-                    contrib.select(
-                        "s",
-                        F.col("__v").alias("node"),
-                        F.round(F.col("__d").cast("double"), 10).alias(
-                            "__delta"
-                        ),
+                    bc(
+                        contrib.select(
+                            "s",
+                            F.col("__v").alias("node"),
+                            F.round(
+                                F.col("__d").cast("double"), 10
+                            ).alias("__delta"),
+                        )
                     ),
                     ["s", "node"],
                     "left",
@@ -2720,11 +2775,42 @@ def _greedy_move_rounds(
     # broadcast gate for the whole loop (node count never grows)
     small = deg.count() <= _MOVE_BCAST_MAX_NODES
     bc = F.broadcast if small else (lambda d: d)
+    # r17 (guide §2.4 — share one exchange across the loop): the
+    # "stay" candidate rides INSIDE the adjacency as a zero-weight
+    # self-row (v, u=v, _w=0): it joins lab on u=v, lands in v's OWN
+    # community with _k += 0, so kvc itself carries every stay
+    # candidate — the former per-round union (which destroyed the
+    # partitioning and forced a second edge-scale exchange) is gone.
+    # Merged rows are score-identical: the old union carried BOTH
+    # (v, own, k_own) and the zero stay row, and the argmin always
+    # picked the former (2m·k > 0); the fused row IS (v, own, k_own).
+    # The whole frame is hash-partitioned by v ONCE and persisted:
+    # HashPartitioning(v) satisfies the clustering of BOTH per-round
+    # groupBys (v, c) and (v), and the other join sides broadcast, so
+    # every round runs with zero edge-scale exchanges.
+    npart = (
+        _SMALL_GRAPH_NPART
+        if small
+        else adj.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    adj_plus = (
+        adj.unionByName(
+            deg.select(
+                "v",
+                F.col("v").alias("u"),
+                F.lit(0).cast("long").alias("_w"),
+            )
+        )
+        .repartition(int(npart), "v")
+        .persist()
+    )
+    adj_plus.count()
     quiet = 0
     for rnd in range(int(rounds)):
-        # k_{v,c}: v's edge weight into each neighbor community
-        kvc = _shrink(
-            adj.join(
+        # k_{v,c}: v's edge weight into each neighbor community,
+        # stay candidates included via the self-rows
+        cand = (
+            adj_plus.join(
                 bc(
                     lab.select(
                         F.col("node").alias("u"),
@@ -2734,22 +2820,7 @@ def _greedy_move_rounds(
                 "u",
             )
             .groupBy("v", "c")
-            .agg(F.sum("_w").alias("_k")),
-            small,
-        )
-        # "stay" is always a candidate, even with no intra neighbors.
-        # No dedup groupBy needed: when (v, c_own) also exists in kvc,
-        # the union carries two rows for the same candidate, but the
-        # zero-k stay row scores STRICTLY below the true kvc row
-        # (2m·k > 0 for k ≥ 1, identical c-independent terms), so the
-        # per-node argmin below always picks the true row — one whole
-        # shuffle per round saved vs the groupBy-max formulation
-        cand = kvc.unionByName(
-            lab.select(
-                F.col("node").alias("v"),
-                F.col("community").alias("c"),
-                F.lit(0).cast("long").alias("_k"),
-            )
+            .agg(F.sum("_w").alias("_k"))
         )
         tot = _shrink(
             bc(lab).join(deg, lab["node"] == deg["v"])
@@ -2822,6 +2893,7 @@ def _greedy_move_rounds(
                 break
         else:
             quiet = 0
+    adj_plus.unpersist()
     return lab
 
 
