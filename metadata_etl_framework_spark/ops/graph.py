@@ -597,6 +597,14 @@ def triangle_count(
     transitivity 6dp; transitivity NULL when the graph has no
     wedges).
     """
+    # r17 note: a broadcast/repartition variant of this chain (deg
+    # broadcast into the annotations, the oriented list broadcast into
+    # wedge+closure) was built and REJECTED by an interleaved A/B at
+    # the benched ring shape — old min 3.37 s vs new 3.89 s: the graph
+    # is uniform (no skew for the broadcasts to dodge) and the extra
+    # gate count + broadcast builds cost more than the SMJ exchanges
+    # they removed. The SMJ form also stays the right plan at dense
+    # co-supplier scale, where the build sides outgrow any broadcast.
     und = _undirected(edges, src, dst).persist()
     deg = (
         und.select(F.col("a").alias("v"))
@@ -2201,67 +2209,108 @@ def link_prediction(
     # graph). localCheckpoint = one eager computation, plan truncated,
     # blocks released by the ContextCleaner when unreferenced.
     und = _undirected(edges, src, dst).localCheckpoint()
+    # one cheap count over the checkpoint leaf decides the broadcast
+    # gates (nodes ≤ 2·edges, and the via-annotated frame is exactly
+    # 2·edges rows)
+    n_und = und.count()
+    small = 2 * n_und <= _MOVE_BCAST_MAX_NODES
+    bc = F.broadcast if small else (lambda d: d)
     adj = und.select(
         F.col("a").alias("v"), F.col("b").alias("n")
     ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds THREE consumers (the via annotation and both endpoint
+    # degree joins) — materialize the O(nodes) frame once
+    deg = (
+        adj.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     # middle position annotated with the via node's degree (>= 2 for
-    # any node that connects two candidates, so ln(d) > 0)
+    # any node that connects two candidates, so ln(d) > 0). The
+    # O(nodes) degree table broadcasts under the gate (guide §3.1),
+    # and mid materializes ONCE — the wedge self-join below would
+    # otherwise re-execute the whole union+aggregate+join subtree per
+    # side (the r17 plan audit showed the duplicate subtree).
     mid = adj.select(
         F.col("n").alias("via"), F.col("v").alias("node")
     ).join(
-        deg.select(F.col("v").alias("via"), F.col("d").alias("d_via")),
+        bc(
+            deg.select(
+                F.col("v").alias("via"), F.col("d").alias("d_via")
+            )
+        ),
         "via",
     )
     if max_degree is not None:
         mid = mid.where(F.col("d_via") <= max_degree)
-    p, q = mid.alias("p"), mid.alias("q")
+    # the wedge expansion below multiplies each probe row by deg(via)
+    # — spread the probe rows round-robin over the full core count
+    # BEFORE checkpointing (the broadcast join adds no exchange, so
+    # whatever partitioning the leaf carries is the expansion's
+    # parallelism; an AQE-coalesced handful of partitions serializes
+    # the 11M-row blowup, and round-robin also de-skews hub vias,
+    # guide §2.5)
+    mid = mid.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
+    # the q side needs only (via, node) — project before the join
+    # (guide §2.3: shuffle/build fewer bytes; the AA/RA terms are
+    # p-side only)
+    q = mid.select(
+        F.col("via").alias("_qv"), F.col("node").alias("_qn")
+    )
     pico = F.lit(1e12)
-    # two-level aggregation: first count occurrences per
-    # (pair, via-degree) — a plain integer count over the candidate
-    # join — then weight each count by the per-degree pico term
-    # (round(1e12/ln d), round(1e12/d)). The sums are IDENTICAL to
-    # per-row accumulation (equal terms grouped), but the expensive
-    # DECIMAL stream shrinks from one op per join row to one per
-    # (pair, degree) group.
-    by_deg = (
-        p.join(
-            q,
-            (F.col("p.via") == F.col("q.via"))
-            & (F.col("p.node") < F.col("q.node")),
+    # Per-via pico terms (round(1e12/ln d), round(1e12/d)) are
+    # computed ONCE per checkpointed mid row — O(2·edges) transcen-
+    # dental evaluations — and ride the wedge expansion as plain
+    # longs, so ONE groupBy(pair) aggregates everything. The former
+    # two-level form (count per (pair, d_via), then weight) was
+    # re-measured in r17: on this graph the wedge rows barely
+    # collapse (5.5M wedges → 5.4M (pair, d_via) groups), so the
+    # intermediate level saved almost no DECIMAL work while paying a
+    # SECOND full exchange + aggregate pass. Sums are IDENTICAL:
+    # equal integer terms, any grouping (DECIMAL(38,0) exact).
+    mid_t = mid.select(
+        "via",
+        "node",
+        F.round(pico / F.log(F.col("d_via")))
+        .cast("long")
+        .alias("_taa"),
+        F.round(pico / F.col("d_via")).cast("long").alias("_tra"),
+    )
+    cand = (
+        mid_t.join(
+            bc(q),
+            (F.col("via") == F.col("_qv"))
+            & (F.col("node") < F.col("_qn")),
         )
         .groupBy(
-            F.col("p.node").alias("node_a"),
-            F.col("q.node").alias("node_b"),
-            F.col("p.d_via").alias("d_via"),
+            F.col("node").alias("node_a"),
+            F.col("_qn").alias("node_b"),
         )
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    cand = by_deg.groupBy("node_a", "node_b").agg(
-        F.sum("_c").alias("common"),
-        F.sum(
-            F.col("_c").cast("decimal(38,0)")
-            * F.round(pico / F.log(F.col("d_via"))).cast("long")
-        ).alias("_aa"),
-        F.sum(
-            F.col("_c").cast("decimal(38,0)")
-            * F.round(pico / F.col("d_via")).cast("long")
-        ).alias("_ra"),
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.col("_taa").cast("decimal(38,0)")).alias("_aa"),
+            F.sum(F.col("_tra").cast("decimal(38,0)")).alias("_ra"),
+        )
     )
     if min_common > 1:
         cand = cand.where(F.col("common") >= min_common)
-    # keep only NON-edges: remove pairs already connected
+    # keep only NON-edges: remove pairs already connected (broadcast
+    # the O(edges) canonical set under the gate — anti-join map-side)
     cand = cand.join(
-        und.select(
-            F.col("a").alias("node_a"), F.col("b").alias("node_b")
+        bc(
+            und.select(
+                F.col("a").alias("node_a"), F.col("b").alias("node_b")
+            )
         ),
         ["node_a", "node_b"],
         "left_anti",
     )
     dda, ddb = deg.alias("dda"), deg.alias("ddb")
     out = (
-        cand.join(dda, F.col("node_a") == F.col("dda.v"))
-        .join(ddb, F.col("node_b") == F.col("ddb.v"))
+        cand.join(bc(dda), F.col("node_a") == F.col("dda.v"))
+        .join(bc(ddb), F.col("node_b") == F.col("ddb.v"))
         .select(
             "node_a",
             "node_b",
@@ -2310,17 +2359,35 @@ def assortativity(
     Output: ONE row (n_nodes, n_edges, assortativity 6dp) — NULL
     assortativity when the degree variance is zero (regular graph).
     """
-    und = _undirected(edges, src, dst)
+    # the canonical edge set feeds adj (twice), the degree table, both
+    # annotation joins AND the edge count — without materialization the
+    # (often join-derived) edge pipeline re-executes once per subtree
+    # reference (the r17 plan audit counted up to 11 rebuilds of the
+    # lineitem self-join on the benched co-purchase graph)
+    und = _undirected(edges, src, dst).localCheckpoint()
+    n_und = und.count()  # cheap: checkpoint leaf; gates the broadcasts
+    small = 2 * n_und <= _MOVE_BCAST_MAX_NODES
+    bc = F.broadcast if small else (lambda d: d)
     adj = und.select(
         F.col("a").alias("v"), F.col("b").alias("n")
     ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds three consumers — one eager O(nodes) materialization,
+    # broadcast into the edge-scale annotation joins under the gate
+    deg = (
+        adj.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     # both orientations, each endpoint annotated with its degree
-    dirped = adj.join(deg, "v").select(
+    dirped = adj.join(bc(deg), "v").select(
         F.col("d").alias("dx"), F.col("n").alias("_other")
     )
     both = dirped.join(
-        deg.select(F.col("v").alias("_other"), F.col("d").alias("dy")),
+        bc(
+            deg.select(
+                F.col("v").alias("_other"), F.col("d").alias("dy")
+            )
+        ),
         "_other",
     )
     stats = both.agg(
@@ -2384,6 +2451,10 @@ def modularity(
     lab = labels.select(
         F.col(node_col).alias("_v"), F.col(label_col).alias("_c")
     ).distinct()
+    # the labeled edge frame feeds the m count, BOTH adj projections
+    # and the intra aggregate — materialize once instead of replaying
+    # the (often join-derived) edge pipeline + two label joins per
+    # subtree reference
     und = (
         _undirected(edges, src, dst)
         .join(
@@ -2398,6 +2469,7 @@ def modularity(
             ),
             "b",
         )
+        .localCheckpoint()
     )
     m = und.select(F.count(F.lit(1)).alias("m"))
     adj = und.select(
