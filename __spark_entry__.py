@@ -12561,7 +12561,11 @@ def _recsys_user_brand_recs(spark, sf_dir):
         recommend_items,
     )
 
-    ub = _recsys_ub(spark, sf_dir)
+    # the interaction build feeds BOTH ops (the model's dedup and the
+    # scorer's seen set) — materialize it once instead of executing
+    # the fact join per op (blocks freed by the ContextCleaner when
+    # the returned plan drops its references)
+    ub = _recsys_ub(spark, sf_dir).localCheckpoint(eager=True)
     sims = item_item_cosine(
         ub, "o_custkey", "p_brand", min_cooc=5, shrinkage=10.0
     )
@@ -17847,7 +17851,9 @@ def _recsys_eval_coverage(spark, sf_dir):
         recsys_eval_coverage,
     )
 
-    ub = _recsys_ub(spark, sf_dir)
+    # ub feeds the recommender AND the coverage audit — one
+    # materialization (see _recsys_user_brand_recs)
+    ub = _recsys_ub(spark, sf_dir).localCheckpoint(eager=True)
     recs = popularity_recommend(ub, "o_custkey", "p_brand", n=5)
     return recsys_eval_coverage(
         recs.withColumnRenamed("user", "o_custkey")

@@ -60,7 +60,13 @@ _COUNT_ALIAS = "__c"
 # grids) won 1.6–4×. Callers that know their row count pass ``row_hint``
 # and the split engages only when it pays; unknown-size callers keep the
 # two-level form, which is the right default at data scale.
-_TWO_LEVEL_MIN_ROW_STREAMS = 2_000_000
+# r17 re-measurement of the crossover (min-of-3 at local[32], cached
+# orders projections, 6 decimal streams): 90k row-streams single 0.58 s
+# vs two-level 0.65 s; 300k row-streams tied (0.52/0.56); 900k
+# row-streams single 1.09 s vs two-level 0.62 s — the old 2M threshold
+# kept the 150k-row orders trainers (9 streams ≈ 1.35M row-streams,
+# where two-level measured 2.07 → 1.32 s/pass) on the slow arm.
+_TWO_LEVEL_MIN_ROW_STREAMS = 400_000
 
 
 def exact_pico_sums(

@@ -1173,11 +1173,30 @@ def drift_suite(
             )
         )
 
-        # KS for ALL exact columns through ONE grouped dual prefix scan
-        # (ks_statistic's exact internals, lifted to the column key);
-        # totals re-derived from the same integer counts
-        scanned = _grouped_dual_prefix_scan(
-            melted, "__col", "v", "rc", "cc", persisted=persisted
+        # KS for ALL exact columns via ONE per-column window over the
+        # melted per-value counts. This is NOT an unbounded single-task
+        # global window: every exact-routed column is provably ≤
+        # ks_exact_max_distinct pooled distinct values (the routing
+        # gate above — larger columns take the binned arm), so each
+        # window partition is bounded at any data scale. The former
+        # grouped dual-prefix-scan machinery (range repartition +
+        # persist + subtotal collect + offset broadcast) exists for
+        # UNGATED per-value frames; under the gate it paid three extra
+        # jobs and a cache per suite call for the same cumulative
+        # totals (r17 A/B at sf0.1: suite 4.6 → 4.1 s, values
+        # bit-identical — integer sums over the same (column, v)
+        # order; most of the suite's residual cost is the snapshot
+        # scans + the melt exchange, profiled in OPTIMIZATION_r17.md).
+        wcol = (
+            Window.partitionBy("__col")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        scanned = melted.select(
+            "__col",
+            "v",
+            F.sum("rc").over(wcol).alias("__ca"),
+            F.sum("cc").over(wcol).alias("__cb"),
         )
         ks = (
             scanned.join(F.broadcast(totals), "__col")
@@ -1675,22 +1694,36 @@ def embedding_drift(
     """
     dot_dec = "decimal(30,15)"
 
-    def _dims(df: DataFrame) -> DataFrame:
+    # ONE tagged GEMV layout shared by every consumer (r17, guide
+    # §2.4/§5): the former per-side `_dims` posexplode executed FOUR
+    # times (centroid + cosine pass, per snapshot); the tagged union
+    # materializes once and the centroid/cosine groupBys carry the
+    # side tag — per-(side, key) DECIMAL sums are the same groups as
+    # the per-side frames, so every value is bit-identical.
+    def _dims_tagged(df: DataFrame, flag: int) -> DataFrame:
         return df.where(F.col(vec_col).isNotNull()).select(
+            F.lit(flag).alias("_side"),
             F.col(id_col).alias("rid"),
             F.posexplode(F.col(vec_col)).alias("pos", "x"),
-        ).select("rid", "pos", F.col("x").cast("double").alias("x"))
+        ).select(
+            "_side", "rid", "pos", F.col("x").cast("double").alias("x")
+        )
 
-    def _centroid(df: DataFrame) -> DataFrame:
-        return _dims(df).groupBy("pos").agg(
+    dims = (
+        _dims_tagged(ref, 1).unionByName(_dims_tagged(cur, 0)).persist()
+    )
+    cents = (
+        dims.groupBy("_side", "pos")
+        .agg(
             (
                 F.sum(F.col("x").cast(dot_dec)).cast("double")
                 / F.count(F.lit(1))
             ).alias("m")
         )
-
-    c_ref = _centroid(ref)
-    c_cur = _centroid(cur)
+        .persist()
+    )
+    c_ref = cents.where(F.col("_side") == 1).select("pos", "m")
+    c_cur = cents.where(F.col("_side") == 0).select("pos", "m")
     # centroid alignment: join the two d-row frames on dim
     cc = (
         c_ref.join(
@@ -1727,30 +1760,33 @@ def embedding_drift(
         .alias("cn")
     )
 
-    def _cos_frame(df: DataFrame) -> DataFrame:
-        per = (
-            _dims(df)
-            .join(cent_ref_b, "pos")
-            .groupBy("rid")
-            .agg(
-                F.sum((F.col("x") * F.col("m")).cast(dot_dec))
-                .cast("double")
-                .alias("dot"),
-                F.sum((F.col("x") * F.col("x")).cast(dot_dec))
-                .cast("double")
-                .alias("nx"),
-            )
+    # one tagged cosine pass over the cached dims (both snapshots),
+    # then the per-side frames are narrow filters of the one cache —
+    # it feeds FOUR consumers per side (psi bin pass, psi edge pass,
+    # totals, row counts), so without it every branch would replay
+    # the GEMV scan (the mutual_information persistence rationale)
+    per = (
+        dims.join(cent_ref_b, "pos")
+        .groupBy("_side", "rid")
+        .agg(
+            F.sum((F.col("x") * F.col("m")).cast(dot_dec))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("x") * F.col("x")).cast(dot_dec))
+            .cast("double")
+            .alias("nx"),
         )
-        denom = F.sqrt(F.col("nx")) * F.sqrt(F.col("cn"))
-        return per.crossJoin(F.broadcast(ref_norm)).select(
-            F.when(denom > 0, F.col("dot") / denom).alias("cos")
+    )
+    denom = F.sqrt(F.col("nx")) * F.sqrt(F.col("cn"))
+    cos_all = (
+        per.crossJoin(F.broadcast(ref_norm))
+        .select(
+            "_side", F.when(denom > 0, F.col("dot") / denom).alias("cos")
         )
-    # the scalar frames feed FOUR consumers each (psi bin pass, psi
-    # edge pass, totals, row counts) and the tall output unions five
-    # branches — without the cache every branch replays the GEMV scan
-    # (the mutual_information persistence rationale)
-    rcos = _cos_frame(ref).persist()
-    ccos = _cos_frame(cur).persist()
+        .persist()
+    )
+    rcos = cos_all.where(F.col("_side") == 1).select("cos")
+    ccos = cos_all.where(F.col("_side") == 0).select("cos")
     psi = (
         psi_numeric(rcos, ccos, "cos", n_bins=n_bins)
         .select("psi_total")
@@ -1791,12 +1827,13 @@ def embedding_drift(
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    # 5-row result: materialize eagerly and release the scalar caches
+    # 5-row result: materialize eagerly and release the caches
     # (the mutual_information materialize-and-release convention)
     collected = out.collect()
     schema = out.schema
-    rcos.unpersist()
-    ccos.unpersist()
+    cos_all.unpersist()
+    cents.unpersist()
+    dims.unpersist()
     return ref.sparkSession.createDataFrame(collected, schema)
 
 
