@@ -1176,20 +1176,47 @@ def _all_ngrams(tok_col: "F.Column", max_n: int):
 def _pair_gram_counts(
     df: DataFrame, id_col: str, text_col: str, max_n: int
 ) -> DataFrame:
-    # Tokenize in a SEPARATE projection: the gram lambdas reference the
-    # token array O(positions x orders) times, and inlining the
-    # split+filter there re-tokenizes the text per position (observed
-    # ~8x on the sf0.1 bench). CollapseProject keeps the stage split —
-    # it refuses to duplicate non-cheap aliases referenced more than
-    # once — so the array materializes once per row.
-    tok = df.select(
+    # r17: the nested-HOF `_all_ngrams` formulation (transform over
+    # orders × transform over positions, slice + concat_ws per gram)
+    # is a CodegenFallback expression — it evaluated INTERPRETED and
+    # one side's gram extraction alone measured 3.6 s at sf0.1. This
+    # is the `_pair_chargram_counts` formulation on TOKENS instead:
+    # posexplode the token stream once, take max_n−1 window LEADs per
+    # token (per-pair partitions, never data-scale), and form every
+    # order's gram as a codegen F.concat; a gram running off the end
+    # concats a NULL lead and is filtered. Gram strings are
+    # byte-identical (concat_ws(sep, slice(toks, i, n)) ==
+    # t_i ⊕ sep ⊕ … ⊕ t_{i+n−1}; tokens are non-null non-empty by
+    # _tokens), so counts — and the SQL oracle — are unchanged.
+    toks = df.select(
         F.col(id_col).alias("pid"),
         _tokens(F.col(text_col)).alias("__toks"),
     )
-    ex = tok.select(
-        "pid",
-        F.explode(_all_ngrams(F.col("__toks"), max_n)).alias("g"),
+    pos = toks.select(
+        "pid", F.posexplode("__toks").alias("pos", "t")
     )
+    w = Window.partitionBy("pid").orderBy("pos")
+    led = pos.select(
+        "pid",
+        "t",
+        *[
+            F.lead("t", k).over(w).alias(f"__l{k}")
+            for k in range(1, max_n)
+        ],
+    )
+    gram_structs = []
+    for n in range(1, max_n + 1):
+        parts = [F.col("t")]
+        for k in range(1, n):
+            parts += [F.lit(_GRAM_SEP), F.col(f"__l{k}")]
+        gram_structs.append(
+            F.struct(
+                F.lit(n).alias("n"), F.concat(*parts).alias("gram")
+            )
+        )
+    ex = led.select(
+        "pid", F.explode(F.array(*gram_structs)).alias("g")
+    ).where(F.col("g.gram").isNotNull())
     return ex.groupBy(
         "pid", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
     ).agg(F.count(F.lit(1)).alias("cnt"))
