@@ -19,3 +19,25 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "nightly: slow randomized/robustness sweep, redundant with the "
+        "fixed-shape tests for per-round verification — runs only with "
+        "SPARK_GRAFT_NIGHTLY=1 (r16 verdict task 8: the full suite "
+        "finished at the verify wrapper's ~1800s budget edge, flagging "
+        "a green run as tests_ok=false)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_NIGHTLY") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="nightly sweep (set SPARK_GRAFT_NIGHTLY=1 to run)"
+    )
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)

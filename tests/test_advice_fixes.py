@@ -15,6 +15,8 @@ import datetime as dt
 import threading
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from metadata_etl_framework_spark.incremental.merge import (
@@ -556,6 +558,7 @@ def test_robust_zscore_known_count_single_gate_scan(spark):
     assert a == b and {k for k, _ in a} == {100, 101}
 
 
+@pytest.mark.nightly
 def test_plan_column_edges_deep_linear_plan_no_recursion_error(spark):
     """Round-8 ADVICE low: _attr_sources recursed once per plan node, so
     the hundreds-to-thousands of stacked Projects a chunked bpe_encode

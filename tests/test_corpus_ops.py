@@ -967,6 +967,7 @@ def test_bpe_train_gate_paths_identical(spark):
     )
 
 
+@pytest.mark.nightly
 def test_bpe_encode_long_merge_list_chunked(spark):
     """Round-7: 500+ merges must encode without unbounded Catalyst
     nesting — the chunked replay keeps >1 Project boundary in the

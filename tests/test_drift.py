@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from metadata_etl_framework_spark.quality.drift import (
     chi_square_categorical,
     drift_suite,
@@ -166,6 +168,7 @@ def _py_ks(a, b):
     return round(best, 6)
 
 
+@pytest.mark.nightly
 def test_ks_matches_python_reference_randomized(spark):
     import random
 
@@ -213,6 +216,7 @@ def test_emd_closed_form_and_identity(spark):
                   ).collect()[0].emd == 10.0
 
 
+@pytest.mark.nightly
 def test_emd_matches_python_reference_randomized(spark):
     import random
 

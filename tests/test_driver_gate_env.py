@@ -70,7 +70,7 @@ def test_round_half_up_int64_fuzz_near_ties():
     got = round_half_up_int64(x)
     # scalar reference on a deterministic sample (full 2.2M-element
     # scalar sweep would dominate the suite)
-    idx = rng.choice(x.size, 60_000, replace=False)
+    idx = rng.choice(x.size, 25_000, replace=False)
     ref = np.array([_round0_exact(float(v)) for v in x[idx]])
     mism = np.nonzero(got[idx] != ref)[0]
     assert mism.size == 0, (

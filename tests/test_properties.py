@@ -8,6 +8,8 @@ from __future__ import annotations
 import struct
 from datetime import datetime, timedelta
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -196,6 +198,7 @@ def test_weighted_sample_matches_reference_priorities(weights, k):
     assert got == {i for i, _ in expect}
 
 
+@pytest.mark.nightly
 @given(
     a=st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=60),
     b=st.lists(st.floats(-120, 120, allow_nan=False), min_size=2, max_size=60),
